@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate.
+
+Usage: python3 scripts/verify_local.py <out_dir> <sf_dir>
+
+Reads each <out_dir>/<name> parquet result (written by graft.Verify), runs the
+corresponding oracle SQL from <out_dir>/oracle_sql.json in DuckDB against the
+<sf_dir> parquet corpus, sorts columns by name / rows by all columns, and
+compares values. Reports per-query PASS/FAIL.
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(round(v, 9))
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm(x) for x in v) + "]"
+    import numpy as np
+    if isinstance(v, np.ndarray):
+        return "[" + ",".join(norm(x) for x in v.tolist()) + "]"
+    if isinstance(v, np.floating):
+        return norm(float(v))
+    if isinstance(v, np.integer):
+        return str(int(v))
+    return str(v)
+
+
+def main(out_dir, sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracles):
+        sql = oracles[name]
+        try:
+            got = canon(con.sql(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
+            ).df())
+            want = canon(con.sql(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: exception {e}")
+            n_fail += 1
+            continue
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
+            n_fail += 1
+            continue
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+            n_fail += 1
+            continue
+        mismatch = None
+        for col in got.columns:
+            a = [norm(v) for v in got[col]]
+            b = [norm(v) for v in want[col]]
+            if a != b:
+                bad = next(i for i in range(len(a)) if a[i] != b[i])
+                mismatch = f"col {col} row {bad}: got {a[bad]} want {b[bad]}"
+                break
+        if mismatch:
+            print(f"FAIL {name}: {mismatch}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
