@@ -18,27 +18,34 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(df):
-    df = df[sorted(df.columns)]
-    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
-    return df
-
-
 def norm(v):
+    import numpy as np
+    if isinstance(v, np.floating):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(round(v, 9))
+        v = round(v, 9)
+        if v == 0.0:
+            v = 0.0  # collapse -0.0
+        return repr(v)
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{norm(x)}" for k, x in sorted(v.items())) + "}"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm(x) for x in v) + "]"
-    import numpy as np
     if isinstance(v, np.ndarray):
         return "[" + ",".join(norm(x) for x in v.tolist()) + "]"
-    if isinstance(v, np.floating):
-        return norm(float(v))
     if isinstance(v, np.integer):
         return str(int(v))
     return str(v)
+
+
+def canon(df):
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        df[c] = [norm(v) for v in df[c]]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
 
 
 def main(out_dir, sf_dir):
@@ -69,8 +76,8 @@ def main(out_dir, sf_dir):
             continue
         mismatch = None
         for col in got.columns:
-            a = [norm(v) for v in got[col]]
-            b = [norm(v) for v in want[col]]
+            a = list(got[col])
+            b = list(want[col])
             if a != b:
                 bad = next(i for i in range(len(a)) if a[i] != b[i])
                 mismatch = f"col {col} row {bad}: got {a[bad]} want {b[bad]}"

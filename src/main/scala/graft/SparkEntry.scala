@@ -13,7 +13,11 @@ object SparkEntry {
 
   /** All query packs, in SURVEY §7 build order. */
   def packs: Seq[QueryPack] = Seq(
-    qp.Relational
+    qp.Relational,
+    qp.AggFunctions,
+    qp.WindowQueries,
+    qp.SortLimit,
+    qp.SetOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,144 @@
+package graft.queries
+
+import graft.{Q, QueryPack}
+
+/** Window-function surface (reference: WindowTransform,
+  * src/Processors/Transforms/WindowTransform.h:59; dedicated functions
+  * registered at WindowTransform.cpp:2652-2740). Spark's WindowExec computes
+  * partitions after a shuffle on the PARTITION BY key — the same
+  * partition-then-scan model as the reference's window transform.
+  *
+  * Scale note: every window here partitions by a bounded-cardinality key
+  * (returnflag, user_id); no global (unpartitioned) ORDER BY windows, which
+  * would serialize onto one task at 100 TB.
+  */
+object WindowQueries extends QueryPack {
+
+  override def queries: Seq[Q] = Seq(
+
+    // rank/dense_rank/percent_rank over genuinely tied orderings
+    // (WindowTransform.cpp:2652,2659,2668) — tie semantics are the test.
+    Q.shared("q_win_rank_ties", """
+      SELECT l_orderkey, l_linenumber,
+        RANK() OVER w AS rnk,
+        DENSE_RANK() OVER w AS drnk,
+        ROUND(PERCENT_RANK() OVER w, 6) AS prnk
+      FROM lineitem
+      WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)
+      ORDER BY l_orderkey, l_linenumber"""),
+
+    // row_number + ntile need a total order per partition to be
+    // deterministic (WindowTransform.cpp:2677,2684).
+    Q.shared("q_win_row_number", """
+      SELECT l_orderkey, l_linenumber,
+        ROW_NUMBER() OVER w AS rn,
+        NTILE(4) OVER w AS quartile
+      FROM lineitem
+      WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber)
+      ORDER BY l_orderkey, l_linenumber"""),
+
+    // lag/lead (lagInFrame/leadInFrame, WindowTransform.cpp:2698,2705).
+    Q.sparkSql("q_win_lag_lead", """
+      SELECT user_id, event_id,
+        ROUND(LAG(value)  OVER w, 6) AS prev_value,
+        ROUND(LEAD(value) OVER w, 6) AS next_value,
+        ROUND(LAG(value, 2, -1.0) OVER w, 6) AS prev2_value
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, event_id""",
+      """
+      SELECT user_id, event_id,
+        ROUND(LAG(value)  OVER w, 6) AS prev_value,
+        ROUND(LEAD(value) OVER w, 6) AS next_value,
+        ROUND(LAG(value, 2, -1.0) OVER w, 6) AS prev2_value
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, event_id"""),
+
+    // Aggregates over ROWS frames — running totals are prefix decimal sums,
+    // exact at every row (generic aggregate-over-window path in
+    // WindowTransform).
+    // NOTE: (l_orderkey, l_linenumber) is NOT unique in this corpus — the
+    // window order adds l_partkey, l_extendedprice to reach a total order,
+    // otherwise running sums are tie-order-dependent.
+    Q.shared("q_win_running_sum", """
+      SELECT l_orderkey, l_linenumber, l_partkey,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+          OVER (PARTITION BY l_returnflag
+                ORDER BY l_orderkey, l_linenumber, l_partkey, l_extendedprice
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+          OVER (PARTITION BY l_returnflag
+                ORDER BY l_orderkey, l_linenumber, l_partkey, l_extendedprice
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_qty_3
+      FROM lineitem
+      ORDER BY l_orderkey, l_linenumber, l_partkey, l_extendedprice"""),
+
+    // RANGE frame over a numeric ordering: 1-hour trailing sum per user
+    // (frame spec reference: src/Interpreters/WindowDescription.h:30-40).
+    Q.sparkSql("q_win_range_frame", """
+      SELECT user_id, event_id,
+        CAST(SUM(CAST(value AS DECIMAL(18,6)))
+          OVER (PARTITION BY user_id ORDER BY UNIX_MICROS(ts)
+                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_sum
+      FROM events
+      ORDER BY user_id, event_id""",
+      """
+      SELECT user_id, event_id,
+        CAST(SUM(CAST(value AS DECIMAL(18,6)))
+          OVER (PARTITION BY user_id ORDER BY EPOCH_US(ts)
+                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_sum
+      FROM events
+      ORDER BY user_id, event_id"""),
+
+    // first_value / last_value / nth_value with explicit full frame
+    // (WindowTransform.cpp:2691).
+    Q.shared("q_win_first_last_nth", """
+      SELECT o_orderkey,
+        FIRST_VALUE(o_orderkey) OVER w AS first_key,
+        LAST_VALUE(o_orderkey)  OVER w AS last_key,
+        NTH_VALUE(o_orderkey, 2) OVER w AS second_key
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY o_orderkey"""),
+
+    // Partition-only window (no ORDER BY): group stats joined back to rows
+    // without a self-join.
+    Q.shared("q_win_partition_stats", """
+      SELECT o_orderkey,
+        CAST(o_totalprice AS DOUBLE) AS price,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_orderpriority) AS DOUBLE) AS prio_total,
+        COUNT(*) OVER (PARTITION BY o_orderpriority) AS prio_n
+      FROM orders
+      ORDER BY o_orderkey"""),
+
+    // QUALIFY-style filter on a window result (reference: QUALIFY clause,
+    // src/Parsers/ASTSelectQuery.h:30) — spelled as a subquery filter, the
+    // rewrite our dialect layer applies.
+    Q.shared("q_win_qualify", """
+      SELECT user_id, event_id, rn FROM (
+        SELECT user_id, event_id,
+          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) AS rn
+        FROM events) t
+      WHERE rn <= 3
+      ORDER BY user_id, rn"""),
+
+    // nonNegativeDerivative (WindowTransform.cpp:2740) as expression rewrite:
+    // (v - lag(v)) / seconds-elapsed, clamped at 0.
+    Q.sparkSql("q_win_nonneg_derivative", """
+      SELECT user_id, event_id,
+        ROUND(GREATEST(COALESCE((value - LAG(value) OVER w)
+          / (CAST(UNIX_MICROS(ts) - LAG(UNIX_MICROS(ts)) OVER w AS DOUBLE) / 1000000.0), 0.0), 0.0), 6) AS rate
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, event_id""",
+      """
+      SELECT user_id, event_id,
+        ROUND(GREATEST(COALESCE((value - LAG(value) OVER w)
+          / (CAST(EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER w AS DOUBLE) / 1000000.0), 0.0), 0.0), 6) AS rate
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, event_id""")
+  )
+}
