@@ -17,7 +17,9 @@ object SparkEntry {
     qp.AggFunctions,
     qp.WindowQueries,
     qp.SortLimit,
-    qp.SetOps
+    qp.SetOps,
+    qp.JoinExtras,
+    qp.ScalarFunctions
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,150 @@
+package graft.queries
+
+import graft.{Q, QueryPack, Tables}
+import graft.operators.{JoinOps, MergeTreeViews}
+import org.apache.spark.sql.functions._
+
+/** ASOF / PASTE / ANY joins, dictionary lookup, and MergeTree engine-family
+  * FINAL semantics (SURVEY §2.3, §2.1 engine variants).
+  */
+object JoinExtras extends QueryPack {
+
+  override def queries: Seq[Q] = Seq(
+
+    // ASOF LEFT JOIN events→orders: latest order at-or-before each event
+    // (reference: JoinStrictness::Asof, src/Core/Joins.h:44; inequality
+    // catalog :78). One shuffle union-window plan.
+    Q.df("q_asof_join", """
+      WITH m AS (
+        SELECT user_id, event_id,
+          (SELECT MAX(o_orderdate) FROM orders
+           WHERE o_custkey = e.user_id AND o_orderdate <= e.ts) AS asof_date
+        FROM events e)
+      SELECT m.user_id, m.event_id, m.asof_date,
+        (SELECT MAX(o_orderkey) FROM orders
+         WHERE o_custkey = m.user_id AND o_orderdate = m.asof_date) AS asof_order
+      FROM m
+      ORDER BY user_id, event_id""") { (s, dir) =>
+      val events = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      // Right side deduped to the max orderkey per (custkey, orderdate) so
+      // the ASOF tie-break is total.
+      val orders = Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+        .withColumn("asofdate", col("o_orderdate"))
+      JoinOps.asofJoinBackward(
+        events, orders,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTs = unix_micros(col("ts")),
+        rightTs = unix_micros(col("o_orderdate").cast("timestamp")),
+        rightPayload = Seq("asofdate", "o_orderkey"),
+        rightTieBreak = col("o_orderkey"))
+        .select(col("user_id"), col("event_id"),
+          col("asof_asofdate").as("asof_date"),
+          col("asof_o_orderkey").as("asof_order"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // PASTE JOIN (positional zip) of the region and nation tables in
+    // name order (reference: PasteJoinTransform) — inner-zip of the first
+    // min(n,m) rows.
+    Q.df("q_paste_join", """
+      WITH l AS (SELECT r_name, ROW_NUMBER() OVER (ORDER BY r_name) AS i FROM region),
+           r AS (SELECT n_name, ROW_NUMBER() OVER (ORDER BY n_name) AS i FROM nation)
+      SELECT l.r_name, r.n_name FROM l JOIN r USING (i)
+      ORDER BY r_name, n_name""") { (s, dir) =>
+      JoinOps.pasteJoin(
+        Tables.load(s, dir, "region").select("r_name").orderBy("r_name"),
+        Tables.load(s, dir, "nation").select("n_name").orderBy("n_name"))
+        .orderBy("r_name", "n_name")
+    },
+
+    // ANY LEFT JOIN: exactly one (deterministic first) order per customer
+    // (reference: JoinStrictness::Any — first match only).
+    Q.df("q_any_join", """
+      SELECT c_custkey, first_order FROM customer
+      LEFT JOIN (
+        SELECT o_custkey, MIN(o_orderkey) AS first_order
+        FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey
+      ORDER BY c_custkey""") { (s, dir) =>
+      JoinOps.anyLeftJoin(
+        Tables.load(s, dir, "customer").select(col("c_custkey").as("o_custkey")),
+        Tables.load(s, dir, "orders").select(col("o_custkey"), col("o_orderkey")),
+        "o_custkey", col("o_orderkey"))
+        .select(col("o_custkey").as("c_custkey"), col("o_orderkey").as("first_order"))
+        .orderBy("c_custkey")
+    },
+
+    // dictGet (FunctionsExternalDictionaries.h): broadcast dictionary probe
+    // supplier→nation-name with a default for misses.
+    Q.df("q_dict_get", """
+      SELECT s_suppkey, COALESCE(n_name, 'UNKNOWN') AS n_name
+      FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey
+      ORDER BY s_suppkey""") { (s, dir) =>
+      JoinOps.dictGet(
+        Tables.load(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+        Tables.load(s, dir, "nation"),
+        factKey = "s_nationkey", dictKey = "n_nationkey",
+        attr = "n_name", default = lit("UNKNOWN"))
+        .select("s_suppkey", "n_name")
+        .orderBy("s_suppkey")
+    },
+
+    // ReplacingMergeTree FINAL (ReplacingSortedAlgorithm): latest order per
+    // customer, version = (o_orderdate, o_orderkey).
+    Q.df("q_final_replacing", """
+      SELECT o_custkey, o_orderkey, o_orderdate FROM (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders) t
+      WHERE rn = 1
+      ORDER BY o_custkey""") { (s, dir) =>
+      MergeTreeViews.replacingFinal(
+        Tables.load(s, dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate"),
+        keys = Seq("o_custkey"),
+        version = Seq(col("o_orderdate"), col("o_orderkey")))
+        .orderBy("o_custkey")
+    },
+
+    // SummingMergeTree FINAL (SummingSortedAlgorithm): per-(order,part) key
+    // the quantity/price metrics collapse to sums.
+    Q.df("q_final_summing", """
+      SELECT l_orderkey, l_partkey,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price
+      FROM lineitem
+      GROUP BY l_orderkey, l_partkey
+      ORDER BY l_orderkey, l_partkey""") { (s, dir) =>
+      MergeTreeViews.summingFinal(
+        Tables.load(s, dir, "lineitem"),
+        keys = Seq("l_orderkey", "l_partkey"),
+        sums = Seq(
+          "qty" -> sum(col("l_quantity").cast("decimal(18,2)")).cast("double"),
+          "price" -> sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")))
+        .orderBy("l_orderkey", "l_partkey")
+    },
+
+    // CollapsingMergeTree FINAL (CollapsingSortedAlgorithm): returnflag 'R'
+    // rows act as sign=-1 cancels; keys with positive net survive with
+    // sign-weighted quantity.
+    Q.df("q_final_collapsing", """
+      SELECT l_orderkey,
+        CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN -l_quantity ELSE l_quantity END
+                 * 100 AS BIGINT)) AS BIGINT) AS net_qty_cents
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CASE WHEN l_returnflag = 'R' THEN -1 ELSE 1 END) > 0
+      ORDER BY l_orderkey""") { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val sign = when(col("l_returnflag") === "R", -1L).otherwise(1L)
+      MergeTreeViews.collapsingFinal(
+          li.withColumn("qty_cents", (col("l_quantity") * 100).cast("long")),
+          keys = Seq("l_orderkey"), sign = sign,
+          metrics = Seq("net_qty_cents" -> col("qty_cents")))
+        .select(col("l_orderkey"), col("net_qty_cents"))
+        .orderBy("l_orderkey")
+    }
+  )
+}

@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.{JoinOps, MergeTreeViews}
+import org.apache.spark.sql.functions._
+
+class JoinOpsSpec extends SparkFunSuite {
+  import SparkTestBase.spark.implicits._
+
+  test("asofJoinBackward: no match before first right row; ties take <=") {
+    val left = Seq((1L, 5L, "e1"), (1L, 10L, "e2"), (1L, 20L, "e3"), (2L, 9L, "e4"))
+      .toDF("k", "t", "name")
+    val right = Seq((1L, 10L, "r10"), (1L, 15L, "r15"))
+      .toDF("rk", "rt", "payload")
+    val out = JoinOps.asofJoinBackward(left, right,
+      "k", "rk", col("t"), col("rt"), Seq("payload"), col("rt"))
+      .orderBy("t")
+      .select("name", "asof_payload").as[(String, String)].collect()
+    assert(out.toSeq == Seq(
+      ("e1", null),      // t=5: before first right ts
+      ("e4", null),      // t=9, key 2: no right rows at all
+      ("e2", "r10"),     // t=10 tie: rt == t counts (<=)
+      ("e3", "r15")))    // t=20: latest at-or-before
+  }
+
+  test("pasteJoin zips positionally, truncating to the shorter side") {
+    val l = Seq("a", "b", "c").toDF("x")
+    val r = Seq(1, 2).toDF("y")
+    val out = JoinOps.pasteJoin(l, r).orderBy("y")
+      .as[(String, Int)].collect().toSeq
+    assert(out == Seq(("a", 1), ("b", 2)))
+  }
+
+  test("anyLeftJoin keeps exactly one deterministic right match") {
+    val l = Seq(1L, 2L).toDF("k")
+    val r = Seq((1L, 30L), (1L, 10L), (1L, 20L)).toDF("k", "v")
+    val out = JoinOps.anyLeftJoin(l, r, "k", col("v"))
+      .orderBy("k").as[(Long, Option[Long])].collect().toSeq
+    assert(out == Seq((1L, Some(10L)), (2L, None)))
+  }
+
+  test("collapsingFinal cancels balanced sign pairs") {
+    val df = Seq((1L, 1L, 5L), (1L, -1L, 5L), (2L, 1L, 7L))
+      .toDF("k", "sign", "v")
+    val out = MergeTreeViews.collapsingFinal(df, Seq("k"), col("sign"),
+      Seq("net" -> col("v")))
+      .orderBy("k").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((2L, 7L)))   // key 1 fully cancelled
+  }
+}
