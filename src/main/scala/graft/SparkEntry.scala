@@ -19,7 +19,8 @@ object SparkEntry {
     qp.SortLimit,
     qp.SetOps,
     qp.JoinExtras,
-    qp.ScalarFunctions
+    qp.ScalarFunctions,
+    qp.LlmPipeline
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis and similarity primitives for the training-data pipeline
+  * milestone (SURVEY §7 item 10). Everything here is composed from
+  * codegen'd Catalyst built-ins (HOFs over arrays, hash functions) — no
+  * Scala UDFs — so whole-stage codegen stays intact at 100 TB.
+  *
+  * Reference anchors: tokenization (src/Functions/splitByChar.cpp,
+  * ngrams.cpp), hashing (src/Functions/FunctionsHashing.h), vector search
+  * (src/Storages/MergeTree/MergeTreeIndexVectorSimilarity.cpp — re-expressed
+  * as LSH bucketing + exact re-rank instead of an HNSW graph, which is the
+  * shuffle-friendly formulation).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (lowercased). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Distinct word set — the unit for word-level Jaccard. */
+  def wordSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** Character n-gram (shingle) set. */
+  def charShingles(text: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+      i => text.substr(i, lit(n))))
+
+  /** Exact Jaccard similarity of two array columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** MinHash signature: k independent min-hashes over a token array.
+    * Hash family i = xxhash64(i || token) (src/Functions/FunctionsHashing.h
+    * family; any 64-bit mixer works — signatures only need consistency
+    * within this engine). Returns array<bigint> of length k. */
+  def minhashSignature(tokenArr: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)), i =>
+      aggregate(tokenArr, lit(Long.MaxValue),
+        (acc, t) => least(acc, xxhash64(concat(i.cast("string"), lit(":"), t)))))
+
+  /** LSH band keys from a minhash signature: `bands` keys each hashing
+    * `rowsPerBand` consecutive signature slots. Docs sharing any band key
+    * become candidate pairs — the standard banding scheme. */
+  def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      struct(b.as("band"),
+        xxhash64(concat_ws("_",
+          slice(signature, b * rowsPerBand + 1, lit(rowsPerBand))
+            .cast("array<string>"))).as("key")))
+
+  /** SimHash-64 over a token array: bit j of the result is set iff the sum
+    * of ±1 votes (sign of bit j of each token's hash) is positive.
+    * Reference analog: near-duplicate fingerprinting over tokens. */
+  def simhash64(tokenArr: Column): Column = {
+    val bitSums = transform(sequence(lit(0), lit(63)), j =>
+      aggregate(tokenArr, lit(0L), (acc, t) =>
+        acc + when(call_function("shiftright", xxhash64(t), j)
+          .bitwiseAND(lit(1L)) === 1, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(bitSums, sequence(lit(0), lit(63)),
+        (s, j) => when(s > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text
+    * (md5 so the DuckDB oracle can reproduce it bit-for-bit). */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /** Cheap quality signals (length, punctuation ratio, stopword ratio,
+    * mean word length) — the classic pre-training corpus filters. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[.,;:!?]", ""))).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  def stopwordCount(text: Column, stopwords: Seq[String]): Column =
+    stopwords.map { sw =>
+      ((length(text) - length(regexp_replace(text, s"\\b$sw\\b", ""))) / sw.length)
+        .cast("long")
+    }.reduce(_ + _)
+
+  /** Dot product of two equal-length double arrays — sequential fold, so
+    * the result is bit-identical across engines that fold left-to-right. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+}

@@ -1,0 +1,327 @@
+package graft.queries
+
+import graft.{Q, QueryPack, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over documents/embeddings (SURVEY §7
+  * item 10) — deduplication, similarity search, text analysis. These are
+  * first-class operators of this engine, built on the same Catalyst rails
+  * as the relational battery.
+  *
+  * Scale design: every dedup variant is blocking-based (LSH bands, simhash
+  * bands, or metadata blocks) so candidate generation is a shuffle on a
+  * bounded key, never an all-pairs cross join; exact verification runs only
+  * within candidate buckets.
+  */
+object LlmPipeline extends QueryPack {
+
+  override def queries: Seq[Q] = Seq(
+
+    // --- Dedup: exact (hash groupBy) ---------------------------------
+    Q.df("q_dedup_exact", """
+      SELECT fp, COUNT(*) AS n, MIN(doc_id) AS keeper
+      FROM (SELECT doc_id, MD5(REGEXP_REPLACE(TRIM(LOWER(text)), '\s+', ' ', 'g')) AS fp
+            FROM documents) t
+      GROUP BY fp
+      HAVING COUNT(*) >= 1
+      ORDER BY fp""") { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .groupBy("fp")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("keeper"))
+        .orderBy("fp")
+    },
+
+    // --- Dedup: exact n-gram Jaccard within metadata blocks ----------
+    // Word-set Jaccard >= 0.8 for pairs sharing (lang, source): the exact
+    // verification stage every approximate dedup funnels into.
+    Q.df("q_dedup_jaccard_exact", """
+      WITH d AS (SELECT doc_id, lang, source,
+                   LIST_DISTINCT(STRING_SPLIT(LOWER(text), ' ')) ws
+                 FROM documents)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        ROUND(CAST(LEN(LIST_INTERSECT(a.ws, b.ws)) AS DOUBLE)
+            / LEN(LIST_DISTINCT(LIST_CONCAT(a.ws, b.ws))), 6) AS jac
+      FROM d a JOIN d b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(LEN(LIST_INTERSECT(a.ws, b.ws)) AS DOUBLE)
+            / LEN(LIST_DISTINCT(LIST_CONCAT(a.ws, b.ws))) >= 0.8
+      ORDER BY id_a, id_b""") { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          wordSet(col("text")).as("ws"))
+      val a = d.select(col("doc_id").as("id_a"), col("lang"), col("source"), col("ws").as("wa"))
+      val b = d.select(col("doc_id").as("id_b"), col("lang"), col("source"), col("ws").as("wb"))
+      a.join(b, Seq("lang", "source"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("jac", jaccard(col("wa"), col("wb")))
+        .filter(col("jac") >= 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // --- Dedup: MinHash + LSH banding --------------------------------
+    // 32 minhashes, 8 bands x 4 rows; candidates = docs sharing a band key;
+    // survivors verified with exact word Jaccard >= 0.8. Signature hashes
+    // are engine-internal (xxhash64) → rows-only driver check; soundness +
+    // identical-set recall are asserted in LlmPipelineSpec.
+    Q.unoracled("q_dedup_minhash_lsh") { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), wordSet(col("text")).as("ws"))
+        .withColumn("sig", minhashSignature(col("ws"), 32))
+      val banded = docs.select(col("doc_id"), col("ws"),
+        explode(lshBandKeys(col("sig"), 8, 4)).as("bk"))
+      val a = banded.select(col("doc_id").as("id_a"), col("ws").as("wa"), col("bk"))
+      val b = banded.select(col("doc_id").as("id_b"), col("ws").as("wb"), col("bk"))
+      a.join(b, Seq("bk")).filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b", "wa", "wb").distinct()
+        .withColumn("jac", jaccard(col("wa"), col("wb")))
+        .filter(col("jac") >= 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // --- Dedup: SimHash near-dup fingerprint -------------------------
+    // 64-bit simhash; candidates share one of four 16-bit bands; survivors
+    // have hamming distance <= 12. Rows-only (xxhash64-based).
+    Q.unoracled("q_dedup_simhash") { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), simhash64(wordSet(col("text"))).as("sh"))
+      val bandStructs = (0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sh"), b * 16).bitwiseAND(lit(65535L)).as("key")))
+      val banded = docs.select(col("doc_id"), col("sh"),
+        explode(array(bandStructs: _*)).as("bk"))
+      val a = banded.select(col("doc_id").as("id_a"), col("sh").as("sa"), col("bk"))
+      val b = banded.select(col("doc_id").as("id_b"), col("sh").as("sb"), col("bk"))
+      a.join(b, Seq("bk")).filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b", "sa", "sb").distinct()
+        .withColumn("dist", hamming64(col("sa"), col("sb")))
+        .filter(col("dist") <= 12)
+        .select("id_a", "id_b", "dist")
+        .orderBy("id_a", "id_b")
+    },
+
+    // --- Similarity search: exact cosine top-k -----------------------
+    // Brute-force baseline (the vector-index analog, SURVEY §4.3): queries
+    // broadcast against the corpus, per-query top-5 by cosine. Sequential
+    // fold keeps doubles bit-identical to the DuckDB oracle.
+    Q.df("q_ann_cosine_topk", """
+      WITH e AS (SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+      n AS (SELECT vec_id, v,
+              SQRT(LIST_REDUCE(LIST_TRANSFORM(v, x -> x*x), (a,b) -> a+b)) nrm FROM e),
+      q AS (SELECT vec_id qid, v qv, nrm qnrm FROM n WHERE vec_id < 20),
+      p AS (SELECT qid, n.vec_id nid,
+              LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(qv, n.v), pp -> pp[1] * pp[2]), (a,b) -> a+b)
+                / (qnrm * n.nrm) cos
+            FROM q JOIN n ON n.vec_id <> qid)
+      SELECT qid, nid, ROUND(cos, 6) AS cos FROM (
+        SELECT qid, nid, cos,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rn FROM p) t
+      WHERE rn <= 5
+      ORDER BY qid, nid""") { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("nrm", l2norm(col("v")))
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+      val pairs = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("cos", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      pairs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("vec_id").as("nid"), round(col("cos"), 6).as("cos"))
+        .orderBy("qid", "nid")
+    },
+
+    // --- Similarity search: multi-table LSH ANN ----------------------
+    // Random-hyperplane signs, OR-amplified: 8 hash tables x 4 planes
+    // (planes derived arithmetically from the dimension index, so the
+    // bucketing is reproducible). Candidates share a (table, 4-bit-sign)
+    // bucket in ANY table, then exact cosine re-rank. The 100 TB path:
+    // (table, bucket) is the shuffle key; each bucket re-ranks locally.
+    // Rows-only check + recall floor asserted in LlmPipelineSpec.
+    Q.unoracled("q_ann_lsh_bucketed") { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("nrm", l2norm(col("v")))
+      // table t (0..7), plane p (0..3), dim i weight = ((i*31 + (t*4+p)*17) % 7) - 3
+      def bucketKey(t: Int) = (0 until 4).map { p =>
+        val proj = aggregate(zip_with(col("v"), sequence(lit(0), lit(63)),
+          (x, i) => x * (((i * 31 + (t * 4 + p) * 17) % 7) - 3).cast("double")),
+          lit(0.0), (a, x) => a + x)
+        when(proj > 0, lit(1L << p)).otherwise(0L)
+      }.reduce(_ + _)
+      val tables = (0 until 8).map(t =>
+        struct(lit(t).as("tbl"), bucketKey(t).as("key")))
+      val b = e.withColumn("bk", explode(array(tables: _*)))
+      val q = b.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qnrm"), col("bk"))
+      val cands = b.join(q, Seq("bk")).filter(col("vec_id") =!= col("qid"))
+        .select("qid", "qv", "qnrm", "vec_id", "v", "nrm").distinct()
+        .withColumn("cos", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      cands.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("vec_id").as("nid"), round(col("cos"), 6).as("cos"))
+        .orderBy("qid", "nid")
+    },
+
+    // --- Similarity search: IVF-style cell-probed ANN ----------------
+    // Inverted-file layout: 16 seed centroids (a real system k-means them;
+    // seeds keep it deterministic), every vector assigned to its best cell,
+    // queries probe their 4 nearest cells only. This is the architecture
+    // that scales: cells partition the corpus, a query touches nprobe/ncell
+    // of the data. Recall floor asserted in LlmPipelineSpec.
+    Q.unoracled("q_ann_ivf") { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("nrm", l2norm(col("v")))
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+      val scored = e.join(broadcast(cents), lit(true))
+        .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
+      val assigned = scored.withColumn("crn", row_number().over(wAssign))
+        .filter(col("crn") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+      val qProbes = scored.filter(col("vec_id") < 20)
+        .withColumn("crn", row_number().over(wAssign))
+        .filter(col("crn") <= 4)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qnrm"), col("cid").as("cell"))
+      val cands = assigned.join(qProbes, Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      cands.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("vec_id").as("nid"), round(col("cos"), 6).as("cos"))
+        .orderBy("qid", "nid")
+    },
+
+    // --- Text analysis: token statistics -----------------------------
+    Q.df("q_text_tokens", """
+      WITH w AS (SELECT doc_id, n_chars,
+                   LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), t -> LEN(t) > 0) ws
+                 FROM documents)
+      SELECT doc_id, n_chars,
+        CAST(LEN(ws) AS BIGINT) AS n_tokens,
+        CAST(LEN(LIST_DISTINCT(ws)) AS BIGINT) AS n_distinct,
+        ROUND(CAST(LIST_REDUCE(LIST_TRANSFORM(ws, t -> CAST(LEN(t) AS DOUBLE)), (a,b) -> a+b) AS DOUBLE)
+              / LEN(ws), 6) AS mean_word_len
+      FROM w
+      ORDER BY doc_id""") { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), tokens(col("text")).as("ws"))
+        .select(col("doc_id"), col("n_chars"),
+          size(col("ws")).cast("long").as("n_tokens"),
+          size(array_distinct(col("ws"))).cast("long").as("n_distinct"),
+          round(aggregate(transform(col("ws"), t => length(t).cast("double")),
+            lit(0.0), (a, x) => a + x) / size(col("ws")), 6).as("mean_word_len"))
+        .orderBy("doc_id")
+    },
+
+    // --- Text analysis: quality scoring ------------------------------
+    // length/punct/diversity signals → one score in [0,1]; classic corpus
+    // filter. All arithmetic, identical in the oracle.
+    Q.df("q_text_quality", """
+      WITH w AS (SELECT doc_id,
+          CAST(LENGTH(text) AS DOUBLE) len,
+          CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,;:!?]', '', 'g')) AS DOUBLE) punct,
+          CAST(LEN(LIST_DISTINCT(STRING_SPLIT(LOWER(text), ' '))) AS DOUBLE) dw,
+          CAST(LEN(STRING_SPLIT(LOWER(text), ' ')) AS DOUBLE) tw
+        FROM documents)
+      SELECT doc_id,
+        ROUND(punct / GREATEST(len, 1.0), 6) AS punct_ratio,
+        ROUND(dw / GREATEST(tw, 1.0), 6) AS diversity,
+        ROUND(LEAST(len / 500.0, 1.0) * 0.4
+            + (1.0 - LEAST(punct / GREATEST(len, 1.0) * 10.0, 1.0)) * 0.3
+            + dw / GREATEST(tw, 1.0) * 0.3, 6) AS quality
+      FROM w
+      ORDER BY doc_id""") { (s, dir) =>
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"),
+        length(col("text")).cast("double").as("len"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[.,;:!?]", ""))).cast("double").as("punct"),
+        size(array_distinct(split(lower(col("text")), " "))).cast("double").as("dw"),
+        size(split(lower(col("text")), " ")).cast("double").as("tw"))
+      d.select(col("doc_id"),
+        round(col("punct") / greatest(col("len"), lit(1.0)), 6).as("punct_ratio"),
+        round(col("dw") / greatest(col("tw"), lit(1.0)), 6).as("diversity"),
+        round(least(col("len") / 500.0, lit(1.0)) * 0.4
+          + (lit(1.0) - least(col("punct") / greatest(col("len"), lit(1.0)) * 10.0, lit(1.0))) * 0.3
+          + col("dw") / greatest(col("tw"), lit(1.0)) * 0.3, 6).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // --- Text analysis: n-gram language ID heuristic -----------------
+    // Stopword-marker counts per language; deterministic argmax with a
+    // fixed preference order. (The corpus labels are synthetic — the
+    // heuristic's determinism, not label recovery, is under test.)
+    Q.shared("q_text_lang_id", """
+      WITH s AS (SELECT doc_id, lang,
+          LENGTH(text) - LENGTH(REPLACE(text, ' the ', '')) AS c_en,
+          LENGTH(text) - LENGTH(REPLACE(text, ' la ', ''))  AS c_es,
+          LENGTH(text) - LENGTH(REPLACE(text, ' und ', '')) AS c_de,
+          LENGTH(text) - LENGTH(REPLACE(text, ' et ', ''))  AS c_fr
+        FROM documents)
+      SELECT doc_id, lang,
+        CASE WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+             WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
+             WHEN c_de >= c_fr THEN 'de'
+             ELSE 'fr' END AS detected
+      FROM s
+      ORDER BY doc_id"""),
+
+    // --- Text analysis: top word bigrams ------------------------------
+    Q.df("q_text_bigrams", """
+      WITH w AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') ws FROM documents),
+      b AS (SELECT UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(ws)-1),
+                                         i -> ws[i] || ' ' || ws[i+1])) bg FROM w)
+      SELECT bg, COUNT(*) AS n
+      FROM b GROUP BY bg
+      ORDER BY n DESC, bg
+      LIMIT 20""") { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(split(lower(col("text")), " ").as("ws"))
+        .select(explode(transform(sequence(lit(1), size(col("ws")) - 1),
+          i => concat(element_at(col("ws"), i), lit(" "),
+            element_at(col("ws"), i + 1)))).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bg"))
+        .limit(20)
+    },
+
+    // --- Multimodal: binary payload → decoded feature table -----------
+    // Deterministic decode STUB (graft.operators.Multimodal) behind the
+    // real mapPartitions batch shape; rows-only driver check, full
+    // assertions in LlmPipelineSpec.
+    Q.unoracled("q_multimodal_features") { (s, dir) =>
+      graft.operators.Multimodal.featureTable(s, dir)
+        .select(col("doc_id"), col("kind"), col("width"), col("height"),
+          round(col("mean_intensity"), 6).as("mean_intensity"))
+        .orderBy("doc_id")
+    },
+
+    // --- groupConcat over documents (corpus manifest per source) ------
+    Q.df("q_text_manifest", """
+      SELECT source, lang, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        STRING_AGG(CAST(doc_id AS STRING), ',' ORDER BY doc_id) AS doc_csv
+      FROM documents
+      GROUP BY source, lang
+      ORDER BY source, lang""") { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("total_chars"),
+          concat_ws(",", array_sort(collect_list(col("doc_id")))
+            .cast("array<string>")).as("doc_csv"))
+        .orderBy("source", "lang")
+    }
+  )
+}

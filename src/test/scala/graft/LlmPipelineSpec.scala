@@ -1,0 +1,66 @@
+package graft
+
+import graft.functions.TextFunctions._
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+
+class LlmPipelineSpec extends SparkFunSuite {
+
+  test("minhash LSH: sound (all pairs >= tau) and full recall on identical sets") {
+    val lsh = SparkEntry.queries("q_dedup_minhash_lsh")(spark, sf)
+      .select("id_a", "id_b", "jac").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // soundness: every reported pair passed the exact-jaccard filter
+    assert(lsh.forall(_._3 >= 0.8), "LSH emitted a pair below threshold")
+    // recall floor: identical word sets have identical signatures, so every
+    // exact-duplicate pair (jaccard == 1.0) MUST be found
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), wordSet(col("text")).as("ws"))
+    val a = docs.select(col("doc_id").as("ia"), col("ws").as("wa"))
+    val b = docs.select(col("doc_id").as("ib"), col("ws").as("wb"))
+    val exactDups = a.join(b, col("ia") < col("ib"))
+      .filter(size(array_except(col("wa"), col("wb"))) === 0 &&
+        size(array_except(col("wb"), col("wa"))) === 0)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = lsh.map(p => (p._1, p._2)).toSet
+    assert(exactDups.subsetOf(found),
+      s"missed identical-set pairs: ${exactDups.diff(found)}")
+  }
+
+  test("approximate ANN (LSH + IVF) is sound and clears its recall floor") {
+    val exact = SparkEntry.queries("q_ann_cosine_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def check(name: String, floor: Double): Unit = {
+      val ann = SparkEntry.queries(name)(spark, sf).collect()
+      assert(ann.nonEmpty)
+      val perQ = ann.groupBy(_.getLong(0))
+      perQ.foreach { case (qid, rows) =>
+        assert(rows.length <= 5)
+        assert(rows.forall(_.getLong(1) != qid))
+      }
+      val found = ann.map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = exact.intersect(found).size.toDouble / exact.size
+      assert(recall >= floor, s"$name recall $recall below floor $floor")
+    }
+    check("q_ann_lsh_bucketed", 0.25)  // measured ~0.45 on this corpus
+    check("q_ann_ivf", 0.65)           // measured ~0.85 (nprobe=4/16)
+  }
+
+  test("simhash dedup pairs are within the hamming bound") {
+    val rows = SparkEntry.queries("q_dedup_simhash")(spark, sf).collect()
+    assert(rows.forall(_.getInt(2) <= 12))
+  }
+
+  test("multimodal decode stub is deterministic and schema-complete") {
+    val f1 = Multimodal.featureTable(spark, sf).orderBy("doc_id").collect()
+    val f2 = Multimodal.featureTable(spark, sf).orderBy("doc_id").collect()
+    assert(f1.length == Tables.load(spark, sf, "documents").count())
+    assert(f1.map(_.toString).toSeq == f2.map(_.toString).toSeq)
+    val r = f1.head
+    assert(r.schema.fieldNames.toSeq ==
+      Seq("doc_id", "kind", "width", "height", "mean_intensity", "histogram"))
+    assert(Set("image", "audio", "video").contains(r.getAs[String]("kind")))
+    val hist = r.getAs[scala.collection.Seq[Double]]("histogram")
+    assert(hist.length == 16 && math.abs(hist.sum - 1.0) < 1e-9)
+  }
+}
