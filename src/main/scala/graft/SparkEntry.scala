@@ -20,7 +20,8 @@ object SparkEntry {
     qp.SetOps,
     qp.JoinExtras,
     qp.ScalarFunctions,
-    qp.LlmPipeline
+    qp.LlmPipeline,
+    qp.DialectQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

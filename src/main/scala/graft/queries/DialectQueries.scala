@@ -1,0 +1,114 @@
+package graft.queries
+
+import graft.{Q, QueryPack, Tables}
+import graft.sql.ClickHouseSql
+
+/** End-to-end ClickHouse-dialect queries: CH SQL text → rewriter + alias
+  * registry → Catalyst. Oracles are the ANSI equivalents. */
+object DialectQueries extends QueryPack {
+
+  private def ch(name: String, chSql: String, oracle: String): Q =
+    Q(name, (s, dir) => { Tables.register(s, dir); ClickHouseSql.sql(s, chSql) },
+      Some(oracle))
+
+  override def queries: Seq[Q] = Seq(
+
+    // PREWHERE + FORMAT strip + CH function names, all at once.
+    ch("q_ch_prewhere", """
+      SELECT l_returnflag, count() AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      PREWHERE l_shipdate >= toDateTime('1997-01-01 00:00:00')
+      WHERE l_quantity < 30.0
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+      FORMAT JSONEachRow""",
+      """
+      SELECT l_returnflag, COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_quantity < 30.0
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""),
+
+    // LIMIT n BY key.
+    ch("q_ch_limit_by", """
+      SELECT user_id, event_id FROM events
+      ORDER BY event_id LIMIT 2 BY user_id""",
+      """
+      SELECT user_id, event_id FROM (
+        SELECT user_id, event_id,
+          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        FROM events) t
+      WHERE rn <= 2
+      ORDER BY user_id, event_id"""),
+
+    // CH scalar function names through the alias registry.
+    ch("q_ch_functions", """
+      SELECT o_orderkey,
+        toYear(o_orderdate) AS y,
+        toStartOfMonth(o_orderdate) AS ms,
+        toYYYYMM(o_orderdate) AS yyyymm,
+        plus(toInt64(o_orderkey), 1) AS next_key,
+        multiIf(o_orderstatus = 'F', 'done', o_orderstatus = 'O', 'open', 'other') AS st,
+        ifNull(nullIf(o_orderpriority, '5-LOW'), 'LOW') AS pr,
+        positionUTF8(o_orderpriority, '-') AS dash_at,
+        toInt32OrZero(o_orderstatus) AS not_a_number
+      FROM orders
+      ORDER BY o_orderkey
+      LIMIT 1000""",
+      """
+      SELECT o_orderkey,
+        CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS y,
+        DATE_TRUNC('month', o_orderdate) AS ms,
+        CAST(STRFTIME(o_orderdate, '%Y%m') AS INT) AS yyyymm,
+        CAST(o_orderkey AS BIGINT) + 1 AS next_key,
+        CASE WHEN o_orderstatus = 'F' THEN 'done'
+             WHEN o_orderstatus = 'O' THEN 'open' ELSE 'other' END AS st,
+        COALESCE(NULLIF(o_orderpriority, '5-LOW'), 'LOW') AS pr,
+        CAST(POSITION('-' IN o_orderpriority) AS INT) AS dash_at,
+        COALESCE(TRY_CAST(o_orderstatus AS INT), 0) AS not_a_number
+      FROM orders
+      ORDER BY o_orderkey
+      LIMIT 1000"""),
+
+    // CH aggregate names (uniqExact, argMax, median, quantileExact) —
+    // compare key o_orderkey is unique, so argMax is deterministic.
+    ch("q_ch_aggregates", """
+      SELECT o_orderpriority,
+        uniqExact(o_custkey) AS customers,
+        argMax(o_totalprice, o_orderkey) AS price_of_max_key,
+        ROUND(median(o_totalprice), 4) AS med_price,
+        ROUND(quantileExact(o_totalprice, 0.9), 4) AS p90_price
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+      """
+      SELECT o_orderpriority,
+        COUNT(DISTINCT o_custkey) AS customers,
+        MAX_BY(o_totalprice, o_orderkey) AS price_of_max_key,
+        ROUND(QUANTILE_CONT(o_totalprice, 0.5), 4) AS med_price,
+        ROUND(QUANTILE_CONT(o_totalprice, 0.9), 4) AS p90_price
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""),
+
+    // FINAL on a registered Replacing table.
+    Q("q_ch_final", (s, dir) => {
+      Tables.register(s, dir)
+      ClickHouseSql.registerReplacingTable("orders",
+        keys = Seq("o_custkey"), version = Seq("o_orderdate", "o_orderkey"))
+      ClickHouseSql.sql(s, """
+        SELECT o_custkey, o_orderkey, o_orderdate
+        FROM orders FINAL
+        ORDER BY o_custkey""")
+    }, Some("""
+      SELECT o_custkey, o_orderkey, o_orderdate FROM (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders) t
+      WHERE rn = 1
+      ORDER BY o_custkey"""))
+  )
+}

@@ -1,0 +1,188 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.types._
+
+/** ClickHouse function-name surface registered onto Spark's
+  * FunctionRegistry as thin Catalyst expression builders — the Spark
+  * rendering of the reference's name registration in
+  * src/Functions/registerFunctions.cpp and
+  * src/AggregateFunctions/registerAggregateFunctions.cpp.
+  *
+  * Every alias resolves to a codegen'd built-in expression; nothing here
+  * adds runtime cost over the native Spark name. Hash functions are
+  * name-compatible, NOT value-compatible with the reference (SURVEY §7
+  * hard-parts: never pin hash values in tests).
+  */
+object ChFunctionRegistry {
+
+  private def cast(dt: DataType): Seq[Expression] => Expression =
+    args => Cast(args.head, dt)
+
+  private def tryCast(dt: DataType): Seq[Expression] => Expression =
+    args => Cast(args.head, dt, None, EvalMode.TRY)
+
+  /** name → builder. One entry per reference function family member we
+    * alias (SURVEY §2.8 curated list). */
+  val builders: Map[String, Seq[Expression] => Expression] = Map(
+    // type conversion (FunctionsConversion)
+    "toint8" -> cast(ByteType), "toint16" -> cast(ShortType),
+    "toint32" -> cast(IntegerType), "toint64" -> cast(LongType),
+    "touint8" -> cast(ShortType), "touint16" -> cast(IntegerType),
+    "touint32" -> cast(LongType), "touint64" -> cast(DecimalType(20, 0)),
+    "tofloat32" -> cast(FloatType), "tofloat64" -> cast(DoubleType),
+    "tostring" -> cast(StringType), "todate" -> cast(DateType),
+    "todatetime" -> cast(TimestampType),
+    "toint32ornull" -> tryCast(IntegerType),
+    "toint64ornull" -> tryCast(LongType),
+    "tofloat64ornull" -> tryCast(DoubleType),
+    "toint32orzero" -> (args =>
+      Coalesce(Seq(Cast(args.head, IntegerType, None, EvalMode.TRY), Literal(0)))),
+    "toint64orzero" -> (args =>
+      Coalesce(Seq(Cast(args.head, LongType, None, EvalMode.TRY), Literal(0L)))),
+
+    // arithmetic names (plus.cpp, minus.cpp, ...)
+    "plus" -> (args => Add(args(0), args(1))),
+    "minus" -> (args => Subtract(args(0), args(1))),
+    "multiply" -> (args => Multiply(args(0), args(1))),
+    "divide" -> (args => Divide(Cast(args(0), DoubleType), Cast(args(1), DoubleType))),
+    "intdiv" -> (args => IntegralDivide(args(0), args(1))),
+    "modulo" -> (args => Remainder(args(0), args(1))),
+    "negate" -> (args => UnaryMinus(args.head)),
+
+    // comparison/logic names
+    "equals" -> (args => EqualTo(args(0), args(1))),
+    "notequals" -> (args => Not(EqualTo(args(0), args(1)))),
+    "greater" -> (args => GreaterThan(args(0), args(1))),
+    "less" -> (args => LessThan(args(0), args(1))),
+    "greaterorequals" -> (args => GreaterThanOrEqual(args(0), args(1))),
+    "lessorequals" -> (args => LessThanOrEqual(args(0), args(1))),
+
+    // conditionals (if.cpp, multiIf.cpp, ifNull.cpp, nullIf.cpp)
+    "multiif" -> (args => {
+      val branches = args.dropRight(1).grouped(2).map(p => (p(0), p(1))).toSeq
+      CaseWhen(branches, Some(args.last))
+    }),
+    "ifnull" -> (args => Coalesce(args)),
+    "nullif" -> (args => If(EqualTo(args(0), args(1)),
+      Literal.create(null, args(0).dataType), args(0))),
+    "assumenotnull" -> (args => args.head),
+
+    // strings (position.cpp arg order is (haystack, needle)!)
+    "lcase" -> (args => Lower(args.head)),
+    "ucase" -> (args => Upper(args.head)),
+    "lowerutf8" -> (args => Lower(args.head)),
+    "upperutf8" -> (args => Upper(args.head)),
+    "substringutf8" -> (args => Substring(args(0), args(1), args(2))),
+    "lengthutf8" -> (args => Length(args.head)),
+    "empty" -> (args => EqualTo(Length(args.head), Literal(0))),
+    "notempty" -> (args => GreaterThan(Length(args.head), Literal(0))),
+    "concatassumeinjective" -> (args => Concat(args)),
+    // NOTE: CH `extract(haystack, re)` and `position(haystack, needle)` are
+    // NOT registered: the names collide with ANSI EXTRACT(unit FROM ts) and
+    // POSITION(needle IN str) (opposite argument order) and would corrupt
+    // standard SQL. The UTF8-suffixed CH spellings cover the use case.
+    "match" -> (args => RLike(args(0), args(1))),
+    "positionutf8" -> (args => StringLocate(args(1), args(0), Literal(1))),
+    "extractutf8" -> (args => RegExpExtract(args(0), args(1), Literal(1))),
+    "replaceall" -> (args => StringReplace(args(0), args(1), args(2))),
+    "replaceregexpall" -> (args => RegExpReplace(args(0), args(1), args(2))),
+    "splitbychar" -> (args => StringSplit(args(1),
+      RegExpReplace(args(0), Literal("([\\\\^$.|?*+()\\[\\]{}])"), Literal("\\\\$1")), Literal(-1))),
+    "startswith" -> (args => StartsWith(args(0), args(1))),
+    "endswith" -> (args => EndsWith(args(0), args(1))),
+
+    // date/time (DateTimeTransforms.h)
+    "toyear" -> (args => Year(args.head)),
+    "tomonth" -> (args => Month(args.head)),
+    "todayofmonth" -> (args => DayOfMonth(args.head)),
+    "todayofweek" -> (args => Add(WeekDay(args.head), Literal(1))),
+    "tohour" -> (args => Hour(args.head)),
+    "tominute" -> (args => Minute(args.head)),
+    "tosecond" -> (args => Second(args.head)),
+    "toquarter" -> (args => Quarter(args.head)),
+    "tostartofday" -> (args => TruncTimestamp(Literal("day"), args.head)),
+    "tostartofmonth" -> (args => TruncTimestamp(Literal("month"), args.head)),
+    "tostartofquarter" -> (args => TruncTimestamp(Literal("quarter"), args.head)),
+    "tostartofyear" -> (args => TruncTimestamp(Literal("year"), args.head)),
+    "tostartofhour" -> (args => TruncTimestamp(Literal("hour"), args.head)),
+    "tostartofminute" -> (args => TruncTimestamp(Literal("minute"), args.head)),
+    "toyyyymm" -> (args => Cast(DateFormatClass(args.head, Literal("yyyyMM")), IntegerType)),
+    "toyyyymmdd" -> (args => Cast(DateFormatClass(args.head, Literal("yyyyMMdd")), IntegerType)),
+    "adddays" -> (args => TimestampAdd("DAY", Cast(args(1), LongType), args(0))),
+    "addhours" -> (args => TimestampAdd("HOUR", Cast(args(1), LongType), args(0))),
+    "addminutes" -> (args => TimestampAdd("MINUTE", Cast(args(1), LongType), args(0))),
+
+    // hashing/encoding (FunctionsHashing.h — names only, values are ours)
+    "cityhash64" -> (args => XxHash64(args, 42L)),
+    "siphash64" -> (args => XxHash64(args, 42L)),
+    "halfmd5" -> (args => XxHash64(args, 42L)),
+    "hex" -> (args => Hex(args.head)),
+    "unhex" -> (args => Unhex(args.head)),
+    "base64encode" -> (args => Base64(Cast(args.head, BinaryType))),
+    "base64decode" -> (args => Cast(UnBase64(args.head), StringType)),
+
+    // math
+    "intexp2" -> (args => Cast(Pow(Literal(2.0), Cast(args.head, DoubleType)), LongType)),
+    "intexp10" -> (args => Cast(Pow(Literal(10.0), Cast(args.head, DoubleType)), LongType)),
+    "cbrt" -> (args => Cbrt(args.head)),
+    "roundtoexp2" -> (args => Cast(Pow(Literal(2.0),
+      Floor(Log2(Cast(args.head, DoubleType)))), LongType)),
+
+    // arrays (src/Functions/array)
+    "has" -> (args => ArrayContains(args(0), args(1))),
+    "indexof" -> (args => ArrayPosition(args(0), args(1))),
+    "arrayconcat" -> (args => Concat(args)),
+    "arrayslice" -> (args => Slice(args(0), args(1), args(2))),
+    "arraydistinct" -> (args => ArrayDistinct(args.head)),
+    "arrayflatten" -> (args => Flatten(args.head)),
+    "arrayreverse" -> (args => Reverse(args.head)),
+    "arrayintersect" -> (args => ArrayIntersect(args(0), args(1))),
+    "emptyarraytosingle" -> (args => If(EqualTo(Size(args.head), Literal(0)),
+      CreateArray(Seq(Literal(0))), args.head)),
+    "range" -> (args =>
+      if (args.length == 1) Sequence(Literal(0L), Subtract(Cast(args.head, LongType), Literal(1L)), None)
+      else Sequence(Cast(args(0), LongType), Subtract(Cast(args(1), LongType), Literal(1L)), None)),
+
+    // aggregates (registerAggregateFunctions.cpp)
+    "uniq" -> (args => HyperLogLogPlusPlus(args.head)),
+    "uniqhll12" -> (args => HyperLogLogPlusPlus(args.head)),
+    "uniqcombined" -> (args => HyperLogLogPlusPlus(args.head)),
+    "uniqexact" -> (args => Count(args).toAggregateExpression(isDistinct = true)),
+    "any" -> (args => First(args.head, ignoreNulls = true)),
+    "anylast" -> (args => Last(args.head, ignoreNulls = true)),
+    "argmin" -> (args => MinBy(args(0), args(1))),
+    "argmax" -> (args => MaxBy(args(0), args(1))),
+    "median" -> (args => new Percentile(args.head, Literal(0.5))),
+    "quantile" -> (args =>
+      if (args.length == 1) new Percentile(args.head, Literal(0.5))
+      else new Percentile(args(0), args(1))),
+    "quantileexact" -> (args =>
+      if (args.length == 1) new Percentile(args.head, Literal(0.5))
+      else new Percentile(args(0), args(1))),
+    "quantiletdigest" -> (args =>
+      if (args.length == 1) new ApproximatePercentile(args.head, Literal(0.5))
+      else new ApproximatePercentile(args(0), args(1))),
+    "stddevpop" -> (args => StddevPop(args.head)),
+    "stddevsamp" -> (args => StddevSamp(args.head)),
+    "varpop" -> (args => VariancePop(args.head)),
+    "varsamp" -> (args => VarianceSamp(args.head)),
+    "covarpop" -> (args => CovPopulation(args(0), args(1))),
+    "covarsamp" -> (args => CovSample(args(0), args(1))),
+    "grouparray" -> (args => CollectList(args.head)),
+    "groupuniqarray" -> (args => CollectSet(args.head)),
+    "countif" -> (args => Count(Seq(If(args.head, Literal(1), Literal.create(null, IntegerType))))),
+    // CH count() is zero-arg; shadowing the built-in must keep count(x) working
+    "count" -> (args => if (args.isEmpty) Count(Seq(Literal(1))) else Count(args))
+  )
+
+  /** Install every alias into the session's function registry. */
+  def install(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    builders.foreach { case (name, builder) =>
+      registry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import graft.sql.{ChFunctionRegistry, ClickHouseSql}
+
+class DialectSpec extends SparkFunSuite {
+
+  test("rewriter: PREWHERE merges into WHERE, FORMAT stripped") {
+    val r = ClickHouseSql.rewrite(
+      "SELECT a FROM t PREWHERE x > 1 WHERE y < 2 GROUP BY a FORMAT JSON")
+    assert(r.contains("WHERE (x > 1) AND  y < 2"))
+    assert(!r.toUpperCase.contains("PREWHERE"))
+    assert(!r.toUpperCase.contains("FORMAT"))
+  }
+
+  test("rewriter: plain SQL passes through untouched") {
+    val q = "SELECT a, count(*) FROM t WHERE x = 1 GROUP BY a ORDER BY a"
+    assert(ClickHouseSql.rewrite(q) == q)
+  }
+
+  test("registry does not corrupt ANSI built-ins (EXTRACT/POSITION/COUNT DISTINCT)") {
+    ChFunctionRegistry.install(spark)
+    Tables.register(spark, sf)
+    val r = spark.sql("""
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS y,
+             CAST(POSITION('-' IN o_orderpriority) AS INT) AS p,
+             COUNT(DISTINCT o_orderstatus) AS d,
+             COUNT(*) AS n, COUNT() AS n0
+      FROM orders GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 1""").collect().head
+    assert(r.getInt(0) >= 1995 && r.getInt(1) == 2)
+    assert(r.getLong(2) >= 1 && r.getLong(3) == r.getLong(4))
+  }
+
+  test("CH names resolve through the registry") {
+    ChFunctionRegistry.install(spark)
+    Tables.register(spark, sf)
+    val r = spark.sql("""
+      SELECT toInt64('42') AS a, plus(1, 2) AS b,
+             multiIf(1 = 2, 'x', 1 = 1, 'y', 'z') AS c,
+             toYYYYMM(toDateTime('1997-03-05 00:00:00')) AS d,
+             uniqExact(n_nationkey) AS u
+      FROM nation""").collect().head
+    assert(r.getLong(0) == 42L && r.getInt(1) == 3)
+    assert(r.getString(2) == "y" && r.getInt(3) == 199703)
+    assert(r.getLong(4) == 25L)
+  }
+}
