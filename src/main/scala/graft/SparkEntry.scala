@@ -21,7 +21,8 @@ object SparkEntry {
     qp.JoinExtras,
     qp.ScalarFunctions,
     qp.LlmPipeline,
-    qp.DialectQueries
+    qp.DialectQueries,
+    qp.TimeWindows
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,57 @@
+package graft
+
+import graft.streaming.WindowView
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class StreamingSpec extends SparkFunSuite {
+
+  test("streaming tumble agg over the file-replayed events equals the batch run") {
+    val stream = WindowView.eventsStream(spark, sf)
+    assert(stream.isStreaming)
+    val q = WindowView.liveView(
+      WindowView.tumbleAgg(stream, "1 hour"), "tumble_live")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT * FROM tumble_live ORDER BY w_start, event_type").collect()
+      val batch = WindowView.tumbleAgg(Tables.load(spark, sf, "events"), "1 hour")
+        .orderBy("w_start", "event_type").collect()
+      assert(streamed.length == batch.length)
+      assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq)
+    } finally q.stop()
+  }
+
+  test("bounded watermark append mode emits only closed windows") {
+    val stream = WindowView.withBoundedWatermark(
+      WindowView.eventsStream(spark, sf), "30 minutes")
+    val agg = WindowView.tumbleAgg(stream, "1 hour")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("wm_append").start()
+    try {
+      q.processAllAvailable()
+      val emitted = spark.sql("SELECT COUNT(*) FROM wm_append").collect().head.getLong(0)
+      val total = WindowView.tumbleAgg(Tables.load(spark, sf, "events"), "1 hour").count()
+      // every window whose end precedes (max event time - 30min) must have
+      // fired; only the trailing open windows may be withheld
+      assert(emitted > 0 && emitted <= total)
+      assert(total - emitted <= 10, s"too many unfired windows: ${total - emitted}")
+    } finally q.stop()
+  }
+
+  test("materialized-view chain appends transformed micro-batches to the target") {
+    val target = Files.createTempDirectory("graft_mv_t").toString
+    val ckpt = Files.createTempDirectory("graft_mv_c").toString
+    val q = WindowView.materializedView(
+      WindowView.eventsStream(spark, sf),
+      batch => batch.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("value")),
+      target, ckpt)
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+    val mv = spark.read.parquet(target)
+    val expected = Tables.load(spark, sf, "events")
+      .filter(col("event_type") === "purchase").count()
+    assert(mv.count() == expected)
+    assert(mv.columns.toSeq == Seq("event_id", "user_id", "value"))
+  }
+}
