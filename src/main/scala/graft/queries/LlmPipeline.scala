@@ -68,15 +68,30 @@ object LlmPipeline extends QueryPack {
     // are engine-internal (xxhash64) → rows-only driver check; soundness +
     // identical-set recall are asserted in LlmPipelineSpec.
     Q.unoracled("q_dedup_minhash_lsh") { (s, dir) =>
+      // Shingle (word 3-gram) sets, not word sets: on a shared-vocab corpus
+      // word-set jaccard saturates (3M "near-dup" pairs at sf0.1) while
+      // shingles stay discriminative (single digits) — see TextFunctions.
+      // repartition: the corpus ships as ONE small parquet file = one input
+      // split; the CPU-bound shingle/minhash stage must spread across cores
+      // (at 100 TB the input splits provide this for free).
       val docs = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), wordSet(col("text")).as("ws"))
-        .withColumn("sig", minhashSignature(col("ws"), 32))
-      val banded = docs.select(col("doc_id"), col("ws"),
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), wordShingles(col("text"), 3).as("ws"))
+      val sigs = docs.withColumn("sig", minhashSignature(col("ws"), 32))
+      // Band join carries ONLY ids — candidate pairs dedup on the narrow
+      // (id_a, id_b) key before the word sets are joined back for exact
+      // verification. On a skewed corpus (shared vocab → hot buckets) this
+      // keeps the shuffle payload to 16 bytes/row instead of two token
+      // arrays per row.
+      val banded = sigs.select(col("doc_id"),
         explode(lshBandKeys(col("sig"), 8, 4)).as("bk"))
-      val a = banded.select(col("doc_id").as("id_a"), col("ws").as("wa"), col("bk"))
-      val b = banded.select(col("doc_id").as("id_b"), col("ws").as("wb"), col("bk"))
-      a.join(b, Seq("bk")).filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b", "wa", "wb").distinct()
+      val cand = banded.select(col("doc_id").as("id_a"), col("bk"))
+        .join(banded.select(col("doc_id").as("id_b"), col("bk")), Seq("bk"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      cand
+        .join(docs.select(col("doc_id").as("id_a"), col("ws").as("wa")), Seq("id_a"))
+        .join(docs.select(col("doc_id").as("id_b"), col("ws").as("wb")), Seq("id_b"))
         .withColumn("jac", jaccard(col("wa"), col("wb")))
         .filter(col("jac") >= 0.8)
         .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
@@ -87,8 +102,9 @@ object LlmPipeline extends QueryPack {
     // 64-bit simhash; candidates share one of four 16-bit bands; survivors
     // have hamming distance <= 12. Rows-only (xxhash64-based).
     Q.unoracled("q_dedup_simhash") { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), simhash64(wordSet(col("text"))).as("sh"))
+      val docs = simhashTable(
+        Tables.load(s, dir, "documents").repartition(col("doc_id")),
+        "doc_id", col("text"), 3)
       val bandStructs = (0 until 4).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("sh"), b * 16).bitwiseAND(lit(65535L)).as("key")))

@@ -12,10 +12,10 @@ class LlmPipelineSpec extends SparkFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     // soundness: every reported pair passed the exact-jaccard filter
     assert(lsh.forall(_._3 >= 0.8), "LSH emitted a pair below threshold")
-    // recall floor: identical word sets have identical signatures, so every
-    // exact-duplicate pair (jaccard == 1.0) MUST be found
+    // recall floor: identical shingle sets have identical signatures, so
+    // every exact-duplicate pair (jaccard == 1.0) MUST be found
     val docs = Tables.load(spark, sf, "documents")
-      .select(col("doc_id"), wordSet(col("text")).as("ws"))
+      .select(col("doc_id"), wordShingles(col("text"), 3).as("ws"))
     val a = docs.select(col("doc_id").as("ia"), col("ws").as("wa"))
     val b = docs.select(col("doc_id").as("ib"), col("ws").as("wb"))
     val exactDups = a.join(b, col("ia") < col("ib"))
