@@ -22,7 +22,8 @@ object SparkEntry {
     qp.ScalarFunctions,
     qp.LlmPipeline,
     qp.DialectQueries,
-    qp.TimeWindows
+    qp.TimeWindows,
+    qp.Extras
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

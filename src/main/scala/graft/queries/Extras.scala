@@ -1,0 +1,182 @@
+package graft.queries
+
+import graft.{Q, QueryPack, Tables}
+import org.apache.spark.sql.functions._
+
+/** Remaining SURVEY §2 inventory lines: table functions, recursive CTE,
+  * statistical tests, combinator variants, interpolation, collation,
+  * bitmap-cardinality, array math.
+  */
+object Extras extends QueryPack {
+
+  override def queries: Seq[Q] = Seq(
+
+    // Table functions numbers()/zeros()/generate_series()/values()
+    // (src/TableFunctions/TableFunctionNumbers.cpp, ...GenerateSeries.cpp,
+    // ...Values.cpp) → spark.range / Seq.toDF.
+    Q.df("q_tf_numbers", """
+      SELECT n, n * n AS sq FROM (SELECT UNNEST(GENERATE_SERIES(0, 99)) AS n)
+      ORDER BY n""") { (s, _) =>
+      s.range(0, 100).toDF("n")
+        .select(col("n"), (col("n") * col("n")).as("sq"))
+        .orderBy("n")
+    },
+
+    Q.df("q_tf_generate_series", """
+      SELECT UNNEST(GENERATE_SERIES(10, 50, 5)) AS v ORDER BY v""") { (s, _) =>
+      s.range(10, 51, 5).toDF("v").orderBy("v")
+    },
+
+    Q.df("q_tf_values", """
+      SELECT * FROM (VALUES ('a', 1), ('b', 2), ('c', 3)) AS t(tag, v)
+      ORDER BY tag""") { (s, _) =>
+      import s.implicits._
+      Seq(("a", 1), ("b", 2), ("c", 3)).toDF("tag", "v").orderBy("tag")
+    },
+
+    // Recursive CTE (src/Processors/QueryPlan/ReadFromRecursiveCTEStep.h):
+    // Spark has no recursive CTE — rendered as a driver-side fixpoint loop
+    // of DataFrame unions (each iteration is still a distributed job).
+    // Computes 1..10 factorial-ish chain: path lengths in a key graph.
+    Q.df("q_recursive_cte", """
+      WITH RECURSIVE r(n, fact) AS (
+        SELECT 1, CAST(1 AS BIGINT)
+        UNION ALL
+        SELECT n + 1, fact * (n + 1) FROM r WHERE n < 10)
+      SELECT n, fact FROM r ORDER BY n""") { (s, _) =>
+      import s.implicits._
+      var acc = Seq((1, 1L)).toDF("n", "fact")
+      var frontier = acc
+      var done = false
+      while (!done) {
+        val next = frontier.filter(col("n") < 10)
+          .select((col("n") + 1).as("n"), (col("fact") * (col("n") + 1)).as("fact"))
+        if (next.isEmpty) done = true
+        else { acc = acc.unionByName(next); frontier = next }
+      }
+      acc.orderBy("n")
+    },
+
+    // Welch t-test statistic (AggregateFunctionStudentTTest/WelchTTest):
+    // composed from moment aggregates — identical arithmetic in the oracle.
+    Q.shared("q_agg_welch_ttest", """
+      WITH g AS (
+        SELECT CASE WHEN l_returnflag = 'R' THEN 'a' ELSE 'b' END AS grp,
+               l_extendedprice AS x
+        FROM lineitem),
+      m AS (SELECT grp, COUNT(*) AS n, AVG(x) AS mean, VAR_SAMP(x) AS v
+            FROM g GROUP BY grp)
+      SELECT ROUND((a.mean - b.mean)
+               / SQRT(a.v / a.n + b.v / b.n), 4) AS t_stat,
+             a.n AS n_a, b.n AS n_b
+      FROM (SELECT * FROM m WHERE grp = 'a') a
+      CROSS JOIN (SELECT * FROM m WHERE grp = 'b') b"""),
+
+    // -Array combinator (Combinators/AggregateFunctionArray.cpp):
+    // aggregate over array elements — sumArray/avgArray/maxArray over the
+    // embedding vectors per label.
+    Q.df("q_agg_array_combinator", """
+      SELECT label,
+        ROUND(SUM(e) , 4) AS sum_array,
+        ROUND(MAX(e), 6) AS max_array,
+        COUNT(*) AS n_elems
+      FROM (SELECT label, UNNEST(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS e
+            FROM embeddings)
+      GROUP BY label
+      ORDER BY label""") { (s, dir) =>
+      Tables.load(s, dir, "embeddings")
+        .select(col("label"),
+          explode(transform(col("embedding"), x => x.cast("double"))).as("e"))
+        .groupBy("label")
+        .agg(round(sum(col("e")), 4).as("sum_array"),
+          round(max(col("e")), 6).as("max_array"),
+          count(lit(1)).as("n_elems"))
+        .orderBy("label")
+    },
+
+    // -State/-Merge semantics via re-aggregable partials (the
+    // AggregatingMergeTree read path, src/Processors/Merges/Algorithms/
+    // AggregatingSortedAlgorithm): store per-(flag,status) partial
+    // (sum, count) states, then MERGE them to per-flag finals — exactly
+    // what -State columns + -Merge reads do, with the state as columns.
+    Q.shared("q_agg_state_merge", """
+      WITH states AS (
+        SELECT l_returnflag, l_linestatus,
+          SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_state,
+          COUNT(*) AS count_state
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus)
+      SELECT l_returnflag,
+        CAST(SUM(sum_state) AS DOUBLE) AS merged_sum,
+        CAST(SUM(count_state) AS BIGINT) AS merged_count,
+        CAST(SUM(sum_state) AS DOUBLE) / SUM(count_state) AS merged_avg
+      FROM states
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""),
+
+    // WITH FILL + INTERPOLATE carry-forward (FillingTransform +
+    // InterpolateDescription): missing months take the last seen value.
+    Q.df("q_fill_interpolate", """
+      WITH monthly AS (
+        SELECT DATE_TRUNC('month', o_orderdate) AS m,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders WHERE o_custkey <= 30 GROUP BY 1),
+      axis AS (SELECT UNNEST(GENERATE_SERIES(TIMESTAMP '1995-01-01',
+                 TIMESTAMP '2001-08-01', INTERVAL 1 MONTH)) AS m)
+      SELECT axis.m,
+        COALESCE(revenue,
+          LAST_VALUE(revenue IGNORE NULLS) OVER (ORDER BY axis.m
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS revenue
+      FROM axis LEFT JOIN monthly USING (m)
+      ORDER BY axis.m""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val monthly = Tables.load(s, dir, "orders")
+        .filter(col("o_custkey") <= 30)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+      val filled = graft.operators.SortLimitOps
+        .withFillMonths(monthly, "m", "1995-01-01", "2001-08-01")
+      val w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+      filled.select(col("m"),
+        coalesce(col("revenue"), last(col("revenue"), ignoreNulls = true).over(w),
+          lit(0.0)).as("revenue"))
+        .orderBy("m")
+    },
+
+    // Collation-style case-insensitive ordering (src/Columns/Collator.cpp)
+    // rendered as an explicit collation key.
+    Q.shared("q_collation_sort", """
+      SELECT p_partkey, p_name
+      FROM part
+      ORDER BY LOWER(p_name), p_partkey
+      LIMIT 300"""),
+
+    // groupBitmap cardinality (AggregateFunctionGroupBitmap.cpp): the
+    // bitmap's observable surface is set cardinality + membership algebra —
+    // AND/OR cardinalities across two event-type sets per user.
+    Q.shared("q_bitmap_cardinality", """
+      SELECT
+        COUNT(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS card_view,
+        COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS card_purchase,
+        COUNT(DISTINCT CASE WHEN event_type IN ('view', 'purchase') THEN user_id END) AS card_or,
+        CAST(COUNT(DISTINCT CASE WHEN event_type = 'view' THEN user_id END)
+           + COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END)
+           - COUNT(DISTINCT CASE WHEN event_type IN ('view', 'purchase') THEN user_id END) AS BIGINT) AS card_and
+      FROM events"""),
+
+    // arrayCumSum / arrayDifference (src/Functions/array/arrayCumSum.cpp,
+    // arrayDifference.cpp) — HOF compositions over a small array.
+    Q.sparkSql("q_array_math", """
+      SELECT
+        TRANSFORM(SEQUENCE(1, 6), (x, i) ->
+          AGGREGATE(SLICE(SEQUENCE(1, 6), 1, i + 1), 0, (a, y) -> a + y)) AS cumsum,
+        TRANSFORM(SEQUENCE(1, 6), (x, i) ->
+          CASE WHEN i = 0 THEN 0 ELSE x - ELEMENT_AT(SEQUENCE(1, 6), i) END) AS diff,
+        AGGREGATE(SEQUENCE(1, 6), 0, (a, x) -> a + x * x) AS sum_squares""",
+      """
+      SELECT
+        [1, 3, 6, 10, 15, 21] AS cumsum,
+        [0, 1, 1, 1, 1, 1] AS diff,
+        CAST(91 AS INT) AS sum_squares""")
+  )
+}
