@@ -23,7 +23,8 @@ object SparkEntry {
     qp.LlmPipeline,
     qp.DialectQueries,
     qp.TimeWindows,
-    qp.Extras
+    qp.Extras,
+    qp.Extras2
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

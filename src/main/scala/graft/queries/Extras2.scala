@@ -1,0 +1,142 @@
+package graft.queries
+
+import graft.{Q, QueryPack, Tables}
+import org.apache.spark.sql.functions._
+
+/** Second gap-closing pack: -ForEach/-Resample combinators, min/maxMap,
+  * rank statistics, geo distance, IP codec, format strings.
+  */
+object Extras2 extends QueryPack {
+
+  override def queries: Seq[Q] = Seq(
+
+    // -ForEach combinator (Combinators/AggregateFunctionForEach.cpp):
+    // elementwise aggregate across array columns — the 64-dim mean vector
+    // of all embeddings (a centroid, as used by the IVF ANN operator).
+    Q.df("q_agg_foreach", """
+      SELECT LIST_TRANSFORM(
+               LIST({'p': i, 'v': v} ORDER BY i), s -> s.v) AS avg_foreach
+      FROM (SELECT i, ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 4) AS v
+            FROM embeddings, GENERATE_SERIES(1, 64) t(i)
+            GROUP BY i)""") { (s, dir) =>
+      Tables.load(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("p", "v")))
+        .groupBy("p").agg(round(avg(col("v").cast("double")), 4).as("v"))
+        .agg(array_sort(collect_list(struct(col("p"), col("v")))).as("s"))
+        .select(transform(col("s"), s => s.getField("v")).as("avg_foreach"))
+    },
+
+    // minMap / maxMap (AggregateFunctionSumMap.cpp family): per-key min and
+    // max emitted as key-sorted entries.
+    Q.df("q_agg_minmax_map", """
+      SELECT user_id,
+        LIST({'_1': event_type, '_2': mn} ORDER BY event_type) AS min_map,
+        LIST({'_1': event_type, '_2': mx} ORDER BY event_type) AS max_map
+      FROM (SELECT user_id, event_type,
+              ROUND(MIN(value), 6) AS mn, ROUND(MAX(value), 6) AS mx
+            FROM events GROUP BY user_id, event_type)
+      GROUP BY user_id
+      ORDER BY user_id""") { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(round(min("value"), 6).as("mn"), round(max("value"), 6).as("mx"))
+        .groupBy("user_id")
+        .agg(
+          array_sort(collect_list(struct(col("event_type").as("_1"), col("mn").as("_2"))))
+            .as("min_map"),
+          array_sort(collect_list(struct(col("event_type").as("_1"), col("mx").as("_2"))))
+            .as("max_map"))
+        .orderBy("user_id")
+    },
+
+    // -Resample combinator (Combinators/AggregateFunctionResample.cpp):
+    // one aggregate evaluated per bucket of a resample key, emitted as an
+    // array — order counts over 6 totalprice bands.
+    Q.sparkSql("q_agg_resample", """
+      SELECT ARRAY(
+        COUNT(CASE WHEN o_totalprice >= 0      AND o_totalprice < 100000 THEN 1 END),
+        COUNT(CASE WHEN o_totalprice >= 100000 AND o_totalprice < 200000 THEN 1 END),
+        COUNT(CASE WHEN o_totalprice >= 200000 AND o_totalprice < 300000 THEN 1 END),
+        COUNT(CASE WHEN o_totalprice >= 300000 AND o_totalprice < 400000 THEN 1 END),
+        COUNT(CASE WHEN o_totalprice >= 400000 AND o_totalprice < 500000 THEN 1 END),
+        COUNT(CASE WHEN o_totalprice >= 500000 THEN 1 END)) AS count_resample
+      FROM orders""",
+      """
+      SELECT [
+        COUNT(CASE WHEN o_totalprice >= 0      AND o_totalprice < 100000 THEN 1 END),
+        COUNT(CASE WHEN o_totalprice >= 100000 AND o_totalprice < 200000 THEN 1 END),
+        COUNT(CASE WHEN o_totalprice >= 200000 AND o_totalprice < 300000 THEN 1 END),
+        COUNT(CASE WHEN o_totalprice >= 300000 AND o_totalprice < 400000 THEN 1 END),
+        COUNT(CASE WHEN o_totalprice >= 400000 AND o_totalprice < 500000 THEN 1 END),
+        COUNT(CASE WHEN o_totalprice >= 500000 THEN 1 END)] AS count_resample
+      FROM orders"""),
+
+    // Mann-Whitney U statistic (AggregateFunctionMannWhitney.cpp):
+    // midrank-based rank sum, composed from window functions.
+    Q.shared("q_agg_mann_whitney", """
+      WITH t AS (SELECT l_returnflag AS g, l_quantity AS x
+                 FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+      r AS (SELECT g, AVG(CAST(rn AS DOUBLE)) OVER (PARTITION BY x) AS mid
+            FROM (SELECT g, x, ROW_NUMBER() OVER (ORDER BY x, g) AS rn FROM t) q)
+      SELECT
+        ROUND(SUM(CASE WHEN g = 'R' THEN mid ELSE 0.0 END)
+          - (SELECT COUNT(*) FROM t WHERE g = 'R')
+            * ((SELECT COUNT(*) FROM t WHERE g = 'R') + 1) / 2.0, 2) AS u_stat,
+        (SELECT COUNT(*) FROM t WHERE g = 'R') AS n_r,
+        (SELECT COUNT(*) FROM t WHERE g = 'N') AS n_n
+      FROM r"""),
+
+    // greatCircleDistance (src/Functions/greatCircleDistance.cpp):
+    // haversine over deterministic synthetic coordinates.
+    Q.shared("q_fn_geo_distance", """
+      SELECT event_id,
+        ROUND(2.0 * 6371.0088 * ASIN(SQRT(
+          POW(SIN(RADIANS(lat2 - lat1) / 2.0), 2)
+          + COS(RADIANS(lat1)) * COS(RADIANS(lat2))
+            * POW(SIN(RADIANS(lon2 - lon1) / 2.0), 2))), 3) AS km
+      FROM (SELECT event_id,
+              CAST(user_id % 90 AS DOUBLE) AS lat1,
+              CAST(event_id % 180 - 90 AS DOUBLE) AS lon1,
+              CAST((user_id * 7) % 90 AS DOUBLE) AS lat2,
+              CAST((event_id * 3) % 180 - 90 AS DOUBLE) AS lon2
+            FROM events) c
+      ORDER BY event_id
+      LIMIT 2000"""),
+
+    // IPv4NumToString (src/Functions/FunctionsCodingIP.cpp).
+    Q.sparkSql("q_fn_ipv4", """
+      SELECT event_id,
+        CONCAT(CAST(SHIFTRIGHT(ip, 24) & 255 AS STRING), '.',
+               CAST(SHIFTRIGHT(ip, 16) & 255 AS STRING), '.',
+               CAST(SHIFTRIGHT(ip, 8) & 255 AS STRING), '.',
+               CAST(ip & 255 AS STRING)) AS ip_str
+      FROM (SELECT event_id, (event_id * 16909060 + user_id) % 4294967296 AS ip
+            FROM events) t
+      ORDER BY event_id
+      LIMIT 2000""",
+      """
+      SELECT event_id,
+        CONCAT(CAST((ip >> 24) & 255 AS STRING), '.',
+               CAST((ip >> 16) & 255 AS STRING), '.',
+               CAST((ip >> 8) & 255 AS STRING), '.',
+               CAST(ip & 255 AS STRING)) AS ip_str
+      FROM (SELECT event_id, (event_id * 16909060 + user_id) % 4294967296 AS ip
+            FROM events) t
+      ORDER BY event_id
+      LIMIT 2000"""),
+
+    // format (src/Functions/format.cpp) → format_string / printf.
+    Q.sparkSql("q_fn_format", """
+      SELECT p_partkey,
+        FORMAT_STRING('%s|%05d|%.2f', p_brand, p_size, p_retailprice) AS line
+      FROM part
+      ORDER BY p_partkey
+      LIMIT 300""",
+      """
+      SELECT p_partkey,
+        PRINTF('%s|%05d|%.2f', p_brand, p_size, p_retailprice) AS line
+      FROM part
+      ORDER BY p_partkey
+      LIMIT 300""")
+  )
+}
