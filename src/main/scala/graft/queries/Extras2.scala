@@ -86,6 +86,45 @@ object Extras2 extends QueryPack {
         (SELECT COUNT(*) FROM t WHERE g = 'N') AS n_n
       FROM r"""),
 
+    // sequenceCount('(?1)(?2)') (AggregateFunctionSequenceMatch.cpp
+    // sequenceCount): non-overlapping signup→purchase chains per user —
+    // a purchase closes a chain iff a signup occurred after the previous
+    // purchase; greedy left-to-right, expressed with window functions.
+    Q.sparkSql("q_agg_sequence_count", """
+      WITH e AS (SELECT user_id, UNIX_MICROS(ts) AS t, event_type FROM events),
+      m AS (SELECT user_id, t, event_type,
+              MAX(CASE WHEN event_type = 'signup' THEN t END)
+                OVER (PARTITION BY user_id ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_signup,
+              MAX(CASE WHEN event_type = 'purchase' THEN t END)
+                OVER (PARTITION BY user_id ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_purchase
+            FROM e)
+      SELECT user_id, COUNT(*) AS chains
+      FROM m
+      WHERE event_type = 'purchase'
+        AND last_signup IS NOT NULL
+        AND last_signup > COALESCE(prev_purchase, -1)
+      GROUP BY user_id
+      ORDER BY user_id""",
+      """
+      WITH e AS (SELECT user_id, EPOCH_US(ts) AS t, event_type FROM events),
+      m AS (SELECT user_id, t, event_type,
+              MAX(CASE WHEN event_type = 'signup' THEN t END)
+                OVER (PARTITION BY user_id ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_signup,
+              MAX(CASE WHEN event_type = 'purchase' THEN t END)
+                OVER (PARTITION BY user_id ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_purchase
+            FROM e)
+      SELECT user_id, COUNT(*) AS chains
+      FROM m
+      WHERE event_type = 'purchase'
+        AND last_signup IS NOT NULL
+        AND last_signup > COALESCE(prev_purchase, -1)
+      GROUP BY user_id
+      ORDER BY user_id"""),
+
     // greatCircleDistance (src/Functions/greatCircleDistance.cpp):
     // haversine over deterministic synthetic coordinates.
     Q.shared("q_fn_geo_distance", """
