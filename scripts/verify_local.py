@@ -41,10 +41,13 @@ def norm(v):
 
 
 def canon(df):
+    # Mimic the DRIVER's harness exactly: sort_values runs on the RAW
+    # columns first (so a top-level ndarray/struct column raises
+    # "unhashable type" here, same as in CORRECTNESS_r*), then normalize.
     df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     for c in df.columns:
         df[c] = [norm(v) for v in df[c]]
-    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
 

@@ -50,7 +50,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout for the driver AND a file: sbt interleaves [info]/[error]
+    // prefixes into stdout, which made BENCH_r01's "parsed" null — the
+    // file copy is always a clean single JSON line.
+    println(line)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/bench.json"), line + "\n")
     spark.stop()
   }
 }

@@ -24,7 +24,11 @@ object SparkEntry {
     qp.DialectQueries,
     qp.TimeWindows,
     qp.Extras,
-    qp.Extras2
+    qp.Extras2,
+    qp.Extras3,
+    qp.Extras4,
+    qp.StatAggregates,
+    qp.Formats
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -71,6 +71,22 @@ object TextFunctions {
           slice(signature, b * rowsPerBand + 1, lit(rowsPerBand))
             .cast("array<string>"))).as("key")))
 
+  /** DataFrame-level minhash: explode the token array once, string-hash
+    * each token once, then take k seeded-rehash MIN aggregates per doc —
+    * all codegen'd expressions (same signature values as
+    * `minhashSignature`, which folds k interpreted HOF lambdas per row and
+    * is ~10x slower; this is the form to use at scale — the same
+    * explode+groupBy move as `simhashTable`). Returns (id, sig). */
+  def minhashTable(df: org.apache.spark.sql.DataFrame, id: String,
+      tokenArr: Column, k: Int): org.apache.spark.sql.DataFrame = {
+    val ex = df.select(col(id), explode(tokenArr).as("t"))
+      .select(col(id), xxhash64(col("t")).as("h"))
+    val mins = (0 until k).map(i =>
+      min(xxhash64(lit(i.toLong), col("h"))).as(s"__m$i"))
+    ex.groupBy(col(id)).agg(mins.head, mins.tail: _*)
+      .select(col(id), array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
+  }
+
   /** SimHash-64 over a token array: bit j of the result is set iff the sum
     * of ±1 votes (sign of bit j of each token's hash) is positive.
     * Reference analog: near-duplicate fingerprinting over tokens. */

@@ -25,21 +25,35 @@ object CustomAggregates {
   /** topK(k): exact most-frequent-k values with deterministic tie-break
     * (count desc, then value asc). Reference: SpaceSaving-based
     * AggregateFunctionTopK (src/AggregateFunctions/AggregateFunctionTopK.cpp:20).
-    * This variant keeps the full frequency map → exact results (oracle-able);
-    * memory is O(distinct values) per group, fine for the categorical columns
-    * it targets. For unbounded-cardinality columns at 100 TB, cap the map via
-    * the SpaceSaving pruning rule (drop min-count entries at 8k entries). */
+    * Uncapped (cap=0) this keeps the full frequency map → exact results
+    * (oracle-able); memory is O(distinct values) per group, fine for the
+    * categorical columns it targets. With a cap, overflow follows the TRUE
+    * SpaceSaving rule: the min-count entry is evicted and the newcomer is
+    * credited with minCount + 1 (its count error is bounded by minCount) —
+    * NOT plain truncation, which has no frequency guarantee. */
   final class TopKExact(k: Int, spaceSavingCap: Int = 0)
       extends Aggregator[String, Map[String, Long], Seq[String]] {
     override def zero: Map[String, Long] = Map.empty
     override def reduce(b: Map[String, Long], a: String): Map[String, Long] =
-      if (a == null) b else prune(b.updated(a, b.getOrElse(a, 0L) + 1L))
-    override def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] =
-      prune(y.foldLeft(x) { case (m, (v, c)) => m.updated(v, m.getOrElse(v, 0L) + c) })
-    private def prune(m: Map[String, Long]): Map[String, Long] =
+      if (a == null) b
+      else b.get(a) match {
+        case Some(c) => b.updated(a, c + 1L)
+        case None if spaceSavingCap > 0 && b.size >= spaceSavingCap =>
+          // SpaceSaving eviction: replace the min-count entry (ties broken
+          // by value for determinism), newcomer absorbs its count.
+          val (minV, minC) = b.minBy { case (v, c) => (c, v) }
+          (b - minV).updated(a, minC + 1L)
+        case None => b.updated(a, 1L)
+      }
+    override def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] = {
+      // exact merge of the two summaries, then SpaceSaving-style shrink:
+      // keep the top `cap` by (count desc, value asc). Counts of survivors
+      // are preserved (standard parallel-SpaceSaving merge).
+      val m = y.foldLeft(x) { case (acc, (v, c)) => acc.updated(v, acc.getOrElse(v, 0L) + c) }
       if (spaceSavingCap > 0 && m.size > spaceSavingCap)
         m.toSeq.sortBy { case (v, c) => (-c, v) }.take(spaceSavingCap).toMap
       else m
+    }
     override def finish(m: Map[String, Long]): Seq[String] =
       m.toSeq.sortBy { case (v, c) => (-c, v) }.take(k).map(_._1)
     override def bufferEncoder: Encoder[Map[String, Long]] = kryo

@@ -38,15 +38,18 @@ object JoinOps {
       rightPayload: Seq[String],
       rightTieBreak: Column): DataFrame = {
     val lCols = left.columns
+    // Keys keep their NATIVE type (string/date/numeric all partition
+    // correctly). The round-1 cast-to-Long silently NULLed non-numeric
+    // keys, collapsing every row into one window partition.
     val l = left
-      .withColumn("__k", col(leftKey).cast(LongType))
+      .withColumn("__k", col(leftKey))
       .withColumn("__t", leftTs)
       .withColumn("__side", lit(1))
       .withColumn("__tie", lit(null).cast(LongType))
     val lTagged = rightPayload.foldLeft(l)((d, c) =>
       d.withColumn(s"__r_$c", lit(null)))
     val r0 = right
-      .withColumn("__k", col(rightKey).cast(LongType))
+      .withColumn("__k", col(rightKey))
       .withColumn("__t", rightTs)
       .withColumn("__side", lit(0))
       .withColumn("__tie", rightTieBreak.cast(LongType))

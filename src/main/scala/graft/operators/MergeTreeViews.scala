@@ -43,4 +43,21 @@ object MergeTreeViews {
         metrics.map { case (n, c) => sum(sign * c).as(n) }: _*)
     agg.filter(col("__net") > 0).drop("__net")
   }
+
+  /** VersionedCollapsingMergeTree FINAL (VersionedCollapsingSortedAlgorithm,
+    * registerStorageMergeTree.cpp:924-942): rows cancel ONLY within the
+    * same (key, version) — a +1 state survives unless a -1 with the SAME
+    * version cancels it; the final row per key is the surviving state with
+    * the highest version. Two shuffles on (key[, version]) — both
+    * partial-aggregated. */
+  def versionedCollapsingFinal(df: DataFrame, keys: Seq[String],
+      version: String, sign: Column): DataFrame = {
+    val net = df.groupBy((keys :+ version).map(col): _*)
+      .agg(sum(sign).as("__net"))
+      .filter(col("__net") > 0)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(version).desc)
+    net.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__net")
+  }
 }

@@ -23,12 +23,20 @@ object SortLimitOps {
 
   /** LIMIT n WITH TIES (reference: LimitTransform with_ties,
     * src/Processors/LimitTransform.h:19): keep every row tied with the n-th
-    * on the sort key. Rendered as rank() <= n. */
+    * on the (ascending) sort key.
+    *
+    * Scale-safe plan: a global rank() window would funnel EVERY row through
+    * one task. Instead the n-th key tuple is found with orderBy().limit(n)
+    * — Spark's TakeOrderedAndProject: per-partition top-n heaps merged on
+    * the driver, n rows total — and rows are kept by a broadcast `key <=
+    * threshold` filter (single-row nested-loop broadcast = a plain filter
+    * scan). Two pruned scans, no global shuffle-to-one. */
   def limitWithTies(df: DataFrame, n: Int, order: Seq[Column]): DataFrame = {
-    val w = Window.orderBy(order: _*)
-    df.withColumn("__rk", rank().over(w))
-      .filter(col("__rk") <= n)
-      .drop("__rk")
+    val keyed = df.withColumn("__k", struct(order: _*))
+    val thr = keyed.select(col("__k")).orderBy(col("__k")).limit(n)
+      .agg(max(col("__k")).as("__t"))
+    keyed.join(broadcast(thr), col("__k") <= col("__t"))
+      .drop("__k", "__t")
   }
 
   /** ORDER BY ... WITH FILL over an integer axis (reference:

@@ -84,19 +84,21 @@ object AggFunctions extends QueryPack {
 
     // Exact quantiles (AggregateFunctionQuantileExact*.cpp) → percentile;
     // DuckDB's continuous quantile uses the same (n-1)p interpolation.
+    // Top-level arrays are serialized to CSV strings (fixed-scale DECIMAL
+    // per element) so the driver's pandas sort/hash sees hashable columns.
     Q.sparkSql("q_agg_quantile_exact", """
       SELECT l_returnflag,
         ROUND(PERCENTILE(l_quantity, 0.5), 4) AS median_qty,
-        TRANSFORM(PERCENTILE(l_extendedprice, ARRAY(0.25, 0.5, 0.75, 0.9)),
-                  x -> ROUND(x, 4)) AS price_quartiles
+        ARRAY_JOIN(TRANSFORM(PERCENTILE(l_extendedprice, ARRAY(0.25, 0.5, 0.75, 0.9)),
+                  x -> CAST(CAST(ROUND(x, 4) AS DECIMAL(18,4)) AS STRING)), ',') AS price_quartiles
       FROM lineitem
       GROUP BY l_returnflag
       ORDER BY l_returnflag""",
       """
       SELECT l_returnflag,
         ROUND(QUANTILE_CONT(l_quantity, 0.5), 4) AS median_qty,
-        LIST_TRANSFORM(QUANTILE_CONT(l_extendedprice, [0.25, 0.5, 0.75, 0.9]),
-                       x -> ROUND(x, 4)) AS price_quartiles
+        ARRAY_TO_STRING(LIST_TRANSFORM(QUANTILE_CONT(l_extendedprice, [0.25, 0.5, 0.75, 0.9]),
+                       x -> CAST(CAST(ROUND(x, 4) AS DECIMAL(18,4)) AS VARCHAR)), ',') AS price_quartiles
       FROM lineitem
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""),
@@ -118,17 +120,18 @@ object AggFunctions extends QueryPack {
     // (AggregateFunctionGroupArray*.cpp, ...GroupConcat.cpp:246).
     Q.sparkSql("q_agg_collect", """
       SELECT o_orderpriority,
-        ARRAY_SORT(COLLECT_SET(o_orderstatus)) AS statuses,
+        CONCAT_WS('|', ARRAY_SORT(COLLECT_SET(o_orderstatus))) AS statuses,
         CONCAT_WS(',', ARRAY_SORT(COLLECT_SET(o_orderstatus))) AS status_csv,
-        SLICE(ARRAY_SORT(COLLECT_LIST(o_orderkey)), 1, 5) AS first_keys
+        ARRAY_JOIN(TRANSFORM(SLICE(ARRAY_SORT(COLLECT_LIST(o_orderkey)), 1, 5),
+                   x -> CAST(x AS STRING)), ',') AS first_keys
       FROM orders
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority""",
       """
       SELECT o_orderpriority,
-        LIST(DISTINCT o_orderstatus ORDER BY o_orderstatus) AS statuses,
+        STRING_AGG(DISTINCT o_orderstatus, '|' ORDER BY o_orderstatus) AS statuses,
         STRING_AGG(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS status_csv,
-        (LIST(o_orderkey ORDER BY o_orderkey))[1:5] AS first_keys
+        ARRAY_TO_STRING((LIST(o_orderkey ORDER BY o_orderkey))[1:5], ',') AS first_keys
       FROM orders
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority"""),
@@ -167,7 +170,7 @@ object AggFunctions extends QueryPack {
     // Aggregator with deterministic (count desc, value asc) tie-break.
     Q.df("q_agg_topk", """
       SELECT e.user_id, (
-        SELECT LIST(event_type ORDER BY cnt DESC, event_type)[1:3]
+        SELECT ARRAY_TO_STRING(LIST(event_type ORDER BY cnt DESC, event_type)[1:3], ',')
         FROM (SELECT event_type, COUNT(*) AS cnt
               FROM events i WHERE i.user_id = e.user_id
               GROUP BY event_type) t
@@ -176,7 +179,7 @@ object AggFunctions extends QueryPack {
       ORDER BY e.user_id""") { (s, dir) =>
       Tables.load(s, dir, "events")
         .groupBy(col("user_id"))
-        .agg(CustomAggregates.topK(3)(col("event_type")).as("top_types"))
+        .agg(concat_ws(",", CustomAggregates.topK(3)(col("event_type"))).as("top_types"))
         .orderBy("user_id")
     },
 
@@ -196,14 +199,19 @@ object AggFunctions extends QueryPack {
     // entries; fixed-point accumulation keeps it merge-order-exact.
     Q.df("q_agg_sum_map", """
       SELECT user_id,
-        LIST({'_1': event_type, '_2': v} ORDER BY event_type) AS type_sums
+        STRING_AGG(event_type || ':' || CAST(CAST(v AS DECIMAL(18,4)) AS VARCHAR),
+                   ',' ORDER BY event_type) AS type_sums
       FROM (SELECT user_id, event_type,
               CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS v
             FROM events GROUP BY user_id, event_type)
       GROUP BY user_id ORDER BY user_id""") { (s, dir) =>
       Tables.load(s, dir, "events")
         .groupBy(col("user_id"))
-        .agg(CustomAggregates.sumMap(col("event_type"), col("value")).as("type_sums"))
+        .agg(CustomAggregates.sumMap(col("event_type"), col("value")).as("pairs"))
+        .select(col("user_id"),
+          concat_ws(",", transform(col("pairs"), p =>
+            concat(p.getField("_1"), lit(":"),
+              p.getField("_2").cast("decimal(18,4)").cast("string")))).as("type_sums"))
         .orderBy("user_id")
     },
 

@@ -93,6 +93,98 @@ object DialectQueries extends QueryPack {
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority"""),
 
+    // CREATE FUNCTION (SQL-lambda UDF) end-to-end: two user lambdas —
+    // one nested inside an aggregate — defined via the dialect layer and
+    // inlined at rewrite time (UserDefinedSQLFunctionFactory.h:18).
+    Q("q_ch_udf", (s, dir) => {
+      Tables.register(s, dir)
+      ClickHouseSql.createFunction(
+        "CREATE FUNCTION price_band AS (p) -> multiIf(p < 50000, 'low', p < 150000, 'mid', 'high')")
+      ClickHouseSql.createFunction(
+        "CREATE FUNCTION discounted AS (x, d) -> x * (1 - d)")
+      ClickHouseSql.sql(s, """
+        SELECT price_band(o_totalprice) AS band, count() AS n,
+          CAST(SUM(CAST(ROUND(discounted(o_totalprice, 0.1) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS disc_total
+        FROM orders
+        GROUP BY 1
+        ORDER BY band""")
+    }, Some("""
+      SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                  WHEN o_totalprice < 150000 THEN 'mid'
+                  ELSE 'high' END AS band,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(ROUND(o_totalprice * (1 - 0.1) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS disc_total
+      FROM orders
+      GROUP BY 1
+      ORDER BY band""")),
+
+    // CH `any`/`anyLast` aggregates through the dialect path: `any(` is a
+    // REWRITE to any_value (Spark's built-in `any` is bool_or and must not
+    // be shadowed); deterministic here because each group has one value.
+    ch("q_ch_any", """
+      SELECT o_custkey, any(o_orderstatus) AS some_status
+      FROM (SELECT o_custkey, o_orderstatus FROM orders
+            WHERE o_orderstatus = 'F') t
+      GROUP BY o_custkey
+      ORDER BY o_custkey""",
+      """
+      SELECT o_custkey, MIN(o_orderstatus) AS some_status
+      FROM orders WHERE o_orderstatus = 'F'
+      GROUP BY o_custkey
+      ORDER BY o_custkey"""),
+
+    // multiSearchAny / multiMatchAny through the registry (OR-of-contains
+    // / OR-of-rlike rewrite, src/Functions/multiSearchAny.cpp).
+    ch("q_ch_multisearch", """
+      SELECT p_partkey,
+        multiSearchAny(p_name, array('red', 'blue')) AS has_color,
+        multiMatchAny(p_type, array('^ECONOMY', 'BRASS$')) AS type_match
+      FROM part ORDER BY p_partkey LIMIT 500""",
+      """
+      SELECT p_partkey,
+        (p_name LIKE '%red%' OR p_name LIKE '%blue%') AS has_color,
+        (REGEXP_MATCHES(p_type, '^ECONOMY') OR REGEXP_MATCHES(p_type, 'BRASS$')) AS type_match
+      FROM part ORDER BY p_partkey LIMIT 500"""),
+
+    // ORDER BY ... WITH FILL in SQL form (ASTSelectQuery.h:38 fill
+    // clause): dense month axis with gaps as NULL.
+    ch("q_ch_with_fill", """
+      SELECT m, n FROM (
+        SELECT toMonth(o_orderdate) AS m, count() AS n
+        FROM orders
+        WHERE o_orderdate < toDateTime('1992-07-01 00:00:00')
+        GROUP BY toMonth(o_orderdate))
+      ORDER BY m WITH FILL FROM 1 TO 13""",
+      """
+      SELECT m, n
+      FROM (SELECT UNNEST(GENERATE_SERIES(1, 12)) AS m) a
+      LEFT JOIN (SELECT CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS m, COUNT(*) AS n
+                 FROM orders
+                 WHERE o_orderdate < TIMESTAMP '1992-07-01 00:00:00'
+                 GROUP BY 1) b USING (m)
+      ORDER BY m"""),
+
+    // WITH FILL ... INTERPOLATE (carry-forward over filled rows).
+    ch("q_ch_with_fill_interpolate", """
+      SELECT m, n FROM (
+        SELECT toMonth(o_orderdate) AS m, count() AS n
+        FROM orders
+        WHERE o_orderdate < toDateTime('1992-07-01 00:00:00')
+        GROUP BY toMonth(o_orderdate))
+      ORDER BY m WITH FILL FROM 1 TO 13 INTERPOLATE (n)""",
+      """
+      WITH j AS (
+        SELECT m, n
+        FROM (SELECT UNNEST(GENERATE_SERIES(1, 12)) AS m) a
+        LEFT JOIN (SELECT CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS m, COUNT(*) AS n
+                   FROM orders
+                   WHERE o_orderdate < TIMESTAMP '1992-07-01 00:00:00'
+                   GROUP BY 1) b USING (m))
+      SELECT m, LAST_VALUE(n IGNORE NULLS) OVER (ORDER BY m
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
+      FROM j
+      ORDER BY m"""),
+
     // FINAL on a registered Replacing table.
     Q("q_ch_final", (s, dir) => {
       Tables.register(s, dir)

@@ -48,11 +48,20 @@ object Extras extends QueryPack {
       var acc = Seq((1, 1L)).toDF("n", "fact")
       var frontier = acc
       var done = false
-      while (!done) {
+      var iter = 0
+      val maxIter = 1000 // fixpoint guard, like the reference's
+                         // max_recursive_cte_evaluation_depth setting
+      while (!done && iter < maxIter) {
+        iter += 1
         val next = frontier.filter(col("n") < 10)
           .select((col("n") + 1).as("n"), (col("fact") * (col("n") + 1)).as("fact"))
         if (next.isEmpty) done = true
-        else { acc = acc.unionByName(next); frontier = next }
+        else {
+          acc = acc.unionByName(next); frontier = next
+          // truncate lineage every few iterations: an unbounded union chain
+          // makes the plan (and each isEmpty job) grow quadratically deep
+          if (iter % 8 == 0) acc = acc.localCheckpoint()
+        }
       }
       acc.orderBy("n")
     },
@@ -168,15 +177,17 @@ object Extras extends QueryPack {
     // arrayDifference.cpp) — HOF compositions over a small array.
     Q.sparkSql("q_array_math", """
       SELECT
-        TRANSFORM(SEQUENCE(1, 6), (x, i) ->
-          AGGREGATE(SLICE(SEQUENCE(1, 6), 1, i + 1), 0, (a, y) -> a + y)) AS cumsum,
-        TRANSFORM(SEQUENCE(1, 6), (x, i) ->
-          CASE WHEN i = 0 THEN 0 ELSE x - ELEMENT_AT(SEQUENCE(1, 6), i) END) AS diff,
+        ARRAY_JOIN(TRANSFORM(TRANSFORM(SEQUENCE(1, 6), (x, i) ->
+          AGGREGATE(SLICE(SEQUENCE(1, 6), 1, i + 1), 0, (a, y) -> a + y)),
+          v -> CAST(v AS STRING)), ',') AS cumsum,
+        ARRAY_JOIN(TRANSFORM(TRANSFORM(SEQUENCE(1, 6), (x, i) ->
+          CASE WHEN i = 0 THEN 0 ELSE x - ELEMENT_AT(SEQUENCE(1, 6), i) END),
+          v -> CAST(v AS STRING)), ',') AS diff,
         AGGREGATE(SEQUENCE(1, 6), 0, (a, x) -> a + x * x) AS sum_squares""",
       """
       SELECT
-        [1, 3, 6, 10, 15, 21] AS cumsum,
-        [0, 1, 1, 1, 1, 1] AS diff,
+        '1,3,6,10,15,21' AS cumsum,
+        '0,1,1,1,1,1' AS diff,
         CAST(91 AS INT) AS sum_squares""")
   )
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, QueryPack, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Second gap-closing pack: -ForEach/-Resample combinators, min/maxMap,
@@ -14,8 +15,9 @@ object Extras2 extends QueryPack {
     // elementwise aggregate across array columns — the 64-dim mean vector
     // of all embeddings (a centroid, as used by the IVF ANN operator).
     Q.df("q_agg_foreach", """
-      SELECT LIST_TRANSFORM(
-               LIST({'p': i, 'v': v} ORDER BY i), s -> s.v) AS avg_foreach
+      SELECT ARRAY_TO_STRING(LIST_TRANSFORM(
+               LIST({'p': i, 'v': v} ORDER BY i),
+               s -> CAST(CAST(s.v AS DECIMAL(18,4)) AS VARCHAR)), ',') AS avg_foreach
       FROM (SELECT i, ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 4) AS v
             FROM embeddings, GENERATE_SERIES(1, 64) t(i)
             GROUP BY i)""") { (s, dir) =>
@@ -23,29 +25,39 @@ object Extras2 extends QueryPack {
         .select(posexplode(col("embedding")).as(Seq("p", "v")))
         .groupBy("p").agg(round(avg(col("v").cast("double")), 4).as("v"))
         .agg(array_sort(collect_list(struct(col("p"), col("v")))).as("s"))
-        .select(transform(col("s"), s => s.getField("v")).as("avg_foreach"))
+        .select(concat_ws(",", transform(col("s"),
+          s => s.getField("v").cast("decimal(18,4)").cast("string"))).as("avg_foreach"))
     },
 
     // minMap / maxMap (AggregateFunctionSumMap.cpp family): per-key min and
     // max emitted as key-sorted entries.
     Q.df("q_agg_minmax_map", """
       SELECT user_id,
-        LIST({'_1': event_type, '_2': mn} ORDER BY event_type) AS min_map,
-        LIST({'_1': event_type, '_2': mx} ORDER BY event_type) AS max_map
+        STRING_AGG(event_type || ':' || CAST(CAST(mn AS DECIMAL(18,6)) AS VARCHAR),
+                   ',' ORDER BY event_type) AS min_map,
+        STRING_AGG(event_type || ':' || CAST(CAST(mx AS DECIMAL(18,6)) AS VARCHAR),
+                   ',' ORDER BY event_type) AS max_map
       FROM (SELECT user_id, event_type,
               ROUND(MIN(value), 6) AS mn, ROUND(MAX(value), 6) AS mx
             FROM events GROUP BY user_id, event_type)
       GROUP BY user_id
       ORDER BY user_id""") { (s, dir) =>
+      val entry = (k: Column, v: Column) =>
+        concat(k, lit(":"), v.cast("decimal(18,6)").cast("string"))
       Tables.load(s, dir, "events")
         .groupBy("user_id", "event_type")
         .agg(round(min("value"), 6).as("mn"), round(max("value"), 6).as("mx"))
         .groupBy("user_id")
         .agg(
           array_sort(collect_list(struct(col("event_type").as("_1"), col("mn").as("_2"))))
-            .as("min_map"),
+            .as("mins"),
           array_sort(collect_list(struct(col("event_type").as("_1"), col("mx").as("_2"))))
-            .as("max_map"))
+            .as("maxs"))
+        .select(col("user_id"),
+          concat_ws(",", transform(col("mins"),
+            p => entry(p.getField("_1"), p.getField("_2")))).as("min_map"),
+          concat_ws(",", transform(col("maxs"),
+            p => entry(p.getField("_1"), p.getField("_2")))).as("max_map"))
         .orderBy("user_id")
     },
 
@@ -53,38 +65,47 @@ object Extras2 extends QueryPack {
     // one aggregate evaluated per bucket of a resample key, emitted as an
     // array — order counts over 6 totalprice bands.
     Q.sparkSql("q_agg_resample", """
-      SELECT ARRAY(
+      SELECT ARRAY_JOIN(TRANSFORM(ARRAY(
         COUNT(CASE WHEN o_totalprice >= 0      AND o_totalprice < 100000 THEN 1 END),
         COUNT(CASE WHEN o_totalprice >= 100000 AND o_totalprice < 200000 THEN 1 END),
         COUNT(CASE WHEN o_totalprice >= 200000 AND o_totalprice < 300000 THEN 1 END),
         COUNT(CASE WHEN o_totalprice >= 300000 AND o_totalprice < 400000 THEN 1 END),
         COUNT(CASE WHEN o_totalprice >= 400000 AND o_totalprice < 500000 THEN 1 END),
-        COUNT(CASE WHEN o_totalprice >= 500000 THEN 1 END)) AS count_resample
+        COUNT(CASE WHEN o_totalprice >= 500000 THEN 1 END)),
+        x -> CAST(x AS STRING)), ',') AS count_resample
       FROM orders""",
       """
-      SELECT [
+      SELECT ARRAY_TO_STRING([
         COUNT(CASE WHEN o_totalprice >= 0      AND o_totalprice < 100000 THEN 1 END),
         COUNT(CASE WHEN o_totalprice >= 100000 AND o_totalprice < 200000 THEN 1 END),
         COUNT(CASE WHEN o_totalprice >= 200000 AND o_totalprice < 300000 THEN 1 END),
         COUNT(CASE WHEN o_totalprice >= 300000 AND o_totalprice < 400000 THEN 1 END),
         COUNT(CASE WHEN o_totalprice >= 400000 AND o_totalprice < 500000 THEN 1 END),
-        COUNT(CASE WHEN o_totalprice >= 500000 THEN 1 END)] AS count_resample
+        COUNT(CASE WHEN o_totalprice >= 500000 THEN 1 END)], ',') AS count_resample
       FROM orders"""),
 
-    // Mann-Whitney U statistic (AggregateFunctionMannWhitney.cpp):
-    // midrank-based rank sum, composed from window functions.
+    // Mann-Whitney U statistic (AggregateFunctionMannWhitney.cpp) via
+    // DISTRIBUTED midranks: aggregate per distinct value x first (shuffle
+    // on x, partial-agg'd), then a prefix-sum window over the tiny
+    // distinct-value table — midrank(x) = cum(x) - cnt(x) + (cnt(x)+1)/2.
+    // No global window ever sees a full-input row (the round-1 form ranked
+    // every lineitem row through ONE task).
     Q.shared("q_agg_mann_whitney", """
       WITH t AS (SELECT l_returnflag AS g, l_quantity AS x
                  FROM lineitem WHERE l_returnflag IN ('R', 'N')),
-      r AS (SELECT g, AVG(CAST(rn AS DOUBLE)) OVER (PARTITION BY x) AS mid
-            FROM (SELECT g, x, ROW_NUMBER() OVER (ORDER BY x, g) AS rn FROM t) q)
+      c AS (SELECT x, COUNT(*) AS cnt,
+              COUNT(CASE WHEN g = 'R' THEN 1 END) AS cr
+            FROM t GROUP BY x),
+      m AS (SELECT x, cnt, cr,
+              SUM(cnt) OVER (ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM c)
       SELECT
-        ROUND(SUM(CASE WHEN g = 'R' THEN mid ELSE 0.0 END)
-          - (SELECT COUNT(*) FROM t WHERE g = 'R')
-            * ((SELECT COUNT(*) FROM t WHERE g = 'R') + 1) / 2.0, 2) AS u_stat,
-        (SELECT COUNT(*) FROM t WHERE g = 'R') AS n_r,
-        (SELECT COUNT(*) FROM t WHERE g = 'N') AS n_n
-      FROM r"""),
+        ROUND(SUM(CAST(cr AS DOUBLE) * (CAST(cum - cnt AS DOUBLE) + (CAST(cnt AS DOUBLE) + 1) / 2.0))
+          - CAST(SUM(cr) AS DOUBLE) * (CAST(SUM(cr) AS DOUBLE) + 1) / 2.0, 2) AS u_stat,
+        CAST(SUM(cr) AS BIGINT) AS n_r,
+        CAST(SUM(cnt - cr) AS BIGINT) AS n_n
+      FROM m"""),
 
     // sequenceCount('(?1)(?2)') (AggregateFunctionSequenceMatch.cpp
     // sequenceCount): non-overlapping signup→purchase chains per user —

@@ -1,0 +1,61 @@
+package graft.queries
+
+import graft.{Q, QueryPack, Tables}
+import org.apache.spark.sql.functions._
+
+/** Input-format surface (reference: 37 input formats in
+  * src/Formats/registerFormats.cpp — CSV/CSVWithNames, JSONEachRow, ORC,
+  * Parquet ...). Each query round-trips a table through the format — write
+  * the fixture from parquet, read it back through Spark's format reader —
+  * and the oracle reads the SAME rows from the original parquet, so the
+  * format codec itself is what's under test.
+  *
+  * Scale note: Spark's csv/json/orc readers are splittable scans with the
+  * same partition/pushdown machinery as parquet (ORC keeps predicate
+  * pushdown + column pruning; csv/json prune columns after parse).
+  */
+object Formats extends QueryPack {
+
+  private def fixtureDir(fmt: String, dir: String): String =
+    s"/tmp/graft_fixtures/${dir.replaceAll("[^A-Za-z0-9]", "_")}/$fmt"
+
+  override def queries: Seq[Q] = Seq(
+
+    // CSVWithNames → header'd CSV round-trip (registerFormats.cpp
+    // registerInputFormatCSV). Explicit schema on read: CSV carries no
+    // types, exactly like the reference's column-declaration DDL.
+    Q.df("q_format_csv", """
+      SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""") { (s, dir) =>
+      val src = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val path = fixtureDir("csv_nation", dir)
+      src.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+      s.read.option("header", "true").schema(src.schema).csv(path)
+        .orderBy("n_nationkey")
+    },
+
+    // JSONEachRow → line-delimited JSON round-trip
+    // (registerInputFormatJSONEachRow).
+    Q.df("q_format_json", """
+      SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""") { (s, dir) =>
+      val src = Tables.load(s, dir, "region")
+        .select(col("r_regionkey"), col("r_name"))
+      val path = fixtureDir("json_region", dir)
+      src.coalesce(1).write.mode("overwrite").json(path)
+      s.read.schema(src.schema).json(path).orderBy("r_regionkey")
+    },
+
+    // ORC round-trip (registerInputFormatORC) — columnar like parquet,
+    // keeps pushdown + pruning.
+    Q.df("q_format_orc", """
+      SELECT s_suppkey, s_name, s_nationkey, CAST(s_acctbal AS DOUBLE) AS bal
+      FROM supplier ORDER BY s_suppkey""") { (s, dir) =>
+      val src = Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          col("s_acctbal").cast("double").as("bal"))
+      val path = fixtureDir("orc_supplier", dir)
+      src.coalesce(1).write.mode("overwrite").orc(path)
+      s.read.orc(path).orderBy("s_suppkey")
+    }
+  )
+}

@@ -145,6 +145,48 @@ object JoinExtras extends QueryPack {
           metrics = Seq("net_qty_cents" -> col("qty_cents")))
         .select(col("l_orderkey"), col("net_qty_cents"))
         .orderBy("l_orderkey")
+    },
+
+    // VersionedCollapsingMergeTree FINAL (VersionedCollapsingSortedAlgorithm,
+    // registerStorageMergeTree.cpp:924-942): 'R' lineitems cancel the state
+    // of the SAME version (l_linenumber) only; the survivor per order is
+    // the highest surviving version.
+    Q.df("q_final_versioned_collapsing", """
+      SELECT l_orderkey, l_linenumber FROM (
+        SELECT l_orderkey, l_linenumber,
+          ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                             ORDER BY l_linenumber DESC) AS rn
+        FROM (SELECT l_orderkey, l_linenumber,
+                SUM(CASE WHEN l_returnflag = 'R' THEN -1 ELSE 1 END) AS net
+              FROM lineitem
+              GROUP BY l_orderkey, l_linenumber
+              HAVING SUM(CASE WHEN l_returnflag = 'R' THEN -1 ELSE 1 END) > 0) s) t
+      WHERE rn = 1
+      ORDER BY l_orderkey""") { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val sign = when(col("l_returnflag") === "R", -1L).otherwise(1L)
+      MergeTreeViews.versionedCollapsingFinal(
+          li.select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag")),
+          keys = Seq("l_orderkey"), version = "l_linenumber", sign = sign)
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey")
+    },
+
+    // dictHas (FunctionsExternalDictionaries.h dictHas) — membership probe
+    // against a broadcast dictionary; dictGetOrDefault is the default arm
+    // of the existing q_dict_get.
+    Q.df("q_dict_has", """
+      SELECT c_custkey,
+        (c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)) AS in_region1
+      FROM customer
+      ORDER BY c_custkey""") { (s, dir) =>
+      val dict = Tables.load(s, dir, "nation")
+        .filter(col("n_regionkey") === 1).select(col("n_nationkey"))
+      Tables.load(s, dir, "customer")
+        .join(broadcast(dict.withColumn("__hit", lit(true))),
+          col("c_nationkey") === col("n_nationkey"), "left")
+        .select(col("c_custkey"), coalesce(col("__hit"), lit(false)).as("in_region1"))
+        .orderBy("c_custkey")
     }
   )
 }

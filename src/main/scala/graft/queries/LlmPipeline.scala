@@ -17,6 +17,20 @@ import org.apache.spark.sql.functions._
   */
 object LlmPipeline extends QueryPack {
 
+  /** Per-bucket size cap for LSH-style candidate generation. A degenerate
+    * band key (empty docs, boilerplate) makes |bucket|^2 candidate pairs —
+    * the real-world skew killer at 100 TB. Buckets over `cap` are
+    * SUB-SAMPLED to their first `cap` members by id (not dropped: identical
+    * docs share every band, so dropping a hot bucket would lose true dup
+    * pairs). One partitioned window on the band key, which the following
+    * self-join shuffles on anyway. */
+  private def capBuckets(banded: org.apache.spark.sql.DataFrame, id: String,
+      cap: Int): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col("bk")).orderBy(col(id))
+    banded.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap).drop("__rn")
+  }
+
   override def queries: Seq[Q] = Seq(
 
     // --- Dedup: exact (hash groupBy) ---------------------------------
@@ -39,7 +53,8 @@ object LlmPipeline extends QueryPack {
     // verification stage every approximate dedup funnels into.
     Q.df("q_dedup_jaccard_exact", """
       WITH d AS (SELECT doc_id, lang, source,
-                   LIST_DISTINCT(STRING_SPLIT(LOWER(text), ' ')) ws
+                   LIST_DISTINCT(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'),
+                                             t -> LEN(t) > 0)) ws
                  FROM documents)
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         ROUND(CAST(LEN(LIST_INTERSECT(a.ws, b.ws)) AS DOUBLE)
@@ -77,14 +92,17 @@ object LlmPipeline extends QueryPack {
       val docs = Tables.load(s, dir, "documents")
         .repartition(col("doc_id"))
         .select(col("doc_id"), wordShingles(col("text"), 3).as("ws"))
-      val sigs = docs.withColumn("sig", minhashSignature(col("ws"), 32))
+      // Signature via explode + 32 codegen'd MIN aggregates (minhashTable):
+      // the HOF-lambda form (minhashSignature) evaluates 32 interpreted
+      // folds per row and dominated the round-1 bench at 139.8s/sf0.1.
+      val sigs = minhashTable(docs, "doc_id", col("ws"), 32)
       // Band join carries ONLY ids — candidate pairs dedup on the narrow
       // (id_a, id_b) key before the word sets are joined back for exact
       // verification. On a skewed corpus (shared vocab → hot buckets) this
       // keeps the shuffle payload to 16 bytes/row instead of two token
       // arrays per row.
-      val banded = sigs.select(col("doc_id"),
-        explode(lshBandKeys(col("sig"), 8, 4)).as("bk"))
+      val banded = capBuckets(sigs.select(col("doc_id"),
+        explode(lshBandKeys(col("sig"), 8, 4)).as("bk")), "doc_id", 128)
       val cand = banded.select(col("doc_id").as("id_a"), col("bk"))
         .join(banded.select(col("doc_id").as("id_b"), col("bk")), Seq("bk"))
         .filter(col("id_a") < col("id_b"))
@@ -108,8 +126,8 @@ object LlmPipeline extends QueryPack {
       val bandStructs = (0 until 4).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("sh"), b * 16).bitwiseAND(lit(65535L)).as("key")))
-      val banded = docs.select(col("doc_id"), col("sh"),
-        explode(array(bandStructs: _*)).as("bk"))
+      val banded = capBuckets(docs.select(col("doc_id"), col("sh"),
+        explode(array(bandStructs: _*)).as("bk")), "doc_id", 128)
       val a = banded.select(col("doc_id").as("id_a"), col("sh").as("sa"), col("bk"))
       val b = banded.select(col("doc_id").as("id_b"), col("sh").as("sb"), col("bk"))
       a.join(b, Seq("bk")).filter(col("id_a") < col("id_b"))
@@ -119,6 +137,54 @@ object LlmPipeline extends QueryPack {
         .select("id_a", "id_b", "dist")
         .orderBy("id_a", "id_b")
     },
+
+    // --- Dedup: minhash VERIFY stage, exactly oracled -----------------
+    // The LSH signature stage is engine-internal (xxhash64) → rows-only;
+    // this query oracles the deterministic half: exact word-3-gram shingle
+    // Jaccard >= 0.8 within (lang, source) blocks — the same predicate the
+    // minhash candidates funnel into, in exact SQL on both engines.
+    Q.df("q_dedup_shingle_verify", """
+      WITH t AS (SELECT doc_id, lang, source,
+                   LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'),
+                               x -> LEN(x) > 0) ws
+                 FROM documents),
+      d AS (SELECT doc_id, lang, source,
+              LIST_DISTINCT(LIST_TRANSFORM(
+                GENERATE_SERIES(1, GREATEST(LEN(ws) - 2, 1)),
+                i -> COALESCE(ARRAY_TO_STRING(ws[i:i+2], ' '), ''))) sh
+            FROM t)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        ROUND(CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+            / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 6) AS jac
+      FROM d a JOIN d b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+            / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= 0.8
+      ORDER BY id_a, id_b""") { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          wordShingles(col("text"), 3).as("sh"))
+      val a = d.select(col("doc_id").as("id_a"), col("lang"), col("source"), col("sh").as("sa"))
+      val b = d.select(col("doc_id").as("id_b"), col("lang"), col("source"), col("sh").as("sb"))
+      a.join(b, Seq("lang", "source"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("jac", jaccard(col("sa"), col("sb")))
+        .filter(col("jac") >= 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // --- Dedup: simhash VERIFY stage (hamming distance), oracled ------
+    // hamming64 itself on deterministic inputs — BIT_COUNT(XOR) is exact
+    // SQL in both engines; only the xxhash64 fingerprint stays rows-only.
+    Q.sparkSql("q_fn_hamming", """
+      SELECT p_partkey,
+        CAST(BIT_COUNT(p_partkey ^ CAST(p_size AS BIGINT)) AS INT) AS ham
+      FROM part ORDER BY p_partkey LIMIT 500""",
+      """
+      SELECT p_partkey,
+        CAST(BIT_COUNT(XOR(CAST(p_partkey AS BIGINT), CAST(p_size AS BIGINT))) AS INT) AS ham
+      FROM part ORDER BY p_partkey LIMIT 500"""),
 
     // --- Similarity search: exact cosine top-k -----------------------
     // Brute-force baseline (the vector-index analog, SURVEY §4.3): queries
@@ -302,11 +368,16 @@ object LlmPipeline extends QueryPack {
       FROM b GROUP BY bg
       ORDER BY n DESC, bg
       LIMIT 20""") { (s, dir) =>
+      // posexplode + lead window instead of an interpreted TRANSFORM with
+      // per-index ELEMENT_AT lookups (5.7s → codegen'd; the window is
+      // partitioned per doc, never global).
       Tables.load(s, dir, "documents")
-        .select(split(lower(col("text")), " ").as("ws"))
-        .select(explode(transform(sequence(lit(1), size(col("ws")) - 1),
-          i => concat(element_at(col("ws"), i), lit(" "),
-            element_at(col("ws"), i + 1)))).as("bg"))
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), posexplode(split(lower(col("text")), " ")).as(Seq("p", "w")))
+        .select(col("w"), lead("w", 1)
+          .over(Window.partitionBy("doc_id").orderBy("p")).as("w2"))
+        .filter(col("w2").isNotNull)
+        .select(concat(col("w"), lit(" "), col("w2")).as("bg"))
         .groupBy("bg").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bg"))
         .limit(20)

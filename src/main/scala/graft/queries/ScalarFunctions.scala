@@ -55,13 +55,13 @@ object ScalarFunctions extends QueryPack {
     // DuckDB string_split is literal.
     Q.sparkSql("q_fn_split", """
       SELECT p_partkey,
-        SPLIT(p_name, ' ') AS words,
+        ARRAY_JOIN(SPLIT(p_name, ' '), '|') AS words,
         CAST(SIZE(SPLIT(p_name, ' ')) AS BIGINT) AS n_words,
         ELEMENT_AT(SPLIT(p_name, ' '), 1) AS first_word
       FROM part ORDER BY p_partkey LIMIT 500""",
       """
       SELECT p_partkey,
-        STRING_SPLIT(p_name, ' ') AS words,
+        ARRAY_TO_STRING(STRING_SPLIT(p_name, ' '), '|') AS words,
         CAST(LEN(STRING_SPLIT(p_name, ' ')) AS BIGINT) AS n_words,
         STRING_SPLIT(p_name, ' ')[1] AS first_word
       FROM part ORDER BY p_partkey LIMIT 500"""),
@@ -166,44 +166,46 @@ object ScalarFunctions extends QueryPack {
     // Array family (src/Functions/array/*): literals, element access, HOFs
     // (arrayMap/Filter/Exists → transform/filter/exists), sort, distinct,
     // flatten, slice, sequence, zip, cumulative fold.
+    // Array-valued outputs are serialized via ARRAY_JOIN/ARRAY_TO_STRING so
+    // every top-level column is scalar (driver harness sorts raw columns).
     Q.sparkSql("q_fn_array", """
       SELECT
-        ARRAY(3, 1, 2) AS arr,
+        ARRAY_JOIN(TRANSFORM(ARRAY(3, 1, 2), x -> CAST(x AS STRING)), ',') AS arr,
         ELEMENT_AT(ARRAY(3, 1, 2), 2) AS second,
-        ARRAY_SORT(ARRAY(3, 1, 2)) AS sorted,
-        SORT_ARRAY(ARRAY(3, 1, 2), FALSE) AS rsorted,
-        ARRAY_SORT(ARRAY_DISTINCT(ARRAY(1, 2, 2, 3))) AS dist,
+        ARRAY_JOIN(TRANSFORM(ARRAY_SORT(ARRAY(3, 1, 2)), x -> CAST(x AS STRING)), ',') AS sorted,
+        ARRAY_JOIN(TRANSFORM(SORT_ARRAY(ARRAY(3, 1, 2), FALSE), x -> CAST(x AS STRING)), ',') AS rsorted,
+        ARRAY_JOIN(TRANSFORM(ARRAY_SORT(ARRAY_DISTINCT(ARRAY(1, 2, 2, 3))), x -> CAST(x AS STRING)), ',') AS dist,
         ARRAY_CONTAINS(ARRAY(1, 2, 3), 2) AS has2,
         SIZE(ARRAY(1, 2, 3)) AS sz,
-        FLATTEN(ARRAY(ARRAY(1, 2), ARRAY(3))) AS flat,
-        SLICE(ARRAY(1, 2, 3, 4, 5), 2, 3) AS sliced,
-        SEQUENCE(1, 5) AS seq,
-        TRANSFORM(ARRAY(1, 2, 3), x -> x * 10) AS mapped,
-        FILTER(ARRAY(1, 2, 3, 4), x -> x % 2 = 0) AS evens,
+        ARRAY_JOIN(TRANSFORM(FLATTEN(ARRAY(ARRAY(1, 2), ARRAY(3))), x -> CAST(x AS STRING)), ',') AS flat,
+        ARRAY_JOIN(TRANSFORM(SLICE(ARRAY(1, 2, 3, 4, 5), 2, 3), x -> CAST(x AS STRING)), ',') AS sliced,
+        ARRAY_JOIN(TRANSFORM(SEQUENCE(1, 5), x -> CAST(x AS STRING)), ',') AS seq,
+        ARRAY_JOIN(TRANSFORM(TRANSFORM(ARRAY(1, 2, 3), x -> x * 10), x -> CAST(x AS STRING)), ',') AS mapped,
+        ARRAY_JOIN(TRANSFORM(FILTER(ARRAY(1, 2, 3, 4), x -> x % 2 = 0), x -> CAST(x AS STRING)), ',') AS evens,
         EXISTS(ARRAY(1, 2, 3), x -> x > 2) AS has_gt2,
         CAST(AGGREGATE(ARRAY(1, 2, 3, 4), 0, (a, x) -> a + x) AS BIGINT) AS folded,
-        ARRAY_SORT(ARRAY_INTERSECT(ARRAY(1, 2, 3), ARRAY(2, 3, 4))) AS inter,
-        ARRAY_SORT(ARRAY_UNION(ARRAY(1, 2), ARRAY(2, 3))) AS uni,
+        ARRAY_JOIN(TRANSFORM(ARRAY_SORT(ARRAY_INTERSECT(ARRAY(1, 2, 3), ARRAY(2, 3, 4))), x -> CAST(x AS STRING)), ',') AS inter,
+        ARRAY_JOIN(TRANSFORM(ARRAY_SORT(ARRAY_UNION(ARRAY(1, 2), ARRAY(2, 3))), x -> CAST(x AS STRING)), ',') AS uni,
         CAST(ARRAY_POSITION(ARRAY(10, 20, 30), 20) AS BIGINT) AS pos20
       """,
       """
       SELECT
-        [3, 1, 2] AS arr,
+        ARRAY_TO_STRING([3, 1, 2], ',') AS arr,
         [3, 1, 2][2] AS second,
-        LIST_SORT([3, 1, 2]) AS sorted,
-        LIST_REVERSE_SORT([3, 1, 2]) AS rsorted,
-        LIST_SORT(LIST_DISTINCT([1, 2, 2, 3])) AS dist,
+        ARRAY_TO_STRING(LIST_SORT([3, 1, 2]), ',') AS sorted,
+        ARRAY_TO_STRING(LIST_REVERSE_SORT([3, 1, 2]), ',') AS rsorted,
+        ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT([1, 2, 2, 3])), ',') AS dist,
         LIST_CONTAINS([1, 2, 3], 2) AS has2,
         LEN([1, 2, 3]) AS sz,
-        FLATTEN([[1, 2], [3]]) AS flat,
-        [1, 2, 3, 4, 5][2:4] AS sliced,
-        GENERATE_SERIES(1, 5) AS seq,
-        LIST_TRANSFORM([1, 2, 3], x -> x * 10) AS mapped,
-        LIST_FILTER([1, 2, 3, 4], x -> x % 2 = 0) AS evens,
+        ARRAY_TO_STRING(FLATTEN([[1, 2], [3]]), ',') AS flat,
+        ARRAY_TO_STRING([1, 2, 3, 4, 5][2:4], ',') AS sliced,
+        ARRAY_TO_STRING(GENERATE_SERIES(1, 5), ',') AS seq,
+        ARRAY_TO_STRING(LIST_TRANSFORM([1, 2, 3], x -> x * 10), ',') AS mapped,
+        ARRAY_TO_STRING(LIST_FILTER([1, 2, 3, 4], x -> x % 2 = 0), ',') AS evens,
         LEN(LIST_FILTER([1, 2, 3], x -> x > 2)) > 0 AS has_gt2,
         CAST(LIST_SUM([1, 2, 3, 4]) AS BIGINT) AS folded,
-        LIST_SORT(LIST_INTERSECT([1, 2, 3], [2, 3, 4])) AS inter,
-        LIST_SORT(LIST_DISTINCT(LIST_CONCAT([1, 2], [2, 3]))) AS uni,
+        ARRAY_TO_STRING(LIST_SORT(LIST_INTERSECT([1, 2, 3], [2, 3, 4])), ',') AS inter,
+        ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(LIST_CONCAT([1, 2], [2, 3]))), ',') AS uni,
         CAST(LIST_POSITION([10, 20, 30], 20) AS BIGINT) AS pos20
       """),
 
@@ -224,18 +226,19 @@ object ScalarFunctions extends QueryPack {
     // FunctionsMapMiscellaneous.cpp).
     Q.sparkSql("q_fn_struct_map", """
       SELECT
-        STRUCT(1 AS a, 'x' AS b) AS tup,
+        TO_JSON(STRUCT(1 AS a, 'x' AS b)) AS tup,
         STRUCT(1 AS a, 'x' AS b).a AS tup_elem,
-        MAP_KEYS(MAP('k1', 10, 'k2', 20)) AS ks,
-        MAP_VALUES(MAP('k1', 10, 'k2', 20)) AS vs,
+        ARRAY_JOIN(ARRAY_SORT(MAP_KEYS(MAP('k1', 10, 'k2', 20))), ',') AS ks,
+        ARRAY_JOIN(TRANSFORM(ARRAY_SORT(MAP_VALUES(MAP('k1', 10, 'k2', 20))),
+                   x -> CAST(x AS STRING)), ',') AS vs,
         ELEMENT_AT(MAP('k1', 10, 'k2', 20), 'k2') AS v2
       """,
       """
       SELECT
-        {'a': 1, 'b': 'x'} AS tup,
+        CAST(TO_JSON({'a': 1, 'b': 'x'}) AS VARCHAR) AS tup,
         {'a': 1, 'b': 'x'}.a AS tup_elem,
-        MAP_KEYS(MAP(['k1','k2'], [10, 20])) AS ks,
-        MAP_VALUES(MAP(['k1','k2'], [10, 20])) AS vs,
+        ARRAY_TO_STRING(LIST_SORT(MAP_KEYS(MAP(['k1','k2'], [10, 20]))), ',') AS ks,
+        ARRAY_TO_STRING(LIST_SORT(MAP_VALUES(MAP(['k1','k2'], [10, 20]))), ',') AS vs,
         MAP(['k1','k2'], [10, 20])['k2'][1] AS v2
       """),
 

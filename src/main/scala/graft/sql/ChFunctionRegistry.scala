@@ -30,8 +30,16 @@ object ChFunctionRegistry {
     // type conversion (FunctionsConversion)
     "toint8" -> cast(ByteType), "toint16" -> cast(ShortType),
     "toint32" -> cast(IntegerType), "toint64" -> cast(LongType),
-    "touint8" -> cast(ShortType), "touint16" -> cast(IntegerType),
-    "touint32" -> cast(LongType), "touint64" -> cast(DecimalType(20, 0)),
+    // CH toUIntN wraps mod 2^N on overflow (FunctionsConversion.h) — pmod
+    // reproduces the wrap; toUInt64 keeps the widening DECIMAL(20,0) cast
+    // (no 64-bit unsigned carrier in Spark; negative wrap NOT reproduced).
+    "touint8" -> (args =>
+      Cast(Pmod(Cast(args.head, LongType), Literal(256L)), ShortType)),
+    "touint16" -> (args =>
+      Cast(Pmod(Cast(args.head, LongType), Literal(65536L)), IntegerType)),
+    "touint32" -> (args =>
+      Pmod(Cast(args.head, LongType), Literal(4294967296L))),
+    "touint64" -> cast(DecimalType(20, 0)),
     "tofloat32" -> cast(FloatType), "tofloat64" -> cast(DoubleType),
     "tostring" -> cast(StringType), "todate" -> cast(DateType),
     "todatetime" -> cast(TimestampType),
@@ -93,6 +101,22 @@ object ChFunctionRegistry {
       RegExpReplace(args(0), Literal("([\\\\^$.|?*+()\\[\\]{}])"), Literal("\\\\$1")), Literal(-1))),
     "startswith" -> (args => StartsWith(args(0), args(1))),
     "endswith" -> (args => EndsWith(args(0), args(1))),
+    // multiSearchAny / multiMatchAny (src/Functions/multiSearchAny.cpp,
+    // MultiMatchAnyImpl.h): OR-chain of contains / rlike over an array
+    // literal of needles — codegen'd, and each disjunct can still push
+    // into the scan as a string predicate.
+    "multisearchany" -> (args => args(1) match {
+      case CreateArray(items, _) =>
+        items.map(n => Contains(args(0), n): Expression).reduce(Or)
+      case other => throw new IllegalArgumentException(
+        s"multiSearchAny expects an array literal of needles, got $other")
+    }),
+    "multimatchany" -> (args => args(1) match {
+      case CreateArray(items, _) =>
+        items.map(n => RLike(args(0), n): Expression).reduce(Or)
+      case other => throw new IllegalArgumentException(
+        s"multiMatchAny expects an array literal of patterns, got $other")
+    }),
 
     // date/time (DateTimeTransforms.h)
     "toyear" -> (args => Year(args.head)),
@@ -142,16 +166,29 @@ object ChFunctionRegistry {
     "arrayintersect" -> (args => ArrayIntersect(args(0), args(1))),
     "emptyarraytosingle" -> (args => If(EqualTo(Size(args.head), Literal(0)),
       CreateArray(Seq(Literal(0))), args.head)),
-    "range" -> (args =>
-      if (args.length == 1) Sequence(Literal(0L), Subtract(Cast(args.head, LongType), Literal(1L)), None)
-      else Sequence(Cast(args(0), LongType), Subtract(Cast(args(1), LongType), Literal(1L)), None)),
+    // range(n) / range(a, b): empty/negative ranges return [] like the
+    // reference (Sequence(0, -1) would fall back to a DESCENDING step and
+    // yield [0, -1]).
+    "range" -> (args => {
+      def mk(start: Expression, stop: Expression): Expression =
+        If(LessThanOrEqual(stop, start),
+          Literal.create(Array.empty[Long], ArrayType(LongType)),
+          Sequence(start, Subtract(stop, Literal(1L)), Some(Literal(1L))))
+      if (args.length == 1) mk(Literal(0L), Cast(args.head, LongType))
+      else mk(Cast(args(0), LongType), Cast(args(1), LongType))
+    }),
 
     // aggregates (registerAggregateFunctions.cpp)
     "uniq" -> (args => HyperLogLogPlusPlus(args.head)),
     "uniqhll12" -> (args => HyperLogLogPlusPlus(args.head)),
     "uniqcombined" -> (args => HyperLogLogPlusPlus(args.head)),
+    // uniqTheta (src/Functions/UniqTheta/): name-compatible sketch distinct
+    // — carried by Spark's HLL++ (same observable: approximate count).
+    "uniqtheta" -> (args => HyperLogLogPlusPlus(args.head)),
     "uniqexact" -> (args => Count(args).toAggregateExpression(isDistinct = true)),
-    "any" -> (args => First(args.head, ignoreNulls = true)),
+    // CH `any` (first value) is NOT registered: Spark's built-in `any` is
+    // bool_or, and shadowing it would silently change standard-SQL
+    // semantics session-wide. The dialect rewriter maps any( → any_value(.
     "anylast" -> (args => Last(args.head, ignoreNulls = true)),
     "argmin" -> (args => MinBy(args(0), args(1))),
     "argmax" -> (args => MaxBy(args(0), args(1))),
@@ -173,16 +210,40 @@ object ChFunctionRegistry {
     "covarsamp" -> (args => CovSample(args(0), args(1))),
     "grouparray" -> (args => CollectList(args.head)),
     "groupuniqarray" -> (args => CollectSet(args.head)),
-    "countif" -> (args => Count(Seq(If(args.head, Literal(1), Literal.create(null, IntegerType))))),
-    // CH count() is zero-arg; shadowing the built-in must keep count(x) working
-    "count" -> (args => if (args.isEmpty) Count(Seq(Literal(1))) else Count(args))
+    "countif" -> (args => Count(Seq(If(args.head, Literal(1), Literal.create(null, IntegerType)))))
+    // CH zero-arg count() is a dialect rewrite (count() → count(*)), not a
+    // registration — shadowing Spark's `count` risks corrupting every
+    // standard query in the session if the semantics ever drift.
   )
 
-  /** Install every alias into the session's function registry. */
-  def install(spark: SparkSession): Unit = {
+  /** Install the aliases into the session's function registry — but ONLY
+    * names Spark does not already provide. Names that exist as Spark
+    * built-ins with identical semantics (hex, unhex, nullif, ifnull,
+    * startswith, endswith, lcase, ucase, median, cbrt…) resolve natively;
+    * re-registering them would shadow the whole session and one future
+    * semantic drift would corrupt every standard query
+    * (ChRegistryParitySpec asserts the parity this relies on). */
+  private val installedSessions =
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean])
+
+  def install(spark: SparkSession): Unit = synchronized {
+    if (installedSessions.contains(spark)) return // idempotent: no re-register
     val registry = spark.sessionState.functionRegistry
+    val builtin = org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
     builders.foreach { case (name, builder) =>
-      registry.createOrReplaceTempFunction(name, builder, "built-in")
+      if (!builtin.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        registry.createOrReplaceTempFunction(name, builder, "built-in")
     }
+    installedSessions.add(spark)
+  }
+
+  /** Names in `builders` that are skipped at install time because a Spark
+    * built-in of the same name already has the semantics (kept for the
+    * parity test). */
+  def shadowedBuiltins(spark: SparkSession): Seq[String] = {
+    val builtin = org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
+    builders.keys.toSeq.sorted
+      .filter(n => builtin.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(n)))
   }
 }

@@ -27,7 +27,133 @@ object ClickHouseSql {
     s = rewriteFormat(s)
     s = rewritePrewhere(s)
     s = rewriteFinal(s)
+    s = rewriteWithFill(s)
     s = rewriteLimitBy(s)
+    s = rewriteCountEmpty(s)
+    s = rewriteAnyAgg(s)
+    s = inlineUserFunctions(s)
+    s
+  }
+
+  /** `ORDER BY axis WITH FILL FROM a TO b [STEP s] [INTERPOLATE (col)]`
+    * (reference: FillingTransform + InterpolateDescription,
+    * src/Parsers/ASTSelectQuery.h:38): densify the integer axis with a
+    * sequence + LEFT JOIN; INTERPOLATE (col) carries col forward over the
+    * filled rows (last non-null). The fill window runs over the DENSE AXIS
+    * rows only — bounded by (b-a)/s, not by input size. Supported form:
+    * clause terminates the query; integer axis. */
+  private def rewriteWithFill(s: String): String = {
+    val re = ("(?is)\\bORDER\\s+BY\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+WITH\\s+FILL\\s+" +
+      "FROM\\s+(-?\\d+)\\s+TO\\s+(-?\\d+)(?:\\s+STEP\\s+(-?\\d+))?" +
+      "(?:\\s+INTERPOLATE\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\))?\\s*;?\\s*$").r
+    re.findFirstMatchIn(s) match {
+      case None => s
+      case Some(m) =>
+        val axis = m.group(1)
+        val from = m.group(2).toLong
+        val to = m.group(3).toLong
+        val step = Option(m.group(4)).map(_.toLong).getOrElse(1L)
+        val interp = Option(m.group(5))
+        val core = s.substring(0, m.start)
+        val joined = s"(SELECT explode(sequence($from, ${to - 1}, $step)) AS $axis) __fill_axis " +
+          s"LEFT JOIN ($core) __fill_src USING ($axis)"
+        interp match {
+          case Some(c) =>
+            s"SELECT $axis, last($c, true) OVER (ORDER BY $axis " +
+              s"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS $c " +
+              s"FROM $joined ORDER BY $axis"
+          case None =>
+            s"SELECT * FROM $joined ORDER BY $axis"
+        }
+    }
+  }
+
+  /** CH zero-arg `count()` → `count(*)` (the registry deliberately does
+    * not shadow Spark's `count`). */
+  private def rewriteCountEmpty(s: String): String =
+    s.replaceAll("(?i)\\bcount\\s*\\(\\s*\\)", "count(*)")
+
+  /** CH `any(x)` (arbitrary-value aggregate) → Spark `any_value(x)`.
+    * Spark's built-in `any` is bool_or — the one alias that CANNOT be
+    * registered without corrupting standard SQL (see ChFunctionRegistry). */
+  private def rewriteAnyAgg(s: String): String =
+    s.replaceAll("(?i)\\bany\\s*\\(", "any_value(")
+
+  // ---- CREATE FUNCTION (SQL-lambda UDF) ------------------------------
+  // Reference: user-defined SQL functions stored by name and expanded at
+  // query time (src/Functions/UserDefined/UserDefinedSQLFunctionFactory.h:18,
+  // ...SQLFunctionVisitor.h). Spark rendering: a macro table + textual
+  // inline at rewrite time — the expanded expression is ordinary Catalyst,
+  // so codegen/pushdown see no function boundary at all.
+  private val userFunctions =
+    scala.collection.concurrent.TrieMap.empty[String, (Seq[String], String)]
+
+  private val createFnRe =
+    ("(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?FUNCTION\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s*" +
+      "\\(\\s*([A-Za-z0-9_,\\s]*?)\\s*\\)\\s*->\\s*(.+?)\\s*;?\\s*$").r
+
+  /** `CREATE FUNCTION f AS (x, y) -> expr`: store the lambda. Returns true
+    * if the statement was a CREATE FUNCTION. */
+  def createFunction(stmt: String): Boolean = createFnRe.findFirstMatchIn(stmt) match {
+    case Some(m) =>
+      val params = m.group(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      userFunctions.put(m.group(1).toLowerCase, (params, m.group(3)))
+      true
+    case None => false
+  }
+
+  def dropFunction(name: String): Unit = userFunctions.remove(name.toLowerCase)
+
+  /** Expand stored SQL-lambda calls. Argument split respects nesting
+    * (parentheses) and quoted strings; expansion repeats so lambdas can
+    * call other lambdas (bounded to avoid cycles). */
+  private def inlineUserFunctions(sql: String): String = {
+    if (userFunctions.isEmpty) return sql
+    var s = sql
+    var pass = 0
+    var budget = 64 // total-expansion cap: a self-recursive lambda must terminate
+    var changed = true
+    while (changed && pass < 8) {
+      changed = false
+      pass += 1
+      userFunctions.foreach { case (name, (params, body)) =>
+        val call = ("(?i)\\b" + java.util.regex.Pattern.quote(name) + "\\s*\\(").r
+        var m = call.findFirstMatchIn(s)
+        while (m.isDefined && budget > 0) {
+          budget -= 1
+          val start = m.get.start
+          val argsStart = m.get.end
+          // scan to the matching close paren
+          var depth = 1; var i = argsStart; var inStr = false
+          val splits = scala.collection.mutable.ArrayBuffer(argsStart)
+          while (i < s.length && depth > 0) {
+            val c = s.charAt(i)
+            if (inStr) { if (c == '\'') inStr = false }
+            else c match {
+              case '\'' => inStr = true
+              case '(' => depth += 1
+              case ')' => depth -= 1
+              case ',' if depth == 1 => splits += i + 1
+              case _ =>
+            }
+            i += 1
+          }
+          if (depth != 0) return s // unbalanced; leave untouched
+          val end = i // index AFTER the close paren
+          val rawArgs = (splits :+ end).toSeq.sliding(2).map { case Seq(a, b) =>
+            s.substring(a, math.max(a, b - 1)).trim
+          }.toSeq.filter(_.nonEmpty)
+          var expanded = body
+          params.zip(rawArgs).foreach { case (p, a) =>
+            expanded = expanded.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(p) + "\\b",
+              java.util.regex.Matcher.quoteReplacement(s"($a)"))
+          }
+          s = s.substring(0, start) + "(" + expanded + ")" + s.substring(end)
+          changed = true
+          m = call.findFirstMatchIn(s)
+        }
+      }
+    }
     s
   }
 

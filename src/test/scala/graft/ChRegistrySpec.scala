@@ -1,0 +1,102 @@
+package graft
+
+import graft.sql.{ChFunctionRegistry, ClickHouseSql}
+import org.apache.spark.sql.Row
+
+/** De-shadowed registry invariants (round-2 VERDICT item 8):
+  *   - install() must not replace ANY Spark built-in;
+  *   - for every alias we SKIP because Spark already has the name, the
+  *     built-in must deliver the CH semantics we'd have registered
+  *     (parity assertions below — if a Spark upgrade drifts one of these,
+  *     this suite is the tripwire);
+  *   - the dialect layer covers the two deliberate non-registrations
+  *     (zero-arg count(), CH any → any_value).
+  */
+class ChRegistrySpec extends SparkFunSuite {
+
+  test("install() skips exactly the expected Spark-builtin names") {
+    // The skip-set is pinned: a new entry appearing here means a builder
+    // was added whose name collides with a Spark built-in — decide
+    // explicitly (skip + parity-test below, or rename) before shipping.
+    assert(ChFunctionRegistry.shadowedBuiltins(spark).toSet == Set(
+      "hex", "unhex", "nullif", "ifnull", "startswith", "endswith",
+      "lcase", "ucase", "median", "cbrt"))
+  }
+
+  test("skipped builtins have CH-identical semantics") {
+    ChFunctionRegistry.install(spark)
+    val r = spark.sql("""
+      SELECT hex('AB') AS h, unhex('4142') AS u,
+        nullif(1, 1) AS nif, ifnull(NULL, 7) AS ifn,
+        startswith('hello', 'he') AS sw, endswith('hello', 'lo') AS ew,
+        lcase('AbC') AS lc, ucase('AbC') AS uc,
+        cbrt(27.0) AS cb
+      """).head()
+    assert(r.getAs[String]("h") == "4142")
+    assert(new String(r.getAs[Array[Byte]]("u")) == "AB")
+    assert(r.isNullAt(r.fieldIndex("nif")))
+    assert(r.getAs[Int]("ifn") == 7)
+    assert(r.getAs[Boolean]("sw") && r.getAs[Boolean]("ew"))
+    assert(r.getAs[String]("lc") == "abc" && r.getAs[String]("uc") == "ABC")
+    assert(math.abs(r.getAs[Double]("cb") - 3.0) < 1e-12)
+    // median = exact 0.5-quantile (CH median/quantileExact(0.5) semantics)
+    val med = spark.sql("SELECT median(x) FROM VALUES (1.0),(2.0),(10.0) t(x)").head().getDouble(0)
+    assert(med == 2.0)
+  }
+
+  test("dialect rewrites cover count() and any()") {
+    assert(ClickHouseSql.rewrite("SELECT count() FROM t")
+      .contains("count(*)"))
+    assert(ClickHouseSql.rewrite("SELECT any(x), anyLast(x) FROM t")
+      .contains("any_value(x)"))
+    // Spark's own `any` stays bool_or after install()
+    ChFunctionRegistry.install(spark)
+    val b = spark.sql("SELECT any(x) FROM VALUES (true),(false) t(x)").head().getBoolean(0)
+    assert(b)
+  }
+
+  test("range() returns empty array for empty/negative ranges") {
+    ChFunctionRegistry.install(spark)
+    assert(spark.sql("SELECT range(0)").head().getSeq[Long](0).isEmpty)
+    assert(spark.sql("SELECT range(3)").head().getSeq[Long](0) == Seq(0L, 1L, 2L))
+    assert(spark.sql("SELECT range(5, 2)").head().getSeq[Long](0).isEmpty)
+    assert(spark.sql("SELECT range(2, 5)").head().getSeq[Long](0) == Seq(2L, 3L, 4L))
+  }
+
+  test("toUInt8/16/32 wrap mod 2^N like the reference") {
+    ChFunctionRegistry.install(spark)
+    val r = spark.sql(
+      "SELECT toUInt8(300) AS a, toUInt8(256) AS b, toUInt16(70000) AS c, toUInt32(4294967298) AS d").head()
+    assert(r.getAs[Short]("a") == 44)
+    assert(r.getAs[Short]("b") == 0)
+    assert(r.getAs[Int]("c") == 4464)
+    assert(r.getAs[Long]("d") == 2L)
+  }
+
+  test("CREATE FUNCTION lambda inlines through the dialect layer") {
+    assert(ClickHouseSql.createFunction(
+      "CREATE FUNCTION add_twice AS (x, y) -> x + 2 * y"))
+    val out = ClickHouseSql.sql(spark,
+      "SELECT add_twice(1, add_twice(2, 3)) AS v").head()
+    // add_twice(2,3) = 8; add_twice(1, 8) = 17
+    assert(out.getAs[Int]("v") == 17)
+    ClickHouseSql.dropFunction("add_twice")
+  }
+
+  test("asofJoinBackward works with STRING keys (round-1 bug)") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(("a", 10L), ("a", 20L), ("b", 10L)).toDF("k", "ts")
+    val right = Seq(("a", 5L, 1.0), ("a", 15L, 2.0), ("b", 99L, 3.0))
+      .toDF("k", "ts", "v")
+    val out = graft.operators.JoinOps.asofJoinBackward(
+      left, right, "k", "k",
+      org.apache.spark.sql.functions.col("ts"),
+      org.apache.spark.sql.functions.col("ts"),
+      Seq("v"), org.apache.spark.sql.functions.col("ts"))
+      .orderBy("k", "ts").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1),
+      Option(r.get(2)).map(_.toString).orNull)).toSeq ==
+      Seq(("a", 10L, "1.0"), ("a", 20L, "2.0"), ("b", 10L, null)))
+  }
+}
