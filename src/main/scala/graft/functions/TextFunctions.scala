@@ -140,13 +140,20 @@ object TextFunctions {
         .cast("long")
     }.reduce(_ + _)
 
-  /** Dot product of two equal-length double arrays — sequential fold, so
-    * the result is bit-identical across engines that fold left-to-right. */
+  /** Dot product of two equal-length double arrays. Codegen'd left-to-right
+    * loop (org.apache.spark.sql.graft.ArrayDotProduct) — bit-identical to
+    * the interpreted `aggregate(zip_with(...))` fold it replaced (round-2
+    * verdict: the interpreted form WAS the cost of the ANN re-rank) and to
+    * engines that fold left-to-right (the DuckDB oracle's LIST_REDUCE). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    org.apache.spark.sql.graft.ExprColumn.column(
+      org.apache.spark.sql.graft.ArrayDotProduct(
+        org.apache.spark.sql.graft.ExprColumn.expression(a),
+        org.apache.spark.sql.graft.ExprColumn.expression(b)))
 
-  def l2norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+  /** sqrt(dot(a,a)) — same per-element products and fold order as the HOF
+    * form, so existing oracles stay hash-stable. */
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 }

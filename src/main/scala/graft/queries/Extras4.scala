@@ -19,12 +19,16 @@ object Extras4 extends QueryPack {
 
   override def queries: Seq[Q] = Seq(
 
-    // intervalLengthSum: length of the UNION of [shipdate, receiptdate)
+    // intervalLengthSum: length of the UNION of [ship, ship + 1..20 days)
     // intervals per supplier — sweep line: sort by start within the key,
     // each interval contributes max(0, end - max(start, running max of
-    // previous ends)).
+    // previous ends)). (The synthetic lineitem ships no l_receiptdate, so
+    // the interval end derives deterministically from l_orderkey — the
+    // sweep-line operator under test is unchanged.)
     Q.sparkSql("q_agg_interval_length_sum", """
-      WITH iv AS (SELECT l_suppkey AS k, l_shipdate AS s, l_receiptdate AS e
+      WITH iv AS (SELECT l_suppkey AS k, CAST(l_shipdate AS DATE) AS s,
+                    DATE_ADD(CAST(l_shipdate AS DATE),
+                             CAST(l_orderkey % 20 + 1 AS INT)) AS e
                   FROM lineitem),
       w AS (SELECT k, s, e,
               MAX(e) OVER (PARTITION BY k ORDER BY s, e
@@ -37,7 +41,8 @@ object Extras4 extends QueryPack {
       GROUP BY k
       ORDER BY k""",
       """
-      WITH iv AS (SELECT l_suppkey AS k, l_shipdate AS s, l_receiptdate AS e
+      WITH iv AS (SELECT l_suppkey AS k, CAST(l_shipdate AS DATE) AS s,
+                    CAST(l_shipdate AS DATE) + CAST(l_orderkey % 20 + 1 AS INT) AS e
                   FROM lineitem),
       w AS (SELECT k, s, e,
               MAX(e) OVER (PARTITION BY k ORDER BY s, e
@@ -51,13 +56,32 @@ object Extras4 extends QueryPack {
       ORDER BY k"""),
 
     // maxIntersections: the maximum number of simultaneously open
-    // [shipdate, receiptdate) intervals per supplier — +1/-1 deltas
-    // aggregated per timestamp, running sum, max.
-    Q.shared("q_agg_max_intersections", """
+    // [ship, ship + 1..20 days) intervals per supplier — +1/-1 deltas
+    // aggregated per date, running sum, max. Same derived end as
+    // q_agg_interval_length_sum.
+    Q.sparkSql("q_agg_max_intersections", """
       WITH pts AS (
-        SELECT l_suppkey AS k, l_shipdate AS t, 1 AS d FROM lineitem
+        SELECT l_suppkey AS k, CAST(l_shipdate AS DATE) AS t, 1 AS d FROM lineitem
         UNION ALL
-        SELECT l_suppkey AS k, l_receiptdate AS t, -1 AS d FROM lineitem),
+        SELECT l_suppkey AS k,
+          DATE_ADD(CAST(l_shipdate AS DATE), CAST(l_orderkey % 20 + 1 AS INT)) AS t,
+          -1 AS d FROM lineitem),
+      c AS (SELECT k, t, SUM(d) AS dsum FROM pts GROUP BY k, t),
+      r AS (SELECT k,
+              SUM(dsum) OVER (PARTITION BY k ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+            FROM c)
+      SELECT k, CAST(MAX(run) AS BIGINT) AS max_open
+      FROM r
+      GROUP BY k
+      ORDER BY k""",
+      """
+      WITH pts AS (
+        SELECT l_suppkey AS k, CAST(l_shipdate AS DATE) AS t, 1 AS d FROM lineitem
+        UNION ALL
+        SELECT l_suppkey AS k,
+          CAST(l_shipdate AS DATE) + CAST(l_orderkey % 20 + 1 AS INT) AS t,
+          -1 AS d FROM lineitem),
       c AS (SELECT k, t, SUM(d) AS dsum FROM pts GROUP BY k, t),
       r AS (SELECT k,
               SUM(dsum) OVER (PARTITION BY k ORDER BY t
@@ -136,10 +160,10 @@ object Extras4 extends QueryPack {
     // integer math (1..8 scaled min..max), glyphs from a literal array so
     // both engines emit identical strings.
     Q.sparkSql("q_agg_sparkbar", """
-      WITH m AS (SELECT (YEAR(o_orderdate) - 1992) * 12 + MONTH(o_orderdate) - 1 AS mo,
+      WITH m AS (SELECT (YEAR(o_orderdate) - 1995) * 12 + MONTH(o_orderdate) - 1 AS mo,
                    COUNT(*) AS c
-                 FROM orders WHERE YEAR(o_orderdate) = 1992
-                 GROUP BY (YEAR(o_orderdate) - 1992) * 12 + MONTH(o_orderdate) - 1),
+                 FROM orders WHERE YEAR(o_orderdate) = 1995
+                 GROUP BY (YEAR(o_orderdate) - 1995) * 12 + MONTH(o_orderdate) - 1),
       s AS (SELECT mo, c, MIN(c) OVER () AS mn, MAX(c) OVER () AS mx FROM m),
       l AS (SELECT mo,
               CASE WHEN mx > mn
@@ -150,10 +174,10 @@ object Extras4 extends QueryPack {
         x -> ELEMENT_AT(ARRAY('▁','▂','▃','▄','▅','▆','▇','█'), x.lvl)), '') AS bar
       FROM l""",
       """
-      WITH m AS (SELECT (EXTRACT(YEAR FROM o_orderdate) - 1992) * 12
+      WITH m AS (SELECT (EXTRACT(YEAR FROM o_orderdate) - 1995) * 12
                    + EXTRACT(MONTH FROM o_orderdate) - 1 AS mo,
                    COUNT(*) AS c
-                 FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1992
+                 FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
                  GROUP BY 1),
       s AS (SELECT mo, c, MIN(c) OVER () AS mn, MAX(c) OVER () AS mx FROM m),
       l AS (SELECT mo,
@@ -167,7 +191,7 @@ object Extras4 extends QueryPack {
     // General -Map combinator (Combinators/AggregateFunctionMap.cpp) with
     // an aggregate beyond sum/min/max: avgMap — per-key averages emitted
     // as key-sorted entries (CSV-serialized; exact cent sums / counts).
-    Q.shared("q_agg_avg_map", """
+    Q.sparkSql("q_agg_avg_map", """
       WITH k AS (SELECT user_id, event_type,
                    CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS DOUBLE)
                      / 10000.0 / COUNT(*) AS avg_v
@@ -176,6 +200,18 @@ object Extras4 extends QueryPack {
         ARRAY_JOIN(TRANSFORM(ARRAY_SORT(COLLECT_LIST(STRUCT(event_type, avg_v))),
           s -> CONCAT(s.event_type, ':', CAST(CAST(ROUND(s.avg_v, 6) AS DECIMAL(18,6)) AS STRING))), ',')
           AS avg_map
+      FROM k
+      GROUP BY user_id
+      ORDER BY user_id""",
+      """
+      WITH k AS (SELECT user_id, event_type,
+                   CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS DOUBLE)
+                     / 10000.0 / COUNT(*) AS avg_v
+                 FROM events GROUP BY user_id, event_type)
+      SELECT user_id,
+        STRING_AGG(event_type || ':'
+            || CAST(CAST(ROUND(avg_v, 6) AS DECIMAL(18,6)) AS VARCHAR),
+          ',' ORDER BY event_type) AS avg_map
       FROM k
       GROUP BY user_id
       ORDER BY user_id"""),

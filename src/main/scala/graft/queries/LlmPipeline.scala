@@ -89,9 +89,13 @@ object LlmPipeline extends QueryPack {
       // repartition: the corpus ships as ONE small parquet file = one input
       // split; the CPU-bound shingle/minhash stage must spread across cores
       // (at 100 TB the input splits provide this for free).
+      // cache: `docs` feeds the signature aggregation AND both sides of the
+      // exact-verify join — uncached that is three full shingle passes over
+      // the corpus (round-2 verdict #5; at 100 TB, three corpus scans).
       val docs = Tables.load(s, dir, "documents")
         .repartition(col("doc_id"))
         .select(col("doc_id"), wordShingles(col("text"), 3).as("ws"))
+        .cache()
       // Signature via explode + 32 codegen'd MIN aggregates (minhashTable):
       // the HOF-lambda form (minhashSignature) evaluates 32 interpreted
       // folds per row and dominated the round-1 bench at 139.8s/sf0.1.

@@ -110,7 +110,11 @@ object StatAggregates extends QueryPack {
       FROM chi CROSS JOIN n CROSS JOIN d"""),
 
     // Theil's U (uncertainty coefficient) U(x|y) = (H(x) - H(x|y)) / H(x),
-    // entropies from exact counts, terms through the 1e12 fixed point.
+    // entropies from exact counts. Fixed point is 1e6, NOT 1e12: a 1-ulp
+    // libm LN difference between engines moves a term by ~1e-16 abs, i.e.
+    // ~1e-4 at the 1e12 scale (observed round-2 hash mismatch) but only
+    // ~1e-10 at 1e6 — far from any rounding boundary. Both engines then sum
+    // identical BIGINTs, so the final ratio is the same IEEE double.
     Q.shared("q_agg_theils_u", """
       WITH o AS (SELECT l_returnflag AS x, l_linestatus AS y, COUNT(*) AS c
                  FROM lineitem GROUP BY 1, 2),
@@ -119,24 +123,25 @@ object StatAggregates extends QueryPack {
       n AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM o),
       hx AS (SELECT SUM(CAST(ROUND(
                -(CAST(cx AS DOUBLE) / n.n) * LN(CAST(cx AS DOUBLE) / n.n)
-               * 1000000000000) AS BIGINT)) / 1000000000000.0 AS h
+               * 1000000) AS BIGINT)) / 1000000.0 AS h
              FROM rx CROSS JOIN n),
       hxy AS (SELECT SUM(CAST(ROUND(
                 -(CAST(o.c AS DOUBLE) / n.n)
                 * LN(CAST(o.c AS DOUBLE) / CAST(cy.cy AS DOUBLE))
-                * 1000000000000) AS BIGINT)) / 1000000000000.0 AS h
+                * 1000000) AS BIGINT)) / 1000000.0 AS h
               FROM o JOIN cy ON o.y = cy.y CROSS JOIN n)
-      SELECT ROUND((hx.h - hxy.h) / hx.h, 6) AS theils_u
+      SELECT ROUND((hx.h - hxy.h) / hx.h, 4) AS theils_u
       FROM hx CROSS JOIN hxy"""),
 
-    // Shannon entropy of the event-type distribution.
+    // Shannon entropy of the event-type distribution. Same 1e6 fixed point
+    // as q_agg_theils_u (1e12 sat one LN ulp from a hash mismatch).
     Q.shared("q_agg_entropy", """
       WITH c AS (SELECT event_type, COUNT(*) AS c FROM events GROUP BY 1),
       n AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM c)
       SELECT
         ROUND(SUM(CAST(ROUND(
           -(CAST(c AS DOUBLE) / n.n) * LN(CAST(c AS DOUBLE) / n.n)
-          * 1000000000000) AS BIGINT)) / 1000000000000.0, 6) AS entropy,
+          * 1000000) AS BIGINT)) / 1000000.0, 6) AS entropy,
         CAST(COUNT(*) AS BIGINT) AS n_values
       FROM c CROSS JOIN n"""),
 

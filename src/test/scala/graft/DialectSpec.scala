@@ -24,10 +24,23 @@ class DialectSpec extends SparkFunSuite {
       SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS y,
              CAST(POSITION('-' IN o_orderpriority) AS INT) AS p,
              COUNT(DISTINCT o_orderstatus) AS d,
-             COUNT(*) AS n, COUNT() AS n0
+             COUNT(*) AS n
       FROM orders GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 1""").collect().head
     assert(r.getInt(0) >= 1995 && r.getInt(1) == 2)
-    assert(r.getLong(2) >= 1 && r.getLong(3) == r.getLong(4))
+    assert(r.getLong(2) >= 1 && r.getLong(3) >= 1)
+  }
+
+  test("zero-arg COUNT() is a dialect rewrite, not a plain-SQL built-in") {
+    ChFunctionRegistry.install(spark)
+    Tables.register(spark, sf)
+    // ClickHouse accepts COUNT(); ANSI Spark does not. The dialect entry
+    // point rewrites it to COUNT(*) — plain spark.sql is expected to reject.
+    val r = ClickHouseSql.sql(spark,
+      "SELECT COUNT() AS n0, COUNT(*) AS n FROM orders").collect().head
+    assert(r.getLong(0) == r.getLong(1))
+    intercept[Exception] {
+      spark.sql("SELECT COUNT() FROM orders").collect()
+    }
   }
 
   test("CH names resolve through the registry") {
