@@ -233,21 +233,31 @@ object LlmPipeline extends QueryPack {
       val e = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
         .withColumn("nrm", l2norm(col("v")))
-      // table t (0..7), plane p (0..3), dim i weight = ((i*31 + (t*4+p)*17) % 7) - 3
+      // table t (0..7), plane p (0..3), dim i weight = ((i*31 + (t*4+p)*17) % 7) - 3.
+      // The plane is a CONSTANT 64-dim vector → projection is a codegen'd
+      // dot against a literal array (the interpreted zip_with fold here was
+      // the post-fix hot spot: 32 interpreted folds per vector).
       def bucketKey(t: Int) = (0 until 4).map { p =>
-        val proj = aggregate(zip_with(col("v"), sequence(lit(0), lit(63)),
-          (x, i) => x * (((i * 31 + (t * 4 + p) * 17) % 7) - 3).cast("double")),
-          lit(0.0), (a, x) => a + x)
+        val plane = array((0 until 64).map(i =>
+          lit((((i * 31 + (t * 4 + p) * 17) % 7) - 3).toDouble)): _*)
+        val proj = dot(col("v"), plane)
         when(proj > 0, lit(1L << p)).otherwise(0L)
       }.reduce(_ + _)
       val tables = (0 until 8).map(t =>
         struct(lit(t).as("tbl"), bucketKey(t).as("key")))
+      // Band join + distinct carry ONLY (qid, vec_id) — a candidate pair is
+      // 16 bytes through the shuffle, not two 64-double vectors (the same
+      // id-only move as the LSH dedup band join); vectors join back once per
+      // SURVIVING candidate, queries via broadcast.
       val b = e.withColumn("bk", explode(array(tables: _*)))
-      val q = b.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("qid"), col("v").as("qv"),
-          col("nrm").as("qnrm"), col("bk"))
-      val cands = b.join(q, Seq("bk")).filter(col("vec_id") =!= col("qid"))
-        .select("qid", "qv", "qnrm", "vec_id", "v", "nrm").distinct()
+        .select(col("vec_id"), col("bk"))
+      val q = b.filter(col("vec_id") < 20).withColumnRenamed("vec_id", "qid")
+      val candIds = b.join(broadcast(q), Seq("bk"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select("qid", "vec_id").distinct()
+      val qv = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+      val cands = candIds.join(e, Seq("vec_id")).join(broadcast(qv), Seq("qid"))
         .withColumn("cos", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
       val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
       cands.withColumn("rn", row_number().over(w))
