@@ -17,30 +17,45 @@ import org.apache.spark.sql.types.LongType
   */
 object JoinOps {
 
-  /** ASOF LEFT JOIN: for each left row, the latest right row with
-    * rightTs <= leftTs within the same key (ClickHouse
-    * `ASOF LEFT JOIN ... ON k = k AND l.ts >= r.ts`).
+  /** ASOF LEFT JOIN with the full inequality matrix of src/Core/Joins.h:78
+    * (ASOFJoinInequality::{LessOrEquals, Less, GreaterOrEquals, Greater}).
+    * `op` is the condition `rightTs op leftTs` that the matched right row
+    * must satisfy:
+    *  - "<="  backward inclusive (CH `ON l.ts >= r.ts`, the default)
+    *  - "<"   backward strict    (CH `ON l.ts >  r.ts`)
+    *  - ">="  forward inclusive  (CH `ON l.ts <= r.ts`)
+    *  - ">"   forward strict     (CH `ON l.ts <  r.ts`)
+    * Backward picks the LATEST matching right row, forward the EARLIEST —
+    * the nearest neighbor on the allowed side, as in the reference.
     *
     * Implemented with the union-window technique: tag both sides, union on
     * (key, ts), and carry the last right payload forward with
     * last(ignoreNulls) over a ROWS window. Exactly ONE shuffle on the key —
     * the same cost profile as the reference's full-sorting-merge ASOF
     * (src/Processors/Transforms/MergeJoinTransform.h:229) and strictly
-    * better at scale than a per-row range probe.
+    * better at scale than a per-row range probe. Direction flips the window
+    * sort (forward scans descending); strictness flips which side sorts
+    * first at equal ts (inclusive: right before left, so equal ts matches;
+    * strict: left before right, so it does not).
     *
-    * Ties: right rows sort before left rows at equal ts (so `<=` holds) and
-    * among equal right (key, ts) the highest `rightTieBreak` wins.
+    * Ties among equal right (key, ts): the highest `rightTieBreak` wins.
     */
-  def asofJoinBackward(
+  def asofJoin(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTs: Column, rightTs: Column,
       rightPayload: Seq[String],
-      rightTieBreak: Column): DataFrame = {
+      rightTieBreak: Column,
+      op: String = "<="): DataFrame = {
+    val backward = op == "<=" || op == "<"
+    val inclusive = op == "<=" || op == ">="
+    require(Set("<=", "<", ">=", ">")(op), s"unsupported ASOF inequality: $op")
     val lCols = left.columns
     // Keys keep their NATIVE type (string/date/numeric all partition
     // correctly). The round-1 cast-to-Long silently NULLed non-numeric
     // keys, collapsing every row into one window partition.
+    // Side sort values: asc on __side puts right (0) before left (1) when
+    // inclusive, left (1) before right (2) when strict.
     val l = left
       .withColumn("__k", col(leftKey))
       .withColumn("__t", leftTs)
@@ -51,7 +66,7 @@ object JoinOps {
     val r0 = right
       .withColumn("__k", col(rightKey))
       .withColumn("__t", rightTs)
-      .withColumn("__side", lit(0))
+      .withColumn("__side", lit(if (inclusive) 0 else 2))
       .withColumn("__tie", rightTieBreak.cast(LongType))
     val rTagged = rightPayload.foldLeft(r0)((d, c) =>
       d.withColumn(s"__r_$c", col(c)))
@@ -59,8 +74,14 @@ object JoinOps {
     val lSel = lTagged.select((lCols.map(col) ++ unionCols.map(col)): _*)
     val rSel = rTagged.select((lCols.map(_ => lit(null)) zip lCols)
       .map { case (c, n) => c.as(n) } ++ unionCols.map(col): _*)
+    // Backward scans ascending (last right seen = latest <= t); forward
+    // scans descending (last right seen = earliest >= t). __tie ascends in
+    // scan order either way so "last" = max tiebreak.
+    val ord =
+      if (backward) Seq(col("__t").asc, col("__side").asc, col("__tie").asc)
+      else Seq(col("__t").desc, col("__side").asc, col("__tie").asc)
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t"), col("__side"), col("__tie"))
+      .orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = rightPayload.foldLeft(lSel.unionByName(rSel)) { (d, c) =>
       d.withColumn(s"__m_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
@@ -69,6 +90,16 @@ object JoinOps {
       .select(lCols.map(col) ++
         rightPayload.map(c => col(s"__m_$c").as(s"asof_$c")): _*)
   }
+
+  /** Backward-inclusive ASOF (the ClickHouse default inequality). */
+  def asofJoinBackward(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: Column, rightTs: Column,
+      rightPayload: Seq[String],
+      rightTieBreak: Column): DataFrame =
+    asofJoin(left, right, leftKey, rightKey, leftTs, rightTs,
+      rightPayload, rightTieBreak, "<=")
 
   /** PASTE JOIN: positional zip of two frames in their given sort orders
     * (reference: PasteJoinTransform). Row index comes from

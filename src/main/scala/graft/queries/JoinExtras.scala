@@ -46,6 +46,73 @@ object JoinExtras extends QueryPack {
         .orderBy("user_id", "event_id")
     },
 
+    // ASOF forward-inclusive (src/Core/Joins.h:78 GreaterOrEquals):
+    // EARLIEST order at-or-after each event — the other direction of the
+    // inequality matrix, same single-shuffle plan scanned descending.
+    Q.df("q_asof_forward", """
+      WITH m AS (
+        SELECT user_id, event_id,
+          (SELECT MIN(o_orderdate) FROM orders
+           WHERE o_custkey = e.user_id AND o_orderdate >= e.ts) AS asof_date
+        FROM events e)
+      SELECT m.user_id, m.event_id, m.asof_date,
+        (SELECT MAX(o_orderkey) FROM orders
+         WHERE o_custkey = m.user_id AND o_orderdate = m.asof_date) AS asof_order
+      FROM m
+      ORDER BY user_id, event_id""") { (s, dir) =>
+      val events = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val orders = Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+        .withColumn("asofdate", col("o_orderdate"))
+      JoinOps.asofJoin(
+        events, orders,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTs = unix_micros(col("ts")),
+        rightTs = unix_micros(col("o_orderdate").cast("timestamp")),
+        rightPayload = Seq("asofdate", "o_orderkey"),
+        rightTieBreak = col("o_orderkey"),
+        op = ">=")
+        .select(col("user_id"), col("event_id"),
+          col("asof_asofdate").as("asof_date"),
+          col("asof_o_orderkey").as("asof_order"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // ASOF backward-strict (src/Core/Joins.h:78 Less): latest order
+    // STRICTLY before each event — equal timestamps do not match.
+    Q.df("q_asof_strict", """
+      WITH m AS (
+        SELECT user_id, event_id,
+          (SELECT MAX(o_orderdate) FROM orders
+           WHERE o_custkey = e.user_id AND o_orderdate < e.ts) AS asof_date
+        FROM events e)
+      SELECT m.user_id, m.event_id, m.asof_date,
+        (SELECT MAX(o_orderkey) FROM orders
+         WHERE o_custkey = m.user_id AND o_orderdate = m.asof_date) AS asof_order
+      FROM m
+      ORDER BY user_id, event_id""") { (s, dir) =>
+      val events = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val orders = Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+        .withColumn("asofdate", col("o_orderdate"))
+      JoinOps.asofJoin(
+        events, orders,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTs = unix_micros(col("ts")),
+        rightTs = unix_micros(col("o_orderdate").cast("timestamp")),
+        rightPayload = Seq("asofdate", "o_orderkey"),
+        rightTieBreak = col("o_orderkey"),
+        op = "<")
+        .select(col("user_id"), col("event_id"),
+          col("asof_asofdate").as("asof_date"),
+          col("asof_o_orderkey").as("asof_order"))
+        .orderBy("user_id", "event_id")
+    },
+
     // PASTE JOIN (positional zip) of the region and nation tables in
     // name order (reference: PasteJoinTransform) — inner-zip of the first
     // min(n,m) rows.

@@ -22,6 +22,19 @@ class JoinOpsSpec extends SparkFunSuite {
       ("e3", "r15")))    // t=20: latest at-or-before
   }
 
+  test("asofJoin inequality matrix: strict excludes ties, forward picks earliest") {
+    val left = Seq((1L, 10L, "e")).toDF("k", "t", "name")
+    val right = Seq((1L, 5L, "r5"), (1L, 10L, "r10"), (1L, 15L, "r15"))
+      .toDF("rk", "rt", "payload")
+    def run(op: String) = JoinOps.asofJoin(left, right,
+      "k", "rk", col("t"), col("rt"), Seq("payload"), col("rt"), op)
+      .select("asof_payload").as[String].collect().head
+    assert(run("<=") == "r10")  // backward inclusive: tie matches
+    assert(run("<")  == "r5")   // backward strict: tie excluded
+    assert(run(">=") == "r10")  // forward inclusive: tie matches
+    assert(run(">")  == "r15")  // forward strict: earliest after
+  }
+
   test("pasteJoin zips positionally, truncating to the shorter side") {
     val l = Seq("a", "b", "c").toDF("x")
     val r = Seq(1, 2).toDF("y")
