@@ -28,7 +28,8 @@ object SparkEntry {
     qp.Extras3,
     qp.Extras4,
     qp.StatAggregates,
-    qp.Formats
+    qp.Formats,
+    qp.BitmapQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
