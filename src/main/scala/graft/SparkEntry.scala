@@ -29,7 +29,8 @@ object SparkEntry {
     qp.Extras4,
     qp.StatAggregates,
     qp.Formats,
-    qp.BitmapQueries
+    qp.BitmapQueries,
+    qp.MutationQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

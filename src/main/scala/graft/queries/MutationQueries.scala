@@ -1,0 +1,72 @@
+package graft.queries
+
+import graft.{Q, QueryPack, Tables}
+import graft.operators.Mutations
+import org.apache.spark.sql.functions._
+
+/** Batch mutation + TTL queries (round-2 verdict missing #1): ALTER
+  * UPDATE/DELETE re-expressed as declarative rewrites
+  * (src/Interpreters/MutationsInterpreter.h:44) and TTL row/column sweeps
+  * (src/Processors/Transforms/TTLTransform.cpp), each proven by an oracle
+  * that recomputes the mutation in plain SQL.
+  */
+object MutationQueries extends QueryPack {
+
+  override def queries: Seq[Q] = Seq(
+
+    // ALTER UPDATE (discount zeroed for small 'R' lines) then ALTER DELETE
+    // (pre-1996 shipments dropped) — the post-mutation table aggregated so
+    // both the update and the delete are visible in the checksum.
+    Q.df("q_mutation_update_delete", """
+      WITH m AS (
+        SELECT l_returnflag,
+          CASE WHEN l_returnflag = 'R' AND l_quantity < 10
+               THEN 0.0 ELSE l_discount END AS d,
+          l_quantity, l_shipdate
+        FROM lineitem)
+      SELECT l_returnflag, COUNT(*) AS n,
+        CAST(SUM(CAST(d AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM m
+      WHERE NOT (l_shipdate < TIMESTAMP '1996-01-01')
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""") { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val updated = Mutations.update(li,
+        col("l_returnflag") === "R" && col("l_quantity") < 10,
+        Map("l_discount" -> lit(0.0)))
+      val survived = Mutations.delete(updated,
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+      survived.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_discount").cast("decimal(18,2)")).cast("double").as("sum_disc"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy("l_returnflag")
+    },
+
+    // TTL sweep over events: rows older than Jan 10 expire entirely; the
+    // value COLUMN expires (nulls) on rows older than Jan 20.
+    Q.df("q_ttl_sweep", """
+      WITH t AS (
+        SELECT event_type,
+          CASE WHEN ts >= TIMESTAMP '2024-01-20' THEN value END AS v
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-10')
+      SELECT event_type, COUNT(*) AS n_rows, COUNT(v) AS n_live_values,
+        CAST(SUM(CAST(ROUND(v * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_v
+      FROM t
+      GROUP BY event_type
+      ORDER BY event_type""") { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val rowSwept = Mutations.ttlRows(ev, col("ts"),
+        lit("2024-01-10").cast("timestamp"))
+      val colSwept = Mutations.ttlColumn(rowSwept, "value", col("ts"),
+        lit("2024-01-20").cast("timestamp"))
+      colSwept.groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("value")).as("n_live_values"),
+          (sum(round(col("value") * 10000).cast("long")).cast("double") / 10000.0).as("sum_v"))
+        .orderBy("event_type")
+    }
+  )
+}
