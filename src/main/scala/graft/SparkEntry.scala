@@ -30,7 +30,8 @@ object SparkEntry {
     qp.StatAggregates,
     qp.Formats,
     qp.BitmapQueries,
-    qp.MutationQueries
+    qp.MutationQueries,
+    qp.Extras5
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

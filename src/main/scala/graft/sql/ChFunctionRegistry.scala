@@ -178,6 +178,27 @@ object ChFunctionRegistry {
       else mk(Cast(args(0), LongType), Cast(args(1), LongType))
     }),
 
+    // NLP minimal pack (src/Functions/tokens.cpp, stem.cpp). `tokens`
+    // splits on non-alphanumeric runs; `stem` is a deterministic
+    // suffix-stripping heuristic (the reference links libstemmer — not in
+    // this environment; same honest-heuristic stance as detectLanguage).
+    "tokens" -> (args =>
+      ArrayRemove(
+        StringSplit(args.head, Literal("[^\\p{L}\\p{N}_]+"), Literal(-1)),
+        Literal(""))),
+    "stem" -> (args => {
+      val w = Lower(if (args.length == 2) args(1) else args.head)
+      // order matters: sses→ss, ies→i, -ing/-ed/-ly after a 3+ letter stem,
+      // then trailing plural s (not -ss).
+      RegExpReplace(
+        RegExpReplace(
+          RegExpReplace(
+            RegExpReplace(w, Literal("sses$"), Literal("ss")),
+            Literal("ies$"), Literal("i")),
+          Literal("([a-z]{3,})(ing|edly|ed|ly)$"), Literal("$1")),
+        Literal("([a-z]+[^su])s$"), Literal("$1"))
+    }),
+
     // aggregates (registerAggregateFunctions.cpp)
     "uniq" -> (args => HyperLogLogPlusPlus(args.head)),
     "uniqhll12" -> (args => HyperLogLogPlusPlus(args.head)),
@@ -202,6 +223,36 @@ object ChFunctionRegistry {
     "quantiletdigest" -> (args =>
       if (args.length == 1) new ApproximatePercentile(args.head, Literal(0.5))
       else new ApproximatePercentile(args(0), args(1))),
+    // Remaining quantile sketch engines (AggregateFunctionQuantile*.cpp:
+    // Timing, GK, DD, BFloat16, Deterministic, InterpolatedWeighted) — all
+    // carried by Spark's single approximate-percentile sketch. The engine
+    // choice in CH trades accuracy/memory; the observable (an approximate
+    // quantile) is the same, so every name maps to ApproximatePercentile.
+    // quantileDeterministic's determinism seed is accepted and ignored
+    // (Spark's sketch is already deterministic for a given dataset).
+    "quantiletiming" -> (args =>
+      if (args.length == 1) new ApproximatePercentile(args.head, Literal(0.5))
+      else new ApproximatePercentile(args(0), args(1))),
+    "quantilegk" -> (args =>
+      if (args.length == 1) new ApproximatePercentile(args.head, Literal(0.5))
+      else new ApproximatePercentile(args(0), args(1))),
+    "quantiledd" -> (args =>
+      if (args.length == 1) new ApproximatePercentile(args.head, Literal(0.5))
+      else new ApproximatePercentile(args(0), args(1))),
+    "quantilebfloat16" -> (args =>
+      if (args.length == 1) new ApproximatePercentile(args.head, Literal(0.5))
+      else new ApproximatePercentile(args(0), args(1))),
+    "quantiledeterministic" -> (args =>
+      if (args.length <= 2) new ApproximatePercentile(args.head, Literal(0.5))
+      else new ApproximatePercentile(args(0), args(2))),
+    "quantileinterpolatedweighted" -> (args =>
+      // weighted interpolated quantile ≈ exact percentile with frequency
+      // weights (Percentile supports a frequency expression).
+      if (args.length == 2) new Percentile(args(0), Literal(0.5), args(1))
+      else new Percentile(args(0), args(2), args(1))),
+    "quantileexactweighted" -> (args =>
+      if (args.length == 2) new Percentile(args(0), Literal(0.5), args(1))
+      else new Percentile(args(0), args(2), args(1))),
     "stddevpop" -> (args => StddevPop(args.head)),
     "stddevsamp" -> (args => StddevSamp(args.head)),
     "varpop" -> (args => VariancePop(args.head)),
