@@ -31,7 +31,8 @@ object SparkEntry {
     qp.Formats,
     qp.BitmapQueries,
     qp.MutationQueries,
-    qp.Extras5
+    qp.Extras5,
+    qp.StorageQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,167 @@
+package graft.queries
+
+import graft.{Q, QueryPack, Tables}
+import graft.operators.{ExecutableUdf, Storages}
+import graft.sources.SystemTables
+import graft.sql.ClickHouseSql
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Dedicated queries for the special storage engines, system tables,
+  * introspection functions and the executable-UDF surface (SURVEY §2.1
+  * "special storages", §2.8 introspection, §2.10 executable UDF — all
+  * round-2 ◻/partial rows).
+  */
+object StorageQueries extends QueryPack {
+
+  override def queries: Seq[Q] = Seq(
+
+    // Memory engine (StorageMemory.h): cached in-RAM view.
+    Q.df("q_storage_memory", """
+      SELECT n_regionkey, COUNT(*) AS n,
+        STRING_AGG(n_name, ',' ORDER BY n_name) AS names
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""") { (s, dir) =>
+      val mem = Storages.memory(s, "mem_nation", Tables.load(s, dir, "nation"))
+      mem.groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n"),
+          concat_ws(",", array_sort(collect_list(col("n_name")))).as("names"))
+        .orderBy("n_regionkey")
+    },
+
+    // Join engine (StorageJoin.h): pre-keyed RAM right side, joinGet probe.
+    Q.df("q_storage_join", """
+      SELECT s_nationkey, CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_nationkey ORDER BY s_nationkey""") { (s, dir) =>
+      val js = Storages.joinStorage(
+        Tables.load(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+        "s_suppkey")
+      js.probe(
+        Tables.load(s, dir, "lineitem")
+          .select(col("l_suppkey"), round(col("l_quantity") * 100).cast("long").as("qc")),
+        col("l_suppkey"))
+        .groupBy("s_nationkey")
+        .agg(sum("qc").cast("long").as("qty_cents"))
+        .orderBy("s_nationkey")
+    },
+
+    // Set engine (StorageSet.h): persisted IN-set, semi/anti filtering.
+    Q.df("q_storage_set", """
+      WITH hot AS (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+      SELECT o_orderstatus,
+        COUNT(CASE WHEN o_custkey IN (SELECT c_custkey FROM hot) THEN 1 END) AS n_in,
+        COUNT(CASE WHEN o_custkey NOT IN (SELECT c_custkey FROM hot) THEN 1 END) AS n_out
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""") { (s, dir) =>
+      val set = Storages.setStorage(
+        Tables.load(s, dir, "customer").filter(col("c_acctbal") > 9000)
+          .select(col("c_custkey")), "c_custkey")
+      val orders = Tables.load(s, dir, "orders")
+      val nIn = set.filterIn(orders, col("o_custkey"))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n_in"))
+      val nOut = set.filterNotIn(orders, col("o_custkey"))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n_out"))
+      nIn.join(nOut, Seq("o_orderstatus"), "full")
+        .select(col("o_orderstatus"),
+          coalesce(col("n_in"), lit(0L)).as("n_in"),
+          coalesce(col("n_out"), lit(0L)).as("n_out"))
+        .orderBy("o_orderstatus")
+    },
+
+    // Buffer engine (StorageBuffer.h): reads see buffer ∪ flushed base.
+    Q.df("q_storage_buffer", """
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_v
+      FROM events GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val cut = lit("2024-01-25").cast("timestamp")
+      val store = Storages.buffer(
+        ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut))
+      store.read.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("value") * 10000).cast("long")).cast("double") / 10000.0)
+            .as("sum_v"))
+        .orderBy("event_type")
+    },
+
+    // Merge engine (StorageMerge.h): catalog-regex union view over
+    // same-schema member tables.
+    Q.df("q_storage_merge", """
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""") { (s, dir) =>
+      val orders = Tables.load(s, dir, "orders")
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .createOrReplaceTempView("merge_orders_even")
+      orders.filter(col("o_orderkey") % 2 === 1)
+        .createOrReplaceTempView("merge_orders_odd")
+      Storages.mergeByPattern(s, "merge_orders_.*")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast("long")).cast("long").as("cents"))
+        .orderBy("o_orderstatus")
+    },
+
+    // system.tables (StorageSystemTables.cpp): the corpus tables visible
+    // in the session catalog.
+    Q.df("q_system_tables", """
+      SELECT * FROM (VALUES ('customer'), ('documents'), ('embeddings'),
+        ('events'), ('lineitem'), ('nation'), ('orders'), ('part'),
+        ('region'), ('supplier')) t(name) ORDER BY name""") { (s, dir) =>
+      Tables.register(s, dir)
+      SystemTables.tables(s)
+        .filter(col("name").isin(Tables.names: _*))
+        .select("name").orderBy("name")
+    },
+
+    // system.columns (StorageSystemColumns.cpp): column inventory with
+    // positions and types.
+    Q.df("q_system_columns", """
+      SELECT * FROM (VALUES
+        ('nation', 'n_nationkey', 1, 'int'), ('nation', 'n_name', 2, 'string'),
+        ('nation', 'n_regionkey', 3, 'int'),
+        ('region', 'r_regionkey', 1, 'int'), ('region', 'r_name', 2, 'string')
+      ) t(table_name, column_name, position, data_type)
+      ORDER BY table_name, position""") { (s, dir) =>
+      Tables.register(s, dir)
+      SystemTables.columns(s, "nation")
+        .unionByName(SystemTables.columns(s, "region"))
+        .orderBy("table_name", "position")
+    },
+
+    // bar() introspection rendering (src/Functions/bar.cpp): 1/8-block
+    // proportional bars, arithmetic mirrored in the oracle.
+    Q(name = "q_fn_bar",
+      run = (s, dir) => {
+        Tables.register(s, dir)
+        ClickHouseSql.sql(s, """
+          SELECT n_nationkey, bar(n_nationkey, 0, 24, 10) AS b
+          FROM nation ORDER BY n_nationkey""")
+      },
+      oracle = Some("""
+        WITH w AS (SELECT n_nationkey,
+            LEAST(GREATEST(CAST(n_nationkey AS DOUBLE) / 24.0 * 10.0, 0.0), 10.0) AS wd
+          FROM nation)
+        SELECT n_nationkey,
+          REPEAT('█', CAST(FLOOR(wd) AS INT)) ||
+          CASE WHEN CAST(FLOOR((wd - FLOOR(wd)) * 8.0) AS INT) > 0
+            THEN SUBSTRING('▏▎▍▌▋▊▉', CAST(FLOOR((wd - FLOOR(wd)) * 8.0) AS INT), 1)
+            ELSE '' END AS b
+        FROM w ORDER BY n_nationkey""")),
+
+    // Executable (subprocess) UDF (ExecutableUserDefinedFunction.h): rows
+    // stream through awk per partition; deterministic integer transform.
+    Q.df("q_udf_executable", """
+      SELECT o_orderkey, o_custkey * 2 AS doubled
+      FROM orders WHERE o_orderkey <= 2000
+      ORDER BY o_orderkey""") { (s, dir) =>
+      val in = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") <= 2000)
+        .select("o_orderkey", "o_custkey")
+      ExecutableUdf.pipe(in,
+        """awk -F'\t' '{print $1 "\t" ($2 * 2)}'""",
+        StructType(Seq(StructField("o_orderkey", LongType),
+          StructField("doubled", LongType))))
+        .orderBy("o_orderkey")
+    }
+  )
+}

@@ -1,0 +1,37 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** System-table surface (reference: src/Storages/System/ —
+  * StorageSystemTables.cpp, StorageSystemColumns.cpp,
+  * StorageSystemFunctions.cpp). The Spark catalog is the source of truth;
+  * these expose it as queryable frames with reference-shaped columns.
+  * system.numbers/one are covered by the table functions
+  * (`q_tf_numbers`). */
+object SystemTables {
+
+  /** system.tables: session-visible tables/views. */
+  def tables(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.catalog.listTables().collect()
+      .map(t => (Option(t.database).getOrElse("default"), t.name,
+        t.tableType, t.isTemporary))
+      .toSeq.toDF("database", "name", "engine", "is_temporary")
+  }
+
+  /** system.columns: column inventory of a registered table. */
+  def columns(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    spark.table(table).schema.fields.zipWithIndex
+      .map { case (f, i) => (table, f.name, i + 1, f.dataType.simpleString) }
+      .toSeq.toDF("table_name", "column_name", "position", "data_type")
+  }
+
+  /** system.functions: resolvable function names (builtin + registered). */
+  def functions(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.catalog.listFunctions().collect()
+      .map(f => (f.name, f.isTemporary)).toSeq
+      .toDF("name", "is_temporary")
+  }
+}

@@ -178,6 +178,27 @@ object ChFunctionRegistry {
       else mk(Cast(args(0), LongType), Cast(args(1), LongType))
     }),
 
+    // introspection (src/Functions/registerFunctionsIntrospection.cpp,
+    // bar.cpp). `version` is NOT registered (Spark builtin, pinned
+    // skip-list in ChRegistrySpec); `bar` renders a 1/8-block proportional
+    // bar exactly like the reference.
+    "currentdatabase" -> (_ => Literal("default")),
+    "bar" -> (args => {
+      val x = Cast(args(0), DoubleType)
+      val mn = Cast(args(1), DoubleType)
+      val mx = Cast(args(2), DoubleType)
+      val w = if (args.length >= 4) Cast(args(3), DoubleType) else Literal(80.0)
+      val width = Multiply(Divide(Subtract(x, mn), Subtract(mx, mn)), w)
+      val clamped = Least(Seq(Greatest(Seq(width, Literal(0.0))), w))
+      val full = Cast(Floor(clamped), IntegerType)
+      val frac = Cast(Multiply(Subtract(clamped, Floor(clamped)), Literal(8.0)), IntegerType)
+      Concat(Seq(
+        StringRepeat(Literal("█"), full),
+        If(GreaterThan(frac, Literal(0)),
+          Substring(Literal("▏▎▍▌▋▊▉"), frac, Literal(1)),
+          Literal(""))))
+    }),
+
     // NLP minimal pack (src/Functions/tokens.cpp, stem.cpp). `tokens`
     // splits on non-alphanumeric runs; `stem` is a deterministic
     // suffix-stripping heuristic (the reference links libstemmer — not in
