@@ -32,7 +32,8 @@ object SparkEntry {
     qp.BitmapQueries,
     qp.MutationQueries,
     qp.Extras5,
-    qp.StorageQueries
+    qp.StorageQueries,
+    qp.MlQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
