@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.WindowView
+import graft.streaming.{StatefulOps, WindowView}
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
@@ -20,6 +20,22 @@ class StreamingSpec extends SparkFunSuite {
       assert(streamed.length == batch.length)
       assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq)
     } finally q.stop()
+  }
+
+  test("mapGroupsWithState running totals equal the batch aggregation") {
+    val stream = WindowView.eventsStream(spark, sf)
+    val finals = StatefulOps.replayToFinalTotals(spark, stream)
+    val batch = Tables.load(spark, sf, "events")
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.round(
+            org.apache.spark.sql.functions.col("value") * 10000)
+            .cast("long")).as("s"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(finals == batch)
   }
 
   test("bounded watermark append mode emits only closed windows") {
