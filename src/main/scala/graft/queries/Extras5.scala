@@ -282,6 +282,55 @@ object Extras5 extends QueryPack {
       FROM rk WHERE rn = 1
       ORDER BY bucket"""),
 
+    // rounding specials + string distance (FunctionsRound.cpp,
+    // stringDistance.cpp) through the CH registry; oracle replays the
+    // threshold buckets and uses DuckDB's levenshtein.
+    ch("q_fn_round_special_distance", """
+      SELECT p_partkey,
+        roundToExp2(p_size) AS e2,
+        roundDuration(p_size * 37) AS dur,
+        roundAge(p_size) AS age,
+        levenshteinDistance(p_brand, p_type) AS lev
+      FROM part WHERE p_partkey <= 300 ORDER BY p_partkey""",
+      """
+      SELECT p_partkey,
+        CASE WHEN p_size < 1 THEN 0
+             ELSE CAST(POWER(2, FLOOR(LOG2(CAST(p_size AS DOUBLE)))) AS BIGINT)
+        END AS e2,
+        CASE WHEN p_size * 37 >= 36000 THEN 36000
+             WHEN p_size * 37 >= 18000 THEN 18000
+             WHEN p_size * 37 >= 7200 THEN 7200
+             WHEN p_size * 37 >= 3600 THEN 3600
+             WHEN p_size * 37 >= 1800 THEN 1800
+             WHEN p_size * 37 >= 1200 THEN 1200
+             WHEN p_size * 37 >= 600 THEN 600
+             WHEN p_size * 37 >= 300 THEN 300
+             WHEN p_size * 37 >= 240 THEN 240
+             WHEN p_size * 37 >= 180 THEN 180
+             WHEN p_size * 37 >= 120 THEN 120
+             WHEN p_size * 37 >= 60 THEN 60
+             WHEN p_size * 37 >= 30 THEN 30
+             WHEN p_size * 37 >= 10 THEN 10
+             WHEN p_size * 37 >= 1 THEN 1 ELSE 0 END AS dur,
+        CASE WHEN p_size >= 55 THEN 55 WHEN p_size >= 45 THEN 45
+             WHEN p_size >= 35 THEN 35 WHEN p_size >= 25 THEN 25
+             WHEN p_size >= 18 THEN 18 WHEN p_size >= 1 THEN 17
+             ELSE 0 END AS age,
+        LEVENSHTEIN(p_brand, p_type) AS lev
+      FROM part WHERE p_partkey <= 300 ORDER BY p_partkey"""),
+
+    // multiSearchAny with NON-LITERAL needle columns (the round-2
+    // "array-literal only" gap): needles built per-row from data.
+    ch("q_ch_multisearch_column", """
+      SELECT p_partkey,
+        multiSearchAny(p_name, SPLIT(p_type, ' ')) AS hit
+      FROM part WHERE p_partkey <= 300 ORDER BY p_partkey""",
+      """
+      SELECT p_partkey,
+        LEN(LIST_FILTER(STRING_SPLIT(p_type, ' '),
+          w -> CONTAINS(p_name, w))) > 0 AS hit
+      FROM part WHERE p_partkey <= 300 ORDER BY p_partkey"""),
+
     // GROUPS window frames (WindowDescription.h:32; Spark lacks GROUPS) —
     // emulated by pre-aggregating per (partition, order value) and running
     // a ROWS frame over the per-value table, then weighting back. The

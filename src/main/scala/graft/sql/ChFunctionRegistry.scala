@@ -105,17 +105,23 @@ object ChFunctionRegistry {
     // MultiMatchAnyImpl.h): OR-chain of contains / rlike over an array
     // literal of needles — codegen'd, and each disjunct can still push
     // into the scan as a string predicate.
+    // Literal needle arrays unroll to an OR-chain of codegen'd CONTAINS /
+    // RLIKE (the hot path); non-literal needle columns fall back to an
+    // EXISTS higher-order lambda (interpreted, but fully general — the
+    // round-2 "array-literal only" gap).
     "multisearchany" -> (args => args(1) match {
       case CreateArray(items, _) =>
         items.map(n => Contains(args(0), n): Expression).reduce(Or)
-      case other => throw new IllegalArgumentException(
-        s"multiSearchAny expects an array literal of needles, got $other")
+      case needles =>
+        val x = NamedLambdaVariable("ms_n", StringType, nullable = true)
+        ArrayExists(needles, LambdaFunction(Contains(args(0), x), Seq(x)))
     }),
     "multimatchany" -> (args => args(1) match {
       case CreateArray(items, _) =>
         items.map(n => RLike(args(0), n): Expression).reduce(Or)
-      case other => throw new IllegalArgumentException(
-        s"multiMatchAny expects an array literal of patterns, got $other")
+      case patterns =>
+        val x = NamedLambdaVariable("mm_p", StringType, nullable = true)
+        ArrayExists(patterns, LambdaFunction(RLike(args(0), x), Seq(x)))
     }),
 
     // date/time (DateTimeTransforms.h)
@@ -177,6 +183,32 @@ object ChFunctionRegistry {
       if (args.length == 1) mk(Literal(0L), Cast(args.head, LongType))
       else mk(Cast(args(0), LongType), Cast(args(1), LongType))
     }),
+
+    // rounding specials (FunctionsRound.cpp: roundToExp2, roundDuration,
+    // roundAge — threshold-bucket rounding)
+    "roundtoexp2" -> (args => {
+      val x = Cast(args.head, DoubleType)
+      If(LessThan(x, Literal(1.0)), Literal(0L),
+        Cast(Pow(Literal(2.0), Floor(Log2(x))), LongType))
+    }),
+    "roundduration" -> (args => {
+      val x = Cast(args.head, LongType)
+      val buckets = Seq(36000L, 18000L, 7200L, 3600L, 1800L, 1200L, 600L,
+        300L, 240L, 180L, 120L, 60L, 30L, 10L, 1L)
+      buckets.foldRight(Literal(0L): Expression)((t, acc) =>
+        If(GreaterThanOrEqual(x, Literal(t)), Literal(t), acc))
+    }),
+    "roundage" -> (args => {
+      val x = Cast(args.head, LongType)
+      val steps = Seq(55L -> 55L, 45L -> 45L, 35L -> 35L, 25L -> 25L,
+        18L -> 18L, 1L -> 17L)
+      steps.foldRight(Literal(0L): Expression) { case ((lo, out), acc) =>
+        If(GreaterThanOrEqual(x, Literal(lo)), Literal(out), acc)
+      }
+    }),
+    // string distances (stringDistance.cpp)
+    "levenshteindistance" -> (args => Levenshtein(args(0), args(1))),
+    "editdistance" -> (args => Levenshtein(args(0), args(1))),
 
     // introspection (src/Functions/registerFunctionsIntrospection.cpp,
     // bar.cpp). `version` is NOT registered (Spark builtin, pinned
