@@ -299,6 +299,71 @@ object LlmPipeline extends QueryPack {
         .orderBy("qid", "nid")
     },
 
+    // --- Dedup: embedding-cosine near-dup (exact, oracled subset) -----
+    // Pairs with cosine >= 0.4 among the first 300 vectors — the exact
+    // verification semantics of embedding dedup, bit-identical fold
+    // arithmetic on both engines. (This synthetic corpus plants no true
+    // near-dups — max pairwise cosine ~0.46 — so the threshold sits where
+    // the operator has work to do; the semantics are threshold-agnostic.)
+    // The full-corpus scale path is the LSH-bucketed variant below.
+    Q.df("q_dedup_embedding_exact", """
+      WITH e AS (SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) v
+                 FROM embeddings WHERE vec_id < 300),
+      n AS (SELECT vec_id, v,
+              SQRT(LIST_REDUCE(LIST_TRANSFORM(v, x -> x*x), (a,b) -> a+b)) nrm FROM e),
+      p AS (SELECT a.vec_id id_a, b.vec_id id_b,
+              LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(a.v, b.v), pp -> pp[1] * pp[2]), (x,y) -> x+y)
+                / (a.nrm * b.nrm) cos
+            FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      SELECT id_a, id_b, ROUND(cos, 6) AS cos
+      FROM p WHERE cos >= 0.4
+      ORDER BY id_a, id_b""") { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") < 300)
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("nrm", l2norm(col("v")))
+      val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .filter(col("cos") >= 0.4)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // --- Dedup: embedding-cosine near-dup (LSH-bucketed scale path) ----
+    // Full-corpus variant: random-hyperplane sign buckets (16 tables x 6
+    // planes -> 6-bit keys; tuned for the ~0.4-cosine regime of this
+    // corpus) generate candidates, exact cosine verifies the threshold.
+    // Same blocking shape as the minhash dedup: the shuffle key
+    // is (table, bucket), candidate pairs carry only ids, hot buckets are
+    // capped. Rows-only (bucketing is engine-internal); soundness asserted
+    // in LlmPipelineSpec against the exact subset.
+    Q.unoracled("q_dedup_embedding_lsh") { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("nrm", l2norm(col("v")))
+      def bucketKey(t: Int) = (0 until 6).map { p =>
+        val plane = array((0 until 64).map(i =>
+          lit((((i * 29 + (t * 6 + p) * 13) % 9) - 4).toDouble)): _*)
+        when(dot(col("v"), plane) > 0, lit(1L << p)).otherwise(0L)
+      }.reduce(_ + _)
+      val tables = (0 until 16).map(t => struct(lit(t).as("tbl"), bucketKey(t).as("key")))
+      val banded = capBuckets(
+        e.select(col("vec_id"), explode(array(tables: _*)).as("bk")), "vec_id", 128)
+      val cand = banded.select(col("vec_id").as("id_a"), col("bk"))
+        .join(banded.select(col("vec_id").as("id_b"), col("bk")), Seq("bk"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      cand
+        .join(e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), Seq("id_a"))
+        .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("id_b"))
+        .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .filter(col("cos") >= 0.4)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .orderBy("id_a", "id_b")
+    },
+
     // --- Text analysis: token statistics -----------------------------
     Q.df("q_text_tokens", """
       WITH w AS (SELECT doc_id, n_chars,

@@ -46,6 +46,17 @@ class LlmPipelineSpec extends SparkFunSuite {
     check("q_ann_ivf", 0.65)           // measured ~0.85 (nprobe=4/16)
   }
 
+  test("embedding-cosine LSH dedup is sound vs the exact subset") {
+    // every LSH pair among vec_id < 300 must appear in the exact all-pairs
+    // result (same threshold) — bucketing can lose pairs, never invent them
+    val exact = SparkEntry.queries("q_dedup_embedding_exact")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("q_dedup_embedding_lsh")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter(p => p._1 < 300 && p._2 < 300).toSet
+    assert(lsh.subsetOf(exact), s"unsound pairs: ${lsh.diff(exact)}")
+  }
+
   test("simhash dedup pairs are within the hamming bound") {
     val rows = SparkEntry.queries("q_dedup_simhash")(spark, sf).collect()
     assert(rows.forall(_.getInt(2) <= 12))
