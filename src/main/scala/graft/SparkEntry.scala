@@ -33,7 +33,8 @@ object SparkEntry {
     qp.MutationQueries,
     qp.Extras5,
     qp.StorageQueries,
-    qp.MlQueries
+    qp.MlQueries,
+    qp.TpchExtra
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
