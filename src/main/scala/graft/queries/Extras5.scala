@@ -282,6 +282,28 @@ object Extras5 extends QueryPack {
       FROM rk WHERE rn = 1
       ORDER BY bucket"""),
 
+    // uniqState/uniqMerge sketch algebra over DataSketches HLL: per-status
+    // binary states union-merged to a global estimate. At the tiny
+    // o_orderpriority cardinality (5) the sketch operates in exact
+    // list-mode, so COUNT DISTINCT is a true oracle; the big-cardinality
+    // merge path (states == single pass, ±5% of exact) is asserted in
+    // ChRegistrySpec.
+    Q.sparkSql("q_agg_uniq_state_merge_hll", """
+      WITH st AS (SELECT o_orderstatus,
+                    HLL_SKETCH_AGG(o_orderpriority) AS sk
+                  FROM orders GROUP BY o_orderstatus)
+      SELECT o_orderstatus, HLL_SKETCH_ESTIMATE(sk) AS nd FROM st
+      UNION ALL
+      SELECT 'ALL' AS o_orderstatus, HLL_SKETCH_ESTIMATE(HLL_UNION_AGG(sk)) AS nd FROM st
+      ORDER BY o_orderstatus""",
+      """
+      SELECT o_orderstatus, COUNT(DISTINCT o_orderpriority) AS nd
+      FROM orders GROUP BY o_orderstatus
+      UNION ALL
+      SELECT 'ALL' AS o_orderstatus, COUNT(DISTINCT o_orderpriority) AS nd
+      FROM orders
+      ORDER BY o_orderstatus"""),
+
     // rounding specials + string distance (FunctionsRound.cpp,
     // stringDistance.cpp) through the CH registry; oracle replays the
     // threshold buckets and uses DuckDB's levenshtein.

@@ -260,6 +260,12 @@ object ChFunctionRegistry {
     // — carried by Spark's HLL++ (same observable: approximate count).
     "uniqtheta" -> (args => HyperLogLogPlusPlus(args.head)),
     "uniqexact" -> (args => Count(args).toAggregateExpression(isDistinct = true)),
+    // -State/-Merge for uniq, carried by DataSketches HLL (binary states
+    // persist to parquet and re-merge, exactly like the reference's
+    // AggregateFunction(uniq, ...) columns in an AggregatingMergeTree).
+    "uniqstate" -> (args => new HllSketchAgg(args.head)),
+    "uniqmerge" -> (args =>
+      HllSketchEstimate(new HllUnionAgg(args.head).toAggregateExpression())),
     // CH `any` (first value) is NOT registered: Spark's built-in `any` is
     // bool_or, and shadowing it would silently change standard-SQL
     // semantics session-wide. The dialect rewriter maps any( → any_value(.

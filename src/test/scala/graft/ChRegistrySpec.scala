@@ -55,6 +55,24 @@ class ChRegistrySpec extends SparkFunSuite {
     assert(b)
   }
 
+  test("uniqState/uniqMerge: merged partial states equal the single pass") {
+    ChFunctionRegistry.install(spark)
+    Tables.register(spark, sf)
+    // two-level: per-status states merged == one global sketch; both
+    // within 5% of exact on a real high-cardinality column
+    val merged = spark.sql("""
+      WITH st AS (SELECT o_orderstatus, uniqState(o_custkey) sk
+                  FROM orders GROUP BY o_orderstatus)
+      SELECT uniqMerge(sk) FROM st""").head().getLong(0)
+    val direct = spark.sql(
+      "SELECT HLL_SKETCH_ESTIMATE(uniqState(o_custkey)) FROM orders")
+      .head().getLong(0)
+    val exact = spark.sql("SELECT COUNT(DISTINCT o_custkey) FROM orders")
+      .head().getLong(0)
+    assert(merged == direct, s"merge-of-states $merged != single-pass $direct")
+    assert(math.abs(merged - exact).toDouble / exact < 0.05)
+  }
+
   test("range() returns empty array for empty/negative ranges") {
     ChFunctionRegistry.install(spark)
     assert(spark.sql("SELECT range(0)").head().getSeq[Long](0).isEmpty)
