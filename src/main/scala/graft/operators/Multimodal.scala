@@ -69,4 +69,35 @@ object Multimodal {
     val docs = graft.Tables.load(spark, dir, "documents")
     decodeStub(asMediaTable(docs)).toDF()
   }
+
+  case class FrameRow(doc_id: Long, frame_idx: Int, frame_payload: Array[Byte])
+
+  /** Frame sampling for video payloads: every `every`-th fixed-size chunk
+    * becomes a frame row (??? a real codec seeks keyframes here — the
+    * deterministic chunking is the stub). flatMap keeps the row-expanding
+    * generator shape; frames inherit the parent row's partition, so the
+    * binary payload still never shuffles pre-decode. */
+  def frameSample(media: Dataset[MediaRow], every: Int,
+      frameBytes: Int): Dataset[FrameRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "video").flatMap { r =>
+      r.payload.grouped(frameBytes).zipWithIndex.collect {
+        case (chunk, idx) if idx % every == 0 => FrameRow(r.doc_id, idx, chunk)
+      }
+    }
+  }
+
+  /** Resize stage: rebin the 16-bucket intensity histogram down to `bins`
+    * (??? a real impl resamples pixels; rebinning is the
+    * dimension-reduction stub). Mass-preserving: the rebinned histogram
+    * sums to the original's total. */
+  def resizeFeatures(features: Dataset[MediaFeatures], bins: Int): DataFrame = {
+    require(16 % bins == 0, "bins must divide 16")
+    val group = 16 / bins
+    features.toDF().withColumn("histogram",
+      transform(sequence(lit(0), lit(bins - 1)), b =>
+        aggregate(slice(col("histogram"), b * group + 1, lit(group)),
+          lit(0.0), (acc, x) => acc + x)))
+  }
 }

@@ -62,6 +62,29 @@ class LlmPipelineSpec extends SparkFunSuite {
     assert(rows.forall(_.getInt(2) <= 12))
   }
 
+  test("multimodal frame-sample and resize stages keep the batch shape") {
+    val media = Multimodal.asMediaTable(
+      Tables.load(spark, sf, "documents").limit(50))
+    val frames = Multimodal.frameSample(media, every = 2, frameBytes = 64).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frame_idx % 2 == 0))
+    assert(frames.forall(_.frame_payload.length <= 64))
+    // deterministic across runs
+    val again = Multimodal.frameSample(media, 2, 64).collect()
+    assert(frames.map(f => (f.doc_id, f.frame_idx)).sorted.toSeq ==
+      again.map(f => (f.doc_id, f.frame_idx)).sorted.toSeq)
+
+    val feats = Multimodal.decodeStub(media)
+    val resized = Multimodal.resizeFeatures(feats, 4)
+      .select("doc_id", "histogram").collect()
+    assert(resized.forall(_.getSeq[Double](1).length == 4))
+    // mass-preserving vs the 16-bin original
+    val orig = feats.collect().map(f => f.doc_id -> f.histogram.sum).toMap
+    resized.foreach { r =>
+      assert(math.abs(r.getSeq[Double](1).sum - orig(r.getLong(0))) < 1e-9)
+    }
+  }
+
   test("multimodal decode stub is deterministic and schema-complete") {
     val f1 = Multimodal.featureTable(spark, sf).orderBy("doc_id").collect()
     val f2 = Multimodal.featureTable(spark, sf).orderBy("doc_id").collect()
