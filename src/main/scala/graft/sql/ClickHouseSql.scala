@@ -53,10 +53,18 @@ object ClickHouseSql {
         val from = m.group(2).toLong
         val to = m.group(3).toLong
         val step = Option(m.group(4)).map(_.toLong).getOrElse(1L)
+        // the `to - 1` upper bound assumes an ascending fill — a
+        // non-positive step would silently emit a wrong sequence
+        // (round-2 advice); ClickHouse itself requires STEP > 0 here.
+        require(step > 0, s"WITH FILL STEP must be positive, got $step")
         val interp = Option(m.group(5))
         val core = s.substring(0, m.start)
+        // FULL OUTER: ClickHouse WITH FILL KEEPS source rows whose axis
+        // value lies outside [FROM, TO) — only the axis grid is generated,
+        // never used to filter (round-2 advice; LEFT JOIN from the axis
+        // dropped them).
         val joined = s"(SELECT explode(sequence($from, ${to - 1}, $step)) AS $axis) __fill_axis " +
-          s"LEFT JOIN ($core) __fill_src USING ($axis)"
+          s"FULL OUTER JOIN ($core) __fill_src USING ($axis)"
         interp match {
           case Some(c) =>
             s"SELECT $axis, last($c, true) OVER (ORDER BY $axis " +

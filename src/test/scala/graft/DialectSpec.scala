@@ -43,6 +43,20 @@ class DialectSpec extends SparkFunSuite {
     }
   }
 
+  test("WITH FILL keeps out-of-range rows and rejects STEP <= 0") {
+    ChFunctionRegistry.install(spark)
+    spark.sql("SELECT * FROM VALUES (1, 'a'), (9, 'z') t(k, v)")
+      .createOrReplaceTempView("fill_src")
+    // 9 is outside [1, 4) but must survive; 2 and 3 are filled in
+    val rows = ClickHouseSql.sql(spark,
+      "SELECT k, v FROM fill_src ORDER BY k WITH FILL FROM 1 TO 4")
+      .collect().map(r => (r.getInt(0), if (r.isNullAt(1)) null else r.getString(1)))
+    assert(rows.toSeq == Seq((1, "a"), (2, null), (3, null), (9, "z")))
+    intercept[IllegalArgumentException] {
+      ClickHouseSql.rewrite("SELECT k FROM fill_src ORDER BY k WITH FILL FROM 1 TO 4 STEP -1")
+    }
+  }
+
   test("CH names resolve through the registry") {
     ChFunctionRegistry.install(spark)
     Tables.register(spark, sf)
