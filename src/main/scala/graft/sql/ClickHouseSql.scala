@@ -151,10 +151,22 @@ object ClickHouseSql {
           val rawArgs = (splits :+ end).toSeq.sliding(2).map { case Seq(a, b) =>
             s.substring(a, math.max(a, b - 1)).trim
           }.toSeq.filter(_.nonEmpty)
+          // Two-phase substitution (round-2 advice): first every parameter
+          // becomes a collision-free placeholder (skipping the body's
+          // string literals), THEN placeholders become argument texts — a
+          // sequential single pass would rewrite parameter names occurring
+          // inside already-injected arguments (f AS (x,y) -> x+y called as
+          // f(y,1) expanded to ((1))+(1)).
           var expanded = body
-          params.zip(rawArgs).foreach { case (p, a) =>
-            expanded = expanded.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(p) + "\\b",
-              java.util.regex.Matcher.quoteReplacement(s"($a)"))
+          val placeholders = params.zipWithIndex.map { case (p, i) =>
+            (p, s"__graft_arg_${i}__")
+          }
+          placeholders.foreach { case (p, tok) =>
+            expanded = replaceOutsideStrings(expanded,
+              "(?i)\\b" + java.util.regex.Pattern.quote(p) + "\\b", tok)
+          }
+          placeholders.map(_._2).zip(rawArgs).foreach { case (tok, a) =>
+            expanded = expanded.replace(tok, s"($a)")
           }
           s = s.substring(0, start) + "(" + expanded + ")" + s.substring(end)
           changed = true
@@ -163,6 +175,30 @@ object ClickHouseSql {
       }
     }
     s
+  }
+
+  /** Regex-replace applied only OUTSIDE single-quoted string literals —
+    * a lambda body's 'x = ...' literal must not have its x rewritten. */
+  private def replaceOutsideStrings(s: String, pattern: String,
+      replacement: String): String = {
+    val sb = new StringBuilder
+    var segStart = 0
+    var inStr = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (!inStr && c == '\'') {
+        sb.append(s.substring(segStart, i).replaceAll(pattern, replacement))
+        segStart = i; inStr = true
+      } else if (inStr && c == '\'') {
+        sb.append(s.substring(segStart, i + 1))
+        segStart = i + 1; inStr = false
+      }
+      i += 1
+    }
+    val tail = s.substring(segStart)
+    sb.append(if (inStr) tail else tail.replaceAll(pattern, replacement))
+    sb.toString
   }
 
   /** `... FORMAT JSONEachRow` → strip (output format is the caller's

@@ -101,6 +101,24 @@ class ChRegistrySpec extends SparkFunSuite {
     ClickHouseSql.dropFunction("add_twice")
   }
 
+  test("lambda inlining: argument texts colliding with parameter names") {
+    ClickHouseSql.createFunction("CREATE FUNCTION gr_add AS (x, y) -> x + y")
+    ClickHouseSql.createFunction(
+      "CREATE FUNCTION gr_tag AS (x) -> concat('x=', CAST(x AS STRING))")
+    try {
+      // f(y, 1): the injected 'y' must NOT be rewritten by the y-parameter
+      // pass (round-2 advice: expanded to ((1)) + (1) before the fix)
+      val r = spark.sql(ClickHouseSql.rewrite(
+        "SELECT gr_add(y, 1) AS a, gr_tag(y) AS t FROM VALUES (41) v(y)"))
+        .head()
+      assert(r.getInt(0) == 42)
+      assert(r.getString(1) == "x=41") // literal 'x=' survives
+    } finally {
+      ClickHouseSql.dropFunction("gr_add")
+      ClickHouseSql.dropFunction("gr_tag")
+    }
+  }
+
   test("asofJoinBackward works with STRING keys (round-1 bug)") {
     val s = spark
     import s.implicits._
