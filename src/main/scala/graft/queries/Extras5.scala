@@ -282,6 +282,49 @@ object Extras5 extends QueryPack {
       FROM rk WHERE rn = 1
       ORDER BY bucket"""),
 
+    // Second CH-name parity battery: the round-3 registry additions
+    // (date arithmetic, padding/trim, array push/pop/sort/uniq, map
+    // accessors, IPv6/UUID codecs through SQL). Constant-input results are
+    // pinned as literals in the oracle; data-dependent ones recomputed.
+    ch("q_ch_functions2", """
+      SELECT n_nationkey,
+        addWeeks(toDateTime('1997-01-01 00:00:00'), n_nationkey) AS wk,
+        CAST(subtractMonths(toDateTime('1997-06-15 00:00:00'), 1) AS DATE) AS sm,
+        toDayOfYear(toDate('1997-03-05')) AS doy,
+        toLastDayOfMonth(toDate('1997-02-03')) AS ldom,
+        toUnixTimestamp(toDateTime('1997-01-01 00:00:00')) AS uts,
+        fromUnixTimestamp(852076800) AS futs,
+        leftPad(n_name, 12, '.') AS lp,
+        trimBoth('  x  ') AS tb,
+        substringIndex('a.b.c', '.', 2) AS si,
+        arrayStringConcat(arraySort(ARRAY(3, 1, 2)), ',') AS asrt,
+        arrayStringConcat(arrayPushBack(ARRAY('a', 'b'), 'c'), ',') AS apb,
+        arrayStringConcat(arrayPopFront(ARRAY('a', 'b', 'c')), ',') AS apf,
+        arrayUniq(ARRAY(1, 1, 2)) AS au,
+        mapContains(MAP('k', 1), 'k') AS mc,
+        ipv6NumToString(UNHEX('20010DB8000000000000FF0000428329')) AS ip6,
+        uuidNumToString(uuidStringToNum('550E8400-E29B-41D4-A716-446655440000')) AS uu
+      FROM nation ORDER BY n_nationkey""",
+      """
+      SELECT n_nationkey,
+        TIMESTAMP '1997-01-01 00:00:00' + n_nationkey * INTERVAL 7 DAY AS wk,
+        DATE '1997-05-15' AS sm,
+        64 AS doy,
+        DATE '1997-02-28' AS ldom,
+        852076800 AS uts,
+        TIMESTAMP '1997-01-01 00:00:00' AS futs,
+        LPAD(n_name, 12, '.') AS lp,
+        'x' AS tb,
+        'a.b' AS si,
+        '1,2,3' AS asrt,
+        'a,b,c' AS apb,
+        'b,c' AS apf,
+        2 AS au,
+        TRUE AS mc,
+        '2001:db8::ff00:42:8329' AS ip6,
+        '550e8400-e29b-41d4-a716-446655440000' AS uu
+      FROM nation ORDER BY n_nationkey"""),
+
     // uniqState/uniqMerge sketch algebra over DataSketches HLL: per-status
     // binary states union-merged to a global estimate. At the tiny
     // o_orderpriority cardinality (5) the sketch operates in exact

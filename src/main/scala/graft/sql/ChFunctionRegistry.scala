@@ -21,6 +21,7 @@ object ChFunctionRegistry {
   private def cast(dt: DataType): Seq[Expression] => Expression =
     args => Cast(args.head, dt)
 
+
   private def tryCast(dt: DataType): Seq[Expression] => Expression =
     args => Cast(args.head, dt, None, EvalMode.TRY)
 
@@ -96,6 +97,15 @@ object ChFunctionRegistry {
     "positionutf8" -> (args => StringLocate(args(1), args(0), Literal(1))),
     "extractutf8" -> (args => RegExpExtract(args(0), args(1), Literal(1))),
     "replaceall" -> (args => StringReplace(args(0), args(1), args(2))),
+    "leftpad" -> (args => StringLPad(args(0), args(1),
+      if (args.length > 2) args(2) else Literal(" "))),
+    "rightpad" -> (args => StringRPad(args(0), args(1),
+      if (args.length > 2) args(2) else Literal(" "))),
+    "substringindex" -> (args => SubstringIndex(args(0), args(1), args(2))),
+    "trimboth" -> (args => StringTrim(args.head)),
+    "trimleft" -> (args => StringTrimLeft(args.head)),
+    "trimright" -> (args => StringTrimRight(args.head)),
+    "concatwithseparator" -> (args => ConcatWs(args)),
     "replaceregexpall" -> (args => RegExpReplace(args(0), args(1), args(2))),
     "splitbychar" -> (args => StringSplit(args(1),
       RegExpReplace(args(0), Literal("([\\\\^$.|?*+()\\[\\]{}])"), Literal("\\\\$1")), Literal(-1))),
@@ -144,6 +154,23 @@ object ChFunctionRegistry {
     "adddays" -> (args => TimestampAdd("DAY", Cast(args(1), LongType), args(0))),
     "addhours" -> (args => TimestampAdd("HOUR", Cast(args(1), LongType), args(0))),
     "addminutes" -> (args => TimestampAdd("MINUTE", Cast(args(1), LongType), args(0))),
+    "addseconds" -> (args => TimestampAdd("SECOND", Cast(args(1), LongType), args(0))),
+    "addweeks" -> (args => TimestampAdd("WEEK", Cast(args(1), LongType), args(0))),
+    "addmonths" -> (args => TimestampAdd("MONTH", Cast(args(1), LongType), args(0))),
+    "addquarters" -> (args => TimestampAdd("QUARTER", Cast(args(1), LongType), args(0))),
+    "addyears" -> (args => TimestampAdd("YEAR", Cast(args(1), LongType), args(0))),
+    "subtractdays" -> (args =>
+      TimestampAdd("DAY", UnaryMinus(Cast(args(1), LongType)), args(0))),
+    "subtractmonths" -> (args =>
+      TimestampAdd("MONTH", UnaryMinus(Cast(args(1), LongType)), args(0))),
+    "subtractyears" -> (args =>
+      TimestampAdd("YEAR", UnaryMinus(Cast(args(1), LongType)), args(0))),
+    "todayofyear" -> (args => DayOfYear(args.head)),
+    "toisoweek" -> (args => WeekOfYear(args.head)),
+    "tomonday" -> (args => TruncDate(Cast(args.head, DateType), Literal("week"))),
+    "tolastdayofmonth" -> (args => LastDay(args.head)),
+    "tounixtimestamp" -> (args => UnixTimestamp(args.head, Literal("yyyy-MM-dd HH:mm:ss"))),
+    "fromunixtimestamp" -> (args => SecondsToTimestamp(args.head)),
 
     // hashing/encoding (FunctionsHashing.h — names only, values are ours)
     "cityhash64" -> (args => XxHash64(args, 42L)),
@@ -153,6 +180,12 @@ object ChFunctionRegistry {
     "unhex" -> (args => Unhex(args.head)),
     "base64encode" -> (args => Base64(Cast(args.head, BinaryType))),
     "base64decode" -> (args => Cast(UnBase64(args.head), StringType)),
+    // IPv6/UUID codecs (FunctionsCodingIP.cpp, FunctionsCodingUUID.cpp) —
+    // shared expression trees with the Column API (CodecExpressions).
+    "ipv6numtostring" -> (args => CodecExpressions.ipv6NumToString(args.head)),
+    "ipv6stringtonum" -> (args => CodecExpressions.ipv6StringToNum(args.head)),
+    "uuidnumtostring" -> (args => CodecExpressions.uuidNumToString(args.head)),
+    "uuidstringtonum" -> (args => CodecExpressions.uuidStringToNum(args.head)),
 
     // math
     "intexp2" -> (args => Cast(Pow(Literal(2.0), Cast(args.head, DoubleType)), LongType)),
@@ -170,8 +203,25 @@ object ChFunctionRegistry {
     "arrayflatten" -> (args => Flatten(args.head)),
     "arrayreverse" -> (args => Reverse(args.head)),
     "arrayintersect" -> (args => ArrayIntersect(args(0), args(1))),
+    "arraysort" -> (args => SortArray(args.head, Literal(true))),
+    "arrayreversesort" -> (args => Reverse(SortArray(args.head, Literal(true)))),
+    "arraystringconcat" -> (args =>
+      ArrayJoin(args(0), if (args.length > 1) args(1) else Literal(""), None)),
+    "arrayuniq" -> (args => Size(ArrayDistinct(args.head))),
+    "arraymin" -> (args => ArrayMin(args.head)),
+    "arraymax" -> (args => ArrayMax(args.head)),
+    "arraypushback" -> (args => Concat(Seq(args(0), CreateArray(Seq(args(1)))))),
+    "arraypushfront" -> (args => Concat(Seq(CreateArray(Seq(args(1))), args(0)))),
+    "arraypopback" -> (args => Slice(args(0), Literal(1),
+      Greatest(Seq(Subtract(Size(args(0)), Literal(1)), Literal(0))))),
+    "arraypopfront" -> (args => Slice(args(0), Literal(2),
+      Greatest(Seq(Subtract(Size(args(0)), Literal(1)), Literal(0))))),
     "emptyarraytosingle" -> (args => If(EqualTo(Size(args.head), Literal(0)),
       CreateArray(Seq(Literal(0))), args.head)),
+    // maps (src/Functions/map.cpp, FunctionsMapMiscellaneous.cpp)
+    "mapkeys" -> (args => MapKeys(args.head)),
+    "mapvalues" -> (args => MapValues(args.head)),
+    "mapcontains" -> (args => ArrayContains(MapKeys(args(0)), args(1))),
     // range(n) / range(a, b): empty/negative ranges return [] like the
     // reference (Sequence(0, -1) would fall back to a DESCENDING step and
     // yield [0, -1]).
