@@ -4,6 +4,15 @@ import graft.queries.Relational
 
 class RelationalSpec extends SparkFunSuite {
 
+  test("driver contract: query names unique across packs, entry returns rows") {
+    val all = SparkEntry.packs.flatMap(_.queries).map(_.name)
+    val dups = all.groupBy(identity).filter(_._2.length > 1).keys
+    assert(dups.isEmpty,
+      s"duplicate query names silently collapse in SparkEntry.queries: ${dups.mkString(", ")}")
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("every relational query runs and returns a sane schema") {
     Relational.queries.foreach { q =>
       val df = q.run(spark, sf)
