@@ -34,7 +34,8 @@ object SparkEntry {
     qp.Extras5,
     qp.StorageQueries,
     qp.MlQueries,
-    qp.TpchExtra
+    qp.TpchExtra,
+    qp.FunctionTail
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,168 @@
+package graft.queries
+
+import graft.{Q, QueryPack, Tables}
+import graft.sql.ClickHouseSql
+
+/** Oracled batteries for the round-3 registry extension waves
+  * (ChRegistryArrays + ChRegistryExt): reference function-name surface
+  * exercised through the dialect layer, value-pinned against DuckDB.
+  * Literal-input batteries pin exact expected outputs (the convention
+  * FIXTURES.md blesses for engine-internal codecs); one real-data query
+  * per wave exercises the distributed path. Array outputs are stringified
+  * (ARRAY_JOIN convention — the driver compare handles scalars/strings). */
+object FunctionTail extends QueryPack {
+
+  private def ch(name: String, chSql: String, oracle: String): Q =
+    Q(name, (s, dir) => { Tables.register(s, dir); ClickHouseSql.sql(s, chSql) },
+      Some(oracle))
+
+  override def queries: Seq[Q] = Seq(
+
+    // Lambda-first higher-order family (arrayMap/Filter/Exists/All/Count/
+    // Sum/Avg/Product/Fold/First/Last/Index — src/Functions/array/).
+    ch("q_fn_array_hof", """
+      SELECT id,
+        arrayStringConcat(arrayMap(x -> toString(x * 2), xs), ',') AS m,
+        arrayStringConcat(arrayMap(x -> toString(x),
+          arrayFilter(x -> x % 2 = 0, xs)), ',') AS f,
+        arrayExists(x -> x > 2, xs) AS ex,
+        arrayAll(x -> x > 0, xs) AS al,
+        CAST(arrayCount(x -> x % 2 = 1, xs) AS INT) AS c,
+        CAST(arraySum(xs) AS INT) AS s,
+        CAST(arraySum(x -> x * x, xs) AS INT) AS sq,
+        CAST(arrayAvg(xs) AS DOUBLE) AS av,
+        CAST(arrayProduct(xs) AS DOUBLE) AS p,
+        CAST(arrayFold((acc, x) -> acc + x, xs, 100) AS INT) AS fl,
+        CAST(arrayFirst(x -> x > 1, xs) AS INT) AS fi,
+        CAST(arrayLast(x -> x > 1, xs) AS INT) AS la,
+        CAST(arrayFirstIndex(x -> x > 1, xs) AS BIGINT) AS fidx,
+        CAST(arrayLastIndex(x -> x > 1, xs) AS BIGINT) AS lidx
+      FROM VALUES (1, array(1, 2, 3)), (2, array(4, 0, 5)) AS t(id, xs)
+      ORDER BY id""",
+      """
+      SELECT * FROM (VALUES
+        (1, '2,4,6', '2', true, true, 2, 6, 14,
+         CAST(2.0 AS DOUBLE), CAST(6.0 AS DOUBLE), 106, 2, 3,
+         CAST(2 AS BIGINT), CAST(3 AS BIGINT)),
+        (2, '8,0,10', '4,0', true, false, 1, 9, 41,
+         CAST(3.0 AS DOUBLE), CAST(0.0 AS DOUBLE), 109, 4, 5,
+         CAST(1 AS BIGINT), CAST(3 AS BIGINT))
+      ) AS t(id, m, f, ex, al, c, s, sq, av, p, fl, fi, la, fidx, lidx)
+      ORDER BY id"""),
+
+    // Structural transforms (cumSum, difference, compact, enumerate
+    // family, rotate/shift, shingles, withConstant, fill, split).
+    ch("q_fn_array_struct", """
+      SELECT
+        arrayStringConcat(arrayMap(x -> toString(x),
+          arrayCumSum(array(1, 2, 3))), ',') AS cs,
+        arrayStringConcat(arrayMap(x -> toString(x),
+          arrayCumSumNonNegative(array(1, -5, 3))), ',') AS csn,
+        arrayStringConcat(arrayMap(x -> toString(x),
+          arrayDifference(array(1, 4, 9))), ',') AS d,
+        arrayStringConcat(arrayMap(x -> toString(x),
+          arrayCompact(array(1, 1, 2, 2, 3))), ',') AS cp,
+        arrayStringConcat(arrayMap(x -> toString(x),
+          arrayEnumerate(array(9, 9, 9))), ',') AS en,
+        arrayStringConcat(arrayMap(x -> toString(x),
+          arrayEnumerateUniq(array(1, 1, 2, 2, 3))), ',') AS eu,
+        arrayStringConcat(arrayMap(x -> toString(x),
+          arrayEnumerateDense(array(20, 10, 20, 30))), ',') AS ed,
+        arrayStringConcat(arrayMap(x -> toString(x),
+          arrayRotateLeft(array(1, 2, 3), 1)), ',') AS rl,
+        arrayStringConcat(arrayMap(x -> toString(x),
+          arrayRotateRight(array(1, 2, 3), 1)), ',') AS rr,
+        arrayStringConcat(arrayMap(x -> toString(x),
+          arrayShiftLeft(array(1, 2, 3), 1, 0)), ',') AS sl,
+        arrayStringConcat(arrayMap(x -> toString(x),
+          arrayShiftRight(array(1, 2, 3), 1, 0)), ',') AS sr,
+        arrayStringConcat(arrayMap(a -> arrayStringConcat(
+          arrayMap(x -> toString(x), a), ','),
+          arrayShingles(array(1, 2, 3), 2)), '|') AS sh,
+        arrayStringConcat(arrayMap(x -> toString(x),
+          arrayWithConstant(3, 7)), ',') AS wc,
+        arrayStringConcat(arrayMap(x -> toString(x),
+          arrayFill(x -> x != 0, array(1, 0, 0, 5, 0))), ',') AS ff,
+        arrayStringConcat(arrayMap(x -> toString(x),
+          arrayReverseFill(x -> x != 0, array(0, 0, 3, 0, 7))), ',') AS rf,
+        arrayStringConcat(arrayMap(a -> arrayStringConcat(
+          arrayMap(x -> toString(x), a), ','),
+          arraySplit(x -> x % 10 = 1, array(1, 2, 3, 11, 12, 21))), '|') AS sp,
+        arrayStringConcat(arrayMap(a -> arrayStringConcat(
+          arrayMap(x -> toString(x), a), ','),
+          arrayReverseSplit(x -> x % 10 = 1, array(1, 2, 3, 11, 12))), '|') AS rs""",
+      """
+      SELECT '1,3,6' AS cs, '1,0,3' AS csn, '0,3,5' AS d, '1,2,3' AS cp,
+        '1,2,3' AS en, '1,2,1,2,1' AS eu, '1,2,1,3' AS ed,
+        '2,3,1' AS rl, '3,1,2' AS rr, '2,3,0' AS sl, '0,1,2' AS sr,
+        '1,2|2,3' AS sh, '7,7,7' AS wc, '1,1,1,5,5' AS ff,
+        '3,3,3,7,7' AS rf, '1,2,3|11,12|21' AS sp, '1|2,3,11|12' AS rs"""),
+
+    // Set predicates / algebra.
+    ch("q_fn_array_sets", """
+      SELECT
+        hasAll(array(1, 2, 3), array(2, 3)) AS ha,
+        hasAll(array(1, 2), array(3)) AS ha0,
+        hasAny(array(1, 2), array(2, 9)) AS hy,
+        hasSubstr(array(1, 2, 3, 4), array(2, 3)) AS hs,
+        hasSubstr(array(1, 2, 3, 4), array(2, 4)) AS hs0,
+        CAST(countEqual(array(1, 2, 1, 1), 1) AS INT) AS ce,
+        arrayStringConcat(arrayMap(x -> toString(x),
+          arraySort(arrayUnion(array(1, 2), array(2, 3)))), ',') AS un,
+        arrayStringConcat(arrayMap(x -> toString(x),
+          arraySort(arraySymmetricDifference(array(1, 2, 3), array(2, 3, 4)))), ',') AS sd,
+        ROUND(arrayJaccardIndex(array(1, 2), array(2, 3)), 6) AS ji""",
+      """
+      SELECT true AS ha, false AS ha0, true AS hy, true AS hs, false AS hs0,
+        3 AS ce, '1,2,3' AS un, '1,4' AS sd, CAST(0.333333 AS DOUBLE) AS ji"""),
+
+    // Vector norms / distances (arrayNorm.cpp, arrayDistance.cpp) — the
+    // codegen'd ArrayDotProduct kernel under the reference names.
+    ch("q_fn_vector_norms", """
+      SELECT
+        ROUND(L1Norm(array(1.0D, -2.0D)), 6) AS n1,
+        ROUND(L2Norm(array(3.0D, 4.0D)), 6) AS n2,
+        ROUND(L2SquaredNorm(array(3.0D, 4.0D)), 6) AS n2s,
+        ROUND(LinfNorm(array(1.0D, -5.0D)), 6) AS ni,
+        ROUND(LpNorm(array(3.0D, 4.0D), 2.0), 6) AS np,
+        ROUND(L1Distance(array(1.0D, 2.0D), array(4.0D, 6.0D)), 6) AS d1,
+        ROUND(L2Distance(array(1.0D, 2.0D), array(4.0D, 6.0D)), 6) AS d2,
+        ROUND(LinfDistance(array(1.0D, 2.0D), array(4.0D, 6.0D)), 6) AS di,
+        ROUND(dotProduct(array(1.0D, 2.0D), array(3.0D, 4.0D)), 6) AS dp,
+        ROUND(cosineDistance(array(1.0D, 0.0D), array(0.0D, 1.0D)), 6) AS cd,
+        arrayStringConcat(arrayMap(x -> toString(round(x, 1)),
+          normalizeL2(array(3.0D, 4.0D))), ',') AS nl""",
+      """
+      SELECT CAST(3.0 AS DOUBLE) AS n1, CAST(5.0 AS DOUBLE) AS n2,
+        CAST(25.0 AS DOUBLE) AS n2s, CAST(5.0 AS DOUBLE) AS ni,
+        CAST(5.0 AS DOUBLE) AS np, CAST(7.0 AS DOUBLE) AS d1,
+        CAST(5.0 AS DOUBLE) AS d2, CAST(4.0 AS DOUBLE) AS di,
+        CAST(11.0 AS DOUBLE) AS dp, CAST(1.0 AS DOUBLE) AS cd,
+        '0.6,0.8' AS nl"""),
+
+    // Distributed path: the same trees over per-order quantity arrays from
+    // lineitem (sorted collect → deterministic; int sums exact).
+    ch("q_fn_array_real", """
+      SELECT l_orderkey,
+        CAST(arraySum(qs) AS BIGINT) AS qsum,
+        CAST(arrayCount(x -> x > 25, qs) AS INT) AS nbig,
+        arrayStringConcat(arrayMap(x -> toString(x), arrayCumSum(qs)), ',') AS cum,
+        CAST(arrayFirstIndex(x -> x >= 25, qs) AS BIGINT) AS firstbig
+      FROM (SELECT l_orderkey,
+              arraySort(collect_list(CAST(l_quantity AS INT))) AS qs
+            FROM lineitem GROUP BY l_orderkey)
+      ORDER BY l_orderkey LIMIT 2000""",
+      """
+      SELECT l_orderkey,
+        CAST(list_aggregate(qs, 'sum') AS BIGINT) AS qsum,
+        CAST(len(list_filter(qs, x -> x > 25)) AS INT) AS nbig,
+        array_to_string(list_transform(range(1, len(qs) + 1),
+          i -> CAST(CAST(list_aggregate(qs[1:i], 'sum') AS INT) AS VARCHAR)), ',') AS cum,
+        COALESCE(CAST(list_position(list_transform(qs, x -> x >= 25), true) AS BIGINT),
+          0) AS firstbig
+      FROM (SELECT l_orderkey,
+              list_sort(list(CAST(l_quantity AS INTEGER))) AS qs
+            FROM lineitem GROUP BY l_orderkey)
+      ORDER BY l_orderkey LIMIT 2000""")
+  )
+}

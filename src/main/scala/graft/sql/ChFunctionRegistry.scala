@@ -27,7 +27,7 @@ object ChFunctionRegistry {
 
   /** name → builder. One entry per reference function family member we
     * alias (SURVEY §2.8 curated list). */
-  val builders: Map[String, Seq[Expression] => Expression] = Map(
+  private val coreBuilders: Map[String, Seq[Expression] => Expression] = Map(
     // type conversion (FunctionsConversion)
     "toint8" -> cast(ByteType), "toint16" -> cast(ShortType),
     "toint32" -> cast(IntegerType), "toint64" -> cast(LongType),
@@ -375,6 +375,10 @@ object ChFunctionRegistry {
     // registration — shadowing Spark's `count` risks corrupting every
     // standard query in the session if the semantics ever drift.
   )
+
+  /** Full surface: core names + the per-area extension packs. */
+  val builders: Map[String, Seq[Expression] => Expression] =
+    coreBuilders ++ ChRegistryArrays.builders
 
   /** Install the aliases into the session's function registry — but ONLY
     * names Spark does not already provide. Names that exist as Spark
