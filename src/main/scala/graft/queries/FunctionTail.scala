@@ -140,6 +140,97 @@ object FunctionTail extends QueryPack {
         CAST(11.0 AS DOUBLE) AS dp, CAST(1.0 AS DOUBLE) AS cd,
         '0.6,0.8' AS nl"""),
 
+    // Bit-manipulation family (bitAnd.cpp … bitTestAll.cpp,
+    // bitPositionsToArray, bitmaskToArray/List).
+    ch("q_fn_bit", """
+      SELECT
+        CAST(bitAnd(12, 10) AS INT) AS ba,
+        CAST(bitOr(12, 10) AS INT) AS bo,
+        CAST(bitXor(12, 10) AS INT) AS bx,
+        CAST(bitNot(0) AS INT) AS bn,
+        CAST(bitShiftLeft(1, 4) AS INT) AS bsl,
+        CAST(bitShiftRight(16, 2) AS INT) AS bsr,
+        CAST(bitRotateLeft(1, 1) AS BIGINT) AS brl,
+        CAST(bitRotateRight(2, 1) AS BIGINT) AS brr,
+        CAST(bitCount(255) AS INT) AS bc,
+        CAST(bitTest(5, 0) AS INT) AS bt1,
+        CAST(bitTest(5, 1) AS INT) AS bt0,
+        bitTestAll(7, 0, 1, 2) AS bta,
+        bitTestAll(5, 0, 1) AS bta0,
+        bitTestAny(4, 0, 2) AS bty,
+        bitTestAny(8, 0, 1) AS bty0,
+        CAST(bitHammingDistance(12, 10) AS INT) AS bhd,
+        arrayStringConcat(arrayMap(x -> toString(x),
+          bitPositionsToArray(10)), ',') AS bpa,
+        arrayStringConcat(arrayMap(x -> toString(x),
+          bitmaskToArray(10)), ',') AS bma,
+        bitmaskToList(10) AS bml""",
+      """
+      SELECT 8 AS ba, 14 AS bo, 6 AS bx, -1 AS bn, 16 AS bsl, 4 AS bsr,
+        CAST(2 AS BIGINT) AS brl, CAST(1 AS BIGINT) AS brr, 8 AS bc,
+        1 AS bt1, 0 AS bt0, true AS bta, false AS bta0, true AS bty,
+        false AS bty0, 2 AS bhd, '1,3' AS bpa, '2,8' AS bma, '2,8' AS bml"""),
+
+    // Math tail (exp2/exp10/clamp/hypot/sigmoid/min2/max2, OrZero/OrNull
+    // arithmetic, finite-ness predicates).
+    ch("q_fn_math_tail", """
+      SELECT
+        ROUND(exp2(3), 6) AS e2,
+        ROUND(exp10(2), 6) AS e10,
+        CAST(clamp(5, 1, 3) AS INT) AS cl_hi,
+        CAST(clamp(-1, 1, 3) AS INT) AS cl_lo,
+        ROUND(hypot(3, 4), 6) AS hy,
+        ROUND(sigmoid(0), 6) AS sg,
+        ROUND(min2(3, 4), 6) AS mn,
+        ROUND(max2(3, 4), 6) AS mx,
+        CAST(intDivOrZero(7, 2) AS BIGINT) AS idz,
+        CAST(intDivOrZero(7, 0) AS BIGINT) AS idz0,
+        CAST(moduloOrZero(7, 4) AS INT) AS mz,
+        CAST(moduloOrZero(7, 0) AS INT) AS mz0,
+        divideOrNull(1, 0) AS dn,
+        ROUND(divideOrNull(1, 2), 6) AS dn2,
+        ROUND(ifNotFinite(exp10(400), 42.0), 6) AS inf42,
+        isFinite(1.5) AS fin,
+        isInfinite(exp10(400)) AS isinf,
+        isZeroOrNull(0) AS z0,
+        isZeroOrNull(CAST(NULL AS INT)) AS zn""",
+      """
+      SELECT CAST(8.0 AS DOUBLE) AS e2, CAST(100.0 AS DOUBLE) AS e10,
+        3 AS cl_hi, 1 AS cl_lo, CAST(5.0 AS DOUBLE) AS hy,
+        CAST(0.5 AS DOUBLE) AS sg, CAST(3.0 AS DOUBLE) AS mn,
+        CAST(4.0 AS DOUBLE) AS mx, CAST(3 AS BIGINT) AS idz,
+        CAST(0 AS BIGINT) AS idz0, 3 AS mz, 0 AS mz0,
+        CAST(NULL AS DOUBLE) AS dn, CAST(0.5 AS DOUBLE) AS dn2,
+        CAST(42.0 AS DOUBLE) AS inf42, true AS fin, true AS isinf,
+        true AS z0, true AS zn"""),
+
+    // Conversion tail (OrNull/OrZero/OrDefault matrix, accurateCast,
+    // toBool/toNullable/materialize, toDecimalString).
+    ch("q_fn_conv_tail", """
+      SELECT
+        toBool(1) AS b,
+        CAST(toInt8OrNull('200') AS INT) AS i8n,
+        CAST(toInt16OrZero('abc') AS INT) AS i16z,
+        CAST(toFloat32OrNull('1.5') AS DOUBLE) AS f32,
+        toDateOrNull('2024-01-02') AS d,
+        toDateTimeOrNull('bad') AS ts,
+        CAST(toUInt8OrNull('300') AS INT) AS u8n,
+        CAST(toUInt16OrZero('70000') AS INT) AS u16z,
+        CAST(toUInt32OrNull('4000000000') AS BIGINT) AS u32n,
+        CAST(accurateCast(300, 'Int32') AS INT) AS ac,
+        CAST(accurateCastOrNull(70000, 'Int16') AS INT) AS acn,
+        CAST(toInt32OrDefault('zz', 99) AS INT) AS idft,
+        toDecimalString(3.14159, 2) AS ds,
+        CAST(materialize(7) AS INT) AS mat,
+        CAST(toNullable(8) AS INT) AS tn""",
+      """
+      SELECT true AS b, CAST(NULL AS INT) AS i8n, 0 AS i16z,
+        CAST(1.5 AS DOUBLE) AS f32, DATE '2024-01-02' AS d,
+        CAST(NULL AS TIMESTAMP) AS ts, CAST(NULL AS INT) AS u8n,
+        0 AS u16z, CAST(4000000000 AS BIGINT) AS u32n, 300 AS ac,
+        CAST(NULL AS INT) AS acn, 99 AS idft, '3.14' AS ds,
+        7 AS mat, 8 AS tn"""),
+
     // Distributed path: the same trees over per-order quantity arrays from
     // lineitem (sorted collect → deterministic; int sums exact).
     ch("q_fn_array_real", """

@@ -1,0 +1,221 @@
+package graft.sql
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+
+/** Bit-manipulation, math-tail, and type-conversion-tail names of the
+  * reference registry (src/Functions/bitAnd.cpp … bitTestAll.cpp,
+  * FunctionsConversion.h OrNull/OrZero/OrDefault matrices,
+  * src/Functions/accurateCast… — Spark rendering: pure Catalyst trees over
+  * built-in expressions; ANSI-safe (division/modulo by zero sits behind
+  * lazy If guards; accurateCast maps to ANSI-mode Cast, the OrNull forms
+  * to TRY-mode Cast). */
+object ChRegistryExt {
+
+  private def lv(n: String) = UnresolvedNamedLambdaVariable(Seq(n))
+
+  private def asLong(e: Expression): Expression = Cast(e, LongType)
+  private def asInt(e: Expression): Expression = Cast(e, IntegerType)
+  private def asDouble(e: Expression): Expression = Cast(e, DoubleType)
+
+  /** (x >> n) & 1 as Int (reference bitTest.cpp returns UInt8). */
+  private def bitAt(x: Expression, n: Expression): Expression =
+    Cast(BitwiseAnd(ShiftRightUnsigned(asLong(x), asInt(n)), Literal(1L)), IntegerType)
+
+  /** Ascending positions (0-based) of set bits in the low 64. */
+  private def bitPositions(x: Expression): Expression = {
+    val i = lv("ch_bit_i")
+    ArrayFilter(
+      Sequence(Literal(0L), Literal(63L), Some(Literal(1L))),
+      LambdaFunction(EqualTo(bitAt(x, i), Literal(1)), Seq(i)))
+  }
+
+  private def isFiniteD(x: Expression): Expression = {
+    val d = asDouble(x)
+    And(Not(IsNaN(d)), LessThan(Abs(d), Literal(Double.PositiveInfinity)))
+  }
+
+  /** Reference type-name → Spark carrier type (same mapping the toX cast
+    * family in ChFunctionRegistry uses; UInt64 keeps the widening
+    * DECIMAL(20,0) carrier). */
+  private def chTypeName(n: String): DataType = n.toLowerCase match {
+    case "int8" => ByteType
+    case "int16" => ShortType
+    case "int32" => IntegerType
+    case "int64" => LongType
+    case "uint8" => ShortType
+    case "uint16" => IntegerType
+    case "uint32" => LongType
+    case "uint64" => DecimalType(20, 0)
+    case "float32" => FloatType
+    case "float64" | "double" => DoubleType
+    case "string" => StringType
+    case "date" | "date32" => DateType
+    case "datetime" | "datetime64" => TimestampType
+    case "bool" | "boolean" => BooleanType
+    case other =>
+      throw new IllegalArgumentException(s"accurateCast: unsupported type '$other'")
+  }
+
+  private def typeArg(e: Expression): DataType = e match {
+    case Literal(s, StringType) => chTypeName(s.toString)
+    case other =>
+      throw new IllegalArgumentException(
+        s"accurateCast expects a literal type name, got $other")
+  }
+
+  /** UIntN parse with range validation: out-of-range is a parse failure
+    * (NULL), like the reference's toUIntNOrNull — NOT the wrapping
+    * arithmetic cast of toUIntN. */
+  private def uintTry(max: Long, carrier: DataType)(arg: Expression): Expression = {
+    val l = Cast(arg, LongType, None, EvalMode.TRY)
+    CaseWhen(
+      Seq((And(GreaterThanOrEqual(l, Literal(0L)), LessThanOrEqual(l, Literal(max))),
+        Cast(l, carrier))),
+      Some(Literal.create(null, carrier)))
+  }
+
+  /** toXOrNull / toXOrZero matrix, generated (FunctionsConversion.h). */
+  private val orNullZero: Map[String, Seq[Expression] => Expression] = {
+    val carriers: Seq[(String, DataType, Expression)] = Seq(
+      ("int8", ByteType, Literal(0)),
+      ("int16", ShortType, Literal(0)),
+      ("int32", IntegerType, Literal(0)),
+      ("int64", LongType, Literal(0L)),
+      ("float32", FloatType, Literal(0.0f)),
+      ("date", DateType, Cast(Literal("1970-01-01"), DateType)),
+      ("date32", DateType, Cast(Literal("1970-01-01"), DateType)),
+      ("datetime", TimestampType,
+        Cast(Literal("1970-01-01 00:00:00"), TimestampType)),
+      ("datetime64", TimestampType,
+        Cast(Literal("1970-01-01 00:00:00"), TimestampType)),
+      ("float64", DoubleType, Literal(0.0d)))
+    val signed = carriers.flatMap { case (n, dt, zero) =>
+      Seq(
+        s"to${n}ornull" -> ((args: Seq[Expression]) =>
+          Cast(args.head, dt, None, EvalMode.TRY): Expression),
+        s"to${n}orzero" -> ((args: Seq[Expression]) =>
+          Coalesce(Seq(Cast(args.head, dt, None, EvalMode.TRY), zero)): Expression),
+        s"to${n}ordefault" -> ((args: Seq[Expression]) =>
+          Coalesce(Seq(Cast(args.head, dt, None, EvalMode.TRY),
+            if (args.length > 1) args(1) else zero)): Expression))
+    }
+    val unsigned = Seq(
+      ("uint8", 255L, ShortType),
+      ("uint16", 65535L, IntegerType),
+      ("uint32", 4294967295L, LongType)).flatMap { case (n, max, dt) =>
+      Seq(
+        s"to${n}ornull" -> ((args: Seq[Expression]) =>
+          uintTry(max, dt)(args.head): Expression),
+        s"to${n}orzero" -> ((args: Seq[Expression]) =>
+          Coalesce(Seq(uintTry(max, dt)(args.head), Cast(Literal(0), dt))): Expression),
+        s"to${n}ordefault" -> ((args: Seq[Expression]) =>
+          Coalesce(Seq(uintTry(max, dt)(args.head),
+            if (args.length > 1) args(1) else Cast(Literal(0), dt))): Expression))
+    }
+    val uint64 = Seq(
+      "touint64ornull" -> ((args: Seq[Expression]) =>
+        Cast(args.head, DecimalType(20, 0), None, EvalMode.TRY): Expression),
+      "touint64orzero" -> ((args: Seq[Expression]) =>
+        Coalesce(Seq(Cast(args.head, DecimalType(20, 0), None, EvalMode.TRY),
+          Cast(Literal(0), DecimalType(20, 0)))): Expression))
+    (signed ++ unsigned ++ uint64).toMap
+  }
+
+  val builders: Map[String, Seq[Expression] => Expression] = orNullZero ++ Map(
+    // ---- bit manipulation (bitAnd.cpp … bitTestAll.cpp) ----
+    "bitand" -> (args => BitwiseAnd(args(0), args(1))),
+    "bitor" -> (args => BitwiseOr(args(0), args(1))),
+    "bitxor" -> (args => BitwiseXor(args(0), args(1))),
+    "bitnot" -> (args => BitwiseNot(args.head)),
+    "bitshiftleft" -> (args => ShiftLeft(args(0), asInt(args(1)))),
+    "bitshiftright" -> (args => ShiftRight(args(0), asInt(args(1)))),
+    // 64-bit rotate (bitRotateLeft.cpp); shift counts taken mod 64
+    "bitrotateleft" -> (args => {
+      val n = Pmod(asInt(args(1)), Literal(64))
+      BitwiseOr(ShiftLeft(asLong(args(0)), n),
+        ShiftRightUnsigned(asLong(args(0)), Subtract(Literal(64), n)))
+    }),
+    "bitrotateright" -> (args => {
+      val n = Pmod(asInt(args(1)), Literal(64))
+      BitwiseOr(ShiftRightUnsigned(asLong(args(0)), n),
+        ShiftLeft(asLong(args(0)), Subtract(Literal(64), n)))
+    }),
+    "bitcount" -> (args => BitwiseCount(args.head)),
+    "bittest" -> (args => bitAt(args(0), args(1))),
+    "bittestall" -> (args =>
+      args.tail.map(n => EqualTo(bitAt(args.head, n), Literal(1)): Expression)
+        .reduce(And)),
+    "bittestany" -> (args =>
+      args.tail.map(n => EqualTo(bitAt(args.head, n), Literal(1)): Expression)
+        .reduce(Or)),
+    "bithammingdistance" -> (args =>
+      Cast(BitwiseCount(BitwiseXor(asLong(args(0)), asLong(args(1)))), IntegerType)),
+    "bitpositionstoarray" -> (args => bitPositions(args.head)),
+    "bitmasktoarray" -> (args => {
+      val i = lv("ch_bm_i")
+      ArrayTransform(bitPositions(args.head),
+        LambdaFunction(ShiftLeft(Literal(1L), asInt(i)), Seq(i)))
+    }),
+    "bitmasktolist" -> (args => {
+      val i = lv("ch_bl_i")
+      ArrayJoin(
+        ArrayTransform(bitPositions(args.head),
+          LambdaFunction(Cast(ShiftLeft(Literal(1L), asInt(i)), StringType), Seq(i))),
+        Literal(","), None)
+    }),
+
+    // ---- math tail ----
+    "exp2" -> (args => Pow(Literal(2.0d), asDouble(args.head))),
+    "exp10" -> (args => Pow(Literal(10.0d), asDouble(args.head))),
+    "clamp" -> (args => Least(Seq(Greatest(Seq(args(0), args(1))), args(2)))),
+    // hypot NOT registered: Spark builtin of the same name and semantics
+    // (the battery's hypot(3,4) resolves natively).
+    "sigmoid" -> (args =>
+      Divide(Literal(1.0d),
+        Add(Literal(1.0d), Exp(UnaryMinus(asDouble(args.head)))))),
+    // min2/max2 return Float64 (src/Functions/minus… min2.cpp)
+    "min2" -> (args => Least(Seq(asDouble(args(0)), asDouble(args(1))))),
+    "max2" -> (args => Greatest(Seq(asDouble(args(0)), asDouble(args(1))))),
+    "intdivorzero" -> (args =>
+      If(EqualTo(asLong(args(1)), Literal(0L)), Literal(0L),
+        IntegralDivide(args(0), args(1)))),
+    "moduloorzero" -> (args =>
+      If(EqualTo(asLong(args(1)), Literal(0L)), Literal(0),
+        Remainder(args(0), args(1)))),
+    "divideornull" -> (args =>
+      If(EqualTo(asDouble(args(1)), Literal(0.0d)),
+        Literal.create(null, DoubleType),
+        Divide(asDouble(args(0)), asDouble(args(1))))),
+    "moduloornull" -> (args =>
+      If(EqualTo(asLong(args(1)), Literal(0L)),
+        Literal.create(null, LongType),
+        Cast(Remainder(args(0), args(1)), LongType))),
+    "ifnotfinite" -> (args => If(isFiniteD(args(0)), args(0), args(1))),
+    "isfinite" -> (args => isFiniteD(args.head)),
+    "isinfinite" -> (args =>
+      EqualTo(Abs(asDouble(args.head)), Literal(Double.PositiveInfinity))),
+    "iszeroornull" -> (args =>
+      Or(IsNull(args.head), EqualTo(args.head, Literal(0)))),
+
+    // ---- conversion tail ----
+    "tobool" -> (args => Cast(args.head, BooleanType)),
+    "tonullable" -> (args => args.head),
+    "tolowcardinality" -> (args => args.head),
+    "materialize" -> (args => args.head),
+    "accuratecast" -> (args =>
+      Cast(args.head, typeArg(args(1)), None, EvalMode.ANSI)),
+    "accuratecastornull" -> (args =>
+      Cast(args.head, typeArg(args(1)), None, EvalMode.TRY)),
+    "accuratecastordefault" -> (args =>
+      Coalesce(Seq(Cast(args.head, typeArg(args(1)), None, EvalMode.TRY)) ++
+        args.drop(2))),
+    // fixed-scale decimal rendering (toDecimalString.cpp); scale literal
+    "todecimalstring" -> (args => args(1) match {
+      case Literal(i: Int, _) =>
+        Cast(Cast(args.head, DecimalType(38, i)), StringType)
+      case _ => throw new IllegalArgumentException(
+        "toDecimalString expects a literal scale")
+    })
+  )
+}
