@@ -231,6 +231,75 @@ object FunctionTail extends QueryPack {
         CAST(NULL AS INT) AS acn, 99 AS idft, '3.14' AS ds,
         7 AS mat, 8 AS tn"""),
 
+    // String tail (position/count/hasToken/firstLine/basename/quoteMeta/
+    // translate/hamming/jaccard/ngram similarity).
+    ch("q_fn_string_tail", """
+      SELECT
+        CAST(positionCaseInsensitive('Hello World', 'world') AS INT) AS pci,
+        CAST(countSubstrings('abcabcabc', 'abc') AS INT) AS cs,
+        CAST(countSubstringsCaseInsensitive('AbCabc', 'abc') AS INT) AS csi,
+        CAST(countMatches('a1b22c333', '[0-9]+') AS INT) AS cm,
+        hasToken('the quick fox', 'quick') AS ht,
+        hasToken('thequickfox', 'quick') AS ht0,
+        hasTokenCaseInsensitive('The QUICK fox', 'quick') AS htci,
+        appendTrailingCharIfAbsent('dir', '/') AS atc,
+        appendTrailingCharIfAbsent('dir/', '/') AS atc2,
+        firstLine(concat('a', chr(10), 'b')) AS fl,
+        basename('/usr/local/bin/spark') AS bn,
+        regexpQuoteMeta('a.b*c') AS rqm,
+        translateUTF8('abca', 'ac', 'xz') AS tr,
+        reverseUTF8('abc') AS ru,
+        CAST(byteHammingDistance('abc', 'abd') AS INT) AS bhd,
+        CAST(byteHammingDistance('abc', 'ab') AS INT) AS bhd2,
+        ROUND(stringJaccardIndex('abc', 'bcd'), 6) AS sji,
+        arrayStringConcat(ngrams('abcd', 2), ',') AS ng,
+        ROUND(ngramDistance('abcde', 'abcde'), 6) AS ngd,
+        ROUND(ngramSearch('hello world', 'hello'), 6) AS ngs""",
+      """
+      SELECT 7 AS pci, 3 AS cs, 2 AS csi, 3 AS cm, true AS ht, false AS ht0,
+        true AS htci, 'dir/' AS atc, 'dir/' AS atc2, 'a' AS fl,
+        'spark' AS bn, 'a\.b\*c' AS rqm, 'xbzx' AS tr, 'cba' AS ru,
+        1 AS bhd, 1 AS bhd2, CAST(0.5 AS DOUBLE) AS sji, 'ab,bc,cd' AS ng,
+        CAST(0.0 AS DOUBLE) AS ngd, CAST(1.0 AS DOUBLE) AS ngs"""),
+
+    // Split family (separator-first reference order) + alphaTokens/tokens.
+    ch("q_fn_split_tail", """
+      SELECT
+        arrayStringConcat(splitByString('::', 'a::b::c'), '|') AS sbs,
+        arrayStringConcat(splitByRegexp('[0-9]+', 'a1b22c'), '|') AS sbr,
+        arrayStringConcat(splitByWhitespace('  a  b c '), '|') AS sbw,
+        arrayStringConcat(splitByNonAlpha('a,b ; c'), '|') AS sbn,
+        arrayStringConcat(alphaTokens('abc123def456'), '|') AS at,
+        arrayStringConcat(tokens('one two,three'), '|') AS tk""",
+      """
+      SELECT 'a|b|c' AS sbs, 'a|b|c' AS sbr, 'a|b|c' AS sbw,
+        'a|b|c' AS sbn, 'abc|def' AS at, 'one|two|three' AS tk"""),
+
+    // simpleJSON / visitParam family over get_json_object, plus
+    // JSONArrayLength / toJSONString / extractKeyValuePairs.
+    ch("q_fn_simplejson", """
+      SELECT
+        CAST(simpleJSONExtractInt(j, 'a') AS BIGINT) AS i,
+        simpleJSONExtractString(j, 'b') AS s,
+        CAST(simpleJSONExtractFloat(j, 'c') AS DOUBLE) AS f,
+        simpleJSONExtractBool(j, 'd') AS bl,
+        simpleJSONExtractRaw(j, 'e') AS raw,
+        simpleJSONHas(j, 'a') AS h,
+        simpleJSONHas(j, 'z') AS h0,
+        visitParamExtractString(j, 'b') AS vp,
+        CAST(visitParamExtractUInt(j, 'a') AS BIGINT) AS vpu,
+        CAST(JSONArrayLength('[1,2,3]') AS INT) AS jal,
+        toJSONString(map('k', 1)) AS tjs,
+        arrayStringConcat(arraySort(mapKeys(
+          extractKeyValuePairs('a:1,b:2'))), ',') AS kvk,
+        element_at(extractKeyValuePairs('a:1,b:2'), 'a') AS kva
+      FROM (SELECT '{"a":1,"b":"x","c":2.5,"d":true,"e":{"f":3}}' AS j)""",
+      """
+      SELECT CAST(1 AS BIGINT) AS i, 'x' AS s, CAST(2.5 AS DOUBLE) AS f,
+        true AS bl, '{"f":3}' AS raw, true AS h, false AS h0, 'x' AS vp,
+        CAST(1 AS BIGINT) AS vpu, 3 AS jal, '{"k":1}' AS tjs,
+        'a,b' AS kvk, '1' AS kva"""),
+
     // Distributed path: the same trees over per-order quantity arrays from
     // lineitem (sorted collect → deterministic; int sums exact).
     ch("q_fn_array_real", """

@@ -1,5 +1,7 @@
 package graft.sql
 
+import java.util.concurrent.atomic.AtomicInteger
+
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.types._
 
@@ -13,6 +15,18 @@ import org.apache.spark.sql.types._
 object ChRegistryExt {
 
   private def lv(n: String) = UnresolvedNamedLambdaVariable(Seq(n))
+
+  private val nameSeq = new AtomicInteger(0)
+
+  private def lam1(f: Expression => Expression): LambdaFunction = {
+    val x = lv("ch_ext_" + nameSeq.incrementAndGet()); LambdaFunction(f(x), Seq(x))
+  }
+
+  private def lam2(f: (Expression, Expression) => Expression): LambdaFunction = {
+    val x = lv("ch_ext_" + nameSeq.incrementAndGet())
+    val y = lv("ch_ext_" + nameSeq.incrementAndGet())
+    LambdaFunction(f(x, y), Seq(x, y))
+  }
 
   private def asLong(e: Expression): Expression = Cast(e, LongType)
   private def asInt(e: Expression): Expression = Cast(e, IntegerType)
@@ -122,7 +136,7 @@ object ChRegistryExt {
     (signed ++ unsigned ++ uint64).toMap
   }
 
-  val builders: Map[String, Seq[Expression] => Expression] = orNullZero ++ Map(
+  private val bitMathConv: Map[String, Seq[Expression] => Expression] = Map(
     // ---- bit manipulation (bitAnd.cpp … bitTestAll.cpp) ----
     "bitand" -> (args => BitwiseAnd(args(0), args(1))),
     "bitor" -> (args => BitwiseOr(args(0), args(1))),
@@ -218,4 +232,165 @@ object ChRegistryExt {
         "toDecimalString expects a literal scale")
     })
   )
+
+  // ---- string / split / simpleJSON tail ------------------------------
+
+  /** Regex-escape (regexpQuoteMeta.cpp) — same class the dialect's
+    * splitByChar rewrite uses. */
+  private def quoteMeta(s: Expression): Expression =
+    RegExpReplace(s, Literal("([\\\\^$.|?*+()\\[\\]{}])"), Literal("\\\\$1"))
+
+  /** Characters of a string as a string array (no split("") edge cases). */
+  private def chars(s: Expression): Expression =
+    If(LessThanOrEqual(Length(s), Literal(0)),
+      Literal.create(Array.empty[String], ArrayType(StringType)),
+      ArrayTransform(Sequence(Literal(1), Length(s), Some(Literal(1))),
+        lam1(i => Substring(s, i, Literal(1)))))
+
+  /** Substring n-grams (FunctionsStringSimilarity.h uses n=4). */
+  private def ngramsOf(s: Expression, n: Expression): Expression = {
+    val len = Length(s)
+    val ni = asInt(n)
+    If(LessThan(len, ni),
+      Literal.create(Array.empty[String], ArrayType(StringType)),
+      ArrayTransform(
+        Sequence(Literal(1), Add(Subtract(len, ni), Literal(1)), Some(Literal(1))),
+        lam1(i => Substring(s, i, ni))))
+  }
+
+  /** Word-boundary token pattern: token bounded by non-alphanumerics. */
+  private def tokenPattern(token: Expression): Expression =
+    Concat(Seq(Literal("(^|[^\\p{L}\\p{N}_])"), quoteMeta(token),
+      Literal("([^\\p{L}\\p{N}_]|$)")))
+
+  private def jsonPath(name: Expression): Expression =
+    Concat(Seq(Literal("$."), name))
+
+  private val stringJson: Map[String, Seq[Expression] => Expression] = Map(
+    // ---- search / count (position.cpp, countSubstrings.cpp,
+    // countMatches.cpp, hasToken.cpp) ----
+    "positioncaseinsensitive" -> (args =>
+      StringLocate(Lower(args(1)), Lower(args(0)), Literal(1))),
+    "countsubstrings" -> (args =>
+      If(LessThanOrEqual(Length(args(1)), Literal(0)), Literal(0),
+        Cast(IntegralDivide(
+          Cast(Subtract(Length(args(0)),
+            Length(StringReplace(args(0), args(1), Literal("")))), LongType),
+          Cast(Length(args(1)), LongType)), IntegerType))),
+    "countsubstringscaseinsensitive" -> (args =>
+      If(LessThanOrEqual(Length(args(1)), Literal(0)), Literal(0),
+        Cast(IntegralDivide(
+          Cast(Subtract(Length(args(0)),
+            Length(StringReplace(Lower(args(0)), Lower(args(1)), Literal("")))), LongType),
+          Cast(Length(args(1)), LongType)), IntegerType))),
+    "countmatches" -> (args => RegExpCount(args(0), args(1))),
+    "hastoken" -> (args => RLike(args(0), tokenPattern(args(1)))),
+    "hastokencaseinsensitive" -> (args =>
+      RLike(Lower(args(0)), tokenPattern(Lower(args(1))))),
+
+    // ---- small string utilities ----
+    "appendtrailingcharifabsent" -> (args =>
+      If(EndsWith(args(0), args(1)), args(0), Concat(Seq(args(0), args(1))))),
+    "firstline" -> (args =>
+      RegExpExtract(args.head, Literal("[^\\r\\n]*"), Literal(0))),
+    "basename" -> (args =>
+      RegExpExtract(args.head, Literal("[^/\\\\]*$"), Literal(0))),
+    "regexpquotemeta" -> (args => quoteMeta(args.head)),
+    "translateutf8" -> (args => StringTranslate(args(0), args(1), args(2))),
+    "reverseutf8" -> (args => Reverse(args.head)),
+    "bytehammingdistance" -> (args =>
+      ArrayAggregate(
+        ZipWith(chars(args(0)), chars(args(1)),
+          lam2((x, y) => If(EqualNullSafe(x, y), Literal(0), Literal(1)))),
+        Literal(0), lam2(Add(_, _)), LambdaFunction.identity)),
+    "stringjaccardindex" -> (args => {
+      val a = ArrayDistinct(chars(args(0)))
+      val b = ArrayDistinct(chars(args(1)))
+      val un = Size(ArrayUnion(a, b))
+      If(LessThanOrEqual(un, Literal(0)), Literal(1.0d),
+        Divide(Cast(Size(ArrayIntersect(a, b)), DoubleType), Cast(un, DoubleType)))
+    }),
+
+    // ---- n-gram similarity (FunctionsStringSimilarity.h; DISTINCT-set
+    // variant of the reference's multiset counts — same [0,1] range and
+    // ordering behavior, documented deviation) ----
+    "ngrams" -> (args => ngramsOf(args(0), args(1))),
+    "ngramdistance" -> (args => {
+      val a = ArrayDistinct(ngramsOf(args(0), Literal(4)))
+      val b = ArrayDistinct(ngramsOf(args(1), Literal(4)))
+      val den = Add(Size(a), Size(b))
+      If(LessThanOrEqual(den, Literal(0)), Literal(0.0d),
+        Subtract(Literal(1.0d),
+          Divide(Multiply(Literal(2.0d),
+            Cast(Size(ArrayIntersect(a, b)), DoubleType)), Cast(den, DoubleType))))
+    }),
+    "ngramsearch" -> (args => {
+      val hay = ArrayDistinct(ngramsOf(args(0), Literal(4)))
+      val needle = ArrayDistinct(ngramsOf(args(1), Literal(4)))
+      If(LessThanOrEqual(Size(needle), Literal(0)), Literal(1.0d),
+        Divide(Cast(Size(ArrayIntersect(needle, hay)), DoubleType),
+          Cast(Size(needle), DoubleType)))
+    }),
+
+    // ---- split family (FunctionsStringArray.cpp; separator-FIRST order) ----
+    "splitbystring" -> (args =>
+      StringSplit(args(1), quoteMeta(args(0)), Literal(-1))),
+    "splitbyregexp" -> (args => StringSplit(args(1), args(0), Literal(-1))),
+    "splitbywhitespace" -> (args =>
+      ArrayRemove(StringSplit(args.head, Literal("\\s+"), Literal(-1)), Literal(""))),
+    "splitbynonalpha" -> (args =>
+      ArrayRemove(StringSplit(args.head, Literal("[^\\p{L}\\p{N}]+"), Literal(-1)),
+        Literal(""))),
+    "alphatokens" -> (args =>
+      ArrayRemove(StringSplit(args.head, Literal("[^\\p{L}]+"), Literal(-1)),
+        Literal(""))),
+
+    // ---- simpleJSON / visitParam (FunctionsVisitParam.h) ----
+    "simplejsonextractstring" -> (args =>
+      GetJsonObject(args(0), jsonPath(args(1)))),
+    "simplejsonextractraw" -> (args =>
+      GetJsonObject(args(0), jsonPath(args(1)))),
+    "simplejsonextractint" -> (args =>
+      Coalesce(Seq(Cast(GetJsonObject(args(0), jsonPath(args(1))),
+        LongType, None, EvalMode.TRY), Literal(0L)))),
+    "simplejsonextractuint" -> (args =>
+      Coalesce(Seq(Cast(GetJsonObject(args(0), jsonPath(args(1))),
+        LongType, None, EvalMode.TRY), Literal(0L)))),
+    "simplejsonextractfloat" -> (args =>
+      Coalesce(Seq(Cast(GetJsonObject(args(0), jsonPath(args(1))),
+        DoubleType, None, EvalMode.TRY), Literal(0.0d)))),
+    "simplejsonextractbool" -> (args =>
+      EqualNullSafe(GetJsonObject(args(0), jsonPath(args(1))), Literal("true"))),
+    "simplejsonhas" -> (args =>
+      IsNotNull(GetJsonObject(args(0), jsonPath(args(1))))),
+    "visitparamextractstring" -> (args =>
+      GetJsonObject(args(0), jsonPath(args(1)))),
+    "visitparamextractraw" -> (args =>
+      GetJsonObject(args(0), jsonPath(args(1)))),
+    "visitparamextractint" -> (args =>
+      Coalesce(Seq(Cast(GetJsonObject(args(0), jsonPath(args(1))),
+        LongType, None, EvalMode.TRY), Literal(0L)))),
+    "visitparamextractuint" -> (args =>
+      Coalesce(Seq(Cast(GetJsonObject(args(0), jsonPath(args(1))),
+        LongType, None, EvalMode.TRY), Literal(0L)))),
+    "visitparamextractfloat" -> (args =>
+      Coalesce(Seq(Cast(GetJsonObject(args(0), jsonPath(args(1))),
+        DoubleType, None, EvalMode.TRY), Literal(0.0d)))),
+    "visitparamextractbool" -> (args =>
+      EqualNullSafe(GetJsonObject(args(0), jsonPath(args(1))), Literal("true"))),
+    "visitparamhas" -> (args =>
+      IsNotNull(GetJsonObject(args(0), jsonPath(args(1))))),
+    "jsonarraylength" -> (args => LengthOfJsonArray(args.head)),
+    "tojsonstring" -> (args => StructsToJson(Map.empty, args.head)),
+    // extractKeyValuePairs(s[, kvDelim[, pairDelim]])
+    // (extractKeyValuePairs.cpp)
+    "extractkeyvaluepairs" -> (args => args.length match {
+      case 1 => StringToMap(args.head, Literal(","), Literal(":"))
+      case 2 => StringToMap(args.head, Literal(","), args(1))
+      case _ => StringToMap(args.head, args(2), args(1))
+    })
+  )
+
+  val builders: Map[String, Seq[Expression] => Expression] =
+    orNullZero ++ bitMathConv ++ stringJson
 }
