@@ -300,6 +300,122 @@ object FunctionTail extends QueryPack {
         CAST(1 AS BIGINT) AS vpu, 3 AS jal, '{"k":1}' AS tjs,
         'a,b' AS kvk, '1' AS kva"""),
 
+    // URL-part family (src/Functions/URL/) over ParseUrl + heuristics.
+    ch("q_fn_url_tail", """
+      SELECT
+        protocol(u) AS pr,
+        domain(u) AS dom,
+        domainWithoutWWW(u) AS dww,
+        topLevelDomain(u) AS tld,
+        firstSignificantSubdomain(u) AS fss,
+        cutToFirstSignificantSubdomain(u) AS cfss,
+        firstSignificantSubdomain('https://news.yandex.com.tr/x') AS fss2,
+        cutToFirstSignificantSubdomain('https://news.yandex.com.tr/x') AS cfss2,
+        path(u) AS pth,
+        pathFull(u) AS pf,
+        queryString(u) AS qs,
+        fragment(u) AS fr,
+        queryStringAndFragment(u) AS qsf,
+        netloc(u) AS nl,
+        CAST(port(u) AS INT) AS prt,
+        cutWWW('https://www.example.com/x') AS cw,
+        cutQueryString(u) AS cq,
+        cutFragment(u) AS cf,
+        cutQueryStringAndFragment(u) AS cqf,
+        extractURLParameter(u, 'y') AS ep,
+        arrayStringConcat(extractURLParameters(u), '|') AS eps,
+        arrayStringConcat(extractURLParameterNames(u), '|') AS epn,
+        encodeURLComponent('a b/c') AS enc,
+        decodeURLComponent('a%20b%2Fc') AS dec,
+        domain('example.com/bare') AS dbare
+      FROM (SELECT 'https://user:pw@www.example.com:8080/a/b.html?x=1&y=2#frag' AS u)""",
+      """
+      SELECT 'https' AS pr, 'www.example.com' AS dom, 'example.com' AS dww,
+        'com' AS tld, 'example' AS fss, 'example.com' AS cfss,
+        'yandex' AS fss2, 'yandex.com.tr' AS cfss2,
+        '/a/b.html' AS pth, '/a/b.html?x=1&y=2' AS pf, 'x=1&y=2' AS qs,
+        'frag' AS fr, 'x=1&y=2#frag' AS qsf,
+        'user:pw@www.example.com:8080' AS nl, 8080 AS prt,
+        'https://example.com/x' AS cw,
+        'https://user:pw@www.example.com:8080/a/b.html#frag' AS cq,
+        'https://user:pw@www.example.com:8080/a/b.html?x=1&y=2' AS cf,
+        'https://user:pw@www.example.com:8080/a/b.html' AS cqf,
+        '2' AS ep, 'x=1|y=2' AS eps, 'x|y' AS epn,
+        'a%20b%2Fc' AS enc, 'a b/c' AS dec, 'example.com' AS dbare"""),
+
+    // Date-manipulation tail: changeX (saturating), dateName, Julian-day
+    // codecs, interval flooring, numeric date codecs, snowflake/UUIDv7.
+    ch("q_fn_date_tail", """
+      SELECT
+        CAST(changeYear(DATE'2020-02-29', 2023) AS DATE) AS cy,
+        CAST(changeMonth(DATE'2024-01-31', 2) AS DATE) AS cm,
+        CAST(changeDay(DATE'2024-02-15', 31) AS DATE) AS cd,
+        changeHour(TIMESTAMP'2024-03-15 10:30:45', 5) AS chh,
+        changeMinute(TIMESTAMP'2024-03-15 10:30:45', 0) AS chm,
+        changeSecond(TIMESTAMP'2024-03-15 10:30:45', 0) AS chs,
+        dateName('month', TIMESTAMP'2024-03-15 10:30:45') AS mn,
+        dateName('weekday', TIMESTAMP'2024-03-15 10:30:45') AS wd,
+        dateName('year', TIMESTAMP'2024-03-15 10:30:45') AS yn,
+        CAST(timeDiff(TIMESTAMP'2024-01-01 00:00:00',
+                      TIMESTAMP'2024-01-01 00:01:40') AS BIGINT) AS td,
+        CAST(toModifiedJulianDay(DATE'1858-11-17') AS INT) AS mjd0,
+        CAST(toModifiedJulianDay(DATE'2020-01-01') AS INT) AS mjd,
+        fromModifiedJulianDay(58849) AS fmjd,
+        fromDaysSinceYearZero(693961) AS fdy,
+        CAST(toDaysSinceYearZero(DATE'1900-01-01') AS INT) AS tdy,
+        toStartOfFiveMinute(TIMESTAMP'2024-01-01 10:07:30') AS s5,
+        toStartOfFifteenMinutes(TIMESTAMP'2024-01-01 10:17:30') AS s15,
+        toStartOfInterval(TIMESTAMP'2024-01-01 10:07:30', INTERVAL 10 MINUTE) AS si,
+        toStartOfInterval(DATE'2024-05-15', INTERVAL 2 MONTH) AS sim,
+        YYYYMMDDToDate(20240315) AS ymd,
+        YYYYMMDDhhmmssToDateTime(20240315103045) AS ymdh,
+        CAST(dateTimeToSnowflake(TIMESTAMP'2021-08-15 18:57:56') AS BIGINT) AS sf,
+        snowflakeToDateTime(1426981498778550272) AS sfb,
+        UUIDv7ToDateTime('01890a5d-ac96-774b-b9aa-000000000000') AS uv7""",
+      """
+      SELECT DATE '2023-02-28' AS cy, DATE '2024-02-29' AS cm,
+        DATE '2024-02-29' AS cd,
+        TIMESTAMP '2024-03-15 05:30:45' AS chh,
+        TIMESTAMP '2024-03-15 10:00:45' AS chm,
+        TIMESTAMP '2024-03-15 10:30:00' AS chs,
+        'March' AS mn, 'Friday' AS wd, '2024' AS yn,
+        CAST(100 AS BIGINT) AS td, 0 AS mjd0, 58849 AS mjd,
+        DATE '2020-01-01' AS fmjd, DATE '1900-01-01' AS fdy,
+        693961 AS tdy,
+        TIMESTAMP '2024-01-01 10:05:00' AS s5,
+        TIMESTAMP '2024-01-01 10:15:00' AS s15,
+        TIMESTAMP '2024-01-01 10:00:00' AS si,
+        DATE '2024-05-01' AS sim,
+        DATE '2024-03-15' AS ymd,
+        TIMESTAMP '2024-03-15 10:30:45' AS ymdh,
+        CAST(1426981498778550272 AS BIGINT) AS sf,
+        TIMESTAMP '2021-08-15 18:57:56' AS sfb,
+        TIMESTAMP '2023-06-30 03:34:18' AS uv7"""),
+
+    // Map/tuple tail (lambda-first reference order; mapApply via
+    // entries zip, mapUpdate override semantics).
+    ch("q_fn_map_tail", """
+      SELECT
+        arrayStringConcat(arraySort(mapKeys(
+          mapFilter((k, v) -> v > 1, map('a', 1, 'b', 2)))), ',') AS mf,
+        element_at(mapApply((k, v) -> struct(k, v * 10), map('a', 1)), 'a') AS ma,
+        mapExists((k, v) -> v = 2, map('a', 1, 'b', 2)) AS me,
+        mapAll((k, v) -> v > 0, map('a', 1, 'b', 2)) AS mall,
+        arrayStringConcat(arraySort(mapKeys(
+          mapConcat(map('a', 1), map('b', 2)))), ',') AS mc,
+        element_at(mapUpdate(map('a', 1, 'b', 2), map('b', 9)), 'b') AS mu,
+        mapContainsKeyLike(map('abc', 1), 'a%') AS mckl,
+        arrayStringConcat(arraySort(mapKeys(
+          mapExtractKeyLike(map('abc', 1, 'xbc', 2), 'a%'))), ',') AS mekl,
+        element_at(mapFromArrays(array('k'), array(7)), 'k') AS mfa,
+        tupleElement(tuple(1, 'x'), 2) AS te,
+        ROUND(greatCircleDistance(2.3522, 48.8566, -0.1276, 51.5074), 0) AS gcd,
+        ROUND(greatCircleAngle(2.3522, 48.8566, -0.1276, 51.5074), 6) AS gca""",
+      """
+      SELECT 'b' AS mf, 10 AS ma, true AS me, true AS mall, 'a,b' AS mc,
+        9 AS mu, true AS mckl, 'abc' AS mekl, 7 AS mfa, 'x' AS te,
+        CAST(343646.0 AS DOUBLE) AS gcd, CAST(3.089608 AS DOUBLE) AS gca"""),
+
     // Distributed path: the same trees over per-order quantity arrays from
     // lineitem (sorted collect → deterministic; int sums exact).
     ch("q_fn_array_real", """

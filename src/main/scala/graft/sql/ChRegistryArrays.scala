@@ -47,7 +47,7 @@ object ChRegistryArrays {
     * natural result is a scalar wrapper (Size, ElementAt, If, Coalesce…)
     * around a genuine HOF, wrap the whole result as the zero of a fold over
     * an empty array: evaluates `result` exactly once, top node is a HOF. */
-  private def hofWrap(result: Expression): Expression =
+  private[sql] def hofWrap(result: Expression): Expression =
     ArrayAggregate(
       Literal.create(Array.empty[Int], ArrayType(IntegerType)),
       result,
