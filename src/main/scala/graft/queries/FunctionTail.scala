@@ -416,6 +416,57 @@ object FunctionTail extends QueryPack {
         9 AS mu, true AS mckl, 'abc' AS mekl, 7 AS mfa, 'x' AS te,
         CAST(343646.0 AS DOUBLE) AS gcd, CAST(3.089608 AS DOUBLE) AS gca"""),
 
+    // Hash tail: value-compatible SHA-2 binary digests + CRC32IEEE;
+    // shape-compatible stand-ins for non-JVM digests; constant
+    // constructors (ignore/identity/indexHint/emptyArrayX).
+    ch("q_fn_hash_tail", """
+      SELECT
+        lower(hex(SHA224('abc'))) AS s224,
+        lower(hex(SHA256('abc'))) AS s256,
+        lower(hex(SHA384('abc'))) AS s384,
+        lower(hex(SHA512('abc'))) AS s512,
+        CAST(CRC32IEEE('abc') AS BIGINT) AS c32,
+        murmurHash2_64('abc') <> 0 AS mm64,
+        CAST(length(murmurHash3_128('abc')) AS INT) AS mm128len,
+        CAST(length(blake3('x')) AS INT) AS b3len,
+        CAST(length(ripemd160('x')) AS INT) AS riplen,
+        CAST(length(md4('x')) AS INT) AS md4len,
+        CAST(ignore(1, 2) AS INT) AS ig,
+        CAST(identity(5) AS INT) AS idn,
+        indexHint(1) AS ih,
+        CAST(size(emptyArrayInt32()) AS INT) AS ea32,
+        CAST(size(emptyArrayString()) AS INT) AS eas,
+        CAST(size(emptyArrayDate()) AS INT) AS ead""",
+      """
+      SELECT '23097d223405d8228642a477bda255b32aadbce4bda0b3f7e36c9da7' AS s224,
+        'ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad' AS s256,
+        'cb00753f45a35e8bb5a03d699ac65007272c32ab0eded1631a8b605a43ff5bed8086072ba1e7cc2358baeca134c825a7' AS s384,
+        'ddaf35a193617abacc417349ae20413112e6fa4e89a97ea20a9eeee64b55d39a2192992a274fc1a836ba3c23a3feebbd454d4423643ce80e2a9ac94fa54ca49f' AS s512,
+        CAST(891568578 AS BIGINT) AS c32, true AS mm64, 16 AS mm128len,
+        32 AS b3len, 20 AS riplen, 16 AS md4len, 0 AS ig, 5 AS idn,
+        true AS ih, 0 AS ea32, 0 AS eas, 0 AS ead"""),
+
+    // Aggregate aliases: sumKahan/sumWithOverflow, stable moment names,
+    // discrete quantileExactLow/High.
+    ch("q_fn_agg_aliases", """
+      SELECT
+        CAST(sumKahan(x) AS DOUBLE) AS sk,
+        CAST(sumWithOverflow(x) AS DOUBLE) AS swo,
+        ROUND(stddevSampStable(x), 6) AS sss,
+        ROUND(stddevPopStable(x), 6) AS sps,
+        ROUND(varSampStable(x), 6) AS vss,
+        ROUND(varPopStable(x), 6) AS vps,
+        CAST(quantileExactLow(x, 0.5) AS DOUBLE) AS ql,
+        CAST(quantileExactHigh(x, 0.5) AS DOUBLE) AS qh,
+        ROUND(quantileExactInclusive(x, 0.5), 6) AS qi
+      FROM VALUES (1.0D), (2.0D), (3.0D), (4.0D) AS t(x)""",
+      """
+      SELECT CAST(10.0 AS DOUBLE) AS sk, CAST(10.0 AS DOUBLE) AS swo,
+        CAST(1.290994 AS DOUBLE) AS sss, CAST(1.118034 AS DOUBLE) AS sps,
+        CAST(1.666667 AS DOUBLE) AS vss, CAST(1.25 AS DOUBLE) AS vps,
+        CAST(2.0 AS DOUBLE) AS ql, CAST(3.0 AS DOUBLE) AS qh,
+        CAST(2.5 AS DOUBLE) AS qi"""),
+
     // Distributed path: the same trees over per-order quantity arrays from
     // lineitem (sorted collect → deterministic; int sums exact).
     ch("q_fn_array_real", """

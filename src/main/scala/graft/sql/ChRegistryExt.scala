@@ -3,6 +3,7 @@ package graft.sql
 import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.types._
 
 /** Bit-manipulation, math-tail, and type-conversion-tail names of the
@@ -391,6 +392,97 @@ object ChRegistryExt {
     })
   )
 
+  // ---- hash tail / constant constructors / aggregate aliases ---------
+
+  /** Typed empty-array constant (emptyArrayUInt8.cpp family). */
+  private def emptyArr(dt: DataType): Expression =
+    Slice(CreateArray(Seq(Cast(Literal.create(null, NullType), dt))),
+      Literal(1), Literal(0))
+
+  private def sha2bin(e: Expression, bits: Int): Expression =
+    Unhex(Sha2(Cast(e, BinaryType), Literal(bits)))
+
+  /** First `bytes` bytes of SHA-256, as a shape-compatible stand-in for
+    * digests the JVM does not ship (BLAKE3/Keccak/RIPEMD/MD4) — same
+    * name-compatible-NOT-value-compatible stance as cityHash64→xxhash64
+    * (ChFunctionRegistry hashing note). */
+  private def shaPrefix(e: Expression, bytes: Int): Expression =
+    Unhex(Substring(Sha2(Cast(e, BinaryType), Literal(256)),
+      Literal(1), Literal(bytes * 2)))
+
+  private def xx(args: Seq[Expression]): Expression = XxHash64(args, 42L)
+
+  private def pctExact(args: Seq[Expression]): Expression =
+    if (args.length == 1) new Percentile(args.head, Literal(0.5))
+    else new Percentile(args(0), args(1))
+
+  private val hashEtc: Map[String, Seq[Expression] => Expression] = Map(
+    // value-compatible SHA-2 family, binary-typed like the reference's
+    // FixedString digests (FunctionsHashing.h). SHA1 stays the Spark
+    // builtin (hex-string return — documented deviation; can't shadow).
+    "sha224" -> (args => sha2bin(args.head, 224)),
+    "sha256" -> (args => sha2bin(args.head, 256)),
+    "sha384" -> (args => sha2bin(args.head, 384)),
+    "sha512" -> (args => sha2bin(args.head, 512)),
+    "crc32ieee" -> (args => Crc32(Cast(args.head, BinaryType))),
+    // name/shape-compatible only (no JVM primitive):
+    "crc64" -> xx,
+    "murmurhash2_32" -> (args => Cast(xx(args), IntegerType)),
+    "murmurhash2_64" -> xx,
+    "murmurhash3_32" -> (args => Cast(xx(args), IntegerType)),
+    "murmurhash3_64" -> xx,
+    "murmurhash3_128" -> (args => shaPrefix(args.head, 16)),
+    "farmhash64" -> xx,
+    "farmfingerprint64" -> xx,
+    "metrohash64" -> xx,
+    "javahash" -> xx,
+    "hivehash" -> (args => Cast(xx(args), IntegerType)),
+    "wyhash64" -> xx,
+    "md4" -> (args => shaPrefix(args.head, 16)),
+    "ripemd160" -> (args => shaPrefix(args.head, 20)),
+    "blake3" -> (args => shaPrefix(args.head, 32)),
+    "keccak256" -> (args => shaPrefix(args.head, 32)),
+
+    // trivial-value functions (ignore.cpp, identity.cpp, indexHint.cpp)
+    "identity" -> (args => args.head),
+    "ignore" -> (_ => Literal(0)),
+    "indexhint" -> (_ => Literal(true)),
+
+    // emptyArrayX constructors
+    "emptyarrayint8" -> (_ => emptyArr(ByteType)),
+    "emptyarrayint16" -> (_ => emptyArr(ShortType)),
+    "emptyarrayint32" -> (_ => emptyArr(IntegerType)),
+    "emptyarrayint64" -> (_ => emptyArr(LongType)),
+    "emptyarrayuint8" -> (_ => emptyArr(ShortType)),
+    "emptyarrayuint16" -> (_ => emptyArr(IntegerType)),
+    "emptyarrayuint32" -> (_ => emptyArr(LongType)),
+    "emptyarrayuint64" -> (_ => emptyArr(LongType)),
+    "emptyarrayfloat32" -> (_ => emptyArr(FloatType)),
+    "emptyarrayfloat64" -> (_ => emptyArr(DoubleType)),
+    "emptyarraystring" -> (_ => emptyArr(StringType)),
+    "emptyarraydate" -> (_ => emptyArr(DateType)),
+    "emptyarraydatetime" -> (_ => emptyArr(TimestampType)),
+
+    // aggregate aliases (registerAggregateFunctions.cpp tail)
+    "sumkahan" -> (args => Sum(args.head)),
+    "sumwithoverflow" -> (args => Sum(args.head)),
+    "stddevsampstable" -> (args => StddevSamp(args.head)),
+    "stddevpopstable" -> (args => StddevPop(args.head)),
+    "varsampstable" -> (args => VarianceSamp(args.head)),
+    "varpopstable" -> (args => VariancePop(args.head)),
+    "quantileexactinclusive" -> pctExact,
+    "quantileexactexclusive" -> pctExact,
+    // discrete low/high medians (AggregateFunctionQuantileExact*.cpp)
+    "quantileexactlow" -> (args =>
+      if (args.length == 1) PercentileDisc(args.head, Literal(0.5))
+      else PercentileDisc(args(0), args(1))),
+    "quantileexacthigh" -> (args =>
+      if (args.length == 1)
+        PercentileDisc(args.head, Literal(0.5), reverse = true)
+      else PercentileDisc(args(0), Subtract(Literal(1.0d), args(1)),
+        reverse = true))
+  )
+
   val builders: Map[String, Seq[Expression] => Expression] =
-    orNullZero ++ bitMathConv ++ stringJson
+    orNullZero ++ bitMathConv ++ stringJson ++ hashEtc
 }
