@@ -467,6 +467,153 @@ object FunctionTail extends QueryPack {
         CAST(2.0 AS DOUBLE) AS ql, CAST(3.0 AS DOUBLE) AS qh,
         CAST(2.5 AS DOUBLE) AS qi"""),
 
+    // Misc wave: CI/UTF8 alias matrix, multiSearch matrix, regex extract.
+    ch("q_fn_misc_str", """
+      SELECT
+        CAST(positionCaseInsensitiveUTF8('Hello World', 'WORLD') AS INT) AS pci,
+        ROUND(ngramDistanceCaseInsensitive('ABCDE', 'abcde'), 6) AS ngd,
+        CAST(mismatches('abc', 'abd') AS INT) AS mm,
+        CAST(countMatchesCaseInsensitive('A1a2', 'a') AS INT) AS cmi,
+        notLike('abc', 'x%') AS nl,
+        notILike('ABC', 'a%') AS nil,
+        mid('hello', 2, 3) AS md,
+        CAST(countDigits(1234) AS INT) AS cdg,
+        isValidUTF8('x') AS iv,
+        toValidUTF8('x') AS tv,
+        arrayStringConcat(arrayMap(x -> toString(x),
+          multiSearchAllPositions('hello world', array('lo', 'x', 'wor'))), ',') AS msap,
+        CAST(multiSearchFirstIndex('hello', array('x', 'ell')) AS BIGINT) AS msfi,
+        CAST(multiSearchFirstPosition('hello world', array('world', 'lo')) AS BIGINT) AS msfp,
+        multiSearchAnyCaseInsensitive('Hello', array('ELL')) AS msci,
+        CAST(multiMatchAnyIndex('abc123', array('^z', '[0-9]+')) AS BIGINT) AS mmai,
+        arrayStringConcat(arrayMap(x -> toString(x),
+          multiMatchAllIndices('abc123', array('^a', 'z', '[0-9]'))), ',') AS mmall,
+        arrayStringConcat(extractAll('a1b22', '[0-9]+'), ',') AS ea,
+        arrayStringConcat(extractGroups('2024-03-15', '(\\d+)-(\\d+)-(\\d+)'), ',') AS eg""",
+      """
+      SELECT 7 AS pci, CAST(0.0 AS DOUBLE) AS ngd, 1 AS mm, 2 AS cmi,
+        true AS nl, false AS nil, 'ell' AS md, 4 AS cdg, true AS iv,
+        'x' AS tv, '4,0,7' AS msap, CAST(2 AS BIGINT) AS msfi,
+        CAST(4 AS BIGINT) AS msfp, true AS msci, CAST(2 AS BIGINT) AS mmai,
+        '1,3' AS mmall, '1,22' AS ea, '2024,03,15' AS eg"""),
+
+    // Misc wave: special math (commons-math3), gcd/lcm, byteSwap,
+    // decimal arithmetic, null-guarded division.
+    ch("q_fn_misc_math", """
+      SELECT
+        ROUND(erf(1.0), 6) AS e1,
+        ROUND(erfc(1.0), 6) AS ec1,
+        ROUND(lgamma(5.0), 6) AS lg,
+        ROUND(tgamma(5.0), 6) AS tg,
+        CAST(gcd(12, 18) AS BIGINT) AS g,
+        CAST(gcd(0, 5) AS BIGINT) AS g0,
+        CAST(lcm(4, 6) AS BIGINT) AS l,
+        CAST(lcm(0, 5) AS BIGINT) AS l0,
+        CAST(byteSwap(1) AS BIGINT) AS bs,
+        isInfinite(inf()) AS ii,
+        isnan(nan()) AS inn,
+        CAST(intDivOrNull(7, 0) AS BIGINT) AS idn,
+        CAST(modOrNull(7, 0) AS BIGINT) AS mon,
+        CAST(moduloLegacy(7, 4) AS INT) AS mleg,
+        CAST(divideDecimal(10, 4, 2) AS STRING) AS dd,
+        CAST(multiplyDecimal(1.5, 2, 2) AS STRING) AS mdec""",
+      """
+      SELECT CAST(0.842701 AS DOUBLE) AS e1, CAST(0.157299 AS DOUBLE) AS ec1,
+        CAST(3.178054 AS DOUBLE) AS lg, CAST(24.0 AS DOUBLE) AS tg,
+        CAST(6 AS BIGINT) AS g, CAST(5 AS BIGINT) AS g0,
+        CAST(12 AS BIGINT) AS l, CAST(0 AS BIGINT) AS l0,
+        CAST(72057594037927936 AS BIGINT) AS bs, true AS ii, true AS inn,
+        CAST(NULL AS BIGINT) AS idn, CAST(NULL AS BIGINT) AS mon, 3 AS mleg,
+        '2.50' AS dd, '3.00' AS mdec"""),
+
+    // Misc wave: MySQL-style formatDateTime/parseDateTime, best-effort
+    // parsing, make-date/time, 64-bit unix codecs, timestampDiff.
+    ch("q_fn_misc_datetime", """
+      SELECT
+        formatDateTime(TIMESTAMP'2024-03-15 10:30:45', '%Y-%m-%d %H:%i:%S') AS fd,
+        formatDateTime(TIMESTAMP'2024-03-15 10:30:45', '%M %d, %Y') AS fd2,
+        formatDateTimeInJodaSyntax(TIMESTAMP'2024-03-15 10:30:45', 'yyyy/MM/dd') AS fdj,
+        parseDateTime('2024-03-15 10:30:45', '%Y-%m-%d %H:%i:%S') AS pd,
+        parseDateTimeOrNull('bad', '%Y-%m-%d') AS pdn,
+        parseDateTimeBestEffort('15/03/2024 10:30:45') AS pbe,
+        parseDateTimeBestEffort('2024-03-15') AS pbe2,
+        makeDate(2024, 3, 15) AS mdv,
+        makeDateTime(2024, 3, 15, 10, 30, 45) AS mdt,
+        CAST(week(DATE'2024-01-04') AS INT) AS wk,
+        CAST(millisecond(TIMESTAMP'2024-01-01 00:00:00.123') AS INT) AS ms,
+        dateTrunc('month', TIMESTAMP'2024-03-15 10:30:45') AS dtr,
+        CAST(timestamp_diff('day', TIMESTAMP'2024-01-01 00:00:00',
+          TIMESTAMP'2024-01-11 00:00:00') AS BIGINT) AS tsd,
+        CAST(to_days(DATE'1900-01-01') AS INT) AS tdv,
+        from_days(693961) AS fdv,
+        fromUnixTimestamp64Milli(1700000000123) AS fu64,
+        CAST(toUnixTimestamp64Milli(TIMESTAMP'2023-11-14 22:13:20.123') AS BIGINT) AS tu64,
+        CAST(toUnixTimestamp64Nano(fromUnixTimestamp64Nano(1700000000123456000))
+          AS BIGINT) AS nrt""",
+      """
+      SELECT '2024-03-15 10:30:45' AS fd, 'March 15, 2024' AS fd2,
+        '2024/03/15' AS fdj, TIMESTAMP '2024-03-15 10:30:45' AS pd,
+        CAST(NULL AS TIMESTAMP) AS pdn,
+        TIMESTAMP '2024-03-15 10:30:45' AS pbe,
+        TIMESTAMP '2024-03-15 00:00:00' AS pbe2,
+        DATE '2024-03-15' AS mdv,
+        TIMESTAMP '2024-03-15 10:30:45' AS mdt,
+        1 AS wk, 123 AS ms, TIMESTAMP '2024-03-01 00:00:00' AS dtr,
+        CAST(10 AS BIGINT) AS tsd, 693961 AS tdv, DATE '1900-01-01' AS fdv,
+        TIMESTAMP '2023-11-14 22:13:20.123' AS fu64,
+        CAST(1700000000123 AS BIGINT) AS tu64,
+        CAST(1700000000123456000 AS BIGINT) AS nrt"""),
+
+    // Misc wave: MAC/IPv4 codecs, XML/HTML codecs, cutURLParameter.
+    ch("q_fn_misc_codec", """
+      SELECT
+        MACNumToString(1108152157446) AS mac,
+        CAST(MACStringToNum('01:02:03:04:05:06') AS BIGINT) AS macn,
+        CAST(MACStringToOUI('01:02:03:04:05:06') AS BIGINT) AS oui,
+        IPv4NumToString(3232235777) AS i4s,
+        CAST(IPv4StringToNum('192.168.1.1') AS BIGINT) AS i4n,
+        IPv4NumToStringClassC(3232235777) AS i4c,
+        IPv4ToIPv6(3232235777) AS i46,
+        CAST(INET_ATON('10.0.0.1') AS BIGINT) AS ia,
+        INET_NTOA(167772161) AS intoa,
+        isIPv4String('192.168.1.1') AS isv4,
+        isIPv4String('999.1.1.1') AS isv4b,
+        isIPv6String('2001:db8::1') AS isv6,
+        isIPv6String('hello') AS isv6b,
+        encodeXMLComponent('a<b&c') AS xml,
+        decodeXMLComponent('a&lt;b&amp;c') AS xmld,
+        extractTextFromHTML('<p>Hello <b>world</b></p><script>x=1</script>') AS html,
+        cutURLParameter('http://x.com/?a=1&b=2&c=3', 'b') AS cup,
+        cutURLParameter('http://x.com/?a=1', 'a') AS cup2""",
+      """
+      SELECT '01:02:03:04:05:06' AS mac, CAST(1108152157446 AS BIGINT) AS macn,
+        CAST(66051 AS BIGINT) AS oui, '192.168.1.1' AS i4s,
+        CAST(3232235777 AS BIGINT) AS i4n, '192.168.1.xxx' AS i4c,
+        '::ffff:192.168.1.1' AS i46, CAST(167772161 AS BIGINT) AS ia,
+        '10.0.0.1' AS intoa, true AS isv4, false AS isv4b, true AS isv6,
+        false AS isv6b, 'a&lt;b&amp;c' AS xml, 'a<b&c' AS xmld,
+        'Hello world' AS html, 'http://x.com/?a=1&c=3' AS cup,
+        'http://x.com/' AS cup2"""),
+
+    // Misc wave: formatReadable* renderings, CH format(), mapSort.
+    ch("q_fn_misc_format", """
+      SELECT
+        formatReadableSize(1536) AS frs,
+        formatReadableSize(1073741824) AS frs2,
+        formatReadableSize(100) AS frs3,
+        formatReadableDecimalSize(1500000) AS frd,
+        formatReadableQuantity(1234567) AS frq,
+        formatReadableTimeDelta(90061) AS frt,
+        formatReadableTimeDelta(0) AS frt0,
+        format('{} + {} = {}', 1, 2, 3) AS fmt,
+        format('{1} {0}', 'a', 'b') AS fmtp,
+        toJSONString(mapSort(map('b', 2, 'a', 1))) AS msort""",
+      """
+      SELECT '1.50 KiB' AS frs, '1.00 GiB' AS frs2, '100.00 B' AS frs3,
+        '1.50 MB' AS frd, '1.23 million' AS frq,
+        '1 day, 1 hour, 1 minute, 1 second' AS frt, '0 seconds' AS frt0,
+        '1 + 2 = 3' AS fmt, 'b a' AS fmtp, '{"a":1,"b":2}' AS msort"""),
+
     // Distributed path: the same trees over per-order quantity arrays from
     // lineitem (sorted collect → deterministic; int sums exact).
     ch("q_fn_array_real", """

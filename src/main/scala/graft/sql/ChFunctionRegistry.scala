@@ -379,7 +379,7 @@ object ChFunctionRegistry {
   /** Full surface: core names + the per-area extension packs. */
   val builders: Map[String, Seq[Expression] => Expression] =
     coreBuilders ++ ChRegistryArrays.builders ++ ChRegistryExt.builders ++
-      ChRegistryUrlDate.builders
+      ChRegistryUrlDate.builders ++ ChRegistryMisc.builders
 
   /** Install the aliases into the session's function registry — but ONLY
     * names Spark does not already provide. Names that exist as Spark
