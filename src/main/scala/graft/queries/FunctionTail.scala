@@ -614,6 +614,45 @@ object FunctionTail extends QueryPack {
         '1 day, 1 hour, 1 minute, 1 second' AS frt, '0 seconds' AS frt0,
         '1 + 2 = 3' AS fmt, 'b a' AS fmtp, '{"a":1,"b":2}' AS msort"""),
 
+    // ARRAY JOIN clause (reference ASTArrayJoin → LATERAL VIEW rewrite):
+    // inner unnest with alias.
+    ch("q_ch_array_join_clause", """
+      SELECT id, CAST(v AS INT) AS v
+      FROM (SELECT 1 AS id, array(10, 20) AS vs
+            UNION ALL SELECT 2, array(30)
+            UNION ALL SELECT 3, array()) t
+      ARRAY JOIN vs AS v
+      ORDER BY id, v""",
+      """
+      SELECT * FROM (VALUES (1, 10), (1, 20), (2, 30)) AS t(id, v)
+      ORDER BY id, v"""),
+
+    // LEFT ARRAY JOIN with a bare identifier (element shadows the column).
+    ch("q_ch_array_join_left", """
+      SELECT id, CAST(vs AS INT) AS v
+      FROM (SELECT 1 AS id, array(10, 20) AS vs
+            UNION ALL SELECT 2, array(30)
+            UNION ALL SELECT 3, array()) t
+      LEFT ARRAY JOIN vs
+      ORDER BY id, v""",
+      """
+      SELECT * FROM (VALUES (1, 10), (1, 20), (2, 30),
+        (3, CAST(NULL AS INT))) AS t(id, v)
+      ORDER BY id, v"""),
+
+    // Parallel arrays ZIP (not cartesian) — second item rides the
+    // position of the first.
+    ch("q_ch_array_join_zip", """
+      SELECT id, CAST(v AS INT) AS v, CAST(w AS INT) AS w
+      FROM (SELECT 1 AS id, array(10, 20) AS vs
+            UNION ALL SELECT 2, array(30)) t
+      ARRAY JOIN vs AS v, arrayMap(x -> x * 10, vs) AS w
+      ORDER BY id, v""",
+      """
+      SELECT * FROM (VALUES (1, 10, 100), (1, 20, 200), (2, 30, 300))
+        AS t(id, v, w)
+      ORDER BY id, v"""),
+
     // Distributed path: the same trees over per-order quantity arrays from
     // lineitem (sorted collect → deterministic; int sums exact).
     ch("q_fn_array_real", """

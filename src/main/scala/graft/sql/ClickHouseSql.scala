@@ -25,6 +25,7 @@ object ClickHouseSql {
   def rewrite(sql: String): String = {
     var s = sql
     s = rewriteFormat(s)
+    s = rewriteArrayJoin(s)
     s = rewritePrewhere(s)
     s = rewriteFinal(s)
     s = rewriteWithFill(s)
@@ -200,6 +201,79 @@ object ClickHouseSql {
     sb.append(if (inStr) tail else tail.replaceAll(pattern, replacement))
     sb.toString
   }
+
+  /** `FROM t [LEFT] ARRAY JOIN e1 [AS a1], e2 [AS a2]…` (reference
+    * ArrayJoinAction / ASTArrayJoin) → LATERAL VIEW [OUTER] explode.
+    * Parallel arrays ZIP (reference semantics, not a cartesian): the
+    * first item drives a posexplode and the rest ride
+    * `element_at(e_k, _aj_pos + 1)` through single-element explodes.
+    * A bare-identifier item shadows the source column with the element
+    * (reference behavior), via a `* EXCEPT` renaming subquery. */
+  private val arrayJoinFromRef =
+    "[A-Za-z_][A-Za-z0-9_.]*|\\((?:[^()]|\\([^()]*\\))*\\)(?:\\s+[A-Za-z_][A-Za-z0-9_]*)?"
+
+  private val arrayJoinRe =
+    ("(?is)\\bFROM\\s+(" + arrayJoinFromRef + ")\\s+(LEFT\\s+)?ARRAY\\s+JOIN\\s+" +
+      "(.*?)(?=\\s+WHERE\\b|\\s+GROUP\\b|\\s+HAVING\\b|\\s+ORDER\\b|\\s+LIMIT\\b|\\s*$)").r
+
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var quote: Char = 0
+    s.foreach { c =>
+      if (quote != 0) { cur.append(c); if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' => quote = c; cur.append(c)
+        case '(' | '[' => depth += 1; cur.append(c)
+        case ')' | ']' => depth -= 1; cur.append(c)
+        case ',' if depth == 0 => out += cur.toString; cur.clear()
+        case _ => cur.append(c)
+      }
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  @annotation.tailrec
+  private def rewriteArrayJoin(s: String, budget: Int = 8): String =
+    if (budget <= 0) s
+    else arrayJoinRe.findFirstMatchIn(s) match {
+      case None => s
+      case Some(m) =>
+        val table = m.group(1).trim
+        val outer = if (m.group(2) != null) "OUTER " else ""
+        val asRe = "(?is)^(.*?)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
+        val items = splitTopLevel(m.group(3)).map {
+          case asRe(e, a) => (e.trim, a)
+          case bare => (bare.trim, bare.trim)
+        }
+        // bare identifiers shadow the source column: rename it away first
+        val bare = items.collect {
+          case (e, a) if e == a && e.matches("[A-Za-z_][A-Za-z0-9_]*") => e
+        }
+        val srcName = bare.map(b => b -> s"_aj_src_$b").toMap
+        val base =
+          if (bare.isEmpty) table
+          else s"(SELECT * EXCEPT (${bare.mkString(", ")}), " +
+            bare.map(b => s"$b AS ${srcName(b)}").mkString(", ") +
+            s" FROM $table) _aj_base"
+        val exprs = items.map { case (e, a) => (srcName.getOrElse(e, e), a) }
+        val views =
+          if (exprs.length == 1)
+            Seq(s"LATERAL VIEW ${outer}EXPLODE(${exprs.head._1}) _aj1 AS ${exprs.head._2}")
+          else {
+            val (e1, a1) = exprs.head
+            s"LATERAL VIEW ${outer}POSEXPLODE($e1) _aj1 AS _aj_pos, $a1" +:
+              exprs.tail.zipWithIndex.map { case ((e, a), i) =>
+                s"LATERAL VIEW EXPLODE(ARRAY(ELEMENT_AT($e, _aj_pos + 1))) _aj${i + 2} AS $a"
+              }
+          }
+        rewriteArrayJoin(
+          s.substring(0, m.start) + s"FROM $base ${views.mkString(" ")}" +
+            s.substring(m.end),
+          budget - 1)
+    }
 
   /** `... FORMAT JSONEachRow` → strip (output format is the caller's
     * concern in a DataFrame engine). */
