@@ -54,7 +54,7 @@ object ChRegistryMisc {
 
   /** Translate a literal MySQL-style format to a java.time pattern,
     * single-quoting literal text so pattern letters can't leak. */
-  private[sql] def mysqlToJava(fmt: String): String = {
+  def mysqlToJava(fmt: String): String = {
     val out = new StringBuilder
     val lit = new StringBuilder
     def flush(): Unit = if (lit.nonEmpty) {

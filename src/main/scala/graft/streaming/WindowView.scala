@@ -73,6 +73,16 @@ object WindowView {
   def withBoundedWatermark(events: DataFrame, delay: String): DataFrame =
     events.withWatermark("ts", delay)
 
+  /** Streaming exact dedup by key within the watermark horizon — the
+    * streaming face of ReplacingMergeTree dedup (reference
+    * ReplacingSortedAlgorithm) and the stream form of the LlmPipeline
+    * exact-dedup stage. State is bounded: keys expire once the watermark
+    * passes (dropDuplicatesWithinWatermark), so the operator holds
+    * O(keys-per-horizon) state at 100 TB stream rates, not O(all keys). */
+  def dedupStream(events: DataFrame, delay: String, keys: Seq[String]): DataFrame =
+    events.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Materialized-view push chain: every micro-batch is transformed and
     * appended to a parquet target — the foreachBatch rendering of the
     * reference's per-INSERT-block MV pipeline. Returns the running query. */

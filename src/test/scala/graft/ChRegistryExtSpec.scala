@@ -1,0 +1,80 @@
+package graft
+
+import graft.sql.{ChFunctionRegistry, ChRegistryMisc, ClickHouseSql}
+import org.apache.spark.sql.Row
+
+/** Edge semantics of the extension-wave registries (Ext/UrlDate/Misc)
+  * that the literal batteries don't pin: error paths, range validation,
+  * format translation, and the ARRAY JOIN clause rewrite text. */
+class ChRegistryExtSpec extends SparkFunSuite {
+
+  private def one(sql: String): Row = {
+    ChFunctionRegistry.install(spark)
+    spark.sql(sql).head()
+  }
+
+  test("accurateCast throws on overflow; OrNull returns typed NULL") {
+    ChFunctionRegistry.install(spark)
+    intercept[Exception] {
+      spark.sql("SELECT accurateCast(70000, 'Int16')").collect()
+    }
+    val r = one("SELECT accurateCastOrNull(70000, 'Int16') AS x")
+    assert(r.isNullAt(0))
+  }
+
+  test("unsigned OrNull range-validates instead of wrapping") {
+    val r = one("""
+      SELECT toUInt8OrNull('255') AS ok, toUInt8OrNull('256') AS over,
+             toUInt8OrNull('-1') AS neg, toUInt16OrZero('65536') AS z""")
+    assert(r.getShort(0) == 255 && r.isNullAt(1) && r.isNullAt(2))
+    assert(r.getInt(3) == 0)
+  }
+
+  test("mysqlToJava quotes literal text so pattern letters cannot leak") {
+    assert(ChRegistryMisc.mysqlToJava("%Y year") == "yyyy' year'")
+    assert(ChRegistryMisc.mysqlToJava("%Y-%m-%d") == "yyyy-MM-dd")
+    assert(ChRegistryMisc.mysqlToJava("%H:%i:%S") == "HH:mm:ss")
+    assert(ChRegistryMisc.mysqlToJava("100%%") == "100%")
+    val r = one("""SELECT formatDateTime(TIMESTAMP'2024-03-15 00:00:00',
+      '%Y year, day %j') AS s""")
+    assert(r.getString(0) == "2024 year, day 075")
+  }
+
+  test("snowflake codec roundtrips") {
+    val r = one("""
+      SELECT snowflakeToDateTime(dateTimeToSnowflake(
+        TIMESTAMP'2021-08-15 18:57:56')) AS rt""")
+    assert(r.getTimestamp(0).toString.startsWith("2021-08-15"))
+  }
+
+  test("gcd/lcm handle negatives and zero like BigInteger") {
+    val r = one("""SELECT gcd(-12, 18) AS g, lcm(-4, 6) AS l,
+      gcd(0, 0) AS gz""")
+    assert(r.getLong(0) == 6L && r.getLong(1) == 12L && r.getLong(2) == 0L)
+  }
+
+  test("ARRAY JOIN rewrite produces LATERAL VIEW text") {
+    val t = ClickHouseSql.rewrite("SELECT v FROM t ARRAY JOIN vs AS v")
+    assert(t.contains("LATERAL VIEW EXPLODE(vs) _aj1 AS v"))
+    val l = ClickHouseSql.rewrite("SELECT vs FROM t LEFT ARRAY JOIN vs")
+    assert(l.contains("LATERAL VIEW OUTER EXPLODE(_aj_src_vs)"))
+    assert(l.contains("* EXCEPT (vs)"))
+    val z = ClickHouseSql.rewrite(
+      "SELECT v, w FROM t ARRAY JOIN a AS v, b AS w WHERE v > 0")
+    assert(z.contains("POSEXPLODE(a) _aj1 AS _aj_pos, v"))
+    assert(z.contains("ELEMENT_AT(b, _aj_pos + 1)"))
+    assert(z.contains("WHERE v > 0"))
+  }
+
+  test("URL parts survive scheme-less and parameterless inputs") {
+    val r = one("""
+      SELECT domain('example.com/x') AS d,
+             queryString('https://a.b/c') AS q,
+             arrayStringConcat(extractURLParameters('https://a.b/c'), '|') AS eps,
+             CAST(port('https://a.b/c') AS INT) AS p""")
+    assert(r.getString(0) == "example.com")
+    assert(r.isNullAt(1))
+    assert(r.getString(2) == "")
+    assert(r.getInt(3) == 0)
+  }
+}

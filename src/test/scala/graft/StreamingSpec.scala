@@ -22,6 +22,28 @@ class StreamingSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup within watermark equals batch dropDuplicates") {
+    val stream = WindowView.eventsStream(spark, sf)
+    // duplicate every event by unioning the stream with itself is not
+    // possible on one source; instead dedup on a coarse key that repeats
+    // naturally across the corpus: (user_id, event_type).
+    val deduped = WindowView.dedupStream(stream, "1 day",
+      Seq("user_id", "event_type"))
+    val q = deduped.writeStream.format("memory")
+      .queryName("dedup_live").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamedKeys = spark.sql(
+        "SELECT DISTINCT user_id, event_type FROM dedup_live").count()
+      val streamedRows = spark.table("dedup_live").count()
+      val batchKeys = Tables.load(spark, sf, "events")
+        .select("user_id", "event_type").distinct().count()
+      // every surviving row is a distinct key, and all keys survive
+      assert(streamedRows == streamedKeys)
+      assert(streamedKeys == batchKeys)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals equal the batch aggregation") {
     val stream = WindowView.eventsStream(spark, sf)
     val finals = StatefulOps.replayToFinalTotals(spark, stream)
