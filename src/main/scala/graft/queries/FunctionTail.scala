@@ -653,6 +653,34 @@ object FunctionTail extends QueryPack {
         AS t(id, v, w)
       ORDER BY id, v"""),
 
+    // SELECT transformers (ASTColumnsTransformers): * REPLACE, COLUMNS
+    // regex projection, COLUMNS APPLY — DuckDB shares the first two
+    // natively, so the oracles are near-identical SQL.
+    ch("q_ch_select_replace", """
+      SELECT * REPLACE(o_totalprice * 2 AS o_totalprice)
+      FROM orders ORDER BY o_orderkey LIMIT 500""",
+      """
+      SELECT * REPLACE (o_totalprice * 2 AS o_totalprice)
+      FROM orders ORDER BY o_orderkey LIMIT 500"""),
+
+    ch("q_ch_select_columns", """
+      SELECT COLUMNS('^o_order') FROM orders
+      ORDER BY o_orderkey LIMIT 500""",
+      """
+      SELECT COLUMNS('^o_order') FROM orders
+      ORDER BY o_orderkey LIMIT 500"""),
+
+    ch("q_ch_select_apply", """
+      SELECT COLUMNS('^l_q') APPLY(min) FROM lineitem""",
+      """
+      SELECT MIN(l_quantity) AS "min(l_quantity)" FROM lineitem"""),
+
+    // Trailing SETTINGS clause strips like FORMAT.
+    ch("q_ch_settings_strip", """
+      SELECT count() AS n FROM orders SETTINGS max_threads = 4""",
+      """
+      SELECT COUNT(*) AS n FROM orders"""),
+
     // Distributed path: the same trees over per-order quantity arrays from
     // lineitem (sorted collect → deterministic; int sums exact).
     ch("q_fn_array_real", """

@@ -53,7 +53,15 @@ object ChRegistryExt {
   /** Reference type-name → Spark carrier type (same mapping the toX cast
     * family in ChFunctionRegistry uses; UInt64 keeps the widening
     * DECIMAL(20,0) carrier). */
-  private def chTypeName(n: String): DataType = n.toLowerCase match {
+  private def chTypeName(n0: String): DataType = {
+    // unwrap Nullable(T) / LowCardinality(T) wrappers (type sugar in the
+    // reference's type system; Spark columns are nullable by default)
+    val wrapper = "(?i)^(nullable|lowcardinality)\\((.*)\\)$".r
+    val n = n0.trim match {
+      case wrapper(_, inner) => return chTypeName(inner)
+      case other => other
+    }
+    n.toLowerCase match {
     case "int8" => ByteType
     case "int16" => ShortType
     case "int32" => IntegerType
@@ -70,6 +78,7 @@ object ChRegistryExt {
     case "bool" | "boolean" => BooleanType
     case other =>
       throw new IllegalArgumentException(s"accurateCast: unsupported type '$other'")
+    }
   }
 
   private def typeArg(e: Expression): DataType = e match {

@@ -25,6 +25,7 @@ object ClickHouseSql {
   def rewrite(sql: String): String = {
     var s = sql
     s = rewriteFormat(s)
+    s = rewriteSettings(s)
     s = rewriteArrayJoin(s)
     s = rewritePrewhere(s)
     s = rewriteFinal(s)
@@ -280,6 +281,12 @@ object ClickHouseSql {
   private def rewriteFormat(s: String): String =
     s.replaceAll("(?is)\\bFORMAT\\s+[A-Za-z][A-Za-z0-9]*\\s*;?\\s*$", "")
 
+  /** Trailing `SETTINGS k = v, …` → strip (per-query engine knobs have no
+    * Spark analog at the SQL layer; session confs carry that role). */
+  private def rewriteSettings(s: String): String =
+    s.replaceAll(
+      "(?is)\\bSETTINGS\\s+\\w+\\s*=\\s*[^,;\\s]+(\\s*,\\s*\\w+\\s*=\\s*[^,;\\s]+)*\\s*;?\\s*$", "")
+
   /** PREWHERE cond → merged into WHERE. The reference evaluates PREWHERE
     * before reading remaining columns (MergeTreeWhereOptimizer); Spark's
     * parquet predicate pushdown gives the same effect, so semantically the
@@ -345,6 +352,83 @@ object ClickHouseSql {
     * installed. */
   def sql(spark: SparkSession, chSql: String): DataFrame = {
     ChFunctionRegistry.install(spark)
-    spark.sql(rewrite(chSql))
+    spark.sql(rewrite(expandSchemaTransformers(spark, chSql)))
+  }
+
+  // ---- schema-aware SELECT transformers (ASTColumnsTransformers) ------
+  //
+  // `* REPLACE(expr AS col)`, `COLUMNS('re')`, `COLUMNS('re') APPLY(f)`,
+  // `* APPLY(f)` need the FROM table's column list, so they expand here
+  // (with the session) rather than in the textual rewrite pipeline.
+  // Supported FROM shape: a single catalog table/view name.
+
+  private def fromTableColumns(spark: SparkSession, s: String): Option[Seq[String]] = {
+    val from = "(?is)\\bFROM\\s+([A-Za-z_][A-Za-z0-9_.]*)".r
+    from.findFirstMatchIn(s).flatMap { m =>
+      try Some(spark.table(m.group(1)).columns.toSeq)
+      catch { case _: Exception => None }
+    }
+  }
+
+  /** Content between the '(' at `open` and its balanced ')'. */
+  private def balanced(s: String, open: Int): Option[(String, Int)] = {
+    var depth = 0
+    var i = open
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return Some((s.substring(open + 1, i), i + 1))
+        case _ =>
+      }
+      i += 1
+    }
+    None
+  }
+
+  private def expandSchemaTransformers(spark: SparkSession, sql0: String): String = {
+    var s = sql0
+    lazy val colsOpt = fromTableColumns(spark, s)
+
+    // * REPLACE(e1 AS c1, ...)
+    val rep = "(?is)\\*\\s+REPLACE\\s*(\\()".r
+    rep.findFirstMatchIn(s).foreach { m =>
+      (balanced(s, m.start(1)), colsOpt) match {
+        case (Some((body, end)), Some(cols)) =>
+          val asRe = "(?is)^(.*?)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
+          val repl = splitTopLevel(body).collect {
+            case asRe(e, c) => c.toLowerCase -> e.trim
+          }.toMap
+          val select = cols.map(c =>
+            repl.get(c.toLowerCase).map(e => s"$e AS $c").getOrElse(c)).mkString(", ")
+          s = s.substring(0, m.start) + select + s.substring(end)
+        case _ =>
+      }
+    }
+
+    // COLUMNS('re') [APPLY(f)]
+    val colsRe =
+      "(?is)\\bCOLUMNS\\s*\\(\\s*'([^']+)'\\s*\\)(\\s+APPLY\\s*\\(\\s*([A-Za-z0-9_]+)\\s*\\))?".r
+    s = colsRe.replaceAllIn(s, m => colsOpt match {
+      case Some(cols) =>
+        val re = m.group(1).r
+        val matched = cols.filter(c => re.findFirstIn(c).isDefined)
+        val rendered =
+          if (m.group(3) == null) matched.mkString(", ")
+          else matched.map(c => s"${m.group(3)}($c) AS `${m.group(3)}($c)`").mkString(", ")
+        java.util.regex.Matcher.quoteReplacement(rendered)
+      case None => java.util.regex.Matcher.quoteReplacement(m.matched)
+    })
+
+    // * APPLY(f)
+    val starApply = "(?is)\\*\\s+APPLY\\s*\\(\\s*([A-Za-z0-9_]+)\\s*\\)".r
+    s = starApply.replaceAllIn(s, m => colsOpt match {
+      case Some(cols) =>
+        java.util.regex.Matcher.quoteReplacement(
+          cols.map(c => s"${m.group(1)}($c) AS `${m.group(1)}($c)`").mkString(", "))
+      case None => java.util.regex.Matcher.quoteReplacement(m.matched)
+    })
+    s
   }
 }

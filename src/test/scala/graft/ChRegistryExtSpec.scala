@@ -20,6 +20,9 @@ class ChRegistryExtSpec extends SparkFunSuite {
     }
     val r = one("SELECT accurateCastOrNull(70000, 'Int16') AS x")
     assert(r.isNullAt(0))
+    // wrapper type sugar unwraps
+    val n = one("SELECT accurateCastOrNull(7, 'Nullable(Int16)') AS x")
+    assert(n.getShort(0) == 7)
   }
 
   test("unsigned OrNull range-validates instead of wrapping") {
