@@ -681,6 +681,43 @@ object FunctionTail extends QueryPack {
       """
       SELECT COUNT(*) AS n FROM orders"""),
 
+    // Date tail 2: week boundaries, ISO year, relative bucket ids,
+    // unit add/subtract complement, toTime/timeslot, age.
+    ch("q_fn_date_tail2", """
+      SELECT
+        toStartOfWeek(DATE'2024-03-15') AS sow,
+        toLastDayOfWeek(DATE'2024-03-15') AS ldw,
+        CAST(toISOYear(DATE'2021-01-01') AS INT) AS iy,
+        CAST(toYYYYMMDDhhmmss(TIMESTAMP'2024-03-15 10:30:45') AS BIGINT) AS ymdhms,
+        toTime(TIMESTAMP'2024-03-15 10:30:45') AS tt,
+        timeslot(TIMESTAMP'2024-01-01 10:44:00') AS tsl,
+        CAST(toRelativeYearNum(DATE'2024-03-15') AS INT) AS ry,
+        CAST(toRelativeQuarterNum(DATE'2024-03-15') AS INT) AS rq,
+        CAST(toRelativeMonthNum(DATE'2024-03-15') AS INT) AS rm,
+        CAST(toRelativeDayNum(DATE'1970-01-11') AS INT) AS rd,
+        CAST(toRelativeHourNum(TIMESTAMP'1970-01-02 01:00:00') AS BIGINT) AS rh,
+        CAST(toRelativeSecondNum(TIMESTAMP'1970-01-01 00:01:40') AS BIGINT) AS rs,
+        CAST(toRelativeWeekNum(DATE'1970-01-05') AS BIGINT) AS rw,
+        addMilliseconds(TIMESTAMP'2024-01-01 00:00:00', 1500) AS ams,
+        subtractHours(TIMESTAMP'2024-03-15 10:30:45', 2) AS sh,
+        CAST(subtractWeeks(DATE'2024-03-15', 1) AS DATE) AS sw,
+        subtractSeconds(TIMESTAMP'2024-03-15 10:30:45', 45) AS ss,
+        CAST(age('day', DATE'2024-01-01', DATE'2024-03-01') AS BIGINT) AS ag""",
+      """
+      SELECT DATE '2024-03-10' AS sow, DATE '2024-03-16' AS ldw, 2020 AS iy,
+        CAST(20240315103045 AS BIGINT) AS ymdhms,
+        TIMESTAMP '1970-01-02 10:30:45' AS tt,
+        TIMESTAMP '2024-01-01 10:30:00' AS tsl,
+        2024 AS ry, 8096 AS rq, 24291 AS rm, 10 AS rd,
+        CAST(25 AS BIGINT) AS rh, CAST(100 AS BIGINT) AS rs,
+        CAST(1 AS BIGINT) AS rw,
+        TIMESTAMP '2024-01-01 00:00:01.5' AS ams,
+        TIMESTAMP '2024-03-15 08:30:45' AS sh,
+        DATE '2024-03-08' AS sw,
+        TIMESTAMP '2024-03-15 10:30:00' AS ss,
+        CAST(60 AS BIGINT) AS ag""",
+      ),
+
     // Distributed path: the same trees over per-order quantity arrays from
     // lineitem (sorted collect → deterministic; int sums exact).
     ch("q_fn_array_real", """

@@ -257,6 +257,72 @@ object ChRegistryUrlDate {
         Literal(1000L)))),
     "today" -> (_ => CurrentDate(None)),
     "yesterday" -> (_ => DateAdd(CurrentDate(None), Literal(-1))),
+    // week boundaries (reference default mode 0: Sunday-start)
+    "tostartofweek" -> (args =>
+      DateSub(Cast(args.head, DateType),
+        Subtract(DayOfWeek(args.head), Literal(1)))),
+    "tolastdayofweek" -> (args =>
+      DateAdd(DateSub(Cast(args.head, DateType),
+        Subtract(DayOfWeek(args.head), Literal(1))), Literal(6))),
+    // ISO year = calendar year of the Thursday in the same ISO week
+    // (Spark's formatter rejects the week-year 'YYYY' pattern)
+    "toisoyear" -> (args => {
+      val isoDow = Add(Pmod(Add(DayOfWeek(args.head), Literal(5)), Literal(7)),
+        Literal(1))
+      Year(DateAdd(Cast(args.head, DateType), Subtract(Literal(4), isoDow)))
+    }),
+    "toyyyymmddhhmmss" -> (args =>
+      Cast(DateFormatClass(args.head, Literal("yyyyMMddHHmmss")), LongType)),
+    // toTime: keep the time of day, move the date to 1970-01-02
+    "totime" -> (args =>
+      SecondsToTimestamp(Add(Literal(86400L),
+        Add(Multiply(Cast(Hour(args.head), LongType), Literal(3600L)),
+          Add(Multiply(Cast(Minute(args.head), LongType), Literal(60L)),
+            Cast(Second(args.head), LongType)))))),
+    "timeslot" -> (args => floorSeconds(args.head, 1800L)),
+    // toRelativeXNum family (DateTimeTransforms.h) — monotone bucket ids
+    "torelativeyearnum" -> (args => Year(args.head)),
+    "torelativequarternum" -> (args =>
+      Add(Multiply(Year(args.head), Literal(4)),
+        Subtract(Quarter(args.head), Literal(1)))),
+    "torelativemonthnum" -> (args =>
+      Add(Multiply(Year(args.head), Literal(12)), Month(args.head))),
+    "torelativedaynum" -> (args =>
+      DateDiff(Cast(args.head, DateType), Cast(Literal("1970-01-01"), DateType))),
+    "torelativehournum" -> (args =>
+      IntegralDivide(Cast(args.head, LongType), Literal(3600L))),
+    "torelativeminutenum" -> (args =>
+      IntegralDivide(Cast(args.head, LongType), Literal(60L))),
+    "torelativesecondnum" -> (args => Cast(args.head, LongType)),
+    // Monday-aligned weeks since epoch (1970-01-01 was a Thursday)
+    "torelativeweeknum" -> (args =>
+      IntegralDivide(Add(DateDiff(Cast(args.head, DateType),
+        Cast(Literal("1970-01-01"), DateType)), Literal(3)), Literal(7L))),
+    // add/subtract unit complement of the core registry
+    "addmilliseconds" -> (args =>
+      TimestampAdd("MILLISECOND", asLong(args(1)), args(0))),
+    "addmicroseconds" -> (args =>
+      TimestampAdd("MICROSECOND", asLong(args(1)), args(0))),
+    "subtracthours" -> (args =>
+      TimestampAdd("HOUR", UnaryMinus(asLong(args(1))), args(0))),
+    "subtractminutes" -> (args =>
+      TimestampAdd("MINUTE", UnaryMinus(asLong(args(1))), args(0))),
+    "subtractseconds" -> (args =>
+      TimestampAdd("SECOND", UnaryMinus(asLong(args(1))), args(0))),
+    "subtractweeks" -> (args =>
+      TimestampAdd("WEEK", UnaryMinus(asLong(args(1))), args(0))),
+    "subtractquarters" -> (args =>
+      TimestampAdd("QUARTER", UnaryMinus(asLong(args(1))), args(0))),
+    "subtractmilliseconds" -> (args =>
+      TimestampAdd("MILLISECOND", UnaryMinus(asLong(args(1))), args(0))),
+    "subtractmicroseconds" -> (args =>
+      TimestampAdd("MICROSECOND", UnaryMinus(asLong(args(1))), args(0))),
+    // age('unit', start, end) — truncated whole-unit difference
+    "age" -> (args => args(0) match {
+      case Literal(u, StringType) =>
+        TimestampDiff(u.toString.toUpperCase, args(1), args(2))
+      case _ => throw new IllegalArgumentException("age expects a literal unit")
+    }),
 
     // ---- map / tuple tail (FunctionsMapMiscellaneous.cpp, tuple.cpp) ----
     "mapapply" -> (args =>
