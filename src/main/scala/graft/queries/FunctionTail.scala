@@ -718,6 +718,30 @@ object FunctionTail extends QueryPack {
         CAST(60 AS BIGINT) AS ag""",
       ),
 
+    // numbers() SQL table function, arrayAUC, anyHeavy.
+    ch("q_ch_numbers_tf", """
+      SELECT CAST(number AS BIGINT) AS n, CAST(number * number AS BIGINT) AS sq
+      FROM numbers(5) ORDER BY n""",
+      """
+      SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        (1, 1), (2, 4), (3, 9), (4, 16)) AS t(n, sq) ORDER BY n"""),
+
+    ch("q_fn_array_auc", """
+      SELECT
+        ROUND(arrayAUC(array(0.1D, 0.4D, 0.35D, 0.8D),
+                       array(0, 0, 1, 1)), 6) AS auc,
+        ROUND(arrayAUC(array(0.1D, 0.2D), array(1, 0)), 6) AS auc0,
+        arrayAUC(array(0.5D), array(1)) AS aucn""",
+      """
+      SELECT CAST(0.75 AS DOUBLE) AS auc, CAST(0.0 AS DOUBLE) AS auc0,
+        CAST(NULL AS DOUBLE) AS aucn"""),
+
+    ch("q_agg_any_heavy", """
+      SELECT CAST(anyHeavy(x) AS INT) AS h
+      FROM VALUES (5), (5), (1), (5), (2) AS t(x)""",
+      """
+      SELECT 5 AS h"""),
+
     // Distributed path: the same trees over per-order quantity arrays from
     // lineitem (sorted collect → deterministic; int sums exact).
     ch("q_fn_array_real", """

@@ -2,7 +2,9 @@ package graft.sql
 
 import java.util.concurrent.atomic.AtomicInteger
 
+import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.Mode
 import org.apache.spark.sql.graft.ArrayDotProduct
 import org.apache.spark.sql.types._
 
@@ -350,6 +352,37 @@ object ChRegistryArrays {
       val a = Cast(args.head, ArrayType(DoubleType))
       ArrayTransform(a, lam1(x => If(LessThanOrEqual(linfnorm(a), Literal(0.0d)),
         Literal(0.0d), Divide(x, linfnorm(a)))))
-    })
+    }),
+
+    // arrayAUC(scores, labels) — rank-sum AUC over the score-sorted pairs
+    // (reference arrayAUC.cpp; distinct scores assumed: no midrank ties).
+    "arrayauc" -> (args => {
+      val pairs = SortArray(
+        ZipWith(Cast(args(0), ArrayType(DoubleType)),
+          Cast(args(1), ArrayType(DoubleType)),
+          lam2((s, l) => CreateNamedStruct(Seq(Literal("s"), s, Literal("l"), l)))),
+        Literal(true))
+      val labs = ArrayTransform(pairs,
+        lam1(p => UnresolvedExtractValue(p, Literal("l"))))
+      val n = Cast(Size(labs), DoubleType)
+      val pos = ArrayAggregate(labs, Literal(0.0d), lam2(Add(_, _)),
+        LambdaFunction.identity)
+      val sumRanks = ArrayAggregate(
+        Sequence(Literal(1), Size(labs), Some(Literal(1))),
+        Literal(0.0d),
+        lam2((acc, i) => Add(acc, Multiply(at(labs, i), Cast(i, DoubleType)))),
+        LambdaFunction.identity)
+      val neg = Subtract(n, pos)
+      If(Or(LessThanOrEqual(pos, Literal(0.0d)), LessThanOrEqual(neg, Literal(0.0d))),
+        Literal.create(null, DoubleType),
+        Divide(
+          Subtract(sumRanks,
+            Divide(Multiply(pos, Add(pos, Literal(1.0d))), Literal(2.0d))),
+          Multiply(pos, neg)))
+    }),
+    "indexofassumesorted" -> (args => ArrayPosition(args(0), args(1))),
+    // heavy-hitter single value (AggregateFunctionAnyHeavy.cpp) — the
+    // mode is the deterministic heavy hitter when one exists
+    "anyheavy" -> (args => Mode(args.head))
   )
 }

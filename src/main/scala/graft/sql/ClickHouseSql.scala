@@ -26,6 +26,7 @@ object ClickHouseSql {
     var s = sql
     s = rewriteFormat(s)
     s = rewriteSettings(s)
+    s = rewriteNumbers(s)
     s = rewriteArrayJoin(s)
     s = rewritePrewhere(s)
     s = rewriteFinal(s)
@@ -280,6 +281,18 @@ object ClickHouseSql {
     * concern in a DataFrame engine). */
   private def rewriteFormat(s: String): String =
     s.replaceAll("(?is)\\bFORMAT\\s+[A-Za-z][A-Za-z0-9]*\\s*;?\\s*$", "")
+
+  /** `FROM numbers(n)` / `numbers(a, b)` SQL table function
+    * (reference TableFunctionNumbers) → Spark's `range` table function,
+    * column renamed to the reference's `number`. */
+  private def rewriteNumbers(s: String): String = {
+    val one = "(?is)\\bFROM\\s+numbers\\s*\\(\\s*(\\d+)\\s*\\)".r
+    val two = "(?is)\\bFROM\\s+numbers\\s*\\(\\s*(\\d+)\\s*,\\s*(\\d+)\\s*\\)".r
+    val s1 = two.replaceAllIn(s, m =>
+      s"FROM (SELECT id AS number FROM range(${m.group(1)}, ${m.group(1).toLong + m.group(2).toLong})) _nums")
+    one.replaceAllIn(s1, m =>
+      s"FROM (SELECT id AS number FROM range(${m.group(1)})) _nums")
+  }
 
   /** Trailing `SETTINGS k = v, …` → strip (per-query engine knobs have no
     * Spark analog at the SQL layer; session confs carry that role). */
