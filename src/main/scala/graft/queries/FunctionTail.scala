@@ -742,6 +742,24 @@ object FunctionTail extends QueryPack {
       """
       SELECT 5 AS h"""),
 
+    // IDN/punycode/Unicode-normalization bridges + caseWithExpression.
+    ch("q_fn_idna_norm", """
+      SELECT
+        idnaEncode('münchen.de') AS ie,
+        idnaDecode('xn--mnchen-3ya.de') AS idc,
+        punycodeEncode('münchen') AS pe,
+        punycodeDecode('mnchen-3ya') AS pdc,
+        tryIdnaEncode('ok.com') AS tie,
+        CAST(length(normalizeUTF8NFD('é')) AS INT) AS nfd_len,
+        CAST(length(normalizeUTF8NFC(normalizeUTF8NFD('é'))) AS INT) AS nfc_len,
+        normalizeUTF8NFKC('ﬁ') AS nfkc,
+        caseWithExpression(2, array(1, 2, 3), array(10, 20, 30), -1) AS cw,
+        caseWithExpression(9, array(1, 2), array(10, 20), -1) AS cwd""",
+      """
+      SELECT 'xn--mnchen-3ya.de' AS ie, 'münchen.de' AS idc,
+        'mnchen-3ya' AS pe, 'münchen' AS pdc, 'ok.com' AS tie,
+        2 AS nfd_len, 1 AS nfc_len, 'fi' AS nfkc, 20 AS cw, -1 AS cwd"""),
+
     // Distributed path: the same trees over per-order quantity arrays from
     // lineitem (sorted collect → deterministic; int sums exact).
     ch("q_fn_array_real", """

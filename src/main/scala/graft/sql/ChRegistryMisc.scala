@@ -465,6 +465,39 @@ object ChRegistryMisc {
     "mapsort" -> (args =>
       MapFromEntries(SortArray(MapEntries(args.head), Literal(true)))),
     "mapreversesort" -> (args =>
-      MapFromEntries(SortArray(MapEntries(args.head), Literal(false))))
+      MapFromEntries(SortArray(MapEntries(args.head), Literal(false)))),
+
+    // ---- IDN / punycode / Unicode normalization via StringBridge ----
+    "idnaencode" -> (args => bridge("idnaEncode", args.head)),
+    "idnadecode" -> (args => bridge("idnaDecode", args.head)),
+    "tryidnaencode" -> (args => bridge("tryIdnaEncode", args.head)),
+    "punycodeencode" -> (args => bridge("punycodeEncode", args.head)),
+    "punycodedecode" -> (args => bridge("punycodeDecode", args.head)),
+    "trypunycodedecode" -> (args => bridge("tryPunycodeDecode", args.head)),
+    "normalizeutf8nfc" -> (args => bridge("nfc", args.head)),
+    "normalizeutf8nfd" -> (args => bridge("nfd", args.head)),
+    "normalizeutf8nfkc" -> (args => bridge("nfkc", args.head)),
+    "normalizeutf8nfkd" -> (args => bridge("nfkd", args.head)),
+
+    // transform(x, [from], [to], default) under its alternate names
+    // (caseWithExpression.cpp); Spark's `transform` builtin is the HOF, so
+    // the reference's value-mapping form rides these registrations.
+    "casewithexpression" -> (args => caseWith(args)),
+    "casewithexpr" -> (args => caseWith(args))
   )
+
+  /** Invoke a StringBridge method — stays codegen'd via addReferenceObj
+    * (the UrlEncode/UrlDecode object-call shape). */
+  private def bridge(method: String, arg: Expression): Expression =
+    Invoke(
+      Literal.fromObject(org.apache.spark.sql.graft.StringBridge,
+        ObjectType(org.apache.spark.sql.graft.StringBridge.getClass)),
+      method, StringType, Seq(arg), Seq(StringType))
+
+  private def caseWith(args: Seq[Expression]): Expression = {
+    val pos = ArrayPosition(args(1), args(0))
+    val default = if (args.length > 3) args(3) else args(0)
+    If(EqualTo(pos, Literal(0L)), default,
+      ElementAt(args(2), Cast(pos, IntegerType), None, failOnError = false))
+  }
 }
