@@ -760,6 +760,20 @@ object FunctionTail extends QueryPack {
         'mnchen-3ya' AS pe, 'münchen' AS pdc, 'ok.com' AS tie,
         2 AS nfd_len, 1 AS nfc_len, 'fi' AS nfkc, 20 AS cw, -1 AS cwd"""),
 
+    // Morton (Z-order) codec + arrayZip.
+    ch("q_fn_morton_zip", """
+      SELECT
+        CAST(mortonEncode(3, 5) AS BIGINT) AS me,
+        CAST(tupleElement(mortonDecode(2, 39), 'x') AS BIGINT) AS mx,
+        CAST(tupleElement(mortonDecode(2, 39), 'y') AS BIGINT) AS my,
+        CAST(mortonEncode(tupleElement(mortonDecode(2, 123456), 'x'),
+          tupleElement(mortonDecode(2, 123456), 'y')) AS BIGINT) AS rt,
+        toJSONString(arrayZip(array(1, 2), array('a', 'b'))) AS az""",
+      """
+      SELECT CAST(39 AS BIGINT) AS me, CAST(3 AS BIGINT) AS mx,
+        CAST(5 AS BIGINT) AS my, CAST(123456 AS BIGINT) AS rt,
+        '[{"0":1,"1":"a"},{"0":2,"1":"b"}]' AS az"""),
+
     // Distributed path: the same trees over per-order quantity arrays from
     // lineitem (sorted collect → deterministic; int sums exact).
     ch("q_fn_array_real", """

@@ -381,6 +381,39 @@ object ChRegistryArrays {
           Multiply(pos, neg)))
     }),
     "indexofassumesorted" -> (args => ArrayPosition(args(0), args(1))),
+    "arrayzip" -> (args => ArraysZip(args)),
+    // 2-D Morton (Z-order) codec (mortonEncode.cpp) — bit-interleave fold
+    // over the low 32 bits of each coordinate; per-row scalar use.
+    "mortonencode" -> (args => {
+      val x = Cast(args(0), LongType); val y = Cast(args(1), LongType)
+      ArrayAggregate(
+        Sequence(Literal(0), Literal(31), Some(Literal(1))),
+        Literal(0L),
+        lam2((acc, i) => BitwiseOr(acc,
+          BitwiseOr(
+            ShiftLeft(BitwiseAnd(ShiftRightUnsigned(x, i), Literal(1L)),
+              Multiply(i, Literal(2))),
+            ShiftLeft(BitwiseAnd(ShiftRightUnsigned(y, i), Literal(1L)),
+              Add(Multiply(i, Literal(2)), Literal(1)))))),
+        LambdaFunction.identity)
+    }),
+    // mortonDecode(2, z) → tuple(x, y)
+    "mortondecode" -> (args => {
+      val z = Cast(args.last, LongType)
+      def deinterleave(offset: Int): Expression =
+        ArrayAggregate(
+          Sequence(Literal(0), Literal(31), Some(Literal(1))),
+          Literal(0L),
+          lam2((acc, i) => BitwiseOr(acc,
+            ShiftLeft(
+              BitwiseAnd(
+                ShiftRightUnsigned(z, Add(Multiply(i, Literal(2)), Literal(offset))),
+                Literal(1L)),
+              i))),
+          LambdaFunction.identity)
+      CreateNamedStruct(Seq(Literal("x"), deinterleave(0),
+        Literal("y"), deinterleave(1)))
+    }),
     // heavy-hitter single value (AggregateFunctionAnyHeavy.cpp) — the
     // mode is the deterministic heavy hitter when one exists
     "anyheavy" -> (args => Mode(args.head))

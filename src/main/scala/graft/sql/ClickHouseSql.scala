@@ -27,6 +27,7 @@ object ClickHouseSql {
     s = rewriteFormat(s)
     s = rewriteSettings(s)
     s = rewriteNumbers(s)
+    s = rewriteSample(s)
     s = rewriteArrayJoin(s)
     s = rewritePrewhere(s)
     s = rewriteFinal(s)
@@ -281,6 +282,16 @@ object ClickHouseSql {
     * concern in a DataFrame engine). */
   private def rewriteFormat(s: String): String =
     s.replaceAll("(?is)\\bFORMAT\\s+[A-Za-z][A-Za-z0-9]*\\s*;?\\s*$", "")
+
+  /** `FROM t SAMPLE 0.x` (reference SAMPLE BY read sampling) →
+    * deterministic TABLESAMPLE with a pinned seed. Fraction form only
+    * (the approximate-row-count form needs the sampling-key layout the
+    * parquet corpus doesn't carry; `q_sample_by_key` is that operator). */
+  private def rewriteSample(s: String): String = {
+    val frac = "(?is)\\bSAMPLE\\s+(0?\\.\\d+)".r
+    frac.replaceAllIn(s, m =>
+      s"TABLESAMPLE (${(m.group(1).toDouble * 100).toInt} PERCENT) REPEATABLE (42)")
+  }
 
   /** `FROM numbers(n)` / `numbers(a, b)` SQL table function
     * (reference TableFunctionNumbers) → Spark's `range` table function,

@@ -69,6 +69,17 @@ class ChRegistryExtSpec extends SparkFunSuite {
     assert(z.contains("WHERE v > 0"))
   }
 
+  test("SAMPLE fraction rewrites to a repeatable TABLESAMPLE") {
+    val t = ClickHouseSql.rewrite("SELECT * FROM orders SAMPLE 0.1")
+    assert(t.contains("TABLESAMPLE (10 PERCENT) REPEATABLE (42)"))
+    Tables.register(spark, sf)
+    val c1 = ClickHouseSql.sql(spark,
+      "SELECT count() AS n FROM orders SAMPLE 0.5").head().getLong(0)
+    val c2 = ClickHouseSql.sql(spark,
+      "SELECT count() AS n FROM orders SAMPLE 0.5").head().getLong(0)
+    assert(c1 == c2 && c1 > 0)
+  }
+
   test("URL parts survive scheme-less and parameterless inputs") {
     val r = one("""
       SELECT domain('example.com/x') AS d,
