@@ -774,6 +774,37 @@ object FunctionTail extends QueryPack {
         CAST(5 AS BIGINT) AS my, CAST(123456 AS BIGINT) AS rt,
         '[{"0":1,"1":"a"},{"0":2,"1":"b"}]' AS az"""),
 
+    // DDL translation roundtrip: reference CREATE TABLE … ENGINE =
+    // MergeTree (typed columns incl. wrappers/arrays/decimals) → Spark
+    // parquet table; INSERT + SELECT through the dialect.
+    graft.Q("q_ch_ddl_roundtrip", (s, dir) => {
+      Tables.register(s, dir)
+      s.sql("DROP TABLE IF EXISTS graft_ddl_t")
+      ClickHouseSql.sql(s, """
+        CREATE TABLE graft_ddl_t (
+          id UInt32,
+          name LowCardinality(String),
+          price Decimal(18, 2),
+          tags Array(String),
+          ts DateTime
+        ) ENGINE = MergeTree ORDER BY id SETTINGS index_granularity = 8192""")
+      ClickHouseSql.sql(s, """
+        INSERT INTO graft_ddl_t VALUES
+          (1, 'a', 1.50, array('x', 'y'), TIMESTAMP'2024-01-01 00:00:00'),
+          (2, 'b', 2.25, array('z'), TIMESTAMP'2024-01-02 00:00:00')""")
+      ClickHouseSql.sql(s, """
+        SELECT CAST(id AS BIGINT) AS id, name,
+          CAST(price AS DOUBLE) AS price,
+          arrayStringConcat(tags, ',') AS tags, ts
+        FROM graft_ddl_t ORDER BY id""")
+    }, Some("""
+      SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), 'a', CAST(1.50 AS DOUBLE), 'x,y',
+         TIMESTAMP '2024-01-01 00:00:00'),
+        (CAST(2 AS BIGINT), 'b', CAST(2.25 AS DOUBLE), 'z',
+         TIMESTAMP '2024-01-02 00:00:00')
+      ) AS t(id, name, price, tags, ts) ORDER BY id""")),
+
     // Distributed path: the same trees over per-order quantity arrays from
     // lineitem (sorted collect → deterministic; int sums exact).
     ch("q_fn_array_real", """

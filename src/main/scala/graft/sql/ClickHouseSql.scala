@@ -376,7 +376,93 @@ object ClickHouseSql {
     * installed. */
   def sql(spark: SparkSession, chSql: String): DataFrame = {
     ChFunctionRegistry.install(spark)
-    spark.sql(rewrite(expandSchemaTransformers(spark, chSql)))
+    val trimmed = chSql.trim
+    if (trimmed.matches("(?is)^CREATE\\s+TABLE\\b.*"))
+      spark.sql(rewriteCreateTable(trimmed))
+    else
+      spark.sql(rewrite(expandSchemaTransformers(spark, chSql)))
+  }
+
+  // ---- DDL translation (ParserCreateQuery → Spark DDL) ----------------
+
+  /** Reference column-type text → Spark DDL type text. Carriers match the
+    * toX cast family (UInt64 → DECIMAL(20,0); Enum/FixedString → STRING). */
+  def sparkTypeText(ch0: String): String = {
+    val ch = ch0.trim
+    val wrap = "(?is)^(Nullable|LowCardinality)\\s*\\((.*)\\)$".r
+    val arr = "(?is)^Array\\s*\\((.*)\\)$".r
+    val map = "(?is)^Map\\s*\\((.*)\\)$".r
+    val dec = "(?is)^Decimal\\s*\\((\\d+)\\s*,\\s*(\\d+)\\)$".r
+    val decN = "(?is)^Decimal(32|64|128|256)\\s*\\((\\d+)\\)$".r
+    val fixed = "(?is)^(FixedString)\\s*\\(\\d+\\)$".r
+    val enum_ = "(?is)^Enum(8|16)?\\s*\\(.*\\)$".r
+    val dt64 = "(?is)^DateTime64\\s*\\(.*\\)$".r
+    ch match {
+      case wrap(_, inner) => sparkTypeText(inner)
+      case arr(inner) => s"ARRAY<${sparkTypeText(inner)}>"
+      case map(inner) =>
+        val parts = splitTopLevel(inner)
+        s"MAP<${sparkTypeText(parts(0))}, ${sparkTypeText(parts(1))}>"
+      case dec(p, sc) => s"DECIMAL($p, $sc)"
+      case decN(w, sc) =>
+        val p = w match { case "32" => 9; case "64" => 18; case _ => 38 }
+        s"DECIMAL($p, $sc)"
+      case fixed(_) => "STRING"
+      case enum_(_) => "STRING"
+      case dt64() => "TIMESTAMP"
+      case simple => simple.toLowerCase match {
+        case "int8" => "TINYINT"
+        case "int16" => "SMALLINT"
+        case "int32" => "INT"
+        case "int64" | "int128" | "int256" => "BIGINT"
+        case "uint8" => "SMALLINT"
+        case "uint16" => "INT"
+        case "uint32" => "BIGINT"
+        case "uint64" => "DECIMAL(20, 0)"
+        case "float32" => "FLOAT"
+        case "float64" | "double" => "DOUBLE"
+        case "string" | "uuid" | "ipv4" | "ipv6" | "json" | "object" => "STRING"
+        case "date" | "date32" => "DATE"
+        case "datetime" => "TIMESTAMP"
+        case "bool" | "boolean" => "BOOLEAN"
+        case other =>
+          throw new IllegalArgumentException(s"unsupported reference type '$other'")
+      }
+    }
+  }
+
+  /** `CREATE TABLE [IF NOT EXISTS] t (cols…) ENGINE = X [ORDER BY …]
+    * [PARTITION BY col] [SETTINGS …]` → `CREATE TABLE … USING parquet
+    * [PARTITIONED BY (col)]`. Engine choice, ORDER BY (PK) and TTL are
+    * physical-layout hints with no Spark-DDL analog: ORDER BY maps to
+    * nothing (Catalyst sorts on demand), a bare-column PARTITION BY maps
+    * to Spark partitioning. */
+  def rewriteCreateTable(s: String): String = {
+    val re = ("(?is)^CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?" +
+      "([A-Za-z_][A-Za-z0-9_.]*)\\s*\\((.*)\\)\\s*ENGINE\\s*=\\s*\\w+(.*)$").r
+    re.findFirstMatchIn(s) match {
+      case None => s // not a reference-shaped CREATE; pass through
+      case Some(m) =>
+        val ifNot = if (m.group(1) != null) "IF NOT EXISTS " else ""
+        val name = m.group(2)
+        val cols = splitTopLevel(m.group(3)).map { colDef =>
+          val cd = "(?s)^([A-Za-z_][A-Za-z0-9_]*)\\s+(.*)$".r
+          colDef.trim match {
+            case cd(cname, ctype0) =>
+              // strip DEFAULT/CODEC/COMMENT suffixes
+              val ctype = ctype0
+                .replaceAll("(?is)\\s+(DEFAULT|MATERIALIZED|CODEC|COMMENT|TTL)\\b.*$", "")
+              s"$cname ${sparkTypeText(ctype)}"
+            case other =>
+              throw new IllegalArgumentException(s"unparsable column def '$other'")
+          }
+        }
+        val tail = m.group(4)
+        val part = "(?is)\\bPARTITION\\s+BY\\s+([A-Za-z_][A-Za-z0-9_]*)\\b".r
+          .findFirstMatchIn(tail).map(p => s" PARTITIONED BY (${p.group(1)})")
+          .getOrElse("")
+        s"CREATE TABLE $ifNot$name (${cols.mkString(", ")}) USING parquet$part"
+    }
   }
 
   // ---- schema-aware SELECT transformers (ASTColumnsTransformers) ------

@@ -80,6 +80,21 @@ class ChRegistryExtSpec extends SparkFunSuite {
     assert(c1 == c2 && c1 > 0)
   }
 
+  test("DDL type translation covers wrappers, arrays, maps, decimals") {
+    assert(ClickHouseSql.sparkTypeText("Nullable(Int64)") == "BIGINT")
+    assert(ClickHouseSql.sparkTypeText("Array(LowCardinality(String))") == "ARRAY<STRING>")
+    assert(ClickHouseSql.sparkTypeText("Map(String, UInt32)") == "MAP<STRING, BIGINT>")
+    assert(ClickHouseSql.sparkTypeText("Decimal64(4)") == "DECIMAL(18, 4)")
+    assert(ClickHouseSql.sparkTypeText("FixedString(16)") == "STRING")
+    assert(ClickHouseSql.sparkTypeText("Enum8('a' = 1, 'b' = 2)") == "STRING")
+    assert(ClickHouseSql.sparkTypeText("DateTime64(3)") == "TIMESTAMP")
+    val ddl = ClickHouseSql.rewriteCreateTable(
+      "CREATE TABLE t (d Date, n UInt64 DEFAULT 0) ENGINE = MergeTree " +
+        "PARTITION BY d ORDER BY n")
+    assert(ddl == "CREATE TABLE t (d DATE, n DECIMAL(20, 0)) USING parquet " +
+      "PARTITIONED BY (d)")
+  }
+
   test("URL parts survive scheme-less and parameterless inputs") {
     val r = one("""
       SELECT domain('example.com/x') AS d,
