@@ -805,6 +805,24 @@ object FunctionTail extends QueryPack {
          TIMESTAMP '2024-01-02 00:00:00')
       ) AS t(id, name, price, tags, ts) ORDER BY id""")),
 
+    // Jump consistent hash (bit-compatible), URL hierarchy chains,
+    // arrayPartialSort.
+    ch("q_fn_jump_urlh", """
+      SELECT
+        CAST(jumpConsistentHash(42, 10) AS INT) AS jch,
+        CAST(jumpConsistentHash(123456789, 100) AS INT) AS jch2,
+        CAST(jumpConsistentHash(0, 7) AS INT) AS jch0,
+        arrayStringConcat(URLHierarchy('https://example.com/browse/conv'), '|') AS uh,
+        arrayStringConcat(URLHierarchy('https://example.com/'), '|') AS uh2,
+        arrayStringConcat(URLPathHierarchy('https://example.com/browse/conv'), '|') AS up,
+        arrayStringConcat(arrayMap(x -> toString(x),
+          arrayPartialSort(2, array(3, 1, 2))), ',') AS ps""",
+      """
+      SELECT 2 AS jch, 34 AS jch2, 0 AS jch0,
+        'https://example.com/|https://example.com/browse/|https://example.com/browse/conv' AS uh,
+        'https://example.com/' AS uh2,
+        '/browse/|/browse/conv' AS up, '1,2,3' AS ps"""),
+
     // Distributed path: the same trees over per-order quantity arrays from
     // lineitem (sorted collect → deterministic; int sums exact).
     ch("q_fn_array_real", """

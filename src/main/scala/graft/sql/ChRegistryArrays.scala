@@ -382,6 +382,11 @@ object ChRegistryArrays {
     }),
     "indexofassumesorted" -> (args => ArrayPosition(args(0), args(1))),
     "arrayzip" -> (args => ArraysZip(args)),
+    // full sort is a valid instance of the reference's "first k ordered,
+    // rest unspecified" contract (arrayPartialSort.cpp)
+    "arraypartialsort" -> (args => SortArray(args.last, Literal(true))),
+    "arraypartialreversesort" -> (args =>
+      Reverse(SortArray(args.last, Literal(true)))),
     // 2-D Morton (Z-order) codec (mortonEncode.cpp) — bit-interleave fold
     // over the low 32 bits of each coordinate; per-row scalar use.
     "mortonencode" -> (args => {

@@ -479,6 +479,54 @@ object ChRegistryMisc {
     "normalizeutf8nfkc" -> (args => bridge("nfkc", args.head)),
     "normalizeutf8nfkd" -> (args => bridge("nfkd", args.head)),
 
+    // jump consistent hash (bit-compatible Lamping–Veach)
+    "jumpconsistenthash" -> (args =>
+      Invoke(
+        Literal.fromObject(org.apache.spark.sql.graft.StringBridge,
+          ObjectType(org.apache.spark.sql.graft.StringBridge.getClass)),
+        "jumpConsistentHash", IntegerType,
+        Seq(asLong(args(0)), asInt(args(1))), Seq(LongType, IntegerType))),
+
+    // URL hierarchy (URLHierarchy.cpp): '/'-prefix chain after the
+    // protocol+host, full URL as the final element when it has a tail.
+    "urlhierarchy" -> (args => {
+      val url = args.head
+      val protoHost = RegExpExtract(url,
+        Literal("^(?:[A-Za-z][A-Za-z0-9+.-]*://)?[^/?#]*"), Literal(0))
+      val hostLen = Length(protoHost)
+      val rest = Substring(url, Add(hostLen, Literal(1)), Length(url))
+      val seps = ArrayFilter(
+        If(LessThanOrEqual(Length(rest), Literal(0)),
+          Literal.create(Array.empty[Int], ArrayType(IntegerType)),
+          Sequence(Literal(1), Length(rest), Some(Literal(1)))),
+        lam1(i => EqualTo(Substring(rest, i, Literal(1)), Literal("/"))))
+      val prefixes = ArrayTransform(seps,
+        lam1(i => Substring(url, Literal(1), Add(hostLen, i))))
+      If(Or(LessThanOrEqual(Length(rest), Literal(0)),
+          EndsWith(url, Literal("/"))),
+        prefixes,
+        Concat(Seq(prefixes, CreateArray(Seq(url)))))
+    }),
+    "urlpathhierarchy" -> (args => {
+      val url = args.head
+      val protoHost = RegExpExtract(url,
+        Literal("^(?:[A-Za-z][A-Za-z0-9+.-]*://)?[^/?#]*"), Literal(0))
+      val hostLen = Length(protoHost)
+      val rest = Substring(url, Add(hostLen, Literal(1)), Length(url))
+      val seps = ArrayFilter(
+        If(LessThanOrEqual(Length(rest), Literal(0)),
+          Literal.create(Array.empty[Int], ArrayType(IntegerType)),
+          Sequence(Literal(1), Length(rest), Some(Literal(1)))),
+        lam1(i => And(GreaterThan(i, Literal(1)),
+          EqualTo(Substring(rest, i, Literal(1)), Literal("/")))))
+      val prefixes = ArrayTransform(seps,
+        lam1(i => Substring(rest, Literal(1), i)))
+      If(Or(LessThanOrEqual(Length(rest), Literal(1)),
+          EndsWith(rest, Literal("/"))),
+        prefixes,
+        Concat(Seq(prefixes, CreateArray(Seq(rest)))))
+    }),
+
     // transform(x, [from], [to], default) under its alternate names
     // (caseWithExpression.cpp); Spark's `transform` builtin is the HOF, so
     // the reference's value-mapping form rides these registrations.

@@ -379,7 +379,18 @@ object ClickHouseSql {
     val trimmed = chSql.trim
     if (trimmed.matches("(?is)^CREATE\\s+TABLE\\b.*"))
       spark.sql(rewriteCreateTable(trimmed))
-    else
+    else if (trimmed.matches("(?is)^EXPLAIN\\s+SYNTAX\\b.*")) {
+      // reference EXPLAIN SYNTAX shows the rewritten query — here, the
+      // dialect translation itself
+      val q = trimmed.replaceFirst("(?is)^EXPLAIN\\s+SYNTAX\\s+", "")
+      import spark.implicits._
+      Seq(rewrite(expandSchemaTransformers(spark, q))).toDF("rewritten")
+    } else if (trimmed.matches("(?is)^EXPLAIN\\b.*")) {
+      // PLAN/PIPELINE/ESTIMATE kinds all map to the Spark formatted plan
+      val q = trimmed.replaceFirst(
+        "(?is)^EXPLAIN\\s+(PLAN\\s+|PIPELINE\\s+|ESTIMATE\\s+|AST\\s+)?", "")
+      spark.sql("EXPLAIN FORMATTED " + rewrite(expandSchemaTransformers(spark, q)))
+    } else
       spark.sql(rewrite(expandSchemaTransformers(spark, chSql)))
   }
 

@@ -48,4 +48,19 @@ object StringBridge extends Serializable {
 
   def nfkd(in: UTF8String): UTF8String =
     u(Normalizer.normalize(s(in), Normalizer.Form.NFKD))
+
+  /** Lamping–Veach jump consistent hash — bit-compatible with the
+    * reference's jumpConsistentHash (src/Functions/jumpConsistentHash.cpp):
+    * same multiplier, same unsigned >>> 33 step, raw 64-bit key. */
+  def jumpConsistentHash(key0: Long, buckets: Int): Int = {
+    var key = key0
+    var b = -1L
+    var j = 0L
+    while (j < buckets) {
+      b = j
+      key = key * 2862933555777941757L + 1
+      j = ((b + 1) * ((1L << 31).toDouble / ((key >>> 33) + 1).toDouble)).toLong
+    }
+    b.toInt
+  }
 }

@@ -95,6 +95,16 @@ class ChRegistryExtSpec extends SparkFunSuite {
       "PARTITIONED BY (d)")
   }
 
+  test("EXPLAIN SYNTAX shows the dialect rewrite; EXPLAIN returns a plan") {
+    Tables.register(spark, sf)
+    val syn = ClickHouseSql.sql(spark,
+      "EXPLAIN SYNTAX SELECT v FROM orders ARRAY JOIN a AS v").head().getString(0)
+    assert(syn.contains("LATERAL VIEW"))
+    val plan = ClickHouseSql.sql(spark,
+      "EXPLAIN SELECT count() FROM orders").collect().map(_.getString(0)).mkString
+    assert(plan.contains("Physical Plan"))
+  }
+
   test("URL parts survive scheme-less and parameterless inputs") {
     val r = one("""
       SELECT domain('example.com/x') AS d,
