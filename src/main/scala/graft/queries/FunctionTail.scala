@@ -780,6 +780,12 @@ object FunctionTail extends QueryPack {
     graft.Q("q_ch_ddl_roundtrip", (s, dir) => {
       Tables.register(s, dir)
       s.sql("DROP TABLE IF EXISTS graft_ddl_t")
+      // a fresh session's in-memory catalog forgets the table but its
+      // warehouse location persists — clear it or CREATE fails with
+      // LOCATION_ALREADY_EXISTS
+      val wh = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "graft_ddl_t")
+      wh.getFileSystem(s.sparkContext.hadoopConfiguration).delete(wh, true)
       ClickHouseSql.sql(s, """
         CREATE TABLE graft_ddl_t (
           id UInt32,
