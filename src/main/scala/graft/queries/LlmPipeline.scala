@@ -488,6 +488,111 @@ object LlmPipeline extends QueryPack {
           concat_ws(",", array_sort(collect_list(col("doc_id")))
             .cast("array<string>")).as("doc_csv"))
         .orderBy("source", "lang")
+    },
+
+    // --- Decontamination: benchmark n-gram overlap ---------------------
+    // The train/eval contamination check every pretraining pipeline runs:
+    // which training documents contain word 3-grams of the benchmark set
+    // (here: every 50th doc stands in for the benchmark). Scale shape:
+    // the benchmark gram set is SMALL and broadcast; the training corpus
+    // streams through a broadcast-hash join — no shuffle of the corpus at
+    // 100 TB. (Reference analog: no native op; composes the same shingle
+    // primitives as the dedup family.)
+    Q.df("q_decontaminate", """
+      WITH w AS (SELECT doc_id,
+                   LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'),
+                               t -> LEN(t) > 0) AS ws
+                 FROM documents),
+      g AS (SELECT doc_id,
+              UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+                RANGE(1, GREATEST(LEN(ws) - 2, 1) + 1),
+                i -> ARRAY_TO_STRING(ws[i:i+2], ' ')))) AS g
+            FROM w),
+      bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0),
+      train AS (SELECT * FROM g WHERE doc_id % 50 <> 0),
+      ov AS (SELECT t.doc_id, COUNT(DISTINCT t.g) AS shared
+             FROM train t JOIN bench b ON t.g = b.g GROUP BY t.doc_id)
+      SELECT d.doc_id, CAST(COALESCE(ov.shared, 0) AS BIGINT) AS shared
+      FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+      LEFT JOIN ov ON d.doc_id = ov.doc_id
+      ORDER BY d.doc_id LIMIT 500""") { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val words = filter(split(lower(col("text")), "\\s+"),
+        w => length(w) > lit(0))
+      val grams = array_distinct(transform(
+        sequence(lit(1), greatest(size(words) - 2, lit(1))),
+        i => array_join(slice(words, i, lit(3)), " ")))
+      val g = docs.select(col("doc_id"), explode(grams).as("g"))
+      val bench = g.filter(col("doc_id") % 50 === 0).select("g").distinct()
+      val train = g.filter(col("doc_id") % 50 =!= 0)
+      val overlap = train.join(broadcast(bench), Seq("g"))
+        .groupBy("doc_id").agg(countDistinct("g").as("shared"))
+      docs.filter(col("doc_id") % 50 =!= 0).select("doc_id").distinct()
+        .join(overlap, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("shared"), lit(0L)).cast("long").as("shared"))
+        .orderBy("doc_id").limit(500)
+    },
+
+    // --- Near-dup clusters: connected components over verified pairs ---
+    // The dedup endgame: group mutually-similar docs and pick one
+    // canonical survivor per cluster. Pairs = the oracled exact-Jaccard
+    // stage (>= 0.8, blocked by lang+source); components via iterative
+    // min-label propagation — 8 rounds bounds diameter-8 clusters, each
+    // round one shuffle join, lineage cut per round (localCheckpoint), the
+    // same scale shape as large-star/small-star at 1000 executors. Oracle
+    // recomputes components with a recursive transitive closure.
+    Q.df("q_dedup_components", """
+      WITH RECURSIVE d AS (SELECT doc_id, lang, source,
+                   LIST_DISTINCT(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'),
+                                             t -> LEN(t) > 0)) ws
+                 FROM documents),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM d a JOIN d b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        WHERE CAST(LEN(LIST_INTERSECT(a.ws, b.ws)) AS DOUBLE)
+              / LEN(LIST_DISTINCT(LIST_CONCAT(a.ws, b.ws))) >= 0.8),
+      edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+               FROM reach GROUP BY a)
+      SELECT doc_id, component,
+        CAST(doc_id = component AS BOOLEAN) AS is_canonical
+      FROM comp ORDER BY doc_id""") { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          wordSet(col("text")).as("ws"))
+      val a = d.select(col("doc_id").as("id_a"), col("lang"), col("source"),
+        col("ws").as("wa"))
+      val b = d.select(col("doc_id").as("id_b"), col("lang"), col("source"),
+        col("ws").as("wb"))
+      val pairs = a.join(b, Seq("lang", "source"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(jaccard(col("wa"), col("wb")) >= 0.8)
+        .select(col("id_a"), col("id_b"))
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .localCheckpoint()
+      val nodes = edges.select(col("src").as("doc_id")).distinct()
+      var lab = nodes.withColumn("label", col("doc_id")).localCheckpoint()
+      for (_ <- 1 to 8) {
+        val nb = edges
+          .join(lab.withColumnRenamed("doc_id", "dst"), Seq("dst"))
+          .groupBy(col("src").as("doc_id"))
+          .agg(min("label").as("nl"))
+        lab = lab.join(nb, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+          .localCheckpoint()
+      }
+      lab.select(col("doc_id"), col("label").as("component"),
+          (col("doc_id") === col("label")).as("is_canonical"))
+        .orderBy("doc_id")
     }
   )
 }
