@@ -42,6 +42,18 @@ class PlanAuditSpec extends SparkFunSuite {
       "interpreted HOF fold is back in the hot path")
   }
 
+  test("decontamination broadcasts the benchmark gram set (corpus never shuffles to it)") {
+    assert(planOf("q_decontaminate").contains("BroadcastHashJoin"))
+  }
+
+  test("ARRAY JOIN clause plans as a Generate (codegen unnest), not a join") {
+    val plan = graft.sql.ClickHouseSql.sql(spark,
+      "SELECT v FROM (SELECT array(1, 2) AS vs) t ARRAY JOIN vs AS v")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Generate"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("no cartesian products outside the declared tiny cross joins") {
     // Broadcast nested loop on a 1-row or tiny side is fine; a shuffled
     // CartesianProduct on two big sides is never acceptable.
