@@ -829,6 +829,22 @@ object FunctionTail extends QueryPack {
         'https://example.com/' AS uh2,
         '/browse/|/browse/conv' AS up, '1,2,3' AS ps"""),
 
+    // Parametric-aggregate call syntax: quantile(p)(x) / quantiles(..)(x).
+    ch("q_ch_parametric_quantiles", """
+      SELECT
+        ROUND(quantile(0.9)(o_totalprice), 4) AS p90,
+        ROUND(quantileExact(0.5)(o_totalprice), 4) AS p50,
+        ROUND(element_at(quantiles(0.25, 0.75)(o_totalprice), 1), 4) AS q25,
+        ROUND(element_at(quantiles(0.25, 0.75)(o_totalprice), 2), 4) AS q75
+      FROM orders""",
+      """
+      SELECT
+        ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        ROUND(quantile_cont(o_totalprice, 0.25), 4) AS q25,
+        ROUND(quantile_cont(o_totalprice, 0.75), 4) AS q75
+      FROM orders"""),
+
     // Distributed path: the same trees over per-order quantity arrays from
     // lineitem (sorted collect → deterministic; int sums exact).
     ch("q_fn_array_real", """

@@ -481,6 +481,16 @@ object ChRegistryExt {
     "varpopstable" -> (args => VariancePop(args.head)),
     "quantileexactinclusive" -> pctExact,
     "quantileexactexclusive" -> pctExact,
+    // plural multi-quantile forms (dialect rearranges the parametric
+    // call syntax quantiles(p1, p2)(x) → quantiles(x, p1, p2))
+    "quantiles" -> (args =>
+      new Percentile(args.head, CreateArray(args.tail))),
+    "quantilesexact" -> (args =>
+      new Percentile(args.head, CreateArray(args.tail))),
+    "quantilestdigest" -> (args =>
+      new ApproximatePercentile(args.head, CreateArray(args.tail))),
+    "quantilestiming" -> (args =>
+      new ApproximatePercentile(args.head, CreateArray(args.tail))),
     // discrete low/high medians (AggregateFunctionQuantileExact*.cpp)
     "quantileexactlow" -> (args =>
       if (args.length == 1) PercentileDisc(args.head, Literal(0.5))

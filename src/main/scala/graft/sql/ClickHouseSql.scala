@@ -27,6 +27,7 @@ object ClickHouseSql {
     s = rewriteFormat(s)
     s = rewriteSettings(s)
     s = rewriteNumbers(s)
+    s = rewriteParametric(s)
     s = rewriteSample(s)
     s = rewriteArrayJoin(s)
     s = rewritePrewhere(s)
@@ -282,6 +283,43 @@ object ClickHouseSql {
     * concern in a DataFrame engine). */
   private def rewriteFormat(s: String): String =
     s.replaceAll("(?is)\\bFORMAT\\s+[A-Za-z][A-Za-z0-9]*\\s*;?\\s*$", "")
+
+  /** Reference parametric-aggregate call syntax `f(params)(args)` —
+    * `quantile(0.9)(x)`, `quantiles(0.25, 0.75)(x)` — rearranged to the
+    * registry's `f(args, params)` shape. Scoped to the quantile family
+    * (the registered parametric names). */
+  private val parametricName =
+    ("(?i)\\b(quantiles?(?:exact|tdigest|timing|gk|dd|bfloat16|deterministic|" +
+      "interpolatedweighted|exactweighted|exactlow|exacthigh|exactinclusive|" +
+      "exactexclusive)?)\\s*\\(").r
+
+  private def rewriteParametric(s: String): String = {
+    var out = s
+    var guard = 0
+    var changed = true
+    while (changed && guard < 32) {
+      changed = false
+      guard += 1
+      val hit = parametricName.findAllMatchIn(out).flatMap { m =>
+        val open1 = out.indexOf('(', m.end - 1)
+        balanced(out, open1).flatMap { case (params, end1) =>
+          var i = end1
+          while (i < out.length && out.charAt(i).isWhitespace) i += 1
+          if (i < out.length && out.charAt(i) == '(')
+            balanced(out, i).map { case (args, end2) =>
+              (m.start, end2, m.group(1), params.trim, args.trim)
+            }
+          else None
+        }
+      }.toSeq.headOption
+      hit.foreach { case (start, end, name, params, args) =>
+        out = out.substring(0, start) + s"$name($args, $params)" +
+          out.substring(end)
+        changed = true
+      }
+    }
+    out
+  }
 
   /** `FROM t SAMPLE 0.x` (reference SAMPLE BY read sampling) →
     * deterministic TABLESAMPLE with a pinned seed. Fraction form only
