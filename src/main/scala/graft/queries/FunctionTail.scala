@@ -845,6 +845,42 @@ object FunctionTail extends QueryPack {
         ROUND(quantile_cont(o_totalprice, 0.75), 4) AS q75
       FROM orders"""),
 
+    // -If combinator registry forms + avgWeighted.
+    ch("q_ch_if_combinators", """
+      SELECT o_orderpriority,
+        CAST(sumIf(CAST(o_totalprice AS DECIMAL(18,2)), o_orderstatus = 'F')
+          AS DOUBLE) AS s,
+        ROUND(CAST(sumIf(CAST(o_totalprice AS DECIMAL(18,2)), o_orderstatus = 'F')
+          AS DOUBLE) / countIf(o_orderstatus = 'F'), 4) AS a,
+        ROUND(minIf(o_totalprice, o_orderstatus = 'F'), 4) AS mn,
+        ROUND(maxIf(o_totalprice, o_orderstatus = 'F'), 4) AS mx
+      FROM orders
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+      """
+      SELECT o_orderpriority,
+        CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+          FILTER (WHERE o_orderstatus = 'F'), 0) AS DOUBLE) AS s,
+        ROUND(CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+          FILTER (WHERE o_orderstatus = 'F'), 0) AS DOUBLE)
+          / COUNT(*) FILTER (WHERE o_orderstatus = 'F'), 4) AS a,
+        ROUND(MIN(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 4) AS mn,
+        ROUND(MAX(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 4) AS mx
+      FROM orders
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+
+    // avgIf / avgWeighted on a literal set (double-sum order safety).
+    ch("q_ch_avg_weighted_if", """
+      SELECT
+        ROUND(avgIf(x, w > 1), 4) AS ai,
+        ROUND(avgWeighted(x, w), 4) AS aw
+      FROM VALUES (10.0D, 1), (20.0D, 3), (30.0D, 0) AS t(x, w)""",
+      """
+      SELECT
+        ROUND(AVG(x) FILTER (WHERE w > 1), 4) AS ai,
+        ROUND(SUM(x * w) / SUM(w), 4) AS aw
+      FROM (VALUES (CAST(10.0 AS DOUBLE), 1), (CAST(20.0 AS DOUBLE), 3),
+        (CAST(30.0 AS DOUBLE), 0)) AS t(x, w)"""),
+
     // Distributed path: the same trees over per-order quantity arrays from
     // lineitem (sorted collect → deterministic; int sums exact).
     ch("q_fn_array_real", """

@@ -481,6 +481,25 @@ object ChRegistryExt {
     "varpopstable" -> (args => VariancePop(args.head)),
     "quantileexactinclusive" -> pctExact,
     "quantileexactexclusive" -> pctExact,
+    // -If combinator forms (conditional aggregation; sumIf matches the
+    // reference's 0-on-empty, the others keep SQL NULL-on-empty)
+    "sumif" -> (args =>
+      Coalesce(Seq(
+        Sum(If(args(1), args(0), Literal.create(null, NullType)))
+          .toAggregateExpression(),
+        Literal(0)))),
+    "avgif" -> (args =>
+      Average(If(args(1), args(0), Literal.create(null, NullType)))),
+    "minif" -> (args =>
+      Min(If(args(1), args(0), Literal.create(null, NullType)))),
+    "maxif" -> (args =>
+      Max(If(args(1), args(0), Literal.create(null, NullType)))),
+    "avgweighted" -> (args =>
+      Divide(
+        Sum(Multiply(asDouble(args(0)), asDouble(args(1))))
+          .toAggregateExpression(),
+        Sum(asDouble(args(1))).toAggregateExpression())),
+
     // plural multi-quantile forms (dialect rearranges the parametric
     // call syntax quantiles(p1, p2)(x) → quantiles(x, p1, p2))
     "quantiles" -> (args =>
