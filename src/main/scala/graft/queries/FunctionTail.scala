@@ -881,6 +881,29 @@ object FunctionTail extends QueryPack {
       FROM (VALUES (CAST(10.0 AS DOUBLE), 1), (CAST(20.0 AS DOUBLE), 3),
         (CAST(30.0 AS DOUBLE), 0)) AS t(x, w)"""),
 
+    // -Array combinator forms over per-order quantity arrays.
+    ch("q_ch_array_combinators", """
+      SELECT
+        CAST(uniqArray(qs) AS INT) AS u,
+        CAST(sumArray(qs) AS BIGINT) AS s,
+        CAST(minArray(qs) AS INT) AS mn,
+        CAST(maxArray(qs) AS INT) AS mx,
+        arrayStringConcat(arrayMap(x -> toString(x),
+          arraySort(arrayIntersect(array(1, 2, 3), array(2, 3, 4),
+            array(3, 2)))), ',') AS ai3
+      FROM (SELECT arraySort(collect_list(CAST(l_quantity AS INT))) AS qs
+            FROM lineitem GROUP BY l_orderkey)""",
+      """
+      SELECT
+        CAST(COUNT(DISTINCT q) AS INT) AS u,
+        CAST(SUM(q) AS BIGINT) AS s,
+        CAST(MIN(q) AS INT) AS mn,
+        CAST(MAX(q) AS INT) AS mx,
+        '2,3' AS ai3
+      FROM (SELECT UNNEST(qs) AS q FROM
+        (SELECT LIST(CAST(l_quantity AS INTEGER)) AS qs
+         FROM lineitem GROUP BY l_orderkey))"""),
+
     // Distributed path: the same trees over per-order quantity arrays from
     // lineitem (sorted collect → deterministic; int sums exact).
     ch("q_fn_array_real", """

@@ -202,7 +202,7 @@ object ChFunctionRegistry {
     "arraydistinct" -> (args => ArrayDistinct(args.head)),
     "arrayflatten" -> (args => Flatten(args.head)),
     "arrayreverse" -> (args => Reverse(args.head)),
-    "arrayintersect" -> (args => ArrayIntersect(args(0), args(1))),
+    "arrayintersect" -> (args => args.reduce((a, b) => ArrayIntersect(a, b))),
     "arraysort" -> (args => SortArray(args.head, Literal(true))),
     "arrayreversesort" -> (args => Reverse(SortArray(args.head, Literal(true)))),
     "arraystringconcat" -> (args =>

@@ -500,6 +500,22 @@ object ChRegistryExt {
           .toAggregateExpression(),
         Sum(asDouble(args(1))).toAggregateExpression())),
 
+    // -Array combinator forms: aggregate over all elements of all rows'
+    // arrays (flatten-collect composition; exact)
+    "uniqarray" -> (args =>
+      Size(ArrayDistinct(Flatten(
+        CollectList(args.head).toAggregateExpression())))),
+    "sumarray" -> (args =>
+      Coalesce(Seq(
+        ArrayAggregate(
+          Flatten(CollectList(args.head).toAggregateExpression()),
+          Literal(0.0d), lam2(Add(_, _)), LambdaFunction.identity),
+        Literal(0.0d)))),
+    "minarray" -> (args =>
+      ArrayMin(Flatten(CollectList(args.head).toAggregateExpression()))),
+    "maxarray" -> (args =>
+      ArrayMax(Flatten(CollectList(args.head).toAggregateExpression()))),
+
     // plural multi-quantile forms (dialect rearranges the parametric
     // call syntax quantiles(p1, p2)(x) → quantiles(x, p1, p2))
     "quantiles" -> (args =>
