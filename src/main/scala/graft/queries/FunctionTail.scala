@@ -904,6 +904,36 @@ object FunctionTail extends QueryPack {
         (SELECT LIST(CAST(l_quantity AS INTEGER)) AS qs
          FROM lineitem GROUP BY l_orderkey))"""),
 
+    // Window-function reference names over a deterministic order key.
+    ch("q_ch_window_names", """
+      SELECT o_orderkey,
+        ROUND(lagInFrame(o_totalprice) OVER w, 4) AS lg,
+        ROUND(leadInFrame(o_totalprice, 2) OVER w, 4) AS ld,
+        ROUND(nthValue(o_totalprice, 2) OVER
+          (PARTITION BY o_orderpriority ORDER BY o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS nv,
+        ROUND(firstValue(o_totalprice) OVER w, 4) AS fv,
+        ROUND(lastValue(o_totalprice) OVER
+          (PARTITION BY o_orderpriority ORDER BY o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS lv
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+      ORDER BY o_orderkey LIMIT 1000""",
+      """
+      SELECT o_orderkey,
+        ROUND(LAG(o_totalprice) OVER w, 4) AS lg,
+        ROUND(LEAD(o_totalprice, 2) OVER w, 4) AS ld,
+        ROUND(NTH_VALUE(o_totalprice, 2) OVER
+          (PARTITION BY o_orderpriority ORDER BY o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS nv,
+        ROUND(FIRST_VALUE(o_totalprice) OVER w, 4) AS fv,
+        ROUND(LAST_VALUE(o_totalprice) OVER
+          (PARTITION BY o_orderpriority ORDER BY o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS lv
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+      ORDER BY o_orderkey LIMIT 1000"""),
+
     // Distributed path: the same trees over per-order quantity arrays from
     // lineitem (sorted collect → deterministic; int sums exact).
     ch("q_fn_array_real", """

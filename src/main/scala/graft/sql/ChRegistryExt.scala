@@ -500,6 +500,22 @@ object ChRegistryExt {
           .toAggregateExpression(),
         Sum(asDouble(args(1))).toAggregateExpression())),
 
+    // window-function names (WindowDescription.h): the InFrame forms are
+    // plain lag/lead under Spark's frame semantics
+    "laginframe" -> (args => args.length match {
+      case 1 => Lag(args(0), Literal(1), Literal(null), ignoreNulls = false)
+      case 2 => Lag(args(0), args(1), Literal(null), ignoreNulls = false)
+      case _ => Lag(args(0), args(1), args(2), ignoreNulls = false)
+    }),
+    "leadinframe" -> (args => args.length match {
+      case 1 => Lead(args(0), Literal(1), Literal(null), ignoreNulls = false)
+      case 2 => Lead(args(0), args(1), Literal(null), ignoreNulls = false)
+      case _ => Lead(args(0), args(1), args(2), ignoreNulls = false)
+    }),
+    "nthvalue" -> (args => NthValue(args(0), args(1), ignoreNulls = false)),
+    "firstvalue" -> (args => First(args.head, ignoreNulls = false)),
+    "lastvalue" -> (args => Last(args.head, ignoreNulls = false)),
+
     // -Array combinator forms: aggregate over all elements of all rows'
     // arrays (flatten-collect composition; exact)
     "uniqarray" -> (args =>

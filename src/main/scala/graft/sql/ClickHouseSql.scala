@@ -417,7 +417,22 @@ object ClickHouseSql {
     val trimmed = chSql.trim
     if (trimmed.matches("(?is)^CREATE\\s+TABLE\\b.*"))
       spark.sql(rewriteCreateTable(trimmed))
-    else if (trimmed.matches("(?is)^EXPLAIN\\s+SYNTAX\\b.*")) {
+    else if (trimmed.matches("(?is)^OPTIMIZE\\s+TABLE\\b.*")) {
+      // merges are Spark's compaction concern (Mutations.overwritePartitions
+      // is the explicit analog); accept the statement as a no-op
+      import spark.implicits._
+      Seq("OK").toDF("status")
+    } else if (trimmed.matches("(?is)^SET\\s+\\w+\\s*=.*")) {
+      // per-session engine knobs: accept and record on the Spark conf
+      // under a namespaced key (no reference settings map onto Spark 1:1)
+      val kv = "(?is)^SET\\s+(\\w+)\\s*=\\s*(.+?)\\s*;?\\s*$".r
+      trimmed match {
+        case kv(k, v) => spark.conf.set(s"graft.ch.$k", v)
+        case _ =>
+      }
+      import spark.implicits._
+      Seq("OK").toDF("status")
+    } else if (trimmed.matches("(?is)^EXPLAIN\\s+SYNTAX\\b.*")) {
       // reference EXPLAIN SYNTAX shows the rewritten query — here, the
       // dialect translation itself
       val q = trimmed.replaceFirst("(?is)^EXPLAIN\\s+SYNTAX\\s+", "")

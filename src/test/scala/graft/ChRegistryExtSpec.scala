@@ -105,6 +105,15 @@ class ChRegistryExtSpec extends SparkFunSuite {
     assert(plan.contains("Physical Plan"))
   }
 
+  test("OPTIMIZE TABLE and SET statements are accepted") {
+    Tables.register(spark, sf)
+    assert(ClickHouseSql.sql(spark, "OPTIMIZE TABLE orders FINAL")
+      .head().getString(0) == "OK")
+    assert(ClickHouseSql.sql(spark, "SET max_threads = 8")
+      .head().getString(0) == "OK")
+    assert(spark.conf.get("graft.ch.max_threads") == "8")
+  }
+
   test("URL parts survive scheme-less and parameterless inputs") {
     val r = one("""
       SELECT domain('example.com/x') AS d,
