@@ -27,6 +27,9 @@ object ClickHouseSql {
     s = rewriteFormat(s)
     s = rewriteSettings(s)
     s = rewriteNumbers(s)
+    // GLOBAL IN / GLOBAL JOIN: a distributed-execution hint (broadcast the
+    // right side to every shard) — Catalyst + AQE own that decision here
+    s = s.replaceAll("(?i)\\bGLOBAL\\s+(?=(NOT\\s+)?IN\\b|ANY\\b|ALL\\b|INNER\\b|LEFT\\b|RIGHT\\b|FULL\\b|JOIN\\b)", "")
     s = rewriteParametric(s)
     s = rewriteSample(s)
     s = rewriteArrayJoin(s)
