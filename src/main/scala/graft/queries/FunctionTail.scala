@@ -934,6 +934,23 @@ object FunctionTail extends QueryPack {
       WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
       ORDER BY o_orderkey LIMIT 1000"""),
 
+    // Final alias batch: timeSlots, positiveModulo, regexpExtract,
+    // arrayElement.
+    ch("q_fn_alias_batch", """
+      SELECT
+        arrayStringConcat(arrayMap(t -> toString(t),
+          timeSlots(TIMESTAMP'2024-01-01 10:14:00', 3600)), '|') AS ts,
+        CAST(positiveModulo(-7, 3) AS INT) AS pm,
+        regexpExtract('key=value', 'key=(\\w+)') AS re,
+        regexpExtract('a1b2', '[0-9]', 0) AS re0,
+        CAST(arrayElement(array(10, 20, 30), 2) AS INT) AS ae,
+        CAST(arrayElement(array(10, 20, 30), -1) AS INT) AS aen,
+        arrayElement(array(10), 5) AS aeo""",
+      """
+      SELECT '2024-01-01 10:00:00|2024-01-01 10:30:00|2024-01-01 11:00:00' AS ts,
+        2 AS pm, 'value' AS re, '1' AS re0, 20 AS ae, 30 AS aen,
+        CAST(NULL AS INT) AS aeo"""),
+
     // Distributed path: the same trees over per-order quantity arrays from
     // lineitem (sorted collect → deterministic; int sums exact).
     ch("q_fn_array_real", """

@@ -500,6 +500,15 @@ object ChRegistryExt {
           .toAggregateExpression(),
         Sum(asDouble(args(1))).toAggregateExpression())),
 
+    "positivemodulo" -> (args => Pmod(args(0), args(1))),
+    "positive_modulo" -> (args => Pmod(args(0), args(1))),
+    "regexpextract" -> (args =>
+      RegExpExtract(args(0), args(1),
+        if (args.length > 2) args(2) else Literal(1))),
+    // arrayElement: 1-based with negative indexing, NULL out of bounds
+    "arrayelement" -> (args =>
+      ElementAt(args(0), args(1), None, failOnError = false)),
+
     // window-function names (WindowDescription.h): the InFrame forms are
     // plain lag/lead under Spark's frame semantics
     "laginframe" -> (args => args.length match {

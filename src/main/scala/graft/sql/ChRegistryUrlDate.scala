@@ -317,6 +317,15 @@ object ChRegistryUrlDate {
       TimestampAdd("MILLISECOND", UnaryMinus(asLong(args(1))), args(0))),
     "subtractmicroseconds" -> (args =>
       TimestampAdd("MICROSECOND", UnaryMinus(asLong(args(1))), args(0))),
+    // timeSlots(start, duration[, size]): slot starts covering the span
+    "timeslots" -> (args => {
+      val size = if (args.length > 2) asLong(args(2)) else Literal(1800L)
+      val start = Multiply(IntegralDivide(asLong(args(0)), size), size)
+      val i = lv()
+      ArrayTransform(
+        Sequence(start, Add(asLong(args(0)), asLong(args(1))), Some(size)),
+        LambdaFunction(SecondsToTimestamp(i), Seq(i)))
+    }),
     // age('unit', start, end) — truncated whole-unit difference
     "age" -> (args => args(0) match {
       case Literal(u, StringType) =>
