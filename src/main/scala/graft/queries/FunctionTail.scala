@@ -958,10 +958,14 @@ object FunctionTail extends QueryPack {
         imageDimensions(unhex('89504E470D0A1A0A0000000D4948445200000140000000F00806000000')) AS png,
         imageDimensions(unhex('4749463839614001F000')) AS gif,
         imageDimensions(unhex('FFD8FFC000110800F0014003012200021101031101')) AS jpg,
-        imageDimensions(unhex('DEADBEEF00112233445566')) AS unknown""",
+        imageDimensions(unhex('DEADBEEF00112233445566')) AS unknown,
+        audioInfo(unhex('52494646240000005741564' ||
+          '5666D74201000000001000200' || '44AC0000')) AS wav,
+        audioInfo(unhex('DEADBEEFDEADBEEFDEADBEEFDEADBEEFDEADBEEFDEADBEEFDEADBEEF')) AS notwav""",
       """
       SELECT '320x240' AS png, '320x240' AS gif, '320x240' AS jpg,
-        CAST(NULL AS VARCHAR) AS unknown"""),
+        CAST(NULL AS VARCHAR) AS unknown, '44100Hz 2ch' AS wav,
+        CAST(NULL AS VARCHAR) AS notwav"""),
 
     // Distributed path: the same trees over per-order quantity arrays from
     // lineitem (sorted collect → deterministic; int sums exact).

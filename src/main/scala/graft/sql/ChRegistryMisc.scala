@@ -488,6 +488,13 @@ object ChRegistryMisc {
         "imageDimensions", StringType,
         Seq(Cast(args.head, BinaryType)), Seq(BinaryType))),
 
+    "audioinfo" -> (args =>
+      Invoke(
+        Literal.fromObject(org.apache.spark.sql.graft.StringBridge,
+          ObjectType(org.apache.spark.sql.graft.StringBridge.getClass)),
+        "audioInfo", StringType,
+        Seq(Cast(args.head, BinaryType)), Seq(BinaryType))),
+
     // jump consistent hash (bit-compatible Lamping–Veach)
     "jumpconsistenthash" -> (args =>
       Invoke(

@@ -85,6 +85,20 @@ object StringBridge extends Serializable {
     null
   }
 
+  /** WAV (RIFF) audio metadata from the fmt chunk — channels and sample
+    * rate, little-endian at fixed offsets of the canonical header.
+    * Returns "RATEHz CHch" or null. */
+  def audioInfo(b: Array[Byte]): UTF8String = {
+    if (b == null || b.length < 28) return null
+    def ub(i: Int): Int = b(i) & 0xFF
+    val riff = ub(0) == 'R' && ub(1) == 'I' && ub(2) == 'F' && ub(3) == 'F'
+    val wave = ub(8) == 'W' && ub(9) == 'A' && ub(10) == 'V' && ub(11) == 'E'
+    if (!riff || !wave) return null
+    val channels = ub(22) | (ub(23) << 8)
+    val rate = ub(24) | (ub(25) << 8) | (ub(26) << 16) | (ub(27) << 24)
+    UTF8String.fromString(s"${rate}Hz ${channels}ch")
+  }
+
   /** Lamping–Veach jump consistent hash — bit-compatible with the
     * reference's jumpConsistentHash (src/Functions/jumpConsistentHash.cpp):
     * same multiplier, same unsigned >>> 33 step, raw 64-bit key. */
