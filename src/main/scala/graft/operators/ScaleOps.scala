@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-path join shapes the 100 TB plan needs beyond AQE's defaults
+  * (reference analogs: the ConcurrentHashJoin sharding note,
+  * src/Interpreters/ConcurrentHashJoin.h:9-20, and MergeTree's
+  * bucket-by-PK physical layout).
+  *
+  *  - saltedJoin: a HOT KEY on the probe side melts one reducer at scale;
+  *    salting splits each hot key over `salt` sub-partitions and
+  *    replicates the dim side once per sub-partition. Result set is
+  *    identical to the plain join; only the distribution changes.
+  *  - bucketed tables: co-located joins — both sides pre-bucketed on the
+  *    join key skip the shuffle entirely (the 1000-executor rendition of
+  *    the reference's co-sorted MergeTree part merges).
+  */
+object ScaleOps {
+
+  /** Join a skewed fact side to a dimension, salting the fact's key space
+    * into `salt` sub-keys. Row salt is taken from a per-row id — any
+    * per-row value works; it never reaches the output. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      salt: Int): DataFrame = {
+    val salted = fact.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(salt.toLong)).cast("int"))
+    val replicated = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Write a bucketed + bucket-sorted copy of `df` as a catalog table
+    * (clearing any stale warehouse location from an earlier session). */
+  def writeBucketed(spark: SparkSession, df: DataFrame, name: String,
+      buckets: Int, key: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), name)
+    wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(name)
+  }
+}

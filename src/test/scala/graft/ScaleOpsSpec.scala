@@ -1,0 +1,42 @@
+package graft
+
+import graft.operators.ScaleOps
+import org.apache.spark.sql.functions._
+
+/** Scale-path join shapes: salted skew join (result-identical) and
+  * bucketed co-located join (shuffle-free plan). */
+class ScaleOpsSpec extends SparkFunSuite {
+
+  test("salted join returns exactly the plain join's rows") {
+    Tables.register(spark, sf)
+    val orders = spark.table("orders").select("o_orderkey", "o_custkey")
+    val customer = spark.table("customer").select("c_custkey", "c_name")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val plain = orders.join(customer, Seq("o_custkey"))
+      .select("o_orderkey", "c_name").collect().map(_.toString).sorted
+    val salted = ScaleOps.saltedJoin(orders, customer, "o_custkey", 8)
+      .select("o_orderkey", "c_name").collect().map(_.toString).sorted
+    assert(salted.length == plain.length && salted.sameElements(plain))
+  }
+
+  test("bucketed co-located join plans without a shuffle exchange") {
+    Tables.register(spark, sf)
+    ScaleOps.writeBucketed(spark,
+      spark.table("orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+      "orders_bkt", 8, "o_custkey")
+    ScaleOps.writeBucketed(spark,
+      spark.table("customer").select("c_custkey", "c_name"),
+      "customer_bkt", 8, "c_custkey")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("orders_bkt")
+        .join(spark.table("customer_bkt"),
+          col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected shuffle-free bucketed join, got:\n$plan")
+      assert(joined.count() == spark.table("orders_bkt").count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
