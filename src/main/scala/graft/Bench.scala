@@ -29,7 +29,10 @@ object Bench {
     "q_agg_basic", "q_agg_quantile_exact", "q_win_running_sum",
     "q_win_rank_ties", "q_asof_join", "q_limit_by",
     "q_dedup_minhash_lsh", "q_ann_cosine_topk", "q_text_bigrams",
-    "q_tumble_1h", "q_hop_1h_15m", "q_ch_prewhere")
+    "q_tumble_1h", "q_hop_1h_15m", "q_ch_prewhere",
+    // round-3 additions: the decontamination broadcast join and the
+    // connected-components label propagation (8 shuffle rounds)
+    "q_decontaminate", "q_dedup_components")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
