@@ -967,6 +967,27 @@ object FunctionTail extends QueryPack {
         CAST(NULL AS VARCHAR) AS unknown, '44100Hz 2ch' AS wav,
         CAST(NULL AS VARCHAR) AS notwav"""),
 
+    // Interval constructors + toStartOfSecond.
+    ch("q_fn_interval_ctors", """
+      SELECT
+        TIMESTAMP'2024-01-01 00:00:00' + toIntervalDay(3) AS d3,
+        TIMESTAMP'2024-01-01 00:00:00' + toIntervalHour(5) AS h5,
+        TIMESTAMP'2024-01-01 00:00:00' + toIntervalMinute(90) AS m90,
+        TIMESTAMP'2024-01-01 00:00:00' + toIntervalSecond(75) AS s75,
+        CAST(DATE'2024-01-01' + toIntervalWeek(2) AS DATE) AS w2,
+        CAST(DATE'2024-01-31' + toIntervalMonth(1) AS DATE) AS mo1,
+        CAST(DATE'2024-01-01' + toIntervalQuarter(1) AS DATE) AS q1,
+        CAST(DATE'2020-02-29' + toIntervalYear(1) AS DATE) AS y1,
+        toStartOfSecond(TIMESTAMP'2024-01-01 10:20:30.789') AS sos""",
+      """
+      SELECT TIMESTAMP '2024-01-04 00:00:00' AS d3,
+        TIMESTAMP '2024-01-01 05:00:00' AS h5,
+        TIMESTAMP '2024-01-01 01:30:00' AS m90,
+        TIMESTAMP '2024-01-01 00:01:15' AS s75,
+        DATE '2024-01-15' AS w2, DATE '2024-02-29' AS mo1,
+        DATE '2024-04-01' AS q1, DATE '2021-02-28' AS y1,
+        TIMESTAMP '2024-01-01 10:20:30' AS sos"""),
+
     // Distributed path: the same trees over per-order quantity arrays from
     // lineitem (sorted collect → deterministic; int sums exact).
     ch("q_fn_array_real", """

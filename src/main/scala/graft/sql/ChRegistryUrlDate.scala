@@ -317,6 +317,28 @@ object ChRegistryUrlDate {
       TimestampAdd("MILLISECOND", UnaryMinus(asLong(args(1))), args(0))),
     "subtractmicroseconds" -> (args =>
       TimestampAdd("MICROSECOND", UnaryMinus(asLong(args(1))), args(0))),
+    "tostartofsecond" -> (args => TruncTimestamp(Literal("second"), args.head)),
+    // interval constructors (toIntervalX → day-time / year-month literals)
+    "tointervalday" -> (args =>
+      MakeDTInterval(asInt(args.head), Literal(0), Literal(0),
+        Cast(Literal(0), DecimalType(18, 6)))),
+    "tointervalhour" -> (args =>
+      MakeDTInterval(Literal(0), asInt(args.head), Literal(0),
+        Cast(Literal(0), DecimalType(18, 6)))),
+    "tointervalminute" -> (args =>
+      MakeDTInterval(Literal(0), Literal(0), asInt(args.head),
+        Cast(Literal(0), DecimalType(18, 6)))),
+    "tointervalsecond" -> (args =>
+      MakeDTInterval(Literal(0), Literal(0), Literal(0),
+        Cast(args.head, DecimalType(18, 6)))),
+    "tointervalweek" -> (args =>
+      MakeDTInterval(Multiply(asInt(args.head), Literal(7)), Literal(0),
+        Literal(0), Cast(Literal(0), DecimalType(18, 6)))),
+    "tointervalmonth" -> (args => MakeYMInterval(Literal(0), asInt(args.head))),
+    "tointervalquarter" -> (args =>
+      MakeYMInterval(Literal(0), Multiply(asInt(args.head), Literal(3)))),
+    "tointervalyear" -> (args => MakeYMInterval(asInt(args.head), Literal(0))),
+
     // timeSlots(start, duration[, size]): slot starts covering the span
     "timeslots" -> (args => {
       val size = if (args.length > 2) asLong(args(2)) else Literal(1800L)
