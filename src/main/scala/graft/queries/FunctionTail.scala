@@ -988,6 +988,24 @@ object FunctionTail extends QueryPack {
         DATE '2024-04-01' AS q1, DATE '2021-02-28' AS y1,
         TIMESTAMP '2024-01-01 10:20:30' AS sos"""),
 
+    // DISTINCT ON / LIMIT offset,count / TOP n dialect forms.
+    ch("q_ch_distinct_on", """
+      SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey
+      FROM orders ORDER BY o_custkey, o_orderkey""",
+      """
+      SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey
+      FROM orders ORDER BY o_custkey, o_orderkey"""),
+
+    ch("q_ch_limit_comma", """
+      SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 10, 5""",
+      """
+      SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 5 OFFSET 10"""),
+
+    ch("q_ch_top", """
+      SELECT TOP 3 o_orderkey FROM orders ORDER BY o_orderkey""",
+      """
+      SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 3"""),
+
     // Distributed path: the same trees over per-order quantity arrays from
     // lineitem (sorted collect → deterministic; int sums exact).
     ch("q_fn_array_real", """

@@ -36,7 +36,10 @@ object ClickHouseSql {
     s = rewritePrewhere(s)
     s = rewriteFinal(s)
     s = rewriteWithFill(s)
+    s = rewriteDistinctOn(s)
     s = rewriteLimitBy(s)
+    s = rewriteLimitOffsetComma(s)
+    s = rewriteTop(s)
     s = rewriteCountEmpty(s)
     s = rewriteAnyAgg(s)
     s = inlineUserFunctions(s)
@@ -393,6 +396,34 @@ object ClickHouseSql {
     * after ORDER BY; the query's ORDER BY defines the per-key pick order
     * (the keys themselves if absent). Supported form: the LIMIT BY clause
     * terminates the query. */
+  /** `SELECT DISTINCT ON (k1, k2) …` (reference ASTSelectQuery
+    * distinct_on) ≡ `LIMIT 1 BY k1, k2` — delegate to that rewrite. */
+  private def rewriteDistinctOn(s: String): String = {
+    val re = "(?is)\\bSELECT\\s+DISTINCT\\s+ON\\s*\\(([^)]*)\\)".r
+    re.findFirstMatchIn(s) match {
+      case None => s
+      case Some(m) =>
+        s.substring(0, m.start) + "SELECT" + s.substring(m.end) +
+          s" LIMIT 1 BY ${m.group(1).trim}"
+    }
+  }
+
+  /** MySQL-style `LIMIT offset, count` → `LIMIT count OFFSET offset`. */
+  private def rewriteLimitOffsetComma(s: String): String =
+    s.replaceAll("(?is)\\bLIMIT\\s+(\\d+)\\s*,\\s*(\\d+)\\s*(;?\\s*)$",
+      "LIMIT $2 OFFSET $1$3")
+
+  /** `SELECT TOP n …` → trailing LIMIT (only when the query has none). */
+  private def rewriteTop(s: String): String = {
+    val re = "(?is)^(\\s*SELECT)\\s+TOP\\s+(\\d+)\\s+".r
+    re.findFirstMatchIn(s) match {
+      case Some(m) if !s.toUpperCase.matches("(?s).*\\bLIMIT\\b.*") =>
+        s.substring(0, m.start) + m.group(1) + " " + s.substring(m.end) +
+          s" LIMIT ${m.group(2)}"
+      case _ => s
+    }
+  }
+
   private def rewriteLimitBy(s: String): String = {
     val lim = "(?is)\\bLIMIT\\s+(\\d+)\\s+BY\\s+([A-Za-z_][A-Za-z0-9_,\\s]*?)\\s*;?\\s*$".r
     lim.findFirstMatchIn(s) match {
