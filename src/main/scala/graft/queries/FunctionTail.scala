@@ -1006,6 +1006,21 @@ object FunctionTail extends QueryPack {
       """
       SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 3"""),
 
+    // CREATE MATERIALIZED VIEW (batch CTAS analog) roundtrip.
+    graft.Q("q_ch_mv_roundtrip", (s, dir) => {
+      Tables.register(s, dir)
+      ClickHouseSql.sql(s, """
+        CREATE MATERIALIZED VIEW graft_mv_t POPULATE AS
+        SELECT o_orderpriority, count() AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY o_orderpriority""")
+      ClickHouseSql.sql(s,
+        "SELECT * FROM graft_mv_t ORDER BY o_orderpriority")
+    }, Some("""
+      SELECT o_orderpriority, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // Distributed path: the same trees over per-order quantity arrays from
     // lineitem (sorted collect → deterministic; int sums exact).
     ch("q_fn_array_real", """

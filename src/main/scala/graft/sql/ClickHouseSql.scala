@@ -451,6 +451,35 @@ object ClickHouseSql {
     val trimmed = chSql.trim
     if (trimmed.matches("(?is)^CREATE\\s+TABLE\\b.*"))
       spark.sql(rewriteCreateTable(trimmed))
+    else if (trimmed.matches("(?is)^CREATE\\s+MATERIALIZED\\s+VIEW\\b.*")) {
+      // batch analog of the reference's MV: materialize the SELECT once as
+      // a parquet CTAS (the streaming push chain is WindowView
+      // .materializedView); [TO target] inner-table form uses the target
+      // name; POPULATE is implied (CTAS always populates)
+      val re = ("(?is)^CREATE\\s+MATERIALIZED\\s+VIEW\\s+(IF\\s+NOT\\s+EXISTS\\s+)?" +
+        "([A-Za-z_][A-Za-z0-9_.]*)\\s*(?:TO\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+)?" +
+        "(?:POPULATE\\s+)?AS\\s+(.*)$").r
+      trimmed match {
+        case re(ifNot, name, target, select) =>
+          val tbl = if (target != null) target else name
+          val ine = if (ifNot != null) "IF NOT EXISTS " else ""
+          val wh = new org.apache.hadoop.fs.Path(
+            spark.conf.get("spark.sql.warehouse.dir"), tbl)
+          wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
+          spark.sql(s"DROP TABLE IF EXISTS $tbl")
+          spark.sql(s"CREATE TABLE $ine$tbl USING parquet AS " +
+            rewrite(expandSchemaTransformers(spark, select)))
+        case _ => throw new IllegalArgumentException(
+          "unsupported CREATE MATERIALIZED VIEW form")
+      }
+    } else if (trimmed.matches("(?is)^RENAME\\s+TABLE\\b.*")) {
+      val re = ("(?is)^RENAME\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+TO\\s+" +
+        "([A-Za-z_][A-Za-z0-9_.]*)\\s*;?\\s*$").r
+      trimmed match {
+        case re(from, to) => spark.sql(s"ALTER TABLE $from RENAME TO $to")
+        case _ => throw new IllegalArgumentException("unsupported RENAME form")
+      }
+    }
     else if (trimmed.matches("(?is)^OPTIMIZE\\s+TABLE\\b.*")) {
       // merges are Spark's compaction concern (Mutations.overwritePartitions
       // is the explicit analog); accept the statement as a no-op

@@ -114,6 +114,21 @@ class ChRegistryExtSpec extends SparkFunSuite {
     assert(spark.conf.get("graft.ch.max_threads") == "8")
   }
 
+  test("RENAME TABLE maps to ALTER TABLE RENAME") {
+    Tables.register(spark, sf)
+    spark.sql("DROP TABLE IF EXISTS graft_rn_a")
+    spark.sql("DROP TABLE IF EXISTS graft_rn_b")
+    for (n <- Seq("graft_rn_a", "graft_rn_b")) {
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), n)
+      wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
+    }
+    spark.sql("CREATE TABLE graft_rn_a USING parquet AS SELECT 1 AS x")
+    ClickHouseSql.sql(spark, "RENAME TABLE graft_rn_a TO graft_rn_b")
+    assert(spark.table("graft_rn_b").count() == 1)
+    spark.sql("DROP TABLE IF EXISTS graft_rn_b")
+  }
+
   test("URL parts survive scheme-less and parameterless inputs") {
     val r = one("""
       SELECT domain('example.com/x') AS d,
