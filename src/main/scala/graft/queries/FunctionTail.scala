@@ -284,6 +284,7 @@ object FunctionTail extends QueryPack {
         CAST(simpleJSONExtractFloat(j, 'c') AS DOUBLE) AS f,
         simpleJSONExtractBool(j, 'd') AS bl,
         simpleJSONExtractRaw(j, 'e') AS raw,
+        simpleJSONExtractString(j, 'zz') AS missing,
         simpleJSONHas(j, 'a') AS h,
         simpleJSONHas(j, 'z') AS h0,
         visitParamExtractString(j, 'b') AS vp,
@@ -296,7 +297,7 @@ object FunctionTail extends QueryPack {
       FROM (SELECT '{"a":1,"b":"x","c":2.5,"d":true,"e":{"f":3}}' AS j)""",
       """
       SELECT CAST(1 AS BIGINT) AS i, 'x' AS s, CAST(2.5 AS DOUBLE) AS f,
-        true AS bl, '{"f":3}' AS raw, true AS h, false AS h0, 'x' AS vp,
+        true AS bl, '{"f":3}' AS raw, '' AS missing, true AS h, false AS h0, 'x' AS vp,
         CAST(1 AS BIGINT) AS vpu, 3 AS jal, '{"k":1}' AS tjs,
         'a,b' AS kvk, '1' AS kva"""),
 

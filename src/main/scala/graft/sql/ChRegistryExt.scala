@@ -356,10 +356,11 @@ object ChRegistryExt {
         Literal(""))),
 
     // ---- simpleJSON / visitParam (FunctionsVisitParam.h) ----
+    // missing field → empty string (FunctionsVisitParam.h), not NULL
     "simplejsonextractstring" -> (args =>
-      GetJsonObject(args(0), jsonPath(args(1)))),
+      Coalesce(Seq(GetJsonObject(args(0), jsonPath(args(1))), Literal("")))),
     "simplejsonextractraw" -> (args =>
-      GetJsonObject(args(0), jsonPath(args(1)))),
+      Coalesce(Seq(GetJsonObject(args(0), jsonPath(args(1))), Literal("")))),
     "simplejsonextractint" -> (args =>
       Coalesce(Seq(Cast(GetJsonObject(args(0), jsonPath(args(1))),
         LongType, None, EvalMode.TRY), Literal(0L)))),
@@ -374,9 +375,9 @@ object ChRegistryExt {
     "simplejsonhas" -> (args =>
       IsNotNull(GetJsonObject(args(0), jsonPath(args(1))))),
     "visitparamextractstring" -> (args =>
-      GetJsonObject(args(0), jsonPath(args(1)))),
+      Coalesce(Seq(GetJsonObject(args(0), jsonPath(args(1))), Literal("")))),
     "visitparamextractraw" -> (args =>
-      GetJsonObject(args(0), jsonPath(args(1)))),
+      Coalesce(Seq(GetJsonObject(args(0), jsonPath(args(1))), Literal("")))),
     "visitparamextractint" -> (args =>
       Coalesce(Seq(Cast(GetJsonObject(args(0), jsonPath(args(1))),
         LongType, None, EvalMode.TRY), Literal(0L)))),
