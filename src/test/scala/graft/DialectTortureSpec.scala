@@ -1,0 +1,86 @@
+package graft
+
+import graft.sql.ClickHouseSql
+
+/** Executability smoke over realistic reference-dialect query shapes — the
+  * "a user of the reference could paste their query" claim, exercised
+  * end-to-end (rewrite + registry + Catalyst + execution). Correctness of
+  * the individual pieces is oracled elsewhere (FunctionTail, DialectQueries);
+  * this suite pins that the COMBINATIONS keep executing. */
+class DialectTortureSpec extends SparkFunSuite {
+
+  private def run(q: String): Long = {
+    Tables.register(spark, sf)
+    ClickHouseSql.sql(spark, q).collect().length.toLong
+  }
+
+  test("analytics shapes execute") {
+    assert(run("""
+      SELECT toStartOfMonth(o_orderdate) AS m, count() AS n,
+        quantile(0.9)(o_totalprice) AS p90,
+        countIf(o_orderstatus = 'F') AS done
+      FROM orders
+      PREWHERE o_totalprice > 1000
+      GROUP BY m HAVING count() > 0
+      ORDER BY m
+      LIMIT 100""") > 0)
+    assert(run("""
+      SELECT o_orderpriority, sumIf(o_totalprice, o_orderstatus = 'F') AS s
+      FROM orders GROUP BY o_orderpriority
+      ORDER BY s DESC LIMIT 3""") == 3)
+    assert(run("""
+      SELECT user_id, event_id FROM events
+      ORDER BY event_id LIMIT 2 BY user_id""") > 0)
+  }
+
+  test("array and lambda shapes execute") {
+    assert(run("""
+      SELECT doc_id, w
+      FROM documents
+      ARRAY JOIN splitByWhitespace(text) AS w
+      WHERE length(w) > 3
+      LIMIT 50""") > 0)
+    assert(run("""
+      SELECT arrayFilter(x -> x % 2 = 0,
+        arrayMap(x -> x * 3, range(1, 10))) AS evens""") == 1)
+    assert(run("""
+      SELECT number, arraySum(arrayMap(x -> x * x, range(toInt32(number)))) AS s
+      FROM numbers(5) ORDER BY number""") == 5)
+  }
+
+  test("string and URL shapes execute") {
+    assert(run("""
+      SELECT domain(url) AS d, count() AS n
+      FROM (SELECT concat('https://example.com/t/', event_type) AS url
+            FROM events)
+      GROUP BY d ORDER BY n DESC""") > 0)
+    assert(run("""
+      SELECT formatDateTime(ts, '%Y-%m') AS ym,
+        uniqExact(user_id) AS users
+      FROM events GROUP BY ym ORDER BY ym""") > 0)
+  }
+
+  test("dialect statement shapes execute") {
+    assert(run("SELECT count() FROM orders SAMPLE 0.5 SETTINGS max_threads = 4") == 1)
+    assert(run("""
+      SELECT DISTINCT ON (o_orderpriority) o_orderpriority, o_orderkey
+      FROM orders ORDER BY o_orderpriority, o_orderkey""") == 5)
+    assert(run("SELECT TOP 7 o_orderkey FROM orders ORDER BY o_orderkey") == 7)
+    assert(run("""
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey GLOBAL IN (SELECT c_custkey FROM customer LIMIT 10)
+      ORDER BY o_orderkey LIMIT 5""") > 0)
+  }
+
+  test("combinator and conversion shapes execute") {
+    assert(run("""
+      SELECT multiIf(o_totalprice > 300000, 'high',
+                     o_totalprice > 100000, 'mid', 'low') AS band,
+        count() AS n, round(avgIf(o_totalprice, o_orderstatus != 'P'), 2) AS a
+      FROM orders GROUP BY band ORDER BY band""") == 3)
+    assert(run("""
+      SELECT toInt32OrZero(o_orderpriority) AS z,
+        accurateCastOrNull(o_orderkey, 'Int32') AS k
+      FROM orders ORDER BY o_orderkey LIMIT 5""") == 5)
+  }
+}
