@@ -12,8 +12,10 @@ import org.apache.spark.sql.SparkSession
   *
   * Round-3 measurement hygiene (round-2 bench was contaminated by ambient
   * load — driver 338.5s vs judge re-run 14.6s on the same query):
-  *  - each query runs `RUNS` times (default 3) and reports the MIN —
-  *    steady-state throughput, robust to a contended interval;
+  *  - each query runs `RUNS` times (default 5) and reports the MIN —
+  *    steady-state throughput, robust to a contended interval (observed
+  *    ambient load turns a 2s LSH run into 18s for minutes at a time —
+  *    five attempts widen the chance of sampling a clean window);
   *  - per-query timings print to stderr AS THEY COMPLETE, so a contended
   *    run is visible in the log;
   *  - a query failure is LOUD (stack trace to stderr, name recorded in a
@@ -37,7 +39,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
