@@ -208,8 +208,14 @@ object ChFunctionRegistry {
     "arraystringconcat" -> (args =>
       ArrayJoin(args(0), if (args.length > 1) args(1) else Literal(""), None)),
     "arrayuniq" -> (args => Size(ArrayDistinct(args.head))),
-    "arraymin" -> (args => ArrayMin(args.head)),
-    "arraymax" -> (args => ArrayMax(args.head)),
+    "arraymin" -> (args =>
+      if (args.length == 2)
+        ChRegistryArrays.hofWrap(ArrayMin(ArrayTransform(args(1), args(0))))
+      else ArrayMin(args.head)),
+    "arraymax" -> (args =>
+      if (args.length == 2)
+        ChRegistryArrays.hofWrap(ArrayMax(ArrayTransform(args(1), args(0))))
+      else ArrayMax(args.head)),
     "arraypushback" -> (args => Concat(Seq(args(0), CreateArray(Seq(args(1)))))),
     "arraypushfront" -> (args => Concat(Seq(CreateArray(Seq(args(1))), args(0)))),
     "arraypopback" -> (args => Slice(args(0), Literal(1),

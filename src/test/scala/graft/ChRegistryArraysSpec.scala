@@ -142,6 +142,13 @@ class ChRegistryArraysSpec extends SparkFunSuite {
     assert(r.getSeq[Double](10) == Seq(0.6, 0.8))
   }
 
+  test("arrayMin/arrayMax accept the lambda-first form") {
+    val r = one("""
+      SELECT arrayMin(x -> x * -1, array(1, 2, 3)) AS mn,
+             arrayMax(x -> x % 3, array(4, 5, 6)) AS mx""")
+    assert(r.getInt(0) == -3 && r.getInt(1) == 2)
+  }
+
   test("int-typed arrays from real data survive the generic trees") {
     Tables.register(spark, sf)
     ChFunctionRegistry.install(spark)
