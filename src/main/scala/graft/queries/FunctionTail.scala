@@ -1022,6 +1022,26 @@ object FunctionTail extends QueryPack {
         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // JSONExtract family with multi-key paths and 1-based indices.
+    ch("q_fn_jsonextract", """
+      SELECT
+        JSONExtractString(j, 'a', 'b') AS s,
+        CAST(JSONExtractInt(j, 'arr', 2) AS BIGINT) AS i,
+        CAST(JSONExtractFloat(j, 'f') AS DOUBLE) AS f,
+        JSONExtractBool(j, 'ok') AS b,
+        JSONExtractRaw(j, 'a') AS raw,
+        JSONExtractString(j, 'zz') AS missing,
+        JSONHas(j, 'arr', 1) AS h,
+        JSONHas(j, 'arr', 9) AS h0,
+        CAST(JSONLength(j, 'arr') AS INT) AS alen,
+        CAST(JSONLength(j, 'a') AS INT) AS olen,
+        arrayStringConcat(JSONExtractKeys(j, 'a'), ',') AS ks
+      FROM (SELECT '{"a":{"b":"x"},"arr":[10,20,30],"f":2.5,"ok":true}' AS j)""",
+      """
+      SELECT 'x' AS s, CAST(20 AS BIGINT) AS i, CAST(2.5 AS DOUBLE) AS f,
+        true AS b, '{"b":"x"}' AS raw, '' AS missing, true AS h,
+        false AS h0, 3 AS alen, 1 AS olen, 'b' AS ks"""),
+
     // Distributed path: the same trees over per-order quantity arrays from
     // lineitem (sorted collect → deterministic; int sums exact).
     ch("q_fn_array_real", """

@@ -163,6 +163,14 @@ object ChRegistryMisc {
   private def macHex(n: Expression): Expression =
     Lower(StringLPad(Hex(asLong(n)), Literal(12), Literal("0")))
 
+  /** JSONExtract path from variadic key/index args: string keys → `.key`,
+    * 1-based integer indices → `[i-1]` (FunctionsJSON.cpp indexing). */
+  private def jsonPathOf(keys: Seq[Expression]): Expression =
+    Concat(Literal("$") +: keys.map {
+      case Literal(i: Int, IntegerType) => Literal(s"[${i - 1}]"): Expression
+      case k => Concat(Seq(Literal("."), Cast(k, StringType))): Expression
+    })
+
   val builders: Map[String, Seq[Expression] => Expression] = Map(
     // ---- UTF8 / case-insensitive alias matrix ----
     "positioncaseinsensitiveutf8" -> delegate("positioncaseinsensitive"),
@@ -478,6 +486,37 @@ object ChRegistryMisc {
     "normalizeutf8nfd" -> (args => bridge("nfd", args.head)),
     "normalizeutf8nfkc" -> (args => bridge("nfkc", args.head)),
     "normalizeutf8nfkd" -> (args => bridge("nfkd", args.head)),
+
+    // ---- JSONExtract family (FunctionsJSON.cpp): variadic key/index
+    // path navigation; 1-based array indices; missing → type default ----
+    "jsonextractstring" -> (args =>
+      Coalesce(Seq(GetJsonObject(args.head, jsonPathOf(args.tail)), Literal("")))),
+    "jsonextractraw" -> (args =>
+      Coalesce(Seq(GetJsonObject(args.head, jsonPathOf(args.tail)), Literal("")))),
+    "jsonextractint" -> (args =>
+      Coalesce(Seq(Cast(GetJsonObject(args.head, jsonPathOf(args.tail)),
+        LongType, None, EvalMode.TRY), Literal(0L)))),
+    "jsonextractuint" -> (args =>
+      Coalesce(Seq(Cast(GetJsonObject(args.head, jsonPathOf(args.tail)),
+        LongType, None, EvalMode.TRY), Literal(0L)))),
+    "jsonextractfloat" -> (args =>
+      Coalesce(Seq(Cast(GetJsonObject(args.head, jsonPathOf(args.tail)),
+        DoubleType, None, EvalMode.TRY), Literal(0.0d)))),
+    "jsonextractbool" -> (args =>
+      EqualNullSafe(GetJsonObject(args.head, jsonPathOf(args.tail)),
+        Literal("true"))),
+    "jsonhas" -> (args =>
+      IsNotNull(GetJsonObject(args.head, jsonPathOf(args.tail)))),
+    "jsonlength" -> (args => {
+      val sub = if (args.length == 1) args.head
+        else GetJsonObject(args.head, jsonPathOf(args.tail))
+      Coalesce(Seq(LengthOfJsonArray(sub), Size(JsonObjectKeys(sub)), Literal(0)))
+    }),
+    "jsonextractkeys" -> (args => {
+      val sub = if (args.length == 1) args.head
+        else GetJsonObject(args.head, jsonPathOf(args.tail))
+      JsonObjectKeys(sub)
+    }),
 
     // multimodal metadata (engine extension, no reference analog): real
     // header parsing for the binary image columns of the LLM pipeline
