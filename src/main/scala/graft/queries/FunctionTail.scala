@@ -1035,12 +1035,19 @@ object FunctionTail extends QueryPack {
         JSONHas(j, 'arr', 9) AS h0,
         CAST(JSONLength(j, 'arr') AS INT) AS alen,
         CAST(JSONLength(j, 'a') AS INT) AS olen,
-        arrayStringConcat(JSONExtractKeys(j, 'a'), ',') AS ks
+        arrayStringConcat(JSONExtractKeys(j, 'a'), ',') AS ks,
+        arrayStringConcat(JSONExtractArrayRaw(j, 'arr'), ',') AS ar,
+        JSONType(j, 'a') AS ty_o,
+        JSONType(j, 'arr') AS ty_a,
+        JSONType(j, 'f') AS ty_n,
+        JSONType(j, 'ok') AS ty_b
       FROM (SELECT '{"a":{"b":"x"},"arr":[10,20,30],"f":2.5,"ok":true}' AS j)""",
       """
       SELECT 'x' AS s, CAST(20 AS BIGINT) AS i, CAST(2.5 AS DOUBLE) AS f,
         true AS b, '{"b":"x"}' AS raw, '' AS missing, true AS h,
-        false AS h0, 3 AS alen, 1 AS olen, 'b' AS ks"""),
+        false AS h0, 3 AS alen, 1 AS olen, 'b' AS ks,
+        '10,20,30' AS ar, 'Object' AS ty_o, 'Array' AS ty_a,
+        'Double' AS ty_n, 'Bool' AS ty_b"""),
 
     // Distributed path: the same trees over per-order quantity arrays from
     // lineitem (sorted collect → deterministic; int sums exact).

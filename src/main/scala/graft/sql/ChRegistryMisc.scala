@@ -517,6 +517,30 @@ object ChRegistryMisc {
         else GetJsonObject(args.head, jsonPathOf(args.tail))
       JsonObjectKeys(sub)
     }),
+    "jsonextractarrayraw" -> (args => {
+      val sub = if (args.length == 1) args.head
+        else GetJsonObject(args.head, jsonPathOf(args.tail))
+      val n = LengthOfJsonArray(sub)
+      val i = lv()
+      If(Or(IsNull(n), LessThanOrEqual(n, Literal(0))),
+        Literal.create(Array.empty[String], ArrayType(StringType)),
+        ArrayTransform(
+          Sequence(Literal(0), Subtract(n, Literal(1)), Some(Literal(1))),
+          LambdaFunction(GetJsonObject(sub,
+            Concat(Seq(Literal("$["), Cast(i, StringType), Literal("]")))),
+            Seq(i))))
+    }),
+    "jsontype" -> (args => {
+      val raw = GetJsonObject(args.head, jsonPathOf(args.tail))
+      val c = Substring(raw, Literal(1), Literal(1))
+      CaseWhen(Seq(
+        (IsNull(raw), Literal("Null")),
+        (EqualTo(c, Literal("{")), Literal("Object")),
+        (EqualTo(c, Literal("[")), Literal("Array")),
+        (In(raw, Seq(Literal("true"), Literal("false"))), Literal("Bool")),
+        (RLike(raw, Literal("^-?[0-9]")), Literal("Double"))),
+        Some(Literal("String")))
+    }),
 
     // multimodal metadata (engine extension, no reference analog): real
     // header parsing for the binary image columns of the LLM pipeline
