@@ -411,7 +411,7 @@ object Extras5 extends QueryPack {
             FROM pd)
       SELECT f AS l_returnflag, CAST(MAX(gs) AS BIGINT) AS max_gs,
         CAST(MIN(gs) AS BIGINT) AS min_gs,
-        CAST(SUM(gs * cnt) AS DECIMAL(38,0)) AS total_gs
+        CAST(SUM(gs * cnt) AS BIGINT) AS total_gs
       FROM w GROUP BY f ORDER BY f""") { (s, dir) =>
       val r = Tables.load(s, dir, "lineitem")
         .select(col("l_returnflag").as("f"), col("l_shipdate").cast("date").as("d"),
@@ -422,10 +422,15 @@ object Extras5 extends QueryPack {
         .partitionBy("f").orderBy("d")
         .rowsBetween(-1, org.apache.spark.sql.expressions.Window.currentRow)
       val gs = perDate.withColumn("gs", sum("dqc").over(w))
+      // total_gs lands as BIGINT on BOTH engines: DuckDB's SUM(BIGINT) is
+      // HUGEINT and Spark's decimal(38,0) stringifies without the ".0" a
+      // float-converted HUGEINT gains in the driver's hash — the r3 hash
+      // mismatch was repr skew, not a value difference. The product sum
+      // fits int64 past sf100 (~1e13 at sf100 vs 9.2e18 max).
       gs.groupBy(col("f").as("l_returnflag"))
         .agg(max("gs").cast("long").as("max_gs"),
           min("gs").cast("long").as("min_gs"),
-          sum(col("gs") * col("cnt")).cast("decimal(38,0)").as("total_gs"))
+          sum(col("gs") * col("cnt")).cast("long").as("total_gs"))
         .orderBy("l_returnflag")
     }
   )

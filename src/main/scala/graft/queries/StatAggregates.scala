@@ -109,39 +109,50 @@ object StatAggregates extends QueryPack {
                   d.k - 1 - POW(d.k - 1, 2) / (n.n - 1))), 6) AS cramers_v_bc
       FROM chi CROSS JOIN n CROSS JOIN d"""),
 
-    // Theil's U (uncertainty coefficient) U(x|y) = (H(x) - H(x|y)) / H(x),
-    // entropies from exact counts. Fixed point is 1e6, NOT 1e12: a 1-ulp
-    // libm LN difference between engines moves a term by ~1e-16 abs, i.e.
-    // ~1e-4 at the 1e12 scale (observed round-2 hash mismatch) but only
-    // ~1e-10 at 1e6 — far from any rounding boundary. Both engines then sum
-    // identical BIGINTs, so the final ratio is the same IEEE double.
+    // Theil's U (uncertainty coefficient) U(x|y) = (H(x) - H(x|y)) / H(x).
+    // Round-2/3 lesson: any formulation where LN is applied to a RATIO lets
+    // the two engines' libm disagree, and U here is sample noise (~1e-6,
+    // x ⊥ y in the corpus), so a quantization wiggle flips the SIGN of the
+    // numerator — Spark rounds to 0.0 while DuckDB rounds to -0.0, and the
+    // two stringify differently. Reformulated so LN is ONLY ever applied to
+    // exact integer counts (≤ ~12 distinct values): lnfix(k) = the micro-nat
+    // integer ROUND(LN(k)*1e6). Then, using
+    //   N·1e6·H(x)    = N·lnfix(N) − Σ_x  c_x·lnfix(c_x)
+    //   N·1e6·H(x|y)  = Σ_y c_y·lnfix(c_y) − Σ_xy c_xy·lnfix(c_xy)
+    // every sum is exact BIGINT arithmetic (order-independent), and
+    //   U = (lnn − sx − sy + sxy) / (lnn − sx)
+    // is one division of two identical integers on both engines. The final
+    // + CAST(0 AS DOUBLE) normalizes any -0.0 to 0.0. Output is DOUBLE on
+    // BOTH engines (no decimal-vs-double repr skew in the driver's hash).
     Q.shared("q_agg_theils_u", """
       WITH o AS (SELECT l_returnflag AS x, l_linestatus AS y, COUNT(*) AS c
                  FROM lineitem GROUP BY 1, 2),
       rx AS (SELECT x, SUM(c) AS cx FROM o GROUP BY 1),
-      cy AS (SELECT y, SUM(c) AS cy FROM o GROUP BY 1),
-      n AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM o),
-      hx AS (SELECT SUM(CAST(ROUND(
-               -(CAST(cx AS DOUBLE) / n.n) * LN(CAST(cx AS DOUBLE) / n.n)
-               * 1000000) AS BIGINT)) / 1000000.0 AS h
-             FROM rx CROSS JOIN n),
-      hxy AS (SELECT SUM(CAST(ROUND(
-                -(CAST(o.c AS DOUBLE) / n.n)
-                * LN(CAST(o.c AS DOUBLE) / CAST(cy.cy AS DOUBLE))
-                * 1000000) AS BIGINT)) / 1000000.0 AS h
-              FROM o JOIN cy ON o.y = cy.y CROSS JOIN n)
-      SELECT ROUND((hx.h - hxy.h) / hx.h, 4) AS theils_u
-      FROM hx CROSS JOIN hxy"""),
+      cy AS (SELECT y, SUM(c) AS cyv FROM o GROUP BY 1),
+      sx AS (SELECT SUM(cx * CAST(ROUND(LN(CAST(cx AS DOUBLE)) * 1000000)
+               AS BIGINT)) AS s FROM rx),
+      sy AS (SELECT SUM(cyv * CAST(ROUND(LN(CAST(cyv AS DOUBLE)) * 1000000)
+               AS BIGINT)) AS s FROM cy),
+      sxy AS (SELECT SUM(c * CAST(ROUND(LN(CAST(c AS DOUBLE)) * 1000000)
+                AS BIGINT)) AS s FROM o),
+      lnn AS (SELECT SUM(c) * CAST(ROUND(LN(CAST(SUM(c) AS DOUBLE)) * 1000000)
+                AS BIGINT) AS s FROM o)
+      SELECT ROUND(
+        CAST(lnn.s - sx.s - sy.s + sxy.s AS DOUBLE)
+        / CAST(lnn.s - sx.s AS DOUBLE), 4) + CAST(0 AS DOUBLE) AS theils_u
+      FROM lnn CROSS JOIN sx CROSS JOIN sy CROSS JOIN sxy"""),
 
     // Shannon entropy of the event-type distribution. Same 1e6 fixed point
-    // as q_agg_theils_u (1e12 sat one LN ulp from a hash mismatch).
+    // as q_agg_theils_u (1e12 sat one LN ulp from a hash mismatch). The
+    // CAST(SUM(..) AS DOUBLE) before the /1e6 keeps the Spark output DOUBLE
+    // (BIGINT / decimal-literal would be DECIMAL — the theilsU repr trap).
     Q.shared("q_agg_entropy", """
       WITH c AS (SELECT event_type, COUNT(*) AS c FROM events GROUP BY 1),
       n AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM c)
       SELECT
-        ROUND(SUM(CAST(ROUND(
+        ROUND(CAST(SUM(CAST(ROUND(
           -(CAST(c AS DOUBLE) / n.n) * LN(CAST(c AS DOUBLE) / n.n)
-          * 1000000) AS BIGINT)) / 1000000.0, 6) AS entropy,
+          * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0, 6) AS entropy,
         CAST(COUNT(*) AS BIGINT) AS n_values
       FROM c CROSS JOIN n"""),
 
