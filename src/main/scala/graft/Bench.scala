@@ -54,8 +54,13 @@ object Bench {
     queries("q1_pricing_summary")(spark, sfDir).collect()
     queries("q_agg_basic")(spark, sfDir).collect()
 
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b — local iteration filter; the driver
+    // leaves it unset and benches the full headline set.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     var failed = List.empty[String]
-    val results = headline.filter(queries.contains).map { name =>
+    val results = headline.filter(queries.contains)
+      .filter(n => only.forall(_.contains(n))).map { name =>
       val times = (1 to runs).flatMap { i =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()

@@ -1,6 +1,7 @@
 package graft.queries
 
-import graft.{Q, QueryPack}
+import graft.{Q, QueryPack, Tables}
+import org.apache.spark.sql.functions._
 
 /** Window-function surface (reference: WindowTransform,
   * src/Processors/Transforms/WindowTransform.h:59; dedicated functions
@@ -8,9 +9,13 @@ import graft.{Q, QueryPack}
   * partitions after a shuffle on the PARTITION BY key — the same
   * partition-then-scan model as the reference's window transform.
   *
-  * Scale note: every window here partitions by a bounded-cardinality key
-  * (returnflag, user_id); no global (unpartitioned) ORDER BY windows, which
-  * would serialize onto one task at 100 TB.
+  * Scale note: no global (unpartitioned) ORDER BY windows, which would
+  * serialize onto one task at 100 TB — and (the round-3 lesson) a
+  * bounded-TINY partition key is just as bad: PARTITION BY a 3-value flag
+  * serializes onto 3 tasks at any scale. Running/moving sums over such keys
+  * go through operators.PrefixSum (bucketed distributed prefix sum with
+  * broadcast carry offsets); high-cardinality keys (user_id, orderkey) may
+  * use the plain window.
   */
 object WindowQueries extends QueryPack {
 
@@ -61,7 +66,12 @@ object WindowQueries extends QueryPack {
     // NOTE: (l_orderkey, l_linenumber) is NOT unique in this corpus — the
     // window order adds l_partkey, l_extendedprice to reach a total order,
     // otherwise running sums are tie-order-dependent.
-    Q.shared("q_win_running_sum", """
+    // Scale: PARTITION BY l_returnflag has cardinality 3 — the naive window
+    // is 3 serial tasks at any data size (the round-3 bench regression).
+    // Implemented via operators.PrefixSum: 64 contiguous orderkey buckets ×
+    // 3 flags of parallel local windows + broadcast carry offsets; the
+    // oracle is the naive formulation, so the decomposition is value-pinned.
+    Q.df("q_win_running_sum", """
       SELECT l_orderkey, l_linenumber, l_partkey,
         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
           OVER (PARTITION BY l_returnflag
@@ -72,7 +82,25 @@ object WindowQueries extends QueryPack {
                 ORDER BY l_orderkey, l_linenumber, l_partkey, l_extendedprice
                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_qty_3
       FROM lineitem
-      ORDER BY l_orderkey, l_linenumber, l_partkey, l_extendedprice"""),
+      ORDER BY l_orderkey, l_linenumber, l_partkey, l_extendedprice""") { (s, dir) =>
+      import graft.operators.PrefixSum
+      val ord = Seq(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_extendedprice"))
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_extendedprice"), col("l_returnflag"),
+          col("l_quantity").cast("decimal(18,2)").as("__qd"))
+      val run = PrefixSum.runningSum(li, Seq("l_returnflag"), ord,
+        "l_orderkey", col("__qd"), "__run", buckets = 64)
+      val mov = PrefixSum.movingSum(run, Seq("l_returnflag"), ord,
+        "l_orderkey", col("__qd"), frameRows = 3, "__mov", buckets = 64)
+      mov.select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("__run").cast("double").as("running_qty"),
+          col("__mov").cast("double").as("moving_qty_3"),
+          col("l_extendedprice"))
+        .orderBy(ord: _*)
+        .drop("l_extendedprice")
+    },
 
     // RANGE frame over a numeric ordering: 1-hour trailing sum per user
     // (frame spec reference: src/Interpreters/WindowDescription.h:30-40).

@@ -54,6 +54,14 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("running sum fans out over buckets — no window partitioned only by the 3-value flag") {
+    val p = planOf("q_win_running_sum")
+    assert(p.contains("__bucket"),
+      "PrefixSum bucketing missing — the 3-task window plan is back")
+    assert(!p.matches("(?s).*windowspecdefinition\\(l_returnflag#\\d+, l_orderkey.*"),
+      "found a window partitioned solely by l_returnflag")
+  }
+
   test("no cartesian products outside the declared tiny cross joins") {
     // Broadcast nested loop on a 1-row or tiny side is fine; a shuffled
     // CartesianProduct on two big sides is never acceptable.
