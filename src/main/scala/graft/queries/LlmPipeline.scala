@@ -111,13 +111,21 @@ object LlmPipeline extends QueryPack {
         .join(banded.select(col("doc_id").as("id_b"), col("bk")), Seq("bk"))
         .filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b").distinct()
-      cand
+      val out = cand
         .join(docs.select(col("doc_id").as("id_a"), col("ws").as("wa")), Seq("id_a"))
         .join(docs.select(col("doc_id").as("id_b"), col("ws").as("wb")), Seq("id_b"))
         .withColumn("jac", jaccard(col("wa"), col("wb")))
         .filter(col("jac") >= 0.8)
         .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
         .orderBy("id_a", "id_b")
+        // The survivor-pair result is tiny — materialize it eagerly
+        // (localCheckpoint is eager) so the shingle cache can be RELEASED
+        // before returning (round-3 verdict #5: a lazily-returned plan
+        // would pin the cached shingle table in executor memory for the
+        // life of the session).
+        .localCheckpoint()
+      docs.unpersist()
+      out
     },
 
     // --- Dedup: SimHash near-dup fingerprint -------------------------
@@ -576,21 +584,8 @@ object LlmPipeline extends QueryPack {
         .filter(jaccard(col("wa"), col("wb")) >= 0.8)
         .select(col("id_a"), col("id_b"))
       val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-        .localCheckpoint()
-      val nodes = edges.select(col("src").as("doc_id")).distinct()
-      var lab = nodes.withColumn("label", col("doc_id")).localCheckpoint()
-      for (_ <- 1 to 8) {
-        val nb = edges
-          .join(lab.withColumnRenamed("doc_id", "dst"), Seq("dst"))
-          .groupBy(col("src").as("doc_id"))
-          .agg(min("label").as("nl"))
-        lab = lab.join(nb, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-          .localCheckpoint()
-      }
-      lab.select(col("doc_id"), col("label").as("component"),
+      graft.operators.Components.connectedComponents(edges)
+        .select(col("doc_id"), col("label").as("component"),
           (col("doc_id") === col("label")).as("is_canonical"))
         .orderBy("doc_id")
     }
