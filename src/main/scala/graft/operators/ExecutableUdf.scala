@@ -15,11 +15,18 @@ object ExecutableUdf {
 
   /** Pipe `df` through `command` (launched via /bin/sh -c). Input rows are
     * TAB-joined column casts-to-string; output lines are TAB-split and
-    * cast to `outSchema`'s types. */
+    * cast to `outSchema`'s types.
+    *
+    * NULL columns are emitted as EMPTY fields: concat_ws DROPS null inputs
+    * entirely, which would shift every later column one TSV field left and
+    * silently parse wrong values into wrong columns (the reference emits
+    * empty fields for NULLs — ExecutableUserDefinedFunction.h's TSV
+    * contract) — hence the coalesce-to-"" wrap per column. */
   def pipe(df: DataFrame, command: String, outSchema: StructType): DataFrame = {
     val spark = df.sparkSession
     val tsv = df.select(
-      concat_ws("\t", df.columns.map(c => col(c).cast("string")): _*).as("line"))
+      concat_ws("\t",
+        df.columns.map(c => coalesce(col(c).cast("string"), lit(""))): _*).as("line"))
     val piped = tsv.rdd.map(_.getString(0)).pipe(Seq("/bin/sh", "-c", command))
     val n = outSchema.length
     val rawSchema = StructType(outSchema.map(f => StructField(f.name, StringType)))
@@ -28,6 +35,10 @@ object ExecutableUdf {
       Row.fromSeq((0 until n).map(i => if (i < parts.length) parts(i) else null))
     }
     val raw = spark.createDataFrame(rows, rawSchema)
-    raw.select(outSchema.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    // try_cast, not cast: an empty field (the NULL encoding above) must
+    // read back as NULL, and under ANSI mode a plain CAST('' AS BIGINT)
+    // throws instead.
+    raw.select(outSchema.map(f =>
+      expr(s"try_cast(`${f.name}` AS ${f.dataType.sql})").as(f.name)): _*)
   }
 }

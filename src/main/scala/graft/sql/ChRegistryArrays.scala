@@ -193,8 +193,18 @@ object ChRegistryArrays {
     // arrayFold((acc, x) -> e, arr, init) — reference arrayFold.cpp
     "arrayfold" -> (args =>
       ArrayAggregate(args(1), args.last, args(0), LambdaFunction.identity)),
-    "arrayfirst" -> (args => hofWrap(at(ArrayFilter(args(1), args(0)), 1))),
-    "arraylast" -> (args => hofWrap(at(ArrayFilter(args(1), args(0)), -1))),
+    // no-match value: the reference returns the element type's DEFAULT (0,
+    // '') for arrayFirst/arrayLast and NULL only for the OrNull forms
+    // (arrayFirstLast.cpp) — TypeDefault resolves the element type at
+    // analysis time.
+    "arrayfirst" -> (args => {
+      val e = at(ArrayFilter(args(1), args(0)), 1)
+      hofWrap(Coalesce(Seq(e, org.apache.spark.sql.graft.TypeDefault(e))))
+    }),
+    "arraylast" -> (args => {
+      val e = at(ArrayFilter(args(1), args(0)), -1)
+      hofWrap(Coalesce(Seq(e, org.apache.spark.sql.graft.TypeDefault(e))))
+    }),
     "arrayfirstornull" -> (args => hofWrap(at(ArrayFilter(args(1), args(0)), 1))),
     "arraylastornull" -> (args => hofWrap(at(ArrayFilter(args(1), args(0)), -1))),
     "arrayfirstindex" -> (args =>

@@ -381,8 +381,26 @@ object ChRegistryMisc {
     "uuidtonum" -> (args => CodecExpressions.uuidStringToNum(args.head)),
     "isipv4string" -> (args => RLike(args.head,
       Literal("^((25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])$"))),
-    "isipv6string" -> (args => RLike(args.head,
-      Literal("^([0-9A-Fa-f]{0,4}:){2,7}[0-9A-Fa-f:.]*$"))),
+    // full structural validation (the loose `{2,7}` prefix form accepted
+    // '1:2:3' and ':::::'): exactly 8 groups, or a single '::' gap with
+    // 1..7 groups total, or the v4-mapped/embedded tail forms.
+    "isipv6string" -> (args => RLike(args.head, Literal({
+      val g = "[0-9A-Fa-f]{1,4}"
+      val v4 = "((25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])"
+      "^(" +
+        s"($g:){7}$g" +
+        s"|($g:){1,7}:" +
+        s"|($g:){1,6}:$g" +
+        s"|($g:){1,5}(:$g){1,2}" +
+        s"|($g:){1,4}(:$g){1,3}" +
+        s"|($g:){1,3}(:$g){1,4}" +
+        s"|($g:){1,2}(:$g){1,5}" +
+        s"|$g:(:$g){1,6}" +
+        s"|:((:$g){1,7}|:)" +
+        s"|::(ffff(:0{1,4})?:)?$v4" +
+        s"|($g:){1,4}:$v4" +
+        ")$"
+    }))),
 
     // ---- XML / HTML codecs ----
     "encodexmlcomponent" -> (args =>

@@ -333,8 +333,10 @@ object ClickHouseSql {
     * parquet corpus doesn't carry; `q_sample_by_key` is that operator). */
   private def rewriteSample(s: String): String = {
     val frac = "(?is)\\bSAMPLE\\s+(0?\\.\\d+)".r
+    // exact decimal ×100, not (toDouble*100).toInt — 0.29*100 is
+    // 28.999... in binary and toInt truncated it to 28 PERCENT
     frac.replaceAllIn(s, m =>
-      s"TABLESAMPLE (${(m.group(1).toDouble * 100).toInt} PERCENT) REPEATABLE (42)")
+      s"TABLESAMPLE (${(BigDecimal(m.group(1)) * 100).bigDecimal.stripTrailingZeros.toPlainString} PERCENT) REPEATABLE (42)")
   }
 
   /** `FROM numbers(n)` / `numbers(a, b)` SQL table function
@@ -397,14 +399,26 @@ object ClickHouseSql {
     * (the keys themselves if absent). Supported form: the LIMIT BY clause
     * terminates the query. */
   /** `SELECT DISTINCT ON (k1, k2) …` (reference ASTSelectQuery
-    * distinct_on) ≡ `LIMIT 1 BY k1, k2` — delegate to that rewrite. */
+    * distinct_on) ≡ `LIMIT 1 BY k1, k2`. A trailing `LIMIT n [OFFSET m]`
+    * applies AFTER the per-key dedup (CH clause order), so it is stripped
+    * first and re-applied around the rewritten query — naively appending
+    * ` LIMIT 1 BY keys` after an existing LIMIT produced invalid SQL (the
+    * advice-round bug: the LIMIT-BY window regex then swallowed
+    * `k LIMIT 10` as its ORDER BY spec). */
   private def rewriteDistinctOn(s: String): String = {
     val re = "(?is)\\bSELECT\\s+DISTINCT\\s+ON\\s*\\(([^)]*)\\)".r
     re.findFirstMatchIn(s) match {
       case None => s
       case Some(m) =>
-        s.substring(0, m.start) + "SELECT" + s.substring(m.end) +
-          s" LIMIT 1 BY ${m.group(1).trim}"
+        val keys = m.group(1).trim
+        val rest = s.substring(0, m.start) + "SELECT" + s.substring(m.end)
+        val tail = "(?is)\\bLIMIT\\s+(\\d+)(\\s+OFFSET\\s+\\d+)?\\s*;?\\s*$".r
+        tail.findFirstMatchIn(rest) match {
+          case Some(t) =>
+            rewriteLimitBy(rest.substring(0, t.start).trim +
+              s" LIMIT 1 BY $keys") + " " + t.matched.trim.stripSuffix(";")
+          case None => rest + s" LIMIT 1 BY $keys"
+        }
     }
   }
 
@@ -425,22 +439,30 @@ object ClickHouseSql {
   }
 
   private def rewriteLimitBy(s: String): String = {
-    val lim = "(?is)\\bLIMIT\\s+(\\d+)\\s+BY\\s+([A-Za-z_][A-Za-z0-9_,\\s]*?)\\s*;?\\s*$".r
+    // CH clause order allows a row-limit AFTER the per-key one:
+    // `... ORDER BY o LIMIT n BY k1, k2 LIMIT m [OFFSET j]` — group 3
+    // captures that trailing limit (lazy keys + anchored alternative keep
+    // `LIMIT 10` out of the key list).
+    val lim = ("(?is)\\bLIMIT\\s+(\\d+)\\s+BY\\s+([A-Za-z_][A-Za-z0-9_,\\s]*?)" +
+      "\\s*(LIMIT\\s+\\d+(?:\\s+OFFSET\\s+\\d+)?)?\\s*;?\\s*$").r
     lim.findFirstMatchIn(s) match {
       case None => s
       case Some(m) =>
         val n = m.group(1)
         val keys = m.group(2).trim.stripSuffix(",")
+        val outerLimit = Option(m.group(3)).map(" " + _.trim).getOrElse("")
         var inner = s.substring(0, m.start)
-        // pull a trailing ORDER BY out of the inner query to drive the window
-        val ob = "(?is)\\bORDER\\s+BY\\s+([^()]*?)\\s*$".r
+        // pull a trailing ORDER BY out of the inner query to drive the
+        // window — the capture must stop at a LIMIT/OFFSET token (never
+        // swallow `k LIMIT 10` as a sort spec)
+        val ob = "(?is)\\bORDER\\s+BY\\s+((?:(?!\\b(?:LIMIT|OFFSET)\\b)[^()])*?)\\s*$".r
         val (core, order) = ob.findFirstMatchIn(inner) match {
           case Some(o) => (inner.substring(0, o.start), o.group(1).trim)
           case None => (inner, keys)
         }
         s"SELECT * EXCEPT (__lb_rn) FROM (SELECT *, " +
           s"row_number() OVER (PARTITION BY $keys ORDER BY $order) AS __lb_rn " +
-          s"FROM ($core)) WHERE __lb_rn <= $n ORDER BY $keys, $order"
+          s"FROM ($core)) WHERE __lb_rn <= $n ORDER BY $keys, $order$outerLimit"
     }
   }
 

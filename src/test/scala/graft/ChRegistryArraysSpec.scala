@@ -60,6 +60,18 @@ class ChRegistryArraysSpec extends SparkFunSuite {
     assert(r.getLong(3) == 2L && r.getLong(4) == 3L && r.getLong(5) == 0L)
   }
 
+  test("arrayFirst/arrayLast return the element-type default on no match; OrNull stays NULL") {
+    val r = one("""
+      SELECT arrayFirst(x -> x > 9, array(1, 2)) AS fi,
+             arrayLast(x -> x > 9, array(1, 2)) AS li,
+             arrayFirst(x -> x = 'q', array('a', 'b')) AS fs,
+             arrayFirstOrNull(x -> x > 9, array(1, 2)) AS fn,
+             arrayLastOrNull(x -> x > 9, array(1, 2)) AS ln""")
+    assert(r.getInt(0) == 0 && r.getInt(1) == 0)
+    assert(r.getString(2) == "")
+    assert(r.isNullAt(3) && r.isNullAt(4))
+  }
+
   test("structural: cumSum, difference, compact, enumerate, rotate, shift, shingles") {
     val r = one("""
       SELECT arrayCumSum(array(1, 2, 3)) AS cs,

@@ -80,6 +80,41 @@ class ChRegistryExtSpec extends SparkFunSuite {
     assert(c1 == c2 && c1 > 0)
   }
 
+  test("SAMPLE fraction is exact decimal, not a truncated binary float") {
+    // 0.29*100 = 28.999... as doubles; toInt truncated it to 28 PERCENT
+    val t = ClickHouseSql.rewrite("SELECT * FROM orders SAMPLE 0.29")
+    assert(t.contains("TABLESAMPLE (29 PERCENT)"), t)
+    val t2 = ClickHouseSql.rewrite("SELECT * FROM orders SAMPLE 0.125")
+    assert(t2.contains("TABLESAMPLE (12.5 PERCENT)"), t2)
+  }
+
+  test("DISTINCT ON composes with a trailing LIMIT/OFFSET") {
+    Tables.register(spark, sf)
+    val rows = ClickHouseSql.sql(spark, """
+      SELECT DISTINCT ON (o_orderpriority) o_orderpriority, o_orderkey
+      FROM orders ORDER BY o_orderpriority, o_orderkey LIMIT 3""").collect()
+    assert(rows.length == 3, s"got ${rows.length} rows")
+    // per-key dedup happened BEFORE the limit: priorities are distinct
+    assert(rows.map(_.getString(0)).distinct.length == 3)
+    // LIMIT n BY k LIMIT m (CH clause order) also composes
+    val r2 = ClickHouseSql.sql(spark, """
+      SELECT o_orderpriority, o_orderkey FROM orders
+      ORDER BY o_orderpriority, o_orderkey LIMIT 2 BY o_orderpriority LIMIT 4""").collect()
+    assert(r2.length == 4)
+  }
+
+  test("isIPv6String validates structure, not just the character set") {
+    ChFunctionRegistry.install(spark)
+    val good = Seq("2001:db8::ff00:42:8329", "::1", "::",
+      "2001:db8:1:2:3:4:5:6", "fe80::1", "::ffff:192.0.2.1")
+    val bad = Seq("1:2:3", ":::::", "1::2::3", "2001:db8:1:2:3:4:5:6:7",
+      "g001::1", "192.168.0.1", "")
+    for (s <- good)
+      assert(spark.sql(s"SELECT isIPv6String('$s')").head().getBoolean(0), s)
+    for (s <- bad)
+      assert(!spark.sql(s"SELECT isIPv6String('$s')").head().getBoolean(0), s)
+  }
+
   test("DDL type translation covers wrappers, arrays, maps, decimals") {
     assert(ClickHouseSql.sparkTypeText("Nullable(Int64)") == "BIGINT")
     assert(ClickHouseSql.sparkTypeText("Array(LowCardinality(String))") == "ARRAY<STRING>")
