@@ -144,4 +144,69 @@ object JoinOps {
       .withColumn(attr, coalesce(col(attr), default))
       .drop(dictKey)
   }
+
+  /** dictGetOrDefault — the explicit-default arm of dictGet
+    * (FunctionsExternalDictionaries.h dictGetOrDefault): same broadcast
+    * probe, the caller supplies the miss value. */
+  def dictGetOrDefault(fact: DataFrame, dict: DataFrame, factKey: String,
+      dictKey: String, attr: String, default: Column): DataFrame =
+    dictGet(fact, dict, factKey, dictKey, attr, default)
+
+  /** Ancestor closure of a parent-keyed dictionary
+    * (FunctionsExternalDictionaries.h dictGetHierarchy): for every dict id,
+    * the path [id, parent, grandparent, ...] up to the root (parent NULL or
+    * absent from the dict). The loop self-joins only the SMALL dict table
+    * (localCheckpoint per round keeps lineage flat); facts later join the
+    * finished closure by broadcast, so the fact side never iterates. A
+    * cycle or over-deep chain fails loudly at `maxDepth` — the reference
+    * caps hierarchy depth the same way rather than spinning. */
+  def hierarchyClosure(dict: DataFrame, id: String, parent: String,
+      maxDepth: Int = 32): DataFrame = {
+    var cur = dict
+      .select(col(id).as("__k"), array(col(id)).as("__path"),
+        col(parent).as("__next"))
+      .localCheckpoint()
+    var done = cur.filter(col("__next").isNull).select(col("__k"), col("__path"))
+    var open = cur.filter(col("__next").isNotNull)
+    var depth = 0
+    while (!open.isEmpty) {
+      depth += 1
+      if (depth > maxDepth)
+        throw new IllegalStateException(
+          s"hierarchyClosure: chain deeper than $maxDepth — cycle in the " +
+            s"dictionary's $parent links?")
+      val step = open
+        .join(dict.select(col(id).as("__next"), col(parent).as("__np")),
+          Seq("__next"), "left")
+        .select(col("__k"),
+          concat(col("__path"), array(col("__next"))).as("__path"),
+          col("__np").as("__next"))
+        .localCheckpoint()
+      done = done.unionByName(
+        step.filter(col("__next").isNull).select(col("__k"), col("__path")))
+      open = step.filter(col("__next").isNotNull)
+    }
+    done
+  }
+
+  /** dictGetHierarchy: attach the ancestor path array of `factKey` as
+    * `out`; rows whose key misses the dictionary get an empty array (the
+    * reference's behaviour for unknown keys). */
+  def dictGetHierarchy(fact: DataFrame, dict: DataFrame, factKey: String,
+      id: String, parent: String, out: String): DataFrame = {
+    val closure = hierarchyClosure(dict, id, parent)
+    val pathType = closure.schema("__path").dataType
+    fact.join(broadcast(closure), col(factKey) === col("__k"), "left")
+      .withColumn(out, coalesce(col("__path"), array().cast(pathType)))
+      .drop("__k", "__path")
+  }
+
+  /** dictIsIn (FunctionsExternalDictionaries.h dictIsIn): true when
+    * `ancestor` appears in the hierarchy chain of `factKey` (including
+    * itself). One broadcast join against the closure. */
+  def dictIsIn(fact: DataFrame, dict: DataFrame, factKey: String,
+      ancestor: Column, id: String, parent: String, out: String): DataFrame =
+    dictGetHierarchy(fact, dict, factKey, id, parent, "__h")
+      .withColumn(out, array_contains(col("__h"), ancestor))
+      .drop("__h")
 }

@@ -254,6 +254,47 @@ object JoinExtras extends QueryPack {
           col("c_nationkey") === col("n_nationkey"), "left")
         .select(col("c_custkey"), coalesce(col("__hit"), lit(false)).as("in_region1"))
         .orderBy("c_custkey")
+    },
+
+    // dictGetHierarchy + dictIsIn (FunctionsExternalDictionaries.h): a
+    // 3-level parent-keyed dictionary (nation → region → root) built from
+    // the corpus; the ancestor closure is computed by self-joining the
+    // SMALL dict only, then facts probe the finished closure by broadcast.
+    // The oracle recomputes the chain with a recursive CTE — exact SQL.
+    Q.df("q_dict_hierarchy", """
+      WITH RECURSIVE d AS (
+        SELECT n_nationkey AS id, 100 + n_regionkey AS parent FROM nation
+        UNION ALL SELECT 100 + r_regionkey, 1000 FROM region
+        UNION ALL SELECT 1000, NULL),
+      h AS (
+        SELECT id AS k, [id] AS path, parent AS nxt FROM d
+        UNION ALL
+        SELECT h.k, list_append(h.path, h.nxt), d2.parent
+        FROM h JOIN d d2 ON h.nxt = d2.id),
+      c AS (SELECT k, path FROM h WHERE nxt IS NULL)
+      SELECT n.n_nationkey,
+        array_to_string(c.path, '>') AS hier,
+        list_contains(c.path, 101) AS in_region1,
+        list_contains(c.path, 1000) AS under_root
+      FROM nation n JOIN c ON n.n_nationkey = c.k
+      ORDER BY n.n_nationkey""") { (s, dir) =>
+      val nation = Tables.load(s, dir, "nation")
+      val region = Tables.load(s, dir, "region")
+      val dict = nation.select(col("n_nationkey").cast("long").as("id"),
+          (col("n_regionkey") + 100).cast("long").as("parent"))
+        .unionByName(region.select(
+          (col("r_regionkey") + 100).cast("long").as("id"),
+          lit(1000L).as("parent")))
+        .unionByName(region.sparkSession.range(1000, 1001).toDF("id")
+          .select(col("id"), lit(null).cast("long").as("parent")))
+      val withH = JoinOps.dictGetHierarchy(
+        nation.select(col("n_nationkey")), dict,
+        factKey = "n_nationkey", id = "id", parent = "parent", out = "__h")
+      withH.select(col("n_nationkey"),
+          array_join(transform(col("__h"), _.cast("string")), ">").as("hier"),
+          array_contains(col("__h"), lit(101L)).as("in_region1"),
+          array_contains(col("__h"), lit(1000L)).as("under_root"))
+        .orderBy("n_nationkey")
     }
   )
 }

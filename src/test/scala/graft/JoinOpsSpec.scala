@@ -51,6 +51,22 @@ class JoinOpsSpec extends SparkFunSuite {
     assert(out == Seq((1L, Some(10L)), (2L, None)))
   }
 
+  test("hierarchyClosure: paths stop at NULL or dangling parents; cycles fail loudly") {
+    val dict = Seq((1L, Some(2L)), (2L, Some(3L)), (3L, None: Option[Long]),
+      (4L, Some(99L))) // 99 absent from the dict → terminal after the hop
+      .toDF("id", "parent")
+    val c = JoinOps.hierarchyClosure(dict, "id", "parent")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(c(1L) == List(1L, 2L, 3L))
+    assert(c(3L) == List(3L))
+    assert(c(4L) == List(4L, 99L))
+    val cyc = Seq((1L, Some(2L)), (2L, Some(1L))).toDF("id", "parent")
+    val e = intercept[IllegalStateException] {
+      JoinOps.hierarchyClosure(cyc, "id", "parent", maxDepth = 5)
+    }
+    assert(e.getMessage.contains("cycle"))
+  }
+
   test("collapsingFinal cancels balanced sign pairs") {
     val df = Seq((1L, 1L, 5L), (1L, -1L, 5L), (2L, 1L, 7L))
       .toDF("k", "sign", "v")
