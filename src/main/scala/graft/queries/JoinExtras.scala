@@ -239,6 +239,56 @@ object JoinExtras extends QueryPack {
         .orderBy("l_orderkey")
     },
 
+    // GraphiteMergeTree rollup (GraphiteRollupSortedAlgorithm.cpp,
+    // Graphite.h rollup rules): events as the metrics table — path =
+    // event_type, version = event_id. Rules: click/view average hourly for
+    // the last 14 days and daily beyond (two-step retention); error keeps
+    // raw timestamps with max; everything else sums 6-hourly. The pinned
+    // `now` (2024-01-31) makes age deterministic. Oracle recomputes the
+    // schedule with CASE arithmetic on the same fixed-point sums.
+    Q.df("q_final_graphite", """
+      WITH dd AS (
+        SELECT event_type, ts, value, event_id,
+          ROW_NUMBER() OVER (PARTITION BY event_type, ts ORDER BY event_id DESC) AS rn
+        FROM events),
+      c AS (SELECT event_type, ts, value,
+        CASE WHEN event_type IN ('click','view') THEN 0
+             WHEN event_type = 'error' THEN 1 ELSE 2 END AS pi,
+        1706659200 - CAST(FLOOR(EPOCH_US(ts) / 1000000.0) AS BIGINT) AS age
+        FROM dd WHERE rn = 1),
+      p AS (SELECT *,
+        CASE WHEN pi = 0 THEN (CASE WHEN age >= 1209600 THEN 86400 ELSE 3600 END)
+             WHEN pi = 1 THEN NULL
+             ELSE 21600 END AS prec
+        FROM c),
+      r AS (SELECT event_type, pi,
+        CASE WHEN prec IS NULL THEN CAST(ts AS TIMESTAMP)
+             ELSE MAKE_TIMESTAMP(CAST(FLOOR(EPOCH_US(ts) / (prec * 1000000.0)) AS BIGINT) * prec * 1000000) END AS t,
+        CAST(ROUND(value * 1000000) AS BIGINT) AS vfix, value
+        FROM p),
+      g AS (SELECT event_type, pi, t, SUM(vfix) AS s, COUNT(*) AS n,
+             MIN(value) AS mn, MAX(value) AS mx
+        FROM r GROUP BY 1, 2, 3)
+      SELECT event_type, t AS ts,
+        ROUND(CASE WHEN pi = 0 THEN CAST(s AS DOUBLE)/CAST(n AS DOUBLE)/1000000.0
+                   WHEN pi = 1 THEN mx
+                   ELSE CAST(s AS DOUBLE)/1000000.0 END, 6) AS value
+      FROM g ORDER BY event_type, t""") { (s, dir) =>
+      import MergeTreeViews.{GraphitePattern, GraphiteRetention}
+      MergeTreeViews.graphiteFinal(
+          Tables.load(s, dir, "events")
+            .select("event_type", "ts", "value", "event_id"),
+          path = "event_type", time = "ts", value = "value",
+          version = "event_id",
+          patterns = Seq(
+            GraphitePattern(Some("^(click|view)$"), "avg",
+              Seq(GraphiteRetention(0, 3600), GraphiteRetention(1209600, 86400))),
+            GraphitePattern(Some("^error$"), "max", Nil),
+            GraphitePattern(None, "sum", Seq(GraphiteRetention(0, 21600)))),
+          nowEpochSec = 1706659200L)
+        .orderBy("event_type", "ts")
+    },
+
     // dictHas (FunctionsExternalDictionaries.h dictHas) — membership probe
     // against a broadcast dictionary; dictGetOrDefault is the default arm
     // of the existing q_dict_get.
