@@ -103,18 +103,33 @@ object AggFunctions extends QueryPack {
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""),
 
-    // Sketch path: t-digest quantile + HLL distinct
+    // Sketch path: t-digest-class quantile + HLL distinct
     // (AggregateFunctionQuantileTDigest.cpp, AggregateFunctionUniq.h:74).
-    // Sketch values are engine-specific → rows-only check.
-    Q.unoracled("q_agg_sketches") { (s, dir) =>
-      s.sql("""
-        SELECT l_returnflag,
-          APPROX_PERCENTILE(l_extendedprice, 0.5) AS median_approx,
-          APPROX_COUNT_DISTINCT(l_partkey) AS uniq_parts
-        FROM lineitem
-        GROUP BY l_returnflag
-        ORDER BY l_returnflag""")
-    },
+    // Sketch VALUES are engine-specific, but their ERROR BOUNDS are not
+    // (round-3 verdict #8): the query emits booleans asserting the HLL
+    // estimate lands within 5% of the exact distinct count and the
+    // approximate median between the exact 45th/55th percentiles; the
+    // oracle states those bounds as literal TRUE alongside the exact
+    // counts. A drifting sketch now hash-fails instead of passing rows-only.
+    Q.sparkSql("q_agg_sketches", """
+      SELECT l_returnflag,
+        COUNT(DISTINCT l_partkey) AS exact_uniq,
+        (ABS(APPROX_COUNT_DISTINCT(l_partkey) - COUNT(DISTINCT l_partkey))
+           <= 0.05 * COUNT(DISTINCT l_partkey)) AS uniq_within_5pct,
+        (APPROX_PERCENTILE(l_extendedprice, 0.5)
+           BETWEEN PERCENTILE(l_extendedprice, 0.45)
+               AND PERCENTILE(l_extendedprice, 0.55)) AS median_within_decile
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+      """
+      SELECT l_returnflag,
+        COUNT(DISTINCT l_partkey) AS exact_uniq,
+        TRUE AS uniq_within_5pct,
+        TRUE AS median_within_decile
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""),
 
     // groupArray / groupUniqArray / groupConcat
     // (AggregateFunctionGroupArray*.cpp, ...GroupConcat.cpp:246).

@@ -31,6 +31,28 @@ object LlmPipeline extends QueryPack {
       .filter(col("__rn") <= cap).drop("__rn")
   }
 
+  /** SimHash near-dup candidate pairs: 64-bit simhash over word 3-grams,
+    * candidates share one of four exact 16-bit bands, survivors within
+    * `maxHamming`. Shared by the full-corpus query and the planted-recall
+    * oracle. */
+  private def simhashPairs(src: org.apache.spark.sql.DataFrame,
+      maxHamming: Int): org.apache.spark.sql.DataFrame = {
+    val docs = simhashTable(src.repartition(col("doc_id")),
+      "doc_id", col("text"), 3)
+    val bandStructs = (0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sh"), b * 16).bitwiseAND(lit(65535L)).as("key")))
+    val banded = capBuckets(docs.select(col("doc_id"), col("sh"),
+      explode(array(bandStructs: _*)).as("bk")), "doc_id", 128)
+    val a = banded.select(col("doc_id").as("id_a"), col("sh").as("sa"), col("bk"))
+    val b = banded.select(col("doc_id").as("id_b"), col("sh").as("sb"), col("bk"))
+    a.join(b, Seq("bk")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sa", "sb").distinct()
+      .withColumn("dist", hamming64(col("sa"), col("sb")))
+      .filter(col("dist") <= maxHamming)
+      .select("id_a", "id_b", "dist")
+  }
+
   override def queries: Seq[Q] = Seq(
 
     // --- Dedup: exact (hash groupBy) ---------------------------------
@@ -132,22 +154,32 @@ object LlmPipeline extends QueryPack {
     // 64-bit simhash; candidates share one of four 16-bit bands; survivors
     // have hamming distance <= 12. Rows-only (xxhash64-based).
     Q.unoracled("q_dedup_simhash") { (s, dir) =>
-      val docs = simhashTable(
-        Tables.load(s, dir, "documents").repartition(col("doc_id")),
-        "doc_id", col("text"), 3)
-      val bandStructs = (0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("sh"), b * 16).bitwiseAND(lit(65535L)).as("key")))
-      val banded = capBuckets(docs.select(col("doc_id"), col("sh"),
-        explode(array(bandStructs: _*)).as("bk")), "doc_id", 128)
-      val a = banded.select(col("doc_id").as("id_a"), col("sh").as("sa"), col("bk"))
-      val b = banded.select(col("doc_id").as("id_b"), col("sh").as("sb"), col("bk"))
-      a.join(b, Seq("bk")).filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b", "sa", "sb").distinct()
-        .withColumn("dist", hamming64(col("sa"), col("sb")))
-        .filter(col("dist") <= 12)
-        .select("id_a", "id_b", "dist")
+      simhashPairs(Tables.load(s, dir, "documents"), 12)
         .orderBy("id_a", "id_b")
+    },
+
+    // SimHash recall contract, exactly oracled (round-3 verdict #8): plant
+    // an EXACT duplicate of every document and assert the banded pipeline
+    // surfaces every planted pair — identical docs share all four bands, so
+    // this recall is GUARANTEED, which is what a deterministic oracle can
+    // state (a suffix-perturbed near-dup reaches hamming ~4-13, and 4×16
+    // banding only pigeonhole-guarantees hamming ≤ 3 — probabilistic
+    // near-dup recall stays spec-asserted in LlmPipelineSpec). A missed
+    // pair — banding, bucket cap, or hamming plumbing — is a red row.
+    Q.df("q_dedup_simhash_planted", """
+      SELECT doc_id, TRUE AS found FROM documents
+      WHERE doc_id < 200 ORDER BY doc_id""") { (s, dir) =>
+      val base = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 200).select(col("doc_id"), col("text"))
+      val planted = base.select((col("doc_id") + lit(100000L)).as("doc_id"),
+        col("text"))
+      val pairs = simhashPairs(base.unionByName(planted), 12)
+        .filter(col("id_b") === col("id_a") + lit(100000L))
+      base.select(col("doc_id"))
+        .join(pairs.select(col("id_a").as("doc_id"), lit(true).as("found")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("found"), lit(false)).as("found"))
+        .orderBy("doc_id")
     },
 
     // --- Dedup: minhash VERIFY stage, exactly oracled -----------------
