@@ -21,6 +21,30 @@ object Formats extends QueryPack {
 
   override def queries: Seq[Q] = Seq(
 
+    // Typed JSON / Dynamic column (reference: DataTypeObject.h:13 JSON
+    // type, DataTypeDynamic.h:10 — SURVEY §1.2 maps both onto Spark 4
+    // VariantType). parse_json produces a real VARIANT value (binary
+    // variant encoding, not a string), variant_get does typed-path
+    // extraction, schema_of_variant reports the inferred object shape,
+    // and try_variant_get returns NULL on a type mismatch instead of
+    // failing — the Dynamic-column read contract. Oracle: the same
+    // numbers via DuckDB's native JSON extraction.
+    Q.sparkSql("q_variant_typed", """
+      SELECT event_type,
+        SUM(variant_get(parse_json(props), '$.k', 'bigint')) AS sum_k,
+        COUNT(CASE WHEN variant_get(parse_json(props), '$.k', 'bigint') > 50
+              THEN 1 END) AS big_k,
+        MAX(schema_of_variant(parse_json(props))) AS vschema,
+        COUNT(try_variant_get(parse_json(props), '$.k', 'array<int>')) AS bad_type_nulls
+      FROM events GROUP BY event_type ORDER BY event_type""",
+      """
+      SELECT event_type,
+        CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        COUNT(CASE WHEN CAST(props->>'$.k' AS BIGINT) > 50 THEN 1 END) AS big_k,
+        'OBJECT<k: BIGINT>' AS vschema,
+        0 AS bad_type_nulls
+      FROM events GROUP BY event_type ORDER BY event_type"""),
+
     // CSVWithNames → header'd CSV round-trip (registerFormats.cpp
     // registerInputFormatCSV). Explicit schema on read: CSV carries no
     // types, exactly like the reference's column-declaration DDL.

@@ -231,6 +231,48 @@ object FunctionTail extends QueryPack {
         CAST(NULL AS INT) AS acn, 99 AS idft, '3.14' AS ds,
         7 AS mat, 8 AS tn"""),
 
+    // Overflow-visible conversions (round-3 verdict #10): Int128/Int256 and
+    // >64-bit magnitudes are a documented capability cap (SURVEY §1.2 —
+    // Spark tops out at DECIMAL(38)/Int64 carriers). This battery pins the
+    // CONTRACT at the cap: a value beyond the target range comes back NULL
+    // from the OrNull forms and 0 from the OrZero forms — loudly absent,
+    // never silently saturated or wrapped (FunctionsConversion.h
+    // accurateCastOrNull; DataTypesNumber.cpp Int128/256 ranges).
+    ch("q_fn_cast_overflow", """
+      SELECT
+        CAST(toInt64OrNull('170141183460469231731687303715884105727') AS BIGINT) AS i64_of_i128max,
+        CAST(toInt64OrNull('57896044618658097711785492504343953926634992332820282019728792003956564819967') AS BIGINT) AS i64_of_i256max,
+        CAST(toInt64OrNull('9223372036854775807') AS BIGINT) AS i64_max_ok,
+        CAST(toInt64OrNull('9223372036854775808') AS BIGINT) AS i64_over,
+        CAST(toInt64OrNull('-9223372036854775809') AS BIGINT) AS i64_under,
+        toUInt64OrNull('18446744073709551615') AS u64_max_ok,
+        toUInt64OrNull('18446744073709551616') AS u64_over,
+        toUInt64OrNull('-1') AS u64_neg,
+        toUInt64OrZero('18446744073709551616') AS u64_over_zero,
+        CAST(toUInt32OrNull('4294967295') AS BIGINT) AS u32_max_ok,
+        CAST(toUInt32OrNull('4294967296') AS BIGINT) AS u32_over,
+        CAST(toInt32OrZero('2147483648') AS INT) AS i32_over_zero,
+        CAST(toInt8OrNull('128') AS INT) AS i8_over,
+        CAST(accurateCastOrNull('340282366920938463463374607431768211456', 'Int64') AS BIGINT) AS ac_i64_of_u128,
+        CAST(accurateCastOrNull(9.3e18, 'Int64') AS BIGINT) AS ac_i64_of_big_double""",
+      """
+      SELECT
+        CAST(NULL AS BIGINT) AS i64_of_i128max,
+        CAST(NULL AS BIGINT) AS i64_of_i256max,
+        CAST(9223372036854775807 AS BIGINT) AS i64_max_ok,
+        CAST(NULL AS BIGINT) AS i64_over,
+        CAST(NULL AS BIGINT) AS i64_under,
+        CAST('18446744073709551615' AS DECIMAL(20,0)) AS u64_max_ok,
+        CAST(NULL AS DECIMAL(20,0)) AS u64_over,
+        CAST(NULL AS DECIMAL(20,0)) AS u64_neg,
+        CAST(0 AS DECIMAL(20,0)) AS u64_over_zero,
+        CAST(4294967295 AS BIGINT) AS u32_max_ok,
+        CAST(NULL AS BIGINT) AS u32_over,
+        0 AS i32_over_zero,
+        CAST(NULL AS INT) AS i8_over,
+        CAST(NULL AS BIGINT) AS ac_i64_of_u128,
+        CAST(NULL AS BIGINT) AS ac_i64_of_big_double"""),
+
     // String tail (position/count/hasToken/firstLine/basename/quoteMeta/
     // translate/hamming/jaccard/ngram similarity).
     ch("q_fn_string_tail", """

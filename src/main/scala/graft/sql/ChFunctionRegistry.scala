@@ -126,7 +126,25 @@ object ChFunctionRegistry {
         val x = NamedLambdaVariable("ms_n", StringType, nullable = true)
         ArrayExists(needles, LambdaFunction(Contains(args(0), x), Seq(x)))
     }),
+    // Literal pattern sets COMBINE into one alternation regex
+    // "(?:p1)|(?:p2)|…" — one compiled automaton pass per row instead of k
+    // (the single-scan idea behind the reference's Hyperscan dispatch in
+    // MultiMatchAnyImpl.h, rendered as a regex union). Patterns using
+    // constructs that don't compose under alternation — inline flags /
+    // lookaround "(?", or numbered backrefs whose group numbering would
+    // shift — fall back to the OR-chain, which is still codegen'd.
     "multimatchany" -> (args => args(1) match {
+      case CreateArray(items, _) if items.isEmpty => Literal(false)
+      case CreateArray(items, _)
+          if items.forall {
+            case Literal(s, StringType) if s != null =>
+              val p = s.toString
+              !p.contains("(?") && !"\\\\[0-9]".r.findFirstIn(p).isDefined
+            case _ => false
+          } =>
+        val combined = items.map { case Literal(s, StringType) =>
+          s"(?:${s.toString})" }.mkString("|")
+        RLike(args(0), Literal(combined))
       case CreateArray(items, _) =>
         items.map(n => RLike(args(0), n): Expression).reduce(Or)
       case patterns =>

@@ -137,11 +137,24 @@ object ChRegistryExt {
           Coalesce(Seq(uintTry(max, dt)(args.head),
             if (args.length > 1) args(1) else Cast(Literal(0), dt))): Expression))
     }
+    // UInt64 carrier is DECIMAL(20,0), which also holds values in
+    // [2^64, 10^20) and negatives — so the TRY cast alone would silently
+    // accept out-of-UInt64-range input. Guard the actual [0, 2^64-1]
+    // domain explicitly (round-3 verdict #10: overflow must be loud).
+    def u64Try(arg: Expression): Expression = {
+      val d = Cast(arg, DecimalType(20, 0), None, EvalMode.TRY)
+      val zero = Literal(Decimal(BigDecimal(0), 20, 0), DecimalType(20, 0))
+      val max = Literal(
+        Decimal(BigDecimal("18446744073709551615"), 20, 0), DecimalType(20, 0))
+      CaseWhen(
+        Seq((And(GreaterThanOrEqual(d, zero), LessThanOrEqual(d, max)), d)),
+        Some(Literal.create(null, DecimalType(20, 0))))
+    }
     val uint64 = Seq(
       "touint64ornull" -> ((args: Seq[Expression]) =>
-        Cast(args.head, DecimalType(20, 0), None, EvalMode.TRY): Expression),
+        u64Try(args.head): Expression),
       "touint64orzero" -> ((args: Seq[Expression]) =>
-        Coalesce(Seq(Cast(args.head, DecimalType(20, 0), None, EvalMode.TRY),
+        Coalesce(Seq(u64Try(args.head),
           Cast(Literal(0), DecimalType(20, 0)))): Expression))
     (signed ++ unsigned ++ uint64).toMap
   }

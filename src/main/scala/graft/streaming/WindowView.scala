@@ -73,6 +73,29 @@ object WindowView {
   def withBoundedWatermark(events: DataFrame, delay: String): DataFrame =
     events.withWatermark("ts", delay)
 
+  /** STRICTLY_ASCENDING watermark strategy (StorageWindowView.h:74-79):
+    * the watermark IS the max event time seen, so any row at or behind an
+    * already-seen timestamp is late and dropped. Rendered as a zero-delay
+    * bounded watermark — behaviorally identical for out-of-order drops. */
+  def withStrictlyAscendingWatermark(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "0 seconds")
+
+  /** ASCENDING watermark strategy (StorageWindowView.h:80-85): like
+    * STRICTLY_ASCENDING but tolerates equal timestamps — max minus one
+    * second, so ties and sub-second jitter survive. */
+  def withAscendingWatermark(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 second")
+
+  /** ALLOWED_LATENESS (StorageWindowView.h:93-95, :212): a late row whose
+    * window already fired re-fires that window with the updated aggregate,
+    * as long as the row is within the lateness bound; beyond it the row is
+    * dropped. Structured Streaming's `update` output mode over a watermark
+    * of `lateness` is the same contract: state is kept (and re-emitted on
+    * change) until the watermark passes the window end. */
+  def tumbleWithAllowedLateness(events: DataFrame, width: String,
+      lateness: String): DataFrame =
+    tumbleAgg(events.withWatermark("ts", lateness), width)
+
   /** Streaming exact dedup by key within the watermark horizon — the
     * streaming face of ReplacingMergeTree dedup (reference
     * ReplacingSortedAlgorithm) and the stream form of the LlmPipeline

@@ -29,9 +29,24 @@ class PlanAuditSpec extends SparkFunSuite {
   }
 
   test("minhash LSH caches the shingle table (single computation)") {
+    // The query wrapper eagerly checkpoints the tiny survivor set and
+    // unpersists the shingle cache (round-3 verdict #5), so the cache is
+    // only visible in the LAZY pipeline's plan — pin it there.
+    val (docs, pairs) = queries.LlmPipeline.minhashLshPairs(
+      Tables.load(spark, sf, "documents"))
+    try {
+      val p = pairs.queryExecution.executedPlan.toString
+      assert(p.contains("InMemoryTableScan"),
+        "shingle table must come from cache in the verify joins")
+    } finally docs.unpersist()
+  }
+
+  test("minhash LSH query releases the shingle cache after materializing") {
     val p = planOf("q_dedup_minhash_lsh")
-    assert(p.contains("InMemoryTableScan"),
-      "shingle table must come from cache in the verify joins")
+    // Eager checkpoint: the returned plan scans the materialized RDD, so
+    // nothing upstream (incl. the cache) stays pinned for the session.
+    assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"),
+      s"expected an eagerly materialized (checkpointed) result, got: $p")
   }
 
   test("ANN re-rank dot product is a codegen'd expression, not a HOF fold") {
