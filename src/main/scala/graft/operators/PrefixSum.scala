@@ -72,6 +72,78 @@ object PrefixSum {
       .drop("__bucket", "__loc", "__off")
   }
 
+  /** Running AND trailing-frame sum in ONE plan — the form the bench query
+    * needs. Chaining runningSum |> movingSum costs two extra full
+    * materializations (movingSum re-buckets its input with a fresh min/max
+    * action, and its multi-branch DAG recomputes the running-sum chain per
+    * branch — the round-4 17s→84s bench pathology). Here:
+    *
+    *   - the moving sum is pure algebra over the running sum:
+    *     mov_k(i) = R(i) - R(i-k), so no second aggregation pass;
+    *   - R(i-k) crosses bucket starts via carried copies of each bucket's
+    *     last k rows (tiny: buckets × |p| × k), so the lag window stays
+    *     per-(bucket, p) — parallel, no low-cardinality serial window;
+    *   - everything hangs off ONE bucketed shuffle in ONE action, so
+    *     Catalyst's ReuseExchange computes the big shuffle once.
+    */
+  def runningAndMoving(
+      df: DataFrame,
+      partCols: Seq[String],
+      orderCols: Seq[Column],
+      leadKey: String,
+      value: Column,
+      frameRows: Int,
+      runOut: String,
+      movOut: String,
+      buckets: Int): DataFrame = {
+    val (withB, b) = bucketed(df, leadKey, buckets)
+    val grp = b +: partCols.map(col)
+    val local = Window.partitionBy(grp: _*).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = withB.groupBy(grp: _*).agg(sum(value).as("__tot"))
+    val carry = Window.partitionBy(partCols.map(col): _*).orderBy(b)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("__off", sum(col("__tot")).over(carry))
+      .drop("__tot")
+    val run = withB
+      .withColumn("__loc", sum(value).over(local))
+      .join(broadcast(offsets), "__bucket" +: partCols, "left")
+      .withColumn(runOut, col("__loc") + coalesce(col("__off"), lit(0)))
+      .drop("__loc", "__off")
+    // Carry candidates: each bucket's last `frameRows` rows per partition
+    // value, WITH their running sums — the only lag targets any later
+    // bucket's first rows can need. A destination bucket takes the last
+    // `frameRows` among candidates from ANY earlier bucket (sparse buckets
+    // may have to reach across several predecessors).
+    val tail = Window.partitionBy(grp: _*).orderBy(orderCols.map(_.desc): _*)
+    val candidates = run
+      .withColumn("__rnd", row_number().over(tail))
+      .filter(col("__rnd") <= frameRows)
+      .drop("__rnd")
+      .withColumnRenamed("__bucket", "__srcb")
+    val dests = withB.groupBy(grp: _*).agg(count(lit(1)).as("__n"))
+      .select((b.as("__dest") +: partCols.map(col)): _*)
+    val pick = Window
+      .partitionBy((col("__dest") +: partCols.map(col)): _*)
+      .orderBy(orderCols.map(_.desc): _*)
+    val carried = candidates
+      .join(broadcast(dests), partCols)
+      .filter(col("__srcb") < col("__dest"))
+      .withColumn("__rk", row_number().over(pick))
+      .filter(col("__rk") <= frameRows)
+      .withColumn("__bucket", col("__dest"))
+      .withColumn("__carry", lit(true))
+      .drop("__srcb", "__dest", "__rk")
+    val unioned = run.withColumn("__carry", lit(false)).unionByName(carried)
+    val lagW = Window.partitionBy(grp: _*).orderBy(orderCols: _*)
+    unioned
+      .withColumn(movOut,
+        col(runOut) - coalesce(lag(col(runOut), frameRows).over(lagW), lit(0)))
+      .filter(!col("__carry"))
+      .drop("__bucket", "__carry")
+  }
+
   /** Moving sum over the trailing `frameRows` rows (ROWS frameRows-1
     * PRECEDING .. CURRENT ROW). Cross-bucket context is supplied by carrying
     * each bucket's LAST frameRows-1 rows into the NEXT bucket that holds rows

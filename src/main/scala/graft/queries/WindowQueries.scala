@@ -90,11 +90,10 @@ object WindowQueries extends QueryPack {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_extendedprice"), col("l_returnflag"),
           col("l_quantity").cast("decimal(18,2)").as("__qd"))
-      val run = PrefixSum.runningSum(li, Seq("l_returnflag"), ord,
-        "l_orderkey", col("__qd"), "__run", buckets = 64)
-      val mov = PrefixSum.movingSum(run, Seq("l_returnflag"), ord,
-        "l_orderkey", col("__qd"), frameRows = 3, "__mov", buckets = 64)
-      mov.select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+      val both = PrefixSum.runningAndMoving(li, Seq("l_returnflag"), ord,
+        "l_orderkey", col("__qd"), frameRows = 3, "__run", "__mov",
+        buckets = 64)
+      both.select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("__run").cast("double").as("running_qty"),
           col("__mov").cast("double").as("moving_qty_3"),
           col("l_extendedprice"))

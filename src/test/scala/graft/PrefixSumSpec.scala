@@ -55,6 +55,34 @@ class PrefixSumSpec extends SparkFunSuite {
     assert(got.toSeq == expected.toSeq)
   }
 
+  test("runningAndMoving fused pass matches both naive windows") {
+    val df = synth(5000)
+    val expected = df
+      .withColumn("r", sum("v").over(naiveRun))
+      .withColumn("m", sum("v").over(naiveMov))
+      .select("k", "flag", "r", "m").orderBy("k").collect()
+    val got = PrefixSum.runningAndMoving(df, Seq("flag"), Seq(col("k")), "k",
+        col("v"), frameRows = 3, "r", "m", buckets = 16)
+      .select("k", "flag", "r", "m").orderBy("k").collect()
+    assert(got.toSeq == expected.toSeq)
+  }
+
+  test("runningAndMoving lag carry reaches across sparse buckets") {
+    val df = synth(40)
+    val wR = Window.partitionBy("flag").orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wM = Window.partitionBy("flag").orderBy("k")
+      .rowsBetween(-4, Window.currentRow)
+    val expected = df
+      .withColumn("r", sum("v").over(wR))
+      .withColumn("m", sum("v").over(wM))
+      .select("k", "flag", "r", "m").orderBy("k").collect()
+    val got = PrefixSum.runningAndMoving(df, Seq("flag"), Seq(col("k")), "k",
+        col("v"), frameRows = 5, "r", "m", buckets = 50)
+      .select("k", "flag", "r", "m").orderBy("k").collect()
+    assert(got.toSeq == expected.toSeq)
+  }
+
   test("the window axis genuinely fans out past the flag cardinality") {
     val df = synth(5000)
     val plan = PrefixSum.runningSum(df, Seq("flag"), Seq(col("k")), "k",
