@@ -78,6 +78,103 @@ object LlmPipeline extends QueryPack {
     (docs, pairs)
   }
 
+  /** Embedding frame prep: float array → double vector + L2 norm. */
+  private def prepEmbeddings(src: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    src.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+
+  /** Multi-table hyperplane-LSH ANN: 8 tables × 4 planes; candidates share
+    * a (table, 4-bit-sign) bucket in ANY table, then exact cosine re-rank
+    * to top-`k`. Queries = vec_id < 20. The plane is a CONSTANT 64-dim
+    * vector → the projection is a codegen'd dot against a literal array
+    * (the interpreted zip_with fold here was the round-2 hot spot). The
+    * band join + distinct carry ONLY (qid, vec_id) — 16 bytes through the
+    * shuffle, not two 64-double vectors; vectors join back once per
+    * surviving candidate, queries via broadcast. */
+  private def annLshTopK(e: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    // table t (0..7), plane p (0..3), dim i weight = ((i*31+(t*4+p)*17)%7)-3
+    def bucketKey(t: Int) = (0 until 4).map { p =>
+      val plane = array((0 until 64).map(i =>
+        lit((((i * 31 + (t * 4 + p) * 17) % 7) - 3).toDouble)): _*)
+      val proj = dot(col("v"), plane)
+      when(proj > 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+    val tables = (0 until 8).map(t =>
+      struct(lit(t).as("tbl"), bucketKey(t).as("key")))
+    val b = e.withColumn("bk", explode(array(tables: _*)))
+      .select(col("vec_id"), col("bk"))
+    val q = b.filter(col("vec_id") < 20).withColumnRenamed("vec_id", "qid")
+    val candIds = b.join(broadcast(q), Seq("bk"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id").distinct()
+    val qv = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val cands = candIds.join(e, Seq("vec_id")).join(broadcast(qv), Seq("qid"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    cands.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id").as("nid"), round(col("cos"), 6).as("cos"))
+      .orderBy("qid", "nid")
+  }
+
+  /** IVF-style cell-probed ANN: 16 seed centroids (vec_id < 16; a real
+    * system k-means them), every vector assigned to its best cell, queries
+    * (vec_id < 20) probe their 4 nearest cells, exact re-rank to top-`k`.
+    * Cells partition the corpus; a query touches nprobe/ncell of it. */
+  private def annIvfTopK(e: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val scored = e.join(broadcast(cents), lit(true))
+      .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
+    val assigned = scored.withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+    val qProbes = scored.filter(col("vec_id") < 20)
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") <= 4)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("cid").as("cell"))
+    val cands = assigned.join(qProbes, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    cands.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id").as("nid"), round(col("cos"), 6).as("cos"))
+      .orderBy("qid", "nid")
+  }
+
+  /** Embedding near-dup via 16-table × 6-plane sign-LSH banding, capped
+    * buckets, exact cosine verify at `minCos`. Candidate pairs carry only
+    * ids through the shuffle. */
+  private def embeddingLshPairs(e: org.apache.spark.sql.DataFrame,
+      minCos: Double): org.apache.spark.sql.DataFrame = {
+    def bucketKey(t: Int) = (0 until 6).map { p =>
+      val plane = array((0 until 64).map(i =>
+        lit((((i * 29 + (t * 6 + p) * 13) % 9) - 4).toDouble)): _*)
+      when(dot(col("v"), plane) > 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+    val tables = (0 until 16).map(t => struct(lit(t).as("tbl"), bucketKey(t).as("key")))
+    val banded = capBuckets(
+      e.select(col("vec_id"), explode(array(tables: _*)).as("bk")), "vec_id", 128)
+    val cand = banded.select(col("vec_id").as("id_a"), col("bk"))
+      .join(banded.select(col("vec_id").as("id_b"), col("bk")), Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("id_b"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
   /** SimHash near-dup candidate pairs: 64-bit simhash over word 3-grams,
     * candidates share one of four exact 16-bit bands, survivors within
     * `maxHamming`. Shared by the full-corpus query and the planted-recall
@@ -159,6 +256,29 @@ object LlmPipeline extends QueryPack {
       // would pin the cached shingle table in executor memory for the
       // life of the session).
       val out = pairs.localCheckpoint()
+      docs.unpersist()
+      out
+    },
+
+    // MinHash-LSH recall contract, exactly oracled (the band keys are
+    // engine-internal xxhash64, but PLANTED-duplicate recall is not): an
+    // exact copy (doc_id + 1e6) of each of the first 200 docs has the
+    // identical shingle set → identical 32-hash signature → shares all 8
+    // bands, so candidacy is guaranteed and exact verify passes at
+    // jaccard 1.0. A missed planted pair — signature, banding, bucket cap,
+    // or verify — is a red row.
+    Q.df("q_dedup_minhash_planted", """
+      SELECT doc_id, TRUE AS found
+      FROM documents WHERE doc_id < 200 ORDER BY doc_id""") { (s, dir) =>
+      val src = Tables.load(s, dir, "documents")
+      val planted = src.filter(col("doc_id") < 200)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      val (docs, pairs) = minhashLshPairs(src.unionByName(planted))
+      val out = pairs
+        .filter(col("id_b") === col("id_a") + 1000000L && col("id_a") < 200)
+        .select(col("id_a").as("doc_id"), lit(true).as("found"))
+        .orderBy("doc_id")
+        .localCheckpoint()
       docs.unpersist()
       out
     },
@@ -283,40 +403,23 @@ object LlmPipeline extends QueryPack {
     // (table, bucket) is the shuffle key; each bucket re-ranks locally.
     // Rows-only check + recall floor asserted in LlmPipelineSpec.
     Q.unoracled("q_ann_lsh_bucketed") { (s, dir) =>
-      val e = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-        .withColumn("nrm", l2norm(col("v")))
-      // table t (0..7), plane p (0..3), dim i weight = ((i*31 + (t*4+p)*17) % 7) - 3.
-      // The plane is a CONSTANT 64-dim vector → projection is a codegen'd
-      // dot against a literal array (the interpreted zip_with fold here was
-      // the post-fix hot spot: 32 interpreted folds per vector).
-      def bucketKey(t: Int) = (0 until 4).map { p =>
-        val plane = array((0 until 64).map(i =>
-          lit((((i * 31 + (t * 4 + p) * 17) % 7) - 3).toDouble)): _*)
-        val proj = dot(col("v"), plane)
-        when(proj > 0, lit(1L << p)).otherwise(0L)
-      }.reduce(_ + _)
-      val tables = (0 until 8).map(t =>
-        struct(lit(t).as("tbl"), bucketKey(t).as("key")))
-      // Band join + distinct carry ONLY (qid, vec_id) — a candidate pair is
-      // 16 bytes through the shuffle, not two 64-double vectors (the same
-      // id-only move as the LSH dedup band join); vectors join back once per
-      // SURVIVING candidate, queries via broadcast.
-      val b = e.withColumn("bk", explode(array(tables: _*)))
-        .select(col("vec_id"), col("bk"))
-      val q = b.filter(col("vec_id") < 20).withColumnRenamed("vec_id", "qid")
-      val candIds = b.join(broadcast(q), Seq("bk"))
-        .filter(col("vec_id") =!= col("qid"))
-        .select("qid", "vec_id").distinct()
-      val qv = e.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
-      val cands = candIds.join(e, Seq("vec_id")).join(broadcast(qv), Seq("qid"))
-        .withColumn("cos", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
-      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-      cands.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 5)
-        .select(col("qid"), col("vec_id").as("nid"), round(col("cos"), 6).as("cos"))
-        .orderBy("qid", "nid")
+      annLshTopK(prepEmbeddings(Tables.load(s, dir, "embeddings")), 5)
+    },
+
+    // LSH-ANN recall contract, exactly oracled: plant an exact twin
+    // (vec_id + 1e6) of every vector. A twin has IDENTICAL hyperplane
+    // projections, so it shares the bucket in every one of the 8 tables —
+    // candidacy is guaranteed, and exact re-rank puts it at cos 1.0, top-1
+    // by the (cos DESC, vec_id) tie-break. The oracle states the full
+    // top-1 table literally. A missed twin — bucketing, band join, or
+    // re-rank — is a red row, not a weaker rows-only pass.
+    Q.df("q_ann_lsh_planted", """
+      SELECT vec_id AS qid, vec_id + 1000000 AS nid,
+        CAST(1.0 AS DOUBLE) AS cos
+      FROM embeddings WHERE vec_id < 20 ORDER BY qid, nid""") { (s, dir) =>
+      val src = Tables.load(s, dir, "embeddings")
+      val planted = src.withColumn("vec_id", col("vec_id") + 1000000L)
+      annLshTopK(prepEmbeddings(src.unionByName(planted)), 1)
     },
 
     // --- Similarity search: IVF-style cell-probed ANN ----------------
@@ -326,30 +429,21 @@ object LlmPipeline extends QueryPack {
     // that scales: cells partition the corpus, a query touches nprobe/ncell
     // of the data. Recall floor asserted in LlmPipelineSpec.
     Q.unoracled("q_ann_ivf") { (s, dir) =>
-      val e = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-        .withColumn("nrm", l2norm(col("v")))
-      val cents = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-      val scored = e.join(broadcast(cents), lit(true))
-        .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
-      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
-      val assigned = scored.withColumn("crn", row_number().over(wAssign))
-        .filter(col("crn") === 1)
-        .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
-      val qProbes = scored.filter(col("vec_id") < 20)
-        .withColumn("crn", row_number().over(wAssign))
-        .filter(col("crn") <= 4)
-        .select(col("vec_id").as("qid"), col("v").as("qv"),
-          col("nrm").as("qnrm"), col("cid").as("cell"))
-      val cands = assigned.join(qProbes, Seq("cell"))
-        .filter(col("vec_id") =!= col("qid"))
-        .withColumn("cos", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
-      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-      cands.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 5)
-        .select(col("qid"), col("vec_id").as("nid"), round(col("cos"), 6).as("cos"))
-        .orderBy("qid", "nid")
+      annIvfTopK(prepEmbeddings(Tables.load(s, dir, "embeddings")), 5)
+    },
+
+    // IVF recall contract, exactly oracled: an exact twin has identical
+    // centroid similarities, so the (csim DESC, cid) tie-break assigns it
+    // to the SAME cell as the original; the query probes its own best cell
+    // first, so the twin is always a candidate and re-ranks to top-1 at
+    // cos 1.0. The oracle states the top-1 table literally.
+    Q.df("q_ann_ivf_planted", """
+      SELECT vec_id AS qid, vec_id + 1000000 AS nid,
+        CAST(1.0 AS DOUBLE) AS cos
+      FROM embeddings WHERE vec_id < 20 ORDER BY qid, nid""") { (s, dir) =>
+      val src = Tables.load(s, dir, "embeddings")
+      val planted = src.withColumn("vec_id", col("vec_id") + 1000000L)
+      annIvfTopK(prepEmbeddings(src.unionByName(planted)), 1)
     },
 
     // --- Dedup: embedding-cosine near-dup (exact, oracled subset) -----
@@ -393,28 +487,26 @@ object LlmPipeline extends QueryPack {
     // capped. Rows-only (bucketing is engine-internal); soundness asserted
     // in LlmPipelineSpec against the exact subset.
     Q.unoracled("q_dedup_embedding_lsh") { (s, dir) =>
-      val e = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-        .withColumn("nrm", l2norm(col("v")))
-      def bucketKey(t: Int) = (0 until 6).map { p =>
-        val plane = array((0 until 64).map(i =>
-          lit((((i * 29 + (t * 6 + p) * 13) % 9) - 4).toDouble)): _*)
-        when(dot(col("v"), plane) > 0, lit(1L << p)).otherwise(0L)
-      }.reduce(_ + _)
-      val tables = (0 until 16).map(t => struct(lit(t).as("tbl"), bucketKey(t).as("key")))
-      val banded = capBuckets(
-        e.select(col("vec_id"), explode(array(tables: _*)).as("bk")), "vec_id", 128)
-      val cand = banded.select(col("vec_id").as("id_a"), col("bk"))
-        .join(banded.select(col("vec_id").as("id_b"), col("bk")), Seq("bk"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").distinct()
-      cand
-        .join(e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), Seq("id_a"))
-        .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("id_b"))
-        .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-        .filter(col("cos") >= 0.4)
-        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      embeddingLshPairs(
+        prepEmbeddings(Tables.load(s, dir, "embeddings")), 0.4)
         .orderBy("id_a", "id_b")
+    },
+
+    // Embedding-LSH recall contract, exactly oracled: plant an exact twin
+    // (vec_id + 1e6) of the first 200 vectors — identical projections share
+    // the bucket in all 16 tables, so every planted pair is a guaranteed
+    // candidate and survives the cosine gate at exactly 1.0. A missed
+    // planted pair is a red row.
+    Q.df("q_dedup_embedding_planted", """
+      SELECT vec_id, TRUE AS found
+      FROM embeddings WHERE vec_id < 200 ORDER BY vec_id""") { (s, dir) =>
+      val src = Tables.load(s, dir, "embeddings")
+      val planted = src.filter(col("vec_id") < 200)
+        .withColumn("vec_id", col("vec_id") + 1000000L)
+      embeddingLshPairs(prepEmbeddings(src.unionByName(planted)), 0.4)
+        .filter(col("id_b") === col("id_a") + 1000000L && col("id_a") < 200)
+        .select(col("id_a").as("vec_id"), lit(true).as("found"))
+        .orderBy("vec_id")
     },
 
     // --- Text analysis: token statistics -----------------------------
