@@ -609,9 +609,26 @@ object LlmPipeline extends QueryPack {
 
     // --- Multimodal: binary payload → decoded feature table -----------
     // Deterministic decode STUB (graft.operators.Multimodal) behind the
-    // real mapPartitions batch shape; rows-only driver check, full
-    // assertions in LlmPipelineSpec.
-    Q.unoracled("q_multimodal_features") { (s, dir) =>
+    // real mapPartitions batch shape. The stub's fake features are pure
+    // byte arithmetic over the utf-8 payload, so the ORACLE can state them
+    // in SQL (the corpus is ASCII: chars == bytes) — the whole Dataset
+    // lineage (binary wrap → mapPartitions decode → projection) is now
+    // value-pinned, not just rows-counted. A real codec swap re-opens the
+    // gap intentionally (documented in Multimodal.scala).
+    Q.df("q_multimodal_features", """
+      WITH b AS (
+        SELECT doc_id,
+          CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+               WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+          length(text) AS n,
+          LIST_TRANSFORM(string_split(text, ''), c -> ord(c)) AS bs
+        FROM documents)
+      SELECT doc_id, kind,
+        CAST(16 + n % 48 AS INT) AS width,
+        CAST(16 + (n // 7) % 48 AS INT) AS height,
+        ROUND(LIST_REDUCE(bs, (a, x) -> a + x) * 1.0 / GREATEST(n, 1), 6)
+          AS mean_intensity
+      FROM b ORDER BY doc_id""") { (s, dir) =>
       graft.operators.Multimodal.featureTable(s, dir)
         .select(col("doc_id"), col("kind"), col("width"), col("height"),
           round(col("mean_intensity"), 6).as("mean_intensity"))
