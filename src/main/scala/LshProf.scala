@@ -20,7 +20,7 @@ object LshProf {
     }
     val sfd = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val docs = graft.Tables.load(spark, sfd, "documents")
-      .repartition(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), wordShingles(col("text"), 3).as("ws"))
       .cache()
     t("shingle+cache")(docs.count())

@@ -49,8 +49,15 @@ object LlmPipeline extends QueryPack {
     * the corpus (round-2 verdict #5; at 100 TB, three corpus scans). */
   def minhashLshPairs(src: org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    // Explicit partition count: a bare repartition(col) exchange is
+    // AQE-coalescible — tiny BYTE size (10s of MB of text) collapses the
+    // 32-way shuffle to 1-2 partitions, serializing the CPU-heavy
+    // interpreted shingle stage onto one core (observed 126s single-task
+    // stage). The explicit N is respected by AQE; at 100 TB the input
+    // splits provide the fan-out and the repartition keys co-locate.
     val docs = src
-      .repartition(col("doc_id"))
+      .repartition(src.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
       .select(col("doc_id"), wordShingles(col("text"), 3).as("ws"))
       .cache()
     // Signature via explode + 32 codegen'd MIN aggregates (minhashTable):
@@ -82,7 +89,7 @@ object LlmPipeline extends QueryPack {
   private def prepEmbeddings(src: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     src.select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
+        col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", l2norm(col("v")))
 
   /** Multi-table hyperplane-LSH ANN: 8 tables × 4 planes; candidates share
@@ -181,7 +188,9 @@ object LlmPipeline extends QueryPack {
     * oracle. */
   private def simhashPairs(src: org.apache.spark.sql.DataFrame,
       maxHamming: Int): org.apache.spark.sql.DataFrame = {
-    val docs = simhashTable(src.repartition(col("doc_id")),
+    val docs = simhashTable(
+      src.repartition(src.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id")),
       "doc_id", col("text"), 3)
     val bandStructs = (0 until 4).map(b =>
       struct(lit(b).as("band"),
@@ -382,7 +391,7 @@ object LlmPipeline extends QueryPack {
       WHERE rn <= 5
       ORDER BY qid, nid""") { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("nrm", l2norm(col("v")))
       val q = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
@@ -467,7 +476,7 @@ object LlmPipeline extends QueryPack {
       ORDER BY id_a, id_b""") { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
         .filter(col("vec_id") < 300)
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("nrm", l2norm(col("v")))
       val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
       val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
@@ -596,7 +605,7 @@ object LlmPipeline extends QueryPack {
       // per-index ELEMENT_AT lookups (5.7s → codegen'd; the window is
       // partitioned per doc, never global).
       Tables.load(s, dir, "documents")
-        .repartition(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), posexplode(split(lower(col("text")), " ")).as(Seq("p", "w")))
         .select(col("w"), lead("w", 1)
           .over(Window.partitionBy("doc_id").orderBy("p")).as("w2"))
