@@ -1,0 +1,213 @@
+package graft.queries
+
+import graft.{Q, QueryPack, Tables}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators, wave 2 (SURVEY §7 item 10): PII
+  * redaction, unigram language-model quality scoring, repetition signals
+  * (Gopher-style), blocklist filtering, and a composed end-to-end corpus
+  * funnel. Reference analogs: text filtering lives in the reference as
+  * scalar string/regex functions (src/Functions/ReplaceRegexpImpl.h,
+  * countMatches.cpp); the pipeline composition is what a reference user
+  * scripts around the engine — here each stage is one declarative plan.
+  *
+  * Scale notes: every operator below is a scan + codegen'd projection or a
+  * shuffle on a bounded key (token vocab, source label). The unigram LM
+  * broadcasts the vocabulary (bounded by language, not corpus size) so the
+  * document table never shuffles.
+  */
+object LlmPipeline2 extends QueryPack {
+
+  override def queries: Seq[Q] = Seq(
+
+    // --- PII detection + redaction ------------------------------------
+    // The synthetic corpus carries no PII, so both engines derive the SAME
+    // PII-bearing text from (doc_id, text) first; what is under test is the
+    // redaction regex surface (emails, IPv4s, E.164-ish phones) and the
+    // match counting — reference analogs replaceRegexpAll
+    // (src/Functions/replaceRegexpAll.cpp) and countMatches
+    // (src/Functions/countMatches.cpp). One codegen'd projection, no
+    // shuffle: at 100 TB this runs at scan speed per input split.
+    Q.df("q_pii_redact", """
+      WITH p AS (SELECT doc_id,
+          'u' || CAST(doc_id AS VARCHAR) || '@example.com said ' ||
+          SUBSTR(text, 1, 40) || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+          || '.0.1 or call +1-555-01' || CAST(doc_id % 10 AS VARCHAR)
+          || CAST(doc_id % 10 AS VARCHAR) AS t
+        FROM documents)
+      SELECT doc_id,
+        CAST(LEN(REGEXP_EXTRACT_ALL(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        CAST(LEN(REGEXP_EXTRACT_ALL(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ip,
+        CAST(LEN(REGEXP_EXTRACT_ALL(t, '\+\d[\d-]{7,}\d')) AS BIGINT) AS n_phone,
+        REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(t,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+          '\+\d[\d-]{7,}\d', '<PHONE>', 'g') AS redacted
+      FROM p ORDER BY doc_id""") { (s, dir) =>
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+      val phone = "\\+\\d[\\d-]{7,}\\d"
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), concat(
+          lit("u"), col("doc_id").cast("string"), lit("@example.com said "),
+          substring(col("text"), 1, 40),
+          lit(" from 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0.1 or call +1-555-01"), (col("doc_id") % 10).cast("string"),
+          (col("doc_id") % 10).cast("string")).as("t"))
+        .select(col("doc_id"),
+          regexp_count(col("t"), lit(email)).as("n_email"),
+          regexp_count(col("t"), lit(ip)).as("n_ip"),
+          regexp_count(col("t"), lit(phone)).as("n_phone"),
+          regexp_replace(regexp_replace(regexp_replace(col("t"),
+            email, "<EMAIL>"), ip, "<IP>"), phone, "<PHONE>").as("redacted"))
+        .orderBy("doc_id")
+    },
+
+    // --- Unigram LM quality score -------------------------------------
+    // Per-document mean negative log-likelihood under the corpus unigram
+    // distribution: nll = ln(T) - (1/n)·Σ ln(c_tok). Classic LM-based
+    // corpus filter (low = fluent/common, high = rare/garbled). LN is only
+    // ever applied to exact integer counts (both engines call LN on
+    // identical integers — the q_agg_theils_u lesson), each term is
+    // 1e6-fixed-pointed before the per-doc sum so addition order can't
+    // drift, and T is exact.
+    // Scale shape: vocab counts are a groupBy on token (bounded by
+    // vocabulary, not corpus) and BROADCAST back; the document table never
+    // shuffles.
+    Q.df("q_text_unigram_lm", """
+      WITH tok AS (
+        SELECT doc_id, UNNEST(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                                          t -> LEN(t) > 0)) AS tok
+        FROM documents),
+      vocab AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+      tot AS (SELECT SUM(c) AS t FROM vocab),
+      terms AS (
+        SELECT tok.doc_id, CAST(ROUND(LN(CAST(v.c AS DOUBLE)) * 1000000) AS BIGINT) AS lnc
+        FROM tok JOIN vocab v USING (tok))
+      SELECT doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        ROUND(LN((SELECT CAST(t AS DOUBLE) FROM tot))
+              - CAST(SUM(lnc) AS DOUBLE) / 1000000.0 / COUNT(*), 6) AS nll
+      FROM terms GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
+      import graft.functions.TextFunctions.tokens
+      val tok = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val vocab = tok.groupBy("tok").agg(count(lit(1)).as("c"))
+      val total = vocab.agg(sum("c")).head().getLong(0)
+      tok.join(broadcast(vocab), Seq("tok"))
+        .select(col("doc_id"),
+          round(log(col("c").cast("double")) * 1e6).cast("long").as("lnc"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(lit(math.log(total.toDouble))
+            - sum("lnc").cast("double") / 1e6 / count(lit(1)), 6).as("nll"))
+        .orderBy("doc_id")
+    },
+
+    // --- Repetition signals (Gopher-style quality filter) --------------
+    // Duplicate word-trigram fraction and top-token dominance per document;
+    // high values flag boilerplate/spam. Pure integer counting on arrays —
+    // exact in both engines. One codegen'd projection, no shuffle.
+    Q.df("q_text_repetition", """
+      WITH w AS (SELECT doc_id,
+          LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), t -> LEN(t) > 0) AS ws
+        FROM documents),
+      g AS (SELECT doc_id, ws,
+          CASE WHEN LEN(ws) >= 3 THEN
+            LIST_TRANSFORM(GENERATE_SERIES(1, LEN(ws)-2),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+          ELSE [] END AS tg
+        FROM w)
+      SELECT doc_id,
+        CAST(LEN(tg) AS BIGINT) AS n_trigrams,
+        ROUND(CASE WHEN LEN(tg) > 0 THEN
+          1.0 - CAST(LEN(LIST_DISTINCT(tg)) AS DOUBLE) / LEN(tg)
+          ELSE 0.0 END, 6) AS dup_trigram_frac,
+        ROUND(CAST((SELECT MAX(cnt) FROM (
+            SELECT COUNT(*) AS cnt FROM UNNEST(ws) AS u(t) GROUP BY t)) AS DOUBLE)
+          / GREATEST(LEN(ws), 1), 6) AS top_token_frac
+      FROM g ORDER BY doc_id""") { (s, dir) =>
+      import graft.functions.TextFunctions.tokens
+      val w = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("ws"))
+      val g = w.withColumn("tg",
+        when(size(col("ws")) >= 3,
+          transform(sequence(lit(1), size(col("ws")) - 2),
+            i => concat_ws(" ", element_at(col("ws"), i),
+              element_at(col("ws"), i + 1), element_at(col("ws"), i + 2))))
+          .otherwise(array().cast("array<string>")))
+      g.select(col("doc_id"),
+        size(col("tg")).cast("long").as("n_trigrams"),
+        round(when(size(col("tg")) > 0,
+          lit(1.0) - size(array_distinct(col("tg"))).cast("double") / size(col("tg")))
+          .otherwise(0.0), 6).as("dup_trigram_frac"),
+        round(aggregate(
+          // counts of each distinct token, then max — top-token dominance
+          transform(array_distinct(col("ws")),
+            t => size(filter(col("ws"), x => x === t))),
+          lit(0), (m, c) => greatest(m, c)).cast("double")
+          / greatest(size(col("ws")), lit(1)), 6).as("top_token_frac"))
+        .orderBy("doc_id")
+    },
+
+    // --- Blocklist filtering (domain/source exclusion) -----------------
+    // The standard "remove banned domains" stage: LEFT ANTI join against a
+    // blocklist. The blocklist is tiny → broadcast; the corpus never
+    // shuffles (same shape as q_decontaminate). Survivor histogram by
+    // source keeps the output small and exactly oracled.
+    Q.df("q_filter_blocklist", """
+      WITH bl(source) AS (VALUES ('src1'), ('src3')),
+      kept AS (SELECT d.* FROM documents d
+               WHERE NOT EXISTS (SELECT 1 FROM bl WHERE bl.source = d.source))
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM kept GROUP BY source ORDER BY source""") { (s, dir) =>
+      val bl = s.createDataFrame(Seq(Tuple1("src1"), Tuple1("src3")))
+        .toDF("source")
+      Tables.load(s, dir, "documents")
+        .join(broadcast(bl), Seq("source"), "left_anti")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("total_chars"))
+        .orderBy("source")
+    },
+
+    // --- End-to-end corpus funnel ---------------------------------------
+    // The composed pipeline a training-data user actually runs: language
+    // filter → quality floor → exact dedup (first doc_id per normalized
+    // fingerprint) → blocklist, reporting the stage-by-stage survivor
+    // counts in one row. Each stage is the already-verified operator; the
+    // funnel pins their COMPOSITION (one declarative plan, stages share the
+    // scan). Dedup keeps MIN(doc_id) per md5(text) — a groupBy on the
+    // fingerprint, the only shuffle in the plan.
+    Q.df("q_pipeline_funnel", """
+      WITH base AS (SELECT doc_id, lang, source,
+          CAST(LENGTH(text) AS DOUBLE) AS len, MD5(text) AS fp
+        FROM documents),
+      s1 AS (SELECT * FROM base WHERE lang = 'en'),
+      s2 AS (SELECT * FROM s1 WHERE len >= 100),
+      s3 AS (SELECT * FROM s2 WHERE doc_id IN
+               (SELECT MIN(doc_id) FROM s2 GROUP BY fp)),
+      s4 AS (SELECT * FROM s3 WHERE source <> 'src1')
+      SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM base) AS n_total,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_lang,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n_quality,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n_dedup,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM s4) AS n_final""") { (s, dir) =>
+      val base = Tables.load(s, dir, "documents").select(col("doc_id"),
+        col("lang"), col("source"), length(col("text")).cast("double").as("len"),
+        md5(col("text")).as("fp"))
+      val s1 = base.filter(col("lang") === "en")
+      val s2 = s1.filter(col("len") >= 100)
+      val keep = s2.groupBy("fp").agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      val s3 = s2.join(keep, Seq("doc_id"), "left_semi")
+      val s4 = s3.filter(col("source") =!= "src1")
+      s1.sparkSession.range(1).select(
+        lit(base.count()).as("n_total"), lit(s1.count()).as("n_lang"),
+        lit(s2.count()).as("n_quality"), lit(s3.count()).as("n_dedup"),
+        lit(s4.count()).as("n_final"))
+    }
+  )
+}
