@@ -35,7 +35,8 @@ object SparkEntry {
     qp.StorageQueries,
     qp.MlQueries,
     qp.TpchExtra,
-    qp.FunctionTail
+    qp.FunctionTail,
+    qp.LlmPipeline2
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

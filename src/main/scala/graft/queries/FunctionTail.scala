@@ -237,7 +237,11 @@ object FunctionTail extends QueryPack {
     // CONTRACT at the cap: a value beyond the target range comes back NULL
     // from the OrNull forms and 0 from the OrZero forms — loudly absent,
     // never silently saturated or wrapped (FunctionsConversion.h
-    // accurateCastOrNull; DataTypesNumber.cpp Int128/256 ranges).
+    // accurateCastOrNull; DataTypesNumber.cpp Int128/256 ranges). The u64
+    // columns are rendered as strings on BOTH engine sides (round-4 verdict
+    // #3: the overflow contract is the NULL/0/value pattern, not the
+    // DECIMAL(20,0) carrier, whose hash canonicalization differs between
+    // the engines' drivers).
     ch("q_fn_cast_overflow", """
       SELECT
         CAST(toInt64OrNull('170141183460469231731687303715884105727') AS BIGINT) AS i64_of_i128max,
@@ -245,10 +249,10 @@ object FunctionTail extends QueryPack {
         CAST(toInt64OrNull('9223372036854775807') AS BIGINT) AS i64_max_ok,
         CAST(toInt64OrNull('9223372036854775808') AS BIGINT) AS i64_over,
         CAST(toInt64OrNull('-9223372036854775809') AS BIGINT) AS i64_under,
-        toUInt64OrNull('18446744073709551615') AS u64_max_ok,
-        toUInt64OrNull('18446744073709551616') AS u64_over,
-        toUInt64OrNull('-1') AS u64_neg,
-        toUInt64OrZero('18446744073709551616') AS u64_over_zero,
+        toString(toUInt64OrNull('18446744073709551615')) AS u64_max_ok,
+        toString(toUInt64OrNull('18446744073709551616')) AS u64_over,
+        toString(toUInt64OrNull('-1')) AS u64_neg,
+        toString(toUInt64OrZero('18446744073709551616')) AS u64_over_zero,
         CAST(toUInt32OrNull('4294967295') AS BIGINT) AS u32_max_ok,
         CAST(toUInt32OrNull('4294967296') AS BIGINT) AS u32_over,
         CAST(toInt32OrZero('2147483648') AS INT) AS i32_over_zero,
@@ -262,10 +266,10 @@ object FunctionTail extends QueryPack {
         CAST(9223372036854775807 AS BIGINT) AS i64_max_ok,
         CAST(NULL AS BIGINT) AS i64_over,
         CAST(NULL AS BIGINT) AS i64_under,
-        CAST('18446744073709551615' AS DECIMAL(20,0)) AS u64_max_ok,
-        CAST(NULL AS DECIMAL(20,0)) AS u64_over,
-        CAST(NULL AS DECIMAL(20,0)) AS u64_neg,
-        CAST(0 AS DECIMAL(20,0)) AS u64_over_zero,
+        '18446744073709551615' AS u64_max_ok,
+        CAST(NULL AS VARCHAR) AS u64_over,
+        CAST(NULL AS VARCHAR) AS u64_neg,
+        '0' AS u64_over_zero,
         CAST(4294967295 AS BIGINT) AS u32_max_ok,
         CAST(NULL AS BIGINT) AS u32_over,
         0 AS i32_over_zero,
