@@ -73,8 +73,27 @@ class PlanAuditSpec extends SparkFunSuite {
     val p = planOf("q_win_running_sum")
     assert(p.contains("__bucket"),
       "PrefixSum bucketing missing — the 3-task window plan is back")
-    assert(!p.matches("(?s).*windowspecdefinition\\(l_returnflag#\\d+, l_orderkey.*"),
-      "found a window partitioned solely by l_returnflag")
+    // The scale-killer shape is a SUM window partitioned solely by the
+    // 3-value flag over the full table (3 serial tasks at any size). The
+    // tiny edge-fixup pass IS flag-partitioned by design — but it computes
+    // lag() over the buckets×|p|×(2k−1)-row head∪tail set, never a sum over
+    // the raw table, so pin exactly the sum-on-flag-only shape.
+    assert(!p.matches("(?s).*sum\\([^)]*\\) windowspecdefinition\\(l_returnflag#\\d+, l_orderkey.*"),
+      "found a full-table running-sum window partitioned solely by l_returnflag")
+  }
+
+  test("running sum reads the base table once — branches share the checkpoint") {
+    // Round-4 verdict #2: the old multi-branch DAG recomputed the lineitem
+    // scan per branch (totals, run, candidates, dests). The rewrite
+    // checkpoints the pruned input and the single window pass, so the
+    // executed plan must contain NO parquet scan at all (the scan ran once,
+    // eagerly, into the checkpoint) and read only materialized RDDs.
+    val p = planOf("q_win_running_sum")
+    val parquetScans = "Scan parquet".r.findAllIn(p).size
+    assert(parquetScans == 0,
+      s"expected zero parquet scans in the final plan (checkpointed base), found $parquetScans")
+    assert(p.contains("ExistingRDD"),
+      "expected the plan to read the materialized checkpoint")
   }
 
   test("no cartesian products outside the declared tiny cross joins") {
