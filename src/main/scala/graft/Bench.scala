@@ -76,15 +76,24 @@ object Bench {
             None
         }
       }
-      if (times.isEmpty) { failed ::= name; name -> -1.0 }
-      else name -> times.min
+      if (times.isEmpty) { failed ::= name; name -> (-1.0, -1.0) }
+      else {
+        val sorted = times.sorted
+        name -> (sorted.head, sorted(sorted.size / 2))
+      }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, (mn, _)) => "\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    // Median alongside min (round-4 verdict #9): two rounds of ambient
+    // contention produced 3-10x phantom regressions under min-of-5 and
+    // masked a real one — min answers "steady-state throughput", the
+    // median answers "was this run contended".
+    val qsMed = results.map { case (k, (_, md)) => "\"" + k + "\":" + md }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"runs":$runs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"failed":$failedJson,"runs":$runs,"sf":"$sfDir"}"""
     // stdout for the driver AND a file: sbt interleaves [info]/[error]
     // prefixes into stdout, which made BENCH_r01's "parsed" null — the
     // file copy is always a clean single JSON line.
