@@ -34,7 +34,10 @@ object Bench {
     "q_tumble_1h", "q_hop_1h_15m", "q_ch_prewhere",
     // round-3 additions: the decontamination broadcast join and the
     // connected-components label propagation (8 shuffle rounds)
-    "q_decontaminate", "q_dedup_components")
+    "q_decontaminate", "q_dedup_components",
+    // round-5: 16-needle multiSearchAny — single-pass Aho-Corasick vs the
+    // former OR-of-contains rescan chain
+    "q_ch_multisearch_many")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

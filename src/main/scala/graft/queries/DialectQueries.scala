@@ -146,6 +146,31 @@ object DialectQueries extends QueryPack {
         (REGEXP_MATCHES(p_type, '^ECONOMY') OR REGEXP_MATCHES(p_type, 'BRASS$')) AS type_match
       FROM part ORDER BY p_partkey LIMIT 500"""),
 
+    // multiSearchAny with a 16-needle literal set — this size compiles to
+    // the single-pass Aho-Corasick automaton (MultiSearchExpressions.scala;
+    // reference: the Hyperscan dispatch in src/Functions/MultiMatchAnyImpl.h)
+    // instead of 16 rescans. The oracle states the OR-of-contains semantics
+    // the automaton must reproduce byte-for-byte; q_ch_multisearch above
+    // keeps pinning the small-set OR-chain path.
+    ch("q_ch_multisearch_many", """
+      SELECT doc_id, multiSearchAny(text, array(
+          'quantum', 'recipe', 'galaxy', 'parliament', 'volcano',
+          'syntax', 'harvest', 'molecule', 'renaissance', 'glacier',
+          'protocol', 'symphony', 'bacteria', 'treaty', 'algorithm',
+          'monsoon')) AS hit
+      FROM documents ORDER BY doc_id""",
+      """
+      SELECT doc_id,
+        (CONTAINS(text, 'quantum') OR CONTAINS(text, 'recipe')
+          OR CONTAINS(text, 'galaxy') OR CONTAINS(text, 'parliament')
+          OR CONTAINS(text, 'volcano') OR CONTAINS(text, 'syntax')
+          OR CONTAINS(text, 'harvest') OR CONTAINS(text, 'molecule')
+          OR CONTAINS(text, 'renaissance') OR CONTAINS(text, 'glacier')
+          OR CONTAINS(text, 'protocol') OR CONTAINS(text, 'symphony')
+          OR CONTAINS(text, 'bacteria') OR CONTAINS(text, 'treaty')
+          OR CONTAINS(text, 'algorithm') OR CONTAINS(text, 'monsoon')) AS hit
+      FROM documents ORDER BY doc_id"""),
+
     // ORDER BY ... WITH FILL in SQL form (ASTSelectQuery.h:38 fill
     // clause): dense month axis with gaps as NULL.
     ch("q_ch_with_fill", """

@@ -112,14 +112,23 @@ object ChFunctionRegistry {
     "startswith" -> (args => StartsWith(args(0), args(1))),
     "endswith" -> (args => EndsWith(args(0), args(1))),
     // multiSearchAny / multiMatchAny (src/Functions/multiSearchAny.cpp,
-    // MultiMatchAnyImpl.h): OR-chain of contains / rlike over an array
-    // literal of needles — codegen'd, and each disjunct can still push
-    // into the scan as a string predicate.
-    // Literal needle arrays unroll to an OR-chain of codegen'd CONTAINS /
-    // RLIKE (the hot path); non-literal needle columns fall back to an
-    // EXISTS higher-order lambda (interpreted, but fully general — the
-    // round-2 "array-literal only" gap).
+    // MultiMatchAnyImpl.h): literal needle sets of >= 4 compile to ONE
+    // Aho-Corasick automaton pass per row (the Hyperscan-class single-scan
+    // structure — an OR-of-contains rescans the haystack once per needle);
+    // smaller sets stay an OR-chain of codegen'd CONTAINS, where each
+    // disjunct can still push into the scan as a string predicate.
+    // Non-literal needle columns fall back to an EXISTS higher-order
+    // lambda (interpreted, but fully general — the round-2 "array-literal
+    // only" gap).
     "multisearchany" -> (args => args(1) match {
+      case CreateArray(items, _) if items.isEmpty => Literal(false)
+      case CreateArray(items, _)
+          if items.size >= 4 && items.forall {
+            case Literal(s, StringType) => s != null
+            case _ => false
+          } =>
+        org.apache.spark.sql.graft.MultiSearchAnyAC(args(0),
+          items.map { case Literal(s, StringType) => s.toString })
       case CreateArray(items, _) =>
         items.map(n => Contains(args(0), n): Expression).reduce(Or)
       case needles =>

@@ -219,9 +219,20 @@ object ChRegistryMisc {
         lam1(p => GreaterThan(p, Literal(0L))))
       Coalesce(Seq(ArrayMin(ps), Literal(0L)))
     }),
-    "multisearchanycaseinsensitive" -> (args =>
-      ArrayExists(ArrayTransform(args(1), lam1(n => Contains(Lower(args(0)), Lower(n)))),
-        LambdaFunction.identity)),
+    // Case-insensitive multiSearchAny: literal needle sets >= 4 lowercase
+    // both sides and run the same single-pass Aho-Corasick automaton.
+    "multisearchanycaseinsensitive" -> (args => args(1) match {
+      case CreateArray(items, _)
+          if items.size >= 4 && items.forall {
+            case Literal(s, StringType) => s != null
+            case _ => false
+          } =>
+        org.apache.spark.sql.graft.MultiSearchAnyAC(Lower(args(0)),
+          items.map { case Literal(s, StringType) => s.toString.toLowerCase })
+      case _ =>
+        ArrayExists(ArrayTransform(args(1), lam1(n => Contains(Lower(args(0)), Lower(n)))),
+          LambdaFunction.identity)
+    }),
     "multisearchanyutf8" -> (args =>
       ArrayExists(ArrayTransform(args(1), lam1(n => Contains(args(0), n))),
         LambdaFunction.identity)),
