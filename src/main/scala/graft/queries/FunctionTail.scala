@@ -1118,6 +1118,154 @@ object FunctionTail extends QueryPack {
       FROM (SELECT l_orderkey,
               list_sort(list(CAST(l_quantity AS INTEGER))) AS qs
             FROM lineitem GROUP BY l_orderkey)
-      ORDER BY l_orderkey LIMIT 2000""")
+      ORDER BY l_orderkey LIMIT 2000"""),
+
+    // Round-5 registry tail sweep wave 1: OrNull/OrZero conversion matrix
+    // completion (FunctionsConversion.h — string-parsing forms: overflow
+    // fails, no wrap; toDate/DateTime zero sentinels are the epoch).
+    ch("q_fn_conv_tail2", """
+      SELECT
+        CAST(toInt8OrNull('12') AS INT) AS i8,
+        CAST(toInt8OrZero('1000') AS INT) AS i8z,
+        CAST(toInt16OrNull('300') AS INT) AS i16,
+        CAST(toInt16OrZero('oops') AS INT) AS i16z,
+        CAST(toUInt8OrNull('200') AS INT) AS u8,
+        CAST(toUInt8OrNull('300') AS INT) AS u8n,
+        CAST(toUInt8OrZero('abc') AS INT) AS u8z,
+        CAST(toUInt16OrNull('65535') AS INT) AS u16,
+        CAST(toUInt16OrZero('70000') AS INT) AS u16z,
+        CAST(toUInt32OrNull('4294967295') AS BIGINT) AS u32,
+        CAST(toUInt32OrNull('-1') AS BIGINT) AS u32n,
+        CAST(toFloat32OrNull('1.5') AS DOUBLE) AS f32,
+        CAST(toFloat32OrZero('x') AS DOUBLE) AS f32z,
+        CAST(toFloat64OrZero('2.25') AS DOUBLE) AS f64,
+        toDateOrNull('2024-02-29') AS d1,
+        toDateOrNull('nope') AS dn,
+        toDateOrZero('nope') AS dz,
+        toDateTimeOrNull('2024-01-02 03:04:05') AS t1,
+        toDateTimeOrZero('x') AS tz,
+        toDate32('2024-03-01') AS d32,
+        toDate32OrZero('x') AS d32z,
+        toDateTime32('2024-01-02 03:04:05') AS t32,
+        toUUID('61f0c404-5CB3-11E7-907B-A6006AD3DBA0') AS uu,
+        toUUIDOrNull('zzz') AS uun,
+        toUUIDOrZero('zzz') AS uuz""",
+      """
+      SELECT 12 AS i8, 0 AS i8z, 300 AS i16, 0 AS i16z,
+        200 AS u8, CAST(NULL AS INT) AS u8n, 0 AS u8z,
+        65535 AS u16, 0 AS u16z,
+        CAST(4294967295 AS BIGINT) AS u32, CAST(NULL AS BIGINT) AS u32n,
+        CAST(1.5 AS DOUBLE) AS f32, CAST(0.0 AS DOUBLE) AS f32z,
+        CAST(2.25 AS DOUBLE) AS f64,
+        DATE '2024-02-29' AS d1, CAST(NULL AS DATE) AS dn,
+        DATE '1970-01-01' AS dz,
+        TIMESTAMP '2024-01-02 03:04:05' AS t1,
+        TIMESTAMP '1970-01-01 00:00:00' AS tz,
+        DATE '2024-03-01' AS d32, DATE '1970-01-01' AS d32z,
+        TIMESTAMP '2024-01-02 03:04:05' AS t32,
+        '61f0c404-5cb3-11e7-907b-a6006ad3dba0' AS uu,
+        CAST(NULL AS VARCHAR) AS uun,
+        '00000000-0000-0000-0000-000000000000' AS uuz"""),
+
+    // Round-5 sweep wave 2: date tail — ISO-year start, custom weeks
+    // (toCustomWeek.cpp modes 0/1/3), millisecond component, month name,
+    // MJD OrNull twins, sub-second truncation, snowflake *ID codecs
+    // (epoch-0 default per dateTimeToSnowflakeID.cpp) + legacy 64 pair.
+    ch("q_fn_date_tail3", """
+      SELECT
+        toStartOfISOYear(DATE'2021-01-01') AS iso1,
+        toStartOfISOYear(DATE'2024-06-15') AS iso2,
+        CAST(toMillisecond(TIMESTAMP'2024-01-02 03:04:05.678') AS INT) AS ms,
+        monthName(DATE'2024-03-15') AS mn,
+        CAST(toWeek(DATE'2016-12-27') AS INT) AS w0a,
+        CAST(toWeek(DATE'2024-01-01') AS INT) AS w0b,
+        CAST(toWeek(DATE'2024-01-07') AS INT) AS w0c,
+        CAST(toWeek(DATE'2019-12-30', 1) AS INT) AS w1a,
+        CAST(toWeek(DATE'2021-01-01', 1) AS INT) AS w1b,
+        CAST(toWeek(DATE'2024-01-01', 3) AS INT) AS w3,
+        CAST(toYearWeek(DATE'2016-12-27') AS INT) AS yw0a,
+        CAST(toYearWeek(DATE'2024-01-01') AS INT) AS yw0b,
+        CAST(toYearWeek(DATE'2024-01-01', 3) AS INT) AS yw3,
+        CAST(toModifiedJulianDayOrNull('2020-01-01') AS INT) AS mjd,
+        CAST(toModifiedJulianDayOrNull('garbage') AS INT) AS mjdn,
+        fromModifiedJulianDayOrNull(58849) AS fmjd,
+        fromDaysSinceYearZero32(719528) AS fdy32,
+        toStartOfMillisecond(TIMESTAMP'2024-01-02 03:04:05.678912') AS sms,
+        toStartOfFiveMinutes(TIMESTAMP'2024-01-02 03:07:09') AS s5m,
+        CAST(dateTimeToSnowflakeID(TIMESTAMP'2021-08-15 18:57:56') AS BIGINT) AS sfid,
+        snowflakeIDToDateTime(6832747188322304000) AS sfidb,
+        snowflakeIDToDateTime64(6832747188322304000) AS sfidb64,
+        CAST(dateTime64ToSnowflake(TIMESTAMP'2021-08-15 18:57:56.492') AS BIGINT) AS sf64,
+        snowflakeToDateTime64(1426981500842147840) AS sf64b""",
+      """
+      SELECT DATE '2019-12-30' AS iso1, DATE '2024-01-01' AS iso2,
+        678 AS ms, 'March' AS mn,
+        52 AS w0a, 0 AS w0b, 1 AS w0c, 53 AS w1a, 0 AS w1b, 1 AS w3,
+        201652 AS yw0a, 202353 AS yw0b, 202401 AS yw3,
+        58849 AS mjd, CAST(NULL AS INT) AS mjdn,
+        DATE '2020-01-01' AS fmjd, DATE '1970-01-01' AS fdy32,
+        TIMESTAMP '2024-01-02 03:04:05.678' AS sms,
+        TIMESTAMP '2024-01-02 03:05:00' AS s5m,
+        CAST(6832747188322304000 AS BIGINT) AS sfid,
+        TIMESTAMP '2021-08-15 18:57:56' AS sfidb,
+        TIMESTAMP '2021-08-15 18:57:56' AS sfidb64,
+        CAST(1426981500842147840 AS BIGINT) AS sf64,
+        TIMESTAMP '2021-08-15 18:57:56.492' AS sf64b"""),
+
+    // Round-5 sweep wave 3: printf, subsequence search, UTF8 affix tests,
+    // parseReadableSize matrix (ceil semantics), exact intHash32/64
+    // (expected values computed from Hash.h with the FunctionsHashing.h
+    // salts; u64 rendered as string per the engine convention),
+    // CIDR membership/range, factorial, proportionsZTest (ztest.cpp —
+    // expected tuple equals the reference docs example, rounded 6dp).
+    ch("q_fn_misc_tail2", """
+      SELECT
+        printf('%s has %d items, pi=%.2f', 'cart', 3,
+          CAST(3.14159 AS DOUBLE)) AS pf,
+        CAST(hasSubsequence('garbage', 'arg') AS INT) AS hs1,
+        CAST(hasSubsequence('garbage', 'gag') AS INT) AS hs2,
+        CAST(hasSubsequence('abc', 'acb') AS INT) AS hs3,
+        CAST(hasSubsequenceCaseInsensitive('Garbage', 'ARG') AS INT) AS hsci,
+        CAST(startsWithUTF8('привет', 'при') AS INT) AS sw,
+        CAST(endsWithUTF8('hello', 'llo') AS INT) AS ew,
+        CAST(parseReadableSize('1 KiB') AS BIGINT) AS prs1,
+        CAST(parseReadableSize('5.314 KiB') AS BIGINT) AS prs2,
+        CAST(parseReadableSize('3 MB') AS BIGINT) AS prs3,
+        CAST(parseReadableSizeOrNull('bad') AS BIGINT) AS prsn,
+        CAST(parseReadableSizeOrZero('bad') AS BIGINT) AS prsz,
+        CAST(intHash32(0) AS BIGINT) AS ih32a,
+        CAST(intHash32(42) AS BIGINT) AS ih32b,
+        toString(intHash64(0)) AS ih64a,
+        toString(intHash64(42)) AS ih64b,
+        CAST(isIPAddressInRange('127.0.0.1', '127.0.0.0/8') AS INT) AS ipr1,
+        CAST(isIPAddressInRange('128.0.0.1', '127.0.0.0/8') AS INT) AS ipr2,
+        CAST(isIPAddressInRange('192.168.5.3', '192.168.5.0/24') AS INT) AS ipr3,
+        tupleElement(IPv4CIDRToRange(IPv4StringToNum('192.168.5.2'), 16), 1) AS cidrlo,
+        tupleElement(IPv4CIDRToRange(IPv4StringToNum('192.168.5.2'), 16), 2) AS cidrhi,
+        CAST(factorial(10) AS BIGINT) AS fac10,
+        CAST(factorial(0) AS BIGINT) AS fac0,
+        CAST(factorial(20) AS BIGINT) AS fac20,
+        round(tupleElement(proportionsZTest(10, 11, 100, 101, 0.95, 'unpooled'), 1), 6) AS zt_z,
+        round(tupleElement(proportionsZTest(10, 11, 100, 101, 0.95, 'unpooled'), 2), 6) AS zt_p,
+        round(tupleElement(proportionsZTest(10, 11, 100, 101, 0.95, 'unpooled'), 3), 6) AS zt_lo,
+        round(tupleElement(proportionsZTest(10, 11, 100, 101, 0.95, 'unpooled'), 4), 6) AS zt_hi,
+        round(tupleElement(proportionsZTest(10, 11, 100, 101, 0.95, 'pooled'), 1), 6) AS ztp_z""",
+      """
+      SELECT 'cart has 3 items, pi=3.14' AS pf,
+        1 AS hs1, 1 AS hs2, 0 AS hs3, 1 AS hsci, 1 AS sw, 1 AS ew,
+        CAST(1024 AS BIGINT) AS prs1, CAST(5442 AS BIGINT) AS prs2,
+        CAST(3000000 AS BIGINT) AS prs3, CAST(NULL AS BIGINT) AS prsn,
+        CAST(0 AS BIGINT) AS prsz,
+        CAST(4249604106 AS BIGINT) AS ih32a,
+        CAST(1228623923 AS BIGINT) AS ih32b,
+        '4761183170873013810' AS ih64a,
+        '11490350930367293593' AS ih64b,
+        1 AS ipr1, 0 AS ipr2, 1 AS ipr3,
+        '192.168.0.0' AS cidrlo, '192.168.255.255' AS cidrhi,
+        CAST(3628800 AS BIGINT) AS fac10, CAST(1 AS BIGINT) AS fac0,
+        CAST(2432902008176640000 AS BIGINT) AS fac20,
+        CAST(-0.206567 AS DOUBLE) AS zt_z, CAST(0.836348 AS DOUBLE) AS zt_p,
+        CAST(-0.09346 AS DOUBLE) AS zt_lo, CAST(0.075638 AS DOUBLE) AS zt_hi,
+        CAST(-0.206507 AS DOUBLE) AS ztp_z""")
   )
 }

@@ -412,7 +412,8 @@ object ChFunctionRegistry {
   /** Full surface: core names + the per-area extension packs. */
   val builders: Map[String, Seq[Expression] => Expression] =
     coreBuilders ++ ChRegistryArrays.builders ++ ChRegistryExt.builders ++
-      ChRegistryUrlDate.builders ++ ChRegistryMisc.builders
+      ChRegistryUrlDate.builders ++ ChRegistryMisc.builders ++
+      ChRegistryTail.builders
 
   /** Install the aliases into the session's function registry — but ONLY
     * names Spark does not already provide. Names that exist as Spark
@@ -425,12 +426,20 @@ object ChFunctionRegistry {
     java.util.Collections.newSetFromMap(
       new java.util.WeakHashMap[SparkSession, java.lang.Boolean])
 
+  /** Names registered even though a Spark built-in of the same name
+    * exists, because the REFERENCE semantics differ from the built-in's:
+    * monthName returns the full month name ('March', toCustomWeek.cpp
+    * dateName path) where Spark 4's monthname() abbreviates ('Mar').
+    * Pinned in ChRegistrySpec — additions need the same explicit call. */
+  private val overrideBuiltins = Set("monthname")
+
   def install(spark: SparkSession): Unit = synchronized {
     if (installedSessions.contains(spark)) return // idempotent: no re-register
     val registry = spark.sessionState.functionRegistry
     val builtin = org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
     builders.foreach { case (name, builder) =>
-      if (!builtin.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+      if (overrideBuiltins.contains(name) ||
+          !builtin.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
         registry.createOrReplaceTempFunction(name, builder, "built-in")
     }
     installedSessions.add(spark)
@@ -442,6 +451,7 @@ object ChFunctionRegistry {
   def shadowedBuiltins(spark: SparkSession): Seq[String] = {
     val builtin = org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
     builders.keys.toSeq.sorted
+      .filterNot(overrideBuiltins.contains)
       .filter(n => builtin.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(n)))
   }
 }

@@ -225,7 +225,12 @@ object ChRegistryUrlDate {
     "todayssinceyearzero" -> (args =>
       Add(DateDiff(Cast(args.head, DateType),
         Cast(Literal("0001-01-01"), DateType)), Literal(366))),
+    // canonical reference spelling is PLURAL toStartOfFiveMinutes
+    // (registerFunctions: FunctionToStartOfFiveMinutes) — the singular
+    // stays as a lenient alias (round-5 sweep found it registered under
+    // the misspelled name only)
     "tostartoffiveminute" -> (args => floorSeconds(args.head, 300L)),
+    "tostartoffiveminutes" -> (args => floorSeconds(args.head, 300L)),
     "tostartoftenminutes" -> (args => floorSeconds(args.head, 600L)),
     "tostartoffifteenminutes" -> (args => floorSeconds(args.head, 900L)),
     "tostartofinterval" -> (args => toStartOfInterval(args(0), args(1))),
@@ -246,10 +251,14 @@ object ChRegistryUrlDate {
       SecondsToTimestamp(IntegralDivide(
         Add(ShiftRightUnsigned(asLong(args.head), Literal(22)),
           Literal(twitterEpochMs)), Literal(1000L)))),
+    // NOTE the *ID codec defaults to epoch 0, not the Twitter epoch
+    // (snowflakeIDToDateTime.cpp:77 `UInt64 epoch = 0`, optional arg 2) —
+    // round-5 fix; the legacy snowflakeToDateTime above keeps Twitter.
     "snowflakeidtodatetime" -> (args =>
       SecondsToTimestamp(IntegralDivide(
         Add(ShiftRightUnsigned(asLong(args.head), Literal(22)),
-          Literal(twitterEpochMs)), Literal(1000L)))),
+          asLong(if (args.length > 1) args(1) else Literal(0L))),
+        Literal(1000L)))),
     "uuidv7todatetime" -> (args =>
       SecondsToTimestamp(IntegralDivide(
         Cast(Conv(Substring(RegExpReplace(args.head, Literal("-"), Literal("")),

@@ -20,7 +20,9 @@ class ChRegistrySpec extends SparkFunSuite {
     // explicitly (skip + parity-test below, or rename) before shipping.
     assert(ChFunctionRegistry.shadowedBuiltins(spark).toSet == Set(
       "hex", "unhex", "nullif", "ifnull", "startswith", "endswith",
-      "lcase", "ucase", "median", "cbrt"))
+      "lcase", "ucase", "median", "cbrt",
+      // round-5 tail sweep: Spark builtins with CH-identical semantics
+      "printf", "factorial"))
   }
 
   test("skipped builtins have CH-identical semantics") {
@@ -42,6 +44,21 @@ class ChRegistrySpec extends SparkFunSuite {
     // median = exact 0.5-quantile (CH median/quantileExact(0.5) semantics)
     val med = spark.sql("SELECT median(x) FROM VALUES (1.0),(2.0),(10.0) t(x)").head().getDouble(0)
     assert(med == 2.0)
+    // printf = C-style format (printf.cpp); factorial caps at 20! and
+    // nulls outside [0, 20] like the reference's throw-range
+    val pf = spark.sql(
+      "SELECT printf('%s=%d', 'n', 7) AS p, factorial(20) AS f, factorial(21) AS fo").head()
+    assert(pf.getAs[String]("p") == "n=7")
+    assert(pf.getAs[Long]("f") == 2432902008176640000L)
+    assert(pf.isNullAt(pf.fieldIndex("fo")))
+  }
+
+  test("overrideBuiltins: monthName keeps reference full-name semantics") {
+    ChFunctionRegistry.install(spark)
+    // Spark 4's own monthname() abbreviates ('Mar'); the reference's
+    // monthName (dateName month path) returns 'March' — override wins.
+    assert(spark.sql("SELECT monthname(DATE'2024-03-15') AS m")
+      .head().getAs[String]("m") == "March")
   }
 
   test("dialect rewrites cover count() and any()") {
