@@ -36,7 +36,8 @@ object SparkEntry {
     qp.MlQueries,
     qp.TpchExtra,
     qp.FunctionTail,
-    qp.LlmPipeline2
+    qp.LlmPipeline2,
+    qp.LlmPipeline3
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -105,4 +105,26 @@ class PlanAuditSpec extends SparkFunSuite {
         s"$q plans a CartesianProduct")
     }
   }
+
+  test("nearest-centroid assignment broadcasts the centroids, no sort shuffle") {
+    // Wave-3 clustering: the embedding scan crosses the 8-row centroid
+    // table via broadcast (never a shuffled CartesianProduct), and the
+    // per-vector argmax is a hash aggregate (min_by), not a row_number
+    // window — a window would force a full sort shuffle of N×8 rows.
+    val p = planOf("q_doc_clusters")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "centroids must broadcast")
+    assert(!p.contains("CartesianProduct"), "clustering plans a CartesianProduct")
+    assert(!p.contains("Window"), "argmax regressed to a window sort shuffle")
+  }
+
+  test("stratified sampling is a scan-speed projection (no pre-aggregate shuffle)") {
+    // Membership is a pure function of the row: exactly one exchange (the
+    // tiny per-source aggregate) and no join may appear.
+    val p = planOf("q_sample_stratified")
+    assert(!p.contains("Join"), "sampling must not join")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, // partial->final agg shuffle + ORDER BY range
+      s"expected <=2 exchanges (agg + sort), found $exchanges")
+  }
 }
