@@ -37,7 +37,8 @@ object SparkEntry {
     qp.TpchExtra,
     qp.FunctionTail,
     qp.LlmPipeline2,
-    qp.LlmPipeline3
+    qp.LlmPipeline3,
+    qp.WideIntQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -413,7 +413,7 @@ object ChFunctionRegistry {
   val builders: Map[String, Seq[Expression] => Expression] =
     coreBuilders ++ ChRegistryArrays.builders ++ ChRegistryExt.builders ++
       ChRegistryUrlDate.builders ++ ChRegistryMisc.builders ++
-      ChRegistryTail.builders
+      ChRegistryTail.builders ++ ChRegistryWide.builders
 
   /** Install the aliases into the session's function registry — but ONLY
     * names Spark does not already provide. Names that exist as Spark
