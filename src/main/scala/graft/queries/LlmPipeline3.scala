@@ -255,6 +255,94 @@ object LlmPipeline3 extends QueryPack {
           round(min("cos"), 6).as("min_cos"),
           round(max("cos"), 6).as("max_cos"))
         .orderBy("cluster")
+    },
+
+    // --- Sequence packing into fixed context windows ------------------
+    // Greedy concatenation packing: within each source shard, order
+    // documents by a stable hash (deterministic shuffle), run a token
+    // cumsum, and assign each document to the 2048-token bin its start
+    // offset lands in. Everything is exact integer arithmetic, so the
+    // per-source packing summary (bin count, straddle count, per-doc
+    // bin-assignment checksum) hash-matches the oracle cell-for-cell.
+    // Scale: the window partitions on source (one shard = one stream),
+    // so 100 TB packs as N independent sorted streams — no global sort;
+    // the global-cumsum variant is the PrefixSum operator.
+    Q.df("q_seq_packing", s"""
+      WITH t AS (SELECT source, doc_id,
+          (doc_id * $knuth) % $mod32 AS hv,
+          LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'),
+                          x -> LEN(x) > 0)) AS n_tok
+        FROM documents),
+      c AS (SELECT source, doc_id, n_tok,
+          SUM(n_tok) OVER (PARTITION BY source ORDER BY hv, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t),
+      b AS (SELECT source, doc_id, n_tok,
+          (cum - n_tok) // 2048 AS bin,
+          CASE WHEN n_tok > 0 AND (cum - 1) // 2048 <> (cum - n_tok) // 2048
+               THEN 1 ELSE 0 END AS straddles
+        FROM c)
+      SELECT source,
+        CAST(COUNT(*) AS BIGINT) AS docs,
+        CAST(SUM(n_tok) AS BIGINT) AS tokens,
+        CAST(MAX(bin) + 1 AS BIGINT) AS bins,
+        CAST(SUM(straddles) AS BIGINT) AS straddled,
+        CAST(SUM(bin * doc_id) AS BIGINT) AS assign_sum
+      FROM b GROUP BY source ORDER BY source""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.load(s, dir, "documents")
+      val hv = (col("doc_id") * lit(knuth)) % lit(mod32)
+      val nTok = size(filter(split(col("text"), "\\s+"), x => length(x) > 0))
+        .cast("long")
+      val w = Window.partitionBy("source").orderBy("hv", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val c = d.select(col("source"), col("doc_id"), hv.as("hv"),
+          nTok.as("n_tok"))
+        .withColumn("cum", sum("n_tok").over(w))
+      val bin = floor((col("cum") - col("n_tok")) / 2048)
+      val straddles = when(col("n_tok") > 0 &&
+        floor((col("cum") - 1) / 2048) =!= bin, 1).otherwise(0)
+      c.select(col("source"), col("doc_id"), col("n_tok"),
+          bin.as("bin"), straddles.as("straddles"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs"), sum("n_tok").as("tokens"),
+          (max("bin") + 1).as("bins"), sum("straddles").as("straddled"),
+          sum(col("bin") * col("doc_id")).as("assign_sum"))
+        .orderBy("source")
+    },
+
+    // --- Deterministic train/val/test split --------------------------
+    // hash(doc_id) mod 100 → 90/5/5. A pure row function: re-runs, added
+    // shards, and different cluster sizes keep every document in the
+    // same split (the property that matters for reproducible training
+    // corpora). Scan-speed projection + tiny (split, lang) aggregate.
+    Q.df("q_data_split", s"""
+      WITH h AS (SELECT lang, doc_id,
+          ((doc_id * $knuth) % $mod32) % 100 AS pct,
+          LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'),
+                          x -> LEN(x) > 0)) AS n_tok
+        FROM documents),
+      s AS (SELECT lang, doc_id, n_tok,
+          CASE WHEN pct < 90 THEN 'train'
+               WHEN pct < 95 THEN 'valid' ELSE 'test' END AS split
+        FROM h)
+      SELECT split, lang,
+        CAST(COUNT(*) AS BIGINT) AS docs,
+        CAST(SUM(n_tok) AS BIGINT) AS tokens,
+        CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      FROM s GROUP BY split, lang ORDER BY split, lang""") { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val pct = ((col("doc_id") * lit(knuth)) % lit(mod32)) % 100
+      val nTok = size(filter(split(col("text"), "\\s+"), x => length(x) > 0))
+        .cast("long")
+      val splitCol = when(pct < 90, "train").when(pct < 95, "valid")
+        .otherwise("test")
+      d.select(col("lang"), col("doc_id"), splitCol.as("split"),
+          nTok.as("n_tok"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("docs"), sum("n_tok").as("tokens"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("split", "lang")
     }
   )
 }
