@@ -66,6 +66,16 @@ object Bench {
       .filter(n => only.forall(_.contains(n))).map { name =>
       val times = (1 to runs).flatMap { i =>
         spark.catalog.clearCache()
+        // clearCache() covers catalog-registered DataFrame caches only —
+        // localCheckpoint()ed RDDs (PrefixSum base, minhash survivor
+        // pairs, components label rounds) stay materialized forever.
+        // 21 queries x 5 runs of leaked checkpoint blocks tip the heap
+        // into GC thrash: measured medians 6-10x the mins for LATER
+        // queries in the schedule (asof 33.7s median vs 3.2s min), which
+        // is schedule-position noise, not query cost. Release everything
+        // persistent so each timed run starts from a cold block manager.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
         val t0 = System.nanoTime()
         try {
           queries(name)(spark, sfDir).collect()

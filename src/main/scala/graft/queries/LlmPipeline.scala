@@ -79,12 +79,21 @@ object LlmPipeline extends QueryPack {
     // arrays per row.
     val banded = capBuckets(sigs.select(col("doc_id"),
       explode(lshBandKeys(col("sig"), 8, 4)).as("bk")), "doc_id", 128)
+    val par = src.sparkSession.sparkContext.defaultParallelism
     val cand = banded.select(col("doc_id").as("id_a"), col("bk"))
       .join(banded.select(col("doc_id").as("id_b"), col("bk")), Seq("bk"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+      // Same AQE trap as the shingle stage, one stage later: the deduped
+      // pair set is tiny in BYTES (16/row), so AQE coalesces the distinct
+      // output to 1-2 partitions — and the verify join-back then evaluates
+      // every interpreted array-intersect/union jaccard on one core
+      // (observed: bimodal 4s/85s runs at sf0.1, single RUNNABLE task in
+      // jstack). Explicit counts pin the fan-out on both join-back keys.
+      .repartition(par, col("id_a"))
     val pairs = cand
       .join(docs.select(col("doc_id").as("id_a"), col("ws").as("wa")), Seq("id_a"))
+      .repartition(par, col("id_b"))
       .join(docs.select(col("doc_id").as("id_b"), col("ws").as("wb")), Seq("id_b"))
       .withColumn("jac", jaccard(col("wa"), col("wb")))
       .filter(col("jac") >= 0.8)
