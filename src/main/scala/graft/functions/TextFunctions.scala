@@ -40,10 +40,23 @@ object TextFunctions {
       sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
       i => text.substr(i, lit(n))))
 
-  /** Exact Jaccard similarity of two array columns. */
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      size(array_union(a, b)).cast("double")
+  /** Exact Jaccard similarity of two DISTINCT-element array columns.
+    * |a∪b| = |a|+|b|−|a∩b| when both sides are sets (wordSet/wordShingles
+    * both array_distinct), so one hash-set build per pair instead of two —
+    * array_intersect is evaluated once (codegen subexpression elimination;
+    * both occurrences are the same deterministic tree). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a).cast("double") + size(b).cast("double") - inter)
+  }
+
+  /** Necessary condition for jaccard(a,b) >= t over set-arrays, from
+    * |a∩b| <= min and |a∪b| >= max: jac <= min/max. Evaluating two size()
+    * calls rejects most within-block pairs before any hash-set build —
+    * the standard length-filter of set-similarity joins (e.g. PPJoin). */
+  def jaccardLengthOk(a: Column, b: Column, t: Double): Column =
+    least(size(a), size(b)).cast("double") >=
+      greatest(size(a), size(b)).cast("double") * t
 
   /** MinHash signature: k independent min-hashes over a token array.
     * Each token is string-hashed ONCE (xxhash64), then the k hash-family

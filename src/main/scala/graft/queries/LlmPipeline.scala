@@ -80,8 +80,18 @@ object LlmPipeline extends QueryPack {
     val banded = capBuckets(sigs.select(col("doc_id"),
       explode(lshBandKeys(col("sig"), 8, 4)).as("bk")), "doc_id", 128)
     val par = src.sparkSession.sparkContext.defaultParallelism
+    // shuffle_hash pins below: AQE's size estimates come from the
+    // InMemoryRelation's COLUMNAR batch bytes, which undersell the heap
+    // size of array<string> rows by ~10x — it flips these joins to
+    // BroadcastHashJoin run-to-run, and broadcasting the shingle table
+    // (60k rows x ~200-token arrays) builds a multi-GB HashedRelation:
+    // measured 84-408s bimodal runs with executor-heartbeat timeouts (GC
+    // storms) vs 2.5s when the same query planned shuffle joins. A band
+    // key / doc id is also the only shuffle key that scales to 100 TB —
+    // a broadcast of the full corpus never does.
     val cand = banded.select(col("doc_id").as("id_a"), col("bk"))
-      .join(banded.select(col("doc_id").as("id_b"), col("bk")), Seq("bk"))
+      .join(banded.select(col("doc_id").as("id_b"), col("bk"))
+        .hint("shuffle_hash"), Seq("bk"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
       // Same AQE trap as the shingle stage, one stage later: the deduped
@@ -92,9 +102,12 @@ object LlmPipeline extends QueryPack {
       // jstack). Explicit counts pin the fan-out on both join-back keys.
       .repartition(par, col("id_a"))
     val pairs = cand
-      .join(docs.select(col("doc_id").as("id_a"), col("ws").as("wa")), Seq("id_a"))
+      .join(docs.select(col("doc_id").as("id_a"), col("ws").as("wa"))
+        .hint("shuffle_hash"), Seq("id_a"))
       .repartition(par, col("id_b"))
-      .join(docs.select(col("doc_id").as("id_b"), col("ws").as("wb")), Seq("id_b"))
+      .join(docs.select(col("doc_id").as("id_b"), col("ws").as("wb"))
+        .hint("shuffle_hash"), Seq("id_b"))
+      .filter(jaccardLengthOk(col("wa"), col("wb"), 0.8))
       .withColumn("jac", jaccard(col("wa"), col("wb")))
       .filter(col("jac") >= 0.8)
       .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
@@ -222,13 +235,18 @@ object LlmPipeline extends QueryPack {
     val tables = (0 until 16).map(t => struct(lit(t).as("tbl"), bucketKey(t).as("key")))
     val banded = capBuckets(
       e.select(col("vec_id"), explode(array(tables: _*)).as("bk")), "vec_id", 128)
+    // shuffle_hash pins: same AQE broadcast-flip trap as minhashLshPairs
+    // (vector arrays underestimated by columnar stats; see comment there).
     val cand = banded.select(col("vec_id").as("id_a"), col("bk"))
-      .join(banded.select(col("vec_id").as("id_b"), col("bk")), Seq("bk"))
+      .join(banded.select(col("vec_id").as("id_b"), col("bk"))
+        .hint("shuffle_hash"), Seq("bk"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     cand
-      .join(e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), Seq("id_a"))
-      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("id_b"))
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+        .hint("shuffle_hash"), Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+        .hint("shuffle_hash"), Seq("id_b"))
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
@@ -251,7 +269,7 @@ object LlmPipeline extends QueryPack {
       explode(array(bandStructs: _*)).as("bk")), "doc_id", 128)
     val a = banded.select(col("doc_id").as("id_a"), col("sh").as("sa"), col("bk"))
     val b = banded.select(col("doc_id").as("id_b"), col("sh").as("sb"), col("bk"))
-    a.join(b, Seq("bk")).filter(col("id_a") < col("id_b"))
+    a.join(b.hint("shuffle_hash"), Seq("bk")).filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "sa", "sb").distinct()
       .withColumn("dist", hamming64(col("sa"), col("sb")))
       .filter(col("dist") <= maxHamming)
@@ -291,13 +309,20 @@ object LlmPipeline extends QueryPack {
       WHERE CAST(LEN(LIST_INTERSECT(a.ws, b.ws)) AS DOUBLE)
             / LEN(LIST_DISTINCT(LIST_CONCAT(a.ws, b.ws))) >= 0.8
       ORDER BY id_a, id_b""") { (s, dir) =>
+      // Explicit (lang, source) fan-out before the blocked self-join: the
+      // single-file scan is one input split, and a broadcast self-join
+      // would run every interpreted jaccard on one core (the block count
+      // ~100 bounds useful parallelism, not the byte size AQE sees).
       val d = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism,
+          col("lang"), col("source"))
         .select(col("doc_id"), col("lang"), col("source"),
           wordSet(col("text")).as("ws"))
       val a = d.select(col("doc_id").as("id_a"), col("lang"), col("source"), col("ws").as("wa"))
       val b = d.select(col("doc_id").as("id_b"), col("lang"), col("source"), col("ws").as("wb"))
-      a.join(b, Seq("lang", "source"))
+      a.join(b.hint("merge"), Seq("lang", "source"))
         .filter(col("id_a") < col("id_b"))
+        .filter(jaccardLengthOk(col("wa"), col("wb"), 0.8))
         .withColumn("jac", jaccard(col("wa"), col("wb")))
         .filter(col("jac") >= 0.8)
         .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
@@ -424,8 +449,9 @@ object LlmPipeline extends QueryPack {
           wordShingles(col("text"), 3).as("sh"))
       val a = d.select(col("doc_id").as("id_a"), col("lang"), col("source"), col("sh").as("sa"))
       val b = d.select(col("doc_id").as("id_b"), col("lang"), col("source"), col("sh").as("sb"))
-      a.join(b, Seq("lang", "source"))
+      a.join(b.hint("merge"), Seq("lang", "source"))
         .filter(col("id_a") < col("id_b"))
+        .filter(jaccardLengthOk(col("sa"), col("sb"), 0.8))
         .withColumn("jac", jaccard(col("sa"), col("sb")))
         .filter(col("jac") >= 0.8)
         .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
@@ -803,7 +829,11 @@ object LlmPipeline extends QueryPack {
       FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 50 <> 0) d
       LEFT JOIN ov ON d.doc_id = ov.doc_id
       ORDER BY d.doc_id LIMIT 500""") { (s, dir) =>
+      // Explicit fan-out: the gram explode + broadcast probe is CPU-bound
+      // interpreted HOF work over a single input split — without the
+      // pinned repartition it runs one-core (12.3s median vs 3.3s min).
       val docs = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       val words = filter(split(lower(col("text")), "\\s+"),
         w => length(w) > lit(0))
       val grams = array_distinct(transform(
@@ -812,8 +842,13 @@ object LlmPipeline extends QueryPack {
       val g = docs.select(col("doc_id"), explode(grams).as("g"))
       val bench = g.filter(col("doc_id") % 50 === 0).select("g").distinct()
       val train = g.filter(col("doc_id") % 50 =!= 0)
+      // count, not countDistinct: grams are array_distinct'ed per doc
+      // before the explode and the bench side is a distinct set, so the
+      // probe emits each (doc_id, g) at most once — a plain count gets
+      // map-side partial aggregation instead of a full (doc_id, g)
+      // dedup shuffle of every surviving gram row.
       val overlap = train.join(broadcast(bench), Seq("g"))
-        .groupBy("doc_id").agg(countDistinct("g").as("shared"))
+        .groupBy("doc_id").agg(count("g").as("shared"))
       docs.filter(col("doc_id") % 50 =!= 0).select("doc_id").distinct()
         .join(overlap, Seq("doc_id"), "left")
         .select(col("doc_id"),
@@ -851,15 +886,22 @@ object LlmPipeline extends QueryPack {
       SELECT doc_id, component,
         CAST(doc_id = component AS BOOLEAN) AS is_canonical
       FROM comp ORDER BY doc_id""") { (s, dir) =>
+      // Same explicit fan-out as q_dedup_jaccard_exact: without it the
+      // blocked self-join probes the single input split on one core
+      // (measured 45s median vs 3.8s min at sf0.1 — AQE replans the
+      // broadcast direction run to run).
       val d = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism,
+          col("lang"), col("source"))
         .select(col("doc_id"), col("lang"), col("source"),
           wordSet(col("text")).as("ws"))
       val a = d.select(col("doc_id").as("id_a"), col("lang"), col("source"),
         col("ws").as("wa"))
       val b = d.select(col("doc_id").as("id_b"), col("lang"), col("source"),
         col("ws").as("wb"))
-      val pairs = a.join(b, Seq("lang", "source"))
+      val pairs = a.join(b.hint("merge"), Seq("lang", "source"))
         .filter(col("id_a") < col("id_b"))
+        .filter(jaccardLengthOk(col("wa"), col("wb"), 0.8))
         .filter(jaccard(col("wa"), col("wb")) >= 0.8)
         .select(col("id_a"), col("id_b"))
       val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))

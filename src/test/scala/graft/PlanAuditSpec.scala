@@ -41,6 +41,25 @@ class PlanAuditSpec extends SparkFunSuite {
     } finally docs.unpersist()
   }
 
+  test("minhash LSH joins are pinned shuffle-hash — AQE must never broadcast") {
+    // Round-5 regression root-cause: AQE's in-memory columnar stats
+    // undersell array<string> rows ~10x and flipped the band self-join and
+    // both verify join-backs to BroadcastHashJoin run-to-run; broadcasting
+    // the shingle table builds a multi-GB HashedRelation (84-408s runs,
+    // executor-heartbeat timeouts from GC storms). The shuffle_hash hints
+    // make the join strategy deterministic AND 100 TB-shaped (a full-corpus
+    // broadcast can never scale).
+    val (docs, pairs) = queries.LlmPipeline.minhashLshPairs(
+      Tables.load(spark, sf, "documents"))
+    try {
+      val p = pairs.queryExecution.executedPlan.toString
+      assert(p.contains("ShuffledHashJoin"),
+        "expected pinned ShuffledHashJoin in the minhash pipeline")
+      assert(!p.contains("BroadcastHashJoin"),
+        s"broadcast join leaked back into the minhash pipeline:\n$p")
+    } finally docs.unpersist()
+  }
+
   test("minhash LSH query releases the shingle cache after materializing") {
     val p = planOf("q_dedup_minhash_lsh")
     // Eager checkpoint: the returned plan scans the materialized RDD, so
