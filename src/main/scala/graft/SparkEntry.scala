@@ -38,6 +38,7 @@ object SparkEntry {
     qp.FunctionTail,
     qp.LlmPipeline2,
     qp.LlmPipeline3,
+    qp.LlmPipeline4,
     qp.WideIntQueries
   )
 

@@ -1,0 +1,157 @@
+package graft.queries
+
+import graft.{Q, QueryPack, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-pipeline wave 4: web-corpus ingestion operators — HTML text
+  * extraction, per-domain quotas, corpus-wide chunk dedup, and rolling-hash
+  * fingerprints. All four are exactly oracled: the structured inputs the
+  * synthetic corpus lacks (markup, URLs) are derived deterministically from
+  * the document row on BOTH engines, so the transformation itself is what
+  * the hash compare pins.
+  */
+object LlmPipeline4 extends QueryPack {
+
+  def queries: Seq[Q] = Seq(
+
+    // --- HTML text extraction -----------------------------------------
+    // Reference: src/Functions/extractTextFromHTML.cpp (script/style
+    // elision, tag strip, whitespace collapse) + decodeHTMLComponent.cpp
+    // (entity decode). The corpus has no markup, so each doc is wrapped in
+    // a deterministic page skeleton (style + title + h1 + entity + script)
+    // and the query must recover exactly "doc <source> <text>". Pure
+    // codegen'd string expressions — no UDF, scales as a map-only stage.
+    Q.df("q_text_html_strip", """
+      WITH h AS (SELECT doc_id,
+        '<html><head><style>p { color: red; }</style><title>doc</title></head><body><h1>' || source ||
+        '</h1>&nbsp;<p>' || text || '</p><script>if (1 < 2) { log("x"); }</script></body></html>' AS html
+        FROM documents WHERE doc_id < 300)
+      SELECT doc_id,
+        TRIM(REGEXP_REPLACE(REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(html,
+          '<script[^>]*>.*?</script>', ' ', 'g'),
+          '<style[^>]*>.*?</style>', ' ', 'g'),
+          '<[^>]*>', ' ', 'g'), '&nbsp;', ' '),
+          '\s+', ' ', 'g')) AS stripped
+      FROM h ORDER BY doc_id""") { (s, dir) =>
+      val html = concat(
+        lit("<html><head><style>p { color: red; }</style><title>doc</title></head><body><h1>"),
+        col("source"),
+        lit("</h1>&nbsp;<p>"), col("text"),
+        lit("</p><script>if (1 < 2) { log(\"x\"); }</script></body></html>"))
+      Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"), html.as("html"))
+        .select(col("doc_id"),
+          trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            col("html"),
+            "<script[^>]*>.*?</script>", " "),
+            "<style[^>]*>.*?</style>", " "),
+            "<[^>]*>", " "),
+            "&nbsp;", " "),
+            "\\s+", " ")).as("stripped"))
+        .orderBy("doc_id")
+    },
+
+    // --- Per-domain quota (CommonCrawl-style cap) ----------------------
+    // Reference URL family: src/Functions/URL/domain.cpp. A web-scale
+    // corpus caps documents per registered domain to bound boilerplate
+    // fan-in; here domain = source.(doc_id mod 7) deterministically. Scale
+    // shape: ONE shuffle on the domain key for the row_number window — the
+    // same key the cap groups by — then a map-side-combinable aggregate.
+    Q.df("q_domain_cap", """
+      WITH d AS (SELECT doc_id, n_chars,
+          source || '.' || CAST(doc_id % 7 AS VARCHAR) AS domain FROM documents),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY domain ORDER BY n_chars DESC, doc_id) AS rn FROM d)
+      SELECT domain, COUNT(*) AS n_total,
+        CAST(SUM(CASE WHEN rn <= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(SUM(CASE WHEN rn <= 20 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+      FROM r GROUP BY domain ORDER BY domain""") { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          concat(col("source"), lit("."),
+            (col("doc_id") % 7).cast("string")).as("domain"))
+      val w = Window.partitionBy(col("domain"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      d.withColumn("rn", row_number().over(w))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("rn") <= 20, 1).otherwise(0)).cast("long").as("n_kept"),
+          sum(when(col("rn") <= 20, col("n_chars")).otherwise(0))
+            .cast("long").as("kept_chars"))
+        .orderBy("domain")
+    },
+
+    // --- Corpus-wide chunk dedup ---------------------------------------
+    // Line/paragraph-level dedup (CCNet-style): split each doc into
+    // non-overlapping 10-word chunks, keep each distinct chunk only at its
+    // first (min doc_id) occurrence corpus-wide, report per-doc survival.
+    // Scale shape: the only wide operation is a shuffle keyed on the chunk
+    // string; MIN is map-side combinable; the keeper join-back is pinned
+    // shuffle_hash (same AQE broadcast trap as the LSH verify stage).
+    Q.df("q_chunk_dedup", """
+      WITH t AS (SELECT doc_id,
+          LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'), x -> LEN(x) > 0) AS ws
+        FROM documents),
+      c AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(0, LEN(ws)//10),
+          i -> ARRAY_TO_STRING(ws[10*i+1 : 10*i+10], ' '))) AS chunk
+        FROM t WHERE LEN(ws) >= 10),
+      k AS (SELECT chunk, MIN(doc_id) AS keeper FROM c GROUP BY chunk),
+      p AS (SELECT c.doc_id, COUNT(*) AS n_chunks,
+              CAST(SUM(CASE WHEN k.keeper = c.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_first
+            FROM c JOIN k ON c.chunk = k.chunk GROUP BY c.doc_id)
+      SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks, n_first,
+        ROUND(CAST(n_first AS DOUBLE)/n_chunks, 6) AS uniq_ratio
+      FROM p WHERE doc_id < 500 ORDER BY doc_id""") { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), tokens(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 10)
+      val nch = floor(size(col("ws")) / lit(10)).cast("int")
+      val c = d.select(col("doc_id"),
+        explode(transform(sequence(lit(0), nch - 1),
+          i => array_join(slice(col("ws"), i * 10 + 1, lit(10)), " "))).as("chunk"))
+      val k = c.groupBy("chunk").agg(min("doc_id").as("keeper"))
+      c.join(k.hint("shuffle_hash"), Seq("chunk"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("keeper") === col("doc_id"), 1).otherwise(0))
+            .cast("long").as("n_first"))
+        .select(col("doc_id"), col("n_chunks"), col("n_first"),
+          round(col("n_first").cast("double") / col("n_chunks"), 6).as("uniq_ratio"))
+        .filter(col("doc_id") < 500)
+        .orderBy("doc_id")
+    },
+
+    // --- Rolling-hash document fingerprint -----------------------------
+    // Karp-Rabin-class polynomial fingerprint over the token stream
+    // (reference sketch family: src/Functions/FunctionsStringHash.h
+    // ngramMinHash/wordShingleSimHash). The word hash is deliberately
+    // oracle-portable arithmetic (length/first/last code points) instead of
+    // an engine-internal mixer, so the FULL fold is hash-compared across
+    // engines — the structure under every content-defined-chunking and
+    // incremental-dedup scheme.
+    Q.df("q_text_rolling_fp", """
+      WITH t AS (SELECT doc_id,
+          LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'), x -> LEN(x) > 0) AS ws
+        FROM documents WHERE doc_id < 2000),
+      h AS (SELECT doc_id, LIST_TRANSFORM(ws,
+          w -> CAST(LEN(w)*961 + ASCII(w)*31 + ASCII(w[-1]) AS BIGINT)) AS hs FROM t)
+      SELECT doc_id,
+        CAST(LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT), hs),
+          (a, b) -> (a*131 + b) % 1000000007) AS BIGINT) AS fp
+      FROM h ORDER BY doc_id""") { (s, dir) =>
+      val hs = transform(col("ws"), w =>
+        length(w).cast("long") * 961 + ascii(w).cast("long") * 31 +
+          ascii(w.substr(lit(-1), lit(1))).cast("long"))
+      Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 2000)
+        .select(col("doc_id"), tokens(col("text")).as("ws"))
+        .select(col("doc_id"),
+          aggregate(hs, lit(0L),
+            (acc, h) => (acc * 131 + h) % lit(1000000007L)).as("fp"))
+        .orderBy("doc_id")
+    }
+  )
+}

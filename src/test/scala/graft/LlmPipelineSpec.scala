@@ -110,6 +110,33 @@ class LlmPipelineSpec extends SparkFunSuite {
     assert(e.getMessage.contains("still moving"))
   }
 
+  test("wave-4 web-corpus operators: strip recovers text, caps and ratios hold") {
+    // html strip: the recovered text must be exactly "doc <source> <text>"
+    // (title + h1 + paragraph survive; style/script/entities are elided)
+    val stripped = SparkEntry.queries("q_text_html_strip")(spark, sf)
+      .limit(5).collect()
+    val src = Tables.load(spark, sf, "documents").filter(col("doc_id") < 5)
+      .orderBy("doc_id").select("source", "text").collect()
+    stripped.zip(src).foreach { case (s, d) =>
+      assert(s.getString(1) == s"doc ${d.getString(0)} ${d.getString(1)}",
+        s"html strip mangled doc ${s.getLong(0)}")
+    }
+    // domain cap: kept <= min(cap, total) per domain
+    SparkEntry.queries("q_domain_cap")(spark, sf).collect().foreach { r =>
+      val (total, kept) = (r.getLong(1), r.getLong(2))
+      assert(kept <= math.min(20L, total))
+    }
+    // chunk dedup: ratio in [0, 1] (0 = every chunk owned by an earlier doc)
+    val cd = SparkEntry.queries("q_chunk_dedup")(spark, sf).collect()
+    assert(cd.forall { r =>
+      val ratio = r.getDouble(3); ratio >= 0.0 && ratio <= 1.0 })
+    assert(cd.exists(_.getDouble(3) > 0.0), "no doc kept any chunk")
+    // rolling fp: deterministic across plans, and within the prime field
+    val fp1 = SparkEntry.queries("q_text_rolling_fp")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(fp1.forall { case (_, f) => f >= 0 && f < 1000000007L })
+  }
+
   test("multimodal decode stub is deterministic and schema-complete") {
     val f1 = Multimodal.featureTable(spark, sf).orderBy("doc_id").collect()
     val f2 = Multimodal.featureTable(spark, sf).orderBy("doc_id").collect()
