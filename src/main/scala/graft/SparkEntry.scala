@@ -36,6 +36,7 @@ object SparkEntry {
     qp.MlQueries,
     qp.TpchExtra,
     qp.FunctionTail,
+    qp.FunctionTail2,
     qp.LlmPipeline2,
     qp.LlmPipeline3,
     qp.LlmPipeline4,

@@ -1,0 +1,100 @@
+package graft.queries
+
+import graft.{Q, Tables, QueryPack}
+import graft.sql.ClickHouseSql
+
+/** Oracled batteries for registry tail sweep #2 (sql/ChRegistryTail2.scala):
+  * scalar Roaring bitmap algebra, URL-safe base64, compareSubstrings/
+  * byteSlice, and the date tail. Expected values are stated as literals in
+  * the DuckDB oracle (the bitmap state is engine-internal, but every
+  * cardinality/array/membership readout is exact arithmetic both engines
+  * can state).
+  */
+object FunctionTail2 extends QueryPack {
+
+  private def ch(name: String, chSql: String, oracle: String): Q =
+    Q(name, (s, dir) => { Tables.register(s, dir); ClickHouseSql.sql(s, chSql) },
+      Some(oracle))
+
+  override def queries: Seq[Q] = Seq(
+
+    // Scalar bitmap algebra readouts (FunctionsBitmap.h). The Roaring64
+    // payload is opaque; cardinalities, sorted member arrays, membership
+    // and subset ops are exact and oracle-stated as list arithmetic.
+    ch("q_fn_bitmap_scalar", """
+      SELECT
+        CAST(bitmapCardinality(bitmapBuild(array(1,2,3,4,5))) AS BIGINT) AS card,
+        CAST(bitmapAndCardinality(bitmapBuild(array(1,2,3)), bitmapBuild(array(2,3,5))) AS BIGINT) AS and_card,
+        CAST(bitmapOrCardinality(bitmapBuild(array(1,2,3)), bitmapBuild(array(2,3,5))) AS BIGINT) AS or_card,
+        CAST(bitmapXorCardinality(bitmapBuild(array(1,2,3)), bitmapBuild(array(2,3,5))) AS BIGINT) AS xor_card,
+        CAST(bitmapAndnotCardinality(bitmapBuild(array(1,2,3)), bitmapBuild(array(2,3,5))) AS BIGINT) AS andnot_card,
+        arrayStringConcat(bitmapToArray(bitmapAnd(bitmapBuild(array(1,2,3)), bitmapBuild(array(2,3,5)))), ',') AS and_arr,
+        arrayStringConcat(bitmapToArray(bitmapXor(bitmapBuild(array(1,2,3)), bitmapBuild(array(2,3,5)))), ',') AS xor_arr,
+        bitmapContains(bitmapBuild(array(1,2,3)), 2) AS has2,
+        bitmapContains(bitmapBuild(array(1,2,3)), 9) AS has9,
+        CAST(bitmapMin(bitmapBuild(array(7,3,9))) AS BIGINT) AS mn,
+        CAST(bitmapMax(bitmapBuild(array(7,3,9))) AS BIGINT) AS mx,
+        bitmapHasAny(bitmapBuild(array(1,2)), bitmapBuild(array(2,9))) AS hasany,
+        bitmapHasAny(bitmapBuild(array(1,2)), bitmapBuild(array(8,9))) AS nothasany,
+        bitmapHasAll(bitmapBuild(array(1,2,3)), bitmapBuild(array(2,3))) AS hasall,
+        bitmapHasAll(bitmapBuild(array(1,2,3)), bitmapBuild(array(2,4))) AS nothasall,
+        arrayStringConcat(bitmapToArray(bitmapSubsetInRange(bitmapBuild(array(1,5,9,12)), 5, 12)), ',') AS subset_rng,
+        arrayStringConcat(bitmapToArray(bitmapSubsetLimit(bitmapBuild(array(1,5,9,12)), 5, 2)), ',') AS subset_lim""",
+      """
+      SELECT
+        CAST(5 AS BIGINT) AS card,
+        CAST(2 AS BIGINT) AS and_card,
+        CAST(4 AS BIGINT) AS or_card,
+        CAST(2 AS BIGINT) AS xor_card,
+        CAST(1 AS BIGINT) AS andnot_card,
+        '2,3' AS and_arr,
+        '1,5' AS xor_arr,
+        TRUE AS has2,
+        FALSE AS has9,
+        CAST(3 AS BIGINT) AS mn,
+        CAST(9 AS BIGINT) AS mx,
+        TRUE AS hasany,
+        FALSE AS nothasany,
+        TRUE AS hasall,
+        FALSE AS nothasall,
+        '5,9' AS subset_rng,
+        '5,9' AS subset_lim"""),
+
+    // URL-safe unpadded base64 (base64UrlEncode.cpp: '+'→'-', '/'→'_',
+    // no '=' pad), compareSubstrings sign at 0-based offsets, byteSlice,
+    // lastDay, UTCTimestamp sanity, nanosecond arithmetic on the µs
+    // carrier (truncating — the documented DateTime64(6) cap).
+    ch("q_fn_tail2_misc", """
+      SELECT
+        base64URLEncode('~~~?') AS enc_plus_slash,
+        base64URLEncode('ab') AS enc_pad1,
+        base64URLEncode('many hands') AS enc_pad2,
+        base64URLDecode('fn5-Pw') AS dec_plus_slash,
+        base64URLDecode(base64URLEncode('round trip?~')) AS rt,
+        compareSubstrings('clickhouse', 'clickbait', 0, 0, 5) AS cmp_eq,
+        compareSubstrings('abc', 'abd', 2, 2, 1) AS cmp_lt,
+        compareSubstrings('abz', 'aba', 2, 2, 1) AS cmp_gt,
+        byteSlice('sparkle', 2, 3) AS bs,
+        CAST(lastDay(toDate('2024-02-10')) AS STRING) AS ld_leap,
+        CAST(lastDay(toDate('2023-02-10')) AS STRING) AS ld,
+        UTCTimestamp() >= toDateTime('2026-01-01 00:00:00') AS utc_sane,
+        CAST(addNanoseconds(toDateTime('2024-01-01 00:00:00'), 1500) AS STRING) AS ns_add,
+        CAST(subtractNanoseconds(toDateTime('2024-01-01 00:00:00'), 2000) AS STRING) AS ns_sub""",
+      """
+      SELECT
+        'fn5-Pw' AS enc_plus_slash,
+        'YWI' AS enc_pad1,
+        'bWFueSBoYW5kcw' AS enc_pad2,
+        '~~~?' AS dec_plus_slash,
+        'round trip?~' AS rt,
+        0 AS cmp_eq,
+        -1 AS cmp_lt,
+        1 AS cmp_gt,
+        'par' AS bs,
+        '2024-02-29' AS ld_leap,
+        '2023-02-28' AS ld,
+        TRUE AS utc_sane,
+        '2024-01-01 00:00:00.000001' AS ns_add,
+        '2023-12-31 23:59:59.999998' AS ns_sub""")
+  )
+}

@@ -413,7 +413,8 @@ object ChFunctionRegistry {
   val builders: Map[String, Seq[Expression] => Expression] =
     coreBuilders ++ ChRegistryArrays.builders ++ ChRegistryExt.builders ++
       ChRegistryUrlDate.builders ++ ChRegistryMisc.builders ++
-      ChRegistryTail.builders ++ ChRegistryWide.builders
+      ChRegistryTail.builders ++ ChRegistryTail2.builders ++
+      ChRegistryWide.builders
 
   /** Install the aliases into the session's function registry — but ONLY
     * names Spark does not already provide. Names that exist as Spark
