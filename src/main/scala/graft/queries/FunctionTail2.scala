@@ -95,6 +95,73 @@ object FunctionTail2 extends QueryPack {
         '2023-02-28' AS ld,
         TRUE AS utc_sane,
         '2024-01-01 00:00:00.000001' AS ns_add,
-        '2023-12-31 23:59:59.999998' AS ns_sub""")
+        '2023-12-31 23:59:59.999998' AS ns_sub"""),
+
+    // String-distance family over corpus word pairs (first/last word of
+    // each of the first 200 docs), oracled against DuckDB's OWN distance
+    // builtins — an independent second implementation of the same
+    // definitions (verified: 0 divergences for jaro/jaroWinkler/
+    // levenshtein/jaccard on this corpus; round 6 absorbs last-ulp
+    // summation differences). damerauLevenshtein is deliberately NOT
+    // here: the reference implements OSA while DuckDB implements
+    // unrestricted DL, and the corpus pairs do diverge — pinned with
+    // literals in the edge battery below instead.
+    ch("q_fn_string_distance", """
+      SELECT doc_id,
+        editDistance(w1, w2) AS lev,
+        round(jaroSimilarity(w1, w2), 6) AS jaro,
+        round(jaroWinklerSimilarity(w1, w2), 6) AS jw,
+        round(stringJaccardIndex(w1, w2), 6) AS jac,
+        round(stringJaccardIndexUTF8(w1, w2), 6) AS jac_utf8
+      FROM (
+        SELECT doc_id, element_at(ws, 1) AS w1, element_at(ws, -1) AS w2
+        FROM (SELECT doc_id,
+                filter(split(lower(text), '\\s+'), x -> length(x) > 0) AS ws
+              FROM documents WHERE doc_id < 200))
+      ORDER BY doc_id""",
+      """
+      WITH t AS (SELECT doc_id,
+          LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'), x -> LEN(x) > 0) AS ws
+        FROM documents WHERE doc_id < 200)
+      SELECT doc_id,
+        CAST(levenshtein(ws[1], ws[-1]) AS INT) AS lev,
+        round(jaro_similarity(ws[1], ws[-1]), 6) AS jaro,
+        round(jaro_winkler_similarity(ws[1], ws[-1]), 6) AS jw,
+        round(jaccard(ws[1], ws[-1]), 6) AS jac,
+        round(jaccard(ws[1], ws[-1]), 6) AS jac_utf8
+      FROM t ORDER BY doc_id"""),
+
+    // Edge pins for the reference's documented-and-quirky corners:
+    // damerauLevenshteinDistance is OSA (osa('ca','abc') = 3, where
+    // unrestricted DL = 2 — DuckDB's damerau_levenshtein says 2, the
+    // reference's FunctionsStringDistance.cpp:322 says 3, the oracle
+    // states the reference's literal); jaroSimilarity returns the other
+    // side's LENGTH on empty input (reference shortcut).
+    ch("q_fn_string_distance_edge", """
+      SELECT
+        damerauLevenshteinDistance('clickhouse', 'mouse') AS dl_doc,
+        damerauLevenshteinDistance('ca', 'abc') AS dl_osa,
+        damerauLevenshteinDistance('ab', 'ba') AS dl_swap,
+        damerauLevenshteinDistance('', 'abc') AS dl_empty,
+        round(jaroSimilarity('clickhouse', 'click'), 6) AS jaro_doc,
+        round(jaroWinklerSimilarity('clickhouse', 'click'), 6) AS jw_doc,
+        round(jaroSimilarity('', 'abc'), 6) AS jaro_empty_quirk,
+        round(jaroSimilarity('abc', 'abc'), 6) AS jaro_same,
+        round(jaroSimilarity('abc', 'xyz'), 6) AS jaro_disjoint,
+        round(stringJaccardIndex('clickhouse', 'mouse'), 6) AS jac_doc,
+        round(stringJaccardIndex('', 'abc'), 6) AS jac_empty""",
+      """
+      SELECT
+        6 AS dl_doc,
+        3 AS dl_osa,
+        1 AS dl_swap,
+        3 AS dl_empty,
+        round(0.8333333333333334, 6) AS jaro_doc,
+        round(0.9, 6) AS jw_doc,
+        round(3.0, 6) AS jaro_empty_quirk,
+        round(1.0, 6) AS jaro_same,
+        round(0.0, 6) AS jaro_disjoint,
+        round(0.4, 6) AS jac_doc,
+        round(0.0, 6) AS jac_empty""")
   )
 }

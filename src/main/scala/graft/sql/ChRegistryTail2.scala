@@ -49,6 +49,7 @@ object ChRegistryTail2 {
   // --- bitmap kernels via StaticInvoke (codegen-participating; a
   // Column-backed UDF cannot be embedded in a FunctionRegistry tree) ----
   private val bmCls = classOf[graft.functions.BitmapKernels.type]
+  private val sdCls = classOf[graft.functions.StringDistanceKernels.type]
 
   private def bmBuild(arr: Expression): Expression =
     StaticInvoke(bmCls, BinaryType, "build",
@@ -137,6 +138,31 @@ object ChRegistryTail2 {
     // --- byteSlice: substring rendering (byte == char on ASCII) --------
     "byteslice" -> (args => Substring(args(0),
       Cast(args(1), IntegerType), Cast(args(2), IntegerType))),
+
+    // --- string distances (FunctionsStringDistance.cpp) ----------------
+    // editDistance == Spark's codegen'd Levenshtein (+ the reference's
+    // levenshteinDistance alias); UTF8 variant is the same (Spark is
+    // already code-point based). The rest are static kernels — see
+    // functions/StringDistanceKernels.scala for the faithful quirks
+    // (OSA not unrestricted DL; jaro's empty-side length shortcut).
+    "editdistance" -> (args => Levenshtein(args(0), args(1))),
+    "editdistanceutf8" -> (args => Levenshtein(args(0), args(1))),
+    "levenshteindistance" -> (args => Levenshtein(args(0), args(1))),
+    "dameraulevenshteindistance" -> (args =>
+      StaticInvoke(sdCls, IntegerType, "damerauLevenshtein",
+        Seq(args(0), args(1)), Seq(StringType, StringType))),
+    "jarosimilarity" -> (args =>
+      StaticInvoke(sdCls, DoubleType, "jaro",
+        Seq(args(0), args(1)), Seq(StringType, StringType))),
+    "jarowinklersimilarity" -> (args =>
+      StaticInvoke(sdCls, DoubleType, "jaroWinkler",
+        Seq(args(0), args(1)), Seq(StringType, StringType))),
+    "stringjaccardindex" -> (args =>
+      StaticInvoke(sdCls, DoubleType, "jaccardBytes",
+        Seq(args(0), args(1)), Seq(StringType, StringType))),
+    "stringjaccardindexutf8" -> (args =>
+      StaticInvoke(sdCls, DoubleType, "jaccardCodepoints",
+        Seq(args(0), args(1)), Seq(StringType, StringType))),
 
     // --- date tail -----------------------------------------------------
     "lastday" -> (args => LastDay(args.head)),
