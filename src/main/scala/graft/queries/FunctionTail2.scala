@@ -162,6 +162,50 @@ object FunctionTail2 extends QueryPack {
         round(1.0, 6) AS jaro_same,
         round(0.0, 6) AS jaro_disjoint,
         round(0.4, 6) AS jac_doc,
-        round(0.0, 6) AS jac_empty""")
+        round(0.0, 6) AS jac_empty"""),
+
+    // SQL dictionary surface (sql/Dictionaries.scala): CREATE DICTIONARY
+    // collects the source table into plan-constant maps (the reference's
+    // FLAT/HASHED RAM-resident layout), dictGet* probe them as pure
+    // Catalyst trees. Oracle restates every probe as a join against the
+    // source table; the miss rows pin the reference's default semantics
+    // (declared DEFAULT for dictGet, explicit arg for OrDefault, NULL for
+    // OrNull).
+    graft.Q("q_ch_dictionary_sql", (s, dir) => {
+      graft.Tables.register(s, dir)
+      ClickHouseSql.sql(s, "DROP DICTIONARY IF EXISTS nat_dict")
+      ClickHouseSql.sql(s, """
+        CREATE DICTIONARY nat_dict (
+          n_nationkey UInt64,
+          n_name String DEFAULT 'unknown',
+          n_regionkey UInt64
+        ) PRIMARY KEY n_nationkey
+        SOURCE(CLICKHOUSE(TABLE 'nation'))
+        LAYOUT(HASHED()) LIFETIME(300)""")
+      ClickHouseSql.sql(s, """
+        SELECT c_custkey,
+          dictGet('nat_dict', 'n_name', c_nationkey) AS nname,
+          dictGetString('nat_dict', 'n_name', c_nationkey) AS nname_typed,
+          dictGet('nat_dict', 'n_name', c_custkey + 1000) AS miss_decl_default,
+          dictGetOrDefault('nat_dict', 'n_name', c_custkey + 1000, 'none') AS miss_explicit,
+          dictGetOrNull('nat_dict', 'n_name', c_custkey + 1000) AS miss_null,
+          dictHas('nat_dict', c_nationkey) AS has_key,
+          dictHas('nat_dict', c_custkey + 1000) AS has_miss,
+          CAST(dictGetUInt64('nat_dict', 'n_regionkey', c_nationkey) AS BIGINT) AS rkey,
+          CAST(dictGetInt32('nat_dict', 'n_regionkey', c_custkey + 1000) AS INT) AS rkey_miss_zero
+        FROM customer WHERE c_custkey <= 100 ORDER BY c_custkey""")
+    }, Some("""
+      SELECT c_custkey,
+        n.n_name AS nname,
+        n.n_name AS nname_typed,
+        'unknown' AS miss_decl_default,
+        'none' AS miss_explicit,
+        CAST(NULL AS VARCHAR) AS miss_null,
+        TRUE AS has_key,
+        FALSE AS has_miss,
+        CAST(n.n_regionkey AS BIGINT) AS rkey,
+        0 AS rkey_miss_zero
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE c_custkey <= 100 ORDER BY c_custkey"""))
   )
 }

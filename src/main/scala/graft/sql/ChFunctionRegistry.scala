@@ -414,7 +414,7 @@ object ChFunctionRegistry {
     coreBuilders ++ ChRegistryArrays.builders ++ ChRegistryExt.builders ++
       ChRegistryUrlDate.builders ++ ChRegistryMisc.builders ++
       ChRegistryTail.builders ++ ChRegistryTail2.builders ++
-      ChRegistryWide.builders
+      ChRegistryWide.builders ++ Dictionaries.builders
 
   /** Install the aliases into the session's function registry — but ONLY
     * names Spark does not already provide. Names that exist as Spark

@@ -226,6 +226,9 @@ object ClickHouseSql {
     ("(?is)\\bFROM\\s+(" + arrayJoinFromRef + ")\\s+(LEFT\\s+)?ARRAY\\s+JOIN\\s+" +
       "(.*?)(?=\\s+WHERE\\b|\\s+GROUP\\b|\\s+HAVING\\b|\\s+ORDER\\b|\\s+LIMIT\\b|\\s*$)").r
 
+  /** Comma-split at paren depth 0 — shared with the dictionary DDL. */
+  def splitTopLevelPublic(s: String): Seq[String] = splitTopLevel(s)
+
   private def splitTopLevel(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
@@ -471,7 +474,9 @@ object ClickHouseSql {
   def sql(spark: SparkSession, chSql: String): DataFrame = {
     ChFunctionRegistry.install(spark)
     val trimmed = chSql.trim
-    if (trimmed.matches("(?is)^CREATE\\s+TABLE\\b.*"))
+    if (Dictionaries.matches(trimmed))
+      Dictionaries.execute(spark, trimmed)
+    else if (trimmed.matches("(?is)^CREATE\\s+TABLE\\b.*"))
       spark.sql(rewriteCreateTable(trimmed))
     else if (trimmed.matches("(?is)^CREATE\\s+MATERIALIZED\\s+VIEW\\b.*")) {
       // batch analog of the reference's MV: materialize the SELECT once as

@@ -70,4 +70,39 @@ class DialectSpec extends SparkFunSuite {
     assert(r.getString(2) == "y" && r.getInt(3) == 199703)
     assert(r.getLong(4) == 25L)
   }
+
+  test("CREATE DICTIONARY lifecycle: probe, defaults, typed lanes, drop") {
+    Tables.register(spark, sf)
+    ClickHouseSql.sql(spark, "DROP DICTIONARY IF EXISTS spec_dict")
+    ClickHouseSql.sql(spark, """
+      CREATE DICTIONARY spec_dict (
+        r_regionkey UInt64, r_name String DEFAULT 'n/a'
+      ) PRIMARY KEY r_regionkey
+      SOURCE(CLICKHOUSE(TABLE 'region')) LAYOUT(FLAT())""")
+    val r = ClickHouseSql.sql(spark, """
+      SELECT dictGet('spec_dict', 'r_name', 0) AS hit,
+             dictGet('spec_dict', 'r_name', 99) AS miss_default,
+             dictGetOrNull('spec_dict', 'r_name', 99) AS miss_null,
+             dictHas('spec_dict', 0) AS has0,
+             dictGetString('spec_dict', 'r_name', 1) AS typed""").head()
+    assert(r.getString(0).nonEmpty)
+    assert(r.getString(1) == "n/a") // declared DEFAULT on miss, not null
+    assert(r.isNullAt(2))
+    assert(r.getBoolean(3))
+    assert(r.getString(4).nonEmpty)
+    // IF NOT EXISTS is idempotent; unknown attr/dict are loud
+    ClickHouseSql.sql(spark, """
+      CREATE DICTIONARY IF NOT EXISTS spec_dict (
+        r_regionkey UInt64, r_name String
+      ) PRIMARY KEY r_regionkey SOURCE(CLICKHOUSE(TABLE 'region'))""")
+    intercept[Exception] {
+      ClickHouseSql.sql(spark,
+        "SELECT dictGet('spec_dict', 'nope', 1)").collect()
+    }
+    ClickHouseSql.sql(spark, "DROP DICTIONARY spec_dict")
+    intercept[Exception] {
+      ClickHouseSql.sql(spark,
+        "SELECT dictGet('spec_dict', 'r_name', 1)").collect()
+    }
+  }
 }
