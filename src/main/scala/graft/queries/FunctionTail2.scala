@@ -164,6 +164,48 @@ object FunctionTail2 extends QueryPack {
         round(0.4, 6) AS jac_doc,
         round(0.0, 6) AS jac_empty"""),
 
+    // Wide-integer aggregation over the string carrier: exact group sums
+    // beyond DECIMAL(38)'s per-addend range (each addend up to ~6e22 at
+    // sf0.01; group sums ~1e26-1e28 stay inside HUGEINT, so DuckDB's
+    // exact 128-bit SUM is a true independent oracle). minWide/maxWide
+    // order numerically (not lexically); avgWide is Float64 like the
+    // reference's avg.
+    ch("q_fn_wide_agg", """
+      SELECT l_returnflag,
+        sumWide(multiply(toInt128(l_orderkey), '1000000000000000000')) AS s,
+        minWide(multiply(toInt128(l_orderkey), '1000000000000000000')) AS mn,
+        maxWide(multiply(toInt128(l_orderkey), '1000000000000000000')) AS mx,
+        round(avgWide(multiply(toInt128(l_orderkey), '1000000000000000000')) / 1e18, 4) AS av
+      FROM lineitem
+      GROUP BY l_returnflag ORDER BY l_returnflag""",
+      """
+      SELECT l_returnflag,
+        CAST(SUM(CAST(l_orderkey AS HUGEINT) * 1000000000000000000) AS VARCHAR) AS s,
+        CAST(MIN(CAST(l_orderkey AS HUGEINT) * 1000000000000000000) AS VARCHAR) AS mn,
+        CAST(MAX(CAST(l_orderkey AS HUGEINT) * 1000000000000000000) AS VARCHAR) AS mx,
+        round(AVG(CAST(l_orderkey AS DOUBLE)), 4) AS av
+      FROM lineitem
+      GROUP BY l_returnflag ORDER BY l_returnflag"""),
+
+    // JSONMergePatch (RFC 7386) oracled against DuckDB's independent
+    // json_merge_patch — both preserve target-then-patch key order, so
+    // the comparison is byte-exact, including the delete-via-null and
+    // scalar-replaces-object rules and the variadic left fold.
+    ch("q_fn_json_merge_patch", """
+      SELECT
+        JSONMergePatch('{"a":1,"b":{"x":1,"y":2}}', '{"b":{"y":null,"z":3},"c":4}') AS deep,
+        JSONMergePatch('{"a":1}', '5') AS scalar_wins,
+        JSONMergePatch('{"a":1}', '{"a":null}') AS delete_all,
+        JSONMergePatch('{"a":1}', '{"b":2}', '{"c":3}') AS variadic,
+        JSONMergePatch('{"a":{"b":{"c":1}}}', '{"a":{"b":{"d":2}}}') AS nested""",
+      """
+      SELECT
+        json_merge_patch('{"a":1,"b":{"x":1,"y":2}}', '{"b":{"y":null,"z":3},"c":4}') AS deep,
+        json_merge_patch('{"a":1}', '5') AS scalar_wins,
+        json_merge_patch('{"a":1}', '{"a":null}') AS delete_all,
+        json_merge_patch(json_merge_patch('{"a":1}', '{"b":2}'), '{"c":3}') AS variadic,
+        json_merge_patch('{"a":{"b":{"c":1}}}', '{"a":{"b":{"d":2}}}') AS nested"""),
+
     // SQL dictionary surface (sql/Dictionaries.scala): CREATE DICTIONARY
     // collects the source table into plan-constant maps (the reference's
     // FLAT/HASHED RAM-resident layout), dictGet* probe them as pure

@@ -50,6 +50,7 @@ object ChRegistryTail2 {
   // Column-backed UDF cannot be embedded in a FunctionRegistry tree) ----
   private val bmCls = classOf[graft.functions.BitmapKernels.type]
   private val sdCls = classOf[graft.functions.StringDistanceKernels.type]
+  private val jsonCls = classOf[graft.functions.JsonKernels.type]
 
   private def bmBuild(arr: Expression): Expression =
     StaticInvoke(bmCls, BinaryType, "build",
@@ -163,6 +164,23 @@ object ChRegistryTail2 {
     "stringjaccardindexutf8" -> (args =>
       StaticInvoke(sdCls, DoubleType, "jaccardCodepoints",
         Seq(args(0), args(1)), Seq(StringType, StringType))),
+
+    // --- wide-integer aggregation over the string carrier --------------
+    // (AggregateFunctionSum.h Int128/Int256 lanes; closes the round-4
+    // "wide aggregation unbuilt" cap — see WideAggregates for the exact
+    // buffer design and the exact-sum-vs-wrap deviation note)
+    "sumwide" -> (args => graft.functions.WideAggregates.WideSum(args.head)),
+    "minwide" -> (args =>
+      graft.functions.WideAggregates.WideExtreme(args.head, isMax = false)),
+    "maxwide" -> (args =>
+      graft.functions.WideAggregates.WideExtreme(args.head, isMax = true)),
+    "avgwide" -> (args => graft.functions.WideAggregates.WideAvg(args.head)),
+
+    // --- JSONMergePatch (jsonMergePatch.cpp, RFC 7386; variadic left
+    // fold like the reference's pairwise apply) -------------------------
+    "jsonmergepatch" -> (args => args.reduceLeft((acc, p) =>
+      StaticInvoke(jsonCls, StringType, "mergePatch", Seq(acc, p),
+        Seq(StringType, StringType)))),
 
     // --- date tail -----------------------------------------------------
     "lastday" -> (args => LastDay(args.head)),

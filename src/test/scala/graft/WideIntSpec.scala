@@ -84,4 +84,31 @@ class WideIntSpec extends SparkFunSuite {
     assert(one("intDiv('-7', '2')") == "-3")
     assert(one("modulo('-7', '2')") == "-1")
   }
+
+  test("wide aggregation: exact sums past 2^200, numeric extremes, null/empty semantics") {
+    ChFunctionRegistry.install(spark)
+    val sp = spark
+    import sp.implicits._
+    // three addends of ~2^254 — any double or DECIMAL(38) path would
+    // corrupt them; the exact sum is 3 * 2^254
+    val big = two255.shiftRight(1) // 2^254
+    Seq(big.toString, big.toString, big.toString, null)
+      .toDF("v").createOrReplaceTempView("wide_agg_t")
+    val r = spark.sql("""
+      SELECT sumWide(v) AS s, minWide(v) AS mn, maxWide(v) AS mx,
+             avgWide(v) AS av FROM wide_agg_t""").head
+    assert(r.getString(0) == big.multiply(BigInteger.valueOf(3)).toString)
+    assert(r.getString(1) == big.toString && r.getString(2) == big.toString)
+    assert(math.abs(r.getDouble(3) - big.doubleValue()) / big.doubleValue() < 1e-12)
+    // numeric (not lexicographic) extreme order, group-by path, empty sum
+    Seq(("a", "9"), ("a", "12"), ("a", "-100"), ("b", null))
+      .toDF("g", "v").createOrReplaceTempView("wide_agg_g")
+    val rows = spark.sql("""
+      SELECT g, sumWide(v) AS s, minWide(v) AS mn, maxWide(v) AS mx
+      FROM wide_agg_g GROUP BY g ORDER BY g""").collect()
+    assert(rows(0).getString(1) == "-79")
+    assert(rows(0).getString(2) == "-100" && rows(0).getString(3) == "12")
+    assert(rows(1).getString(1) == "0") // all-null group sums to 0
+    assert(rows(1).isNullAt(2) && rows(1).isNullAt(3)) // min/max NULL
+  }
 }
