@@ -68,6 +68,25 @@ object TimeWindows extends QueryPack {
           sum("n_events").cast("bigint").as("n_events"))
         .select(col("user_id"), col("n_sessions"), col("n_events"))
         .orderBy("user_id")
+    },
+
+    // Stream-stream interval join, batch form (the same plan runs
+    // streaming — StreamingSpec pins stream==batch): every click joined
+    // to the same user's purchases within 30 minutes. The µs-truncated
+    // timestamp (Tables.load) is mirrored with EPOCH_US in the oracle so
+    // boundary pairs agree. State-bounding watermarks are the streaming
+    // half of the contract; see streaming/WindowView.intervalJoin.
+    Q.df("q_interval_join", """
+      SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id
+      FROM events l JOIN events r ON l.user_id = r.user_id
+        AND l.event_type = 'click' AND r.event_type = 'purchase'
+        AND EPOCH_US(r.ts) >= EPOCH_US(l.ts)
+        AND EPOCH_US(r.ts) <= EPOCH_US(l.ts) + 1800000000
+      ORDER BY l.user_id, l_id, r_id""") { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      graft.streaming.WindowView.intervalJoin(ev, ev,
+        "click", "purchase", "1 day", "30 minutes")
+        .orderBy("user_id", "l_id", "r_id")
     }
   )
 }

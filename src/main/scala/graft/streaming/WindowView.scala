@@ -47,6 +47,29 @@ object WindowView {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** Stream-stream interval join (the funnel primitive: every `leftType`
+    * event joined to the same user's `rightType` events within
+    * `interval` after it). Both sides carry watermarks so the join state
+    * is BOUNDED: left rows age out `interval` past the watermark, right
+    * rows at the watermark — the state-cleanup contract a 100 TB stream
+    * needs (unbounded join state is the stream killer, not throughput).
+    * Works identically on batch frames (watermark is a no-op there) —
+    * the same declarative-plan property as the window aggs. */
+  def intervalJoin(left: DataFrame, right: DataFrame, leftType: String,
+      rightType: String, delay: String, interval: String): DataFrame = {
+    val l = left.filter(col("event_type") === leftType)
+      .withWatermark("ts", delay)
+      .select(col("user_id"), col("event_id").as("l_id"), col("ts").as("l_ts"))
+    val r = right.filter(col("event_type") === rightType)
+      .withWatermark("ts", delay)
+      .select(col("user_id").as("r_user"), col("event_id").as("r_id"),
+        col("ts").as("r_ts"))
+    l.join(r, col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $interval"))
+      .select(col("user_id"), col("l_id"), col("r_id"))
+  }
+
   /** TUMBLE window aggregation (FunctionsTimeWindow.cpp:719 tumble):
     * count + exact value sum per (window, event_type). Works identically
     * over a batch or streaming DataFrame — the WindowView's defining

@@ -44,6 +44,30 @@ class StreamingSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch join (click->purchase funnel)") {
+    // every click joined to the same user's purchases within 30 minutes;
+    // two independent readStream instances over the same staged corpus
+    val joined = WindowView.intervalJoin(
+      WindowView.eventsStream(spark, sf), WindowView.eventsStream(spark, sf),
+      "click", "purchase", "1 day", "30 minutes")
+    assert(joined.isStreaming)
+    val q = joined.writeStream.format("memory")
+      .queryName("funnel_live").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT user_id, l_id, r_id FROM funnel_live ORDER BY user_id, l_id, r_id")
+        .collect()
+      val ev = Tables.load(spark, sf, "events")
+      val batch = WindowView.intervalJoin(ev, ev,
+        "click", "purchase", "1 day", "30 minutes")
+        .orderBy("user_id", "l_id", "r_id").collect()
+      assert(batch.nonEmpty, "corpus has no click->purchase pairs in window")
+      assert(streamed.length == batch.length)
+      assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals equal the batch aggregation") {
     val stream = WindowView.eventsStream(spark, sf)
     val finals = StatefulOps.replayToFinalTotals(spark, stream)
