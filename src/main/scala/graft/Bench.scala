@@ -37,7 +37,10 @@ object Bench {
     "q_decontaminate", "q_dedup_components",
     // round-5: 16-needle multiSearchAny — single-pass Aho-Corasick vs the
     // former OR-of-contains rescan chain
-    "q_ch_multisearch_many")
+    "q_ch_multisearch_many",
+    // round-5: corpus-wide chunk dedup — the CCNet-style shuffle-on-chunk
+    // profile (explode + map-side-combinable MIN + pinned join-back)
+    "q_chunk_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -113,6 +113,23 @@ object StorageQueries extends QueryPack {
         .select("name").orderBy("name")
     },
 
+    // system.dictionaries (StorageSystemDictionaries.cpp): the loaded
+    // SQL-dictionary inventory — name, key type, attributes, element
+    // count (nation has 25 rows at every sf, so the oracle is a literal).
+    Q.df("q_system_dictionaries", """
+      SELECT 'sysd_nat' AS name, 'decimal(20,0)' AS key_type,
+             'n_name,n_regionkey' AS attributes,
+             CAST(25 AS BIGINT) AS element_count""") { (s, dir) =>
+      Tables.register(s, dir)
+      graft.sql.ClickHouseSql.sql(s, "DROP DICTIONARY IF EXISTS sysd_nat")
+      graft.sql.ClickHouseSql.sql(s, """
+        CREATE DICTIONARY sysd_nat (
+          n_nationkey UInt64, n_name String, n_regionkey UInt64
+        ) PRIMARY KEY n_nationkey
+        SOURCE(CLICKHOUSE(TABLE 'nation')) LAYOUT(HASHED())""")
+      SystemTables.dictionaries(s).filter(col("name") === "sysd_nat")
+    },
+
     // system.columns (StorageSystemColumns.cpp): column inventory with
     // positions and types.
     Q.df("q_system_columns", """

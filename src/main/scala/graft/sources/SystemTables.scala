@@ -34,4 +34,14 @@ object SystemTables {
       .map(f => (f.name, f.isTemporary)).toSeq
       .toDF("name", "is_temporary")
   }
+
+  /** system.dictionaries analog
+    * (src/Storages/System/StorageSystemDictionaries.cpp): one row per
+    * registered SQL dictionary with key type, attribute list, element
+    * count — the loaded-dictionary introspection surface. */
+  def dictionaries(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    graft.sql.Dictionaries.listDicts
+      .toDF("name", "key_type", "attributes", "element_count")
+  }
 }

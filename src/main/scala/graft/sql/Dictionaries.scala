@@ -162,6 +162,17 @@ object Dictionaries {
     Seq("OK").toDF("status")
   }
 
+  /** Registry listing for system.dictionaries (reference:
+    * src/Storages/System/StorageSystemDictionaries.cpp). */
+  def listDicts: Seq[(String, String, String, Long)] = {
+    import scala.jdk.CollectionConverters._
+    dicts.values.asScala.toSeq.sortBy(_.name).map { d =>
+      (d.name, d.keyType.simpleString,
+        d.attrs.keys.toSeq.sorted.mkString(","),
+        d.keysLit.value.asInstanceOf[GenericArrayData].numElements().toLong)
+    }
+  }
+
   // ---- dictGet* expression builders ---------------------------------
 
   private def litString(e: Expression, what: String): String = e match {

@@ -125,6 +125,26 @@ class PlanAuditSpec extends SparkFunSuite {
     }
   }
 
+  test("chunk dedup: shuffle-hash keeper join, no broadcast of the chunk table") {
+    val p = planOf("q_chunk_dedup")
+    assert(p.contains("ShuffledHashJoin"),
+      "keeper join-back must be pinned shuffle-hash")
+    assert(!p.contains("BroadcastHashJoin"),
+      "chunk table broadcast leaked in — same AQE stats trap as minhash")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("domain cap: one hash shuffle on the domain key feeds window AND aggregate") {
+    // the cap query's only wide ops: Exchange hashpartitioning(domain)
+    // for the row_number window, whose output feeds the groupBy(domain)
+    // WITHOUT a second hash exchange (same key), plus the final
+    // rangepartitioning for ORDER BY
+    val p = planOf("q_domain_cap")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1,
+      s"expected exactly 1 hash exchange (domain), found $hashEx:\n$p")
+  }
+
   test("nearest-centroid assignment broadcasts the centroids, no sort shuffle") {
     // Wave-3 clustering: the embedding scan crosses the 8-row centroid
     // table via broadcast (never a shuffled CartesianProduct), and the
