@@ -1,0 +1,104 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types._
+
+/** KMV (k-minimum-values) distinct sketch — the actual theta-sketch
+  * estimator family behind the reference's uniqTheta
+  * (src/AggregateFunctions/AggregateFunctionUniq.h uniqTheta via
+  * src/Functions/UniqTheta/, which wraps the DataSketches theta sketch;
+  * KMV is the canonical theta estimator: keep the k smallest hashes,
+  * estimate (k-1)/theta where theta is the k-th smallest as a fraction of
+  * the hash space).
+  *
+  * Buffer: a bounded long array of the k smallest hash values in UNSIGNED
+  * order (xor MinValue trick), deduplicated — exact below k distinct
+  * values (like the reference's sketch below its nominal entries), RSE
+  * ~1/sqrt(k-2) ≈ 3.1% at the default k=1024 above it. Serialization is
+  * the raw long array; merge is a k-bounded union — re-aggregable
+  * partials, the -State/-Merge contract.
+  */
+object ThetaSketch {
+
+  val defaultK = 1024
+
+  /** Unsigned-comparable image of a hash. */
+  @inline private def u(h: Long): Long = h ^ Long.MinValue
+
+  final class Buf(val k: Int) {
+    // sorted unsigned-order set of at most k hash images
+    val set = new java.util.TreeSet[java.lang.Long]()
+    def add(h: Long): Unit = {
+      val v = java.lang.Long.valueOf(u(h))
+      if (set.size < k) { set.add(v); () }
+      else if (v.compareTo(set.last()) < 0) {
+        if (set.add(v)) { set.pollLast(); () }
+      }
+    }
+    def mergeFrom(o: Buf): Unit = {
+      val it = o.set.iterator()
+      while (it.hasNext) {
+        val v = it.next()
+        if (set.size < k) { set.add(v); () }
+        else if (v.compareTo(set.last()) < 0) {
+          if (set.add(v)) { set.pollLast(); () }
+        }
+      }
+    }
+    def estimate: Long = {
+      val n = set.size
+      if (n < k) n.toLong
+      else {
+        // stored images are h ^ MinValue, so unsigned(h) = image + 2^63;
+        // theta = unsigned k-th smallest / 2^64, estimate = (k-1)/theta
+        val image = set.last().longValue()
+        val theta = (image.toDouble + 9.223372036854775808e18) /
+          1.8446744073709552e19
+        math.round((k - 1).toDouble / theta)
+      }
+    }
+  }
+
+  case class UniqTheta(child: Expression, k: Int = defaultK,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[Buf] {
+    private lazy val hasher = XxHash64(Seq(child), 42L)
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = LongType
+    override def createAggregationBuffer(): Buf = new Buf(k)
+    override def update(b: Buf, input: InternalRow): Buf = {
+      if (child.eval(input) != null)
+        b.add(hasher.eval(input).asInstanceOf[Long])
+      b
+    }
+    override def merge(b: Buf, o: Buf): Buf = { b.mergeFrom(o); b }
+    override def eval(b: Buf): Any = b.estimate
+    override def serialize(b: Buf): Array[Byte] = {
+      val out = ByteBuffer.allocate(4 + 8 * b.set.size)
+      out.putInt(b.set.size)
+      val it = b.set.iterator()
+      while (it.hasNext) out.putLong(it.next().longValue())
+      out.array()
+    }
+    override def deserialize(bytes: Array[Byte]): Buf = {
+      val in = ByteBuffer.wrap(bytes)
+      val n = in.getInt
+      val b = new Buf(k)
+      var i = 0
+      while (i < n) { b.set.add(java.lang.Long.valueOf(in.getLong)); i += 1 }
+      b
+    }
+    override def withNewMutableAggBufferOffset(n: Int): UniqTheta =
+      copy(mutableAggBufferOffset = n)
+    override def withNewInputAggBufferOffset(n: Int): UniqTheta =
+      copy(inputAggBufferOffset = n)
+    override protected def withNewChildrenInternal(
+        c: IndexedSeq[Expression]): UniqTheta = copy(child = c.head)
+    override def prettyName: String = "uniqtheta"
+  }
+}

@@ -187,6 +187,25 @@ object FunctionTail2 extends QueryPack {
       FROM lineitem
       GROUP BY l_returnflag ORDER BY l_returnflag"""),
 
+    // uniqTheta as a REAL KMV theta estimator (functions/ThetaSketch):
+    // exact below the k=1024 nominal entries (1 distinct per group),
+    // within the ~3.1% RSE above them (l_partkey distincts > k at every
+    // sf) — the round-3 error-bound oracle recipe, now over a genuine
+    // second sketch implementation rather than an HLL alias.
+    ch("q_fn_uniq_theta", """
+      SELECT l_returnflag,
+        CAST(uniqExact(l_partkey) AS BIGINT) AS exact_u,
+        uniqTheta(l_returnflag) = 1 AS exact_below_k,
+        abs(uniqTheta(l_partkey) - uniqExact(l_partkey))
+          <= 0.05 * uniqExact(l_partkey) AS theta_within_5pct
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+      """
+      SELECT l_returnflag,
+        CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_u,
+        TRUE AS exact_below_k,
+        TRUE AS theta_within_5pct
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+
     // JSONMergePatch (RFC 7386) oracled against DuckDB's independent
     // json_merge_patch — both preserve target-then-patch key order, so
     // the comparison is byte-exact, including the delete-via-null and

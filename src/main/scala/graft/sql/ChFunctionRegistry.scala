@@ -341,7 +341,9 @@ object ChFunctionRegistry {
     "uniqcombined" -> (args => HyperLogLogPlusPlus(args.head)),
     // uniqTheta (src/Functions/UniqTheta/): name-compatible sketch distinct
     // — carried by Spark's HLL++ (same observable: approximate count).
-    "uniqtheta" -> (args => HyperLogLogPlusPlus(args.head)),
+    // real KMV theta estimator (functions/ThetaSketch.scala), no longer
+    // an HLL alias — k=1024 nominal entries like the reference default
+    "uniqtheta" -> (args => graft.functions.ThetaSketch.UniqTheta(args.head)),
     "uniqexact" -> (args => Count(args).toAggregateExpression(isDistinct = true)),
     // -State/-Merge for uniq, carried by DataSketches HLL (binary states
     // persist to parquet and re-merge, exactly like the reference's
