@@ -187,6 +187,32 @@ object FunctionTail2 extends QueryPack {
       FROM lineitem
       GROUP BY l_returnflag ORDER BY l_returnflag"""),
 
+    // Real quantile sketch engines: merging t-digest (δ=100; estimate
+    // must land inside the exact q±0.05 rank band) and DDSketch (the
+    // crisper contract: RELATIVE error <= alpha on positive values —
+    // asserted at alpha=0.01 against the exact quantile). GK needs no
+    // battery of its own: Spark's approx_percentile IS Greenwald-Khanna.
+    ch("q_fn_quantile_engines", """
+      SELECT l_returnflag,
+        (quantileTDigest(0.5)(l_extendedprice)
+           BETWEEN quantileExact(0.45)(l_extendedprice)
+               AND quantileExact(0.55)(l_extendedprice)) AS td_median_band,
+        (quantileTDigest(0.95)(l_extendedprice)
+           BETWEEN quantileExact(0.90)(l_extendedprice)
+               AND quantileExact(0.99)(l_extendedprice)) AS td_tail_band,
+        (abs(quantileDD(0.01, 0.5)(l_extendedprice)
+             - quantileExact(0.5)(l_extendedprice))
+           <= 0.011 * quantileExact(0.5)(l_extendedprice)) AS dd_rel_err,
+        (abs(quantileDD(0.01, 0.9)(l_extendedprice)
+             - quantileExact(0.9)(l_extendedprice))
+           <= 0.011 * quantileExact(0.9)(l_extendedprice)) AS dd_rel_err_p90
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+      """
+      SELECT l_returnflag,
+        TRUE AS td_median_band, TRUE AS td_tail_band,
+        TRUE AS dd_rel_err, TRUE AS dd_rel_err_p90
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+
     // uniqTheta as a REAL KMV theta estimator (functions/ThetaSketch):
     // exact below the k=1024 nominal entries (1 distinct per group),
     // within the ~3.1% RSE above them (l_partkey distincts > k at every

@@ -21,6 +21,14 @@ object ChFunctionRegistry {
   private def cast(dt: DataType): Seq[Expression] => Expression =
     args => Cast(args.head, dt)
 
+  /** Fold a literal/foldable numeric argument to its Double value. */
+  private def foldDouble(e: Expression): Double = e.eval() match {
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case n: Number => n.doubleValue()
+    case other => throw new IllegalArgumentException(
+      s"expected a numeric literal, got $other")
+  }
+
 
   private def tryCast(dt: DataType): Seq[Expression] => Expression =
     args => Cast(args.head, dt, None, EvalMode.TRY)
@@ -364,9 +372,11 @@ object ChFunctionRegistry {
     "quantileexact" -> (args =>
       if (args.length == 1) new Percentile(args.head, Literal(0.5))
       else new Percentile(args(0), args(1))),
+    // REAL merging t-digest (functions/QuantileSketches.scala), no longer
+    // an ApproximatePercentile alias — δ=100 like the reference default
     "quantiletdigest" -> (args =>
-      if (args.length == 1) new ApproximatePercentile(args.head, Literal(0.5))
-      else new ApproximatePercentile(args(0), args(1))),
+      graft.functions.QuantileSketches.QuantileTDigest(args.head,
+        if (args.length > 1) foldDouble(args(1)) else 0.5)),
     // Remaining quantile sketch engines (AggregateFunctionQuantile*.cpp:
     // Timing, GK, DD, BFloat16, Deterministic, InterpolatedWeighted) — all
     // carried by Spark's single approximate-percentile sketch. The engine
@@ -380,9 +390,13 @@ object ChFunctionRegistry {
     "quantilegk" -> (args =>
       if (args.length == 1) new ApproximatePercentile(args.head, Literal(0.5))
       else new ApproximatePercentile(args(0), args(1))),
+    // REAL DDSketch (functions/QuantileSketches.scala): reference form
+    // quantileDD(relative_accuracy[, level])(x) arrives post-parametric-
+    // rewrite as (x, alpha[, q]) — relative-error guarantee alpha
     "quantiledd" -> (args =>
-      if (args.length == 1) new ApproximatePercentile(args.head, Literal(0.5))
-      else new ApproximatePercentile(args(0), args(1))),
+      graft.functions.QuantileSketches.QuantileDD(args.head,
+        q = if (args.length > 2) foldDouble(args(2)) else 0.5,
+        alpha = if (args.length > 1) foldDouble(args(1)) else 0.01)),
     "quantilebfloat16" -> (args =>
       if (args.length == 1) new ApproximatePercentile(args.head, Literal(0.5))
       else new ApproximatePercentile(args(0), args(1))),
