@@ -213,6 +213,30 @@ object FunctionTail2 extends QueryPack {
         TRUE AS dd_rel_err, TRUE AS dd_rel_err_p90
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
 
+    // quantileTiming: the reference's fixed-histogram engine is EXACT for
+    // values < 1024 (one bin per integer), so on l_quantity (1..50) the
+    // oracle is the exact order statistic at floor(n*level) — rank
+    // convention and all, not a tolerance band.
+    ch("q_fn_quantile_timing", """
+      SELECT l_returnflag,
+        quantileTiming(0.5)(l_quantity) AS p50,
+        quantileTiming(0.9)(l_quantity) AS p90,
+        quantileTiming(0.99)(l_quantity) AS p99,
+        quantileTiming(1.0)(l_quantity) AS p100
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+      """
+      WITH s AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v,
+          ROW_NUMBER() OVER (PARTITION BY l_returnflag
+            ORDER BY CAST(l_quantity AS BIGINT)) AS rn,
+          COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem)
+      SELECT l_returnflag,
+        CAST(MAX(CASE WHEN rn = CAST(FLOOR(n * 0.5) AS BIGINT) + 1 THEN v END) AS INT) AS p50,
+        CAST(MAX(CASE WHEN rn = CAST(FLOOR(n * 0.9) AS BIGINT) + 1 THEN v END) AS INT) AS p90,
+        CAST(MAX(CASE WHEN rn = CAST(FLOOR(n * 0.99) AS BIGINT) + 1 THEN v END) AS INT) AS p99,
+        CAST(MAX(CASE WHEN rn = n THEN v END) AS INT) AS p100
+      FROM s GROUP BY l_returnflag ORDER BY l_returnflag"""),
+
     // uniqTheta as a REAL KMV theta estimator (functions/ThetaSketch):
     // exact below the k=1024 nominal entries (1 distinct per group),
     // within the ~3.1% RSE above them (l_partkey distincts > k at every

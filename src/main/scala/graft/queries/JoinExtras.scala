@@ -345,6 +345,36 @@ object JoinExtras extends QueryPack {
           array_contains(col("__h"), lit(101L)).as("in_region1"),
           array_contains(col("__h"), lit(1000L)).as("under_root"))
         .orderBy("n_nationkey")
+    },
+
+    // Salted skew join (operators/ScaleOps.saltedJoin): a derived key
+    // where ~80% of lineitem lands on one hot value — the reducer-melter
+    // at 1000 executors. Salting splits each key into 8 sub-keys (dim
+    // replicated 8x, fact salted by row id), so the hot key spreads over
+    // 8 reducers; the RESULT is identical to the plain join, which is
+    // exactly what the oracle states.
+    Q.df("q_salted_join", """
+      WITH f AS (SELECT CASE WHEN l_orderkey % 10 < 8 THEN 0
+                             ELSE l_orderkey % 10 END AS skew_key,
+                        l_quantity
+                 FROM lineitem),
+      d AS (SELECT DISTINCT skew_key, 'g' || CAST(skew_key AS VARCHAR) AS label
+            FROM f)
+      SELECT d.label, COUNT(*) AS n,
+        CAST(SUM(CAST(f.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      FROM f JOIN d ON f.skew_key = d.skew_key
+      GROUP BY d.label ORDER BY d.label""") { (s, dir) =>
+      val fact = Tables.load(s, dir, "lineitem")
+        .select(when(col("l_orderkey") % 10 < 8, lit(0L))
+          .otherwise(col("l_orderkey") % 10).as("skew_key"),
+          col("l_quantity"))
+      val dim = fact.select(col("skew_key")).distinct()
+        .withColumn("label", concat(lit("g"), col("skew_key").cast("string")))
+      graft.operators.ScaleOps.saltedJoin(fact, dim, "skew_key", 8)
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+        .orderBy("label")
     }
   )
 }

@@ -124,6 +124,49 @@ object LlmPipeline4 extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // --- TF-IDF top terms ----------------------------------------------
+    // The classic retrieval/quality signal over the corpus: per-doc term
+    // frequency x ln(N/df) inverse document frequency, top-3 terms per
+    // doc. Scale shape: tf is one groupBy(doc,term) with map-side
+    // combine; df reduces tf's distinct doc-term pairs (vocabulary-sized
+    // output, broadcast back); N rides a broadcast 1-row aggregate — no
+    // driver actions, one window for the per-doc top-k.
+    Q.df("q_text_tfidf", """
+      WITH t AS (SELECT doc_id,
+          LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'), x -> LEN(x) > 0) AS ws
+        FROM documents),
+      tok AS (SELECT doc_id, UNNEST(ws) AS term FROM t),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+      df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      n AS (SELECT COUNT(*) AS n FROM t),
+      scored AS (
+        SELECT tf.doc_id, tf.term,
+          ROUND(tf.tf * LN(CAST(n.n AS DOUBLE) / df.df), 6) AS score,
+          ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+            ORDER BY tf.tf * LN(CAST(n.n AS DOUBLE) / df.df) DESC, tf.term) AS rn
+        FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+      SELECT doc_id, term, score, CAST(rn AS INT) AS rank
+      FROM scored WHERE rn <= 3 AND doc_id < 100
+      ORDER BY doc_id, rank""") { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), tokens(col("text")).as("ws"))
+      val tok = docs.select(col("doc_id"), explode(col("ws")).as("term"))
+      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val scoreCol = col("tf") * log(col("n").cast("double") / col("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(scoreCol.desc, col("term"))
+      tf.join(broadcast(df), Seq("term"))
+        .crossJoin(broadcast(n))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3 && col("doc_id") < 100)
+        .select(col("doc_id"), col("term"),
+          round(scoreCol, 6).as("score"), col("rn").cast("int").as("rank"))
+        .orderBy("doc_id", "rank")
+    },
+
     // --- Rolling-hash document fingerprint -----------------------------
     // Karp-Rabin-class polynomial fingerprint over the token stream
     // (reference sketch family: src/Functions/FunctionsStringHash.h

@@ -384,9 +384,12 @@ object ChFunctionRegistry {
     // quantile) is the same, so every name maps to ApproximatePercentile.
     // quantileDeterministic's determinism seed is accepted and ignored
     // (Spark's sketch is already deterministic for a given dataset).
+    // REAL fixed-histogram timing sketch (functions/TimingSketch.scala):
+    // exact below 1024, 16-wide jittered bins to 30000, clamp above —
+    // the reference's bin layout reproduced exactly
     "quantiletiming" -> (args =>
-      if (args.length == 1) new ApproximatePercentile(args.head, Literal(0.5))
-      else new ApproximatePercentile(args(0), args(1))),
+      graft.functions.TimingSketch.QuantileTiming(args.head,
+        if (args.length > 1) foldDouble(args(1)) else 0.5)),
     "quantilegk" -> (args =>
       if (args.length == 1) new ApproximatePercentile(args.head, Literal(0.5))
       else new ApproximatePercentile(args(0), args(1))),
