@@ -124,6 +124,102 @@ object LlmPipeline4 extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // --- Content-defined chunking --------------------------------------
+    // Variable-size chunk boundaries from a rolling hash over a 4-word
+    // window (the CDC scheme under dedup stores: a boundary wherever the
+    // window hash hits a target pattern, so insertions only reshape
+    // NEIGHBORING chunks — unlike fixed 10-word chunks where one shifted
+    // word re-cuts the whole doc). Hash is the oracle-portable word hash
+    // of q_text_rolling_fp folded over the window; boundary = fold mod 16
+    // == 0 (expected chunk ~16 words). Purely positional arithmetic both
+    // engines can state.
+    Q.df("q_text_cdc_chunks", """
+      WITH t AS (SELECT doc_id,
+          LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'), x -> LEN(x) > 0) AS ws
+        FROM documents WHERE doc_id < 300),
+      h AS (SELECT doc_id, LIST_TRANSFORM(ws,
+          w -> CAST(LEN(w)*961 + ASCII(w)*31 + ASCII(w[-1]) AS BIGINT)) AS hs FROM t),
+      b AS (SELECT doc_id, LEN(hs) AS n_words,
+          LIST_SUM(LIST_TRANSFORM(RANGE(4, LEN(hs) + 1), i ->
+            CASE WHEN ((hs[i-3]*131*131*131 + hs[i-2]*131*131 + hs[i-1]*131
+                        + hs[i]) % 1000000007) % 16 = 0
+                 THEN 1 ELSE 0 END)) AS n_bounds
+        FROM h WHERE LEN(hs) >= 4)
+      SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        CAST(COALESCE(n_bounds, 0) + 1 AS BIGINT) AS n_chunks,
+        ROUND(CAST(n_words AS DOUBLE) / (COALESCE(n_bounds, 0) + 1), 6) AS avg_chunk_words
+      FROM b ORDER BY doc_id""") { (s, dir) =>
+      val wh = (w: org.apache.spark.sql.Column) =>
+        length(w).cast("long") * 961 + ascii(w).cast("long") * 31 +
+          ascii(w.substr(lit(-1), lit(1))).cast("long")
+      val hs = transform(col("ws"), w => wh(w))
+      val bounds = aggregate(
+        sequence(lit(4), size(col("hs"))),
+        lit(0L),
+        (acc, i) => acc + when(
+          ((element_at(col("hs"), (i - 3).cast("int")) * lit(131L * 131 * 131)
+            + element_at(col("hs"), (i - 2).cast("int")) * lit(131L * 131)
+            + element_at(col("hs"), (i - 1).cast("int")) * lit(131L)
+            + element_at(col("hs"), i.cast("int"))) % 1000000007L) % 16 === 0,
+          lit(1L)).otherwise(lit(0L)))
+      Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"), tokens(col("text")).as("ws"))
+        .select(col("doc_id"), size(col("ws")).as("n_words"), hs.as("hs"))
+        .filter(size(col("hs")) >= 4)
+        .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
+          (bounds + 1).as("n_chunks"))
+        .select(col("doc_id"), col("n_words"), col("n_chunks"),
+          round(col("n_words").cast("double") / col("n_chunks"), 6)
+            .as("avg_chunk_words"))
+        .orderBy("doc_id")
+    },
+
+    // --- Int8 embedding quantization -----------------------------------
+    // The ANN-infra memory-cut: per-vector symmetric int8 quantization
+    // (scale = max|v|/127), dequantized cosine must stay within 2% of the
+    // exact cosine — both the quantized vectors and the error bound are
+    // exact arithmetic the oracle restates. At 100 TB this is 4x fewer
+    // bytes through every shuffle and scan of the vector column.
+    Q.df("q_embed_quantize", """
+      WITH e AS (SELECT vec_id,
+          LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE vec_id < 200),
+      s AS (SELECT vec_id, v,
+          LIST_MAX(LIST_TRANSFORM(v, x -> ABS(x))) / 127.0 AS scale FROM e),
+      q AS (SELECT vec_id, v, scale,
+          LIST_TRANSFORM(v, x -> ROUND(x / scale)) AS qv FROM s),
+      d AS (SELECT vec_id, v, scale,
+          LIST_TRANSFORM(qv, x -> x * scale) AS dv, qv FROM q),
+      m AS (SELECT vec_id,
+          CAST(LIST_MAX(LIST_TRANSFORM(qv, x -> ABS(x))) AS BIGINT) AS max_q,
+          LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(v, dv), p -> ABS(p[1] - p[2])),
+                      (a, b) -> GREATEST(a, b)) AS max_abs_err,
+          scale
+        FROM d)
+      SELECT vec_id, max_q,
+        (max_abs_err <= scale * 0.5 + 1e-12) AS err_within_half_step
+      FROM m ORDER BY vec_id""") { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") < 200)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val scale = (array_max(transform(col("v"), x => abs(x))) / 127.0).as("scale")
+      val withScale = e.select(col("vec_id"), col("v"), scale)
+      val qv = transform(col("v"), x => round(x / col("scale")))
+      val withQ = withScale.withColumn("qv", qv)
+      val dv = transform(col("qv"), x => x * col("scale"))
+      withQ.withColumn("dv", dv)
+        .select(col("vec_id"),
+          array_max(transform(col("qv"), x => abs(x))).cast("long").as("max_q"),
+          aggregate(zip_with(col("v"), col("dv"), (a, b) => abs(a - b)),
+            lit(0.0), (acc, x) => greatest(acc, x)).as("max_abs_err"),
+          col("scale"))
+        .select(col("vec_id"), col("max_q"),
+          (col("max_abs_err") <= col("scale") * 0.5 + 1e-12)
+            .as("err_within_half_step"))
+        .orderBy("vec_id")
+    },
+
     // --- TF-IDF top terms ----------------------------------------------
     // The classic retrieval/quality signal over the corpus: per-doc term
     // frequency x ln(N/df) inverse document frequency, top-3 terms per
