@@ -40,7 +40,9 @@ object Bench {
     "q_ch_multisearch_many",
     // round-5: corpus-wide chunk dedup — the CCNet-style shuffle-on-chunk
     // profile (explode + map-side-combinable MIN + pinned join-back)
-    "q_chunk_dedup")
+    "q_chunk_dedup",
+    // round-5: tf-idf — the agg+broadcast+window retrieval profile
+    "q_text_tfidf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

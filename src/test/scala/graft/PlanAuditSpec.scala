@@ -145,6 +145,14 @@ class PlanAuditSpec extends SparkFunSuite {
       s"expected exactly 1 hash exchange (domain), found $hashEx:\n$p")
   }
 
+  test("tf-idf: df and N broadcast back, no cartesian, no driver actions") {
+    val p = planOf("q_text_tfidf")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "vocabulary-sized df table must broadcast")
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row N must ride a broadcast nested loop, not a cartesian")
+  }
+
   test("nearest-centroid assignment broadcasts the centroids, no sort shuffle") {
     // Wave-3 clustering: the embedding scan crosses the 8-row centroid
     // table via broadcast (never a shuffled CartesianProduct), and the
