@@ -113,6 +113,42 @@ object StorageQueries extends QueryPack {
         .select("name").orderBy("name")
     },
 
+    // Aggregate projection (plans/AggProjections.scala — the reference's
+    // optimizeUseAggregateProjections): a registered rollup on
+    // (l_returnflag, l_linestatus) answers this GROUP BY from
+    // rollup-sized data; the Rule[LogicalPlan] rewrite is pinned in
+    // AggProjectionsSpec, the VALUES equal the base-table aggregate,
+    // which is exactly what the oracle states. The projection is
+    // registered only for the duration of this query's materialization
+    // (localCheckpoint is eager), so no other query's plan is touched.
+    Q.df("q_projection_agg", """
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+        ROUND(AVG(l_quantity), 6) AS avg_qty,
+        MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""") { (s, dir) =>
+      val basePath = s"$dir/lineitem.parquet"
+      graft.plans.AggProjections.create(s, basePath,
+        "/tmp/graft_proj_q/lineitem",
+        Seq("l_returnflag", "l_linestatus"),
+        Seq("l_quantity", "l_extendedprice"))
+      try {
+        s.read.parquet(basePath)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"),
+            sum("l_quantity").as("__q"),
+            avg("l_quantity").as("__aq"),
+            min("l_extendedprice").as("mn"),
+            max("l_extendedprice").as("mx"))
+          .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+            col("__q").cast("double").as("qty"),
+            round(col("__aq"), 6).as("avg_qty"), col("mn"), col("mx"))
+          .orderBy("l_returnflag", "l_linestatus")
+          .localCheckpoint()
+      } finally graft.plans.AggProjections.drop(basePath)
+    },
+
     // system.dictionaries (StorageSystemDictionaries.cpp): the loaded
     // SQL-dictionary inventory — name, key type, attributes, element
     // count (nation has 25 rows at every sf, so the oracle is a literal).
