@@ -30,6 +30,15 @@ object ScaleOps {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Hive-style partitioned parquet copy — the reference's PARTITION BY
+    * layout (MergeTree partition pruning reads only matching parts;
+    * Spark's FileSourceScan prunes matching DIRECTORIES before listing
+    * files — `PartitionFilters` in the scan, zero I/O for excluded
+    * partitions). */
+  def writePartitioned(spark: SparkSession, df: DataFrame, path: String,
+      partitionCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+
   /** Write a bucketed + bucket-sorted copy of `df` as a catalog table
     * (clearing any stale warehouse location from an earlier session). */
   def writeBucketed(spark: SparkSession, df: DataFrame, name: String,

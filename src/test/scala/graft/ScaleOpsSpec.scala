@@ -40,6 +40,33 @@ class ScaleOpsSpec extends SparkFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("partitioned layout: a partition-key filter prunes at the directory level") {
+    Tables.register(spark, sf)
+    val path = "/tmp/graft_part_orders"
+    ScaleOps.writePartitioned(spark,
+      spark.table("orders")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority"),
+      path, "o_orderpriority")
+    val pruned = spark.read.parquet(path)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.contains("o_orderpriority"),
+      s"partition filter did not reach the scan:\n$plan")
+    // pruning is real: the scan must report only the one matching
+    // partition directory's files
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+      }
+    assert(scanned.contains(1),
+      s"expected exactly 1 selected partition, got $scanned")
+    val expected = spark.table("orders")
+      .filter(col("o_orderpriority") === "1-URGENT").count()
+    assert(pruned.count() == expected)
+  }
+
   test("bloom semi-join: result equals plain semi join, filter visible in plan") {
     Tables.register(spark, sf)
     val li = spark.table("lineitem")
