@@ -80,6 +80,66 @@ object Formats extends QueryPack {
       val path = fixtureDir("orc_supplier", dir)
       src.coalesce(1).write.mode("overwrite").orc(path)
       s.read.orc(path).orderBy("s_suppkey")
+    },
+
+    // RowBinary round-trip (registerInputFormatRowBinary — the CH wire
+    // format: LE fixed-width numerics, LEB128-length strings, 1-byte null
+    // markers). The nullable lane is exercised via NULLIF on mktsegment.
+    // Distributed both ways: one part per partition on write, one task per
+    // part on read (graft.sources.ChWireFormats).
+    Q.df("q_format_rowbinary", """
+      SELECT c_custkey, c_name, c_nationkey,
+             CAST(c_acctbal AS DOUBLE) AS bal,
+             CASE WHEN c_mktsegment='BUILDING' THEN NULL ELSE c_mktsegment END AS seg
+      FROM customer ORDER BY c_custkey""") { (s, dir) =>
+      val src = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal").cast("double").as("bal"),
+          nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"))
+        .repartition(4)
+      val path = fixtureDir("rowbinary_customer", dir)
+      graft.sources.ChWireFormats.writeRowBinary(src, path)
+      graft.sources.ChWireFormats.readRowBinary(s, path, src.schema)
+        .orderBy("c_custkey")
+    },
+
+    // RowBinaryWithNamesAndTypes — header carries names + CH type names
+    // (Date rides UInt16 days, DateTime64(6) rides Int64 micros); the
+    // reader VERIFIES the header against the schema before decoding.
+    Q.df("q_format_rowbinary_wnt", """
+      SELECT o_orderkey, o_orderdate,
+             CAST(o_orderdate AS TIMESTAMP) AS o_ts,
+             CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""") { (s, dir) =>
+      val src = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderdate").cast("timestamp").as("o_ts"),
+          col("o_totalprice").cast("double").as("price"))
+        .repartition(3)
+      val path = fixtureDir("rowbinary_wnt_orders", dir)
+      graft.sources.ChWireFormats.writeRowBinary(src, path, withNamesAndTypes = true)
+      graft.sources.ChWireFormats.readRowBinary(s, path, src.schema, withNamesAndTypes = true)
+        .orderBy("o_orderkey")
+    },
+
+    // Native columnar block round-trip (registerOutputFormatNative) — one
+    // block per writer partition; per column: name, type, null-mask vector
+    // then value vector.
+    Q.df("q_format_native", """
+      SELECT p_partkey, p_name, p_size,
+             CAST(p_retailprice AS DOUBLE) AS price,
+             CASE WHEN p_brand='Brand#13' THEN NULL ELSE p_brand END AS brand
+      FROM part ORDER BY p_partkey""") { (s, dir) =>
+      val src = Tables.load(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"), col("p_size"),
+          col("p_retailprice").cast("double").as("price"),
+          nullif(col("p_brand"), lit("Brand#13")).as("brand"))
+        .repartition(4)
+      val path = fixtureDir("native_part", dir)
+      graft.sources.ChWireFormats.writeNative(src, path)
+      graft.sources.ChWireFormats.readNative(s, path, src.schema)
+        .orderBy("p_partkey")
     }
   )
 }
