@@ -58,9 +58,15 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val queries = SparkEntry.queries
-    // warmup: JIT + codegen + parquet footer caches
-    queries("q1_pricing_summary")(spark, sfDir).collect()
-    queries("q_agg_basic")(spark, sfDir).collect()
+    // warmup: JIT + codegen + parquet footer caches. Guarded — a warmup
+    // failure (e.g. input-schema drift breaking one table) must degrade to
+    // per-query "failed" entries, not abort the whole bench with rc=1.
+    Seq("q1_pricing_summary", "q_agg_basic").foreach { n =>
+      try queries(n)(spark, sfDir).collect()
+      catch { case e: Throwable =>
+        System.err.println(s"BENCH warmup $n FAILED: $e")
+      }
+    }
 
     // SPARK_GRAFT_BENCH_ONLY=q_a,q_b — local iteration filter; the driver
     // leaves it unset and benches the full headline set.

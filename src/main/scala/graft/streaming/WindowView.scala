@@ -33,18 +33,22 @@ object WindowView {
     d.toString
   })
 
-  /** events.parquet replayed as a bounded file stream. The ns-timestamp
-    * column arrives as raw nanos (nanosAsLong) and is truncated to µs
-    * exactly like the batch reader in graft.Tables. */
+  /** events.parquet replayed as a bounded file stream. The reader schema
+    * is derived from the batch reader (graft.Tables) against the actual
+    * file, so physical-type drift in `ts` (the corpus has shipped both
+    * TIMESTAMP(NANOS) and TIMESTAMP(MICROS)) is absorbed in one place:
+    * when ts arrives as raw nanos (LongType) truncate to µs like the batch
+    * path; when it is already a timestamp, just cast. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream.schema(schema)
-      .parquet(stageDir(dir))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(fileSchema).parquet(stageDir(dir))
+    fileSchema("ts").dataType match {
+      case LongType =>
+        stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        stream.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Stream-stream interval join (the funnel primitive: every `leftType`
