@@ -101,6 +101,51 @@ object JoinOps {
     asofJoin(left, right, leftKey, rightKey, leftTs, rightTs,
       rightPayload, rightTieBreak, "<=")
 
+  /** ASOF with a tolerance bound (reference RowRefs.h:166-173 — the sorted
+    * lookup returns the nearest row on the allowed side; a max-gap bound on
+    * that nearest match is the standard ASOF tolerance form). A match
+    * further than `tolerance` (in leftTs/rightTs units) from the left row
+    * is nulled out — the row keeps left-join semantics, only the payload
+    * columns become NULL, exactly like an unmatched ASOF row. Same
+    * one-shuffle union-window plan: the tolerance check is a post-window
+    * per-row predicate, so the cost profile is unchanged.
+    */
+  def asofJoinTolerance(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: Column, rightTs: Column,
+      rightPayload: Seq[String],
+      rightTieBreak: Column,
+      tolerance: Long,
+      op: String = "<="): DataFrame = {
+    require(tolerance >= 0, "tolerance must be non-negative")
+    // Carry the matched right row's timestamp alongside the payload, then
+    // null every asof_ column where |leftTs - matchedTs| > tolerance.
+    val rightWithTs = right.withColumn("__rts_payload", rightTs)
+    val joined = asofJoin(left, rightWithTs, leftKey, rightKey,
+      leftTs, rightTs, rightPayload :+ "__rts_payload", rightTieBreak, op)
+    val gap = abs(leftTs - col("asof___rts_payload"))
+    val inTol = col("asof___rts_payload").isNotNull && gap <= tolerance
+    rightPayload.foldLeft(joined) { (d, c) =>
+      d.withColumn(s"asof_$c", when(inTol, col(s"asof_$c")))
+    }.drop("asof___rts_payload")
+  }
+
+  /** ANY RIGHT JOIN (reference src/Core/Joins.h:44 JoinStrictness::Any with
+    * JoinKind::Right — RightAny): every RIGHT row appears exactly once,
+    * matched to at most one (deterministic: min-by `pick`) LEFT row. The
+    * mirror of anyLeftJoin: the LEFT side is deduplicated to one row per
+    * key, then right-joined — one window pass over the smaller (dedup) side
+    * plus one shuffle join, no fact-side blowup.
+    */
+  def anyRightJoin(left: DataFrame, right: DataFrame, key: String,
+      pick: Column): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(pick)
+    val dedup = left.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    dedup.join(right, Seq(key), "right")
+  }
+
   /** PASTE JOIN: positional zip of two frames in their given sort orders
     * (reference: PasteJoinTransform). Row index comes from
     * RDD.zipWithIndex — after a global orderBy the range partitioner makes

@@ -5,7 +5,7 @@ import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions._
@@ -25,10 +25,13 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
   * data instead of the fact table. At 100 TB this is the difference
   * between scanning the table and scanning kilobytes.
   *
-  * Conservative by construction: bails (leaves the plan untouched) on
-  * filters, non-subset groupings, distinct aggregates, non-attribute agg
-  * children, or any aggregate it cannot re-derive; only double/long/int
-  * sum lanes are rewritten so re-summed result types match exactly.
+  * Filters whose references are all projection dims are rewritten too
+  * (pushed onto the projection scan — filtering rollup rows on dims equals
+  * filtering base rows on dims); conservative otherwise: bails (leaves the
+  * plan untouched) on measure-referencing filters, non-subset groupings,
+  * distinct aggregates, non-attribute agg children, or any aggregate it
+  * cannot re-derive; only double/long/int sum lanes are rewritten so
+  * re-summed result types match exactly.
   */
 object AggProjections {
 
@@ -88,17 +91,38 @@ object AggProjections {
 
   case class RewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
+    // Strip column-pruning Projects (the optimizer inserts them above and
+    // below the Filter) down to an optional Filter over the scan. The
+    // filter is rewritable when every column its predicate touches is a
+    // projection DIM — then filtering rollup rows on dims equals filtering
+    // base rows on dims (the reference's optimizeUseAggregateProjections
+    // serves filtered queries the same way). Predicates touching measures
+    // bail: the rollup has already collapsed measure values.
+    private def scanWithFilter(plan: LogicalPlan)
+        : Option[(Option[Expression], Proj)] = plan match {
+      case Project(projectList, child)
+          if projectList.forall(_.isInstanceOf[AttributeReference]) =>
+        scanWithFilter(child)
+      case Filter(cond, child) =>
+        baseScan(child)
+          .filter(p => cond.references.forall(a => p.dims.contains(a.name)))
+          .map(p => (Some(cond), p))
+      case other => baseScan(other).map(p => (None, p))
+    }
+
     override def apply(plan: LogicalPlan): LogicalPlan = {
       if (registry.isEmpty) return plan
       plan.transformUp {
         case agg @ Aggregate(groupings, aggExprs, child, _) =>
-          baseScan(child).flatMap(rewrite(agg, groupings, aggExprs, _))
-            .getOrElse(agg)
+          scanWithFilter(child).flatMap { case (cond, proj) =>
+            rewrite(agg, groupings, aggExprs, cond, proj)
+          }.getOrElse(agg)
       }
     }
 
     private def rewrite(agg: Aggregate, groupings: Seq[Expression],
-        aggExprs: Seq[NamedExpression], proj: Proj): Option[LogicalPlan] = {
+        aggExprs: Seq[NamedExpression], filter: Option[Expression],
+        proj: Proj): Option[LogicalPlan] = {
       // grouping must be plain dim attributes, a subset of the projection's
       val groupNames = groupings.map {
         case a: AttributeReference if proj.dims.contains(a.name) => a.name
@@ -142,7 +166,18 @@ object AggProjections {
         case _ => return None
       }
       val newGroupings = groupNames.map(n => pAttr(n): Expression)
-      Some(Aggregate(newGroupings, rewritten, projPlan))
+      // Dim-only predicate remaps by name onto the projection scan, where
+      // it prunes rollup rows (and, being on the scan, reaches parquet as
+      // a pushed filter).
+      val source = filter match {
+        case Some(cond) =>
+          val remapped = cond.transform {
+            case a: AttributeReference => pAttr(a.name)
+          }
+          Filter(remapped, projPlan)
+        case None => projPlan
+      }
+      Some(Aggregate(newGroupings, rewritten, source))
     }
   }
 }

@@ -113,6 +113,76 @@ object JoinExtras extends QueryPack {
         .orderBy("user_id", "event_id")
     },
 
+    // ASOF with tolerance (RowRefs.h:166-173 sorted nearest lookup + max
+    // gap): backward match as q_asof_join, but a match further than 7 days
+    // behind the event is nulled out. Same one-shuffle union-window plan;
+    // the tolerance is a post-window predicate.
+    Q.df("q_asof_tolerance", """
+      WITH m AS (
+        SELECT user_id, event_id,
+          (SELECT MAX(o_orderdate) FROM orders
+           WHERE o_custkey = e.user_id AND o_orderdate <= e.ts) AS raw_date,
+          EPOCH_US(e.ts) AS ets
+        FROM events e),
+      t AS (
+        SELECT user_id, event_id,
+          CASE WHEN raw_date IS NOT NULL
+                AND ets - EPOCH_US(CAST(raw_date AS TIMESTAMP)) <= 604800000000
+               THEN raw_date END AS asof_date
+        FROM m)
+      SELECT t.user_id, t.event_id, t.asof_date,
+        (SELECT MAX(o_orderkey) FROM orders
+         WHERE o_custkey = t.user_id AND o_orderdate = t.asof_date) AS asof_order
+      FROM t
+      ORDER BY user_id, event_id""") { (s, dir) =>
+      val events = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val orders = Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+        .withColumn("asofdate", col("o_orderdate"))
+      JoinOps.asofJoinTolerance(
+        events, orders,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTs = unix_micros(col("ts")),
+        rightTs = unix_micros(col("o_orderdate").cast("timestamp")),
+        rightPayload = Seq("asofdate", "o_orderkey"),
+        rightTieBreak = col("o_orderkey"),
+        tolerance = 604800000000L) // 7 days in µs
+        .select(col("user_id"), col("event_id"),
+          col("asof_asofdate").as("asof_date"),
+          col("asof_o_orderkey").as("asof_order"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // ANY RIGHT JOIN (src/Core/Joins.h:44 RightAny): every order exactly
+    // once, matched to its deterministic-first lineitem — the LEFT side
+    // dedups, so the join never amplifies the right side. The pick is
+    // total on (linenumber, quantity): the synthetic corpus has duplicate
+    // linenumbers per order, so a bare-linenumber pick would be
+    // engine-nondeterministic.
+    Q.df("q_any_right_join", """
+      WITH d AS (
+        SELECT l_orderkey, l_linenumber, l_quantity,
+          ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                             ORDER BY l_linenumber, l_quantity) AS rn
+        FROM lineitem)
+      SELECT o_orderkey, d.l_linenumber AS first_line,
+             d.l_quantity AS first_qty
+      FROM orders LEFT JOIN (SELECT * FROM d WHERE rn = 1) d
+        ON o_orderkey = d.l_orderkey
+      ORDER BY o_orderkey""") { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"),
+          col("l_linenumber"), col("l_quantity"))
+      JoinOps.anyRightJoin(li,
+        Tables.load(s, dir, "orders").select("o_orderkey"),
+        "o_orderkey", struct(col("l_linenumber"), col("l_quantity")))
+        .select(col("o_orderkey"), col("l_linenumber").as("first_line"),
+          col("l_quantity").as("first_qty"))
+        .orderBy("o_orderkey")
+    },
+
     // PASTE JOIN (positional zip) of the region and nation tables in
     // name order (reference: PasteJoinTransform) — inner-zip of the first
     // min(n,m) rows.

@@ -149,6 +149,34 @@ object StorageQueries extends QueryPack {
       } finally graft.plans.AggProjections.drop(basePath)
     },
 
+    // Filtered aggregate projection (round-6: the reference's rewrite
+    // serves `WHERE dim = x GROUP BY dim2` from the projection too —
+    // optimizeUseAggregateProjections.cpp). The dim-only predicate is
+    // pushed onto the ROLLUP scan; rewrite + measure-filter bail-out are
+    // pinned in AggProjectionsSpec.
+    Q.df("q_projection_agg_filtered", """
+      SELECT l_returnflag, COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      FROM lineitem WHERE l_linestatus = 'F'
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""") { (s, dir) =>
+      val basePath = s"$dir/lineitem.parquet"
+      graft.plans.AggProjections.create(s, basePath,
+        "/tmp/graft_proj_qf/lineitem",
+        Seq("l_returnflag", "l_linestatus"),
+        Seq("l_quantity", "l_extendedprice"))
+      try {
+        s.read.parquet(basePath)
+          .filter(col("l_linestatus") === "F")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum("l_quantity").as("__q"))
+          .select(col("l_returnflag"), col("n"),
+            col("__q").cast("double").as("qty"))
+          .orderBy("l_returnflag")
+          .localCheckpoint()
+      } finally graft.plans.AggProjections.drop(basePath)
+    },
+
     // system.dictionaries (StorageSystemDictionaries.cpp): the loaded
     // SQL-dictionary inventory — name, key type, attributes, element
     // count (nation has 25 rows at every sf, so the oracle is a literal).

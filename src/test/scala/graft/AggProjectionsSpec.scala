@@ -43,13 +43,37 @@ class AggProjectionsSpec extends SparkFunSuite {
     }
   }
 
-  test("non-derivable aggregates and filtered scans are left on the base table") {
+  test("dim-only filter rewrites onto the projection, values identical") {
+    val direct = spark.read.parquet(basePath)
+      .filter(col("l_linestatus") === "F")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("qty"))
+      .orderBy("l_returnflag")
+    val expected = direct.collect()
+    withProjection {
+      val viaProj = spark.read.parquet(basePath)
+        .filter(col("l_linestatus") === "F")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("qty"))
+        .orderBy("l_returnflag")
+      val optimized = viaProj.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("__sum_l_quantity"),
+        s"filtered aggregate was not rewritten onto the projection:\n$optimized")
+      assert(got(viaProj) == expected.map(_.toString).toSeq)
+    }
+  }
+
+  private def got(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  test("non-derivable aggregates and measure-filtered scans are left on the base table") {
     withProjection {
       // countDistinct is not derivable from the rollup
       val cd = spark.read.parquet(basePath)
         .groupBy("l_returnflag").agg(countDistinct("l_partkey"))
       assert(!cd.queryExecution.optimizedPlan.toString.contains("__cnt"))
-      // a filter below the aggregate must bail too
+      // a filter touching a MEASURE must bail — the rollup already
+      // collapsed l_quantity values
       val filtered = spark.read.parquet(basePath)
         .filter(col("l_quantity") > 10)
         .groupBy("l_returnflag").agg(sum("l_quantity"))
