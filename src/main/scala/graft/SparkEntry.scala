@@ -40,7 +40,8 @@ object SparkEntry {
     qp.LlmPipeline2,
     qp.LlmPipeline3,
     qp.LlmPipeline4,
-    qp.WideIntQueries
+    qp.WideIntQueries,
+    qp.IndexQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,63 @@
+package graft.queries
+
+import graft.{Q, QueryPack, Tables}
+import graft.operators.{TextIndex, VectorIndex}
+import org.apache.spark.sql.functions._
+
+/** Persisted index structures (round 6 — SURVEY §2.1/§4 skip-index
+  * obligations): token inverted-index file pruning (the reference's
+  * tokenbf/GIN text skip indexes) and the persisted IVF vector index
+  * (MergeTreeIndexVectorSimilarity). Both write their structure ONCE and
+  * serve every later query from it; both are oracled on result equality —
+  * pruning must never change answers, only I/O.
+  */
+object IndexQueries extends QueryPack {
+
+  private def key(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  override def queries: Seq[Q] = Seq(
+
+    // Conjunctive token search riding the inverted index: result-identical
+    // to the full scan (which is exactly what the oracle states — the
+    // index admits a superset of matching FILES, rows re-verify), reading
+    // only the files whose token set covers the conjunction. File-count
+    // pruning is pinned in TextIndexSpec.
+    Q.df("q_text_search_index", """
+      SELECT doc_id, lang, source FROM documents
+      WHERE LIST_CONTAINS(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9_]+'),
+                                      t -> LEN(t) > 0), 'dup')
+        AND LIST_CONTAINS(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9_]+'),
+                                      t -> LEN(t) > 0), 'vector')
+      ORDER BY doc_id""") { (s, dir) =>
+      val base = s"/tmp/graft_textindex_${key(dir)}"
+      TextIndex.create(s, Tables.load(s, dir, "documents"),
+        s"$base/data", s"$base/index", nFiles = 32)
+      TextIndex.search(s, s"$base/data", s"$base/index",
+          Seq("dup", "vector"))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    },
+
+    // Persisted-IVF planted-pair contract (the q_ann_ivf_planted recipe
+    // over the ON-DISK index): corpus + exact twins are indexed once;
+    // each query's twin shares its cell (identical centroid sims, same
+    // tie-break), the query probes its own cell first, so top-1 is the
+    // twin at cos 1.0 — which the oracle states literally. The
+    // reads-index-not-corpus property is pinned in VectorIndexSpec.
+    Q.df("q_ann_ivf_persisted", """
+      SELECT vec_id AS qid, vec_id + 1000000 AS nid,
+        CAST(1.0 AS DOUBLE) AS cos
+      FROM embeddings WHERE vec_id < 20 ORDER BY qid, nid""") { (s, dir) =>
+      val src = Tables.load(s, dir, "embeddings")
+      val planted = src.withColumn("vec_id", col("vec_id") + 1000000L)
+      val idx = s"/tmp/graft_vecindex_${key(dir)}"
+      VectorIndex.create(s, src.unionByName(planted), idx, nCells = 16)
+      val queries = VectorIndex.prep(src).filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qnrm"))
+      VectorIndex.topK(s, idx, queries, k = 1, nProbe = 4)
+        .orderBy("qid", "nid")
+    }
+  )
+}
