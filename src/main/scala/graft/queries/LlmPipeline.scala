@@ -116,7 +116,7 @@ object LlmPipeline extends QueryPack {
   }
 
   /** Embedding frame prep: float array → double vector + L2 norm. */
-  private def prepEmbeddings(src: org.apache.spark.sql.DataFrame)
+  private[graft] def prepEmbeddings(src: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     src.select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))
@@ -165,7 +165,7 @@ object LlmPipeline extends QueryPack {
     * band join + distinct carry ONLY (qid, vec_id) — 16 bytes through the
     * shuffle, not two 64-double vectors; vectors join back once per
     * surviving candidate, queries via broadcast. */
-  private def annLshTopK(e: org.apache.spark.sql.DataFrame, k: Int)
+  private[graft] def annLshTopK(e: org.apache.spark.sql.DataFrame, k: Int)
       : org.apache.spark.sql.DataFrame = {
     // table t (0..7), plane p (0..3), dim i weight = ((i*31+(t*4+p)*17)%7)-3
     def bucketKey(t: Int) = (0 until 4).map { p =>
@@ -197,7 +197,7 @@ object LlmPipeline extends QueryPack {
     * system k-means them), every vector assigned to its best cell, queries
     * (vec_id < 20) probe their 4 nearest cells, exact re-rank to top-`k`.
     * Cells partition the corpus; a query touches nprobe/ncell of it. */
-  private def annIvfTopK(e: org.apache.spark.sql.DataFrame, k: Int)
+  private[graft] def annIvfTopK(e: org.apache.spark.sql.DataFrame, k: Int)
       : org.apache.spark.sql.DataFrame = {
     val cents = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
@@ -225,7 +225,7 @@ object LlmPipeline extends QueryPack {
   /** Embedding near-dup via 16-table × 6-plane sign-LSH banding, capped
     * buckets, exact cosine verify at `minCos`. Candidate pairs carry only
     * ids through the shuffle. */
-  private def embeddingLshPairs(e: org.apache.spark.sql.DataFrame,
+  private[graft] def embeddingLshPairs(e: org.apache.spark.sql.DataFrame,
       minCos: Double): org.apache.spark.sql.DataFrame = {
     def bucketKey(t: Int) = (0 until 6).map { p =>
       val plane = array((0 until 64).map(i =>
@@ -252,11 +252,67 @@ object LlmPipeline extends QueryPack {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 
+  /** One (metric, pass) row from an aggregate over `df` — the building
+    * block of the hybrid oracles below: the engine COMPUTES each invariant
+    * over its own approximate output, the DuckDB oracle states the
+    * expected booleans literally, and the driver's hash compare turns any
+    * violated invariant into a red row (round-5 verdict #5: the last
+    * rows-only queries get oracles whose SQL-expressible part — planted
+    * recall, floors, soundness — both engines can state). */
+  private def metricRow(name: String, pass: org.apache.spark.sql.Column,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.agg(pass.as("pass")).select(lit(name).as("metric"), col("pass"))
+
+  /** The literal DuckDB side of a metric table: every invariant TRUE. */
+  private def metricsOracle(names: Seq[String]): String =
+    names.sorted.map(n => s"('$n', TRUE)")
+      .mkString("SELECT * FROM (VALUES ", ", ", ") t(metric, pass) ORDER BY metric")
+
+  /** Exact brute-force cosine top-`k` for queries vec_id < 20 — the
+    * ground truth the ANN recall metrics compare against (same plan as
+    * q_ann_cosine_topk). */
+  private def exactTopK(e: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val pairs = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id").as("nid"))
+  }
+
+  /** The hybrid ANN metric table shared by the LSH and IVF variants:
+    * k-bound, non-emptiness, id soundness, and a recall floor vs the
+    * exact top-k — all computed over the engine's own output. */
+  private def annMetrics(prefix: String, topk: org.apache.spark.sql.DataFrame,
+      e: org.apache.spark.sql.DataFrame, k: Int, floor: Double)
+      : org.apache.spark.sql.DataFrame = {
+    val out = topk.localCheckpoint()
+    val exact = exactTopK(e, k).localCheckpoint()
+    val perQ = out.groupBy("qid").agg(count(lit(1)).as("n"))
+    val kBounded = metricRow(s"${prefix}_k_bounded",
+      coalesce(max(col("n")), lit(0L)) <= k, perQ)
+    val nonempty = metricRow(s"${prefix}_nonempty", count(lit(1)) > 0, out)
+    // soundness: every neighbor is a real corpus id and never the query
+    val badIds = out.join(e.select(col("vec_id").as("nid")), Seq("nid"), "left_anti")
+    val sound = metricRow(s"${prefix}_sound_ids", count(lit(1)) === 0,
+      badIds.unionByName(out.filter(col("nid") === col("qid"))))
+    val recall = out.join(exact, Seq("qid", "nid"))
+      .agg(count(lit(1)).as("h"))
+      .crossJoin(exact.agg(count(lit(1)).as("t")))
+      .select(lit(s"${prefix}_recall_floor").as("metric"),
+        (col("h").cast("double") / col("t") >= floor).as("pass"))
+    kBounded.unionByName(nonempty).unionByName(sound).unionByName(recall)
+      .orderBy("metric")
+  }
+
   /** SimHash near-dup candidate pairs: 64-bit simhash over word 3-grams,
     * candidates share one of four exact 16-bit bands, survivors within
     * `maxHamming`. Shared by the full-corpus query and the planted-recall
     * oracle. */
-  private def simhashPairs(src: org.apache.spark.sql.DataFrame,
+  private[graft] def simhashPairs(src: org.apache.spark.sql.DataFrame,
       maxHamming: Int): org.apache.spark.sql.DataFrame = {
     val docs = simhashTable(
       src.repartition(src.sparkSession.sparkContext.defaultParallelism,
@@ -391,10 +447,28 @@ object LlmPipeline extends QueryPack {
 
     // --- Dedup: SimHash near-dup fingerprint -------------------------
     // 64-bit simhash; candidates share one of four 16-bit bands; survivors
-    // have hamming distance <= 12. Rows-only (xxhash64-based).
-    Q.unoracled("q_dedup_simhash") { (s, dir) =>
-      simhashPairs(Tables.load(s, dir, "documents"), 12)
-        .orderBy("id_a", "id_b")
+    // have hamming distance <= 12. Hybrid-oracled (round-6): pair
+    // ordering, the hamming bound, and planted-exact-twin recall (twins
+    // share all four bands — guaranteed candidacy at hamming 0) are
+    // engine-computed booleans the oracle states literally.
+    Q.df("q_dedup_simhash",
+      metricsOracle(Seq("simhash_ordered", "simhash_dist_bounded",
+        "simhash_planted_recall"))) { (s, dir) =>
+      val src = Tables.load(s, dir, "documents")
+      val organic = simhashPairs(src, 12).localCheckpoint()
+      val ordered = metricRow("simhash_ordered",
+        count(when(col("id_a") >= col("id_b"), 1)) === 0, organic)
+      val bounded = metricRow("simhash_dist_bounded",
+        coalesce(max(col("dist")), lit(0)) <= 12, organic)
+      val base = src.filter(col("doc_id") < 200).select("doc_id", "text")
+      val twins = base.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      val planted = simhashPairs(base.unionByName(twins), 12)
+        .filter(col("id_b") === col("id_a") + 100000L)
+      val recall = planted.agg(countDistinct(col("id_a")).as("f"))
+        .crossJoin(base.agg(count(lit(1)).as("t")))
+        .select(lit("simhash_planted_recall").as("metric"),
+          (col("f") === col("t")).as("pass"))
+      ordered.unionByName(bounded).unionByName(recall).orderBy("metric")
     },
 
     // SimHash recall contract, exactly oracled (round-3 verdict #8): plant
@@ -508,9 +582,15 @@ object LlmPipeline extends QueryPack {
     // bucketing is reproducible). Candidates share a (table, 4-bit-sign)
     // bucket in ANY table, then exact cosine re-rank. The 100 TB path:
     // (table, bucket) is the shuffle key; each bucket re-ranks locally.
-    // Rows-only check + recall floor asserted in LlmPipelineSpec.
-    Q.unoracled("q_ann_lsh_bucketed") { (s, dir) =>
-      annLshTopK(prepEmbeddings(Tables.load(s, dir, "embeddings")), 5)
+    // Hybrid-oracled (round-6): the engine computes k-bound, soundness,
+    // non-emptiness, and the recall floor vs exact top-5 over its own
+    // organic output; the oracle states the booleans literally. Floor
+    // 0.25 (measured 0.45 on the gate corpus — sign-LSH at this regime).
+    Q.df("q_ann_lsh_bucketed",
+      metricsOracle(Seq("lsh_k_bounded", "lsh_nonempty", "lsh_sound_ids",
+        "lsh_recall_floor"))) { (s, dir) =>
+      val e = prepEmbeddings(Tables.load(s, dir, "embeddings"))
+      annMetrics("lsh", annLshTopK(e, 5), e, 5, 0.25)
     },
 
     // LSH-ANN recall contract, exactly oracled: plant an exact twin
@@ -546,8 +626,13 @@ object LlmPipeline extends QueryPack {
     // queries probe their 4 nearest cells only. This is the architecture
     // that scales: cells partition the corpus, a query touches nprobe/ncell
     // of the data. Recall floor asserted in LlmPipelineSpec.
-    Q.unoracled("q_ann_ivf") { (s, dir) =>
-      annIvfTopK(prepEmbeddings(Tables.load(s, dir, "embeddings")), 5)
+    // Hybrid-oracled (round-6): same metric table as the LSH variant,
+    // floor 0.65 (measured 0.85 — 4-of-16 cell probing).
+    Q.df("q_ann_ivf",
+      metricsOracle(Seq("ivf_k_bounded", "ivf_nonempty", "ivf_sound_ids",
+        "ivf_recall_floor"))) { (s, dir) =>
+      val e = prepEmbeddings(Tables.load(s, dir, "embeddings"))
+      annMetrics("ivf", annIvfTopK(e, 5), e, 5, 0.65)
     },
 
     // IVF recall contract, exactly oracled: an exact twin has identical
@@ -620,10 +705,28 @@ object LlmPipeline extends QueryPack {
     // set is NOT a valid oracle for an approximate operator. Soundness
     // (output ⊆ exact set) is asserted in LlmPipelineSpec; recall is
     // driver-pinned by the exact-twin AND perturbed-near-dup siblings.
-    Q.unoracled("q_dedup_embedding_lsh") { (s, dir) =>
-      embeddingLshPairs(
-        prepEmbeddings(Tables.load(s, dir, "embeddings")), 0.4)
-        .orderBy("id_a", "id_b")
+    // Hybrid-oracled (round-6): ordering, the cosine threshold on every
+    // emitted pair, and planted-exact-twin recall (identical projections
+    // share the bucket in all 16 tables) as engine-computed booleans.
+    Q.df("q_dedup_embedding_lsh",
+      metricsOracle(Seq("elsh_ordered", "elsh_cos_bounded",
+        "elsh_planted_recall"))) { (s, dir) =>
+      val e = prepEmbeddings(Tables.load(s, dir, "embeddings"))
+      val organic = embeddingLshPairs(e, 0.4).localCheckpoint()
+      val ordered = metricRow("elsh_ordered",
+        count(when(col("id_a") >= col("id_b"), 1)) === 0, organic)
+      val bounded = metricRow("elsh_cos_bounded",
+        coalesce(min(col("cos")), lit(1.0)) >= 0.4, organic)
+      val base = e.filter(col("vec_id") < 200)
+      val twins = base.select((col("vec_id") + 1000000L).as("vec_id"),
+        col("v"), col("nrm"))
+      val planted = embeddingLshPairs(base.unionByName(twins), 0.4)
+        .filter(col("id_b") === col("id_a") + 1000000L)
+      val recall = planted.agg(countDistinct(col("id_a")).as("f"))
+        .crossJoin(base.agg(count(lit(1)).as("t")))
+        .select(lit("elsh_planted_recall").as("metric"),
+          (col("f") === col("t")).as("pass"))
+      ordered.unionByName(bounded).unionByName(recall).orderBy("metric")
     },
 
     // Embedding-LSH recall contract, exactly oracled: plant an exact twin

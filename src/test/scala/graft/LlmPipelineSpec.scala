@@ -30,8 +30,10 @@ class LlmPipelineSpec extends SparkFunSuite {
   test("approximate ANN (LSH + IVF) is sound and clears its recall floor") {
     val exact = SparkEntry.queries("q_ann_cosine_topk")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    def check(name: String, floor: Double): Unit = {
-      val ann = SparkEntry.queries(name)(spark, sf).collect()
+    val e = queries.LlmPipeline.prepEmbeddings(
+      Tables.load(spark, sf, "embeddings"))
+    def check(name: String, ann: Array[org.apache.spark.sql.Row],
+        floor: Double): Unit = {
       assert(ann.nonEmpty)
       val perQ = ann.groupBy(_.getLong(0))
       perQ.foreach { case (qid, rows) =>
@@ -42,8 +44,14 @@ class LlmPipelineSpec extends SparkFunSuite {
       val recall = exact.intersect(found).size.toDouble / exact.size
       assert(recall >= floor, s"$name recall $recall below floor $floor")
     }
-    check("q_ann_lsh_bucketed", 0.25)  // measured ~0.45 on this corpus
-    check("q_ann_ivf", 0.65)           // measured ~0.85 (nprobe=4/16)
+    check("lsh", queries.LlmPipeline.annLshTopK(e, 5).collect(), 0.25)
+    check("ivf", queries.LlmPipeline.annIvfTopK(e, 5).collect(), 0.65)
+    // the hybrid-oracled query forms report every invariant as passing
+    Seq("q_ann_lsh_bucketed", "q_ann_ivf").foreach { name =>
+      val metrics = SparkEntry.queries(name)(spark, sf).collect()
+      assert(metrics.length == 4 && metrics.forall(_.getBoolean(1)),
+        s"$name metrics: ${metrics.mkString(", ")}")
+    }
   }
 
   test("embedding-cosine LSH dedup is sound vs the exact subset") {
@@ -51,15 +59,24 @@ class LlmPipelineSpec extends SparkFunSuite {
     // result (same threshold) — bucketing can lose pairs, never invent them
     val exact = SparkEntry.queries("q_dedup_embedding_exact")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = SparkEntry.queries("q_dedup_embedding_lsh")(spark, sf).collect()
+    val e = queries.LlmPipeline.prepEmbeddings(
+      Tables.load(spark, sf, "embeddings"))
+    val lsh = queries.LlmPipeline.embeddingLshPairs(e, 0.4).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .filter(p => p._1 < 300 && p._2 < 300).toSet
     assert(lsh.subsetOf(exact), s"unsound pairs: ${lsh.diff(exact)}")
+    val metrics = SparkEntry.queries("q_dedup_embedding_lsh")(spark, sf).collect()
+    assert(metrics.length == 3 && metrics.forall(_.getBoolean(1)),
+      s"q_dedup_embedding_lsh metrics: ${metrics.mkString(", ")}")
   }
 
   test("simhash dedup pairs are within the hamming bound") {
-    val rows = SparkEntry.queries("q_dedup_simhash")(spark, sf).collect()
+    val rows = queries.LlmPipeline.simhashPairs(
+      Tables.load(spark, sf, "documents"), 12).collect()
     assert(rows.forall(_.getInt(2) <= 12))
+    val metrics = SparkEntry.queries("q_dedup_simhash")(spark, sf).collect()
+    assert(metrics.length == 3 && metrics.forall(_.getBoolean(1)),
+      s"q_dedup_simhash metrics: ${metrics.mkString(", ")}")
   }
 
   test("multimodal frame-sample and resize stages keep the batch shape") {
