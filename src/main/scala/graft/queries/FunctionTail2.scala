@@ -318,5 +318,63 @@ object FunctionTail2 extends QueryPack {
         0 AS rkey_miss_zero
       FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
       WHERE c_custkey <= 100 ORDER BY c_custkey"""))
+  ) ++ tail3
+
+  /** Registry sweep #3 battery (sql/ChRegistryTail3.scala): AUC variants,
+    * timezone surface, literal-unit date arithmetic, block/row
+    * introspection. Expected values stated as DuckDB literals (the AUC
+    * examples are the reference's own doc examples: arrayAUC.cpp:65,105).
+    */
+  private def tail3: Seq[Q] = Seq(
+
+    ch("q_fn_tail3_auc", """
+      SELECT
+        ROUND(arrayROCAUC(array(0.1, 0.4, 0.35, 0.8), array(0, 0, 1, 1)), 6) AS roc,
+        ROUND(arrayAUC(array(0.1, 0.4, 0.35, 0.8), array(0, 0, 1, 1)), 6) AS roc_alias,
+        ROUND(arrayAUCPR(array(0.1, 0.4, 0.35, 0.8), array(0, 0, 1, 1)), 6) AS pr,
+        ROUND(arrayAUCPR(array(0.8, 0.1, 0.4, 0.35), array(1, 0, 0, 1)), 6) AS pr2,
+        arrayAUCPR(array(0.1, 0.2), array(0, 0)) IS NULL AS pr_single_class""",
+      """
+      SELECT
+        0.75 AS roc, 0.75 AS roc_alias,
+        ROUND((1.0 + 2.0/3.0) / 2, 6) AS pr,
+        ROUND((1.0 + 2.0/3.0) / 2, 6) AS pr2,
+        TRUE AS pr_single_class"""),
+
+    ch("q_fn_tail3_misc", """
+      SELECT
+        CAST(toTimezone(toDateTime('2024-03-01 12:00:00'), 'UTC') AS STRING) AS tz_identity,
+        timezone() AS tz,
+        timezoneOf(now()) AS tz_of,
+        CAST(dateAdd(day, 3, toDateTime('2024-03-01 00:00:00')) AS DATE) AS d_add,
+        CAST(dateSub('month', 2, toDateTime('2024-03-31 00:00:00')) AS DATE) AS d_sub,
+        CAST(timestampAdd(hour, 5, toDateTime('2024-03-01 01:00:00')) AS STRING) AS ts_add,
+        CAST(timestampSub('minute', 90, toDateTime('2024-03-01 02:00:00')) AS STRING) AS ts_sub,
+        CAST(toStartOfNanosecond(toDateTime('2024-03-01 01:02:03')) AS STRING) AS ns_identity,
+        nowInBlock() >= toDateTime('2026-01-01 00:00:00') AS now_sane,
+        isConstant(1 + 2) AS const_yes,
+        isConstant(c_custkey) AS const_no,
+        defaultValueOfTypeName('UInt64') AS dv_int,
+        defaultValueOfTypeName('String') AS dv_str,
+        defaultValueOfTypeName('Float64') AS dv_f,
+        length(hostName()) > 0 AS host_sane,
+        blockNumber() >= 0 AS blk_sane,
+        rowNumberInBlock() >= 0 AS rownum_sane,
+        rowNumberInAllBlocks() >= 0 AS rownum_all_sane
+      FROM customer WHERE c_custkey = 1""",
+      """
+      SELECT
+        '2024-03-01 12:00:00' AS tz_identity,
+        'UTC' AS tz, 'UTC' AS tz_of,
+        CAST('2024-03-04' AS DATE) AS d_add,
+        CAST('2024-01-31' AS DATE) AS d_sub,
+        '2024-03-01 06:00:00' AS ts_add,
+        '2024-03-01 00:30:00' AS ts_sub,
+        '2024-03-01 01:02:03' AS ns_identity,
+        TRUE AS now_sane,
+        1 AS const_yes, 0 AS const_no,
+        CAST(0 AS BIGINT) AS dv_int, '' AS dv_str, 0.0 AS dv_f,
+        TRUE AS host_sane, TRUE AS blk_sane,
+        TRUE AS rownum_sane, TRUE AS rownum_all_sane""")
   )
 }

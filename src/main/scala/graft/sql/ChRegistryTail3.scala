@@ -1,0 +1,147 @@
+package graft.sql
+
+import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+
+/** Round-6 registry sweep — the remaining high-traffic names from the
+  * reference's registration order: the AUC family's PR/ROC variants
+  * (src/Functions/array/arrayAUC.cpp:131,496), server/block introspection
+  * constants (src/Functions/serverConstants.cpp,
+  * blockNumber.cpp/rowNumberInBlock.cpp), timezone surface
+  * (serverConstants.cpp:173-185, toTimezone.cpp), and the literal-unit
+  * date arithmetic forms (dateAdd/dateSub/timestampAdd/timestampSub,
+  * src/Functions/dateAdd.cpp aliases).
+  */
+object ChRegistryTail3 {
+
+  private def asLong(e: Expression): Expression = Cast(e, LongType)
+
+  private def lv(n: String): NamedLambdaVariable =
+    NamedLambdaVariable(n, DoubleType, nullable = true)
+
+  /** Literal string argument or fail loudly (unit names, type names). */
+  private def litString(e: Expression, what: String): String = e match {
+    case Literal(s, StringType) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$what expects a literal string, got $other")
+  }
+
+  /** dateSub('unit', n, ts) — reference dateAdd.cpp's *Sub twins, in the
+    * string-literal-unit form (the bare-identifier form is a parser
+    * privilege of Spark's builtin dateadd/timestampadd, which cover the
+    * Add twins with identical semantics — so those are NOT registered). */
+  private def dateArith(args: Seq[Expression], sign: Int): Expression = {
+    val unit = litString(args(0), "dateSub/timestampSub").toUpperCase
+    val n = if (sign >= 0) asLong(args(1)) else UnaryMinus(asLong(args(1)))
+    TimestampAdd(unit, n, Cast(args(2), TimestampType))
+  }
+
+  /** arrayAUCPR(scores, labels) — right-Riemann PR AUC
+    * (arrayAUC.cpp:118-124): walk score-DESC pairs with a (tp, fp, area)
+    * accumulator; each positive adds precision-at-that-point; finish with
+    * area / total-positives (recall steps are 1/P with distinct scores).
+    * NULL when the labels are single-class, like the ROC form. */
+  private def aucPr(scores: Expression, labels: Expression): Expression = {
+    val s = lv("ch_pr_s"); val l = lv("ch_pr_l")
+    val pairsAsc = SortArray(
+      ZipWith(Cast(scores, ArrayType(DoubleType)),
+        Cast(labels, ArrayType(DoubleType)),
+        LambdaFunction(
+          CreateNamedStruct(Seq(Literal("s"), s, Literal("l"), l)),
+          Seq(s, l))),
+      Literal(true))
+    val labsDesc = Reverse(ArrayTransform(pairsAsc,
+      { val p = NamedLambdaVariable("ch_pr_p",
+          StructType(Seq(StructField("s", DoubleType), StructField("l", DoubleType))),
+          nullable = true)
+        LambdaFunction(UnresolvedExtractValue(p, Literal("l")), Seq(p)) }))
+    val accType = StructType(Seq(StructField("tp", DoubleType),
+      StructField("fp", DoubleType), StructField("area", DoubleType)))
+    val acc = NamedLambdaVariable("ch_pr_acc", accType, nullable = true)
+    val x = lv("ch_pr_x")
+    def f(n: String) = UnresolvedExtractValue(acc, Literal(n))
+    val step = LambdaFunction(
+      If(GreaterThan(x, Literal(0.0d)),
+        CreateNamedStruct(Seq(
+          Literal("tp"), Add(f("tp"), Literal(1.0d)),
+          Literal("fp"), f("fp"),
+          Literal("area"), Add(f("area"),
+            Divide(Add(f("tp"), Literal(1.0d)),
+              Add(Add(f("tp"), Literal(1.0d)), f("fp")))))),
+        CreateNamedStruct(Seq(
+          Literal("tp"), f("tp"),
+          Literal("fp"), Add(f("fp"), Literal(1.0d)),
+          Literal("area"), f("area")))),
+      Seq(acc, x))
+    val fin = LambdaFunction(
+      If(LessThanOrEqual(f("tp"), Literal(0.0d)),
+        Literal.create(null, DoubleType),
+        Divide(f("area"), f("tp"))),
+      Seq(acc))
+    ArrayAggregate(labsDesc,
+      CreateNamedStruct(Seq(Literal("tp"), Literal(0.0d),
+        Literal("fp"), Literal(0.0d), Literal("area"), Literal(0.0d))),
+      step, fin)
+  }
+
+  val builders: Map[String, Seq[Expression] => Expression] = Map(
+
+    // ---- AUC variants (arrayAUC.cpp) ----------------------------------
+    // arrayROCAUC is the canonical name, arrayAUC the compat alias
+    // (arrayAUC.cpp:496) — we registered the alias first, so the canonical
+    // name points at the same builder.
+    "arrayrocauc" -> (args => ChRegistryArrays.builders("arrayauc")(args.take(2))),
+    "arrayaucpr" -> (args => aucPr(args(0), args(1))),
+
+    // ---- timezone surface ---------------------------------------------
+    // The engine pins the session to UTC (every SparkSession here sets
+    // spark.sql.session.timeZone) and timestamps are tz-agnostic epochs,
+    // exactly the reference's DateTime model: toTimezone changes display
+    // metadata only (toTimezone.cpp), so it is value-identity.
+    "totimezone" -> (args => Cast(args.head, TimestampType)),
+    "timezone" -> (_ => CurrentTimeZone()),
+    "timezoneof" -> (_ => CurrentTimeZone()),
+    "servertimezone" -> (_ => CurrentTimeZone()),
+
+    // ---- date arithmetic *Sub twins (dateAdd.cpp family; the Add forms
+    //      are Spark builtins with the identical unquoted-unit shape) ----
+    "datesub" -> (args => dateArith(args, -1)),
+    "timestampsub" -> (args => dateArith(args, -1)),
+    // DateTime64(6) carrier: nanosecond truncation is the identity at the
+    // engine-wide microsecond precision cap (toStartOfSubsecond family)
+    "tostartofnanosecond" -> (args => Cast(args.head, TimestampType)),
+    // now() is already block-constant in Spark's execution model
+    // (CurrentTimestamp folds once per query) — nowInBlock.cpp's
+    // per-block re-evaluation has no observable analog here
+    "nowinblock" -> (_ => CurrentTimestamp()),
+
+    // ---- server/block introspection (serverConstants.cpp,
+    //      blockNumber.cpp, rowNumberInBlock.cpp) ------------------------
+    "currentuser" -> (_ => CurrentUser()),
+    "hostname" -> (_ =>
+      Literal(java.net.InetAddress.getLocalHost.getHostName)),
+    // Spark's monotonically_increasing_id is (partitionId << 33 | record#)
+    // — the exact block/row decomposition the reference's trio exposes,
+    // with partition = block
+    "blocknumber" -> (_ => Cast(SparkPartitionID(), LongType)),
+    "rownumberinblock" -> (_ =>
+      BitwiseAnd(MonotonicallyIncreasingID(), Literal((1L << 33) - 1))),
+    "rownumberinallblocks" -> (_ => MonotonicallyIncreasingID()),
+
+    // ---- misc introspection -------------------------------------------
+    // isConstant (isConstant.cpp): constant-foldability of the argument
+    "isconstant" -> (args => Literal(if (args.head.foldable) 1 else 0)),
+    // defaultValueOfTypeName (defaultValueOfTypeName.cpp): the zero value
+    // of a literal type name
+    "defaultvalueoftypename" -> (args => {
+      val t = litString(args.head, "defaultValueOfTypeName").toLowerCase
+      if (t.startsWith("string") || t.startsWith("fixedstring")) Literal("")
+      else if (t.startsWith("float")) Literal(0.0d)
+      else if (t.startsWith("date")) Cast(Literal("1970-01-01"), DateType)
+      else if (t.startsWith("uint") || t.startsWith("int")) Literal(0L)
+      else throw new IllegalArgumentException(
+        s"defaultValueOfTypeName: unsupported type '$t'")
+    })
+  )
+}
