@@ -61,7 +61,11 @@ object Bench {
     // warmup: JIT + codegen + parquet footer caches. Guarded — a warmup
     // failure (e.g. input-schema drift breaking one table) must degrade to
     // per-query "failed" entries, not abort the whole bench with rc=1.
-    Seq("q1_pricing_summary", "q_agg_basic").foreach { n =>
+    // q_dedup_minhash_lsh included (round-6 bimodality chase): its
+    // interpreted shingle/jaccard kernels need one or two C2 passes to
+    // reach steady state (measured 12s cold → 2.4s warm with the eager
+    // cache build) — warming it here keeps the timed median honest.
+    Seq("q1_pricing_summary", "q_agg_basic", "q_dedup_minhash_lsh").foreach { n =>
       try queries(n)(spark, sfDir).collect()
       catch { case e: Throwable =>
         System.err.println(s"BENCH warmup $n FAILED: $e")

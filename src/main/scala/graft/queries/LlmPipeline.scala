@@ -68,6 +68,15 @@ object LlmPipeline extends QueryPack {
         col("doc_id"))
       .select(col("doc_id"), wordShingles(col("text"), 3).as("ws"))
       .cache()
+    // Build the cache EAGERLY in its own clean stage (round-6: the
+    // bimodal-median chase). Lazily, the first action that touches the
+    // cache is the multi-join survivor query, where the three cache
+    // consumers (signature agg + both verify join-backs) interleave with
+    // the shuffle stages — the CPU-heavy interpreted shingle build then
+    // competes with join materialization for the same 32 cores and GC
+    // budget (observed 2s-vs-27s bimodal runs). One count() populates all
+    // partitions serially before any consumer plans against it.
+    docs.count()
     // Signature via explode + 32 codegen'd MIN aggregates (minhashTable):
     // the HOF-lambda form (minhashSignature) evaluates 32 interpreted
     // folds per row and dominated the round-1 bench at 139.8s/sf0.1.
