@@ -177,6 +177,31 @@ object StorageQueries extends QueryPack {
       } finally graft.plans.AggProjections.drop(basePath)
     },
 
+    // Normal projection (plans/NormalProjections — the reference's
+    // optimizeUseNormalProjections + optimizeReadInOrder): a
+    // bucketed+sorted alternate layout of lineitem on l_orderkey answers
+    // this GROUP BY with NO Exchange (the fact shuffle disappears — the
+    // plan pin lives in NormalProjectionsSpec); values equal the base
+    // aggregate, which is what the oracle states.
+    Q.df("q_projection_normal", """
+      SELECT l_orderkey, COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      FROM lineitem GROUP BY l_orderkey
+      ORDER BY l_orderkey""") { (s, dir) =>
+      val basePath = s"$dir/lineitem.parquet"
+      graft.plans.NormalProjections.create(s, basePath, "q_nproj_lineitem",
+        8, Seq("l_orderkey"), Seq("l_quantity"))
+      try {
+        s.read.parquet(basePath)
+          .groupBy("l_orderkey")
+          .agg(count(lit(1)).as("n"), sum("l_quantity").as("__q"))
+          .select(col("l_orderkey"), col("n"),
+            col("__q").cast("double").as("qty"))
+          .orderBy("l_orderkey")
+          .localCheckpoint()
+      } finally graft.plans.NormalProjections.drop(s, basePath)
+    },
+
     // system.dictionaries (StorageSystemDictionaries.cpp): the loaded
     // SQL-dictionary inventory — name, key type, attributes, element
     // count (nation has 25 rows at every sf, so the oracle is a literal).
