@@ -291,6 +291,76 @@ object LlmPipeline4 extends QueryPack {
           aggregate(hs, lit(0L),
             (acc, h) => (acc * 131 + h) % lit(1000000007L)).as("fp"))
         .orderBy("doc_id")
+    },
+
+    // --- Repeated-passage (span) dedup ---------------------------------
+    // Corpus-level duplicated 8-token-span detection — the exact-substring
+    // dedup of "Deduplicating Training Data Makes Language Models Better"
+    // (Lee et al. 2022), windowed: every doc emits its DISTINCT 8-token
+    // span md5s (map-side distinct bounds the explode), one shuffle on the
+    // span hash, spans in >= 2 distinct docs survive. The hash IS the
+    // shuffle key at 100 TB (uniform, 32 bytes) — the span text never
+    // shuffles; md5 keeps the key oracle-computable in both engines.
+    Q.df("q_dedup_repeated_spans", """
+      WITH w AS (SELECT doc_id,
+          LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'), t -> LEN(t) > 0) AS ws
+        FROM documents),
+      sp AS (SELECT doc_id,
+          UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+            GENERATE_SERIES(1, GREATEST(LEN(ws) - 7, 1)),
+            i -> MD5(ARRAY_TO_STRING(ws[i:i+7], ' '))))) AS h
+        FROM w)
+      SELECT h, COUNT(*) AS nd, MIN(doc_id) AS keeper
+      FROM sp GROUP BY h HAVING COUNT(*) >= 2
+      ORDER BY h""") { (s, dir) =>
+      val spans = spanHashes(Tables.load(s, dir, "documents"), 8)
+      spans.groupBy("h")
+        .agg(count(lit(1)).as("nd"), min("doc_id").as("keeper"))
+        .filter(col("nd") >= 2)
+        .orderBy("h")
+    },
+
+    // Docs carrying repeated passages — the downstream filter decision of
+    // span dedup: every doc that shares at least one 8-token span with
+    // another doc, with its shared-span count. Same single shuffle; the
+    // survivors join back on the hash (ids-only payload).
+    Q.df("q_dedup_span_docs", """
+      WITH w AS (SELECT doc_id,
+          LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'), t -> LEN(t) > 0) AS ws
+        FROM documents),
+      sp AS (SELECT doc_id,
+          UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+            GENERATE_SERIES(1, GREATEST(LEN(ws) - 7, 1)),
+            i -> MD5(ARRAY_TO_STRING(ws[i:i+7], ' '))))) AS h
+        FROM w),
+      d AS (SELECT h FROM sp GROUP BY h HAVING COUNT(*) >= 2)
+      SELECT sp.doc_id, COUNT(*) AS n_shared_spans
+      FROM sp JOIN d ON sp.h = d.h
+      GROUP BY sp.doc_id
+      ORDER BY doc_id""") { (s, dir) =>
+      val spans = spanHashes(Tables.load(s, dir, "documents"), 8)
+      val dup = spans.groupBy("h")
+        .agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2)
+        .select("h")
+      spans.join(dup.hint("shuffle_hash"), Seq("h"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared_spans"))
+        .orderBy("doc_id")
     }
   )
+
+  /** Distinct per-doc md5s of the `k`-token spans of every document —
+    * the shared front of the span-dedup pair above. Spans shorter than
+    * `k` (short docs) truncate identically in both engines. */
+  private def spanHashes(docs: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), greatest(size(col("ws")) - (k - 1), lit(1))),
+          i => md5(array_join(slice(col("ws"), i, lit(k)), " "))))).as("h"))
 }
