@@ -202,6 +202,35 @@ object StorageQueries extends QueryPack {
       } finally graft.plans.NormalProjections.drop(s, basePath)
     },
 
+    // Projection DDL (ParserProjectionDeclaration): ALTER TABLE ... ADD
+    // PROJECTION declares the rollup the ClickHouse way; the GROUP BY via
+    // the dialect then answers from it (rewrite pinned in
+    // ProjectionDdlSpec). Values equal the base aggregate — the oracle
+    // states them over the original lineitem.
+    Q.df("q_ch_projection_ddl", """
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""") { (s, dir) =>
+      Tables.register(s, dir)
+      graft.sql.ClickHouseSql.sql(s, """
+        CREATE MATERIALIZED VIEW proj_ddl_li AS
+        SELECT l_returnflag, l_linestatus, l_quantity FROM lineitem""")
+      graft.sql.ClickHouseSql.sql(s, """
+        ALTER TABLE proj_ddl_li ADD PROJECTION p_agg (
+          SELECT l_returnflag, l_linestatus, sum(l_quantity), count()
+          GROUP BY l_returnflag, l_linestatus)""")
+      try {
+        graft.sql.ClickHouseSql.sql(s, """
+          SELECT l_returnflag, l_linestatus, count() AS n,
+            CAST(sum(l_quantity) AS DOUBLE) AS qty
+          FROM proj_ddl_li GROUP BY l_returnflag, l_linestatus
+          ORDER BY l_returnflag, l_linestatus""")
+          .localCheckpoint()
+      } finally graft.sql.ClickHouseSql.sql(s,
+        "ALTER TABLE proj_ddl_li DROP PROJECTION p_agg")
+    },
+
     // system.dictionaries (StorageSystemDictionaries.cpp): the loaded
     // SQL-dictionary inventory — name, key type, attributes, element
     // count (nation has 25 rows at every sf, so the oracle is a literal).

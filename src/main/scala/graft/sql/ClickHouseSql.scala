@@ -507,6 +507,8 @@ object ClickHouseSql {
         case _ => throw new IllegalArgumentException("unsupported RENAME form")
       }
     }
+    else if (trimmed.matches("(?is)^ALTER\\s+TABLE\\s+\\S+\\s+(ADD|DROP|MATERIALIZE)\\s+PROJECTION\\b.*"))
+      projectionDdl(spark, trimmed)
     else if (trimmed.matches("(?is)^OPTIMIZE\\s+TABLE\\b.*")) {
       // merges are Spark's compaction concern (Mutations.overwritePartitions
       // is the explicit analog); accept the statement as a no-op
@@ -535,6 +537,72 @@ object ClickHouseSql {
       spark.sql("EXPLAIN FORMATTED " + rewrite(expandSchemaTransformers(spark, q)))
     } else
       spark.sql(rewrite(expandSchemaTransformers(spark, chSql)))
+  }
+
+  // ---- projection DDL (ParserProjection → plans/*Projections) ---------
+
+  // (table, projection) → registered base path + kind, for DROP
+  private val projections =
+    scala.collection.concurrent.TrieMap.empty[(String, String), (String, Boolean)]
+
+  /** Catalog table → its parquet location path. */
+  private def tableLocation(spark: SparkSession, table: String): String =
+    spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .location.getPath
+
+  /** ALTER TABLE t ADD/DROP/MATERIALIZE PROJECTION — the reference's
+    * projection DDL (src/Parsers/ParserProjectionDeclaration, projections
+    * on MergeTree tables), wired onto the two rewrite rules:
+    *  - `ADD PROJECTION p (SELECT <dims+aggs> GROUP BY dims)` →
+    *    AggProjections.create (precomputed rollup);
+    *  - `ADD PROJECTION p (SELECT * ORDER BY keys)` →
+    *    NormalProjections.create (alternate physical order);
+    *  - MATERIALIZE PROJECTION is a no-op: ADD materializes eagerly here
+    *    (the reference defers the build to a mutation);
+    *  - DROP PROJECTION unregisters and removes the structure. */
+  private def projectionDdl(spark: SparkSession, stmt: String)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val add = ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+ADD\\s+PROJECTION\\s+" +
+      "(?:IF\\s+NOT\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s*\\((.*)\\)\\s*;?\\s*$").r
+    val drop = ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+DROP\\s+PROJECTION\\s+" +
+      "(?:IF\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$").r
+    val mat = ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+MATERIALIZE\\s+PROJECTION\\b.*").r
+    stmt.trim match {
+      case add(table, proj, body) =>
+        val basePath = tableLocation(spark, table)
+        val groupBy = "(?is)\\bGROUP\\s+BY\\s+(.*)$".r.findFirstMatchIn(body)
+        val orderBy = "(?is)\\bORDER\\s+BY\\s+(.*)$".r.findFirstMatchIn(body)
+        if (groupBy.isDefined) {
+          val dims = groupBy.get.group(1).split(",").map(_.trim)
+            .filter(_.nonEmpty).toSeq
+          val measures = "(?i)(?:sum|min|max|avg)\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\)".r
+            .findAllMatchIn(body).map(_.group(1)).toSeq.distinct
+          val wh = new org.apache.hadoop.fs.Path(
+            spark.conf.get("spark.sql.warehouse.dir"),
+            s"graft_projections/${table}_$proj").toString
+          graft.plans.AggProjections.create(spark, basePath, wh, dims, measures)
+          projections.put((table, proj), (basePath, true))
+        } else if (orderBy.isDefined) {
+          val keys = orderBy.get.group(1).split(",").map(_.trim)
+            .filter(_.nonEmpty).toSeq
+          graft.plans.NormalProjections.create(spark, basePath,
+            s"${table}__proj_$proj", 8, keys)
+          projections.put((table, proj), (basePath, false))
+        } else throw new IllegalArgumentException(
+          "ADD PROJECTION needs a GROUP BY (aggregate) or ORDER BY (normal) body")
+        Seq("OK").toDF("status")
+      case drop(table, proj) =>
+        projections.remove((table, proj)).foreach { case (path, isAgg) =>
+          if (isAgg) graft.plans.AggProjections.drop(path)
+          else graft.plans.NormalProjections.drop(spark, path)
+        }
+        Seq("OK").toDF("status")
+      case mat(_) => Seq("OK").toDF("status")
+      case other => throw new IllegalArgumentException(
+        s"unsupported projection DDL: $other")
+    }
   }
 
   // ---- DDL translation (ParserCreateQuery → Spark DDL) ----------------
