@@ -42,7 +42,13 @@ object Bench {
     // profile (explode + map-side-combinable MIN + pinned join-back)
     "q_chunk_dedup",
     // round-5: tf-idf — the agg+broadcast+window retrieval profile
-    "q_text_tfidf")
+    "q_text_tfidf",
+    // round-6: repeated-passage span dedup — explode + shuffle-on-hash +
+    // join-back, the exact-substring dedup profile
+    "q_dedup_repeated_spans",
+    // round-6: SemDeDup clustering dedup — broadcast centroids + window
+    // assignment + per-cell self-join
+    "q_dedup_semantic")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

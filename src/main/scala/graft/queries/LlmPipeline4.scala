@@ -293,6 +293,38 @@ object LlmPipeline4 extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // --- Semantic dedup (SemDeDup: cluster, then prune in-cluster) -----
+    // Exactly oracled end-to-end: centroid assignment, in-cell pairing,
+    // and the keep decision are pure fold arithmetic both engines state.
+    Q.df("q_dedup_semantic", """
+      WITH e AS (SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) v
+                 FROM embeddings),
+      n AS (SELECT vec_id, v,
+              SQRT(LIST_REDUCE(LIST_TRANSFORM(v, x -> x*x), (a,b) -> a+b)) nrm
+            FROM e),
+      c AS (SELECT vec_id cid, v cv, nrm cnrm FROM n WHERE vec_id < 16),
+      s AS (SELECT vec_id, cid,
+              LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(v, cv), p -> p[1]*p[2]), (x,y) -> x+y)
+                / (nrm * cnrm) csim
+            FROM n, c),
+      a AS (SELECT vec_id, cid AS cell FROM (
+              SELECT vec_id, cid,
+                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) rn
+              FROM s) t WHERE rn = 1),
+      d AS (SELECT DISTINCT y.vec_id AS dup_id
+            FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+            JOIN n nx ON nx.vec_id = x.vec_id
+            JOIN n ny ON ny.vec_id = y.vec_id
+            WHERE LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(nx.v, ny.v), p -> p[1]*p[2]), (x2,y2) -> x2+y2)
+                  / (nx.nrm * ny.nrm) >= 0.4)
+      SELECT a.vec_id, (d.dup_id IS NULL) AS keep
+      FROM a LEFT JOIN d ON a.vec_id = d.dup_id
+      ORDER BY a.vec_id""") { (s, dir) =>
+      semanticKeepFlags(
+        LlmPipeline.prepEmbeddings(Tables.load(s, dir, "embeddings")), 0.4)
+        .orderBy("vec_id")
+    },
+
     // --- Repeated-passage (span) dedup ---------------------------------
     // Corpus-level duplicated 8-token-span detection — the exact-substring
     // dedup of "Deduplicating Training Data Makes Language Models Better"
@@ -349,6 +381,45 @@ object LlmPipeline4 extends QueryPack {
         .orderBy("doc_id")
     }
   )
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023: cluster the
+    * embedding space, prune near-duplicates INSIDE each cluster only):
+    * every vector is assigned to its best of 16 seed centroids (the IVF
+    * assignment arithmetic), pairs within a cell at cosine >= tau mark
+    * the higher id as a duplicate, survivors are the cell-local id
+    * minima of each similarity neighborhood. The cluster decomposition
+    * is the scale story: candidate generation is a self-join per CELL
+    * (bounded, shuffled on the cell key), never corpus all-pairs. Every
+    * step is pure arithmetic on the corpus, so the oracle recomputes the
+    * whole decision exactly — no planted pairs needed.
+    */
+  private def semanticKeepFlags(e: org.apache.spark.sql.DataFrame,
+      tau: Double): org.apache.spark.sql.DataFrame = {
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val scored = e.join(broadcast(cents), lit(true))
+      .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    val assigned = scored.withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+    // within-cell pairs over the cell shuffle key; at 100 TB a hot-cell
+    // cap (capBuckets pattern) bounds the quadratic term — the 16-cell
+    // demo corpus needs none
+    val a = assigned.select(col("cell"), col("vec_id").as("ia"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("cell"), col("vec_id").as("ib"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val dup = a.join(b.hint("shuffle_hash"), Seq("cell"))
+      .filter(col("ia") < col("ib"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= tau)
+      .select(col("ib").as("vec_id")).distinct()
+    assigned.select(col("vec_id"))
+      .join(dup.withColumn("__dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(!col("__dup"), lit(true)).as("keep"))
+  }
 
   /** Distinct per-doc md5s of the `k`-token spans of every document —
     * the shared front of the span-dedup pair above. Spans shorter than
