@@ -231,6 +231,43 @@ object StorageQueries extends QueryPack {
         "ALTER TABLE proj_ddl_li DROP PROJECTION p_agg")
     },
 
+    // system.parts (StorageSystemParts.cpp): the partition-directory
+    // inventory of a PARTITION BY layout — partition values and exact row
+    // counts from footers only (file_count/bytes omitted from the oracle:
+    // they depend on the writer's task count, not the data).
+    Q.df("q_system_parts", """
+      SELECT 'o_orderstatus=' || o_orderstatus AS partition,
+             COUNT(*) AS rows
+      FROM orders GROUP BY o_orderstatus
+      ORDER BY partition""") { (s, dir) =>
+      val path = "/tmp/graft_parts_demo"
+      graft.operators.ScaleOps.writePartitioned(s,
+        Tables.load(s, dir, "orders"), path, "o_orderstatus")
+      SystemTables.parts(s, path)
+        .select(col("partition"), col("rows"))
+        .orderBy("partition")
+    },
+
+    // INTO OUTFILE + FORMAT suffix (ParserQueryWithOutput): the dialect
+    // executes the SELECT, writes CSVWithNames where asked, and the
+    // written file round-trips to exactly the aggregate the oracle
+    // states; a trailing FORMAT on a plain SELECT is accepted and
+    // stripped (serialization concern, not semantics).
+    Q.df("q_ch_outfile_format", """
+      SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+      GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
+      Tables.register(s, dir)
+      graft.sql.ClickHouseSql.sql(s, """
+        SELECT l_returnflag, count() AS n FROM lineitem
+        GROUP BY l_returnflag ORDER BY l_returnflag
+        INTO OUTFILE '/tmp/graft_outfile_demo' FORMAT CSVWithNames""")
+      assert(graft.sql.ClickHouseSql.sql(s, "SELECT 1 AS one FORMAT Native")
+        .columns.sameElements(Array("one")))
+      s.read.option("header", "true").csv("/tmp/graft_outfile_demo")
+        .select(col("l_returnflag"), col("n").cast("long").as("n"))
+        .orderBy("l_returnflag")
+    },
+
     // system.dictionaries (StorageSystemDictionaries.cpp): the loaded
     // SQL-dictionary inventory — name, key type, attributes, element
     // count (nation has 25 rows at every sf, so the oracle is a literal).

@@ -35,6 +35,28 @@ object SystemTables {
       .toDF("name", "is_temporary")
   }
 
+  /** system.parts analog (src/Storages/System/StorageSystemParts.cpp):
+    * one row per partition directory of a hive-partitioned parquet layout
+    * (ScaleOps.writePartitioned — the PARTITION BY analog), with the
+    * partition value, file count, byte size, and exact row count from the
+    * parquet footers. The reference's part inventory maps to partition
+    * directories; `active` is always true (no merge backlog in this
+    * model). Footer-only reads: listing a 100 TB layout touches metadata,
+    * not data. */
+  def parts(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath).filter(_.getName.contains("="))
+    dirs.map { d =>
+      val files = fs.listStatus(d).filter(f => f.getPath.getName.endsWith(".parquet"))
+      val rows = spark.read.parquet(d.toString).count()
+      (d.getName, files.length.toLong, files.map(_.getLen).sum, rows, true)
+    }.toSeq.sortBy(_._1)
+      .toDF("partition", "file_count", "bytes_on_disk", "rows", "active")
+  }
+
   /** system.dictionaries analog
     * (src/Storages/System/StorageSystemDictionaries.cpp): one row per
     * registered SQL dictionary with key type, attribute list, element

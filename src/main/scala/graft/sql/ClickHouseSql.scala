@@ -473,7 +473,40 @@ object ClickHouseSql {
     * installed. */
   def sql(spark: SparkSession, chSql: String): DataFrame = {
     ChFunctionRegistry.install(spark)
-    val trimmed = chSql.trim
+    val trimmed0 = chSql.trim
+    // INTO OUTFILE 'path' [FORMAT fmt] (ParserQueryWithOutput): execute
+    // the query and write the result where the client asked —
+    // CSV[WithNames] / TSV / JSONEachRow / Parquet via the native Spark
+    // writers. Returns a one-row status with the row count, like the
+    // clickhouse-client summary line.
+    val outfile =
+      ("(?is)^(.*?)\\s+INTO\\s+OUTFILE\\s+'([^']+)'(?:\\s+FORMAT\\s+([A-Za-z0-9]+))?\\s*;?\\s*$").r
+    trimmed0 match {
+      case outfile(core, path, fmt) if trimmed0.matches("(?is)^(SELECT|WITH)\\b.*") =>
+        val df = sql(spark, core)
+        val n = df.count()
+        val w = df.coalesce(1).write.mode("overwrite")
+        Option(fmt).map(_.toLowerCase).getOrElse("csv") match {
+          case "parquet" => w.parquet(path)
+          case "jsoneachrow" | "json" => w.json(path)
+          case "tsv" | "tabseparated" =>
+            w.option("sep", "\t").csv(path)
+          case "tsvwithnames" | "tabseparatedwithnames" =>
+            w.option("sep", "\t").option("header", "true").csv(path)
+          case "csvwithnames" => w.option("header", "true").csv(path)
+          case _ => w.csv(path)
+        }
+        import spark.implicits._
+        return Seq(n).toDF("rows_written")
+      case _ =>
+    }
+    // a trailing FORMAT clause on a SELECT names the client-side output
+    // serialization (the wire codecs live in sources/ChWireFormats); the
+    // query result itself is format-independent, so strip it
+    val trimmed =
+      if (trimmed0.matches("(?is)^(SELECT|WITH)\\b.*\\sFORMAT\\s+[A-Za-z0-9]+\\s*;?\\s*$"))
+        trimmed0.replaceFirst("(?is)\\s+FORMAT\\s+[A-Za-z0-9]+\\s*;?\\s*$", "")
+      else trimmed0
     if (Dictionaries.matches(trimmed))
       Dictionaries.execute(spark, trimmed)
     else if (trimmed.matches("(?is)^CREATE\\s+TABLE\\b.*"))
