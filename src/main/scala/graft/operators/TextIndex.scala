@@ -78,4 +78,37 @@ object TextIndex {
     tokens.foldLeft(scan)((d, t) =>
       d.filter(array_contains(tokensOf(col(textCol)), t)))
   }
+
+  /** Files containing ANY of `tokens` — the disjunctive (multiSearchAny /
+    * hasToken-OR) candidate list. */
+  def matchingFilesAny(spark: SparkSession, indexDir: String,
+      tokens: Seq[String]): Seq[String] = {
+    require(tokens.nonEmpty, "token list must be non-empty")
+    spark.read.parquet(indexDir)
+      .filter(col("token").isin(tokens: _*))
+      .select("file").distinct()
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  /** Disjunctive token search (the multiSearchAny shape riding the
+    * index): files admitting ANY query token are scanned, rows re-verify
+    * with an OR of exact token predicates. Result-identical to the full
+    * scan (oracled in q_text_multisearch_index). */
+  def searchAny(spark: SparkSession, dataDir: String, indexDir: String,
+      tokens: Seq[String], textCol: String = "text"): DataFrame = {
+    val files = matchingFilesAny(spark, indexDir, tokens)
+    val scan =
+      if (files.isEmpty) spark.read.parquet(dataDir).limit(0)
+      else spark.read.parquet(files: _*)
+    scan.filter(tokens.map(t =>
+      array_contains(tokensOf(col(textCol)), t)).reduce(_ || _))
+  }
+
+  /** Remove the layout + index. */
+  def drop(spark: SparkSession, dataDir: String, indexDir: String): Unit =
+    Seq(dataDir, indexDir).foreach { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(path, true)
+    }
 }

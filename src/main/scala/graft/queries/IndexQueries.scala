@@ -39,6 +39,25 @@ object IndexQueries extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // Disjunctive (multiSearchAny-shaped) search on the same index: files
+    // admitting ANY token scan, rows re-verify with the OR of exact token
+    // predicates — full-scan equality is again the oracle.
+    Q.df("q_text_multisearch_index", """
+      SELECT doc_id, lang, source FROM documents
+      WHERE LIST_CONTAINS(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9_]+'),
+                                      t -> LEN(t) > 0), 'dup')
+         OR LIST_CONTAINS(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9_]+'),
+                                      t -> LEN(t) > 0), 'stream')
+      ORDER BY doc_id""") { (s, dir) =>
+      val base = s"/tmp/graft_textindex_${key(dir)}"
+      TextIndex.create(s, Tables.load(s, dir, "documents"),
+        s"$base/data", s"$base/index", nFiles = 32)
+      TextIndex.searchAny(s, s"$base/data", s"$base/index",
+          Seq("dup", "stream"))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    },
+
     // Persisted-IVF planted-pair contract (the q_ann_ivf_planted recipe
     // over the ON-DISK index): corpus + exact twins are indexed once;
     // each query's twin shares its cell (identical centroid sims, same
