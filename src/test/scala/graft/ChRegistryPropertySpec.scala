@@ -82,4 +82,38 @@ class ChRegistryPropertySpec extends SparkFunSuite {
       assert(got == xs.containsSlice(ys), s"xs=$xs ys=$ys")
     }
   }
+
+  test("arrayAUCPR matches the right-Riemann Scala model on random labelings") {
+    // model (arrayAUC.cpp:118-124,445): walk score-DESC pairs, each
+    // positive adds precision-at-that-point; area / total positives;
+    // ZERO positives → undefined (reference NaN, our NULL carrier) —
+    // all-positives is well-defined (1.0). Distinct scores by
+    // construction (index-derived).
+    def model(scores: Seq[Double], labels: Seq[Int]): Option[Double] = {
+      val desc = scores.zip(labels).sortBy(-_._1).map(_._2)
+      var tp = 0.0; var fp = 0.0; var area = 0.0
+      desc.foreach { l =>
+        if (l > 0) { tp += 1; area += tp / (tp + fp) } else fp += 1
+      }
+      if (tp == 0) None else Some(area / tp)
+    }
+    ChFunctionRegistry.install(spark)
+    for (i <- 1 to 30) {
+      val n = 2 + rnd.nextInt(8)
+      val scores = Seq.fill(n)(rnd.nextInt(1000)).zipWithIndex
+        .map { case (s, j) => s + j * 0.001 } // distinct by construction
+      val labels = Seq.fill(n)(rnd.nextInt(2))
+      val call = s"arrayAUCPR(array(${scores.mkString(", ")}), " +
+        s"array(${labels.mkString(", ")}))"
+      val got = Option(spark.sql(s"SELECT $call AS r").head().get(0))
+        .map(_.asInstanceOf[Double])
+      val want = model(scores, labels)
+      (got, want) match {
+        case (None, None) =>
+        case (Some(g), Some(w)) =>
+          assert(math.abs(g - w) < 1e-9, s"case $i: got $g want $w")
+        case other => fail(s"case $i: null mismatch $other")
+      }
+    }
+  }
 }

@@ -67,6 +67,41 @@ class JoinOpsSpec extends SparkFunSuite {
     assert(e.getMessage.contains("cycle"))
   }
 
+  test("asofJoinTolerance nulls matches beyond the gap, keeps row semantics") {
+    val left = Seq((1L, 100L, "e1"), (1L, 110L, "e2"), (2L, 50L, "e3"))
+      .toDF("k", "t", "name")
+    val right = Seq((1L, 95L, "r95"), (1L, 10L, "r10"))
+      .toDF("rk", "rt", "payload")
+    val out = JoinOps.asofJoinTolerance(left, right,
+      "k", "rk", col("t"), col("rt"), Seq("payload"), col("rt"),
+      tolerance = 10L)
+      .orderBy("k", "t")
+      .select("name", "asof_payload").as[(String, String)].collect().toSeq
+    assert(out == Seq(
+      ("e1", "r95"),   // gap 5 <= 10
+      ("e2", null),    // nearest is r95, gap 15 > 10 — nulled, row kept
+      ("e3", null)))   // key 2: no right rows
+    // tolerance 0 admits exact-timestamp matches only
+    val exact = JoinOps.asofJoinTolerance(
+      Seq((1L, 95L, "x")).toDF("k", "t", "name"), right,
+      "k", "rk", col("t"), col("rt"), Seq("payload"), col("rt"), 0L)
+      .select("asof_payload").as[String].collect().toSeq
+    assert(exact == Seq("r95"))
+  }
+
+  test("anyRightJoin keeps every right row exactly once") {
+    val left = Seq((1L, 10L), (1L, 5L), (2L, 7L)).toDF("k", "v")
+    val right = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "name")
+    val out = JoinOps.anyRightJoin(left, right, "k", col("v"))
+      .orderBy("k")
+      .select("k", "name", "v").as[(Long, String, Option[Long])]
+      .collect().toSeq
+    assert(out == Seq(
+      (1L, "a", Some(5L)),  // min-v left row matched
+      (2L, "b", Some(7L)),
+      (3L, "c", None)))     // unmatched right row survives with null left
+  }
+
   test("collapsingFinal cancels balanced sign pairs") {
     val df = Seq((1L, 1L, 5L), (1L, -1L, 5L), (2L, 1L, 7L))
       .toDF("k", "sign", "v")
