@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, QueryPack, Tables}
-import graft.operators.{TextIndex, VectorIndex}
+import graft.operators.{LazyTopK, TextIndex, VectorIndex}
 import org.apache.spark.sql.functions._
 
 /** Persisted index structures (round 6 — SURVEY §2.1/§4 skip-index
@@ -56,6 +56,19 @@ object IndexQueries extends QueryPack {
           Seq("dup", "stream"))
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
+    },
+
+    // Lazy materialization (optimizeLazyMaterialization): top-20 longest
+    // documents — the narrow scan sorts (doc_id, n_chars) only, the wide
+    // text column is read for the 20 winners via a pushed IN filter
+    // (plan pins in LazyTopKSpec). Result equals the plain ORDER BY
+    // LIMIT, which is what the oracle states; ties break on doc_id.
+    Q.df("q_lazy_topk", """
+      SELECT doc_id, n_chars, lang, source, text FROM documents
+      ORDER BY n_chars DESC, doc_id LIMIT 20""") { (s, dir) =>
+      LazyTopK.topK(s, s"$dir/documents.parquet", "doc_id", "n_chars",
+        descending = true, k = 20,
+        Seq("doc_id", "n_chars", "lang", "source", "text"))
     },
 
     // Persisted-IVF planted-pair contract (the q_ann_ivf_planted recipe
