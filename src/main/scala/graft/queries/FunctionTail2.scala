@@ -375,6 +375,40 @@ object FunctionTail2 extends QueryPack {
         1 AS const_yes, 0 AS const_no,
         CAST(0 AS BIGINT) AS dv_int, '' AS dv_str, 0.0 AS dv_f,
         TRUE AS host_sane, TRUE AS blk_sane,
-        TRUE AS rownum_sane, TRUE AS rownum_all_sane""")
+        TRUE AS rownum_sane, TRUE AS rownum_all_sane"""),
+
+    // Aggregate tail over 5-nation region groups: singleValueOrNull
+    // (value when one distinct, NULL once a second appears), the pairwise
+    // corr/covar matrices, moving prefix sums and groupArrayLast over
+    // ORDER-INDEPENDENT constructions (constant collect values), sample
+    // cardinality, uniqCombined64 at exact-range cardinality.
+    ch("q_fn_tail3_aggs", """
+      SELECT n_regionkey AS k,
+        singleValueOrNull(n_regionkey * 10) AS sv_single,
+        singleValueOrNull(n_name) AS sv_multi,
+        arrayStringConcat(arrayMap(x -> toString(round(x, 4)),
+          element_at(corrMatrix(n_nationkey, n_nationkey * 2), 1)), ',') AS corr_row,
+        CAST(round(element_at(element_at(covarPopMatrix(n_nationkey, n_nationkey), 1), 1), 6) AS DOUBLE) AS cv00,
+        arrayStringConcat(arrayMap(x -> toString(x),
+          groupArrayMovingSum(1)), ',') AS msum,
+        arrayStringConcat(arrayMap(x -> toString(x),
+          groupArrayMovingAvg(1)), ',') AS mavg,
+        arrayStringConcat(arrayMap(x -> toString(x),
+          groupArrayLast(1)(n_regionkey)), ',') AS last1,
+        CAST(size(groupArraySample(2)(n_name)) AS INT) AS sample_n,
+        CAST(uniqCombined64(n_name) AS BIGINT) AS uc64
+      FROM nation GROUP BY n_regionkey ORDER BY k""",
+      """
+      SELECT n_regionkey AS k,
+        CAST(MIN(n_regionkey) * 10 AS INT) AS sv_single,
+        CAST(NULL AS VARCHAR) AS sv_multi,
+        '1.0,1.0' AS corr_row,
+        CAST(ROUND(VAR_POP(n_nationkey), 6) AS DOUBLE) AS cv00,
+        '1.0,2.0,3.0,4.0,5.0' AS msum,
+        '1.0,1.0,1.0,1.0,1.0' AS mavg,
+        CAST(n_regionkey AS VARCHAR) AS last1,
+        2 AS sample_n,
+        CAST(5 AS BIGINT) AS uc64
+      FROM nation GROUP BY n_regionkey ORDER BY k""")
   )
 }

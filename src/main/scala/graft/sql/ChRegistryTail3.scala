@@ -2,6 +2,7 @@ package graft.sql
 
 import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.types._
 
 /** Round-6 registry sweep — the remaining high-traffic names from the
@@ -26,6 +27,13 @@ object ChRegistryTail3 {
     case other => throw new IllegalArgumentException(
       s"$what expects a literal string, got $other")
   }
+
+  /** The lower-triangle-symmetric pairwise matrix of `f` over the call's
+    * columns, as array(array(double)). */
+  private def matrixOf(cols: Seq[Expression],
+      f: (Expression, Expression) => Expression): Expression =
+    CreateArray(cols.map(a => CreateArray(cols.map(b =>
+      Cast(f(Cast(a, DoubleType), Cast(b, DoubleType)), DoubleType)))))
 
   /** dateSub('unit', n, ts) — reference dateAdd.cpp's *Sub twins, in the
     * string-literal-unit form (the bare-identifier form is a parser
@@ -128,6 +136,93 @@ object ChRegistryTail3 {
     "rownumberinblock" -> (_ =>
       BitwiseAnd(MonotonicallyIncreasingID(), Literal((1L << 33) - 1))),
     "rownumberinallblocks" -> (_ => MonotonicallyIncreasingID()),
+
+    // ---- aggregate tail (registerAggregateFunctions.cpp order) --------
+    // uniqCombined64 (uniqCombined.cpp:64-bit variant): same HLL++
+    // estimator carrier as uniqCombined here
+    "uniqcombined64" -> (args => HyperLogLogPlusPlus(args.head)),
+    // singleValueOrNull.cpp: the lone value of the group, NULL once a
+    // second distinct value appears
+    "singlevalueornull" -> (args => If(
+      EqualTo(AggregateExpression(Count(Seq(args.head)), Complete,
+        isDistinct = true), Literal(1L)),
+      AggregateExpression(Min(args.head), Complete, isDistinct = false),
+      Literal.create(null, NullType))),
+    // groupArrayLast(n)(x) (groupArray.cpp last_size form): the last n
+    // buffer values — negative-start slice of the collected array (same
+    // insertion-order caveat as groupArray itself)
+    "grouparraylast" -> (args => {
+      val n = Cast(args(1), IntegerType)
+      Slice(AggregateExpression(CollectList(args.head), Complete,
+        isDistinct = false), UnaryMinus(n), n)
+    }),
+    // groupArraySample(n)(x) (groupArraySample.cpp reservoir): rendered
+    // as the xxhash64-ordered prefix — a deterministic uniform sample
+    // (the reference's seeded reservoir is likewise pseudo-random; the
+    // hash order makes ours reproducible across runs and engines given
+    // the same values)
+    "grouparraysample" -> (args => {
+      val n = Cast(args(1), IntegerType)
+      val lst = AggregateExpression(CollectList(args.head), Complete,
+        isDistinct = false)
+      val v1 = UnresolvedNamedLambdaVariable(Seq("ch_gs_a"))
+      val toKeyed = LambdaFunction(
+        CreateNamedStruct(Seq(Literal("h"), XxHash64(Seq(v1), 42L),
+          Literal("v"), v1)), Seq(v1))
+      val v2 = UnresolvedNamedLambdaVariable(Seq("ch_gs_b"))
+      val unkey = LambdaFunction(
+        UnresolvedExtractValue(v2, Literal("v")), Seq(v2))
+      ArrayTransform(
+        Slice(SortArray(ArrayTransform(lst, toKeyed), Literal(true)),
+          Literal(1), n),
+        unkey)
+    }),
+    // groupArrayMovingSum/Avg (groupArrayMoving.cpp, no-window form):
+    // running prefix sums over the group's collected values — O(n²)
+    // interpreted folds, acceptable at group granularity (the reference
+    // evaluates per-group state the same way)
+    "grouparraymovingsum" -> (args => {
+      val lst = AggregateExpression(
+        CollectList(Cast(args.head, DoubleType)), Complete,
+        isDistinct = false)
+      val i = UnresolvedNamedLambdaVariable(Seq("ch_ms_i"))
+      val a = UnresolvedNamedLambdaVariable(Seq("ch_ms_a"))
+      val b = UnresolvedNamedLambdaVariable(Seq("ch_ms_b"))
+      ArrayTransform(
+        Sequence(Literal(1), Size(lst), None),
+        LambdaFunction(
+          ArrayAggregate(Slice(lst, Literal(1), i), Literal(0.0d),
+            LambdaFunction(Add(a, b), Seq(a, b)),
+            LambdaFunction.identity),
+          Seq(i)))
+    }),
+    "grouparraymovingavg" -> (args => {
+      val lst = AggregateExpression(
+        CollectList(Cast(args.head, DoubleType)), Complete,
+        isDistinct = false)
+      val i = UnresolvedNamedLambdaVariable(Seq("ch_ma_i"))
+      val a = UnresolvedNamedLambdaVariable(Seq("ch_ma_a"))
+      val b = UnresolvedNamedLambdaVariable(Seq("ch_ma_b"))
+      ArrayTransform(
+        Sequence(Literal(1), Size(lst), None),
+        LambdaFunction(
+          Divide(
+            ArrayAggregate(Slice(lst, Literal(1), i), Literal(0.0d),
+              LambdaFunction(Add(a, b), Seq(a, b)),
+              LambdaFunction.identity),
+            Cast(i, DoubleType)),
+          Seq(i)))
+    }),
+    // corrMatrix / covarSampMatrix / covarPopMatrix
+    // (AggregateFunctionCorrMatrix.cpp family): the N×N pairwise matrix
+    // as array(array(double)) — N is the call arity, so the tree is a
+    // static composition of the pairwise aggregates
+    "corrmatrix" -> (args => matrixOf(args, (a, b) =>
+      AggregateExpression(Corr(a, b), Complete, isDistinct = false))),
+    "covarsampmatrix" -> (args => matrixOf(args, (a, b) =>
+      AggregateExpression(CovSample(a, b), Complete, isDistinct = false))),
+    "covarpopmatrix" -> (args => matrixOf(args, (a, b) =>
+      AggregateExpression(CovPopulation(a, b), Complete, isDistinct = false))),
 
     // ---- misc introspection -------------------------------------------
     // isConstant (isConstant.cpp): constant-foldability of the argument

@@ -300,7 +300,7 @@ object ClickHouseSql {
   private val parametricName =
     ("(?i)\\b(quantiles?(?:exact|tdigest|timing|gk|dd|bfloat16|deterministic|" +
       "interpolatedweighted|exactweighted|exactlow|exacthigh|exactinclusive|" +
-      "exactexclusive)?)\\s*\\(").r
+      "exactexclusive)?|groupArrayLast|groupArraySample)\\s*\\(").r
 
   private def rewriteParametric(s: String): String = {
     var out = s
