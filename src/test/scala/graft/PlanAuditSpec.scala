@@ -174,4 +174,30 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(exchanges <= 2, // partial->final agg shuffle + ORDER BY range
       s"expected <=2 exchanges (agg + sort), found $exchanges")
   }
+
+  test("span dedup shuffles hashes, never span text") {
+    // Round-6 repeated-passage dedup: the only shuffled payload between
+    // the explode and the aggregate is the 32-hex span hash (+ doc id) —
+    // the span string must be consumed by md5 BEFORE the exchange, and
+    // the survivor join-back stays pinned shuffle-hash.
+    val p = planOf("q_dedup_span_docs")
+    assert(p.contains("ShuffledHashJoin"),
+      "span survivor join-back lost its shuffle_hash pin")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "span dedup must not plan a product join")
+    val exchangeBlocks = p.split("Exchange hashpartitioning")
+    assert(!exchangeBlocks.exists(b =>
+        b.take(200).contains("array_join")),
+      "span text being materialized through an exchange")
+  }
+
+  test("semantic dedup broadcasts centroids; cell self-join is shuffled") {
+    val p = planOf("q_dedup_semantic")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "centroid scoring must broadcast the centroid table")
+    assert(p.contains("ShuffledHashJoin"),
+      "per-cell pair join lost its shuffle_hash pin")
+    assert(!p.contains("CartesianProduct"),
+      "semantic dedup plans a CartesianProduct")
+  }
 }
