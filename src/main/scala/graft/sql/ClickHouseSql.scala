@@ -568,9 +568,26 @@ object ClickHouseSql {
       val q = trimmed.replaceFirst(
         "(?is)^EXPLAIN\\s+(PLAN\\s+|PIPELINE\\s+|ESTIMATE\\s+|AST\\s+)?", "")
       spark.sql("EXPLAIN FORMATTED " + rewrite(expandSchemaTransformers(spark, q)))
-    } else
-      spark.sql(rewrite(expandSchemaTransformers(spark, chSql)))
+    } else if (trimmed.matches("(?is)^SYSTEM\\s+DROP\\s+QUERY\\s+CACHE\\s*;?\\s*$")) {
+      queryCache.clear()
+      import spark.implicits._
+      Seq("OK").toDF("status")
+    } else {
+      val result = spark.sql(rewrite(expandSchemaTransformers(spark, trimmed)))
+      // use_query_cache = 1 (reference Settings use_query_cache →
+      // QueryResultCache.cpp): SELECT results are admitted to / served
+      // from the canonical-plan-keyed cache. SET lands on the conf above.
+      if (trimmed.matches("(?is)^(SELECT|WITH)\\b.*") &&
+          spark.conf.getOption("graft.ch.use_query_cache").contains("1"))
+        queryCache.cached(result)
+      else result
+    }
   }
+
+  /** Session-wide query result cache (reference QueryResultCache.cpp);
+    * enabled per-session with `SET use_query_cache = 1`, dropped with
+    * `SYSTEM DROP QUERY CACHE`. */
+  val queryCache = new graft.operators.ResultCache()
 
   // ---- projection DDL (ParserProjection → plans/*Projections) ---------
 

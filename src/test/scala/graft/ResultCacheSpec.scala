@@ -48,4 +48,28 @@ class ResultCacheSpec extends SparkFunSuite {
     cache.clear()
     assert(cache.size == 0)
   }
+
+  test("SET use_query_cache = 1 routes dialect SELECTs through the cache") {
+    import graft.sql.ClickHouseSql
+    Tables.register(spark, sf)
+    ClickHouseSql.sql(spark, "SYSTEM DROP QUERY CACHE")
+    val h0 = ClickHouseSql.queryCache.hits
+    ClickHouseSql.sql(spark, "SET use_query_cache = 1")
+    try {
+      val q = "SELECT r_regionkey, count() AS n FROM region GROUP BY r_regionkey ORDER BY r_regionkey"
+      val a = ClickHouseSql.sql(spark, q); a.collect()
+      val b = ClickHouseSql.sql(spark, q)
+      assert(ClickHouseSql.queryCache.hits == h0 + 1,
+        "second identical SELECT did not hit the query cache")
+      assert(b.queryExecution.optimizedPlan
+        .exists(_.isInstanceOf[InMemoryRelation]))
+      assert(a.collect().toSeq == b.collect().toSeq)
+      // SYSTEM DROP QUERY CACHE empties it
+      ClickHouseSql.sql(spark, "SYSTEM DROP QUERY CACHE")
+      assert(ClickHouseSql.queryCache.size == 0)
+    } finally {
+      spark.conf.unset("graft.ch.use_query_cache")
+      ClickHouseSql.sql(spark, "SYSTEM DROP QUERY CACHE")
+    }
+  }
 }
