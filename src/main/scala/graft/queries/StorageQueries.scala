@@ -268,6 +268,21 @@ object StorageQueries extends QueryPack {
         .orderBy("l_returnflag")
     },
 
+    // SHOW TABLES LIKE + EXISTS TABLE (ParserShowTablesQuery /
+    // ParserExistsTableQuery): catalog introspection through the dialect;
+    // the LIKE filter keeps the oracle deterministic across sessions.
+    Q.df("q_ch_show_exists", """
+      SELECT 'nation' AS name, 1 AS ex_nation, 0 AS ex_missing""") { (s, dir) =>
+      Tables.register(s, dir)
+      val shown = graft.sql.ClickHouseSql.sql(s, "SHOW TABLES LIKE 'nat%'")
+      val exYes = graft.sql.ClickHouseSql.sql(s, "EXISTS TABLE nation")
+        .head.getInt(0)
+      val exNo = graft.sql.ClickHouseSql.sql(s, "EXISTS no_such_table_xyz")
+        .head.getInt(0)
+      shown.select(col("name"), lit(exYes).as("ex_nation"),
+        lit(exNo).as("ex_missing"))
+    },
+
     // system.dictionaries (StorageSystemDictionaries.cpp): the loaded
     // SQL-dictionary inventory — name, key type, attributes, element
     // count (nation has 25 rows at every sf, so the oracle is a literal).

@@ -568,6 +568,20 @@ object ClickHouseSql {
       val q = trimmed.replaceFirst(
         "(?is)^EXPLAIN\\s+(PLAN\\s+|PIPELINE\\s+|ESTIMATE\\s+|AST\\s+)?", "")
       spark.sql("EXPLAIN FORMATTED " + rewrite(expandSchemaTransformers(spark, q)))
+    } else if (trimmed.matches("(?is)^SHOW\\s+TABLES\\b.*")) {
+      // SHOW TABLES [LIKE '%pat%'] (ParserShowTablesQuery) — the session
+      // catalog, optionally name-filtered; CH's LIKE matches SQL LIKE.
+      import org.apache.spark.sql.functions.col
+      val like = "(?is)\\bLIKE\\s+'([^']*)'".r.findFirstMatchIn(trimmed)
+        .map(_.group(1))
+      val all = graft.sources.SystemTables.tables(spark).select("name")
+      like.fold(all)(p => all.filter(col("name").like(p))).orderBy("name")
+    } else if (trimmed.matches("(?is)^EXISTS\\s+(TABLE\\s+)?[A-Za-z_][A-Za-z0-9_.]*\\s*;?\\s*$")) {
+      // EXISTS [TABLE] t (ParserExistsTableQuery): UInt8 0/1 like CH.
+      import spark.implicits._
+      val t = trimmed.replaceFirst("(?is)^EXISTS\\s+(TABLE\\s+)?", "")
+        .replaceFirst("(?s)\\s*;?\\s*$", "")
+      Seq(if (spark.catalog.tableExists(t)) 1 else 0).toDF("result")
     } else if (trimmed.matches("(?is)^SYSTEM\\s+DROP\\s+QUERY\\s+CACHE\\s*;?\\s*$")) {
       queryCache.clear()
       import spark.implicits._
