@@ -110,6 +110,9 @@ object WideIntQueries extends QueryPack {
     // Distributed path: per-row Int128 products over lineitem that
     // overflow DECIMAL(38) for the largest keys — the wide kernels run
     // inside whole-stage codegen over the scan, no driver involvement.
+    // Key bounds keep the product inside INT128 at EVERY scale factor —
+    // at sf0.1 the unbounded form overflowed the DUCKDB oracle's HUGEINT
+    // (our Int128/256 carrier was fine); the gate must stay sf-robust.
     ch("q_fn_wide_int_rows", """
       SELECT l_orderkey, l_linenumber,
         multiply(multiply(toInt128(l_orderkey), '1000000000000000'),
@@ -117,6 +120,7 @@ object WideIntQueries extends QueryPack {
         modulo(multiply(toInt128(l_orderkey), toInt128(l_suppkey)),
                '2147483647') AS m
       FROM lineitem
+      WHERE l_orderkey <= 2000 AND l_partkey <= 2000
       ORDER BY l_orderkey, l_linenumber
       LIMIT 500""",
       """SELECT l_orderkey, l_linenumber,
@@ -125,6 +129,7 @@ object WideIntQueries extends QueryPack {
         CAST(CAST(l_orderkey AS HUGEINT) * CAST(l_suppkey AS HUGEINT)
              % 2147483647 AS VARCHAR) AS m
       FROM lineitem
+      WHERE l_orderkey <= 2000 AND l_partkey <= 2000
       ORDER BY l_orderkey, l_linenumber
       LIMIT 500""")
   )
