@@ -12,7 +12,25 @@ import org.apache.spark.sql.functions._
   */
 object MutationQueries extends QueryPack {
 
+  /** OPTIMIZE TABLE ... FINAL DEDUPLICATE (InterpreterOptimizeQuery +
+    * merge-time dedup): a table seeded with every nation row TWICE
+    * collapses back to one row per key; BY-column form dedups on the key
+    * only. Exact oracle: the distinct nation table. */
+  private val optimizeDedup = graft.Q("q_ch_optimize_dedup", (s, dir) => {
+    Tables.register(s, dir)
+    graft.sql.ClickHouseSql.sql(s, """
+      CREATE MATERIALIZED VIEW opt_dedup_t AS
+      SELECT * FROM (SELECT n_nationkey, n_name FROM nation
+                     UNION ALL SELECT n_nationkey, n_name FROM nation)""")
+    graft.sql.ClickHouseSql.sql(s,
+      "OPTIMIZE TABLE opt_dedup_t FINAL DEDUPLICATE")
+    graft.sql.ClickHouseSql.sql(s, """
+      SELECT n_nationkey, n_name FROM opt_dedup_t ORDER BY n_nationkey""")
+  }, Some("""
+    SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey"""))
+
   override def queries: Seq[Q] = Seq(
+    optimizeDedup,
 
     // ALTER UPDATE (discount zeroed for small 'R' lines) then ALTER DELETE
     // (pre-1996 shipments dropped) — the post-mutation table aggregated so

@@ -543,10 +543,28 @@ object ClickHouseSql {
     else if (trimmed.matches("(?is)^ALTER\\s+TABLE\\s+\\S+\\s+(ADD|DROP|MATERIALIZE)\\s+PROJECTION\\b.*"))
       projectionDdl(spark, trimmed)
     else if (trimmed.matches("(?is)^OPTIMIZE\\s+TABLE\\b.*")) {
-      // merges are Spark's compaction concern (Mutations.overwritePartitions
-      // is the explicit analog); accept the statement as a no-op
       import spark.implicits._
-      Seq("OK").toDF("status")
+      // OPTIMIZE ... DEDUPLICATE [BY c1, c2] has real semantics (the
+      // reference physically dedups identical rows during the merge —
+      // InterpreterOptimizeQuery + MergeTreeDataMergerMutator dedup):
+      // rewrite the catalog table keeping one row per key (all columns
+      // when BY is absent). Plain OPTIMIZE stays a no-op: merges are
+      // Spark's compaction concern.
+      val dedup = ("(?is)^OPTIMIZE\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_.]*)" +
+        "(?:\\s+FINAL)?\\s+DEDUPLICATE(?:\\s+BY\\s+(.+?))?\\s*;?\\s*$").r
+      trimmed match {
+        case dedup(table, by) =>
+          val cols = Option(by).map(_.split(",").map(_.trim).toSeq)
+          val before = spark.table(table)
+          val after = cols.fold(before.dropDuplicates())(c =>
+            before.dropDuplicates(c.head, c.tail: _*))
+          // part rewrite: materialize the survivors (localCheckpoint is
+          // eager — the read finishes before the overwrite starts), then
+          // overwrite the table's data in place, metadata untouched
+          after.localCheckpoint().write.mode("overwrite").insertInto(table)
+          Seq("OK").toDF("status")
+        case _ => Seq("OK").toDF("status")
+      }
     } else if (trimmed.matches("(?is)^SET\\s+\\w+\\s*=.*")) {
       // per-session engine knobs: accept and record on the Spark conf
       // under a namespaced key (no reference settings map onto Spark 1:1)
