@@ -409,6 +409,25 @@ object FunctionTail2 extends QueryPack {
         CAST(n_regionkey AS VARCHAR) AS last1,
         2 AS sample_n,
         CAST(5 AS BIGINT) AS uc64
-      FROM nation GROUP BY n_regionkey ORDER BY k""")
+      FROM nation GROUP BY n_regionkey ORDER BY k"""),
+
+    // Query-log normalization (normalizeQuery.cpp): literals → ?, literal
+    // lists → ?.., digit-heavy identifiers → ? unless KeepNames; the hash
+    // form keys on the normalized text (two queries differing only in
+    // literals collide, differing structure does not).
+    ch("q_fn_tail3_normalize", """
+      SELECT
+        normalizeQuery('SELECT a, b FROM t WHERE x = 123 AND name = ''foo'' AND k IN (1, 2, 3)') AS nq,
+        normalizeQueryKeepNames('SELECT value_12345 FROM t WHERE x = 5') AS nqk,
+        normalizeQuery('SELECT value_12345 FROM t WHERE x = 5') AS nq2,
+        normalizedQueryHash('SELECT 1') = normalizedQueryHash('SELECT 42') AS h_collide,
+        normalizedQueryHash('SELECT 1') = normalizedQueryHash('SELECT a') AS h_differ""",
+      """
+      SELECT
+        'SELECT a, b FROM t WHERE x = ? AND name = ? AND k IN (?..)' AS nq,
+        'SELECT value_12345 FROM t WHERE x = ?' AS nqk,
+        'SELECT ? FROM t WHERE x = ?' AS nq2,
+        TRUE AS h_collide,
+        FALSE AS h_differ""")
   )
 }

@@ -3,6 +3,7 @@ package graft.sql
 import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
 import org.apache.spark.sql.types._
 
 /** Round-6 registry sweep — the remaining high-traffic names from the
@@ -17,6 +18,8 @@ import org.apache.spark.sql.types._
 object ChRegistryTail3 {
 
   private def asLong(e: Expression): Expression = Cast(e, LongType)
+
+  private val qnCls = classOf[graft.functions.QueryNormKernels.type]
 
   private def lv(n: String): NamedLambdaVariable =
     NamedLambdaVariable(n, DoubleType, nullable = true)
@@ -223,6 +226,22 @@ object ChRegistryTail3 {
       AggregateExpression(CovSample(a, b), Complete, isDistinct = false))),
     "covarpopmatrix" -> (args => matrixOf(args, (a, b) =>
       AggregateExpression(CovPopulation(a, b), Complete, isDistinct = false))),
+
+    // ---- query-log normalization (normalizeQuery.cpp over
+    //      Parsers/queryNormalization.cpp); the hash form is an xxhash64
+    //      of the normalized text — name-compatible, NOT value-compatible
+    //      with the reference's SipHash token stream (engine-wide policy
+    //      for hash stand-ins: never pin values) ------------------------
+    "normalizequery" -> (args => StaticInvoke(qnCls, StringType,
+      "normalizeQuery", args.take(1), Seq(StringType))),
+    "normalizequerykeepnames" -> (args => StaticInvoke(qnCls, StringType,
+      "normalizeQueryKeepNames", args.take(1), Seq(StringType))),
+    "normalizedqueryhash" -> (args => XxHash64(Seq(
+      StaticInvoke(qnCls, StringType, "normalizeQuery", args.take(1),
+        Seq(StringType))), 42L)),
+    "normalizedqueryhashkeepnames" -> (args => XxHash64(Seq(
+      StaticInvoke(qnCls, StringType, "normalizeQueryKeepNames",
+        args.take(1), Seq(StringType))), 42L)),
 
     // ---- misc introspection -------------------------------------------
     // isConstant (isConstant.cpp): constant-foldability of the argument
