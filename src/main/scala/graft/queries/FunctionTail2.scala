@@ -428,6 +428,20 @@ object FunctionTail2 extends QueryPack {
         'SELECT value_12345 FROM t WHERE x = ?' AS nqk,
         'SELECT ? FROM t WHERE x = ?' AS nq2,
         TRUE AS h_collide,
-        FALSE AS h_differ""")
+        FALSE AS h_differ"""),
+
+    // mapPopulateSeries gap fill + the fixed-seed shuffle family (order
+    // contract pinned via sort/cardinality, not sequence).
+    ch("q_fn_tail3_maparr", """
+      SELECT
+        toJSONString(mapPopulateSeries(map(1, 10, 4, 40))) AS mps,
+        arrayStringConcat(arrayMap(x -> toString(x),
+          arraySort(arrayShuffle(array(3, 1, 2)))), ',') AS shuf,
+        CAST(size(arrayRandomSample(array(1, 2, 3, 4, 5), 2)) AS INT) AS samp_n,
+        arrayStringConcat(arrayMap(x -> toString(x),
+          arraySort(arrayPartialShuffle(array(2, 1)))), ',') AS pshuf""",
+      """
+      SELECT '{"1":10,"2":0,"3":0,"4":40}' AS mps,
+        '1,2,3' AS shuf, 2 AS samp_n, '1,2' AS pshuf""")
   )
 }

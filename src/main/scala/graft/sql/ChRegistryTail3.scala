@@ -243,6 +243,27 @@ object ChRegistryTail3 {
       StaticInvoke(qnCls, StringType, "normalizeQueryKeepNames",
         args.take(1), Seq(StringType))), 42L)),
 
+    // ---- map/array tail ----------------------------------------------
+    // mapPopulateSeries (mapPopulateSeries.cpp): fill integer key gaps
+    // min..max with zero values
+    "mappopulateseries" -> (args => {
+      val m = args.head
+      val ks = Sequence(
+        ArrayMin(MapKeys(m)), ArrayMax(MapKeys(m)), None)
+      val k = UnresolvedNamedLambdaVariable(Seq("ch_mps_k"))
+      MapFromArrays(ks,
+        ArrayTransform(ks, LambdaFunction(
+          Coalesce(Seq(ElementAt(m, k), Literal(0))), Seq(k))))
+    }),
+    // arrayShuffle / arrayPartialShuffle / arrayRandomSample
+    // (arrayShuffle.cpp, arrayRandomSample.cpp): fixed-seed Shuffle — a
+    // deterministic instance of the "unspecified order" contract
+    "arrayshuffle" -> (args => Shuffle(args.head, Some(42L))),
+    "arraypartialshuffle" -> (args => Shuffle(args.head, Some(42L))),
+    "arrayrandomsample" -> (args =>
+      Slice(Shuffle(args.head, Some(42L)), Literal(1),
+        Cast(args(1), IntegerType))),
+
     // ---- misc introspection -------------------------------------------
     // isConstant (isConstant.cpp): constant-foldability of the argument
     "isconstant" -> (args => Literal(if (args.head.foldable) 1 else 0)),
