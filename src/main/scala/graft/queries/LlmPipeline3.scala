@@ -102,6 +102,53 @@ object LlmPipeline3 extends QueryPack {
         .orderBy("source")
     },
 
+    // --- Temperature-sampled corpus mixing ----------------------------
+    // The multilingual-pretraining sampling scheme: source shares are
+    // raised to 1/T and renormalized, flattening (T>1) or sharpening
+    // (T<1) the natural distribution. T = 0.5 here, so the share power is
+    // an exact integer square (n_s² / Σn²) — no libm pow in the gate
+    // path, keeping the oracle bit-stable. Row membership is the same
+    // pure-function-of-the-row multiplicative hash as the stratified
+    // sampler: re-runs and cluster resizes pick the identical mix.
+    Q.df("q_corpus_mix_temperature", s"""
+      WITH n AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+      t AS (SELECT source, n,
+          CAST(n AS DOUBLE) * n / SUM(CAST(n AS DOUBLE) * n) OVER () AS p
+        FROM n),
+      a AS (SELECT source, n, p, ROUND(50000 * p) AS alloc FROM t),
+      k AS (SELECT d.source, d.doc_id,
+          (d.doc_id * $knuth) % $mod32 AS hv, a.n, a.alloc,
+          CASE WHEN a.alloc / a.n > 1.0 THEN 1.0 ELSE a.alloc / a.n END AS keep_rate
+        FROM documents d JOIN a ON d.source = a.source)
+      SELECT source,
+        CAST(MAX(n) AS BIGINT) AS n_docs,
+        CAST(MAX(alloc) AS BIGINT) AS alloc,
+        CAST(COUNT(*) FILTER (WHERE hv < keep_rate * $mod32) AS BIGINT) AS n_kept,
+        CAST(COALESCE(SUM(doc_id) FILTER (WHERE hv < keep_rate * $mod32), 0) AS BIGINT) AS id_sum
+      FROM k GROUP BY source ORDER BY source""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.load(s, dir, "documents")
+      val counts = d.groupBy("source").agg(count(lit(1)).as("n"))
+        .withColumn("p",
+          col("n").cast("double") * col("n") /
+            sum(col("n").cast("double") * col("n")).over(Window.partitionBy()))
+        .withColumn("alloc", round(lit(50000) * col("p")))
+        .withColumn("keep_rate",
+          when(col("alloc") / col("n") > 1.0, 1.0)
+            .otherwise(col("alloc") / col("n")))
+      val hv = (col("doc_id") * lit(knuth)) % lit(mod32)
+      d.join(broadcast(counts), Seq("source"))
+        .select(col("source"), col("doc_id"), hv.as("hv"),
+          col("n"), col("alloc"), col("keep_rate"))
+        .groupBy("source")
+        .agg(max("n").cast("long").as("n_docs"),
+          max("alloc").cast("long").as("alloc"),
+          count(when(col("hv") < col("keep_rate") * lit(mod32), 1)).as("n_kept"),
+          coalesce(sum(when(col("hv") < col("keep_rate") * lit(mod32),
+            col("doc_id"))), lit(0L)).as("id_sum"))
+        .orderBy("source")
+    },
+
     // --- Sentence segmentation statistics -----------------------------
     // Sentences = non-blank runs between [.!?]+ terminators; words by
     // whitespace. Per-language aggregate of document/sentence/word volumes
