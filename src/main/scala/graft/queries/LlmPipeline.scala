@@ -1021,6 +1021,110 @@ object LlmPipeline extends QueryPack {
         .select(col("doc_id"), col("label").as("component"),
           (col("doc_id") === col("label")).as("is_canonical"))
         .orderBy("doc_id")
+    },
+
+    // --- Dedup cluster representative selection ------------------------
+    // The keeper POLICY on top of connected components: per duplicate
+    // cluster keep the longest document (ties on min doc_id) — the
+    // "best-of-cluster" selection a real pipeline applies instead of
+    // blind min-id. One broadcast of the (tiny) component table onto the
+    // docs, one window over clusters.
+    Q.df("q_dedup_representatives", """
+      WITH RECURSIVE d AS (SELECT doc_id, lang, source, n_chars,
+                   LIST_DISTINCT(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'),
+                                             t -> LEN(t) > 0)) ws
+                 FROM documents),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM d a JOIN d b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        WHERE CAST(LEN(LIST_INTERSECT(a.ws, b.ws)) AS DOUBLE)
+              / LEN(LIST_DISTINCT(LIST_CONCAT(a.ws, b.ws))) >= 0.8),
+      edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+               FROM reach GROUP BY a),
+      m AS (SELECT c.component, c.doc_id, dd.n_chars,
+              ROW_NUMBER() OVER (PARTITION BY c.component
+                                 ORDER BY dd.n_chars DESC, c.doc_id) AS rn
+            FROM comp c JOIN d dd ON c.doc_id = dd.doc_id)
+      SELECT component,
+        CAST(COUNT(*) AS BIGINT) AS members,
+        CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS rep_doc_id,
+        CAST(MAX(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS rep_n_chars
+      FROM m GROUP BY component ORDER BY component""") { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val d = docs
+        .repartition(s.sparkContext.defaultParallelism,
+          col("lang"), col("source"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          wordSet(col("text")).as("ws"))
+      val a = d.select(col("doc_id").as("id_a"), col("lang"), col("source"),
+        col("ws").as("wa"))
+      val b = d.select(col("doc_id").as("id_b"), col("lang"), col("source"),
+        col("ws").as("wb"))
+      val pairs = a.join(b.hint("merge"), Seq("lang", "source"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(jaccardLengthOk(col("wa"), col("wb"), 0.8))
+        .filter(jaccard(col("wa"), col("wb")) >= 0.8)
+        .select(col("id_a"), col("id_b"))
+      val comp = graft.operators.Components.connectedComponents(
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+        .select(col("doc_id"), col("label").as("component"))
+      val w = Window.partitionBy(col("component"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      comp.join(broadcast(docs.select(col("doc_id"), col("n_chars"))),
+          Seq("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy("component")
+        .agg(count(lit(1)).as("members"),
+          max(when(col("rn") === 1, col("doc_id"))).as("rep_doc_id"),
+          max(when(col("rn") === 1, col("n_chars"))).as("rep_n_chars"))
+        .orderBy("component")
+    },
+
+    // --- Contrastive hard-negative mining ------------------------------
+    // Embedding-training data prep: for each anchor (vec_id < 20), the
+    // top-3 highest-cosine vectors with a DIFFERENT label — the hard
+    // negatives a contrastive loss wants. Brute-force here is the exact
+    // oracle baseline; the scale path blocks candidates by IVF cell
+    // (VectorIndex) exactly like the ANN queries.
+    Q.df("q_mine_hard_negatives", """
+      WITH e AS (SELECT vec_id, label,
+              LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) v
+            FROM embeddings),
+      n AS (SELECT vec_id, label, v,
+              SQRT(LIST_REDUCE(LIST_TRANSFORM(v, x -> x*x), (a,b) -> a+b)) nrm
+            FROM e),
+      q AS (SELECT vec_id qid, label qlabel, v qv, nrm qnrm FROM n WHERE vec_id < 20),
+      p AS (SELECT qid, n.vec_id nid,
+              LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(qv, n.v), pp -> pp[1] * pp[2]), (a,b) -> a+b)
+                / (qnrm * n.nrm) cos
+            FROM q JOIN n ON n.vec_id <> qid AND n.label <> qlabel)
+      SELECT qid, nid, ROUND(cos, 6) AS cos FROM (
+        SELECT qid, nid, cos,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rn FROM p) t
+      WHERE rn <= 3
+      ORDER BY qid, nid""") { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", l2norm(col("v")))
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("v").as("qv"), col("nrm").as("qnrm"))
+      val cand = e.join(broadcast(q),
+          col("vec_id") =!= col("qid") && col("label") =!= col("qlabel"))
+        .withColumn("cos", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      cand.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("vec_id").as("nid"), round(col("cos"), 6).as("cos"))
+        .orderBy("qid", "nid")
     }
   )
 }
