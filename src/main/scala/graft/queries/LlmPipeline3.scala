@@ -149,6 +149,65 @@ object LlmPipeline3 extends QueryPack {
         .orderBy("source")
     },
 
+    // --- Label-outlier detection via class prototypes -----------------
+    // Mislabeled-example mining (confident-learning shape): per label,
+    // the element-wise mean embedding is the class prototype; each
+    // vector's cosine to its OWN prototype scores label fit, and the 3
+    // worst-fitting vectors per label are flagged for review. Prototype
+    // build is one narrow shuffle on (label, dim); the corpus joins the
+    // tiny prototype table by broadcast. Exactly oracled: the mean and
+    // the cosine are the same fold arithmetic in both engines.
+    Q.df("q_label_outliers", """
+      WITH e AS (SELECT vec_id, label,
+              LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) v
+            FROM embeddings),
+      sup AS (SELECT label, LIST(v ORDER BY vec_id) AS sv
+              FROM e WHERE vec_id < 200 GROUP BY label),
+      proto AS (SELECT label, LEN(sv) AS ns,
+              LIST_REDUCE(sv, (a, b) ->
+                LIST_TRANSFORM(LIST_ZIP(a, b), p -> p[1] + p[2])) AS sumv
+            FROM sup),
+      pv AS (SELECT label, LIST_TRANSFORM(sumv, x -> x / ns) AS pv FROM proto),
+      scored AS (SELECT e.vec_id, e.label,
+          LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(e.v, p.pv), pp -> pp[1] * pp[2]), (a,b) -> a+b)
+            / (SQRT(LIST_REDUCE(LIST_TRANSFORM(e.v, q -> q*q), (a,b) -> a+b))
+               * SQRT(LIST_REDUCE(LIST_TRANSFORM(p.pv, q -> q*q), (a,b) -> a+b))) AS fit
+        FROM e JOIN pv p ON e.label = p.label)
+      SELECT label, vec_id, ROUND(fit, 6) AS fit FROM (
+        SELECT label, vec_id, fit,
+          ROW_NUMBER() OVER (PARTITION BY label ORDER BY fit, vec_id) rn
+        FROM scored) t
+      WHERE rn <= 3
+      ORDER BY label, vec_id""") { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      // prototype = sequential id-ordered fold over the support set —
+      // bit-identical to the oracle's LIST_REDUCE (a shuffled AVG would
+      // be last-ulp order-dependent and flip outlier ranks)
+      val sup = e.filter(col("vec_id") < 200)
+        .groupBy("label")
+        .agg(array_sort(collect_list(struct(col("vec_id"), col("v")))).as("ss"))
+        .select(col("label"),
+          transform(col("ss"), s0 => s0.getField("v")).as("sv"))
+      val proto = sup.select(col("label"), size(col("sv")).as("ns"),
+          aggregate(
+            slice(col("sv"), lit(2), size(col("sv")) - 1),
+            element_at(col("sv"), 1),
+            (acc, x) => zip_with(acc, x, _ + _)).as("sumv"))
+        .select(col("label"),
+          transform(col("sumv"), x => x / col("ns")).as("pv"))
+      val scored = e.join(broadcast(proto), Seq("label"))
+        .withColumn("fit",
+          dot(col("v"), col("pv")) / (l2norm(col("v")) * l2norm(col("pv"))))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("label")).orderBy(col("fit"), col("vec_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("label"), col("vec_id"), round(col("fit"), 6).as("fit"))
+        .orderBy("label", "vec_id")
+    },
+
     // --- Sentence segmentation statistics -----------------------------
     // Sentences = non-blank runs between [.!?]+ terminators; words by
     // whitespace. Per-language aggregate of document/sentence/word volumes
