@@ -442,6 +442,35 @@ object FunctionTail2 extends QueryPack {
           arraySort(arrayPartialShuffle(array(2, 1)))), ',') AS pshuf""",
       """
       SELECT '{"1":10,"2":0,"3":0,"4":40}' AS mps,
-        '1,2,3' AS shuf, 2 AS samp_n, '1,2' AS pshuf""")
+        '1,2,3' AS shuf, 2 AS samp_n, '1,2' AS pshuf"""),
+
+    // Encryption family: ECB bytes pinned against an openssl vector
+    // (AES-128-ECB, PKCS7), CBC/GCM roundtrip, tryDecrypt wrong-key NULL.
+    ch("q_fn_tail3_crypto", """
+      SELECT
+        lower(hex(encrypt('aes-128-ecb', 'text', '0123456789abcdef'))) AS ecb_vec,
+        CAST(decrypt('aes-128-ecb',
+          encrypt('aes-128-ecb', 'round trip', '0123456789abcdef'),
+          '0123456789abcdef') AS STRING) AS ecb_rt,
+        CAST(decrypt('aes-256-cbc',
+          encrypt('aes-256-cbc', 'cbc message', '0123456789abcdef0123456789abcdef'),
+          '0123456789abcdef0123456789abcdef') AS STRING) AS cbc_rt,
+        CAST(decrypt('aes-128-gcm',
+          encrypt('aes-128-gcm', 'gcm message', 'abcdef0123456789'),
+          'abcdef0123456789') AS STRING) AS gcm_rt,
+        CAST(aes_decrypt_mysql('aes-128-ecb',
+          aes_encrypt_mysql('aes-128-ecb', 'mysql twin', '0123456789abcdef'),
+          '0123456789abcdef') AS STRING) AS mysql_rt,
+        tryDecrypt('aes-128-ecb',
+          encrypt('aes-128-ecb', 'secret', '0123456789abcdef'),
+          'ffffffffffffffff') IS NULL AS try_wrong_key""",
+      """
+      SELECT
+        '5f203f32c7582846938757ccadc13542' AS ecb_vec,
+        'round trip' AS ecb_rt,
+        'cbc message' AS cbc_rt,
+        'gcm message' AS gcm_rt,
+        'mysql twin' AS mysql_rt,
+        TRUE AS try_wrong_key""")
   )
 }

@@ -21,6 +21,15 @@ object ChRegistryTail3 {
 
   private val qnCls = classOf[graft.functions.QueryNormKernels.type]
 
+  /** 'aes-128-ecb' → the Spark mode literal (ECB/CBC/GCM). */
+  private def aesModeOf(e: Expression): Expression = {
+    val m = litString(e, "encrypt/decrypt mode").toLowerCase.split("-")
+    require(m.length == 3 && m(0) == "aes" &&
+        Set("128", "192", "256")(m(1)) && Set("ecb", "cbc", "gcm")(m(2)),
+      s"unsupported cipher mode '${m.mkString("-")}'")
+    Literal(m(2).toUpperCase)
+  }
+
   private def lv(n: String): NamedLambdaVariable =
     NamedLambdaVariable(n, DoubleType, nullable = true)
 
@@ -263,6 +272,39 @@ object ChRegistryTail3 {
     "arrayrandomsample" -> (args =>
       Slice(Shuffle(args.head, Some(42L)), Literal(1),
         Cast(args(1), IntegerType))),
+
+    // ---- encryption (encrypt.cpp / aes_encrypt_mysql.cpp) -------------
+    // CH mode strings 'aes-<bits>-<mode>' ride Spark's AES expressions.
+    // ECB is BYTE-compatible with the reference (same PKCS7 padding);
+    // CBC/GCM are roundtrip-compatible only — Spark generates and
+    // prepends a random IV, where the reference uses the caller's iv
+    // argument verbatim (documented carrier deviation; the battery pins
+    // the ECB bytes against an openssl vector and roundtrips the rest).
+    "encrypt" -> (args => AesEncrypt(
+      Cast(args(1), BinaryType), Cast(args(2), BinaryType),
+      aesModeOf(args(0)), Literal("DEFAULT"),
+      Literal(Array.emptyByteArray, BinaryType),
+      Literal(Array.emptyByteArray, BinaryType))),
+    "decrypt" -> (args => AesDecrypt(
+      Cast(args(1), BinaryType), Cast(args(2), BinaryType),
+      aesModeOf(args(0)), Literal("DEFAULT"),
+      Literal(Array.emptyByteArray, BinaryType))),
+    "trydecrypt" -> (args => new TryAesDecrypt(
+      Cast(args(1), BinaryType), Cast(args(2), BinaryType),
+      aesModeOf(args(0)), Literal("DEFAULT"),
+      Literal(Array.emptyByteArray, BinaryType))),
+    // MySQL-compat twins (aes_encrypt_mysql.cpp): same carrier; the
+    // reference's long-key XOR folding is not reproduced — keys must be
+    // exact length, failing loudly instead of silently folding
+    "aes_encrypt_mysql" -> (args => AesEncrypt(
+      Cast(args(1), BinaryType), Cast(args(2), BinaryType),
+      aesModeOf(args(0)), Literal("DEFAULT"),
+      Literal(Array.emptyByteArray, BinaryType),
+      Literal(Array.emptyByteArray, BinaryType))),
+    "aes_decrypt_mysql" -> (args => AesDecrypt(
+      Cast(args(1), BinaryType), Cast(args(2), BinaryType),
+      aesModeOf(args(0)), Literal("DEFAULT"),
+      Literal(Array.emptyByteArray, BinaryType))),
 
     // ---- misc introspection -------------------------------------------
     // isConstant (isConstant.cpp): constant-foldability of the argument
