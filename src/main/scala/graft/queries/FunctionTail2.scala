@@ -471,6 +471,20 @@ object FunctionTail2 extends QueryPack {
         'cbc message' AS cbc_rt,
         'gcm message' AS gcm_rt,
         'mysql twin' AS mysql_rt,
-        TRUE AS try_wrong_key""")
+        TRUE AS try_wrong_key"""),
+
+    // generateRandom table function: seed-deterministic rows; the oracle
+    // recomputes the multiplicative-hash derivation over the same range.
+    ch("q_tf_generate_random", """
+      SELECT id, v, s
+      FROM generateRandom('id UInt32, v Float64, s String', 7)
+      ORDER BY id LIMIT 5""",
+      """
+      SELECT id, v, s FROM (
+        SELECT CAST((r * 2654435761 + 7) % 4294967296 AS BIGINT) AS id,
+               CAST((r * 2654435761 + 84) % 4294967296 AS DOUBLE) / 4294967296.0 AS v,
+               'v' || CAST((r * 2654435761 + 161) % 4294967296 % 10000 AS VARCHAR) AS s
+        FROM (SELECT UNNEST(GENERATE_SERIES(0, 999999)) AS r))
+      ORDER BY id LIMIT 5""")
   )
 }

@@ -27,6 +27,7 @@ object ClickHouseSql {
     s = rewriteFormat(s)
     s = rewriteSettings(s)
     s = rewriteNumbers(s)
+    s = rewriteGenerateRandom(s)
     // GLOBAL IN / GLOBAL JOIN: a distributed-execution hint (broadcast the
     // right side to every shard) — Catalyst + AQE own that decision here
     s = s.replaceAll("(?i)\\bGLOBAL\\s+(?=(NOT\\s+)?IN\\b|ANY\\b|ALL\\b|INNER\\b|LEFT\\b|RIGHT\\b|FULL\\b|JOIN\\b)", "")
@@ -352,6 +353,41 @@ object ClickHouseSql {
       s"FROM (SELECT id AS number FROM range(${m.group(1)}, ${m.group(1).toLong + m.group(2).toLong})) _nums")
     one.replaceAllIn(s1, m =>
       s"FROM (SELECT id AS number FROM range(${m.group(1)})) _nums")
+  }
+
+  /** `FROM generateRandom('a UInt32, b String, ...'[, seed])` table
+    * function (reference TableFunctionGenerateRandom): deterministic
+    * pseudo-random rows derived from a multiplicative hash of the row id
+    * and the seed — with a seed the reference is likewise reproducible
+    * (the VALUE distribution is engine-specific there too, so
+    * determinism-given-seed is the portable contract; the battery's
+    * oracle recomputes the same arithmetic). Bounded by the outer LIMIT
+    * over a 1e6-row base range. */
+  private def rewriteGenerateRandom(s: String): String = {
+    val re = ("(?is)\\bFROM\\s+generateRandom\\s*\\(\\s*'([^']*)'" +
+      "\\s*(?:,\\s*(\\d+)\\s*)?\\)").r
+    re.replaceAllIn(s, m => {
+      val seed = Option(m.group(2)).getOrElse("42").toLong
+      val cols = m.group(1).split(",").map(_.trim).filter(_.nonEmpty)
+        .zipWithIndex.map { case (cd, i) =>
+          val parts = cd.split("\\s+", 2)
+          require(parts.length == 2, s"generateRandom: bad column '$cd'")
+          val (name, tpe) = (parts(0), parts(1))
+          val h = s"((id * 2654435761 + ${seed + i * 77}) % 4294967296)"
+          tpe.toLowerCase match {
+            case t if t.startsWith("uint") || t.startsWith("int") =>
+              s"CAST($h AS BIGINT) AS $name"
+            case t if t.startsWith("float") =>
+              s"CAST($h AS DOUBLE) / 4294967296.0 AS $name"
+            case t if t.startsWith("string") =>
+              s"concat('v', CAST($h % 10000 AS STRING)) AS $name"
+            case other => throw new IllegalArgumentException(
+              s"generateRandom: unsupported type '$other'")
+          }
+        }
+      scala.util.matching.Regex.quoteReplacement(
+        s"FROM (SELECT ${cols.mkString(", ")} FROM range(1000000)) _genrnd")
+    })
   }
 
   /** Trailing `SETTINGS k = v, …` → strip (per-query engine knobs have no
