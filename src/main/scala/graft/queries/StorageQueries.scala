@@ -283,6 +283,16 @@ object StorageQueries extends QueryPack {
         lit(exNo).as("ex_missing"))
     },
 
+    // system.settings (StorageSystemSettings.cpp): SET-applied session
+    // knobs are queryable; the filter keeps the oracle independent of
+    // other queries' settings in the same session.
+    Q.df("q_system_settings", """
+      SELECT 'graft_probe_knob' AS name, '12345' AS value""") { (s, dir) =>
+      graft.sql.ClickHouseSql.sql(s, "SET graft_probe_knob = 12345")
+      SystemTables.settings(s)
+        .filter(col("name") === "graft_probe_knob")
+    },
+
     // system.dictionaries (StorageSystemDictionaries.cpp): the loaded
     // SQL-dictionary inventory — name, key type, attributes, element
     // count (nation has 25 rows at every sf, so the oracle is a literal).

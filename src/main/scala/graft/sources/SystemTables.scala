@@ -57,6 +57,18 @@ object SystemTables {
       .toDF("partition", "file_count", "bytes_on_disk", "rows", "active")
   }
 
+  /** system.settings analog (StorageSystemSettings.cpp): the session's
+    * dialect-level knobs — every `SET k = v` lands under the graft.ch.*
+    * conf namespace and is queryable here. */
+  def settings(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.conf.getAll.toSeq
+      .filter(_._1.startsWith("graft.ch."))
+      .map { case (k, v) => (k.stripPrefix("graft.ch."), v) }
+      .sortBy(_._1)
+      .toDF("name", "value")
+  }
+
   /** system.dictionaries analog
     * (src/Storages/System/StorageSystemDictionaries.cpp): one row per
     * registered SQL dictionary with key type, attribute list, element
