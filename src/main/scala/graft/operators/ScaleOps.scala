@@ -39,6 +39,21 @@ object ScaleOps {
       partitionCol: String): Unit =
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
 
+  /** Drop one partition directory of a hive-partitioned layout — the
+    * reference's ALTER TABLE DROP PARTITION (MergeTree detaches and
+    * deletes whole parts; here the partition directory is unlinked
+    * without touching any other data). At 100 TB this is THE retention
+    * primitive: date-partitioned layouts age out by directory unlink,
+    * never by row rewrite. Returns true when the partition existed. */
+  def dropPartition(spark: SparkSession, path: String, partitionCol: String,
+      value: String): Boolean = {
+    val dir = new org.apache.hadoop.fs.Path(path, s"$partitionCol=$value")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existed = fs.exists(dir)
+    if (existed) fs.delete(dir, true)
+    existed
+  }
+
   /** Write a bucketed + bucket-sorted copy of `df` as a catalog table
     * (clearing any stale warehouse location from an earlier session). */
   def writeBucketed(spark: SparkSession, df: DataFrame, name: String,

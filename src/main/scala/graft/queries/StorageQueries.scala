@@ -293,6 +293,23 @@ object StorageQueries extends QueryPack {
         .filter(col("name") === "graft_probe_knob")
     },
 
+    // DROP PARTITION (the reference's ALTER TABLE DROP PARTITION — part
+    // unlink, no row rewrite): a partitioned layout loses exactly the
+    // dropped directory; survivors are untouched, which is what the
+    // oracle states. The retention primitive at 100 TB.
+    Q.df("q_ch_drop_partition", """
+      SELECT o_orderstatus, COUNT(*) AS n
+      FROM orders WHERE o_orderstatus <> 'F'
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""") { (s, dir) =>
+      val path = "/tmp/graft_drop_part_demo"
+      graft.operators.ScaleOps.writePartitioned(s,
+        Tables.load(s, dir, "orders"), path, "o_orderstatus")
+      graft.operators.ScaleOps.dropPartition(s, path, "o_orderstatus", "F")
+      s.read.parquet(path)
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    },
+
     // system.dictionaries (StorageSystemDictionaries.cpp): the loaded
     // SQL-dictionary inventory — name, key type, attributes, element
     // count (nation has 25 rows at every sf, so the oracle is a literal).
