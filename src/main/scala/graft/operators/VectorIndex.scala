@@ -95,6 +95,36 @@ object VectorIndex {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** Streaming index maintenance (the reference's vector skip index is
+    * likewise maintained per inserted part): each micro-batch of new
+    * embeddings is assigned to its cell against the EXISTING centroids
+    * and appended into the cell-partitioned layout — dynamic partition
+    * append, only touched cells' directories gain files. Queries issued
+    * after a batch see the new vectors with no rebuild. Returns the
+    * running query (AvailableNow trigger drains a bounded backlog). */
+  def appendStream(spark: SparkSession, stream: DataFrame, indexDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    stream.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val e = prep(batch)
+        val scored = e.join(broadcast(cents), lit(true))
+          .withColumn("csim",
+            dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+        val wAssign = Window.partitionBy(col("vec_id"))
+          .orderBy(col("csim").desc, col("cid"))
+        scored.withColumn("__crn", row_number().over(wAssign))
+          .filter(col("__crn") === 1)
+          .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+          .write.mode("append").partitionBy("cell")
+          .parquet(s"$indexDir/assignments")
+        ()
+      }
+      .start()
+  }
+
   def drop(spark: SparkSession, indexDir: String): Unit = {
     val path = new org.apache.hadoop.fs.Path(indexDir)
     path.getFileSystem(spark.sparkContext.hadoopConfiguration)

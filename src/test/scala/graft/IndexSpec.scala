@@ -58,6 +58,34 @@ class IndexSpec extends SparkFunSuite {
       Seq("nosuchtok")).count() == 0)
   }
 
+  test("streaming ingest maintains the IVF index: new vectors are queryable") {
+    import java.nio.file.Files
+    val src = Tables.load(spark, sf, "embeddings")
+    VectorIndex.create(spark, src, s"$base/vecs", nCells = 16)
+    // stage a batch of planted exact twins (vec_id + 1e6 of the first 5)
+    // as a file-stream backlog
+    val stage = Files.createTempDirectory("graft_vec_stream").toString
+    src.filter(col("vec_id") < 5)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(stage).schema)
+      .parquet(stage)
+    val q = VectorIndex.appendStream(spark, stream, s"$base/vecs",
+      Files.createTempDirectory("graft_vec_ckpt").toString)
+    q.awaitTermination(60000)
+    // the ingested twins are now top-1 at cos 1.0 for their originals
+    val queries = VectorIndex.prep(src).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val top1 = VectorIndex.topK(spark, s"$base/vecs", queries, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 5L).foreach { i =>
+      assert(top1.get(i).contains(i + 1000000L),
+        s"ingested twin of $i not found (got ${top1.get(i)})")
+    }
+  }
+
   test("persisted IVF: queries read the index partitions, not the corpus") {
     val src = Tables.load(spark, sf, "embeddings")
     VectorIndex.create(spark, src, s"$base/vec", nCells = 16)
