@@ -104,6 +104,23 @@ object TextIndex {
       array_contains(tokensOf(col(textCol)), t)).reduce(_ || _))
   }
 
+  /** Incremental maintenance: append `docs` as new files and index ONLY
+    * those files' postings (the reference's text skip index is likewise
+    * built per inserted part, never by corpus rebuild). The new-file set
+    * is discovered by anti-joining the layout's file list against the
+    * files the index already covers — a metadata-only decision. */
+  def append(spark: SparkSession, docs: DataFrame, dataDir: String,
+      indexDir: String, textCol: String = "text"): Unit = {
+    docs.write.mode("append").parquet(dataDir)
+    val indexed = spark.read.parquet(indexDir).select("file").distinct()
+    val newPostings = spark.read.parquet(dataDir)
+      .select(col("_metadata.file_path").as("file"),
+        explode(array_distinct(tokensOf(col(textCol)))).as("token"))
+      .join(indexed, Seq("file"), "left_anti")
+      .distinct()
+    newPostings.write.mode("append").parquet(indexDir)
+  }
+
   /** Remove the layout + index. */
   def drop(spark: SparkSession, dataDir: String, indexDir: String): Unit =
     Seq(dataDir, indexDir).foreach { p =>

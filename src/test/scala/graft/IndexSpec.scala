@@ -58,6 +58,28 @@ class IndexSpec extends SparkFunSuite {
       Seq("nosuchtok")).count() == 0)
   }
 
+  test("incremental append indexes only the new files; new docs searchable") {
+    val docs = Tables.load(spark, sf, "documents")
+    TextIndex.create(spark, docs, s"$base/adata", s"$base/aindex", nFiles = 8)
+    val before = spark.read.parquet(s"$base/aindex").count()
+    val beforeFiles = spark.read.parquet(s"$base/aindex")
+      .select("file").distinct().count()
+    TextIndex.append(spark, spark.sql(
+      """SELECT 888888L AS doc_id, 'qwggle_token fresh arrival' AS text,
+         'en' AS lang, 'spec' AS source, 26L AS n_chars"""),
+      s"$base/adata", s"$base/aindex")
+    // exactly the new file's postings were added — old files untouched
+    val afterFiles = spark.read.parquet(s"$base/aindex")
+      .select("file").distinct().count()
+    assert(afterFiles == beforeFiles + 1)
+    val added = spark.read.parquet(s"$base/aindex").count() - before
+    assert(added > 0 && added <= 5, s"unexpected posting delta $added")
+    // and the new doc is found through the index
+    val hit = TextIndex.search(spark, s"$base/adata", s"$base/aindex",
+      Seq("qwggle_token")).select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(hit == Seq(888888L))
+  }
+
   test("streaming ingest maintains the IVF index: new vectors are queryable") {
     import java.nio.file.Files
     val src = Tables.load(spark, sf, "embeddings")
