@@ -636,6 +636,13 @@ object ClickHouseSql {
       val t = trimmed.replaceFirst("(?is)^EXISTS\\s+(TABLE\\s+)?", "")
         .replaceFirst("(?s)\\s*;?\\s*$", "")
       Seq(if (spark.catalog.tableExists(t)) 1 else 0).toDF("result")
+    } else if (trimmed.matches("(?is)^SYSTEM\\s+RELOAD\\s+DICTIONAR(Y|IES)\\b.*")) {
+      // ExternalDictionariesLoader reload: re-collect from the source
+      val one = "(?is)^SYSTEM\\s+RELOAD\\s+DICTIONARY\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$".r
+      val name = one.findFirstMatchIn(trimmed).map(_.group(1))
+      Dictionaries.reload(spark, name)
+      import spark.implicits._
+      Seq("OK").toDF("status")
     } else if (trimmed.matches("(?is)^SYSTEM\\s+DROP\\s+QUERY\\s+CACHE\\s*;?\\s*$")) {
       queryCache.clear()
       import spark.implicits._

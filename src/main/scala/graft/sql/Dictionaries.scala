@@ -50,6 +50,25 @@ object Dictionaries {
       default: Literal)
 
   private val dicts = new ConcurrentHashMap[String, Dict]()
+  // original CREATE text per dictionary, for SYSTEM RELOAD
+  private val ddlText = new ConcurrentHashMap[String, String]()
+
+  /** SYSTEM RELOAD DICTIONARY name / DICTIONARIES (the reference's
+    * ExternalDictionariesLoader reload): re-execute the stored CREATE, so
+    * the plan-constant maps re-collect from the (possibly changed) source
+    * table. */
+  def reload(spark: SparkSession, name: Option[String]): Unit = {
+    val names = name.map(Seq(_)).getOrElse {
+      import scala.jdk.CollectionConverters._
+      ddlText.keySet.asScala.toSeq
+    }
+    names.foreach { n =>
+      Option(ddlText.get(n)).foreach { stmt =>
+        dicts.remove(n)
+        execute(spark, stmt)
+      }
+    }
+  }
 
   /** Max rows collected into plan-constant maps — beyond this, the O(n)
     * literal-map probe and plan size are the wrong tool; the reference
@@ -124,6 +143,7 @@ object Dictionaries {
         dicts.put(name, Dict(name, keyType,
           Literal(new GenericArrayData(keys),
             ArrayType(keyType, containsNull = false)), attrs))
+        ddlText.put(name, stmt)
         status(spark)
       case _ => throw new IllegalArgumentException(
         "unsupported CREATE DICTIONARY form (need PRIMARY KEY + " +

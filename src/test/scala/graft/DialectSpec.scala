@@ -105,4 +105,29 @@ class DialectSpec extends SparkFunSuite {
         "SELECT dictGet('spec_dict', 'r_name', 1)").collect()
     }
   }
+
+  test("SYSTEM RELOAD DICTIONARY re-collects from the changed source") {
+    Tables.register(spark, sf)
+    spark.sql("SELECT 1L AS k, 'before' AS v")
+      .createOrReplaceTempView("reload_src")
+    ClickHouseSql.sql(spark, "DROP DICTIONARY IF EXISTS reload_dict")
+    ClickHouseSql.sql(spark, """
+      CREATE DICTIONARY reload_dict (k UInt64, v String)
+      PRIMARY KEY k SOURCE(CLICKHOUSE(TABLE 'reload_src')) LAYOUT(FLAT())""")
+    def probe(): String = ClickHouseSql.sql(spark,
+      "SELECT dictGet('reload_dict', 'v', 1) AS v").head().getString(0)
+    assert(probe() == "before")
+    // source changes; the dictionary is plan-constant until reloaded
+    spark.sql("SELECT 1L AS k, 'after' AS v")
+      .createOrReplaceTempView("reload_src")
+    assert(probe() == "before")
+    ClickHouseSql.sql(spark, "SYSTEM RELOAD DICTIONARY reload_dict")
+    assert(probe() == "after")
+    // the plural form reloads everything registered
+    spark.sql("SELECT 1L AS k, 'again' AS v")
+      .createOrReplaceTempView("reload_src")
+    ClickHouseSql.sql(spark, "SYSTEM RELOAD DICTIONARIES")
+    assert(probe() == "again")
+    ClickHouseSql.sql(spark, "DROP DICTIONARY reload_dict")
+  }
 }
