@@ -485,6 +485,32 @@ object FunctionTail2 extends QueryPack {
                CAST((r * 2654435761 + 84) % 4294967296 AS DOUBLE) / 4294967296.0 AS v,
                'v' || CAST((r * 2654435761 + 161) % 4294967296 % 10000 AS VARCHAR) AS s
         FROM (SELECT UNNEST(GENERATE_SERIES(0, 999999)) AS r))
-      ORDER BY id LIMIT 5""")
+      ORDER BY id LIMIT 5"""),
+
+    // -SimpleState aliases (carrier = plain value), exact median, and the
+    // plural discrete-quantile forms (low = lower order statistic,
+    // high = upper, rendered in DuckDB via the negated-lower identity).
+    ch("q_fn_tail3_aggs2", """
+      SELECT
+        CAST(minSimpleState(l_quantity) AS DOUBLE) AS mn,
+        CAST(maxSimpleState(l_quantity) AS DOUBLE) AS mx,
+        CAST(sumSimpleState(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sm,
+        CAST(medianExact(l_linenumber) AS DOUBLE) AS med,
+        arrayStringConcat(arrayMap(x -> toString(x),
+          quantilesExactLow(0.25, 0.75)(l_linenumber)), ',') AS qlo,
+        arrayStringConcat(arrayMap(x -> toString(x),
+          quantilesExactHigh(0.25, 0.75)(l_linenumber)), ',') AS qhi
+      FROM lineitem""",
+      """
+      SELECT
+        CAST(MIN(l_quantity) AS DOUBLE) AS mn,
+        CAST(MAX(l_quantity) AS DOUBLE) AS mx,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sm,
+        CAST(MEDIAN(l_linenumber) AS DOUBLE) AS med,
+        CAST(CAST(QUANTILE_DISC(l_linenumber, 0.25) AS DOUBLE) AS VARCHAR) || ',' ||
+          CAST(CAST(QUANTILE_DISC(l_linenumber, 0.75) AS DOUBLE) AS VARCHAR) AS qlo,
+        CAST(CAST(-QUANTILE_DISC(-l_linenumber, 0.75) AS DOUBLE) AS VARCHAR) || ',' ||
+          CAST(CAST(-QUANTILE_DISC(-l_linenumber, 0.25) AS DOUBLE) AS VARCHAR) AS qhi
+      FROM lineitem""")
   )
 }

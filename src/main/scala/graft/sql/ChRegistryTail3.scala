@@ -306,6 +306,23 @@ object ChRegistryTail3 {
       aesModeOf(args(0)), Literal("DEFAULT"),
       Literal(Array.emptyByteArray, BinaryType))),
 
+    // ---- -SimpleState combinator + quantile plural tail ---------------
+    // SimpleAggregateFunction's carrier IS the plain value
+    // (DataTypeCustomSimpleAggregateFunction), so the -SimpleState forms
+    // of simple aggregates alias the aggregates themselves
+    "minsimplestate" -> (args => Min(args.head)),
+    "maxsimplestate" -> (args => Max(args.head)),
+    "sumsimplestate" -> (args => Sum(args.head)),
+    "medianexact" -> (args => new Percentile(args.head, Literal(0.5))),
+    // plural discrete-quantile forms (AggregateFunctionQuantileExact*.cpp)
+    "quantilesexactlow" -> (args => CreateArray(args.tail.map(p =>
+      AggregateExpression(PercentileDisc(args.head, p), Complete,
+        isDistinct = false): Expression))),
+    "quantilesexacthigh" -> (args => CreateArray(args.tail.map(p =>
+      AggregateExpression(
+        PercentileDisc(args.head, Subtract(Literal(1.0d), p), reverse = true),
+        Complete, isDistinct = false): Expression))),
+
     // ---- misc introspection -------------------------------------------
     // isConstant (isConstant.cpp): constant-foldability of the argument
     "isconstant" -> (args => Literal(if (args.head.foldable) 1 else 0)),
