@@ -310,6 +310,33 @@ object StorageQueries extends QueryPack {
         .orderBy("o_orderstatus")
     },
 
+    // EXCHANGE TABLES + CREATE TABLE AS <table> (InterpreterRenameQuery
+    // exchange form; ParserCreateQuery as_table schema clone): two seeded
+    // tables swap identities, and a clone gets the schema with zero rows.
+    Q.df("q_ch_exchange_clone", """
+      SELECT 'b' AS a_val, 'a' AS b_val, 0 AS clone_rows,
+             2 AS clone_cols""") { (s, dir) =>
+      Tables.register(s, dir)
+      Seq("xchg_a", "xchg_b", "xchg_c").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val wh = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), t)
+        wh.getFileSystem(s.sparkContext.hadoopConfiguration).delete(wh, true)
+      }
+      graft.sql.ClickHouseSql.sql(s,
+        "CREATE MATERIALIZED VIEW xchg_a AS SELECT 'a' AS v, 1 AS k")
+      graft.sql.ClickHouseSql.sql(s,
+        "CREATE MATERIALIZED VIEW xchg_b AS SELECT 'b' AS v, 2 AS k")
+      graft.sql.ClickHouseSql.sql(s, "EXCHANGE TABLES xchg_a AND xchg_b")
+      graft.sql.ClickHouseSql.sql(s, "CREATE TABLE xchg_c AS xchg_a")
+      val aVal = s.table("xchg_a").head.getString(0)
+      val bVal = s.table("xchg_b").head.getString(0)
+      val cloneRows = s.table("xchg_c").count().toInt
+      val cloneCols = s.table("xchg_c").columns.length
+      s.sql(s"SELECT '$aVal' AS a_val, '$bVal' AS b_val, " +
+        s"$cloneRows AS clone_rows, $cloneCols AS clone_cols")
+    },
+
     // system.dictionaries (StorageSystemDictionaries.cpp): the loaded
     // SQL-dictionary inventory — name, key type, attributes, element
     // count (nation has 25 rows at every sf, so the oracle is a literal).

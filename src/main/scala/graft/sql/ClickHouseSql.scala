@@ -545,7 +545,20 @@ object ClickHouseSql {
       else trimmed0
     if (Dictionaries.matches(trimmed))
       Dictionaries.execute(spark, trimmed)
-    else if (trimmed.matches("(?is)^CREATE\\s+TABLE\\b.*"))
+    else if (trimmed.matches(
+        "(?is)^CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?[A-Za-z_][A-Za-z0-9_.]*\\s+AS\\s+[A-Za-z_][A-Za-z0-9_.]*\\s*(ENGINE\\s*=[^()]*)?;?\\s*$")) {
+      // CREATE TABLE a AS b (schema clone, no data — ParserCreateQuery's
+      // as_table form; never matches CTAS, whose AS is followed by SELECT)
+      // → Spark's CREATE TABLE ... LIKE
+      val re = ("(?is)^CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?" +
+        "([A-Za-z_][A-Za-z0-9_.]*)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_.]*).*$").r
+      val re(ifNot, a, b) = trimmed
+      val ine = if (ifNot != null) "IF NOT EXISTS " else ""
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), a)
+      wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
+      spark.sql(s"CREATE TABLE $ine$a LIKE $b USING parquet")
+    } else if (trimmed.matches("(?is)^CREATE\\s+TABLE\\b.*"))
       spark.sql(rewriteCreateTable(trimmed))
     else if (trimmed.matches("(?is)^CREATE\\s+MATERIALIZED\\s+VIEW\\b.*")) {
       // batch analog of the reference's MV: materialize the SELECT once as
@@ -567,6 +580,21 @@ object ClickHouseSql {
             rewrite(expandSchemaTransformers(spark, select)))
         case _ => throw new IllegalArgumentException(
           "unsupported CREATE MATERIALIZED VIEW form")
+      }
+    } else if (trimmed.matches("(?is)^EXCHANGE\\s+TABLES\\b.*")) {
+      // EXCHANGE TABLES a AND b (InterpreterRenameQuery exchange=true):
+      // atomic in the reference; here a triple rename through a temp name
+      val re = ("(?is)^EXCHANGE\\s+TABLES\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+AND\\s+" +
+        "([A-Za-z_][A-Za-z0-9_.]*)\\s*;?\\s*$").r
+      trimmed match {
+        case re(a, b) =>
+          val tmp = s"__graft_xchg_${System.nanoTime()}"
+          spark.sql(s"ALTER TABLE $a RENAME TO $tmp")
+          spark.sql(s"ALTER TABLE $b RENAME TO $a")
+          spark.sql(s"ALTER TABLE $tmp RENAME TO $b")
+          import spark.implicits._
+          Seq("OK").toDF("status")
+        case _ => throw new IllegalArgumentException("unsupported EXCHANGE form")
       }
     } else if (trimmed.matches("(?is)^RENAME\\s+TABLE\\b.*")) {
       val re = ("(?is)^RENAME\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+TO\\s+" +
