@@ -337,6 +337,21 @@ object StorageQueries extends QueryPack {
         s"$cloneRows AS clone_rows, $cloneCols AS clone_cols")
     },
 
+    // system.query_log (QueryLog.h): the probe statement appears in the
+    // session's log with its literal-normalized text; the unique marker
+    // keeps the oracle independent of everything else the session ran.
+    Q.df("q_system_query_log", """
+      SELECT 'SELECT 987654321 AS qlog_probe_marker' AS query,
+             'SELECT ? AS qlog_probe_marker' AS normalized_query,
+             TRUE AS logged""") { (s, dir) =>
+      graft.sql.ClickHouseSql.sql(s, "SELECT 987654321 AS qlog_probe_marker")
+      SystemTables.queryLog(s)
+        .filter(col("query") === "SELECT 987654321 AS qlog_probe_marker")
+        .select(col("query"), col("normalized_query"),
+          lit(true).as("logged"))
+        .limit(1)
+    },
+
     // system.dictionaries (StorageSystemDictionaries.cpp): the loaded
     // SQL-dictionary inventory — name, key type, attributes, element
     // count (nation has 25 rows at every sf, so the oracle is a literal).

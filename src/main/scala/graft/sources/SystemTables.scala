@@ -69,6 +69,17 @@ object SystemTables {
       .toDF("name", "value")
   }
 
+  /** system.query_log analog (src/Interpreters/QueryLog.h): the session's
+    * dialect-statement history with literal-normalized text and wall
+    * durations — the log-analysis surface normalizeQuery serves. */
+  def queryLog(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    graft.sql.ClickHouseSql.queryLog.iterator.asScala.toSeq
+      .map(e => (e.query, e.normalized, e.durationMs, e.eventTime))
+      .toDF("query", "normalized_query", "query_duration_ms", "event_time")
+  }
+
   /** system.dictionaries analog
     * (src/Storages/System/StorageSystemDictionaries.cpp): one row per
     * registered SQL dictionary with key type, attribute list, element

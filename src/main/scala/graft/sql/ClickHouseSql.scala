@@ -505,9 +505,31 @@ object ClickHouseSql {
     }
   }
 
+  /** Session-local query log (reference system.query_log,
+    * src/Interpreters/QueryLog.h): every dialect statement is recorded
+    * with its literal-normalized form and wall duration. Bounded ring —
+    * the newest `queryLogMax` entries survive. */
+  final case class QueryLogEntry(query: String, normalized: String,
+      durationMs: Long, eventTime: java.sql.Timestamp)
+  private val queryLogMax = 10000
+  private[graft] val queryLog =
+    new java.util.concurrent.ConcurrentLinkedDeque[QueryLogEntry]()
+
   /** Run CH-dialect SQL: rewrite, then Spark SQL with the alias registry
     * installed. */
   def sql(spark: SparkSession, chSql: String): DataFrame = {
+    val t0 = System.nanoTime()
+    try sqlImpl(spark, chSql)
+    finally {
+      queryLog.addLast(QueryLogEntry(chSql.trim,
+        graft.functions.QueryNormKernels.normalize(chSql.trim, keepNames = false),
+        (System.nanoTime() - t0) / 1000000L,
+        new java.sql.Timestamp(System.currentTimeMillis())))
+      while (queryLog.size > queryLogMax) queryLog.pollFirst()
+    }
+  }
+
+  private def sqlImpl(spark: SparkSession, chSql: String): DataFrame = {
     ChFunctionRegistry.install(spark)
     val trimmed0 = chSql.trim
     // INTO OUTFILE 'path' [FORMAT fmt] (ParserQueryWithOutput): execute
