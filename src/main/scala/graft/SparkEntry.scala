@@ -41,7 +41,8 @@ object SparkEntry {
     qp.LlmPipeline3,
     qp.LlmPipeline4,
     qp.WideIntQueries,
-    qp.IndexQueries
+    qp.IndexQueries,
+    qp.CodecQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
