@@ -140,6 +140,77 @@ object Formats extends QueryPack {
       graft.sources.ChWireFormats.writeNative(src, path)
       graft.sources.ChWireFormats.readNative(s, path, src.schema)
         .orderBy("p_partkey")
+    },
+
+    // TabSeparatedWithNamesAndTypes round-trip (TabSeparatedRowOutputFormat
+    // .cpp; escaping per IO/WriteHelpers.h writeEscapedString): strings
+    // backslash-escaped, NULL as \N, names + CH type rows verified on read.
+    Q.df("q_format_tsv_wnt", """
+      SELECT c_custkey, c_name, c_nationkey,
+             CAST(c_acctbal AS DOUBLE) AS bal,
+             CASE WHEN c_mktsegment='MACHINERY' THEN NULL ELSE c_mktsegment END AS seg
+      FROM customer ORDER BY c_custkey""") { (s, dir) =>
+      val src = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal").cast("double").as("bal"),
+          nullif(col("c_mktsegment"), lit("MACHINERY")).as("seg"))
+        .repartition(4)
+      val path = fixtureDir("tsv_customer", dir)
+      graft.sources.ChTextFormats.writeTabSeparated(src, path, withNames = true, withTypes = true)
+      graft.sources.ChTextFormats.readTabSeparated(s, path, src.schema, withNames = true, withTypes = true)
+        .orderBy("c_custkey")
+    },
+
+    // CSVWithNamesAndTypes round-trip (CSVRowOutputFormat.cpp): doubled
+    // quotes, textual fields always quoted, unquoted \N nulls, timestamp
+    // lane through DateTime64(6) text form.
+    Q.df("q_format_csv_wnt", """
+      SELECT o_orderkey, o_orderdate, o_orderpriority,
+             CAST(o_totalprice AS DOUBLE) AS price,
+             CASE WHEN o_orderstatus='F' THEN NULL ELSE o_orderstatus END AS status
+      FROM orders WHERE o_orderkey <= 3000 ORDER BY o_orderkey""") { (s, dir) =>
+      val src = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") <= 3000)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"),
+          col("o_totalprice").cast("double").as("price"),
+          nullif(col("o_orderstatus"), lit("F")).as("status"))
+        .repartition(3)
+      val path = fixtureDir("chcsv_orders", dir)
+      graft.sources.ChTextFormats.writeCsv(src, path, withNames = true, withTypes = true)
+      graft.sources.ChTextFormats.readCsv(s, path, src.schema, withNames = true, withTypes = true)
+        .orderBy("o_orderkey")
+    },
+
+    // JSONCompactEachRowWithNamesAndTypes round-trip
+    // (JSONCompactEachRowRowOutputFormat.cpp): one JSON array per row,
+    // names + CH types header arrays verified on read.
+    Q.df("q_format_jsoncompact", """
+      SELECT s_suppkey, s_name, s_nationkey, CAST(s_acctbal AS DOUBLE) AS bal
+      FROM supplier ORDER BY s_suppkey""") { (s, dir) =>
+      val src = Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          col("s_acctbal").cast("double").as("bal"))
+        .repartition(2)
+      val path = fixtureDir("jsoncompact_supplier", dir)
+      graft.sources.ChTextFormats.writeJsonCompactEachRow(src, path, withNamesAndTypes = true)
+      graft.sources.ChTextFormats.readJsonCompactEachRow(s, path, src.schema, withNamesAndTypes = true)
+        .orderBy("s_suppkey")
+    },
+
+    // Values round-trip (ValuesBlockInputFormat.cpp — the INSERT VALUES
+    // wire form): quoted strings with backslash escapes, bare NULL.
+    Q.df("q_format_values", """
+      SELECT n_nationkey, n_name, n_regionkey,
+             CASE WHEN n_regionkey = 2 THEN NULL ELSE n_name END AS alt_name
+      FROM nation ORDER BY n_nationkey""") { (s, dir) =>
+      val src = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          when(col("n_regionkey") === 2, lit(null).cast("string"))
+            .otherwise(col("n_name")).as("alt_name"))
+      val path = fixtureDir("values_nation", dir)
+      graft.sources.ChTextFormats.writeValues(src, path)
+      graft.sources.ChTextFormats.readValues(s, path, src.schema)
+        .orderBy("n_nationkey")
     }
   )
 }

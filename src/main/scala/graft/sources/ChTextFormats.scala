@@ -1,0 +1,554 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, OutputStreamWriter}
+import java.nio.charset.StandardCharsets
+import java.time.{Instant, LocalDate, LocalDateTime, ZoneOffset}
+import java.time.format.DateTimeFormatter
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** ClickHouse text wire formats (reference `src/Formats/registerFormats.cpp`,
+  * `src/Processors/Formats/Impl/TabSeparatedRow{Input,Output}Format.cpp`,
+  * `CSVRow*.cpp`, `JSONCompactEachRow*.cpp`, `ValuesBlockInputFormat.cpp`;
+  * escaping rules from `src/IO/WriteHelpers.h` writeEscapedString /
+  * writeQuotedString / writeCSVString):
+  *
+  *   - TabSeparated (+WithNames, +WithNamesAndTypes): one row per line,
+  *     fields tab-separated, strings backslash-escaped (raw tab/newline
+  *     never appear), NULL as `\N`.
+  *   - CSV (+WithNames, +WithNamesAndTypes): RFC-4180-style quoting with
+  *     doubled quotes; string/date/datetime fields always quoted (the
+  *     reference's CSV output behavior); NULL as unquoted `\N`.
+  *   - JSONCompactEachRow (+WithNamesAndTypes): each row one JSON array
+  *     line; the header variant leads with a names array and a CH type
+  *     names array.
+  *   - Values: `(v, 'str', NULL), …` tuples — the INSERT VALUES wire form.
+  *
+  * Layout mirrors [[ChWireFormats]]: a directory of self-contained part
+  * files, one per partition on write, one Spark task per part on read —
+  * the split model that keeps these formats cluster-parallel (the
+  * reference parallelizes TSV/CSV parsing the same way: each thread gets
+  * whole rows, `ParallelParsingInputFormat.cpp`). Type names in the
+  * `WithNamesAndTypes` headers reuse [[ChWireFormats.chTypeName]] and are
+  * verified on read — a drifted file fails loudly instead of mis-parsing.
+  */
+object ChTextFormats {
+
+  private val TsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  // ------------------------------------------------------------ fs plumbing
+
+  private def prepareDir(path: String): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    fs.delete(p, true)
+    fs.mkdirs(p)
+  }
+
+  private def partPath(dir: String, idx: Int, ext: String): Path =
+    new Path(dir, f"part-$idx%05d.$ext")
+
+  private def listParts(dir: String, ext: String): Seq[String] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(new Configuration())
+    fs.globStatus(new Path(p, s"part-*.$ext")).map(_.getPath.toString).toSeq.sorted
+  }
+
+  private def readPartText(file: String): String = {
+    val p = new Path(file)
+    val fs = p.getFileSystem(new Configuration())
+    val in = new BufferedInputStream(fs.open(p), 1 << 16)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+  }
+
+  private def writePart(path: String, idx: Int, ext: String)(body: OutputStreamWriter => Unit): Unit = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    val w = new OutputStreamWriter(
+      new BufferedOutputStream(fs.create(partPath(path, idx, ext), true), 1 << 16),
+      StandardCharsets.UTF_8)
+    try body(w) finally w.close()
+  }
+
+  // ------------------------------------------------------- value rendering
+
+  /** Raw (unquoted) text for a non-null, non-string value. */
+  private def renderRaw(dt: DataType, v: Any): String = dt match {
+    case BooleanType => if (v.asInstanceOf[Boolean]) "true" else "false"
+    case ByteType | ShortType | IntegerType | LongType => v.toString
+    case FloatType =>
+      val f = v.asInstanceOf[Float]
+      if (f.isNaN) "nan" else if (f == Float.PositiveInfinity) "inf"
+      else if (f == Float.NegativeInfinity) "-inf" else f.toString
+    case DoubleType =>
+      val d = v.asInstanceOf[Double]
+      if (d.isNaN) "nan" else if (d == Double.PositiveInfinity) "inf"
+      else if (d == Double.NegativeInfinity) "-inf" else d.toString
+    case StringType => v.asInstanceOf[String]
+    case DateType => v.asInstanceOf[java.sql.Date].toLocalDate.toString
+    case TimestampType =>
+      LocalDateTime.ofInstant(v.asInstanceOf[java.sql.Timestamp].toInstant, ZoneOffset.UTC)
+        .format(TsFmt)
+    case TimestampNTZType => v.asInstanceOf[LocalDateTime].format(TsFmt)
+    case d: DecimalType if d.precision <= 38 =>
+      v.asInstanceOf[java.math.BigDecimal].setScale(d.scale).toPlainString
+    case other => throw new IllegalArgumentException(s"unsupported $other")
+  }
+
+  private def parseRaw(dt: DataType, s: String): Any = dt match {
+    case BooleanType => s == "true" || s == "1"
+    case ByteType    => s.toByte
+    case ShortType   => s.toShort
+    case IntegerType => s.toInt
+    case LongType    => s.toLong
+    case FloatType => s match {
+      case "nan" => Float.NaN
+      case "inf" => Float.PositiveInfinity
+      case "-inf" => Float.NegativeInfinity
+      case _ => s.toFloat
+    }
+    case DoubleType => s match {
+      case "nan" => Double.NaN
+      case "inf" => Double.PositiveInfinity
+      case "-inf" => Double.NegativeInfinity
+      case _ => s.toDouble
+    }
+    case StringType => s
+    case DateType => java.sql.Date.valueOf(LocalDate.parse(s))
+    case TimestampType =>
+      val ldt =
+        if (s.contains('.')) LocalDateTime.parse(s, TsFmt)
+        else LocalDateTime.parse(s, DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+      java.sql.Timestamp.from(ldt.toInstant(ZoneOffset.UTC))
+    case TimestampNTZType =>
+      if (s.contains('.')) LocalDateTime.parse(s, TsFmt)
+      else LocalDateTime.parse(s, DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    case d: DecimalType => new java.math.BigDecimal(s).setScale(d.scale)
+    case other => throw new IllegalArgumentException(s"unsupported $other")
+  }
+
+  /** Fields whose text form the reference's CSV writer always quotes. */
+  private def isTextual(dt: DataType): Boolean = dt match {
+    case StringType | DateType | TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  // ------------------------------------------------- TSV escaping (IO/WriteHelpers.h)
+
+  private[sources] def escapeTsv(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '\t' => sb.append("\\t")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\u0000' => sb.append("\\0")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  private[sources] def unescapeTsv(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '\\' => sb.append('\\')
+          case 't' => sb.append('\t')
+          case 'n' => sb.append('\n')
+          case 'r' => sb.append('\r')
+          case '0' => sb.append('\u0000')
+          case 'N' => sb.append("\\N") // mid-string \N is literal
+          case other => sb.append(other)
+        }
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  // --------------------------------------------------------------- TSV
+
+  def writeTabSeparated(df: DataFrame, path: String,
+                        withNames: Boolean = false, withTypes: Boolean = false): Unit = {
+    val schema = df.schema
+    schema.fields.foreach(f => ChWireFormats.chTypeName(f.dataType, f.nullable))
+    prepareDir(path)
+    df.rdd.mapPartitionsWithIndex { (idx, rows) =>
+      writePart(path, idx, "tsv") { w =>
+        if (withNames) w.write(schema.fields.map(f => escapeTsv(f.name)).mkString("", "\t", "\n"))
+        if (withTypes) w.write(schema.fields
+          .map(f => escapeTsv(ChWireFormats.chTypeName(f.dataType, f.nullable)))
+          .mkString("", "\t", "\n"))
+        rows.foreach { row =>
+          val line = schema.fields.indices.map { i =>
+            if (row.isNullAt(i)) "\\N"
+            else {
+              val raw = renderRaw(schema.fields(i).dataType, row.get(i))
+              if (schema.fields(i).dataType == StringType) escapeTsv(raw) else raw
+            }
+          }.mkString("\t")
+          w.write(line); w.write('\n')
+        }
+      }
+      Iterator.empty
+    }.count()
+    ()
+  }
+
+  def readTabSeparated(spark: SparkSession, path: String, schema: StructType,
+                       withNames: Boolean = false, withTypes: Boolean = false): DataFrame = {
+    val parts = listParts(path, "tsv")
+    val rows = spark.sparkContext.parallelize(parts, math.max(parts.length, 1))
+      .flatMap { file =>
+        val lines = readPartText(file).split("\n", -1).iterator.filter(_.nonEmpty)
+        if (withNames && lines.hasNext) {
+          val names = lines.next().split("\t", -1).map(unescapeTsv)
+          require(names.sameElements(schema.fields.map(_.name)),
+            s"TSV header names ${names.toSeq} != schema ${schema.fields.map(_.name).toSeq}")
+        }
+        if (withTypes && lines.hasNext) {
+          val types = lines.next().split("\t", -1).map(unescapeTsv)
+          val expected = schema.fields.map(f => ChWireFormats.chTypeName(f.dataType, f.nullable))
+          require(types.sameElements(expected),
+            s"TSV header types ${types.toSeq} != schema ${expected.toSeq}")
+        }
+        lines.map { line =>
+          val cells = line.split("\t", -1)
+          require(cells.length == schema.fields.length, s"TSV arity ${cells.length}")
+          Row.fromSeq(schema.fields.indices.map { i =>
+            val c = cells(i)
+            if (c == "\\N") null
+            else {
+              val dt = schema.fields(i).dataType
+              parseRaw(dt, if (dt == StringType) unescapeTsv(c) else c)
+            }
+          })
+        }
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
+  // --------------------------------------------------------------- CSV
+
+  private def csvQuote(s: String): String =
+    "\"" + s.replace("\"", "\"\"") + "\""
+
+  def writeCsv(df: DataFrame, path: String,
+               withNames: Boolean = false, withTypes: Boolean = false): Unit = {
+    val schema = df.schema
+    schema.fields.foreach(f => ChWireFormats.chTypeName(f.dataType, f.nullable))
+    prepareDir(path)
+    df.rdd.mapPartitionsWithIndex { (idx, rows) =>
+      writePart(path, idx, "csv") { w =>
+        if (withNames) w.write(schema.fields.map(f => csvQuote(f.name)).mkString("", ",", "\n"))
+        if (withTypes) w.write(schema.fields
+          .map(f => csvQuote(ChWireFormats.chTypeName(f.dataType, f.nullable)))
+          .mkString("", ",", "\n"))
+        rows.foreach { row =>
+          val line = schema.fields.indices.map { i =>
+            if (row.isNullAt(i)) "\\N"
+            else {
+              val dt = schema.fields(i).dataType
+              val raw = renderRaw(dt, row.get(i))
+              if (isTextual(dt)) csvQuote(raw) else raw
+            }
+          }.mkString(",")
+          w.write(line); w.write('\n')
+        }
+      }
+      Iterator.empty
+    }.count()
+    ()
+  }
+
+  /** Char-level CSV field scanner — handles quoted fields with doubled
+    * quotes and embedded separators/newlines (the reason line-splitting
+    * can't parse CSV). Yields rows of raw cells; quoted-ness is preserved
+    * so `\N` (unquoted) stays distinguishable from the literal string. */
+  private[sources] def scanCsv(text: String): Iterator[IndexedSeq[(String, Boolean)]] =
+    new Iterator[IndexedSeq[(String, Boolean)]] {
+      private var pos = 0
+      override def hasNext: Boolean = pos < text.length
+      override def next(): IndexedSeq[(String, Boolean)] = {
+        val cells = IndexedSeq.newBuilder[(String, Boolean)]
+        var done = false
+        while (!done) {
+          if (pos < text.length && text.charAt(pos) == '"') { // quoted cell
+            pos += 1
+            val sb = new StringBuilder
+            var closed = false
+            while (!closed) {
+              val c = text.charAt(pos)
+              if (c == '"') {
+                if (pos + 1 < text.length && text.charAt(pos + 1) == '"') { sb.append('"'); pos += 2 }
+                else { closed = true; pos += 1 }
+              } else { sb.append(c); pos += 1 }
+            }
+            cells += ((sb.toString, true))
+          } else { // bare cell
+            val start = pos
+            while (pos < text.length && text.charAt(pos) != ',' && text.charAt(pos) != '\n')
+              pos += 1
+            cells += ((text.substring(start, pos), false))
+          }
+          if (pos >= text.length) done = true
+          else if (text.charAt(pos) == ',') pos += 1
+          else if (text.charAt(pos) == '\n') { pos += 1; done = true }
+        }
+        cells.result()
+      }
+    }
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              withNames: Boolean = false, withTypes: Boolean = false): DataFrame = {
+    val parts = listParts(path, "csv")
+    val rows = spark.sparkContext.parallelize(parts, math.max(parts.length, 1))
+      .flatMap { file =>
+        val it = scanCsv(readPartText(file))
+        if (withNames && it.hasNext) {
+          val names = it.next().map(_._1)
+          require(names == schema.fields.map(_.name).toIndexedSeq,
+            s"CSV header names $names")
+        }
+        if (withTypes && it.hasNext) {
+          val types = it.next().map(_._1)
+          val expected = schema.fields.map(f => ChWireFormats.chTypeName(f.dataType, f.nullable)).toIndexedSeq
+          require(types == expected, s"CSV header types $types != $expected")
+        }
+        it.map { cells =>
+          require(cells.length == schema.fields.length, s"CSV arity ${cells.length}")
+          Row.fromSeq(schema.fields.indices.map { i =>
+            val (c, quoted) = cells(i)
+            if (!quoted && c == "\\N") null
+            else parseRaw(schema.fields(i).dataType, c)
+          })
+        }
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
+  // --------------------------------------------- JSONCompactEachRow
+
+  private def jsonEscape(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  private def jsonCell(dt: DataType, row: Row, i: Int): String =
+    if (row.isNullAt(i)) "null"
+    else dt match {
+      case StringType | DateType | TimestampType | TimestampNTZType =>
+        "\"" + jsonEscape(renderRaw(dt, row.get(i))) + "\""
+      case FloatType | DoubleType =>
+        val raw = renderRaw(dt, row.get(i))
+        // denormals aren't valid bare JSON — the reference quotes them
+        // under output_format_json_quote_denormals (JSONEachRow docs)
+        if (raw == "nan" || raw == "inf" || raw == "-inf") "\"" + raw + "\"" else raw
+      case _ => renderRaw(dt, row.get(i))
+    }
+
+  def writeJsonCompactEachRow(df: DataFrame, path: String,
+                              withNamesAndTypes: Boolean = false): Unit = {
+    val schema = df.schema
+    schema.fields.foreach(f => ChWireFormats.chTypeName(f.dataType, f.nullable))
+    prepareDir(path)
+    df.rdd.mapPartitionsWithIndex { (idx, rows) =>
+      writePart(path, idx, "jsonl") { w =>
+        if (withNamesAndTypes) {
+          w.write(schema.fields.map(f => "\"" + jsonEscape(f.name) + "\"")
+            .mkString("[", ", ", "]\n"))
+          w.write(schema.fields
+            .map(f => "\"" + jsonEscape(ChWireFormats.chTypeName(f.dataType, f.nullable)) + "\"")
+            .mkString("[", ", ", "]\n"))
+        }
+        rows.foreach { row =>
+          w.write(schema.fields.indices.map(i => jsonCell(schema.fields(i).dataType, row, i))
+            .mkString("[", ", ", "]\n"))
+        }
+      }
+      Iterator.empty
+    }.count()
+    ()
+  }
+
+  /** Minimal JSON array-of-scalars parser (strings, numbers, null, bools).
+    * Returns (text, wasQuoted) cells for type-directed conversion. */
+  private[sources] def parseJsonArray(line: String): IndexedSeq[(String, Boolean)] = {
+    val cells = IndexedSeq.newBuilder[(String, Boolean)]
+    var pos = 0
+    def skipWs(): Unit = while (pos < line.length && line.charAt(pos) == ' ') pos += 1
+    skipWs()
+    require(pos < line.length && line.charAt(pos) == '[', s"not a JSON array: $line")
+    pos += 1
+    skipWs()
+    if (pos < line.length && line.charAt(pos) == ']') return cells.result()
+    var done = false
+    while (!done) {
+      skipWs()
+      if (line.charAt(pos) == '"') {
+        pos += 1
+        val sb = new StringBuilder
+        while (line.charAt(pos) != '"') {
+          val c = line.charAt(pos)
+          if (c == '\\') {
+            line.charAt(pos + 1) match {
+              case '"' => sb.append('"'); pos += 2
+              case '\\' => sb.append('\\'); pos += 2
+              case 'n' => sb.append('\n'); pos += 2
+              case 'r' => sb.append('\r'); pos += 2
+              case 't' => sb.append('\t'); pos += 2
+              case '/' => sb.append('/'); pos += 2
+              case 'u' =>
+                sb.append(Integer.parseInt(line.substring(pos + 2, pos + 6), 16).toChar)
+                pos += 6
+              case other => sb.append(other); pos += 2
+            }
+          } else { sb.append(c); pos += 1 }
+        }
+        pos += 1
+        cells += ((sb.toString, true))
+      } else {
+        val start = pos
+        while (pos < line.length && line.charAt(pos) != ',' && line.charAt(pos) != ']')
+          pos += 1
+        cells += ((line.substring(start, pos).trim, false))
+      }
+      skipWs()
+      if (line.charAt(pos) == ',') { pos += 1 }
+      else { require(line.charAt(pos) == ']', s"bad JSON array tail: $line"); done = true }
+    }
+    cells.result()
+  }
+
+  def readJsonCompactEachRow(spark: SparkSession, path: String, schema: StructType,
+                             withNamesAndTypes: Boolean = false): DataFrame = {
+    val parts = listParts(path, "jsonl")
+    val rows = spark.sparkContext.parallelize(parts, math.max(parts.length, 1))
+      .flatMap { file =>
+        val lines = readPartText(file).split("\n", -1).iterator.filter(_.nonEmpty)
+        if (withNamesAndTypes && lines.hasNext) {
+          val names = parseJsonArray(lines.next()).map(_._1)
+          require(names == schema.fields.map(_.name).toIndexedSeq, s"JSON header names $names")
+          val types = parseJsonArray(lines.next()).map(_._1)
+          val expected = schema.fields.map(f => ChWireFormats.chTypeName(f.dataType, f.nullable)).toIndexedSeq
+          require(types == expected, s"JSON header types $types != $expected")
+        }
+        lines.map { line =>
+          val cells = parseJsonArray(line)
+          require(cells.length == schema.fields.length, s"JSON arity ${cells.length}")
+          Row.fromSeq(schema.fields.indices.map { i =>
+            val (c, quoted) = cells(i)
+            if (!quoted && c == "null") null
+            else parseRaw(schema.fields(i).dataType, c)
+          })
+        }
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
+  // ------------------------------------------------------------- Values
+
+  private def valuesQuote(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+  def writeValues(df: DataFrame, path: String): Unit = {
+    val schema = df.schema
+    schema.fields.foreach(f => ChWireFormats.chTypeName(f.dataType, f.nullable))
+    prepareDir(path)
+    df.rdd.mapPartitionsWithIndex { (idx, rows) =>
+      writePart(path, idx, "values") { w =>
+        var first = true
+        rows.foreach { row =>
+          if (!first) w.write(",\n")
+          first = false
+          w.write(schema.fields.indices.map { i =>
+            if (row.isNullAt(i)) "NULL"
+            else {
+              val dt = schema.fields(i).dataType
+              val raw = renderRaw(dt, row.get(i))
+              if (isTextual(dt)) valuesQuote(raw) else raw
+            }
+          }.mkString("(", ",", ")"))
+        }
+        if (!first) w.write("\n")
+      }
+      Iterator.empty
+    }.count()
+    ()
+  }
+
+  def readValues(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val parts = listParts(path, "values")
+    val rows = spark.sparkContext.parallelize(parts, math.max(parts.length, 1))
+      .flatMap { file =>
+        val text = readPartText(file)
+        new Iterator[Row] {
+          private var pos = 0
+          private def skip(): Unit =
+            while (pos < text.length &&
+              (text.charAt(pos) == ',' || text.charAt(pos) == '\n' ||
+               text.charAt(pos) == ' ' || text.charAt(pos) == '\r')) pos += 1
+          skip()
+          override def hasNext: Boolean = { skip(); pos < text.length }
+          override def next(): Row = {
+            skip()
+            require(text.charAt(pos) == '(', s"Values: expected '(' at $pos")
+            pos += 1
+            val cells = schema.fields.indices.map { i =>
+              while (text.charAt(pos) == ' ') pos += 1
+              val dt = schema.fields(i).dataType
+              val v: Any =
+                if (text.charAt(pos) == '\'') { // quoted
+                  pos += 1
+                  val sb = new StringBuilder
+                  var closed = false
+                  while (!closed) {
+                    val c = text.charAt(pos)
+                    if (c == '\\') {
+                      text.charAt(pos + 1) match {
+                        case '\\' => sb.append('\\'); pos += 2
+                        case '\'' => sb.append('\''); pos += 2
+                        case 'n' => sb.append('\n'); pos += 2
+                        case 't' => sb.append('\t'); pos += 2
+                        case other => sb.append(other); pos += 2
+                      }
+                    } else if (c == '\'') { closed = true; pos += 1 }
+                    else { sb.append(c); pos += 1 }
+                  }
+                  parseRaw(dt, sb.toString)
+                } else {
+                  val start = pos
+                  while (text.charAt(pos) != ',' && text.charAt(pos) != ')') pos += 1
+                  val tok = text.substring(start, pos).trim
+                  if (tok == "NULL") null else parseRaw(dt, tok)
+                }
+              while (text.charAt(pos) == ' ') pos += 1
+              if (i < schema.fields.length - 1) {
+                require(text.charAt(pos) == ',', s"Values: expected ',' at $pos")
+                pos += 1
+              }
+              v
+            }
+            require(text.charAt(pos) == ')', s"Values: expected ')' at $pos")
+            pos += 1
+            Row.fromSeq(cells)
+          }
+        }
+      }
+    spark.createDataFrame(rows, schema)
+  }
+}

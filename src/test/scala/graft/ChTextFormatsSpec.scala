@@ -1,0 +1,128 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.ChTextFormats
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** TSV / CSV / JSONCompactEachRow / Values text codecs (ref
+  * TabSeparatedRow*Format.cpp, CSVRow*Format.cpp,
+  * JSONCompactEachRow*Format.cpp, ValuesBlockInputFormat.cpp). Golden
+  * pins for the documented escaping plus adversarial roundtrips: tabs,
+  * newlines, quotes, backslashes, unicode, nulls, and header
+  * verification. */
+class ChTextFormatsSpec extends SparkFunSuite {
+
+  private def tmp(name: String): String = {
+    val d = Files.createTempDirectory(s"txt_$name").toString
+    new java.io.File(d).deleteOnExit()
+    d
+  }
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("s", StringType, nullable = true),
+    StructField("x", DoubleType, nullable = false),
+    StructField("ts", TimestampType, nullable = false)))
+
+  private val ts = java.sql.Timestamp.from(java.time.Instant.parse("2024-06-01T12:34:56.789012Z"))
+
+  private val nasty = Seq(
+    Row(1L, "plain", 1.5, ts),
+    Row(2L, "tab\there", -2.25, ts),
+    Row(3L, "new\nline", 0.0, ts),
+    Row(4L, "quote\"and'apos", 3.0, ts),
+    Row(5L, "back\\slash", Double.NaN, ts),
+    Row(6L, null, Double.PositiveInfinity, ts),
+    Row(7L, "unié中文", -0.125, ts),
+    Row(8L, "comma,sep", 1e300, ts))
+
+  private def df = spark.createDataFrame(
+    spark.sparkContext.parallelize(nasty, 3), schema)
+
+  private def sortedRows(d: org.apache.spark.sql.DataFrame): Seq[Row] =
+    d.collect().sortBy(_.getLong(0)).toSeq
+
+  private def assertSame(back: org.apache.spark.sql.DataFrame): Unit = {
+    val a = sortedRows(back); val b = nasty
+    assert(a.size == b.size)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.getLong(0) == y.getLong(0))
+      assert(x.getAs[String](1) == y.getAs[String](1), s"row ${y.getLong(0)} string")
+      val dx = x.getDouble(2); val dy = y.getDouble(2)
+      assert(java.lang.Double.doubleToLongBits(dx) == java.lang.Double.doubleToLongBits(dy)
+        || (dx == dy), s"row ${y.getLong(0)} double $dx != $dy")
+      assert(x.getAs[java.sql.Timestamp](3) == y.getAs[java.sql.Timestamp](3))
+    }
+  }
+
+  test("TSV roundtrips adversarial strings, nulls, denormals") {
+    val p = tmp("tsv")
+    ChTextFormats.writeTabSeparated(df, p, withNames = true, withTypes = true)
+    assertSame(ChTextFormats.readTabSeparated(spark, p, schema, withNames = true, withTypes = true))
+  }
+
+  test("CSV roundtrips adversarial strings, nulls, embedded newlines") {
+    val p = tmp("csv")
+    ChTextFormats.writeCsv(df, p, withNames = true, withTypes = true)
+    assertSame(ChTextFormats.readCsv(spark, p, schema, withNames = true, withTypes = true))
+  }
+
+  test("JSONCompactEachRow roundtrips with names+types header") {
+    val p = tmp("jsonc")
+    ChTextFormats.writeJsonCompactEachRow(df, p, withNamesAndTypes = true)
+    assertSame(ChTextFormats.readJsonCompactEachRow(spark, p, schema, withNamesAndTypes = true))
+  }
+
+  test("Values roundtrips adversarial strings and NULL") {
+    val p = tmp("values")
+    ChTextFormats.writeValues(df, p)
+    assertSame(ChTextFormats.readValues(spark, p, schema))
+  }
+
+  test("TSV golden bytes: escaping, \\N null, DateTime64(6) text") {
+    val one = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(9L, "a\tb\nc\\d", 1.5, ts), Row(10L, null, 2.0, ts)), 1), schema)
+    val p = tmp("tsvg")
+    ChTextFormats.writeTabSeparated(one, p)
+    val dir = new java.io.File(p)
+    val part = dir.listFiles().filter(_.getName.endsWith(".tsv")).head
+    val text = new String(Files.readAllBytes(part.toPath), "UTF-8")
+    assert(text ==
+      "9\ta\\tb\\nc\\\\d\t1.5\t2024-06-01 12:34:56.789012\n" +
+      "10\t\\N\t2.0\t2024-06-01 12:34:56.789012\n", s"got: $text")
+  }
+
+  test("CSV golden bytes: doubled quotes, quoted textual fields, bare numerics") {
+    val one = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, "say \"hi\"", 2.5, ts), Row(2L, null, 3.0, ts)), 1), schema)
+    val p = tmp("csvg")
+    ChTextFormats.writeCsv(one, p)
+    val part = new java.io.File(p).listFiles().filter(_.getName.endsWith(".csv")).head
+    val text = new String(Files.readAllBytes(part.toPath), "UTF-8")
+    assert(text ==
+      "1,\"say \"\"hi\"\"\",2.5,\"2024-06-01 12:34:56.789012\"\n" +
+      "2,\\N,3.0,\"2024-06-01 12:34:56.789012\"\n", s"got: $text")
+  }
+
+  test("header verification fails loudly on a schema mismatch") {
+    val p = tmp("tsvh")
+    ChTextFormats.writeTabSeparated(df, p, withNames = true, withTypes = true)
+    val wrong = StructType(schema.fields.map {
+      case f if f.name == "x" => f.copy(name = "y")
+      case f => f
+    }.toSeq)
+    val ex = intercept[Exception] {
+      ChTextFormats.readTabSeparated(spark, p, wrong, withNames = true, withTypes = true).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("read parallelism is one task per part file") {
+    val p = tmp("tsvp")
+    ChTextFormats.writeTabSeparated(df.repartition(3), p)
+    val back = ChTextFormats.readTabSeparated(spark, p, schema)
+    assert(back.rdd.getNumPartitions == 3)
+  }
+}
