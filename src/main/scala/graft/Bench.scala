@@ -82,34 +82,44 @@ object Bench {
     // leaves it unset and benches the full headline set.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    var failed = List.empty[String]
-    val results = headline.filter(queries.contains)
-      .filter(n => only.forall(_.contains(n))).map { name =>
-      val times = (1 to runs).flatMap { i =>
-        spark.catalog.clearCache()
-        // clearCache() covers catalog-registered DataFrame caches only —
-        // localCheckpoint()ed RDDs (PrefixSum base, minhash survivor
-        // pairs, components label rounds) stay materialized forever.
-        // 21 queries x 5 runs of leaked checkpoint blocks tip the heap
-        // into GC thrash: measured medians 6-10x the mins for LATER
-        // queries in the schedule (asof 33.7s median vs 3.2s min), which
-        // is schedule-position noise, not query cost. Release everything
-        // persistent so each timed run starts from a cold block manager.
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
-        val t0 = System.nanoTime()
-        try {
-          queries(name)(spark, sfDir).collect()
-          val sec = (System.nanoTime() - t0) / 1e9
-          System.err.println(f"BENCH $name run$i $sec%.2f s")
-          Some(sec)
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"BENCH $name run$i FAILED: $e")
-            e.printStackTrace()
-            None
-        }
+    val names = headline.filter(queries.contains)
+      .filter(n => only.forall(_.contains(n)))
+    // INTERLEAVED passes (round-6 hygiene): this box shows minutes-long
+    // ambient contention waves (q1 measured 5/10/4/29/12s back-to-back
+    // while q10 right after sat at 0.43s; an isolated rerun minutes later
+    // inverted the pattern). Back-to-back runs of one query land all its
+    // samples inside one wave, poisoning even the min. Running the whole
+    // list per pass spreads each query's samples minutes apart so min-of-N
+    // samples across waves, not within one.
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    for (pass <- 1 to runs; name <- names) {
+      spark.catalog.clearCache()
+      // clearCache() covers catalog-registered DataFrame caches only —
+      // localCheckpoint()ed RDDs (PrefixSum base, minhash survivor
+      // pairs, components label rounds) stay materialized forever.
+      // 21 queries x 5 runs of leaked checkpoint blocks tip the heap
+      // into GC thrash: measured medians 6-10x the mins for LATER
+      // queries in the schedule (asof 33.7s median vs 3.2s min), which
+      // is schedule-position noise, not query cost. Release everything
+      // persistent so each timed run starts from a cold block manager.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      val t0 = System.nanoTime()
+      try {
+        queries(name)(spark, sfDir).collect()
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"BENCH $name pass$pass $sec%.2f s")
+        samples(name) = sec :: samples(name)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH $name pass$pass FAILED: $e")
+          e.printStackTrace()
       }
+    }
+    var failed = List.empty[String]
+    val results = names.map { name =>
+      val times = samples(name)
       if (times.isEmpty) { failed ::= name; name -> (-1.0, -1.0) }
       else {
         val sorted = times.sorted

@@ -1023,6 +1023,53 @@ object LlmPipeline extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // Same clustering through the O(log²)-round large-star/small-star
+    // contraction (Components.connectedComponentsStar) — the giant-
+    // component/long-chain scale path; identical oracle, so the two
+    // algorithms are pinned equal on real data.
+    Q.df("q_dedup_components_star", """
+      WITH RECURSIVE d AS (SELECT doc_id, lang, source,
+                   LIST_DISTINCT(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'),
+                                             t -> LEN(t) > 0)) ws
+                 FROM documents),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM d a JOIN d b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        WHERE CAST(LEN(LIST_INTERSECT(a.ws, b.ws)) AS DOUBLE)
+              / LEN(LIST_DISTINCT(LIST_CONCAT(a.ws, b.ws))) >= 0.8),
+      edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+               FROM reach GROUP BY a)
+      SELECT doc_id, component,
+        CAST(doc_id = component AS BOOLEAN) AS is_canonical
+      FROM comp ORDER BY doc_id""") { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism,
+          col("lang"), col("source"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          wordSet(col("text")).as("ws"))
+      val a = d.select(col("doc_id").as("id_a"), col("lang"), col("source"),
+        col("ws").as("wa"))
+      val b = d.select(col("doc_id").as("id_b"), col("lang"), col("source"),
+        col("ws").as("wb"))
+      val pairs = a.join(b.hint("merge"), Seq("lang", "source"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(jaccardLengthOk(col("wa"), col("wb"), 0.8))
+        .filter(jaccard(col("wa"), col("wb")) >= 0.8)
+        .select(col("id_a"), col("id_b"))
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      graft.operators.Components.connectedComponentsStar(edges)
+        .select(col("doc_id"), col("label").as("component"),
+          (col("doc_id") === col("label")).as("is_canonical"))
+        .orderBy("doc_id")
+    },
+
     // --- Dedup cluster representative selection ------------------------
     // The keeper POLICY on top of connected components: per duplicate
     // cluster keep the longest document (ties on min doc_id) — the
