@@ -211,6 +211,38 @@ object Formats extends QueryPack {
       graft.sources.ChTextFormats.writeValues(src, path)
       graft.sources.ChTextFormats.readValues(s, path, src.schema)
         .orderBy("n_nationkey")
+    },
+
+    // TSKV round-trip (TSKVRowOutputFormat.cpp): self-describing
+    // key=value rows, TSV escaping, \N nulls.
+    Q.df("q_format_tskv", """
+      SELECT p_partkey, p_name, p_size,
+             CASE WHEN p_size < 10 THEN NULL ELSE p_type END AS ptype
+      FROM part ORDER BY p_partkey""") { (s, dir) =>
+      val src = Tables.load(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"), col("p_size"),
+          when(col("p_size") < 10, lit(null).cast("string"))
+            .otherwise(col("p_type")).as("ptype"))
+        .repartition(3)
+      val path = fixtureDir("tskv_part", dir)
+      graft.sources.ChTextFormats.writeTskv(src, path)
+      graft.sources.ChTextFormats.readTskv(s, path, src.schema)
+        .orderBy("p_partkey")
+    },
+
+    // CustomSeparated round-trip (CustomSeparatedRow*.cpp, Escaped rule)
+    // with multi-char delimiters.
+    Q.df("q_format_custom_separated", """
+      SELECT s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS bal
+      FROM supplier ORDER BY s_suppkey""") { (s, dir) =>
+      val src = Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"),
+          col("s_acctbal").cast("double").as("bal"))
+        .repartition(2)
+      val path = fixtureDir("custom_supplier", dir)
+      graft.sources.ChTextFormats.writeCustomSeparated(src, path, "||", ";\n")
+      graft.sources.ChTextFormats.readCustomSeparated(s, path, src.schema, "||", ";\n")
+        .orderBy("s_suppkey")
     }
   )
 }

@@ -511,6 +511,42 @@ object FunctionTail2 extends QueryPack {
           CAST(CAST(QUANTILE_DISC(l_linenumber, 0.75) AS DOUBLE) AS VARCHAR) AS qlo,
         CAST(CAST(-QUANTILE_DISC(-l_linenumber, 0.75) AS DOUBLE) AS VARCHAR) || ',' ||
           CAST(CAST(-QUANTILE_DISC(-l_linenumber, 0.25) AS DOUBLE) AS VARCHAR) AS qhi
-      FROM lineitem""")
+      FROM lineitem"""),
+
+    // arrayReduce('agg', arr) dispatch (arrayReduce.cpp): named aggregates
+    // over per-row arrays, incl. the parameterized quantile spelling and
+    // the two-array argMin/argMax forms. Oracle states the expected
+    // values as literals (quantileExact index = floor(level*size),
+    // QuantileExact.h — [1,2,3,4] median → 3, q0.25 → 2).
+    ch("q_fn_array_reduce", """
+      SELECT
+        CAST(arrayReduce('count', array(1,2,3,4)) AS BIGINT) AS cnt,
+        CAST(arrayReduce('sum', array(1,2,3,4)) AS BIGINT) AS sm,
+        CAST(arrayReduce('min', array(7,3,9)) AS BIGINT) AS mn,
+        CAST(arrayReduce('max', array(7,3,9)) AS BIGINT) AS mx,
+        CAST(arrayReduce('avg', array(1,2,3,4)) AS DOUBLE) AS av,
+        CAST(arrayReduce('any', array(5,6,7)) AS BIGINT) AS any_v,
+        CAST(arrayReduce('anyLast', array(5,6,7)) AS BIGINT) AS last_v,
+        CAST(arrayReduce('uniqExact', array(1,2,2,3,3,3)) AS BIGINT) AS uq,
+        CAST(arrayReduce('median', array(1,2,3,4)) AS BIGINT) AS med,
+        CAST(arrayReduce('quantile(0.25)', array(1,2,3,4)) AS BIGINT) AS q25,
+        CAST(arrayReduce('argMin', array(10,20,30), array(3,1,2)) AS BIGINT) AS amin,
+        CAST(arrayReduce('argMax', array(10,20,30), array(3,1,2)) AS BIGINT) AS amax,
+        arrayStringConcat(arrayReduce('groupUniqArray', array(2,1,2,3)), ',') AS guarr""",
+      """
+      SELECT
+        CAST(4 AS BIGINT) AS cnt,
+        CAST(10 AS BIGINT) AS sm,
+        CAST(3 AS BIGINT) AS mn,
+        CAST(9 AS BIGINT) AS mx,
+        CAST(2.5 AS DOUBLE) AS av,
+        CAST(5 AS BIGINT) AS any_v,
+        CAST(7 AS BIGINT) AS last_v,
+        CAST(3 AS BIGINT) AS uq,
+        CAST(3 AS BIGINT) AS med,
+        CAST(2 AS BIGINT) AS q25,
+        CAST(20 AS BIGINT) AS amin,
+        CAST(10 AS BIGINT) AS amax,
+        '2,1,3' AS guarr""")
   )
 }

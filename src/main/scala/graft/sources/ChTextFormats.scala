@@ -460,6 +460,154 @@ object ChTextFormats {
     spark.createDataFrame(rows, schema)
   }
 
+  // -------------------------------------------------------------- TSKV
+
+  /** TSKV (`TSKVRowOutputFormat.cpp`): `key=value<TAB>key=value` lines with
+    * TSV escaping on keys and values ('=' additionally escaped in keys),
+    * `\N` nulls. Self-describing per row — column order need not match. */
+  def writeTskv(df: DataFrame, path: String): Unit = {
+    val schema = df.schema
+    schema.fields.foreach(f => ChWireFormats.chTypeName(f.dataType, f.nullable))
+    prepareDir(path)
+    val keys = schema.fields.map(f => escapeTsv(f.name).replace("=", "\\="))
+    df.rdd.mapPartitionsWithIndex { (idx, rows) =>
+      writePart(path, idx, "tskv") { w =>
+        rows.foreach { row =>
+          val line = schema.fields.indices.map { i =>
+            val v =
+              if (row.isNullAt(i)) "\\N"
+              else {
+                val raw = renderRaw(schema.fields(i).dataType, row.get(i))
+                if (schema.fields(i).dataType == StringType) escapeTsv(raw) else raw
+              }
+            keys(i) + "=" + v
+          }.mkString("\t")
+          w.write(line); w.write('\n')
+        }
+      }
+      Iterator.empty
+    }.count()
+    ()
+  }
+
+  def readTskv(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val parts = listParts(path, "tskv")
+    val fieldIdx = schema.fields.map(_.name).zipWithIndex.toMap
+    val rows = spark.sparkContext.parallelize(parts, math.max(parts.length, 1))
+      .flatMap { file =>
+        readPartText(file).split("\n", -1).iterator.filter(_.nonEmpty).map { line =>
+          val cells = new Array[Any](schema.fields.length)
+          line.split("\t", -1).foreach { kv =>
+            // the key's '=' is escaped, so the first UNESCAPED '=' splits;
+            // an escaped one is preceded by a backslash
+            var eq = kv.indexOf('=')
+            while (eq > 0 && kv.charAt(eq - 1) == '\\') eq = kv.indexOf('=', eq + 1)
+            require(eq >= 0, s"TSKV cell without '=': $kv")
+            val key = unescapeTsv(kv.substring(0, eq).replace("\\=", "="))
+            val value = kv.substring(eq + 1)
+            fieldIdx.get(key).foreach { i =>
+              cells(i) =
+                if (value == "\\N") null
+                else {
+                  val dt = schema.fields(i).dataType
+                  parseRaw(dt, if (dt == StringType) unescapeTsv(value) else value)
+                }
+            }
+          }
+          Row.fromSeq(cells.toSeq)
+        }
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
+  // ---------------------------------------------------- CustomSeparated
+
+  /** CustomSeparated (`CustomSeparatedRow*.cpp`) with the Escaped rule:
+    * arbitrary field/row delimiters, TSV escaping on strings. Like the
+    * reference, a delimiter that can appear unescaped inside rendered
+    * values is the caller's responsibility. */
+  def writeCustomSeparated(df: DataFrame, path: String,
+                           fieldDelim: String, rowDelim: String): Unit = {
+    val schema = df.schema
+    schema.fields.foreach(f => ChWireFormats.chTypeName(f.dataType, f.nullable))
+    prepareDir(path)
+    df.rdd.mapPartitionsWithIndex { (idx, rows) =>
+      writePart(path, idx, "custom") { w =>
+        rows.foreach { row =>
+          val line = schema.fields.indices.map { i =>
+            if (row.isNullAt(i)) "\\N"
+            else {
+              val raw = renderRaw(schema.fields(i).dataType, row.get(i))
+              if (schema.fields(i).dataType == StringType) escapeTsv(raw) else raw
+            }
+          }.mkString(fieldDelim)
+          w.write(line); w.write(rowDelim)
+        }
+      }
+      Iterator.empty
+    }.count()
+    ()
+  }
+
+  def readCustomSeparated(spark: SparkSession, path: String, schema: StructType,
+                          fieldDelim: String, rowDelim: String): DataFrame = {
+    val parts = listParts(path, "custom")
+    val rows = spark.sparkContext.parallelize(parts, math.max(parts.length, 1))
+      .flatMap { file =>
+        readPartText(file).split(java.util.regex.Pattern.quote(rowDelim), -1)
+          .iterator.filter(_.nonEmpty).map { line =>
+          val cells = line.split(java.util.regex.Pattern.quote(fieldDelim), -1)
+          require(cells.length == schema.fields.length,
+            s"CustomSeparated arity ${cells.length}")
+          Row.fromSeq(schema.fields.indices.map { i =>
+            val c = cells(i)
+            if (c == "\\N") null
+            else {
+              val dt = schema.fields(i).dataType
+              parseRaw(dt, if (dt == StringType) unescapeTsv(c) else c)
+            }
+          })
+        }
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
+  // -------------------------------------------------------------- Pretty
+
+  /** PrettyCompact rendering (`PrettyCompactBlockOutputFormat.cpp`):
+    * box-drawn table with right-aligned numerics, left-aligned text,
+    * ᴺᵁᴸᴸ for nulls. Output-only (a terminal format); `maxRows` caps the
+    * driver-side collect exactly like the reference's output_format_
+    * pretty_max_rows. */
+  def renderPretty(df: DataFrame, maxRows: Int = 100): String = {
+    val schema = df.schema
+    val rows = df.limit(maxRows).collect()
+    val cells: Seq[Seq[String]] = rows.toSeq.map { row =>
+      schema.fields.indices.map { i =>
+        if (row.isNullAt(i)) "ᴺᵁᴸᴸ"
+        else renderRaw(schema.fields(i).dataType, row.get(i))
+      }
+    }
+    val names = schema.fields.map(_.name).toSeq
+    val widths = schema.fields.indices.map { i =>
+      (names(i).length +: cells.map(_(i).length)).max
+    }
+    val numeric = schema.fields.map(f => !isTextual(f.dataType) && f.dataType != BooleanType)
+    val sb = new StringBuilder
+    sb.append(schema.fields.indices.map(i => "─" + names(i) +
+        "─" * (widths(i) - names(i).length + 1))
+      .mkString("┌", "┬", "┐\n"))
+    cells.foreach { r =>
+      sb.append(schema.fields.indices.map { i =>
+        val pad = " " * (widths(i) - r(i).length)
+        if (numeric(i)) " " + pad + r(i) + " " else " " + r(i) + pad + " "
+      }.mkString("│", "│", "│\n"))
+    }
+    sb.append(schema.fields.indices.map(i => "─" * (widths(i) + 2))
+      .mkString("└", "┴", "┘\n"))
+    sb.toString
+  }
+
   // ------------------------------------------------------------- Values
 
   private def valuesQuote(s: String): String =

@@ -85,6 +85,55 @@ object ChRegistryArrays {
     If(LessThanOrEqual(sz(arr), Literal(0)), Literal(0.0d),
       Divide(Cast(arrSum(arr), DoubleType), Cast(sz(arr), DoubleType)))
 
+  /** arrayReduce dispatch (arrayReduce.cpp): literal agg name → the
+    * equivalent Catalyst collection expression over the array. Covers the
+    * names a reference user reaches for over per-row arrays; the full
+    * -State/-Merge combinator space stays with the real aggregates. */
+  private def arrayReduce(args: Seq[Expression]): Expression = {
+    val spec = args.head match {
+      case Literal(s, StringType) if s != null => s.toString
+      case _ => throw new IllegalArgumentException(
+        "arrayReduce expects a literal aggregate-function name")
+    }
+    val m = "(?i)^\\s*([A-Za-z0-9_]+)\\s*(?:\\(\\s*([0-9.]+)\\s*\\))?\\s*$".r
+    val (name, param) = spec match {
+      case m(n, null) => (n.toLowerCase, None)
+      case m(n, p)    => (n.toLowerCase, Some(p.toDouble))
+      case _ => throw new IllegalArgumentException(s"bad arrayReduce spec '$spec'")
+    }
+    val arr = args(1)
+    def nonNull = ArrayFilter(arr, lam1(IsNotNull))
+    def sorted = SortArray(nonNull, Literal(true))
+    def quantileExact(level: Double): Expression = {
+      // n = floor(level * size), clamped to size-1 (QuantileExact.h)
+      val n = sz(nonNull)
+      val idx = Least(Seq(
+        Cast(Multiply(Literal(level), Cast(n, DoubleType)), IntegerType),
+        Subtract(n, Literal(1))))
+      at(sorted, Add(idx, Literal(1)))
+    }
+    name match {
+      case "count" => Cast(sz(arr), LongType)
+      case "sum" => arrSum(arr)
+      case "min" => ArrayMin(arr)
+      case "max" => ArrayMax(arr)
+      case "avg" => arrAvg(arr)
+      case "any" => at(arr, 1)
+      case "anylast" => at(arr, -1)
+      case "uniq" | "uniqexact" => Cast(sz(ArrayDistinct(nonNull)), LongType)
+      case "grouparray" => arr
+      case "groupuniqarray" => ArrayDistinct(arr)
+      case "median" | "medianexact" => quantileExact(0.5)
+      case "quantile" | "quantileexact" => quantileExact(param.getOrElse(0.5))
+      case "argmin" =>
+        at(arr, Cast(ArrayPosition(args(2), ArrayMin(args(2))), IntegerType))
+      case "argmax" =>
+        at(arr, Cast(ArrayPosition(args(2), ArrayMax(args(2))), IntegerType))
+      case other => throw new IllegalArgumentException(
+        s"arrayReduce: unsupported aggregate '$other'")
+    }
+  }
+
   /** Dot product via the codegen'd kernel (VectorExpressions). */
   private def dot(a: Expression, b: Expression): Expression =
     ArrayDotProduct(Cast(a, ArrayType(DoubleType)), Cast(b, ArrayType(DoubleType)))
@@ -193,6 +242,13 @@ object ChRegistryArrays {
     // arrayFold((acc, x) -> e, arr, init) — reference arrayFold.cpp
     "arrayfold" -> (args =>
       ArrayAggregate(args(1), args.last, args(0), LambdaFunction.identity)),
+    // arrayReduce('agg', arr[, arr2]) — reference arrayReduce.cpp: apply a
+    // NAMED aggregate function to array elements. The literal name is
+    // dispatched at build time to the equivalent collection expression;
+    // quantile/quantileExact accept the parameterized spelling
+    // arrayReduce('quantile(0.9)', arr) with the reference's
+    // nth_element index n = floor(level * size) (QuantileExact.h).
+    "arrayreduce" -> (args => arrayReduce(args)),
     // no-match value: the reference returns the element type's DEFAULT (0,
     // '') for arrayFirst/arrayLast and NULL only for the OrNull forms
     // (arrayFirstLast.cpp) — TypeDefault resolves the element type at

@@ -119,6 +119,39 @@ class ChTextFormatsSpec extends SparkFunSuite {
     assert(ex.getMessage != null)
   }
 
+  test("TSKV roundtrips adversarial strings with self-describing keys") {
+    val p = tmp("tskv")
+    ChTextFormats.writeTskv(df, p)
+    assertSame(ChTextFormats.readTskv(spark, p, schema))
+  }
+
+  test("TSKV reads column-order-independent (self-describing rows)") {
+    val p = tmp("tskv2")
+    ChTextFormats.writeTskv(df, p)
+    val reordered = StructType(Seq(schema("ts"), schema("id"), schema("x"), schema("s")))
+    val back = ChTextFormats.readTskv(spark, p, reordered)
+    val byId = back.collect().map(r => r.getLong(1) -> r.getAs[String](3)).toMap
+    assert(byId(1L) == "plain" && byId(6L) == null)
+  }
+
+  test("CustomSeparated roundtrips with multi-char delimiters") {
+    val p = tmp("custom")
+    ChTextFormats.writeCustomSeparated(df, p, "||", ";\n")
+    assertSame(ChTextFormats.readCustomSeparated(spark, p, schema, "||", ";\n"))
+  }
+
+  test("Pretty golden render: box drawing, alignment, NULL marker") {
+    val one = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, "alpha", 2.5, ts), Row(42L, null, -1.0, ts)), 1), schema)
+    val text = ChTextFormats.renderPretty(one.orderBy("id"))
+    val expected =
+      "┌─id─┬─s─────┬─x────┬─ts─────────────────────────┐\n" +
+      "│  1 │ alpha │  2.5 │ 2024-06-01 12:34:56.789012 │\n" +
+      "│ 42 │ ᴺᵁᴸᴸ  │ -1.0 │ 2024-06-01 12:34:56.789012 │\n" +
+      "└────┴───────┴──────┴────────────────────────────┘\n"
+    assert(text == expected, s"got:\n$text")
+  }
+
   test("read parallelism is one task per part file") {
     val p = tmp("tsvp")
     ChTextFormats.writeTabSeparated(df.repartition(3), p)
