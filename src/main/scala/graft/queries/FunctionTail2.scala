@@ -532,7 +532,9 @@ object FunctionTail2 extends QueryPack {
         CAST(arrayReduce('quantile(0.25)', array(1,2,3,4)) AS BIGINT) AS q25,
         CAST(arrayReduce('argMin', array(10,20,30), array(3,1,2)) AS BIGINT) AS amin,
         CAST(arrayReduce('argMax', array(10,20,30), array(3,1,2)) AS BIGINT) AS amax,
-        arrayStringConcat(arrayReduce('groupUniqArray', array(2,1,2,3)), ',') AS guarr""",
+        arrayStringConcat(arrayReduce('groupUniqArray', array(2,1,2,3)), ',') AS guarr,
+        arrayStringConcat(arrayMap(x -> toString(x),
+          arrayReduceInRanges('sum', array(tuple(1,3), tuple(2,2)), array(10,20,30,40))), ',') AS rsums""",
       """
       SELECT
         CAST(4 AS BIGINT) AS cnt,
@@ -547,6 +549,7 @@ object FunctionTail2 extends QueryPack {
         CAST(2 AS BIGINT) AS q25,
         CAST(20 AS BIGINT) AS amin,
         CAST(10 AS BIGINT) AS amax,
-        '2,1,3' AS guarr""")
+        '2,1,3' AS guarr,
+        '60,50' AS rsums""")
   )
 }

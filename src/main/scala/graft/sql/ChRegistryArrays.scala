@@ -90,18 +90,26 @@ object ChRegistryArrays {
     * names a reference user reaches for over per-row arrays; the full
     * -State/-Merge combinator space stays with the real aggregates. */
   private def arrayReduce(args: Seq[Expression]): Expression = {
-    val spec = args.head match {
+    val (name, param) = parseAggSpec(args.head, "arrayReduce")
+    reduceDispatch(name, param, args(1), args.drop(2).headOption)
+  }
+
+  private def parseAggSpec(spec0: Expression, fn: String): (String, Option[Double]) = {
+    val spec = spec0 match {
       case Literal(s, StringType) if s != null => s.toString
       case _ => throw new IllegalArgumentException(
-        "arrayReduce expects a literal aggregate-function name")
+        s"$fn expects a literal aggregate-function name")
     }
     val m = "(?i)^\\s*([A-Za-z0-9_]+)\\s*(?:\\(\\s*([0-9.]+)\\s*\\))?\\s*$".r
-    val (name, param) = spec match {
+    spec match {
       case m(n, null) => (n.toLowerCase, None)
       case m(n, p)    => (n.toLowerCase, Some(p.toDouble))
-      case _ => throw new IllegalArgumentException(s"bad arrayReduce spec '$spec'")
+      case _ => throw new IllegalArgumentException(s"bad $fn spec '$spec'")
     }
-    val arr = args(1)
+  }
+
+  private def reduceDispatch(name: String, param: Option[Double],
+      arr: Expression, second: Option[Expression]): Expression = {
     def nonNull = ArrayFilter(arr, lam1(IsNotNull))
     def sorted = SortArray(nonNull, Literal(true))
     def quantileExact(level: Double): Expression = {
@@ -126,12 +134,28 @@ object ChRegistryArrays {
       case "median" | "medianexact" => quantileExact(0.5)
       case "quantile" | "quantileexact" => quantileExact(param.getOrElse(0.5))
       case "argmin" =>
-        at(arr, Cast(ArrayPosition(args(2), ArrayMin(args(2))), IntegerType))
+        val v = second.getOrElse(throw new IllegalArgumentException("argMin needs two arrays"))
+        at(arr, Cast(ArrayPosition(v, ArrayMin(v)), IntegerType))
       case "argmax" =>
-        at(arr, Cast(ArrayPosition(args(2), ArrayMax(args(2))), IntegerType))
+        val v = second.getOrElse(throw new IllegalArgumentException("argMax needs two arrays"))
+        at(arr, Cast(ArrayPosition(v, ArrayMax(v)), IntegerType))
       case other => throw new IllegalArgumentException(
         s"arrayReduce: unsupported aggregate '$other'")
     }
+  }
+
+  /** arrayReduceInRanges('agg', ranges, arr) — reference
+    * arrayReduceInRanges.cpp: one reduced value per (start, length) tuple
+    * (1-based starts, as the reference). Ranges come from tuple() structs. */
+  private def arrayReduceInRanges(args: Seq[Expression]): Expression = {
+    val (name, param) = parseAggSpec(args.head, "arrayReduceInRanges")
+    val ranges = args(1)
+    val arr = args(2)
+    ArrayTransform(ranges, lam1 { r =>
+      val start = Cast(UnresolvedExtractValue(r, Literal("col1")), IntegerType)
+      val len = Cast(UnresolvedExtractValue(r, Literal("col2")), IntegerType)
+      reduceDispatch(name, param, Slice(arr, start, Greatest(Seq(len, Literal(0)))), None)
+    })
   }
 
   /** Dot product via the codegen'd kernel (VectorExpressions). */
@@ -249,6 +273,7 @@ object ChRegistryArrays {
     // arrayReduce('quantile(0.9)', arr) with the reference's
     // nth_element index n = floor(level * size) (QuantileExact.h).
     "arrayreduce" -> (args => arrayReduce(args)),
+    "arrayreduceinranges" -> (args => arrayReduceInRanges(args)),
     // no-match value: the reference returns the element type's DEFAULT (0,
     // '') for arrayFirst/arrayLast and NULL only for the OrNull forms
     // (arrayFirstLast.cpp) — TypeDefault resolves the element type at
