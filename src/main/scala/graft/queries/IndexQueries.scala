@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, QueryPack, Tables}
-import graft.operators.{LazyTopK, TextIndex, VectorIndex}
+import graft.operators.{LazyTopK, SkipIndex, TextIndex, VectorIndex}
 import org.apache.spark.sql.functions._
 
 /** Persisted index structures (round 6 — SURVEY §2.1/§4 skip-index
@@ -90,6 +90,29 @@ object IndexQueries extends QueryPack {
           col("nrm").as("qnrm"))
       VectorIndex.topK(s, idx, queries, k = 1, nProbe = 4)
         .orderBy("qid", "nid")
+    },
+
+    // Generic bloom skip index (MergeTreeIndexBloomFilter.cpp): documents
+    // laid out range-clustered by source, per-file blooms over (source,
+    // lang); equality probes prune to the files that can match and the
+    // exact predicate re-checks — full-scan equality is the oracle, the
+    // fewer-files-read property is pinned in SkipIndexSpec.
+    Q.df("q_skip_index_bloom", """
+      SELECT source, lang, COUNT(*) AS n,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents WHERE source IN ('src3', 'src17')
+      GROUP BY source, lang ORDER BY source, lang""") { (s, dir) =>
+      val base = s"/tmp/graft_skipindex_${key(dir)}"
+      val docs = Tables.load(s, dir, "documents")
+      docs.repartitionByRange(8, col("source"), col("doc_id"))
+        .write.mode("overwrite").parquet(s"$base/data")
+      SkipIndex.create(s, s"$base/data", s"$base/index",
+        Seq("source", "lang"), expectedItemsPerFile = 100000L)
+      SkipIndex.scan(s, s"$base/data", s"$base/index",
+          "source", Seq("src3", "src17"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+        .orderBy("source", "lang")
     }
   )
 }
