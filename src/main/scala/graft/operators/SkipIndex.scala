@@ -85,4 +85,116 @@ object SkipIndex {
     val p = new org.apache.hadoop.fs.Path(indexDir)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
+
+  // ------------------------------------------------------ minmax variant
+
+  /** Per-file min/max index (the reference's `INDEX x TYPE minmax` —
+    * MergeTreeIndexMinMax.cpp). Parquet already prunes ROW GROUPS from
+    * footer stats, but at 100 TB the win is never LISTING the file into a
+    * task at all: the driver consults |files| rows instead of opening
+    * footers. */
+  def createMinMax(spark: SparkSession, dataDir: String, indexDir: String,
+                   columns: Seq[String]): Unit = {
+    val data = spark.read.parquet(dataDir)
+      .select(col("_metadata.file_path").as("__file") +: columns.map(col): _*)
+    val aggs = columns.flatMap { c =>
+      Seq(min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"),
+        min(col(c)).cast("double").as(s"__mnd_$c"),
+        max(col(c)).cast("double").as(s"__mxd_$c"))
+    }
+    val perFile = data.groupBy("__file").agg(aggs.head, aggs.tail: _*)
+    columns.map { c =>
+      perFile.select(col("__file").as("file"), lit(c).as("column"),
+        col(s"__mn_$c").as("min_s"), col(s"__mx_$c").as("max_s"),
+        col(s"__mnd_$c").as("min_d"), col(s"__mxd_$c").as("max_d"))
+    }.reduce(_ unionAll _)
+      .coalesce(1).write.mode("overwrite").parquet(indexDir)
+  }
+
+  /** Files whose [min,max] for `column` overlaps [lo,hi]. Numeric probes
+    * compare on the double lane, everything else lexicographically on the
+    * string lane (valid for the corpus's string categories). */
+  def matchingFilesRange(spark: SparkSession, indexDir: String, column: String,
+                         lo: Any, hi: Any): Seq[String] = {
+    val idx = spark.read.parquet(indexDir).filter(col("column") === column)
+    val pred = (lo, hi) match {
+      case (l: Number, h: Number) =>
+        col("max_d") >= l.doubleValue() && col("min_d") <= h.doubleValue()
+      case _ =>
+        col("max_s") >= lo.toString && col("min_s") <= hi.toString
+    }
+    idx.filter(pred).select("file").collect().map(_.getString(0)).toSeq
+  }
+
+  /** Range scan over the minmax-pruned file list, exact predicate
+    * re-applied. */
+  def scanRange(spark: SparkSession, dataDir: String, indexDir: String,
+                column: String, lo: Any, hi: Any): DataFrame = {
+    val files = matchingFilesRange(spark, indexDir, column, lo, hi)
+    val full = spark.read.parquet(dataDir)
+    val pruned =
+      if (files.isEmpty) full.limit(0)
+      else spark.read.schema(full.schema).parquet(files: _*)
+    pruned.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+  }
+
+  // ----------------------------------------------------- ngrambf variant
+
+  /** Per-file n-gram bloom for substring/LIKE pruning — the reference's
+    * `ngrambf_v1` text skip index (MergeTreeIndexBloomFilterText.cpp).
+    * Build explodes each row's lowercased text into distinct n-grams (one
+    * distributed pass, the same work the reference spends per granule);
+    * a needle can only match a file whose bloom holds EVERY gram of the
+    * needle. */
+  def createNgram(spark: SparkSession, dataDir: String, indexDir: String,
+                  textColumn: String, n: Int = 3,
+                  expectedItemsPerFile: Long = 200000L): Unit = {
+    val grams = spark.read.parquet(dataDir)
+      .select(col("_metadata.file_path").as("__file"), lower(col(textColumn)).as("__t"))
+      .select(col("__file"), explode(expr(
+        // sequence(1, 0) is DESCENDING in Spark — guard short rows explicitly
+        s"CASE WHEN length(__t) >= $n THEN transform(sequence(1, length(__t) - ${n - 1}), " +
+          s"i -> substring(__t, i, $n)) ELSE array() END"))
+        .as("gram"))
+      .distinct()
+    val agg = new BloomFilterAggregate(
+      XxHash64(Seq(ExprColumn.expression(col("gram"))), 42L),
+      Literal(expectedItemsPerFile), Literal(expectedItemsPerFile * 8))
+      .toAggregateExpression()
+    grams.groupBy("__file")
+      .agg(ExprColumn.column(agg).as("bloom"), count(lit(1)).as("n_items"))
+      .select(col("__file").as("file"), lit(n).as("n"), col("n_items"), col("bloom"))
+      .coalesce(1).write.mode("overwrite").parquet(indexDir)
+  }
+
+  /** Files that can contain `needle` as a substring of the indexed text
+    * (every n-gram of the lowercased needle in the file's bloom). Needles
+    * shorter than n admit every file — same degradation as the reference. */
+  def matchingFilesLike(spark: SparkSession, indexDir: String,
+                        needle: String): Seq[String] = {
+    val rows = spark.read.parquet(indexDir)
+      .select("file", "n", "bloom").collect()
+    rows.filter { r =>
+      val n = r.getAs[Int]("n")
+      val low = needle.toLowerCase
+      if (low.length < n) true
+      else {
+        val bf = BloomFilter.readFrom(new ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
+        (0 to low.length - n).forall(i => bf.mightContainLong(hashOf(low.substring(i, i + n))))
+      }
+    }.map(_.getString(0)).toSeq
+  }
+
+  /** Case-insensitive substring scan via the ngram index (the pruned
+    * rendering of `LIKE '%needle%'` / hasTokenCaseInsensitive). */
+  def scanLike(spark: SparkSession, dataDir: String, indexDir: String,
+               textColumn: String, needle: String): DataFrame = {
+    val files = matchingFilesLike(spark, indexDir, needle)
+    val full = spark.read.parquet(dataDir)
+    val pruned =
+      if (files.isEmpty) full.limit(0)
+      else spark.read.schema(full.schema).parquet(files: _*)
+    pruned.filter(lower(col(textColumn)).contains(needle.toLowerCase))
+  }
 }

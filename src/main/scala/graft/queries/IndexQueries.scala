@@ -113,6 +113,39 @@ object IndexQueries extends QueryPack {
         .groupBy("source", "lang")
         .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
         .orderBy("source", "lang")
+    },
+
+    // minmax skip index (MergeTreeIndexMinMax.cpp): range probe on the
+    // doc_id-clustered layout touches only overlapping files; the driver
+    // never lists the rest into tasks. Oracle = the plain range scan.
+    Q.df("q_skip_index_minmax", """
+      SELECT COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        MIN(doc_id) AS lo, MAX(doc_id) AS hi
+      FROM documents WHERE doc_id BETWEEN 100 AND 220""") { (s, dir) =>
+      val base = s"/tmp/graft_skipmm_${key(dir)}"
+      Tables.load(s, dir, "documents")
+        .repartitionByRange(8, col("doc_id"))
+        .write.mode("overwrite").parquet(s"$base/data")
+      SkipIndex.createMinMax(s, s"$base/data", s"$base/mm", Seq("doc_id"))
+      SkipIndex.scanRange(s, s"$base/data", s"$base/mm", "doc_id", 100L, 220L)
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"),
+          min("doc_id").as("lo"), max("doc_id").as("hi"))
+    },
+
+    // ngrambf text skip index (MergeTreeIndexBloomFilterText.cpp
+    // ngrambf_v1): LIKE '%needle%' prunes to files whose 3-gram bloom
+    // holds every gram of the needle; survivors re-check exactly.
+    Q.df("q_skip_index_ngram", """
+      SELECT doc_id, source FROM documents
+      WHERE CONTAINS(LOWER(text), 'dup')
+      ORDER BY doc_id""") { (s, dir) =>
+      val base = s"/tmp/graft_skipng_${key(dir)}"
+      Tables.load(s, dir, "documents")
+        .repartitionByRange(8, col("source"), col("doc_id"))
+        .write.mode("overwrite").parquet(s"$base/data")
+      SkipIndex.createNgram(s, s"$base/data", s"$base/ng", "text", n = 3)
+      SkipIndex.scanLike(s, s"$base/data", s"$base/ng", "text", "dup")
+        .select("doc_id", "source").orderBy("doc_id")
     }
   )
 }

@@ -55,6 +55,45 @@ class SkipIndexSpec extends SparkFunSuite {
     assert(empty.schema.fieldNames.contains("doc_id"))
   }
 
+  test("minmax range scan equals full scan and prunes non-overlapping files") {
+    val mmBase = Files.createTempDirectory("skipmm").toString
+    Tables.load(spark, sf, "documents")
+      .repartitionByRange(6, col("doc_id"))
+      .write.mode("overwrite").parquet(s"$mmBase/data")
+    SkipIndex.createMinMax(spark, s"$mmBase/data", s"$mmBase/mm", Seq("doc_id"))
+    val viaIndex = SkipIndex.scanRange(spark, s"$mmBase/data", s"$mmBase/mm",
+      "doc_id", 5L, 20L).select("doc_id").collect().map(_.getLong(0)).sorted
+    val full = spark.read.parquet(s"$mmBase/data")
+      .filter(col("doc_id").between(5, 20))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(viaIndex.toSeq == full.toSeq && full.nonEmpty)
+    val matched = SkipIndex.matchingFilesRange(spark, s"$mmBase/mm", "doc_id", 5L, 20L)
+    assert(matched.size < 6, s"range [5,20] should touch few of 6 files, got ${matched.size}")
+  }
+
+  test("ngram bloom prunes files for a needle unique to one file") {
+    val ngBase = Files.createTempDirectory("skipng").toString
+    val ss = SparkTestBase.spark
+    import ss.implicits._
+    val rows = (1 to 300).map { i =>
+      val marker = if (i == 7) " zyzzyvaquark " else " "
+      (i.toLong, s"common words here$marker row $i")
+    }
+    rows.toDF("id", "body").repartitionByRange(5, col("id"))
+      .write.mode("overwrite").parquet(s"$ngBase/data")
+    SkipIndex.createNgram(spark, s"$ngBase/data", s"$ngBase/ng", "body", n = 3)
+    val matched = SkipIndex.matchingFilesLike(spark, s"$ngBase/ng", "zyzzyvaquark")
+    assert(matched.size < 5, s"unique needle should prune, got ${matched.size} of 5")
+    val hit = SkipIndex.scanLike(spark, s"$ngBase/data", s"$ngBase/ng",
+      "body", "ZyzzyvaQuark").select("id").collect().map(_.getLong(0))
+    assert(hit.toSeq == Seq(7L))
+    // short-needle degradation: below n, every file admits (no pruning,
+    // still correct)
+    val short = SkipIndex.scanLike(spark, s"$ngBase/data", s"$ngBase/ng",
+      "body", "ro").count()
+    assert(short == 300)
+  }
+
   test("second indexed column probes independently") {
     fixture
     val langs = Tables.load(spark, sf, "documents")
