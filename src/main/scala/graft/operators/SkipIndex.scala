@@ -34,6 +34,24 @@ object SkipIndex {
     XxHash64(Seq(lit), 42L).eval(InternalRow.empty).asInstanceOf[Long]
   }
 
+  /** Hash lane for an already-typed literal (internal representation) —
+    * the path the transparent pruning rule uses. */
+  private[graft] def hashOfLiteral(lit: Literal): Long =
+    XxHash64(Seq(lit), 42L).eval(InternalRow.empty).asInstanceOf[Long]
+
+  /** Files whose bloom for `column` might contain ANY of the given
+    * pre-computed hashes. */
+  private[graft] def matchingFilesByHash(spark: SparkSession, indexDir: String,
+      column: String, hashes: Seq[Long]): Seq[String] =
+    spark.read.parquet(indexDir)
+      .filter(col("column") === column)
+      .select("file", "bloom").collect()
+      .filter { r =>
+        val bf = BloomFilter.readFrom(new ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
+        hashes.exists(bf.mightContainLong)
+      }
+      .map(_.getString(0)).toSeq
+
   /** Index `columns` of every parquet part file under `dataDir`. */
   def create(spark: SparkSession, dataDir: String, indexDir: String,
              columns: Seq[String], expectedItemsPerFile: Long = 100000L): Unit = {

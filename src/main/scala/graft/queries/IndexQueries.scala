@@ -146,6 +146,28 @@ object IndexQueries extends QueryPack {
       SkipIndex.createNgram(s, s"$base/data", s"$base/ng", "text", n = 3)
       SkipIndex.scanLike(s, s"$base/data", s"$base/ng", "text", "dup")
         .select("doc_id", "source").orderBy("doc_id")
+    },
+
+    // TRANSPARENT skip-index use (filterMarksUsingIndex,
+    // MergeTreeDataSelectExecutor.cpp): after registration the query is a
+    // PLAIN filter+aggregate — the optimizer rule prunes the file list
+    // behind the scenes (fewer-files plan pin in SkipIndexSpec); the
+    // oracle states full-scan equality.
+    Q.df("q_skip_index_transparent", """
+      SELECT lang, COUNT(*) AS n
+      FROM documents WHERE source = 'src5'
+      GROUP BY lang ORDER BY lang""") { (s, dir) =>
+      val base = s"/tmp/graft_skipauto_${key(dir)}"
+      Tables.load(s, dir, "documents")
+        .repartitionByRange(8, col("source"), col("doc_id"))
+        .write.mode("overwrite").parquet(s"$base/data")
+      SkipIndex.create(s, s"$base/data", s"$base/index", Seq("source"))
+      graft.plans.SkipIndexPruning.register(s, s"$base/data", s"$base/index",
+        Seq("source"))
+      s.read.parquet(s"$base/data")
+        .filter(col("source") === "src5")
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+        .orderBy("lang")
     }
   )
 }

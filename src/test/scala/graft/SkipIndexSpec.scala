@@ -94,6 +94,43 @@ class SkipIndexSpec extends SparkFunSuite {
     assert(short == 300)
   }
 
+  test("transparent rule prunes the plan's file list and keeps answers exact") {
+    fixture
+    graft.plans.SkipIndexPruning.register(spark, s"$base/data", s"$base/index",
+      Seq("source", "lang"))
+    try {
+      val df = spark.read.parquet(s"$base/data")
+        .filter(col("source") === "src3")
+        .select("doc_id")
+      val scannedFiles = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.inputFiles.length
+      }.sum
+      assert(scannedFiles < 8, s"rule should prune: scanned $scannedFiles of 8")
+      val viaRule = df.collect().map(_.getLong(0)).sorted
+      graft.plans.SkipIndexPruning.drop(s"$base/data")
+      val full = spark.read.parquet(s"$base/data")
+        .filter(col("source") === "src3")
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+      assert(viaRule.toSeq == full.toSeq && full.nonEmpty)
+    } finally graft.plans.SkipIndexPruning.drop(s"$base/data")
+  }
+
+  test("transparent rule leaves non-indexed predicates untouched") {
+    fixture
+    graft.plans.SkipIndexPruning.register(spark, s"$base/data", s"$base/index",
+      Seq("source", "lang"))
+    try {
+      val df = spark.read.parquet(s"$base/data")
+        .filter(col("n_chars") > 100)  // not an indexed column
+      val scannedFiles = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.inputFiles.length
+      }.sum
+      assert(scannedFiles == 8, s"no probe → no pruning, got $scannedFiles")
+    } finally graft.plans.SkipIndexPruning.drop(s"$base/data")
+  }
+
   test("second indexed column probes independently") {
     fixture
     val langs = Tables.load(spark, sf, "documents")
