@@ -168,6 +168,28 @@ object IndexQueries extends QueryPack {
         .filter(col("source") === "src5")
         .groupBy("lang").agg(count(lit(1)).as("n"))
         .orderBy("lang")
+    },
+
+    // Skip-index DDL (ParserCreateIndexQuery): ALTER TABLE ADD INDEX …
+    // TYPE bloom_filter builds the per-file bloom AND registers the
+    // transparent rule, so the subsequent dialect SELECT is pruned with
+    // no query change; the oracle is the same aggregate on the base table.
+    Q.df("q_ch_index_ddl", """
+      SELECT lang, COUNT(*) AS n FROM documents WHERE source = 'src9'
+      GROUP BY lang ORDER BY lang""") { (s, dir) =>
+      graft.Tables.register(s, dir)
+      s.sql("DROP TABLE IF EXISTS graft_idx_t")
+      val wh = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "graft_idx_t")
+      wh.getFileSystem(s.sparkContext.hadoopConfiguration).delete(wh, true)
+      Tables.load(s, dir, "documents")
+        .repartitionByRange(8, col("source"), col("doc_id"))
+        .write.mode("overwrite").saveAsTable("graft_idx_t")
+      graft.sql.ClickHouseSql.sql(s,
+        "ALTER TABLE graft_idx_t ADD INDEX src_idx source TYPE bloom_filter GRANULARITY 4")
+      graft.sql.ClickHouseSql.sql(s, """
+        SELECT lang, COUNT(*) AS n FROM graft_idx_t WHERE source = 'src9'
+        GROUP BY lang ORDER BY lang""")
     }
   )
 }

@@ -628,6 +628,8 @@ object ClickHouseSql {
     }
     else if (trimmed.matches("(?is)^ALTER\\s+TABLE\\s+\\S+\\s+(ADD|DROP|MATERIALIZE)\\s+PROJECTION\\b.*"))
       projectionDdl(spark, trimmed)
+    else if (trimmed.matches("(?is)^ALTER\\s+TABLE\\s+\\S+\\s+(ADD|DROP|MATERIALIZE|CLEAR)\\s+INDEX\\b.*"))
+      indexDdl(spark, trimmed)
     else if (trimmed.matches("(?is)^OPTIMIZE\\s+TABLE\\b.*")) {
       import spark.implicits._
       // OPTIMIZE ... DEDUPLICATE [BY c1, c2] has real semantics (the
@@ -777,6 +779,67 @@ object ClickHouseSql {
       case mat(_) => Seq("OK").toDF("status")
       case other => throw new IllegalArgumentException(
         s"unsupported projection DDL: $other")
+    }
+  }
+
+  /** Skip-index DDL (src/Parsers/ParserCreateIndexQuery.h, index types in
+    * src/Storages/MergeTree/MergeTreeIndices.h):
+    *   ALTER TABLE t ADD INDEX [IF NOT EXISTS] name col[, col…]
+    *     TYPE bloom_filter | minmax | ngrambf_v1(n[, …]) [GRANULARITY g]
+    *   ALTER TABLE t DROP INDEX [IF EXISTS] name
+    *   ALTER TABLE t MATERIALIZE/CLEAR INDEX name
+    * bloom_filter additionally registers for TRANSPARENT pruning
+    * (SkipIndexPruning); GRANULARITY is accepted and ignored — pruning is
+    * file-granular here (the analog of the reference's granule). ADD
+    * builds eagerly, so MATERIALIZE is a no-op; CLEAR = DROP's structure
+    * removal with the registration kept (reference semantics: drops built
+    * files, keeps metadata). */
+  private val skipIndexes =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (String, String, String)]()
+
+  private def indexDdl(spark: SparkSession, stmt: String)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val add = ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+ADD\\s+INDEX\\s+" +
+      "(?:IF\\s+NOT\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s+(.+?)\\s+TYPE\\s+" +
+      "([A-Za-z_0-9]+)(?:\\s*\\(\\s*(\\d+)[^)]*\\))?(?:\\s+GRANULARITY\\s+\\d+)?\\s*;?\\s*$").r
+    val drop = ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+(?:DROP|CLEAR)\\s+INDEX\\s+" +
+      "(?:IF\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$").r
+    val mat = "(?is)^ALTER\\s+TABLE\\s+\\S+\\s+MATERIALIZE\\s+INDEX\\b.*".r
+    stmt.trim match {
+      case add(table, name, colSpec, kind0, param) =>
+        val basePath = tableLocation(spark, table)
+        val cols = colSpec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val idxDir = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"),
+          s"graft_skip_indexes/${table}_$name").toString
+        kind0.toLowerCase match {
+          case "bloom_filter" =>
+            graft.operators.SkipIndex.create(spark, basePath, idxDir, cols)
+            graft.plans.SkipIndexPruning.register(spark, basePath, idxDir, cols)
+            skipIndexes.put((table, name), (basePath, "bloom_filter", idxDir))
+          case "minmax" =>
+            graft.operators.SkipIndex.createMinMax(spark, basePath, idxDir, cols)
+            skipIndexes.put((table, name), (basePath, "minmax", idxDir))
+          case "ngrambf_v1" =>
+            val n = Option(param).map(_.toInt).getOrElse(3)
+            graft.operators.SkipIndex.createNgram(spark, basePath, idxDir,
+              cols.head, n = n)
+            skipIndexes.put((table, name), (basePath, "ngrambf_v1", idxDir))
+          case other => throw new IllegalArgumentException(
+            s"unsupported skip-index type $other (bloom_filter|minmax|ngrambf_v1)")
+        }
+        Seq("OK").toDF("status")
+      case drop(table, name) =>
+        Option(skipIndexes.remove((table, name))).foreach {
+          case (basePath, kind, idxDir) =>
+            if (kind == "bloom_filter") graft.plans.SkipIndexPruning.drop(basePath)
+            graft.operators.SkipIndex.drop(spark, idxDir)
+        }
+        Seq("OK").toDF("status")
+      case mat() => Seq("OK").toDF("status")
+      case other => throw new IllegalArgumentException(
+        s"unsupported index DDL: $other")
     }
   }
 

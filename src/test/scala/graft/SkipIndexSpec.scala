@@ -131,6 +131,36 @@ class SkipIndexSpec extends SparkFunSuite {
     } finally graft.plans.SkipIndexPruning.drop(s"$base/data")
   }
 
+  test("index DDL: ADD builds + registers, DROP unregisters and removes") {
+    val t = "graft_idx_ddl_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), t)
+    wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
+    Tables.load(spark, sf, "documents")
+      .repartitionByRange(4, col("source"), col("doc_id"))
+      .write.mode("overwrite").saveAsTable(t)
+    graft.sql.ClickHouseSql.sql(spark,
+      s"ALTER TABLE $t ADD INDEX s_idx source TYPE bloom_filter GRANULARITY 2")
+    val viaDialect = graft.sql.ClickHouseSql.sql(spark,
+      s"SELECT COUNT(*) AS n FROM $t WHERE source = 'src1'").head().getLong(0)
+    val direct = Tables.load(spark, sf, "documents")
+      .filter(col("source") === "src1").count()
+    assert(viaDialect == direct && direct > 0)
+    // minmax + ngram kinds build through the same DDL
+    graft.sql.ClickHouseSql.sql(spark,
+      s"ALTER TABLE $t ADD INDEX id_idx doc_id TYPE minmax")
+    graft.sql.ClickHouseSql.sql(spark,
+      s"ALTER TABLE $t ADD INDEX txt_idx text TYPE ngrambf_v1(3) GRANULARITY 1")
+    // DROP removes structure and unregisters the transparent rule
+    Seq("s_idx", "id_idx", "txt_idx").foreach { ix =>
+      graft.sql.ClickHouseSql.sql(spark, s"ALTER TABLE $t DROP INDEX $ix")
+    }
+    assert(graft.sql.ClickHouseSql.sql(spark,
+      s"SELECT COUNT(*) AS n FROM $t WHERE source = 'src1'").head().getLong(0) == direct)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("second indexed column probes independently") {
     fixture
     val langs = Tables.load(spark, sf, "documents")
