@@ -157,6 +157,53 @@ object SkipIndex {
     pruned.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
   }
 
+  // --------------------------------------------------------- set variant
+
+  /** Per-file exact distinct-value set, capped — the reference's
+    * `INDEX x TYPE set(N)` (MergeTreeIndexSet.cpp): when a file's distinct
+    * count for the column stays ≤ N the exact set is stored (membership
+    * pruning with NO false positives); past the cap the file stores an
+    * overflow marker and always matches, exactly the reference's
+    * max_rows=N behavior. Values ride as strings for schema uniformity. */
+  def createSet(spark: SparkSession, dataDir: String, indexDir: String,
+                columns: Seq[String], maxValues: Int = 100): Unit = {
+    val data = spark.read.parquet(dataDir)
+      .select(col("_metadata.file_path").as("__file") +: columns.map(col): _*)
+    val aggs = columns.map { c =>
+      collect_set(col(c).cast("string")).as(s"__set_$c")
+    }
+    val perFile = data.groupBy("__file").agg(aggs.head, aggs.tail: _*)
+    columns.map { c =>
+      perFile.select(col("__file").as("file"), lit(c).as("column"),
+        when(size(col(s"__set_$c")) <= maxValues, col(s"__set_$c"))
+          .otherwise(lit(null)).as("values"))
+    }.reduce(_ unionAll _)
+      .coalesce(1).write.mode("overwrite").parquet(indexDir)
+  }
+
+  /** Files whose stored set contains ANY of `values` (overflowed files
+    * always match). */
+  def matchingFilesSet(spark: SparkSession, indexDir: String,
+                       column: String, values: Seq[Any]): Seq[String] = {
+    val probe = values.map(String.valueOf)
+    spark.read.parquet(indexDir)
+      .filter(col("column") === column)
+      .filter(col("values").isNull ||
+        arrays_overlap(col("values"), lit(probe.toArray)))
+      .select("file").collect().map(_.getString(0)).toSeq
+  }
+
+  /** Membership scan over the set-index-pruned file list. */
+  def scanSet(spark: SparkSession, dataDir: String, indexDir: String,
+              column: String, values: Seq[Any]): DataFrame = {
+    val files = matchingFilesSet(spark, indexDir, column, values)
+    val full = spark.read.parquet(dataDir)
+    val pruned =
+      if (files.isEmpty) full.limit(0)
+      else spark.read.schema(full.schema).parquet(files: _*)
+    pruned.filter(col(column).isin(values: _*))
+  }
+
   // ----------------------------------------------------- ngrambf variant
 
   /** Per-file n-gram bloom for substring/LIKE pruning — the reference's

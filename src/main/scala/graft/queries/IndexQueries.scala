@@ -190,6 +190,51 @@ object IndexQueries extends QueryPack {
       graft.sql.ClickHouseSql.sql(s, """
         SELECT lang, COUNT(*) AS n FROM graft_idx_t WHERE source = 'src9'
         GROUP BY lang ORDER BY lang""")
+    },
+
+    // set(N) skip index (MergeTreeIndexSet.cpp): per-file EXACT distinct
+    // sets (≤N) give membership pruning with zero false positives;
+    // overflowed files degrade to always-match. Oracle = plain scan.
+    Q.df("q_skip_index_set", """
+      SELECT source, COUNT(*) AS n FROM documents
+      WHERE source IN ('src2', 'src11')
+      GROUP BY source ORDER BY source""") { (s, dir) =>
+      val base = s"/tmp/graft_skipset_${key(dir)}"
+      Tables.load(s, dir, "documents")
+        .repartitionByRange(8, col("source"), col("doc_id"))
+        .write.mode("overwrite").parquet(s"$base/data")
+      SkipIndex.createSet(s, s"$base/data", s"$base/set", Seq("source"),
+        maxValues = 50)
+      SkipIndex.scanSet(s, s"$base/data", s"$base/set",
+          "source", Seq("src2", "src11"))
+        .groupBy("source").agg(count(lit(1)).as("n"))
+        .orderBy("source")
+    },
+
+    // system.data_skipping_indices (StorageSystemDataSkippingIndices.cpp):
+    // the DDL-created indexes are introspectable; the oracle states the
+    // expected inventory literally.
+    Q.df("q_system_skip_indices", """
+      SELECT * FROM (VALUES
+        ('graft_idx_sys_t', 'id_mm', 'minmax'),
+        ('graft_idx_sys_t', 'src_set', 'set')
+      ) t(tbl, name, type) ORDER BY name""") { (s, dir) =>
+      graft.Tables.register(s, dir)
+      s.sql("DROP TABLE IF EXISTS graft_idx_sys_t")
+      val wh = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "graft_idx_sys_t")
+      wh.getFileSystem(s.sparkContext.hadoopConfiguration).delete(wh, true)
+      Tables.load(s, dir, "documents")
+        .repartitionByRange(4, col("doc_id"))
+        .write.mode("overwrite").saveAsTable("graft_idx_sys_t")
+      graft.sql.ClickHouseSql.sql(s,
+        "ALTER TABLE graft_idx_sys_t ADD INDEX src_set source TYPE set(100)")
+      graft.sql.ClickHouseSql.sql(s,
+        "ALTER TABLE graft_idx_sys_t ADD INDEX id_mm doc_id TYPE minmax")
+      graft.sources.SystemTables.dataSkippingIndices(s)
+        .filter(col("table") === "graft_idx_sys_t")
+        .select(col("table").as("tbl"), col("name"), col("type"))
+        .orderBy("name")
     }
   )
 }

@@ -89,4 +89,13 @@ object SystemTables {
     graft.sql.Dictionaries.listDicts
       .toDF("name", "key_type", "attributes", "element_count")
   }
+
+  /** system.data_skipping_indices (StorageSystemDataSkippingIndices.cpp):
+    * every skip index created through the dialect's ALTER TABLE ADD INDEX,
+    * with its table, type, and backing data path. */
+  def dataSkippingIndices(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    graft.sql.ClickHouseSql.listSkipIndexes
+      .toDF("table", "name", "type", "data_path")
+  }
 }

@@ -797,6 +797,15 @@ object ClickHouseSql {
   private val skipIndexes =
     new java.util.concurrent.ConcurrentHashMap[(String, String), (String, String, String)]()
 
+  /** (table, index name, type, data path) — feeds
+    * system.data_skipping_indices (SystemTables.dataSkippingIndices). */
+  def listSkipIndexes: Seq[(String, String, String, String)] = {
+    import scala.jdk.CollectionConverters._
+    skipIndexes.asScala.toSeq.map { case ((t, n), (path, kind, _)) =>
+      (t, n, kind, path)
+    }.sortBy(x => (x._1, x._2))
+  }
+
   private def indexDdl(spark: SparkSession, stmt: String)
       : org.apache.spark.sql.DataFrame = {
     import spark.implicits._
@@ -826,8 +835,13 @@ object ClickHouseSql {
             graft.operators.SkipIndex.createNgram(spark, basePath, idxDir,
               cols.head, n = n)
             skipIndexes.put((table, name), (basePath, "ngrambf_v1", idxDir))
+          case "set" =>
+            val maxVals = Option(param).map(_.toInt).getOrElse(100)
+            graft.operators.SkipIndex.createSet(spark, basePath, idxDir,
+              cols, maxValues = maxVals)
+            skipIndexes.put((table, name), (basePath, "set", idxDir))
           case other => throw new IllegalArgumentException(
-            s"unsupported skip-index type $other (bloom_filter|minmax|ngrambf_v1)")
+            s"unsupported skip-index type $other (bloom_filter|minmax|ngrambf_v1|set)")
         }
         Seq("OK").toDF("status")
       case drop(table, name) =>

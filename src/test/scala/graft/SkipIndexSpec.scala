@@ -161,6 +161,27 @@ class SkipIndexSpec extends SparkFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("set index: exact pruning under the cap, overflow degrades to match-all") {
+    val setBase = Files.createTempDirectory("skipset").toString
+    Tables.load(spark, sf, "documents")
+      .repartitionByRange(5, col("source"), col("doc_id"))
+      .write.mode("overwrite").parquet(s"$setBase/data")
+    // cap 50 ≥ per-file distinct sources → exact sets everywhere
+    SkipIndex.createSet(spark, s"$setBase/data", s"$setBase/ex", Seq("source"), 50)
+    val matched = SkipIndex.matchingFilesSet(spark, s"$setBase/ex", "source", Seq("src2"))
+    assert(matched.size < 5, s"exact set should prune, got ${matched.size} of 5")
+    val viaIdx = SkipIndex.scanSet(spark, s"$setBase/data", s"$setBase/ex",
+      "source", Seq("src2")).count()
+    val full = spark.read.parquet(s"$setBase/data")
+      .filter(col("source") === "src2").count()
+    assert(viaIdx == full && full > 0)
+    // cap 1 < distinct count → every file overflows and matches (correct,
+    // just unpruned)
+    SkipIndex.createSet(spark, s"$setBase/data", s"$setBase/ov", Seq("source"), 1)
+    assert(SkipIndex.matchingFilesSet(spark, s"$setBase/ov", "source",
+      Seq("src2")).size == 5)
+  }
+
   test("second indexed column probes independently") {
     fixture
     val langs = Tables.load(spark, sf, "documents")
