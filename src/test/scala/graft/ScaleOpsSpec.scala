@@ -87,4 +87,30 @@ class ScaleOpsSpec extends SparkFunSuite {
     val preJoin = li.filter(lit(true)) // plain count for comparison
     assert(plain.count() < preJoin.count() / 2)
   }
+
+  test("detach/attach/freeze partition lifecycle on a hive layout") {
+    val path = java.nio.file.Files.createTempDirectory("partlc").toString + "/t"
+    Tables.register(spark, sf)
+    ScaleOps.writePartitioned(spark,
+      spark.table("orders"), path, "o_orderstatus")
+    val all = spark.read.parquet(path).count()
+    val fRows = spark.read.parquet(path)
+      .filter(col("o_orderstatus") === "F").count()
+    // freeze is a copy: live unchanged, snapshot readable
+    assert(ScaleOps.freezePartition(spark, path, "o_orderstatus", "F", "s1"))
+    assert(spark.read.parquet(path).count() == all)
+    assert(spark.read.parquet(s"$path/_shadow/s1").count() == fRows)
+    // detach hides; _detached is invisible to the live scan
+    assert(ScaleOps.detachPartition(spark, path, "o_orderstatus", "F"))
+    assert(spark.read.parquet(path).count() == all - fRows)
+    // attach restores
+    assert(ScaleOps.attachPartition(spark, path, "o_orderstatus", "F"))
+    assert(spark.read.parquet(path).count() == all)
+    // idempotence edges: missing partition/detached dir → false
+    assert(!ScaleOps.detachPartition(spark, path, "o_orderstatus", "NOPE"))
+    assert(!ScaleOps.attachPartition(spark, path, "o_orderstatus", "NOPE"))
+    // snapshot survives dropping the live partition
+    assert(ScaleOps.dropPartition(spark, path, "o_orderstatus", "F"))
+    assert(spark.read.parquet(s"$path/_shadow/s1").count() == fRows)
+  }
 }
