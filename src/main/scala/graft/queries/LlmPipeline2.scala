@@ -109,6 +109,63 @@ object LlmPipeline2 extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // --- Interpolated bigram LM perplexity (CCNet-style filter) --------
+    // nll per doc under P(w|p) = ½·c(p,w)/c(p) + ½·c(w)/T — the bigram
+    // upgrade of the unigram filter (real pipelines score with a KenLM
+    // n-gram model; the interpolation-with-unigram-backoff structure is
+    // the same). Determinism: with λ=½, ln P = ln(c2·T + c_w·c_p) −
+    // ln(2·c_p·T), so LN only ever sees EXACT integers (< 2^53 up to
+    // ~3e9-token corpora), each term is 1e6-fixed-pointed, sums are
+    // integer. Scale shape: unigram/bigram count tables are bounded by
+    // vocab (broadcast); the token stream shuffles once on the bigram key.
+    Q.df("q_text_bigram_lm", """
+      WITH w AS (SELECT doc_id,
+          LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'), t -> LEN(t) > 0) AS ws
+        FROM documents),
+      tok AS (SELECT doc_id, UNNEST(ws) AS tok FROM w),
+      uni AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+      tot AS (SELECT SUM(c) AS t FROM uni),
+      pairs AS (SELECT doc_id, UNNEST(ws[1:LEN(ws)-1]) AS prev, UNNEST(ws[2:LEN(ws)]) AS cur
+        FROM w WHERE LEN(ws) >= 2),
+      big AS (SELECT prev, cur, COUNT(*) AS c2 FROM pairs GROUP BY prev, cur),
+      terms AS (SELECT p.doc_id,
+          CAST(ROUND((LN(CAST(b.c2 * t.t + uc.c * up.c AS DOUBLE))
+                    - LN(CAST(2 * up.c * t.t AS DOUBLE))) * 1000000) AS BIGINT) AS term
+        FROM pairs p
+        JOIN big b ON p.prev = b.prev AND p.cur = b.cur
+        JOIN uni up ON p.prev = up.tok
+        JOIN uni uc ON p.cur = uc.tok
+        CROSS JOIN tot t)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        ROUND(-CAST(SUM(term) AS DOUBLE) / 1000000.0 / COUNT(*), 6) AS nll
+      FROM terms GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
+      import graft.functions.TextFunctions.tokens
+      val w = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("ws"))
+      val tok = w.select(explode(col("ws")).as("tok"))
+      val uni = tok.groupBy("tok").agg(count(lit(1)).as("c"))
+      val tot = uni.agg(sum("c").as("t"))
+      val pairs = w.filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(arrays_zip(
+          expr("slice(ws, 1, size(ws)-1)"),
+          expr("slice(ws, 2, size(ws)-1)"))).as("pr"))
+        .select(col("doc_id"), col("pr.0").as("prev"), col("pr.1").as("cur"))
+      val big = pairs.groupBy("prev", "cur").agg(count(lit(1)).as("c2"))
+      pairs
+        .join(broadcast(big), Seq("prev", "cur"))
+        .join(broadcast(uni.select(col("tok").as("prev"), col("c").as("cp"))), Seq("prev"))
+        .join(broadcast(uni.select(col("tok").as("cur"), col("c").as("cc"))), Seq("cur"))
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"),
+          round((log((col("c2") * col("t") + col("cc") * col("cp")).cast("double"))
+            - log((lit(2L) * col("cp") * col("t")).cast("double"))) * 1e6)
+            .cast("long").as("term"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(-sum("term").cast("double") / 1e6 / count(lit(1)), 6).as("nll"))
+        .orderBy("doc_id")
+    },
+
     // --- Repetition signals (Gopher-style quality filter) --------------
     // Duplicate word-trigram fraction and top-token dominance per document;
     // high values flag boilerplate/spam. Pure integer counting on arrays —
