@@ -338,6 +338,52 @@ object StorageQueries extends QueryPack {
         .toDF("live_after_detach", "live_after_attach", "snapshot_o")
     },
 
+    // DESCRIBE + SHOW CREATE TABLE (ParserDescribeTableQuery,
+    // InterpreterShowCreateQuery): reference-shaped introspection with CH
+    // type names; the oracle states the expected rows literally.
+    Q.df("q_ch_describe_show", """
+      SELECT * FROM (VALUES
+        ('n_nationkey', 'Nullable(Int32)'),
+        ('n_name', 'Nullable(String)'),
+        ('n_regionkey', 'Nullable(Int32)'),
+        ('__create__',
+         'CREATE TABLE graft_desc_t (`n_nationkey` Nullable(Int32), `n_name` Nullable(String), `n_regionkey` Nullable(Int32)) ENGINE = MergeTree ORDER BY tuple()')
+      ) t(name, type) ORDER BY name""") { (s, dir) =>
+      Tables.register(s, dir)
+      s.sql("DROP TABLE IF EXISTS graft_desc_t")
+      val wh = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "graft_desc_t")
+      wh.getFileSystem(s.sparkContext.hadoopConfiguration).delete(wh, true)
+      Tables.load(s, dir, "nation").write.saveAsTable("graft_desc_t")
+      val desc = graft.sql.ClickHouseSql.sql(s, "DESCRIBE TABLE graft_desc_t")
+      val create = graft.sql.ClickHouseSql.sql(s, "SHOW CREATE TABLE graft_desc_t")
+        .select(lit("__create__").as("name"), col("statement").as("type"))
+      desc.unionByName(create).orderBy("name")
+    },
+
+    // Lightweight DELETE + TRUNCATE (ParserDeleteQuery; part rewrite
+    // keeping survivors): after DELETE the F-status rows are gone, after
+    // TRUNCATE the clone is empty — both counts oracled.
+    Q.df("q_ch_lightweight_delete", """
+      SELECT
+        (SELECT COUNT(*) FROM orders WHERE o_orderstatus <> 'F') AS after_delete,
+        CAST(0 AS BIGINT) AS after_truncate""") { (s, dir) =>
+      Tables.register(s, dir)
+      Seq("graft_del_t", "graft_trunc_t").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val wh = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), t)
+        wh.getFileSystem(s.sparkContext.hadoopConfiguration).delete(wh, true)
+        Tables.load(s, dir, "orders").write.saveAsTable(t)
+      }
+      graft.sql.ClickHouseSql.sql(s,
+        "DELETE FROM graft_del_t WHERE o_orderstatus = 'F'")
+      graft.sql.ClickHouseSql.sql(s, "TRUNCATE TABLE graft_trunc_t")
+      import s.implicits._
+      Seq((s.table("graft_del_t").count(), s.table("graft_trunc_t").count()))
+        .toDF("after_delete", "after_truncate")
+    },
+
     // EXCHANGE TABLES + CREATE TABLE AS <table> (InterpreterRenameQuery
     // exchange form; ParserCreateQuery as_table schema clone): two seeded
     // tables swap identities, and a clone gets the schema with zero rows.

@@ -567,6 +567,58 @@ object ClickHouseSql {
       else trimmed0
     if (Dictionaries.matches(trimmed))
       Dictionaries.execute(spark, trimmed)
+    else if (trimmed.matches("(?is)^DESC(RIBE)?(\\s+TABLE)?\\s+[A-Za-z_][A-Za-z0-9_.]*\\s*;?\\s*$")) {
+      // DESCRIBE TABLE (ParserDescribeTableQuery): reference-shaped
+      // (name, type) rows with CH type names.
+      import spark.implicits._
+      val t = trimmed.replaceFirst("(?is)^DESC(RIBE)?(\\s+TABLE)?\\s+", "")
+        .replaceFirst(";\\s*$", "").trim
+      spark.table(t).schema.fields.toSeq
+        .map(f => (f.name, chTypeOrSpark(f)))
+        .toDF("name", "type")
+    }
+    else if (trimmed.matches("(?is)^SHOW\\s+CREATE\\s+(TABLE\\s+)?[A-Za-z_][A-Za-z0-9_.]*\\s*;?\\s*$")) {
+      // SHOW CREATE TABLE (InterpreterShowCreateQuery): render the
+      // reference-dialect DDL from the live schema.
+      import spark.implicits._
+      val t = trimmed.replaceFirst("(?is)^SHOW\\s+CREATE\\s+(TABLE\\s+)?", "")
+        .replaceFirst(";\\s*$", "").trim
+      val cols = spark.table(t).schema.fields
+        .map(f => s"`${f.name}` ${chTypeOrSpark(f)}")
+        .mkString(", ")
+      Seq(s"CREATE TABLE $t ($cols) ENGINE = MergeTree ORDER BY tuple()")
+        .toDF("statement")
+    }
+    else if (trimmed.matches("(?is)^TRUNCATE\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?[A-Za-z_][A-Za-z0-9_.]*\\s*;?\\s*$")) {
+      // TRUNCATE TABLE (ParserSystemQuery family): keep schema, drop rows.
+      import spark.implicits._
+      val t = trimmed.replaceFirst("(?is)^TRUNCATE\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?", "")
+        .replaceFirst(";\\s*$", "").trim
+      if (spark.catalog.tableExists(t)) {
+        val empty = spark.table(t).limit(0).localCheckpoint(true)
+        empty.write.mode("overwrite").insertInto(t)
+      }
+      Seq("OK").toDF("status")
+    }
+    else if (trimmed.matches("(?is)^DELETE\\s+FROM\\s+[A-Za-z_][A-Za-z0-9_.]*\\s+WHERE\\s+.*$")) {
+      // Lightweight DELETE (ParserDeleteQuery): part rewrite keeping the
+      // survivors — localCheckpoint breaks lineage to the files being
+      // overwritten, the same read-then-rewrite the mutation engine does.
+      import spark.implicits._
+      val re = "(?is)^DELETE\\s+FROM\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+WHERE\\s+(.*?);?\\s*$".r
+      trimmed match {
+        case re(t, pred) =>
+          val surviving = spark.table(t)
+            .filter(org.apache.spark.sql.functions.not(
+              org.apache.spark.sql.functions.coalesce(
+                org.apache.spark.sql.functions.expr(rewrite(pred)),
+                org.apache.spark.sql.functions.lit(false))))
+            .localCheckpoint(true)
+          surviving.write.mode("overwrite").insertInto(t)
+          Seq("OK").toDF("status")
+        case _ => throw new IllegalArgumentException("unsupported DELETE form")
+      }
+    }
     else if (trimmed.matches(
         "(?is)^CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?[A-Za-z_][A-Za-z0-9_.]*\\s+AS\\s+[A-Za-z_][A-Za-z0-9_.]*\\s*(ENGINE\\s*=[^()]*)?;?\\s*$")) {
       // CREATE TABLE a AS b (schema clone, no data — ParserCreateQuery's
@@ -781,6 +833,12 @@ object ClickHouseSql {
         s"unsupported projection DDL: $other")
     }
   }
+
+  /** CH type name for DESCRIBE/SHOW CREATE; complex types (arrays, maps)
+    * fall back to the Spark DDL spelling the wire codecs don't carry. */
+  private def chTypeOrSpark(f: org.apache.spark.sql.types.StructField): String =
+    try graft.sources.ChWireFormats.chTypeName(f.dataType, f.nullable)
+    catch { case _: IllegalArgumentException => f.dataType.sql }
 
   /** Skip-index DDL (src/Parsers/ParserCreateIndexQuery.h, index types in
     * src/Storages/MergeTree/MergeTreeIndices.h):
