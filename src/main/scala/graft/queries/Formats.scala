@@ -230,6 +230,25 @@ object Formats extends QueryPack {
         .orderBy("p_partkey")
     },
 
+    // ArrowStream round-trip (ArrowBlockInput/OutputFormat.cpp): columnar
+    // IPC record batches, schema embedded + verified, nullable lane via
+    // validity bitmaps.
+    Q.df("q_format_arrow", """
+      SELECT c_custkey, c_name, c_nationkey,
+             CAST(c_acctbal AS DOUBLE) AS bal,
+             CASE WHEN c_mktsegment='AUTOMOBILE' THEN NULL ELSE c_mktsegment END AS seg
+      FROM customer ORDER BY c_custkey""") { (s, dir) =>
+      val src = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal").cast("double").as("bal"),
+          nullif(col("c_mktsegment"), lit("AUTOMOBILE")).as("seg"))
+        .repartition(3)
+      val path = fixtureDir("arrow_customer", dir)
+      graft.sources.ChArrowFormat.writeArrowStream(src, path)
+      graft.sources.ChArrowFormat.readArrowStream(s, path, src.schema)
+        .orderBy("c_custkey")
+    },
+
     // CustomSeparated round-trip (CustomSeparatedRow*.cpp, Escaped rule)
     // with multi-char delimiters.
     Q.df("q_format_custom_separated", """
