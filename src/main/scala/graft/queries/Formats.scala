@@ -249,6 +249,26 @@ object Formats extends QueryPack {
         .orderBy("c_custkey")
     },
 
+    // Avro container round-trip (AvroRowInput/OutputFormat.cpp): blocked,
+    // schema-embedded, nullable columns as union(null, T), timestamps as
+    // timestamp-micros.
+    Q.df("q_format_avro", """
+      SELECT o_orderkey, o_orderdate, o_orderpriority,
+             CAST(o_totalprice AS DOUBLE) AS price,
+             CASE WHEN o_orderstatus='O' THEN NULL ELSE o_orderstatus END AS status
+      FROM orders WHERE o_orderkey <= 4000 ORDER BY o_orderkey""") { (s, dir) =>
+      val src = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") <= 4000)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"),
+          col("o_totalprice").cast("double").as("price"),
+          nullif(col("o_orderstatus"), lit("O")).as("status"))
+        .repartition(3)
+      val path = fixtureDir("avro_orders", dir)
+      graft.sources.ChAvroFormat.writeAvro(src, path)
+      graft.sources.ChAvroFormat.readAvro(s, path, src.schema)
+        .orderBy("o_orderkey")
+    },
+
     // CustomSeparated round-trip (CustomSeparatedRow*.cpp, Escaped rule)
     // with multi-char delimiters.
     Q.df("q_format_custom_separated", """

