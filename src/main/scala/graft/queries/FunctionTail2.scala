@@ -550,6 +550,38 @@ object FunctionTail2 extends QueryPack {
         CAST(20 AS BIGINT) AS amin,
         CAST(10 AS BIGINT) AS amax,
         '2,1,3' AS guarr,
-        '60,50' AS rsums""")
+        '60,50' AS rsums"""),
+
+    // SimHash/MinHash scalar family + bitSlice + soundex
+    // (FunctionsStringHash.cpp, bitSlice.cpp, soundex.cpp). Hash values
+    // are engine-internal (stand-in policy) — the oracle states the
+    // INVARIANTS both engines can check: near-identical strings land
+    // within a small hamming distance, different strings land far,
+    // minhash pairs match for equal inputs; soundex IS value-pinned
+    // (standard algorithm); bitSlice against hex literals.
+    ch("q_fn_simhash_family", """
+      SELECT
+        bitCount(bitXor(ngramSimHash('the quick brown fox jumps over the dog'),
+                        ngramSimHash('the quick brown fox jumps over the d0g'))) <= 16 AS near_close,
+        bitCount(bitXor(ngramSimHash('the quick brown fox jumps over the dog'),
+                        ngramSimHash('completely unrelated text about parquet columns'))) > 10 AS far_apart,
+        ngramSimHash('abc') = ngramSimHash('abc') AS stable,
+        ngramSimHashCaseInsensitive('ABC def') = ngramSimHashCaseInsensitive('abc DEF') AS ci_equal,
+        wordShingleSimHash('a b c d e') = wordShingleSimHash('a b c d e') AS shingle_stable,
+        tupleElement(ngramMinHash('hello world text'), 'col1')
+          = tupleElement(ngramMinHash('hello world text'), 'col1') AS mh_stable,
+        tupleElement(wordShingleMinHash('one two three four'), 'col1')
+          <> tupleElement(wordShingleMinHash('five six seven eight'), 'col1') AS mh_differs,
+        length(sipHash128('abc')) = 16 AS h128_len,
+        soundex('Robert') AS sx1, soundex('Rupert') AS sx2, soundex('Ashcraft') AS sx3,
+        hex(bitSlice(unhex('F0F0'), 5, 8)) AS bs1,
+        hex(bitSlice(unhex('FF00'), 1, 4)) AS bs2""",
+      """
+      SELECT
+        TRUE AS near_close, TRUE AS far_apart, TRUE AS stable, TRUE AS ci_equal,
+        TRUE AS shingle_stable, TRUE AS mh_stable, TRUE AS mh_differs,
+        TRUE AS h128_len,
+        'R163' AS sx1, 'R163' AS sx2, 'A261' AS sx3,
+        '0F' AS bs1, 'F0' AS bs2""")
   )
 }

@@ -594,6 +594,23 @@ object ChRegistryMisc {
           ObjectType(org.apache.spark.sql.graft.StringBridge.getClass)),
         "jumpConsistentHash", IntegerType,
         Seq(asLong(args(0)), asInt(args(1))), Seq(LongType, IntegerType))),
+    // kostikConsistentHash (kostikConsistentHash.cpp, alias
+    // yandexConsistentHash): same ring-assignment CONTRACT (stable key →
+    // bucket in [0, n), minimal movement on resize) served by the jump
+    // hash — a documented stand-in per the engine hash policy (the
+    // reference's exact popcount-walk values are not pinned).
+    "kostikconsistenthash" -> (args =>
+      Invoke(
+        Literal.fromObject(org.apache.spark.sql.graft.StringBridge,
+          ObjectType(org.apache.spark.sql.graft.StringBridge.getClass)),
+        "jumpConsistentHash", IntegerType,
+        Seq(asLong(args(0)), asInt(args(1))), Seq(LongType, IntegerType))),
+    "yandexconsistenthash" -> (args =>
+      Invoke(
+        Literal.fromObject(org.apache.spark.sql.graft.StringBridge,
+          ObjectType(org.apache.spark.sql.graft.StringBridge.getClass)),
+        "jumpConsistentHash", IntegerType,
+        Seq(asLong(args(0)), asInt(args(1))), Seq(LongType, IntegerType))),
 
     // URL hierarchy (URLHierarchy.cpp): '/'-prefix chain after the
     // protocol+host, full URL as the final element when it has a tail.

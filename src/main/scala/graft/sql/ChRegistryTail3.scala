@@ -20,6 +20,11 @@ object ChRegistryTail3 {
   private def asLong(e: Expression): Expression = Cast(e, LongType)
 
   private val qnCls = classOf[graft.functions.QueryNormKernels.type]
+  private val hkCls = classOf[graft.functions.HashKernels.type]
+
+  /** args(i) as Int expression, or the literal default. */
+  private def argOr(args: Seq[Expression], i: Int, default: Int): Expression =
+    if (args.length > i) Cast(args(i), IntegerType) else Literal(default)
 
   /** 'aes-128-ecb' → the Spark mode literal (ECB/CBC/GCM). */
   private def aesModeOf(e: Expression): Expression = {
@@ -241,6 +246,41 @@ object ChRegistryTail3 {
     //      of the normalized text — name-compatible, NOT value-compatible
     //      with the reference's SipHash token stream (engine-wide policy
     //      for hash stand-ins: never pin values) ------------------------
+    // ---- SimHash/MinHash scalar family + sipHash128 + bitSlice + soundex
+    //      (FunctionsStringHash.cpp, FunctionsHashing.h sipHash128,
+    //      bitSlice.cpp, soundex.cpp). Sim/min hashes follow the
+    //      engine-wide stand-in policy (name-compatible, never
+    //      value-pinned); soundex IS the standard algorithm → Spark's
+    //      SoundEx is value-compatible. --------------------------------
+    "ngramsimhash" -> (args => StaticInvoke(hkCls, LongType, "ngramSimHash",
+      Seq(args.head, argOr(args, 1, 3)), Seq(StringType, IntegerType))),
+    "ngramsimhashcaseinsensitive" -> (args => StaticInvoke(hkCls, LongType,
+      "ngramSimHashCI", Seq(args.head, argOr(args, 1, 3)), Seq(StringType, IntegerType))),
+    "ngramsimhashutf8" -> (args => StaticInvoke(hkCls, LongType, "ngramSimHash",
+      Seq(args.head, argOr(args, 1, 3)), Seq(StringType, IntegerType))),
+    "wordshinglesimhash" -> (args => StaticInvoke(hkCls, LongType,
+      "wordShingleSimHash", Seq(args.head, argOr(args, 1, 3)), Seq(StringType, IntegerType))),
+    "wordshinglesimhashcaseinsensitive" -> (args => StaticInvoke(hkCls, LongType,
+      "wordShingleSimHashCI", Seq(args.head, argOr(args, 1, 3)), Seq(StringType, IntegerType))),
+    "wordshinglesimhashutf8" -> (args => StaticInvoke(hkCls, LongType,
+      "wordShingleSimHash", Seq(args.head, argOr(args, 1, 3)), Seq(StringType, IntegerType))),
+    "ngramminhash" -> (args => CreateStruct(Seq(
+      StaticInvoke(hkCls, LongType, "ngramMinHashA",
+        Seq(args.head, argOr(args, 1, 3)), Seq(StringType, IntegerType)),
+      StaticInvoke(hkCls, LongType, "ngramMinHashB",
+        Seq(args.head, argOr(args, 1, 3)), Seq(StringType, IntegerType))))),
+    "wordshingleminhash" -> (args => CreateStruct(Seq(
+      StaticInvoke(hkCls, LongType, "wordShingleMinHashA",
+        Seq(args.head, argOr(args, 1, 3)), Seq(StringType, IntegerType)),
+      StaticInvoke(hkCls, LongType, "wordShingleMinHashB",
+        Seq(args.head, argOr(args, 1, 3)), Seq(StringType, IntegerType))))),
+    "siphash128" -> (args => StaticInvoke(hkCls, BinaryType, "hash128",
+      Seq(XxHash64(args, 42L), XxHash64(args, 7L)), Seq(LongType, LongType))),
+    "bitslice" -> (args => StaticInvoke(hkCls, BinaryType, "bitSlice",
+      Seq(Cast(args(0), BinaryType), Cast(args(1), IntegerType),
+        Cast(args(2), IntegerType)),
+      Seq(BinaryType, IntegerType, IntegerType))),
+    "soundex" -> (args => SoundEx(args.head)),
     "normalizequery" -> (args => StaticInvoke(qnCls, StringType,
       "normalizeQuery", args.take(1), Seq(StringType))),
     "normalizequerykeepnames" -> (args => StaticInvoke(qnCls, StringType,
