@@ -269,6 +269,28 @@ object Formats extends QueryPack {
         .orderBy("o_orderkey")
     },
 
+    // BSONEachRow round-trip (BSONEachRowRow*Format.cpp; layout per the
+    // public BSON spec): one BSON document per row, self-describing
+    // fields matched by name, 0x0A nulls. Timestamps are EXCLUDED from
+    // the lane (BSON datetime is millisecond-resolution — the documented
+    // truncation); the double lane is bit-exact.
+    Q.df("q_format_bson", """
+      SELECT p_partkey, p_name, p_size,
+             CAST(p_retailprice AS DOUBLE) AS price,
+             CASE WHEN p_size > 40 THEN NULL ELSE p_brand END AS brand
+      FROM part ORDER BY p_partkey""") { (s, dir) =>
+      val src = Tables.load(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"), col("p_size"),
+          col("p_retailprice").cast("double").as("price"),
+          when(col("p_size") > 40, lit(null).cast("string"))
+            .otherwise(col("p_brand")).as("brand"))
+        .repartition(3)
+      val path = fixtureDir("bson_part", dir)
+      graft.sources.ChBsonFormat.writeBsonEachRow(src, path)
+      graft.sources.ChBsonFormat.readBsonEachRow(s, path, src.schema)
+        .orderBy("p_partkey")
+    },
+
     // CustomSeparated round-trip (CustomSeparatedRow*.cpp, Escaped rule)
     // with multi-char delimiters.
     Q.df("q_format_custom_separated", """
