@@ -280,7 +280,10 @@ object ChRegistryTail3 {
       Seq(Cast(args(0), BinaryType), Cast(args(1), IntegerType),
         Cast(args(2), IntegerType)),
       Seq(BinaryType, IntegerType, IntegerType))),
-    "soundex" -> (args => SoundEx(args.head)),
+    // (soundex deliberately NOT registered: Spark's builtin IS the
+    // standard algorithm — value-identical to the reference's soundex.cpp
+    // — and the registry policy is to skip builtins with CH-identical
+    // semantics; pinned in ChRegistrySpec + q_fn_simhash_family.)
     "normalizequery" -> (args => StaticInvoke(qnCls, StringType,
       "normalizeQuery", args.take(1), Seq(StringType))),
     "normalizequerykeepnames" -> (args => StaticInvoke(qnCls, StringType,
