@@ -48,7 +48,16 @@ object Bench {
     "q_dedup_repeated_spans",
     // round-6: SemDeDup clustering dedup — broadcast centroids + window
     // assignment + per-cell self-join
-    "q_dedup_semantic")
+    "q_dedup_semantic",
+    // round-6 extension: interpolated bigram LM — the explode + two
+    // broadcast-count joins + per-doc aggregate text-scoring profile
+    "q_text_bigram_lm",
+    // round-6 extension: Delta+ZSTD codec roundtrip over the lineitem key
+    // column — the per-partition compress/decompress throughput profile
+    "q_codec_delta_zstd",
+    // round-6 extension: large-star/small-star contraction on the same
+    // dedup graph as q_dedup_components — the O(log) rounds profile
+    "q_dedup_components_star")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
