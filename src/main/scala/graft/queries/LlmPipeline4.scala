@@ -395,15 +395,13 @@ object LlmPipeline4 extends QueryPack {
     */
   private def semanticKeepFlags(e: org.apache.spark.sql.DataFrame,
       tau: Double): org.apache.spark.sql.DataFrame = {
-    val cents = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-    val scored = e.join(broadcast(cents), lit(true))
-      .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cid"))
-    val assigned = scored.withColumn("crn", row_number().over(wAssign))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+    // MAP-SIDE centroid assignment (VectorIndex.withCell): the centroid
+    // set is driver-resident metadata and every vector argmaxes it inside
+    // one projection — no nCells× corpus expansion, no window shuffle
+    // (round-6 verdict's one scale-killer; no-Exchange pin in IndexSpec).
+    val assigned = graft.operators.VectorIndex.withCell(
+        e, graft.operators.VectorIndex.seedCents(e, 16))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
     // within-cell pairs over the cell shuffle key; at 100 TB a hot-cell
     // cap (capBuckets pattern) bounds the quadratic term — the 16-cell
     // demo corpus needs none

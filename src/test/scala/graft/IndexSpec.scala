@@ -108,6 +108,62 @@ class IndexSpec extends SparkFunSuite {
     }
   }
 
+  test("IVF build: centroid assignment is map-side — no Exchange, no window") {
+    // the round-6 scale-killer: broadcast-crossJoin + row_number expanded
+    // the corpus nCells× and shuffled the expansion. The argmax form must
+    // plan as scan → project → (sort for the partitioned write), with no
+    // Exchange between the embeddings scan and the write.
+    val e = VectorIndex.prep(Tables.load(spark, sf, "embeddings"))
+    val cents = VectorIndex.seedCents(e, 16)
+    val assigned = VectorIndex.withCell(e, cents)
+      .select("vec_id", "v", "nrm", "cell")
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"centroid assignment plan contains a shuffle:\n$plan")
+    assert(!plan.contains("Window"),
+      s"centroid assignment plan contains a window:\n$plan")
+    // and it agrees with the reference arithmetic: argmax over explicit
+    // per-centroid cosines, ties to the lowest cid
+    val row = assigned.filter(col("vec_id") === 7L).collect().head
+    val v = row.getSeq[Double](1).toArray
+    val nrm = row.getDouble(2)
+    val want = cents.map { c =>
+      val d = v.zip(c.cv).foldLeft(0.0)((a, p) => a + p._1 * p._2)
+      (d / (nrm * c.cnrm), c.cid)
+    }.maxBy { case (s, cid) => (s, -cid) }._2
+    assert(row.getAs[Long]("cell") == want)
+  }
+
+  test("k-means cells: deterministic, balanced, exact twins co-assigned") {
+    val src = Tables.load(spark, sf, "embeddings")
+    val e = VectorIndex.prep(src)
+    val n = src.count()
+    val k = VectorIndex.nCellsFor(n)
+    assert(k >= 16 && k <= 4096)
+    val c1 = VectorIndex.kmeansCents(e, 64, iters = 3)
+    val c2 = VectorIndex.kmeansCents(e, 64, iters = 3)
+    // deterministic across runs (hash-ordered seeds + fixed iterations)
+    assert(c1.map(_.cid) == c2.map(_.cid))
+    assert(c1.zip(c2).forall { case (a, b) => a.cv.sameElements(b.cv) })
+    // cell-size distribution: the SemDeDup per-cell self-join stays
+    // bounded iff no cell dwarfs the mean
+    val sizes = VectorIndex.withCell(e, c1)
+      .groupBy("cell").count().collect().map(_.getLong(1))
+    val mean = sizes.sum.toDouble / 64 // all k cells, incl. empties
+    assert(sizes.max <= math.max(16.0, 12.0 * mean),
+      s"max cell ${sizes.max} vs mean $mean — skewed clustering")
+    // exact twins land in the same cell regardless of centroid quality
+    val twins = VectorIndex.withCell(
+      e.filter(col("vec_id") < 8)
+        .withColumn("vec_id", col("vec_id") + 1000000L), c1)
+    val orig = VectorIndex.withCell(e.filter(col("vec_id") < 8), c1)
+    val got = twins.select(col("vec_id") - 1000000L, col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    orig.select("vec_id", "cell").collect().foreach { r =>
+      assert(got(r.getLong(0)) == r.getLong(1), s"twin of ${r.getLong(0)} split")
+    }
+  }
+
   test("persisted IVF: queries read the index partitions, not the corpus") {
     val src = Tables.load(spark, sf, "embeddings")
     VectorIndex.create(spark, src, s"$base/vec", nCells = 16)
