@@ -34,6 +34,28 @@ object SkipIndex {
     XxHash64(Seq(lit), 42L).eval(InternalRow.empty).asInstanceOf[Long]
   }
 
+  /** Hash of `value` cast to the indexed column's own type — the build
+    * side hashes XxHash64 over the COLUMN type, so an Int probe against a
+    * Long column (or a date string against a DateType column) must land
+    * on the same lane or every file is silently excluded. */
+  private def hashOfTyped(value: Any, dt: org.apache.spark.sql.types.DataType): Long = {
+    val lit = Literal(value)
+    val typed: org.apache.spark.sql.catalyst.expressions.Expression =
+      if (lit.dataType == dt) lit
+      else org.apache.spark.sql.catalyst.expressions.Cast(lit, dt, Some("UTC"))
+    XxHash64(Seq(typed), 42L).eval(InternalRow.empty).asInstanceOf[Long]
+  }
+
+  /** The indexed column's stored type, when the index recorded it. */
+  private def indexedType(spark: SparkSession, indexDir: String,
+      column: String): Option[org.apache.spark.sql.types.DataType] = {
+    val df = spark.read.parquet(indexDir)
+    if (!df.columns.contains("dtype")) None
+    else df.filter(col("column") === column).select("dtype")
+      .limit(1).collect().headOption
+      .map(r => org.apache.spark.sql.types.DataType.fromDDL(r.getString(0)))
+  }
+
   /** Hash lane for an already-typed literal (internal representation) —
     * the path the transparent pruning rule uses. */
   private[graft] def hashOfLiteral(lit: Literal): Long =
@@ -52,10 +74,14 @@ object SkipIndex {
       }
       .map(_.getString(0)).toSeq
 
-  /** Index `columns` of every parquet part file under `dataDir`. */
+  /** Index `columns` of every parquet part file under `dataDir`. Each row
+    * records the column's data type so probes can cast to the build lane
+    * ([[hashOfTyped]]). */
   def create(spark: SparkSession, dataDir: String, indexDir: String,
              columns: Seq[String], expectedItemsPerFile: Long = 100000L): Unit = {
-    val data = spark.read.parquet(dataDir)
+    val src = spark.read.parquet(dataDir)
+    val types = columns.map(c => c -> src.schema(c).dataType.sql).toMap
+    val data = src
       .select(col("_metadata.file_path").as("__file") +: columns.map(col): _*)
     val aggs = columns.map { c =>
       val agg = new BloomFilterAggregate(
@@ -67,15 +93,21 @@ object SkipIndex {
     val perFile = data.groupBy("__file").agg(aggs.head, aggs.tail: _*)
     val long = columns.map { c =>
       perFile.select(col("__file").as("file"), lit(c).as("column"),
+        lit(types(c)).as("dtype"),
         col("__n").as("n_items"), col(s"__bloom_$c").as("bloom"))
     }.reduce(_ unionAll _)
     long.coalesce(1).write.mode("overwrite").parquet(indexDir)
   }
 
-  /** Files whose bloom for `column` might contain ANY of `values`. */
+  /** Files whose bloom for `column` might contain ANY of `values` —
+    * probes are cast to the indexed column's recorded type first. */
   def matchingFiles(spark: SparkSession, indexDir: String,
                     column: String, values: Seq[Any]): Seq[String] = {
-    val hashes = values.map(hashOf)
+    val dt = indexedType(spark, indexDir, column)
+    val hashes = dt match {
+      case Some(t) => values.map(hashOfTyped(_, t))
+      case None => values.map(hashOf)
+    }
     spark.read.parquet(indexDir)
       .filter(col("column") === column)
       .select("file", "bloom").collect()
@@ -95,7 +127,8 @@ object SkipIndex {
     val full = spark.read.parquet(dataDir)
     val pruned =
       if (files.isEmpty) full.limit(0)
-      else spark.read.schema(full.schema).parquet(files: _*)
+      else spark.read.option("basePath", dataDir)
+        .schema(full.schema).parquet(files: _*)
     pruned.filter(col(column).isin(values: _*))
   }
 
@@ -130,19 +163,33 @@ object SkipIndex {
       .coalesce(1).write.mode("overwrite").parquet(indexDir)
   }
 
-  /** Files whose [min,max] for `column` overlaps [lo,hi]. Numeric probes
-    * compare on the double lane, everything else lexicographically on the
-    * string lane (valid for the corpus's string categories). */
+  /** Files whose [min,max] for `column` overlaps [lo,hi]. Numeric and
+    * timestamp probes compare on the double lane, everything else
+    * lexicographically on the string lane (valid for the corpus's string
+    * categories). */
   def matchingFilesRange(spark: SparkSession, indexDir: String, column: String,
-                         lo: Any, hi: Any): Seq[String] = {
-    val idx = spark.read.parquet(indexDir).filter(col("column") === column)
-    val pred = (lo, hi) match {
-      case (l: Number, h: Number) =>
-        col("max_d") >= l.doubleValue() && col("min_d") <= h.doubleValue()
-      case _ =>
-        col("max_s") >= lo.toString && col("min_s") <= hi.toString
+                         lo: Any, hi: Any): Seq[String] =
+    matchingFilesBound(spark, indexDir, column, Some(lo), Some(hi))
+
+  /** One-sided/two-sided minmax probe: files whose [min,max] can hold a
+    * value satisfying `x >= lo` and/or `x <= hi` — the transparent rule's
+    * rendering of >, >=, <, <=, =, BETWEEN conjuncts. */
+  def matchingFilesBound(spark: SparkSession, indexDir: String, column: String,
+                         lo: Option[Any], hi: Option[Any]): Seq[String] = {
+    def dlane(v: Any): Option[Double] = v match {
+      case n: Number => Some(n.doubleValue())
+      case t: java.sql.Timestamp => Some(t.getTime / 1000.0)
+      case t: java.time.Instant => Some(t.toEpochMilli / 1000.0)
+      case _ => None
     }
-    idx.filter(pred).select("file").collect().map(_.getString(0)).toSeq
+    val idx = spark.read.parquet(indexDir).filter(col("column") === column)
+    val preds = Seq(
+      lo.map(v => dlane(v).map(d => col("max_d") >= d)
+        .getOrElse(col("max_s") >= v.toString)),
+      hi.map(v => dlane(v).map(d => col("min_d") <= d)
+        .getOrElse(col("min_s") <= v.toString))).flatten
+    idx.filter(preds.reduceOption(_ && _).getOrElse(lit(true)))
+      .select("file").collect().map(_.getString(0)).toSeq
   }
 
   /** Range scan over the minmax-pruned file list, exact predicate
@@ -153,7 +200,8 @@ object SkipIndex {
     val full = spark.read.parquet(dataDir)
     val pruned =
       if (files.isEmpty) full.limit(0)
-      else spark.read.schema(full.schema).parquet(files: _*)
+      else spark.read.option("basePath", dataDir)
+        .schema(full.schema).parquet(files: _*)
     pruned.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
   }
 
@@ -200,7 +248,8 @@ object SkipIndex {
     val full = spark.read.parquet(dataDir)
     val pruned =
       if (files.isEmpty) full.limit(0)
-      else spark.read.schema(full.schema).parquet(files: _*)
+      else spark.read.option("basePath", dataDir)
+        .schema(full.schema).parquet(files: _*)
     pruned.filter(col(column).isin(values: _*))
   }
 
@@ -259,7 +308,8 @@ object SkipIndex {
     val full = spark.read.parquet(dataDir)
     val pruned =
       if (files.isEmpty) full.limit(0)
-      else spark.read.schema(full.schema).parquet(files: _*)
+      else spark.read.option("basePath", dataDir)
+        .schema(full.schema).parquet(files: _*)
     pruned.filter(lower(col(textColumn)).contains(needle.toLowerCase))
   }
 }

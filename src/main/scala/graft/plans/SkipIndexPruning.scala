@@ -4,7 +4,8 @@ import java.util.concurrent.ConcurrentHashMap
 
 import graft.operators.SkipIndex
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, In, InSet, Literal}
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Contains, EndsWith, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal, Lower, StartsWith}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
@@ -14,38 +15,65 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFil
   * `MergeTreeDataSelectExecutor::filterMarksUsingIndex` drops granules
   * before the scan (src/Storages/MergeTree/MergeTreeDataSelectExecutor
   * .cpp). The [[SkipIndex]] operator API is the explicit form; this Rule
-  * is the implicit one: once a dataset dir has a registered bloom index,
-  * ANY `Filter(col = v / col IN (...))` over its parquet scan gets its
-  * file list pruned in the optimizer — the Filter itself stays, so bloom
-  * false positives re-check and answers never change.
+  * is the implicit one, and it now serves the WHOLE index family the way
+  * the reference does:
+  *   - bloom_filter → equality / IN conjuncts (hash probes);
+  *   - minmax      → <, <=, >, >=, =, BETWEEN conjuncts (bound probes);
+  *   - set(N)      → equality / IN conjuncts (exact membership);
+  *   - ngrambf_v1  → LIKE '%x%' / contains / startsWith / endsWith
+  *                   (every n-gram of the needle must be in the file's
+  *                   bloom; Catalyst has already simplified LIKE into
+  *                   Contains/StartsWith/EndsWith by the time
+  *                   extraOptimizations run).
+  * The Filter itself always stays, so index false positives re-check and
+  * answers never change — pruning is strictly an I/O reduction.
   *
   * Mechanics (same extension point as [[AggProjections]] /
   * [[NormalProjections]]): an extraOptimizations rule matches
   * Filter-over-LogicalRelation plans whose relation roots at a registered
-  * data dir, extracts equality/IN conjuncts on indexed columns, consults
-  * the driver-resident index (|files| rows), and swaps the relation's
-  * location for an [[InMemoryFileIndex]] over the surviving files. After
-  * the swap the root paths no longer match the registry, so the rule
-  * cannot re-fire on its own output.
+  * data dir, turns supported conjuncts into per-index file sets
+  * (driver-resident index reads, |files| rows each), intersects them, and
+  * swaps the relation's location for an [[InMemoryFileIndex]] over the
+  * surviving files. After the swap the root paths no longer match the
+  * registry, so the rule cannot re-fire on its own output. Relations with
+  * a non-empty partition schema are left untouched — the location swap
+  * would lose hive partition values (the reference equivalent prunes
+  * GRANULES inside parts and has no such hazard).
   */
 object SkipIndexPruning {
 
-  final case class Idx(dataPath: String, indexDir: String, columns: Set[String])
+  final case class Idx(dataPath: String, kind: String, indexDir: String,
+      columns: Set[String])
 
-  private val registry = new ConcurrentHashMap[String, Idx]()
+  /** canon(dataPath) → registered indexes over that dir (a dir can carry
+    * several, like a reference table with several INDEX clauses). */
+  private val registry = new ConcurrentHashMap[String, List[Idx]]()
 
   private def canon(p: String): String =
     new org.apache.hadoop.fs.Path(p).toUri.getPath
 
-  /** Register a bloom index (built with [[SkipIndex.create]]) for
-    * transparent use and install the rule. */
+  /** Register an index built with the matching [[SkipIndex]] builder for
+    * transparent use and install the rule. `kind` ∈ bloom_filter | minmax
+    * | set | ngrambf_v1. */
   def register(spark: SparkSession, dataDir: String, indexDir: String,
-      columns: Seq[String]): Unit = {
-    registry.put(canon(dataDir), Idx(canon(dataDir), indexDir, columns.toSet))
+      columns: Seq[String], kind: String = "bloom_filter"): Unit = {
+    val key = canon(dataDir)
+    val idx = Idx(key, kind, indexDir, columns.toSet)
+    registry.merge(key, List(idx),
+      (old, _) => idx :: old.filterNot(_.indexDir == idx.indexDir))
     install(spark)
   }
 
+  /** Unregister every index over the data dir. */
   def drop(dataDir: String): Unit = registry.remove(canon(dataDir))
+
+  /** Unregister one index (by its index dir) over the data dir. */
+  def dropIndex(dataDir: String, indexDir: String): Unit =
+    registry.computeIfPresent(canon(dataDir),
+      (_, old) => old.filterNot(_.indexDir == indexDir) match {
+        case Nil => null
+        case rest => rest
+      })
 
   private val installed =
     java.util.Collections.newSetFromMap(
@@ -66,40 +94,93 @@ object SkipIndexPruning {
 
   case class PruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
-    /** (probe hashes per indexed column) from the supported conjuncts. */
-    private def probes(cond: Expression, idx: Idx): Map[String, Seq[Long]] =
-      conjuncts(cond).flatMap {
-        case EqualTo(a: AttributeReference, l: Literal)
-            if idx.columns.contains(a.name) && l.value != null =>
-          Some(a.name -> Seq(SkipIndex.hashOfLiteral(l)))
-        case EqualTo(l: Literal, a: AttributeReference)
-            if idx.columns.contains(a.name) && l.value != null =>
-          Some(a.name -> Seq(SkipIndex.hashOfLiteral(l)))
-        case In(a: AttributeReference, vs)
-            if idx.columns.contains(a.name) &&
-              vs.forall(v => v.isInstanceOf[Literal] &&
-                v.asInstanceOf[Literal].value != null) =>
-          Some(a.name -> vs.map(v =>
-            SkipIndex.hashOfLiteral(v.asInstanceOf[Literal])))
-        case InSet(a: AttributeReference, hset)
-            if idx.columns.contains(a.name) && !hset.contains(null) =>
-          Some(a.name -> hset.toSeq.map(v =>
-            SkipIndex.hashOfLiteral(Literal.create(v, a.dataType))))
-        case _ => None
-      }.groupBy(_._1).map { case (c, kvs) =>
-        // multiple conjuncts on one column: each must pass → intersect later
-        c -> kvs.map(_._2)
-      }.map { case (c, hashLists) => c -> hashLists }
-        .flatMap { case (c, hashLists) =>
-          // a column constrained twice (rare) keeps the FIRST probe set;
-          // correctness is safe either way (pruning is a superset filter)
-          hashLists.headOption.map(c -> _)
-        }
+    /** Typed equality hash: cast the literal to the column's type first so
+      * e.g. an Int probe against a Long column hashes on the build lane
+      * (the bloom was built over the column's own type). */
+    private def eqHash(l: Literal, a: AttributeReference): Long =
+      SkipIndex.hashOfLiteral(
+        if (l.dataType == a.dataType) l
+        else Literal.create(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            l, a.dataType, Some("UTC")).eval(null), a.dataType))
 
-    private def prunedFiles(idx: Idx, byColumn: Map[String, Seq[Long]]): Seq[String] =
-      byColumn.map { case (c, hashes) =>
-        SkipIndex.matchingFilesByHash(spark, idx.indexDir, c, hashes).toSet
-      }.reduce(_ intersect _).toSeq.sorted
+    private def scalaValue(l: Literal): Any =
+      CatalystTypeConverters.convertToScala(l.value, l.dataType)
+
+    /** The file set one conjunct admits under one index, or None when the
+      * conjunct doesn't probe this index. */
+    private def fileSet(idx: Idx, c: Expression): Option[Set[String]] = {
+      def bloomEq(a: AttributeReference, hashes: Seq[Long]) =
+        if (idx.kind == "bloom_filter" && idx.columns.contains(a.name))
+          Some(SkipIndex.matchingFilesByHash(spark, idx.indexDir, a.name,
+            hashes).toSet)
+        else None
+      def setEq(a: AttributeReference, vals: Seq[Any]) =
+        if (idx.kind == "set" && idx.columns.contains(a.name))
+          Some(SkipIndex.matchingFilesSet(spark, idx.indexDir, a.name,
+            vals).toSet)
+        else None
+      def mmBound(a: AttributeReference, lo: Option[Any], hi: Option[Any]) =
+        if (idx.kind == "minmax" && idx.columns.contains(a.name))
+          Some(SkipIndex.matchingFilesBound(spark, idx.indexDir, a.name,
+            lo, hi).toSet)
+        else None
+      def ngram(a: AttributeReference, needle: String) =
+        if (idx.kind == "ngrambf_v1" && idx.columns.contains(a.name))
+          Some(SkipIndex.matchingFilesLike(spark, idx.indexDir, needle).toSet)
+        else None
+      def textAttr(e: Expression): Option[AttributeReference] = e match {
+        case a: AttributeReference => Some(a)
+        case Lower(a: AttributeReference) => Some(a)
+        case _ => None
+      }
+
+      c match {
+        case EqualTo(a: AttributeReference, l: Literal) if l.value != null =>
+          bloomEq(a, Seq(eqHash(l, a)))
+            .orElse(setEq(a, Seq(scalaValue(l))))
+            .orElse(mmBound(a, Some(scalaValue(l)), Some(scalaValue(l))))
+        case EqualTo(l: Literal, a: AttributeReference) if l.value != null =>
+          fileSet(idx, EqualTo(a, l))
+        case In(a: AttributeReference, vs)
+            if vs.forall(v => v.isInstanceOf[Literal] &&
+              v.asInstanceOf[Literal].value != null) =>
+          val lits = vs.map(_.asInstanceOf[Literal])
+          bloomEq(a, lits.map(eqHash(_, a)))
+            .orElse(setEq(a, lits.map(scalaValue)))
+        case InSet(a: AttributeReference, hset) if !hset.contains(null) =>
+          val lits = hset.toSeq.map(v => Literal.create(v, a.dataType))
+          bloomEq(a, lits.map(SkipIndex.hashOfLiteral))
+            .orElse(setEq(a, lits.map(scalaValue)))
+        case GreaterThan(a: AttributeReference, l: Literal) if l.value != null =>
+          mmBound(a, Some(scalaValue(l)), None)
+        case GreaterThanOrEqual(a: AttributeReference, l: Literal) if l.value != null =>
+          mmBound(a, Some(scalaValue(l)), None)
+        case LessThan(a: AttributeReference, l: Literal) if l.value != null =>
+          mmBound(a, None, Some(scalaValue(l)))
+        case LessThanOrEqual(a: AttributeReference, l: Literal) if l.value != null =>
+          mmBound(a, None, Some(scalaValue(l)))
+        // mirrored literal-first comparisons: 5 < a ≡ a > 5
+        case GreaterThan(l: Literal, a: AttributeReference) if l.value != null =>
+          mmBound(a, None, Some(scalaValue(l)))
+        case GreaterThanOrEqual(l: Literal, a: AttributeReference) if l.value != null =>
+          mmBound(a, None, Some(scalaValue(l)))
+        case LessThan(l: Literal, a: AttributeReference) if l.value != null =>
+          mmBound(a, Some(scalaValue(l)), None)
+        case LessThanOrEqual(l: Literal, a: AttributeReference) if l.value != null =>
+          mmBound(a, Some(scalaValue(l)), None)
+        // LIKE '%x%' / '%x' / 'x%' arrive simplified; the ngram index is
+        // built over lower(text), so a case-sensitive needle's lowercase
+        // grams admit a superset — safe, the Filter re-checks exactly.
+        case Contains(t, l: Literal) if l.value != null =>
+          textAttr(t).flatMap(a => ngram(a, l.value.toString))
+        case StartsWith(t, l: Literal) if l.value != null =>
+          textAttr(t).flatMap(a => ngram(a, l.value.toString))
+        case EndsWith(t, l: Literal) if l.value != null =>
+          textAttr(t).flatMap(a => ngram(a, l.value.toString))
+        case _ => None
+      }
+    }
 
     override def apply(plan: LogicalPlan): LogicalPlan = {
       if (registry.isEmpty) return plan
@@ -117,14 +198,19 @@ object SkipIndexPruning {
             if projectList.forall(_.isInstanceOf[AttributeReference]) =>
           rewriteScan(child, cond).map(c => p.copy(child = c))
         case lr: LogicalRelation => lr.relation match {
-          case fs: HadoopFsRelation =>
+          case fs: HadoopFsRelation if fs.partitionSchema.isEmpty =>
             val roots = fs.location.rootPaths.map(p => canon(p.toString))
-            val idxOpt = roots.iterator.map(registry.get).find(_ != null)
-            idxOpt.flatMap { idx =>
-              val byColumn = probes(cond, idx)
-              if (byColumn.isEmpty) None
+            val idxs = roots.flatMap(r => Option(registry.get(r)).toSeq.flatten)
+            if (idxs.isEmpty) None
+            else {
+              val sets = for {
+                c <- conjuncts(cond)
+                idx <- idxs
+                s <- fileSet(idx, c)
+              } yield s
+              if (sets.isEmpty) None
               else {
-                val files = prunedFiles(idx, byColumn)
+                val files = sets.reduce(_ intersect _).toSeq.sorted
                 val total = fs.location.inputFiles.length
                 if (files.size >= total) None
                 else {

@@ -92,6 +92,29 @@ object IndexQueries extends QueryPack {
         .orderBy("qid", "nid")
     },
 
+    // k-means IVF at 64 cells (round 7): same planted-pair recall
+    // contract as q_ann_ivf_persisted but with sampled-Lloyd centroids
+    // and 4× the cell count — exact twins share a cell REGARDLESS of
+    // centroid quality (identical vectors → identical argmax), so the
+    // oracle-green row IS the recall floor at 64 cells ≥ the 16-cell
+    // seed build (both 100% on plants). Cell balance is pinned in
+    // IndexSpec ("k-means cells: deterministic, balanced ...").
+    Q.df("q_ann_ivf_kmeans", """
+      SELECT vec_id AS qid, vec_id + 1000000 AS nid,
+        CAST(1.0 AS DOUBLE) AS cos
+      FROM embeddings WHERE vec_id < 20 ORDER BY qid, nid""") { (s, dir) =>
+      val src = Tables.load(s, dir, "embeddings")
+      val planted = src.withColumn("vec_id", col("vec_id") + 1000000L)
+      val idx = s"/tmp/graft_vecindex_km_${key(dir)}"
+      VectorIndex.create(s, src.unionByName(planted), idx, nCells = 64,
+        kmeans = true)
+      val queries = VectorIndex.prep(src).filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qnrm"))
+      VectorIndex.topK(s, idx, queries, k = 1, nProbe = 4)
+        .orderBy("qid", "nid")
+    },
+
     // Generic bloom skip index (MergeTreeIndexBloomFilter.cpp): documents
     // laid out range-clustered by source, per-file blooms over (source,
     // lang); equality probes prune to the files that can match and the
@@ -168,6 +191,47 @@ object IndexQueries extends QueryPack {
         .filter(col("source") === "src5")
         .groupBy("lang").agg(count(lit(1)).as("n"))
         .orderBy("lang")
+    },
+
+    // TRANSPARENT minmax pruning (round 7): a plain BETWEEN over a
+    // doc_id-clustered dir with a registered minmax index prunes to the
+    // overlapping files inside the optimizer — the query text never
+    // mentions the index; the oracle states full-scan equality.
+    Q.df("q_skip_index_transparent_range", """
+      SELECT COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        MIN(doc_id) AS lo, MAX(doc_id) AS hi
+      FROM documents WHERE doc_id BETWEEN 40 AND 160""") { (s, dir) =>
+      val base = s"/tmp/graft_skipauto_rng_${key(dir)}"
+      Tables.load(s, dir, "documents")
+        .repartitionByRange(8, col("doc_id"))
+        .write.mode("overwrite").parquet(s"$base/data")
+      SkipIndex.createMinMax(s, s"$base/data", s"$base/mm", Seq("doc_id"))
+      graft.plans.SkipIndexPruning.register(s, s"$base/data", s"$base/mm",
+        Seq("doc_id"), kind = "minmax")
+      s.read.parquet(s"$base/data")
+        .filter(col("doc_id").between(40, 160))
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"),
+          min("doc_id").as("lo"), max("doc_id").as("hi"))
+    },
+
+    // TRANSPARENT ngrambf pruning (round 7): a plain contains(lower(text))
+    // — the optimizer sees Contains(Lower(attr), lit) and prunes to files
+    // whose 3-gram bloom holds every gram of the needle; survivors
+    // re-check exactly, so the oracle is again full-scan equality.
+    Q.df("q_skip_index_transparent_like", """
+      SELECT doc_id, source FROM documents
+      WHERE CONTAINS(LOWER(text), 'dup')
+      ORDER BY doc_id""") { (s, dir) =>
+      val base = s"/tmp/graft_skipauto_lk_${key(dir)}"
+      Tables.load(s, dir, "documents")
+        .repartitionByRange(8, col("source"), col("doc_id"))
+        .write.mode("overwrite").parquet(s"$base/data")
+      SkipIndex.createNgram(s, s"$base/data", s"$base/ng", "text", n = 3)
+      graft.plans.SkipIndexPruning.register(s, s"$base/data", s"$base/ng",
+        Seq("text"), kind = "ngrambf_v1")
+      s.read.parquet(s"$base/data")
+        .filter(lower(col("text")).contains("dup"))
+        .select("doc_id", "source").orderBy("doc_id")
     },
 
     // Skip-index DDL (ParserCreateIndexQuery): ALTER TABLE ADD INDEX …

@@ -200,12 +200,21 @@ object ChTextFormats {
     ()
   }
 
+  /** Split part text into rows, dropping ONLY the trailing empty element
+    * produced by the final row delimiter — an interior empty line is a
+    * real row (a single non-null string column holding "", which the
+    * reference's TSV parser round-trips; r6 ADVICE fix). */
+  private def rowLines(text: String, rowDelim: String = "\n"): Iterator[String] = {
+    val all = text.split(java.util.regex.Pattern.quote(rowDelim), -1)
+    (if (all.nonEmpty && all.last.isEmpty) all.view.dropRight(1) else all.view).iterator
+  }
+
   def readTabSeparated(spark: SparkSession, path: String, schema: StructType,
                        withNames: Boolean = false, withTypes: Boolean = false): DataFrame = {
     val parts = listParts(path, "tsv")
     val rows = spark.sparkContext.parallelize(parts, math.max(parts.length, 1))
       .flatMap { file =>
-        val lines = readPartText(file).split("\n", -1).iterator.filter(_.nonEmpty)
+        val lines = rowLines(readPartText(file))
         if (withNames && lines.hasNext) {
           val names = lines.next().split("\t", -1).map(unescapeTsv)
           require(names.sameElements(schema.fields.map(_.name)),
@@ -554,8 +563,7 @@ object ChTextFormats {
     val parts = listParts(path, "custom")
     val rows = spark.sparkContext.parallelize(parts, math.max(parts.length, 1))
       .flatMap { file =>
-        readPartText(file).split(java.util.regex.Pattern.quote(rowDelim), -1)
-          .iterator.filter(_.nonEmpty).map { line =>
+        rowLines(readPartText(file), rowDelim).map { line =>
           val cells = line.split(java.util.regex.Pattern.quote(fieldDelim), -1)
           require(cells.length == schema.fields.length,
             s"CustomSeparated arity ${cells.length}")

@@ -597,6 +597,7 @@ object ClickHouseSql {
       if (spark.catalog.tableExists(t)) {
         val empty = spark.table(t).limit(0).localCheckpoint(true)
         empty.write.mode("overwrite").insertInto(t)
+        refreshSkipIndexes(spark, t)
       }
       Seq("OK").toDF("status")
     }
@@ -629,6 +630,7 @@ object ClickHouseSql {
                 org.apache.spark.sql.functions.lit(false))))
             .localCheckpoint(true)
           surviving.write.mode("overwrite").insertInto(t)
+          refreshSkipIndexes(spark, t)
           Seq("OK").toDF("status")
         case _ => throw new IllegalArgumentException("unsupported DELETE form")
       }
@@ -716,6 +718,7 @@ object ClickHouseSql {
           // eager — the read finishes before the overwrite starts), then
           // overwrite the table's data in place, metadata untouched
           after.localCheckpoint().write.mode("overwrite").insertInto(table)
+          refreshSkipIndexes(spark, table)
           Seq("OK").toDF("status")
         case _ => Seq("OK").toDF("status")
       }
@@ -863,19 +866,65 @@ object ClickHouseSql {
     * bloom_filter additionally registers for TRANSPARENT pruning
     * (SkipIndexPruning); GRANULARITY is accepted and ignored — pruning is
     * file-granular here (the analog of the reference's granule). ADD
-    * builds eagerly, so MATERIALIZE is a no-op; CLEAR = DROP's structure
-    * removal with the registration kept (reference semantics: drops built
-    * files, keeps metadata). */
+    * builds eagerly; MATERIALIZE rebuilds from the table's CURRENT data;
+    * CLEAR deletes the built structure and disables pruning while keeping
+    * the metadata entry visible (reference semantics: CLEAR drops built
+    * files, keeps the index declared; MATERIALIZE re-builds it). Every
+    * kind registers for TRANSPARENT pruning (SkipIndexPruning serves
+    * equality via bloom/set, ranges via minmax, LIKE/contains via
+    * ngrambf). Mutations that rewrite the table's files (DELETE,
+    * TRUNCATE, OPTIMIZE ... DEDUPLICATE) call [[refreshSkipIndexes]] so a
+    * registered index never prunes against stale file names. */
+  private final case class SkipIdx(table: String, name: String,
+      basePath: String, kind: String, idxDir: String, columns: Seq[String],
+      param: Option[Int], cleared: Boolean)
+
   private val skipIndexes =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), (String, String, String)]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), SkipIdx]()
 
   /** (table, index name, type, data path) — feeds
     * system.data_skipping_indices (SystemTables.dataSkippingIndices). */
   def listSkipIndexes: Seq[(String, String, String, String)] = {
     import scala.jdk.CollectionConverters._
-    skipIndexes.asScala.toSeq.map { case ((t, n), (path, kind, _)) =>
-      (t, n, kind, path)
+    skipIndexes.asScala.toSeq.map { case ((t, n), m) =>
+      (t, n, m.kind, m.basePath)
     }.sortBy(x => (x._1, x._2))
+  }
+
+  /** Build (or re-build) one index's on-disk structure from the table's
+    * current files and (re-)register transparent pruning. */
+  private def buildSkipIndex(spark: SparkSession, m: SkipIdx): Unit = {
+    m.kind match {
+      case "bloom_filter" =>
+        graft.operators.SkipIndex.create(spark, m.basePath, m.idxDir, m.columns)
+      case "minmax" =>
+        graft.operators.SkipIndex.createMinMax(spark, m.basePath, m.idxDir, m.columns)
+      case "ngrambf_v1" =>
+        graft.operators.SkipIndex.createNgram(spark, m.basePath, m.idxDir,
+          m.columns.head, n = m.param.getOrElse(3))
+      case "set" =>
+        graft.operators.SkipIndex.createSet(spark, m.basePath, m.idxDir,
+          m.columns, maxValues = m.param.getOrElse(100))
+    }
+    graft.plans.SkipIndexPruning.register(spark, m.basePath, m.idxDir,
+      m.columns, m.kind)
+  }
+
+  /** Invalidate-by-rebuild after a mutation rewrote `table`'s files with
+    * new names (the ADVICE r6 staleness hazard: a registered index over
+    * deleted paths silently empties results). Cleared indexes stay
+    * cleared; a rebuild that fails (e.g. the table is now empty) degrades
+    * to no-pruning, never to wrong answers. */
+  private def refreshSkipIndexes(spark: SparkSession, table: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    skipIndexes.asScala.values.filter(m => m.table == table && !m.cleared)
+      .foreach { m =>
+        try buildSkipIndex(spark, m)
+        catch { case _: Exception =>
+          graft.plans.SkipIndexPruning.dropIndex(m.basePath, m.idxDir)
+          graft.operators.SkipIndex.drop(spark, m.idxDir)
+        }
+      }
   }
 
   private def indexDdl(spark: SparkSession, stmt: String)
@@ -884,9 +933,12 @@ object ClickHouseSql {
     val add = ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+ADD\\s+INDEX\\s+" +
       "(?:IF\\s+NOT\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s+(.+?)\\s+TYPE\\s+" +
       "([A-Za-z_0-9]+)(?:\\s*\\(\\s*(\\d+)[^)]*\\))?(?:\\s+GRANULARITY\\s+\\d+)?\\s*;?\\s*$").r
-    val drop = ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+(?:DROP|CLEAR)\\s+INDEX\\s+" +
+    val drop = ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+DROP\\s+INDEX\\s+" +
       "(?:IF\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$").r
-    val mat = "(?is)^ALTER\\s+TABLE\\s+\\S+\\s+MATERIALIZE\\s+INDEX\\b.*".r
+    val clear = ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+CLEAR\\s+INDEX\\s+" +
+      "(?:IF\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$").r
+    val mat = ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+MATERIALIZE\\s+INDEX\\s+" +
+      "([A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$").r
     stmt.trim match {
       case add(table, name, colSpec, kind0, param) =>
         val basePath = tableLocation(spark, table)
@@ -894,36 +946,40 @@ object ClickHouseSql {
         val idxDir = new org.apache.hadoop.fs.Path(
           spark.conf.get("spark.sql.warehouse.dir"),
           s"graft_skip_indexes/${table}_$name").toString
-        kind0.toLowerCase match {
-          case "bloom_filter" =>
-            graft.operators.SkipIndex.create(spark, basePath, idxDir, cols)
-            graft.plans.SkipIndexPruning.register(spark, basePath, idxDir, cols)
-            skipIndexes.put((table, name), (basePath, "bloom_filter", idxDir))
-          case "minmax" =>
-            graft.operators.SkipIndex.createMinMax(spark, basePath, idxDir, cols)
-            skipIndexes.put((table, name), (basePath, "minmax", idxDir))
-          case "ngrambf_v1" =>
-            val n = Option(param).map(_.toInt).getOrElse(3)
-            graft.operators.SkipIndex.createNgram(spark, basePath, idxDir,
-              cols.head, n = n)
-            skipIndexes.put((table, name), (basePath, "ngrambf_v1", idxDir))
-          case "set" =>
-            val maxVals = Option(param).map(_.toInt).getOrElse(100)
-            graft.operators.SkipIndex.createSet(spark, basePath, idxDir,
-              cols, maxValues = maxVals)
-            skipIndexes.put((table, name), (basePath, "set", idxDir))
-          case other => throw new IllegalArgumentException(
-            s"unsupported skip-index type $other (bloom_filter|minmax|ngrambf_v1|set)")
-        }
+        val kind = kind0.toLowerCase
+        if (!Set("bloom_filter", "minmax", "ngrambf_v1", "set").contains(kind))
+          throw new IllegalArgumentException(
+            s"unsupported skip-index type $kind (bloom_filter|minmax|ngrambf_v1|set)")
+        val m = SkipIdx(table, name, basePath, kind, idxDir, cols,
+          Option(param).map(_.toInt), cleared = false)
+        buildSkipIndex(spark, m)
+        skipIndexes.put((table, name), m)
         Seq("OK").toDF("status")
       case drop(table, name) =>
-        Option(skipIndexes.remove((table, name))).foreach {
-          case (basePath, kind, idxDir) =>
-            if (kind == "bloom_filter") graft.plans.SkipIndexPruning.drop(basePath)
-            graft.operators.SkipIndex.drop(spark, idxDir)
+        Option(skipIndexes.remove((table, name))).foreach { m =>
+          graft.plans.SkipIndexPruning.dropIndex(m.basePath, m.idxDir)
+          graft.operators.SkipIndex.drop(spark, m.idxDir)
         }
         Seq("OK").toDF("status")
-      case mat() => Seq("OK").toDF("status")
+      case clear(table, name) =>
+        // CLEAR INDEX: drop the BUILT structure and stop pruning, but keep
+        // the index declared (system.data_skipping_indices still lists it)
+        // so MATERIALIZE INDEX can rebuild it.
+        skipIndexes.computeIfPresent((table, name), (_, m) => {
+          graft.plans.SkipIndexPruning.dropIndex(m.basePath, m.idxDir)
+          graft.operators.SkipIndex.drop(spark, m.idxDir)
+          m.copy(cleared = true)
+        })
+        Seq("OK").toDF("status")
+      case mat(table, name) =>
+        // MATERIALIZE INDEX: rebuild from the table's current files (and
+        // un-clear a cleared index) — the reference's mutation that
+        // populates the index for existing parts.
+        skipIndexes.computeIfPresent((table, name), (_, m) => {
+          buildSkipIndex(spark, m)
+          m.copy(cleared = false)
+        })
+        Seq("OK").toDF("status")
       case other => throw new IllegalArgumentException(
         s"unsupported index DDL: $other")
     }

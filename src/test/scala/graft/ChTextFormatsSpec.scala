@@ -152,6 +152,21 @@ class ChTextFormatsSpec extends SparkFunSuite {
     assert(text == expected, s"got:\n$text")
   }
 
+  test("empty-string single-column row survives the TSV roundtrip") {
+    // r6 ADVICE: an empty line is a REAL row for a one-string-column
+    // schema; only the final row delimiter's trailing empty element drops
+    val one = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType, nullable = false)))
+    val src = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("alpha"), Row(""), Row("omega")), 1), one)
+    val p = tmp("tsv_empty")
+    ChTextFormats.writeTabSeparated(src, p)
+    val back = ChTextFormats.readTabSeparated(spark, p, one)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(back == Seq("", "alpha", "omega"), s"got $back")
+  }
+
   test("read parallelism is one task per part file") {
     val p = tmp("tsvp")
     ChTextFormats.writeTabSeparated(df.repartition(3), p)

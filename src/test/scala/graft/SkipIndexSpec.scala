@@ -161,6 +161,164 @@ class SkipIndexSpec extends SparkFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("transparent minmax: range conjuncts prune files, answers exact") {
+    val mmBase = Files.createTempDirectory("skipmm_auto").toString
+    Tables.load(spark, sf, "documents")
+      .repartitionByRange(6, col("doc_id"))
+      .write.mode("overwrite").parquet(s"$mmBase/data")
+    SkipIndex.createMinMax(spark, s"$mmBase/data", s"$mmBase/mm", Seq("doc_id"))
+    graft.plans.SkipIndexPruning.register(spark, s"$mmBase/data", s"$mmBase/mm",
+      Seq("doc_id"), kind = "minmax")
+    try {
+      val df = spark.read.parquet(s"$mmBase/data")
+        .filter(col("doc_id").between(5, 20))
+        .select("doc_id")
+      val scanned = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.inputFiles.length
+      }.sum
+      assert(scanned < 6, s"BETWEEN should minmax-prune: scanned $scanned of 6")
+      val viaRule = df.collect().map(_.getLong(0)).sorted
+      graft.plans.SkipIndexPruning.drop(s"$mmBase/data")
+      val full = spark.read.parquet(s"$mmBase/data")
+        .filter(col("doc_id").between(5, 20))
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+      assert(viaRule.toSeq == full.toSeq && full.nonEmpty)
+      // one-sided range prunes too
+      graft.plans.SkipIndexPruning.register(spark, s"$mmBase/data", s"$mmBase/mm",
+        Seq("doc_id"), kind = "minmax")
+      val oneSided = spark.read.parquet(s"$mmBase/data")
+        .filter(col("doc_id") < 10)
+      val scanned2 = oneSided.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.inputFiles.length
+      }.sum
+      assert(scanned2 < 6, s"doc_id < 10 should prune: $scanned2 of 6")
+      assert(oneSided.count() ==
+        { graft.plans.SkipIndexPruning.drop(s"$mmBase/data")
+          spark.read.parquet(s"$mmBase/data").filter(col("doc_id") < 10).count() })
+    } finally graft.plans.SkipIndexPruning.drop(s"$mmBase/data")
+  }
+
+  test("transparent ngrambf: LIKE/contains conjuncts prune files, answers exact") {
+    val ngBase = Files.createTempDirectory("skipng_auto").toString
+    val ss = SparkTestBase.spark
+    import ss.implicits._
+    val rows = (1 to 300).map { i =>
+      val marker = if (i == 7) " zyzzyvaquark " else " "
+      (i.toLong, s"common words here$marker row $i")
+    }
+    rows.toDF("id", "body").repartitionByRange(5, col("id"))
+      .write.mode("overwrite").parquet(s"$ngBase/data")
+    SkipIndex.createNgram(spark, s"$ngBase/data", s"$ngBase/ng", "body", n = 3)
+    graft.plans.SkipIndexPruning.register(spark, s"$ngBase/data", s"$ngBase/ng",
+      Seq("body"), kind = "ngrambf_v1")
+    try {
+      // LIKE '%needle%' simplifies to Contains by the time the rule runs
+      val df = spark.read.parquet(s"$ngBase/data")
+        .filter(col("body").like("%zyzzyvaquark%"))
+      val scanned = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.inputFiles.length
+      }.sum
+      assert(scanned < 5, s"LIKE should ngram-prune: scanned $scanned of 5")
+      assert(df.select("id").collect().map(_.getLong(0)).toSeq == Seq(7L))
+      // lower(body) contains — the Lower-wrapped attribute probes too
+      val viaLower = spark.read.parquet(s"$ngBase/data")
+        .filter(lower(col("body")).contains("zyzzyvaquark"))
+      val scannedL = viaLower.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.inputFiles.length
+      }.sum
+      assert(scannedL < 5 && viaLower.count() == 1)
+    } finally graft.plans.SkipIndexPruning.drop(s"$ngBase/data")
+  }
+
+  test("bloom probes cast to the indexed column's type (no false negatives)") {
+    fixture
+    val idBase = Files.createTempDirectory("skiptyped").toString
+    Tables.load(spark, sf, "documents")
+      .repartitionByRange(4, col("doc_id"))
+      .write.mode("overwrite").parquet(s"$idBase/data")
+    SkipIndex.create(spark, s"$idBase/data", s"$idBase/idx", Seq("doc_id"))
+    // Int probes against the LongType column: pre-fix these hashed on the
+    // Int lane and silently excluded every file
+    val viaInt = SkipIndex.scan(spark, s"$idBase/data", s"$idBase/idx",
+      "doc_id", Seq(5, 6, 7)).count()
+    val viaLong = SkipIndex.scan(spark, s"$idBase/data", s"$idBase/idx",
+      "doc_id", Seq(5L, 6L, 7L)).count()
+    assert(viaInt == 3 && viaLong == 3,
+      s"typed probes must agree: int=$viaInt long=$viaLong")
+  }
+
+  test("partitioned layouts: rule bails out; explicit scan keeps partition values") {
+    val pBase = Files.createTempDirectory("skippart").toString
+    Tables.load(spark, sf, "documents")
+      .write.mode("overwrite").partitionBy("lang").parquet(s"$pBase/data")
+    SkipIndex.create(spark, s"$pBase/data", s"$pBase/idx", Seq("source"))
+    graft.plans.SkipIndexPruning.register(spark, s"$pBase/data", s"$pBase/idx",
+      Seq("source"))
+    try {
+      // the transparent rule must NOT swap the location (partition values
+      // would be lost) — answers stay correct via the untouched scan
+      val df = spark.read.parquet(s"$pBase/data")
+        .filter(col("source") === "src3")
+      val viaRule = df.select("doc_id", "lang").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      graft.plans.SkipIndexPruning.drop(s"$pBase/data")
+      val full = spark.read.parquet(s"$pBase/data")
+        .filter(col("source") === "src3")
+        .select("doc_id", "lang").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      assert(viaRule.toSeq == full.toSeq && full.nonEmpty)
+      assert(viaRule.forall(_._2 != null), "partition values lost")
+      // the EXPLICIT pruned scan reads with basePath, so the hive
+      // partition column still materializes
+      val explicit = SkipIndex.scan(spark, s"$pBase/data", s"$pBase/idx",
+        "source", Seq("src3"))
+      assert(explicit.columns.contains("lang"))
+      assert(explicit.select("lang").collect().forall(_.getString(0) != null))
+      assert(explicit.count() == full.length)
+    } finally graft.plans.SkipIndexPruning.drop(s"$pBase/data")
+  }
+
+  test("mutations rebuild registered indexes; CLEAR/MATERIALIZE semantics") {
+    val t = "graft_idx_mut_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), t)
+    wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
+    Tables.load(spark, sf, "documents")
+      .repartitionByRange(4, col("source"), col("doc_id"))
+      .write.mode("overwrite").saveAsTable(t)
+    graft.sql.ClickHouseSql.sql(spark,
+      s"ALTER TABLE $t ADD INDEX s_idx source TYPE bloom_filter")
+    val before = graft.sql.ClickHouseSql.sql(spark,
+      s"SELECT COUNT(*) AS n FROM $t WHERE source = 'src3'").head().getLong(0)
+    assert(before > 0)
+    // lightweight DELETE rewrites the table's files with NEW names — the
+    // ADVICE r6 hazard: without a rebuild the index prunes on stale paths
+    graft.sql.ClickHouseSql.sql(spark,
+      s"DELETE FROM $t WHERE source = 'src1'")
+    val after = graft.sql.ClickHouseSql.sql(spark,
+      s"SELECT COUNT(*) AS n FROM $t WHERE source = 'src3'").head().getLong(0)
+    assert(after == before, s"post-DELETE count drifted: $after != $before")
+    assert(graft.sql.ClickHouseSql.sql(spark,
+      s"SELECT COUNT(*) AS n FROM $t WHERE source = 'src1'").head().getLong(0) == 0)
+    // CLEAR keeps the declaration visible but stops pruning
+    graft.sql.ClickHouseSql.sql(spark, s"ALTER TABLE $t CLEAR INDEX s_idx")
+    assert(graft.sql.ClickHouseSql.listSkipIndexes.exists(x =>
+      x._1 == t && x._2 == "s_idx"), "CLEAR must keep the metadata entry")
+    assert(graft.sql.ClickHouseSql.sql(spark,
+      s"SELECT COUNT(*) AS n FROM $t WHERE source = 'src3'").head().getLong(0) == before)
+    // MATERIALIZE rebuilds the cleared structure
+    graft.sql.ClickHouseSql.sql(spark, s"ALTER TABLE $t MATERIALIZE INDEX s_idx")
+    assert(graft.sql.ClickHouseSql.sql(spark,
+      s"SELECT COUNT(*) AS n FROM $t WHERE source = 'src3'").head().getLong(0) == before)
+    graft.sql.ClickHouseSql.sql(spark, s"ALTER TABLE $t DROP INDEX s_idx")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("set index: exact pruning under the cap, overflow degrades to match-all") {
     val setBase = Files.createTempDirectory("skipset").toString
     Tables.load(spark, sf, "documents")
