@@ -57,7 +57,15 @@ object Bench {
     "q_codec_delta_zstd",
     // round-6 extension: large-star/small-star contraction on the same
     // dedup graph as q_dedup_components — the O(log) rounds profile
-    "q_dedup_components_star")
+    "q_dedup_components_star",
+    // round-7: token-inverted-index-pruned conjunctive search — pass 1
+    // builds the index, passes 2..5 measure the steady-state PRUNED
+    // search (buildOnce); the files-read ratio prints in the io note
+    "q_text_search_index",
+    // round-7: lazy-materialization wide-table top-N — narrow sort +
+    // 20-row wide fetch; the wide-scan rows-read ratio prints in the io
+    // note (measured over a sort-clustered multi-file layout)
+    "q_lazy_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -145,8 +153,58 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Measured IO pruning (round-7 verdict #4): the index wins as
+    // NUMBERS, not only plan pins — files the token index admits vs the
+    // corpus file count, and rows the lazy-top-N wide scan actually
+    // emits (its FileSourceScan numOutputRows, i.e. post row-group/page
+    // pruning of the pushed IN-list) vs the table's row count, which is
+    // what the naive wide ORDER BY LIMIT scan must emit. Guarded: a
+    // failure degrades to an absent key, never a broken bench line.
+    val ioNote = try {
+      val tbase = s"/tmp/graft_textindex_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val totalFiles = spark.read.parquet(s"$tbase/data").inputFiles.length
+      val matchedFiles = graft.operators.TextIndex.matchingFiles(
+        spark, s"$tbase/index", Seq("dup", "vector")).size
+      // measure over a sort-column-clustered multi-file layout — the
+      // shape a top-N-heavy wide table has at 100 TB (the corpus file is
+      // a single small part, where no row-group pruning can show)
+      val ldir = s"/tmp/graft_lazybench_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+      import org.apache.spark.sql.functions.col
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .repartitionByRange(16, col("n_chars"), col("doc_id"))
+        .write.mode("overwrite").parquet(ldir)
+      val lazyDf = graft.operators.LazyTopK.topK(spark,
+        ldir, "doc_id", "n_chars",
+        descending = true, k = 20,
+        Seq("doc_id", "n_chars", "lang", "source", "text"))
+      lazyDf.collect()
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(qs.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          scans(r.child)
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec => Seq(sc)
+        case other => other.children.flatMap(scans)
+      }
+      // identity-distinct: AQE can expose the same scan node through both
+      // a materialized stage and the final plan — count it once
+      val wideRows = scans(lazyDf.queryExecution.executedPlan)
+        .foldLeft(List.empty[org.apache.spark.sql.execution.FileSourceScanExec]) {
+          (acc, sc) => if (acc.exists(_ eq sc)) acc else sc :: acc
+        }
+        .map(_.metrics.get("numOutputRows").map(_.value).getOrElse(0L)).sum
+      val tableRows = spark.read.parquet(ldir).count()
+      System.err.println(s"BENCH IO token index: $matchedFiles/$totalFiles files; " +
+        s"lazy topk wide scan: $wideRows/$tableRows rows")
+      s""","io":{"text_index_files_matched":$matchedFiles,"text_index_files_total":$totalFiles,"lazy_topk_wide_rows":$wideRows,"table_rows":$tableRows}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"BENCH io note failed: $e"); ""
+    }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"failed":$failedJson,"runs":$runs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"failed":$failedJson,"runs":$runs,"sf":"$sfDir"$ioNote}"""
     // stdout for the driver AND a file: sbt interleaves [info]/[error]
     // prefixes into stdout, which made BENCH_r01's "parsed" null — the
     // file copy is always a clean single JSON line.

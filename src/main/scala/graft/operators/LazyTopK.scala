@@ -32,14 +32,27 @@ object LazyTopK {
     val ord: Seq[Column] =
       if (descending) Seq(col(sortCol).desc, col(keyCol).asc)
       else Seq(col(sortCol).asc, col(keyCol).asc)
-    val winners = spark.read.parquet(path)
+    val winnerRows = spark.read.parquet(path)
       .select(keyCol, sortCol)
       .orderBy(ord: _*)
       .limit(k)
-      .select(keyCol)
-      .collect().map(_.get(0))
-    spark.read.parquet(path)
+      .collect()
+    val winners = winnerRows.map(_.get(0))
+    // Winners also bound the SORT column, and that bound is pushable:
+    // on a sort-column-clustered layout (the layout a top-N-heavy table
+    // wants) parquet row-group stats then skip every group outside the
+    // winning tail, so the wide columns decode for ~k-row neighborhoods
+    // instead of every group the IN-list can't exclude. Superset-safe by
+    // construction (every winner satisfies it); skipped if any winner's
+    // sort value is null (nulls sort last and would fail the bound).
+    val sortVals = winnerRows.map(_.get(1))
+    val bound: Option[Column] =
+      if (winnerRows.isEmpty || sortVals.contains(null)) None
+      else if (descending) Some(col(sortCol) >= lit(sortVals.last))
+      else Some(col(sortCol) <= lit(sortVals.last))
+    val base = spark.read.parquet(path)
       .filter(col(keyCol).isin(winners: _*))
+    bound.fold(base)(b => base.filter(b))
       .orderBy(ord: _*)
       .select(projectCols.map(col): _*)
   }
