@@ -304,6 +304,103 @@ object Formats extends QueryPack {
       graft.sources.ChTextFormats.writeCustomSeparated(src, path, "||", ";\n")
       graft.sources.ChTextFormats.readCustomSeparated(s, path, src.schema, "||", ";\n")
         .orderBy("s_suppkey")
+    },
+
+    // Npy round-trip (registerInputFormatNpy; NumPy v1.0 public spec):
+    // one Int64 column through sharded .npy parts — magic, padded dict
+    // header, raw LE array. The training-pipeline export/import lane.
+    Q.df("q_format_npy", """
+      SELECT COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS s,
+        MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi
+      FROM orders""") { (s, dir) =>
+      val src = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey")).repartition(3)
+      val path = fixtureDir("npy_orders", dir)
+      graft.sources.ChMiscFormats.writeNpy(src, path)
+      graft.sources.ChMiscFormats.readNpy(s, path, "o_orderkey")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("s"),
+          min("o_orderkey").as("lo"), max("o_orderkey").as("hi"))
+    },
+
+    // Npy Float64 lane: bit-exactness of the double array (the SUM under
+    // a DECIMAL cast pins every bit's survival).
+    Q.df("q_format_npy_f64", """
+      SELECT COUNT(*) AS n,
+        CAST(CAST(SUM(c_acctbal) AS DECIMAL(18,2)) AS DOUBLE) AS s
+      FROM (SELECT CAST(c_acctbal AS DOUBLE) AS c_acctbal FROM customer)""") { (s, dir) =>
+      val src = Tables.load(s, dir, "customer")
+        .select(col("c_acctbal").cast("double").as("c_acctbal")).repartition(2)
+      val path = fixtureDir("npy_bal", dir)
+      graft.sources.ChMiscFormats.writeNpy(src, path)
+      graft.sources.ChMiscFormats.readNpy(s, path, "c_acctbal")
+        .agg(count(lit(1)).as("n"),
+          sum("c_acctbal").cast("decimal(18,2)").cast("double").as("s"))
+    },
+
+    // LineAsString (registerInputFormatLineAsString): every line one row
+    // of a single String column, no escaping; interior empty lines are
+    // rows. Names are newline-free, so the lane round-trips exactly.
+    Q.df("q_format_lineasstring", """
+      SELECT c_name AS line FROM customer ORDER BY line""") { (s, dir) =>
+      val src = Tables.load(s, dir, "customer")
+        .select(col("c_name").as("line")).repartition(2)
+      val path = fixtureDir("lines_customer", dir)
+      graft.sources.ChMiscFormats.writeLineAsString(src, path)
+      graft.sources.ChMiscFormats.readLineAsString(s, path, "line")
+        .orderBy("line")
+    },
+
+    // RawBLOB (registerInputFormatRawBLOB): the whole stream is ONE
+    // value — sharded as one part file per row (the object-store blob
+    // layout); reading maps part → row and the bytes survive verbatim.
+    Q.df("q_format_rawblob", """
+      SELECT n_name FROM nation ORDER BY n_name""") { (s, dir) =>
+      val src = Tables.load(s, dir, "nation")
+        .select(encode(col("n_name"), "UTF-8").as("b"))
+      val path = fixtureDir("rawblob_nation", dir)
+      graft.sources.ChMiscFormats.writeRawBlob(src, path)
+      graft.sources.ChMiscFormats.readRawBlob(s, path)
+        .select(decode(col("raw_blob"), "UTF-8").as("n_name"))
+        .orderBy("n_name")
+    },
+
+    // JSONColumns (registerInputFormatJSONColumns): COLUMNAR JSON — one
+    // {"col": [...], ...} object per part/block; nulls ride as bare null
+    // inside the arrays.
+    Q.df("q_format_jsoncolumns", """
+      SELECT s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS bal,
+        CASE WHEN s_nationkey < 5 THEN NULL ELSE s_name END AS alt
+      FROM supplier ORDER BY s_suppkey""") { (s, dir) =>
+      val src = Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"),
+          col("s_acctbal").cast("double").as("bal"),
+          when(col("s_nationkey") < 5, lit(null).cast("string"))
+            .otherwise(col("s_name")).as("alt"))
+        .repartition(2)
+      val path = fixtureDir("jsoncolumns_supplier", dir)
+      graft.sources.ChTextFormats.writeJsonColumns(src, path)
+      graft.sources.ChTextFormats.readJsonColumns(s, path, src.schema)
+        .orderBy("s_suppkey")
+    },
+
+    // MsgPack (MsgPackRow*Format.cpp; layout per the public msgpack
+    // spec): per row one object per column — nil/bool/int/float64/str
+    // families; writer emits compact forms, reader accepts the full
+    // integer family.
+    Q.df("q_format_msgpack", """
+      SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS bal,
+        CASE WHEN c_mktsegment = 'MACHINERY' THEN NULL
+             ELSE c_mktsegment END AS seg
+      FROM customer ORDER BY c_custkey""") { (s, dir) =>
+      val src = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"),
+          col("c_acctbal").cast("double").as("bal"),
+          nullif(col("c_mktsegment"), lit("MACHINERY")).as("seg"))
+        .repartition(3)
+      val path = fixtureDir("msgpack_customer", dir)
+      graft.sources.ChMiscFormats.writeMsgPack(src, path)
+      graft.sources.ChMiscFormats.readMsgPack(s, path, src.schema)
+        .orderBy("c_custkey")
     }
   )
 }

@@ -707,4 +707,73 @@ object ChTextFormats {
       }
     spark.createDataFrame(rows, schema)
   }
+
+  // ----------------------------------------------------- JSONColumns
+  // registerInputFormatJSONColumns: one COLUMNAR JSON object per block —
+  // {"col": [v, v, ...], "col2": [...]}. Sharded rendering: one object
+  // per part file (block == part), arrays one per line so the reader can
+  // reuse the flat-array scanner. Null cells ride as bare null.
+
+  def writeJsonColumns(df: DataFrame, path: String): Unit = {
+    val schema = df.schema
+    prepareDir(path)
+    df.rdd.mapPartitionsWithIndex { (idx, rows) =>
+      val buf = rows.toArray
+      writePart(path, idx, "jsoncolumns") { w =>
+        w.write("{\n")
+        schema.fields.zipWithIndex.foreach { case (f, i) =>
+          w.write("\"" + jsonEscape(f.name) + "\": [")
+          var j = 0
+          while (j < buf.length) {
+            if (j > 0) w.write(", ")
+            w.write(jsonCell(f.dataType, buf(j), i))
+            j += 1
+          }
+          w.write(if (i < schema.fields.length - 1) "],\n" else "]\n")
+        }
+        w.write("}\n")
+      }
+      Iterator.empty
+    }.count()
+    ()
+  }
+
+  def readJsonColumns(spark: SparkSession, path: String,
+      schema: StructType): DataFrame = {
+    val parts = listParts(path, "jsoncolumns")
+    val rows = spark.sparkContext.parallelize(parts, math.max(parts.length, 1))
+      .flatMap { file =>
+        // per part: one {"name": [...], ...} object, arrays one per line
+        val byName = scala.collection.mutable.Map.empty[String, IndexedSeq[(String, Boolean)]]
+        rowLines(readPartText(file)).foreach { line =>
+          val t = line.trim
+          if (t.nonEmpty && t != "{" && t != "}") {
+            require(t.startsWith("\""), s"JSONColumns: bad column line $t")
+            var pos = 1
+            val sb = new StringBuilder
+            while (t.charAt(pos) != '\"') {
+              if (t.charAt(pos) == '\\') { sb.append(t.charAt(pos + 1)); pos += 2 }
+              else { sb.append(t.charAt(pos)); pos += 1 }
+            }
+            val rest = t.substring(pos + 1).trim.stripPrefix(":").trim
+              .stripSuffix(",")
+            byName(sb.toString) = parseJsonArray(rest)
+          }
+        }
+        val cols = schema.fields.map { f =>
+          byName.getOrElse(f.name,
+            sys.error(s"JSONColumns: column ${f.name} missing in $file"))
+        }
+        val n = if (cols.isEmpty) 0 else cols.head.length
+        require(cols.forall(_.length == n), s"JSONColumns: ragged arrays in $file")
+        (0 until n).iterator.map { j =>
+          Row.fromSeq(schema.fields.indices.map { i =>
+            val (cell, quoted) = cols(i)(j)
+            if (!quoted && cell == "null") null
+            else parseRaw(schema.fields(i).dataType, cell)
+          })
+        }
+      }
+    spark.createDataFrame(rows, schema)
+  }
 }

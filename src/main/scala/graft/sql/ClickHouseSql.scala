@@ -552,6 +552,16 @@ object ClickHouseSql {
           case "tsvwithnames" | "tabseparatedwithnames" =>
             w.option("sep", "\t").option("header", "true").csv(path)
           case "csvwithnames" => w.option("header", "true").csv(path)
+          // round-7 format tail: the graft-native writers ride the same
+          // OUTFILE dispatch the reference's output-format registry serves
+          case "npy" => graft.sources.ChMiscFormats.writeNpy(df, path)
+          case "lineasstring" =>
+            graft.sources.ChMiscFormats.writeLineAsString(df, path)
+          case "rawblob" => graft.sources.ChMiscFormats.writeRawBlob(df, path)
+          case "msgpack" => graft.sources.ChMiscFormats.writeMsgPack(df, path)
+          case "jsoncolumns" =>
+            graft.sources.ChTextFormats.writeJsonColumns(df, path)
+          case "rowbinary" => graft.sources.ChWireFormats.writeRowBinary(df, path)
           case _ => w.csv(path)
         }
         import spark.implicits._
