@@ -33,6 +33,23 @@ object TextIndex {
   def tokensOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     filter(split(lower(c), "[^a-z0-9_]+"), t => length(t) > 0)
 
+  /** Adjacent-token bigrams ("a b") of the token array — the PHRASE lane
+    * of the index (the reference GIN's positional pruning re-expressed as
+    * order-preserving postings: MergeTreeIndexGin.cpp). Tokens can't
+    * contain spaces, so bigram grams can never collide with token grams
+    * and both lanes share one posting table. */
+  private def bigramsOf(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  /** All grams (tokens + adjacent bigrams) of a text column. */
+  private def gramsOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val toks = tokensOf(c)
+    array_distinct(concat(toks, bigramsOf(toks)))
+  }
+
   /** Write `docs` as an `nFiles`-way parquet layout at `dataDir` and its
     * (token → file) inverted index at `indexDir`. The index build is one
     * distributed pass over the just-written files: explode distinct tokens
@@ -45,7 +62,7 @@ object TextIndex {
       .write.mode("overwrite").parquet(dataDir)
     spark.read.parquet(dataDir)
       .select(col("_metadata.file_path").as("file"),
-        explode(array_distinct(tokensOf(col(textCol)))).as("token"))
+        explode(gramsOf(col(textCol))).as("token"))
       .distinct()
       .write.mode("overwrite").parquet(indexDir)
   }
@@ -104,6 +121,47 @@ object TextIndex {
       array_contains(tokensOf(col(textCol)), t)).reduce(_ || _))
   }
 
+  /** Files that can contain `phrase` as ADJACENT tokens: every adjacent
+    * bigram of the phrase must post for the file (single-token phrases
+    * degrade to the token lane). Strictly tighter than AND-of-tokens —
+    * a file holding "slow ... hash" but never "slow hash" is pruned. */
+  def matchingFilesPhrase(spark: SparkSession, indexDir: String,
+      phrase: Seq[String]): Seq[String] = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val grams =
+      if (phrase.length == 1) phrase
+      else phrase.sliding(2).map(_.mkString(" ")).toSeq
+    matchingFiles(spark, indexDir, grams.distinct)
+  }
+
+  /** Phrase search riding the bigram lane: scan only the files whose
+    * postings cover every phrase bigram, then re-verify the EXACT
+    * adjacent-token run per row (the GIN contract: the index prunes,
+    * the row check decides). Result-identical to the full phrase scan
+    * (oracled in q_text_phrase_index). */
+  def searchPhrase(spark: SparkSession, dataDir: String, indexDir: String,
+      phrase: Seq[String], textCol: String = "text"): DataFrame = {
+    val files = matchingFilesPhrase(spark, indexDir, phrase)
+    val scan =
+      if (files.isEmpty) spark.read.parquet(dataDir).limit(0)
+      else spark.read.parquet(files: _*)
+    scan.filter(phraseMatch(col(textCol), phrase))
+  }
+
+  /** Exact phrase predicate on the shared tokenizer: some window of
+    * `phrase.length` consecutive tokens equals the phrase. */
+  def phraseMatch(text: org.apache.spark.sql.Column,
+      phrase: Seq[String]): org.apache.spark.sql.Column = {
+    val k = phrase.length
+    val toks = tokensOf(text)
+    val target = array(phrase.map(lit): _*)
+    // sequence(1, 0) DESCENDS in Spark — guard short docs explicitly
+    when(size(toks) >= k,
+      exists(sequence(lit(1), size(toks) - (k - 1)),
+        i => slice(toks, i, lit(k)) === target))
+      .otherwise(lit(false))
+  }
+
   /** Incremental maintenance: append `docs` as new files and index ONLY
     * those files' postings (the reference's text skip index is likewise
     * built per inserted part, never by corpus rebuild). The new-file set
@@ -115,7 +173,7 @@ object TextIndex {
     val indexed = spark.read.parquet(indexDir).select("file").distinct()
     val newPostings = spark.read.parquet(dataDir)
       .select(col("_metadata.file_path").as("file"),
-        explode(array_distinct(tokensOf(col(textCol)))).as("token"))
+        explode(gramsOf(col(textCol))).as("token"))
       .join(indexed, Seq("file"), "left_anti")
       .distinct()
     newPostings.write.mode("append").parquet(indexDir)

@@ -73,6 +73,33 @@ object IndexQueries extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // PHRASE search on the same posting table (round 7 — the GIN
+    // positional contract, MergeTreeIndexGin.cpp): files must cover every
+    // adjacent BIGRAM of the phrase, then rows re-verify the exact
+    // consecutive-token run. Oracle = the full-scan phrase predicate
+    // stated in both engines' array algebra.
+    Q.df("q_text_phrase_index", """
+      WITH w AS (SELECT doc_id, lang,
+          LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9_]+'),
+                      t -> LEN(t) > 0) AS ws
+        FROM documents)
+      SELECT doc_id, lang FROM w
+      WHERE LEN(ws) >= 2 AND LIST_CONTAINS(
+        LIST_TRANSFORM(GENERATE_SERIES(1, LEN(ws) - 1),
+                       i -> ws[i] || ' ' || ws[i+1]),
+        'vector small')
+      ORDER BY doc_id""") { (s, dir) =>
+      val base = s"/tmp/graft_textindex_${key(dir)}"
+      buildOnce(base) {
+        TextIndex.create(s, Tables.load(s, dir, "documents"),
+          s"$base/data", s"$base/index", nFiles = 32)
+      }
+      TextIndex.searchPhrase(s, s"$base/data", s"$base/index",
+          Seq("vector", "small"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
     // Lazy materialization (optimizeLazyMaterialization): top-20 longest
     // documents — the narrow scan sorts (doc_id, n_chars) only, the wide
     // text column is read for the 20 winners via a pushed IN filter

@@ -464,6 +464,54 @@ object StorageQueries extends QueryPack {
       SystemTables.dictionaries(s).filter(col("name") === "sysd_nat")
     },
 
+    // system.metrics (StorageSystemMetrics.cpp — round 7): current-value
+    // execution gauges. Values are live, so the oracle states the STABLE
+    // facts: the inventory of metric names and that every gauge is sane
+    // (non-negative) at read time.
+    Q.df("q_system_metrics", """
+      SELECT * FROM (VALUES
+        ('ActiveJobs', TRUE), ('ActiveStages', TRUE), ('CachedRDDs', TRUE),
+        ('DefaultParallelism', TRUE), ('Executors', TRUE),
+        ('SessionSQLShufflePartitions', TRUE)
+      ) t(metric, sane) ORDER BY metric""") { (s, dir) =>
+      SystemTables.metrics(s)
+        .select(col("metric"), (col("value") >= 0).as("sane"))
+        .orderBy("metric")
+    },
+
+    // system.events (StorageSystemEvents.cpp — round 7): monotonic
+    // counters. A probe dialect query and a probe job run first, then the
+    // async listener bus is flushed (awaitEvent — the SYSTEM FLUSH LOGS
+    // analog), so every counter is provably past zero.
+    Q.df("q_system_events", """
+      SELECT * FROM (VALUES
+        ('JobsStarted', TRUE), ('Query', TRUE),
+        ('StagesCompleted', TRUE), ('TasksCompleted', TRUE)
+      ) t(event, counted) ORDER BY event""") { (s, dir) =>
+      SystemTables.ensureEventCounters(s)
+      graft.sql.ClickHouseSql.sql(s, "SELECT 1 AS sys_events_probe").collect()
+      Tables.load(s, dir, "nation").count()
+      SystemTables.awaitEvent(s, "TasksCompleted", 1)
+      SystemTables.events(s)
+        .select(col("event"), (col("value") >= 1).as("counted"))
+        .orderBy("event")
+    },
+
+    // system.asynchronous_metrics (StorageSystemAsynchronousMetrics.cpp —
+    // round 7): background process/OS gauges (the reference samples
+    // MemoryResident, jemalloc.*; the JVM analogs are the management
+    // beans). Oracle = name inventory + non-negativity.
+    Q.df("q_system_async_metrics", """
+      SELECT * FROM (VALUES
+        ('AvailableProcessors', TRUE), ('GCCollections', TRUE),
+        ('MemoryHeapCommitted', TRUE), ('MemoryHeapUsed', TRUE),
+        ('ThreadCount', TRUE), ('UptimeMs', TRUE)
+      ) t(metric, sane) ORDER BY metric""") { (s, dir) =>
+      SystemTables.asynchronousMetrics(s)
+        .select(col("metric"), (col("value") >= 0).as("sane"))
+        .orderBy("metric")
+    },
+
     // system.columns (StorageSystemColumns.cpp): column inventory with
     // positions and types.
     Q.df("q_system_columns", """

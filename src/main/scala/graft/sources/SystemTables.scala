@@ -98,4 +98,106 @@ object SystemTables {
     graft.sql.ClickHouseSql.listSkipIndexes
       .toDF("table", "name", "type", "data_path")
   }
+
+  // ---- round-7 introspection tail: metrics / events / async metrics ----
+
+  /** system.metrics analog (StorageSystemMetrics.cpp — CURRENT-value
+    * gauges like Query/Merge/TCPConnection): the session's live execution
+    * gauges from the public status tracker. */
+  def metrics(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val st = spark.sparkContext.statusTracker
+    Seq(
+      ("ActiveJobs", st.getActiveJobIds().length.toLong),
+      ("ActiveStages", st.getActiveStageIds().length.toLong),
+      ("Executors", st.getExecutorInfos.length.toLong),
+      ("DefaultParallelism", spark.sparkContext.defaultParallelism.toLong),
+      ("CachedRDDs", spark.sparkContext.getPersistentRDDs.size.toLong),
+      ("SessionSQLShufflePartitions",
+        spark.conf.get("spark.sql.shuffle.partitions").toLong)
+    ).toDF("metric", "value")
+  }
+
+  /** Monotonic event counters for [[events]] — installed once per
+    * SparkContext (the reference's ProfileEvents increment globally the
+    * same way). */
+  private object EventCounters extends org.apache.spark.scheduler.SparkListener {
+    val jobsStarted = new java.util.concurrent.atomic.AtomicLong
+    val stagesCompleted = new java.util.concurrent.atomic.AtomicLong
+    val tasksCompleted = new java.util.concurrent.atomic.AtomicLong
+    private val installed =
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[org.apache.spark.SparkContext, java.lang.Boolean])
+    def ensure(spark: SparkSession): Unit = synchronized {
+      if (installed.add(spark.sparkContext))
+        spark.sparkContext.addSparkListener(this)
+    }
+    override def onJobStart(
+        e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+      { jobsStarted.incrementAndGet(); () }
+    override def onStageCompleted(
+        e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      { stagesCompleted.incrementAndGet(); () }
+    override def onTaskEnd(
+        e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      { tasksCompleted.incrementAndGet(); () }
+  }
+
+  /** Install the event-counter listener (idempotent); call before the
+    * workload whose events should be observable. */
+  def ensureEventCounters(spark: SparkSession): Unit =
+    EventCounters.ensure(spark)
+
+  /** system.events analog (StorageSystemEvents.cpp — MONOTONIC counters
+    * like Query/SelectQuery/MergedRows): dialect-query and scheduler
+    * counters since the listener was installed. The listener bus is
+    * asynchronous; `awaitEvent` polls a counter past a floor, the same
+    * contract as the reference's SYSTEM FLUSH LOGS before reading logs. */
+  def events(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    EventCounters.ensure(spark)
+    Seq(
+      ("Query", graft.sql.ClickHouseSql.queryLog.size.toLong),
+      ("JobsStarted", EventCounters.jobsStarted.get()),
+      ("StagesCompleted", EventCounters.stagesCompleted.get()),
+      ("TasksCompleted", EventCounters.tasksCompleted.get())
+    ).toDF("event", "value")
+  }
+
+  /** Block until the named event counter reaches `atLeast` (bounded
+    * wait) — the async listener bus's flush primitive. */
+  def awaitEvent(spark: SparkSession, event: String, atLeast: Long,
+      timeoutMs: Long = 10000): Unit = {
+    def now(): Long = event match {
+      case "JobsStarted" => EventCounters.jobsStarted.get()
+      case "StagesCompleted" => EventCounters.stagesCompleted.get()
+      case "TasksCompleted" => EventCounters.tasksCompleted.get()
+      case _ => Long.MaxValue
+    }
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (now() < atLeast && System.nanoTime() < deadline) Thread.sleep(20)
+  }
+
+  /** system.asynchronous_metrics analog
+    * (StorageSystemAsynchronousMetrics.cpp — background-sampled process/
+    * OS gauges like MemoryResident/jemalloc.*): the JVM's own management
+    * beans, sampled at query time. */
+  def asynchronousMetrics(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val rt = java.lang.management.ManagementFactory.getRuntimeMXBean
+    val mem = java.lang.management.ManagementFactory.getMemoryMXBean
+    val th = java.lang.management.ManagementFactory.getThreadMXBean
+    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    import scala.jdk.CollectionConverters._
+    val gc = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionCount).sum
+    Seq(
+      ("UptimeMs", rt.getUptime),
+      ("MemoryHeapUsed", mem.getHeapMemoryUsage.getUsed),
+      ("MemoryHeapCommitted", mem.getHeapMemoryUsage.getCommitted),
+      ("ThreadCount", th.getThreadCount.toLong),
+      ("GCCollections", gc),
+      ("AvailableProcessors", os.getAvailableProcessors.toLong)
+    ).toDF("metric", "value")
+  }
 }

@@ -571,10 +571,39 @@ object ClickHouseSql {
     // a trailing FORMAT clause on a SELECT names the client-side output
     // serialization (the wire codecs live in sources/ChWireFormats); the
     // query result itself is format-independent, so strip it
-    val trimmed =
+    val trimmedNoFmt =
       if (trimmed0.matches("(?is)^(SELECT|WITH)\\b.*\\sFORMAT\\s+[A-Za-z0-9]+\\s*;?\\s*$"))
         trimmed0.replaceFirst("(?is)\\s+FORMAT\\s+[A-Za-z0-9]+\\s*;?\\s*$", "")
       else trimmed0
+    // `FROM system.<t>` in a SELECT (StorageSystemFactory routing): the
+    // argless system tables materialize as temp views on demand and the
+    // reference-spelled name rewrites to the view. Arg-taking tables
+    // (columns/parts) stay API-only.
+    if (trimmedNoFmt.matches("(?is)^(SELECT|WITH)\\b.*") &&
+        trimmedNoFmt.matches("(?is).*\\bsystem\\.[a-z_]+.*")) {
+      val servable = Map(
+        "tables" -> (() => graft.sources.SystemTables.tables(spark)),
+        "functions" -> (() => graft.sources.SystemTables.functions(spark)),
+        "settings" -> (() => graft.sources.SystemTables.settings(spark)),
+        "query_log" -> (() => graft.sources.SystemTables.queryLog(spark)),
+        "dictionaries" -> (() => graft.sources.SystemTables.dictionaries(spark)),
+        "data_skipping_indices" ->
+          (() => graft.sources.SystemTables.dataSkippingIndices(spark)),
+        "metrics" -> (() => graft.sources.SystemTables.metrics(spark)),
+        "events" -> (() => graft.sources.SystemTables.events(spark)),
+        "asynchronous_metrics" ->
+          (() => graft.sources.SystemTables.asynchronousMetrics(spark)))
+      "\\bsystem\\.([a-z_]+)\\b".r.findAllMatchIn(trimmedNoFmt)
+        .map(_.group(1)).toSeq.distinct
+        .filter(servable.contains)
+        .foreach { t =>
+          servable(t)().createOrReplaceTempView(s"graft_system_$t")
+        }
+    }
+    val trimmed = trimmedNoFmt.replaceAll(
+      "(?i)\\bsystem\\.(tables|functions|settings|query_log|dictionaries|" +
+        "data_skipping_indices|metrics|events|asynchronous_metrics)\\b",
+      "graft_system_$1")
     if (Dictionaries.matches(trimmed))
       Dictionaries.execute(spark, trimmed)
     else if (trimmed.matches("(?is)^DESC(RIBE)?(\\s+TABLE)?\\s+[A-Za-z_][A-Za-z0-9_.]*\\s*;?\\s*$")) {

@@ -130,4 +130,28 @@ class DialectSpec extends SparkFunSuite {
     assert(probe() == "again")
     ClickHouseSql.sql(spark, "DROP DICTIONARY reload_dict")
   }
+
+  test("SELECT ... FROM system.<t> resolves the introspection tables") {
+    val m = ClickHouseSql.sql(spark,
+      "SELECT metric, value FROM system.metrics ORDER BY metric")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m.contains("Executors") && m("DefaultParallelism") >= 1)
+    val am = ClickHouseSql.sql(spark,
+      "SELECT COUNT(*) AS n FROM system.asynchronous_metrics WHERE value >= 0")
+      .head().getLong(0)
+    assert(am == 6)
+    // events counters move when a query runs through the dialect
+    graft.sources.SystemTables.ensureEventCounters(spark)
+    ClickHouseSql.sql(spark, "SELECT 42 AS ev_probe").collect()
+    val q = ClickHouseSql.sql(spark,
+      "SELECT value FROM system.events WHERE event = 'Query'")
+      .head().getLong(0)
+    assert(q >= 1)
+    // a WHERE over system.tables narrows like any relation
+    spark.sql("SELECT 1 AS x").createOrReplaceTempView("syssel_probe_t")
+    val t = ClickHouseSql.sql(spark,
+      "SELECT name FROM system.tables WHERE name = 'syssel_probe_t'")
+      .collect().map(_.getString(0)).toSeq
+    assert(t == Seq("syssel_probe_t"))
+  }
 }

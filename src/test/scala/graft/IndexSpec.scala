@@ -58,6 +58,40 @@ class IndexSpec extends SparkFunSuite {
       Seq("nosuchtok")).count() == 0)
   }
 
+  test("phrase lane: adjacent-bigram pruning is tighter than AND-of-tokens") {
+    // planted: one doc with the EXACT phrase, one decoy with all three
+    // tokens present but never adjacent — token-AND admits both files,
+    // the phrase lane admits only the true one
+    val docs = Tables.load(spark, sf, "documents")
+      .unionByName(spark.sql(
+        """SELECT 777001L AS doc_id, 'zqxalpha zqxbeta zqxgamma here' AS text,
+           'en' AS lang, 'spec' AS source, 30L AS n_chars"""))
+      .unionByName(spark.sql(
+        """SELECT 777002L AS doc_id,
+           'zqxalpha pad zqxbeta pad zqxgamma' AS text,
+           'en' AS lang, 'spec' AS source, 33L AS n_chars"""))
+    TextIndex.create(spark, docs, s"$base/pdata", s"$base/pindex", nFiles = 16)
+    val tokens = Seq("zqxalpha", "zqxbeta", "zqxgamma")
+    val byTokens = TextIndex.matchingFiles(spark, s"$base/pindex", tokens)
+    val byPhrase = TextIndex.matchingFilesPhrase(spark, s"$base/pindex", tokens)
+    assert(byPhrase.size < byTokens.size,
+      s"phrase should prune tighter: phrase=$byPhrase tokens=$byTokens")
+    val hits = TextIndex.searchPhrase(spark, s"$base/pdata", s"$base/pindex",
+      tokens).select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(hits == Seq(777001L), s"got $hits")
+    // full-scan equality on a corpus phrase
+    val viaIndex = TextIndex.searchPhrase(spark, s"$base/pdata", s"$base/pindex",
+        Seq("vector", "small"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val full = spark.read.parquet(s"$base/pdata")
+      .filter(TextIndex.phraseMatch(col("text"), Seq("vector", "small")))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaIndex == full && full.nonEmpty)
+    // an adjacent pair absent from the corpus prunes everything
+    assert(TextIndex.searchPhrase(spark, s"$base/pdata", s"$base/pindex",
+      Seq("zqxgamma", "zqxalpha")).count() == 0)
+  }
+
   test("incremental append indexes only the new files; new docs searchable") {
     val docs = Tables.load(spark, sf, "documents")
     TextIndex.create(spark, docs, s"$base/adata", s"$base/aindex", nFiles = 8)
