@@ -62,6 +62,76 @@ object Components {
     lab
   }
 
+  /** ADAPTIVE connected components (round 7 — the production default):
+    * pick the algorithm from the data's shape instead of asking the
+    * caller to know it.
+    *
+    *  - Skew probe (giant-component detector): one propagation round,
+    *    then the max label frequency. A giant component (hub-shaped
+    *    near-dup cluster: boilerplate, templates) concentrates label mass
+    *    onto its minimum immediately — if one label already covers ≥
+    *    `giantFraction` of nodes (and more than the absolute floor, so a
+    *    small corpus never flips), the O(log²)-round star contraction
+    *    takes over before propagation burns a round per hop.
+    *  - Patience fallback: a long CHAIN hides from the frequency probe
+    *    (its label mass stays flat while labels keep moving), so if
+    *    propagation is still moving labels after `patience` rounds the
+    *    graph hands over to star contraction instead of marching toward
+    *    the maxRounds failure.
+    *
+    * Output contract identical to both underlying algorithms; at dedup's
+    * typical tiny-component shape this IS min-label propagation plus one
+    * cheap probe aggregate. */
+  def connectedComponentsAuto(
+      edges: DataFrame,
+      src: String = "src",
+      dst: String = "dst",
+      giantFraction: Double = 0.05,
+      giantFloor: Long = 1000L,
+      patience: Int = 8,
+      maxRounds: Int = 30): DataFrame = {
+    val sym = edges.select(col(src).as("s"), col(dst).as("d"))
+      .union(edges.select(col(dst).as("s"), col(src).as("d")))
+      .distinct()
+      .localCheckpoint()
+    val nodes = sym.select(col("s").as("doc_id")).distinct()
+    // round 1 of propagation doubles as the skew probe
+    val lab1 = nodes
+      .join(sym.groupBy(col("s").as("doc_id")).agg(min("d").as("nb")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        least(col("doc_id"), coalesce(col("nb"), col("doc_id"))).as("label"))
+      .localCheckpoint()
+    val n = lab1.count()
+    if (n == 0) return lab1
+    val maxFreq = lab1.groupBy("label").count()
+      .agg(max("count")).head().getLong(0)
+    if (maxFreq >= math.max(giantFloor.toDouble, giantFraction * n))
+      return connectedComponentsStar(edges, src, dst, maxRounds)
+    // propagation with patience: continue from the probed labels
+    var lab = lab1
+    var round = 1
+    var moved = 1L
+    while (moved > 0) {
+      round += 1
+      if (round > patience)
+        return connectedComponentsStar(edges, src, dst, maxRounds)
+      val nb = sym
+        .join(lab.withColumnRenamed("doc_id", "d"), Seq("d"))
+        .groupBy(col("s").as("doc_id"))
+        .agg(min("label").as("nl"))
+      val next = lab.withColumnRenamed("label", "__old")
+        .join(nb, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("__old"), coalesce(col("nl"), col("__old"))).as("label"),
+          col("__old"))
+        .localCheckpoint()
+      moved = next.filter(col("label") =!= col("__old")).count()
+      lab = next.drop("__old")
+    }
+    lab
+  }
+
   /** Connected components by alternating large-star / small-star edge
     * contraction (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii,
     * "Connected Components in MapReduce and Beyond", SoCC 2014). Same

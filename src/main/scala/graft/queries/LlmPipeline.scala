@@ -1017,7 +1017,11 @@ object LlmPipeline extends QueryPack {
         .filter(jaccard(col("wa"), col("wb")) >= 0.8)
         .select(col("id_a"), col("id_b"))
       val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      graft.operators.Components.connectedComponents(edges)
+      // ADAPTIVE algorithm choice (round 7): a skew probe picks star
+      // contraction for giant components / long chains, min-label
+      // propagation otherwise — this corpus's tiny clusters take the
+      // propagation path, so the oracle and plan are unchanged.
+      graft.operators.Components.connectedComponentsAuto(edges)
         .select(col("doc_id"), col("label").as("component"),
           (col("doc_id") === col("label")).as("is_canonical"))
         .orderBy("doc_id")

@@ -58,6 +58,36 @@ class ComponentsStarSpec extends SparkFunSuite {
     assert(empty.count() == 0)
   }
 
+  test("auto: giant hub takes the star path and labels correctly") {
+    // 2500 spokes → after one propagation round every spoke holds label 0:
+    // max label frequency 2501 ≥ max(floor, 5% of n) → star contraction
+    val hub = (1L to 2500L).map(i => (0L, i))
+    val side = Seq((9000L, 9001L))
+    val auto = labelsOf(Components.connectedComponentsAuto(
+      (hub ++ side).toDF("src", "dst")))
+    assert((0L to 2500L).forall(auto(_) == 0L))
+    assert(auto(9000L) == 9000L && auto(9001L) == 9000L)
+  }
+
+  test("auto: long chain escapes propagation via the patience fallback") {
+    // a 60-hop chain needs ~60 propagation rounds — plain propagation
+    // throws at its cap, auto switches to star and finishes
+    val edges = (0L until 60L).map(i => (i, i + 1)).toDF("src", "dst")
+    intercept[IllegalStateException] {
+      Components.connectedComponents(edges, maxRounds = 10)
+    }
+    val auto = labelsOf(Components.connectedComponentsAuto(edges))
+    assert((0L to 60L).forall(auto(_) == 0L))
+  }
+
+  test("auto equals propagation on a small mixed graph") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L),
+      (22L, 20L)).toDF("src", "dst")
+    val auto = labelsOf(Components.connectedComponentsAuto(edges))
+    val prop = labelsOf(Components.connectedComponents(edges))
+    assert(auto == prop)
+  }
+
   test("self-loops and duplicate edges are absorbed") {
     val df = Seq((1L, 1L), (1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L)).toDF("src", "dst")
     val star = labelsOf(Components.connectedComponentsStar(df))
