@@ -18,6 +18,53 @@ object FunctionTail2 extends QueryPack {
 
   override def queries: Seq[Q] = Seq(
 
+    // Round-7 registry tail: base58/base32 codecs (published schemes;
+    // 'Hello World!' -> '2NEpo7TZRRrLZSi2U' is the classic base58 test
+    // vector), geohash encode/decode (public algorithm; sqc8b4 is
+    // Palermo's published cell), addDate/subDate interval arithmetic,
+    // UTC tz converters, and the id-generator shape contracts
+    // (nondeterministic values -> the oracle states the invariants).
+    ch("q_fn_codec_tail4", """
+      SELECT
+        base58Encode('Hello World!') AS b58,
+        base58Decode('2NEpo7TZRRrLZSi2U') AS b58d,
+        base32Encode('graft') AS b32,
+        base32Decode('M5ZGCZTU') AS b32d,
+        tryBase58Decode('0bad') IS NULL AS b58_bad,
+        tryBase32Decode('1!') IS NULL AS b32_bad,
+        geohashEncode(13.361389, 38.115556, 6) AS gh,
+        round(geohashDecode('sqc8b4').longitude, 4) AS gh_lon,
+        round(geohashDecode('sqc8b4').latitude, 4) AS gh_lat,
+        array_contains(geohashesInBox(13.0, 38.0, 13.4, 38.2, 4), 'sqc8') AS gh_box,
+        CAST(addDate(DATE '2024-01-31', INTERVAL 1 MONTH) AS STRING) AS ad,
+        CAST(subDate(DATE '2024-03-01', INTERVAL 1 DAY) AS STRING) AS sd,
+        CAST(fromUTCTimestamp(TIMESTAMP '2024-06-01 12:00:00', 'UTC') AS STRING) AS futc,
+        length(generateULID()) AS ulid_len,
+        generateUUIDv7() RLIKE '^[0-9a-f]{8}-[0-9a-f]{4}-7[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$' AS v7_shape,
+        generateUUIDv4() RLIKE '^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[0-9a-f]{4}-[0-9a-f]{12}$' AS v4_shape,
+        generateSnowflakeID() > 0 AS snow_pos,
+        length(FQDN()) > 0 AS has_fqdn""",
+      """
+      SELECT
+        '2NEpo7TZRRrLZSi2U' AS b58,
+        'Hello World!' AS b58d,
+        'M5ZGCZTU' AS b32,
+        'graft' AS b32d,
+        TRUE AS b58_bad,
+        TRUE AS b32_bad,
+        'sqc8b4' AS gh,
+        13.3649 AS gh_lon,
+        38.1143 AS gh_lat,
+        TRUE AS gh_box,
+        '2024-02-29' AS ad,
+        '2024-02-29' AS sd,
+        '2024-06-01 12:00:00' AS futc,
+        CAST(26 AS INT) AS ulid_len,
+        TRUE AS v7_shape,
+        TRUE AS v4_shape,
+        TRUE AS snow_pos,
+        TRUE AS has_fqdn"""),
+
     // Scalar bitmap algebra readouts (FunctionsBitmap.h). The Roaring64
     // payload is opaque; cardinalities, sorted member arrays, membership
     // and subset ops are exact and oracle-stated as list arithmetic.

@@ -433,7 +433,7 @@ object ChFunctionRegistry {
     coreBuilders ++ ChRegistryArrays.builders ++ ChRegistryExt.builders ++
       ChRegistryUrlDate.builders ++ ChRegistryMisc.builders ++
       ChRegistryTail.builders ++ ChRegistryTail2.builders ++
-      ChRegistryTail3.builders ++
+      ChRegistryTail3.builders ++ ChRegistryTail4.builders ++
       ChRegistryWide.builders ++ Dictionaries.builders
 
   /** Install the aliases into the session's function registry — but ONLY
