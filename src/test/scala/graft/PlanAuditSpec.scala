@@ -191,10 +191,16 @@ class PlanAuditSpec extends SparkFunSuite {
       "span text being materialized through an exchange")
   }
 
-  test("semantic dedup broadcasts centroids; cell self-join is shuffled") {
+  test("semantic dedup assigns cells map-side; cell self-join is shuffled") {
     val p = planOf("q_dedup_semantic")
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
-      "centroid scoring must broadcast the centroid table")
+    // round-7: centroid scoring is a per-row argmax over a driver-resident
+    // centroid array (VectorIndex.withCell) — the former broadcast
+    // crossJoin + row_number window (an nCells× corpus expansion plus a
+    // shuffle) must be GONE from the assignment
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "centroid scoring regressed to the crossJoin expansion")
+    assert(!p.contains("Window"),
+      "centroid assignment regressed to the row_number window")
     assert(p.contains("ShuffledHashJoin"),
       "per-cell pair join lost its shuffle_hash pin")
     assert(!p.contains("CartesianProduct"),
