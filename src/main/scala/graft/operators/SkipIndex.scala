@@ -149,10 +149,12 @@ object SkipIndex {
     val data = spark.read.parquet(dataDir)
       .select(col("_metadata.file_path").as("__file") +: columns.map(col): _*)
     val aggs = columns.flatMap { c =>
+      // try_cast on the double lane: string columns (prefix pruning rides
+      // the string lane) would throw under ANSI on a plain cast
       Seq(min(col(c)).cast("string").as(s"__mn_$c"),
         max(col(c)).cast("string").as(s"__mx_$c"),
-        min(col(c)).cast("double").as(s"__mnd_$c"),
-        max(col(c)).cast("double").as(s"__mxd_$c"))
+        expr(s"try_cast(min($c) as double)").as(s"__mnd_$c"),
+        expr(s"try_cast(max($c) as double)").as(s"__mxd_$c"))
     }
     val perFile = data.groupBy("__file").agg(aggs.head, aggs.tail: _*)
     columns.map { c =>

@@ -175,7 +175,15 @@ object SkipIndexPruning {
         case Contains(t, l: Literal) if l.value != null =>
           textAttr(t).flatMap(a => ngram(a, l.value.toString))
         case StartsWith(t, l: Literal) if l.value != null =>
-          textAttr(t).flatMap(a => ngram(a, l.value.toString))
+          // a prefix is ALSO a range: every match lies in
+          // [prefix, prefix + U+FFFF] on the string lane, so a minmax
+          // index prunes LIKE 'abc%' like the reference's primary-key
+          // prefix analysis; ngram covers the substring superset.
+          textAttr(t).flatMap { a =>
+            val pre = l.value.toString
+            mmBound(a, Some(pre), Some(pre + "￿"))
+              .orElse(ngram(a, pre))
+          }
         case EndsWith(t, l: Literal) if l.value != null =>
           textAttr(t).flatMap(a => ngram(a, l.value.toString))
         case _ => None

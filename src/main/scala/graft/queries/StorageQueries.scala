@@ -512,6 +512,38 @@ object StorageQueries extends QueryPack {
         .orderBy("metric")
     },
 
+    // system.databases + system.processes (round 7): the catalog always
+    // holds default/spark_catalog; processes shows only in-flight jobs,
+    // so between queries it is empty — both stable facts.
+    Q.df("q_system_databases", """
+      SELECT 'default' AS name, TRUE AS has_path,
+        CAST(0 AS BIGINT) AS idle_processes""") { (s, dir) =>
+      val dbs = SystemTables.databases(s)
+        .filter(col("name") === "default")
+        .select(col("name"), (length(col("data_path")) >= 0).as("has_path"))
+      val procs = SystemTables.processes(s).count()
+      dbs.withColumn("idle_processes", lit(procs))
+    },
+
+    // ParquetMetadata input format (ParquetMetadataInputFormat.cpp):
+    // reading a file THROUGH the format yields its footer as rows. The
+    // fixture is self-written (one part, 25 nation rows, 3 columns), so
+    // the metadata is a literal the oracle states.
+    Q.df("q_format_parquet_metadata", """
+      SELECT 1 AS n_files, 0 AS row_group, CAST(25 AS BIGINT) AS num_rows,
+        3 AS num_columns, TRUE AS sized""") { (s, dir) =>
+      val path = "/tmp/graft_pqmeta_fixture"
+      Tables.load(s, dir, "nation").coalesce(1)
+        .write.mode("overwrite").parquet(path)
+      val md = graft.sources.ChMiscFormats.readParquetMetadata(s, path)
+      md.agg(countDistinct(col("file")).cast("int").as("n_files"),
+          min("row_group").as("row_group"),
+          sum("num_rows").as("num_rows"),
+          max("num_columns").as("num_columns"),
+          (min("total_byte_size") > 0 && min("total_compressed_size") > 0)
+            .as("sized"))
+    },
+
     // system.columns (StorageSystemColumns.cpp): column inventory with
     // positions and types.
     Q.df("q_system_columns", """

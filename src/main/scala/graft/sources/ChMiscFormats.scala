@@ -246,6 +246,49 @@ object ChMiscFormats {
     spark.createDataFrame(rows, schema)
   }
 
+  // ----------------------------------------------------- ParquetMetadata
+  // registerInputFormatParquetMetadata: reading a parquet file THROUGH
+  // this format yields its metadata as rows instead of its data — the
+  // introspection lane for layout debugging. One row per row group with
+  // file, row-group ordinal, row count, byte sizes and column count;
+  // footer-only reads (listing a 100 TB layout touches metadata, not
+  // data), one task per file.
+
+  def readParquetMetadata(spark: SparkSession, path: String): DataFrame = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files: Seq[String] =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).map(_.toString).toSeq.sorted
+      else Seq(path)
+    val schema = StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("row_group", IntegerType, nullable = false),
+      StructField("num_rows", LongType, nullable = false),
+      StructField("total_byte_size", LongType, nullable = false),
+      StructField("total_compressed_size", LongType, nullable = false),
+      StructField("num_columns", IntegerType, nullable = false)))
+    val rows = spark.sparkContext
+      .parallelize(files, math.max(files.length, 1))
+      .flatMap { file =>
+        val hp = new Path(file)
+        val conf = new Configuration()
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hp, conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val md = reader.getFooter
+          val nCols = md.getFileMetaData.getSchema.getFieldCount
+          import scala.jdk.CollectionConverters._
+          md.getBlocks.asScala.zipWithIndex.map { case (b, i) =>
+            Row(hp.getName, i, b.getRowCount, b.getTotalByteSize,
+              b.getCompressedSize, nCols)
+          }.toList
+        } finally reader.close()
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
   // ------------------------------------------------------------- MsgPack
   // Public msgpack spec (msgpack.org format spec; the reference's
   // MsgPackRowInputFormat consumes the same families): per row, one

@@ -99,6 +99,26 @@ object SystemTables {
       .toDF("table", "name", "type", "data_path")
   }
 
+  /** system.databases (StorageSystemDatabases.cpp): catalog inventory. */
+  def databases(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.catalog.listDatabases().collect()
+      .map(d => (d.name, Option(d.locationUri).map(_.toString).getOrElse("")))
+      .toSeq.toDF("name", "data_path")
+  }
+
+  /** system.processes (StorageSystemProcesses.cpp — running queries):
+    * the session's active Spark jobs. Usually empty between queries —
+    * the reference's table likewise shows only in-flight work. */
+  def processes(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val st = spark.sparkContext.statusTracker
+    st.getActiveJobIds().toSeq.flatMap { id =>
+      st.getJobInfo(id).map(j =>
+        (id, j.stageIds().length, j.status().toString))
+    }.toDF("job_id", "n_stages", "status")
+  }
+
   // ---- round-7 introspection tail: metrics / events / async metrics ----
 
   /** system.metrics analog (StorageSystemMetrics.cpp — CURRENT-value

@@ -200,6 +200,31 @@ class SkipIndexSpec extends SparkFunSuite {
     } finally graft.plans.SkipIndexPruning.drop(s"$mmBase/data")
   }
 
+  test("transparent minmax: LIKE 'prefix%' prunes on the string lane") {
+    val pfxBase = Files.createTempDirectory("skippfx").toString
+    Tables.load(spark, sf, "documents")
+      .repartitionByRange(8, col("source"), col("doc_id"))
+      .write.mode("overwrite").parquet(s"$pfxBase/data")
+    SkipIndex.createMinMax(spark, s"$pfxBase/data", s"$pfxBase/mm", Seq("source"))
+    graft.plans.SkipIndexPruning.register(spark, s"$pfxBase/data", s"$pfxBase/mm",
+      Seq("source"), kind = "minmax")
+    try {
+      // LIKE 'src1%' simplifies to StartsWith → [prefix, prefix+U+FFFF]
+      val df = spark.read.parquet(s"$pfxBase/data")
+        .filter(col("source").like("src1%"))
+      val scanned = df.queryExecution.executedPlan.collect {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+          sc.relation.location.inputFiles.length
+      }.sum
+      assert(scanned < 8, s"prefix should minmax-prune: scanned $scanned of 8")
+      val viaRule = df.count()
+      graft.plans.SkipIndexPruning.drop(s"$pfxBase/data")
+      val full = spark.read.parquet(s"$pfxBase/data")
+        .filter(col("source").like("src1%")).count()
+      assert(viaRule == full && full > 0)
+    } finally graft.plans.SkipIndexPruning.drop(s"$pfxBase/data")
+  }
+
   test("transparent ngrambf: LIKE/contains conjuncts prune files, answers exact") {
     val ngBase = Files.createTempDirectory("skipng_auto").toString
     val ss = SparkTestBase.spark
