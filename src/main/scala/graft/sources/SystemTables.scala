@@ -184,6 +184,22 @@ object SystemTables {
     ).toDF("event", "value")
   }
 
+  /** Drain heuristic for the async listener bus: sample the counters
+    * until two consecutive snapshots agree (bounded) — the SYSTEM FLUSH
+    * LOGS rendering when no specific floor is known. */
+  def flushEvents(spark: SparkSession, timeoutMs: Long = 2000): Unit = {
+    EventCounters.ensure(spark)
+    def snap() = (EventCounters.jobsStarted.get(),
+      EventCounters.stagesCompleted.get(), EventCounters.tasksCompleted.get())
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var prev = snap()
+    Thread.sleep(50)
+    var cur = snap()
+    while (cur != prev && System.nanoTime() < deadline) {
+      prev = cur; Thread.sleep(50); cur = snap()
+    }
+  }
+
   /** Block until the named event counter reaches `atLeast` (bounded
     * wait) — the async listener bus's flush primitive. */
   def awaitEvent(spark: SparkSession, event: String, atLeast: Long,

@@ -807,6 +807,16 @@ object ClickHouseSql {
       queryCache.clear()
       import spark.implicits._
       Seq("OK").toDF("status")
+    } else if (trimmed.matches("(?is)^SYSTEM\\s+FLUSH\\s+LOGS\\s*;?\\s*$")) {
+      // SYSTEM FLUSH LOGS (InterpreterSystemQuery): drain the async
+      // listener bus so system.events/query_log reads observe everything
+      // issued before this statement.
+      graft.sources.SystemTables.flushEvents(spark)
+      import spark.implicits._
+      Seq("OK").toDF("status")
+    } else if (trimmed.matches("(?is)^SHOW\\s+PROCESSLIST\\s*;?\\s*$")) {
+      // SHOW PROCESSLIST (ParserShowProcesslistQuery) → system.processes
+      graft.sources.SystemTables.processes(spark)
     } else {
       val result = spark.sql(rewrite(expandSchemaTransformers(spark, trimmed)))
       // use_query_cache = 1 (reference Settings use_query_cache →

@@ -147,6 +147,11 @@ class DialectSpec extends SparkFunSuite {
       "SELECT value FROM system.events WHERE event = 'Query'")
       .head().getLong(0)
     assert(q >= 1)
+    // SYSTEM FLUSH LOGS drains the bus; SHOW PROCESSLIST = system.processes
+    assert(ClickHouseSql.sql(spark, "SYSTEM FLUSH LOGS")
+      .head().getString(0) == "OK")
+    assert(ClickHouseSql.sql(spark, "SHOW PROCESSLIST").columns.toSeq ==
+      Seq("job_id", "n_stages", "status"))
     // a WHERE over system.tables narrows like any relation
     spark.sql("SELECT 1 AS x").createOrReplaceTempView("syssel_probe_t")
     val t = ClickHouseSql.sql(spark,
