@@ -75,6 +75,22 @@ object SkipIndexPruning {
         case rest => rest
       })
 
+  /** One pruning decision per (relation, index) the rule applied —
+    * drained by the dialect's EXPLAIN indexes = 1 (the reference's
+    * EXPLAIN indexes output: which index ran, parts before/after). */
+  final case class Decision(dataPath: String, kind: String,
+      columns: Set[String], admitted: Int, total: Int)
+
+  private val decisions =
+    new java.util.concurrent.ConcurrentLinkedQueue[Decision]()
+
+  def clearDecisions(): Unit = decisions.clear()
+
+  def lastDecisions: Seq[Decision] = {
+    import scala.jdk.CollectionConverters._
+    decisions.iterator().asScala.toSeq
+  }
+
   private val installed =
     java.util.Collections.newSetFromMap(
       new java.util.WeakHashMap[SparkSession, java.lang.Boolean])
@@ -215,11 +231,15 @@ object SkipIndexPruning {
                 c <- conjuncts(cond)
                 idx <- idxs
                 s <- fileSet(idx, c)
-              } yield s
+              } yield (idx, s)
               if (sets.isEmpty) None
               else {
-                val files = sets.reduce(_ intersect _).toSeq.sorted
+                val files = sets.map(_._2).reduce(_ intersect _).toSeq.sorted
                 val total = fs.location.inputFiles.length
+                sets.groupBy(_._1).foreach { case (idx, ss) =>
+                  decisions.add(Decision(idx.dataPath, idx.kind, idx.columns,
+                    ss.map(_._2).reduce(_ intersect _).size, total))
+                }
                 if (files.size >= total) None
                 else {
                   val newLocation = new InMemoryFileIndex(spark,

@@ -13,6 +13,15 @@ object DialectQueries extends QueryPack {
 
   override def queries: Seq[Q] = Seq(
 
+    // optimize_trivial_count_query (round 7): a bare count() answers from
+    // parquet FOOTERS (plans/TrivialCount) — zero executor tasks, no
+    // scan; the no-FileScan plan is pinned in PlanAuditSpec. The oracle
+    // is the plain count, which the footer sums must equal exactly.
+    ch("q_ch_trivial_count",
+      "SELECT count() AS n FROM lineitem",
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem"),
+
+
     // PREWHERE + FORMAT strip + CH function names, all at once.
     ch("q_ch_prewhere", """
       SELECT l_returnflag, count() AS n,

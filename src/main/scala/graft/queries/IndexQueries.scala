@@ -321,6 +321,33 @@ object IndexQueries extends QueryPack {
         .orderBy("source")
     },
 
+    // EXPLAIN indexes = 1 (round 7 — the reference's index-usage explain):
+    // the report lists which skip index the transparent rule applied and
+    // how many files survived. The oracle states the stable facts: one
+    // bloom decision on `source`, strictly pruned.
+    Q.df("q_ch_explain_indexes", """
+      SELECT 'bloom_filter' AS index_type, 'source' AS columns,
+        TRUE AS pruned, TRUE AS sane""") { (s, dir) =>
+      graft.Tables.register(s, dir)
+      s.sql("DROP TABLE IF EXISTS graft_idx_explain_t")
+      val wh = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "graft_idx_explain_t")
+      wh.getFileSystem(s.sparkContext.hadoopConfiguration).delete(wh, true)
+      Tables.load(s, dir, "documents")
+        .repartitionByRange(8, col("source"), col("doc_id"))
+        .write.mode("overwrite").saveAsTable("graft_idx_explain_t")
+      graft.sql.ClickHouseSql.sql(s,
+        "ALTER TABLE graft_idx_explain_t ADD INDEX se_idx source TYPE bloom_filter")
+      graft.sql.ClickHouseSql.sql(s, """
+        EXPLAIN indexes = 1
+        SELECT lang, COUNT(*) FROM graft_idx_explain_t WHERE source = 'src5'
+        GROUP BY lang""")
+        .select(col("index_type"), col("columns"),
+          (col("files_admitted") < col("files_total")).as("pruned"),
+          (col("files_admitted") >= 1 && col("files_total") >= 2).as("sane"))
+        .limit(1)
+    },
+
     // system.data_skipping_indices (StorageSystemDataSkippingIndices.cpp):
     // the DDL-created indexes are introspectable; the oracle states the
     // expected inventory literally.

@@ -531,6 +531,9 @@ object ClickHouseSql {
 
   private def sqlImpl(spark: SparkSession, chSql: String): DataFrame = {
     ChFunctionRegistry.install(spark)
+    // optimize_trivial_count_query analog: bare SELECT count() answers
+    // from parquet footers (graft.plans.TrivialCount), never scanning
+    graft.plans.TrivialCount.install(spark)
     val trimmed0 = chSql.trim
     // INTO OUTFILE 'path' [FORMAT fmt] (ParserQueryWithOutput): execute
     // the query and write the result where the client asked —
@@ -771,6 +774,25 @@ object ClickHouseSql {
       }
       import spark.implicits._
       Seq("OK").toDF("status")
+    } else if (trimmed.matches("(?is)^EXPLAIN\\s+indexes\\s*=\\s*1\\b.*")) {
+      // EXPLAIN indexes = 1 (the reference's index-usage explain:
+      // InterpreterExplainQuery with indexes setting — which skip index
+      // ran, parts before/after): optimize the query and report the
+      // pruning decisions the transparent rule took.
+      val q = trimmed.replaceFirst("(?is)^EXPLAIN\\s+indexes\\s*=\\s*1\\s+", "")
+      graft.plans.SkipIndexPruning.clearDecisions()
+      val df = sql(spark, q)
+      df.queryExecution.optimizedPlan // force optimization → decisions
+      val ds = graft.plans.SkipIndexPruning.lastDecisions
+      import spark.implicits._
+      if (ds.isEmpty)
+        Seq.empty[(String, String, String, Int, Int)]
+          .toDF("data_path", "index_type", "columns", "files_admitted",
+            "files_total")
+      else ds.map(d => (d.dataPath, d.kind, d.columns.toSeq.sorted.mkString(","),
+          d.admitted, d.total))
+        .toDF("data_path", "index_type", "columns", "files_admitted",
+          "files_total")
     } else if (trimmed.matches("(?is)^EXPLAIN\\s+SYNTAX\\b.*")) {
       // reference EXPLAIN SYNTAX shows the rewritten query — here, the
       // dialect translation itself

@@ -191,6 +191,25 @@ class PlanAuditSpec extends SparkFunSuite {
       "span text being materialized through an exchange")
   }
 
+  test("trivial count answers from footers: no FileScan in the plan") {
+    graft.Tables.register(spark, sf)
+    val df = graft.sql.ClickHouseSql.sql(spark,
+      "SELECT count() AS n FROM lineitem")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan"),
+      s"bare count() must fold to footer metadata, got:\n$plan")
+    // footer sum equals the scanned truth
+    val real = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    assert(df.head().getLong(0) == real)
+    // a FILTERED count still scans (the rule must not over-fire)
+    val filtered = graft.sql.ClickHouseSql.sql(spark,
+      "SELECT count() AS n FROM lineitem WHERE l_quantity > 10")
+    assert(filtered.queryExecution.executedPlan.toString.contains("FileScan"))
+    assert(filtered.head().getLong(0) ==
+      spark.read.parquet(s"$sf/lineitem.parquet")
+        .filter(org.apache.spark.sql.functions.col("l_quantity") > 10).count())
+  }
+
   test("semantic dedup assigns cells map-side; cell self-join is shuffled") {
     val p = planOf("q_dedup_semantic")
     // round-7: centroid scoring is a per-row argmax over a driver-resident
