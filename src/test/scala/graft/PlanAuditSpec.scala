@@ -210,6 +210,28 @@ class PlanAuditSpec extends SparkFunSuite {
         .filter(org.apache.spark.sql.functions.col("l_quantity") > 10).count())
   }
 
+  test("trivial min/max folds from footer statistics; unsupported shapes scan") {
+    graft.Tables.register(spark, sf)
+    val df = graft.sql.ClickHouseSql.sql(spark,
+      "SELECT count() AS n, min(l_orderkey) AS mn, max(l_orderkey) AS mx, " +
+        "min(l_shipdate) AS d0, max(l_shipdate) AS d1 FROM lineitem")
+    assert(!df.queryExecution.executedPlan.toString.contains("FileScan"),
+      "count+min+max over int/date columns must fold to footer stats")
+    val base = spark.read.parquet(s"$sf/lineitem.parquet")
+    import org.apache.spark.sql.functions._
+    val truth = base.agg(count(lit(1)), min("l_orderkey"), max("l_orderkey"),
+      min("l_shipdate"), max("l_shipdate")).head()
+    assert(df.head() == truth, s"${df.head()} != $truth")
+    // a DOUBLE min (NaN-unsound stats) must NOT fold
+    val dbl = graft.sql.ClickHouseSql.sql(spark,
+      "SELECT min(l_quantity) AS m FROM lineitem")
+    assert(dbl.queryExecution.executedPlan.toString.contains("FileScan"))
+    // a STRING min must NOT fold (truncatable binary stats)
+    val str = graft.sql.ClickHouseSql.sql(spark,
+      "SELECT min(l_returnflag) AS m FROM lineitem")
+    assert(str.queryExecution.executedPlan.toString.contains("FileScan"))
+  }
+
   test("semantic dedup assigns cells map-side; cell self-join is shuffled") {
     val p = planOf("q_dedup_semantic")
     // round-7: centroid scoring is a per-row argmax over a driver-resident
