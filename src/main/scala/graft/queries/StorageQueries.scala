@@ -512,6 +512,36 @@ object StorageQueries extends QueryPack {
         .orderBy("metric")
     },
 
+    // DETACH/ATTACH TABLE (round 7 — InterpreterDropQuery's detach
+    // branch + ATTACH): the table leaves the catalog with its data
+    // surviving in a _detached dir (O(1) rename), and ATTACH restores
+    // both. Oracle states the roundtrip invariants literally.
+    Q.df("q_ch_detach_attach", """
+      SELECT CAST(25 AS BIGINT) AS n_after, 0 AS visible_detached,
+        TRUE AS survived""") { (s, dir) =>
+      val t = "graft_detach_t"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), t)
+      wh.getFileSystem(s.sparkContext.hadoopConfiguration).delete(wh, true)
+      Tables.load(s, dir, "nation").write.mode("overwrite").saveAsTable(t)
+      graft.sql.ClickHouseSql.sql(s, s"DETACH TABLE $t")
+      val gone = if (s.catalog.tableExists(t)) 1 else 0
+      graft.sql.ClickHouseSql.sql(s, s"ATTACH TABLE $t")
+      val back = s.table(t).count()
+      val df = s.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(back, gone, back == 25L)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n_after",
+            org.apache.spark.sql.types.LongType, false),
+          org.apache.spark.sql.types.StructField("visible_detached",
+            org.apache.spark.sql.types.IntegerType, false),
+          org.apache.spark.sql.types.StructField("survived",
+            org.apache.spark.sql.types.BooleanType, false))))
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      df
+    },
+
     // system.databases + system.processes (round 7): the catalog always
     // holds default/spark_catalog; processes shows only in-flight jobs,
     // so between queries it is empty — both stable facts.

@@ -713,6 +713,41 @@ object ClickHouseSql {
         case _ => throw new IllegalArgumentException(
           "unsupported CREATE MATERIALIZED VIEW form")
       }
+    } else if (trimmed.matches("(?is)^DETACH\\s+TABLE\\b.*")) {
+      // DETACH TABLE (InterpreterDropQuery detach branch): the table
+      // leaves the catalog but its DATA survives — the files move O(1)
+      // to a `_detached` sibling (the same rename the partition
+      // lifecycle uses) so the managed DROP has nothing to purge;
+      // ATTACH TABLE reverses both steps.
+      import spark.implicits._
+      val t = trimmed.replaceFirst("(?is)^DETACH\\s+TABLE\\s+", "")
+        .replaceFirst(";\\s*$", "").trim
+      val loc = tableLocation(spark, t)
+      val schemaDdl = spark.table(t).schema.toDDL
+      val fs = new org.apache.hadoop.fs.Path(loc)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val det = new org.apache.hadoop.fs.Path(loc + "_detached")
+      fs.delete(det, true)
+      fs.rename(new org.apache.hadoop.fs.Path(loc), det)
+      spark.sql(s"DROP TABLE $t")
+      detachedTables.put(t, (schemaDdl, loc))
+      Seq("OK").toDF("status")
+    } else if (trimmed.matches("(?is)^ATTACH\\s+TABLE\\b.*")) {
+      import spark.implicits._
+      val t = trimmed.replaceFirst("(?is)^ATTACH\\s+TABLE\\s+", "")
+        .replaceFirst(";\\s*$", "").trim
+      Option(detachedTables.remove(t)) match {
+        case Some((schemaDdl, loc)) =>
+          val fs = new org.apache.hadoop.fs.Path(loc)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.rename(new org.apache.hadoop.fs.Path(loc + "_detached"),
+            new org.apache.hadoop.fs.Path(loc))
+          spark.sql(
+            s"CREATE TABLE $t ($schemaDdl) USING parquet LOCATION '$loc'")
+        case None => throw new IllegalArgumentException(
+          s"ATTACH TABLE $t: no detached table of that name")
+      }
+      Seq("OK").toDF("status")
     } else if (trimmed.matches("(?is)^EXCHANGE\\s+TABLES\\b.*")) {
       // EXCHANGE TABLES a AND b (InterpreterRenameQuery exchange=true):
       // atomic in the reference; here a triple rename through a temp name
@@ -949,6 +984,10 @@ object ClickHouseSql {
   private final case class SkipIdx(table: String, name: String,
       basePath: String, kind: String, idxDir: String, columns: Seq[String],
       param: Option[Int], cleared: Boolean)
+
+  /** name → (schema DDL, data location) for DETACH/ATTACH TABLE. */
+  private val detachedTables =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
   private val skipIndexes =
     new java.util.concurrent.ConcurrentHashMap[(String, String), SkipIdx]()
