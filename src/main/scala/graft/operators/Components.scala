@@ -102,10 +102,14 @@ object Components {
       .select(col("doc_id"),
         least(col("doc_id"), coalesce(col("nb"), col("doc_id"))).as("label"))
       .localCheckpoint()
-    val n = lab1.count()
-    if (n == 0) return lab1
-    val maxFreq = lab1.groupBy("label").count()
-      .agg(max("count")).head().getLong(0)
+    // ONE probe action: per-label counts aggregate to (max frequency,
+    // node count) together — the probe must stay near-free on the common
+    // tiny-component path
+    val probe = lab1.groupBy("label").count()
+      .agg(max("count"), sum("count")).head()
+    if (probe.isNullAt(1)) return lab1 // empty graph
+    val maxFreq = probe.getLong(0)
+    val n = probe.getLong(1)
     if (maxFreq >= math.max(giantFloor.toDouble, giantFraction * n))
       return connectedComponentsStar(edges, src, dst, maxRounds)
     // propagation with patience: continue from the probed labels
