@@ -383,6 +383,48 @@ object Formats extends QueryPack {
         .orderBy("s_suppkey")
     },
 
+    // Regexp input format (RegexpRowInputFormat.cpp): each line must
+    // match the pattern; capture groups bind to columns in order. The
+    // fixture is a pipe-delimited rendering of customer written through
+    // LineAsString.
+    Q.df("q_format_regexp", """
+      SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS bal
+      FROM customer ORDER BY c_custkey""") { (s, dir) =>
+      val src = Tables.load(s, dir, "customer")
+        .select(concat(col("c_custkey"), lit("|"), col("c_name"), lit("|"),
+          col("c_acctbal").cast("double")).as("line"))
+        .repartition(2)
+      val path = fixtureDir("regexp_customer", dir)
+      graft.sources.ChMiscFormats.writeLineAsString(src, path)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("c_custkey",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("c_name",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("bal",
+          org.apache.spark.sql.types.DoubleType, nullable = false)))
+      graft.sources.ChMiscFormats.readRegexp(s, path, schema,
+        "(\\d+)\\|([^|]*)\\|(-?[0-9.E-]+)")
+        .orderBy("c_custkey")
+    },
+
+    // JSONAsString input format (JSONAsStringRowInputFormat.cpp): each
+    // top-level JSON object becomes one raw-text row; typed access then
+    // goes through get_json_object — the "ingest now, parse later" lane.
+    Q.df("q_format_jsonasstring", """
+      SELECT COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS s,
+        CAST(SUM(n_regionkey) AS BIGINT) AS r
+      FROM nation""") { (s, dir) =>
+      val path = fixtureDir("jsonasstring_nation", dir)
+      Tables.load(s, dir, "nation").repartition(2)
+        .write.mode("overwrite").json(path)
+      graft.sources.ChMiscFormats.readJsonAsString(s, path)
+        .select(
+          get_json_object(col("json"), "$.n_nationkey").cast("long").as("k"),
+          get_json_object(col("json"), "$.n_regionkey").cast("long").as("g"))
+        .agg(count(lit(1)).as("n"), sum("k").as("s"), sum("g").as("r"))
+    },
+
     // MsgPack (MsgPackRow*Format.cpp; layout per the public msgpack
     // spec): per row one object per column — nil/bool/int/float64/str
     // families; writer emits compact forms, reader accepts the full

@@ -246,6 +246,104 @@ object ChMiscFormats {
     spark.createDataFrame(rows, schema)
   }
 
+  // -------------------------------------------------------------- Regexp
+  // registerInputFormatRegexp (RegexpRowInputFormat.cpp): every LINE must
+  // match `regex`; capture groups bind to schema columns IN ORDER. A
+  // non-matching line throws unless skipUnmatched (the reference's
+  // format_regexp_skip_unmatched setting). Typed via the same raw-text
+  // parser contract the text formats use (numerics/bool/string).
+
+  def readRegexp(spark: SparkSession, path: String, schema: StructType,
+      regex: String, skipUnmatched: Boolean = false,
+      ext: String = "lines"): DataFrame = {
+    val parts = listParts(path, ext)
+    val rows = spark.sparkContext
+      .parallelize(parts, math.max(parts.length, 1))
+      .flatMap { file =>
+        val pat = java.util.regex.Pattern.compile(regex)
+        val text = new String(readPartBytes(file), StandardCharsets.UTF_8)
+        val all = text.split("\n", -1)
+        val lines = if (all.nonEmpty && all.last.isEmpty) all.dropRight(1) else all
+        lines.iterator.flatMap { line =>
+          val m = pat.matcher(line)
+          if (!m.matches()) {
+            if (skipUnmatched) None
+            else throw new IllegalArgumentException(
+              s"Regexp format: line does not match: $line")
+          } else {
+            require(m.groupCount() == schema.fields.length,
+              s"Regexp format: ${m.groupCount()} groups for " +
+                s"${schema.fields.length} columns")
+            Some(Row.fromSeq(schema.fields.indices.map { i =>
+              val g = m.group(i + 1)
+              if (g == null) null
+              else schema.fields(i).dataType match {
+                case StringType => g
+                case ByteType => g.toByte
+                case ShortType => g.toShort
+                case IntegerType => g.toInt
+                case LongType => g.toLong
+                case FloatType => g.toFloat
+                case DoubleType => g.toDouble
+                case BooleanType => g == "true" || g == "1"
+                case other => throw new IllegalArgumentException(
+                  s"Regexp format: unsupported type $other")
+              }
+            }))
+          }
+        }
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
+  // -------------------------------------------------------- JSONAsString
+  // registerInputFormatJSONAsString (JSONAsStringRowInputFormat.cpp):
+  // every TOP-LEVEL JSON object in the stream becomes one row of a
+  // single String column holding the raw object text — objects may be
+  // newline-, comma-, or array-delimited; string-aware brace scanning
+  // finds the boundaries.
+
+  def readJsonAsString(spark: SparkSession, path: String,
+      column: String = "json", ext: String = "json"): DataFrame = {
+    val parts = listParts(path, ext)
+    val schema = StructType(Seq(StructField(column, StringType, nullable = false)))
+    val rows = spark.sparkContext
+      .parallelize(parts, math.max(parts.length, 1))
+      .flatMap { file =>
+        val text = new String(readPartBytes(file), StandardCharsets.UTF_8)
+        val out = List.newBuilder[Row]
+        var depth = 0
+        var start = -1
+        var inStr = false
+        var esc = false
+        var i = 0
+        while (i < text.length) {
+          val c = text.charAt(i)
+          if (inStr) {
+            if (esc) esc = false
+            else if (c == '\\') esc = true
+            else if (c == '"') inStr = false
+          } else c match {
+            case '"' if depth > 0 => inStr = true
+            case '{' =>
+              if (depth == 0) start = i
+              depth += 1
+            case '}' =>
+              depth -= 1
+              if (depth == 0 && start >= 0) {
+                out += Row(text.substring(start, i + 1))
+                start = -1
+              }
+            case _ => ()
+          }
+          i += 1
+        }
+        require(depth == 0 && !inStr, s"JSONAsString: unbalanced input in $file")
+        out.result()
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
   // ----------------------------------------------------- ParquetMetadata
   // registerInputFormatParquetMetadata: reading a parquet file THROUGH
   // this format yields its metadata as rows instead of its data — the

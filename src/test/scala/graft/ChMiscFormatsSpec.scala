@@ -108,6 +108,47 @@ class ChMiscFormatsSpec extends SparkFunSuite {
     assert(back == vals)
   }
 
+  test("Regexp format: groups bind in order; unmatched lines throw or skip") {
+    val ss = SparkTestBase.spark
+    import ss.implicits._
+    val p = tmp("rx")
+    ChMiscFormats.writeLineAsString(
+      Seq("1|alpha|2.5", "not a row", "2|beta|-0.25").toDF("line").coalesce(1), p)
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("s", StringType, nullable = false),
+      StructField("d", DoubleType, nullable = false)))
+    val rx = "(\\d+)\\|([^|]*)\\|(-?[0-9.]+)"
+    // strict mode: the bad line is LOUD
+    val err = intercept[org.apache.spark.SparkException] {
+      ChMiscFormats.readRegexp(spark, p, schema, rx).collect()
+    }
+    assert(err.getMessage.contains("does not match") ||
+      Option(err.getCause).exists(_.getMessage.contains("does not match")))
+    // skip mode: exactly the matching rows
+    val got = ChMiscFormats.readRegexp(spark, p, schema, rx,
+      skipUnmatched = true).collect().sortBy(_.getLong(0))
+    assert(got.length == 2 && got(0).getString(1) == "alpha" &&
+      got(1).getDouble(2) == -0.25)
+  }
+
+  test("JSONAsString: brace-aware object split survives nested/escaped text") {
+    val ss = SparkTestBase.spark
+    import ss.implicits._
+    val p = tmp("jas")
+    // hand-authored stream: nested object, braces inside strings, escapes
+    val payload =
+      "{\"a\": 1, \"o\": {\"x\": \"}\"}}\n" +
+      "{\"b\": \"quote \\\" and { brace\"}\n" +
+      "{\"c\": [1, 2, {\"d\": 3}]}"
+    ChMiscFormats.writeLineAsString(Seq(payload).toDF("l").coalesce(1), p)
+    val objs = ChMiscFormats.readJsonAsString(spark, p, ext = "lines")
+      .collect().map(_.getString(0))
+    assert(objs.length == 3, s"got ${objs.toSeq}")
+    assert(objs(0).contains("\"o\"") && objs(1).contains("brace") &&
+      objs(2).endsWith("3}]}"))
+  }
+
   test("JSONColumns roundtrips nulls, escapes, and column order by name") {
     val p = tmp("jc")
     val schema = StructType(Seq(
