@@ -640,6 +640,7 @@ object ClickHouseSql {
         val empty = spark.table(t).limit(0).localCheckpoint(true)
         empty.write.mode("overwrite").insertInto(t)
         refreshSkipIndexes(spark, t)
+        queryCache.clear() // mutated data: cached SELECT results are stale
       }
       Seq("OK").toDF("status")
     }
@@ -673,6 +674,7 @@ object ClickHouseSql {
             .localCheckpoint(true)
           surviving.write.mode("overwrite").insertInto(t)
           refreshSkipIndexes(spark, t)
+          queryCache.clear() // mutated data: cached SELECT results are stale
           Seq("OK").toDF("status")
         case _ => throw new IllegalArgumentException("unsupported DELETE form")
       }
@@ -796,6 +798,7 @@ object ClickHouseSql {
           // overwrite the table's data in place, metadata untouched
           after.localCheckpoint().write.mode("overwrite").insertInto(table)
           refreshSkipIndexes(spark, table)
+          queryCache.clear() // mutated data: cached SELECT results are stale
           Seq("OK").toDF("status")
         case _ => Seq("OK").toDF("status")
       }
