@@ -83,6 +83,12 @@ object SkipIndexPruning {
 
   private val decisions =
     new java.util.concurrent.ConcurrentLinkedQueue[Decision]()
+  private val MaxDecisions = 256 // bounded: the log must never leak over a session
+
+  private def logDecision(d: Decision): Unit = {
+    decisions.add(d)
+    while (decisions.size > MaxDecisions) decisions.poll()
+  }
 
   def clearDecisions(): Unit = decisions.clear()
 
@@ -237,7 +243,7 @@ object SkipIndexPruning {
                 val files = sets.map(_._2).reduce(_ intersect _).toSeq.sorted
                 val total = fs.location.inputFiles.length
                 sets.groupBy(_._1).foreach { case (idx, ss) =>
-                  decisions.add(Decision(idx.dataPath, idx.kind, idx.columns,
+                  logDecision(Decision(idx.dataPath, idx.kind, idx.columns,
                     ss.map(_._2).reduce(_ intersect _).size, total))
                 }
                 if (files.size >= total) None

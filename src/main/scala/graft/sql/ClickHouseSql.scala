@@ -603,10 +603,15 @@ object ClickHouseSql {
           servable(t)().createOrReplaceTempView(s"graft_system_$t")
         }
     }
-    val trimmed = trimmedNoFmt.replaceAll(
-      "(?i)\\bsystem\\.(tables|functions|settings|query_log|dictionaries|" +
-        "data_skipping_indices|metrics|events|asynchronous_metrics)\\b",
-      "graft_system_$1")
+    // rewrite only OUTSIDE single-quoted literals: split on ' and touch
+    // the even-indexed (non-literal) segments
+    val trimmed = trimmedNoFmt.split("'", -1).zipWithIndex.map { case (seg, i) =>
+      if (i % 2 == 1) seg
+      else seg.replaceAll(
+        "(?i)\\bsystem\\.(tables|functions|settings|query_log|dictionaries|" +
+          "data_skipping_indices|metrics|events|asynchronous_metrics)\\b",
+        "graft_system_$1")
+    }.mkString("'")
     if (Dictionaries.matches(trimmed))
       Dictionaries.execute(spark, trimmed)
     else if (trimmed.matches("(?is)^DESC(RIBE)?(\\s+TABLE)?\\s+[A-Za-z_][A-Za-z0-9_.]*\\s*;?\\s*$")) {

@@ -152,6 +152,11 @@ class DialectSpec extends SparkFunSuite {
       .head().getString(0) == "OK")
     assert(ClickHouseSql.sql(spark, "SHOW PROCESSLIST").columns.toSeq ==
       Seq("job_id", "n_stages", "status"))
+    // the rewrite never touches STRING LITERALS mentioning system.<t>
+    val lit = ClickHouseSql.sql(spark,
+      "SELECT 'system.tables' AS s, length('x system.metrics y') AS n")
+      .head()
+    assert(lit.getString(0) == "system.tables" && lit.getInt(1) == 18)
     // a WHERE over system.tables narrows like any relation
     spark.sql("SELECT 1 AS x").createOrReplaceTempView("syssel_probe_t")
     val t = ClickHouseSql.sql(spark,
