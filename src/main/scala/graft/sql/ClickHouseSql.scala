@@ -872,6 +872,25 @@ object ClickHouseSql {
       queryCache.clear()
       import spark.implicits._
       Seq("OK").toDF("status")
+    } else if (trimmed.matches(
+        "(?is)^SYSTEM\\s+DROP\\s+(MARK|UNCOMPRESSED|COMPILED\\s+EXPRESSION)\\s+CACHE\\s*;?\\s*$")) {
+      // SYSTEM DROP MARK/UNCOMPRESSED/COMPILED EXPRESSION CACHE
+      // (InterpreterSystemQuery): Spark's session block-cache is the
+      // analog of the read caches — release it eagerly.
+      spark.catalog.clearCache()
+      import spark.implicits._
+      Seq("OK").toDF("status")
+    } else if (trimmed.matches(
+        "(?is)^SYSTEM\\s+(STOP|START)\\s+MERGES(\\s+[A-Za-z_][A-Za-z0-9_.]*)?\\s*;?\\s*$")) {
+      // STOP/START MERGES: honest no-op — there is no background merge
+      // daemon in this engine (compaction is Spark's write-path concern),
+      // so both states are always "started" and always clean.
+      import spark.implicits._
+      Seq("OK").toDF("status")
+    } else if (trimmed.matches("(?is)^SYSTEM\\s+RELOAD\\s+FUNCTIONS\\s*;?\\s*$")) {
+      ChFunctionRegistry.install(spark) // idempotent re-install
+      import spark.implicits._
+      Seq("OK").toDF("status")
     } else if (trimmed.matches("(?is)^SYSTEM\\s+FLUSH\\s+LOGS\\s*;?\\s*$")) {
       // SYSTEM FLUSH LOGS (InterpreterSystemQuery): drain the async
       // listener bus so system.events/query_log reads observe everything

@@ -152,6 +152,12 @@ class DialectSpec extends SparkFunSuite {
       .head().getString(0) == "OK")
     assert(ClickHouseSql.sql(spark, "SHOW PROCESSLIST").columns.toSeq ==
       Seq("job_id", "n_stages", "status"))
+    // SYSTEM cache/merge statements all answer OK (cache drop clears the
+    // session cache; merges have no daemon to stop)
+    for (st <- Seq("SYSTEM DROP MARK CACHE", "SYSTEM DROP UNCOMPRESSED CACHE",
+        "SYSTEM STOP MERGES", "SYSTEM START MERGES nation",
+        "SYSTEM RELOAD FUNCTIONS"))
+      assert(ClickHouseSql.sql(spark, st).head().getString(0) == "OK", st)
     // the rewrite never touches STRING LITERALS mentioning system.<t>
     val lit = ClickHouseSql.sql(spark,
       "SELECT 'system.tables' AS s, length('x system.metrics y') AS n")
