@@ -65,6 +65,16 @@ object FunctionTail2 extends QueryPack {
         TRUE AS snow_pos,
         TRUE AS has_fqdn"""),
 
+    // arrayJoin function form (array/arrayJoin.cpp): the SELECT-list
+    // row multiplier — one row per array element, alignment with other
+    // projected columns preserved.
+    ch("q_fn_arrayjoin", """
+      SELECT n_name, arrayJoin(array(1, 2)) AS k
+      FROM nation WHERE n_nationkey < 3 ORDER BY n_name, k""",
+      """
+      SELECT n_name, UNNEST(ARRAY[1, 2]) AS k
+      FROM nation WHERE n_nationkey < 3 ORDER BY n_name, k"""),
+
     // Scalar bitmap algebra readouts (FunctionsBitmap.h). The Roaring64
     // payload is opaque; cardinalities, sorted member arrays, membership
     // and subset ops are exact and oracle-stated as list arithmetic.

@@ -58,6 +58,14 @@ object ChRegistryTail4 {
     // curdate resolves through the Spark builtin of identical semantics
     // (deliberately unshadowed — ChRegistrySpec parity pin)
 
+    // ---- arrayJoin (the FUNCTION form of ARRAY JOIN — array/arrayJoin
+    // .cpp, the reference's row-multiplying expression): maps to Spark's
+    // Explode generator, which the analyzer extracts from the SELECT list
+    // (one generator per select — the reference's multi-arrayJoin
+    // cartesian is the documented difference) -------------------------
+    "arrayjoin" -> (args =>
+      org.apache.spark.sql.catalyst.expressions.Explode(args.head)),
+
     // ---- server constants (serverConstants.cpp) ----------------------
     "fqdn" -> (_ => hostLit),
     "fullhostname" -> (_ => hostLit),
