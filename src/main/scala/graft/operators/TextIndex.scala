@@ -162,21 +162,49 @@ object TextIndex {
       .otherwise(lit(false))
   }
 
+  /** The layout's parquet part files (driver FS listing — metadata only). */
+  private def listParts(spark: SparkSession, dataDir: String): Seq[org.apache.hadoop.fs.Path] = {
+    val root = new org.apache.hadoop.fs.Path(dataDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(root, true)
+    val out = Seq.newBuilder[org.apache.hadoop.fs.Path]
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (f.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+        out += f.getPath
+    }
+    out.result()
+  }
+
   /** Incremental maintenance: append `docs` as new files and index ONLY
     * those files' postings (the reference's text skip index is likewise
-    * built per inserted part, never by corpus rebuild). The new-file set
-    * is discovered by anti-joining the layout's file list against the
-    * files the index already covers — a metadata-only decision. */
+    * built per inserted part, never by corpus rebuild:
+    * src/Storages/MergeTree/MergeTreeIndexBloomFilterText.cpp builds per
+    * part at insert). The new-file set is a DRIVER-SIDE diff of the
+    * layout's file listing against the `file` values the index already
+    * covers — both metadata-scale — and the tokenize job then reads
+    * ONLY the delta files, so an append's cost is proportional to the
+    * appended data, never the corpus. */
   def append(spark: SparkSession, docs: DataFrame, dataDir: String,
-      indexDir: String, textCol: String = "text"): Unit = {
+      indexDir: String, textCol: String = "text"): Seq[String] = {
     docs.write.mode("append").parquet(dataDir)
+    // canonicalize on URI path: _metadata.file_path renders file:///p,
+    // Hadoop listings render file:/p — same file, different spelling
+    def canon(s: String): String =
+      new org.apache.hadoop.fs.Path(s).toUri.getPath
     val indexed = spark.read.parquet(indexDir).select("file").distinct()
-    val newPostings = spark.read.parquet(dataDir)
-      .select(col("_metadata.file_path").as("file"),
-        explode(gramsOf(col(textCol))).as("token"))
-      .join(indexed, Seq("file"), "left_anti")
-      .distinct()
-    newPostings.write.mode("append").parquet(indexDir)
+      .collect().map(r => canon(r.getString(0))).toSet
+    val newFiles = listParts(spark, dataDir)
+      .filterNot(p => indexed.contains(canon(p.toString)))
+      .map(_.toString)
+    if (newFiles.nonEmpty)
+      spark.read.parquet(newFiles: _*)
+        .select(col("_metadata.file_path").as("file"),
+          explode(gramsOf(col(textCol))).as("token"))
+        .distinct()
+        .write.mode("append").parquet(indexDir)
+    newFiles // the tokenize job's ENTIRE input — returned for plan pins
   }
 
   /** Remove the layout + index. */

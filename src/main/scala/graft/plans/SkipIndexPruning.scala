@@ -151,6 +151,22 @@ object SkipIndexPruning {
         if (idx.kind == "ngrambf_v1" && idx.columns.contains(a.name))
           Some(SkipIndex.matchingFilesLike(spark, idx.indexDir, needle).toSet)
         else None
+      /** Smallest string ≥ every string carrying `pre` as a prefix, in
+        * UTF-8 binary order (the order Spark compares strings in): strip
+        * trailing max-lane chars, increment the last remaining one.
+        * `pre + '￿'` is NOT such a bound — supplementary code points
+        * (e.g. emoji) encode ABOVE U+FFFF in UTF-8 — so surrogate-bearing
+        * prefixes conservatively get no upper bound (lo-only pruning).
+        * Mirrors the reference's prefix-range analysis in
+        * KeyCondition's LIKE handling. */
+      def prefixSuccessor(pre: String): Option[String] =
+        if (!pre.forall(c => c < '\uD800')) None
+        else {
+          var i = pre.length - 1
+          while (i >= 0 && pre.charAt(i) == 0xD7FF) i -= 1
+          if (i < 0) None
+          else Some(pre.substring(0, i) + (pre.charAt(i) + 1).toChar)
+        }
       def textAttr(e: Expression): Option[AttributeReference] = e match {
         case a: AttributeReference => Some(a)
         case Lower(a: AttributeReference) => Some(a)
@@ -198,13 +214,21 @@ object SkipIndexPruning {
           textAttr(t).flatMap(a => ngram(a, l.value.toString))
         case StartsWith(t, l: Literal) if l.value != null =>
           // a prefix is ALSO a range: every match lies in
-          // [prefix, prefix + U+FFFF] on the string lane, so a minmax
+          // [prefix, prefixSuccessor) on the string lane, so a minmax
           // index prunes LIKE 'abc%' like the reference's primary-key
-          // prefix analysis; ngram covers the substring superset.
-          textAttr(t).flatMap { a =>
-            val pre = l.value.toString
-            mmBound(a, Some(pre), Some(pre + "￿"))
-              .orElse(ngram(a, pre))
+          // prefix analysis; ngram covers the substring superset. The
+          // minmax lane is ONLY sound on the bare column — under
+          // lower(col) the raw min/max can exclude rows the lowercased
+          // needle would match — so Lower-wrapped text routes to the
+          // ngram lane alone (built over lower(text), superset-safe).
+          t match {
+            case a: AttributeReference =>
+              val pre = l.value.toString
+              mmBound(a, Some(pre), prefixSuccessor(pre))
+                .orElse(ngram(a, pre))
+            case Lower(a: AttributeReference) =>
+              ngram(a, l.value.toString)
+            case _ => None
           }
         case EndsWith(t, l: Literal) if l.value != null =>
           textAttr(t).flatMap(a => ngram(a, l.value.toString))

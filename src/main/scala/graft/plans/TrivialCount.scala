@@ -102,18 +102,24 @@ object TrivialCount {
                   return None
               case _ => return None
             }
-            if (st.hasNonNullValue && st.getNumNulls >= 0 &&
-                block.getRowCount > st.getNumNulls) {
-              val (mn, mx) = st.genericGetMin match {
-                case i: java.lang.Integer =>
-                  (i.longValue(), st.genericGetMax.asInstanceOf[java.lang.Integer].longValue())
-                case l: java.lang.Long =>
-                  (l.longValue(), st.genericGetMax.asInstanceOf[java.lang.Long].longValue())
-                case _ => return None
+            if (st.hasNonNullValue) {
+              // a block with real min/max but an UNSET null count (e.g.
+              // externally written parquet, getNumNulls == -1) must BAIL,
+              // not be skipped — skipping would fold min/max over the
+              // other blocks only and silently drop this block's values
+              if (!st.isNumNullsSet || st.getNumNulls < 0) return None
+              if (block.getRowCount > st.getNumNulls) {
+                val (mn, mx) = st.genericGetMin match {
+                  case i: java.lang.Integer =>
+                    (i.longValue(), st.genericGetMax.asInstanceOf[java.lang.Integer].longValue())
+                  case l: java.lang.Long =>
+                    (l.longValue(), st.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+                  case _ => return None
+                }
+                val (curMn, curMx) = acc(c)
+                acc(c) = (Some(curMn.fold(mn)(math.min(_, mn))),
+                  Some(curMx.fold(mx)(math.max(_, mx))))
               }
-              val (curMn, curMx) = acc(c)
-              acc(c) = (Some(curMn.fold(mn)(math.min(_, mn))),
-                Some(curMx.fold(mx)(math.max(_, mx))))
             }
           }
         }

@@ -208,15 +208,21 @@ object LlmPipeline extends QueryPack {
     * Cells partition the corpus; a query touches nprobe/ncell of it. */
   private[graft] def annIvfTopK(e: org.apache.spark.sql.DataFrame, k: Int)
       : org.apache.spark.sql.DataFrame = {
+    // corpus assignment is MAP-SIDE ([[graft.operators.VectorIndex
+    // .withCell]] argmax over the driver-resident centroid array) — the
+    // earlier broadcast-crossJoin + row_number form expanded the corpus
+    // 16× carrying full embeddings and shuffled the expansion (the
+    // round-7 weak item); ties break to the lowest cid on both paths.
+    val centArr = graft.operators.VectorIndex.seedCents(e, 16)
+    val assigned = graft.operators.VectorIndex.withCell(e, centArr)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    // query probes stay on the window form: 20 queries × 16 centroids is
+    // bounded, and the probe needs the 4 BEST cells, not just the argmax
     val cents = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-    val scored = e.join(broadcast(cents), lit(true))
-      .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
-    val assigned = scored.withColumn("crn", row_number().over(wAssign))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
-    val qProbes = scored.filter(col("vec_id") < 20)
+    val qProbes = e.filter(col("vec_id") < 20).join(broadcast(cents), lit(true))
+      .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
       .withColumn("crn", row_number().over(wAssign))
       .filter(col("crn") <= 4)
       .select(col("vec_id").as("qid"), col("v").as("qv"),

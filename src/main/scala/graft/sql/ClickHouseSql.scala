@@ -735,7 +735,11 @@ object ClickHouseSql {
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val det = new org.apache.hadoop.fs.Path(loc + "_detached")
       fs.delete(det, true)
-      fs.rename(new org.apache.hadoop.fs.Path(loc), det)
+      // rename is the data-preservation step: if it fails the DROP below
+      // would purge a managed table's live files — abort instead
+      if (!fs.rename(new org.apache.hadoop.fs.Path(loc), det))
+        throw new IllegalStateException(
+          s"DETACH TABLE $t: rename of $loc to $det failed; table left attached")
       spark.sql(s"DROP TABLE $t")
       detachedTables.put(t, (schemaDdl, loc))
       Seq("OK").toDF("status")
@@ -903,6 +907,16 @@ object ClickHouseSql {
       graft.sources.SystemTables.processes(spark)
     } else {
       val result = spark.sql(rewrite(expandSchemaTransformers(spark, trimmed)))
+      // INSERT appends files to the table's layout: per-file skip indexes
+      // no longer cover the new files (transparent pruning would silently
+      // exclude the inserted rows) and cached SELECT results are stale —
+      // mirror the DELETE/TRUNCATE/OPTIMIZE invalidation.
+      val ins = ("(?is)^INSERT\\s+INTO\\s+(?:TABLE\\s+)?" +
+        "([A-Za-z_][A-Za-z0-9_.]*)").r
+      ins.findFirstMatchIn(trimmed).foreach { m =>
+        refreshSkipIndexes(spark, m.group(1))
+        queryCache.clear()
+      }
       // use_query_cache = 1 (reference Settings use_query_cache →
       // QueryResultCache.cpp): SELECT results are admitted to / served
       // from the canonical-plan-keyed cache. SET lands on the conf above.

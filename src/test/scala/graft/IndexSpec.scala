@@ -98,10 +98,15 @@ class IndexSpec extends SparkFunSuite {
     val before = spark.read.parquet(s"$base/aindex").count()
     val beforeFiles = spark.read.parquet(s"$base/aindex")
       .select("file").distinct().count()
-    TextIndex.append(spark, spark.sql(
+    val scanned = TextIndex.append(spark, spark.sql(
       """SELECT 888888L AS doc_id, 'qwggle_token fresh arrival' AS text,
          'en' AS lang, 'spec' AS source, 26L AS n_chars"""),
       s"$base/adata", s"$base/aindex")
+    // SCALE PIN (round-7 weak item): the tokenize job's input is ONLY the
+    // appended delta — one new file, not the 8-file corpus; append cost
+    // is proportional to the appended data, never a corpus re-read
+    assert(scanned.size == 1,
+      s"append scanned ${scanned.size} files, expected the 1 new file: $scanned")
     // exactly the new file's postings were added — old files untouched
     val afterFiles = spark.read.parquet(s"$base/aindex")
       .select("file").distinct().count()

@@ -232,6 +232,20 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(str.queryExecution.executedPlan.toString.contains("FileScan"))
   }
 
+  test("per-query IVF ANN assigns the corpus map-side") {
+    // q_ann_ivf wraps the result in collected invariant metrics, hiding
+    // the interesting plan — the planted variant returns annIvfTopK raw
+    val p = planOf("q_ann_ivf_planted")
+    // round-8: the CORPUS assignment rides VectorIndex.withCell (per-row
+    // array_max argmax over a driver-resident centroid array). The only
+    // remaining nested-loop expansion is the bounded query-probe side
+    // (20 queries × 16 centroids) — the corpus must not appear under one.
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"corpus-side crossJoin expansion is back ($bnlj BNLJs)")
+    assert(p.contains("array_max"),
+      "map-side argmax assignment (array_max signature) missing from the plan")
+  }
+
   test("semantic dedup assigns cells map-side; cell self-join is shuffled") {
     val p = planOf("q_dedup_semantic")
     // round-7: centroid scoring is a per-row argmax over a driver-resident
