@@ -219,6 +219,40 @@ object DialectQueries extends QueryPack {
       FROM j
       ORDER BY m"""),
 
+    // WITH FILL ... STALENESS (FillingTransform.h:87): filling stops once
+    // the generated value drifts `n` or more past the previous ORIGINAL
+    // row. Real rows at m = 0,4,8,12,16 (5 nations per region), staleness
+    // 2 → only each real row's immediate successor survives the fill.
+    ch("q_with_fill_staleness", """
+      SELECT m, n FROM (
+        SELECT n_regionkey * 4 AS m, count() AS n
+        FROM nation GROUP BY n_regionkey * 4)
+      ORDER BY m WITH FILL FROM 0 TO 20 STALENESS 2""",
+      """
+      SELECT CAST(m AS INT) AS m, CAST(n AS BIGINT) AS n FROM (VALUES
+        (0, 5), (1, NULL), (4, 5), (5, NULL), (8, 5), (9, NULL),
+        (12, 5), (13, NULL), (16, 5), (17, NULL)) t(m, n) ORDER BY m"""),
+
+    // Query parameters {name:Type} + SET param_<name>
+    // (src/Parsers/ASTQueryParameter.h:10): typed-literal substitution —
+    // a String, an integer, and a DateTime parameter in one predicate.
+    Q("q_ch_query_params", (s, dir) => {
+      Tables.register(s, dir)
+      ClickHouseSql.sql(s, "SET param_status = 'F'")
+      ClickHouseSql.sql(s, "SET param_minprice = 150000")
+      ClickHouseSql.sql(s, "SET param_cut = '1995-06-17 00:00:00'")
+      ClickHouseSql.sql(s, """
+        SELECT count() AS n, CAST(min(o_orderkey) AS BIGINT) AS mn
+        FROM orders
+        WHERE o_orderstatus = {status:String}
+          AND o_totalprice > {minprice:UInt32}
+          AND o_orderdate < {cut:DateTime}""")
+    }, Some("""
+      SELECT COUNT(*) AS n, CAST(MIN(o_orderkey) AS BIGINT) AS mn
+      FROM orders
+      WHERE o_orderstatus = 'F' AND o_totalprice > 150000
+        AND o_orderdate < TIMESTAMP '1995-06-17 00:00:00'""")),
+
     // FINAL on a registered Replacing table.
     Q("q_ch_final", (s, dir) => {
       Tables.register(s, dir)

@@ -29,8 +29,64 @@ object MutationQueries extends QueryPack {
   }, Some("""
     SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey"""))
 
+  /** The reference's canonical mutation statement forms (ParserAlterQuery
+    * → MutationsInterpreter): ALTER TABLE … UPDATE … WHERE and ALTER
+    * TABLE … DELETE WHERE through the SQL dialect, same semantics as the
+    * operator-level q_mutation_update_delete. Oracle recomputes both
+    * mutations in plain SQL over the source table. */
+  private val alterUpdateDelete = graft.Q("q_ch_alter_update_delete", (s, dir) => {
+    Tables.register(s, dir)
+    graft.sql.ClickHouseSql.sql(s, """
+      CREATE MATERIALIZED VIEW alter_mut_t AS
+      SELECT n_nationkey, n_name, n_regionkey FROM nation""")
+    graft.sql.ClickHouseSql.sql(s,
+      "ALTER TABLE alter_mut_t UPDATE n_name = concat(n_name, '_EU') " +
+        "WHERE n_regionkey = 3")
+    graft.sql.ClickHouseSql.sql(s,
+      "ALTER TABLE alter_mut_t DELETE WHERE n_regionkey = 4")
+    graft.sql.ClickHouseSql.sql(s, """
+      SELECT CAST(n_nationkey AS BIGINT) AS k, n_name,
+        CAST(n_regionkey AS BIGINT) AS r
+      FROM alter_mut_t ORDER BY k""")
+  }, Some("""
+    SELECT CAST(n_nationkey AS BIGINT) AS k,
+      CASE WHEN n_regionkey = 3 THEN n_name || '_EU' ELSE n_name END AS n_name,
+      CAST(n_regionkey AS BIGINT) AS r
+    FROM nation WHERE n_regionkey <> 4 ORDER BY k"""))
+
+  /** Schema-evolution DDL roundtrip (src/Storages/AlterCommands.cpp): all
+    * four column verbs through the dialect — ADD with an expression
+    * DEFAULT (backfill visible to SELECT) and a position clause, MODIFY
+    * type cast, RENAME, DROP. The final SELECT * makes every verb
+    * hash-verified: a lingering note column (DROP failed), a missing pop
+    * backfill (ADD DEFAULT failed), an un-renamed r_name, or an INT pop
+    * (MODIFY failed) each breaks the schema/hash compare. */
+  private val alterColumn = graft.Q("q_ch_alter_column", (s, dir) => {
+    Tables.register(s, dir)
+    graft.sql.ClickHouseSql.sql(s, """
+      CREATE MATERIALIZED VIEW alter_col_t AS
+      SELECT r_regionkey, r_name, 'scratch' AS note FROM region""")
+    graft.sql.ClickHouseSql.sql(s,
+      "ALTER TABLE alter_col_t ADD COLUMN pop UInt16 DEFAULT 40 + 2")
+    graft.sql.ClickHouseSql.sql(s,
+      "ALTER TABLE alter_col_t ADD COLUMN tag String AFTER r_name")
+    graft.sql.ClickHouseSql.sql(s,
+      "ALTER TABLE alter_col_t MODIFY COLUMN pop Int64")
+    graft.sql.ClickHouseSql.sql(s,
+      "ALTER TABLE alter_col_t RENAME COLUMN r_name TO region_name")
+    graft.sql.ClickHouseSql.sql(s,
+      "ALTER TABLE alter_col_t DROP COLUMN note")
+    graft.sql.ClickHouseSql.sql(s,
+      "SELECT * FROM alter_col_t ORDER BY r_regionkey")
+  }, Some("""
+    SELECT r_regionkey, r_name AS region_name, CAST(NULL AS VARCHAR) AS tag,
+      CAST(42 AS BIGINT) AS pop
+    FROM region ORDER BY r_regionkey"""))
+
   override def queries: Seq[Q] = Seq(
     optimizeDedup,
+    alterUpdateDelete,
+    alterColumn,
 
     // ALTER UPDATE (discount zeroed for small 'R' lines) then ALTER DELETE
     // (pre-1996 shipments dropped) — the post-mutation table aggregated so

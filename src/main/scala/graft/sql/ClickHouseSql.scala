@@ -57,6 +57,7 @@ object ClickHouseSql {
   private def rewriteWithFill(s: String): String = {
     val re = ("(?is)\\bORDER\\s+BY\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+WITH\\s+FILL\\s+" +
       "FROM\\s+(-?\\d+)\\s+TO\\s+(-?\\d+)(?:\\s+STEP\\s+(-?\\d+))?" +
+      "(?:\\s+STALENESS\\s+(\\d+))?" +
       "(?:\\s+INTERPOLATE\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\))?\\s*;?\\s*$").r
     re.findFirstMatchIn(s) match {
       case None => s
@@ -69,21 +70,49 @@ object ClickHouseSql {
         // non-positive step would silently emit a wrong sequence
         // (round-2 advice); ClickHouse itself requires STEP > 0 here.
         require(step > 0, s"WITH FILL STEP must be positive, got $step")
-        val interp = Option(m.group(5))
+        val stale = Option(m.group(5)).map(_.toLong)
+        val interp = Option(m.group(6))
         val core = s.substring(0, m.start)
-        // FULL OUTER: ClickHouse WITH FILL KEEPS source rows whose axis
-        // value lies outside [FROM, TO) — only the axis grid is generated,
-        // never used to filter (round-2 advice; LEFT JOIN from the axis
-        // dropped them).
-        val joined = s"(SELECT explode(sequence($from, ${to - 1}, $step)) AS $axis) __fill_axis " +
-          s"FULL OUTER JOIN ($core) __fill_src USING ($axis)"
-        interp match {
-          case Some(c) =>
-            s"SELECT $axis, last($c, true) OVER (ORDER BY $axis " +
-              s"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS $c " +
-              s"FROM $joined ORDER BY $axis"
+        stale match {
           case None =>
-            s"SELECT * FROM $joined ORDER BY $axis"
+            // FULL OUTER: ClickHouse WITH FILL KEEPS source rows whose axis
+            // value lies outside [FROM, TO) — only the axis grid is
+            // generated, never used to filter (round-2 advice; LEFT JOIN
+            // from the axis dropped them).
+            val joined = s"(SELECT explode(sequence($from, ${to - 1}, $step)) AS $axis) __fill_axis " +
+              s"FULL OUTER JOIN ($core) __fill_src USING ($axis)"
+            interp match {
+              case Some(c) =>
+                s"SELECT $axis, last($c, true) OVER (ORDER BY $axis " +
+                  s"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS $c " +
+                  s"FROM $joined ORDER BY $axis"
+              case None =>
+                s"SELECT * FROM $joined ORDER BY $axis"
+            }
+          case Some(st) =>
+            // WITH FILL … STALENESS n (FillingTransform.h:87,
+            // FillingTransform.cpp staleness_border): a generated row
+            // survives only while its axis value is within `n` of the
+            // PREVIOUS ORIGINAL row (strictly: fill < prev_original + n,
+            // the reference's staleness_border comparison); rows before
+            // the first original row are never generated. Original rows
+            // always survive. The window runs over the dense axis only —
+            // bounded by (TO-FROM)/STEP rows.
+            val joined = s"(SELECT explode(sequence($from, ${to - 1}, $step)) AS $axis) __fill_axis " +
+              s"FULL OUTER JOIN (SELECT *, 1 AS __src FROM ($core)) __fill_src USING ($axis)"
+            val marked = s"SELECT *, last(CASE WHEN __src = 1 THEN $axis END, true) " +
+              s"OVER (ORDER BY $axis ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+              s"AS __prev FROM $joined"
+            val kept = s"SELECT * EXCEPT (__src, __prev) FROM ($marked) " +
+              s"WHERE __src = 1 OR (__prev IS NOT NULL AND $axis - __prev < $st)"
+            interp match {
+              case Some(c) =>
+                s"SELECT $axis, last($c, true) OVER (ORDER BY $axis " +
+                  s"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS $c " +
+                  s"FROM ($kept) ORDER BY $axis"
+              case None =>
+                s"SELECT * FROM ($kept) ORDER BY $axis"
+            }
         }
     }
   }
@@ -534,7 +563,17 @@ object ClickHouseSql {
     // optimize_trivial_count_query analog: bare SELECT count() answers
     // from parquet footers (graft.plans.TrivialCount), never scanning
     graft.plans.TrivialCount.install(spark)
-    val trimmed0 = chSql.trim
+    // Query parameters (src/Parsers/ASTQueryParameter.h:10): `{name:Type}`
+    // placeholders substitute as TYPE-CHECKED literals from the session's
+    // `SET param_<name> = v` values, before any other rewriting. Only
+    // segments OUTSIDE single-quoted literals are touched.
+    val trimmed0 = {
+      val raw = chSql.trim
+      if (!raw.contains("{")) raw
+      else raw.split("'", -1).zipWithIndex.map { case (seg, i) =>
+        if (i % 2 == 1) seg else substituteParams(spark, seg)
+      }.mkString("'")
+    }
     // INTO OUTFILE 'path' [FORMAT fmt] (ParserQueryWithOutput): execute
     // the query and write the result where the client asked —
     // CSV[WithNames] / TSV / JSONEachRow / Parquet via the native Spark
@@ -786,6 +825,10 @@ object ClickHouseSql {
       projectionDdl(spark, trimmed)
     else if (trimmed.matches("(?is)^ALTER\\s+TABLE\\s+\\S+\\s+(ADD|DROP|MATERIALIZE|CLEAR)\\s+INDEX\\b.*"))
       indexDdl(spark, trimmed)
+    else if (trimmed.matches("(?is)^ALTER\\s+TABLE\\s+\\S+\\s+(UPDATE|DELETE)\\b.*"))
+      alterMutation(spark, trimmed)
+    else if (trimmed.matches("(?is)^ALTER\\s+TABLE\\s+\\S+\\s+(ADD|DROP|MODIFY|RENAME)\\s+COLUMN\\b.*"))
+      alterColumnDdl(spark, trimmed)
     else if (trimmed.matches("(?is)^OPTIMIZE\\s+TABLE\\b.*")) {
       import spark.implicits._
       // OPTIMIZE ... DEDUPLICATE [BY c1, c2] has real semantics (the
@@ -1066,6 +1109,205 @@ object ClickHouseSql {
     * deleted paths silently empties results). Cleared indexes stay
     * cleared; a rebuild that fails (e.g. the table is now empty) degrades
     * to no-pruning, never to wrong answers. */
+  // ---- query parameters (ASTQueryParameter / ReplaceQueryParameterVisitor)
+
+  private val paramRe =
+    "\\{\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*:\\s*([A-Za-z0-9_]+(?:\\s*\\([^)]*\\))?)\\s*\\}".r
+
+  /** Replace `{name:Type}` with the typed literal rendering of the
+    * session's `param_<name>` setting; unset parameters fail like the
+    * reference's UNKNOWN_QUERY_PARAMETER. */
+  private def substituteParams(spark: SparkSession, seg: String): String =
+    paramRe.replaceAllIn(seg, m => {
+      val name = m.group(1)
+      val v = spark.conf.getOption(s"graft.ch.param_$name").getOrElse(
+        throw new IllegalArgumentException(
+          s"Substitution '$name' is not set (SET param_$name = ...)"))
+      java.util.regex.Matcher.quoteReplacement(typedLiteral(v, m.group(2)))
+    })
+
+  /** Render a parameter value as a literal of the declared reference
+    * type — the type check is what separates parameters from textual
+    * splicing (a String param can never escape its quoting, a UInt32
+    * param must BE an integer). */
+  private def typedLiteral(v0: String, chType: String): String = {
+    // SET stores the raw token; strip one level of quoting if present
+    val v = if (v0.length >= 2 && v0.startsWith("'") && v0.endsWith("'"))
+      v0.substring(1, v0.length - 1) else v0
+    def quoted = "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    val t = chType.trim.toLowerCase
+    t match {
+      case x if x.startsWith("uint") || x.startsWith("int") =>
+        require(v.matches("[+-]?\\d+"), s"param value '$v' is not $chType")
+        v
+      case x if x.startsWith("float") || x == "double" =>
+        require(v.matches("[+-]?\\d+(\\.\\d+)?([eE][+-]?\\d+)?"),
+          s"param value '$v' is not $chType")
+        v
+      case x if x.startsWith("decimal") =>
+        require(v.matches("[+-]?\\d+(\\.\\d+)?"),
+          s"param value '$v' is not $chType")
+        s"CAST($v AS ${sparkTypeText(chType)})"
+      case "bool" | "boolean" =>
+        require(v.matches("(?i)true|false|0|1"), s"param value '$v' is not Bool")
+        if (v.matches("(?i)true|1")) "true" else "false"
+      case "date" | "date32" =>
+        require(v.matches("\\d{4}-\\d{2}-\\d{2}"), s"param value '$v' is not Date")
+        s"DATE '$v'"
+      case x if x.startsWith("datetime") =>
+        require(v.matches("\\d{4}-\\d{2}-\\d{2}[ T]\\d{2}:\\d{2}:\\d{2}(\\.\\d+)?"),
+          s"param value '$v' is not DateTime")
+        s"TIMESTAMP '$v'"
+      case "string" | "uuid" | "ipv4" | "ipv6" | "json" =>
+        quoted
+      case x if x.startsWith("fixedstring") => quoted
+      case "identifier" =>
+        require(v.matches("[A-Za-z_][A-Za-z0-9_.]*"),
+          s"param value '$v' is not an Identifier")
+        v
+      case other => throw new IllegalArgumentException(
+        s"unsupported query parameter type '$chType'")
+    }
+  }
+
+  /** ALTER TABLE t UPDATE a = e, … WHERE p / ALTER TABLE t DELETE WHERE p
+    * — the reference's canonical mutation statements
+    * (src/Interpreters/MutationsInterpreter.h:44, ParserAlterQuery): a
+    * declarative part rewrite, routed to the same
+    * [[graft.operators.Mutations]] semantics the operator API exposes,
+    * with skip-index rebuild + result-cache invalidation like every
+    * other mutation path. */
+  private def alterMutation(spark: SparkSession, stmt: String)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    val upd = ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+UPDATE\\s+" +
+      "(.+?)\\s+WHERE\\s+(.+?);?\\s*$").r
+    val del = ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+DELETE\\s+" +
+      "WHERE\\s+(.+?);?\\s*$").r
+    stmt.trim match {
+      case upd(t, assigns, pred) =>
+        val kv = "(?s)^\\s*`?([A-Za-z_][A-Za-z0-9_]*)`?\\s*=\\s*(.*)$".r
+        val asn = splitTopLevel(assigns).map {
+          case kv(c, e) => c -> expr(rewrite(e))
+          case other => throw new IllegalArgumentException(
+            s"unparsable UPDATE assignment '$other'")
+        }.toMap
+        val mutated = graft.operators.Mutations
+          .update(spark.table(t), expr(rewrite(pred)), asn)
+          .localCheckpoint(true)
+        mutated.write.mode("overwrite").insertInto(t)
+        refreshSkipIndexes(spark, t)
+        queryCache.clear()
+        Seq("OK").toDF("status")
+      case del(t, pred) =>
+        val surviving = graft.operators.Mutations
+          .delete(spark.table(t), expr(rewrite(pred)))
+          .localCheckpoint(true)
+        surviving.write.mode("overwrite").insertInto(t)
+        refreshSkipIndexes(spark, t)
+        queryCache.clear()
+        Seq("OK").toDF("status")
+      case _ => throw new IllegalArgumentException(
+        "unsupported ALTER mutation form")
+    }
+  }
+
+  /** ALTER TABLE t ADD / DROP / MODIFY / RENAME COLUMN — the most common
+    * schema-evolution DDL (src/Storages/AlterCommands.cpp: ADD_COLUMN /
+    * DROP_COLUMN / MODIFY_COLUMN / RENAME_COLUMN). On the parquet layout
+    * every verb is a part rewrite with the transformed schema:
+    *   ADD    = append the column (DEFAULT expr backfills, else NULL),
+    *            honoring FIRST / AFTER position clauses;
+    *   DROP   = projection without the column;
+    *   MODIFY = cast rewrite to the new type;
+    *   RENAME = column-map rewrite.
+    * The table is re-created with the new schema (partition columns
+    * preserved); indexes rebuild and the result cache clears, as for any
+    * mutation. */
+  private def alterColumnDdl(spark: SparkSession, stmt: String)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    val add = ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+ADD\\s+COLUMN\\s+" +
+      "(IF\\s+NOT\\s+EXISTS\\s+)?`?([A-Za-z_][A-Za-z0-9_]*)`?\\s+(.+?)" +
+      "(?:\\s+DEFAULT\\s+(.+?))?(?:\\s+(FIRST)|\\s+AFTER\\s+`?([A-Za-z_][A-Za-z0-9_]*)`?)?;?\\s*$").r
+    val drop = ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+DROP\\s+COLUMN\\s+" +
+      "(IF\\s+EXISTS\\s+)?`?([A-Za-z_][A-Za-z0-9_]*)`?;?\\s*$").r
+    val modify = ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+MODIFY\\s+COLUMN\\s+" +
+      "(IF\\s+EXISTS\\s+)?`?([A-Za-z_][A-Za-z0-9_]*)`?\\s+(.+?);?\\s*$").r
+    val ren = ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+RENAME\\s+COLUMN\\s+" +
+      "(IF\\s+EXISTS\\s+)?`?([A-Za-z_][A-Za-z0-9_]*)`?\\s+TO\\s+`?([A-Za-z_][A-Za-z0-9_]*)`?;?\\s*$").r
+
+    /** Rewrite `t`'s data with the transformed frame and the NEW schema
+      * (insertInto can't change schemas): materialize, drop, re-create —
+      * partition columns preserved. */
+    def rewriteTable(t: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val partCols = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+        .partitionColumnNames
+      val out = df.localCheckpoint(true)
+      spark.sql(s"DROP TABLE $t")
+      val w = out.write.mode("overwrite")
+      (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+        .format("parquet").saveAsTable(t)
+      refreshSkipIndexes(spark, t)
+      queryCache.clear()
+    }
+
+    stmt.trim match {
+      case add(t, ifNot, name, ctype, dflt, first, after) =>
+        val base = spark.table(t)
+        if (base.columns.contains(name)) {
+          if (ifNot == null) throw new IllegalArgumentException(
+            s"column $name already exists in $t")
+        } else {
+          val st = sparkTypeText(ctype.trim)
+          val value = Option(dflt)
+            .map(d => expr(rewrite(d)).cast(st))
+            .getOrElse(lit(null).cast(st))
+          val withCol = base.withColumn(name, value)
+          val order: Seq[String] =
+            if (first != null) name +: base.columns.toSeq
+            else if (after != null) {
+              val i = base.columns.indexOf(after)
+              if (i < 0) throw new IllegalArgumentException(
+                s"AFTER column $after not found in $t")
+              val (pre, post) = base.columns.toSeq.splitAt(i + 1)
+              pre ++ (name +: post)
+            } else base.columns.toSeq :+ name
+          rewriteTable(t, withCol.select(order.map(col): _*))
+        }
+        Seq("OK").toDF("status")
+      case drop(t, ifEx, name) =>
+        val base = spark.table(t)
+        if (!base.columns.contains(name)) {
+          if (ifEx == null) throw new IllegalArgumentException(
+            s"column $name does not exist in $t")
+        } else rewriteTable(t, base.drop(name))
+        Seq("OK").toDF("status")
+      case modify(t, ifEx, name, ctype) =>
+        val base = spark.table(t)
+        if (!base.columns.contains(name)) {
+          if (ifEx == null) throw new IllegalArgumentException(
+            s"column $name does not exist in $t")
+        } else {
+          val st = sparkTypeText(ctype.trim)
+          rewriteTable(t, base.withColumn(name, col(name).cast(st)))
+        }
+        Seq("OK").toDF("status")
+      case ren(t, ifEx, from, to) =>
+        val base = spark.table(t)
+        if (!base.columns.contains(from)) {
+          if (ifEx == null) throw new IllegalArgumentException(
+            s"column $from does not exist in $t")
+        } else rewriteTable(t, base.withColumnRenamed(from, to))
+        Seq("OK").toDF("status")
+      case _ => throw new IllegalArgumentException(
+        "unsupported ALTER COLUMN form")
+    }
+  }
+
   private def refreshSkipIndexes(spark: SparkSession, table: String): Unit = {
     import scala.jdk.CollectionConverters._
     skipIndexes.asScala.values.filter(m => m.table == table && !m.cleared)
