@@ -19,6 +19,16 @@ object Formats extends QueryPack {
   private def fixtureDir(fmt: String, dir: String): String =
     s"/tmp/graft_fixtures/${dir.replaceAll("[^A-Za-z0-9]", "_")}/$fmt"
 
+  /** Two deterministic rows (int key, string, null-bearing string) — the
+    * shared fixture of the output-only render formats' golden pins. */
+  private def goldenFrame(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.load(s, dir, "nation")
+      .filter(col("n_nationkey") < 2)
+      .select(col("n_nationkey").as("k"), col("n_name").as("name"),
+        when(col("n_nationkey") === 0, lit(null).cast("string"))
+          .otherwise(col("n_name")).as("alt"))
+      .orderBy("k")
+
   override def queries: Seq[Q] = Seq(
 
     // Typed JSON / Dynamic column (reference: DataTypeObject.h:13 JSON
@@ -381,6 +391,80 @@ object Formats extends QueryPack {
       graft.sources.ChTextFormats.writeJsonColumns(src, path)
       graft.sources.ChTextFormats.readJsonColumns(s, path, src.schema)
         .orderBy("s_suppkey")
+    },
+
+    // JSONObjectEachRow (JSONObjectEachRowRow{Input,Output}Format.cpp —
+    // round 8): one top-level JSON object, row-name keys, {col: v} row
+    // objects; readers bind columns BY NAME, names are labels.
+    Q.df("q_format_jsonobjecteachrow", """
+      SELECT s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS bal,
+        CASE WHEN s_nationkey < 5 THEN NULL ELSE s_name END AS alt
+      FROM supplier ORDER BY s_suppkey""") { (s, dir) =>
+      val src = Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"),
+          col("s_acctbal").cast("double").as("bal"),
+          when(col("s_nationkey") < 5, lit(null).cast("string"))
+            .otherwise(col("s_name")).as("alt"))
+        .repartition(2)
+      val path = fixtureDir("jsonobjecteachrow_supplier", dir)
+      graft.sources.ChTextFormats.writeJsonObjectEachRow(src, path)
+      graft.sources.ChTextFormats.readJsonObjectEachRow(s, path, src.schema)
+        .orderBy("s_suppkey")
+    },
+
+    // Vertical output format (VerticalRowOutputFormat.cpp — round 8):
+    // golden-byte pin, line by line — Row headers, ─ rules, name-aligned
+    // values, ᴺᵁᴸᴸ marker, blank line between rows.
+    Q.df("q_format_vertical", """
+      SELECT * FROM (VALUES
+        (0, 'Row 1:'), (1, '──────'), (2, 'k:    0'), (3, 'name: NATION_0'),
+        (4, 'alt:  ᴺᵁᴸᴸ'), (5, ''), (6, 'Row 2:'), (7, '──────'),
+        (8, 'k:    1'), (9, 'name: NATION_1'), (10, 'alt:  NATION_1')
+      ) t(i, line) ORDER BY i""") { (s, dir) =>
+      import s.implicits._
+      val text = graft.sources.ChTextFormats.renderVertical(goldenFrame(s, dir))
+      text.split("\n").zipWithIndex.map { case (l, i) => (i, l) }
+        .toSeq.toDF("i", "line").orderBy("i")
+    },
+
+    // Markdown output format (MarkdownRowOutputFormat.cpp — round 8):
+    // GFM table, numeric columns right-aligned (`--:`), pipes escaped.
+    Q.df("q_format_markdown", """
+      SELECT * FROM (VALUES
+        (0, '| k | name | alt |'), (1, '| --: | :-- | :-- |'),
+        (2, '| 0 | NATION_0 | ᴺᵁᴸᴸ |'), (3, '| 1 | NATION_1 | NATION_1 |')
+      ) t(i, line) ORDER BY i""") { (s, dir) =>
+      import s.implicits._
+      val text = graft.sources.ChTextFormats.renderMarkdown(goldenFrame(s, dir))
+      text.split("\n").zipWithIndex.map { case (l, i) => (i, l) }
+        .toSeq.toDF("i", "line").orderBy("i")
+    },
+
+    // XML output format (XMLRowOutputFormat.cpp — round 8): <result> with
+    // a typed <meta> column inventory, <row> elements, self-closed nulls,
+    // trailing <rows> count.
+    Q.df("q_format_xml", """
+      SELECT * FROM (VALUES
+        (0, '<?xml version=''1.0'' encoding=''UTF-8'' ?>'),
+        (1, '<result>'), (2, E'\t<meta>'), (3, E'\t\t<columns>'),
+        (4, E'\t\t\t<column>'), (5, E'\t\t\t\t<name>k</name>'),
+        (6, E'\t\t\t\t<type>Nullable(Int32)</type>'), (7, E'\t\t\t</column>'),
+        (8, E'\t\t\t<column>'), (9, E'\t\t\t\t<name>name</name>'),
+        (10, E'\t\t\t\t<type>Nullable(String)</type>'), (11, E'\t\t\t</column>'),
+        (12, E'\t\t\t<column>'), (13, E'\t\t\t\t<name>alt</name>'),
+        (14, E'\t\t\t\t<type>Nullable(String)</type>'), (15, E'\t\t\t</column>'),
+        (16, E'\t\t</columns>'), (17, E'\t</meta>'), (18, E'\t<data>'),
+        (19, E'\t\t<row>'), (20, E'\t\t\t<k>0</k>'),
+        (21, E'\t\t\t<name>NATION_0</name>'), (22, E'\t\t\t<alt/>'),
+        (23, E'\t\t</row>'), (24, E'\t\t<row>'), (25, E'\t\t\t<k>1</k>'),
+        (26, E'\t\t\t<name>NATION_1</name>'),
+        (27, E'\t\t\t<alt>NATION_1</alt>'), (28, E'\t\t</row>'),
+        (29, E'\t</data>'), (30, E'\t<rows>2</rows>'), (31, '</result>')
+      ) t(i, line) ORDER BY i""") { (s, dir) =>
+      import s.implicits._
+      val text = graft.sources.ChTextFormats.renderXml(goldenFrame(s, dir))
+      text.split("\n").zipWithIndex.map { case (l, i) => (i, l) }
+        .toSeq.toDF("i", "line").orderBy("i")
     },
 
     // Regexp input format (RegexpRowInputFormat.cpp): each line must

@@ -555,6 +555,44 @@ object StorageQueries extends QueryPack {
       dbs.withColumn("idle_processes", lit(procs))
     },
 
+    // system.one + system.numbers as TABLES (round 8 —
+    // StorageSystemOne.cpp, StorageSystemNumbers.cpp): one is the
+    // single-row dummy=0 table; numbers streams `number` bounded by the
+    // query's LIMIT through the dialect resolution.
+    Q.df("q_system_one_numbers", """
+      SELECT CAST(0 AS SMALLINT) AS dummy, CAST(10 AS BIGINT) AS n,
+        CAST(0 AS BIGINT) AS mn, CAST(9 AS BIGINT) AS mx""") { (s, dir) =>
+      graft.sql.ClickHouseSql.sql(s, """
+        SELECT (SELECT dummy FROM system.one) AS dummy,
+          count() AS n, CAST(min(number) AS BIGINT) AS mn,
+          CAST(max(number) AS BIGINT) AS mx
+        FROM (SELECT number FROM system.numbers LIMIT 10)""")
+    },
+
+    // system.merges + system.mutations (round 8 —
+    // StorageSystemMerges.cpp, StorageSystemMutations.cpp): merges is
+    // honestly empty (no background merge daemon); mutations is the
+    // session ledger — two ALTER mutations on a scratch table are
+    // provably recorded and synchronous (is_done = 1).
+    Q.df("q_system_merges_mutations", """
+      SELECT CAST(0 AS BIGINT) AS active_merges, CAST(2 AS BIGINT) AS muts,
+        1 AS all_done""") { (s, dir) =>
+      Tables.register(s, dir)
+      graft.sql.ClickHouseSql.sql(s, """
+        CREATE MATERIALIZED VIEW sys_mut_t AS
+        SELECT n_nationkey, n_name FROM nation""")
+      graft.sql.ClickHouseSql.sql(s,
+        "ALTER TABLE sys_mut_t UPDATE n_name = upper(n_name) WHERE n_nationkey < 5")
+      graft.sql.ClickHouseSql.sql(s,
+        "ALTER TABLE sys_mut_t DELETE WHERE n_nationkey >= 20")
+      graft.sql.ClickHouseSql.sql(s, """
+        SELECT CAST((SELECT count() FROM system.merges) AS BIGINT) AS active_merges,
+          CAST((SELECT count(DISTINCT command) FROM system.mutations
+                WHERE `table` = 'sys_mut_t') AS BIGINT) AS muts,
+          (SELECT min(is_done) FROM system.mutations
+           WHERE `table` = 'sys_mut_t') AS all_done""")
+    },
+
     // ParquetMetadata input format (ParquetMetadataInputFormat.cpp):
     // reading a file THROUGH the format yields its footer as rows. The
     // fixture is self-written (one part, 25 nation rows, 3 columns), so

@@ -776,4 +776,201 @@ object ChTextFormats {
       }
     spark.createDataFrame(rows, schema)
   }
+
+  // ------------------------------------------- JSONObjectEachRow
+  // registerInputFormatJSONObjectEachRow (JSONObjectEachRowRow{Input,
+  // Output}Format.cpp): the whole stream is ONE JSON object whose KEYS
+  // name rows and whose values are {col: v} row objects. Sharded like
+  // the rest of the family: one object per part file, one row per line;
+  // generated row names carry the part index (names are labels, not
+  // data — the reader takes rows in order and binds columns BY NAME, so
+  // column order inside a row object is free, like the reference).
+
+  /** Minimal flat JSON object parser: string keys, scalar values.
+    * Returns key → (text, wasQuoted) for type-directed conversion. */
+  private[sources] def parseJsonObject(s0: String): Map[String, (String, Boolean)] = {
+    val s = s0.trim
+    require(s.startsWith("{") && s.endsWith("}"), s"not a JSON object: $s0")
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, (String, Boolean)]
+    var pos = 1
+    def skipWs(): Unit =
+      while (pos < s.length && s.charAt(pos).isWhitespace) pos += 1
+    def readString(): String = {
+      require(s.charAt(pos) == '"', s"expected '\"' at $pos in $s0")
+      pos += 1
+      val sb = new StringBuilder
+      while (s.charAt(pos) != '"') {
+        val c = s.charAt(pos)
+        if (c == '\\') {
+          s.charAt(pos + 1) match {
+            case '"' => sb.append('"'); pos += 2
+            case '\\' => sb.append('\\'); pos += 2
+            case 'n' => sb.append('\n'); pos += 2
+            case 'r' => sb.append('\r'); pos += 2
+            case 't' => sb.append('\t'); pos += 2
+            case '/' => sb.append('/'); pos += 2
+            case 'u' =>
+              sb.append(Integer.parseInt(s.substring(pos + 2, pos + 6), 16).toChar)
+              pos += 6
+            case other => sb.append(other); pos += 2
+          }
+        } else { sb.append(c); pos += 1 }
+      }
+      pos += 1
+      sb.toString
+    }
+    skipWs()
+    while (s.charAt(pos) != '}') {
+      val key = readString()
+      skipWs()
+      require(s.charAt(pos) == ':', s"expected ':' at $pos in $s0")
+      pos += 1
+      skipWs()
+      if (s.charAt(pos) == '"') out(key) = (readString(), true)
+      else {
+        val start = pos
+        while (s.charAt(pos) != ',' && s.charAt(pos) != '}') pos += 1
+        out(key) = (s.substring(start, pos).trim, false)
+      }
+      skipWs()
+      if (s.charAt(pos) == ',') { pos += 1; skipWs() }
+    }
+    out.toMap
+  }
+
+  def writeJsonObjectEachRow(df: DataFrame, path: String): Unit = {
+    val schema = df.schema
+    prepareDir(path)
+    df.rdd.mapPartitionsWithIndex { (idx, rows) =>
+      writePart(path, idx, "jsonobjecteachrow") { w =>
+        w.write("{\n")
+        var j = 0
+        rows.foreach { row =>
+          if (j > 0) w.write(",\n")
+          w.write("\"row_" + idx + "_" + (j + 1) + "\": {")
+          w.write(schema.fields.indices.map { i =>
+            "\"" + jsonEscape(schema.fields(i).name) + "\": " +
+              jsonCell(schema.fields(i).dataType, row, i)
+          }.mkString(", "))
+          w.write("}")
+          j += 1
+        }
+        if (j > 0) w.write("\n")
+        w.write("}\n")
+      }
+      Iterator.empty
+    }.count()
+    ()
+  }
+
+  def readJsonObjectEachRow(spark: SparkSession, path: String,
+      schema: StructType): DataFrame = {
+    val parts = listParts(path, "jsonobjecteachrow")
+    val rows = spark.sparkContext.parallelize(parts, math.max(parts.length, 1))
+      .flatMap { file =>
+        rowLines(readPartText(file)).flatMap { line0 =>
+          val t = line0.trim.stripSuffix(",")
+          if (t.isEmpty || t == "{" || t == "}") None
+          else {
+            // `"row_name": { ... }` — the name is a label; bind by column
+            val brace = t.indexOf('{')
+            require(brace >= 0, s"JSONObjectEachRow: no row object in: $t")
+            val kv = parseJsonObject(t.substring(brace))
+            Some(Row.fromSeq(schema.fields.toSeq.map { f =>
+              kv.get(f.name) match {
+                case None => null
+                case Some((cell, quoted)) =>
+                  if (!quoted && cell == "null") null
+                  else parseRaw(f.dataType, cell)
+              }
+            }))
+          }
+        }
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
+  // ----------------------------------------------------------- Vertical
+  // VerticalRowOutputFormat.cpp — output-only (a terminal/report format):
+  // per row a `Row N:` header with a `─` rule, then `name: value` lines
+  // with names right-padded so values align; ᴺᵁᴸᴸ for nulls like Pretty;
+  // a blank line between rows. Driver-side render capped at maxRows, the
+  // reference's output_format_pretty_max_rows analog.
+  def renderVertical(df: DataFrame, maxRows: Int = 100): String = {
+    val schema = df.schema
+    val rows = df.limit(maxRows).collect()
+    val nameW = (schema.fields.map(_.name.length) :+ 0).max
+    val sb = new StringBuilder
+    rows.zipWithIndex.foreach { case (row, r) =>
+      if (r > 0) sb.append("\n")
+      val head = s"Row ${r + 1}:"
+      sb.append(head).append("\n").append("─" * head.length).append("\n")
+      schema.fields.zipWithIndex.foreach { case (f, i) =>
+        val v = if (row.isNullAt(i)) "ᴺᵁᴸᴸ"
+          else renderRaw(f.dataType, row.get(i))
+        sb.append(f.name).append(":")
+          .append(" " * (nameW - f.name.length + 1)).append(v).append("\n")
+      }
+    }
+    sb.toString
+  }
+
+  // ----------------------------------------------------------- Markdown
+  // MarkdownRowOutputFormat.cpp — output-only: a GitHub-flavored table;
+  // numeric columns right-align (`--:` rule), everything else left
+  // (`:--`); pipes and newlines in cells escape so the table can't break.
+  def renderMarkdown(df: DataFrame, maxRows: Int = 100): String = {
+    val schema = df.schema
+    val rows = df.limit(maxRows).collect()
+    def mdEscape(s: String): String =
+      s.replace("\\", "\\\\").replace("|", "\\|").replace("\n", "\\n")
+    val sb = new StringBuilder
+    sb.append(schema.fields.map(f => mdEscape(f.name))
+      .mkString("| ", " | ", " |\n"))
+    sb.append(schema.fields.map { f =>
+      if (!isTextual(f.dataType) && f.dataType != BooleanType) "--:" else ":--"
+    }.mkString("| ", " | ", " |\n"))
+    rows.foreach { row =>
+      sb.append(schema.fields.indices.map { i =>
+        if (row.isNullAt(i)) "ᴺᵁᴸᴸ"
+        else mdEscape(renderRaw(schema.fields(i).dataType, row.get(i)))
+      }.mkString("| ", " | ", " |\n"))
+    }
+    sb.toString
+  }
+
+  // ---------------------------------------------------------------- XML
+  // XMLRowOutputFormat.cpp — output-only: <result> with a <meta> column
+  // inventory (reference type names), a <data> of <row> elements with
+  // one child element per column (nulls render self-closed), and a
+  // trailing <rows> count.
+  def renderXml(df: DataFrame, maxRows: Int = 100): String = {
+    val schema = df.schema
+    val rows = df.limit(maxRows).collect()
+    def xmlEscape(s: String): String =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val sb = new StringBuilder
+    sb.append("<?xml version='1.0' encoding='UTF-8' ?>\n<result>\n\t<meta>\n\t\t<columns>\n")
+    schema.fields.foreach { f =>
+      sb.append("\t\t\t<column>\n\t\t\t\t<name>").append(xmlEscape(f.name))
+        .append("</name>\n\t\t\t\t<type>")
+        .append(xmlEscape(ChWireFormats.chTypeName(f.dataType, f.nullable)))
+        .append("</type>\n\t\t\t</column>\n")
+    }
+    sb.append("\t\t</columns>\n\t</meta>\n\t<data>\n")
+    rows.foreach { row =>
+      sb.append("\t\t<row>\n")
+      schema.fields.zipWithIndex.foreach { case (f, i) =>
+        val tag = xmlEscape(f.name)
+        if (row.isNullAt(i)) sb.append(s"\t\t\t<$tag/>\n")
+        else sb.append(s"\t\t\t<$tag>")
+          .append(xmlEscape(renderRaw(f.dataType, row.get(i))))
+          .append(s"</$tag>\n")
+      }
+      sb.append("\t\t</row>\n")
+    }
+    sb.append("\t</data>\n\t<rows>").append(rows.length)
+      .append("</rows>\n</result>\n")
+    sb.toString
+  }
 }

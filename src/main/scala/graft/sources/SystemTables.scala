@@ -5,10 +5,49 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** System-table surface (reference: src/Storages/System/ —
   * StorageSystemTables.cpp, StorageSystemColumns.cpp,
   * StorageSystemFunctions.cpp). The Spark catalog is the source of truth;
-  * these expose it as queryable frames with reference-shaped columns.
-  * system.numbers/one are covered by the table functions
-  * (`q_tf_numbers`). */
+  * these expose it as queryable frames with reference-shaped columns. */
 object SystemTables {
+
+  /** system.one (StorageSystemOne.cpp): the canonical single-row,
+    * single-column table — a FROM-less SELECT resolves against it in the
+    * reference; `dummy` UInt8 = 0. */
+  def one(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(0.toShort).toDF("dummy")
+  }
+
+  /** system.numbers as a TABLE (StorageSystemNumbers.cpp): the reference
+    * streams an unbounded `number` column and relies on LIMIT/WHERE to
+    * stop; the dialect caps the materialized range at the query's LIMIT
+    * (or a default window) — see the `FROM system.numbers` resolution in
+    * ClickHouseSql. */
+  def numbers(spark: SparkSession, bound: Long): DataFrame =
+    spark.range(bound).toDF("number")
+
+  /** system.merges (StorageSystemMerges.cpp): in-flight background
+    * merges. This engine has no merge daemon — compaction is the write
+    * path's concern — so the table is honestly ALWAYS empty, with the
+    * reference's column shape (the same contract as `processes` between
+    * queries). */
+  def merges(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, String, Double, Long, Long, Double)]
+      .toDF("database", "table", "elapsed", "num_parts", "rows_read",
+        "progress")
+  }
+
+  /** system.mutations (StorageSystemMutations.cpp): the session's
+    * mutation ledger — every ALTER UPDATE / ALTER DELETE / lightweight
+    * DELETE recorded in order. Mutations here are SYNCHRONOUS part
+    * rewrites, so is_done is always 1 (the reference's async queue shows
+    * 0 while pending). */
+  def mutations(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    graft.sql.ClickHouseSql.mutationLog.iterator().asScala.toSeq
+      .map { case (t, cmd) => (t, cmd, 1) }
+      .toDF("table", "command", "is_done")
+  }
 
   /** system.tables: session-visible tables/views. */
   def tables(spark: SparkSession): DataFrame = {

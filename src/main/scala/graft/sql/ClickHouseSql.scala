@@ -544,6 +544,17 @@ object ClickHouseSql {
   private[graft] val queryLog =
     new java.util.concurrent.ConcurrentLinkedDeque[QueryLogEntry]()
 
+  /** Session mutation ledger (system.mutations analog,
+    * src/Storages/System/StorageSystemMutations.cpp): (table, command)
+    * per executed mutation statement. Bounded like the query log. */
+  private[graft] val mutationLog =
+    new java.util.concurrent.ConcurrentLinkedDeque[(String, String)]()
+
+  private def logMutation(table: String, command: String): Unit = {
+    mutationLog.addLast((table, command))
+    while (mutationLog.size > queryLogMax) mutationLog.pollFirst()
+  }
+
   /** Run CH-dialect SQL: rewrite, then Spark SQL with the alias registry
     * installed. */
   def sql(spark: SparkSession, chSql: String): DataFrame = {
@@ -603,6 +614,20 @@ object ClickHouseSql {
           case "msgpack" => graft.sources.ChMiscFormats.writeMsgPack(df, path)
           case "jsoncolumns" =>
             graft.sources.ChTextFormats.writeJsonColumns(df, path)
+          case "jsonobjecteachrow" =>
+            graft.sources.ChTextFormats.writeJsonObjectEachRow(df, path)
+          // render-only formats (round 8): one text file of the rendering
+          case "vertical" | "markdown" | "xml" =>
+            val text = Option(fmt).get.toLowerCase match {
+              case "vertical" => graft.sources.ChTextFormats.renderVertical(df)
+              case "markdown" => graft.sources.ChTextFormats.renderMarkdown(df)
+              case _ => graft.sources.ChTextFormats.renderXml(df)
+            }
+            val p = new org.apache.hadoop.fs.Path(path)
+            val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            val out = fs.create(p, true)
+            try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            finally out.close()
           case "rowbinary" => graft.sources.ChWireFormats.writeRowBinary(df, path)
           case _ => w.csv(path)
         }
@@ -634,7 +659,21 @@ object ClickHouseSql {
         "metrics" -> (() => graft.sources.SystemTables.metrics(spark)),
         "events" -> (() => graft.sources.SystemTables.events(spark)),
         "asynchronous_metrics" ->
-          (() => graft.sources.SystemTables.asynchronousMetrics(spark)))
+          (() => graft.sources.SystemTables.asynchronousMetrics(spark)),
+        "databases" -> (() => graft.sources.SystemTables.databases(spark)),
+        "processes" -> (() => graft.sources.SystemTables.processes(spark)),
+        "one" -> (() => graft.sources.SystemTables.one(spark)),
+        "merges" -> (() => graft.sources.SystemTables.merges(spark)),
+        "mutations" -> (() => graft.sources.SystemTables.mutations(spark)),
+        // system.numbers streams unbounded in the reference
+        // (StorageSystemNumbers.cpp) and every real query bounds it with
+        // LIMIT; materialize to the query's own LIMIT (default 2^20)
+        "numbers" -> { () =>
+          val bound = "(?is)\\bLIMIT\\s+(\\d+)".r
+            .findFirstMatchIn(trimmedNoFmt).map(_.group(1).toLong)
+            .getOrElse(1L << 20)
+          graft.sources.SystemTables.numbers(spark, bound)
+        })
       "\\bsystem\\.([a-z_]+)\\b".r.findAllMatchIn(trimmedNoFmt)
         .map(_.group(1)).toSeq.distinct
         .filter(servable.contains)
@@ -648,7 +687,8 @@ object ClickHouseSql {
       if (i % 2 == 1) seg
       else seg.replaceAll(
         "(?i)\\bsystem\\.(tables|functions|settings|query_log|dictionaries|" +
-          "data_skipping_indices|metrics|events|asynchronous_metrics)\\b",
+          "data_skipping_indices|metrics|events|asynchronous_metrics|" +
+          "databases|processes|one|numbers|merges|mutations)\\b",
         "graft_system_$1")
     }.mkString("'")
     if (Dictionaries.matches(trimmed))
@@ -719,6 +759,7 @@ object ClickHouseSql {
           surviving.write.mode("overwrite").insertInto(t)
           refreshSkipIndexes(spark, t)
           queryCache.clear() // mutated data: cached SELECT results are stale
+          logMutation(t, trimmed)
           Seq("OK").toDF("status")
         case _ => throw new IllegalArgumentException("unsupported DELETE form")
       }
@@ -1199,6 +1240,7 @@ object ClickHouseSql {
         mutated.write.mode("overwrite").insertInto(t)
         refreshSkipIndexes(spark, t)
         queryCache.clear()
+        logMutation(t, stmt.trim)
         Seq("OK").toDF("status")
       case del(t, pred) =>
         val surviving = graft.operators.Mutations
@@ -1207,6 +1249,7 @@ object ClickHouseSql {
         surviving.write.mode("overwrite").insertInto(t)
         refreshSkipIndexes(spark, t)
         queryCache.clear()
+        logMutation(t, stmt.trim)
         Seq("OK").toDF("status")
       case _ => throw new IllegalArgumentException(
         "unsupported ALTER mutation form")

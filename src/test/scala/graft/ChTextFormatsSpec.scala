@@ -152,6 +152,31 @@ class ChTextFormatsSpec extends SparkFunSuite {
     assert(text == expected, s"got:\n$text")
   }
 
+  test("JSONObjectEachRow roundtrips adversarial strings; binds by name") {
+    val p = tmp("jsonobj")
+    ChTextFormats.writeJsonObjectEachRow(df, p)
+    assertSame(ChTextFormats.readJsonObjectEachRow(spark, p, schema))
+    // by-name binding: a column-reordered schema still reads correctly
+    val reordered = StructType(Seq(schema("s"), schema("id")))
+    val back = ChTextFormats.readJsonObjectEachRow(spark, p, reordered)
+    val byId = back.collect().map(r => r.getLong(1) -> r.getAs[String](0)).toMap
+    assert(byId(1L) == "plain" && byId(6L) == null)
+  }
+
+  test("Markdown render escapes pipes; Vertical aligns and marks nulls") {
+    val s2 = StructType(Seq(
+      StructField("n", LongType, nullable = false),
+      StructField("t", StringType, nullable = true)))
+    val one = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(7L, "a|b"), Row(8L, null)), 1), s2)
+    val md = ChTextFormats.renderMarkdown(one.orderBy("n"))
+    assert(md ==
+      "| n | t |\n| --: | :-- |\n| 7 | a\\|b |\n| 8 | ᴺᵁᴸᴸ |\n", s"got:\n$md")
+    val v = ChTextFormats.renderVertical(one.orderBy("n"))
+    assert(v == "Row 1:\n──────\nn: 7\nt: a|b\n\nRow 2:\n──────\nn: 8\nt: ᴺᵁᴸᴸ\n",
+      s"got:\n$v")
+  }
+
   test("empty-string single-column row survives the TSV roundtrip") {
     // r6 ADVICE: an empty line is a REAL row for a one-string-column
     // schema; only the final row delimiter's trailing empty element drops
