@@ -62,6 +62,11 @@ object Bench {
     // builds the index, passes 2..5 measure the steady-state PRUNED
     // search (buildOnce); the files-read ratio prints in the io note
     "q_text_search_index",
+    // round-8: TOKEN-lane-selective search over a range-clustered corpus
+    // with a planted 3/32-file token — the word-soup shared corpus admits
+    // 32/32 on the token lane, so this is the query whose io-note number
+    // shows the token lane actually pruning
+    "q_text_token_selective",
     // round-7: lazy-materialization wide-table top-N — narrow sort +
     // 20-row wide fetch; the wide-scan rows-read ratio prints in the io
     // note (measured over a sort-clustered multi-file layout)
@@ -205,10 +210,17 @@ object Bench {
         }
         .map(_.metrics.get("numOutputRows").map(_.value).getOrElse(0L)).sum
       val tableRows = spark.read.parquet(ldir).count()
+      // round-8: the planted-token corpus's TOKEN-lane admission — the
+      // number q_text_token_selective's pruning claim rides on
+      val selBase = s"/tmp/graft_textindex_sel_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val selTotal = spark.read.parquet(s"$selBase/data").inputFiles.length
+      val selFiles = graft.operators.TextIndex.matchingFiles(
+        spark, s"$selBase/index", Seq("zqx_planted_tok")).size
       System.err.println(s"BENCH IO token index: $matchedFiles/$totalFiles files " +
-        s"(best phrase $phraseFiles/$totalFiles); " +
+        s"(best phrase $phraseFiles/$totalFiles; " +
+        s"selective token $selFiles/$selTotal); " +
         s"lazy topk wide scan: $wideRows/$tableRows rows")
-      s""","io":{"text_index_files_matched":$matchedFiles,"text_index_files_total":$totalFiles,"best_phrase_files":$phraseFiles,"lazy_topk_wide_rows":$wideRows,"table_rows":$tableRows}"""
+      s""","io":{"text_index_files_matched":$matchedFiles,"text_index_files_total":$totalFiles,"best_phrase_files":$phraseFiles,"selective_token_files":$selFiles,"selective_token_files_total":$selTotal,"lazy_topk_wide_rows":$wideRows,"table_rows":$tableRows}"""
     } catch { case e: Throwable =>
       System.err.println(s"BENCH io note failed: $e"); ""
     }

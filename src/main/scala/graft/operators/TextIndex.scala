@@ -60,12 +60,18 @@ object TextIndex {
       textCol: String = "text"): Unit = {
     docs.repartition(nFiles, col(idCol))
       .write.mode("overwrite").parquet(dataDir)
+    createFromLayout(spark, dataDir, indexDir, textCol)
+  }
+
+  /** Index an EXISTING layout (whatever partitioning the caller chose —
+    * range-clustered layouts give the token lane real selectivity). */
+  def createFromLayout(spark: SparkSession, dataDir: String,
+      indexDir: String, textCol: String = "text"): Unit =
     spark.read.parquet(dataDir)
       .select(col("_metadata.file_path").as("file"),
         explode(gramsOf(col(textCol))).as("token"))
       .distinct()
       .write.mode("overwrite").parquet(indexDir)
-  }
 
   /** Files whose token set covers ALL of `tokens` (AND semantics) — the
     * candidate list a conjunctive token query must read. The collect is

@@ -35,10 +35,11 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFil
   * (driver-resident index reads, |files| rows each), intersects them, and
   * swaps the relation's location for an [[InMemoryFileIndex]] over the
   * surviving files. After the swap the root paths no longer match the
-  * registry, so the rule cannot re-fire on its own output. Relations with
-  * a non-empty partition schema are left untouched — the location swap
-  * would lose hive partition values (the reference equivalent prunes
-  * GRANULES inside parts and has no such hazard).
+  * registry, so the rule cannot re-fire on its own output.
+  * Hive-partitioned relations keep their partition values: the swap
+  * carries the original location's partition spec, so partition pruning
+  * and skip-index file pruning COMPOSE (round 8; the reference layers
+  * partition pruning over granule pruning the same way).
   */
 object SkipIndexPruning {
 
@@ -245,6 +246,30 @@ object SkipIndexPruning {
       }
     }
 
+    /** A pruned file index over the surviving leaf files. Unpartitioned
+      * relations get a plain [[InMemoryFileIndex]]; hive-partitioned
+      * relations (round 8, closing the round-7 bail-out) CARRY the
+      * original location's partition spec into the swap, so the pruned
+      * relation keeps both its partition values (columns read from dir
+      * names) and Catalyst's partition pruning — exactly the reference's
+      * layering, where partition pruning and skip-index granule pruning
+      * compose (MergeTreeDataSelectExecutor). A partitioned location
+      * that doesn't expose its spec (non-PartitioningAware) still bails. */
+    private def swappedLocation(fs: HadoopFsRelation,
+        files: Seq[String]): Option[org.apache.spark.sql.execution.datasources.FileIndex] = {
+      val paths = files.map(new org.apache.hadoop.fs.Path(_))
+      if (fs.partitionSchema.isEmpty)
+        Some(new InMemoryFileIndex(spark, paths, Map.empty, Some(fs.dataSchema)))
+      else fs.location match {
+        case pa: org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex =>
+          Some(new InMemoryFileIndex(spark, paths, Map.empty,
+            Some(org.apache.spark.sql.types.StructType(
+              fs.dataSchema.fields ++ fs.partitionSchema.fields)),
+            userSpecifiedPartitionSpec = Some(pa.partitionSpec())))
+        case _ => None
+      }
+    }
+
     /** Rewrite the scan under (possibly) a column-pruning Project. */
     private def rewriteScan(plan: LogicalPlan, cond: Expression): Option[LogicalPlan] =
       plan match {
@@ -252,7 +277,7 @@ object SkipIndexPruning {
             if projectList.forall(_.isInstanceOf[AttributeReference]) =>
           rewriteScan(child, cond).map(c => p.copy(child = c))
         case lr: LogicalRelation => lr.relation match {
-          case fs: HadoopFsRelation if fs.partitionSchema.isEmpty =>
+          case fs: HadoopFsRelation =>
             val roots = fs.location.rootPaths.map(p => canon(p.toString))
             val idxs = roots.flatMap(r => Option(registry.get(r)).toSeq.flatten)
             if (idxs.isEmpty) None
@@ -271,12 +296,9 @@ object SkipIndexPruning {
                     ss.map(_._2).reduce(_ intersect _).size, total))
                 }
                 if (files.size >= total) None
-                else {
-                  val newLocation = new InMemoryFileIndex(spark,
-                    files.map(new org.apache.hadoop.fs.Path(_)),
-                    Map.empty, Some(fs.dataSchema))
+                else swappedLocation(fs, files).map { newLocation =>
                   val newFs = fs.copy(location = newLocation)(spark)
-                  Some(lr.copy(relation = newFs))
+                  lr.copy(relation = newFs)
                 }
               }
             }

@@ -276,27 +276,50 @@ class SkipIndexSpec extends SparkFunSuite {
       s"typed probes must agree: int=$viaInt long=$viaLong")
   }
 
-  test("partitioned layouts: rule bails out; explicit scan keeps partition values") {
+  test("partitioned layouts: rule prunes files AND keeps partition values") {
     val pBase = Files.createTempDirectory("skippart").toString
+    // cluster by source INSIDE each lang partition so the per-file blooms
+    // can actually exclude files
     Tables.load(spark, sf, "documents")
+      .repartitionByRange(8, col("source"))
       .write.mode("overwrite").partitionBy("lang").parquet(s"$pBase/data")
     SkipIndex.create(spark, s"$pBase/data", s"$pBase/idx", Seq("source"))
     graft.plans.SkipIndexPruning.register(spark, s"$pBase/data", s"$pBase/idx",
       Seq("source"))
     try {
-      // the transparent rule must NOT swap the location (partition values
-      // would be lost) — answers stay correct via the untouched scan
+      // round 8: the swap CARRIES the partition spec — the pruned scan
+      // reads fewer files while the hive partition column still
+      // materializes from the dir names
+      graft.plans.SkipIndexPruning.clearDecisions()
       val df = spark.read.parquet(s"$pBase/data")
         .filter(col("source") === "src3")
       val viaRule = df.select("doc_id", "lang").collect()
         .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val ds = graft.plans.SkipIndexPruning.lastDecisions
+      assert(ds.nonEmpty, "rule did not fire on the partitioned layout")
+      assert(ds.exists(d => d.admitted < d.total),
+        s"no file pruned on the partitioned layout: $ds")
+      assert(viaRule.nonEmpty && viaRule.forall(_._2 != null),
+        "partition values lost in the swapped location")
       graft.plans.SkipIndexPruning.drop(s"$pBase/data")
       val full = spark.read.parquet(s"$pBase/data")
         .filter(col("source") === "src3")
         .select("doc_id", "lang").collect()
         .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
       assert(viaRule.toSeq == full.toSeq && full.nonEmpty)
-      assert(viaRule.forall(_._2 != null), "partition values lost")
+      // partition pruning COMPOSES with the file swap: a lang predicate
+      // on the pruned relation still prunes partitions (plan shows the
+      // partition filter; answers stay exact)
+      graft.plans.SkipIndexPruning.register(spark, s"$pBase/data",
+        s"$pBase/idx", Seq("source"))
+      val both = spark.read.parquet(s"$pBase/data")
+        .filter(col("source") === "src3" && col("lang") === "en")
+      val bothRows = both.select("doc_id").collect().map(_.getLong(0)).sorted
+      graft.plans.SkipIndexPruning.drop(s"$pBase/data")
+      val bothFull = spark.read.parquet(s"$pBase/data")
+        .filter(col("source") === "src3" && col("lang") === "en")
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+      assert(bothRows.toSeq == bothFull.toSeq)
       // the EXPLICIT pruned scan reads with basePath, so the hive
       // partition column still materializes
       val explicit = SkipIndex.scan(spark, s"$pBase/data", s"$pBase/idx",
