@@ -593,6 +593,47 @@ object StorageQueries extends QueryPack {
            WHERE `table` = 'sys_mut_t') AS all_done""")
     },
 
+    // system.formats + system.table_engines (round 8 —
+    // StorageSystemFormats.cpp, StorageSystemTableEngines.cpp): registry
+    // inventories; the oracle pins a representative slice with the
+    // capability flags (Regexp parse-only, Vertical render-only).
+    Q.df("q_system_formats_engines", """
+      SELECT * FROM (VALUES
+        ('MsgPack', TRUE, TRUE), ('Parquet', TRUE, TRUE),
+        ('Regexp', TRUE, FALSE), ('RowBinary', TRUE, TRUE),
+        ('Vertical', FALSE, TRUE), ('XML', FALSE, TRUE),
+        ('engine:MergeTree', TRUE, TRUE),
+        ('engine:ReplacingMergeTree', TRUE, TRUE)
+      ) t(name, is_input, is_output) ORDER BY name""") { (s, dir) =>
+      graft.sql.ClickHouseSql.sql(s, """
+        SELECT name, is_input, is_output FROM system.formats
+        WHERE name IN ('Parquet', 'RowBinary', 'Vertical', 'XML',
+          'MsgPack', 'Regexp')
+        UNION ALL
+        SELECT concat('engine:', name) AS name, TRUE AS is_input,
+          TRUE AS is_output
+        FROM system.table_engines
+        WHERE name IN ('MergeTree', 'ReplacingMergeTree')
+        ORDER BY name""")
+    },
+
+    // system.clusters + system.disks (round 8 —
+    // StorageSystemClusters.cpp, StorageSystemDisks.cpp): the local
+    // single-shard topology and the warehouse volume with live gauges —
+    // the oracle states the stable facts.
+    Q.df("q_system_clusters_disks", """
+      SELECT 'default' AS cluster, 1 AS shard_num, 1 AS is_local,
+        'default' AS disk, 'local' AS disk_type, TRUE AS sized""") { (s, dir) =>
+      val c = graft.sql.ClickHouseSql.sql(s, """
+        SELECT cluster, shard_num, is_local FROM system.clusters""")
+      val d = graft.sql.ClickHouseSql.sql(s, """
+        SELECT name AS disk, type AS disk_type,
+          free_space >= 0 AND total_space > 0 AND free_space <= total_space
+            AS sized
+        FROM system.disks""")
+      c.crossJoin(d)
+    },
+
     // ParquetMetadata input format (ParquetMetadataInputFormat.cpp):
     // reading a file THROUGH the format yields its footer as rows. The
     // fixture is self-written (one part, 25 nation rows, 3 columns), so

@@ -49,6 +49,60 @@ object SystemTables {
       .toDF("table", "command", "is_done")
   }
 
+  /** system.formats (StorageSystemFormats.cpp): the format registry —
+    * every wire/text/container format this engine speaks, with its
+    * input/output capability flags (render-only formats are output-only,
+    * Regexp/JSONAsString parse-only, like the reference's registry). */
+  def formats(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val both = Seq("Parquet", "ORC", "CSV", "CSVWithNames",
+      "CSVWithNamesAndTypes", "JSONEachRow", "TabSeparated",
+      "TabSeparatedWithNames", "TabSeparatedWithNamesAndTypes",
+      "JSONCompactEachRow", "JSONCompactEachRowWithNamesAndTypes",
+      "JSONColumns", "JSONObjectEachRow", "Values", "TSKV",
+      "CustomSeparated", "RowBinary", "RowBinaryWithNamesAndTypes",
+      "Native", "ArrowStream", "Avro", "BSONEachRow", "MsgPack", "Npy",
+      "LineAsString", "RawBLOB")
+    val inOnly = Seq("Regexp", "JSONAsString", "ParquetMetadata")
+    val outOnly = Seq("Pretty", "Vertical", "Markdown", "XML")
+    (both.map((_, true, true)) ++ inOnly.map((_, true, false)) ++
+      outOnly.map((_, false, true)))
+      .toDF("name", "is_input", "is_output")
+  }
+
+  /** system.table_engines (StorageSystemTableEngines.cpp): the engine
+    * names CREATE TABLE … ENGINE = accepts. */
+  def tableEngines(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq("MergeTree", "ReplacingMergeTree", "SummingMergeTree",
+      "AggregatingMergeTree", "CollapsingMergeTree",
+      "VersionedCollapsingMergeTree", "GraphiteMergeTree", "Memory",
+      "Join", "Set", "Buffer", "Merge", "Null", "View",
+      "MaterializedView", "Dictionary")
+      .map(Tuple1(_)).toDF("name")
+  }
+
+  /** system.clusters (StorageSystemClusters.cpp): the session's topology.
+    * This engine delegates distribution to Spark, so the one cluster is
+    * the local session (the reference's default single-shard shape). */
+  def clusters(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(("default", 1, 1, java.net.InetAddress.getLoopbackAddress.getHostName,
+      1)).toDF("cluster", "shard_num", "replica_num", "host_name", "is_local")
+  }
+
+  /** system.disks (StorageSystemDisks.cpp): storage volumes — here the
+    * warehouse filesystem, with live free/total byte gauges. */
+  def disks(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .replaceFirst("^file:", "")
+    val f = new java.io.File(wh)
+    val probe = if (f.exists()) f else new java.io.File("/")
+    Seq(("default", wh, probe.getFreeSpace, probe.getTotalSpace, "local"))
+      .toDF("name", "path", "free_space", "total_space", "type")
+  }
+
   /** system.tables: session-visible tables/views. */
   def tables(spark: SparkSession): DataFrame = {
     import spark.implicits._

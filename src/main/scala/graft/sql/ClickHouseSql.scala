@@ -665,6 +665,11 @@ object ClickHouseSql {
         "one" -> (() => graft.sources.SystemTables.one(spark)),
         "merges" -> (() => graft.sources.SystemTables.merges(spark)),
         "mutations" -> (() => graft.sources.SystemTables.mutations(spark)),
+        "formats" -> (() => graft.sources.SystemTables.formats(spark)),
+        "table_engines" ->
+          (() => graft.sources.SystemTables.tableEngines(spark)),
+        "clusters" -> (() => graft.sources.SystemTables.clusters(spark)),
+        "disks" -> (() => graft.sources.SystemTables.disks(spark)),
         // system.numbers streams unbounded in the reference
         // (StorageSystemNumbers.cpp) and every real query bounds it with
         // LIMIT; materialize to the query's own LIMIT (default 2^20)
@@ -688,7 +693,8 @@ object ClickHouseSql {
       else seg.replaceAll(
         "(?i)\\bsystem\\.(tables|functions|settings|query_log|dictionaries|" +
           "data_skipping_indices|metrics|events|asynchronous_metrics|" +
-          "databases|processes|one|numbers|merges|mutations)\\b",
+          "databases|processes|one|numbers|merges|mutations|" +
+          "formats|table_engines|clusters|disks)\\b",
         "graft_system_$1")
     }.mkString("'")
     if (Dictionaries.matches(trimmed))
