@@ -233,6 +233,20 @@ object DialectQueries extends QueryPack {
         (0, 5), (1, NULL), (4, 5), (5, NULL), (8, 5), (9, NULL),
         (12, 5), (13, NULL), (16, 5), (17, NULL)) t(m, n) ORDER BY m"""),
 
+    // GROUP BY ALL / ORDER BY ALL (the reference's enable_order_by_all /
+    // GROUP BY ALL sugar, src/Parsers/ParserSelectQuery.cpp): every
+    // non-aggregate select item groups; ORDER BY ALL sorts by the whole
+    // select list. Spark 4 speaks both natively — the dialect passes
+    // them through; this row pins that they keep working.
+    ch("q_ch_group_by_all", """
+      SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      FROM lineitem GROUP BY ALL ORDER BY ALL""",
+      """
+      SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      FROM lineitem GROUP BY ALL ORDER BY ALL"""),
+
     // Query parameters {name:Type} + SET param_<name>
     // (src/Parsers/ASTQueryParameter.h:10): typed-literal substitution —
     // a String, an integer, and a DateTime parameter in one predicate.

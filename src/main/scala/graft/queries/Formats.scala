@@ -412,6 +412,60 @@ object Formats extends QueryPack {
         .orderBy("s_suppkey")
     },
 
+    // TabSeparatedRaw (TabSeparatedRawRow{Input,Output}Format.cpp —
+    // round 8): TSV with NO escaping, values byte-verbatim; separators
+    // in values are unrepresentable (loud write failure, not silent
+    // corruption).
+    Q.df("q_format_tsv_raw", """
+      SELECT p_partkey, p_name, CAST(p_retailprice AS DOUBLE) AS price
+      FROM part ORDER BY p_partkey""") { (s, dir) =>
+      val src = Tables.load(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"),
+          col("p_retailprice").cast("double").as("price"))
+        .repartition(2)
+      val path = fixtureDir("tsvraw_part", dir)
+      graft.sources.ChTextFormats.writeTabSeparatedRaw(src, path)
+      graft.sources.ChTextFormats.readTabSeparatedRaw(s, path, src.schema)
+        .orderBy("p_partkey")
+    },
+
+    // JSONStringsEachRow (round 8): every cell renders as a JSON string,
+    // numbers included; the reader re-parses by target type.
+    Q.df("q_format_jsonstrings", """
+      SELECT s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS bal,
+        CASE WHEN s_nationkey < 5 THEN NULL ELSE s_name END AS alt
+      FROM supplier ORDER BY s_suppkey""") { (s, dir) =>
+      val src = Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"),
+          col("s_acctbal").cast("double").as("bal"),
+          when(col("s_nationkey") < 5, lit(null).cast("string"))
+            .otherwise(col("s_name")).as("alt"))
+        .repartition(2)
+      val path = fixtureDir("jsonstrings_supplier", dir)
+      graft.sources.ChTextFormats.writeJsonStringsEachRow(src, path)
+      graft.sources.ChTextFormats.readJsonStringsEachRow(s, path, src.schema)
+        .orderBy("s_suppkey")
+    },
+
+    // JSON document format (JSONRowOutputFormat.cpp — the reference's
+    // default HTTP result shape, round 8): typed meta block + data row
+    // objects + rows count per document; the reader VERIFIES meta and
+    // the count against the schema and data.
+    Q.df("q_format_json_document", """
+      SELECT n_nationkey, n_name,
+        CASE WHEN n_regionkey = 0 THEN NULL ELSE n_regionkey END AS r
+      FROM nation ORDER BY n_nationkey""") { (s, dir) =>
+      val src = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"),
+          when(col("n_regionkey") === 0, lit(null).cast("integer"))
+            .otherwise(col("n_regionkey")).as("r"))
+        .repartition(2)
+      val path = fixtureDir("jsondoc_nation", dir)
+      graft.sources.ChTextFormats.writeJsonDocument(src, path)
+      graft.sources.ChTextFormats.readJsonDocument(s, path, src.schema)
+        .orderBy("n_nationkey")
+    },
+
     // Vertical output format (VerticalRowOutputFormat.cpp — round 8):
     // golden-byte pin, line by line — Row headers, ─ rules, name-aligned
     // values, ᴺᵁᴸᴸ marker, blank line between rows.

@@ -890,6 +890,178 @@ object ChTextFormats {
     spark.createDataFrame(rows, schema)
   }
 
+  // ------------------------------------------- TabSeparatedRaw
+  // TabSeparatedRawRow{Input,Output}Format.cpp: TSV with NO escaping —
+  // values ride byte-verbatim, so a value containing the separators
+  // cannot be represented (the reference writes it broken; this engine
+  // fails LOUDLY on write instead). NULL still renders \N (the raw
+  // variant keeps the null marker; a literal backslash-N string is
+  // therefore unrepresentable too — same contract).
+
+  def writeTabSeparatedRaw(df: DataFrame, path: String): Unit = {
+    val schema = df.schema
+    prepareDir(path)
+    df.rdd.mapPartitionsWithIndex { (idx, rows) =>
+      writePart(path, idx, "tsvraw") { w =>
+        rows.foreach { row =>
+          val line = schema.fields.indices.map { i =>
+            if (row.isNullAt(i)) "\\N"
+            else {
+              val raw = renderRaw(schema.fields(i).dataType, row.get(i))
+              require(!raw.contains('\t') && !raw.contains('\n') && raw != "\\N",
+                s"TabSeparatedRaw cannot represent value '$raw' (contains a separator)")
+              raw
+            }
+          }.mkString("\t")
+          w.write(line); w.write('\n')
+        }
+      }
+      Iterator.empty
+    }.count()
+    ()
+  }
+
+  def readTabSeparatedRaw(spark: SparkSession, path: String,
+      schema: StructType): DataFrame = {
+    val parts = listParts(path, "tsvraw")
+    val rows = spark.sparkContext.parallelize(parts, math.max(parts.length, 1))
+      .flatMap { file =>
+        rowLines(readPartText(file)).map { line =>
+          val cells = line.split("\t", -1)
+          require(cells.length == schema.fields.length,
+            s"TabSeparatedRaw arity ${cells.length}")
+          Row.fromSeq(schema.fields.indices.map { i =>
+            val c = cells(i)
+            if (c == "\\N") null else parseRaw(schema.fields(i).dataType, c)
+          })
+        }
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
+  // ------------------------------------------- JSONStringsEachRow
+  // JSONCompactStringsEachRow / JSONStringsEachRow family: every cell —
+  // numbers included — renders as a JSON STRING; readers re-parse by
+  // the target type. The string-everything lane survives schema drift
+  // (a reader with wider types still parses) at the cost of bytes.
+
+  def writeJsonStringsEachRow(df: DataFrame, path: String): Unit = {
+    val schema = df.schema
+    prepareDir(path)
+    df.rdd.mapPartitionsWithIndex { (idx, rows) =>
+      writePart(path, idx, "jsonstrings") { w =>
+        rows.foreach { row =>
+          w.write(schema.fields.indices.map { i =>
+            if (row.isNullAt(i)) "null"
+            else "\"" + jsonEscape(renderRaw(schema.fields(i).dataType, row.get(i))) + "\""
+          }.mkString("[", ", ", "]\n"))
+        }
+      }
+      Iterator.empty
+    }.count()
+    ()
+  }
+
+  def readJsonStringsEachRow(spark: SparkSession, path: String,
+      schema: StructType): DataFrame = {
+    val parts = listParts(path, "jsonstrings")
+    val rows = spark.sparkContext.parallelize(parts, math.max(parts.length, 1))
+      .flatMap { file =>
+        rowLines(readPartText(file)).map { line =>
+          val cells = parseJsonArray(line)
+          require(cells.length == schema.fields.length,
+            s"JSONStringsEachRow arity ${cells.length}")
+          Row.fromSeq(schema.fields.indices.map { i =>
+            val (cell, quoted) = cells(i)
+            if (!quoted && cell == "null") null
+            else parseRaw(schema.fields(i).dataType, cell)
+          })
+        }
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
+  // --------------------------------------------------- JSON (document)
+  // The reference's default HTTP result format (JSONRowOutputFormat.cpp
+  // + JSONEachRowRowInputFormat for the data lane): ONE document with a
+  // typed meta block, row objects under data, and a rows count. Sharded
+  // one document per part; readers verify meta against the schema, so a
+  // drifted file fails loudly.
+
+  def writeJsonDocument(df: DataFrame, path: String): Unit = {
+    val schema = df.schema
+    schema.fields.foreach(f => ChWireFormats.chTypeName(f.dataType, f.nullable))
+    prepareDir(path)
+    df.rdd.mapPartitionsWithIndex { (idx, rows) =>
+      writePart(path, idx, "json") { w =>
+        w.write("{\n\"meta\":\n[\n")
+        w.write(schema.fields.map { f =>
+          "{\"name\": \"" + jsonEscape(f.name) + "\", \"type\": \"" +
+            jsonEscape(ChWireFormats.chTypeName(f.dataType, f.nullable)) + "\"}"
+        }.mkString("", ",\n", "\n],\n\"data\":\n[\n"))
+        var n = 0L
+        rows.foreach { row =>
+          if (n > 0) w.write(",\n")
+          w.write(schema.fields.indices.map { i =>
+            "\"" + jsonEscape(schema.fields(i).name) + "\": " +
+              jsonCell(schema.fields(i).dataType, row, i)
+          }.mkString("{", ", ", "}"))
+          n += 1
+        }
+        w.write(s"\n],\n\"rows\": $n\n}\n")
+      }
+      Iterator.empty
+    }.count()
+    ()
+  }
+
+  def readJsonDocument(spark: SparkSession, path: String,
+      schema: StructType): DataFrame = {
+    val expectMeta = schema.fields.map(f =>
+      f.name -> ChWireFormats.chTypeName(f.dataType, f.nullable)).toSeq
+    val parts = listParts(path, "json")
+    val rows = spark.sparkContext.parallelize(parts, math.max(parts.length, 1))
+      .flatMap { file =>
+        val lines = rowLines(readPartText(file)).toIndexedSeq
+        // sections ride on the writer's line discipline: meta objects
+        // between "meta":[ and ]; data objects between "data":[ and ]
+        val metaStart = lines.indexWhere(_.trim == "\"meta\":")
+        val dataStart = lines.indexWhere(_.trim == "\"data\":")
+        require(metaStart >= 0 && dataStart > metaStart,
+          s"JSON document: missing meta/data sections in $file")
+        val metaObjs = lines.slice(metaStart + 2, lines.indexWhere(
+          l => l.trim == "]," || l.trim == "]", metaStart + 2))
+        val meta = metaObjs.map { l =>
+          val kv = parseJsonObject(l.trim.stripSuffix(","))
+          (kv("name")._1, kv("type")._1)
+        }
+        require(meta == expectMeta,
+          s"JSON document meta $meta != schema $expectMeta in $file")
+        val dataEnd = lines.indexWhere(
+          l => l.trim == "]," || l.trim == "]", dataStart + 2)
+        val declared = lines.drop(dataEnd).collectFirst {
+          case l if l.trim.startsWith("\"rows\":") =>
+            l.trim.stripPrefix("\"rows\":").stripSuffix(",").trim.toLong
+        }
+        val objs = lines.slice(dataStart + 2, dataEnd)
+          .filter(_.trim.nonEmpty)
+        require(declared.contains(objs.length.toLong),
+          s"JSON document rows ${declared} != data length ${objs.length} in $file")
+        objs.iterator.map { l =>
+          val kv = parseJsonObject(l.trim.stripSuffix(","))
+          Row.fromSeq(schema.fields.toSeq.map { f =>
+            kv.get(f.name) match {
+              case None => null
+              case Some((cell, quoted)) =>
+                if (!quoted && cell == "null") null
+                else parseRaw(f.dataType, cell)
+            }
+          })
+        }
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
   // ----------------------------------------------------------- Vertical
   // VerticalRowOutputFormat.cpp — output-only (a terminal/report format):
   // per row a `Row N:` header with a `─` rule, then `name: value` lines

@@ -62,7 +62,8 @@ object SystemTables {
       "JSONColumns", "JSONObjectEachRow", "Values", "TSKV",
       "CustomSeparated", "RowBinary", "RowBinaryWithNamesAndTypes",
       "Native", "ArrowStream", "Avro", "BSONEachRow", "MsgPack", "Npy",
-      "LineAsString", "RawBLOB")
+      "LineAsString", "RawBLOB", "TabSeparatedRaw", "JSONStringsEachRow",
+      "JSON")
     val inOnly = Seq("Regexp", "JSONAsString", "ParquetMetadata")
     val outOnly = Seq("Pretty", "Vertical", "Markdown", "XML")
     (both.map((_, true, true)) ++ inOnly.map((_, true, false)) ++

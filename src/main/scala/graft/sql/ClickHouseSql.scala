@@ -616,6 +616,15 @@ object ClickHouseSql {
             graft.sources.ChTextFormats.writeJsonColumns(df, path)
           case "jsonobjecteachrow" =>
             graft.sources.ChTextFormats.writeJsonObjectEachRow(df, path)
+          case "tabseparatedraw" | "tsvraw" =>
+            graft.sources.ChTextFormats.writeTabSeparatedRaw(df, path)
+          case "jsonstringseachrow" =>
+            graft.sources.ChTextFormats.writeJsonStringsEachRow(df, path)
+          // NOTE: bare "json" stays on the earlier JSONEachRow lane (the
+          // long-standing OUTFILE behavior); the document format is the
+          // writeJsonDocument API / "jsondocument" spelling here
+          case "jsondocument" =>
+            graft.sources.ChTextFormats.writeJsonDocument(df, path)
           // render-only formats (round 8): one text file of the rendering
           case "vertical" | "markdown" | "xml" =>
             val text = Option(fmt).get.toLowerCase match {
