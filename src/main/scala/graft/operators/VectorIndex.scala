@@ -172,7 +172,7 @@ object VectorIndex {
       .parquet(s"$indexDir/assignments")
   }
 
-  private def writeCents(spark: SparkSession, cents: Seq[Cent],
+  private[graft] def writeCents(spark: SparkSession, cents: Seq[Cent],
       indexDir: String): Unit = {
     val schema = StructType(Seq(
       StructField("cid", LongType, nullable = false),
@@ -193,7 +193,7 @@ object VectorIndex {
 
   /** The nProbe best cells per query — (qid, qv, qnrm, cell). Expands
     * only the QUERY set (bounded), never the corpus. */
-  private def probes(spark: SparkSession, indexDir: String,
+  private[graft] def probes(spark: SparkSession, indexDir: String,
       queries: DataFrame, nProbe: Int): DataFrame = {
     val cents = spark.read.parquet(s"$indexDir/centroids")
       .select(col("cid"), col("cv"), col("cnrm"))

@@ -279,7 +279,7 @@ object LlmPipeline extends QueryPack {
     df.agg(pass.as("pass")).select(lit(name).as("metric"), col("pass"))
 
   /** The literal DuckDB side of a metric table: every invariant TRUE. */
-  private def metricsOracle(names: Seq[String]): String =
+  private[queries] def metricsOracle(names: Seq[String]): String =
     names.sorted.map(n => s"('$n', TRUE)")
       .mkString("SELECT * FROM (VALUES ", ", ", ") t(metric, pass) ORDER BY metric")
 
@@ -301,7 +301,7 @@ object LlmPipeline extends QueryPack {
   /** The hybrid ANN metric table shared by the LSH and IVF variants:
     * k-bound, non-emptiness, id soundness, and a recall floor vs the
     * exact top-k — all computed over the engine's own output. */
-  private def annMetrics(prefix: String, topk: org.apache.spark.sql.DataFrame,
+  private[queries] def annMetrics(prefix: String, topk: org.apache.spark.sql.DataFrame,
       e: org.apache.spark.sql.DataFrame, k: Int, floor: Double)
       : org.apache.spark.sql.DataFrame = {
     val out = topk.localCheckpoint()

@@ -147,6 +147,53 @@ class IndexSpec extends SparkFunSuite {
     }
   }
 
+  test("IVF-PQ: map-side encode, bounded codes, rerank recovers exact top-1") {
+    import graft.operators.VectorPQ
+    val src = Tables.load(spark, sf, "embeddings")
+    val idx = s"$base/pqidx"
+    VectorPQ.create(spark, src, idx, nCells = 16, m = 16, k = 16)
+    // code table shape: m codes per row, every code in [0, k)
+    val codeStats = spark.read.parquet(s"$idx/pq")
+      .select(size(col("codes")).as("m"),
+        array_max(col("codes")).as("mx"), array_min(col("codes")).as("mn"))
+      .agg(min("m"), max("m"), max("mx"), min("mn")).head()
+    assert(codeStats.getInt(0) == 16 && codeStats.getInt(1) == 16,
+      s"codes not length-16: $codeStats")
+    assert(codeStats.getInt(2) < 16 && codeStats.getInt(3) >= 0,
+      s"codes out of [0,16): $codeStats")
+    // SCALE PIN: encode + assignment are one map-side projection — no
+    // Exchange, no join between the embeddings scan and the codes
+    val e = VectorIndex.prep(src)
+    val cb = VectorPQ.readCodebooks(spark, idx)
+    val cents = VectorIndex.seedCents(e, 16)
+    val plan = VectorPQ.withCodes(VectorIndex.withCell(e, cents), cb)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"PQ encode is not map-side:\n$plan")
+    // deterministic training: same inputs → identical codebooks
+    val cb2 = VectorPQ.train(e, m = 16, k = 16)
+    assert(cb.cents.flatten.flatten.toSeq == cb2.cents.flatten.flatten.toSeq,
+      "PQ training is not deterministic")
+    // exact re-rank of the ADC shortlist recovers the true top-1 for
+    // most queries (ADC alone cannot promise this at 8-byte codes)
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    import graft.functions.TextFunctions.dot
+    val wx = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    val exact1 = e.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      .withColumn("rn", row_number().over(wx)).filter(col("rn") === 1)
+      .select("qid", "vec_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = VectorPQ.topKRerank(spark, idx, e, queries, k = 1,
+      nProbe = 8, shortlist = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agree = exact1.count { case (q, n) => got.get(q).contains(n) }
+    assert(agree >= 14, s"rerank top-1 agreement $agree/20 below floor")
+  }
+
   test("IVF build: centroid assignment is map-side — no Exchange, no window") {
     // the round-6 scale-killer: broadcast-crossJoin + row_number expanded
     // the corpus nCells× and shuffled the expansion. The argmax form must
