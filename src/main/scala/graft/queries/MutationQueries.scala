@@ -83,10 +83,36 @@ object MutationQueries extends QueryPack {
       CAST(42 AS BIGINT) AS pop
     FROM region ORDER BY r_regionkey"""))
 
+  /** TTL statement forms (round 8 — src/Storages/TTLDescription.cpp;
+    * MATERIALIZE TTL forces the mutation the reference's merges apply):
+    * a 100-year TTL keeps everything, a 30-day TTL over the 2024-dated
+    * events expires everything — both extremes deterministic against
+    * wall-clock for the next ~98 years, which is what makes the DDL
+    * oracle-able. */
+  private val alterTtlQ = graft.Q("q_ch_modify_ttl", (s, dir) => {
+    Tables.register(s, dir)
+    graft.sql.ClickHouseSql.sql(s, """
+      CREATE MATERIALIZED VIEW ttl_stmt_t AS
+      SELECT ts, value FROM events""")
+    graft.sql.ClickHouseSql.sql(s,
+      "ALTER TABLE ttl_stmt_t MODIFY TTL ts + INTERVAL 36500 DAY")
+    graft.sql.ClickHouseSql.sql(s, "ALTER TABLE ttl_stmt_t MATERIALIZE TTL")
+    val kept = s.table("ttl_stmt_t").count()
+    graft.sql.ClickHouseSql.sql(s,
+      "ALTER TABLE ttl_stmt_t MODIFY TTL ts + INTERVAL 30 DAY DELETE")
+    graft.sql.ClickHouseSql.sql(s, "ALTER TABLE ttl_stmt_t MATERIALIZE TTL")
+    val gone = s.table("ttl_stmt_t").count()
+    import s.implicits._
+    Seq((kept, gone)).toDF("n_keep", "n_gone")
+  }, Some("""
+    SELECT (SELECT COUNT(*) FROM events) AS n_keep,
+      CAST(0 AS BIGINT) AS n_gone"""))
+
   override def queries: Seq[Q] = Seq(
     optimizeDedup,
     alterUpdateDelete,
     alterColumn,
+    alterTtlQ,
 
     // ALTER UPDATE (discount zeroed for small 'R' lines) then ALTER DELETE
     // (pre-1996 shipments dropped) — the post-mutation table aggregated so

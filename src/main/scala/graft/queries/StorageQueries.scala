@@ -555,6 +555,45 @@ object StorageQueries extends QueryPack {
       dbs.withColumn("idle_processes", lit(procs))
     },
 
+    // ALTER TABLE ... DETACH/ATTACH/DROP/FREEZE PARTITION statement forms
+    // (round 8 — ParserAlterQuery partition commands over the ScaleOps
+    // directory moves): DETACH hides 'O' (count drops), ATTACH restores
+    // it, FREEZE snapshots 'F', DROP removes 'P' for good. Oracle
+    // recomputes every stage from orders.
+    Q.df("q_ch_alter_partition", """
+      SELECT
+        (SELECT COUNT(*) FROM orders WHERE o_orderstatus <> 'O') AS n_detached,
+        (SELECT COUNT(*) FROM orders) AS n_attached,
+        (SELECT COUNT(*) FROM orders WHERE o_orderstatus <> 'P') AS n_after_drop,
+        (SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'F') AS n_frozen""") { (s, dir) =>
+      import s.implicits._
+      val t = "graft_alter_part_t"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), t)
+      val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(wh, true)
+      Tables.load(s, dir, "orders")
+        .write.partitionBy("o_orderstatus").saveAsTable(t)
+      def n(): Long = s.table(t).count()
+      graft.sql.ClickHouseSql.sql(s, s"ALTER TABLE $t DETACH PARTITION 'O'")
+      val nDetached = n()
+      graft.sql.ClickHouseSql.sql(s, s"ALTER TABLE $t ATTACH PARTITION 'O'")
+      val nAttached = n()
+      graft.sql.ClickHouseSql.sql(s,
+        s"ALTER TABLE $t FREEZE PARTITION 'F' WITH NAME 'snap1'")
+      graft.sql.ClickHouseSql.sql(s, s"ALTER TABLE $t DROP PARTITION 'P'")
+      val nAfterDrop = n()
+      // the frozen snapshot survives under _shadow and holds every F row
+      val loc = s.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t)).location.getPath
+      val nFrozen = s.read.parquet(s"$loc/_shadow/snap1/o_orderstatus=F")
+        .count()
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      Seq((nDetached, nAttached, nAfterDrop, nFrozen))
+        .toDF("n_detached", "n_attached", "n_after_drop", "n_frozen")
+    },
+
     // system.one + system.numbers as TABLES (round 8 —
     // StorageSystemOne.cpp, StorageSystemNumbers.cpp): one is the
     // single-row dummy=0 table; numbers streams `number` bounded by the

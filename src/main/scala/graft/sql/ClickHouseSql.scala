@@ -881,6 +881,11 @@ object ClickHouseSql {
       projectionDdl(spark, trimmed)
     else if (trimmed.matches("(?is)^ALTER\\s+TABLE\\s+\\S+\\s+(ADD|DROP|MATERIALIZE|CLEAR)\\s+INDEX\\b.*"))
       indexDdl(spark, trimmed)
+    else if (trimmed.matches(
+        "(?is)^ALTER\\s+TABLE\\s+\\S+\\s+(DETACH|ATTACH|DROP|FREEZE)\\s+PARTITION\\b.*"))
+      alterPartition(spark, trimmed)
+    else if (trimmed.matches("(?is)^ALTER\\s+TABLE\\s+\\S+\\s+(MODIFY|MATERIALIZE)\\s+TTL\\b.*"))
+      alterTtl(spark, trimmed)
     else if (trimmed.matches("(?is)^ALTER\\s+TABLE\\s+\\S+\\s+(UPDATE|DELETE)\\b.*"))
       alterMutation(spark, trimmed)
     else if (trimmed.matches("(?is)^ALTER\\s+TABLE\\s+\\S+\\s+(ADD|DROP|MODIFY|RENAME)\\s+COLUMN\\b.*"))
@@ -1223,6 +1228,94 @@ object ClickHouseSql {
         v
       case other => throw new IllegalArgumentException(
         s"unsupported query parameter type '$chType'")
+    }
+  }
+
+  /** table → stored row-TTL expression text (e.g. "ts + INTERVAL 30 DAY"
+    * — rows whose expression falls before now() expire). */
+  private val ttlSpecs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** ALTER TABLE t MODIFY TTL col + INTERVAL n unit [DELETE] /
+    * ALTER TABLE t MATERIALIZE TTL — the reference's table-TTL DDL
+    * (src/Storages/TTLDescription.cpp; TTLTransform applies at merge,
+    * MATERIALIZE TTL forces a mutation). MODIFY stores the expression;
+    * MATERIALIZE rewrites the table keeping rows whose TTL instant is
+    * still in the future — the same part-rewrite path as every other
+    * mutation, ledger entry included. */
+  private def alterTtl(spark: SparkSession, stmt: String)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val modify = ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+MODIFY\\s+TTL\\s+" +
+      "(.+?)(?:\\s+DELETE)?\\s*;?\\s*$").r
+    val mat = ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+" +
+      "MATERIALIZE\\s+TTL\\s*;?\\s*$").r
+    stmt.trim match {
+      case mat(t) =>
+        val ttl = ttlSpecs.getOrElse(t, throw new IllegalArgumentException(
+          s"MATERIALIZE TTL: no TTL stored for $t (run MODIFY TTL first)"))
+        val surviving = spark.table(t)
+          .filter(org.apache.spark.sql.functions.expr(
+            s"($ttl) >= current_timestamp()"))
+          .localCheckpoint(true)
+        surviving.write.mode("overwrite").insertInto(t)
+        refreshSkipIndexes(spark, t)
+        queryCache.clear()
+        logMutation(t, stmt.trim)
+        Seq("OK").toDF("status")
+      case modify(t, ttlExpr) =>
+        require(spark.catalog.tableExists(t), s"no such table $t")
+        ttlSpecs.put(t, rewrite(ttlExpr.trim))
+        Seq("OK").toDF("status")
+      case _ => throw new IllegalArgumentException("unsupported TTL form")
+    }
+  }
+
+  /** ALTER TABLE t DETACH / ATTACH / DROP / FREEZE PARTITION 'v' — the
+    * statement forms of the partition lifecycle
+    * (src/Parsers/ParserAlterQuery.cpp partition commands), routed to
+    * the O(1) directory operations in [[graft.operators.ScaleOps]] with
+    * the Spark catalog kept in sync (ADD/DROP PARTITION) and the file
+    * listing refreshed. Single-partition-column tables (the layout the
+    * CREATE TABLE dialect produces). */
+  private def alterPartition(spark: SparkSession, stmt: String)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val re = ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+" +
+      "(DETACH|ATTACH|DROP|FREEZE)\\s+PARTITION\\s+'?([^'\\s;]+)'?" +
+      "(?:\\s+WITH\\s+NAME\\s+'([^']*)')?\\s*;?\\s*$").r
+    stmt.trim match {
+      case re(t, verb, value, snap) =>
+        val meta = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(t))
+        val pcols = meta.partitionColumnNames
+        require(pcols.size == 1,
+          s"ALTER PARTITION needs exactly one partition column, $t has $pcols")
+        val pcol = pcols.head
+        val loc = tableLocation(spark, t)
+        val ops = graft.operators.ScaleOps
+        verb.toUpperCase match {
+          case "DROP" =>
+            spark.sql(s"ALTER TABLE $t DROP IF EXISTS PARTITION ($pcol = '$value')")
+            ops.dropPartition(spark, loc, pcol, value)
+          case "DETACH" =>
+            ops.detachPartition(spark, loc, pcol, value)
+            spark.sql(s"ALTER TABLE $t DROP IF EXISTS PARTITION ($pcol = '$value')")
+          case "ATTACH" =>
+            ops.attachPartition(spark, loc, pcol, value)
+            spark.sql(s"ALTER TABLE $t ADD IF NOT EXISTS PARTITION ($pcol = '$value')")
+          case "FREEZE" =>
+            ops.freezePartition(spark, loc, pcol, value,
+              Option(snap).getOrElse("default"))
+        }
+        spark.sql(s"REFRESH TABLE $t")
+        if (verb.toUpperCase != "FREEZE") {
+          refreshSkipIndexes(spark, t)
+          queryCache.clear()
+        }
+        Seq("OK").toDF("status")
+      case _ => throw new IllegalArgumentException(
+        "unsupported ALTER PARTITION form")
     }
   }
 
