@@ -34,6 +34,23 @@ object Extras extends QueryPack {
       Seq(("a", 1), ("b", 2), ("c", 3)).toDF("tag", "v").orderBy("tag")
     },
 
+    // file() table function (round 8 — TableFunctionFile.cpp): a CSV
+    // fixture written through the engine's own CSVWithNames writer reads
+    // back via `FROM file('path', 'CSVWithNames', 'cols')` through the
+    // dialect; oracle recomputes from the source table.
+    Q.df("q_tf_file", """
+      SELECT n_nationkey AS k, n_name AS name FROM nation ORDER BY k""") { (s, dir) =>
+      val path = s"/tmp/graft_filefn_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val src = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("k"),
+          col("n_name").as("name"))
+      graft.sources.ChTextFormats.writeCsv(src, path, withNames = true)
+      graft.sql.ClickHouseSql.sql(s,
+        s"SELECT k, name FROM file('$path', 'CSVWithNames', " +
+          "'k Int64, name String') ORDER BY k")
+        .select(col("k").cast("integer").as("k"), col("name"))
+    },
+
     // Recursive CTE (src/Processors/QueryPlan/ReadFromRecursiveCTEStep.h):
     // Spark has no recursive CTE — rendered as a driver-side fixpoint loop
     // of DataFrame unions (each iteration is still a distributed job).

@@ -695,9 +695,18 @@ object ClickHouseSql {
           servable(t)().createOrReplaceTempView(s"graft_system_$t")
         }
     }
+    // file('path'[, 'Format'[, 'schema']]) table function
+    // (src/TableFunctions/TableFunctionFile.cpp): resolve each call to a
+    // temp view over the matching reader BEFORE the literal-safe rewrite
+    // (the call's arguments are quoted, so they must go before the
+    // quote-split below).
+    val trimmedFileFn =
+      if (trimmedNoFmt.matches("(?is)^(SELECT|WITH)\\b.*"))
+        resolveFileFn(spark, trimmedNoFmt)
+      else trimmedNoFmt
     // rewrite only OUTSIDE single-quoted literals: split on ' and touch
     // the even-indexed (non-literal) segments
-    val trimmed = trimmedNoFmt.split("'", -1).zipWithIndex.map { case (seg, i) =>
+    val trimmed = trimmedFileFn.split("'", -1).zipWithIndex.map { case (seg, i) =>
       if (i % 2 == 1) seg
       else seg.replaceAll(
         "(?i)\\bsystem\\.(tables|functions|settings|query_log|dictionaries|" +
@@ -1170,6 +1179,60 @@ object ClickHouseSql {
     * deleted paths silently empties results). Cleared indexes stay
     * cleared; a rebuild that fails (e.g. the table is now empty) degrades
     * to no-pruning, never to wrong answers. */
+  // ---- file() table function (TableFunctionFile.cpp) ------------------
+
+  private val fileFnRe =
+    ("(?i)\\bfile\\s*\\(\\s*'([^']+)'(?:\\s*,\\s*'([^']+)')?" +
+      "(?:\\s*,\\s*'([^']+)')?\\s*\\)").r
+
+  /** CH column-list string ('a UInt32, b String') → Spark StructType. */
+  private def chSchemaToStruct(s: String): org.apache.spark.sql.types.StructType = {
+    val cd = "(?s)^\\s*`?([A-Za-z_][A-Za-z0-9_]*)`?\\s+(.+?)\\s*$".r
+    org.apache.spark.sql.types.StructType.fromDDL(
+      splitTopLevel(s).map {
+        case cd(n, t) => s"$n ${sparkTypeText(t)}"
+        case other => throw new IllegalArgumentException(
+          s"unparsable file() schema column '$other'")
+      }.mkString(", "))
+  }
+
+  private val fileFnCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Replace every `file('path'[, 'Format'[, 'schema']])` call with a
+    * temp view over the matching reader. Formats without self-describing
+    * headers require the schema argument, like the reference. */
+  private def resolveFileFn(spark: SparkSession, sql0: String): String =
+    fileFnRe.replaceAllIn(sql0, m => {
+      val path = m.group(1)
+      val fmt = Option(m.group(2)).getOrElse("Parquet")
+      val schema = Option(m.group(3)).map(chSchemaToStruct)
+      def need = schema.getOrElse(throw new IllegalArgumentException(
+        s"file(): format $fmt needs an explicit schema argument"))
+      val df = fmt.toLowerCase match {
+        case "parquet" => spark.read.parquet(path)
+        case "orc" => spark.read.orc(path)
+        case "jsoneachrow" | "ndjson" =>
+          schema.map(spark.read.schema(_)).getOrElse(spark.read).json(path)
+        case "csv" =>
+          graft.sources.ChTextFormats.readCsv(spark, path, need)
+        case "csvwithnames" =>
+          graft.sources.ChTextFormats.readCsv(spark, path, need,
+            withNames = true)
+        case "tabseparated" | "tsv" =>
+          graft.sources.ChTextFormats.readTabSeparated(spark, path, need)
+        case "tabseparatedwithnamesandtypes" | "tsvwithnamesandtypes" =>
+          graft.sources.ChTextFormats.readTabSeparated(spark, path, need,
+            withNames = true, withTypes = true)
+        case "lineasstring" =>
+          graft.sources.ChMiscFormats.readLineAsString(spark, path, "line")
+        case other => throw new IllegalArgumentException(
+          s"file(): unsupported format '$other'")
+      }
+      val view = s"graft_file_fn_${fileFnCounter.incrementAndGet()}"
+      df.createOrReplaceTempView(view)
+      java.util.regex.Matcher.quoteReplacement(view)
+    })
+
   // ---- query parameters (ASTQueryParameter / ReplaceQueryParameterVisitor)
 
   private val paramRe =
