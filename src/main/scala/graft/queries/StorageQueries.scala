@@ -555,6 +555,51 @@ object StorageQueries extends QueryPack {
       dbs.withColumn("idle_processes", lit(procs))
     },
 
+    // merge() table function (round 8 — TableFunctionMerge.cpp /
+    // StorageMerge): union-by-name of every catalog table matching the
+    // regex; a nation split across two tables re-unions to the whole.
+    Q.df("q_tf_merge", """
+      SELECT COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS s
+      FROM nation""") { (s, dir) =>
+      val src = Tables.load(s, dir, "nation")
+      Seq(("graft_mergefn_a", "n_regionkey < 2"),
+          ("graft_mergefn_b", "n_regionkey >= 2")).foreach { case (t, p) =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val wh = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), t)
+        wh.getFileSystem(s.sparkContext.hadoopConfiguration).delete(wh, true)
+        src.filter(p).write.saveAsTable(t)
+      }
+      graft.sql.ClickHouseSql.sql(s, """
+        SELECT count() AS n, CAST(sum(n_nationkey) AS BIGINT) AS s
+        FROM merge('^graft_mergefn_[ab]$')""")
+    },
+
+    // EXPLAIN ESTIMATE (round 8 — InterpreterExplainQuery ESTIMATE):
+    // parts/rows/marks from parquet footers, never executing; the
+    // single-part nation fixture makes every number a literal.
+    Q.df("q_ch_explain_estimate", """
+      SELECT 'default' AS database, 'graft_est_t' AS table,
+        CAST(1 AS BIGINT) AS parts, CAST(25 AS BIGINT) AS rows,
+        CAST(1 AS BIGINT) AS marks""") { (s, dir) =>
+      val t = "graft_est_t"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), t)
+      wh.getFileSystem(s.sparkContext.hadoopConfiguration).delete(wh, true)
+      Tables.load(s, dir, "nation").coalesce(1).write.saveAsTable(t)
+      graft.sql.ClickHouseSql.sql(s,
+        s"EXPLAIN ESTIMATE SELECT * FROM $t WHERE n_nationkey > 3")
+    },
+
+    // SHOW DATABASES (round 8 — ParserShowTablesQuery databases branch):
+    // the catalog inventory always holds `default`.
+    Q.df("q_ch_show_databases", """
+      SELECT 'default' AS name""") { (s, dir) =>
+      graft.sql.ClickHouseSql.sql(s, "SHOW DATABASES")
+        .filter(col("name") === "default")
+    },
+
     // ALTER TABLE ... DETACH/ATTACH/DROP/FREEZE PARTITION statement forms
     // (round 8 — ParserAlterQuery partition commands over the ScaleOps
     // directory moves): DETACH hides 'O' (count drops), ATTACH restores

@@ -702,7 +702,7 @@ object ClickHouseSql {
     // quote-split below).
     val trimmedFileFn =
       if (trimmedNoFmt.matches("(?is)^(SELECT|WITH)\\b.*"))
-        resolveFileFn(spark, trimmedNoFmt)
+        resolveMergeFn(spark, resolveFileFn(spark, trimmedNoFmt))
       else trimmedNoFmt
     // rewrite only OUTSIDE single-quoted literals: split on ' and touch
     // the even-indexed (non-literal) segments
@@ -953,6 +953,27 @@ object ClickHouseSql {
           d.admitted, d.total))
         .toDF("data_path", "index_type", "columns", "files_admitted",
           "files_total")
+    } else if (trimmed.matches("(?is)^EXPLAIN\\s+ESTIMATE\\b.*")) {
+      // EXPLAIN ESTIMATE (InterpreterExplainQuery ESTIMATE kind): parts /
+      // rows / marks for the FROM table, read from parquet FOOTERS —
+      // metadata only, the query never executes (the reference reads the
+      // same counts from part headers; a row group is the granule
+      // analog, so it reports as marks).
+      val q = trimmed.replaceFirst("(?is)^EXPLAIN\\s+ESTIMATE\\s+", "")
+      val table = "(?is)\\bFROM\\s+([A-Za-z_][A-Za-z0-9_.]*)".r
+        .findFirstMatchIn(q).map(_.group(1))
+        .getOrElse(throw new IllegalArgumentException(
+          "EXPLAIN ESTIMATE: no FROM <table>"))
+      val loc = tableLocation(spark, table)
+      val md = graft.sources.ChMiscFormats.readParquetMetadata(spark, loc)
+      import org.apache.spark.sql.functions.{countDistinct, count, sum, lit => flit}
+      md.agg(flit("default").as("database"), flit(table).as("table"),
+        countDistinct(org.apache.spark.sql.functions.col("file")).as("parts"),
+        sum("num_rows").as("rows"), count(flit(1)).as("marks"))
+    } else if (trimmed.matches("(?is)^SHOW\\s+DATABASES\\s*;?\\s*$")) {
+      graft.sources.SystemTables.databases(spark).select("name").orderBy("name")
+    } else if (trimmed.matches("(?is)^SHOW\\s+DICTIONARIES\\s*;?\\s*$")) {
+      graft.sources.SystemTables.dictionaries(spark).select("name").orderBy("name")
     } else if (trimmed.matches("(?is)^EXPLAIN\\s+SYNTAX\\b.*")) {
       // reference EXPLAIN SYNTAX shows the rewritten query — here, the
       // dialect translation itself
@@ -1230,6 +1251,27 @@ object ClickHouseSql {
       }
       val view = s"graft_file_fn_${fileFnCounter.incrementAndGet()}"
       df.createOrReplaceTempView(view)
+      java.util.regex.Matcher.quoteReplacement(view)
+    })
+
+  // ---- merge() table function (TableFunctionMerge.cpp) ----------------
+
+  private val mergeFnRe =
+    "(?i)\\bmerge\\s*\\(\\s*(?:'[^']*'\\s*,\\s*)?'([^']+)'\\s*\\)".r
+
+  /** Replace `merge(['db',] 'name_regex')` with a temp view unioning (by
+    * name) every catalog table whose name matches — the reference's
+    * multi-table union storage (StorageMerge). */
+  private def resolveMergeFn(spark: SparkSession, sql0: String): String =
+    mergeFnRe.replaceAllIn(sql0, m => {
+      val pattern = m.group(1).r
+      val names = spark.catalog.listTables().collect()
+        .map(_.name).filter(n => pattern.findFirstIn(n).isDefined).sorted
+      require(names.nonEmpty, s"merge(): no table matches '${m.group(1)}'")
+      val unioned = names.map(spark.table)
+        .reduce(_ unionByName (_, allowMissingColumns = true))
+      val view = s"graft_merge_fn_${fileFnCounter.incrementAndGet()}"
+      unioned.createOrReplaceTempView(view)
       java.util.regex.Matcher.quoteReplacement(view)
     })
 
