@@ -639,6 +639,36 @@ object FunctionTail2 extends QueryPack {
         TRUE AS shingle_stable, TRUE AS mh_stable, TRUE AS mh_differs,
         TRUE AS h128_len,
         'R163' AS sx1, 'R163' AS sx2, 'A261' AS sx3,
-        '0F' AS bs1, 'F0' AS bs2""")
+        '0F' AS bs1, 'F0' AS bs2"""),
+
+    // corrMatrix / covarSampMatrix / covarPopMatrix (round 8 —
+    // AggregateFunctionCorrMatrix.cpp): the n-ary matrix aggregates,
+    // expanded to pairwise cells (each matrix computed ONCE in a
+    // subquery — repeating the expansion per output column trips a
+    // janino rvalue bug and falls back to interpreted codegen).
+    // Diagonal of corr === 1, symmetric off-diagonals, covariance
+    // matrices agree with the scalar twins.
+    ch("q_fn_corr_matrix", """
+      SELECT
+        ROUND(arrayElement(arrayElement(m, 1), 1), 4) AS c11,
+        ROUND(arrayElement(arrayElement(m, 1), 2), 4) AS c12,
+        ROUND(arrayElement(arrayElement(m, 2), 1), 4) AS c21,
+        ROUND(arrayElement(arrayElement(m, 3), 3), 4) AS c33,
+        ROUND(arrayElement(arrayElement(vs, 1), 2), 4) AS vs12,
+        ROUND(arrayElement(arrayElement(vp, 2), 1), 4) AS vp21
+      FROM (SELECT
+        corrMatrix(l_quantity, l_extendedprice, l_discount) AS m,
+        covarSampMatrix(l_quantity, l_discount) AS vs,
+        covarPopMatrix(l_quantity, l_discount) AS vp
+      FROM lineitem)""",
+      """
+      SELECT
+        ROUND(CORR(l_quantity, l_quantity), 4) AS c11,
+        ROUND(CORR(l_quantity, l_extendedprice), 4) AS c12,
+        ROUND(CORR(l_extendedprice, l_quantity), 4) AS c21,
+        ROUND(CORR(l_discount, l_discount), 4) AS c33,
+        ROUND(COVAR_SAMP(l_quantity, l_discount), 4) AS vs12,
+        ROUND(COVAR_POP(l_discount, l_quantity), 4) AS vp21
+      FROM lineitem""")
   )
 }

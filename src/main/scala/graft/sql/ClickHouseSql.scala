@@ -43,7 +43,38 @@ object ClickHouseSql {
     s = rewriteTop(s)
     s = rewriteCountEmpty(s)
     s = rewriteAnyAgg(s)
+    s = rewriteMatrixAggs(s)
     s = inlineUserFunctions(s)
+    s
+  }
+
+  /** corrMatrix / covarSampMatrix / covarPopMatrix (reference
+    * AggregateFunctionCorrMatrix.cpp et al. — the n-ary matrix
+    * aggregates): `corrMatrix(a, b, c)` expands to the nested-array
+    * pairwise form `array(array(corr(a,a), corr(a,b), …), …)`, so each
+    * cell is an ordinary codegen'd aggregate and the matrix assembles in
+    * the final projection. */
+  private def rewriteMatrixAggs(s0: String): String = {
+    var s = s0
+    Seq(("corrMatrix", "corr"), ("covarSampMatrix", "covar_samp"),
+        ("covarPopMatrix", "covar_pop")).foreach { case (name, fn) =>
+      val re = ("(?i)\\b" + name + "\\s*(\\()").r
+      var m = re.findFirstMatchIn(s)
+      var guard = 0
+      while (m.isDefined && guard < 32) {
+        guard += 1
+        balanced(s, m.get.start(1)) match {
+          case Some((body, end)) =>
+            val args = splitTopLevel(body).map(_.trim)
+            val matrix = args.map(a =>
+              args.map(b => s"$fn($a, $b)").mkString("array(", ", ", ")"))
+              .mkString("array(", ", ", ")")
+            s = s.substring(0, m.get.start) + matrix + s.substring(end)
+          case None => guard = 32
+        }
+        m = re.findFirstMatchIn(s)
+      }
+    }
     s
   }
 
@@ -571,6 +602,12 @@ object ClickHouseSql {
 
   private def sqlImpl(spark: SparkSession, chSql: String): DataFrame = {
     ChFunctionRegistry.install(spark)
+    // SET query_id = 'x' tags this thread's jobs with a cancellable group
+    // (the reference's query_id + KILL QUERY pair; Spark job groups are
+    // the cancellation primitive)
+    spark.conf.getOption("graft.ch.query_id").foreach(id =>
+      spark.sparkContext.setJobGroup(id, chSql.take(120),
+        interruptOnCancel = true))
     // optimize_trivial_count_query analog: bare SELECT count() answers
     // from parquet footers (graft.plans.TrivialCount), never scanning
     graft.plans.TrivialCount.install(spark)
@@ -1034,6 +1071,25 @@ object ClickHouseSql {
       // listener bus so system.events/query_log reads observe everything
       // issued before this statement.
       graft.sources.SystemTables.flushEvents(spark)
+      import spark.implicits._
+      Seq("OK").toDF("status")
+    } else if (trimmed.matches("(?is)^KILL\\s+QUERY\\b.*")) {
+      // KILL QUERY WHERE query_id = 'x' (InterpreterKillQueryQuery):
+      // cancel the Spark job group the tagged query's jobs run under —
+      // in-flight stages abort with interruption, exactly the
+      // reference's kill semantics. Cancelling an unknown id is a no-op
+      // (the reference returns an empty result set).
+      val id = "(?i)query_id\\s*=\\s*'([^']*)'".r.findFirstMatchIn(trimmed)
+        .map(_.group(1)).getOrElse(throw new IllegalArgumentException(
+          "KILL QUERY needs WHERE query_id = '<id>'"))
+      spark.sparkContext.cancelJobGroup(id)
+      import spark.implicits._
+      Seq("OK").toDF("status")
+    } else if (trimmed.matches("(?is)^KILL\\s+MUTATION\\b.*")) {
+      // KILL MUTATION: mutations in this engine are SYNCHRONOUS part
+      // rewrites — there is never a pending mutation to kill, so the
+      // statement parses and returns cleanly (the reference with an
+      // empty mutation queue does the same).
       import spark.implicits._
       Seq("OK").toDF("status")
     } else if (trimmed.matches("(?is)^SHOW\\s+PROCESSLIST\\s*;?\\s*$")) {

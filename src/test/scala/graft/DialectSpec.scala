@@ -170,4 +170,29 @@ class DialectSpec extends SparkFunSuite {
       .collect().map(_.getString(0)).toSeq
     assert(t == Seq("syssel_probe_t"))
   }
+
+  test("KILL QUERY cancels the tagged job group; KILL MUTATION is clean") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    ClickHouseSql.sql(spark, "SET query_id = 'kill_spec_q1'")
+    val slow = Future {
+      // a deliberately expensive job under the tagged group; the kill
+      // must abort it long before it completes
+      ClickHouseSql.sql(spark,
+        """SELECT count() AS n FROM (
+             SELECT a.id FROM (SELECT explode(sequence(1, 300000)) AS id) a
+             CROSS JOIN (SELECT explode(sequence(1, 300000)) AS id) b
+             WHERE (a.id * b.id) % 97 = 3)""").collect()
+    }
+    Thread.sleep(1500)
+    assert(ClickHouseSql.sql(spark,
+      "KILL QUERY WHERE query_id = 'kill_spec_q1'").head().getString(0) == "OK")
+    val outcome = scala.util.Try(Await.result(slow, 60.seconds))
+    assert(outcome.isFailure, "killed query completed instead of aborting")
+    spark.conf.unset("graft.ch.query_id")
+    // mutations are synchronous — KILL MUTATION always finds an empty queue
+    assert(ClickHouseSql.sql(spark, "KILL MUTATION WHERE mutation_id = 'x'")
+      .head().getString(0) == "OK")
+  }
 }
