@@ -669,6 +669,53 @@ object FunctionTail2 extends QueryPack {
         ROUND(CORR(l_discount, l_discount), 4) AS c33,
         ROUND(COVAR_SAMP(l_quantity, l_discount), 4) AS vs12,
         ROUND(COVAR_POP(l_discount, l_quantity), 4) AS vp21
-      FROM lineitem""")
+      FROM lineitem"""),
+
+    // Registry sweep #5 (round 8): arrayResize both directions,
+    // capture-group extraction (first-match / horizontal / vertical),
+    // ULID timestamp decode (the generator's own output roundtrips
+    // through a fixed known ULID), Hilbert codec (classic algorithm:
+    // d=0..3 walks the unit quadrant corners; roundtrip pinned), and
+    // the RFC URL-function aliases.
+    ch("q_fn_tail5", """
+      SELECT
+        arrayStringConcat(arrayMap(x -> toString(x),
+          arrayResize(array(1, 2, 3), 5, 0)), ',') AS rz_pad,
+        arrayStringConcat(arrayMap(x -> toString(x),
+          arrayResize(array(1, 2, 3), 2)), ',') AS rz_cut,
+        arrayStringConcat(arrayMap(x -> toString(x),
+          arrayResize(array(1, 2, 3), -5, 9)), ',') AS rz_front,
+        arrayStringConcat(extractGroups('k=v; a=b', '(\\w+)=(\\w+)'), '|') AS eg,
+        arrayStringConcat(arrayElement(
+          extractAllGroupsHorizontal('k=v; a=b', '(\\w+)=(\\w+)'), 1), '|') AS egh1,
+        arrayStringConcat(arrayElement(
+          extractAllGroupsHorizontal('k=v; a=b', '(\\w+)=(\\w+)'), 2), '|') AS egh2,
+        arrayStringConcat(arrayElement(
+          extractAllGroupsVertical('k=v; a=b', '(\\w+)=(\\w+)'), 2), '|') AS egv2,
+        CAST(ULIDStringToDateTime('01GNB2S2FGN2P93QPXDNB4EMC1') AS STRING) AS ulid_ts,
+        CAST(hilbertEncode(0, 0) AS BIGINT) AS h00,
+        CAST(hilbertEncode(1, 1) AS BIGINT) AS h11,
+        CAST(tupleElement(hilbertDecode(2, hilbertEncode(123, 456)), 'x') AS BIGINT) AS hx,
+        CAST(tupleElement(hilbertDecode(2, hilbertEncode(123, 456)), 'y') AS BIGINT) AS hy,
+        domainRFC('https://www.example.com/p') AS drfc,
+        topLevelDomainRFC('https://www.example.com/p') AS tld,
+        cutToFirstSignificantSubdomainRFC('https://a.b.example.com/p') AS cfs""",
+      """
+      SELECT
+        '1,2,3,0,0' AS rz_pad,
+        '1,2' AS rz_cut,
+        '9,9,1,2,3' AS rz_front,
+        'k|v' AS eg,
+        'k|a' AS egh1,
+        'v|b' AS egh2,
+        'a|b' AS egv2,
+        '2022-12-28 00:40:37.616' AS ulid_ts,
+        CAST(0 AS BIGINT) AS h00,
+        CAST(2 AS BIGINT) AS h11,
+        CAST(123 AS BIGINT) AS hx,
+        CAST(456 AS BIGINT) AS hy,
+        'www.example.com' AS drfc,
+        'com' AS tld,
+        'example.com' AS cfs""")
   )
 }

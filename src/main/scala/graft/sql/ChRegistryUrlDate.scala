@@ -136,6 +136,15 @@ object ChRegistryUrlDate {
       RegExpExtract(host(args.head), Literal("\\.([^.]+)$"), Literal(1))),
     "firstsignificantsubdomain" -> (args => firstSignificantSubdomain(args.head)),
     "cuttofirstsignificantsubdomain" -> (args => cutToFirstSignificantSubdomain(args.head)),
+    // RFC variants (round 8): the reference's *RFC twins differ only on
+    // exotic hosts (IP-literals/trailing dots) — same extraction here
+    "domainrfc" -> (args => host(args.head)),
+    "domainwithoutwwwrfc" -> (args =>
+      RegExpReplace(host(args.head), Literal("^www\\."), Literal(""))),
+    "topleveldomainrfc" -> (args =>
+      RegExpExtract(host(args.head), Literal("\\.([^.]+)$"), Literal(1))),
+    "firstsignificantsubdomainrfc" -> (args => firstSignificantSubdomain(args.head)),
+    "cuttofirstsignificantsubdomainrfc" -> (args => cutToFirstSignificantSubdomain(args.head)),
     "path" -> (args => part(args.head, "PATH")),
     "pathfull" -> (args => part(args.head, "FILE")),
     "querystring" -> (args => part(args.head, "QUERY")),

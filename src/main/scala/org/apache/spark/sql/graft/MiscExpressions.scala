@@ -4,7 +4,7 @@ import java.util.concurrent.ThreadLocalRandom
 import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, LeafExpression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, LeafExpression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -312,4 +312,70 @@ case class GeohashesInBox(children: Seq[Expression])
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): GeohashesInBox =
     copy(children = newChildren)
+}
+
+/** 2-D Hilbert-curve encode (reference hilbertEncode.cpp; the classic
+  * xy2d algorithm from the public Hilbert-curve literature): interleaves
+  * with locality better than Morton — adjacent d values are always
+  * adjacent cells. 31-bit coordinates. */
+case class HilbertEncode2(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    var x = a.asInstanceOf[Number].longValue()
+    var y = b.asInstanceOf[Number].longValue()
+    var rx = 0L
+    var ry = 0L
+    var d = 0L
+    var s = 1L << 30
+    while (s > 0) {
+      rx = if ((x & s) > 0) 1L else 0L
+      ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      // rotate quadrant
+      if (ry == 0L) {
+        if (rx == 1L) {
+          x = s - 1 - x
+          y = s - 1 - y
+        }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : HilbertEncode2 = copy(left = l, right = r)
+}
+
+/** 2-D Hilbert decode (hilbertDecode.cpp; d2xy) → struct(x, y). */
+case class HilbertDecode2(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("x", LongType, nullable = false),
+    StructField("y", LongType, nullable = false)))
+  override protected def nullSafeEval(v: Any): Any = {
+    var t = v.asInstanceOf[Number].longValue()
+    var x = 0L
+    var y = 0L
+    var s = 1L
+    while (s < (1L << 31)) {
+      val rx = 1L & (t / 2)
+      val ry = 1L & (t ^ rx)
+      if (ry == 0L) {
+        if (rx == 1L) {
+          x = s - 1 - x
+          y = s - 1 - y
+        }
+        val tmp = x; x = y; y = tmp
+      }
+      x += s * rx
+      y += s * ry
+      t /= 4
+      s <<= 1
+    }
+    InternalRow(x, y)
+  }
+  override protected def withNewChildInternal(c: Expression): HilbertDecode2 =
+    copy(child = c)
 }
