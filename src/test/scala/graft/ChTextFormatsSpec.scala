@@ -177,6 +177,45 @@ class ChTextFormatsSpec extends SparkFunSuite {
       s"got:\n$v")
   }
 
+  test("JSONStringsEachRow roundtrips adversarial strings as all-string cells") {
+    val p = tmp("jsonstrings")
+    ChTextFormats.writeJsonStringsEachRow(df, p)
+    assertSame(ChTextFormats.readJsonStringsEachRow(spark, p, schema))
+  }
+
+  test("JSON document: meta verified, rows count verified, roundtrip exact") {
+    val p = tmp("jsondoc")
+    ChTextFormats.writeJsonDocument(df, p)
+    assertSame(ChTextFormats.readJsonDocument(spark, p, schema))
+    // a WRONG schema fails loudly on the meta block, not silently
+    val drifted = StructType(Seq(schema("id").copy(name = "nope"),
+      schema("s"), schema("x"), schema("ts")))
+    val err = intercept[Exception] {
+      ChTextFormats.readJsonDocument(spark, p, drifted).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
+  test("TabSeparatedRaw roundtrips clean values; separators fail LOUDLY") {
+    val s2 = StructType(Seq(
+      StructField("n", LongType, nullable = false),
+      StructField("t", StringType, nullable = true)))
+    val clean = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, "plain"), Row(2L, null), Row(3L, "no escapes here")), 1), s2)
+    val p = tmp("tsvraw")
+    ChTextFormats.writeTabSeparatedRaw(clean, p)
+    val back = ChTextFormats.readTabSeparatedRaw(spark, p, s2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(back.toSeq == Seq((1L, "plain"), (2L, null), (3L, "no escapes here")))
+    val dirty = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(9L, "tab\there")), 1), s2)
+    val err = intercept[org.apache.spark.SparkException] {
+      ChTextFormats.writeTabSeparatedRaw(dirty, tmp("tsvraw_bad"))
+    }
+    assert(err.getMessage.contains("TabSeparatedRaw") ||
+      err.getCause != null)
+  }
+
   test("empty-string single-column row survives the TSV roundtrip") {
     // r6 ADVICE: an empty line is a REAL row for a one-string-column
     // schema; only the final row delimiter's trailing empty element drops
