@@ -22,6 +22,27 @@ object MlQueries extends QueryPack {
 
   override def queries: Seq[Q] = Seq(
 
+    // The reference's FUNCTION-NAME surface (round 8):
+    // stochasticLinearRegression(params)(y, x1, x2) through the dialect
+    // — parametric call form, trailing hyperparameters accepted and
+    // ignored by the closed form — and evalMLMethod applying the state.
+    // Exact-linear synthetic target ⇒ the fit recovers the generating
+    // coefficients exactly, which the oracle states literally.
+    graft.Q("q_ml_stochastic_linreg", (s, dir) => {
+      graft.Tables.register(s, dir)
+      graft.sql.ClickHouseSql.sql(s, """
+        SELECT
+          ROUND(arrayElement(w, 1), 4) AS w1,
+          ROUND(arrayElement(w, 2), 4) AS w2,
+          ROUND(arrayElement(w, 3), 4) AS bias,
+          ROUND(evalMLMethod(w, 10, 2), 4) AS pred
+        FROM (SELECT stochasticLinearRegression(0.1, 0.0, 5, 'SGD')(
+                2 * n_nationkey - 3 * n_regionkey + 5,
+                n_nationkey, n_regionkey) AS w
+              FROM nation)""")
+    }, Some("""
+      SELECT 2.0 AS w1, -3.0 AS w2, 5.0 AS bias, 19.0 AS pred""")),
+
     // Fit price_cents ~ w0 + w1*quantity + w2*discount_pct on lineitem and
     // evaluate in-sample RMSE. Every moment is an exact DECIMAL sum; the
     // Cramer solve and RMSE are identical double expressions both engines.

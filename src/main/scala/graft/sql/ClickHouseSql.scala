@@ -361,7 +361,9 @@ object ClickHouseSql {
   private val parametricName =
     ("(?i)\\b(quantiles?(?:exact|tdigest|timing|gk|dd|bfloat16|deterministic|" +
       "interpolatedweighted|exactweighted|exactlow|exacthigh|exactinclusive|" +
-      "exactexclusive)?|groupArrayLast|groupArraySample)\\s*\\(").r
+      "exactexclusive)?|groupArrayLast|groupArraySample|" +
+      "stochasticLinearRegression(?:State)?|" +
+      "stochasticLogisticRegression(?:State)?)\\s*\\(").r
 
   private def rewriteParametric(s: String): String = {
     var out = s

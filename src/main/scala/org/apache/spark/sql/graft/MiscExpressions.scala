@@ -379,3 +379,62 @@ case class HilbertDecode2(child: Expression)
   override protected def withNewChildInternal(c: Expression): HilbertDecode2 =
     copy(child = c)
 }
+
+/** Solve the normal equations assembled from aggregated sufficient
+  * statistics — the finalization step of this engine's
+  * stochasticLinearRegression rendering (reference
+  * AggregateFunctionMLMethod.cpp runs SGD; sufficient statistics +
+  * closed-form ridge solve give the same least-squares answer
+  * ORDER-INDEPENDENTLY, which distributed merges need). Input: flat
+  * array of the (k+1)² Gram entries (intercept-augmented, row-major)
+  * followed by the k+1 right-hand-side sums. Output: [w1..wk, bias]
+  * (the reference's weights-then-bias layout). */
+case class SolveLinearSystem(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toDoubleArray()
+    val m = arr.length
+    val n = ((-1.0 + math.sqrt(1.0 + 4.0 * m)) / 2.0).round.toInt
+    require(n * n + n == m, s"bad sufficient-statistics arity $m")
+    val a = Array.tabulate(n, n)((i, j) => arr(i * n + j))
+    val b = Array.tabulate(n)(i => arr(n * n + i))
+    // tiny ridge for numerical stability on collinear inputs
+    var i = 0
+    while (i < n) { a(i)(i) += 1e-9; i += 1 }
+    // Gaussian elimination with partial pivoting
+    i = 0
+    while (i < n) {
+      var p = i
+      var j = i + 1
+      while (j < n) { if (math.abs(a(j)(i)) > math.abs(a(p)(i))) p = j; j += 1 }
+      val tmpR = a(i); a(i) = a(p); a(p) = tmpR
+      val tmpB = b(i); b(i) = b(p); b(p) = tmpB
+      val piv = a(i)(i)
+      j = i + 1
+      while (j < n) {
+        val f = a(j)(i) / piv
+        var c = i
+        while (c < n) { a(j)(c) -= f * a(i)(c); c += 1 }
+        b(j) -= f * b(i)
+        j += 1
+      }
+      i += 1
+    }
+    val w = new Array[Double](n)
+    i = n - 1
+    while (i >= 0) {
+      var s = b(i)
+      var c = i + 1
+      while (c < n) { s -= a(i)(c) * w(c); c += 1 }
+      w(i) = s / a(i)(i)
+      i -= 1
+    }
+    // internal order: [bias, w1..wk] → reference layout [w1..wk, bias]
+    new GenericArrayData((w.drop(1) :+ w(0)).map(_.asInstanceOf[Any]))
+  }
+  override protected def withNewChildInternal(c: Expression): SolveLinearSystem =
+    copy(child = c)
+}
