@@ -269,6 +269,30 @@ object VectorPQ {
       .select(col("qid"), col("nid"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Streaming code-table maintenance (mirrors
+    * [[VectorIndex.appendStream]]): each micro-batch of new embeddings
+    * assigns its cell AND encodes its PQ codes map-side against the
+    * EXISTING centroids/codebooks, appending into the cell-partitioned
+    * code table — only touched cells' directories gain files, no
+    * retrain, no rebuild. Queries issued after a batch see the new
+    * vectors. */
+  def appendStream(spark: SparkSession, stream: DataFrame, indexDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val cents = VectorIndex.readCents(spark, indexDir)
+    val cb = readCodebooks(spark, indexDir)
+    stream.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        withCodes(VectorIndex.withCell(VectorIndex.prep(batch), cents), cb)
+          .select(col("vec_id"), col("nrm"), col("codes"), col("cell"))
+          .write.mode("append").partitionBy("cell")
+          .parquet(s"$indexDir/pq")
+        ()
+      }
+      .start()
+  }
+
   def drop(spark: SparkSession, indexDir: String): Unit =
     VectorIndex.drop(spark, indexDir)
 }

@@ -267,6 +267,23 @@ object DialectQueries extends QueryPack {
       WHERE o_orderstatus = 'F' AND o_totalprice > 150000
         AND o_orderdate < TIMESTAMP '1995-06-17 00:00:00'""")),
 
+    // Parameterized views (round 8 — StorageView.cpp parameterized
+    // views): CREATE VIEW keeps its {p:Type} holes; every call
+    // `v(p = x)` substitutes typed literals and inlines the body.
+    Q("q_ch_param_view", (s, dir) => {
+      Tables.register(s, dir)
+      ClickHouseSql.sql(s, "DROP VIEW IF EXISTS pv_nation")
+      ClickHouseSql.sql(s, """
+        CREATE VIEW pv_nation AS
+        SELECT n_nationkey, n_name FROM nation
+        WHERE n_regionkey = {r:UInt32} AND n_nationkey >= {lo:UInt32}""")
+      ClickHouseSql.sql(s, """
+        SELECT CAST(n_nationkey AS BIGINT) AS k, n_name
+        FROM pv_nation(r = 2, lo = 5) ORDER BY k""")
+    }, Some("""
+      SELECT CAST(n_nationkey AS BIGINT) AS k, n_name FROM nation
+      WHERE n_regionkey = 2 AND n_nationkey >= 5 ORDER BY k""")),
+
     // FINAL on a registered Replacing table.
     Q("q_ch_final", (s, dir) => {
       Tables.register(s, dir)

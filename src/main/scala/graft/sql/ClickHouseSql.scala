@@ -619,7 +619,10 @@ object ClickHouseSql {
     // segments OUTSIDE single-quoted literals are touched.
     val trimmed0 = {
       val raw = chSql.trim
-      if (!raw.contains("{")) raw
+      // CREATE VIEW bodies KEEP their placeholders — they substitute at
+      // call time, per view invocation (parameterized views)
+      if (!raw.contains("{") ||
+          raw.matches("(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?VIEW\\b.*")) raw
       else raw.split("'", -1).zipWithIndex.map { case (seg, i) =>
         if (i % 2 == 1) seg else substituteParams(spark, seg)
       }.mkString("'")
@@ -739,9 +742,35 @@ object ClickHouseSql {
     // temp view over the matching reader BEFORE the literal-safe rewrite
     // (the call's arguments are quoted, so they must go before the
     // quote-split below).
+    // CREATE [OR REPLACE] VIEW with {p:Type} placeholders → store as a
+    // PARAMETERIZED view (src/Storages/StorageView.cpp parameterized
+    // views); `FROM v(p = x)` substitutes typed literals at call time.
+    if (trimmedNoFmt.matches("(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?VIEW\\b.*") &&
+        trimmedNoFmt.contains("{")) {
+      val re = ("(?is)^CREATE\\s+(?:OR\\s+REPLACE\\s+)?VIEW\\s+" +
+        "([A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s+(.*?);?\\s*$").r
+      trimmedNoFmt match {
+        case re(name, body) =>
+          paramViews.put(name.toLowerCase, body)
+          import spark.implicits._
+          return Seq("OK").toDF("status")
+        case _ => throw new IllegalArgumentException(
+          "unsupported parameterized CREATE VIEW form")
+      }
+    }
+    if (trimmedNoFmt.matches("(?is)^DROP\\s+VIEW\\s+(IF\\s+EXISTS\\s+)?[A-Za-z_][A-Za-z0-9_]*\\s*;?\\s*$")) {
+      val n = trimmedNoFmt
+        .replaceFirst("(?is)^DROP\\s+VIEW\\s+(IF\\s+EXISTS\\s+)?", "")
+        .replaceFirst(";\\s*$", "").trim.toLowerCase
+      if (paramViews.remove(n) != null) {
+        import spark.implicits._
+        return Seq("OK").toDF("status")
+      } // plain catalog views fall through to Spark's DROP VIEW
+    }
     val trimmedFileFn =
       if (trimmedNoFmt.matches("(?is)^(SELECT|WITH)\\b.*"))
-        resolveMergeFn(spark, resolveFileFn(spark, trimmedNoFmt))
+        resolveParamViews(spark,
+          resolveMergeFn(spark, resolveFileFn(spark, trimmedNoFmt)))
       else trimmedNoFmt
     // rewrite only OUTSIDE single-quoted literals: split on ' and touch
     // the even-indexed (non-literal) segments
@@ -1332,6 +1361,54 @@ object ClickHouseSql {
       unioned.createOrReplaceTempView(view)
       java.util.regex.Matcher.quoteReplacement(view)
     })
+
+  // ---- parameterized views (StorageView.cpp parameterized views) ------
+
+  /** view name (lowercase) → stored SELECT body with {p:Type} holes. */
+  private val paramViews =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Replace `v(p = x, q = 'y')` with the view body, placeholders
+    * substituted as typed literals from the call arguments. */
+  private def resolveParamViews(spark: SparkSession, sql0: String): String = {
+    if (paramViews.isEmpty) return sql0
+    var s = sql0
+    var guard = 0
+    var changed = true
+    while (changed && guard < 16) {
+      changed = false
+      guard += 1
+      val call = "(?i)\\b([A-Za-z_][A-Za-z0-9_]*)\\s*(\\()".r
+      val hit = call.findAllMatchIn(s).flatMap { m =>
+        Option(paramViews.get(m.group(1).toLowerCase)).flatMap { body =>
+          balanced(s, m.start(2)).map { case (argsTxt, end) =>
+            (m.start, end, m.group(1), body, argsTxt)
+          }
+        }
+      }.toSeq.headOption
+      hit.foreach { case (start, end, name, body, argsTxt) =>
+        val kv = "(?s)^\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*(.+?)\\s*$".r
+        val vals = splitTopLevel(argsTxt).map {
+          case kv(k, v) => k -> v
+          case other => throw new IllegalArgumentException(
+            s"parameterized view $name: unparsable argument '$other'")
+        }.toMap
+        // substitute only OUTSIDE string literals of the body
+        val sub = body.split("'", -1).zipWithIndex.map { case (seg, i) =>
+          if (i % 2 == 1) seg
+          else paramRe.replaceAllIn(seg, m2 => {
+            val p = m2.group(1)
+            val v = vals.getOrElse(p, throw new IllegalArgumentException(
+              s"parameterized view $name: parameter '$p' not supplied"))
+            java.util.regex.Matcher.quoteReplacement(typedLiteral(v, m2.group(2)))
+          })
+        }.mkString("'")
+        s = s.substring(0, start) + s"($sub) $name" + s.substring(end)
+        changed = true
+      }
+    }
+    s
+  }
 
   // ---- query parameters (ASTQueryParameter / ReplaceQueryParameterVisitor)
 

@@ -194,6 +194,38 @@ class IndexSpec extends SparkFunSuite {
     assert(agree >= 14, s"rerank top-1 agreement $agree/20 below floor")
   }
 
+  test("streaming ingest maintains the PQ code table: twins found via rerank") {
+    import java.nio.file.Files
+    import graft.operators.VectorPQ
+    val src = Tables.load(spark, sf, "embeddings")
+    val idx = s"$base/pqstream"
+    VectorPQ.create(spark, src, idx, nCells = 16, m = 16, k = 16)
+    val stage = Files.createTempDirectory("graft_pq_stream").toString
+    src.filter(col("vec_id") < 5)
+      .withColumn("vec_id", col("vec_id") + 2000000L)
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(stage).schema).parquet(stage)
+    val q = VectorPQ.appendStream(spark, stream, idx,
+      Files.createTempDirectory("graft_pq_ckpt").toString)
+    q.awaitTermination(60000)
+    // a twin has IDENTICAL codes and nrm → its rerank cosine is 1.0 and
+    // it wins top-1 for its original
+    val e = VectorIndex.prep(src.unionByName(
+      src.filter(col("vec_id") < 5)
+        .withColumn("vec_id", col("vec_id") + 2000000L)))
+    val queries = VectorIndex.prep(src).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val top1 = VectorPQ.topKRerank(spark, idx, e, queries, k = 1,
+      nProbe = 8, shortlist = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 5L).foreach { i =>
+      assert(top1.get(i).contains(i + 2000000L),
+        s"ingested PQ twin of $i not found (got ${top1.get(i)})")
+    }
+  }
+
   test("IVF build: centroid assignment is map-side — no Exchange, no window") {
     // the round-6 scale-killer: broadcast-crossJoin + row_number expanded
     // the corpus nCells× and shuffled the expansion. The argmax form must
