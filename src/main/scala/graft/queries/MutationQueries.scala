@@ -108,11 +108,37 @@ object MutationQueries extends QueryPack {
     SELECT (SELECT COUNT(*) FROM events) AS n_keep,
       CAST(0 AS BIGINT) AS n_gone"""))
 
+  /** CLEAR COLUMN IN PARTITION (round 8 — AlterCommands' clear_column):
+    * n_name resets to NULL inside partition r=2 only; other partitions
+    * keep their values. Oracle recomputes the conditional null-out. */
+  private val clearColumn = graft.Q("q_ch_clear_column", (s, dir) => {
+    Tables.register(s, dir)
+    val t = "graft_clearcol_t"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    val wh = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), t)
+    wh.getFileSystem(s.sparkContext.hadoopConfiguration).delete(wh, true)
+    Tables.load(s, dir, "nation")
+      .write.partitionBy("n_regionkey").saveAsTable(t)
+    graft.sql.ClickHouseSql.sql(s,
+      s"ALTER TABLE $t CLEAR COLUMN n_name IN PARTITION '2'")
+    val out = graft.sql.ClickHouseSql.sql(s, s"""
+      SELECT CAST(n_nationkey AS BIGINT) AS k, n_name,
+        CAST(n_regionkey AS BIGINT) AS r
+      FROM $t ORDER BY k""")
+    out
+  }, Some("""
+    SELECT CAST(n_nationkey AS BIGINT) AS k,
+      CASE WHEN n_regionkey = 2 THEN NULL ELSE n_name END AS n_name,
+      CAST(n_regionkey AS BIGINT) AS r
+    FROM nation ORDER BY k"""))
+
   override def queries: Seq[Q] = Seq(
     optimizeDedup,
     alterUpdateDelete,
     alterColumn,
     alterTtlQ,
+    clearColumn,
 
     // ALTER UPDATE (discount zeroed for small 'R' lines) then ALTER DELETE
     // (pre-1996 shipments dropped) — the post-mutation table aggregated so

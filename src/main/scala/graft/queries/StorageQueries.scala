@@ -639,6 +639,23 @@ object StorageQueries extends QueryPack {
         .toDF("n_detached", "n_attached", "n_after_drop", "n_frozen")
     },
 
+    // system.columns argless FROM form (round 8 —
+    // StorageSystemColumns.cpp): the full catalog column inventory,
+    // WHERE-narrowed to a fixture table with a known schema.
+    Q.df("q_system_columns_all", """
+      SELECT * FROM (VALUES
+        ('syscols_t', 'a', 1), ('syscols_t', 'b', 2), ('syscols_t', 'c', 3)
+      ) t("table", name, position) ORDER BY position""") { (s, dir) =>
+      s.sql("DROP TABLE IF EXISTS syscols_t")
+      val wh = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "syscols_t")
+      wh.getFileSystem(s.sparkContext.hadoopConfiguration).delete(wh, true)
+      s.sql("CREATE TABLE syscols_t (a BIGINT, b STRING, c DOUBLE) USING parquet")
+      graft.sql.ClickHouseSql.sql(s, """
+        SELECT `table`, name, position FROM system.columns
+        WHERE `table` = 'syscols_t' ORDER BY position""")
+    },
+
     // system.one + system.numbers as TABLES (round 8 —
     // StorageSystemOne.cpp, StorageSystemNumbers.cpp): one is the
     // single-row dummy=0 table; numbers streams `number` bounded by the

@@ -104,6 +104,23 @@ object SystemTables {
       .toDF("name", "path", "free_space", "total_space", "type")
   }
 
+  /** system.columns, argless FROM form (StorageSystemColumns.cpp): the
+    * full (table × column) inventory of the session catalog, with CH
+    * type names and 1-based positions — WHERE narrows it like the
+    * reference. */
+  def columnsAll(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.catalog.listTables().collect().map(_.name).sorted.flatMap { t =>
+      try spark.table(t).schema.fields.zipWithIndex.map { case (f, i) =>
+        (t, f.name,
+          try ChWireFormats.chTypeName(f.dataType, f.nullable)
+          catch { case _: Exception => f.dataType.sql },
+          i + 1)
+      }.toSeq
+      catch { case _: Exception => Seq.empty }
+    }.toSeq.toDF("table", "name", "type", "position")
+  }
+
   /** system.tables: session-visible tables/views. */
   def tables(spark: SparkSession): DataFrame = {
     import spark.implicits._

@@ -721,6 +721,7 @@ object ClickHouseSql {
           (() => graft.sources.SystemTables.tableEngines(spark)),
         "clusters" -> (() => graft.sources.SystemTables.clusters(spark)),
         "disks" -> (() => graft.sources.SystemTables.disks(spark)),
+        "columns" -> (() => graft.sources.SystemTables.columnsAll(spark)),
         // system.numbers streams unbounded in the reference
         // (StorageSystemNumbers.cpp) and every real query bounds it with
         // LIMIT; materialize to the query's own LIMIT (default 2^20)
@@ -780,7 +781,7 @@ object ClickHouseSql {
         "(?i)\\bsystem\\.(tables|functions|settings|query_log|dictionaries|" +
           "data_skipping_indices|metrics|events|asynchronous_metrics|" +
           "databases|processes|one|numbers|merges|mutations|" +
-          "formats|table_engines|clusters|disks)\\b",
+          "formats|table_engines|clusters|disks|columns)\\b",
         "graft_system_$1")
     }.mkString("'")
     if (Dictionaries.matches(trimmed))
@@ -965,6 +966,40 @@ object ClickHouseSql {
       alterTtl(spark, trimmed)
     else if (trimmed.matches("(?is)^ALTER\\s+TABLE\\s+\\S+\\s+(UPDATE|DELETE)\\b.*"))
       alterMutation(spark, trimmed)
+    else if (trimmed.matches(
+        "(?is)^ALTER\\s+TABLE\\s+\\S+\\s+CLEAR\\s+COLUMN\\b.*")) {
+      // ALTER TABLE t CLEAR COLUMN c [IN PARTITION 'v'] (AlterCommands
+      // DROP_COLUMN clear_column form): reset the column to its default
+      // (NULL here) in the named partition — a part rewrite of the
+      // affected rows only, everything else passes through.
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{col, lit, when}
+      val re = ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+CLEAR\\s+COLUMN\\s+" +
+        "`?([A-Za-z_][A-Za-z0-9_]*)`?(?:\\s+IN\\s+PARTITION\\s+'?([^'\\s;]+)'?)?\\s*;?\\s*$").r
+      trimmed match {
+        case re(t, c, pval) =>
+          val base = spark.table(t)
+          val dt = base.schema(c).dataType
+          val cond = Option(pval).map { v =>
+            val pcols = spark.sessionState.catalog.getTableMetadata(
+              org.apache.spark.sql.catalyst.TableIdentifier(t))
+              .partitionColumnNames
+            require(pcols.size == 1,
+              s"CLEAR COLUMN IN PARTITION needs one partition column, $t has $pcols")
+            col(pcols.head) === v
+          }.getOrElse(lit(true))
+          val mutated = base.withColumn(c,
+            when(cond, lit(null).cast(dt)).otherwise(col(c)))
+            .localCheckpoint(true)
+          mutated.write.mode("overwrite").insertInto(t)
+          refreshSkipIndexes(spark, t)
+          queryCache.clear()
+          logMutation(t, trimmed)
+          Seq("OK").toDF("status")
+        case _ => throw new IllegalArgumentException(
+          "unsupported CLEAR COLUMN form")
+      }
+    }
     else if (trimmed.matches("(?is)^ALTER\\s+TABLE\\s+\\S+\\s+(ADD|DROP|MODIFY|RENAME)\\s+COLUMN\\b.*"))
       alterColumnDdl(spark, trimmed)
     else if (trimmed.matches("(?is)^OPTIMIZE\\s+TABLE\\b.*")) {
