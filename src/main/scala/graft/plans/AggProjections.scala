@@ -46,6 +46,11 @@ object AggProjections {
   /** Materialize the rollup and register it for the rewrite rule. */
   def create(spark: SparkSession, baseParquetPath: String, projPath: String,
       dims: Seq[String], measures: Seq[String]): Unit = {
+    // REBUILD self-read hazard: with the projection still registered, the
+    // build aggregation below matches the rewrite rule and would read the
+    // STALE rollup it is about to replace — unregister first (round 8,
+    // caught by the mutation-staleness spec)
+    registry.remove(canon(baseParquetPath))
     val base = spark.read.parquet(baseParquetPath)
     val aggs = count(lit(1)).as("__cnt") +: measures.flatMap { c =>
       Seq(sum(col(c)).as(s"__sum_$c"), min(col(c)).as(s"__min_$c"),

@@ -54,6 +54,9 @@ object NormalProjections {
     val wh = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table)
     wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
+    // rebuild self-read hazard (round 8): unregister before reading the
+    // base, or the scan below rewrites to the stale sorted copy
+    registry.remove(canon(baseParquetPath))
     val base = spark.read.parquet(baseParquetPath)
     val projected =
       if (columns.isEmpty) base

@@ -1191,8 +1191,15 @@ object ClickHouseSql {
   // ---- projection DDL (ParserProjection → plans/*Projections) ---------
 
   // (table, projection) → registered base path + kind, for DROP
+  /** One registered projection: base path, agg/normal kind, and the
+    * REBUILD thunk mutations re-run (round 8 — the same staleness class
+    * the round-7 ADVICE flagged for skip indexes: a mutated base table
+    * must not keep serving a stale rollup). */
+  private final case class ProjEntry(basePath: String, isAgg: Boolean,
+      rebuild: () => Unit)
+
   private val projections =
-    scala.collection.concurrent.TrieMap.empty[(String, String), (String, Boolean)]
+    scala.collection.concurrent.TrieMap.empty[(String, String), ProjEntry]
 
   /** Catalog table → its parquet location path. */
   private def tableLocation(spark: SparkSession, table: String): String =
@@ -1231,24 +1238,32 @@ object ClickHouseSql {
           val wh = new org.apache.hadoop.fs.Path(
             spark.conf.get("spark.sql.warehouse.dir"),
             s"graft_projections/${table}_$proj").toString
-          graft.plans.AggProjections.create(spark, basePath, wh, dims, measures)
-          projections.put((table, proj), (basePath, true))
+          val build = () => graft.plans.AggProjections.create(
+            spark, basePath, wh, dims, measures)
+          build()
+          projections.put((table, proj), ProjEntry(basePath, isAgg = true, build))
         } else if (orderBy.isDefined) {
           val keys = orderBy.get.group(1).split(",").map(_.trim)
             .filter(_.nonEmpty).toSeq
-          graft.plans.NormalProjections.create(spark, basePath,
-            s"${table}__proj_$proj", 8, keys)
-          projections.put((table, proj), (basePath, false))
+          val build = () => graft.plans.NormalProjections.create(
+            spark, basePath, s"${table}__proj_$proj", 8, keys)
+          build()
+          projections.put((table, proj), ProjEntry(basePath, isAgg = false, build))
         } else throw new IllegalArgumentException(
           "ADD PROJECTION needs a GROUP BY (aggregate) or ORDER BY (normal) body")
         Seq("OK").toDF("status")
       case drop(table, proj) =>
-        projections.remove((table, proj)).foreach { case (path, isAgg) =>
-          if (isAgg) graft.plans.AggProjections.drop(path)
-          else graft.plans.NormalProjections.drop(spark, path)
+        projections.remove((table, proj)).foreach { e =>
+          if (e.isAgg) graft.plans.AggProjections.drop(e.basePath)
+          else graft.plans.NormalProjections.drop(spark, e.basePath)
         }
         Seq("OK").toDF("status")
-      case mat(_) => Seq("OK").toDF("status")
+      case mat(table) =>
+        // MATERIALIZE PROJECTION forces the rebuild (the reference defers
+        // the build to this mutation; ADD builds eagerly here, so this is
+        // the refresh entry point)
+        refreshProjections(spark, table.trim)
+        Seq("OK").toDF("status")
       case other => throw new IllegalArgumentException(
         s"unsupported projection DDL: $other")
     }
@@ -1744,7 +1759,26 @@ object ClickHouseSql {
           graft.operators.SkipIndex.drop(spark, m.idxDir)
         }
       }
+    refreshProjections(spark, table)
   }
+
+  /** Rebuild every registered projection of the mutated table — a stale
+    * rollup/sorted copy would silently serve pre-mutation answers (the
+    * skip-index staleness class). Failure degrades to DROPPING the
+    * projection: no rewrite, never wrong answers. */
+  private def refreshProjections(spark: SparkSession, table: String): Unit =
+    projections.snapshot().foreach { case ((t, proj), e) =>
+      if (t == table) {
+        try e.rebuild()
+        catch { case _: Exception =>
+          projections.remove((t, proj))
+          try {
+            if (e.isAgg) graft.plans.AggProjections.drop(e.basePath)
+            else graft.plans.NormalProjections.drop(spark, e.basePath)
+          } catch { case _: Exception => }
+        }
+      }
+    }
 
   private def indexDdl(spark: SparkSession, stmt: String)
       : org.apache.spark.sql.DataFrame = {

@@ -41,6 +41,34 @@ class ProjectionDdlSpec extends SparkFunSuite {
     assert(!after.queryExecution.optimizedPlan.toString.contains("__cnt"))
   }
 
+  test("mutations rebuild registered projections — no stale rollup answers") {
+    Tables.register(spark, sf)
+    ClickHouseSql.sql(spark, "DROP TABLE IF EXISTS pddl_mut")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "pddl_mut")
+    wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
+    ClickHouseSql.sql(spark, """
+      CREATE MATERIALIZED VIEW pddl_mut AS
+      SELECT n_nationkey, n_regionkey FROM nation""")
+    ClickHouseSql.sql(spark, """
+      ALTER TABLE pddl_mut ADD PROJECTION byreg
+      (SELECT n_regionkey, sum(n_nationkey) GROUP BY n_regionkey)""")
+    try {
+      def probe(): Map[Int, Long] = ClickHouseSql.sql(spark, """
+        SELECT n_regionkey, count() AS n FROM pddl_mut
+        GROUP BY n_regionkey ORDER BY n_regionkey""")
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(probe()(4) == 5L)
+      // the mutation deletes region 4; the projection MUST follow —
+      // a stale rollup would keep answering 5
+      ClickHouseSql.sql(spark, "ALTER TABLE pddl_mut DELETE WHERE n_regionkey = 4")
+      val after = probe()
+      assert(!after.contains(4), s"stale projection after mutation: $after")
+      assert(after(0) == 5L)
+    } finally ClickHouseSql.sql(spark,
+      "ALTER TABLE pddl_mut DROP PROJECTION byreg")
+  }
+
   test("normal-projection DDL: ORDER BY body creates the bucketed layout") {
     Tables.register(spark, sf)
     ClickHouseSql.sql(spark, """
