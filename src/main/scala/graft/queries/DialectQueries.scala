@@ -247,6 +247,28 @@ object DialectQueries extends QueryPack {
         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
       FROM lineitem GROUP BY ALL ORDER BY ALL"""),
 
+    // WITH FILL over a DATE axis (round 8 — the FillingTransform date
+    // grid): per-day event counts densified over [Jan 1, Jan 15) with an
+    // INTERVAL 1 DAY step; days before the data stay NULL-filled, the
+    // source rows join back exactly.
+    ch("q_ch_with_fill_date", """
+      SELECT d, n FROM (
+        SELECT toDate(ts) AS d, count() AS n FROM events
+        WHERE ts >= toDateTime('2024-01-05 00:00:00')
+          AND ts < toDateTime('2024-01-12 00:00:00')
+        GROUP BY toDate(ts))
+      ORDER BY d WITH FILL FROM toDate('2024-01-01') TO toDate('2024-01-15')
+        STEP INTERVAL 1 DAY""",
+      """
+      SELECT d, n FROM
+        (SELECT CAST(UNNEST(GENERATE_SERIES(DATE '2024-01-01',
+           DATE '2024-01-14', INTERVAL 1 DAY)) AS DATE) AS d) a
+      LEFT JOIN (SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n FROM events
+                 WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+                   AND ts < TIMESTAMP '2024-01-12 00:00:00'
+                 GROUP BY 1) b USING (d)
+      ORDER BY d"""),
+
     // Query parameters {name:Type} + SET param_<name>
     // (src/Parsers/ASTQueryParameter.h:10): typed-literal substitution —
     // a String, an integer, and a DateTime parameter in one predicate.

@@ -86,6 +86,37 @@ object ClickHouseSql {
     * rows only — bounded by (b-a)/s, not by input size. Supported form:
     * clause terminates the query; integer axis. */
   private def rewriteWithFill(s: String): String = {
+    // DATE/DATETIME axis form (round 8): FROM toDate('…') TO toDate('…')
+    // STEP INTERVAL n unit — the grid is a date/timestamp sequence,
+    // [FROM, TO) like the integer form; source rows outside the range
+    // survive through the same FULL OUTER join.
+    val reDate = ("(?is)\\bORDER\\s+BY\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+WITH\\s+FILL\\s+" +
+      "FROM\\s+(toDate|toDateTime)\\('([^']+)'\\)\\s+TO\\s+(?:toDate|toDateTime)\\('([^']+)'\\)" +
+      "\\s+STEP\\s+INTERVAL\\s+(\\d+)\\s+([A-Za-z]+)" +
+      "(?:\\s+INTERPOLATE\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\))?\\s*;?\\s*$").r
+    reDate.findFirstMatchIn(s) match {
+      case Some(m) =>
+        val axis = m.group(1)
+        val lit = if (m.group(2).equalsIgnoreCase("toDate")) "DATE" else "TIMESTAMP"
+        val from = m.group(3)
+        val to = m.group(4)
+        val n = m.group(5)
+        val unit = m.group(6).toUpperCase
+        val interp = Option(m.group(7))
+        val core = s.substring(0, m.start)
+        val joined =
+          s"(SELECT $axis FROM (SELECT explode(sequence($lit '$from', $lit '$to', " +
+            s"INTERVAL $n $unit)) AS $axis) WHERE $axis < $lit '$to') __fill_axis " +
+            s"FULL OUTER JOIN ($core) __fill_src USING ($axis)"
+        return (interp match {
+          case Some(c) =>
+            s"SELECT $axis, last($c, true) OVER (ORDER BY $axis " +
+              s"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS $c " +
+              s"FROM $joined ORDER BY $axis"
+          case None => s"SELECT * FROM $joined ORDER BY $axis"
+        })
+      case None =>
+    }
     val re = ("(?is)\\bORDER\\s+BY\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+WITH\\s+FILL\\s+" +
       "FROM\\s+(-?\\d+)\\s+TO\\s+(-?\\d+)(?:\\s+STEP\\s+(-?\\d+))?" +
       "(?:\\s+STALENESS\\s+(\\d+))?" +
