@@ -656,6 +656,27 @@ object StorageQueries extends QueryPack {
         WHERE `table` = 'syscols_t' ORDER BY position""")
     },
 
+    // system.parts argless FROM form + SELECT * EXCEPT (round 8): part
+    // inventory rows for a 2-part fixture table, read through the
+    // dialect with the CH `* EXCEPT (name)` transformer (native in both
+    // engines — the pin is that the dialect passes it intact).
+    Q.df("q_system_parts_all", """
+      SELECT 'sysparts_t' AS table, CAST(2 AS BIGINT) AS n_parts,
+        TRUE AS sized, TRUE AS active""") { (s, dir) =>
+      s.sql("DROP TABLE IF EXISTS sysparts_t")
+      val wh = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "sysparts_t")
+      wh.getFileSystem(s.sparkContext.hadoopConfiguration).delete(wh, true)
+      Tables.load(s, dir, "nation").repartition(2)
+        .write.saveAsTable("sysparts_t")
+      graft.sql.ClickHouseSql.sql(s, """
+        SELECT `table`, count() AS n_parts,
+          min(bytes_on_disk) > 0 AS sized, bool_and(active) AS active
+        FROM (SELECT * EXCEPT (name) FROM system.parts
+              WHERE `table` = 'sysparts_t')
+        GROUP BY `table`""")
+    },
+
     // system.one + system.numbers as TABLES (round 8 —
     // StorageSystemOne.cpp, StorageSystemNumbers.cpp): one is the
     // single-row dummy=0 table; numbers streams `number` bounded by the

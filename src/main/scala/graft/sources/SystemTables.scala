@@ -168,6 +168,24 @@ object SystemTables {
       .toDF("partition", "file_count", "bytes_on_disk", "rows", "active")
   }
 
+  /** system.parts, argless FROM form (StorageSystemParts.cpp): one row
+    * per parquet part file of every catalog table — name, size, active —
+    * pure driver metadata (no data reads; the arg-taking [[parts]] keeps
+    * the per-partition row counts). */
+  def partsAll(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    spark.catalog.listTables().collect().map(_.name).sorted.flatMap { t =>
+      try spark.table(t).inputFiles.toSeq.sorted.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        val len = try p.getFileSystem(conf).getFileStatus(p).getLen
+          catch { case _: Exception => -1L }
+        (t, p.getName, len, true)
+      }
+      catch { case _: Exception => Seq.empty }
+    }.toSeq.toDF("table", "name", "bytes_on_disk", "active")
+  }
+
   /** system.settings analog (StorageSystemSettings.cpp): the session's
     * dialect-level knobs — every `SET k = v` lands under the graft.ch.*
     * conf namespace and is queryable here. */

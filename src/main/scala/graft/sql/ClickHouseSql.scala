@@ -753,6 +753,7 @@ object ClickHouseSql {
         "clusters" -> (() => graft.sources.SystemTables.clusters(spark)),
         "disks" -> (() => graft.sources.SystemTables.disks(spark)),
         "columns" -> (() => graft.sources.SystemTables.columnsAll(spark)),
+        "parts" -> (() => graft.sources.SystemTables.partsAll(spark)),
         // system.numbers streams unbounded in the reference
         // (StorageSystemNumbers.cpp) and every real query bounds it with
         // LIMIT; materialize to the query's own LIMIT (default 2^20)
@@ -812,7 +813,7 @@ object ClickHouseSql {
         "(?i)\\bsystem\\.(tables|functions|settings|query_log|dictionaries|" +
           "data_skipping_indices|metrics|events|asynchronous_metrics|" +
           "databases|processes|one|numbers|merges|mutations|" +
-          "formats|table_engines|clusters|disks|columns)\\b",
+          "formats|table_engines|clusters|disks|columns|parts)\\b",
         "graft_system_$1")
     }.mkString("'")
     if (Dictionaries.matches(trimmed))
