@@ -72,6 +72,28 @@ class DialectTortureSpec extends SparkFunSuite {
       ORDER BY o_orderkey LIMIT 5""") > 0)
   }
 
+  test("query-parameter substitution never fires inside string literals") {
+    // an unset parameter INSIDE a literal must survive verbatim — if the
+    // substitution touched literal segments this would throw "not set"
+    val r = graft.sql.ClickHouseSql.sql(spark,
+      "SELECT '{nosuchparam:Int32}' AS s, length('a {x:String} b') AS n")
+      .head()
+    assert(r.getString(0) == "{nosuchparam:Int32}" && r.getInt(1) == 14)
+    // outside a literal, an unset parameter IS loud
+    val err = intercept[IllegalArgumentException] {
+      graft.sql.ClickHouseSql.sql(spark,
+        "SELECT {nosuchparam:Int32} AS v")
+    }
+    assert(err.getMessage.contains("nosuchparam"))
+    // type checking rejects a non-integer value for an integer hole
+    graft.sql.ClickHouseSql.sql(spark, "SET param_tt = 'abc'")
+    val err2 = intercept[Exception] {
+      graft.sql.ClickHouseSql.sql(spark, "SELECT {tt:UInt32} AS v")
+    }
+    assert(err2.getMessage.contains("not"))
+    spark.conf.unset("graft.ch.param_tt")
+  }
+
   test("combinator and conversion shapes execute") {
     assert(run("""
       SELECT multiIf(o_totalprice > 300000, 'high',
