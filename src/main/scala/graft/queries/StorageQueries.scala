@@ -656,6 +656,29 @@ object StorageQueries extends QueryPack {
         WHERE `table` = 'syscols_t' ORDER BY position""")
     },
 
+    // INSERT INTO ... FROM INFILE (round 8 — ParserInsertQuery's infile
+    // clause, the input twin of INTO OUTFILE): region exports through
+    // OUTFILE CSVWithNames, a fresh empty clone ingests it back, and the
+    // roundtrip is exact.
+    Q.df("q_ch_insert_infile", """
+      SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""") { (s, dir) =>
+      Tables.register(s, dir)
+      val t = "graft_infile_t"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), t)
+      wh.getFileSystem(s.sparkContext.hadoopConfiguration).delete(wh, true)
+      s.sql(s"CREATE TABLE $t (r_regionkey INT, r_name STRING) USING parquet")
+      val out = s"/tmp/graft_infile_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.sql.ClickHouseSql.sql(s,
+        s"SELECT r_regionkey, r_name FROM region INTO OUTFILE '$out' " +
+          "FORMAT CSVWithNames")
+      graft.sql.ClickHouseSql.sql(s,
+        s"INSERT INTO $t FROM INFILE '$out' FORMAT CSVWithNames")
+      graft.sql.ClickHouseSql.sql(s,
+        s"SELECT r_regionkey, r_name FROM $t ORDER BY r_regionkey")
+    },
+
     // system.parts argless FROM form + SELECT * EXCEPT (round 8): part
     // inventory rows for a 2-part fixture table, read through the
     // dialect with the CH `* EXCEPT (name)` transformer (native in both

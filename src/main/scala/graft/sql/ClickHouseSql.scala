@@ -717,6 +717,45 @@ object ClickHouseSql {
         return Seq(n).toDF("rows_written")
       case _ =>
     }
+    // INSERT INTO t FROM INFILE 'path' [FORMAT fmt]
+    // (ParserInsertQuery infile clause — the input twin of INTO
+    // OUTFILE): read the file through the matching format reader with
+    // the TARGET TABLE's schema and append, with the same skip-index /
+    // cache invalidation as any INSERT.
+    val infile = ("(?is)^INSERT\\s+INTO\\s+(?:TABLE\\s+)?([A-Za-z_][A-Za-z0-9_.]*)\\s+" +
+      "FROM\\s+INFILE\\s+'([^']+)'(?:\\s+FORMAT\\s+([A-Za-z0-9]+))?\\s*;?\\s*$").r
+    trimmed0 match {
+      case infile(t, path, fmt0) =>
+        val schema = spark.table(t).schema
+        val fmt = Option(fmt0).map(_.toLowerCase).getOrElse("csvwithnames")
+        val df = fmt match {
+          case "parquet" => spark.read.schema(schema).parquet(path)
+          case "jsoneachrow" | "ndjson" | "json" =>
+            spark.read.schema(schema).json(path)
+          case "csv" =>
+            graft.sources.ChTextFormats.readCsv(spark, path, schema)
+          case "csvwithnames" =>
+            graft.sources.ChTextFormats.readCsv(spark, path, schema,
+              withNames = true)
+          case "tabseparated" | "tsv" =>
+            graft.sources.ChTextFormats.readTabSeparated(spark, path, schema)
+          case "tabseparatedwithnamesandtypes" | "tsvwithnamesandtypes" =>
+            graft.sources.ChTextFormats.readTabSeparated(spark, path, schema,
+              withNames = true, withTypes = true)
+          case "jsonobjecteachrow" =>
+            graft.sources.ChTextFormats.readJsonObjectEachRow(spark, path, schema)
+          case "rowbinary" =>
+            graft.sources.ChWireFormats.readRowBinary(spark, path, schema)
+          case other => throw new IllegalArgumentException(
+            s"FROM INFILE: unsupported format '$other'")
+        }
+        df.write.mode("append").insertInto(t)
+        refreshSkipIndexes(spark, t)
+        queryCache.clear()
+        import spark.implicits._
+        return Seq(df.count()).toDF("rows_read")
+      case _ =>
+    }
     // a trailing FORMAT clause on a SELECT names the client-side output
     // serialization (the wire codecs live in sources/ChWireFormats); the
     // query result itself is format-independent, so strip it
