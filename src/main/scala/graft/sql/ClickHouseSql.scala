@@ -1199,6 +1199,21 @@ object ClickHouseSql {
       // so both states are always "started" and always clean.
       import spark.implicits._
       Seq("OK").toDF("status")
+    } else if (trimmed.matches(
+        "(?is)^SYSTEM\\s+DROP\\s+(DNS|FILESYSTEM|SCHEMA)\\s+CACHE\\s*;?\\s*$")) {
+      // SYSTEM DROP DNS/FILESYSTEM/SCHEMA CACHE: the session block cache
+      // is the nearest analog of the filesystem cache; DNS/schema caches
+      // have no counterpart here — all three accept and answer OK like
+      // an empty-cache reference server.
+      spark.catalog.clearCache()
+      import spark.implicits._
+      Seq("OK").toDF("status")
+    } else if (trimmed.matches(
+        "(?is)^SYSTEM\\s+SYNC\\s+REPLICA(\\s+[A-Za-z_][A-Za-z0-9_.]*)?\\s*;?\\s*$")) {
+      // SYSTEM SYNC REPLICA: single-node engine — every table is always
+      // in sync with itself; honest immediate OK.
+      import spark.implicits._
+      Seq("OK").toDF("status")
     } else if (trimmed.matches("(?is)^SYSTEM\\s+RELOAD\\s+FUNCTIONS\\s*;?\\s*$")) {
       ChFunctionRegistry.install(spark) // idempotent re-install
       import spark.implicits._

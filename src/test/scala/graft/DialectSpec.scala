@@ -156,7 +156,8 @@ class DialectSpec extends SparkFunSuite {
     // session cache; merges have no daemon to stop)
     for (st <- Seq("SYSTEM DROP MARK CACHE", "SYSTEM DROP UNCOMPRESSED CACHE",
         "SYSTEM STOP MERGES", "SYSTEM START MERGES nation",
-        "SYSTEM RELOAD FUNCTIONS"))
+        "SYSTEM RELOAD FUNCTIONS", "SYSTEM DROP DNS CACHE",
+        "SYSTEM DROP FILESYSTEM CACHE", "SYSTEM SYNC REPLICA nation"))
       assert(ClickHouseSql.sql(spark, st).head().getString(0) == "OK", st)
     // the rewrite never touches STRING LITERALS mentioning system.<t>
     val lit = ClickHouseSql.sql(spark,
