@@ -133,12 +133,37 @@ object MutationQueries extends QueryPack {
       CAST(n_regionkey AS BIGINT) AS r
     FROM nation ORDER BY k"""))
 
+  /** Partition-scoped OPTIMIZE DEDUPLICATE (round 8 — previously this
+    * form silently skipped the dedup): nation doubled in every region,
+    * only region 2's partition deduplicates; other regions stay doubled.
+    * Oracle recomputes the per-region expectation. */
+  private val optimizePartition = graft.Q("q_ch_optimize_partition", (s, dir) => {
+    Tables.register(s, dir)
+    val t = "graft_optpart_t"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    val wh = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), t)
+    wh.getFileSystem(s.sparkContext.hadoopConfiguration).delete(wh, true)
+    val n = Tables.load(s, dir, "nation").select("n_nationkey", "n_regionkey")
+    n.unionAll(n).write.partitionBy("n_regionkey").saveAsTable(t)
+    graft.sql.ClickHouseSql.sql(s,
+      s"OPTIMIZE TABLE $t PARTITION '2' FINAL DEDUPLICATE")
+    graft.sql.ClickHouseSql.sql(s, s"""
+      SELECT CAST(n_regionkey AS BIGINT) AS r, count() AS n
+      FROM $t GROUP BY n_regionkey ORDER BY r""")
+  }, Some("""
+    SELECT CAST(n_regionkey AS BIGINT) AS r,
+      CAST(CASE WHEN n_regionkey = 2 THEN COUNT(*) ELSE 2 * COUNT(*) END
+        AS BIGINT) AS n
+    FROM nation GROUP BY n_regionkey ORDER BY r"""))
+
   override def queries: Seq[Q] = Seq(
     optimizeDedup,
     alterUpdateDelete,
     alterColumn,
     alterTtlQ,
     clearColumn,
+    optimizePartition,
 
     // ALTER UPDATE (discount zeroed for small 'R' lines) then ALTER DELETE
     // (pre-1996 shipments dropped) — the post-mutation table aggregated so

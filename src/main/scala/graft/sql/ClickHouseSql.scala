@@ -1082,13 +1082,30 @@ object ClickHouseSql {
       // when BY is absent). Plain OPTIMIZE stays a no-op: merges are
       // Spark's compaction concern.
       val dedup = ("(?is)^OPTIMIZE\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_.]*)" +
+        "(?:\\s+PARTITION\\s+'?([^'\\s;]+)'?)?" +
         "(?:\\s+FINAL)?\\s+DEDUPLICATE(?:\\s+BY\\s+(.+?))?\\s*;?\\s*$").r
       trimmed match {
-        case dedup(table, by) =>
+        case dedup(table, part, by) =>
+          import org.apache.spark.sql.functions.col
           val cols = Option(by).map(_.split(",").map(_.trim).toSeq)
           val before = spark.table(table)
-          val after = cols.fold(before.dropDuplicates())(c =>
-            before.dropDuplicates(c.head, c.tail: _*))
+          // PARTITION scope (round 8 — previously this form fell to the
+          // no-op branch WITHOUT deduplicating): dedup only the named
+          // partition's rows, pass every other partition through
+          val (target, rest) = Option(part) match {
+            case Some(v) =>
+              val pcols = spark.sessionState.catalog.getTableMetadata(
+                org.apache.spark.sql.catalyst.TableIdentifier(table))
+                .partitionColumnNames
+              require(pcols.size == 1,
+                s"OPTIMIZE PARTITION needs one partition column, $table has $pcols")
+              (before.filter(col(pcols.head) === v),
+                Some(before.filter(!(col(pcols.head) === v))))
+            case None => (before, None)
+          }
+          val deduped = cols.fold(target.dropDuplicates())(c =>
+            target.dropDuplicates(c.head, c.tail: _*))
+          val after = rest.fold(deduped)(r => deduped.unionByName(r))
           // part rewrite: materialize the survivors (localCheckpoint is
           // eager — the read finishes before the overwrite starts), then
           // overwrite the table's data in place, metadata untouched
