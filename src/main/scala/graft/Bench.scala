@@ -70,7 +70,11 @@ object Bench {
     // round-7: lazy-materialization wide-table top-N — narrow sort +
     // 20-row wide fetch; the wide-scan rows-read ratio prints in the io
     // note (measured over a sort-clustered multi-file layout)
-    "q_lazy_topk")
+    "q_lazy_topk",
+    // round-9: the maintenance path under timing — CTAS + ALTER UPDATE
+    // part rewrite + aggregate (r8 verdict #10); rewritten-part count
+    // prints in the io note
+    "q_mutation_rewrite")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -216,11 +220,17 @@ object Bench {
       val selTotal = spark.read.parquet(s"$selBase/data").inputFiles.length
       val selFiles = graft.operators.TextIndex.matchingFiles(
         spark, s"$selBase/index", Seq("zqx_planted_tok")).size
+      // round-9: mutation-headliner rewrite scale — how many parts the
+      // ALTER UPDATE part rewrite produced (the maintenance cost driver)
+      val mutParts =
+        try spark.table("graft_mutbench_t").inputFiles.length
+        catch { case _: Exception => -1 }
       System.err.println(s"BENCH IO token index: $matchedFiles/$totalFiles files " +
         s"(best phrase $phraseFiles/$totalFiles; " +
         s"selective token $selFiles/$selTotal); " +
-        s"lazy topk wide scan: $wideRows/$tableRows rows")
-      s""","io":{"text_index_files_matched":$matchedFiles,"text_index_files_total":$totalFiles,"best_phrase_files":$phraseFiles,"selective_token_files":$selFiles,"selective_token_files_total":$selTotal,"lazy_topk_wide_rows":$wideRows,"table_rows":$tableRows}"""
+        s"lazy topk wide scan: $wideRows/$tableRows rows; " +
+        s"mutation rewritten parts: $mutParts")
+      s""","io":{"text_index_files_matched":$matchedFiles,"text_index_files_total":$totalFiles,"best_phrase_files":$phraseFiles,"selective_token_files":$selFiles,"selective_token_files_total":$selTotal,"lazy_topk_wide_rows":$wideRows,"table_rows":$tableRows,"mutation_rewritten_parts":$mutParts}"""
     } catch { case e: Throwable =>
       System.err.println(s"BENCH io note failed: $e"); ""
     }

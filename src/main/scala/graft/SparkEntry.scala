@@ -42,7 +42,8 @@ object SparkEntry {
     qp.LlmPipeline4,
     qp.WideIntQueries,
     qp.IndexQueries,
-    qp.CodecQueries
+    qp.CodecQueries,
+    qp.LifecycleQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

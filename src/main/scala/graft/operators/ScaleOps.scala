@@ -99,6 +99,75 @@ object ScaleOps {
     }
   }
 
+  /** REPLACE PARTITION FROM (reference ALTER TABLE dst REPLACE PARTITION p
+    * FROM src — PartitionCommands.h REPLACE_PARTITION with replace=true:
+    * dst's partition p is atomically swapped for a copy of src's, src
+    * untouched). Directory-level: copy src's partition dir to a temp
+    * sibling, then swap it in via rename — the copy is durable before the
+    * old partition disappears, and readers see old-or-new, never a mix.
+    * At 100 TB this is THE staging-swap ETL primitive: build a partition
+    * in a staging table, swap it live by metadata rename. */
+  def replacePartition(spark: SparkSession, dstPath: String, srcPath: String,
+      partitionCol: String, value: String): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dstRoot = new org.apache.hadoop.fs.Path(dstPath)
+    val fs = dstRoot.getFileSystem(conf)
+    val src = new org.apache.hadoop.fs.Path(srcPath, s"$partitionCol=$value")
+    if (!fs.exists(src)) return false
+    val tmp = new org.apache.hadoop.fs.Path(dstRoot,
+      s"_replacing/$partitionCol=$value")
+    fs.delete(tmp, true)
+    fs.mkdirs(tmp.getParent)
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, tmp, false, true, conf)
+    val dst = new org.apache.hadoop.fs.Path(dstRoot, s"$partitionCol=$value")
+    fs.delete(dst, true)
+    if (!fs.rename(tmp, dst))
+      throw new IllegalStateException(
+        s"REPLACE PARTITION: rename of staged copy to $dst failed; " +
+          s"copy preserved at $tmp")
+    true
+  }
+
+  /** MOVE PARTITION TO TABLE (PartitionCommands.h MOVE_PARTITION with
+    * move_destination_type=TABLE): the partition leaves src and lands in
+    * dst, replacing dst's same-value partition. Same-filesystem rename —
+    * O(1) metadata, no data movement (the reference likewise hardlinks
+    * parts across tables on one disk). */
+  def movePartition(spark: SparkSession, srcPath: String, dstPath: String,
+      partitionCol: String, value: String): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(srcPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = new org.apache.hadoop.fs.Path(srcPath, s"$partitionCol=$value")
+    if (!fs.exists(src)) return false
+    val dst = new org.apache.hadoop.fs.Path(dstPath, s"$partitionCol=$value")
+    fs.delete(dst, true)
+    fs.mkdirs(dst.getParent)
+    if (!fs.rename(src, dst))
+      throw new IllegalStateException(
+        s"MOVE PARTITION: rename $src -> $dst failed; source left in place")
+    true
+  }
+
+  /** FETCH PARTITION (PartitionCommands.h FETCH_PARTITION: download a
+    * partition from another replica into `detached/`, to be admitted by a
+    * subsequent ATTACH PARTITION). The remote replica maps to any
+    * readable layout path; the fetched copy lands under `_detached/` and
+    * stays invisible until attached — exactly the reference's two-step
+    * contract. */
+  def fetchPartition(spark: SparkSession, dstPath: String, fromPath: String,
+      partitionCol: String, value: String): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(fromPath, s"$partitionCol=$value")
+    val fs = src.getFileSystem(conf)
+    if (!fs.exists(src)) return false
+    val dst = new org.apache.hadoop.fs.Path(dstPath,
+      s"_detached/$partitionCol=$value")
+    fs.delete(dst, true)
+    fs.mkdirs(dst.getParent)
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, true, conf)
+    true
+  }
+
   /** Write a bucketed + bucket-sorted copy of `df` as a catalog table
     * (clearing any stale warehouse location from an earlier session). */
   def writeBucketed(spark: SparkSession, df: DataFrame, name: String,

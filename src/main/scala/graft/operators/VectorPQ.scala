@@ -36,9 +36,12 @@ import graft.functions.TextFunctions.dot
 object VectorPQ {
 
   /** Driver-resident codebooks: cents(j)(c) is sub-centroid c of
-    * subspace j (m × k × subDim doubles — tiny). */
+    * subspace j (m × k × subDim doubles — tiny). `residual` = codes
+    * quantize x − centroid(cell) (Jégou §IV.A IVFADC — round 9) instead
+    * of raw x; residuals are far smaller in magnitude than raw vectors,
+    * so the same code size buys much finer quantization. */
   final case class Codebooks(m: Int, subDim: Int,
-      cents: Array[Array[Array[Double]]])
+      cents: Array[Array[Array[Double]]], residual: Boolean = false)
 
   private def sqDist(x: Array[Double], c: Array[Double]): Double = {
     var s = 0.0
@@ -79,12 +82,15 @@ object VectorPQ {
   }
 
   /** Train m sub-codebooks of k centroids each over a deterministic
-    * hash-ordered sample (collected: ≤ sampleCap × dim doubles). */
+    * hash-ordered sample (collected: ≤ sampleCap × dim doubles).
+    * `vecCol` selects what is quantized — raw vectors ("v") or cell
+    * residuals ("rv"); `residual` stamps the codebooks accordingly. */
   def train(e: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 8,
-      sampleCap: Int = 16384): Codebooks = {
+      sampleCap: Int = 16384, vecCol: String = "v",
+      residual: Boolean = false): Codebooks = {
     val sample = e.withColumn("__hk", xxhash64(col("vec_id")))
       .orderBy("__hk", "vec_id").limit(sampleCap)
-      .select("v").collect().map(_.getSeq[Double](0).toArray)
+      .select(vecCol).collect().map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "empty training sample")
     val d = sample.head.length
     require(d % m == 0, s"dim $d not divisible by m=$m")
@@ -94,7 +100,28 @@ object VectorPQ {
         java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))
       kmeansLocal(subs, k, iters)
     }
-    Codebooks(m, subDim, cents)
+    Codebooks(m, subDim, cents, residual)
+  }
+
+  /** MAP-SIDE residual: appends `rv` = v − centroid(cell), the IVFADC
+    * quantization input. The dense-cid centroid table rides ONE nested
+    * array literal indexed by the already-assigned cell — an expression,
+    * not a join, so the build plan stays Exchange-free. */
+  private[graft] def withResidual(assigned: DataFrame,
+      cents: Seq[VectorIndex.Cent]): DataFrame = {
+    import org.apache.spark.sql.graft.ExprColumn
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val byCid = cents.sortBy(_.cid)
+    require(byCid.zipWithIndex.forall { case (c, i) => c.cid == i },
+      "residual encoding needs dense 0..n-1 centroid ids")
+    val centsLit = ExprColumn.column(Literal.create(
+      byCid.map(_.cv.toSeq),
+      ArrayType(ArrayType(DoubleType, containsNull = false),
+        containsNull = false)))
+    assigned.withColumn("rv",
+      zip_with(col("v"),
+        element_at(centsLit, col("cell").cast("int") + 1),
+        (a, b) => a - b))
   }
 
   private def arrLit(a: Array[Double]): Column = {
@@ -113,12 +140,13 @@ object VectorPQ {
     * subspace, keeping the generated method under the JVM's 64 KB limit
     * (the expanded form measured a whole-stage codegen fallback at
     * m×k = 256 fused into the partitioned write's sort). */
-  def withCodes(e: DataFrame, cb: Codebooks): DataFrame = {
+  def withCodes(e: DataFrame, cb: Codebooks,
+      vecCol: String = "v"): DataFrame = {
     import org.apache.spark.sql.graft.ExprColumn
     import org.apache.spark.sql.catalyst.expressions.Literal
     val totalCents = cb.cents.map(_.length).sum
     val codes = (0 until cb.m).map { j =>
-      val sub = slice(col("v"), j * cb.subDim + 1, cb.subDim)
+      val sub = slice(col(vecCol), j * cb.subDim + 1, cb.subDim)
       if (totalCents <= 64) {
         val scored = array(cb.cents(j).zipWithIndex.map { case (c, ci) =>
           val cn2 = c.map(x => x * x).sum
@@ -151,25 +179,29 @@ object VectorPQ {
       StructField("j", IntegerType, nullable = false),
       StructField("ci", IntegerType, nullable = false),
       StructField("cv", ArrayType(DoubleType, containsNull = false),
-        nullable = false)))
+        nullable = false),
+      StructField("residual", BooleanType, nullable = false)))
     val rows = for {
       j <- 0 until cb.m
       ci <- cb.cents(j).indices
-    } yield Row(j, ci, cb.cents(j)(ci).toSeq)
+    } yield Row(j, ci, cb.cents(j)(ci).toSeq, cb.residual)
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
       .write.mode("overwrite").parquet(s"$indexDir/codebooks")
   }
 
   private[graft] def readCodebooks(spark: SparkSession,
       indexDir: String): Codebooks = {
-    val rows = spark.read.parquet(s"$indexDir/codebooks")
-      .select("j", "ci", "cv").collect()
+    val df = spark.read.parquet(s"$indexDir/codebooks")
+    // pre-round-9 indexes carry no residual column → raw-vector codes
+    val residual = df.columns.contains("residual") &&
+      df.select("residual").head.getBoolean(0)
+    val rows = df.select("j", "ci", "cv").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
     val m = rows.map(_._1).max + 1
     val cents = Array.tabulate(m) { j =>
       rows.filter(_._1 == j).sortBy(_._2).map(_._3)
     }
-    Codebooks(m, cents(0)(0).length, cents)
+    Codebooks(m, cents(0)(0).length, cents, residual)
   }
 
   /** Build the persisted IVF-PQ index: IVF centroids (shared derivation
@@ -177,17 +209,40 @@ object VectorPQ {
     * table (vec_id, nrm, codes) — no raw vectors stored. Both the cell
     * assignment and the encoding are map-side; no Exchange between the
     * embeddings scan and the partitioned write. */
+  /** `residual = true` quantizes x − centroid(cell) (IVFADC, Jégou
+    * §IV.A) — the right choice when the corpus clusters (residual energy
+    * ≪ raw energy). MEASURED on this synthetic corpus the premise fails:
+    * mean ‖x − centroid(cell)‖/‖x‖ = 1.21 at nCells=16
+    * (ResidualNormProbe — isotropic embeddings, unnormalized seed
+    * centroids ADD energy), and the full PqRecallProbe grid shows
+    * residual ADC recall@10 consistently ≤ raw (e.g. m16 k64 nProbe8:
+    * 0.58 vs 0.63; rerank identical). Default stays raw — the measured
+    * better lane here; flip per-index for clustered corpora. */
   def create(spark: SparkSession, embeddings: DataFrame, indexDir: String,
-      nCells: Int = 16, m: Int = 8, k: Int = 16): Unit = {
+      nCells: Int = 16, m: Int = 8, k: Int = 16,
+      residual: Boolean = false): Unit = {
     val e = VectorIndex.prep(embeddings)
     val cents = VectorIndex.seedCents(e, nCells)
     VectorIndex.writeCents(spark, cents, indexDir)
-    val cb = train(e, m, k)
-    writeCodebooks(spark, cb, indexDir)
-    withCodes(VectorIndex.withCell(e, cents), cb)
-      .select(col("vec_id"), col("nrm"), col("codes"), col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$indexDir/pq")
+    if (residual) {
+      // IVFADC proper (round 9): quantize x − centroid(cell). Same
+      // Exchange-free shape — assignment, residual, and encoding are all
+      // map-side expressions fused into the partitioned write.
+      val assigned = withResidual(VectorIndex.withCell(e, cents), cents)
+      val cb = train(assigned, m, k, vecCol = "rv", residual = true)
+      writeCodebooks(spark, cb, indexDir)
+      withCodes(assigned, cb, vecCol = "rv")
+        .select(col("vec_id"), col("nrm"), col("codes"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$indexDir/pq")
+    } else {
+      val cb = train(e, m, k)
+      writeCodebooks(spark, cb, indexDir)
+      withCodes(VectorIndex.withCell(e, cents), cb)
+        .select(col("vec_id"), col("nrm"), col("codes"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$indexDir/pq")
+    }
   }
 
   /** ADC top-`k`: probe cells, read ONLY those partitions of the code
@@ -226,17 +281,44 @@ object VectorPQ {
       spark.sparkContext.parallelize(lutRows.toSeq, 1), lutSchema)
     val scan = spark.read.parquet(s"$indexDir/pq")
       .filter(col("cell").isin(cells: _*))
-    val cands = scan
+    val cands0 = scan
       .join(broadcast(p.select("qid", "cell", "qnrm")), Seq("cell"))
       .join(broadcast(lutDf), Seq("qid"))
       .filter(col("vec_id") =!= col("qid"))
+    // residual codes (IVFADC): ⟨q,x⟩ ≈ ⟨q,centroid(cell)⟩ + Σ LUT —
+    // the per-(query, probed-cell) centroid term is driver-computed
+    // (|queries| × nProbe doubles) and broadcast in
+    val cands =
+      if (!cb.residual) cands0
+      else {
+        val centsMap = VectorIndex.readCents(spark, indexDir)
+          .map(c => c.cid -> c.cv).toMap
+        val qvMap = qrows.map(r =>
+          r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+        val qdcSchema = StructType(Seq(
+          StructField("qid", LongType, nullable = false),
+          StructField("cell", LongType, nullable = false),
+          StructField("qdotc", DoubleType, nullable = false)))
+        val qdcRows = p.select("qid", "cell").distinct().collect().map { r =>
+          val q = qvMap(r.getLong(0))
+          val cv = centsMap(r.getLong(1))
+          var s = 0.0
+          var i = 0
+          while (i < q.length) { s += q(i) * cv(i); i += 1 }
+          Row(r.getLong(0), r.getLong(1), s)
+        }
+        val qdcDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(qdcRows.toSeq, 1), qdcSchema)
+        cands0.join(broadcast(qdcDf), Seq("qid", "cell"))
+      }
     // static sum of m codegen'd lookups — no HOF in the hot path
     val ip = (0 until cb.m).map(j =>
       element_at(element_at(col("lut"), j + 1),
         col("codes").getItem(j) + 1)).reduce(_ + _)
+    val ipTotal = if (cb.residual) col("qdotc") + ip else ip
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("acos").desc, col("vec_id"))
-    cands.withColumn("acos", ip / (col("qnrm") * col("nrm")))
+    cands.withColumn("acos", ipTotal / (col("qnrm") * col("nrm")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("qid"), col("vec_id").as("nid"),
@@ -284,7 +366,11 @@ object VectorPQ {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        withCodes(VectorIndex.withCell(VectorIndex.prep(batch), cents), cb)
+        val assigned = VectorIndex.withCell(VectorIndex.prep(batch), cents)
+        val encoded =
+          if (cb.residual) withCodes(withResidual(assigned, cents), cb, "rv")
+          else withCodes(assigned, cb)
+        encoded
           .select(col("vec_id"), col("nrm"), col("codes"), col("cell"))
           .write.mode("append").partitionBy("cell")
           .parquet(s"$indexDir/pq")

@@ -192,22 +192,27 @@ object IndexQueries extends QueryPack {
 
     // IVF-PQ (round 8 — Jégou et al. 2011 IVFADC; the reference's vector
     // index quantizes through usearch the same way): persisted
-    // product-quantized codes (m=16 sub-codebooks × k=16 — ~8 bytes of
-    // code vs 512 bytes of raw vector), probed cells only, ADC scoring
+    // product-quantized codes (round 9: m=16 sub-codebooks × k=64 — 6-bit
+    // codes, ~12 bytes vs 512 bytes of raw vector, the measured-best
+    // point of the PqRecallProbe grid), probed cells only, ADC scoring
     // via per-query lookup tables, then the production refine step: the
     // ADC shortlist (100/query) re-ranks against raw vectors. Hybrid
     // metrics for BOTH stages: the raw ADC lane (measured recall@10
-    // 0.45-0.48 across sf at this code size → floor 0.30) and the
-    // reranked lane (measured 0.915-0.92 → floor 0.75).
+    // 0.58-0.63 at this code size → floor 0.45; the r8 m16k16 point
+    // measured 0.45-0.48) and the reranked lane (measured 0.915-0.92 →
+    // floor 0.75). Residual (IVFADC §IV.A) encoding is implemented and
+    // spec-verified but measured WORSE on this isotropic corpus
+    // (VectorPQ.create scaladoc has the numbers) — the raw lane is the
+    // honest default here.
     Q.df("q_ann_ivfpq", LlmPipeline.metricsOracle(Seq(
       "ivfpq_adc_k_bounded", "ivfpq_adc_nonempty", "ivfpq_adc_sound_ids",
       "ivfpq_adc_recall_floor", "ivfpq_rerank_k_bounded",
       "ivfpq_rerank_nonempty", "ivfpq_rerank_sound_ids",
       "ivfpq_rerank_recall_floor"))) { (s, dir) =>
       val src = Tables.load(s, dir, "embeddings")
-      val idx = s"/tmp/graft_vecpq_${key(dir)}"
+      val idx = s"/tmp/graft_vecpq64_${key(dir)}"
       buildOnce(idx) {
-        graft.operators.VectorPQ.create(s, src, idx, nCells = 16, m = 16, k = 16)
+        graft.operators.VectorPQ.create(s, src, idx, nCells = 16, m = 16, k = 64)
       }
       val e = VectorIndex.prep(src)
       val queries = e.filter(col("vec_id") < 20)
@@ -217,7 +222,7 @@ object IndexQueries extends QueryPack {
         nProbe = 8)
       val rerank = graft.operators.VectorPQ.topKRerank(s, idx, e, queries,
         k = 10, nProbe = 8, shortlist = 100)
-      LlmPipeline.annMetrics("ivfpq_adc", adc, e, 10, 0.30)
+      LlmPipeline.annMetrics("ivfpq_adc", adc, e, 10, 0.45)
         .unionByName(
           LlmPipeline.annMetrics("ivfpq_rerank", rerank, e, 10, 0.75))
         .orderBy("metric")

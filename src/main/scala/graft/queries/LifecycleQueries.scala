@@ -1,0 +1,292 @@
+package graft.queries
+
+import graft.{Q, QueryPack, Tables}
+import org.apache.spark.sql.functions._
+
+/** Round-9 lifecycle DDL surface — the last common statement-form gaps
+  * the r8 verdict ranked:
+  *   - ALTER TABLE … REPLACE PARTITION FROM / MOVE PARTITION TO TABLE /
+  *     FETCH PARTITION (src/Storages/PartitionCommands.h:26-35,
+  *     src/Parsers/ParserAlterQuery.cpp) — the staging-swap ETL verbs;
+  *   - refreshable materialized views (REFRESH EVERY + SYSTEM REFRESH
+  *     VIEW — src/Storages/MaterializedView/RefreshTask.cpp);
+  *   - UNDROP TABLE (src/Interpreters/InterpreterUndropQuery.cpp);
+  *   - OPTIMIZE … DEDUPLICATE BY col-list (ParserOptimizeQuery.cpp);
+  *   - LIMIT n OFFSET m BY col (ASTSelectQuery.h:32-34 limit_by_offset);
+  *   - Dynamic type (DataTypeDynamic.h:10, src/Functions/dynamicType.cpp);
+  *   - system.detached_parts / projections / errors / view_refreshes
+  *     introspection.
+  * Every query runs the statements through the dialect and oracles the
+  * observable result in plain SQL over the source tables.
+  */
+object LifecycleQueries extends QueryPack {
+
+  private def ch = graft.sql.ClickHouseSql
+
+  /** Drop (Spark-level, no holding dir) + clear the warehouse dir for a
+    * scratch table so repeated runs start clean. */
+  private def scratch(s: org.apache.spark.sql.SparkSession, names: String*): Unit =
+    names.foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), t)
+      val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(wh, true)
+      // stale lifecycle siblings from earlier runs
+      Seq("_dropped", "__altering").foreach(sfx =>
+        fs.delete(new org.apache.hadoop.fs.Path(wh.toString + sfx), true))
+    }
+
+  /** REPLACE PARTITION FROM — the canonical atomic staging-swap: build
+    * region 2's corrected rows in a staging table, swap them into the
+    * live table in one statement; every other partition untouched, the
+    * staging table intact. */
+  private val replacePartition = Q("q_ch_replace_partition", (s, dir) => {
+    Tables.register(s, dir)
+    val live = "graft_repl_live"
+    val stage = "graft_repl_stage"
+    scratch(s, live, stage)
+    val n = Tables.load(s, dir, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    n.write.partitionBy("n_regionkey").saveAsTable(live)
+    n.filter(col("n_regionkey") === 2)
+      .withColumn("n_name", concat(col("n_name"), lit("_NEW")))
+      .write.partitionBy("n_regionkey").saveAsTable(stage)
+    ch.sql(s, s"ALTER TABLE $live REPLACE PARTITION '2' FROM $stage")
+    ch.sql(s, s"""
+      SELECT CAST(n_nationkey AS BIGINT) AS k, n_name,
+        CAST(n_regionkey AS BIGINT) AS r
+      FROM $live ORDER BY k""")
+  }, Some("""
+    SELECT CAST(n_nationkey AS BIGINT) AS k,
+      CASE WHEN n_regionkey = 2 THEN n_name || '_NEW' ELSE n_name END AS n_name,
+      CAST(n_regionkey AS BIGINT) AS r
+    FROM nation ORDER BY k"""))
+
+  /** MOVE PARTITION TO TABLE — partition 3 leaves the source table and
+    * lands in the (empty) archive table: counts on both sides prove the
+    * move (not a copy). */
+  private val movePartition = Q("q_ch_move_partition", (s, dir) => {
+    Tables.register(s, dir)
+    val src = "graft_move_src"
+    val dst = "graft_move_dst"
+    scratch(s, src, dst)
+    val n = Tables.load(s, dir, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    n.write.partitionBy("n_regionkey").saveAsTable(src)
+    n.filter(lit(false)).write.partitionBy("n_regionkey").saveAsTable(dst)
+    ch.sql(s, s"ALTER TABLE $src MOVE PARTITION '3' TO TABLE $dst")
+    import s.implicits._
+    Seq((s.table(src).count(), s.table(dst).count())).toDF("src_n", "dst_n")
+  }, Some("""
+    SELECT (SELECT COUNT(*) FROM nation WHERE n_regionkey <> 3) AS src_n,
+           (SELECT COUNT(*) FROM nation WHERE n_regionkey = 3) AS dst_n"""))
+
+  /** FETCH PARTITION — the replica-fetch two-step: FETCH lands partition
+    * 1 in the destination's `_detached` dir (visible to
+    * system.detached_parts, invisible to queries), ATTACH PARTITION then
+    * admits it. */
+  private val fetchPartition = Q("q_ch_fetch_partition", (s, dir) => {
+    Tables.register(s, dir)
+    val src = "graft_fetch_src"
+    val dst = "graft_fetch_dst"
+    scratch(s, src, dst)
+    val n = Tables.load(s, dir, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    n.write.partitionBy("n_regionkey").saveAsTable(src)
+    n.filter(lit(false)).write.partitionBy("n_regionkey").saveAsTable(dst)
+    ch.sql(s, s"ALTER TABLE $dst FETCH PARTITION '1' FROM $src")
+    val detached = ch.sql(s, s"""
+      SELECT `partition` FROM system.detached_parts WHERE `table` = '$dst'""")
+      .collect().map(_.getString(0)).toSeq
+    val invisible = s.table(dst).count() // _detached is hidden from scans
+    ch.sql(s, s"ALTER TABLE $dst ATTACH PARTITION '1'")
+    import s.implicits._
+    Seq((detached.mkString(","), invisible, s.table(dst).count()))
+      .toDF("detached_partition", "rows_before_attach", "rows_after_attach")
+  }, Some("""
+    SELECT 'n_regionkey=1' AS detached_partition,
+           CAST(0 AS BIGINT) AS rows_before_attach,
+           (SELECT COUNT(*) FROM nation WHERE n_regionkey = 1) AS rows_after_attach"""))
+
+  /** DROP → UNDROP roundtrip: the dropped table's data survives in the
+    * `_dropped` holding dir while the name is gone from the catalog, and
+    * UNDROP restores both — hash-verified against the source rows. */
+  private val undropTable = Q("q_ch_undrop", (s, dir) => {
+    Tables.register(s, dir)
+    val t = "graft_undrop_t"
+    scratch(s, t)
+    ch.sql(s, s"""
+      CREATE MATERIALIZED VIEW $t AS
+      SELECT n_nationkey, n_name FROM nation""")
+    ch.sql(s, s"DROP TABLE $t")
+    val goneDuringDrop = if (s.catalog.tableExists(t)) 1 else 0 // expect 0
+    ch.sql(s, s"UNDROP TABLE $t")
+    ch.sql(s, s"""
+      SELECT CAST(n_nationkey AS BIGINT) AS k, n_name FROM $t ORDER BY k""")
+      .withColumn("visible_while_dropped", lit(goneDuringDrop))
+  }, Some("""
+    SELECT CAST(n_nationkey AS BIGINT) AS k, n_name,
+      0 AS visible_while_dropped
+    FROM nation ORDER BY k"""))
+
+  /** Refreshable MV: the stored SELECT re-materializes only on SYSTEM
+    * REFRESH VIEW — stale after the base-table INSERT, current after the
+    * forced refresh; the schedule is visible in SHOW CREATE and the
+    * refresh counted in system.view_refreshes. */
+  private val refreshMv = Q("q_ch_refresh_mv", (s, dir) => {
+    Tables.register(s, dir)
+    val base = "graft_rmv_base"
+    val view = "graft_rmv_view"
+    scratch(s, base, view)
+    ch.sql(s, s"""
+      CREATE MATERIALIZED VIEW $base AS
+      SELECT n_nationkey, n_regionkey FROM nation""")
+    ch.sql(s, s"""
+      CREATE MATERIALIZED VIEW $view REFRESH EVERY 1 HOUR AS
+      SELECT count() AS n FROM $base""")
+    ch.sql(s, s"INSERT INTO $base SELECT n_nationkey, n_regionkey FROM nation")
+    val stale = s.table(view).collect().head.getLong(0)
+    ch.sql(s, s"SYSTEM REFRESH VIEW $view")
+    val fresh = s.table(view).collect().head.getLong(0)
+    val schedVisible = ch.sql(s, s"SHOW CREATE TABLE $view")
+      .collect().head.getString(0).contains("REFRESH EVERY 1 HOUR")
+    val refreshes = ch.sql(s, s"""
+      SELECT refresh_count FROM system.view_refreshes WHERE `view` = '$view'""")
+      .collect().head.getLong(0)
+    import s.implicits._
+    Seq((stale, fresh, if (schedVisible) 1 else 0, refreshes))
+      .toDF("stale_n", "fresh_n", "sched_visible", "refresh_count")
+  }, Some("""
+    SELECT (SELECT COUNT(*) FROM nation) AS stale_n,
+           (SELECT 2 * COUNT(*) FROM nation) AS fresh_n,
+           1 AS sched_visible, CAST(1 AS BIGINT) AS refresh_count"""))
+
+  /** OPTIMIZE … DEDUPLICATE BY col-list: a corpus where every key appears
+    * with TWO distinct payloads (so full-row dedup would keep both)
+    * collapses to exactly one row per key under the column-subset form. */
+  private val optimizeDedupBy = Q("q_ch_optimize_dedup_by", (s, dir) => {
+    Tables.register(s, dir)
+    val t = "graft_dedup_by_t"
+    scratch(s, t)
+    val n = Tables.load(s, dir, "nation").select("n_nationkey", "n_name")
+    n.unionByName(n.withColumn("n_name", concat(col("n_name"), lit("_ALT"))))
+      .write.saveAsTable(t)
+    ch.sql(s, s"OPTIMIZE TABLE $t FINAL DEDUPLICATE BY n_nationkey")
+    // survivor payload is engine-chosen (the reference keeps the first
+    // merged row) — oracle the key-level outcome, which is deterministic
+    ch.sql(s, s"""
+      SELECT CAST(n_nationkey AS BIGINT) AS k, count() AS n
+      FROM $t GROUP BY n_nationkey ORDER BY k""")
+  }, Some("""
+    SELECT CAST(n_nationkey AS BIGINT) AS k, CAST(1 AS BIGINT) AS n
+    FROM nation ORDER BY k"""))
+
+  /** LIMIT n OFFSET m BY col: per-region, skip the lowest-key nation and
+    * take the next two — the window rewrite with a per-key offset. */
+  private val limitOffsetBy = Q("q_ch_limit_offset_by", (s, dir) => {
+    Tables.register(s, dir)
+    ch.sql(s, """
+      SELECT CAST(n_regionkey AS BIGINT) AS r, CAST(n_nationkey AS BIGINT) AS k
+      FROM nation ORDER BY k LIMIT 2 OFFSET 1 BY r""")
+  }, Some("""
+    SELECT CAST(n_regionkey AS BIGINT) AS r, CAST(n_nationkey AS BIGINT) AS k
+    FROM (SELECT n_regionkey, n_nationkey,
+            ROW_NUMBER() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey)
+              AS rn
+          FROM nation)
+    WHERE rn BETWEEN 2 AND 3 ORDER BY r, k"""))
+
+  /** Dynamic column (DataTypeDynamic.h:10 → VariantType): one column
+    * holding Int64 / String / Array(Int64) values per row;
+    * dynamicType reads the per-row stored type, dynamicElement extracts
+    * typed values (NULL on type mismatch — the Dynamic read contract). */
+  private val dynamicTyped = Q("q_dynamic_typed", (s, dir) => {
+    Tables.register(s, dir)
+    ch.sql(s, """
+      SELECT k, dynamicType(d) AS dtype,
+        dynamicElement(d, 'Int64') AS as_int,
+        element_at(dynamicElement(d, 'Array(Int64)'), 1) AS arr_head
+      FROM (SELECT n_nationkey AS k,
+              parse_json(CASE
+                WHEN n_nationkey % 3 = 0 THEN CAST(n_nationkey AS STRING)
+                WHEN n_nationkey % 3 = 1 THEN concat('"', n_name, '"')
+                ELSE concat('[', CAST(n_nationkey AS STRING), ']') END) AS d
+            FROM nation)
+      ORDER BY k""")
+  }, Some("""
+    SELECT n_nationkey AS k,
+      CASE WHEN n_nationkey % 3 = 0 THEN 'Int64'
+           WHEN n_nationkey % 3 = 1 THEN 'String'
+           ELSE 'Array(Int64)' END AS dtype,
+      CASE WHEN n_nationkey % 3 = 0 THEN CAST(n_nationkey AS BIGINT) END AS as_int,
+      CASE WHEN n_nationkey % 3 = 2 THEN CAST(n_nationkey AS BIGINT) END AS arr_head
+    FROM nation ORDER BY k"""))
+
+  /** The three round-9 introspection tables, each scoped to state this
+    * query creates: a projection registered via DDL shows in
+    * system.projections; a detached partition shows in
+    * system.detached_parts; a deliberately failing statement shows in
+    * system.errors. */
+  private val systemMaintenance = Q("q_system_maintenance", (s, dir) => {
+    Tables.register(s, dir)
+    val t = "graft_sysmaint_t"
+    scratch(s, t)
+    val n = Tables.load(s, dir, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    n.write.partitionBy("n_regionkey").saveAsTable(t)
+    ch.sql(s, s"ALTER TABLE $t DETACH PARTITION '4'")
+    ch.sql(s,
+      s"ALTER TABLE $t ADD PROJECTION p_maint (SELECT n_regionkey, count() GROUP BY n_regionkey)")
+    try ch.sql(s, "UNDROP TABLE graft_no_such_table_ever")
+    catch { case _: IllegalArgumentException => }
+    val detached = ch.sql(s, s"""
+      SELECT `partition` FROM system.detached_parts WHERE `table` = '$t'""")
+      .collect().map(_.getString(0)).mkString(",")
+    val proj = ch.sql(s, s"""
+      SELECT name, type FROM system.projections WHERE `table` = '$t'""")
+      .collect().map(r => r.getString(0) + ":" + r.getString(1)).mkString(",")
+    val errSeen = ch.sql(s, """
+      SELECT count() FROM system.errors
+      WHERE name = 'IllegalArgumentException' AND value >= 1""")
+      .collect().head.getLong(0)
+    ch.sql(s, s"ALTER TABLE $t ATTACH PARTITION '4'") // leave no residue
+    import s.implicits._
+    Seq((detached, proj, errSeen))
+      .toDF("detached", "projections", "err_ledger_rows")
+  }, Some("""
+    SELECT 'n_regionkey=4' AS detached,
+           'p_maint:aggregate' AS projections,
+           CAST(1 AS BIGINT) AS err_ledger_rows"""))
+
+  /** The mutation-path bench headliner (r8 verdict #10): CTAS a real
+    * lineitem projection, ALTER UPDATE a predicate slice (part rewrite +
+    * skip-index refresh + cache invalidation), and aggregate the result —
+    * maintenance cost as a tracked number. Oracle recomputes the
+    * mutation in plain SQL. */
+  private val mutationRewrite = Q("q_mutation_rewrite", (s, dir) => {
+    Tables.register(s, dir)
+    val t = "graft_mutbench_t"
+    scratch(s, t)
+    Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_discount", "l_returnflag",
+        "l_shipdate")
+      .write.saveAsTable(t)
+    ch.sql(s,
+      s"ALTER TABLE $t UPDATE l_discount = 0.0 WHERE l_quantity < 10")
+    ch.sql(s, s"""
+      SELECT l_returnflag, count() AS n,
+        CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+      FROM $t GROUP BY l_returnflag ORDER BY l_returnflag""")
+  }, Some("""
+    SELECT l_returnflag, COUNT(*) AS n,
+      CAST(SUM(CASE WHEN l_quantity < 10 THEN CAST(0.0 AS DECIMAL(18,2))
+                    ELSE CAST(l_discount AS DECIMAL(18,2)) END) AS DOUBLE)
+        AS sum_disc
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  override def queries: Seq[Q] = Seq(
+    replacePartition, movePartition, fetchPartition, undropTable,
+    refreshMv, optimizeDedupBy, limitOffsetBy, dynamicTyped,
+    systemMaintenance, mutationRewrite)
+}

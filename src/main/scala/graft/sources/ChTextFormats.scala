@@ -828,8 +828,29 @@ object ChTextFormats {
       skipWs()
       if (s.charAt(pos) == '"') out(key) = (readString(), true)
       else {
+        // unquoted value: scan to the next top-level ',' or '}' with
+        // bracket-depth tracking, so nested array/object values (and
+        // strings inside them containing separators) stay whole instead
+        // of splitting at their first inner comma
         val start = pos
-        while (s.charAt(pos) != ',' && s.charAt(pos) != '}') pos += 1
+        var depth = 0
+        var done = false
+        while (!done) {
+          s.charAt(pos) match {
+            case '[' | '{' => depth += 1; pos += 1
+            case ']' => depth -= 1; pos += 1
+            case '}' =>
+              if (depth == 0) done = true else { depth -= 1; pos += 1 }
+            case ',' if depth == 0 => done = true
+            case '"' =>
+              pos += 1
+              while (s.charAt(pos) != '"') {
+                if (s.charAt(pos) == '\\') pos += 2 else pos += 1
+              }
+              pos += 1
+            case _ => pos += 1
+          }
+        }
         out(key) = (s.substring(start, pos).trim, false)
       }
       skipWs()

@@ -186,6 +186,58 @@ object SystemTables {
     }.toSeq.toDF("table", "name", "bytes_on_disk", "active")
   }
 
+  /** system.detached_parts (StorageSystemDetachedParts.cpp): every
+    * `_detached/<col>=<v>` partition dir of every catalog table — the
+    * introspection pair of DETACH PARTITION and FETCH PARTITION. Driver
+    * FS listing only: metadata-scale at any corpus size. */
+  def detachedParts(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val catalog = spark.sessionState.catalog
+    spark.catalog.listTables().collect().map(_.name).sorted.flatMap { t =>
+      try {
+        val loc = catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(t)).location.getPath
+        val det = new org.apache.hadoop.fs.Path(loc, "_detached")
+        val fs = det.getFileSystem(conf)
+        if (!fs.exists(det)) Seq.empty
+        else fs.listStatus(det).filter(_.isDirectory).toSeq
+          .filter(_.getPath.getName.contains("="))
+          .map { d =>
+            val bytes = fs.getContentSummary(d.getPath).getLength
+            (t, d.getPath.getName, bytes, "detached")
+          }.sortBy(_._2)
+      } catch { case _: Exception => Seq.empty }
+    }.toSeq.toDF("table", "partition", "bytes_on_disk", "reason")
+  }
+
+  /** system.projections (StorageSystemProjections analog): every
+    * projection registered through ALTER TABLE ADD PROJECTION. */
+  def projections(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    graft.sql.ClickHouseSql.listProjections.toDF("table", "name", "type")
+  }
+
+  /** system.errors (StorageSystemErrors.cpp): per-error-name count and
+    * last message of every failed dialect statement this session. */
+  def errors(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    graft.sql.ClickHouseSql.errorLedger.asScala.toSeq
+      .map { case (name, (n, msg)) => (name, n, msg) }
+      .sortBy(_._1)
+      .toDF("name", "value", "last_error_message")
+  }
+
+  /** system.view_refreshes (StorageSystemViewRefreshes analog): every
+    * refreshable materialized view with its schedule and completed
+    * refresh count. */
+  def viewRefreshes(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    graft.sql.ClickHouseSql.listRefreshableViews
+      .toDF("view", "refresh_schedule", "target_table", "refresh_count")
+  }
+
   /** system.settings analog (StorageSystemSettings.cpp): the session's
     * dialect-level knobs — every `SET k = v` lands under the graft.ch.*
     * conf namespace and is queryable here. */

@@ -57,6 +57,11 @@ object ChRegistryTail5 {
     org.apache.spark.sql.graft.SolveLinearSystem(CreateArray(gram ++ rhs))
   }
 
+  /** Logistic fit = the linear fit's coefficients plus a trailing tag
+    * element; evalMLMethod keys the sigmoid link off the extra length. */
+  private def logRegFit(args: Seq[Expression]): Expression =
+    Concat(Seq(linRegFit(args), CreateArray(Seq(Literal(1.0)))))
+
   val builders: Map[String, Seq[Expression] => Expression] = Map(
     // ---- arrayResize (array/arrayResize.cpp) -------------------------
     // positive size: truncate/pad at the END; negative: at the FRONT.
@@ -137,10 +142,14 @@ object ChRegistryTail5 {
     "stochasticlinearregressionstate" -> (args => linRegFit(args)),
     // logistic twin: linear-probability fit on the 0/1 labels with the
     // sigmoid applied at evalMLMethod — a documented stand-in (ranking-
-    // consistent; the reference's SGD logistic differs in calibration)
-    "stochasticlogisticregression" -> (args => linRegFit(args)),
-    "stochasticlogisticregressionstate" -> (args => linRegFit(args)),
-    // evalMLMethod(state, x1..xk) → prediction (linear form)
+    // consistent; the reference's SGD logistic differs in calibration).
+    // The state carries a trailing TAG element (length k+2 vs the linear
+    // k+1) so evalMLMethod can pick the logistic link at eval time.
+    "stochasticlogisticregression" -> (args => logRegFit(args)),
+    "stochasticlogisticregressionstate" -> (args => logRegFit(args)),
+    // evalMLMethod(state, x1..xk) → prediction: the linear form for
+    // regression states; 1/(1+exp(-z)) — a probability in [0,1], the
+    // reference's logistic output — for tagged logistic states
     "evalmlmethod" -> (args => {
       val state = args.head
       val xs = args.tail
@@ -148,7 +157,45 @@ object ChRegistryTail5 {
         Multiply(ElementAt(state, Literal(i + 1), None, failOnError = false),
           Cast(x, DoubleType))
       } :+ ElementAt(state, Literal(xs.length + 1), None, failOnError = false)
-      terms.reduce[Expression](Add(_, _))
+      val z = terms.reduce[Expression](Add(_, _))
+      If(EqualTo(Size(state), Literal(xs.length + 2)),
+        Divide(Literal(1.0), Add(Literal(1.0), Exp(UnaryMinus(z)))),
+        z)
+    }),
+
+    // ---- Dynamic type (DataTypeDynamic.h:10 — SURVEY §1.2 maps Dynamic
+    // onto Spark's VariantType, like JSON/Variant before it) ------------
+    // dynamicType(d) (src/Functions/dynamicType.cpp): the stored type
+    // name of each row's value, reference-spelled (Int64/Float64/String/
+    // Bool/Array(...)/None) — a per-row schema_of_variant with the Spark
+    // DDL names textually mapped.
+    "dynamictype" -> (args => {
+      val schema = new org.apache.spark.sql.catalyst.expressions.variant
+        .SchemaOfVariant(args.head)
+      // order matters: composites first (ARRAY< before bare <), wide
+      // names before their substrings (BIGINT before INT)
+      Seq(
+        "ARRAY<" -> "Array(", "MAP<" -> "Map(", "STRUCT<" -> "Tuple(",
+        "<" -> "(", ">" -> ")",
+        "BIGINT" -> "Int64", "SMALLINT" -> "Int16", "TINYINT" -> "Int8",
+        "INT" -> "Int32", "DOUBLE" -> "Float64", "FLOAT" -> "Float32",
+        "STRING" -> "String", "BOOLEAN" -> "Bool", "VOID" -> "None",
+        "TIMESTAMP" -> "DateTime", "DATE" -> "Date", "DECIMAL" -> "Decimal"
+      ).foldLeft(schema: Expression) { case (e, (from, to)) =>
+        StringReplace(e, Literal(from), Literal(to))
+      }
+    }),
+    // dynamicElement(d, 'Type'): typed extraction — the row's value when
+    // it is stored as (or losslessly casts to) the asked type, else NULL
+    // (the try-variant contract; the reference returns the type's default
+    // NULL analog on mismatch). The type literal is reference-spelled.
+    "dynamicelement" -> (args => {
+      val chType = litString(args(1), "dynamicElement type")
+      val spark = org.apache.spark.sql.types.DataType.fromDDL(
+        ClickHouseSql.sparkTypeText(chType))
+      new org.apache.spark.sql.catalyst.expressions.variant.VariantGet(
+        args.head, Literal("$"), spark, false,
+        Some(java.util.TimeZone.getDefault.getID))
     }),
 
     // ---- Hilbert codec (hilbertEncode.cpp/hilbertDecode.cpp) ---------

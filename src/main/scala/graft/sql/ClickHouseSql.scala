@@ -572,17 +572,25 @@ object ClickHouseSql {
 
   private def rewriteLimitBy(s: String): String = {
     // CH clause order allows a row-limit AFTER the per-key one:
-    // `... ORDER BY o LIMIT n BY k1, k2 LIMIT m [OFFSET j]` — group 3
-    // captures that trailing limit (lazy keys + anchored alternative keep
-    // `LIMIT 10` out of the key list).
-    val lim = ("(?is)\\bLIMIT\\s+(\\d+)\\s+BY\\s+([A-Za-z_][A-Za-z0-9_,\\s]*?)" +
+    // `... ORDER BY o LIMIT n BY k1, k2 LIMIT m [OFFSET j]` — the last
+    // group captures that trailing limit (lazy keys + anchored alternative
+    // keep `LIMIT 10` out of the key list). Round 9: the per-key OFFSET
+    // forms too (ASTSelectQuery.h:32-34 limit_by_offset) — `LIMIT o, n BY`
+    // and `LIMIT n OFFSET o BY` skip the first o rows of each key group
+    // before taking n.
+    val lim = ("(?is)\\bLIMIT\\s+(\\d+)(?:\\s*,\\s*(\\d+)|\\s+OFFSET\\s+(\\d+))?" +
+      "\\s+BY\\s+([A-Za-z_][A-Za-z0-9_,\\s]*?)" +
       "\\s*(LIMIT\\s+\\d+(?:\\s+OFFSET\\s+\\d+)?)?\\s*;?\\s*$").r
     lim.findFirstMatchIn(s) match {
       case None => s
       case Some(m) =>
-        val n = m.group(1)
-        val keys = m.group(2).trim.stripSuffix(",")
-        val outerLimit = Option(m.group(3)).map(" " + _.trim).getOrElse("")
+        // `LIMIT o, n BY` → (offset o, take n); `LIMIT n OFFSET o BY` →
+        // (take n, offset o); bare `LIMIT n BY` → (take n, offset 0)
+        val (n, off) =
+          if (m.group(2) != null) (m.group(2), m.group(1).toLong)
+          else (m.group(1), Option(m.group(3)).map(_.toLong).getOrElse(0L))
+        val keys = m.group(4).trim.stripSuffix(",")
+        val outerLimit = Option(m.group(5)).map(" " + _.trim).getOrElse("")
         var inner = s.substring(0, m.start)
         // pull a trailing ORDER BY out of the inner query to drive the
         // window — the capture must stop at a LIMIT/OFFSET token (never
@@ -592,9 +600,12 @@ object ClickHouseSql {
           case Some(o) => (inner.substring(0, o.start), o.group(1).trim)
           case None => (inner, keys)
         }
+        val pred =
+          if (off == 0L) s"__lb_rn <= $n"
+          else s"__lb_rn BETWEEN ${off + 1} AND ${off + n.toLong}"
         s"SELECT * EXCEPT (__lb_rn) FROM (SELECT *, " +
           s"row_number() OVER (PARTITION BY $keys ORDER BY $order) AS __lb_rn " +
-          s"FROM ($core)) WHERE __lb_rn <= $n ORDER BY $keys, $order$outerLimit"
+          s"FROM ($core)) WHERE $pred ORDER BY $keys, $order$outerLimit"
     }
   }
 
@@ -624,6 +635,16 @@ object ClickHouseSql {
   def sql(spark: SparkSession, chSql: String): DataFrame = {
     val t0 = System.nanoTime()
     try sqlImpl(spark, chSql)
+    catch {
+      case e: Throwable =>
+        // system.errors ledger (StorageSystemErrors.cpp: per-error-name
+        // count + last message): keyed by exception class simple name
+        errorLedger.compute(e.getClass.getSimpleName, (_, prev) => {
+          val n = if (prev == null) 1L else prev._1 + 1L
+          (n, Option(e.getMessage).getOrElse("").take(500))
+        })
+        throw e
+    }
     finally {
       queryLog.addLast(QueryLogEntry(chSql.trim,
         graft.functions.QueryNormKernels.normalize(chSql.trim, keepNames = false),
@@ -793,13 +814,34 @@ object ClickHouseSql {
         "disks" -> (() => graft.sources.SystemTables.disks(spark)),
         "columns" -> (() => graft.sources.SystemTables.columnsAll(spark)),
         "parts" -> (() => graft.sources.SystemTables.partsAll(spark)),
+        "detached_parts" ->
+          (() => graft.sources.SystemTables.detachedParts(spark)),
+        "projections" -> (() => graft.sources.SystemTables.projections(spark)),
+        "errors" -> (() => graft.sources.SystemTables.errors(spark)),
+        "view_refreshes" ->
+          (() => graft.sources.SystemTables.viewRefreshes(spark)),
         // system.numbers streams unbounded in the reference
         // (StorageSystemNumbers.cpp) and every real query bounds it with
-        // LIMIT; materialize to the query's own LIMIT (default 2^20)
+        // LIMIT or a WHERE predicate; materialize to the LARGEST bound the
+        // query mentions — the max over every `LIMIT n` and every
+        // `number <[=] n` comparison — so a smaller LIMIT belonging to an
+        // unrelated subquery can never truncate the stream (a too-large
+        // bound is merely extra rows the outer plan filters/limits away).
+        // Default 2^20; queries that reference number values beyond the
+        // 2^27 materialization cap fail LOUDLY instead of silently
+        // returning short results.
         "numbers" -> { () =>
-          val bound = "(?is)\\bLIMIT\\s+(\\d+)".r
-            .findFirstMatchIn(trimmedNoFmt).map(_.group(1).toLong)
-            .getOrElse(1L << 20)
+          val cap = 1L << 27
+          val limits = "(?is)\\bLIMIT\\s+(\\d+)".r
+            .findAllMatchIn(trimmedNoFmt).map(_.group(1).toLong).toSeq
+          val whereBounds = "(?is)\\bnumber\\s*(<=|<|=)\\s*(\\d+)".r
+            .findAllMatchIn(trimmedNoFmt)
+            .map(m => m.group(2).toLong + (if (m.group(1) == "<") 0L else 1L))
+            .toSeq
+          val bound = (limits ++ whereBounds).foldLeft(1L << 20)(math.max)
+          require(bound <= cap,
+            s"system.numbers: query references number values up to $bound, " +
+              s"beyond the $cap materialization cap")
           graft.sources.SystemTables.numbers(spark, bound)
         })
       "\\bsystem\\.([a-z_]+)\\b".r.findAllMatchIn(trimmedNoFmt)
@@ -852,7 +894,8 @@ object ClickHouseSql {
         "(?i)\\bsystem\\.(tables|functions|settings|query_log|dictionaries|" +
           "data_skipping_indices|metrics|events|asynchronous_metrics|" +
           "databases|processes|one|numbers|merges|mutations|" +
-          "formats|table_engines|clusters|disks|columns|parts)\\b",
+          "formats|table_engines|clusters|disks|columns|parts|" +
+          "detached_parts|projections|errors|view_refreshes)\\b",
         "graft_system_$1")
     }.mkString("'")
     if (Dictionaries.matches(trimmed))
@@ -873,11 +916,19 @@ object ClickHouseSql {
       import spark.implicits._
       val t = trimmed.replaceFirst("(?is)^SHOW\\s+CREATE\\s+(TABLE\\s+)?", "")
         .replaceFirst(";\\s*$", "").trim
-      val cols = spark.table(t).schema.fields
-        .map(f => s"`${f.name}` ${chTypeOrSpark(f)}")
-        .mkString(", ")
-      Seq(s"CREATE TABLE $t ($cols) ENGINE = MergeTree ORDER BY tuple()")
-        .toDF("statement")
+      Option(refreshableViews.get(t.toLowerCase)) match {
+        case Some(rv) =>
+          // refreshable MV: render the stored definition with its schedule
+          Seq(s"CREATE MATERIALIZED VIEW ${rv.name} REFRESH ${rv.schedule} " +
+              s"AS ${rv.select.trim}")
+            .toDF("statement")
+        case None =>
+          val cols = spark.table(t).schema.fields
+            .map(f => s"`${f.name}` ${chTypeOrSpark(f)}")
+            .mkString(", ")
+          Seq(s"CREATE TABLE $t ($cols) ENGINE = MergeTree ORDER BY tuple()")
+            .toDF("statement")
+      }
     }
     else if (trimmed.matches("(?is)^TRUNCATE\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?[A-Za-z_][A-Za-z0-9_.]*\\s*;?\\s*$")) {
       // TRUNCATE TABLE (ParserSystemQuery family): keep schema, drop rows.
@@ -947,22 +998,62 @@ object ClickHouseSql {
       // batch analog of the reference's MV: materialize the SELECT once as
       // a parquet CTAS (the streaming push chain is WindowView
       // .materializedView); [TO target] inner-table form uses the target
-      // name; POPULATE is implied (CTAS always populates)
+      // name; POPULATE is implied (CTAS always populates).
+      // REFRESH EVERY n unit (round 9 — RefreshTask.cpp/RefreshSchedule
+      // .cpp refreshable MVs): the schedule is parsed + recorded, and
+      // SYSTEM REFRESH VIEW re-runs the stored SELECT on demand — the
+      // honest mapping in an engine with no background scheduler loop
+      // (like system.merges, the ledger records what a daemon would do).
       val re = ("(?is)^CREATE\\s+MATERIALIZED\\s+VIEW\\s+(IF\\s+NOT\\s+EXISTS\\s+)?" +
-        "([A-Za-z_][A-Za-z0-9_.]*)\\s*(?:TO\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+)?" +
+        "([A-Za-z_][A-Za-z0-9_.]*)\\s*" +
+        "(?:REFRESH\\s+EVERY\\s+(\\d+)\\s+([A-Za-z]+)\\s+)?" +
+        "(?:TO\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+)?" +
         "(?:POPULATE\\s+)?AS\\s+(.*)$").r
       trimmed match {
-        case re(ifNot, name, target, select) =>
+        case re(ifNot, name, every, unit, target, select) =>
           val tbl = if (target != null) target else name
           val ine = if (ifNot != null) "IF NOT EXISTS " else ""
           val wh = new org.apache.hadoop.fs.Path(
             spark.conf.get("spark.sql.warehouse.dir"), tbl)
           wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
           spark.sql(s"DROP TABLE IF EXISTS $tbl")
-          spark.sql(s"CREATE TABLE $ine$tbl USING parquet AS " +
-            rewrite(expandSchemaTransformers(spark, select)))
+          val body = rewrite(expandSchemaTransformers(spark, select))
+          spark.sql(s"CREATE TABLE $ine$tbl USING parquet AS " + body)
+          if (every != null)
+            refreshableViews.put(name.toLowerCase,
+              RefreshableView(name, tbl, select,
+                s"EVERY $every ${unit.toUpperCase}", refreshes = 0L))
+          else refreshableViews.remove(name.toLowerCase)
+          import spark.implicits._
+          Seq("OK").toDF("status")
         case _ => throw new IllegalArgumentException(
           "unsupported CREATE MATERIALIZED VIEW form")
+      }
+    } else if (trimmed.matches(
+        "(?is)^SYSTEM\\s+REFRESH\\s+VIEW\\s+[A-Za-z_][A-Za-z0-9_.]*\\s*;?\\s*$")) {
+      // SYSTEM REFRESH VIEW v (InterpreterSystemQuery SYSTEM REFRESH VIEW
+      // → RefreshTask::run): force the re-materialization the schedule
+      // would trigger — drop + re-CTAS the stored SELECT against the
+      // CURRENT base data, then invalidate caches like any mutation.
+      import spark.implicits._
+      val v = trimmed.replaceFirst("(?is)^SYSTEM\\s+REFRESH\\s+VIEW\\s+", "")
+        .replaceFirst(";\\s*$", "").trim.toLowerCase
+      Option(refreshableViews.get(v)) match {
+        case Some(rv) =>
+          val wh = new org.apache.hadoop.fs.Path(
+            spark.conf.get("spark.sql.warehouse.dir"), rv.table)
+          val out = spark.sql(
+            rewrite(expandSchemaTransformers(spark, rv.select)))
+            .localCheckpoint(true) // read completes before the overwrite
+          spark.sql(s"DROP TABLE IF EXISTS ${rv.table}")
+          wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
+          out.write.format("parquet").saveAsTable(rv.table)
+          refreshableViews.put(v, rv.copy(refreshes = rv.refreshes + 1))
+          refreshSkipIndexes(spark, rv.table)
+          queryCache.clear()
+          Seq("OK").toDF("status")
+        case None => throw new IllegalArgumentException(
+          s"SYSTEM REFRESH VIEW: $v is not a refreshable materialized view")
       }
     } else if (trimmed.matches("(?is)^DETACH\\s+TABLE\\b.*")) {
       // DETACH TABLE (InterpreterDropQuery detach branch): the table
@@ -1003,6 +1094,72 @@ object ClickHouseSql {
           s"ATTACH TABLE $t: no detached table of that name")
       }
       Seq("OK").toDF("status")
+    } else if (trimmed.matches(
+        "(?is)^DROP\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?[A-Za-z_][A-Za-z0-9_.]*\\s*;?\\s*$")) {
+      // DROP TABLE with an UNDROP window (InterpreterDropQuery +
+      // InterpreterUndropQuery: Atomic databases keep a dropped table's
+      // data for database_atomic_delay_before_drop_table_sec before the
+      // real delete): the data dir moves O(1) to a `_dropped` sibling —
+      // the same rename DETACH uses, with the same rename-failure abort —
+      // so the catalog DROP below has nothing to purge. The holding copy
+      // lives until the next DROP of the same name re-uses the slot.
+      import spark.implicits._
+      val t = trimmed.replaceFirst("(?is)^DROP\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?", "")
+        .replaceFirst(";\\s*$", "").trim
+      val isCatalogTable = spark.catalog.tableExists(t) &&
+        spark.sessionState.catalog
+          .getTempView(t.toLowerCase(java.util.Locale.ROOT)).isEmpty &&
+        scala.util.Try(tableLocation(spark, t)).isSuccess
+      if (!isCatalogTable) {
+        // temp view / catalog view / missing table: Spark's own DROP
+        spark.sql(trimmed.replaceFirst(";\\s*$", ""))
+      } else {
+        val meta = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(t))
+        val loc = tableLocation(spark, t)
+        val schemaDdl = spark.table(t).schema.toDDL
+        val fs = new org.apache.hadoop.fs.Path(loc)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val hold = new org.apache.hadoop.fs.Path(loc + "_dropped")
+        fs.delete(hold, true)
+        if (fs.exists(new org.apache.hadoop.fs.Path(loc)) &&
+            !fs.rename(new org.apache.hadoop.fs.Path(loc), hold))
+          throw new IllegalStateException(
+            s"DROP TABLE $t: rename of $loc to $hold failed; table left in place")
+        spark.sql(s"DROP TABLE $t")
+        droppedTables.put(t, (schemaDdl, loc, meta.partitionColumnNames))
+        queryCache.clear()
+      }
+      Seq("OK").toDF("status")
+    } else if (trimmed.matches("(?is)^UNDROP\\s+TABLE\\b.*")) {
+      // UNDROP TABLE (InterpreterUndropQuery.cpp): restore the most
+      // recently dropped table of this name from the `_dropped` holding
+      // dir — rename back, re-create the catalog entry over the original
+      // location, partitions recovered.
+      import spark.implicits._
+      val t = trimmed.replaceFirst("(?is)^UNDROP\\s+TABLE\\s+", "")
+        .replaceFirst(";\\s*$", "").trim
+      Option(droppedTables.remove(t)) match {
+        case Some((schemaDdl, loc, partCols)) =>
+          val fs = new org.apache.hadoop.fs.Path(loc)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val hold = new org.apache.hadoop.fs.Path(loc + "_dropped")
+          if (fs.exists(hold) &&
+              !fs.rename(hold, new org.apache.hadoop.fs.Path(loc)))
+            throw new IllegalStateException(
+              s"UNDROP TABLE $t: rename of $hold to $loc failed")
+          val partClause =
+            if (partCols.nonEmpty) s" PARTITIONED BY (${partCols.mkString(", ")})"
+            else ""
+          spark.sql(
+            s"CREATE TABLE $t ($schemaDdl) USING parquet$partClause LOCATION '$loc'")
+          if (partCols.nonEmpty) spark.sql(s"MSCK REPAIR TABLE $t")
+          refreshSkipIndexes(spark, t)
+          queryCache.clear()
+        case None => throw new IllegalArgumentException(
+          s"UNDROP TABLE $t: no dropped table of that name in the holding area")
+      }
+      Seq("OK").toDF("status")
     } else if (trimmed.matches("(?is)^EXCHANGE\\s+TABLES\\b.*")) {
       // EXCHANGE TABLES a AND b (InterpreterRenameQuery exchange=true):
       // atomic in the reference; here a triple rename through a temp name
@@ -1031,7 +1188,7 @@ object ClickHouseSql {
     else if (trimmed.matches("(?is)^ALTER\\s+TABLE\\s+\\S+\\s+(ADD|DROP|MATERIALIZE|CLEAR)\\s+INDEX\\b.*"))
       indexDdl(spark, trimmed)
     else if (trimmed.matches(
-        "(?is)^ALTER\\s+TABLE\\s+\\S+\\s+(DETACH|ATTACH|DROP|FREEZE)\\s+PARTITION\\b.*"))
+        "(?is)^ALTER\\s+TABLE\\s+\\S+\\s+(DETACH|ATTACH|DROP|FREEZE|REPLACE|MOVE|FETCH)\\s+PARTITION\\b.*"))
       alterPartition(spark, trimmed)
     else if (trimmed.matches("(?is)^ALTER\\s+TABLE\\s+\\S+\\s+(MODIFY|MATERIALIZE)\\s+TTL\\b.*"))
       alterTtl(spark, trimmed)
@@ -1091,7 +1248,10 @@ object ClickHouseSql {
           val before = spark.table(table)
           // PARTITION scope (round 8 — previously this form fell to the
           // no-op branch WITHOUT deduplicating): dedup only the named
-          // partition's rows, pass every other partition through
+          // partition's rows, pass every other partition through. The
+          // pass-through complement is NULL-SAFE (<=>): a plain
+          // !(col === v) evaluates to NULL for NULL-partition rows
+          // (__HIVE_DEFAULT_PARTITION__), which would silently DELETE them
           val (target, rest) = Option(part) match {
             case Some(v) =>
               val pcols = spark.sessionState.catalog.getTableMetadata(
@@ -1100,7 +1260,8 @@ object ClickHouseSql {
               require(pcols.size == 1,
                 s"OPTIMIZE PARTITION needs one partition column, $table has $pcols")
               (before.filter(col(pcols.head) === v),
-                Some(before.filter(!(col(pcols.head) === v))))
+                Some(before.filter(
+                  !col(pcols.head).eqNullSafe(org.apache.spark.sql.functions.lit(v)))))
             case None => (before, None)
           }
           val deduped = cols.fold(target.dropDuplicates())(c =>
@@ -1304,6 +1465,18 @@ object ClickHouseSql {
   private val projections =
     scala.collection.concurrent.TrieMap.empty[(String, String), ProjEntry]
 
+  /** (table, projection name, kind) — feeds system.projections
+    * (StorageSystemProjections analog). */
+  def listProjections: Seq[(String, String, String)] =
+    projections.snapshot().toSeq.map { case ((t, p), e) =>
+      (t, p, if (e.isAgg) "aggregate" else "normal")
+    }.sortBy(x => (x._1, x._2))
+
+  /** error name → (count, last message) — feeds system.errors
+    * (StorageSystemErrors.cpp). */
+  val errorLedger =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]()
+
   /** Catalog table → its parquet location path. */
   private def tableLocation(spark: SparkSession, table: String): String =
     spark.sessionState.catalog
@@ -1403,6 +1576,29 @@ object ClickHouseSql {
   /** name → (schema DDL, data location) for DETACH/ATTACH TABLE. */
   private val detachedTables =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** name → (schema DDL, original location, partition cols) for the
+    * DROP → UNDROP TABLE window (the holding dir is `<location>_dropped`). */
+  private val droppedTables =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, Seq[String])]()
+
+  /** One refreshable MV's stored definition + schedule (the reference's
+    * RefreshTask state: view, target table, SELECT, REFRESH EVERY spec,
+    * completed-refresh count). */
+  final case class RefreshableView(name: String, table: String,
+      select: String, schedule: String, refreshes: Long)
+
+  private val refreshableViews =
+    new java.util.concurrent.ConcurrentHashMap[String, RefreshableView]()
+
+  /** (view, schedule, target table, refresh count) — feeds
+    * system.view_refreshes (StorageSystemViewRefreshes analog). */
+  def listRefreshableViews: Seq[(String, String, String, Long)] = {
+    import scala.jdk.CollectionConverters._
+    refreshableViews.asScala.values.toSeq
+      .map(rv => (rv.name, rv.schedule, rv.table, rv.refreshes))
+      .sortBy(_._1)
+  }
 
   private val skipIndexes =
     new java.util.concurrent.ConcurrentHashMap[(String, String), SkipIdx]()
@@ -1674,9 +1870,76 @@ object ClickHouseSql {
   private def alterPartition(spark: SparkSession, stmt: String)
       : org.apache.spark.sql.DataFrame = {
     import spark.implicits._
+    /** One partition column, or fail — the layout every partition verb
+      * operates on. */
+    def onePartCol(t: String): String = {
+      val pcols = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t)).partitionColumnNames
+      require(pcols.size == 1,
+        s"ALTER PARTITION needs exactly one partition column, $t has $pcols")
+      pcols.head
+    }
+    def invalidate(t: String, pcol: String, value: String,
+        admitted: Boolean): Unit = {
+      if (admitted)
+        spark.sql(s"ALTER TABLE $t ADD IF NOT EXISTS PARTITION ($pcol = '$value')")
+      else
+        spark.sql(s"ALTER TABLE $t DROP IF EXISTS PARTITION ($pcol = '$value')")
+      spark.sql(s"REFRESH TABLE $t")
+      refreshSkipIndexes(spark, t)
+    }
+    // the round-9 ETL verbs (PartitionCommands.h:26-35 REPLACE_PARTITION /
+    // MOVE_PARTITION / FETCH_PARTITION): staging-swap, cross-table move,
+    // and replica-fetch-into-detached
+    val replace = ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+" +
+      "REPLACE\\s+PARTITION\\s+'?([^'\\s;]+)'?\\s+FROM\\s+" +
+      "([A-Za-z_][A-Za-z0-9_.]*)\\s*;?\\s*$").r
+    val move = ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+" +
+      "MOVE\\s+PARTITION\\s+'?([^'\\s;]+)'?\\s+TO\\s+TABLE\\s+" +
+      "([A-Za-z_][A-Za-z0-9_.]*)\\s*;?\\s*$").r
+    val fetch = ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+" +
+      "FETCH\\s+PARTITION\\s+'?([^'\\s;]+)'?\\s+FROM\\s+" +
+      "'?([^'\\s;]+)'?\\s*;?\\s*$").r
     val re = ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+" +
       "(DETACH|ATTACH|DROP|FREEZE)\\s+PARTITION\\s+'?([^'\\s;]+)'?" +
       "(?:\\s+WITH\\s+NAME\\s+'([^']*)')?\\s*;?\\s*$").r
+    stmt.trim match {
+      case replace(dst, value, src) =>
+        val pcol = onePartCol(dst)
+        require(onePartCol(src) == pcol,
+          s"REPLACE PARTITION: $src and $dst partition on different columns")
+        require(graft.operators.ScaleOps.replacePartition(spark,
+            tableLocation(spark, dst), tableLocation(spark, src), pcol, value),
+          s"REPLACE PARTITION: $src has no partition $pcol=$value")
+        invalidate(dst, pcol, value, admitted = true)
+        queryCache.clear()
+        return Seq("OK").toDF("status")
+      case move(src, value, dst) =>
+        val pcol = onePartCol(src)
+        require(onePartCol(dst) == pcol,
+          s"MOVE PARTITION: $src and $dst partition on different columns")
+        require(graft.operators.ScaleOps.movePartition(spark,
+            tableLocation(spark, src), tableLocation(spark, dst), pcol, value),
+          s"MOVE PARTITION: $src has no partition $pcol=$value")
+        invalidate(src, pcol, value, admitted = false)
+        invalidate(dst, pcol, value, admitted = true)
+        queryCache.clear()
+        return Seq("OK").toDF("status")
+      case fetch(dst, value, from) =>
+        val pcol = onePartCol(dst)
+        // `from` is a layout path in quotes or a catalog table name — the
+        // reference takes a replica path; any readable layout serves here
+        val srcPath =
+          if (spark.catalog.tableExists(from)) tableLocation(spark, from)
+          else from
+        require(graft.operators.ScaleOps.fetchPartition(spark,
+            tableLocation(spark, dst), srcPath, pcol, value),
+          s"FETCH PARTITION: $srcPath has no partition $pcol=$value")
+        // fetched data sits in _detached — invisible until ATTACH, so no
+        // catalog change and no cache invalidation yet
+        return Seq("OK").toDF("status")
+      case _ =>
+    }
     stmt.trim match {
       case re(t, verb, value, snap) =>
         val meta = spark.sessionState.catalog.getTableMetadata(
@@ -1784,17 +2047,52 @@ object ClickHouseSql {
       "(IF\\s+EXISTS\\s+)?`?([A-Za-z_][A-Za-z0-9_]*)`?\\s+TO\\s+`?([A-Za-z_][A-Za-z0-9_]*)`?;?\\s*$").r
 
     /** Rewrite `t`'s data with the transformed frame and the NEW schema
-      * (insertInto can't change schemas): materialize, drop, re-create —
-      * partition columns preserved. */
+      * (insertInto can't change schemas): STAGE the transformed copy on
+      * disk first, then drop + re-create — a crash between the two steps
+      * leaves either the original table or the durable staged copy, never
+      * neither (a localCheckpoint would survive only in session memory).
+      * Partition columns and the managed/external distinction are
+      * preserved: an external table is re-created under its ORIGINAL
+      * location instead of silently becoming a managed one elsewhere. */
     def rewriteTable(t: String, df: org.apache.spark.sql.DataFrame): Unit = {
-      val partCols = spark.sessionState.catalog
+      import org.apache.hadoop.fs.Path
+      val meta = spark.sessionState.catalog
         .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
-        .partitionColumnNames
-      val out = df.localCheckpoint(true)
-      spark.sql(s"DROP TABLE $t")
-      val w = out.write.mode("overwrite")
-      (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
-        .format("parquet").saveAsTable(t)
+      val partCols = meta.partitionColumnNames
+      val external = meta.tableType ==
+        org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL
+      val loc = tableLocation(spark, t)
+      val fs = new Path(loc).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val stage = new Path(loc + "__altering")
+      fs.delete(stage, true)
+      val w0 = df.write.mode("overwrite")
+      (if (partCols.nonEmpty) w0.partitionBy(partCols: _*) else w0)
+        .parquet(stage.toString)
+      // re-read restores the durable copy; partition-value inference may
+      // retype/reorder partition columns — select back to the transformed
+      // frame's exact schema
+      val staged = spark.read.parquet(stage.toString).select(
+        df.schema.fields.toSeq.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+      spark.sql(s"DROP TABLE $t") // purges loc if managed; stage survives
+      if (external) {
+        fs.delete(new Path(loc), true)
+        if (!fs.rename(stage, new Path(loc)))
+          throw new IllegalStateException(
+            s"ALTER COLUMN $t: rename of staged data to $loc failed; " +
+              s"rewritten copy preserved at $stage")
+        val ddl = staged.schema.toDDL
+        val partClause =
+          if (partCols.nonEmpty) s" PARTITIONED BY (${partCols.mkString(", ")})"
+          else ""
+        spark.sql(
+          s"CREATE TABLE $t ($ddl) USING parquet$partClause LOCATION '$loc'")
+        if (partCols.nonEmpty) spark.sql(s"MSCK REPAIR TABLE $t")
+      } else {
+        val w = staged.write.mode("overwrite")
+        (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+          .format("parquet").saveAsTable(t)
+        fs.delete(stage, true) // the new copy is durable in the warehouse
+      }
       refreshSkipIndexes(spark, t)
       queryCache.clear()
     }
@@ -1980,6 +2278,9 @@ object ClickHouseSql {
         case "float32" => "FLOAT"
         case "float64" | "double" => "DOUBLE"
         case "string" | "uuid" | "ipv4" | "ipv6" | "json" | "object" => "STRING"
+        // Dynamic (DataTypeDynamic.h:10): a per-row typed value — Spark's
+        // VariantType is the 1:1 analog (dynamicType/dynamicElement read it)
+        case "dynamic" => "VARIANT"
         case "date" | "date32" => "DATE"
         case "datetime" => "TIMESTAMP"
         case "bool" | "boolean" => "BOOLEAN"

@@ -26,15 +26,19 @@ object PqRecallProbe {
     val exact = pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
       .select("qid", "vec_id").withColumnRenamed("vec_id", "nid").localCheckpoint()
     val total = exact.count()
-    for ((m, k) <- Seq((8, 16), (8, 64), (16, 16), (16, 64)); np <- Seq(4, 8)) {
-      val idx = s"/tmp/pqprobe_${m}_${k}"
-      if (np == 4) VectorPQ.create(spark, src, idx, nCells = 16, m = m, k = k)
+    for (resid <- Seq(false, true);
+         (m, k) <- Seq((8, 16), (8, 64), (16, 16), (16, 64));
+         np <- Seq(4, 8)) {
+      val idx = s"/tmp/pqprobe_${resid}_${m}_${k}"
+      if (np == 4)
+        VectorPQ.create(spark, src, idx, nCells = 16, m = m, k = k,
+          residual = resid)
       val topk = VectorPQ.topK(spark, idx, q, k = 10, nProbe = np)
       val hits = topk.join(exact, Seq("qid", "nid")).count()
       val rr = VectorPQ.topKRerank(spark, idx, e, q, k = 10, nProbe = np,
         shortlist = 100)
       val rrHits = rr.join(exact, Seq("qid", "nid")).count()
-      println(f"m=$m k=$k nProbe=$np recall@10 = ${hits.toDouble / total}%.3f rerank100 = ${rrHits.toDouble / total}%.3f")
+      println(f"residual=$resid m=$m k=$k nProbe=$np recall@10 = ${hits.toDouble / total}%.3f rerank100 = ${rrHits.toDouble / total}%.3f")
     }
     spark.stop()
   }

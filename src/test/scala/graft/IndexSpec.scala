@@ -194,6 +194,51 @@ class IndexSpec extends SparkFunSuite {
     assert(agree >= 14, s"rerank top-1 agreement $agree/20 below floor")
   }
 
+  test("IVF-PQ residual lane (IVFADC §IV.A): flagged codebooks, map-side " +
+      "encode, rerank recovers exact top-1") {
+    import graft.operators.VectorPQ
+    val src = Tables.load(spark, sf, "embeddings")
+    val idx = s"$base/pqresid"
+    VectorPQ.create(spark, src, idx, nCells = 16, m = 16, k = 16,
+      residual = true)
+    val cb = VectorPQ.readCodebooks(spark, idx)
+    assert(cb.residual, "codebooks must carry the residual flag")
+    // the residual + encode path is still ONE map-side projection — no
+    // Exchange, no join (zip_with against a centroid array literal)
+    val e = VectorIndex.prep(src)
+    val cents = VectorIndex.seedCents(e, 16)
+    val plan = VectorPQ.withCodes(
+        VectorPQ.withResidual(VectorIndex.withCell(e, cents), cents),
+        cb, "rv")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"residual PQ encode is not map-side:\n$plan")
+    // ADC scoring carries the per-(query, cell) centroid term; the
+    // reranked lane must recover the exact top-1 like the raw lane
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    import graft.functions.TextFunctions.dot
+    val wx = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    val exact1 = e.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      .withColumn("rn", row_number().over(wx)).filter(col("rn") === 1)
+      .select("qid", "vec_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = VectorPQ.topKRerank(spark, idx, e, queries, k = 1,
+      nProbe = 8, shortlist = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agree = exact1.count { case (q, n) => got.get(q).contains(n) }
+    assert(agree >= 14, s"residual rerank top-1 agreement $agree/20 below floor")
+  }
+
+  test("q_ann_ivfpq metrics (k=64 grid point, recall floors) hold at sf0.001") {
+    val rows = SparkEntry.queries("q_ann_ivfpq")(spark, sf).collect()
+    assert(rows.length == 8 && rows.forall(_.getBoolean(1)),
+      s"ivfpq metrics: ${rows.mkString(", ")}")
+  }
+
   test("streaming ingest maintains the PQ code table: twins found via rerank") {
     import java.nio.file.Files
     import graft.operators.VectorPQ

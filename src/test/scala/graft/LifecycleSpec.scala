@@ -1,0 +1,247 @@
+package graft
+
+import graft.sql.ClickHouseSql
+import org.apache.spark.sql.functions._
+
+/** Round-9 lifecycle DDL + ADVICE-regression pins:
+  *  - REPLACE/MOVE/FETCH PARTITION, UNDROP, refreshable MV, DEDUPLICATE
+  *    BY, LIMIT-OFFSET-BY, Dynamic type (LifecycleQueries' oracle logic
+  *    asserted in-process at sf0.001);
+  *  - the five r8 ADVICE fixes each pinned by the failure they fixed. */
+class LifecycleSpec extends SparkFunSuite {
+
+  private def ch(sql: String) = ClickHouseSql.sql(spark, sql)
+
+  private def scratch(names: String*): Unit = names.foreach { t =>
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), t)
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(wh, true)
+    Seq("_dropped", "__altering", "_detached").foreach(sfx =>
+      fs.delete(new org.apache.hadoop.fs.Path(wh.toString + sfx), true))
+  }
+
+  test("REPLACE PARTITION FROM swaps one partition, leaves the rest") {
+    val out = queries.LifecycleQueries.queries
+      .find(_.name == "q_ch_replace_partition").get.run(spark, sf)
+      .collect()
+    assert(out.length == 25)
+    assert(out.filter(_.getLong(2) == 2L).forall(_.getString(1).endsWith("_NEW")))
+    assert(out.filter(_.getLong(2) != 2L).forall(!_.getString(1).endsWith("_NEW")))
+    // staging table intact (REPLACE copies, never moves)
+    assert(spark.table("graft_repl_stage").count() ==
+      spark.read.parquet(s"$sf/nation.parquet")
+        .filter(col("n_regionkey") === 2).count())
+  }
+
+  test("MOVE PARTITION TO TABLE moves (not copies)") {
+    val r = queries.LifecycleQueries.queries
+      .find(_.name == "q_ch_move_partition").get.run(spark, sf)
+      .collect().head
+    val n = spark.read.parquet(s"$sf/nation.parquet")
+    val r3 = n.filter(col("n_regionkey") === 3).count()
+    assert(r.getLong(0) == n.count() - r3)
+    assert(r.getLong(1) == r3)
+  }
+
+  test("FETCH PARTITION lands detached; ATTACH admits it") {
+    val r = queries.LifecycleQueries.queries
+      .find(_.name == "q_ch_fetch_partition").get.run(spark, sf)
+      .collect().head
+    assert(r.getString(0) == "n_regionkey=1")
+    assert(r.getLong(1) == 0L)
+    assert(r.getLong(2) ==
+      spark.read.parquet(s"$sf/nation.parquet")
+        .filter(col("n_regionkey") === 1).count())
+  }
+
+  test("DROP TABLE → UNDROP TABLE restores name and data") {
+    val rows = queries.LifecycleQueries.queries
+      .find(_.name == "q_ch_undrop").get.run(spark, sf).collect()
+    assert(rows.length == 25)
+    assert(rows.forall(_.getInt(2) == 0)) // invisible while dropped
+    // a second UNDROP has nothing to restore
+    val e = intercept[IllegalArgumentException] { ch("UNDROP TABLE graft_undrop_t") }
+    assert(e.getMessage.contains("no dropped table"))
+  }
+
+  test("refreshable MV: stale until SYSTEM REFRESH VIEW; schedule visible") {
+    val r = queries.LifecycleQueries.queries
+      .find(_.name == "q_ch_refresh_mv").get.run(spark, sf).collect().head
+    val n = spark.read.parquet(s"$sf/nation.parquet").count()
+    assert(r.getLong(0) == n, "MV must be STALE before the refresh")
+    assert(r.getLong(1) == 2 * n, "MV must reflect the insert after refresh")
+    assert(r.getInt(2) == 1, "SHOW CREATE must render the schedule")
+    assert(r.getLong(3) == 1L)
+    // refreshing a non-refreshable name is loud
+    val e = intercept[IllegalArgumentException] { ch("SYSTEM REFRESH VIEW nope_v") }
+    assert(e.getMessage.contains("not a refreshable"))
+  }
+
+  test("OPTIMIZE DEDUPLICATE BY col-list keeps one row per key") {
+    val rows = queries.LifecycleQueries.queries
+      .find(_.name == "q_ch_optimize_dedup_by").get.run(spark, sf).collect()
+    assert(rows.length == 25 && rows.forall(_.getLong(1) == 1L))
+    // without BY, the same corpus keeps both payload variants
+    assert(spark.table("graft_dedup_by_t").count() == 25)
+  }
+
+  test("LIMIT n OFFSET m BY and the comma form agree") {
+    Tables.register(spark, sf)
+    val a = ch("""SELECT n_regionkey AS r, n_nationkey AS k FROM nation
+      ORDER BY k LIMIT 2 OFFSET 1 BY r""").collect()
+    val b = ch("""SELECT n_regionkey AS r, n_nationkey AS k FROM nation
+      ORDER BY k LIMIT 1, 2 BY r""").collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    // 5 regions x 2 rows, never the per-region minimum key
+    assert(a.length == 10)
+    val minKeys = spark.read.parquet(s"$sf/nation.parquet")
+      .groupBy("n_regionkey").agg(min("n_nationkey").as("mk"))
+      .collect().map(r => (r.get(0), r.get(1))).toSet
+    assert(a.forall(r => !minKeys.contains((r.get(0), r.get(1)))))
+  }
+
+  test("Dynamic type: dynamicType names + typed dynamicElement extraction") {
+    val rows = queries.LifecycleQueries.queries
+      .find(_.name == "q_dynamic_typed").get.run(spark, sf).collect()
+    assert(rows.length == 25)
+    rows.foreach { r =>
+      val k = r.getInt(0)
+      k % 3 match {
+        case 0 =>
+          assert(r.getString(1) == "Int64" && r.getLong(2) == k && r.isNullAt(3))
+        case 1 =>
+          assert(r.getString(1) == "String" && r.isNullAt(3))
+        case _ =>
+          assert(r.getString(1) == "Array(Int64)" && r.isNullAt(2) &&
+            r.getLong(3) == k)
+      }
+    }
+  }
+
+  test("system.detached_parts / projections / errors are scoped and live") {
+    val r = queries.LifecycleQueries.queries
+      .find(_.name == "q_system_maintenance").get.run(spark, sf).collect().head
+    assert(r.getString(0) == "n_regionkey=4")
+    assert(r.getString(1) == "p_maint:aggregate")
+    assert(r.getLong(2) == 1L)
+  }
+
+  test("mutation-rewrite headliner matches the plain-SQL recompute") {
+    val rows = queries.LifecycleQueries.queries
+      .find(_.name == "q_mutation_rewrite").get.run(spark, sf).collect()
+    val expect = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_quantity") < 10, lit(0.0).cast("decimal(18,2)"))
+          .otherwise(col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("sum_disc"))
+      .orderBy("l_returnflag").collect()
+    assert(rows.map(_.toString).toSeq == expect.map(_.toString).toSeq)
+  }
+
+  // ---- r8 ADVICE regression pins -------------------------------------
+
+  test("ADVICE medium: OPTIMIZE PARTITION DEDUPLICATE keeps NULL-partition rows") {
+    val t = "graft_nullpart_t"
+    scratch(t)
+    val sp = spark; import sp.implicits._
+    // keys 1,2 in partition 'a' (2 duplicated), keys 3,4 with NULL partition
+    Seq((1, "a"), (2, "a"), (2, "a"), (3, null), (4, null))
+      .toDF("k", "p").write.partitionBy("p").saveAsTable(t)
+    ch(s"OPTIMIZE TABLE $t PARTITION 'a' FINAL DEDUPLICATE")
+    val left = spark.table(t).select("k").collect().map(_.getInt(0)).sorted
+    assert(left.toSeq == Seq(1, 2, 3, 4),
+      s"NULL-partition rows must survive a partition-scoped dedup, got ${left.toSeq}")
+  }
+
+  test("ADVICE low: evalMLMethod applies the sigmoid to logistic states only") {
+    Tables.register(spark, sf)
+    val r = ch("""
+      SELECT
+        evalMLMethod(stochasticLinearRegression(0.1, 0.0, 1, 'SGD')(y, x), 10.0) AS lin,
+        evalMLMethod(stochasticLogisticRegression(0.1, 0.0, 1, 'SGD')(lbl, x), 10.0) AS logi
+      FROM (SELECT CAST(n_nationkey AS DOUBLE) AS x,
+                   CAST(3 * n_nationkey + 7 AS DOUBLE) AS y,
+                   CAST(CASE WHEN n_nationkey > 12 THEN 1 ELSE 0 END AS DOUBLE) AS lbl
+            FROM nation)""").collect().head
+    assert(math.abs(r.getDouble(0) - 37.0) < 1e-6, s"linear stays raw: $r")
+    assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0,
+      s"logistic output must be a probability, got ${r.getDouble(1)}")
+  }
+
+  test("ADVICE low: system.numbers bound ignores an unrelated smaller LIMIT " +
+      "and honors WHERE-only bounds above 2^20") {
+    Tables.register(spark, sf)
+    val a = ch("""
+      SELECT (SELECT count(*) FROM (SELECT n_nationkey FROM nation LIMIT 10)) AS x,
+             count(*) AS n
+      FROM (SELECT number FROM system.numbers LIMIT 5000)""").collect().head
+    assert(a.getLong(1) == 5000L,
+      s"an unrelated LIMIT 10 must not truncate numbers: $a")
+    val b = ch("SELECT count(*) AS n FROM system.numbers WHERE number < 2000000")
+      .collect().head
+    assert(b.getLong(0) == 2000000L)
+    val e = intercept[IllegalArgumentException] {
+      ch("SELECT count(*) AS n FROM system.numbers WHERE number < 500000000")
+    }
+    assert(e.getMessage.contains("materialization cap"))
+  }
+
+  test("ADVICE low: ALTER COLUMN on an external table keeps it external " +
+      "at its original location") {
+    val t = "graft_ext_alter_t"
+    scratch(t)
+    val loc = s"/tmp/graft_ext_alter_${System.nanoTime()}"
+    val sp = spark; import sp.implicits._
+    Seq((1, "a"), (2, "b")).toDF("k", "v").write.mode("overwrite").parquet(loc)
+    spark.sql(s"CREATE TABLE $t (k INT, v STRING) USING parquet LOCATION '$loc'")
+    ch(s"ALTER TABLE $t ADD COLUMN w Int64 DEFAULT 5")
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(t))
+    assert(meta.tableType ==
+      org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL)
+    assert(meta.location.getPath == loc)
+    assert(spark.table(t).select("w").collect().map(_.getLong(0)).toSeq ==
+      Seq(5L, 5L))
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("TextIndex: manifest makes append discovery metadata-only") {
+    val base = s"/tmp/graft_manifest_${System.nanoTime()}"
+    val sp = spark; import sp.implicits._
+    val docs = (1 to 40).map(i => (i.toLong, s"alpha beta doc$i"))
+      .toDF("doc_id", "text")
+    operators.TextIndex.create(spark, docs, s"$base/data", s"$base/index", 4)
+    val manifest = operators.TextIndex.readManifest(spark, s"$base/index")
+    assert(manifest.isDefined && manifest.get.size == 4)
+    val extra = Seq((100L, "gamma delta newdoc")).toDF("doc_id", "text")
+    val newFiles = operators.TextIndex.append(
+      spark, extra, s"$base/data", s"$base/index")
+    assert(newFiles.size >= 1 &&
+      newFiles.forall(f => !manifest.get.contains(
+        new org.apache.hadoop.fs.Path(f).toUri.getPath)),
+      "append must tokenize ONLY the delta files")
+    val updated = operators.TextIndex.readManifest(spark, s"$base/index").get
+    assert(updated.size == manifest.get.size + newFiles.size)
+    // search still correct over old + new docs
+    assert(operators.TextIndex.search(
+      spark, s"$base/data", s"$base/index", Seq("gamma")).count() == 1)
+    assert(operators.TextIndex.search(
+      spark, s"$base/data", s"$base/index", Seq("alpha")).count() == 40)
+    // legacy lane: an index without a manifest falls back to the postings
+    // projection and gains a manifest on the next append
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/index/_manifest.txt"), false)
+    val more = Seq((200L, "epsilon zeta lastdoc")).toDF("doc_id", "text")
+    val newFiles2 = operators.TextIndex.append(
+      spark, more, s"$base/data", s"$base/index")
+    assert(newFiles2.size >= 1)
+    assert(operators.TextIndex.readManifest(spark, s"$base/index").isDefined)
+    assert(operators.TextIndex.search(
+      spark, s"$base/data", s"$base/index", Seq("epsilon")).count() == 1)
+    operators.TextIndex.drop(spark, s"$base/data", s"$base/index")
+  }
+}
