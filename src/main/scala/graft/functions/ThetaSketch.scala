@@ -63,6 +63,54 @@ object ThetaSketch {
     }
   }
 
+
+  /** The -State form: same KMV buffer, finalized to the explicit-theta
+    * serialized state [[Algebra]] operates on (full buffer → θ = k-th
+    * image, k−1 retained strictly below; else exact mode). */
+  case class UniqThetaState(child: Expression, k: Int = defaultK,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[Buf] {
+    private lazy val hasher = XxHash64(Seq(child), 42L)
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = BinaryType
+    override def createAggregationBuffer(): Buf = new Buf(k)
+    override def update(b: Buf, input: InternalRow): Buf = {
+      if (child.eval(input) != null)
+        b.add(hasher.eval(input).asInstanceOf[Long])
+      b
+    }
+    override def merge(b: Buf, o: Buf): Buf = { b.mergeFrom(o); b }
+    override def eval(b: Buf): Any = {
+      import scala.jdk.CollectionConverters._
+      val imgs = b.set.iterator().asScala.map(_.longValue()).toArray
+      if (imgs.length < k) ThetaAlgebra.pack(k, Long.MaxValue, imgs)
+      else ThetaAlgebra.pack(k, imgs.last, imgs.init)
+    }
+    override def serialize(b: Buf): Array[Byte] = {
+      val out = ByteBuffer.allocate(4 + 8 * b.set.size)
+      out.putInt(b.set.size)
+      val it = b.set.iterator()
+      while (it.hasNext) out.putLong(it.next().longValue())
+      out.array()
+    }
+    override def deserialize(bytes: Array[Byte]): Buf = {
+      val in = ByteBuffer.wrap(bytes)
+      val n = in.getInt
+      val b = new Buf(k)
+      var i = 0
+      while (i < n) { b.set.add(java.lang.Long.valueOf(in.getLong)); i += 1 }
+      b
+    }
+    override def withNewMutableAggBufferOffset(n: Int): UniqThetaState =
+      copy(mutableAggBufferOffset = n)
+    override def withNewInputAggBufferOffset(n: Int): UniqThetaState =
+      copy(inputAggBufferOffset = n)
+    override protected def withNewChildrenInternal(
+        c: IndexedSeq[Expression]): UniqThetaState = copy(child = c.head)
+    override def prettyName: String = "uniqthetastate"
+  }
+
   case class UniqTheta(child: Expression, k: Int = defaultK,
       mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
       extends TypedImperativeAggregate[Buf] {
@@ -100,5 +148,83 @@ object ThetaSketch {
     override protected def withNewChildrenInternal(
         c: IndexedSeq[Expression]): UniqTheta = copy(child = c.head)
     override def prettyName: String = "uniqtheta"
+  }
+}
+
+
+/** Scalar theta-sketch set algebra over EXPLICIT-THETA serialized
+  * states — the reference's uniqThetaUnion / uniqThetaIntersect /
+  * uniqThetaNot + finalizeAggregation surface
+  * (src/Functions/UniqTheta/FunctionsUniqTheta.cpp wrapping the
+  * DataSketches theta set operations; the math here is the published
+  * theta-sketch framework: θ = min of the inputs' thresholds, retained
+  * hashes strictly below θ, estimate = retained/θ — exact while both
+  * inputs are exact).
+  *
+  * State layout: [int k][long thetaImage, MaxValue = exact mode]
+  * [int n][n ascending image longs]. Images are h ^ Long.MinValue, so
+  * SIGNED image order equals UNSIGNED hash order. */
+object ThetaAlgebra {
+  private def unpack(b: Array[Byte]): (Int, Long, Array[Long]) = {
+    require(b.length >= 16, s"not a theta-sketch state (${b.length} bytes)")
+    val in = ByteBuffer.wrap(b)
+    val k = in.getInt
+    val theta = in.getLong
+    val n = in.getInt
+    require(k > 0 && n >= 0 && n <= k && b.length == 16 + 8L * n,
+      s"not a theta-sketch state (k=$k n=$n len=${b.length})")
+    val a = new Array[Long](n)
+    var i = 0
+    while (i < n) { a(i) = in.getLong; i += 1 }
+    (k, theta, a)
+  }
+
+  def pack(k: Int, theta: Long, imgs: Array[Long]): Array[Byte] = {
+    val out = ByteBuffer.allocate(4 + 8 + 4 + 8 * imgs.length)
+    out.putInt(k); out.putLong(theta); out.putInt(imgs.length)
+    imgs.foreach(out.putLong)
+    out.array()
+  }
+
+  /** estimate = n (exact mode) or n / θ-fraction. */
+  def estimate(state: Array[Byte]): Long = {
+    val (_, theta, imgs) = unpack(state)
+    if (theta == Long.MaxValue) imgs.length.toLong
+    else {
+      val frac = (theta.toDouble + 9.223372036854775808e18) /
+        1.8446744073709552e19
+      math.round(imgs.length / frac)
+    }
+  }
+
+  private def combine(a: Array[Byte], b: Array[Byte])(
+      merge: (Array[Long], Array[Long]) => Array[Long])
+      : (Int, Long, Array[Long]) = {
+    val (ka, ta, sa) = unpack(a)
+    val (kb, tb, sb) = unpack(b)
+    val k = math.min(ka, kb)
+    val theta = math.min(ta, tb) // image order == unsigned hash order
+    (k, theta, merge(sa, sb).filter(_ < theta).sorted)
+  }
+
+  def union(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var (k, theta, s) = combine(a, b)((x, y) => (x ++ y).distinct)
+    if (s.length > k) { theta = s(k); s = s.take(k) }
+    pack(k, theta, s)
+  }
+
+  def intersect(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val (k, theta, s) = combine(a, b) { (x, y) =>
+      val ys = y.toSet; x.filter(ys.contains)
+    }
+    pack(k, theta, s)
+  }
+
+  /** a AND NOT b. */
+  def andNot(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val (k, theta, s) = combine(a, b) { (x, y) =>
+      val ys = y.toSet; x.filterNot(ys.contains)
+    }
+    pack(k, theta, s)
   }
 }

@@ -716,6 +716,104 @@ object FunctionTail2 extends QueryPack {
         CAST(456 AS BIGINT) AS hy,
         'www.example.com' AS drfc,
         'com' AS tld,
-        'example.com' AS cfs""")
+        'example.com' AS cfs"""),
+
+    // Registry sweep #6 (round 9): published-algorithm hash vectors
+    // (xxHash32 'abc' = 0x32D153FF per the xxHash spec; Java hashCode
+    // 'abc' = 96354; SHA-512/256 'abc' is the FIPS test vector),
+    // first-occurrence replace lanes, tuple tail, vector arithmetic,
+    // base64 spellings, unbin, A/B sample sizing (closed-form with
+    // z(0.975)=1.95996, z(0.8)=0.84162), normalized Gini (reference
+    // docs example), and the type-name/introspection surface.
+    ch("q_fn_tail6", """
+      SELECT
+        CAST(xxHash32('abc') AS BIGINT) AS h32,
+        CAST(javaHashUTF16LE('abc') AS BIGINT) AS jh,
+        replaceOne('aXbXc', 'X', '-') AS r1,
+        replaceRegexpOne('aa11bb22', '\\d+', 'N') AS rr,
+        arrayStringConcat(splitByAlpha('ab1cd2ef'), '|') AS sa,
+        CAST(visibleWidth(12345) AS BIGINT) AS vw,
+        toTypeName(CAST(1 AS BIGINT)) AS tn,
+        toTypeName('x') AS tn2,
+        upper(hex(SHA512_256('abc'))) AS sh,
+        to_base64('abc') AS b64,
+        from_base64('YWJj') AS fb,
+        unbin('0110000101100010') AS ub,
+        CAST(tupleHammingDistance(struct(1, 2, 3), struct(1, 9, 3)) AS BIGINT) AS thd,
+        arrayStringConcat(arrayMap(x -> toString(x),
+          vectorSum(array(1.0, 2.0), array(3.0, 4.0))), ',') AS vs,
+        arrayStringConcat(arrayMap(x -> toString(x),
+          vectorDifference(array(5.0, 7.0), array(2.0, 3.0))), ',') AS vd,
+        arrayStringConcat(arrayMap(x -> toString(round(x, 4)),
+          normalizeLp(array(3.0, 4.0), 2.0)), ',') AS nlp,
+        round(minSampleSizeContinous(10.0, 2.0, 0.05, 0.8, 0.05).minimum_sample_size, 1) AS mss,
+        round(minSampleSizeConversion(0.25, 0.05, 0.8, 0.05).minimum_sample_size, 1) AS msc,
+        round(arrayNormalizedGini(array(0.9, 0.3, 0.8, 0.7),
+          array(6.0, 1.0, 0.0, 2.0)).gini_normalized, 6) AS gini,
+        CAST(shardNum() AS BIGINT) AS shn,
+        CAST(shardCount() AS BIGINT) AS shc,
+        defaultValueOfArgumentType(CAST(5 AS INT)) IS NULL AS dv,
+        CAST(length(randomPrintableASCII(12)) AS BIGINT) AS rnd_len,
+        rand32() BETWEEN 0 AND 4294967296 AS r32_range,
+        randCanonical() BETWEEN 0.0 AND 1.0 AS rc_range,
+        CAST(throwIf(1 = 2) AS BIGINT) AS ti""",
+      """
+      SELECT
+        CAST(852579327 AS BIGINT) AS h32,
+        CAST(96354 AS BIGINT) AS jh,
+        'a-bXc' AS r1,
+        'aaNbb22' AS rr,
+        'ab|cd|ef' AS sa,
+        CAST(5 AS BIGINT) AS vw,
+        'Int64' AS tn,
+        'String' AS tn2,
+        '53048E2681941EF99B2E29B76B4C7DABE4C2D0C634FC6D46E0E2F13107E7AF23' AS sh,
+        'YWJj' AS b64,
+        'abc' AS fb,
+        'ab' AS ub,
+        CAST(1 AS BIGINT) AS thd,
+        '4.0,6.0' AS vs,
+        '3.0,4.0' AS vd,
+        '0.6,0.8' AS nlp,
+        251.2 AS mss,
+        1250.7 AS msc,
+        0.684211 AS gini,
+        CAST(1 AS BIGINT) AS shn,
+        CAST(1 AS BIGINT) AS shc,
+        TRUE AS dv,
+        CAST(12 AS BIGINT) AS rnd_len,
+        TRUE AS r32_range,
+        TRUE AS rc_range,
+        CAST(0 AS BIGINT) AS ti"""),
+
+    // Theta-sketch set algebra (round 9 — FunctionsUniqTheta.cpp):
+    // -State lane + union/intersect/not + finalizeAggregation. Both
+    // inputs stay below the sketch's nominal k (exact mode), so every
+    // readout is EXACTLY the set-arithmetic answer the oracle computes
+    // with COUNT(DISTINCT).
+    ch("q_agg_theta_algebra", """
+      SELECT
+        CAST(finalizeAggregation(uniqThetaUnion(a.s, b.s)) AS BIGINT) AS u,
+        CAST(finalizeAggregation(uniqThetaIntersect(a.s, b.s)) AS BIGINT) AS i,
+        CAST(finalizeAggregation(uniqThetaNot(a.s, b.s)) AS BIGINT) AS d,
+        CAST(finalizeAggregation(a.s) AS BIGINT) AS na,
+        CAST(finalizeAggregation(b.s) AS BIGINT) AS nb
+      FROM (SELECT uniqThetaState(c_nationkey) AS s FROM customer) a
+      CROSS JOIN (SELECT uniqThetaState(n_nationkey) AS s FROM nation
+                  WHERE n_nationkey < 10) b""",
+      """
+      SELECT
+        (SELECT COUNT(DISTINCT k) FROM (
+          SELECT c_nationkey AS k FROM customer
+          UNION SELECT n_nationkey FROM nation WHERE n_nationkey < 10)) AS u,
+        (SELECT COUNT(DISTINCT n_nationkey) FROM nation
+         WHERE n_nationkey < 10
+           AND n_nationkey IN (SELECT c_nationkey FROM customer)) AS i,
+        (SELECT COUNT(DISTINCT c_nationkey) FROM customer
+         WHERE c_nationkey NOT IN
+           (SELECT n_nationkey FROM nation WHERE n_nationkey < 10)) AS d,
+        (SELECT COUNT(DISTINCT c_nationkey) FROM customer) AS na,
+        (SELECT COUNT(DISTINCT n_nationkey) FROM nation
+         WHERE n_nationkey < 10) AS nb""")
   )
 }

@@ -285,8 +285,57 @@ object LifecycleQueries extends QueryPack {
         AS sum_disc
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** BACKUP TABLE … TO Disk(…) / RESTORE (ParserBackupQuery.h:8-31):
+    * back the table up, corrupt it with a mutation, restore — the final
+    * rows hash-match the pristine source, and system.backups carries
+    * both ledger entries. */
+  private val backupRestore = Q("q_ch_backup_restore", (s, dir) => {
+    Tables.register(s, dir)
+    val t = "graft_backup_t"
+    scratch(s, t)
+    ch.sql(s, s"""
+      CREATE MATERIALIZED VIEW $t AS
+      SELECT n_nationkey, n_name, n_regionkey FROM nation""")
+    ch.sql(s, s"BACKUP TABLE $t TO Disk('backups', '${t}_snap')")
+    ch.sql(s, s"ALTER TABLE $t DELETE WHERE n_regionkey >= 2")
+    val corrupted = s.table(t).count()
+    ch.sql(s, s"RESTORE TABLE $t FROM Disk('backups', '${t}_snap')")
+    val statuses = ch.sql(s, s"""
+      SELECT DISTINCT status FROM system.backups WHERE `table` = '$t'
+      ORDER BY status""").collect().map(_.getString(0)).mkString(",")
+    ch.sql(s, s"""
+      SELECT CAST(n_nationkey AS BIGINT) AS k, n_name,
+        CAST(n_regionkey AS BIGINT) AS r FROM $t ORDER BY k""")
+      .withColumn("rows_while_corrupted", lit(corrupted))
+      .withColumn("ledger", lit(statuses))
+  }, Some("""
+    SELECT CAST(n_nationkey AS BIGINT) AS k, n_name,
+      CAST(n_regionkey AS BIGINT) AS r,
+      (SELECT COUNT(*) FROM nation WHERE n_regionkey < 2) AS rows_while_corrupted,
+      'BACKUP_CREATED,RESTORED' AS ledger
+    FROM nation ORDER BY k"""))
+
+  /** The round-9 static introspection tables: the tz database contains
+    * the standard zones, build options identify the engine, and a
+    * single-node session honestly reports no warnings / no replicas /
+    * no in-flight moves. */
+  private val systemBreadth = Q("q_system_breadth", (s, dir) => {
+    Tables.register(s, dir)
+    ch.sql(s, """
+      SELECT
+        (SELECT count() FROM system.time_zones
+         WHERE time_zone IN ('UTC', 'America/New_York', 'Asia/Tokyo')) AS tz,
+        (SELECT count() FROM system.build_options WHERE name = 'ENGINE') AS bo,
+        (SELECT count() FROM system.warnings) AS warn,
+        (SELECT count() FROM system.replicas) AS repl,
+        (SELECT count() FROM system.moves) AS mv""")
+  }, Some("""
+    SELECT CAST(3 AS BIGINT) AS tz, CAST(1 AS BIGINT) AS bo,
+      CAST(0 AS BIGINT) AS warn, CAST(0 AS BIGINT) AS repl,
+      CAST(0 AS BIGINT) AS mv"""))
+
   override def queries: Seq[Q] = Seq(
     replacePartition, movePartition, fetchPartition, undropTable,
     refreshMv, optimizeDedupBy, limitOffsetBy, dynamicTyped,
-    systemMaintenance, mutationRewrite)
+    systemMaintenance, mutationRewrite, backupRestore, systemBreadth)
 }

@@ -238,6 +238,66 @@ object SystemTables {
       .toDF("view", "refresh_schedule", "target_table", "refresh_count")
   }
 
+  /** system.backups (StorageSystemBackups.cpp): every BACKUP/RESTORE
+    * statement this session, with file/byte counts for backups. */
+  def backups(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    graft.sql.ClickHouseSql.backupLog.iterator.asScala.toSeq
+      .map(e => (e.name, e.table, e.status, e.numFiles, e.totalSize))
+      .toDF("name", "table", "status", "num_files", "total_size")
+  }
+
+  /** system.time_zones (StorageSystemTimeZones.cpp): every zone id the
+    * engine can parse/format in — the JVM's tz database here, the same
+    * IANA set the reference embeds. */
+  def timeZones(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    java.time.ZoneId.getAvailableZoneIds.asScala.toSeq.sorted
+      .toDF("time_zone")
+  }
+
+  /** system.build_options (StorageSystemBuildOptions.cpp): how this
+    * engine was built — the Spark/Scala/JVM versions are the analog of
+    * the reference's compiler/flag rows. */
+  def buildOptions(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("ENGINE", "graft (Spark-native)"),
+      ("SPARK_VERSION", spark.version),
+      ("SCALA_VERSION", scala.util.Properties.versionNumberString),
+      ("JAVA_VERSION", System.getProperty("java.version", "unknown")))
+      .toDF("name", "value")
+  }
+
+  /** system.warnings (StorageSystemWarnings.cpp): startup warnings — a
+    * cleanly-configured single-node session has none (the reference with
+    * no warnings serves the same empty set). */
+  def warnings(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[String].toDF("message")
+  }
+
+  /** system.replicas (StorageSystemReplicas.cpp): one row per
+    * ReplicatedMergeTree table — this single-node engine has none, so
+    * the correct-schema empty set is the honest answer (matching a
+    * reference server with no Replicated tables). */
+  def replicas(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, String, Boolean, Long)]
+      .toDF("database", "table", "is_leader", "absolute_delay")
+  }
+
+  /** system.moves (StorageSystemMoves.cpp): in-flight part moves between
+    * disks — moves here are synchronous renames, so the in-flight set is
+    * always empty. */
+  def moves(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, String, Double)]
+      .toDF("table", "target_disk_name", "elapsed")
+  }
+
   /** system.settings analog (StorageSystemSettings.cpp): the session's
     * dialect-level knobs — every `SET k = v` lands under the graft.ch.*
     * conf namespace and is queryable here. */

@@ -434,7 +434,7 @@ object ChFunctionRegistry {
       ChRegistryUrlDate.builders ++ ChRegistryMisc.builders ++
       ChRegistryTail.builders ++ ChRegistryTail2.builders ++
       ChRegistryTail3.builders ++ ChRegistryTail4.builders ++
-      ChRegistryTail5.builders ++
+      ChRegistryTail5.builders ++ ChRegistryTail6.builders ++
       ChRegistryWide.builders ++ Dictionaries.builders
 
   /** Install the aliases into the session's function registry — but ONLY

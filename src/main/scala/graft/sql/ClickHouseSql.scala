@@ -820,6 +820,13 @@ object ClickHouseSql {
         "errors" -> (() => graft.sources.SystemTables.errors(spark)),
         "view_refreshes" ->
           (() => graft.sources.SystemTables.viewRefreshes(spark)),
+        "backups" -> (() => graft.sources.SystemTables.backups(spark)),
+        "time_zones" -> (() => graft.sources.SystemTables.timeZones(spark)),
+        "build_options" ->
+          (() => graft.sources.SystemTables.buildOptions(spark)),
+        "warnings" -> (() => graft.sources.SystemTables.warnings(spark)),
+        "replicas" -> (() => graft.sources.SystemTables.replicas(spark)),
+        "moves" -> (() => graft.sources.SystemTables.moves(spark)),
         // system.numbers streams unbounded in the reference
         // (StorageSystemNumbers.cpp) and every real query bounds it with
         // LIMIT or a WHERE predicate; materialize to the LARGEST bound the
@@ -895,7 +902,8 @@ object ClickHouseSql {
           "data_skipping_indices|metrics|events|asynchronous_metrics|" +
           "databases|processes|one|numbers|merges|mutations|" +
           "formats|table_engines|clusters|disks|columns|parts|" +
-          "detached_parts|projections|errors|view_refreshes)\\b",
+          "detached_parts|projections|errors|view_refreshes|" +
+          "backups|time_zones|build_options|warnings|replicas|moves)\\b",
         "graft_system_$1")
     }.mkString("'")
     if (Dictionaries.matches(trimmed))
@@ -1160,6 +1168,8 @@ object ClickHouseSql {
           s"UNDROP TABLE $t: no dropped table of that name in the holding area")
       }
       Seq("OK").toDF("status")
+    } else if (trimmed.matches("(?is)^(BACKUP|RESTORE)\\s+TABLE\\b.*")) {
+      backupRestore(spark, trimmed)
     } else if (trimmed.matches("(?is)^EXCHANGE\\s+TABLES\\b.*")) {
       // EXCHANGE TABLES a AND b (InterpreterRenameQuery exchange=true):
       // atomic in the reference; here a triple rename through a temp name
@@ -1581,6 +1591,95 @@ object ClickHouseSql {
     * DROP → UNDROP TABLE window (the holding dir is `<location>_dropped`). */
   private val droppedTables =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String, Seq[String])]()
+
+  /** Backup ledger entry — feeds system.backups
+    * (src/Storages/System/StorageSystemBackups.cpp). */
+  final case class BackupEntry(name: String, table: String, status: String,
+      numFiles: Long, totalSize: Long)
+
+  private[graft] val backupLog =
+    new java.util.concurrent.ConcurrentLinkedDeque[BackupEntry]()
+
+  /** BACKUP TABLE t TO File('path') / Disk('disk', 'path') and
+    * RESTORE TABLE t FROM … (ParserBackupQuery.h:8-31,
+    * src/Backups/BackupsWorker.cpp): a backup is the table's data dir
+    * copied under the destination plus a schema sidecar; RESTORE
+    * re-creates the table from that copy. Disk('d', 'p') resolves under
+    * /tmp/graft_disks/<d>/<p> — the named-disk analog in an engine whose
+    * storage policy is a filesystem. Synchronous (the reference's
+    * non-ASYNC form); status values match the reference's
+    * BACKUP_CREATED / RESTORED. */
+  private def backupRestore(spark: SparkSession, stmt: String)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val re = ("(?is)^(BACKUP|RESTORE)\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+" +
+      "(?:TO|FROM)\\s+(File|Disk)\\s*\\(\\s*'([^']+)'" +
+      "(?:\\s*,\\s*'([^']+)')?\\s*\\)\\s*;?\\s*$").r
+    stmt.trim match {
+      case re(verb, t, kind, a, b) =>
+        val dest = kind.toLowerCase match {
+          case "file" => a
+          case "disk" =>
+            require(b != null, "Disk('name', 'path') needs both arguments")
+            s"/tmp/graft_disks/$a/$b"
+        }
+        val conf = spark.sparkContext.hadoopConfiguration
+        val destPath = new Path(dest)
+        val fs = destPath.getFileSystem(conf)
+        if (verb.equalsIgnoreCase("BACKUP")) {
+          val loc = tableLocation(spark, t)
+          val meta = spark.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(t))
+          fs.delete(destPath, true)
+          fs.mkdirs(destPath)
+          org.apache.hadoop.fs.FileUtil.copy(fs, new Path(loc), fs,
+            new Path(destPath, "data"), false, true, conf)
+          val sidecar = fs.create(new Path(destPath, "_schema.txt"), true)
+          try sidecar.write((spark.table(t).schema.toDDL + "\n" +
+            meta.partitionColumnNames.mkString(",")).getBytes("UTF-8"))
+          finally sidecar.close()
+          val sum = fs.getContentSummary(new Path(destPath, "data"))
+          backupLog.addLast(BackupEntry(dest, t, "BACKUP_CREATED",
+            sum.getFileCount, sum.getLength))
+          Seq((dest, "BACKUP_CREATED")).toDF("id", "status")
+        } else {
+          val sidecarPath = new Path(destPath, "_schema.txt")
+          require(fs.exists(sidecarPath), s"no backup at $dest")
+          val in = fs.open(sidecarPath)
+          val text = try {
+            val buf = new Array[Byte](fs.getFileStatus(sidecarPath).getLen.toInt)
+            in.readFully(0, buf)
+            new String(buf, "UTF-8")
+          } finally in.close()
+          val lines = text.split("\n", -1)
+          val ddl = lines(0)
+          val partCols = lines.lift(1).getOrElse("")
+            .split(",").toSeq.filter(_.nonEmpty)
+          spark.sql(s"DROP TABLE IF EXISTS $t")
+          val loc = new Path(
+            spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+          fs.delete(loc, true)
+          // restore the data FIRST, then attach the catalog entry over it
+          // (managed semantics preserved: the table lives in the warehouse)
+          org.apache.hadoop.fs.FileUtil.copy(fs, new Path(destPath, "data"),
+            fs, loc, false, true, conf)
+          val partClause =
+            if (partCols.nonEmpty) s" PARTITIONED BY (${partCols.mkString(", ")})"
+            else ""
+          spark.sql(s"CREATE TABLE $t ($ddl) USING parquet$partClause " +
+            s"LOCATION '$loc'")
+          if (partCols.nonEmpty) spark.sql(s"MSCK REPAIR TABLE $t")
+          spark.sql(s"REFRESH TABLE $t")
+          refreshSkipIndexes(spark, t)
+          queryCache.clear()
+          backupLog.addLast(BackupEntry(dest, t, "RESTORED", -1L, -1L))
+          Seq((dest, "RESTORED")).toDF("id", "status")
+        }
+      case _ => throw new IllegalArgumentException(
+        "unsupported BACKUP/RESTORE form (TABLE t TO/FROM File('p') | Disk('d','p'))")
+    }
+  }
 
   /** One refreshable MV's stored definition + schedule (the reference's
     * RefreshTask state: view, target table, SELECT, REFRESH EVERY spec,

@@ -141,6 +141,28 @@ class LifecycleSpec extends SparkFunSuite {
     assert(rows.map(_.toString).toSeq == expect.map(_.toString).toSeq)
   }
 
+  test("BACKUP TABLE → mutate → RESTORE TABLE roundtrips byte-exact") {
+    val rows = queries.LifecycleQueries.queries
+      .find(_.name == "q_ch_backup_restore").get.run(spark, sf).collect()
+    assert(rows.length == 25)
+    assert(rows.forall(_.getString(4) == "BACKUP_CREATED,RESTORED"))
+    val expectCorrupted = spark.read.parquet(s"$sf/nation.parquet")
+      .filter(col("n_regionkey") < 2).count()
+    assert(rows.forall(_.getLong(3) == expectCorrupted))
+    // RESTORE of a non-existent backup is loud
+    val e = intercept[IllegalArgumentException] {
+      ch("RESTORE TABLE nope_t FROM File('/tmp/graft_no_such_backup')")
+    }
+    assert(e.getMessage.contains("no backup"))
+  }
+
+  test("system.time_zones / build_options / warnings / replicas / moves") {
+    val r = queries.LifecycleQueries.queries
+      .find(_.name == "q_system_breadth").get.run(spark, sf).collect().head
+    assert(r.getLong(0) == 3 && r.getLong(1) == 1 && r.getLong(2) == 0 &&
+      r.getLong(3) == 0 && r.getLong(4) == 0)
+  }
+
   // ---- r8 ADVICE regression pins -------------------------------------
 
   test("ADVICE medium: OPTIMIZE PARTITION DEDUPLICATE keeps NULL-partition rows") {
