@@ -249,4 +249,72 @@ object SweepKernels {
     new GenericArrayData(
       if (norm == 0.0) a else a.map(_ / norm))
   }
+
+  // ---- series analytics ----------------------------------------------
+  /** Tukey-fence outlier scores (seriesOutliersDetectTukey.cpp:148-183
+    * semantics: the reference's exact quantile rule — len·p integral →
+    * mean of the two straddling order statistics, else the ceil-th —
+    * and score = min(x−lower,0)+max(x−upper,0); 0 for in-fence points). */
+  def seriesOutliersTukey(series: ArrayData, minP: Double, maxP: Double,
+      k: Double): ArrayData = {
+    val src = series.toDoubleArray()
+    require(src.length >= 4,
+      "seriesOutliersDetectTukey needs at least four data points")
+    require(minP >= 0.02 && minP <= 0.98 && maxP >= 0.02 && maxP <= 0.98 &&
+      maxP >= minP, "percentiles must be in [0.02, 0.98], min <= max")
+    val sorted = src.sorted
+    def quantile(p: Double): Double = {
+      val pos = src.length * p
+      if (pos == math.floor(pos) && !pos.isInfinite) {
+        val i = pos.toInt - 1
+        (sorted(i) + sorted(i + 1)) / 2
+      } else sorted(math.ceil(pos).toInt - 1)
+    }
+    val q1 = quantile(minP)
+    val q2 = quantile(maxP)
+    val iqr = q2 - q1
+    val lower = q1 - k * iqr
+    val upper = q2 + k * iqr
+    new GenericArrayData(src.map(x =>
+      math.min(x - lower, 0.0) + math.max(x - upper, 0.0)))
+  }
+
+  /** Dominant period via the real-input DFT periodogram
+    * (seriesPeriodDetectFFT.cpp:117-165 semantics: bins 1..(len-1)/2−1,
+    * max magnitude → freq = idx·0.5/(specLen−1), period = round(1/freq);
+    * NaN below 4 points, 0 for a flat signal). A direct O(n²) DFT over
+    * the bounded per-row array computes the same spectrum the
+    * reference's pocketfft does. */
+  def seriesPeriodFFT(series: ArrayData): Double = {
+    val src = series.toDoubleArray()
+    val len = src.length
+    if (len < 4) return Double.NaN
+    require(len <= 65536, "seriesPeriodDetectFFT: array too large")
+    val specLen = (len - 1) / 2
+    var maxMag = 0.0
+    var idx = 1
+    var i = 1
+    while (i < specLen) {
+      var re = 0.0
+      var im = 0.0
+      var t = 0
+      while (t < len) {
+        val ang = -2.0 * math.Pi * i * t / len
+        re += src(t) * math.cos(ang)
+        im += src(t) * math.sin(ang)
+        t += 1
+      }
+      val mag = math.sqrt(re * re + im * im)
+      if (mag > maxMag) { maxMag = mag; idx = i }
+      i += 1
+    }
+    // flat signal → all non-DC bins are zero up to float noise from the
+    // cos/sin sums (the reference's pocketfft check is == 0; a direct
+    // DFT needs the relative epsilon to express the same contract)
+    val scale = src.foldLeft(0.0)((a, x) => a + math.abs(x))
+    if (maxMag <= 1e-9 * math.max(1.0, scale)) return 0.0
+    val step = 0.5 / (specLen - 1)
+    val freq = idx * step
+    math.round(1 / freq).toDouble
+  }
 }

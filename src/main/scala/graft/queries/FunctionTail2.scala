@@ -814,6 +814,27 @@ object FunctionTail2 extends QueryPack {
            (SELECT n_nationkey FROM nation WHERE n_nationkey < 10)) AS d,
         (SELECT COUNT(DISTINCT c_nationkey) FROM customer) AS na,
         (SELECT COUNT(DISTINCT n_nationkey) FROM nation
-         WHERE n_nationkey < 10) AS nb""")
+         WHERE n_nationkey < 10) AS nb"""),
+
+    // Series analytics (round 9 — seriesOutliersDetectTukey.cpp,
+    // seriesPeriodDetectFFT.cpp): Tukey fences on a planted outlier
+    // (q1=2, q3=4, k=1.5 → fences [-1, 7]; 100 scores 93) and the DFT
+    // periodogram on a period-3 signal (the reference docs' example
+    // shape), plus the <4-points NaN and flat-signal 0 contracts.
+    ch("q_fn_series", """
+      SELECT
+        arrayStringConcat(arrayMap(x -> toString(round(x, 2)),
+          seriesOutliersDetectTukey(array(1.0, 2.0, 3.0, 4.0, 100.0))), ',') AS tukey,
+        CAST(seriesPeriodDetectFFT(array(1, 4, 6, 1, 4, 6, 1, 4, 6, 1, 4, 6,
+          1, 4, 6, 1, 4, 6, 1, 4, 6)) AS BIGINT) AS period,
+        CAST(seriesPeriodDetectFFT(array(1.0, 2.0, 3.0)) AS STRING) AS short_nan,
+        CAST(seriesPeriodDetectFFT(array(5.0, 5.0, 5.0, 5.0, 5.0, 5.0, 5.0,
+          5.0)) AS BIGINT) AS flat""",
+      """
+      SELECT
+        '0.0,0.0,0.0,0.0,93.0' AS tukey,
+        CAST(3 AS BIGINT) AS period,
+        'NaN' AS short_nan,
+        CAST(0 AS BIGINT) AS flat""")
   )
 }

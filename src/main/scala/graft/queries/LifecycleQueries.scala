@@ -268,9 +268,13 @@ object LifecycleQueries extends QueryPack {
     Tables.register(s, dir)
     val t = "graft_mutbench_t"
     scratch(s, t)
+    // 8 parts: the corpus table is a single file (one input split), but a
+    // real mutation target has many parts and the rewrite parallelizes
+    // across them — 8 makes the timed path and the io-note count honest
     Tables.load(s, dir, "lineitem")
       .select("l_orderkey", "l_quantity", "l_discount", "l_returnflag",
         "l_shipdate")
+      .repartition(8, col("l_orderkey"))
       .write.saveAsTable(t)
     ch.sql(s,
       s"ALTER TABLE $t UPDATE l_discount = 0.0 WHERE l_quantity < 10")
