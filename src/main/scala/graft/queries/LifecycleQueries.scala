@@ -338,8 +338,65 @@ object LifecycleQueries extends QueryPack {
       CAST(0 AS BIGINT) AS warn, CAST(0 AS BIGINT) AS repl,
       CAST(0 AS BIGINT) AS mv"""))
 
+  /** RBAC surface (src/Access/, ParserGrantQuery.cpp): users, roles,
+    * role-carried table privileges, SHOW GRANTS, and the privilege gate
+    * on the query path — granted SELECT reads, ungranted INSERT and
+    * access management are denied, and a revoke takes effect
+    * immediately. `SET user` is the session-auth analog (single-node
+    * engine, documented in AccessControl). Self-cleaning: ends back at
+    * the default user with the test principals dropped. */
+  private val rbac = Q("q_ch_rbac", (s, dir) => {
+    Tables.register(s, dir)
+    val t = "graft_rbac_t"
+    scratch(s, t)
+    def caught(body: => Unit): Long =
+      try { body; 0L } catch { case _: SecurityException => 1L }
+    ch.sql(s, "SET user = 'default'")
+    ch.sql(s, s"""
+      CREATE MATERIALIZED VIEW $t AS
+      SELECT n_nationkey, n_name FROM nation""")
+    ch.sql(s, "DROP USER IF EXISTS rbac_alice")
+    ch.sql(s, "DROP ROLE IF EXISTS rbac_reader")
+    ch.sql(s, "CREATE USER rbac_alice")
+    ch.sql(s, "CREATE ROLE rbac_reader")
+    ch.sql(s, s"GRANT SELECT ON $t TO rbac_reader")
+    ch.sql(s, "GRANT rbac_reader TO rbac_alice")
+    try {
+      ch.sql(s, "SET user = 'rbac_alice'")
+      val canRead = ch.sql(s, s"SELECT count() AS n FROM $t")
+        .collect().head.getLong(0)
+      val deniedInsert = caught {
+        ch.sql(s, s"INSERT INTO $t SELECT n_nationkey, n_name FROM nation")
+      }
+      val deniedAdmin = caught { ch.sql(s, "CREATE USER rbac_bob") }
+      ch.sql(s, "SET user = 'default'")
+      val shown = ch.sql(s, "SHOW GRANTS FOR rbac_alice")
+        .collect().map(_.getString(0)).sorted.mkString(";")
+      ch.sql(s, s"REVOKE SELECT ON $t FROM rbac_reader")
+      ch.sql(s, "SET user = 'rbac_alice'")
+      val deniedAfterRevoke = caught {
+        ch.sql(s, s"SELECT count() AS n FROM $t").collect()
+      }
+      ch.sql(s, "SET user = 'default'")
+      import s.implicits._
+      Seq((canRead, deniedInsert, deniedAdmin, shown, deniedAfterRevoke))
+        .toDF("can_read", "denied_insert", "denied_admin", "grants_shown",
+          "denied_after_revoke")
+    } finally {
+      ch.sql(s, "SET user = 'default'")
+      ch.sql(s, "DROP USER IF EXISTS rbac_alice")
+      ch.sql(s, "DROP ROLE IF EXISTS rbac_reader")
+    }
+  }, Some("""
+    SELECT (SELECT COUNT(*) FROM nation) AS can_read,
+      CAST(1 AS BIGINT) AS denied_insert,
+      CAST(1 AS BIGINT) AS denied_admin,
+      'GRANT rbac_reader TO rbac_alice' AS grants_shown,
+      CAST(1 AS BIGINT) AS denied_after_revoke"""))
+
   override def queries: Seq[Q] = Seq(
     replacePartition, movePartition, fetchPartition, undropTable,
     refreshMv, optimizeDedupBy, limitOffsetBy, dynamicTyped,
-    systemMaintenance, mutationRewrite, backupRestore, systemBreadth)
+    systemMaintenance, mutationRewrite, backupRestore, systemBreadth,
+    rbac)
 }

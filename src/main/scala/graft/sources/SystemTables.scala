@@ -298,6 +298,27 @@ object SystemTables {
       .toDF("table", "target_disk_name", "elapsed")
   }
 
+  /** system.users (StorageSystemUsers.cpp): the bootstrap `default`
+    * plus every CREATE USER. */
+  def users(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    graft.sql.AccessControl.listUsers.toDF("name")
+  }
+
+  /** system.roles (StorageSystemRoles.cpp). */
+  def rolesTable(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    graft.sql.AccessControl.listRoles.toDF("name")
+  }
+
+  /** system.grants (StorageSystemGrants.cpp): one row per granted
+    * privilege or role. */
+  def grantsTable(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    graft.sql.AccessControl.listGrants
+      .toDF("grantee", "access_type", "target")
+  }
+
   /** system.settings analog (StorageSystemSettings.cpp): the session's
     * dialect-level knobs — every `SET k = v` lands under the graft.ch.*
     * conf namespace and is queryable here. */

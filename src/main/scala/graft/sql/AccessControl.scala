@@ -1,0 +1,229 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Access-control statement surface + enforcement — the reference's
+  * RBAC (src/Access/AccessControl.h, src/Parsers/Access/
+  * ParserGrantQuery.cpp, ParserCreateUserQuery.cpp):
+  * CREATE/DROP USER and ROLE, GRANT/REVOKE of table privileges and
+  * roles, SHOW GRANTS, and privilege CHECKS on the query path.
+  *
+  * Honest single-node mapping: the reference authenticates users at
+  * connection time; this engine is one in-process session, so
+  * `SET user = '<name>'` is the session-auth analog (mirroring the SET
+  * query_id pattern). The `default` user is the bootstrap superuser
+  * (the reference ships the same): it bypasses checks and is the only
+  * user allowed to administer users/roles/grants (the reference's
+  * ACCESS MANAGEMENT privilege, granted only to default here).
+  * Enforced verbs: SELECT / INSERT / ALTER / DROP / OPTIMIZE /
+  * TRUNCATE on catalog tables; ALL covers everything. Statement
+  * classes outside that list (formats, SHOW, EXPLAIN, SYSTEM) are
+  * unrestricted, a documented simplification.
+  */
+object AccessControl {
+
+  final case class Grant(grantee: String, privilege: String, target: String)
+
+  private val users =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean])
+  private val roles =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean])
+  private val grants =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[Grant, java.lang.Boolean])
+  /** grantee → granted roles. */
+  private val roleGrants =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+
+  def currentUser(spark: SparkSession): String =
+    spark.conf.getOption("graft.ch.user")
+      .map(_.stripPrefix("'").stripSuffix("'"))
+      .filter(_.nonEmpty)
+      .getOrElse("default")
+
+  def listUsers: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    ("default" +: users.asScala.toSeq).distinct.sorted
+  }
+
+  def listRoles: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    roles.asScala.toSeq.sorted
+  }
+
+  def listGrants: Seq[(String, String, String)] = {
+    import scala.jdk.CollectionConverters._
+    (grants.asScala.toSeq.map(g => (g.grantee, g.privilege, g.target)) ++
+      roleGrants.asScala.toSeq.flatMap { case (u, rs) =>
+        rs.toSeq.map(r => (u, "ROLE", r))
+      }).sorted
+  }
+
+  def matches(stmt: String): Boolean =
+    stmt.matches("(?is)^(CREATE|DROP)\\s+(USER|ROLE)\\b.*") ||
+      stmt.matches("(?is)^(GRANT|REVOKE)\\b.*") ||
+      stmt.matches("(?is)^SHOW\\s+GRANTS\\b.*")
+
+  def execute(spark: SparkSession, stmt0: String): DataFrame = {
+    import spark.implicits._
+    val stmt = stmt0.trim.replaceFirst(";\\s*$", "")
+    val me = currentUser(spark)
+    def ok = Seq("OK").toDF("status")
+    val createUser = ("(?is)^CREATE\\s+USER\\s+(IF\\s+NOT\\s+EXISTS\\s+)?" +
+      "([A-Za-z_][A-Za-z0-9_]*)(\\s+IDENTIFIED\\s+.*)?$").r
+    val dropUser = "(?is)^DROP\\s+USER\\s+(IF\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_]*)$".r
+    val createRole = "(?is)^CREATE\\s+ROLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_]*)$".r
+    val dropRole = "(?is)^DROP\\s+ROLE\\s+(IF\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_]*)$".r
+    val grantPriv = ("(?is)^GRANT\\s+(.+?)\\s+ON\\s+(\\*\\.\\*|\\*|[A-Za-z_][A-Za-z0-9_.]*)\\s+" +
+      "TO\\s+(.+)$").r
+    val revokePriv = ("(?is)^REVOKE\\s+(.+?)\\s+ON\\s+(\\*\\.\\*|\\*|[A-Za-z_][A-Za-z0-9_.]*)\\s+" +
+      "FROM\\s+(.+)$").r
+    val grantRole = "(?is)^GRANT\\s+([A-Za-z_][A-Za-z0-9_,\\s]*)\\s+TO\\s+(.+)$".r
+    val revokeRole = "(?is)^REVOKE\\s+([A-Za-z_][A-Za-z0-9_,\\s]*)\\s+FROM\\s+(.+)$".r
+    val showFor = "(?is)^SHOW\\s+GRANTS(?:\\s+FOR\\s+([A-Za-z_][A-Za-z0-9_]*))?$".r
+
+    def names(s: String): Seq[String] =
+      s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    def privs(s: String): Seq[String] =
+      names(s).map(_.replaceAll("(?i)\\s+PRIVILEGES$", "").toUpperCase)
+    def requireAdmin(): Unit =
+      if (me != "default") throw new SecurityException(
+        s"$me: Not enough privileges. Access management requires the " +
+          "default (bootstrap) user in this engine")
+    def knownGrantee(g: String): Unit =
+      require(g == "default" || users.contains(g) || roles.contains(g),
+        s"there is no user or role `$g`")
+
+    stmt match {
+      case showFor(who) =>
+        val target = Option(who).getOrElse(me)
+        val rows =
+          listGrants.filter(_._1 == target).map {
+            case (_, "ROLE", r) => s"GRANT $r TO $target"
+            case (_, p, t) => s"GRANT $p ON $t TO $target"
+          }
+        rows.toDF("grants")
+      case createUser(ifNot, name, _) =>
+        requireAdmin()
+        if (!users.add(name) && ifNot == null)
+          throw new IllegalArgumentException(s"user `$name` already exists")
+        ok
+      case dropUser(ifEx, name) =>
+        requireAdmin()
+        if (!users.remove(name) && ifEx == null)
+          throw new IllegalArgumentException(s"there is no user `$name`")
+        roleGrants.remove(name)
+        import scala.jdk.CollectionConverters._
+        grants.asScala.filter(_.grantee == name).foreach(grants.remove)
+        ok
+      case createRole(ifNot, name) =>
+        requireAdmin()
+        if (!roles.add(name) && ifNot == null)
+          throw new IllegalArgumentException(s"role `$name` already exists")
+        ok
+      case dropRole(ifEx, name) =>
+        requireAdmin()
+        if (!roles.remove(name) && ifEx == null)
+          throw new IllegalArgumentException(s"there is no role `$name`")
+        import scala.jdk.CollectionConverters._
+        grants.asScala.filter(_.grantee == name).foreach(grants.remove)
+        roleGrants.replaceAll((_, rs) => rs - name)
+        ok
+      case grantPriv(ps, target, to) =>
+        requireAdmin()
+        for (g <- names(to); p <- privs(ps)) {
+          knownGrantee(g)
+          grants.add(Grant(g, p, target.toLowerCase))
+        }
+        ok
+      case revokePriv(ps, target, from) =>
+        requireAdmin()
+        for (g <- names(from); p <- privs(ps))
+          grants.remove(Grant(g, p, target.toLowerCase))
+        ok
+      case grantRole(rs, to) if names(rs).forall(roles.contains) =>
+        requireAdmin()
+        for (g <- names(to); r <- names(rs)) {
+          knownGrantee(g)
+          roleGrants.merge(g, Set(r), _ ++ _)
+        }
+        ok
+      case revokeRole(rs, from) if names(rs).forall(roles.contains) =>
+        requireAdmin()
+        for (g <- names(from); r <- names(rs))
+          roleGrants.computeIfPresent(g, (_, cur) => cur - r)
+        ok
+      case _ => throw new IllegalArgumentException(
+        s"unsupported access-control statement: $stmt0")
+    }
+  }
+
+  /** All privileges effective for `who`: direct grants plus grants to
+    * any (transitively) granted role. */
+  private def effective(who: String): Set[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    val seen = scala.collection.mutable.Set[String]()
+    def walk(g: String): Unit = if (seen.add(g))
+      roleGrants.getOrDefault(g, Set.empty).foreach(walk)
+    walk(who)
+    grants.asScala.toSet
+      .filter(g => seen.contains(g.grantee))
+      .map(g => (g.privilege, g.target))
+  }
+
+  private def allowed(who: String, priv: String, table: String): Boolean =
+    effective(who).exists { case (p, t) =>
+      (p == "ALL" || p == priv) &&
+        (t == "*.*" || t == "*" || t == table.toLowerCase ||
+          t.endsWith("." + table.toLowerCase))
+    }
+
+  /** Catalog tables the statement touches (regex identifier scan,
+    * filtered to real catalog tables — aliases/CTEs/system views drop
+    * out). Driver-side metadata only. */
+  private def touchedTables(spark: SparkSession, stmt: String): Seq[String] = {
+    val ids = ("(?is)\\b(?:FROM|JOIN|INTO|TABLE)\\s+" +
+      "([A-Za-z_][A-Za-z0-9_.]*)").r
+      .findAllMatchIn(stmt).map(_.group(1)).toSeq.distinct
+      .filterNot(_.toLowerCase.startsWith("system."))
+    val catalog = spark.sessionState.catalog
+    ids.filter { t =>
+      try catalog.tableExists(org.apache.spark.sql.catalyst.TableIdentifier(t)) &&
+        catalog.getTempView(t.toLowerCase(java.util.Locale.ROOT)).isEmpty
+      catch { case _: Exception => false }
+    }
+  }
+
+  /** Privilege gate for a dialect statement; no-op for the bootstrap
+    * `default` user. */
+  def enforce(spark: SparkSession, stmt0: String): Unit = {
+    val me = currentUser(spark)
+    if (me == "default") return
+    val stmt = stmt0.trim
+    // SET always passes — it is the session-auth channel itself (a
+    // wedged unknown user could otherwise never switch back)
+    if (stmt.matches("(?is)^SET\\b.*")) return
+    require(users.contains(me),
+      s"unknown user `$me` (SET user names a user created with CREATE USER)")
+    val priv =
+      if (stmt.matches("(?is)^(SELECT|WITH)\\b.*")) Some("SELECT")
+      else if (stmt.matches("(?is)^INSERT\\b.*")) Some("INSERT")
+      else if (stmt.matches("(?is)^(ALTER|OPTIMIZE|DELETE)\\b.*")) Some("ALTER")
+      else if (stmt.matches("(?is)^(DROP|TRUNCATE)\\b.*")) Some("DROP")
+      else None
+    priv.foreach { p =>
+      touchedTables(spark, stmt).foreach { t =>
+        if (!allowed(me, p, t)) throw new SecurityException(
+          s"$me: Not enough privileges. To execute this query, it's " +
+            s"necessary to have the grant $p ON $t")
+      }
+    }
+  }
+
+  /** Test/maintenance reset. */
+  private[graft] def reset(): Unit = {
+    users.clear(); roles.clear(); grants.clear(); roleGrants.clear()
+  }
+}

@@ -665,6 +665,9 @@ object ClickHouseSql {
     // optimize_trivial_count_query analog: bare SELECT count() answers
     // from parquet footers (graft.plans.TrivialCount), never scanning
     graft.plans.TrivialCount.install(spark)
+    // RBAC gate (src/Access/): privilege check for the session's SET
+    // user against the grant table — no-op for the bootstrap default
+    AccessControl.enforce(spark, chSql)
     // Query parameters (src/Parsers/ASTQueryParameter.h:10): `{name:Type}`
     // placeholders substitute as TYPE-CHECKED literals from the session's
     // `SET param_<name> = v` values, before any other rewriting. Only
@@ -821,6 +824,9 @@ object ClickHouseSql {
         "view_refreshes" ->
           (() => graft.sources.SystemTables.viewRefreshes(spark)),
         "backups" -> (() => graft.sources.SystemTables.backups(spark)),
+        "users" -> (() => graft.sources.SystemTables.users(spark)),
+        "roles" -> (() => graft.sources.SystemTables.rolesTable(spark)),
+        "grants" -> (() => graft.sources.SystemTables.grantsTable(spark)),
         "time_zones" -> (() => graft.sources.SystemTables.timeZones(spark)),
         "build_options" ->
           (() => graft.sources.SystemTables.buildOptions(spark)),
@@ -903,7 +909,8 @@ object ClickHouseSql {
           "databases|processes|one|numbers|merges|mutations|" +
           "formats|table_engines|clusters|disks|columns|parts|" +
           "detached_parts|projections|errors|view_refreshes|" +
-          "backups|time_zones|build_options|warnings|replicas|moves)\\b",
+          "backups|time_zones|build_options|warnings|replicas|moves|" +
+          "users|roles|grants)\\b",
         "graft_system_$1")
     }.mkString("'")
     if (Dictionaries.matches(trimmed))
@@ -1170,6 +1177,8 @@ object ClickHouseSql {
       Seq("OK").toDF("status")
     } else if (trimmed.matches("(?is)^(BACKUP|RESTORE)\\s+TABLE\\b.*")) {
       backupRestore(spark, trimmed)
+    } else if (AccessControl.matches(trimmed)) {
+      AccessControl.execute(spark, trimmed)
     } else if (trimmed.matches("(?is)^EXCHANGE\\s+TABLES\\b.*")) {
       // EXCHANGE TABLES a AND b (InterpreterRenameQuery exchange=true):
       // atomic in the reference; here a triple rename through a temp name

@@ -163,6 +163,36 @@ class LifecycleSpec extends SparkFunSuite {
       r.getLong(3) == 0 && r.getLong(4) == 0)
   }
 
+  test("RBAC: role-carried grants enforce; revoke immediate; admin gated") {
+    try {
+      val r = queries.LifecycleQueries.queries
+        .find(_.name == "q_ch_rbac").get.run(spark, sf).collect().head
+      assert(r.getLong(0) == 25L, "granted SELECT must read")
+      assert(r.getLong(1) == 1L, "ungranted INSERT must be denied")
+      assert(r.getLong(2) == 1L, "non-default user cannot administer")
+      assert(r.getString(3) == "GRANT rbac_reader TO rbac_alice")
+      assert(r.getLong(4) == 1L, "revoke must take effect immediately")
+    } finally ch("SET user = 'default'")
+    // wildcard target + unknown-user loudness
+    ch("CREATE USER IF NOT EXISTS rbac_root")
+    ch("GRANT ALL ON *.* TO rbac_root")
+    ch("SET user = 'rbac_root'")
+    try assert(ch("SELECT count() AS n FROM graft_rbac_t").collect()
+      .head.getLong(0) == 25L)
+    finally ch("SET user = 'default'")
+    ch("DROP USER rbac_root")
+    ch("SET user = 'rbac_nobody'")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        ch("SELECT 1 AS x FROM graft_rbac_t")
+      }
+      assert(e.getMessage.contains("unknown user"))
+    } finally ch("SET user = 'default'")
+    // users/roles/grants introspection tables serve
+    assert(ch("SELECT name FROM system.users").collect()
+      .map(_.getString(0)).contains("default"))
+  }
+
   // ---- r8 ADVICE regression pins -------------------------------------
 
   test("ADVICE medium: OPTIMIZE PARTITION DEDUPLICATE keeps NULL-partition rows") {
