@@ -394,9 +394,55 @@ object LifecycleQueries extends QueryPack {
       'GRANT rbac_reader TO rbac_alice' AS grants_shown,
       CAST(1 AS BIGINT) AS denied_after_revoke"""))
 
+  /** Row policies (ASTCreateRowPolicyQuery): a covered user's reads of
+    * the policed table see only rows passing the USING condition — the
+    * filter applies to ANY query shape via name shadowing — while the
+    * default user keeps the unfiltered table; system.row_policies lists
+    * the policy. Self-cleaning. */
+  private val rowPolicy = Q("q_ch_row_policy", (s, dir) => {
+    Tables.register(s, dir)
+    val t = "graft_rp_t"
+    scratch(s, t)
+    ch.sql(s, "SET user = 'default'")
+    ch.sql(s, s"""
+      CREATE MATERIALIZED VIEW $t AS
+      SELECT n_nationkey, n_name, n_regionkey FROM nation""")
+    ch.sql(s, "DROP USER IF EXISTS rp_bob")
+    ch.sql(s, s"DROP ROW POLICY IF EXISTS rp_pol ON $t")
+    ch.sql(s, "CREATE USER rp_bob")
+    ch.sql(s, s"GRANT SELECT ON $t TO rp_bob")
+    ch.sql(s, s"CREATE ROW POLICY rp_pol ON $t USING n_regionkey < 2 TO rp_bob")
+    try {
+      ch.sql(s, "SET user = 'rp_bob'")
+      val bobN = ch.sql(s, s"SELECT count() AS n FROM $t")
+        .collect().head.getLong(0)
+      val bobAgg = ch.sql(s, s"""
+        SELECT CAST(max(n_regionkey) AS BIGINT) AS m FROM $t""")
+        .collect().head.getLong(0)
+      ch.sql(s, "SET user = 'default'")
+      val defN = ch.sql(s, s"SELECT count() AS n FROM $t")
+        .collect().head.getLong(0)
+      val listed = ch.sql(s, s"""
+        SELECT count() AS n FROM system.row_policies
+        WHERE name = 'rp_pol' AND `table` = '$t'""")
+        .collect().head.getLong(0)
+      import s.implicits._
+      Seq((bobN, bobAgg, defN, listed))
+        .toDF("bob_n", "bob_max_region", "default_n", "policy_listed")
+    } finally {
+      ch.sql(s, "SET user = 'default'")
+      ch.sql(s, s"DROP ROW POLICY IF EXISTS rp_pol ON $t")
+      ch.sql(s, "DROP USER IF EXISTS rp_bob")
+    }
+  }, Some("""
+    SELECT (SELECT COUNT(*) FROM nation WHERE n_regionkey < 2) AS bob_n,
+      CAST(1 AS BIGINT) AS bob_max_region,
+      (SELECT COUNT(*) FROM nation) AS default_n,
+      CAST(1 AS BIGINT) AS policy_listed"""))
+
   override def queries: Seq[Q] = Seq(
     replacePartition, movePartition, fetchPartition, undropTable,
     refreshMv, optimizeDedupBy, limitOffsetBy, dynamicTyped,
     systemMaintenance, mutationRewrite, backupRestore, systemBreadth,
-    rbac)
+    rbac, rowPolicy)
 }

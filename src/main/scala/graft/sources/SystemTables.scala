@@ -319,6 +319,13 @@ object SystemTables {
       .toDF("grantee", "access_type", "target")
   }
 
+  /** system.row_policies (StorageSystemRowPolicies.cpp). */
+  def rowPolicies(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    graft.sql.AccessControl.listRowPolicies
+      .toDF("name", "table", "select_filter", "apply_to")
+  }
+
   /** system.settings analog (StorageSystemSettings.cpp): the session's
     * dialect-level knobs — every `SET k = v` lands under the graft.ch.*
     * conf namespace and is queryable here. */

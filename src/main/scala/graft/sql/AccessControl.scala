@@ -61,8 +61,26 @@ object AccessControl {
       }).sorted
   }
 
+  /** One row policy (ASTCreateRowPolicyQuery: `CREATE ROW POLICY name ON
+    * table USING condition TO {grantees | ALL}`): reads of `table` by a
+    * covered non-default user see only rows passing `condition`. */
+  final case class RowPolicy(name: String, table: String, condition: String,
+      appliesTo: Set[String]) // empty = ALL
+
+  private val rowPolicies =
+    new java.util.concurrent.ConcurrentHashMap[String, RowPolicy]()
+
+  def listRowPolicies: Seq[(String, String, String, String)] = {
+    import scala.jdk.CollectionConverters._
+    rowPolicies.asScala.values.toSeq
+      .map(p => (p.name, p.table, p.condition,
+        if (p.appliesTo.isEmpty) "ALL" else p.appliesTo.toSeq.sorted.mkString(",")))
+      .sortBy(_._1)
+  }
+
   def matches(stmt: String): Boolean =
     stmt.matches("(?is)^(CREATE|DROP)\\s+(USER|ROLE)\\b.*") ||
+      stmt.matches("(?is)^(CREATE|DROP)\\s+ROW\\s+POLICY\\b.*") ||
       stmt.matches("(?is)^(GRANT|REVOKE)\\b.*") ||
       stmt.matches("(?is)^SHOW\\s+GRANTS\\b.*")
 
@@ -96,7 +114,29 @@ object AccessControl {
       require(g == "default" || users.contains(g) || roles.contains(g),
         s"there is no user or role `$g`")
 
+    val createPolicy = ("(?is)^CREATE\\s+ROW\\s+POLICY\\s+(IF\\s+NOT\\s+EXISTS\\s+)?" +
+      "([A-Za-z_][A-Za-z0-9_]*)\\s+ON\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+" +
+      "USING\\s+(.+?)(?:\\s+TO\\s+(.+))?$").r
+    val dropPolicy = ("(?is)^DROP\\s+ROW\\s+POLICY\\s+(IF\\s+EXISTS\\s+)?" +
+      "([A-Za-z_][A-Za-z0-9_]*)\\s+ON\\s+([A-Za-z_][A-Za-z0-9_.]*)$").r
+
     stmt match {
+      case createPolicy(ifNot, name, table, cond, to) =>
+        requireAdmin()
+        val appliesTo = Option(to).map(_.trim) match {
+          case None | Some("ALL") => Set.empty[String]
+          case Some(list) => names(list).toSet
+        }
+        if (rowPolicies.putIfAbsent(name,
+            RowPolicy(name, table.toLowerCase, cond.trim, appliesTo)) != null
+          && ifNot == null)
+          throw new IllegalArgumentException(s"row policy `$name` already exists")
+        ok
+      case dropPolicy(ifEx, name, _) =>
+        requireAdmin()
+        if (rowPolicies.remove(name) == null && ifEx == null)
+          throw new IllegalArgumentException(s"there is no row policy `$name`")
+        ok
       case showFor(who) =>
         val target = Option(who).getOrElse(me)
         val rows =
@@ -196,6 +236,56 @@ object AccessControl {
     }
   }
 
+  /** Does the policy cover `who` (directly, via a granted role, or via
+    * the ALL form)? */
+  private def covers(p: RowPolicy, who: String): Boolean =
+    p.appliesTo.isEmpty || {
+      val seen = scala.collection.mutable.Set[String]()
+      def walk(g: String): Unit = if (seen.add(g))
+        roleGrants.getOrDefault(g, Set.empty).foreach(walk)
+      walk(who)
+      p.appliesTo.exists(seen.contains)
+    }
+
+  /** Names currently shadowed by a policy-filter view. */
+  private val activeShadows =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean])
+
+  /** Apply/retire row-policy shadow views for the CURRENT user before a
+    * statement resolves. A policed catalog table is shadowed by a TEMP
+    * VIEW of the same name holding the filtered read (temp views win
+    * name resolution), so the policy applies to every query shape with
+    * no SQL rewriting; the shadow retires as soon as the session user is
+    * no longer covered. Pre-existing user temp views of the same name
+    * are never clobbered (temp-view-backed names are out of policy
+    * scope — the reference's policies are table-engine level too). */
+  def applyRowPolicies(spark: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    val me = currentUser(spark)
+    val policies = rowPolicies.asScala.values.toSeq
+    activeShadows.asScala.toSeq.foreach { t =>
+      val live = me != "default" &&
+        policies.exists(p => p.table == t && covers(p, me))
+      if (!live) { spark.catalog.dropTempView(t); activeShadows.remove(t) }
+    }
+    if (me == "default") return
+    policies.filter(p => covers(p, me)).foreach { p =>
+      val catalog = spark.sessionState.catalog
+      val isCatalogTable = scala.util.Try(catalog.tableExists(
+        org.apache.spark.sql.catalyst.TableIdentifier(p.table))).getOrElse(false)
+      val freeName = catalog
+        .getTempView(p.table.toLowerCase(java.util.Locale.ROOT)).isEmpty
+      if (!activeShadows.contains(p.table) && isCatalogTable && freeName) {
+        // resolve the CATALOG table first, then shadow its name
+        val filtered = spark.table(p.table)
+          .filter(org.apache.spark.sql.functions.expr(p.condition))
+        filtered.createOrReplaceTempView(p.table)
+        activeShadows.add(p.table)
+      }
+    }
+  }
+
   /** Privilege gate for a dialect statement; no-op for the bootstrap
     * `default` user. */
   def enforce(spark: SparkSession, stmt0: String): Unit = {
@@ -225,5 +315,6 @@ object AccessControl {
   /** Test/maintenance reset. */
   private[graft] def reset(): Unit = {
     users.clear(); roles.clear(); grants.clear(); roleGrants.clear()
+    rowPolicies.clear()
   }
 }

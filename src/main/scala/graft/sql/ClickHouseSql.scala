@@ -666,8 +666,10 @@ object ClickHouseSql {
     // from parquet footers (graft.plans.TrivialCount), never scanning
     graft.plans.TrivialCount.install(spark)
     // RBAC gate (src/Access/): privilege check for the session's SET
-    // user against the grant table — no-op for the bootstrap default
+    // user against the grant table — no-op for the bootstrap default —
+    // and row-policy shadow maintenance (applies/retires filtered views)
     AccessControl.enforce(spark, chSql)
+    AccessControl.applyRowPolicies(spark)
     // Query parameters (src/Parsers/ASTQueryParameter.h:10): `{name:Type}`
     // placeholders substitute as TYPE-CHECKED literals from the session's
     // `SET param_<name> = v` values, before any other rewriting. Only
@@ -827,6 +829,8 @@ object ClickHouseSql {
         "users" -> (() => graft.sources.SystemTables.users(spark)),
         "roles" -> (() => graft.sources.SystemTables.rolesTable(spark)),
         "grants" -> (() => graft.sources.SystemTables.grantsTable(spark)),
+        "row_policies" ->
+          (() => graft.sources.SystemTables.rowPolicies(spark)),
         "time_zones" -> (() => graft.sources.SystemTables.timeZones(spark)),
         "build_options" ->
           (() => graft.sources.SystemTables.buildOptions(spark)),
@@ -910,7 +914,7 @@ object ClickHouseSql {
           "formats|table_engines|clusters|disks|columns|parts|" +
           "detached_parts|projections|errors|view_refreshes|" +
           "backups|time_zones|build_options|warnings|replicas|moves|" +
-          "users|roles|grants)\\b",
+          "users|roles|grants|row_policies)\\b",
         "graft_system_$1")
     }.mkString("'")
     if (Dictionaries.matches(trimmed))

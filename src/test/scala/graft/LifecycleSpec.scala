@@ -193,6 +193,22 @@ class LifecycleSpec extends SparkFunSuite {
       .map(_.getString(0)).contains("default"))
   }
 
+  test("row policies: covered user sees filtered rows; default unfiltered") {
+    try {
+      val r = queries.LifecycleQueries.queries
+        .find(_.name == "q_ch_row_policy").get.run(spark, sf).collect().head
+      val expect = spark.read.parquet(s"$sf/nation.parquet")
+        .filter(col("n_regionkey") < 2).count()
+      assert(r.getLong(0) == expect, "policed read must be filtered")
+      assert(r.getLong(1) == 1L, "filter must apply inside aggregates too")
+      assert(r.getLong(2) == 25L, "default user reads unfiltered")
+      assert(r.getLong(3) == 1L, "system.row_policies must list the policy")
+    } finally ch("SET user = 'default'")
+    // shadow retires with the user: the table name resolves unfiltered now
+    assert(ch("SELECT count() AS n FROM graft_rp_t").collect()
+      .head.getLong(0) == 25L)
+  }
+
   // ---- r8 ADVICE regression pins -------------------------------------
 
   test("ADVICE medium: OPTIMIZE PARTITION DEDUPLICATE keeps NULL-partition rows") {
