@@ -250,6 +250,92 @@ object SweepKernels {
       if (norm == 0.0) a else a.map(_ / norm))
   }
 
+  // ---- sqids (sqid.cpp wraps sqids-cpp; this is the PUBLISHED sqids
+  // spec — consistent shuffle, offset rotation, reversed alphabet,
+  // separator-re-shuffled chunks; default alphabet, no blocklist (the
+  // blocklist only re-encodes ids spelling rude words — documented).
+  // Published vectors: encode(1,2,3)='86Rf07', encode(0)='bM'. --------
+  private val SqidsDefault =
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+
+  private def sqShuffle(al: String): String = {
+    val a = al.toCharArray
+    var i = 0
+    var j = a.length - 1
+    while (j > 0) {
+      val r = (i * j + a(i).toInt + a(j).toInt) % a.length
+      val t = a(i); a(i) = a(r); a(r) = t
+      i += 1; j -= 1
+    }
+    new String(a)
+  }
+
+  private val sqAlphabet = sqShuffle(SqidsDefault)
+
+  private def sqToId(num: Long, al: String): String = {
+    val sb = new StringBuilder
+    var r = num
+    while ({
+      sb.insert(0, al((r % al.length).toInt))
+      r /= al.length
+      r != 0
+    }) ()
+    sb.toString
+  }
+
+  def sqidEncode(nums: ArrayData): UTF8String = {
+    val ns = nums.toLongArray()
+    require(ns.forall(_ >= 0), "sqidEncode needs non-negative numbers")
+    var al = sqAlphabet
+    var offset = ns.length
+    ns.zipWithIndex.foreach { case (v, i) =>
+      offset += al((v % al.length).toInt).toInt + i
+    }
+    offset %= al.length
+    al = al.substring(offset) + al.substring(0, offset)
+    val prefix = al(0)
+    al = al.reverse
+    val out = new StringBuilder().append(prefix)
+    ns.zipWithIndex.foreach { case (num, i) =>
+      out.append(sqToId(num, al.substring(1)))
+      if (i < ns.length - 1) {
+        out.append(al(0))
+        al = sqShuffle(al)
+      }
+    }
+    UTF8String.fromString(out.toString)
+  }
+
+  def sqidDecode(id0: UTF8String): ArrayData = {
+    val full = id0.toString
+    if (full.isEmpty) return new GenericArrayData(Array.empty[Long])
+    var al = sqAlphabet
+    val offset = al.indexOf(full(0))
+    require(offset >= 0, s"sqidDecode: invalid id '$full'")
+    al = al.substring(offset) + al.substring(0, offset)
+    al = al.reverse
+    var rest = full.substring(1)
+    val nums = scala.collection.mutable.ArrayBuffer[Long]()
+    while (rest.nonEmpty) {
+      val sep = al(0)
+      val cut = rest.indexOf(sep)
+      val (chunk, tail) =
+        if (cut < 0) (rest, "") else (rest.substring(0, cut), rest.substring(cut + 1))
+      if (chunk.isEmpty) return new GenericArrayData(nums.toArray)
+      var n = 0L
+      val digits = al.substring(1)
+      chunk.foreach { c =>
+        val d = digits.indexOf(c)
+        require(d >= 0, s"sqidDecode: invalid id '$full'")
+        n = n * digits.length + d
+      }
+      nums += n
+      rest = tail
+      if (rest.nonEmpty) al = sqShuffle(al)
+    }
+    new GenericArrayData(nums.toArray)
+  }
+
   // ---- series analytics ----------------------------------------------
   /** Tukey-fence outlier scores (seriesOutliersDetectTukey.cpp:148-183
     * semantics: the reference's exact quantile rule — len·p integral →

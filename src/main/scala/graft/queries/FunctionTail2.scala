@@ -835,6 +835,24 @@ object FunctionTail2 extends QueryPack {
         '0.0,0.0,0.0,0.0,93.0' AS tukey,
         CAST(3 AS BIGINT) AS period,
         'NaN' AS short_nan,
-        CAST(0 AS BIGINT) AS flat""")
+        CAST(0 AS BIGINT) AS flat"""),
+
+    // sqids (round 9 — sqid.cpp; the published sqids spec with the
+    // default alphabet): the spec's own vectors ('86Rf07' for [1,2,3],
+    // 'bM' for [0]) plus decode and a multi-number roundtrip.
+    ch("q_fn_sqids", """
+      SELECT
+        sqidEncode(1, 2, 3) AS s123,
+        sqid(0) AS s0,
+        arrayStringConcat(arrayMap(x -> toString(x),
+          sqidDecode('86Rf07')), ',') AS d123,
+        arrayStringConcat(arrayMap(x -> toString(x),
+          sqidDecode(sqidEncode(123456789, 42, 0))), ',') AS rt""",
+      """
+      SELECT
+        '86Rf07' AS s123,
+        'bM' AS s0,
+        '1,2,3' AS d123,
+        '123456789,42,0' AS rt""")
   )
 }

@@ -212,6 +212,71 @@ object LlmPipeline2 extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // --- Gopher-rules keep/drop decision (round 9) ----------------------
+    // The COMPOSED document filter of Rae et al. 2021 §A1.1 (the Gopher
+    // corpus rules; the published MassiveText pipeline): word-count
+    // bounds, mean-word-length band, alphabetic-word fraction, and
+    // stop-word presence — each rule a codegen'd per-row expression, the
+    // decision their conjunction. Output = per-rule failure counts + the
+    // kept-set size, so every rule is individually hash-verified. At
+    // 100 TB this runs as a single projection over the corpus scan: no
+    // shuffle, no state.
+    Q.df("q_quality_gopher_rules", """
+      WITH w AS (SELECT doc_id,
+          LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), t -> LEN(t) > 0) AS ws,
+          LEN(REPLACE(LOWER(text), ' ', '')) AS chars
+        FROM documents),
+      m AS (SELECT doc_id, LEN(ws) AS wc,
+          CAST(chars AS DOUBLE) / GREATEST(LEN(ws), 1) AS mwl,
+          CAST(LEN(LIST_FILTER(ws, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+            / GREATEST(LEN(ws), 1) AS alpha_frac,
+          (CASE WHEN LIST_CONTAINS(ws, 'the') THEN 1 ELSE 0 END
+           + CASE WHEN LIST_CONTAINS(ws, 'and') THEN 1 ELSE 0 END
+           + CASE WHEN LIST_CONTAINS(ws, 'of') THEN 1 ELSE 0 END
+           + CASE WHEN LIST_CONTAINS(ws, 'to') THEN 1 ELSE 0 END
+           + CASE WHEN LIST_CONTAINS(ws, 'a') THEN 1 ELSE 0 END) AS stop_hits
+        FROM w)
+      SELECT
+        CAST(SUM(CASE WHEN wc < 50 OR wc > 100000 THEN 1 ELSE 0 END) AS BIGINT)
+          AS fail_wc,
+        CAST(SUM(CASE WHEN mwl < 3 OR mwl > 10 THEN 1 ELSE 0 END) AS BIGINT)
+          AS fail_mwl,
+        CAST(SUM(CASE WHEN alpha_frac < 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+          AS fail_alpha,
+        CAST(SUM(CASE WHEN stop_hits < 2 THEN 1 ELSE 0 END) AS BIGINT)
+          AS fail_stop,
+        CAST(SUM(CASE WHEN wc BETWEEN 50 AND 100000
+                       AND mwl BETWEEN 3 AND 10
+                       AND alpha_frac >= 0.8
+                       AND stop_hits >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+          AS kept,
+        CAST(COUNT(*) AS BIGINT) AS total
+      FROM m""") { (s, dir) =>
+      val ws = filter(split(lower(col("text")), " "), t => length(t) > 0)
+      val m = Tables.load(s, dir, "documents").select(
+        size(ws).as("wc"),
+        (length(regexp_replace(lower(col("text")), " ", "")).cast("double") /
+          greatest(size(ws), lit(1))).as("mwl"),
+        (size(filter(ws, t => t.rlike("[a-z]"))).cast("double") /
+          greatest(size(ws), lit(1))).as("alpha_frac"),
+        Seq("the", "and", "of", "to", "a").map(w =>
+          when(array_contains(ws, w), 1).otherwise(0))
+          .reduce(_ + _).as("stop_hits"))
+      m.agg(
+        sum(when(col("wc") < 50 || col("wc") > 100000, 1).otherwise(0))
+          .cast("long").as("fail_wc"),
+        sum(when(col("mwl") < 3 || col("mwl") > 10, 1).otherwise(0))
+          .cast("long").as("fail_mwl"),
+        sum(when(col("alpha_frac") < 0.8, 1).otherwise(0))
+          .cast("long").as("fail_alpha"),
+        sum(when(col("stop_hits") < 2, 1).otherwise(0))
+          .cast("long").as("fail_stop"),
+        sum(when(col("wc").between(50, 100000) &&
+          col("mwl").between(3, 10) && col("alpha_frac") >= 0.8 &&
+          col("stop_hits") >= 2, 1).otherwise(0)).cast("long").as("kept"),
+        count(lit(1)).cast("long").as("total"))
+    },
+
     // --- Blocklist filtering (domain/source exclusion) -----------------
     // The standard "remove banned domains" stage: LEFT ANTI join against a
     // blocklist. The blocklist is tiny → broadcast; the corpus never

@@ -94,6 +94,48 @@ class DialectTortureSpec extends SparkFunSuite {
     spark.conf.unset("graft.ch.param_tt")
   }
 
+  test("round-9 statement forms parse with hostile spacing and casing") {
+    val ch = (s: String) => graft.sql.ClickHouseSql.sql(spark, s)
+    val sp = spark; import sp.implicits._
+    // mixed-case multi-space REPLACE PARTITION; quoted and bare values
+    Seq("tort_rp_a", "tort_rp_b", "tort_rmv", "tort_ud").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(wh, true)
+      fs.delete(new org.apache.hadoop.fs.Path(wh.toString + "_dropped"), true)
+    }
+    Seq((1, "x", 0), (2, "y", 1)).toDF("k", "v", "p")
+      .write.mode("overwrite").partitionBy("p").saveAsTable("tort_rp_a")
+    Seq((9, "z", 1)).toDF("k", "v", "p")
+      .write.mode("overwrite").partitionBy("p").saveAsTable("tort_rp_b")
+    ch("alter   TABLE tort_rp_a   replace PARTITION 1 from   tort_rp_b ;")
+    assert(spark.table("tort_rp_a")
+      .filter(org.apache.spark.sql.functions.col("p") === 1)
+      .select("k").head().getInt(0) == 9)
+    // refreshable MV with lowercase refresh clause + trailing semicolon
+    ch("create materialized view tort_rmv refresh every 2 minute as " +
+      "select count() as n from tort_rp_a;")
+    assert(ch("SHOW CREATE TABLE tort_rmv").head().getString(0)
+      .contains("REFRESH EVERY 2 MINUTE"))
+    ch("SYSTEM   REFRESH   VIEW tort_rmv")
+    // LIMIT BY with BOTH a per-key offset and a trailing row limit
+    Tables.register(spark, sf)
+    val rows = ch("""SELECT n_regionkey AS r, n_nationkey AS k FROM nation
+      ORDER BY k LIMIT 1 OFFSET 1 BY r LIMIT 3""").collect()
+    assert(rows.length == 3)
+    // UNDROP right after two DROPs of the same name restores the LAST drop
+    ch("CREATE MATERIALIZED VIEW tort_ud AS SELECT 1 AS a")
+    ch("DROP TABLE tort_ud")
+    ch("CREATE MATERIALIZED VIEW tort_ud AS SELECT 2 AS a")
+    ch("DROP TABLE tort_ud")
+    ch("UNDROP TABLE tort_ud")
+    assert(spark.table("tort_ud").head().getInt(0) == 2)
+    spark.sql("DROP TABLE tort_ud")
+    spark.sql("DROP TABLE tort_rmv")
+  }
+
   test("combinator and conversion shapes execute") {
     assert(run("""
       SELECT multiIf(o_totalprice > 300000, 'high',
