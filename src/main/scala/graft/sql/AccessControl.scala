@@ -224,9 +224,13 @@ object AccessControl {
     * filtered to real catalog tables — aliases/CTEs/system views drop
     * out). Driver-side metadata only. */
   private def touchedTables(spark: SparkSession, stmt: String): Seq[String] = {
+    // scan only OUTSIDE single-quoted literals (the dialect's standard
+    // quote-split) so 'FROM nation' inside a string never trips a check
+    val outside = stmt.split("'", -1).zipWithIndex
+      .collect { case (seg, i) if i % 2 == 0 => seg }.mkString(" ")
     val ids = ("(?is)\\b(?:FROM|JOIN|INTO|TABLE)\\s+" +
       "([A-Za-z_][A-Za-z0-9_.]*)").r
-      .findAllMatchIn(stmt).map(_.group(1)).toSeq.distinct
+      .findAllMatchIn(outside).map(_.group(1)).toSeq.distinct
       .filterNot(_.toLowerCase.startsWith("system."))
     val catalog = spark.sessionState.catalog
     ids.filter { t =>

@@ -1146,7 +1146,9 @@ object ClickHouseSql {
           throw new IllegalStateException(
             s"DROP TABLE $t: rename of $loc to $hold failed; table left in place")
         spark.sql(s"DROP TABLE $t")
-        droppedTables.put(t, (schemaDdl, loc, meta.partitionColumnNames))
+        droppedTables.put(t, (schemaDdl, loc, meta.partitionColumnNames,
+          meta.tableType ==
+            org.apache.spark.sql.catalyst.catalog.CatalogTableType.MANAGED))
         queryCache.clear()
       }
       Seq("OK").toDF("status")
@@ -1159,22 +1161,17 @@ object ClickHouseSql {
       val t = trimmed.replaceFirst("(?is)^UNDROP\\s+TABLE\\s+", "")
         .replaceFirst(";\\s*$", "").trim
       Option(droppedTables.remove(t)) match {
-        case Some((schemaDdl, loc, partCols)) =>
-          val fs = new org.apache.hadoop.fs.Path(loc)
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val hold = new org.apache.hadoop.fs.Path(loc + "_dropped")
-          if (fs.exists(hold) &&
-              !fs.rename(hold, new org.apache.hadoop.fs.Path(loc)))
-            throw new IllegalStateException(
-              s"UNDROP TABLE $t: rename of $hold to $loc failed")
-          val partClause =
-            if (partCols.nonEmpty) s" PARTITIONED BY (${partCols.mkString(", ")})"
-            else ""
-          spark.sql(
-            s"CREATE TABLE $t ($schemaDdl) USING parquet$partClause LOCATION '$loc'")
-          if (partCols.nonEmpty) spark.sql(s"MSCK REPAIR TABLE $t")
-          refreshSkipIndexes(spark, t)
-          queryCache.clear()
+        case Some((schemaDdl, loc, partCols, managed)) =>
+          recreateCatalogEntry(spark, t, schemaDdl, loc, partCols, managed) {
+            dest =>
+              val fs = new org.apache.hadoop.fs.Path(loc)
+                .getFileSystem(spark.sparkContext.hadoopConfiguration)
+              val hold = new org.apache.hadoop.fs.Path(loc + "_dropped")
+              if (fs.exists(hold) &&
+                  !fs.rename(hold, new org.apache.hadoop.fs.Path(dest)))
+                throw new IllegalStateException(
+                  s"UNDROP TABLE $t: rename of $hold to $dest failed")
+          }
         case None => throw new IllegalArgumentException(
           s"UNDROP TABLE $t: no dropped table of that name in the holding area")
       }
@@ -1600,10 +1597,40 @@ object ClickHouseSql {
   private val detachedTables =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
-  /** name → (schema DDL, original location, partition cols) for the
-    * DROP → UNDROP TABLE window (the holding dir is `<location>_dropped`). */
+  /** name → (schema DDL, original location, partition cols, was-managed)
+    * for the DROP → UNDROP TABLE window (the holding dir is
+    * `<location>_dropped`). */
   private val droppedTables =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String, Seq[String])]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, Seq[String], Boolean)]()
+
+  /** Re-create a table's catalog entry preserving its managed/external
+    * identity, with the data to be moved in AFTERWARD (the entry is made
+    * while the location is absent, then the caller installs the data and
+    * this refreshes): managed tables stay managed — never silently
+    * converted to external by a LOCATION clause. */
+  private def recreateCatalogEntry(spark: SparkSession, t: String,
+      schemaDdl: String, loc: String, partCols: Seq[String],
+      managed: Boolean)(installData: String => Unit): Unit = {
+    val partClause =
+      if (partCols.nonEmpty) s" PARTITIONED BY (${partCols.mkString(", ")})"
+      else ""
+    if (managed)
+      spark.sql(s"CREATE TABLE $t ($schemaDdl) USING parquet$partClause")
+    else
+      spark.sql(
+        s"CREATE TABLE $t ($schemaDdl) USING parquet$partClause LOCATION '$loc'")
+    // the entry's OWN location is authoritative (a managed create derives
+    // it from the catalog, which may not equal the recorded one verbatim)
+    val actualLoc = tableLocation(spark, t)
+    val fs = new org.apache.hadoop.fs.Path(actualLoc)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(actualLoc), true) // create's empty dir
+    installData(actualLoc)
+    if (partCols.nonEmpty) spark.sql(s"MSCK REPAIR TABLE $t")
+    spark.sql(s"REFRESH TABLE $t")
+    refreshSkipIndexes(spark, t)
+    queryCache.clear()
+  }
 
   /** Backup ledger entry — feeds system.backups
     * (src/Storages/System/StorageSystemBackups.cpp). */
@@ -1648,9 +1675,12 @@ object ClickHouseSql {
           fs.mkdirs(destPath)
           org.apache.hadoop.fs.FileUtil.copy(fs, new Path(loc), fs,
             new Path(destPath, "data"), false, true, conf)
+          val managed = meta.tableType ==
+            org.apache.spark.sql.catalyst.catalog.CatalogTableType.MANAGED
           val sidecar = fs.create(new Path(destPath, "_schema.txt"), true)
           try sidecar.write((spark.table(t).schema.toDDL + "\n" +
-            meta.partitionColumnNames.mkString(",")).getBytes("UTF-8"))
+            meta.partitionColumnNames.mkString(",") + "\n" +
+            loc + "\n" + managed).getBytes("UTF-8"))
           finally sidecar.close()
           val sum = fs.getContentSummary(new Path(destPath, "data"))
           backupLog.addLast(BackupEntry(dest, t, "BACKUP_CREATED",
@@ -1669,23 +1699,19 @@ object ClickHouseSql {
           val ddl = lines(0)
           val partCols = lines.lift(1).getOrElse("")
             .split(",").toSeq.filter(_.nonEmpty)
+          // sidecar lines 3/4 (round-9): original location + managed flag;
+          // older backups default to a managed warehouse table
+          val loc = lines.lift(2).filter(_.nonEmpty).getOrElse(
+            new Path(spark.conf.get("spark.sql.warehouse.dir"),
+              t.toLowerCase).toString)
+          val managed = lines.lift(3).forall(_.trim != "false")
           spark.sql(s"DROP TABLE IF EXISTS $t")
-          val loc = new Path(
-            spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
-          fs.delete(loc, true)
-          // restore the data FIRST, then attach the catalog entry over it
-          // (managed semantics preserved: the table lives in the warehouse)
-          org.apache.hadoop.fs.FileUtil.copy(fs, new Path(destPath, "data"),
-            fs, loc, false, true, conf)
-          val partClause =
-            if (partCols.nonEmpty) s" PARTITIONED BY (${partCols.mkString(", ")})"
-            else ""
-          spark.sql(s"CREATE TABLE $t ($ddl) USING parquet$partClause " +
-            s"LOCATION '$loc'")
-          if (partCols.nonEmpty) spark.sql(s"MSCK REPAIR TABLE $t")
-          spark.sql(s"REFRESH TABLE $t")
-          refreshSkipIndexes(spark, t)
-          queryCache.clear()
+          recreateCatalogEntry(spark, t, ddl, loc, partCols, managed) {
+            actualLoc =>
+              org.apache.hadoop.fs.FileUtil.copy(fs, new Path(destPath, "data"),
+                fs, new Path(actualLoc), false, true, conf)
+              ()
+          }
           backupLog.addLast(BackupEntry(dest, t, "RESTORED", -1L, -1L))
           Seq((dest, "RESTORED")).toDF("id", "status")
         }

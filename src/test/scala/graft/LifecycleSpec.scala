@@ -209,6 +209,41 @@ class LifecycleSpec extends SparkFunSuite {
       .head.getLong(0) == 25L)
   }
 
+  test("UNDROP and RESTORE preserve managed/external identity") {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    import org.apache.spark.sql.catalyst.catalog.CatalogTableType
+    def ttype(t: String) =
+      spark.sessionState.catalog.getTableMetadata(TableIdentifier(t)).tableType
+    val t = "graft_ident_t"
+    scratch(t)
+    ch(s"CREATE MATERIALIZED VIEW $t AS SELECT 7 AS a")
+    assert(ttype(t) == CatalogTableType.MANAGED)
+    ch(s"BACKUP TABLE $t TO File('/tmp/graft_ident_bak')")
+    ch(s"DROP TABLE $t")
+    ch(s"UNDROP TABLE $t")
+    assert(ttype(t) == CatalogTableType.MANAGED,
+      "UNDROP must not convert a managed table to external")
+    assert(spark.table(t).head().getInt(0) == 7)
+    ch(s"RESTORE TABLE $t FROM File('/tmp/graft_ident_bak')")
+    assert(ttype(t) == CatalogTableType.MANAGED,
+      "RESTORE must not convert a managed table to external")
+    assert(spark.table(t).head().getInt(0) == 7)
+    // external table: UNDROP restores type + original location
+    val e = "graft_ident_ext"
+    scratch(e)
+    val loc = s"/tmp/graft_ident_ext_${System.nanoTime()}"
+    val sp = spark; import sp.implicits._
+    Seq((1, "x")).toDF("k", "v").write.mode("overwrite").parquet(loc)
+    spark.sql(s"CREATE TABLE $e (k INT, v STRING) USING parquet LOCATION '$loc'")
+    ch(s"DROP TABLE $e")
+    ch(s"UNDROP TABLE $e")
+    val meta = spark.sessionState.catalog.getTableMetadata(TableIdentifier(e))
+    assert(meta.tableType == CatalogTableType.EXTERNAL)
+    assert(meta.location.getPath == loc)
+    assert(spark.table(e).count() == 1)
+    spark.sql(s"DROP TABLE $e")
+  }
+
   // ---- r8 ADVICE regression pins -------------------------------------
 
   test("ADVICE medium: OPTIMIZE PARTITION DEDUPLICATE keeps NULL-partition rows") {
