@@ -144,9 +144,28 @@ object SweepKernels {
     h.toLong & 0x7fffffffL
   }
 
-  /** Java's String.hashCode over the decoded text — the reference's
-    * javaHashUTF16LE contract (hash of the UTF-16 code units). */
-  def javaHashUtf16(s: UTF8String): Long = s.toString.hashCode.toLong
+  /** The reference's javaHashUTF16LE contract (FunctionsHashing.h:559):
+    * the input's RAW BYTES are interpreted as UTF-16LE code units — a
+    * leading BOM (FF FE) is stripped, an odd byte count is an error —
+    * and hashed with Java's 31-multiplier recurrence, returned as the
+    * signed Int32 widened to Long. NOT String.hashCode of the decoded
+    * text: `javaHashUTF16LE('ab')` hashes the single unit 0x6261. */
+  def javaHashUtf16(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var i =
+      if (bytes.length >= 2 && bytes(0) == 0xFF.toByte &&
+          bytes(1) == 0xFE.toByte) 2
+      else 0
+    if ((bytes.length - i) % 2 != 0)
+      throw new IllegalArgumentException(
+        "Arguments for javaHashUTF16LE must be in the form of UTF-16")
+    var h = 0
+    while (i + 1 < bytes.length) {
+      h = 31 * h + ((bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8))
+      i += 2
+    }
+    h.toLong
+  }
 
   // ---- strings --------------------------------------------------------
   /** Replace the FIRST regexp match (replaceRegexpOne); reference

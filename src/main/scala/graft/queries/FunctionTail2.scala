@@ -719,8 +719,9 @@ object FunctionTail2 extends QueryPack {
         'example.com' AS cfs"""),
 
     // Registry sweep #6 (round 9): published-algorithm hash vectors
-    // (xxHash32 'abc' = 0x32D153FF per the xxHash spec; Java hashCode
-    // 'abc' = 96354; SHA-512/256 'abc' is the FIPS test vector),
+    // (xxHash32 'abc' = 0x32D153FF per the xxHash spec; javaHashUTF16LE
+    // reads RAW bytes as UTF-16LE units so 'ab' hashes the single unit
+    // 0x6261 = 25185; SHA-512/256 'abc' is the FIPS test vector),
     // first-occurrence replace lanes, tuple tail, vector arithmetic,
     // base64 spellings, unbin, A/B sample sizing (closed-form with
     // z(0.975)=1.95996, z(0.8)=0.84162), normalized Gini (reference
@@ -728,7 +729,7 @@ object FunctionTail2 extends QueryPack {
     ch("q_fn_tail6", """
       SELECT
         CAST(xxHash32('abc') AS BIGINT) AS h32,
-        CAST(javaHashUTF16LE('abc') AS BIGINT) AS jh,
+        CAST(javaHashUTF16LE('ab') AS BIGINT) AS jh,
         replaceOne('aXbXc', 'X', '-') AS r1,
         replaceRegexpOne('aa11bb22', '\\d+', 'N') AS rr,
         arrayStringConcat(splitByAlpha('ab1cd2ef'), '|') AS sa,
@@ -752,7 +753,7 @@ object FunctionTail2 extends QueryPack {
           array(6.0, 1.0, 0.0, 2.0)).gini_normalized, 6) AS gini,
         CAST(shardNum() AS BIGINT) AS shn,
         CAST(shardCount() AS BIGINT) AS shc,
-        defaultValueOfArgumentType(CAST(5 AS INT)) IS NULL AS dv,
+        defaultValueOfArgumentType(CAST(5 AS INT)) = 0 AS dv,
         CAST(length(randomPrintableASCII(12)) AS BIGINT) AS rnd_len,
         rand32() BETWEEN 0 AND 4294967296 AS r32_range,
         randCanonical() BETWEEN 0.0 AND 1.0 AS rc_range,
@@ -760,7 +761,7 @@ object FunctionTail2 extends QueryPack {
       """
       SELECT
         CAST(852579327 AS BIGINT) AS h32,
-        CAST(96354 AS BIGINT) AS jh,
+        CAST(25185 AS BIGINT) AS jh,
         'a-bXc' AS r1,
         'aaNbb22' AS rr,
         'ab|cd|ef' AS sa,

@@ -234,8 +234,13 @@ object AccessControl {
       .filterNot(_.toLowerCase.startsWith("system."))
     val catalog = spark.sessionState.catalog
     ids.filter { t =>
+      // a name shadowed by a ROW-POLICY temp view is still the catalog
+      // table for privilege purposes — only genuine USER temp views are
+      // out of scope (otherwise applying a policy would silently bypass
+      // the grant check on the policed table)
       try catalog.tableExists(org.apache.spark.sql.catalyst.TableIdentifier(t)) &&
-        catalog.getTempView(t.toLowerCase(java.util.Locale.ROOT)).isEmpty
+        (activeShadows.contains(t.toLowerCase(java.util.Locale.ROOT)) ||
+          catalog.getTempView(t.toLowerCase(java.util.Locale.ROOT)).isEmpty)
       catch { case _: Exception => false }
     }
   }

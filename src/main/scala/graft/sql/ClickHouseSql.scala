@@ -665,11 +665,16 @@ object ClickHouseSql {
     // optimize_trivial_count_query analog: bare SELECT count() answers
     // from parquet footers (graft.plans.TrivialCount), never scanning
     graft.plans.TrivialCount.install(spark)
-    // RBAC gate (src/Access/): privilege check for the session's SET
-    // user against the grant table — no-op for the bootstrap default —
-    // and row-policy shadow maintenance (applies/retires filtered views)
-    AccessControl.enforce(spark, chSql)
+    // RBAC gate (src/Access/): row-policy shadow maintenance FIRST
+    // (applies/retires filtered views for the current user), then the
+    // privilege check for the session's SET user against the grant
+    // table (no-op for the bootstrap default). Order matters: enforce
+    // runs after shadows settle, and touchedTables treats shadowed
+    // names as catalog tables — so a revoked user can't keep reading a
+    // policed table through its shadow, and a fresh ungranted user is
+    // checked on the same statement that retires a stale shadow.
     AccessControl.applyRowPolicies(spark)
+    AccessControl.enforce(spark, chSql)
     // Query parameters (src/Parsers/ASTQueryParameter.h:10): `{name:Type}`
     // placeholders substitute as TYPE-CHECKED literals from the session's
     // `SET param_<name> = v` values, before any other rewriting. Only
