@@ -221,16 +221,23 @@ object Bench {
       val selFiles = graft.operators.TextIndex.matchingFiles(
         spark, s"$selBase/index", Seq("zqx_planted_tok")).size
       // round-9: mutation-headliner rewrite scale — how many parts the
-      // ALTER UPDATE part rewrite produced (the maintenance cost driver)
+      // ALTER UPDATE part rewrite produced (the maintenance cost driver);
+      // round-10: the pruning split — partitions rewritten vs untouched
+      // (DurableRewrite stats; the 100 TB claim is untouched > 0)
       val mutParts =
         try spark.table("graft_mutbench_t").inputFiles.length
         catch { case _: Exception => -1 }
+      val mutStats = Option(
+        graft.operators.DurableRewrite.stats.get("graft_mutbench_t"))
+      val mutRewritten = mutStats.map(_.rewrittenPartitions).getOrElse(-1)
+      val mutUntouched = mutStats.map(_.untouchedPartitions).getOrElse(-1)
       System.err.println(s"BENCH IO token index: $matchedFiles/$totalFiles files " +
         s"(best phrase $phraseFiles/$totalFiles; " +
         s"selective token $selFiles/$selTotal); " +
         s"lazy topk wide scan: $wideRows/$tableRows rows; " +
-        s"mutation rewritten parts: $mutParts")
-      s""","io":{"text_index_files_matched":$matchedFiles,"text_index_files_total":$totalFiles,"best_phrase_files":$phraseFiles,"selective_token_files":$selFiles,"selective_token_files_total":$selTotal,"lazy_topk_wide_rows":$wideRows,"table_rows":$tableRows,"mutation_rewritten_parts":$mutParts}"""
+        s"mutation rewritten parts: $mutParts " +
+        s"(partitions rewritten $mutRewritten / untouched $mutUntouched)")
+      s""","io":{"text_index_files_matched":$matchedFiles,"text_index_files_total":$totalFiles,"best_phrase_files":$phraseFiles,"selective_token_files":$selFiles,"selective_token_files_total":$selTotal,"lazy_topk_wide_rows":$wideRows,"table_rows":$tableRows,"mutation_rewritten_parts":$mutParts,"mutation_rewritten_partitions":$mutRewritten,"mutation_untouched_partitions":$mutUntouched}"""
     } catch { case e: Throwable =>
       System.err.println(s"BENCH io note failed: $e"); ""
     }

@@ -1,0 +1,210 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.Path
+
+/** Durable, partition-pruned part rewrites — the shared engine behind
+  * every mutating statement (ALTER UPDATE/DELETE, lightweight DELETE,
+  * CLEAR COLUMN, MATERIALIZE TTL, OPTIMIZE … DEDUPLICATE, SYSTEM
+  * REFRESH VIEW).
+  *
+  * Reference contract (src/Interpreters/MutationsInterpreter.h:44 +
+  * MergeTreeData part lifecycle): a mutation REWRITES parts — never
+  * edits in place — and only parts that contain rows matching the
+  * mutation predicate are rewritten; the new part is durable on disk
+  * before the old one is retired.
+  *
+  * The Spark rendering:
+  *  1. PRUNE — when the table is partitioned and the statement has a
+  *     predicate, enumerate the partitions holding matching rows (a
+  *     partition-pruned scan + a distinct over partition values, driver
+  *     state bounded by the partition count, never the row count).
+  *     Untouched partitions' files are never read for the write, never
+  *     deleted, never rewritten — at 100 TB an UPDATE hitting one day
+  *     rewrites one day.
+  *  2. STAGE — write the mutated rows of affected partitions to a
+  *     `__mutating` sibling directory. The staged copy is durable on
+  *     disk BEFORE any destructive step; a crash here loses nothing.
+  *  3. SWAP — dynamic-partition-overwrite the affected partitions from
+  *     the staged files (Spark defers the per-partition delete to job
+  *     commit, after the replacement data is written), then drop
+  *     partitions whose rows all died (a DELETE that empties a
+  *     partition must not resurrect it from leftover files). A crash
+  *     mid-swap leaves the original-or-staged copy on disk — never
+  *     neither (the old `localCheckpoint → overwrite` pattern kept the
+  *     only copy in session executor memory during the delete window).
+  *  4. Clean the stage only after the swap commits.
+  */
+object DurableRewrite {
+
+  /** Rewrite scale of the last mutation per table — io-note + test
+    * observability (the reference's system.mutations parts_to_do). */
+  final case class Result(rewrittenPartitions: Int, untouchedPartitions: Int)
+  val stats = new java.util.concurrent.ConcurrentHashMap[String, Result]()
+
+  /** Test-only failpoint: invoked once the staged copy is durable,
+    * immediately before the destructive swap begins. */
+  @volatile private[graft] var failpoint: String => Unit = _ => ()
+
+  /** Above this many affected partitions the predicate literal list
+    * stops being a sane plan node — fall back to a full rewrite. */
+  private val MaxEnumeratedPartitions = 10000
+
+  private def withOverwriteMode[T](spark: SparkSession, mode: String)(f: => T): T = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, mode)
+    try f
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** Rewrite `table`'s data as `mutated` (same schema). `affected` is
+    * the statement's row predicate (rows the mutation CHANGES or
+    * REMOVES): with a partitioned table it prunes the rewrite to
+    * partitions containing matching rows. Returns the rewrite scale. */
+  def rewrite(spark: SparkSession, table: String, mutated: DataFrame,
+      affected: Option[Column]): Result = {
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val partCols = meta.partitionColumnNames
+    val loc = meta.location.getPath
+    val fs = new Path(loc).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = new Path(loc + "__mutating")
+    fs.delete(stage, true)
+
+    // partition-directory count from driver-side file metadata (the
+    // listing Spark already holds) — bounded by partition count
+    def partitionDirs(): Seq[String] =
+      if (partCols.isEmpty) Seq(loc)
+      else spark.table(table).inputFiles.toSeq
+        .map(f => new Path(f).getParent.toString).distinct
+
+    def stageWrite(df: DataFrame): DataFrame = {
+      val w0 = df.write.mode("overwrite")
+      (if (partCols.nonEmpty) w0.partitionBy(partCols: _*) else w0)
+        .parquet(stage.toString)
+      failpoint(table)
+      // explicit schema: no inference, partition-dir values cast back to
+      // the table's exact types, column order preserved
+      spark.read.schema(mutated.schema).parquet(stage.toString)
+    }
+
+    def fullRewrite(): Result = {
+      val staged = stageWrite(mutated)
+      // static mode: the WHOLE table is replaced, including partitions
+      // whose rows all died (dynamic mode would leave them standing)
+      withOverwriteMode(spark, "static") {
+        staged.write.mode("overwrite").insertInto(table)
+      }
+      Result(partitionDirs().size, 0)
+    }
+
+    val res =
+      if (partCols.isEmpty || affected.isEmpty) fullRewrite()
+      else {
+        val total = partitionDirs().size
+        val vals = spark.table(table).filter(affected.get)
+          .select(partCols.map(col): _*).distinct()
+          .limit(MaxEnumeratedPartitions + 1).collect().toSeq
+        if (vals.isEmpty) Result(0, total) // no matching rows: no file touched
+        else if (vals.size > MaxEnumeratedPartitions) fullRewrite()
+        else {
+          val cond: Column =
+            if (partCols.size == 1) {
+              val c = col(partCols.head)
+              val (nulls, nonNulls) = vals.partition(_.isNullAt(0))
+              val in =
+                if (nonNulls.nonEmpty) c.isin(nonNulls.map(_.get(0)): _*)
+                else lit(false)
+              if (nulls.nonEmpty) in || c.isNull else in
+            } else vals.map { r =>
+              partCols.zipWithIndex.map { case (pc, i) =>
+                if (r.isNullAt(i)) col(pc).isNull else col(pc) === lit(r.get(i))
+              }.reduce(_ && _)
+            }.reduce(_ || _)
+          val staged = stageWrite(mutated.filter(cond))
+          withOverwriteMode(spark, "dynamic") {
+            staged.write.mode("overwrite").insertInto(table)
+          }
+          // partitions whose rows ALL died are absent from the staged
+          // data — dynamic overwrite leaves their old files standing, so
+          // retire them explicitly (the staged copy is still on disk)
+          val survived = staged.select(partCols.map(col): _*).distinct()
+            .collect().map(r => partCols.indices.map(i => r.get(i))).toSet
+          val emptied =
+            vals.filterNot(r => survived(partCols.indices.map(i => r.get(i))))
+          if (emptied.nonEmpty) {
+            emptied.foreach { r =>
+              val dir = partCols.zipWithIndex.map { case (pc, i) =>
+                org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                  .getPartitionPathString(pc,
+                    if (r.isNullAt(i)) null else r.get(i).toString)
+              }.mkString("/")
+              fs.delete(new Path(loc, dir), true)
+              val spec = partCols.zipWithIndex.map { case (pc, i) =>
+                val v = if (r.isNullAt(i)) "__HIVE_DEFAULT_PARTITION__"
+                        else r.get(i).toString.replace("'", "''")
+                s"$pc = '$v'"
+              }.mkString(", ")
+              scala.util.Try(
+                spark.sql(s"ALTER TABLE $table DROP PARTITION IF EXISTS ($spec)"))
+            }
+            spark.sql(s"REFRESH TABLE $table")
+          }
+          Result(vals.size, total - vals.size)
+        }
+      }
+
+    fs.delete(stage, true)
+    stats.put(table, res)
+    res
+  }
+
+  /** Durable whole-table REPLACE with a possibly different schema
+    * (ALTER COLUMN rewrites, SYSTEM REFRESH VIEW re-materialization):
+    * stage `df` next to the table's location, then drop + re-create
+    * from the staged files. A crash between the two leaves the original
+    * table or the durable staged copy — never neither. Partitioning and
+    * the managed/external distinction are preserved (an external table
+    * is re-created at its ORIGINAL location, not silently re-homed). */
+  def replaceTable(spark: SparkSession, table: String, df: DataFrame): Unit = {
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val partCols = meta.partitionColumnNames
+    val external = meta.tableType ==
+      org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL
+    val loc = meta.location.getPath
+    val fs = new Path(loc).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = new Path(loc + "__altering")
+    fs.delete(stage, true)
+    val w0 = df.write.mode("overwrite")
+    (if (partCols.nonEmpty) w0.partitionBy(partCols: _*) else w0)
+      .parquet(stage.toString)
+    failpoint(table)
+    val staged = spark.read.schema(df.schema).parquet(stage.toString)
+    spark.sql(s"DROP TABLE $table") // purges loc if managed; stage survives
+    if (external) {
+      fs.delete(new Path(loc), true)
+      if (!fs.rename(stage, new Path(loc)))
+        throw new IllegalStateException(
+          s"table rewrite $table: rename of staged data to $loc failed; " +
+            s"rewritten copy preserved at $stage")
+      val ddl = staged.schema.toDDL
+      val partClause =
+        if (partCols.nonEmpty) s" PARTITIONED BY (${partCols.mkString(", ")})"
+        else ""
+      spark.sql(
+        s"CREATE TABLE $table ($ddl) USING parquet$partClause LOCATION '$loc'")
+      if (partCols.nonEmpty) spark.sql(s"MSCK REPAIR TABLE $table")
+    } else {
+      val w = staged.write.mode("overwrite")
+      (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+        .format("parquet").saveAsTable(table)
+      fs.delete(stage, true) // the new copy is durable in the warehouse
+    }
+  }
+}

@@ -259,32 +259,35 @@ object LifecycleQueries extends QueryPack {
            'p_maint:aggregate' AS projections,
            CAST(1 AS BIGINT) AS err_ledger_rows"""))
 
-  /** The mutation-path bench headliner (r8 verdict #10): CTAS a real
-    * lineitem projection, ALTER UPDATE a predicate slice (part rewrite +
-    * skip-index refresh + cache invalidation), and aggregate the result —
-    * maintenance cost as a tracked number. Oracle recomputes the
-    * mutation in plain SQL. */
+  /** The mutation-path bench headliner (r8 verdict #10; r10 verdict #1):
+    * CTAS a PARTITIONED lineitem projection, ALTER UPDATE a slice of ONE
+    * partition (durable staged rewrite, pruned to parts with matching
+    * rows — DurableRewrite), and aggregate the result — maintenance cost
+    * as a tracked number, with the rewritten/untouched partition split in
+    * the bench io note. Oracle recomputes the mutation in plain SQL. */
   private val mutationRewrite = Q("q_mutation_rewrite", (s, dir) => {
     Tables.register(s, dir)
     val t = "graft_mutbench_t"
     scratch(s, t)
-    // 8 parts: the corpus table is a single file (one input split), but a
-    // real mutation target has many parts and the rewrite parallelizes
-    // across them — 8 makes the timed path and the io-note count honest
+    // 3 partitions × 8 files: the corpus table is a single file (one
+    // input split), but a real mutation target has many parts and the
+    // rewrite parallelizes across them — and only the partition the
+    // WHERE touches may rewrite (io note pins rewritten=1, untouched=2)
     Tables.load(s, dir, "lineitem")
       .select("l_orderkey", "l_quantity", "l_discount", "l_returnflag",
         "l_shipdate")
       .repartition(8, col("l_orderkey"))
-      .write.saveAsTable(t)
-    ch.sql(s,
-      s"ALTER TABLE $t UPDATE l_discount = 0.0 WHERE l_quantity < 10")
+      .write.partitionBy("l_returnflag").saveAsTable(t)
+    ch.sql(s, s"ALTER TABLE $t UPDATE l_discount = 0.0 " +
+      "WHERE l_returnflag = 'R' AND l_quantity < 10")
     ch.sql(s, s"""
       SELECT l_returnflag, count() AS n,
         CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
       FROM $t GROUP BY l_returnflag ORDER BY l_returnflag""")
   }, Some("""
     SELECT l_returnflag, COUNT(*) AS n,
-      CAST(SUM(CASE WHEN l_quantity < 10 THEN CAST(0.0 AS DECIMAL(18,2))
+      CAST(SUM(CASE WHEN l_returnflag = 'R' AND l_quantity < 10
+                    THEN CAST(0.0 AS DECIMAL(18,2))
                     ELSE CAST(l_discount AS DECIMAL(18,2)) END) AS DOUBLE)
         AS sum_disc
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))

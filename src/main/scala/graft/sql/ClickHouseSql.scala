@@ -982,20 +982,19 @@ object ClickHouseSql {
       checks.toDF("part", "is_ok")
     }
     else if (trimmed.matches("(?is)^DELETE\\s+FROM\\s+[A-Za-z_][A-Za-z0-9_.]*\\s+WHERE\\s+.*$")) {
-      // Lightweight DELETE (ParserDeleteQuery): part rewrite keeping the
-      // survivors — localCheckpoint breaks lineage to the files being
-      // overwritten, the same read-then-rewrite the mutation engine does.
+      // Lightweight DELETE (ParserDeleteQuery): durable part rewrite
+      // keeping the survivors — staged on disk, pruned to partitions
+      // that contain matching rows (DurableRewrite).
       import spark.implicits._
       val re = "(?is)^DELETE\\s+FROM\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+WHERE\\s+(.*?);?\\s*$".r
       trimmed match {
         case re(t, pred) =>
+          val p = org.apache.spark.sql.functions.expr(rewrite(pred))
           val surviving = spark.table(t)
             .filter(org.apache.spark.sql.functions.not(
               org.apache.spark.sql.functions.coalesce(
-                org.apache.spark.sql.functions.expr(rewrite(pred)),
-                org.apache.spark.sql.functions.lit(false))))
-            .localCheckpoint(true)
-          surviving.write.mode("overwrite").insertInto(t)
+                p, org.apache.spark.sql.functions.lit(false))))
+          graft.operators.DurableRewrite.rewrite(spark, t, surviving, Some(p))
           refreshSkipIndexes(spark, t)
           queryCache.clear() // mutated data: cached SELECT results are stale
           logMutation(t, trimmed)
@@ -1064,14 +1063,12 @@ object ClickHouseSql {
         .replaceFirst(";\\s*$", "").trim.toLowerCase
       Option(refreshableViews.get(v)) match {
         case Some(rv) =>
-          val wh = new org.apache.hadoop.fs.Path(
-            spark.conf.get("spark.sql.warehouse.dir"), rv.table)
+          // durable replace: the fresh materialization is staged on disk
+          // before the old table drops — a crash mid-refresh leaves the
+          // stale-or-staged copy, never neither (DurableRewrite)
           val out = spark.sql(
             rewrite(expandSchemaTransformers(spark, rv.select)))
-            .localCheckpoint(true) // read completes before the overwrite
-          spark.sql(s"DROP TABLE IF EXISTS ${rv.table}")
-          wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
-          out.write.format("parquet").saveAsTable(rv.table)
+          graft.operators.DurableRewrite.replaceTable(spark, rv.table, out)
           refreshableViews.put(v, rv.copy(refreshes = rv.refreshes + 1))
           refreshSkipIndexes(spark, rv.table)
           queryCache.clear()
@@ -1233,18 +1230,19 @@ object ClickHouseSql {
         case re(t, c, pval) =>
           val base = spark.table(t)
           val dt = base.schema(c).dataType
-          val cond = Option(pval).map { v =>
+          val condOpt = Option(pval).map { v =>
             val pcols = spark.sessionState.catalog.getTableMetadata(
               org.apache.spark.sql.catalyst.TableIdentifier(t))
               .partitionColumnNames
             require(pcols.size == 1,
               s"CLEAR COLUMN IN PARTITION needs one partition column, $t has $pcols")
             col(pcols.head) === v
-          }.getOrElse(lit(true))
+          }
+          val cond = condOpt.getOrElse(lit(true))
           val mutated = base.withColumn(c,
             when(cond, lit(null).cast(dt)).otherwise(col(c)))
-            .localCheckpoint(true)
-          mutated.write.mode("overwrite").insertInto(t)
+          // IN PARTITION prunes the rewrite to the named partition only
+          graft.operators.DurableRewrite.rewrite(spark, t, mutated, condOpt)
           refreshSkipIndexes(spark, t)
           queryCache.clear()
           logMutation(t, trimmed)
@@ -1277,7 +1275,7 @@ object ClickHouseSql {
           // pass-through complement is NULL-SAFE (<=>): a plain
           // !(col === v) evaluates to NULL for NULL-partition rows
           // (__HIVE_DEFAULT_PARTITION__), which would silently DELETE them
-          val (target, rest) = Option(part) match {
+          val (target, rest, partCond) = Option(part) match {
             case Some(v) =>
               val pcols = spark.sessionState.catalog.getTableMetadata(
                 org.apache.spark.sql.catalyst.TableIdentifier(table))
@@ -1286,16 +1284,16 @@ object ClickHouseSql {
                 s"OPTIMIZE PARTITION needs one partition column, $table has $pcols")
               (before.filter(col(pcols.head) === v),
                 Some(before.filter(
-                  !col(pcols.head).eqNullSafe(org.apache.spark.sql.functions.lit(v)))))
-            case None => (before, None)
+                  !col(pcols.head).eqNullSafe(org.apache.spark.sql.functions.lit(v)))),
+                Some(col(pcols.head) === v))
+            case None => (before, None, None)
           }
           val deduped = cols.fold(target.dropDuplicates())(c =>
             target.dropDuplicates(c.head, c.tail: _*))
           val after = rest.fold(deduped)(r => deduped.unionByName(r))
-          // part rewrite: materialize the survivors (localCheckpoint is
-          // eager — the read finishes before the overwrite starts), then
-          // overwrite the table's data in place, metadata untouched
-          after.localCheckpoint().write.mode("overwrite").insertInto(table)
+          // durable part rewrite; a PARTITION scope prunes the rewrite
+          // to that partition's files only (DurableRewrite)
+          graft.operators.DurableRewrite.rewrite(spark, table, after, partCond)
           refreshSkipIndexes(spark, table)
           queryCache.clear() // mutated data: cached SELECT results are stale
           Seq("OK").toDF("status")
@@ -1986,11 +1984,15 @@ object ClickHouseSql {
       case mat(t) =>
         val ttl = ttlSpecs.getOrElse(t, throw new IllegalArgumentException(
           s"MATERIALIZE TTL: no TTL stored for $t (run MODIFY TTL first)"))
-        val surviving = spark.table(t)
-          .filter(org.apache.spark.sql.functions.expr(
-            s"($ttl) >= current_timestamp()"))
-          .localCheckpoint(true)
-        surviving.write.mode("overwrite").insertInto(t)
+        val keep = org.apache.spark.sql.functions.expr(
+          s"($ttl) >= current_timestamp()")
+        val surviving = spark.table(t).filter(keep)
+        // affected = rows that EXPIRE (keep false or null); partitions
+        // with nothing expired keep their files untouched
+        graft.operators.DurableRewrite.rewrite(spark, t, surviving,
+          Some(org.apache.spark.sql.functions.not(
+            org.apache.spark.sql.functions.coalesce(
+              keep, org.apache.spark.sql.functions.lit(false)))))
         refreshSkipIndexes(spark, t)
         queryCache.clear()
         logMutation(t, stmt.trim)
@@ -2120,11 +2122,13 @@ object ClickHouseSql {
 
   /** ALTER TABLE t UPDATE a = e, … WHERE p / ALTER TABLE t DELETE WHERE p
     * — the reference's canonical mutation statements
-    * (src/Interpreters/MutationsInterpreter.h:44, ParserAlterQuery): a
-    * declarative part rewrite, routed to the same
-    * [[graft.operators.Mutations]] semantics the operator API exposes,
-    * with skip-index rebuild + result-cache invalidation like every
-    * other mutation path. */
+    * (src/Interpreters/MutationsInterpreter.h:44, ParserAlterQuery): the
+    * declarative transform comes from [[graft.operators.Mutations]] and
+    * the part rewrite goes through [[graft.operators.DurableRewrite]] —
+    * staged durably on disk, pruned to partitions containing WHERE
+    * matches (only parts with matching rows rewrite, the reference's
+    * MutationsInterpreter contract) — with skip-index rebuild +
+    * result-cache invalidation like every other mutation path. */
   private def alterMutation(spark: SparkSession, stmt: String)
       : org.apache.spark.sql.DataFrame = {
     import spark.implicits._
@@ -2143,8 +2147,8 @@ object ClickHouseSql {
         }.toMap
         val mutated = graft.operators.Mutations
           .update(spark.table(t), expr(rewrite(pred)), asn)
-          .localCheckpoint(true)
-        mutated.write.mode("overwrite").insertInto(t)
+        graft.operators.DurableRewrite.rewrite(spark, t, mutated,
+          Some(expr(rewrite(pred))))
         refreshSkipIndexes(spark, t)
         queryCache.clear()
         logMutation(t, stmt.trim)
@@ -2152,8 +2156,8 @@ object ClickHouseSql {
       case del(t, pred) =>
         val surviving = graft.operators.Mutations
           .delete(spark.table(t), expr(rewrite(pred)))
-          .localCheckpoint(true)
-        surviving.write.mode("overwrite").insertInto(t)
+        graft.operators.DurableRewrite.rewrite(spark, t, surviving,
+          Some(expr(rewrite(pred))))
         refreshSkipIndexes(spark, t)
         queryCache.clear()
         logMutation(t, stmt.trim)
@@ -2190,52 +2194,12 @@ object ClickHouseSql {
       "(IF\\s+EXISTS\\s+)?`?([A-Za-z_][A-Za-z0-9_]*)`?\\s+TO\\s+`?([A-Za-z_][A-Za-z0-9_]*)`?;?\\s*$").r
 
     /** Rewrite `t`'s data with the transformed frame and the NEW schema
-      * (insertInto can't change schemas): STAGE the transformed copy on
-      * disk first, then drop + re-create — a crash between the two steps
-      * leaves either the original table or the durable staged copy, never
-      * neither (a localCheckpoint would survive only in session memory).
-      * Partition columns and the managed/external distinction are
-      * preserved: an external table is re-created under its ORIGINAL
-      * location instead of silently becoming a managed one elsewhere. */
+      * (insertInto can't change schemas): the shared stage-then-swap
+      * replace (graft.operators.DurableRewrite.replaceTable) — the
+      * transformed copy is durable on disk before the drop + re-create,
+      * partitioning and the managed/external distinction preserved. */
     def rewriteTable(t: String, df: org.apache.spark.sql.DataFrame): Unit = {
-      import org.apache.hadoop.fs.Path
-      val meta = spark.sessionState.catalog
-        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
-      val partCols = meta.partitionColumnNames
-      val external = meta.tableType ==
-        org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL
-      val loc = tableLocation(spark, t)
-      val fs = new Path(loc).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val stage = new Path(loc + "__altering")
-      fs.delete(stage, true)
-      val w0 = df.write.mode("overwrite")
-      (if (partCols.nonEmpty) w0.partitionBy(partCols: _*) else w0)
-        .parquet(stage.toString)
-      // re-read restores the durable copy; partition-value inference may
-      // retype/reorder partition columns — select back to the transformed
-      // frame's exact schema
-      val staged = spark.read.parquet(stage.toString).select(
-        df.schema.fields.toSeq.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
-      spark.sql(s"DROP TABLE $t") // purges loc if managed; stage survives
-      if (external) {
-        fs.delete(new Path(loc), true)
-        if (!fs.rename(stage, new Path(loc)))
-          throw new IllegalStateException(
-            s"ALTER COLUMN $t: rename of staged data to $loc failed; " +
-              s"rewritten copy preserved at $stage")
-        val ddl = staged.schema.toDDL
-        val partClause =
-          if (partCols.nonEmpty) s" PARTITIONED BY (${partCols.mkString(", ")})"
-          else ""
-        spark.sql(
-          s"CREATE TABLE $t ($ddl) USING parquet$partClause LOCATION '$loc'")
-        if (partCols.nonEmpty) spark.sql(s"MSCK REPAIR TABLE $t")
-      } else {
-        val w = staged.write.mode("overwrite")
-        (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
-          .format("parquet").saveAsTable(t)
-        fs.delete(stage, true) // the new copy is durable in the warehouse
-      }
+      graft.operators.DurableRewrite.replaceTable(spark, t, df)
       refreshSkipIndexes(spark, t)
       queryCache.clear()
     }

@@ -131,14 +131,20 @@ class LifecycleSpec extends SparkFunSuite {
   test("mutation-rewrite headliner matches the plain-SQL recompute") {
     val rows = queries.LifecycleQueries.queries
       .find(_.name == "q_mutation_rewrite").get.run(spark, sf).collect()
+    // r10: the UPDATE targets ONE partition (l_returnflag='R') — the
+    // others pass through unmutated, and the rewrite must be pruned
     val expect = spark.read.parquet(s"$sf/lineitem.parquet")
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
-        sum(when(col("l_quantity") < 10, lit(0.0).cast("decimal(18,2)"))
+        sum(when(col("l_returnflag") === "R" && col("l_quantity") < 10,
+            lit(0.0).cast("decimal(18,2)"))
           .otherwise(col("l_discount").cast("decimal(18,2)")))
           .cast("double").as("sum_disc"))
       .orderBy("l_returnflag").collect()
     assert(rows.map(_.toString).toSeq == expect.map(_.toString).toSeq)
+    val st = operators.DurableRewrite.stats.get("graft_mutbench_t")
+    assert(st == operators.DurableRewrite.Result(1, 2),
+      s"pruned rewrite expected (1 rewritten, 2 untouched), got $st")
   }
 
   test("BACKUP TABLE → mutate → RESTORE TABLE roundtrips byte-exact") {
