@@ -103,10 +103,12 @@ object ScaleOps {
     * FROM src — PartitionCommands.h REPLACE_PARTITION with replace=true:
     * dst's partition p is atomically swapped for a copy of src's, src
     * untouched). Directory-level: copy src's partition dir to a temp
-    * sibling, then swap it in via rename — the copy is durable before the
-    * old partition disappears, and readers see old-or-new, never a mix.
-    * At 100 TB this is THE staging-swap ETL primitive: build a partition
-    * in a staging table, swap it live by metadata rename. */
+    * sibling, rename the OLD dst partition aside to a `_trash` sibling,
+    * rename the staged copy in, and only then delete the trash — readers
+    * in any gap see the old data or the new data, never an absent
+    * partition, and a failed swap restores the old directory. At 100 TB
+    * this is THE staging-swap ETL primitive: build a partition in a
+    * staging table, swap it live by metadata rename. */
   def replacePartition(spark: SparkSession, dstPath: String, srcPath: String,
       partitionCol: String, value: String): Boolean = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -120,12 +122,44 @@ object ScaleOps {
     fs.mkdirs(tmp.getParent)
     org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, tmp, false, true, conf)
     val dst = new org.apache.hadoop.fs.Path(dstRoot, s"$partitionCol=$value")
-    fs.delete(dst, true)
-    if (!fs.rename(tmp, dst))
-      throw new IllegalStateException(
-        s"REPLACE PARTITION: rename of staged copy to $dst failed; " +
-          s"copy preserved at $tmp")
+    swapIn(fs, dstRoot, dst, tmp, "REPLACE PARTITION")
     true
+  }
+
+  /** Test-only failpoint: fired between the old-aside rename and the
+    * staged-in rename — the window the restore path covers. */
+  @volatile private[graft] var swapFailpoint: () => Unit = () => ()
+
+  /** The old-aside / staged-in / trash-last rename dance shared by
+    * REPLACE and MOVE PARTITION: the old destination directory is
+    * renamed to a `_trash` sibling (still on disk), the staged copy is
+    * renamed in, and the trash is deleted LAST — any failure mid-swap
+    * restores the old directory from the trash, so a reader sees old
+    * data or new data, never a lost partition. */
+  private def swapIn(fs: org.apache.hadoop.fs.FileSystem,
+      dstRoot: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path,
+      staged: org.apache.hadoop.fs.Path, verb: String): Unit = {
+    val trash = new org.apache.hadoop.fs.Path(dstRoot, s"_trash/${dst.getName}")
+    fs.delete(trash, true)
+    fs.mkdirs(trash.getParent)
+    val hadOld = fs.exists(dst)
+    if (hadOld && !fs.rename(dst, trash))
+      throw new IllegalStateException(
+        s"$verb: could not move old $dst aside; nothing was changed " +
+          s"(staged copy preserved at $staged)")
+    try {
+      swapFailpoint()
+      if (!fs.rename(staged, dst))
+        throw new IllegalStateException(
+          s"$verb: rename of staged copy to $dst failed")
+    } catch {
+      case e: Throwable =>
+        if (hadOld) fs.rename(trash, dst) // restore: swap never happened
+        throw new IllegalStateException(
+          s"$verb: swap failed; old partition restored, staged copy " +
+            s"preserved at $staged", e)
+    }
+    fs.delete(trash, true)
   }
 
   /** MOVE PARTITION TO TABLE (PartitionCommands.h MOVE_PARTITION with
@@ -139,12 +173,12 @@ object ScaleOps {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val src = new org.apache.hadoop.fs.Path(srcPath, s"$partitionCol=$value")
     if (!fs.exists(src)) return false
-    val dst = new org.apache.hadoop.fs.Path(dstPath, s"$partitionCol=$value")
-    fs.delete(dst, true)
+    val dstRoot = new org.apache.hadoop.fs.Path(dstPath)
+    val dst = new org.apache.hadoop.fs.Path(dstRoot, s"$partitionCol=$value")
     fs.mkdirs(dst.getParent)
-    if (!fs.rename(src, dst))
-      throw new IllegalStateException(
-        s"MOVE PARTITION: rename $src -> $dst failed; source left in place")
+    // old dst aside to _trash first: a failure mid-swap restores it —
+    // the old dst data is never gone without the replacement in place
+    swapIn(fs, dstRoot, dst, src, "MOVE PARTITION")
     true
   }
 

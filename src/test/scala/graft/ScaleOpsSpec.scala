@@ -113,4 +113,43 @@ class ScaleOpsSpec extends SparkFunSuite {
     assert(ScaleOps.dropPartition(spark, path, "o_orderstatus", "F"))
     assert(spark.read.parquet(s"$path/_shadow/s1").count() == fRows)
   }
+
+  test("REPLACE PARTITION swap failure restores the old partition (r10 verdict #4)") {
+    import SparkTestBase.spark.implicits._
+    val dst = java.nio.file.Files.createTempDirectory("graft_swap_dst").toString
+    val src = java.nio.file.Files.createTempDirectory("graft_swap_src").toString
+    Seq((1L, "p1"), (2L, "p1")).toDF("id", "p")
+      .write.partitionBy("p").mode("overwrite").parquet(dst)
+    Seq((9L, "p1")).toDF("id", "p")
+      .write.partitionBy("p").mode("overwrite").parquet(src)
+    // failure between old-aside and staged-in: the old partition must be
+    // RESTORED — a reader sees the old data, never an absent partition
+    ScaleOps.swapFailpoint = () => throw new RuntimeException("simulated crash")
+    try {
+      intercept[IllegalStateException] {
+        ScaleOps.replacePartition(spark, dst, src, "p", "p1")
+      }
+    } finally ScaleOps.swapFailpoint = () => ()
+    assert(spark.read.parquet(dst).select("id").as[Long].collect().toSet ==
+      Set(1L, 2L), "old partition data restored after failed swap")
+    // and a clean retry succeeds with the new data
+    assert(ScaleOps.replacePartition(spark, dst, src, "p", "p1"))
+    assert(spark.read.parquet(dst).select("id").as[Long].collect().toSet ==
+      Set(9L))
+    // MOVE failure likewise restores dst AND leaves src recoverable
+    val src2 = java.nio.file.Files.createTempDirectory("graft_swap_src2").toString
+    Seq((7L, "p1")).toDF("id", "p")
+      .write.partitionBy("p").mode("overwrite").parquet(src2)
+    ScaleOps.swapFailpoint = () => throw new RuntimeException("simulated crash")
+    try {
+      intercept[IllegalStateException] {
+        ScaleOps.movePartition(spark, src2, dst, "p", "p1")
+      }
+    } finally ScaleOps.swapFailpoint = () => ()
+    assert(spark.read.parquet(dst).select("id").as[Long].collect().toSet ==
+      Set(9L), "dst restored after failed move")
+    assert(ScaleOps.movePartition(spark, src2, dst, "p", "p1"))
+    assert(spark.read.parquet(dst).select("id").as[Long].collect().toSet ==
+      Set(7L))
+  }
 }
