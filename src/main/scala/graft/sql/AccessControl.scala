@@ -220,17 +220,39 @@ object AccessControl {
           t.endsWith("." + table.toLowerCase))
     }
 
-  /** Catalog tables the statement touches (regex identifier scan,
-    * filtered to real catalog tables — aliases/CTEs/system views drop
-    * out). Driver-side metadata only. */
+  /** Catalog tables the statement touches. Three collection lanes,
+    * unioned then filtered to real catalog tables (aliases/CTEs/system
+    * views drop out); driver-side metadata only:
+    *  1. merge() table functions expand to every matching catalog table
+    *     (the reference's StorageMerge requires SELECT on each
+    *     underlying table);
+    *  2. Spark's SQL parser collects leaf relations, subqueries
+    *     included, for every statement shape its grammar accepts — so
+    *     nested/EXISTS/CTE-body reads can't slip past;
+    *  3. the FROM/JOIN/INTO/TABLE regex scan covers dialect-only
+    *     syntax the Spark parser rejects. */
   private def touchedTables(spark: SparkSession, stmt: String): Seq[String] = {
     // scan only OUTSIDE single-quoted literals (the dialect's standard
     // quote-split) so 'FROM nation' inside a string never trips a check
     val outside = stmt.split("'", -1).zipWithIndex
       .collect { case (seg, i) if i % 2 == 0 => seg }.mkString(" ")
-    val ids = ("(?is)\\b(?:FROM|JOIN|INTO|TABLE)\\s+" +
+    val mergeTables =
+      "(?i)\\bmerge\\s*\\(\\s*(?:'[^']*'\\s*,\\s*)?'([^']+)'\\s*\\)".r
+        .findAllMatchIn(stmt).flatMap { m =>
+          val p = scala.util.Try(m.group(1).r).toOption
+          spark.catalog.listTables().collect().map(_.name)
+            .filter(n => p.exists(_.findFirstIn(n).isDefined))
+        }.toSeq
+    val planned =
+      try spark.sessionState.sqlParser.parsePlan(stmt).collectWithSubqueries {
+        case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+          r.multipartIdentifier.mkString(".")
+      }
+      catch { case _: Exception => Seq.empty }
+    val ids = (("(?is)\\b(?:FROM|JOIN|INTO|TABLE)\\s+" +
       "([A-Za-z_][A-Za-z0-9_.]*)").r
-      .findAllMatchIn(outside).map(_.group(1)).toSeq.distinct
+      .findAllMatchIn(outside).map(_.group(1)).toSeq ++
+      planned ++ mergeTables).distinct
       .filterNot(_.toLowerCase.startsWith("system."))
     val catalog = spark.sessionState.catalog
     ids.filter { t =>

@@ -215,6 +215,46 @@ class LifecycleSpec extends SparkFunSuite {
       .head.getLong(0) == 25L)
   }
 
+  test("plan-based gate: merge()/subquery reads and policy shadows can't bypass " +
+      "grants (r10 verdict #5, ADVICE medium)") {
+    val t = "graft_gate_t"
+    scratch(t)
+    ch(s"CREATE MATERIALIZED VIEW $t AS SELECT n_nationkey, n_regionkey FROM nation")
+    ch("CREATE USER IF NOT EXISTS gate_bob")
+    try {
+      // 1. SELECT via merge() over an ungranted table is denied — the
+      //    gate expands the table-function regex to its catalog matches
+      ch("SET user = 'gate_bob'")
+      val e1 = intercept[SecurityException] {
+        ch(s"SELECT count() AS n FROM merge('graft_gate_.*')")
+      }
+      assert(e1.getMessage.contains(t))
+      // 2. an ungranted read nested in a subquery is denied too
+      val e2 = intercept[SecurityException] {
+        ch(s"SELECT 1 AS x WHERE 1 IN (SELECT n_nationkey FROM $t)")
+      }
+      assert(e2.getMessage.contains(t))
+      // 3. ADVICE medium: a row-policy shadow must NOT bypass the grant
+      //    check — revoked user keeps being denied on the policed table
+      ch("SET user = 'default'")
+      ch(s"GRANT SELECT ON $t TO gate_bob")
+      ch(s"CREATE ROW POLICY gate_pol ON $t USING n_regionkey < 2 TO gate_bob")
+      ch("SET user = 'gate_bob'")
+      assert(ch(s"SELECT count() AS n FROM $t").collect().head.getLong(0) ==
+        spark.read.parquet(s"$sf/nation.parquet")
+          .filter(col("n_regionkey") < 2).count(), "granted+policed read filters")
+      ch("SET user = 'default'")
+      ch(s"REVOKE SELECT ON $t FROM gate_bob")
+      ch("SET user = 'gate_bob'")
+      intercept[SecurityException] { ch(s"SELECT count() AS n FROM $t") }
+    } finally {
+      ch("SET user = 'default'")
+      scala.util.Try(ch(s"DROP ROW POLICY gate_pol ON $t"))
+      scala.util.Try(ch("DROP USER gate_bob"))
+      scala.util.Try(ch(s"DROP TABLE $t"))
+    }
+  }
+
   test("UNDROP and RESTORE preserve managed/external identity") {
     import org.apache.spark.sql.catalyst.TableIdentifier
     import org.apache.spark.sql.catalyst.catalog.CatalogTableType
