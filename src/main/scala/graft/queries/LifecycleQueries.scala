@@ -443,9 +443,113 @@ object LifecycleQueries extends QueryPack {
       (SELECT COUNT(*) FROM nation) AS default_n,
       CAST(1 AS BIGINT) AS policy_listed"""))
 
+  /** Quotas (ParserCreateQuotaQuery.cpp, QuotaCache.cpp): per-user
+    * statement counters over an interval window — the covered user's
+    * 4th query inside a MAX queries = 3 window is rejected, the
+    * bootstrap default is never metered, and SHOW QUOTAS /
+    * system.quotas / system.quota_usage expose the ledger. */
+  private val quota = Q("q_ch_quota", (s, dir) => {
+    Tables.register(s, dir)
+    val t = "graft_quota_t"
+    scratch(s, t)
+    def caught(body: => Unit): Long =
+      try { body; 0L }
+      catch { case e: SecurityException if e.getMessage.contains("Quota") => 1L }
+    ch.sql(s, "SET user = 'default'")
+    ch.sql(s, s"""
+      CREATE MATERIALIZED VIEW $t AS
+      SELECT n_nationkey, n_name FROM nation""")
+    ch.sql(s, "DROP USER IF EXISTS quota_carol")
+    ch.sql(s, "DROP QUOTA IF EXISTS q_small")
+    ch.sql(s, "CREATE USER quota_carol")
+    ch.sql(s, s"GRANT SELECT ON $t TO quota_carol")
+    ch.sql(s, "CREATE QUOTA q_small KEYED BY user_name " +
+      "FOR INTERVAL 1 hour MAX queries = 3 TO quota_carol")
+    try {
+      ch.sql(s, "SET user = 'quota_carol'")
+      val reads = (1 to 3).map(_ => ch.sql(s, s"SELECT count() AS n FROM $t")
+        .collect().head.getLong(0)).sum
+      val denied4th = caught {
+        ch.sql(s, s"SELECT count() AS n FROM $t").collect()
+      }
+      ch.sql(s, "SET user = 'default'")
+      // default is unmetered no matter how many statements it runs
+      val defRead = ch.sql(s, s"SELECT count() AS n FROM $t")
+        .collect().head.getLong(0)
+      val listed = ch.sql(s, "SHOW QUOTAS")
+        .collect().map(_.getString(0)).count(_ == "q_small").toLong
+      val sysRow = ch.sql(s, """
+        SELECT count() AS n FROM system.quotas
+        WHERE name = 'q_small' AND duration = 3600 AND apply_to_list = 'quota_carol'""")
+        .collect().head.getLong(0)
+      // usage ledger: 3 admitted + the rejected 4th = 4 charged queries
+      val usage = ch.sql(s, """
+        SELECT CAST(queries AS BIGINT) AS q FROM system.quota_usage
+        WHERE quota_name = 'q_small' AND quota_key = 'quota_carol'""")
+        .collect().head.getLong(0)
+      import s.implicits._
+      Seq((reads, denied4th, defRead, listed, sysRow, usage))
+        .toDF("reads_sum", "denied_4th", "default_read", "show_listed",
+          "system_row", "usage_queries")
+    } finally {
+      ch.sql(s, "SET user = 'default'")
+      ch.sql(s, "DROP QUOTA IF EXISTS q_small")
+      ch.sql(s, "DROP USER IF EXISTS quota_carol")
+    }
+  }, Some("""
+    SELECT (SELECT COUNT(*) FROM nation) * 3 AS reads_sum,
+      CAST(1 AS BIGINT) AS denied_4th,
+      (SELECT COUNT(*) FROM nation) AS default_read,
+      CAST(1 AS BIGINT) AS show_listed,
+      CAST(1 AS BIGINT) AS system_row,
+      CAST(4 AS BIGINT) AS usage_queries"""))
+
+  /** Settings profiles (ParserCreateSettingsProfileQuery.cpp): a named
+    * bundle of SETTINGS applied to the session conf when a covered user
+    * authenticates via SET user; SHOW CREATE renders the stored
+    * definition and system.settings_profiles lists it. */
+  private val settingsProfile = Q("q_ch_settings_profile", (s, dir) => {
+    Tables.register(s, dir)
+    ch.sql(s, "SET user = 'default'")
+    ch.sql(s, "DROP USER IF EXISTS prof_dave")
+    ch.sql(s, "DROP SETTINGS PROFILE IF EXISTS p_limits")
+    ch.sql(s, "CREATE USER prof_dave")
+    ch.sql(s, "CREATE SETTINGS PROFILE p_limits " +
+      "SETTINGS max_threads = 7, max_memory_usage = 1000000 TO prof_dave")
+    try {
+      ch.sql(s, "SET user = 'prof_dave'")
+      // authentication applied the profile to the session conf
+      val applied = ch.sql(s, """
+        SELECT value FROM system.settings WHERE name = 'max_threads'""")
+        .collect().head.getString(0)
+      ch.sql(s, "SET user = 'default'")
+      val listed = ch.sql(s, "SHOW SETTINGS PROFILES")
+        .collect().map(_.getString(0)).count(_ == "p_limits").toLong
+      val shown = ch.sql(s, "SHOW CREATE SETTINGS PROFILE p_limits")
+        .collect().head.getString(0)
+      val sysRow = ch.sql(s, """
+        SELECT count() AS n FROM system.settings_profiles
+        WHERE name = 'p_limits' AND num_elements = 2
+          AND apply_to_list = 'prof_dave'""")
+        .collect().head.getLong(0)
+      import s.implicits._
+      Seq((applied, listed, shown, sysRow))
+        .toDF("applied_max_threads", "show_listed", "show_create", "system_row")
+    } finally {
+      ch.sql(s, "SET user = 'default'")
+      ch.sql(s, "DROP SETTINGS PROFILE IF EXISTS p_limits")
+      ch.sql(s, "DROP USER IF EXISTS prof_dave")
+    }
+  }, Some("""
+    SELECT '7' AS applied_max_threads,
+      CAST(1 AS BIGINT) AS show_listed,
+      'CREATE SETTINGS PROFILE p_limits SETTINGS max_threads = 7, max_memory_usage = 1000000 TO prof_dave'
+        AS show_create,
+      CAST(1 AS BIGINT) AS system_row"""))
+
   override def queries: Seq[Q] = Seq(
     replacePartition, movePartition, fetchPartition, undropTable,
     refreshMv, optimizeDedupBy, limitOffsetBy, dynamicTyped,
     systemMaintenance, mutationRewrite, backupRestore, systemBreadth,
-    rbac, rowPolicy)
+    rbac, rowPolicy, quota, settingsProfile)
 }

@@ -326,6 +326,29 @@ object SystemTables {
       .toDF("name", "table", "select_filter", "apply_to")
   }
 
+  /** system.quotas (StorageSystemQuotas.cpp): one row per CREATE QUOTA
+    * with its key, interval, limits, and grantee set. */
+  def quotasTable(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    graft.sql.AccessControl.listQuotas
+      .toDF("name", "keys", "duration", "max", "apply_to_all", "apply_to_list")
+  }
+
+  /** system.quota_usage (StorageSystemQuotaUsage.cpp): the session
+    * ledger's consumed counters per (quota, user) window. */
+  def quotaUsage(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    graft.sql.AccessControl.listQuotaUsage
+      .toDF("quota_name", "quota_key", "queries", "errors", "max_queries")
+  }
+
+  /** system.settings_profiles (StorageSystemSettingsProfiles.cpp). */
+  def settingsProfilesTable(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    graft.sql.AccessControl.listSettingsProfiles
+      .toDF("name", "num_elements", "elements", "apply_to_all", "apply_to_list")
+  }
+
   /** system.settings analog (StorageSystemSettings.cpp): the session's
     * dialect-level knobs — every `SET k = v` lands under the graft.ch.*
     * conf namespace and is queryable here. */

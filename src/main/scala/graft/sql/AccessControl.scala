@@ -81,8 +81,158 @@ object AccessControl {
   def matches(stmt: String): Boolean =
     stmt.matches("(?is)^(CREATE|DROP)\\s+(USER|ROLE)\\b.*") ||
       stmt.matches("(?is)^(CREATE|DROP)\\s+ROW\\s+POLICY\\b.*") ||
+      stmt.matches("(?is)^(CREATE|DROP)\\s+QUOTA\\b.*") ||
+      stmt.matches("(?is)^(CREATE|DROP)\\s+SETTINGS\\s+PROFILE\\b.*") ||
       stmt.matches("(?is)^(GRANT|REVOKE)\\b.*") ||
-      stmt.matches("(?is)^SHOW\\s+GRANTS\\b.*")
+      stmt.matches("(?is)^SHOW\\s+(GRANTS|QUOTAS|SETTINGS\\s+PROFILES)\\b.*") ||
+      stmt.matches("(?is)^SHOW\\s+CREATE\\s+(QUOTA|SETTINGS\\s+PROFILE)\\b.*")
+
+  // ---- quotas (ParserCreateQuotaQuery.cpp, QuotaCache.cpp) ------------
+
+  /** One quota: interval-windowed limits on per-user statement counters
+    * (the honest single-node mapping of the reference's resource quotas
+    * — queries / query_selects / query_inserts / errors are countable
+    * at statement granularity on the session ledger). Limit names the
+    * reference defines but this engine can't meter per-statement
+    * (result_rows, read_bytes, …) are stored + listed, not enforced. */
+  final case class Quota(name: String, keyedBy: String, intervalSec: Long,
+      limits: Map[String, Long], toAll: Boolean, grantees: Set[String])
+
+  private val quotas =
+    new java.util.concurrent.ConcurrentHashMap[String, Quota]()
+
+  /** (quota, user) → window start millis + consumed counters. */
+  private final case class Usage(windowStart: Long,
+      counters: Map[String, Long])
+  private val quotaUsage =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Usage]()
+
+  /** The quota limit names the reference defines (QuotaDefs.h). */
+  private val quotaLimitNames = Set("queries", "query_selects",
+    "query_inserts", "errors", "result_rows", "result_bytes", "read_rows",
+    "read_bytes", "execution_time", "written_bytes",
+    "failed_sequential_authentications")
+
+  /** Enforced at statement granularity on the session ledger. */
+  private val meteredLimits = Set("queries", "query_selects",
+    "query_inserts", "errors")
+
+  private def granteeCovers(toAll: Boolean, grantees: Set[String],
+      who: String): Boolean =
+    toAll || {
+      val seen = scala.collection.mutable.Set[String]()
+      def walk(g: String): Unit = if (seen.add(g))
+        roleGrants.getOrDefault(g, Set.empty).foreach(walk)
+      walk(who)
+      grantees.exists(seen.contains)
+    }
+
+  /** Charge the statement against every quota covering the session user
+    * and THROW once a metered limit is exceeded within its interval
+    * window (QuotaCache::used — the window resets `intervalSec` after
+    * its first charge). `default` is never metered; SET always passes
+    * (it is the session-auth channel). */
+  def chargeQuota(spark: SparkSession, stmt: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val me = currentUser(spark)
+    if (me == "default") return
+    if (stmt.trim.matches("(?is)^SET\\b.*")) return
+    val charged = Seq("queries") ++
+      (if (stmt.trim.matches("(?is)^(SELECT|WITH)\\b.*")) Seq("query_selects")
+       else if (stmt.trim.matches("(?is)^INSERT\\b.*")) Seq("query_inserts")
+       else Nil)
+    quotas.asScala.values
+      .filter(q => granteeCovers(q.toAll, q.grantees, me)).foreach { q =>
+        val now = System.currentTimeMillis()
+        val u = quotaUsage.compute((q.name, me), (_, prev) => {
+          val base =
+            if (prev == null || now - prev.windowStart >= q.intervalSec * 1000L)
+              Usage(now, Map.empty)
+            else prev
+          Usage(base.windowStart,
+            charged.foldLeft(base.counters)((m, c) =>
+              m.updated(c, m.getOrElse(c, 0L) + 1L)))
+        })
+        for (c <- charged; lim <- q.limits.get(c) if meteredLimits(c))
+          if (u.counters.getOrElse(c, 0L) > lim)
+            throw new SecurityException(
+              s"Quota for user `$me` for ${q.intervalSec}s has been " +
+                s"exceeded: $c = ${u.counters(c)}/$lim. " +
+                s"Interval will end at window start + ${q.intervalSec}s. " +
+                s"Name of quota template: `${q.name}`")
+      }
+  }
+
+  /** Count a failed statement against covering quotas' `errors` limit
+    * (the NEXT statement trips if the limit is now exceeded — the
+    * reference likewise charges errors after the fact). */
+  def chargeError(spark: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    val me = currentUser(spark)
+    if (me == "default") return
+    quotas.asScala.values
+      .filter(q => granteeCovers(q.toAll, q.grantees, me)).foreach { q =>
+        val now = System.currentTimeMillis()
+        quotaUsage.compute((q.name, me), (_, prev) => {
+          val base =
+            if (prev == null || now - prev.windowStart >= q.intervalSec * 1000L)
+              Usage(now, Map.empty)
+            else prev
+          Usage(base.windowStart,
+            base.counters.updated("errors",
+              base.counters.getOrElse("errors", 0L) + 1L))
+        })
+      }
+  }
+
+  def listQuotas: Seq[(String, String, Long, String, Boolean, String)] = {
+    import scala.jdk.CollectionConverters._
+    quotas.asScala.values.toSeq.sortBy(_.name).map(q =>
+      (q.name, q.keyedBy, q.intervalSec,
+        q.limits.toSeq.sorted.map { case (k, v) => s"$k = $v" }.mkString(", "),
+        q.toAll, q.grantees.toSeq.sorted.mkString(",")))
+  }
+
+  def listQuotaUsage: Seq[(String, String, Long, Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    quotaUsage.asScala.toSeq.sortBy(_._1).map { case ((q, u), usage) =>
+      (q, u, usage.counters.getOrElse("queries", 0L),
+        usage.counters.getOrElse("errors", 0L),
+        quotas.asScala.get(q).flatMap(_.limits.get("queries")).getOrElse(0L))
+    }
+  }
+
+  // ---- settings profiles (ParserCreateSettingsProfileQuery.cpp) -------
+
+  /** CREATE SETTINGS PROFILE p SETTINGS a = v, … TO grantees: applied to
+    * the session conf (the graft.ch.* namespace every SET writes) when a
+    * covered user authenticates via SET user. */
+  final case class SettingsProfile(name: String,
+      settings: Seq[(String, String)], toAll: Boolean, grantees: Set[String])
+
+  private val settingsProfiles =
+    new java.util.concurrent.ConcurrentHashMap[String, SettingsProfile]()
+
+  def listSettingsProfiles: Seq[(String, Long, String, Boolean, String)] = {
+    import scala.jdk.CollectionConverters._
+    settingsProfiles.asScala.values.toSeq.sortBy(_.name).map(p =>
+      (p.name, p.settings.size.toLong,
+        p.settings.map { case (k, v) => s"$k = $v" }.mkString(", "),
+        p.toAll, p.grantees.toSeq.sorted.mkString(",")))
+  }
+
+  /** Apply every profile covering the CURRENT user to the session conf
+    * — called when SET user authenticates a session. */
+  def applyProfiles(spark: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    val me = currentUser(spark)
+    if (me == "default") return
+    settingsProfiles.asScala.values.toSeq.sortBy(_.name)
+      .filter(p => granteeCovers(p.toAll, p.grantees, me))
+      .foreach(_.settings.foreach { case (k, v) =>
+        spark.conf.set(s"graft.ch.$k", v)
+      })
+  }
 
   def execute(spark: SparkSession, stmt0: String): DataFrame = {
     import spark.implicits._
@@ -114,6 +264,46 @@ object AccessControl {
       require(g == "default" || users.contains(g) || roles.contains(g),
         s"there is no user or role `$g`")
 
+    val createQuota = ("(?is)^CREATE\\s+QUOTA\\s+(IF\\s+NOT\\s+EXISTS\\s+)?" +
+      "([A-Za-z_][A-Za-z0-9_]*)" +
+      "(?:\\s+(?:KEYED\\s+BY\\s+([A-Za-z_]+)|NOT\\s+KEYED))?" +
+      "(?:\\s+FOR\\s+(?:RANDOMIZED\\s+)?INTERVAL\\s+(\\d+)\\s+([A-Za-z]+?)s?\\b)?" +
+      "(?:\\s+MAX\\s+(.+?))?" +
+      "(?:\\s+TO\\s+([A-Za-z_,\\s]+|ALL))?$").r
+    val dropQuota =
+      "(?is)^DROP\\s+QUOTA\\s+(IF\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_]*)$".r
+    val createProfile = ("(?is)^CREATE\\s+SETTINGS\\s+PROFILE\\s+" +
+      "(IF\\s+NOT\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_]*)" +
+      "(?:\\s+SETTINGS\\s+(.+?))?(?:\\s+TO\\s+([A-Za-z_,\\s]+|ALL))?$").r
+    val dropProfile = ("(?is)^DROP\\s+SETTINGS\\s+PROFILE\\s+" +
+      "(IF\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_]*)$").r
+    val showQuotas = "(?is)^SHOW\\s+QUOTAS$".r
+    val showCreateQuota =
+      "(?is)^SHOW\\s+CREATE\\s+QUOTA\\s+([A-Za-z_][A-Za-z0-9_]*)$".r
+    val showProfiles = "(?is)^SHOW\\s+SETTINGS\\s+PROFILES$".r
+    val showCreateProfile = ("(?is)^SHOW\\s+CREATE\\s+SETTINGS\\s+PROFILE\\s+" +
+      "([A-Za-z_][A-Za-z0-9_]*)$").r
+    def intervalSeconds(n: String, unit: String): Long = {
+      val k = Option(unit).map(_.toLowerCase).getOrElse("hour")
+      val mult = k match {
+        case "second" => 1L; case "minute" => 60L; case "hour" => 3600L
+        case "day" => 86400L; case "week" => 604800L
+        case "month" => 2629746L; case "quarter" => 7889238L
+        case "year" => 31556952L
+        case other => throw new IllegalArgumentException(
+          s"unsupported quota interval unit '$other'")
+      }
+      Option(n).map(_.toLong).getOrElse(1L) * mult
+    }
+    def granteeSpec(to: String): (Boolean, Set[String]) =
+      Option(to).map(_.trim) match {
+        case None => (false, Set.empty[String])
+        case Some(t) if t.equalsIgnoreCase("ALL") => (true, Set.empty[String])
+        case Some(list) =>
+          val gs = names(list).toSet
+          gs.foreach(knownGrantee); (false, gs)
+      }
+
     val createPolicy = ("(?is)^CREATE\\s+ROW\\s+POLICY\\s+(IF\\s+NOT\\s+EXISTS\\s+)?" +
       "([A-Za-z_][A-Za-z0-9_]*)\\s+ON\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+" +
       "USING\\s+(.+?)(?:\\s+TO\\s+(.+))?$").r
@@ -121,6 +311,79 @@ object AccessControl {
       "([A-Za-z_][A-Za-z0-9_]*)\\s+ON\\s+([A-Za-z_][A-Za-z0-9_.]*)$").r
 
     stmt match {
+      case createQuota(ifNot, name, keyed, n, unit, maxList, to) =>
+        requireAdmin()
+        val limits = Option(maxList).map(names(_).map { kv =>
+          val Array(k, v) = kv.split("=", 2).map(_.trim)
+          val key = k.toLowerCase
+          require(quotaLimitNames(key), s"unknown quota limit '$k'")
+          key -> v.toDouble.toLong
+        }.toMap).getOrElse(Map.empty)
+        val (toAll, gs) = granteeSpec(to)
+        val q = Quota(name, Option(keyed).getOrElse("user_name"),
+          intervalSeconds(n, unit), limits, toAll, gs)
+        if (quotas.putIfAbsent(name, q) != null && ifNot == null)
+          throw new IllegalArgumentException(s"quota `$name` already exists")
+        ok
+      case dropQuota(ifEx, name) =>
+        requireAdmin()
+        if (quotas.remove(name) == null && ifEx == null)
+          throw new IllegalArgumentException(s"there is no quota `$name`")
+        import scala.jdk.CollectionConverters._
+        quotaUsage.keySet.asScala.filter(_._1 == name)
+          .foreach(quotaUsage.remove)
+        ok
+      case showQuotas() =>
+        listQuotas.map(_._1).toDF("name")
+      case showCreateQuota(name) =>
+        val q = Option(quotas.get(name)).getOrElse(
+          throw new IllegalArgumentException(s"there is no quota `$name`"))
+        val maxPart =
+          if (q.limits.isEmpty) ""
+          else " MAX " + q.limits.toSeq.sorted
+            .map { case (k, v) => s"$k = $v" }.mkString(", ")
+        val toPart =
+          if (q.toAll) " TO ALL"
+          else if (q.grantees.nonEmpty)
+            s" TO ${q.grantees.toSeq.sorted.mkString(", ")}"
+          else ""
+        Seq(s"CREATE QUOTA ${q.name} KEYED BY ${q.keyedBy} FOR INTERVAL " +
+          s"${q.intervalSec} second$maxPart$toPart").toDF("statement")
+      case createProfile(ifNot, name, settingsList, to) =>
+        requireAdmin()
+        val settings = Option(settingsList).map(names(_).map { kv =>
+          val Array(k, v) = kv.split("=", 2).map(_.trim)
+          k -> v.stripPrefix("'").stripSuffix("'")
+        }).getOrElse(Seq.empty)
+        val (toAll, gs) = granteeSpec(to)
+        if (settingsProfiles.putIfAbsent(name,
+            SettingsProfile(name, settings, toAll, gs)) != null && ifNot == null)
+          throw new IllegalArgumentException(
+            s"settings profile `$name` already exists")
+        ok
+      case dropProfile(ifEx, name) =>
+        requireAdmin()
+        if (settingsProfiles.remove(name) == null && ifEx == null)
+          throw new IllegalArgumentException(
+            s"there is no settings profile `$name`")
+        ok
+      case showProfiles() =>
+        listSettingsProfiles.map(_._1).toDF("name")
+      case showCreateProfile(name) =>
+        val p = Option(settingsProfiles.get(name)).getOrElse(
+          throw new IllegalArgumentException(
+            s"there is no settings profile `$name`"))
+        val sPart =
+          if (p.settings.isEmpty) ""
+          else " SETTINGS " + p.settings
+            .map { case (k, v) => s"$k = $v" }.mkString(", ")
+        val toPart =
+          if (p.toAll) " TO ALL"
+          else if (p.grantees.nonEmpty)
+            s" TO ${p.grantees.toSeq.sorted.mkString(", ")}"
+          else ""
+        Seq(s"CREATE SETTINGS PROFILE ${p.name}$sPart$toPart")
+          .toDF("statement")
       case createPolicy(ifNot, name, table, cond, to) =>
         requireAdmin()
         val appliesTo = Option(to).map(_.trim) match {
@@ -346,6 +609,7 @@ object AccessControl {
   /** Test/maintenance reset. */
   private[graft] def reset(): Unit = {
     users.clear(); roles.clear(); grants.clear(); roleGrants.clear()
-    rowPolicies.clear()
+    rowPolicies.clear(); quotas.clear(); quotaUsage.clear()
+    settingsProfiles.clear()
   }
 }

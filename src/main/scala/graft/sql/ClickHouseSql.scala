@@ -634,9 +634,17 @@ object ClickHouseSql {
     * installed. */
   def sql(spark: SparkSession, chSql: String): DataFrame = {
     val t0 = System.nanoTime()
-    try sqlImpl(spark, chSql)
+    try {
+      // quota metering (QuotaCache::used): each statement charges the
+      // session user's covering quotas BEFORE running — an exceeded
+      // metered limit (queries/query_selects/query_inserts/errors)
+      // throws here; `default` and SET are never metered
+      AccessControl.chargeQuota(spark, chSql)
+      sqlImpl(spark, chSql)
+    }
     catch {
       case e: Throwable =>
+        AccessControl.chargeError(spark)
         // system.errors ledger (StorageSystemErrors.cpp: per-error-name
         // count + last message): keyed by exception class simple name
         errorLedger.compute(e.getClass.getSimpleName, (_, prev) => {
@@ -836,6 +844,11 @@ object ClickHouseSql {
         "grants" -> (() => graft.sources.SystemTables.grantsTable(spark)),
         "row_policies" ->
           (() => graft.sources.SystemTables.rowPolicies(spark)),
+        "quotas" -> (() => graft.sources.SystemTables.quotasTable(spark)),
+        "quota_usage" ->
+          (() => graft.sources.SystemTables.quotaUsage(spark)),
+        "settings_profiles" ->
+          (() => graft.sources.SystemTables.settingsProfilesTable(spark)),
         "time_zones" -> (() => graft.sources.SystemTables.timeZones(spark)),
         "build_options" ->
           (() => graft.sources.SystemTables.buildOptions(spark)),
@@ -919,7 +932,8 @@ object ClickHouseSql {
           "formats|table_engines|clusters|disks|columns|parts|" +
           "detached_parts|projections|errors|view_refreshes|" +
           "backups|time_zones|build_options|warnings|replicas|moves|" +
-          "users|roles|grants|row_policies)\\b",
+          "users|roles|grants|row_policies|settings_profiles|" +
+          "quota_usage|quotas)\\b",
         "graft_system_$1")
     }.mkString("'")
     if (Dictionaries.matches(trimmed))
@@ -1304,7 +1318,11 @@ object ClickHouseSql {
       // under a namespaced key (no reference settings map onto Spark 1:1)
       val kv = "(?is)^SET\\s+(\\w+)\\s*=\\s*(.+?)\\s*;?\\s*$".r
       trimmed match {
-        case kv(k, v) => spark.conf.set(s"graft.ch.$k", v)
+        case kv(k, v) =>
+          spark.conf.set(s"graft.ch.$k", v)
+          // SET user authenticates the session: apply every settings
+          // profile covering the new user (SettingsProfilesCache)
+          if (k.equalsIgnoreCase("user")) AccessControl.applyProfiles(spark)
         case _ =>
       }
       import spark.implicits._

@@ -255,6 +255,61 @@ class LifecycleSpec extends SparkFunSuite {
     }
   }
 
+  test("quotas: oracle lanes, window reset after the interval, errors metered") {
+    val r = queries.LifecycleQueries.queries
+      .find(_.name == "q_ch_quota").get.run(spark, sf).collect().head
+    assert(r.getLong(0) == 75L && r.getLong(1) == 1L && r.getLong(2) == 25L)
+    assert(r.getLong(3) == 1L && r.getLong(4) == 1L && r.getLong(5) == 4L)
+    // window reset: a 1-second interval quota admits again after expiry
+    val t = "graft_quota_win_t"
+    scratch(t)
+    ch(s"CREATE MATERIALIZED VIEW $t AS SELECT 1 AS a")
+    ch("CREATE USER IF NOT EXISTS quota_win_u")
+    ch(s"GRANT SELECT ON $t TO quota_win_u")
+    ch("CREATE QUOTA q_win FOR INTERVAL 1 second MAX queries = 1 TO quota_win_u")
+    try {
+      ch("SET user = 'quota_win_u'")
+      assert(ch(s"SELECT count() AS n FROM $t").collect().head.getLong(0) == 1L)
+      intercept[SecurityException] {
+        ch(s"SELECT count() AS n FROM $t").collect()
+      }
+      Thread.sleep(1200)
+      assert(ch(s"SELECT count() AS n FROM $t").collect().head.getLong(0) == 1L,
+        "window must reset after the interval elapses")
+    } finally {
+      ch("SET user = 'default'")
+      scala.util.Try(ch("DROP QUOTA IF EXISTS q_win"))
+      scala.util.Try(ch("DROP USER IF EXISTS quota_win_u"))
+      scala.util.Try(ch(s"DROP TABLE $t"))
+    }
+    // errors metering: a failing statement charges the errors counter
+    ch("CREATE USER IF NOT EXISTS quota_err_u")
+    ch("CREATE QUOTA q_err FOR INTERVAL 1 hour MAX errors = 1 TO quota_err_u")
+    try {
+      ch("SET user = 'quota_err_u'")
+      intercept[Exception] { ch("SELECT broken syntax here !!").collect() }
+      ch("SET user = 'default'")
+      val errs = ch("""SELECT CAST(errors AS BIGINT) AS e FROM system.quota_usage
+        WHERE quota_name = 'q_err'""").collect().head.getLong(0)
+      assert(errs == 1L, s"errors counter must record the failure, got $errs")
+    } finally {
+      ch("SET user = 'default'")
+      scala.util.Try(ch("DROP QUOTA IF EXISTS q_err"))
+      scala.util.Try(ch("DROP USER IF EXISTS quota_err_u"))
+    }
+  }
+
+  test("settings profile applies on SET user authentication") {
+    val r = queries.LifecycleQueries.queries
+      .find(_.name == "q_ch_settings_profile").get.run(spark, sf).collect().head
+    assert(r.getString(0) == "7")
+    assert(r.getLong(1) == 1L)
+    assert(r.getString(2) ==
+      "CREATE SETTINGS PROFILE p_limits SETTINGS max_threads = 7, " +
+        "max_memory_usage = 1000000 TO prof_dave")
+    assert(r.getLong(3) == 1L)
+  }
+
   test("UNDROP and RESTORE preserve managed/external identity") {
     import org.apache.spark.sql.catalyst.TableIdentifier
     import org.apache.spark.sql.catalyst.catalog.CatalogTableType
