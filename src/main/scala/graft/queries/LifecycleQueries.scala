@@ -547,9 +547,48 @@ object LifecycleQueries extends QueryPack {
         AS show_create,
       CAST(1 AS BIGINT) AS system_row"""))
 
+  /** ALTER metadata verbs (AlterCommands.h MODIFY_ORDER_BY:33 /
+    * MODIFY_SAMPLE_BY:34 / COMMENT_COLUMN / MATERIALIZE_COLUMN): the
+    * engine properties recorded at CREATE update in place and SHOW
+    * CREATE renders them back; MATERIALIZE COLUMN fills the column's
+    * NULL lanes from its recorded DEFAULT expression via the durable
+    * part rewrite. */
+  private val alterMeta = Q("q_ch_alter_meta", (s, dir) => {
+    Tables.register(s, dir)
+    val t = "graft_altermeta_t"
+    scratch(s, t)
+    ch.sql(s, s"""
+      CREATE TABLE $t (k Int64, v Int64 DEFAULT k * 10 COMMENT 'derived')
+      ENGINE = MergeTree ORDER BY k""")
+    ch.sql(s, s"""
+      INSERT INTO $t
+      SELECT CAST(n_nationkey AS BIGINT), CAST(NULL AS BIGINT) FROM nation""")
+    // fills ONLY the NULL lanes of v with k * 10 (durable part rewrite)
+    ch.sql(s, s"ALTER TABLE $t MATERIALIZE COLUMN v")
+    val sumV = ch.sql(s, s"SELECT CAST(sum(v) AS BIGINT) AS sv FROM $t")
+      .collect().head.getLong(0)
+    ch.sql(s, s"ALTER TABLE $t MODIFY ORDER BY (k, v)")
+    ch.sql(s, s"ALTER TABLE $t MODIFY SAMPLE BY k")
+    ch.sql(s, s"ALTER TABLE $t MODIFY COMMENT 'meta verbs'")
+    ch.sql(s, s"ALTER TABLE $t COMMENT COLUMN k 'key col'")
+    val shown = ch.sql(s, s"SHOW CREATE TABLE $t")
+      .collect().head.getString(0)
+    // REMOVE SAMPLE BY retires the clause again
+    ch.sql(s, s"ALTER TABLE $t REMOVE SAMPLE BY")
+    val shownNoSample = ch.sql(s, s"SHOW CREATE TABLE $t")
+      .collect().head.getString(0)
+    import s.implicits._
+    Seq((sumV, shown, shownNoSample.contains("SAMPLE BY")))
+      .toDF("sum_v", "show_create", "sample_still_shown")
+  }, Some("""
+    SELECT (SELECT CAST(SUM(n_nationkey) * 10 AS BIGINT) FROM nation) AS sum_v,
+      'CREATE TABLE graft_altermeta_t (`k` Nullable(Int64) COMMENT ''key col'', `v` Nullable(Int64) DEFAULT k * 10 COMMENT ''derived'') ENGINE = MergeTree ORDER BY (k, v) SAMPLE BY k COMMENT ''meta verbs'''
+        AS show_create,
+      FALSE AS sample_still_shown"""))
+
   override def queries: Seq[Q] = Seq(
     replacePartition, movePartition, fetchPartition, undropTable,
     refreshMv, optimizeDedupBy, limitOffsetBy, dynamicTyped,
     systemMaintenance, mutationRewrite, backupRestore, systemBreadth,
-    rbac, rowPolicy, quota, settingsProfile)
+    rbac, rowPolicy, quota, settingsProfile, alterMeta)
 }

@@ -961,10 +961,22 @@ object ClickHouseSql {
               s"AS ${rv.select.trim}")
             .toDF("statement")
         case None =>
+          // recorded engine metadata renders back (ORDER BY / SAMPLE BY
+          // / COMMENT / column DEFAULT+COMMENT survive MODIFY verbs)
+          val em = engineMetaOf(t)
           val cols = spark.table(t).schema.fields
-            .map(f => s"`${f.name}` ${chTypeOrSpark(f)}")
+            .map { f =>
+              val dflt = em.colDefaults.get(f.name)
+                .map(d => s" DEFAULT $d").getOrElse("")
+              val cmt = em.colComments.get(f.name)
+                .map(c => s" COMMENT '$c'").getOrElse("")
+              s"`${f.name}` ${chTypeOrSpark(f)}$dflt$cmt"
+            }
             .mkString(", ")
-          Seq(s"CREATE TABLE $t ($cols) ENGINE = MergeTree ORDER BY tuple()")
+          val sample = em.sampleBy.map(sb => s" SAMPLE BY $sb").getOrElse("")
+          val cmt = em.comment.map(c => s" COMMENT '$c'").getOrElse("")
+          Seq(s"CREATE TABLE $t ($cols) ENGINE = MergeTree ORDER BY " +
+              s"${em.orderBy.getOrElse("tuple()")}$sample$cmt")
             .toDF("statement")
       }
     }
@@ -1029,8 +1041,11 @@ object ClickHouseSql {
         spark.conf.get("spark.sql.warehouse.dir"), a)
       wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
       spark.sql(s"CREATE TABLE $ine$a LIKE $b USING parquet")
-    } else if (trimmed.matches("(?is)^CREATE\\s+TABLE\\b.*"))
-      spark.sql(rewriteCreateTable(trimmed))
+    } else if (trimmed.matches("(?is)^CREATE\\s+TABLE\\b.*")) {
+      val out = spark.sql(rewriteCreateTable(trimmed))
+      recordEngineMeta(trimmed) // ORDER BY / SAMPLE BY / COMMENT / defaults
+      out
+    }
     else if (trimmed.matches("(?is)^CREATE\\s+MATERIALIZED\\s+VIEW\\b.*")) {
       // batch analog of the reference's MV: materialize the SELECT once as
       // a parquet CTAS (the streaming push chain is WindowView
@@ -1165,6 +1180,9 @@ object ClickHouseSql {
         droppedTables.put(t, (schemaDdl, loc, meta.partitionColumnNames,
           meta.tableType ==
             org.apache.spark.sql.catalyst.catalog.CatalogTableType.MANAGED))
+        // engine metadata follows the table into the holding area: a
+        // fresh CREATE of the name starts clean, UNDROP restores it
+        engineMeta.remove(t).foreach(droppedEngineMeta.put(t, _))
         queryCache.clear()
       }
       Seq("OK").toDF("status")
@@ -1188,6 +1206,7 @@ object ClickHouseSql {
                 throw new IllegalStateException(
                   s"UNDROP TABLE $t: rename of $hold to $dest failed")
           }
+          droppedEngineMeta.remove(t).foreach(engineMeta.put(t, _))
         case None => throw new IllegalArgumentException(
           s"UNDROP TABLE $t: no dropped table of that name in the holding area")
       }
@@ -1228,6 +1247,10 @@ object ClickHouseSql {
       alterPartition(spark, trimmed)
     else if (trimmed.matches("(?is)^ALTER\\s+TABLE\\s+\\S+\\s+(MODIFY|MATERIALIZE)\\s+TTL\\b.*"))
       alterTtl(spark, trimmed)
+    else if (trimmed.matches("(?is)^ALTER\\s+TABLE\\s+\\S+\\s+" +
+        "(MODIFY\\s+(ORDER\\s+BY|SAMPLE\\s+BY|COMMENT)|REMOVE\\s+SAMPLE\\s+BY|" +
+        "COMMENT\\s+COLUMN|MATERIALIZE\\s+COLUMN)\\b.*"))
+      alterMeta(spark, trimmed)
     else if (trimmed.matches("(?is)^ALTER\\s+TABLE\\s+\\S+\\s+(UPDATE|DELETE)\\b.*"))
       alterMutation(spark, trimmed)
     else if (trimmed.matches(
@@ -2412,6 +2435,149 @@ object ClickHouseSql {
         case other =>
           throw new IllegalArgumentException(s"unsupported reference type '$other'")
       }
+    }
+  }
+
+  /** table → engine-layout metadata recorded from the reference DDL
+    * (AlterCommands.h MODIFY_ORDER_BY:33 / MODIFY_SAMPLE_BY:34 /
+    * COMMENT_COLUMN / MATERIALIZE_COLUMN): the declared sorting key,
+    * sampling expression, table comment, per-column comments, and
+    * per-column DEFAULT expressions. Physical-layout hints carried as
+    * properties (Catalyst sorts/samples on demand); SHOW CREATE renders
+    * them back and MATERIALIZE COLUMN rewrites from the defaults. */
+  final case class EngineMeta(orderBy: Option[String] = None,
+      sampleBy: Option[String] = None, comment: Option[String] = None,
+      colComments: Map[String, String] = Map.empty,
+      colDefaults: Map[String, String] = Map.empty)
+  private val engineMeta =
+    scala.collection.concurrent.TrieMap.empty[String, EngineMeta]
+  /** Dropped tables' engine metadata, restored by UNDROP. */
+  private val droppedEngineMeta =
+    scala.collection.concurrent.TrieMap.empty[String, EngineMeta]
+
+  private[graft] def engineMetaOf(t: String): EngineMeta =
+    engineMeta.getOrElse(t, EngineMeta())
+
+  /** Record ORDER BY / SAMPLE BY / COMMENT / column DEFAULTs+COMMENTs
+    * from a reference-shaped CREATE TABLE (fresh create replaces any
+    * stale entry for the name). */
+  private def recordEngineMeta(s: String): Unit = {
+    val re = ("(?is)^CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?" +
+      "([A-Za-z_][A-Za-z0-9_.]*)\\s*\\((.*)\\)\\s*ENGINE\\s*=\\s*\\w+(.*)$").r
+    re.findFirstMatchIn(s).foreach { m =>
+      val name = m.group(1)
+      val tail = m.group(3)
+      def clause(kw: String): Option[String] =
+        (s"(?is)\\b$kw\\s+(.+?)(?=\\s+(?:PARTITION\\s+BY|ORDER\\s+BY|" +
+          "SAMPLE\\s+BY|PRIMARY\\s+KEY|TTL|SETTINGS|COMMENT)\\b|;?\\s*$)").r
+          .findFirstMatchIn(tail).map(_.group(1).trim)
+      val comment = "(?is)\\bCOMMENT\\s+'([^']*)'\\s*;?\\s*$".r
+        .findFirstMatchIn(tail).map(_.group(1))
+      val colComments = scala.collection.mutable.Map[String, String]()
+      val colDefaults = scala.collection.mutable.Map[String, String]()
+      splitTopLevel(m.group(2)).foreach { colDef =>
+        "(?s)^\\s*`?([A-Za-z_][A-Za-z0-9_]*)`?\\s+(.*)$".r
+          .findFirstMatchIn(colDef).foreach { cm =>
+            val cname = cm.group(1)
+            val rest = cm.group(2)
+            ("(?is)\\bDEFAULT\\s+(.+?)(?=\\s+(?:CODEC|COMMENT|TTL)\\b|$)").r
+              .findFirstMatchIn(rest)
+              .foreach(d => colDefaults(cname) = d.group(1).trim)
+            "(?is)\\bCOMMENT\\s+'([^']*)'".r.findFirstMatchIn(rest)
+              .foreach(c => colComments(cname) = c.group(1))
+          }
+      }
+      engineMeta.put(name, EngineMeta(clause("ORDER\\s+BY"),
+        clause("SAMPLE\\s+BY"), comment, colComments.toMap, colDefaults.toMap))
+    }
+  }
+
+  /** ALTER TABLE t MODIFY ORDER BY / MODIFY SAMPLE BY / REMOVE SAMPLE BY
+    * / MODIFY COMMENT / COMMENT COLUMN / MATERIALIZE COLUMN
+    * (AlterCommands.h MODIFY_ORDER_BY, MODIFY_SAMPLE_BY, COMMENT_COLUMN,
+    * COMMENT_TABLE, MATERIALIZE_COLUMN): property updates on the engine
+    * metadata ledger — SHOW CREATE reflects them — plus the MATERIALIZE
+    * COLUMN part rewrite, which fills the column's NULL lanes with its
+    * recorded DEFAULT expression through the durable pruned rewrite (a
+    * part with nothing to materialize is never touched). */
+  private def alterMeta(spark: SparkSession, stmt: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr, when}
+    val modOrder = ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+" +
+      "MODIFY\\s+ORDER\\s+BY\\s+(.+?);?\\s*$").r
+    val modSample = ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+" +
+      "MODIFY\\s+SAMPLE\\s+BY\\s+(.+?);?\\s*$").r
+    val rmSample = ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+" +
+      "REMOVE\\s+SAMPLE\\s+BY\\s*;?\\s*$").r
+    val modComment = ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+" +
+      "MODIFY\\s+COMMENT\\s+'([^']*)'\\s*;?\\s*$").r
+    val colComment = ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+" +
+      "COMMENT\\s+COLUMN\\s+(IF\\s+EXISTS\\s+)?`?([A-Za-z_][A-Za-z0-9_]*)`?" +
+      "\\s+'([^']*)'\\s*;?\\s*$").r
+    val matCol = ("(?is)^ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+" +
+      "MATERIALIZE\\s+COLUMN\\s+`?([A-Za-z_][A-Za-z0-9_]*)`?" +
+      "(?:\\s+IN\\s+PARTITION\\s+'?([^'\\s;]+)'?)?\\s*;?\\s*$").r
+    def upd(t: String)(f: EngineMeta => EngineMeta): Unit = {
+      require(spark.catalog.tableExists(t), s"no such table $t")
+      engineMeta.put(t, f(engineMetaOf(t)))
+    }
+    stmt.trim match {
+      case modOrder(t, expr0) =>
+        // reference contract: the sorting key may only reference existing
+        // columns (AlterCommands::apply validates the expression)
+        val cols = spark.table(t).columns.map(_.toLowerCase).toSet
+        "[A-Za-z_][A-Za-z0-9_]*".r.findAllIn(expr0)
+          .filterNot(w => Set("tuple").contains(w.toLowerCase))
+          .foreach(w => require(cols.contains(w.toLowerCase),
+            s"MODIFY ORDER BY references unknown column `$w`"))
+        upd(t)(_.copy(orderBy = Some(rewrite(expr0.trim))))
+        Seq("OK").toDF("status")
+      case modSample(t, expr0) =>
+        upd(t)(_.copy(sampleBy = Some(rewrite(expr0.trim))))
+        Seq("OK").toDF("status")
+      case rmSample(t) =>
+        upd(t)(_.copy(sampleBy = None))
+        Seq("OK").toDF("status")
+      case modComment(t, c) =>
+        upd(t)(_.copy(comment = Some(c)))
+        Seq("OK").toDF("status")
+      case colComment(t, ifEx, c, txt) =>
+        if (!spark.table(t).columns.contains(c)) {
+          if (ifEx == null) throw new IllegalArgumentException(
+            s"column $c does not exist in $t")
+        } else upd(t)(em => em.copy(colComments = em.colComments + (c -> txt)))
+        Seq("OK").toDF("status")
+      case matCol(t, c, pval) =>
+        require(spark.table(t).columns.contains(c),
+          s"column $c does not exist in $t")
+        engineMetaOf(t).colDefaults.get(c) match {
+          case None => // nothing recorded to materialize — reference
+            // semantics degrade to a no-op on an expressionless column
+            Seq("OK").toDF("status")
+          case Some(dflt) =>
+            val dt = spark.table(t).schema(c).dataType
+            val partCond = Option(pval).map { v =>
+              val pcols = spark.sessionState.catalog.getTableMetadata(
+                org.apache.spark.sql.catalyst.TableIdentifier(t))
+                .partitionColumnNames
+              require(pcols.size == 1,
+                s"MATERIALIZE COLUMN IN PARTITION needs one partition " +
+                  s"column, $t has $pcols")
+              col(pcols.head) === v
+            }
+            val hole = col(c).isNull
+            val affected = partCond.fold(hole)(_ && hole)
+            val mutated = spark.table(t).withColumn(c,
+              when(affected, expr(rewrite(dflt)).cast(dt)).otherwise(col(c)))
+            graft.operators.DurableRewrite.rewrite(spark, t, mutated,
+              Some(affected))
+            refreshSkipIndexes(spark, t)
+            queryCache.clear()
+            logMutation(t, stmt.trim)
+            Seq("OK").toDF("status")
+        }
+      case _ => throw new IllegalArgumentException(
+        "unsupported ALTER metadata form")
     }
   }
 
