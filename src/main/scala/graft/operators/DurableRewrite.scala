@@ -100,6 +100,8 @@ object DurableRewrite {
       withOverwriteMode(spark, "static") {
         staged.write.mode("overwrite").insertInto(table)
       }
+      graft.sources.SystemTables.PartLogLedger
+        .record("MutatePart", table, "all")
       Result(partitionDirs().size, 0)
     }
 
@@ -137,13 +139,20 @@ object DurableRewrite {
             .collect().map(r => partCols.indices.map(i => r.get(i))).toSet
           val emptied =
             vals.filterNot(r => survived(partCols.indices.map(i => r.get(i))))
+          def partDir(r: org.apache.spark.sql.Row): String =
+            partCols.zipWithIndex.map { case (pc, i) =>
+              org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                .getPartitionPathString(pc,
+                  if (r.isNullAt(i)) null else r.get(i).toString)
+            }.mkString("/")
+          vals.filter(r => survived(partCols.indices.map(i => r.get(i))))
+            .foreach(r => graft.sources.SystemTables.PartLogLedger
+              .record("MutatePart", table, partDir(r)))
           if (emptied.nonEmpty) {
             emptied.foreach { r =>
-              val dir = partCols.zipWithIndex.map { case (pc, i) =>
-                org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-                  .getPartitionPathString(pc,
-                    if (r.isNullAt(i)) null else r.get(i).toString)
-              }.mkString("/")
+              val dir = partDir(r)
+              graft.sources.SystemTables.PartLogLedger
+                .record("RemovePart", table, dir)
               fs.delete(new Path(loc, dir), true)
               val spec = partCols.zipWithIndex.map { case (pc, i) =>
                 val v = if (r.isNullAt(i)) "__HIVE_DEFAULT_PARTITION__"

@@ -586,9 +586,51 @@ object LifecycleQueries extends QueryPack {
         AS show_create,
       FALSE AS sample_still_shown"""))
 
+  /** system.part_log (PartLog.h): the engine's maintenance paths record
+    * part lifecycle events — a pruned UPDATE logs MutatePart for the one
+    * partition it rewrote, a partition-emptying DELETE logs RemovePart,
+    * DETACH/ATTACH log RemovePart/NewPart. DISTINCT keeps the readout
+    * stable across repeated runs of the same session ledger. */
+  private val partLog = Q("q_system_part_log", (s, dir) => {
+    Tables.register(s, dir)
+    val t = "graft_plog_t"
+    scratch(s, t)
+    Tables.load(s, dir, "nation")
+      .write.partitionBy("n_regionkey").saveAsTable(t)
+    ch.sql(s, s"ALTER TABLE $t UPDATE n_name = 'X' WHERE n_regionkey = 2")
+    ch.sql(s, s"ALTER TABLE $t DELETE WHERE n_regionkey = 4")
+    ch.sql(s, s"ALTER TABLE $t DETACH PARTITION '0'")
+    ch.sql(s, s"ALTER TABLE $t ATTACH PARTITION '0'")
+    ch.sql(s, s"""
+      SELECT DISTINCT event_type, part_name FROM system.part_log
+      WHERE `table` = '$t' ORDER BY event_type, part_name""")
+  }, Some("""
+    SELECT * FROM (VALUES
+      ('MutatePart', 'n_regionkey=2'),
+      ('NewPart', 'n_regionkey=0'),
+      ('RemovePart', 'n_regionkey=0'),
+      ('RemovePart', 'n_regionkey=4')) AS v(event_type, part_name)
+    ORDER BY event_type, part_name"""))
+
+  /** system.settings_changes — the session's SET audit (documented
+    * deviation: the reference serves the per-release settings-change
+    * history, which has no axis on a single-session engine; the change
+    * ledger with prior values is the honest mapping). */
+  private val settingsChanges = Q("q_system_settings_changes", (s, dir) => {
+    Tables.register(s, dir)
+    ch.sql(s, "SET graft_probe_knob = 1")
+    ch.sql(s, "SET graft_probe_knob = 2")
+    ch.sql(s, """
+      SELECT DISTINCT name, value, previous_value
+      FROM system.settings_changes
+      WHERE name = 'graft_probe_knob' AND value = '2'""")
+  }, Some("""
+    SELECT 'graft_probe_knob' AS name, '2' AS value, '1' AS previous_value"""))
+
   override def queries: Seq[Q] = Seq(
     replacePartition, movePartition, fetchPartition, undropTable,
     refreshMv, optimizeDedupBy, limitOffsetBy, dynamicTyped,
     systemMaintenance, mutationRewrite, backupRestore, systemBreadth,
-    rbac, rowPolicy, quota, settingsProfile, alterMeta)
+    rbac, rowPolicy, quota, settingsProfile, alterMeta, partLog,
+    settingsChanges)
 }

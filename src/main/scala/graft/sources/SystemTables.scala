@@ -8,6 +8,65 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * these expose it as queryable frames with reference-shaped columns. */
 object SystemTables {
 
+  /** The part-lifecycle event ledger behind system.part_log
+    * (src/Interpreters/PartLog.h: NewPart / MergeParts / DownloadPart /
+    * RemovePart / MutatePart / MovePart). This engine's maintenance
+    * paths — DurableRewrite mutations, partition verbs — record here;
+    * parts are partition directories, so `part_name` carries the
+    * partition dir (or the table name for unpartitioned rewrites). */
+  object PartLogLedger {
+    private val max = 10000
+    private val events =
+      new java.util.concurrent.ConcurrentLinkedDeque[
+        (java.sql.Timestamp, String, String, String)]()
+    def record(eventType: String, table: String, partName: String): Unit = {
+      events.addLast((new java.sql.Timestamp(System.currentTimeMillis()),
+        eventType, table, partName))
+      while (events.size > max) events.pollFirst()
+    }
+    def snapshot: Seq[(java.sql.Timestamp, String, String, String)] = {
+      import scala.jdk.CollectionConverters._
+      events.asScala.toSeq
+    }
+    private[graft] def clear(): Unit = events.clear()
+  }
+
+  /** system.part_log (StorageSystemPartLog via PartLog.h): one row per
+    * part lifecycle event recorded by the engine's maintenance paths. */
+  def partLog(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    PartLogLedger.snapshot
+      .toDF("event_time", "event_type", "table", "part_name")
+  }
+
+  /** The session settings audit behind system.settings_changes. The
+    * reference's table is the static per-release settings-change history
+    * (StorageSystemSettingsChanges.cpp); a single-session engine has no
+    * release axis, so the honest mapping — documented deviation — is the
+    * SESSION's change history: one row per SET with the prior value. */
+  object SettingsChangesLedger {
+    private val events =
+      new java.util.concurrent.ConcurrentLinkedDeque[
+        (java.sql.Timestamp, String, String, String)]()
+    def record(name: String, value: String, previous: String): Unit = {
+      events.addLast((new java.sql.Timestamp(System.currentTimeMillis()),
+        name, value, previous))
+      while (events.size > 10000) events.pollFirst()
+    }
+    def snapshot: Seq[(java.sql.Timestamp, String, String, String)] = {
+      import scala.jdk.CollectionConverters._
+      events.asScala.toSeq
+    }
+    private[graft] def clear(): Unit = events.clear()
+  }
+
+  /** system.settings_changes: the session's SET history. */
+  def settingsChanges(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    SettingsChangesLedger.snapshot
+      .toDF("event_time", "name", "value", "previous_value")
+  }
+
   /** system.one (StorageSystemOne.cpp): the canonical single-row,
     * single-column table — a FROM-less SELECT resolves against it in the
     * reference; `dummy` UInt8 = 0. */

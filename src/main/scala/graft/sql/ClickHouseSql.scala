@@ -849,6 +849,9 @@ object ClickHouseSql {
           (() => graft.sources.SystemTables.quotaUsage(spark)),
         "settings_profiles" ->
           (() => graft.sources.SystemTables.settingsProfilesTable(spark)),
+        "part_log" -> (() => graft.sources.SystemTables.partLog(spark)),
+        "settings_changes" ->
+          (() => graft.sources.SystemTables.settingsChanges(spark)),
         "time_zones" -> (() => graft.sources.SystemTables.timeZones(spark)),
         "build_options" ->
           (() => graft.sources.SystemTables.buildOptions(spark)),
@@ -933,7 +936,7 @@ object ClickHouseSql {
           "detached_parts|projections|errors|view_refreshes|" +
           "backups|time_zones|build_options|warnings|replicas|moves|" +
           "users|roles|grants|row_policies|settings_profiles|" +
-          "quota_usage|quotas)\\b",
+          "quota_usage|quotas|part_log|settings_changes)\\b",
         "graft_system_$1")
     }.mkString("'")
     if (Dictionaries.matches(trimmed))
@@ -1342,7 +1345,10 @@ object ClickHouseSql {
       val kv = "(?is)^SET\\s+(\\w+)\\s*=\\s*(.+?)\\s*;?\\s*$".r
       trimmed match {
         case kv(k, v) =>
+          val prev = spark.conf.getOption(s"graft.ch.$k").getOrElse("")
           spark.conf.set(s"graft.ch.$k", v)
+          // session settings audit (system.settings_changes)
+          graft.sources.SystemTables.SettingsChangesLedger.record(k, v, prev)
           // SET user authenticates the session: apply every settings
           // profile covering the new user (SettingsProfilesCache)
           if (k.equalsIgnoreCase("user")) AccessControl.applyProfiles(spark)
@@ -2098,6 +2104,8 @@ object ClickHouseSql {
             tableLocation(spark, dst), tableLocation(spark, src), pcol, value),
           s"REPLACE PARTITION: $src has no partition $pcol=$value")
         invalidate(dst, pcol, value, admitted = true)
+        graft.sources.SystemTables.PartLogLedger
+          .record("NewPart", dst, s"$pcol=$value")
         queryCache.clear()
         return Seq("OK").toDF("status")
       case move(src, value, dst) =>
@@ -2109,6 +2117,10 @@ object ClickHouseSql {
           s"MOVE PARTITION: $src has no partition $pcol=$value")
         invalidate(src, pcol, value, admitted = false)
         invalidate(dst, pcol, value, admitted = true)
+        graft.sources.SystemTables.PartLogLedger
+          .record("RemovePart", src, s"$pcol=$value")
+        graft.sources.SystemTables.PartLogLedger
+          .record("MovePart", dst, s"$pcol=$value")
         queryCache.clear()
         return Seq("OK").toDF("status")
       case fetch(dst, value, from) =>
@@ -2123,6 +2135,8 @@ object ClickHouseSql {
           s"FETCH PARTITION: $srcPath has no partition $pcol=$value")
         // fetched data sits in _detached — invisible until ATTACH, so no
         // catalog change and no cache invalidation yet
+        graft.sources.SystemTables.PartLogLedger
+          .record("DownloadPart", dst, s"_detached/$pcol=$value")
         return Seq("OK").toDF("status")
       case _ =>
     }
@@ -2140,12 +2154,18 @@ object ClickHouseSql {
           case "DROP" =>
             spark.sql(s"ALTER TABLE $t DROP IF EXISTS PARTITION ($pcol = '$value')")
             ops.dropPartition(spark, loc, pcol, value)
+            graft.sources.SystemTables.PartLogLedger
+              .record("RemovePart", t, s"$pcol=$value")
           case "DETACH" =>
             ops.detachPartition(spark, loc, pcol, value)
             spark.sql(s"ALTER TABLE $t DROP IF EXISTS PARTITION ($pcol = '$value')")
+            graft.sources.SystemTables.PartLogLedger
+              .record("RemovePart", t, s"$pcol=$value")
           case "ATTACH" =>
             ops.attachPartition(spark, loc, pcol, value)
             spark.sql(s"ALTER TABLE $t ADD IF NOT EXISTS PARTITION ($pcol = '$value')")
+            graft.sources.SystemTables.PartLogLedger
+              .record("NewPart", t, s"$pcol=$value")
           case "FREEZE" =>
             ops.freezePartition(spark, loc, pcol, value,
               Option(snap).getOrElse("default"))
