@@ -18,6 +18,89 @@ object FunctionTail2 extends QueryPack {
 
   override def queries: Seq[Q] = Seq(
 
+    // Round-10 registry sweep #7: REAL SipHash-2-4 (the keyed lane is
+    // pinned on the OFFICIAL published test vector — key
+    // 0x0706050403020100/0x0f0e0d0c0b0a0908 over bytes 00..0e →
+    // 0xa129ca6149be45e5; the unkeyed/128 lanes are consistency pins of
+    // the same verified core), halfMD5 (MD5 top-8-bytes big-endian),
+    // gccMurmurHash (MurmurHash64A, libstdc++ seed), parseTimeDelta,
+    // string byte stats, toFixedString, epoch month/year counters,
+    // conversion OrNull/OrZero/OrDefault tails (unsigned lanes
+    // range-checked), DateTime64/Decimal lanes, IPv4 lanes, multiSearch
+    // spelling tails, parseDateTime64 aliases, and currentUser.
+    ch("q_fn_tail7", """
+      SELECT
+        CAST(sipHash64Keyed(struct(506097522914230528, 1084818905618843912),
+          unhex('000102030405060708090A0B0C0D0E')) AS BIGINT) AS sk,
+        CAST(sipHash64('abc') AS BIGINT) AS s64,
+        upper(hex(sipHash128('abc'))) AS h128,
+        upper(hex(sipHash128Reference('abc'))) AS h128r,
+        CAST(halfMD5('abc') AS BIGINT) AS hm,
+        CAST(gccMurmurHash('abc') AS BIGINT) AS gm,
+        CAST(parseTimeDelta('1h 30m') AS DOUBLE) AS ptd,
+        round(stringBytesEntropy('aab'), 6) AS sbe,
+        CAST(stringBytesUniq('Hello') AS BIGINT) AS sbu,
+        upper(hex(toFixedString('ab', 4))) AS tfs,
+        CAST(toMonthNumSinceEpoch(toDate('2024-03-05')) AS BIGINT) AS mn,
+        CAST(toYearNumSinceEpoch(toDate('2024-03-05')) AS BIGINT) AS yn,
+        CAST(toInt16OrNull('300') AS BIGINT) AS i16,
+        CAST(toInt8OrZero('300') AS BIGINT) AS i8z,
+        CAST(toUInt8OrNull('200') AS BIGINT) AS u8,
+        toUInt8OrNull('300') IS NULL AS u8_oor,
+        CAST(toUInt16OrDefault('70000', 5) AS BIGINT) AS u16d,
+        CAST(toFloat32OrZero('bad') AS DOUBLE) AS f32z,
+        CAST(toDateOrZero('nope') AS STRING) AS dz,
+        toDateTime64OrNull('bad') IS NULL AS dt64n,
+        CAST(toDateTime64('2024-01-02 03:04:05.123456', 6) AS STRING) AS dt64,
+        CAST(toDecimal64('3.14159', 2) AS STRING) AS dec2,
+        toDecimal32OrNull('bad', 2) IS NULL AS decn,
+        CAST(toDecimal32OrZero('bad', 2) AS STRING) AS decz,
+        toIPv4('1.2.3.4') AS ip,
+        toIPv4OrNull('999.1.1.1') IS NULL AS ipn,
+        toIPv4OrZero('x') AS ipz,
+        CAST(multiSearchFirstIndexCaseInsensitive('Hello World',
+          array('x', 'WORLD')) AS BIGINT) AS msi,
+        CAST(multiSearchFirstPositionUTF8('abcdef',
+          array('de', 'bc')) AS BIGINT) AS msp,
+        multiSearchAnyCaseInsensitiveUTF8('Hello', array('HELL')) AS msa,
+        CAST(parseDateTime64BestEffort('2024-01-02 03:04:05') AS STRING)
+          AS pd64,
+        currentUser() AS cu""",
+      """
+      SELECT
+        CAST(-6833708440360172059 AS BIGINT) AS sk,
+        CAST(4596069200710135518 AS BIGINT) AS s64,
+        'B6B415A2DA966B6C685A65E54C12A353' AS h128,
+        '6C95DEC302962FA8CA5E69C1D5D15478' AS h128r,
+        CAST(-8070080442485551184 AS BIGINT) AS hm,
+        CAST(3663726644998027833 AS BIGINT) AS gm,
+        CAST(5400.0 AS DOUBLE) AS ptd,
+        0.918296 AS sbe,
+        CAST(4 AS BIGINT) AS sbu,
+        '61620000' AS tfs,
+        CAST(650 AS BIGINT) AS mn,
+        CAST(54 AS BIGINT) AS yn,
+        CAST(300 AS BIGINT) AS i16,
+        CAST(0 AS BIGINT) AS i8z,
+        CAST(200 AS BIGINT) AS u8,
+        TRUE AS u8_oor,
+        CAST(5 AS BIGINT) AS u16d,
+        CAST(0.0 AS DOUBLE) AS f32z,
+        '1970-01-01' AS dz,
+        TRUE AS dt64n,
+        '2024-01-02 03:04:05.123456' AS dt64,
+        '3.14' AS dec2,
+        TRUE AS decn,
+        '0.00' AS decz,
+        '1.2.3.4' AS ip,
+        TRUE AS ipn,
+        '0.0.0.0' AS ipz,
+        CAST(2 AS BIGINT) AS msi,
+        CAST(2 AS BIGINT) AS msp,
+        TRUE AS msa,
+        '2024-01-02 03:04:05' AS pd64,
+        'default' AS cu"""),
+
     // Round-7 registry tail: base58/base32 codecs (published schemes;
     // 'Hello World!' -> '2NEpo7TZRRrLZSi2U' is the classic base58 test
     // vector), geohash encode/decode (public algorithm; sqc8b4 is

@@ -207,7 +207,10 @@ object ChFunctionRegistry {
     "tounixtimestamp" -> (args => UnixTimestamp(args.head, Literal("yyyy-MM-dd HH:mm:ss"))),
     "fromunixtimestamp" -> (args => SecondsToTimestamp(args.head)),
 
-    // hashing/encoding (FunctionsHashing.h — names only, values are ours)
+    // hashing/encoding (FunctionsHashing.h). cityHash64 stays a
+    // name-only stand-in (values are ours); sipHash64/halfMD5 moved to
+    // ChRegistryTail7 as REAL published-algorithm implementations
+    // (the round-10 sweep upgrade — Tail7 wins the merge).
     "cityhash64" -> (args => XxHash64(args, 42L)),
     "siphash64" -> (args => XxHash64(args, 42L)),
     "halfmd5" -> (args => XxHash64(args, 42L)),
@@ -435,6 +438,7 @@ object ChFunctionRegistry {
       ChRegistryTail.builders ++ ChRegistryTail2.builders ++
       ChRegistryTail3.builders ++ ChRegistryTail4.builders ++
       ChRegistryTail5.builders ++ ChRegistryTail6.builders ++
+      ChRegistryTail7.builders ++
       ChRegistryWide.builders ++ Dictionaries.builders
 
   /** Install the aliases into the session's function registry — but ONLY

@@ -1,0 +1,310 @@
+package graft.sql
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.types._
+
+/** Round-10 registry sweep #7 (diff of the reference's registered names
+  * against the session registry, registerFunctions.cpp order):
+  *  - REAL SipHash-2-4 (published Aumasson–Bernstein spec; upgrades the
+  *    round-2 sipHash64/sipHash128 stand-ins) + the keyed and official
+  *    128-bit reference variants (src/Common/SipHash.h carrier);
+  *  - halfMD5 upgraded to the real MD5-top-8-bytes contract
+  *    (FunctionsHashing.h:239) and gccMurmurHash (MurmurHash64A with
+  *    libstdc++'s seed, FunctionsHashing.h:409);
+  *  - parseTimeDelta, stringBytesEntropy / stringBytesUniq,
+  *    toFixedString, toMonthNumSinceEpoch / toYearNumSinceEpoch;
+  *  - the conversion tails: OrNull / OrZero / OrDefault lanes for
+  *    int8/16 + uint8/16/32 + float32/64 + date/date32/datetime,
+  *    toDateTime64 (micros-precision carrier, documented) and
+  *    toDecimal32/64/128/256 (+OrNull/OrZero; 256 capped at the
+  *    Decimal(38) carrier, documented), toIPv4 lanes;
+  *  - multiSearch UTF8 / case-insensitive spelling tails (Spark strings
+  *    are Unicode, so the UTF8 twins share the base expression);
+  *  - parseDateTime64 alias family (shared best-effort parser; the
+  *    scale argument is accepted and capped at micros);
+  *  - currentUser (the SET-user session identity — Spark's built-in
+  *    current_user answers the OS user, a different contract).
+  *
+  * Deliberately NOT registered (documented): xxHash64 / xxh3 — the name
+  * xxhash64 is a Spark built-in with seed-42 semantics used internally
+  * (Components checksums); shadowing it would change standard-query
+  * behavior session-wide. CH-seed-0 callers use sipHash64/xxHash32.
+  */
+object ChRegistryTail7 {
+
+  private val kCls = classOf[graft.functions.SweepKernels7.type]
+
+  private def kernel(ret: DataType, method: String, args: Seq[Expression],
+      types: Seq[DataType]): Expression =
+    StaticInvoke(kCls, ret, method, args, types)
+
+  private def bin(e: Expression): Expression = Cast(e, BinaryType)
+
+  /** (k0, k1) from the reference's key-tuple first argument. */
+  private def keyed(method: String, ret: DataType, key: Expression,
+      data: Expression): Expression =
+    kernel(ret, method,
+      Seq(Cast(GetStructField(key, 0), LongType),
+        Cast(GetStructField(key, 1), LongType), bin(data)),
+      Seq(LongType, LongType, BinaryType))
+
+  private val nameSeq = new java.util.concurrent.atomic.AtomicLong()
+  /** Analyzer-typed lambda variable (the element type comes from the
+    * array at resolution, not a hardcoded StringType). */
+  private def lam1(f: Expression => Expression): LambdaFunction = {
+    val x =
+      UnresolvedNamedLambdaVariable(Seq("t7_x" + nameSeq.incrementAndGet()))
+    LambdaFunction(f(x), Seq(x))
+  }
+
+  private def tryTo(t: DataType)(e: Expression): Expression =
+    Cast(e, t, None, EvalMode.TRY)
+  private def orNull(t: DataType): Seq[Expression] => Expression =
+    args => tryTo(t)(args.head)
+  private def orZero(t: DataType, zero: Expression): Seq[Expression] => Expression =
+    args => Coalesce(Seq(tryTo(t)(args.head), zero))
+  private def orDefault(t: DataType): Seq[Expression] => Expression =
+    args => Coalesce(Seq(tryTo(t)(args.head), Cast(args(1), t)))
+
+  /** Unsigned lanes: range-checked (the reference's OrNull/OrZero reject
+    * out-of-range rather than wrapping) on the established carriers
+    * (uint8→Int16, uint16→Int32, uint32→Int64). */
+  private def uintLane(bits: Int, carrier: DataType,
+      orElse: Option[Expression]): Seq[Expression] => Expression = args => {
+    val v = tryTo(LongType)(args.head)
+    val max = Literal((1L << bits) - 1L)
+    val inRange = And(GreaterThanOrEqual(v, Literal(0L)),
+      LessThanOrEqual(v, max))
+    val ok: Expression =
+      Cast(If(inRange, v, Literal.create(null, LongType)), carrier)
+    orElse.fold(ok)(z => Coalesce(Seq(ok, z)))
+  }
+
+  /** toDecimalN(value, scale) — scale must be a foldable literal. */
+  private def decimalLane(precision: Int, mode: EvalMode.Value)
+      : Seq[Expression] => Expression = args => {
+    require(args.size >= 2 && args(1).foldable,
+      "toDecimal*: scale must be a constant")
+    val s = args(1).eval().toString.toInt
+    Cast(args.head, DecimalType(precision, s), None, mode)
+  }
+  private def decimalOrZero(precision: Int): Seq[Expression] => Expression =
+    args => {
+      val s = args(1).eval().toString.toInt
+      Coalesce(Seq(Cast(args.head, DecimalType(precision, s), None,
+        EvalMode.TRY), Cast(Literal(0), DecimalType(precision, s))))
+    }
+
+  private val dateZero = Literal.create(0, DateType) // 1970-01-01
+  private val tsZero = Literal.create(0L, TimestampType)
+
+  private val ipv4Re = Literal(
+    "^(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])(\\.(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])){3}$")
+  /** Canonical dotted-quad (validated); invalid input → NULL. */
+  private def ipv4OrNull(e: Expression): Expression = {
+    val s = Cast(e, StringType)
+    If(RLike(s, ipv4Re), s, Literal.create(null, StringType))
+  }
+
+  private def sessionUser(): Expression = Literal(
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(_.conf.getOption("graft.ch.user"))
+      .map(_.stripPrefix("'").stripSuffix("'"))
+      .filter(_.nonEmpty).getOrElse("default"))
+
+  val builders: Map[String, Seq[Expression] => Expression] = Map(
+    // ---- SipHash family (REAL algorithm; overrides the stand-ins) ----
+    "siphash64" -> (args => kernel(LongType, "sipHash64",
+      Seq(bin(args.head)), Seq(BinaryType))),
+    "siphash64keyed" -> (args =>
+      keyed("sipHash64Keyed", LongType, args(0), args(1))),
+    "siphash128" -> (args => kernel(BinaryType, "sipHash128",
+      Seq(bin(args.head)), Seq(BinaryType))),
+    "siphash128keyed" -> (args =>
+      keyed("sipHash128Keyed", BinaryType, args(0), args(1))),
+    "siphash128reference" -> (args =>
+      kernel(BinaryType, "sipHash128Reference",
+        Seq(bin(args.head)), Seq(BinaryType))),
+    "siphash128referencekeyed" -> (args =>
+      keyed("sipHash128ReferenceKeyed", BinaryType, args(0), args(1))),
+    "halfmd5" -> (args => kernel(LongType, "halfMd5",
+      Seq(bin(args.head)), Seq(BinaryType))),
+    "gccmurmurhash" -> (args => kernel(LongType, "gccMurmurHash",
+      Seq(bin(args.head)), Seq(BinaryType))),
+
+    // ---- scalar kernels ----------------------------------------------
+    "parsetimedelta" -> (args => kernel(DoubleType, "parseTimeDelta",
+      Seq(Cast(args.head, StringType)), Seq(StringType))),
+    "stringbytesentropy" -> (args => kernel(DoubleType, "stringBytesEntropy",
+      Seq(bin(args.head)), Seq(BinaryType))),
+    "stringbytesuniq" -> (args => kernel(LongType, "stringBytesUniq",
+      Seq(bin(args.head)), Seq(BinaryType))),
+    "tofixedstring" -> (args => Cast(kernel(BinaryType, "toFixedString",
+      Seq(Cast(args.head, StringType), Cast(args(1), IntegerType)),
+      Seq(StringType, IntegerType)), StringType)),
+    "tomonthnumsinceepoch" -> (args => {
+      val d = Cast(args.head, DateType)
+      Add(Multiply(Subtract(Year(d), Literal(1970)), Literal(12)),
+        Subtract(Month(d), Literal(1)))
+    }),
+    "toyearnumsinceepoch" -> (args =>
+      Subtract(Year(Cast(args.head, DateType)), Literal(1970))),
+    "currentuser" -> (_ => sessionUser()),
+
+    // ---- signed int OrNull/OrZero/OrDefault tails --------------------
+    "toint8ornull" -> orNull(ByteType),
+    "toint16ornull" -> orNull(ShortType),
+    "toint8orzero" -> orZero(ByteType, Literal(0.toByte)),
+    "toint16orzero" -> orZero(ShortType, Literal(0.toShort)),
+    "toint8ordefault" -> orDefault(ByteType),
+    "toint16ordefault" -> orDefault(ShortType),
+    "toint32ordefault" -> orDefault(IntegerType),
+    "toint64ordefault" -> orDefault(LongType),
+    "tofloat32orzero" -> orZero(FloatType, Literal(0f)),
+    "tofloat32ornull" -> orNull(FloatType),
+    "tofloat64orzero" -> orZero(DoubleType, Literal(0d)),
+    "tofloat32ordefault" -> orDefault(FloatType),
+    "tofloat64ordefault" -> orDefault(DoubleType),
+
+    // ---- unsigned lanes (range-checked, not wrapped) -----------------
+    "touint8ornull" -> uintLane(8, ShortType, None),
+    "touint16ornull" -> uintLane(16, IntegerType, None),
+    "touint32ornull" -> uintLane(32, LongType, None),
+    "touint8orzero" -> uintLane(8, ShortType, Some(Literal(0.toShort))),
+    "touint16orzero" -> uintLane(16, IntegerType, Some(Literal(0))),
+    "touint32orzero" -> uintLane(32, LongType, Some(Literal(0L))),
+    "touint8ordefault" -> (args =>
+      Coalesce(Seq(uintLane(8, ShortType, None)(args),
+        Cast(args(1), ShortType)))),
+    "touint16ordefault" -> (args =>
+      Coalesce(Seq(uintLane(16, IntegerType, None)(args),
+        Cast(args(1), IntegerType)))),
+    "touint32ordefault" -> (args =>
+      Coalesce(Seq(uintLane(32, LongType, None)(args),
+        Cast(args(1), LongType)))),
+    "touint64ordefault" -> (args =>
+      Coalesce(Seq(tryTo(DecimalType(20, 0))(args.head),
+        Cast(args(1), DecimalType(20, 0))))),
+
+    // ---- date / datetime tails ---------------------------------------
+    "todateornull" -> orNull(DateType),
+    "todateorzero" -> orZero(DateType, dateZero),
+    "todateordefault" -> orDefault(DateType),
+    "todate32ornull" -> orNull(DateType),
+    "todate32orzero" -> orZero(DateType, dateZero),
+    "todate32ordefault" -> orDefault(DateType),
+    "todatetimeornull" -> orNull(TimestampType),
+    "todatetimeorzero" -> orZero(TimestampType, tsZero),
+    "todatetimeordefault" -> orDefault(TimestampType),
+    // DateTime64: the micros-precision TimestampType carrier — the scale
+    // argument is accepted and capped at 6 (documented deviation)
+    "todatetime64" -> (args => Cast(args.head, TimestampType)),
+    "todatetime64ornull" -> (args => tryTo(TimestampType)(args.head)),
+    "todatetime64orzero" -> (args =>
+      Coalesce(Seq(tryTo(TimestampType)(args.head), tsZero))),
+    "todatetime64ordefault" -> (args =>
+      Coalesce(Seq(tryTo(TimestampType)(args.head),
+        Cast(args.last, TimestampType)))),
+
+    // ---- decimal tails (Decimal(38) cap for 128/256, documented) -----
+    "todecimal32" -> decimalLane(9, EvalMode.ANSI),
+    "todecimal64" -> decimalLane(18, EvalMode.ANSI),
+    "todecimal128" -> decimalLane(38, EvalMode.ANSI),
+    "todecimal256" -> decimalLane(38, EvalMode.ANSI),
+    "todecimal32ornull" -> decimalLane(9, EvalMode.TRY),
+    "todecimal64ornull" -> decimalLane(18, EvalMode.TRY),
+    "todecimal128ornull" -> decimalLane(38, EvalMode.TRY),
+    "todecimal256ornull" -> decimalLane(38, EvalMode.TRY),
+    "todecimal32orzero" -> decimalOrZero(9),
+    "todecimal64orzero" -> decimalOrZero(18),
+    "todecimal128orzero" -> decimalOrZero(38),
+    "todecimal256orzero" -> decimalOrZero(38),
+
+    // ---- IPv4 lanes ---------------------------------------------------
+    "toipv4" -> (args => {
+      val s = Cast(args.head, StringType)
+      // invalid input raises (AssertTrue returns NULL on pass, so the
+      // coalesce yields the validated address or the thrown error)
+      Coalesce(Seq(ipv4OrNull(s), Cast(AssertTrue(
+        EqualTo(Literal(1), Literal(2))), StringType)))
+    }),
+    "toipv4ornull" -> (args => ipv4OrNull(args.head)),
+    "toipv4orzero" -> (args =>
+      Coalesce(Seq(ipv4OrNull(args.head), Literal("0.0.0.0")))),
+
+    // ---- multiSearch spelling tails (Unicode strings: UTF8 twins are
+    // the base expression; case-insensitive lowercases both sides) -----
+    "multisearchfirstindexutf8" -> (args =>
+      ArrayPosition(ArrayTransform(args(1),
+        lam1(n => Contains(args(0), n))), Literal(true))),
+    "multisearchfirstindexcaseinsensitive" -> (args =>
+      ArrayPosition(ArrayTransform(args(1),
+        lam1(n => Contains(Lower(args(0)), Lower(n)))), Literal(true))),
+    "multisearchfirstindexcaseinsensitiveutf8" -> (args =>
+      ArrayPosition(ArrayTransform(args(1),
+        lam1(n => Contains(Lower(args(0)), Lower(n)))), Literal(true))),
+    "multisearchfirstpositionutf8" -> (args => {
+      val ps = ArrayFilter(ArrayTransform(args(1),
+        lam1(n => Cast(StringLocate(n, args(0), Literal(1)), LongType))),
+        lam1(p => GreaterThan(Cast(p, LongType), Literal(0L))))
+      Coalesce(Seq(ArrayMin(ps), Literal(0L)))
+    }),
+    "multisearchfirstpositioncaseinsensitive" -> (args => {
+      val ps = ArrayFilter(ArrayTransform(args(1),
+        lam1(n => Cast(StringLocate(Lower(n), Lower(args(0)), Literal(1)),
+          LongType))),
+        lam1(p => GreaterThan(Cast(p, LongType), Literal(0L))))
+      Coalesce(Seq(ArrayMin(ps), Literal(0L)))
+    }),
+    "multisearchfirstpositioncaseinsensitiveutf8" -> (args => {
+      val ps = ArrayFilter(ArrayTransform(args(1),
+        lam1(n => Cast(StringLocate(Lower(n), Lower(args(0)), Literal(1)),
+          LongType))),
+        lam1(p => GreaterThan(Cast(p, LongType), Literal(0L))))
+      Coalesce(Seq(ArrayMin(ps), Literal(0L)))
+    }),
+    "multisearchanycaseinsensitiveutf8" -> (args =>
+      ArrayExists(args(1),
+        lam1(n => Contains(Lower(args(0)), Lower(n))))),
+    "multisearchallpositionscaseinsensitiveutf8" -> (args =>
+      ArrayTransform(args(1),
+        lam1(n => Cast(StringLocate(Lower(n), Lower(args(0)), Literal(1)),
+          LongType)))),
+
+    // ---- parseDateTime64 alias family (shared best-effort parser;
+    // scale argument dropped at the micros carrier) --------------------
+    "parsedatetime64besteffort" ->
+      (args => ChRegistryMisc.builders("parsedatetimebesteffort")(Seq(args.head))),
+    "parsedatetime64besteffortornull" ->
+      (args => ChRegistryMisc.builders("parsedatetimebesteffortornull")(Seq(args.head))),
+    "parsedatetime64besteffortorzero" ->
+      (args => ChRegistryMisc.builders("parsedatetimebesteffortorzero")(Seq(args.head))),
+    "parsedatetime64besteffortus" ->
+      (args => ChRegistryMisc.builders("parsedatetimebesteffort")(Seq(args.head))),
+    "parsedatetime64besteffortusornull" ->
+      (args => ChRegistryMisc.builders("parsedatetimebesteffortornull")(Seq(args.head))),
+    "parsedatetime64besteffortusorzero" ->
+      (args => ChRegistryMisc.builders("parsedatetimebesteffortorzero")(Seq(args.head))),
+    "parsedatetime64injodasyntax" -> (args =>
+      ChRegistryMisc.builders("parsedatetimeinjodasyntax")(
+        Seq(args.head, args.last))),
+    "parsedatetime64injodasyntaxornull" -> (args =>
+      ChRegistryMisc.builders("parsedatetimeinjodasyntaxornull")(
+        Seq(args.head, args.last))),
+    "parsedatetime64injodasyntaxorzero" -> (args =>
+      ChRegistryMisc.builders("parsedatetimeinjodasyntaxorzero")(
+        Seq(args.head, args.last))),
+    "parsedatetime64ornull" -> (args =>
+      if (args.size >= 3)
+        ChRegistryMisc.builders("parsedatetimeornull")(Seq(args.head, args.last))
+      else tryTo(TimestampType)(args.head)),
+    "parsedatetime64orzero" -> (args =>
+      if (args.size >= 3)
+        ChRegistryMisc.builders("parsedatetimeorzero")(Seq(args.head, args.last))
+      else Coalesce(Seq(tryTo(TimestampType)(args.head), tsZero))),
+    "parsedatetime64" -> (args =>
+      if (args.size >= 3)
+        ChRegistryMisc.builders("parsedatetime")(Seq(args.head, args.last))
+      else Cast(args.head, TimestampType)))
+}
