@@ -627,10 +627,87 @@ object LifecycleQueries extends QueryPack {
   }, Some("""
     SELECT 'graft_probe_knob' AS name, '2' AS value, '1' AS previous_value"""))
 
+  /** SET ROLE / SET DEFAULT ROLE (ASTSetRoleQuery) + the SHOW access
+    * entities: the session narrows which granted roles are in effect —
+    * privileges resolve through the ACTIVE set, so SET ROLE NONE drops
+    * a role-carried SELECT immediately, SET ROLE reactivates it, SET
+    * ROLE DEFAULT honors the stored SET DEFAULT ROLE subset.
+    * system.current_roles / enabled_roles serve the session view. */
+  private val setRole = Q("q_ch_set_role", (s, dir) => {
+    Tables.register(s, dir)
+    val t = "graft_setrole_t"
+    scratch(s, t)
+    def caught(body: => Unit): Long =
+      try { body; 0L } catch { case _: SecurityException => 1L }
+    ch.sql(s, "SET user = 'default'")
+    ch.sql(s, s"""
+      CREATE MATERIALIZED VIEW $t AS SELECT n_nationkey FROM nation""")
+    ch.sql(s, "DROP USER IF EXISTS sr_eve")
+    ch.sql(s, "DROP ROLE IF EXISTS sr_reader")
+    ch.sql(s, "DROP ROLE IF EXISTS sr_other")
+    ch.sql(s, "CREATE USER sr_eve")
+    ch.sql(s, "CREATE ROLE sr_reader")
+    ch.sql(s, "CREATE ROLE sr_other")
+    ch.sql(s, s"GRANT SELECT ON $t TO sr_reader")
+    ch.sql(s, "GRANT sr_reader TO sr_eve")
+    ch.sql(s, "GRANT sr_other TO sr_eve")
+    ch.sql(s, "SET DEFAULT ROLE sr_reader TO sr_eve")
+    try {
+      ch.sql(s, "SET user = 'sr_eve'")
+      val viaDefault = ch.sql(s, s"SELECT count() AS n FROM $t")
+        .collect().head.getLong(0)
+      ch.sql(s, "SET ROLE NONE")
+      val deniedNone = caught {
+        ch.sql(s, s"SELECT count() AS n FROM $t").collect()
+      }
+      ch.sql(s, "SET ROLE sr_other")
+      val deniedOther = caught {
+        ch.sql(s, s"SELECT count() AS n FROM $t").collect()
+      }
+      ch.sql(s, "SET ROLE sr_reader")
+      val viaExplicit = ch.sql(s, s"SELECT count() AS n FROM $t")
+        .collect().head.getLong(0)
+      val current = ch.sql(s, """
+        SELECT role_name FROM system.current_roles ORDER BY role_name""")
+        .collect().map(_.getString(0)).mkString(",")
+      val enabled = ch.sql(s, """
+        SELECT count() AS n FROM system.enabled_roles""")
+        .collect().head.getLong(0)
+      ch.sql(s, "SET ROLE DEFAULT")
+      val backToDefault = ch.sql(s, s"SELECT count() AS n FROM $t")
+        .collect().head.getLong(0)
+      ch.sql(s, "SET user = 'default'")
+      val showUsers = ch.sql(s, "SHOW USERS")
+        .collect().map(_.getString(0)).count(_ == "sr_eve").toLong
+      val showCreateRole = ch.sql(s, "SHOW CREATE ROLE sr_reader")
+        .collect().head.getString(0)
+      import s.implicits._
+      Seq((viaDefault, deniedNone, deniedOther, viaExplicit, current,
+          enabled, backToDefault, showUsers, showCreateRole))
+        .toDF("via_default", "denied_none", "denied_other", "via_explicit",
+          "current_roles", "enabled_n", "back_to_default", "show_users",
+          "show_create_role")
+    } finally {
+      ch.sql(s, "SET user = 'default'")
+      ch.sql(s, "DROP USER IF EXISTS sr_eve")
+      ch.sql(s, "DROP ROLE IF EXISTS sr_reader")
+      ch.sql(s, "DROP ROLE IF EXISTS sr_other")
+    }
+  }, Some("""
+    SELECT (SELECT COUNT(*) FROM nation) AS via_default,
+      CAST(1 AS BIGINT) AS denied_none,
+      CAST(1 AS BIGINT) AS denied_other,
+      (SELECT COUNT(*) FROM nation) AS via_explicit,
+      'sr_reader' AS current_roles,
+      CAST(1 AS BIGINT) AS enabled_n,
+      (SELECT COUNT(*) FROM nation) AS back_to_default,
+      CAST(1 AS BIGINT) AS show_users,
+      'CREATE ROLE sr_reader' AS show_create_role"""))
+
   override def queries: Seq[Q] = Seq(
     replacePartition, movePartition, fetchPartition, undropTable,
     refreshMv, optimizeDedupBy, limitOffsetBy, dynamicTyped,
     systemMaintenance, mutationRewrite, backupRestore, systemBreadth,
     rbac, rowPolicy, quota, settingsProfile, alterMeta, partLog,
-    settingsChanges)
+    settingsChanges, setRole)
 }

@@ -385,6 +385,22 @@ object SystemTables {
       .toDF("name", "table", "select_filter", "apply_to")
   }
 
+  /** system.current_roles (StorageSystemCurrentRoles.cpp): the session
+    * user's roles in effect (SET ROLE subset or the default set). */
+  def currentRoles(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    graft.sql.AccessControl.listCurrentRoles(spark)
+      .toDF("role_name", "is_default")
+  }
+
+  /** system.enabled_roles (StorageSystemEnabledRoles.cpp): the
+    * transitive closure of the current roles. */
+  def enabledRoles(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    graft.sql.AccessControl.listEnabledRoles(spark)
+      .toDF("role_name", "is_current")
+  }
+
   /** system.quotas (StorageSystemQuotas.cpp): one row per CREATE QUOTA
     * with its key, interval, limits, and grantee set. */
   def quotasTable(spark: SparkSession): DataFrame = {

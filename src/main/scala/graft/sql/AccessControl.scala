@@ -36,6 +36,38 @@ object AccessControl {
   /** grantee → granted roles. */
   private val roleGrants =
     new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+  /** user → roles ACTIVATED by SET ROLE (absent = the default set).
+    * (ASTSetRoleQuery SET_ROLE: the session narrows which granted roles
+    * are in effect; privileges, policies, quotas, and profiles all
+    * resolve through the active set.) */
+  private val activeRoles =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+  /** user → default role subset from SET DEFAULT ROLE (absent = all
+    * granted roles are default, the reference's initial state). */
+  private val defaultRoles =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+
+  /** The roles in effect for `who` right now: the SET ROLE subset if
+    * one is active, else the SET DEFAULT ROLE subset, else every
+    * granted role — always intersected with what is still granted
+    * (a revoke trims the active set immediately). */
+  private def currentRoleSet(who: String): Set[String] = {
+    val granted = roleGrants.getOrDefault(who, Set.empty)
+    Option(activeRoles.get(who))
+      .orElse(Option(defaultRoles.get(who)))
+      .map(_.intersect(granted))
+      .getOrElse(granted)
+  }
+
+  /** `who` plus the transitive closure of its CURRENT roles (nested
+    * role-to-role grants always expand under an active role). */
+  private def identityClosure(who: String): Set[String] = {
+    val seen = scala.collection.mutable.Set[String](who)
+    def walk(g: String): Unit = if (seen.add(g))
+      roleGrants.getOrDefault(g, Set.empty).foreach(walk)
+    currentRoleSet(who).foreach(walk)
+    seen.toSet
+  }
 
   def currentUser(spark: SparkSession): String =
     spark.conf.getOption("graft.ch.user")
@@ -84,8 +116,11 @@ object AccessControl {
       stmt.matches("(?is)^(CREATE|DROP)\\s+QUOTA\\b.*") ||
       stmt.matches("(?is)^(CREATE|DROP)\\s+SETTINGS\\s+PROFILE\\b.*") ||
       stmt.matches("(?is)^(GRANT|REVOKE)\\b.*") ||
-      stmt.matches("(?is)^SHOW\\s+(GRANTS|QUOTAS|SETTINGS\\s+PROFILES)\\b.*") ||
-      stmt.matches("(?is)^SHOW\\s+CREATE\\s+(QUOTA|SETTINGS\\s+PROFILE)\\b.*")
+      stmt.matches("(?is)^SET\\s+(DEFAULT\\s+)?ROLE\\b.*") ||
+      stmt.matches("(?is)^SHOW\\s+(GRANTS|QUOTAS|SETTINGS\\s+PROFILES|" +
+        "USERS|ROLES|ROW\\s+POLICIES|CURRENT\\s+ROLES|ENABLED\\s+ROLES)\\b.*") ||
+      stmt.matches("(?is)^SHOW\\s+CREATE\\s+(QUOTA|SETTINGS\\s+PROFILE|" +
+        "USER|ROLE|ROW\\s+POLICY)\\b.*")
 
   // ---- quotas (ParserCreateQuotaQuery.cpp, QuotaCache.cpp) ------------
 
@@ -119,13 +154,7 @@ object AccessControl {
 
   private def granteeCovers(toAll: Boolean, grantees: Set[String],
       who: String): Boolean =
-    toAll || {
-      val seen = scala.collection.mutable.Set[String]()
-      def walk(g: String): Unit = if (seen.add(g))
-        roleGrants.getOrDefault(g, Set.empty).foreach(walk)
-      walk(who)
-      grantees.exists(seen.contains)
-    }
+    toAll || grantees.exists(identityClosure(who).contains)
 
   /** Charge the statement against every quota covering the session user
     * and THROW once a metered limit is exceeded within its interval
@@ -310,7 +339,92 @@ object AccessControl {
     val dropPolicy = ("(?is)^DROP\\s+ROW\\s+POLICY\\s+(IF\\s+EXISTS\\s+)?" +
       "([A-Za-z_][A-Za-z0-9_]*)\\s+ON\\s+([A-Za-z_][A-Za-z0-9_.]*)$").r
 
+    val setRole = ("(?is)^SET\\s+ROLE\\s+" +
+      "(DEFAULT|NONE|ALL(?:\\s+EXCEPT\\s+(.+))?|[A-Za-z_][A-Za-z0-9_,\\s]*)" +
+      "\\s*$").r
+    val setDefaultRole = ("(?is)^SET\\s+DEFAULT\\s+ROLE\\s+" +
+      "(NONE|ALL|[A-Za-z_][A-Za-z0-9_,\\s]*?)\\s+TO\\s+(.+)$").r
+    val showUsers = "(?is)^SHOW\\s+USERS$".r
+    val showRoles = "(?is)^SHOW\\s+ROLES$".r
+    val showPolicies = "(?is)^SHOW\\s+ROW\\s+POLICIES$".r
+    val showCurrentRoles = "(?is)^SHOW\\s+CURRENT\\s+ROLES$".r
+    val showEnabledRoles = "(?is)^SHOW\\s+ENABLED\\s+ROLES$".r
+    val showCreateUser =
+      "(?is)^SHOW\\s+CREATE\\s+USER\\s+([A-Za-z_][A-Za-z0-9_]*)$".r
+    val showCreateRole =
+      "(?is)^SHOW\\s+CREATE\\s+ROLE\\s+([A-Za-z_][A-Za-z0-9_]*)$".r
+    val showCreatePolicy = ("(?is)^SHOW\\s+CREATE\\s+ROW\\s+POLICY\\s+" +
+      "([A-Za-z_][A-Za-z0-9_]*)\\s+ON\\s+([A-Za-z_][A-Za-z0-9_.]*)$").r
+
     stmt match {
+      // SET ROLE is self-service: the session narrows its OWN granted
+      // roles (InterpreterSetRoleQuery) — every named role must be
+      // granted to the current user
+      case setDefaultRole(rolesSpec, to) =>
+        requireAdmin()
+        val targets = names(to)
+        targets.foreach(knownGrantee)
+        rolesSpec.trim.toUpperCase match {
+          case "NONE" =>
+            targets.foreach(u => defaultRoles.put(u, Set.empty))
+          case "ALL" => targets.foreach(defaultRoles.remove)
+          case _ =>
+            val rs = names(rolesSpec).toSet
+            rs.foreach(r => require(roles.contains(r),
+              s"there is no role `$r`"))
+            targets.foreach { u =>
+              rs.foreach(r =>
+                require(roleGrants.getOrDefault(u, Set.empty).contains(r),
+                  s"Role `$r` should be granted to `$u` to set default"))
+              defaultRoles.put(u, rs)
+            }
+        }
+        ok
+      case setRole(spec, exceptList) =>
+        val granted = roleGrants.getOrDefault(me, Set.empty)
+        spec.trim.toUpperCase match {
+          case "DEFAULT" => activeRoles.remove(me)
+          case "NONE" => activeRoles.put(me, Set.empty)
+          case s if s.startsWith("ALL") =>
+            val except = Option(exceptList).map(names(_).toSet)
+              .getOrElse(Set.empty)
+            activeRoles.put(me, granted -- except)
+          case _ =>
+            val rs = names(spec).toSet
+            rs.foreach(r => require(granted.contains(r),
+              s"Role `$r` should be granted to `$me` to be set as current"))
+            activeRoles.put(me, rs)
+        }
+        ok
+      case showUsers() => listUsers.toDF("name")
+      case showRoles() => listRoles.toDF("name")
+      case showPolicies() =>
+        listRowPolicies.map(p => s"${p._1} ON ${p._2}").toDF("name")
+      case showCurrentRoles() =>
+        currentRoleSet(me).toSeq.sorted
+          .map(r => (r, Option(defaultRoles.get(me))
+            .forall(_.contains(r))))
+          .toDF("role_name", "is_default")
+      case showEnabledRoles() =>
+        val closure = identityClosure(me) - me
+        val current = currentRoleSet(me)
+        closure.toSeq.sorted.map(r => (r, current.contains(r)))
+          .toDF("role_name", "is_current")
+      case showCreateUser(name) =>
+        require(name == "default" || users.contains(name),
+          s"there is no user `$name`")
+        Seq(s"CREATE USER $name").toDF("statement")
+      case showCreateRole(name) =>
+        require(roles.contains(name), s"there is no role `$name`")
+        Seq(s"CREATE ROLE $name").toDF("statement")
+      case showCreatePolicy(name, _) =>
+        val p = Option(rowPolicies.get(name)).getOrElse(
+          throw new IllegalArgumentException(s"there is no row policy `$name`"))
+        val toPart =
+          if (p.appliesTo.isEmpty) "ALL"
+          else p.appliesTo.toSeq.sorted.mkString(", ")
+        Seq(s"CREATE ROW POLICY ${p.name} ON ${p.table} USING " +
+          s"${p.condition} TO $toPart").toDF("statement")
       case createQuota(ifNot, name, keyed, n, unit, maxList, to) =>
         requireAdmin()
         val limits = Option(maxList).map(names(_).map { kv =>
@@ -418,6 +532,7 @@ object AccessControl {
         if (!users.remove(name) && ifEx == null)
           throw new IllegalArgumentException(s"there is no user `$name`")
         roleGrants.remove(name)
+        activeRoles.remove(name); defaultRoles.remove(name)
         import scala.jdk.CollectionConverters._
         grants.asScala.filter(_.grantee == name).foreach(grants.remove)
         ok
@@ -464,13 +579,10 @@ object AccessControl {
   }
 
   /** All privileges effective for `who`: direct grants plus grants to
-    * any (transitively) granted role. */
+    * any role in the CURRENT role closure (SET ROLE narrows it). */
   private def effective(who: String): Set[(String, String)] = {
     import scala.jdk.CollectionConverters._
-    val seen = scala.collection.mutable.Set[String]()
-    def walk(g: String): Unit = if (seen.add(g))
-      roleGrants.getOrDefault(g, Set.empty).foreach(walk)
-    walk(who)
+    val seen = identityClosure(who)
     grants.asScala.toSet
       .filter(g => seen.contains(g.grantee))
       .map(g => (g.privilege, g.target))
@@ -530,16 +642,10 @@ object AccessControl {
     }
   }
 
-  /** Does the policy cover `who` (directly, via a granted role, or via
+  /** Does the policy cover `who` (directly, via a CURRENT role, or via
     * the ALL form)? */
   private def covers(p: RowPolicy, who: String): Boolean =
-    p.appliesTo.isEmpty || {
-      val seen = scala.collection.mutable.Set[String]()
-      def walk(g: String): Unit = if (seen.add(g))
-        roleGrants.getOrDefault(g, Set.empty).foreach(walk)
-      walk(who)
-      p.appliesTo.exists(seen.contains)
-    }
+    p.appliesTo.isEmpty || p.appliesTo.exists(identityClosure(who).contains)
 
   /** Names currently shadowed by a policy-filter view. */
   private val activeShadows =
@@ -607,9 +713,21 @@ object AccessControl {
   }
 
   /** Test/maintenance reset. */
+  /** system.current_roles / system.enabled_roles for the session user. */
+  def listCurrentRoles(spark: SparkSession): Seq[(String, Boolean)] = {
+    val me = currentUser(spark)
+    currentRoleSet(me).toSeq.sorted
+      .map(r => (r, Option(defaultRoles.get(me)).forall(_.contains(r))))
+  }
+  def listEnabledRoles(spark: SparkSession): Seq[(String, Boolean)] = {
+    val me = currentUser(spark)
+    val current = currentRoleSet(me)
+    (identityClosure(me) - me).toSeq.sorted.map(r => (r, current.contains(r)))
+  }
+
   private[graft] def reset(): Unit = {
     users.clear(); roles.clear(); grants.clear(); roleGrants.clear()
     rowPolicies.clear(); quotas.clear(); quotaUsage.clear()
-    settingsProfiles.clear()
+    settingsProfiles.clear(); activeRoles.clear(); defaultRoles.clear()
   }
 }

@@ -850,6 +850,10 @@ object ClickHouseSql {
         "settings_profiles" ->
           (() => graft.sources.SystemTables.settingsProfilesTable(spark)),
         "part_log" -> (() => graft.sources.SystemTables.partLog(spark)),
+        "current_roles" ->
+          (() => graft.sources.SystemTables.currentRoles(spark)),
+        "enabled_roles" ->
+          (() => graft.sources.SystemTables.enabledRoles(spark)),
         "settings_changes" ->
           (() => graft.sources.SystemTables.settingsChanges(spark)),
         "time_zones" -> (() => graft.sources.SystemTables.timeZones(spark)),
@@ -936,7 +940,8 @@ object ClickHouseSql {
           "detached_parts|projections|errors|view_refreshes|" +
           "backups|time_zones|build_options|warnings|replicas|moves|" +
           "users|roles|grants|row_policies|settings_profiles|" +
-          "quota_usage|quotas|part_log|settings_changes)\\b",
+          "quota_usage|quotas|part_log|settings_changes|" +
+          "current_roles|enabled_roles)\\b",
         "graft_system_$1")
     }.mkString("'")
     if (Dictionaries.matches(trimmed))

@@ -310,6 +310,34 @@ class LifecycleSpec extends SparkFunSuite {
     assert(r.getLong(3) == 1L)
   }
 
+  test("SET ROLE narrows row-policy coverage too (policies ride the active set)") {
+    val t = "graft_srp_t"
+    scratch(t)
+    ch(s"CREATE MATERIALIZED VIEW $t AS SELECT n_nationkey, n_regionkey FROM nation")
+    ch("CREATE USER IF NOT EXISTS srp_u")
+    ch("CREATE ROLE IF NOT EXISTS srp_role")
+    ch(s"GRANT SELECT ON $t TO srp_u")
+    ch("GRANT srp_role TO srp_u")
+    ch(s"CREATE ROW POLICY srp_pol ON $t USING n_regionkey = 0 TO srp_role")
+    try {
+      ch("SET user = 'srp_u'")
+      val policed = ch(s"SELECT count() AS n FROM $t").collect().head.getLong(0)
+      assert(policed == spark.read.parquet(s"$sf/nation.parquet")
+        .filter(col("n_regionkey") === 0).count(),
+        "role-carried policy filters while the role is active")
+      ch("SET ROLE NONE")
+      val unpoliced = ch(s"SELECT count() AS n FROM $t").collect().head.getLong(0)
+      assert(unpoliced == 25L,
+        "SET ROLE NONE deactivates the role-carried policy")
+    } finally {
+      ch("SET user = 'default'")
+      scala.util.Try(ch(s"DROP ROW POLICY IF EXISTS srp_pol ON $t"))
+      scala.util.Try(ch("DROP USER IF EXISTS srp_u"))
+      scala.util.Try(ch("DROP ROLE IF EXISTS srp_role"))
+      scala.util.Try(ch(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("UNDROP and RESTORE preserve managed/external identity") {
     import org.apache.spark.sql.catalyst.TableIdentifier
     import org.apache.spark.sql.catalyst.catalog.CatalogTableType
