@@ -63,6 +63,73 @@ object LlmPipeline2 extends QueryPack {
         .orderBy("doc_id")
     },
 
+    // --- PII scrub operator (full class set) --------------------------
+    // graft.operators.PiiScrub: the typed-class scrubber over the five
+    // regex classes (email, card, SSN, phone, IPv4 — the published
+    // BigScience/Dolma tagger classes) with ordered application and a
+    // no-double-count total (classes count on the progressively
+    // scrubbed text). The corpus carries no PII, so both engines derive
+    // the same PII-bearing text first; SSN and card shapes are
+    // class-separated from phones by the ordered chain. Per-row codegen
+    // only — scan-speed at 100 TB.
+    Q.df("q_pii_scrub", """
+      WITH p AS (SELECT doc_id,
+          SUBSTR(text, 1, 30) || ' u' || CAST(doc_id AS VARCHAR)
+          || '@ex.com ssn 123-45-6789 tel 555-123-'
+          || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+          || CASE WHEN doc_id % 7 = 0 THEN ' card 4111 1111 1111 1111'
+                  ELSE '' END
+          || ' ip 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) AS t
+        FROM documents)
+      SELECT
+        CAST(SUM(LEN(REGEXP_EXTRACT_ALL(t,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS n_email,
+        CAST(SUM(LEN(REGEXP_EXTRACT_ALL(t,
+          '\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\b'))) AS BIGINT) AS n_card,
+        CAST(SUM(LEN(REGEXP_EXTRACT_ALL(t,
+          '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b'))) AS BIGINT) AS n_ssn,
+        CAST(SUM(LEN(REGEXP_EXTRACT_ALL(REGEXP_REPLACE(t,
+            '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+          '(?:\+[0-9]{1,3}[-. ])?(?:\([0-9]{3}\)|\b[0-9]{3})[-. ][0-9]{3}[-. ][0-9]{4}\b')))
+          AS BIGINT) AS n_phone,
+        CAST(SUM(LEN(REGEXP_EXTRACT_ALL(t,
+          '\b(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\b')))
+          AS BIGINT) AS n_ip,
+        CAST(SUM(LEN(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+          REGEXP_REPLACE(REGEXP_REPLACE(t,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\b', '<CARD>', 'g'),
+          '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+          '(?:\+[0-9]{1,3}[-. ])?(?:\([0-9]{3}\)|\b[0-9]{3})[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g'),
+          '\b(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\b', '<IP>', 'g')))
+          AS BIGINT) AS scrubbed_len
+      FROM p""") { (s, dir) =>
+      import graft.operators.PiiScrub
+      val withPii = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), concat(
+          substring(col("text"), 1, 30),
+          lit(" u"), col("doc_id").cast("string"),
+          lit("@ex.com ssn 123-45-6789 tel 555-123-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          when(col("doc_id") % 7 === 0, lit(" card 4111 1111 1111 1111"))
+            .otherwise(lit("")),
+          lit(" ip 10.0.0."), (col("doc_id") % 256).cast("string")).as("t"))
+      // phone counted AFTER the SSN class scrubs (the ordered-chain
+      // no-double-count contract PiiScrub.totalCount encodes)
+      val cnt = PiiScrub.counts(col("t"))
+      withPii.select(cnt ++ Seq(
+          regexp_count(regexp_replace(col("t"), PiiScrub.SsnRe, "<SSN>"),
+            lit(PiiScrub.PhoneRe)).as("pii_phone_after_ssn"),
+          PiiScrub.scrub(col("t")).as("scrubbed")): _*)
+        .select(
+          sum("pii_email").cast("long").as("n_email"),
+          sum("pii_card").cast("long").as("n_card"),
+          sum("pii_ssn").cast("long").as("n_ssn"),
+          sum("pii_phone_after_ssn").cast("long").as("n_phone"),
+          sum("pii_ip").cast("long").as("n_ip"),
+          sum(length(col("scrubbed"))).cast("long").as("scrubbed_len"))
+    },
+
     // --- Unigram LM quality score -------------------------------------
     // Per-document mean negative log-likelihood under the corpus unigram
     // distribution: nll = ln(T) - (1/n)·Σ ln(c_tok). Classic LM-based
