@@ -186,6 +186,13 @@ object ThetaAlgebra {
     out.array()
   }
 
+  /** A one-element exact-mode state from a pre-computed element hash —
+    * the initializeAggregation('uniqThetaState', x) carrier
+    * (src/Functions/initializeAggregation.cpp: build the aggregate
+    * state a single-row aggregation would produce). */
+  def singleton(h: Long): Array[Byte] =
+    pack(ThetaSketch.defaultK, Long.MaxValue, Array(h ^ Long.MinValue))
+
   /** estimate = n (exact mode) or n / θ-fraction. */
   def estimate(state: Array[Byte]): Long = {
     val (_, theta, imgs) = unpack(state)

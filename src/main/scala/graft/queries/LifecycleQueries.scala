@@ -704,10 +704,67 @@ object LifecycleQueries extends QueryPack {
       CAST(1 AS BIGINT) AS show_users,
       'CREATE ROLE sr_reader' AS show_create_role"""))
 
+  /** CHECK GRANT (ASTCheckGrantQuery — the application's non-throwing
+    * privilege probe), initializeAggregation('uniqThetaState', x)
+    * composed with the theta set algebra, and system.dropped_tables
+    * (the UNDROP holding area view). */
+  private val accessProbe = Q("q_ch_access_probe", (s, dir) => {
+    Tables.register(s, dir)
+    val t = "graft_probe_t"
+    scratch(s, t)
+    ch.sql(s, "SET user = 'default'")
+    ch.sql(s, s"""
+      CREATE MATERIALIZED VIEW $t AS SELECT n_nationkey FROM nation""")
+    ch.sql(s, "DROP USER IF EXISTS probe_u")
+    ch.sql(s, "CREATE USER probe_u")
+    ch.sql(s, s"GRANT SELECT ON $t TO probe_u")
+    try {
+      ch.sql(s, "SET user = 'probe_u'")
+      val canSelect = ch.sql(s, s"CHECK GRANT SELECT ON $t")
+        .collect().head.getInt(0).toLong
+      val canInsert = ch.sql(s, s"CHECK GRANT INSERT ON $t")
+        .collect().head.getInt(0).toLong
+      ch.sql(s, "SET user = 'default'")
+      // initializeAggregation: single-value states compose with the
+      // theta algebra exactly like aggregated states
+      val r = ch.sql(s, """
+        SELECT
+          CAST(finalizeAggregation(uniqThetaUnion(
+            initializeAggregation('uniqThetaState', 'a'),
+            initializeAggregation('uniqThetaState', 'b'))) AS BIGINT) AS u2,
+          CAST(finalizeAggregation(uniqThetaUnion(
+            initializeAggregation('uniqThetaState', 'a'),
+            initializeAggregation('uniqThetaState', 'a'))) AS BIGINT) AS u1""")
+        .collect().head
+      // dropped_tables: visible in the holding area, gone after UNDROP
+      ch.sql(s, s"DROP TABLE $t")
+      val held = ch.sql(s, s"""
+        SELECT count() AS n FROM system.dropped_tables
+        WHERE `table` = '$t'""").collect().head.getLong(0)
+      ch.sql(s, s"UNDROP TABLE $t")
+      val released = ch.sql(s, s"""
+        SELECT count() AS n FROM system.dropped_tables
+        WHERE `table` = '$t'""").collect().head.getLong(0)
+      import s.implicits._
+      Seq((canSelect, canInsert, r.getLong(0), r.getLong(1), held, released))
+        .toDF("can_select", "can_insert", "theta_union2", "theta_union1",
+          "held", "released")
+    } finally {
+      ch.sql(s, "SET user = 'default'")
+      ch.sql(s, "DROP USER IF EXISTS probe_u")
+    }
+  }, Some("""
+    SELECT CAST(1 AS BIGINT) AS can_select,
+      CAST(0 AS BIGINT) AS can_insert,
+      CAST(2 AS BIGINT) AS theta_union2,
+      CAST(1 AS BIGINT) AS theta_union1,
+      CAST(1 AS BIGINT) AS held,
+      CAST(0 AS BIGINT) AS released"""))
+
   override def queries: Seq[Q] = Seq(
     replacePartition, movePartition, fetchPartition, undropTable,
     refreshMv, optimizeDedupBy, limitOffsetBy, dynamicTyped,
     systemMaintenance, mutationRewrite, backupRestore, systemBreadth,
     rbac, rowPolicy, quota, settingsProfile, alterMeta, partLog,
-    settingsChanges, setRole)
+    settingsChanges, setRole, accessProbe)
 }

@@ -385,6 +385,14 @@ object SystemTables {
       .toDF("name", "table", "select_filter", "apply_to")
   }
 
+  /** system.dropped_tables (StorageSystemDroppedTables.cpp): tables in
+    * the DROP → UNDROP holding area, with their `_dropped` data path. */
+  def droppedTables(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    graft.sql.ClickHouseSql.listDroppedTables
+      .toDF("table", "metadata_dropped_path", "is_managed")
+  }
+
   /** system.current_roles (StorageSystemCurrentRoles.cpp): the session
     * user's roles in effect (SET ROLE subset or the default set). */
   def currentRoles(spark: SparkSession): DataFrame = {

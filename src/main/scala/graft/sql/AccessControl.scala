@@ -117,6 +117,7 @@ object AccessControl {
       stmt.matches("(?is)^(CREATE|DROP)\\s+SETTINGS\\s+PROFILE\\b.*") ||
       stmt.matches("(?is)^(GRANT|REVOKE)\\b.*") ||
       stmt.matches("(?is)^SET\\s+(DEFAULT\\s+)?ROLE\\b.*") ||
+      stmt.matches("(?is)^CHECK\\s+GRANT\\b.*") ||
       stmt.matches("(?is)^SHOW\\s+(GRANTS|QUOTAS|SETTINGS\\s+PROFILES|" +
         "USERS|ROLES|ROW\\s+POLICIES|CURRENT\\s+ROLES|ENABLED\\s+ROLES)\\b.*") ||
       stmt.matches("(?is)^SHOW\\s+CREATE\\s+(QUOTA|SETTINGS\\s+PROFILE|" +
@@ -356,7 +357,17 @@ object AccessControl {
     val showCreatePolicy = ("(?is)^SHOW\\s+CREATE\\s+ROW\\s+POLICY\\s+" +
       "([A-Za-z_][A-Za-z0-9_]*)\\s+ON\\s+([A-Za-z_][A-Za-z0-9_.]*)$").r
 
+    val checkGrant = ("(?is)^CHECK\\s+GRANT\\s+([A-Za-z]+)\\s+ON\\s+" +
+      "(\\*\\.\\*|\\*|[A-Za-z_][A-Za-z0-9_.]*)$").r
+
     stmt match {
+      // CHECK GRANT p ON t (ASTCheckGrantQuery): does the CURRENT user
+      // hold the privilege? Answers 1/0, never throws — the self-probe
+      // an application runs before attempting a statement.
+      case checkGrant(p, target) =>
+        val has = me == "default" ||
+          allowed(me, p.toUpperCase, target.toLowerCase)
+        Seq(if (has) 1 else 0).toDF("result")
       // SET ROLE is self-service: the session narrows its OWN granted
       // roles (InterpreterSetRoleQuery) — every named role must be
       // granted to the current user

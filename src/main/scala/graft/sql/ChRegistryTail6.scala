@@ -95,6 +95,20 @@ object ChRegistryTail6 {
     // ---- theta-sketch set algebra ------------------------------------
     "uniqthetastate" -> (args =>
       graft.functions.ThetaSketch.UniqThetaState(args.head)),
+    // initializeAggregation('uniqThetaState', x)
+    // (src/Functions/initializeAggregation.cpp): the state a single-row
+    // aggregation would produce — the same XxHash64(seed 42) element
+    // hash UniqThetaState uses, packed as a one-element exact state, so
+    // it composes with the theta set algebra and finalizeAggregation.
+    "initializeaggregation" -> (args => args.head match {
+      case Literal(s, StringType)
+          if s != null && s.toString.equalsIgnoreCase("uniqThetaState") =>
+        StaticInvoke(thetaCls, BinaryType, "singleton",
+          Seq(XxHash64(Seq(args(1)), 42L)), Seq(LongType))
+      case _ => throw new IllegalArgumentException(
+        "initializeAggregation: only the 'uniqThetaState' lane is " +
+          "implemented (the theta-sketch state family)")
+    }),
     "uniqthetaunion" -> (args => thetaOp("union", args)),
     "uniqthetaintersect" -> (args => thetaOp("intersect", args)),
     "uniqthetanot" -> (args => thetaOp("andNot", args)),

@@ -852,6 +852,8 @@ object ClickHouseSql {
         "part_log" -> (() => graft.sources.SystemTables.partLog(spark)),
         "current_roles" ->
           (() => graft.sources.SystemTables.currentRoles(spark)),
+        "dropped_tables" ->
+          (() => graft.sources.SystemTables.droppedTables(spark)),
         "enabled_roles" ->
           (() => graft.sources.SystemTables.enabledRoles(spark)),
         "settings_changes" ->
@@ -941,7 +943,7 @@ object ClickHouseSql {
           "backups|time_zones|build_options|warnings|replicas|moves|" +
           "users|roles|grants|row_policies|settings_profiles|" +
           "quota_usage|quotas|part_log|settings_changes|" +
-          "current_roles|enabled_roles)\\b",
+          "current_roles|enabled_roles|dropped_tables)\\b",
         "graft_system_$1")
     }.mkString("'")
     if (Dictionaries.matches(trimmed))
@@ -1657,6 +1659,15 @@ object ClickHouseSql {
     * `<location>_dropped`). */
   private val droppedTables =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String, Seq[String], Boolean)]()
+
+  /** system.dropped_tables feed (StorageSystemDroppedTables.cpp): the
+    * UNDROP-able holding area — table, holding path, managed flag. */
+  def listDroppedTables: Seq[(String, String, Boolean)] = {
+    import scala.jdk.CollectionConverters._
+    droppedTables.asScala.toSeq.sortBy(_._1)
+      .map { case (t, (_, loc, _, managed)) =>
+        (t, loc + "_dropped", managed) }
+  }
 
   /** Re-create a table's catalog entry preserving its managed/external
     * identity, with the data to be moved in AFTERWARD (the entry is made
