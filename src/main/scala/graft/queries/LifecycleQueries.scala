@@ -761,10 +761,65 @@ object LifecycleQueries extends QueryPack {
       CAST(1 AS BIGINT) AS held,
       CAST(0 AS BIGINT) AS released"""))
 
+  /** Statement-surface tail: standalone lightweight UPDATE
+    * (ParserUpdateQuery → the durable pruned rewrite), SHOW COLUMNS /
+    * INDEXES / SETTING / ENGINES / FUNCTIONS, USE, and PARALLEL WITH
+    * statement composition. */
+  private val statementTail = Q("q_ch_statement_tail", (s, dir) => {
+    Tables.register(s, dir)
+    val t = "graft_stmt_t"
+    val t2 = "graft_stmt_t2"
+    scratch(s, t, t2)
+    ch.sql(s, s"""
+      CREATE TABLE $t (k Int64, v Int64 DEFAULT 0) ENGINE = MergeTree
+      ORDER BY k""")
+    // PARALLEL WITH: both legs execute (the reference's concurrency is
+    // a latency optimization; end state identical)
+    ch.sql(s, s"""
+      INSERT INTO $t SELECT CAST(n_nationkey AS BIGINT),
+        CAST(n_regionkey AS BIGINT) FROM nation
+      PARALLEL WITH
+      CREATE TABLE $t2 (a Int64) ENGINE = MergeTree ORDER BY a""")
+    ch.sql(s, s"INSERT INTO $t2 SELECT CAST(1 AS BIGINT)")
+    // standalone lightweight UPDATE
+    ch.sql(s, s"UPDATE $t SET v = v * 10 WHERE k < 10")
+    val sumV = ch.sql(s, s"SELECT CAST(sum(v) AS BIGINT) AS sv FROM $t")
+      .collect().head.getLong(0)
+    val cols = ch.sql(s, s"SHOW COLUMNS FROM $t")
+      .collect().map(r => s"${r.getString(0)}:${r.getString(1)}:" +
+        s"${r.getString(2)}:${r.getString(4)}").mkString(";")
+    val idx = ch.sql(s, s"SHOW INDEXES FROM $t")
+      .collect().map(r => s"${r.getString(1)}=${r.getString(2)}").mkString(";")
+    ch.sql(s, "SET graft_stmt_knob = 7")
+    val setting = ch.sql(s, "SHOW SETTING graft_stmt_knob")
+      .collect().head.getString(0)
+    val useOk = ch.sql(s, "USE default").collect().head.getString(0)
+    val engines = ch.sql(s, "SHOW ENGINES").count()
+    // registry names resolve case-insensitively but list lowercase
+    val fns = ch.sql(s, "SHOW FUNCTIONS LIKE 'siphash%'")
+      .collect().map(_.getString(0)).length.toLong
+    val t2n = ch.sql(s, s"SELECT count() AS n FROM $t2")
+      .collect().head.getLong(0)
+    import s.implicits._
+    Seq((sumV, cols, idx, setting, useOk, engines >= 5, fns >= 4, t2n))
+      .toDF("sum_v", "columns", "indexes", "setting", "use_ok",
+        "engines_ge5", "fns_ge4", "t2_n")
+  }, Some("""
+    SELECT (SELECT CAST(SUM(CASE WHEN n_nationkey < 10 THEN n_regionkey * 10
+                               ELSE n_regionkey END) AS BIGINT) FROM nation)
+        AS sum_v,
+      'k:Nullable(Int64):YES:;v:Nullable(Int64):YES:0' AS columns,
+      'PRIMARY=k' AS indexes,
+      '7' AS setting,
+      'OK' AS use_ok,
+      TRUE AS engines_ge5,
+      TRUE AS fns_ge4,
+      CAST(1 AS BIGINT) AS t2_n"""))
+
   override def queries: Seq[Q] = Seq(
     replacePartition, movePartition, fetchPartition, undropTable,
     refreshMv, optimizeDedupBy, limitOffsetBy, dynamicTyped,
     systemMaintenance, mutationRewrite, backupRestore, systemBreadth,
     rbac, rowPolicy, quota, settingsProfile, alterMeta, partLog,
-    settingsChanges, setRole, accessProbe)
+    settingsChanges, setRole, accessProbe, statementTail)
 }

@@ -702,6 +702,26 @@ object ClickHouseSql {
     // CSV[WithNames] / TSV / JSONEachRow / Parquet via the native Spark
     // writers. Returns a one-row status with the row count, like the
     // clickhouse-client summary line.
+    // stmt1 PARALLEL WITH stmt2 [PARALLEL WITH …] (ParserParallelWithQuery):
+    // the reference runs independent DDL/DML legs concurrently; a
+    // single-session engine executes them in order — same end state,
+    // the parallelism is only a latency optimization (documented). The
+    // split happens OUTSIDE single-quoted literals only.
+    if (!trimmed0.matches("(?is)^(SELECT|WITH)\\b.*")) {
+      val segs = trimmed0.split("'", -1)
+      val marker = "(?i)\\bPARALLEL\\s+WITH\\b".r
+      if (segs.zipWithIndex.exists { case (s, i) =>
+            i % 2 == 0 && marker.findFirstIn(s).isDefined }) {
+        // rebuild with a sentinel outside literals, then split on it
+        val withSentinel = segs.zipWithIndex.map { case (s, i) =>
+          if (i % 2 == 0) marker.replaceAllIn(s, "\u0001") else s
+        }.mkString("'")
+        withSentinel.split('\u0001').map(_.trim).filter(_.nonEmpty)
+          .foreach(part => sql(spark, part))
+        import spark.implicits._
+        return Seq("OK").toDF("status")
+      }
+    }
     val outfile =
       ("(?is)^(.*?)\\s+INTO\\s+OUTFILE\\s+'([^']+)'(?:\\s+FORMAT\\s+([A-Za-z0-9]+))?\\s*;?\\s*$").r
     trimmed0 match {
@@ -1016,6 +1036,28 @@ object ClickHouseSql {
         (new org.apache.hadoop.fs.Path(f).getName, ok)
       }
       checks.toDF("part", "is_ok")
+    }
+    else if (trimmed.matches(
+        "(?is)^UPDATE\\s+[A-Za-z_][A-Za-z0-9_.]*\\s+SET\\s+.*\\bWHERE\\b.*")) {
+      // Standalone lightweight UPDATE (ParserUpdateQuery: UPDATE t SET
+      // a = e, … [IN PARTITION p] WHERE pred) — routed to the same
+      // durable pruned part rewrite as ALTER TABLE UPDATE; IN PARTITION
+      // narrows the WHERE to the named partition.
+      val re = ("(?is)^UPDATE\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+SET\\s+(.+?)" +
+        "(?:\\s+IN\\s+PARTITION\\s+'?([^'\\s;]+)'?)?\\s+WHERE\\s+(.+?);?\\s*$").r
+      trimmed match {
+        case re(t, assigns, pval, pred) =>
+          val scoped = Option(pval).map { v =>
+            val pcols = spark.sessionState.catalog.getTableMetadata(
+              org.apache.spark.sql.catalyst.TableIdentifier(t))
+              .partitionColumnNames
+            require(pcols.size == 1,
+              s"UPDATE IN PARTITION needs one partition column, $t has $pcols")
+            s"($pred) AND ${pcols.head} = '$v'"
+          }.getOrElse(pred)
+          alterMutation(spark, s"ALTER TABLE $t UPDATE $assigns WHERE $scoped")
+        case _ => throw new IllegalArgumentException("unsupported UPDATE form")
+      }
     }
     else if (trimmed.matches("(?is)^DELETE\\s+FROM\\s+[A-Za-z_][A-Za-z0-9_.]*\\s+WHERE\\s+.*$")) {
       // Lightweight DELETE (ParserDeleteQuery): durable part rewrite
@@ -1502,6 +1544,68 @@ object ClickHouseSql {
     } else if (trimmed.matches("(?is)^SHOW\\s+PROCESSLIST\\s*;?\\s*$")) {
       // SHOW PROCESSLIST (ParserShowProcesslistQuery) → system.processes
       graft.sources.SystemTables.processes(spark)
+    } else if (trimmed.matches(
+        "(?is)^SHOW\\s+(FULL\\s+)?COLUMNS\\s+(FROM|IN)\\s+" +
+          "[A-Za-z_][A-Za-z0-9_.]*\\s*;?\\s*$")) {
+      // SHOW COLUMNS (ParserShowColumnsQuery — the MySQL-compat shape:
+      // field/type/null/key/default/extra); defaults come from the
+      // engine-metadata ledger.
+      import spark.implicits._
+      val t = trimmed
+        .replaceFirst("(?is)^SHOW\\s+(FULL\\s+)?COLUMNS\\s+(FROM|IN)\\s+", "")
+        .replaceFirst(";\\s*$", "").trim
+      val em = engineMetaOf(t)
+      spark.table(t).schema.fields.toSeq.map(f =>
+        (f.name, chTypeOrSpark(f), if (f.nullable) "YES" else "NO", "",
+          em.colDefaults.getOrElse(f.name, ""), ""))
+        .toDF("field", "type", "null", "key", "default", "extra")
+    } else if (trimmed.matches(
+        "(?is)^SHOW\\s+(INDEX|INDEXES|KEYS)\\s+(FROM|IN)\\s+" +
+          "[A-Za-z_][A-Za-z0-9_.]*\\s*;?\\s*$")) {
+      // SHOW INDEXES (ParserShowIndexesQuery): the PRIMARY (sorting key)
+      // row from the engine metadata plus every live skip index.
+      import spark.implicits._
+      import scala.jdk.CollectionConverters._
+      val t = trimmed
+        .replaceFirst("(?is)^SHOW\\s+(INDEX|INDEXES|KEYS)\\s+(FROM|IN)\\s+", "")
+        .replaceFirst(";\\s*$", "").trim
+      require(spark.catalog.tableExists(t), s"no such table $t")
+      val primary = engineMetaOf(t).orderBy.toSeq
+        .map(ob => (t, "PRIMARY", ob, "primary"))
+      val skips = skipIndexes.asScala.values.toSeq
+        .filter(m => m.table == t && !m.cleared)
+        .map(m => (t, m.name, m.columns.mkString(","), m.kind))
+        .sortBy(_._2)
+      (primary ++ skips)
+        .toDF("table", "key_name", "column_name", "type")
+    } else if (trimmed.matches(
+        "(?is)^SHOW\\s+FUNCTIONS(\\s+LIKE\\s+'[^']*')?\\s*;?\\s*$")) {
+      // SHOW FUNCTIONS [LIKE 'pat'] (ParserShowFunctionsQuery) →
+      // system.functions names
+      import org.apache.spark.sql.functions.col
+      val like = "(?is)LIKE\\s+'([^']*)'".r.findFirstMatchIn(trimmed)
+        .map(_.group(1))
+      val all = graft.sources.SystemTables.functions(spark).select("name")
+      like.fold(all)(p => all.filter(col("name").like(p))).orderBy("name")
+    } else if (trimmed.matches("(?is)^SHOW\\s+ENGINES\\s*;?\\s*$")) {
+      // SHOW ENGINES (ParserShowEngineQuery) → system.table_engines
+      graft.sources.SystemTables.tableEngines(spark)
+    } else if (trimmed.matches(
+        "(?is)^SHOW\\s+SETTING\\s+[A-Za-z_][A-Za-z0-9_]*\\s*;?\\s*$")) {
+      // SHOW SETTING name (ParserShowSettingQuery): the single value
+      import spark.implicits._
+      val k = trimmed.replaceFirst("(?is)^SHOW\\s+SETTING\\s+", "")
+        .replaceFirst(";\\s*$", "").trim
+      Seq(spark.conf.getOption(s"graft.ch.$k").getOrElse("")).toDF("value")
+    } else if (trimmed.matches("(?is)^USE\\s+[A-Za-z_][A-Za-z0-9_]*\\s*;?\\s*$")) {
+      // USE db (ParserUseQuery): this engine serves the single `default`
+      // database — switching to it is a no-op, anything else is loud.
+      import spark.implicits._
+      val db = trimmed.replaceFirst("(?is)^USE\\s+", "")
+        .replaceFirst(";\\s*$", "").trim
+      require(db.equalsIgnoreCase("default"),
+        s"USE $db: only the `default` database exists on this engine")
+      Seq("OK").toDF("status")
     } else {
       val result = spark.sql(rewrite(expandSchemaTransformers(spark, trimmed)))
       // INSERT appends files to the table's layout: per-file skip indexes
