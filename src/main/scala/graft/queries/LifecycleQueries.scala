@@ -816,10 +816,45 @@ object LifecycleQueries extends QueryPack {
       TRUE AS fns_ge4,
       CAST(1 AS BIGINT) AS t2_n"""))
 
+  /** Named collections (ParserCreateNamedCollectionQuery +
+    * NamedCollections storage): a reusable key bundle that table
+    * functions accept by name — file(nc) reads the collection's
+    * path/format. CREATE/ALTER SET/ALTER DELETE/DROP + SHOW NAMED
+    * COLLECTIONS + system.named_collections. */
+  private val namedCollection = Q("q_ch_named_collection", (s, dir) => {
+    Tables.register(s, dir)
+    val path = s"/tmp/graft_nc_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    Tables.load(s, dir, "nation")
+      .write.mode("overwrite").parquet(path)
+    ch.sql(s, "DROP NAMED COLLECTION IF EXISTS nc_probe")
+    ch.sql(s, s"""
+      CREATE NAMED COLLECTION nc_probe AS
+        path = '$path', format = 'Parquet', extra = 'x'""")
+    try {
+      val viaFn = ch.sql(s, "SELECT count() AS n FROM file(nc_probe)")
+        .collect().head.getLong(0)
+      ch.sql(s, "ALTER NAMED COLLECTION nc_probe SET extra = 'y', added = '1'")
+      ch.sql(s, "ALTER NAMED COLLECTION nc_probe DELETE extra")
+      val listed = ch.sql(s, "SHOW NAMED COLLECTIONS")
+        .collect().map(_.getString(0)).count(_ == "nc_probe").toLong
+      val sysRow = ch.sql(s, """
+        SELECT collection FROM system.named_collections
+        WHERE name = 'nc_probe'""").collect().head.getString(0)
+      // the path key carries the sf dir — pin the shape, not the literal
+      val shapeOk = sysRow.startsWith("added = 1, format = Parquet, path = ")
+      import s.implicits._
+      Seq((viaFn, listed, shapeOk)).toDF("via_fn", "listed", "shape_ok")
+    } finally ch.sql(s, "DROP NAMED COLLECTION IF EXISTS nc_probe")
+  }, Some("""
+    SELECT (SELECT COUNT(*) FROM nation) AS via_fn,
+      CAST(1 AS BIGINT) AS listed,
+      TRUE AS shape_ok"""))
+
   override def queries: Seq[Q] = Seq(
     replacePartition, movePartition, fetchPartition, undropTable,
     refreshMv, optimizeDedupBy, limitOffsetBy, dynamicTyped,
     systemMaintenance, mutationRewrite, backupRestore, systemBreadth,
     rbac, rowPolicy, quota, settingsProfile, alterMeta, partLog,
-    settingsChanges, setRole, accessProbe, statementTail)
+    settingsChanges, setRole, accessProbe, statementTail,
+    namedCollection)
 }

@@ -385,6 +385,13 @@ object SystemTables {
       .toDF("name", "table", "select_filter", "apply_to")
   }
 
+  /** system.named_collections (StorageSystemNamedCollections.cpp). */
+  def namedCollections(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    graft.sql.ClickHouseSql.listNamedCollections
+      .toDF("name", "collection")
+  }
+
   /** system.dropped_tables (StorageSystemDroppedTables.cpp): tables in
     * the DROP → UNDROP holding area, with their `_dropped` data path. */
   def droppedTables(spark: SparkSession): DataFrame = {

@@ -874,6 +874,8 @@ object ClickHouseSql {
           (() => graft.sources.SystemTables.currentRoles(spark)),
         "dropped_tables" ->
           (() => graft.sources.SystemTables.droppedTables(spark)),
+        "named_collections" ->
+          (() => graft.sources.SystemTables.namedCollections(spark)),
         "enabled_roles" ->
           (() => graft.sources.SystemTables.enabledRoles(spark)),
         "settings_changes" ->
@@ -948,7 +950,8 @@ object ClickHouseSql {
     val trimmedFileFn =
       if (trimmedNoFmt.matches("(?is)^(SELECT|WITH)\\b.*"))
         resolveParamViews(spark,
-          resolveMergeFn(spark, resolveFileFn(spark, trimmedNoFmt)))
+          resolveMergeFn(spark, resolveFileFn(spark,
+            resolveCollectionFileFn(trimmedNoFmt))))
       else trimmedNoFmt
     // rewrite only OUTSIDE single-quoted literals: split on ' and touch
     // the even-indexed (non-literal) segments
@@ -963,7 +966,8 @@ object ClickHouseSql {
           "backups|time_zones|build_options|warnings|replicas|moves|" +
           "users|roles|grants|row_policies|settings_profiles|" +
           "quota_usage|quotas|part_log|settings_changes|" +
-          "current_roles|enabled_roles|dropped_tables)\\b",
+          "current_roles|enabled_roles|dropped_tables|" +
+          "named_collections)\\b",
         "graft_system_$1")
     }.mkString("'")
     if (Dictionaries.matches(trimmed))
@@ -1265,6 +1269,10 @@ object ClickHouseSql {
       Seq("OK").toDF("status")
     } else if (trimmed.matches("(?is)^(BACKUP|RESTORE)\\s+TABLE\\b.*")) {
       backupRestore(spark, trimmed)
+    } else if (trimmed.matches(
+        "(?is)^(CREATE|ALTER|DROP)\\s+NAMED\\s+COLLECTION\\b.*") ||
+        trimmed.matches("(?is)^SHOW\\s+NAMED\\s+COLLECTIONS\\s*;?\\s*$")) {
+      namedCollectionDdl(spark, trimmed)
     } else if (AccessControl.matches(trimmed)) {
       AccessControl.execute(spark, trimmed)
     } else if (trimmed.matches("(?is)^EXCHANGE\\s+TABLES\\b.*")) {
@@ -1966,6 +1974,87 @@ object ClickHouseSql {
   /** Replace every `file('path'[, 'Format'[, 'schema']])` call with a
     * temp view over the matching reader. Formats without self-describing
     * headers require the schema argument, like the reference. */
+  // ---- named collections (ParserCreateNamedCollectionQuery,
+  // ParserAlterNamedCollectionQuery, ParserDropNamedCollectionQuery;
+  // storage/NamedCollections*) ------------------------------------------
+
+  /** name → key/value bundle (values stored unquoted). */
+  private val namedCollections =
+    scala.collection.concurrent.TrieMap.empty[String, Map[String, String]]
+
+  /** system.named_collections feed. */
+  def listNamedCollections: Seq[(String, String)] =
+    namedCollections.toSeq.sortBy(_._1).map { case (n, kv) =>
+      (n, kv.toSeq.sorted.map { case (k, v) => s"$k = $v" }.mkString(", "))
+    }
+
+  private def namedCollectionDdl(spark: SparkSession, stmt: String)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    def parseKv(text: String): Map[String, String] =
+      splitTopLevel(text).map { kv =>
+        val Array(k, v) = kv.split("=", 2).map(_.trim)
+        // OVERRIDABLE flags are accepted + dropped (no override layer
+        // on a single-session engine)
+        k -> v.replaceAll("(?is)\\s+(NOT\\s+)?OVERRIDABLE$", "")
+          .stripPrefix("'").stripSuffix("'")
+      }.toMap
+    val create = ("(?is)^CREATE\\s+NAMED\\s+COLLECTION\\s+" +
+      "(IF\\s+NOT\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s+" +
+      "(.+?);?\\s*$").r
+    val alter = ("(?is)^ALTER\\s+NAMED\\s+COLLECTION\\s+" +
+      "(IF\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s+" +
+      "(SET|DELETE)\\s+(.+?);?\\s*$").r
+    val drop = ("(?is)^DROP\\s+NAMED\\s+COLLECTION\\s+" +
+      "(IF\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$").r
+    stmt.trim match {
+      case create(ifNot, name, kvs) =>
+        if (namedCollections.putIfAbsent(name, parseKv(kvs)).isDefined
+            && ifNot == null)
+          throw new IllegalArgumentException(
+            s"named collection `$name` already exists")
+        Seq("OK").toDF("status")
+      case alter(ifEx, name, verb, rest) =>
+        namedCollections.get(name) match {
+          case None =>
+            if (ifEx == null) throw new IllegalArgumentException(
+              s"there is no named collection `$name`")
+          case Some(cur) =>
+            val next =
+              if (verb.equalsIgnoreCase("SET")) cur ++ parseKv(rest)
+              else cur -- rest.split(",").map(_.trim).filter(_.nonEmpty)
+            namedCollections.put(name, next)
+        }
+        Seq("OK").toDF("status")
+      case drop(ifEx, name) =>
+        if (namedCollections.remove(name).isEmpty && ifEx == null)
+          throw new IllegalArgumentException(
+            s"there is no named collection `$name`")
+        Seq("OK").toDF("status")
+      case s if s.matches("(?is)^SHOW\\s+NAMED\\s+COLLECTIONS\\s*;?\\s*$") =>
+        listNamedCollections.map(_._1).toDF("name")
+      case _ => throw new IllegalArgumentException(
+        "unsupported NAMED COLLECTION form")
+    }
+  }
+
+  /** `file(nc_name)` with a named collection: substitute the
+    * collection's path/format/structure keys into the literal file()
+    * call (TableFunctionFile accepts a collection the same way). */
+  private def resolveCollectionFileFn(sql0: String): String =
+    "(?i)\\bfile\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\)".r
+      .replaceAllIn(sql0, m =>
+        namedCollections.get(m.group(1)) match {
+          case Some(kv) =>
+            val path = kv.getOrElse("path", throw new IllegalArgumentException(
+              s"named collection ${m.group(1)}: file() needs a `path` key"))
+            val fmt = kv.getOrElse("format", "Parquet")
+            val schema = kv.get("structure").map(s => s", '$s'").getOrElse("")
+            java.util.regex.Matcher
+              .quoteReplacement(s"file('$path', '$fmt'$schema)")
+          case None => m.matched // not a collection — leave for file() proper
+        })
+
   private def resolveFileFn(spark: SparkSession, sql0: String): String =
     fileFnRe.replaceAllIn(sql0, m => {
       val path = m.group(1)
