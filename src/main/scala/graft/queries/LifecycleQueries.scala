@@ -850,11 +850,97 @@ object LifecycleQueries extends QueryPack {
       CAST(1 AS BIGINT) AS listed,
       TRUE AS shape_ok"""))
 
+  /** ALTER forms of the access entities (rename follows every identity
+    * edge; quota/policy/profile ALTERs re-state their definition) plus
+    * the workload-scheduling surface: CREATE WORKLOAD maps to a Spark
+    * fair-scheduler pool and SET workload pins the session's jobs to
+    * it — the real multi-tenant isolation primitive. */
+  private val adminTail = Q("q_ch_admin_tail", (s, dir) => {
+    Tables.register(s, dir)
+    val t = "graft_admin_t"
+    scratch(s, t)
+    ch.sql(s, "SET user = 'default'")
+    ch.sql(s, s"""
+      CREATE MATERIALIZED VIEW $t AS SELECT n_nationkey, n_regionkey FROM nation""")
+    ch.sql(s, "DROP USER IF EXISTS au_x")
+    ch.sql(s, "DROP USER IF EXISTS au_y")
+    ch.sql(s, "CREATE USER au_x")
+    ch.sql(s, s"GRANT SELECT ON $t TO au_x")
+    ch.sql(s, s"CREATE ROW POLICY au_pol ON $t USING n_regionkey < 2 TO au_x")
+    try {
+      // rename: grants and policy coverage follow the new name
+      ch.sql(s, "ALTER USER au_x RENAME TO au_y")
+      ch.sql(s, "SET user = 'au_y'")
+      val renamedRead = ch.sql(s, s"SELECT count() AS n FROM $t")
+        .collect().head.getLong(0)
+      ch.sql(s, "SET user = 'default'")
+      // policy ALTER re-states the condition
+      ch.sql(s, s"ALTER ROW POLICY au_pol ON $t USING n_regionkey < 1 TO au_y")
+      ch.sql(s, "SET user = 'au_y'")
+      val tightened = ch.sql(s, s"SELECT count() AS n FROM $t")
+        .collect().head.getLong(0)
+      ch.sql(s, "SET user = 'default'")
+      // quota ALTER replaces the stated fields
+      ch.sql(s, "DROP QUOTA IF EXISTS au_q")
+      ch.sql(s, "CREATE QUOTA au_q FOR INTERVAL 1 hour MAX queries = 9 TO au_y")
+      ch.sql(s, "ALTER QUOTA au_q MAX queries = 2")
+      val quotaMax = ch.sql(s,
+        "SELECT max FROM system.quotas WHERE name = 'au_q'")
+        .collect().head.getString(0)
+      // profile ALTER re-states settings; re-auth applies them
+      ch.sql(s, "DROP SETTINGS PROFILE IF EXISTS au_p")
+      ch.sql(s, "CREATE SETTINGS PROFILE au_p SETTINGS au_knob = 1 TO au_y")
+      ch.sql(s, "ALTER SETTINGS PROFILE au_p SETTINGS au_knob = 2")
+      ch.sql(s, "SET user = 'au_y'")
+      val knob = ch.sql(s,
+        "SELECT value FROM system.settings WHERE name = 'au_knob'")
+        .collect().head.getString(0)
+      ch.sql(s, "SET user = 'default'")
+      // workloads: hierarchy recorded, SET workload pins the Spark pool
+      ch.sql(s, "DROP WORKLOAD IF EXISTS wl_prod")
+      ch.sql(s, "DROP WORKLOAD IF EXISTS wl_all")
+      ch.sql(s, "CREATE WORKLOAD wl_all")
+      ch.sql(s, "CREATE WORKLOAD wl_prod IN wl_all SETTINGS weight = 9")
+      ch.sql(s, "CREATE RESOURCE IF NOT EXISTS res_io (READ DISK disk, WRITE DISK disk)")
+      ch.sql(s, "SET workload = 'wl_prod'")
+      val pool = Option(s.sparkContext.getLocalProperty("spark.scheduler.pool"))
+        .getOrElse("")
+      val wlRows = ch.sql(s, """
+        SELECT count() AS n FROM system.workloads
+        WHERE name = 'wl_prod' AND parent = 'wl_all'""")
+        .collect().head.getLong(0)
+      val unknownWl =
+        try { ch.sql(s, "SET workload = 'nope'"); 0L }
+        catch { case e: IllegalArgumentException
+            if e.getMessage.contains("does not exist") => 1L }
+      import s.implicits._
+      Seq((renamedRead, tightened, quotaMax, knob, pool, wlRows, unknownWl))
+        .toDF("renamed_read", "tightened", "quota_max", "knob", "pool",
+          "wl_rows", "unknown_wl")
+    } finally {
+      ch.sql(s, "SET user = 'default'")
+      scala.util.Try(ch.sql(s, s"DROP ROW POLICY IF EXISTS au_pol ON $t"))
+      scala.util.Try(ch.sql(s, "DROP QUOTA IF EXISTS au_q"))
+      scala.util.Try(ch.sql(s, "DROP SETTINGS PROFILE IF EXISTS au_p"))
+      scala.util.Try(ch.sql(s, "DROP USER IF EXISTS au_y"))
+      scala.util.Try(ch.sql(s, "DROP WORKLOAD IF EXISTS wl_prod"))
+      scala.util.Try(ch.sql(s, "DROP WORKLOAD IF EXISTS wl_all"))
+      scala.util.Try(ch.sql(s, "DROP RESOURCE IF EXISTS res_io"))
+    }
+  }, Some("""
+    SELECT (SELECT COUNT(*) FROM nation WHERE n_regionkey < 2) AS renamed_read,
+      (SELECT COUNT(*) FROM nation WHERE n_regionkey < 1) AS tightened,
+      'queries = 2' AS quota_max,
+      '2' AS knob,
+      'wl_prod' AS pool,
+      CAST(1 AS BIGINT) AS wl_rows,
+      CAST(1 AS BIGINT) AS unknown_wl"""))
+
   override def queries: Seq[Q] = Seq(
     replacePartition, movePartition, fetchPartition, undropTable,
     refreshMv, optimizeDedupBy, limitOffsetBy, dynamicTyped,
     systemMaintenance, mutationRewrite, backupRestore, systemBreadth,
     rbac, rowPolicy, quota, settingsProfile, alterMeta, partLog,
     settingsChanges, setRole, accessProbe, statementTail,
-    namedCollection)
+    namedCollection, adminTail)
 }

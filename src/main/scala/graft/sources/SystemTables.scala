@@ -385,6 +385,20 @@ object SystemTables {
       .toDF("name", "table", "select_filter", "apply_to")
   }
 
+  /** system.workloads (StorageSystemWorkloads.cpp): the scheduling
+    * hierarchy — each workload is a Spark fair-scheduler pool here. */
+  def workloads(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    graft.sql.ClickHouseSql.listWorkloads
+      .toDF("name", "parent", "create_query_settings")
+  }
+
+  /** system.resources (StorageSystemResources.cpp). */
+  def resourcesTable(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    graft.sql.ClickHouseSql.listResources.toDF("name", "spec")
+  }
+
   /** system.named_collections (StorageSystemNamedCollections.cpp). */
   def namedCollections(spark: SparkSession): DataFrame = {
     import spark.implicits._

@@ -111,10 +111,10 @@ object AccessControl {
   }
 
   def matches(stmt: String): Boolean =
-    stmt.matches("(?is)^(CREATE|DROP)\\s+(USER|ROLE)\\b.*") ||
-      stmt.matches("(?is)^(CREATE|DROP)\\s+ROW\\s+POLICY\\b.*") ||
-      stmt.matches("(?is)^(CREATE|DROP)\\s+QUOTA\\b.*") ||
-      stmt.matches("(?is)^(CREATE|DROP)\\s+SETTINGS\\s+PROFILE\\b.*") ||
+    stmt.matches("(?is)^(CREATE|DROP|ALTER)\\s+(USER|ROLE)\\b.*") ||
+      stmt.matches("(?is)^(CREATE|DROP|ALTER)\\s+ROW\\s+POLICY\\b.*") ||
+      stmt.matches("(?is)^(CREATE|DROP|ALTER)\\s+QUOTA\\b.*") ||
+      stmt.matches("(?is)^(CREATE|DROP|ALTER)\\s+SETTINGS\\s+PROFILE\\b.*") ||
       stmt.matches("(?is)^(GRANT|REVOKE)\\b.*") ||
       stmt.matches("(?is)^SET\\s+(DEFAULT\\s+)?ROLE\\b.*") ||
       stmt.matches("(?is)^CHECK\\s+GRANT\\b.*") ||
@@ -266,6 +266,7 @@ object AccessControl {
 
   def execute(spark: SparkSession, stmt0: String): DataFrame = {
     import spark.implicits._
+    import scala.jdk.CollectionConverters._
     val stmt = stmt0.trim.replaceFirst(";\\s*$", "")
     val me = currentUser(spark)
     def ok = Seq("OK").toDF("status")
@@ -359,8 +360,98 @@ object AccessControl {
 
     val checkGrant = ("(?is)^CHECK\\s+GRANT\\s+([A-Za-z]+)\\s+ON\\s+" +
       "(\\*\\.\\*|\\*|[A-Za-z_][A-Za-z0-9_.]*)$").r
+    // ALTER forms (ASTCreateUserQuery alter=true and siblings): RENAME TO
+    // for users/roles; the quota/policy/profile ALTERs re-state the
+    // definition (the reference likewise replaces the changed fields)
+    val alterUserRename = ("(?is)^ALTER\\s+USER\\s+([A-Za-z_][A-Za-z0-9_]*)" +
+      "\\s+RENAME\\s+TO\\s+([A-Za-z_][A-Za-z0-9_]*)$").r
+    val alterRoleRename = ("(?is)^ALTER\\s+ROLE\\s+([A-Za-z_][A-Za-z0-9_]*)" +
+      "\\s+RENAME\\s+TO\\s+([A-Za-z_][A-Za-z0-9_]*)$").r
+    val alterQuota = ("(?is)^ALTER\\s+QUOTA\\s+([A-Za-z_][A-Za-z0-9_]*)" +
+      "(?:\\s+(?:KEYED\\s+BY\\s+([A-Za-z_]+)|NOT\\s+KEYED))?" +
+      "(?:\\s+FOR\\s+(?:RANDOMIZED\\s+)?INTERVAL\\s+(\\d+)\\s+([A-Za-z]+?)s?\\b)?" +
+      "(?:\\s+MAX\\s+(.+?))?" +
+      "(?:\\s+TO\\s+([A-Za-z_,\\s]+|ALL))?$").r
+    val alterPolicy = ("(?is)^ALTER\\s+ROW\\s+POLICY\\s+" +
+      "([A-Za-z_][A-Za-z0-9_]*)\\s+ON\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s+" +
+      "USING\\s+(.+?)(?:\\s+TO\\s+(.+))?$").r
+    val alterProfile = ("(?is)^ALTER\\s+SETTINGS\\s+PROFILE\\s+" +
+      "([A-Za-z_][A-Za-z0-9_]*)" +
+      "(?:\\s+SETTINGS\\s+(.+?))?(?:\\s+TO\\s+([A-Za-z_,\\s]+|ALL))?$").r
 
     stmt match {
+      case alterUserRename(from, to) =>
+        requireAdmin()
+        require(users.contains(from), s"there is no user `$from`")
+        require(!users.contains(to) && to != "default",
+          s"user `$to` already exists")
+        users.remove(from); users.add(to)
+        // every identity edge follows the rename
+        Option(roleGrants.remove(from)).foreach(roleGrants.put(to, _))
+        Option(activeRoles.remove(from)).foreach(activeRoles.put(to, _))
+        Option(defaultRoles.remove(from)).foreach(defaultRoles.put(to, _))
+        grants.asScala.filter(_.grantee == from).toSeq.foreach { g =>
+          grants.remove(g); grants.add(g.copy(grantee = to))
+        }
+        renameGrantee(from, to)
+        retireShadows(spark)
+        ok
+      case alterRoleRename(from, to) =>
+        requireAdmin()
+        require(roles.contains(from), s"there is no role `$from`")
+        require(!roles.contains(to), s"role `$to` already exists")
+        roles.remove(from); roles.add(to)
+        grants.asScala.filter(_.grantee == from).toSeq.foreach { g =>
+          grants.remove(g); grants.add(g.copy(grantee = to))
+        }
+        roleGrants.replaceAll((_, rs) =>
+          if (rs.contains(from)) rs - from + to else rs)
+        renameGrantee(from, to)
+        retireShadows(spark)
+        ok
+      case alterQuota(name, keyed, n, unit, maxList, to) =>
+        requireAdmin()
+        val prev = Option(quotas.get(name)).getOrElse(
+          throw new IllegalArgumentException(s"there is no quota `$name`"))
+        val limits = Option(maxList).map(names(_).map { kv =>
+          val Array(k, v) = kv.split("=", 2).map(_.trim)
+          require(quotaLimitNames(k.toLowerCase), s"unknown quota limit '$k'")
+          k.toLowerCase -> v.toDouble.toLong
+        }.toMap).getOrElse(prev.limits)
+        val (toAll, gs) = Option(to).map(_ => granteeSpec(to))
+          .getOrElse((prev.toAll, prev.grantees))
+        quotas.put(name, Quota(name,
+          Option(keyed).getOrElse(prev.keyedBy),
+          Option(n).map(_ => intervalSeconds(n, unit))
+            .getOrElse(prev.intervalSec),
+          limits, toAll, gs))
+        ok
+      case alterPolicy(name, table, cond, to) =>
+        requireAdmin()
+        require(rowPolicies.containsKey(name),
+          s"there is no row policy `$name`")
+        val appliesTo = Option(to).map(_.trim) match {
+          case None | Some("ALL") => Set.empty[String]
+          case Some(list) => names(list).toSet
+        }
+        rowPolicies.put(name,
+          RowPolicy(name, table.toLowerCase, cond.trim, appliesTo))
+        retireShadows(spark) // live shadows hold the OLD filter
+        ok
+      case alterProfile(name, settingsList, to) =>
+        requireAdmin()
+        val prev = Option(settingsProfiles.get(name)).getOrElse(
+          throw new IllegalArgumentException(
+            s"there is no settings profile `$name`"))
+        val settings = Option(settingsList).map(names(_).map { kv =>
+          val Array(k, v) = kv.split("=", 2).map(_.trim)
+          k -> v.stripPrefix("'").stripSuffix("'")
+        }).getOrElse(prev.settings)
+        val (toAll, gs) = Option(to).map(_ => granteeSpec(to))
+          .getOrElse((prev.toAll, prev.grantees))
+        settingsProfiles.put(name,
+          SettingsProfile(name, settings, toAll, gs))
+        ok
       // CHECK GRANT p ON t (ASTCheckGrantQuery): does the CURRENT user
       // hold the privilege? Answers 1/0, never throws — the self-probe
       // an application runs before attempting a statement.
@@ -519,11 +610,13 @@ object AccessControl {
             RowPolicy(name, table.toLowerCase, cond.trim, appliesTo)) != null
           && ifNot == null)
           throw new IllegalArgumentException(s"row policy `$name` already exists")
+        retireShadows(spark) // a live shadow must pick up the new policy
         ok
       case dropPolicy(ifEx, name, _) =>
         requireAdmin()
         if (rowPolicies.remove(name) == null && ifEx == null)
           throw new IllegalArgumentException(s"there is no row policy `$name`")
+        retireShadows(spark)
         ok
       case showFor(who) =>
         val target = Option(who).getOrElse(me)
@@ -662,6 +755,35 @@ object AccessControl {
   private val activeShadows =
     java.util.Collections.newSetFromMap(
       new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean])
+
+  /** Retire every live shadow so the next statement rebuilds them from
+    * the CURRENT policy definitions — called whenever a policy or a
+    * grantee identity changes (a live shadow holds the filter it was
+    * built with, not a reference to the policy). */
+  private def retireShadows(spark: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    activeShadows.asScala.toSeq.foreach { t =>
+      spark.catalog.dropTempView(t); activeShadows.remove(t)
+    }
+  }
+
+  /** Propagate a user/role rename through policy/quota/profile grantee
+    * sets. */
+  private def renameGrantee(from: String, to: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    rowPolicies.asScala.toSeq.foreach { case (k, p) =>
+      if (p.appliesTo.contains(from))
+        rowPolicies.put(k, p.copy(appliesTo = p.appliesTo - from + to))
+    }
+    quotas.asScala.toSeq.foreach { case (k, q) =>
+      if (q.grantees.contains(from))
+        quotas.put(k, q.copy(grantees = q.grantees - from + to))
+    }
+    settingsProfiles.asScala.toSeq.foreach { case (k, p) =>
+      if (p.grantees.contains(from))
+        settingsProfiles.put(k, p.copy(grantees = p.grantees - from + to))
+    }
+  }
 
   /** Apply/retire row-policy shadow views for the CURRENT user before a
     * statement resolves. A policed catalog table is shadowed by a TEMP

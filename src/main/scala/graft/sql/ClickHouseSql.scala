@@ -876,6 +876,9 @@ object ClickHouseSql {
           (() => graft.sources.SystemTables.droppedTables(spark)),
         "named_collections" ->
           (() => graft.sources.SystemTables.namedCollections(spark)),
+        "workloads" -> (() => graft.sources.SystemTables.workloads(spark)),
+        "resources" ->
+          (() => graft.sources.SystemTables.resourcesTable(spark)),
         "enabled_roles" ->
           (() => graft.sources.SystemTables.enabledRoles(spark)),
         "settings_changes" ->
@@ -967,7 +970,7 @@ object ClickHouseSql {
           "users|roles|grants|row_policies|settings_profiles|" +
           "quota_usage|quotas|part_log|settings_changes|" +
           "current_roles|enabled_roles|dropped_tables|" +
-          "named_collections)\\b",
+          "named_collections|workloads|resources)\\b",
         "graft_system_$1")
     }.mkString("'")
     if (Dictionaries.matches(trimmed))
@@ -1273,6 +1276,9 @@ object ClickHouseSql {
         "(?is)^(CREATE|ALTER|DROP)\\s+NAMED\\s+COLLECTION\\b.*") ||
         trimmed.matches("(?is)^SHOW\\s+NAMED\\s+COLLECTIONS\\s*;?\\s*$")) {
       namedCollectionDdl(spark, trimmed)
+    } else if (trimmed.matches(
+        "(?is)^(CREATE|DROP)\\s+(WORKLOAD|RESOURCE)\\b.*")) {
+      workloadDdl(spark, trimmed)
     } else if (AccessControl.matches(trimmed)) {
       AccessControl.execute(spark, trimmed)
     } else if (trimmed.matches("(?is)^EXCHANGE\\s+TABLES\\b.*")) {
@@ -1403,6 +1409,16 @@ object ClickHouseSql {
       trimmed match {
         case kv(k, v) =>
           val prev = spark.conf.getOption(s"graft.ch.$k").getOrElse("")
+          // SET workload pins the session's jobs to the Spark
+          // fair-scheduler pool of that name (the workload-scheduling
+          // mapping); the workload must exist
+          if (k.equalsIgnoreCase("workload")) {
+            val w = v.stripPrefix("'").stripSuffix("'")
+            require(workloadExists(w),
+              s"SET workload: workload `$w` does not exist " +
+                "(CREATE WORKLOAD first)")
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", w)
+          }
           spark.conf.set(s"graft.ch.$k", v)
           // session settings audit (system.settings_changes)
           graft.sources.SystemTables.SettingsChangesLedger.record(k, v, prev)
@@ -1974,6 +1990,72 @@ object ClickHouseSql {
   /** Replace every `file('path'[, 'Format'[, 'schema']])` call with a
     * temp view over the matching reader. Formats without self-describing
     * headers require the schema argument, like the reference. */
+  // ---- workloads / resources (ParserCreateWorkloadQuery,
+  // ParserCreateResourceQuery; src/Common/Scheduler/) -------------------
+  //
+  // The reference's workload scheduling hierarchy maps onto Spark's
+  // fair-scheduler pools: a CREATE WORKLOAD name becomes a pool name,
+  // and `SET workload = 'name'` pins the session's jobs to that pool
+  // (spark.scheduler.pool local property — the real Spark resource-
+  // isolation primitive a multi-tenant cluster uses). Workload SETTINGS
+  // and resource specs are recorded and listed; weight/priority
+  // enforcement is the cluster scheduler's concern.
+
+  /** workload → (parent, settings text). */
+  private val workloads =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  /** resource → spec text. */
+  private val resources =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def listWorkloads: Seq[(String, String, String)] =
+    workloads.toSeq.sortBy(_._1).map { case (n, (p, s)) => (n, p, s) }
+  def listResources: Seq[(String, String)] = resources.toSeq.sortBy(_._1)
+
+  private[graft] def workloadExists(name: String): Boolean =
+    workloads.contains(name)
+
+  private def workloadDdl(spark: SparkSession, stmt: String)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val createW = ("(?is)^CREATE\\s+WORKLOAD\\s+(IF\\s+NOT\\s+EXISTS\\s+)?" +
+      "([A-Za-z_][A-Za-z0-9_]*)(?:\\s+IN\\s+([A-Za-z_][A-Za-z0-9_]*))?" +
+      "(?:\\s+SETTINGS\\s+(.+?))?;?\\s*$").r
+    val dropW = ("(?is)^DROP\\s+WORKLOAD\\s+(IF\\s+EXISTS\\s+)?" +
+      "([A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$").r
+    val createR = ("(?is)^CREATE\\s+RESOURCE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?" +
+      "([A-Za-z_][A-Za-z0-9_]*)\\s*\\((.+?)\\)\\s*;?\\s*$").r
+    val dropR = ("(?is)^DROP\\s+RESOURCE\\s+(IF\\s+EXISTS\\s+)?" +
+      "([A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$").r
+    stmt.trim match {
+      case createW(ifNot, name, parent, settings) =>
+        val parentName = Option(parent).getOrElse("")
+        if (parentName.nonEmpty) require(workloads.contains(parentName),
+          s"CREATE WORKLOAD: parent workload `$parentName` does not exist")
+        if (workloads.putIfAbsent(name,
+            (parentName, Option(settings).getOrElse(""))).isDefined
+          && ifNot == null)
+          throw new IllegalArgumentException(
+            s"workload `$name` already exists")
+        Seq("OK").toDF("status")
+      case dropW(ifEx, name) =>
+        if (workloads.remove(name).isEmpty && ifEx == null)
+          throw new IllegalArgumentException(s"there is no workload `$name`")
+        Seq("OK").toDF("status")
+      case createR(ifNot, name, spec) =>
+        if (resources.putIfAbsent(name, spec.trim).isDefined && ifNot == null)
+          throw new IllegalArgumentException(
+            s"resource `$name` already exists")
+        Seq("OK").toDF("status")
+      case dropR(ifEx, name) =>
+        if (resources.remove(name).isEmpty && ifEx == null)
+          throw new IllegalArgumentException(s"there is no resource `$name`")
+        Seq("OK").toDF("status")
+      case _ => throw new IllegalArgumentException(
+        "unsupported WORKLOAD/RESOURCE form")
+    }
+  }
+
   // ---- named collections (ParserCreateNamedCollectionQuery,
   // ParserAlterNamedCollectionQuery, ParserDropNamedCollectionQuery;
   // storage/NamedCollections*) ------------------------------------------
