@@ -151,6 +151,26 @@ object WindowQueries extends QueryPack {
       WHERE rn <= 3
       ORDER BY user_id, rn"""),
 
+    // The actual QUALIFY keyword (round 10): the dialect rewrites it to
+    // the analyzer wrap (inject the predicate as a computed column over
+    // the core, filter, project it away via * EXCEPT); the trailing
+    // ORDER BY stays outside. DuckDB speaks QUALIFY natively — the
+    // SAME text is the oracle.
+    Q(s"q_ch_qualify", (s, dir) => {
+      graft.Tables.register(s, dir)
+      graft.sql.ClickHouseSql.sql(s, """
+        SELECT user_id, event_id,
+          row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) AS rn
+        FROM events
+        QUALIFY rn <= 2
+        ORDER BY user_id, rn""")
+    }, Some("""
+      SELECT user_id, event_id,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) AS rn
+      FROM events
+      QUALIFY rn <= 2
+      ORDER BY user_id, rn""")),
+
     // nonNegativeDerivative (WindowTransform.cpp:2740) as expression rewrite:
     // (v - lag(v)) / seconds-elapsed, clamped at 0.
     Q.sparkSql("q_win_nonneg_derivative", """

@@ -36,6 +36,7 @@ object ClickHouseSql {
     s = rewriteArrayJoin(s)
     s = rewritePrewhere(s)
     s = rewriteFinal(s)
+    s = rewriteQualify(s)
     s = rewriteWithFill(s)
     s = rewriteDistinctOn(s)
     s = rewriteLimitBy(s)
@@ -537,6 +538,63 @@ object ClickHouseSql {
     * ` LIMIT 1 BY keys` after an existing LIMIT produced invalid SQL (the
     * advice-round bug: the LIMIT-BY window regex then swallowed
     * `k LIMIT 10` as its ORDER BY spec). */
+  /** First depth-0, outside-quotes occurrence of the WORD `kw` (which
+    * may contain spaces) at or after `from`; -1 if none. */
+  private def depth0Index(s: String, kw: String, from: Int): Int = {
+    var depth = 0; var inStr = false; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && i >= from &&
+              s.regionMatches(true, i, kw, 0, kw.length) &&
+              (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1)) &&
+                s.charAt(i - 1) != '_') &&
+              (i + kw.length >= s.length ||
+                !Character.isLetterOrDigit(s.charAt(i + kw.length)) &&
+                  s.charAt(i + kw.length) != '_'))
+            return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** `QUALIFY pred` (ASTSelectQuery's qualify clause — a filter over
+    * window results): rewritten to the wrap the reference's analyzer
+    * performs —
+    *   SELECT * EXCEPT(__qualify)
+    *   FROM (SELECT *, (pred) AS __qualify FROM (core) graft_qualify_sub)
+    *   WHERE __qualify [tail]
+    * Core select-list window ALIASES resolve as plain columns in pred;
+    * raw OVER expressions in pred compute in the wrapper over the
+    * core's output columns (they must be projected by the core — the
+    * documented scope). The trailing ORDER BY / LIMIT stays outside. */
+  private def rewriteQualify(s0: String): String = {
+    val at = depth0Index(s0, "QUALIFY", 0)
+    if (at < 0) return s0
+    if (!s0.trim.matches("(?is)^(SELECT|WITH)\\b.*")) return s0
+    val s = s0.trim.stripSuffix(";")
+    val at2 = depth0Index(s, "QUALIFY", 0)
+    val core = s.substring(0, at2).trim
+    val after = s.substring(at2 + "QUALIFY".length).trim
+    val tailAt = Seq("ORDER BY", "LIMIT", "FORMAT", "SETTINGS",
+      "INTO OUTFILE", "UNION")
+      .map(k => depth0Index(after, k, 0)).filter(_ >= 0)
+      .sorted.headOption
+    val (pred, tail) = tailAt match {
+      case Some(i) => (after.substring(0, i).trim, " " + after.substring(i))
+      case None => (after, "")
+    }
+    // recurse for a QUALIFY in the tail's set-op branches (rare)
+    s"SELECT * EXCEPT(__qualify) FROM (SELECT *, ($pred) AS __qualify " +
+      s"FROM ($core) graft_qualify_sub) WHERE __qualify$tail"
+  }
+
   private def rewriteDistinctOn(s: String): String = {
     val re = "(?is)\\bSELECT\\s+DISTINCT\\s+ON\\s*\\(([^)]*)\\)".r
     re.findFirstMatchIn(s) match {

@@ -196,4 +196,27 @@ class DialectSpec extends SparkFunSuite {
     assert(ClickHouseSql.sql(spark, "KILL MUTATION WHERE mutation_id = 'x'")
       .head().getString(0) == "OK")
   }
+
+  test("QUALIFY: alias form, raw-OVER form, tail clauses stay outside") {
+    import SparkTestBase.spark.implicits._
+    Seq((1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "b", 40))
+      .toDF("id", "g", "v").createOrReplaceTempView("qual_t")
+    // raw OVER expression directly in QUALIFY (no alias in the core)
+    val top = ClickHouseSql.sql(spark, """
+      SELECT id, g, v FROM qual_t
+      QUALIFY row_number() OVER (PARTITION BY g ORDER BY v DESC) = 1
+      ORDER BY g""").collect()
+    assert(top.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((2, "a"), (4, "b")))
+    // alias form + LIMIT tail
+    val lim = ClickHouseSql.sql(spark, """
+      SELECT id, row_number() OVER (ORDER BY v DESC) AS rn FROM qual_t
+      QUALIFY rn <= 3
+      ORDER BY rn LIMIT 2""").collect()
+    assert(lim.map(_.getInt(0)).toSeq == Seq(4, 3))
+    // a QUALIFY word inside a string literal is untouched
+    val lit = ClickHouseSql.sql(spark,
+      "SELECT 'no QUALIFY here' AS s").collect().head.getString(0)
+    assert(lit == "no QUALIFY here")
+  }
 }
