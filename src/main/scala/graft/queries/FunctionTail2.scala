@@ -16,7 +16,54 @@ object FunctionTail2 extends QueryPack {
     Q(name, (s, dir) => { Tables.register(s, dir); ClickHouseSql.sql(s, chSql) },
       Some(oracle))
 
+  /** seriesDecomposeSTL (seriesDecomposeSTL.cpp; STL from the published
+    * Cleveland et al. 1990 procedure): the oracle pins the
+    * decomposition CONTRACT on a synthetic trend+seasonality series —
+    * exact additive reconstruction, baseline = seasonal + trend, the
+    * seasonal lane carrying the injected period-12 component, and a
+    * small residual. (Numeric parity with the reference's stl-cpp
+    * smoothing windows is not claimed — documented.) */
+  private val seriesStl = Q("q_fn_series_stl", (s, dir) => {
+    graft.Tables.register(s, dir)
+    val n = 96
+    val row = ClickHouseSql.sql(s, s"""
+      SELECT seriesDecomposeSTL(
+        arrayMap(i -> 10.0 + 0.05 * i + 5.0 * sin(2 * pi() * i / 12),
+          range($n)), 12) AS dec""").collect().head
+    val dec = row.getAs[scala.collection.Seq[scala.collection.Seq[Float]]](0)
+      .toSeq.map(_.toSeq.map(_.toDouble))
+    val y = (0 until n).map(i =>
+      10.0 + 0.05 * i + 5.0 * math.sin(2 * math.Pi * i / 12))
+    val Seq(se, tr, re, ba) = dec
+    val recon = (0 until n).map(i =>
+      math.abs(y(i) - (se(i) + tr(i) + re(i)))).max
+    val baseErr = (0 until n).map(i =>
+      math.abs(ba(i) - (se(i) + tr(i)))).max
+    val trueSeason = (0 until n).map(i => 5.0 * math.sin(2 * math.Pi * i / 12))
+    def corr(a: Seq[Double], b: Seq[Double]): Double = {
+      val ma = a.sum / a.size; val mb = b.sum / b.size
+      val cov = a.zip(b).map { case (x, z) => (x - ma) * (z - mb) }.sum
+      val va = a.map(x => (x - ma) * (x - ma)).sum
+      val vb = b.map(x => (x - mb) * (x - mb)).sum
+      cov / math.sqrt(va * vb)
+    }
+    val seasonCorr = corr(se, trueSeason)
+    val resSd = {
+      val m = re.sum / re.size
+      math.sqrt(re.map(x => (x - m) * (x - m)).sum / re.size)
+    }
+    import s.implicits._
+    Seq((dec.size.toLong, se.size.toLong, recon < 1e-3, baseErr < 1e-3,
+        seasonCorr > 0.99, resSd < 0.5))
+      .toDF("lanes", "len", "recon_exact", "baseline_exact",
+        "seasonal_captured", "residual_small")
+  }, Some("""
+    SELECT CAST(4 AS BIGINT) AS lanes, CAST(96 AS BIGINT) AS len,
+      TRUE AS recon_exact, TRUE AS baseline_exact,
+      TRUE AS seasonal_captured, TRUE AS residual_small"""))
+
   override def queries: Seq[Q] = Seq(
+    seriesStl,
 
     // Round-10 registry sweep #7: REAL SipHash-2-4 (the keyed lane is
     // pinned on the OFFICIAL published test vector — key

@@ -152,6 +152,15 @@ object ChRegistryTail7 {
       Subtract(Year(Cast(args.head, DateType)), Literal(1970))),
     "currentuser" -> (_ => sessionUser()),
 
+    // ---- seriesDecomposeSTL (seriesDecomposeSTL.cpp; STL re-implemented
+    // from the published Cleveland et al. 1990 procedure — see
+    // functions/SeriesStl.scala): [seasonal, trend, residue, baseline]
+    "seriesdecomposestl" -> (args => StaticInvoke(
+      classOf[graft.functions.SeriesStl.type],
+      ArrayType(ArrayType(FloatType)), "stl",
+      Seq(Cast(args(0), ArrayType(DoubleType)), Cast(args(1), IntegerType)),
+      Seq(ArrayType(DoubleType), IntegerType))),
+
     // ---- signed int OrNull/OrZero/OrDefault tails --------------------
     "toint8ornull" -> orNull(ByteType),
     "toint16ornull" -> orNull(ShortType),
