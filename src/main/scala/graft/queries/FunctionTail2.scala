@@ -65,6 +65,37 @@ object FunctionTail2 extends QueryPack {
   override def queries: Seq[Q] = Seq(
     seriesStl,
 
+    // reinterpretAs* (reinterpretAs.cpp): raw little-endian byte-image
+    // reinterpretation. 'abcd' = 61 62 63 64 read LE = 0x64636261;
+    // numeric inputs contribute their LE bytes (reinterpretAsString cuts
+    // trailing NULs — 25185 = 0x6261 -> 'ab'); FFFF as Int16 = -1;
+    // 0000803F is IEEE-754 LE 1.0f; Date reads u16 days, DateTime u32
+    // epoch seconds.
+    ch("q_fn_reinterpret", """
+      SELECT
+        CAST(reinterpretAsUInt32('abcd') AS BIGINT) AS u32,
+        CAST(reinterpretAsUInt8('a') AS BIGINT) AS u8,
+        CAST(reinterpretAsUInt16('a') AS BIGINT) AS u16pad,
+        CAST(reinterpretAsUInt64('abc') AS BIGINT) AS u64,
+        CAST(reinterpretAsInt16(unhex('FFFF')) AS BIGINT) AS i16,
+        reinterpretAsString(CAST(25185 AS INT)) AS s,
+        CAST(reinterpretAsFloat32(unhex('0000803F')) AS DOUBLE) AS f32,
+        CAST(reinterpretAsDate(CAST(18262 AS INT)) AS STRING) AS d,
+        CAST(reinterpretAsDateTime(CAST(1700000000 AS BIGINT)) AS STRING) AS dt,
+        CAST(reinterpret('abcd', 'UInt32') AS BIGINT) AS generic""",
+      """
+      SELECT
+        CAST(1684234849 AS BIGINT) AS u32,
+        CAST(97 AS BIGINT) AS u8,
+        CAST(97 AS BIGINT) AS u16pad,
+        CAST(6513249 AS BIGINT) AS u64,
+        CAST(-1 AS BIGINT) AS i16,
+        'ab' AS s,
+        CAST(1.0 AS DOUBLE) AS f32,
+        '2020-01-01' AS d,
+        '2023-11-14 22:13:20' AS dt,
+        CAST(1684234849 AS BIGINT) AS generic"""),
+
     // Round-10 registry sweep #7: REAL SipHash-2-4 (the keyed lane is
     // pinned on the OFFICIAL published test vector — key
     // 0x0706050403020100/0x0f0e0d0c0b0a0908 over bytes 00..0e →

@@ -152,6 +152,69 @@ object ChRegistryTail7 {
       Subtract(Year(Cast(args.head, DateType)), Literal(1970))),
     "currentuser" -> (_ => sessionUser()),
 
+    // ---- reinterpretAs* (reinterpretAs.cpp): raw LE byte-image
+    // reinterpretation, never numeric conversion. Unsigned lanes use
+    // the established widened carriers; 128/256-bit lanes stay with
+    // the wide-int family (documented). Interpreter-only expressions —
+    // a codec/diagnostic surface, not a hot path.
+    "reinterpretasuint8" -> (args =>
+      org.apache.spark.sql.graft.ReinterpretToLong(args.head, 8, ShortType)),
+    "reinterpretasuint16" -> (args =>
+      org.apache.spark.sql.graft.ReinterpretToLong(args.head, 16, IntegerType)),
+    "reinterpretasuint32" -> (args =>
+      org.apache.spark.sql.graft.ReinterpretToLong(args.head, 32, LongType)),
+    "reinterpretasuint64" -> (args =>
+      org.apache.spark.sql.graft.ReinterpretToLong(args.head, 64,
+        DecimalType(20, 0))),
+    "reinterpretasint8" -> (args =>
+      org.apache.spark.sql.graft.ReinterpretToLong(args.head, 8, ByteType)),
+    "reinterpretasint16" -> (args =>
+      org.apache.spark.sql.graft.ReinterpretToLong(args.head, 16, ShortType)),
+    "reinterpretasint32" -> (args =>
+      org.apache.spark.sql.graft.ReinterpretToLong(args.head, 32, IntegerType)),
+    "reinterpretasint64" -> (args =>
+      org.apache.spark.sql.graft.ReinterpretToLong(args.head, 64, LongType)),
+    "reinterpretasdate" -> (args =>
+      org.apache.spark.sql.graft.ReinterpretToLong(args.head, 16, DateType)),
+    "reinterpretasdatetime" -> (args =>
+      org.apache.spark.sql.graft.ReinterpretToLong(args.head, 32,
+        TimestampType)),
+    "reinterpretasfloat32" -> (args =>
+      org.apache.spark.sql.graft.ReinterpretToFloat(args.head, wide = false)),
+    "reinterpretasfloat64" -> (args =>
+      org.apache.spark.sql.graft.ReinterpretToFloat(args.head, wide = true)),
+    "reinterpretasstring" -> (args =>
+      org.apache.spark.sql.graft.ReinterpretToString(args.head,
+        cutTrailingZeros = true)),
+    "reinterpretasfixedstring" -> (args =>
+      org.apache.spark.sql.graft.ReinterpretToString(args.head,
+        cutTrailingZeros = false)),
+    // generic reinterpret(x, 'Type') dispatcher
+    "reinterpret" -> (args => args(1) match {
+      case Literal(t, StringType) if t != null =>
+        val tn = t.toString.toLowerCase
+        val b = builders // self-reference resolved lazily below
+        tn match {
+          case "uint8" => b("reinterpretasuint8")(Seq(args.head))
+          case "uint16" => b("reinterpretasuint16")(Seq(args.head))
+          case "uint32" => b("reinterpretasuint32")(Seq(args.head))
+          case "uint64" => b("reinterpretasuint64")(Seq(args.head))
+          case "int8" => b("reinterpretasint8")(Seq(args.head))
+          case "int16" => b("reinterpretasint16")(Seq(args.head))
+          case "int32" => b("reinterpretasint32")(Seq(args.head))
+          case "int64" => b("reinterpretasint64")(Seq(args.head))
+          case "float32" => b("reinterpretasfloat32")(Seq(args.head))
+          case "float64" => b("reinterpretasfloat64")(Seq(args.head))
+          case "date" => b("reinterpretasdate")(Seq(args.head))
+          case "datetime" => b("reinterpretasdatetime")(Seq(args.head))
+          case "string" => b("reinterpretasstring")(Seq(args.head))
+          case other => throw new IllegalArgumentException(
+            s"reinterpret: unsupported target type '$other'")
+        }
+      case _ => throw new IllegalArgumentException(
+        "reinterpret: the target type must be a string literal")
+    }),
+
     // ---- seriesDecomposeSTL (seriesDecomposeSTL.cpp; STL re-implemented
     // from the published Cleveland et al. 1990 procedure — see
     // functions/SeriesStl.scala): [seasonal, trend, residue, baseline]
