@@ -73,8 +73,13 @@ object Bench {
     "q_lazy_topk",
     // round-9: the maintenance path under timing — CTAS + ALTER UPDATE
     // part rewrite + aggregate (r8 verdict #10); rewritten-part count
-    // prints in the io note
-    "q_mutation_rewrite")
+    // prints in the io note; round-10 made it a partitioned table with
+    // the durable PRUNED rewrite (rewritten/untouched partitions in io)
+    "q_mutation_rewrite",
+    // round-10: the PII-scrub regex pipeline over the documents corpus —
+    // five ordered regexp_replace/regexp_count classes per row, the
+    // scan-speed redaction profile every training-data pipeline runs
+    "q_pii_scrub")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
