@@ -65,6 +65,31 @@ object FunctionTail2 extends QueryPack {
   override def queries: Seq[Q] = Seq(
     seriesStl,
 
+    // Time-window scalars (FunctionsTimeWindow.cpp): tumble/hop window
+    // bounds as fixed-duration floor arithmetic; hopEnd is the latest
+    // hop-aligned end past ts (the step-back loop closed-form), and
+    // windowId is the gcd-aligned window end in epoch seconds.
+    ch("q_fn_time_window", """
+      SELECT
+        CAST(tumbleStart(toDateTime('2024-01-02 03:47:30'), INTERVAL 1 HOUR) AS STRING) AS ts_s,
+        CAST(tumbleEnd(toDateTime('2024-01-02 03:47:30'), INTERVAL 1 HOUR) AS STRING) AS ts_e,
+        CAST(tumble(toDateTime('2024-01-02 03:47:30'), INTERVAL 1 HOUR).col1 AS STRING) AS tup_s,
+        CAST(tumble(toDateTime('2024-01-02 03:47:30'), INTERVAL 1 HOUR).col2 AS STRING) AS tup_e,
+        CAST(hopStart(toDateTime('2024-01-02 03:47:30'), INTERVAL 15 MINUTE, INTERVAL 1 HOUR) AS STRING) AS h_s,
+        CAST(hopEnd(toDateTime('2024-01-02 03:47:30'), INTERVAL 15 MINUTE, INTERVAL 1 HOUR) AS STRING) AS h_e,
+        CAST(windowId(toDateTime('2024-01-02 03:47:30'), INTERVAL 15 MINUTE, INTERVAL 1 HOUR) AS BIGINT) AS wid,
+        CAST(windowId(toDateTime('2024-01-02 03:47:30'), INTERVAL 1 HOUR) AS BIGINT) AS wid_t""",
+      """
+      SELECT
+        '2024-01-02 03:00:00' AS ts_s,
+        '2024-01-02 04:00:00' AS ts_e,
+        '2024-01-02 03:00:00' AS tup_s,
+        '2024-01-02 04:00:00' AS tup_e,
+        '2024-01-02 03:00:00' AS h_s,
+        '2024-01-02 04:00:00' AS h_e,
+        CAST(1704168000 AS BIGINT) AS wid,
+        CAST(1704168000 AS BIGINT) AS wid_t"""),
+
     // reinterpretAs* (reinterpretAs.cpp): raw little-endian byte-image
     // reinterpretation. 'abcd' = 61 62 63 64 read LE = 0x64636261;
     // numeric inputs contribute their LE bytes (reinterpretAsString cuts

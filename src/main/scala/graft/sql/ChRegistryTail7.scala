@@ -107,6 +107,31 @@ object ChRegistryTail7 {
     If(RLike(s, ipv4Re), s, Literal.create(null, StringType))
   }
 
+  /** Micros of a FOLDABLE fixed-duration interval literal; calendar
+    * units (months) reject loudly. */
+  private def ivMicros(e: Expression): Long = {
+    require(e.foldable, "time-window interval must be a constant")
+    e.dataType match {
+      case _: DayTimeIntervalType => e.eval().asInstanceOf[Long]
+      case CalendarIntervalType =>
+        val ci = e.eval()
+          .asInstanceOf[org.apache.spark.unsafe.types.CalendarInterval]
+        require(ci.months == 0,
+          "time-window scalars support fixed durations only " +
+            "(MONTH/QUARTER/YEAR windows are calendar-dependent)")
+        ci.days * 86400000000L + ci.microseconds
+      case _ =>
+        // bare number of seconds (the reference also accepts one)
+        e.eval().toString.toLong * 1000000L
+    }
+  }
+  private def winFloor(ts: Expression, m: Long): Expression =
+    MicrosToTimestamp(Multiply(
+      IntegralDivide(UnixMicros(Cast(ts, TimestampType)), Literal(m)),
+      Literal(m)))
+  private def winShift(ts: Expression, m: Long): Expression =
+    MicrosToTimestamp(Add(UnixMicros(ts), Literal(m)))
+
   private def sessionUser(): Expression = Literal(
     org.apache.spark.sql.SparkSession.getActiveSession
       .flatMap(_.conf.getOption("graft.ch.user"))
@@ -151,6 +176,41 @@ object ChRegistryTail7 {
     "toyearnumsinceepoch" -> (args =>
       Subtract(Year(Cast(args.head, DateType)), Literal(1970))),
     "currentuser" -> (_ => sessionUser()),
+
+    // ---- time-window scalars (FunctionsTimeWindow.cpp TUMBLE/HOP
+    // family): fixed-duration windows as micros arithmetic —
+    //   tumbleStart = floor(ts, iv), tumbleEnd = start + iv,
+    //   hopEnd = floor(ts, hop) + hop (the latest hop-aligned end > ts,
+    //   the reference's step-back loop closed-form), hopStart =
+    //   hopEnd − window, windowId = the window end in epoch seconds
+    //   (gcd-aligned for the hop form, :576). Calendar units
+    //   (MONTH/QUARTER/YEAR) are rejected loudly — documented.
+    "tumble" -> (args => CreateStruct(Seq(
+      winFloor(args(0), ivMicros(args(1))),
+      winShift(winFloor(args(0), ivMicros(args(1))), ivMicros(args(1)))))),
+    "tumblestart" -> (args => winFloor(args(0), ivMicros(args(1)))),
+    "tumbleend" -> (args =>
+      winShift(winFloor(args(0), ivMicros(args(1))), ivMicros(args(1)))),
+    "hop" -> (args => {
+      val (h, w) = (ivMicros(args(1)), ivMicros(args(2)))
+      val end = winShift(winFloor(args(0), h), h)
+      CreateStruct(Seq(winShift(end, -w), end))
+    }),
+    "hopstart" -> (args => {
+      val (h, w) = (ivMicros(args(1)), ivMicros(args(2)))
+      winShift(winShift(winFloor(args(0), h), h), -w)
+    }),
+    "hopend" -> (args =>
+      winShift(winFloor(args(0), ivMicros(args(1))), ivMicros(args(1)))),
+    "windowid" -> (args => {
+      val step =
+        if (args.size >= 3 && args(2).dataType != StringType) {
+          val h = ivMicros(args(1)); val w = ivMicros(args(2))
+          java.math.BigInteger.valueOf(h)
+            .gcd(java.math.BigInteger.valueOf(w)).longValueExact()
+        } else ivMicros(args(1))
+      Cast(UnixSeconds(winShift(winFloor(args(0), step), step)), LongType)
+    }),
 
     // ---- reinterpretAs* (reinterpretAs.cpp): raw LE byte-image
     // reinterpretation, never numeric conversion. Unsigned lanes use
