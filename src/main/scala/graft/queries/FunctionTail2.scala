@@ -561,6 +561,57 @@ object FunctionTail2 extends QueryPack {
         0 AS rkey_miss_zero
       FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
       WHERE c_custkey <= 100 ORDER BY c_custkey"""))
+    ,
+
+    // Hierarchical dictionary walks (round 10 —
+    // HierarchyDictionariesUtils.h over the attribute declared
+    // HIERARCHICAL): dictGetHierarchy includes the key and every
+    // ancestor; dictIsIn walks up; children/descendants invert the
+    // parent map (level 0 = all, level k = exactly that depth).
+    // Synthetic 3-level forest: nations → 100+region → 1000.
+    graft.Q("q_dict_hierarchy_fn", (s, dir) => {
+      graft.Tables.register(s, dir)
+      import org.apache.spark.sql.functions.{col => c, lit => l}
+      val nation = graft.Tables.load(s, dir, "nation")
+      // ids shifted off 0 — 0 is the reference's null-parent sentinel
+      val src = nation.select((c("n_nationkey") + 1).cast("long").as("id"),
+          (c("n_regionkey") + 100).cast("long").as("parent"))
+        .unionByName(s.range(100, 105).toDF("id")
+          .select(c("id"), l(1000L).as("parent")))
+        .unionByName(s.range(1000, 1001).toDF("id")
+          .select(c("id"), l(0L).as("parent")))
+      s.sql("DROP TABLE IF EXISTS graft_hier_src")
+      val wh = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "graft_hier_src")
+      wh.getFileSystem(s.sparkContext.hadoopConfiguration).delete(wh, true)
+      src.write.mode("overwrite").saveAsTable("graft_hier_src")
+      ClickHouseSql.sql(s, "DROP DICTIONARY IF EXISTS ghd")
+      ClickHouseSql.sql(s, """
+        CREATE DICTIONARY ghd (
+          id UInt64,
+          parent UInt64 HIERARCHICAL
+        ) PRIMARY KEY id
+        SOURCE(CLICKHOUSE(TABLE 'graft_hier_src'))
+        LAYOUT(HASHED()) LIFETIME(300)""")
+      ClickHouseSql.sql(s, """
+        SELECT CAST(n_nationkey AS BIGINT) AS k,
+          arrayStringConcat(arrayMap(x -> toString(x),
+            dictGetHierarchy('ghd', n_nationkey + 1)), '>') AS hier,
+          dictIsIn('ghd', n_nationkey + 1, 104) AS in_r4,
+          CAST(size(dictGetChildren('ghd', 104)) AS BIGINT) AS r4_children,
+          CAST(size(dictGetDescendants('ghd', 1000)) AS BIGINT) AS all_desc,
+          CAST(size(dictGetDescendants('ghd', 1000, 1)) AS BIGINT) AS lvl1
+        FROM nation ORDER BY k""")
+    }, Some("""
+      SELECT CAST(n_nationkey AS BIGINT) AS k,
+        CAST(n_nationkey + 1 AS VARCHAR) || '>' ||
+          CAST(100 + n_regionkey AS VARCHAR) || '>1000' AS hier,
+        n_regionkey = 4 AS in_r4,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM nation WHERE n_regionkey = 4)
+          AS r4_children,
+        (SELECT CAST(COUNT(*) + 5 AS BIGINT) FROM nation) AS all_desc,
+        CAST(5 AS BIGINT) AS lvl1
+      FROM nation ORDER BY k"""))
   ) ++ tail3
 
   /** Registry sweep #3 battery (sql/ChRegistryTail3.scala): AUC variants,

@@ -44,7 +44,8 @@ object Dictionaries {
       name: String,
       keyType: DataType,
       keysLit: Literal,
-      attrs: Map[String, DictAttr])
+      attrs: Map[String, DictAttr],
+      hierAttr: Option[String] = None)
 
   final case class DictAttr(mapLit: Literal, dataType: DataType,
       default: Literal)
@@ -97,14 +98,19 @@ object Dictionaries {
     stmt match {
       case ddlRe(ifNot, name, colsRaw, pk, srcTable) =>
         if (ifNot != null && dicts.containsKey(name)) return status(spark)
-        val colDefs = ClickHouseSql.splitTopLevelPublic(colsRaw).map { cd =>
+        val colDefs = ClickHouseSql.splitTopLevelPublic(colsRaw).map { cd0 =>
+          // HIERARCHICAL marks the key→parent attribute
+          // (DictionaryStructure hierarchical flag); INJECTIVE is a
+          // lookup-optimization hint — recorded/dropped respectively
+          val hier = "(?i)\\bHIERARCHICAL\\b".r.findFirstIn(cd0).isDefined
+          val cd = cd0.replaceAll("(?i)\\s+(HIERARCHICAL|INJECTIVE)\\b", "")
           val m = ("(?is)^\\s*([A-Za-z_][A-Za-z0-9_]*)\\s+([A-Za-z0-9_()\\s,]+?)" +
             "(?:\\s+DEFAULT\\s+(.+?))?\\s*$").r
           cd.trim match {
             case m(cname, ctype, dflt) =>
               val dt = CatalystSqlParser.parseDataType(
                 ClickHouseSql.sparkTypeText(ctype.trim))
-              (cname, dt, Option(dflt))
+              (cname, dt, Option(dflt), hier)
             case other => throw new IllegalArgumentException(
               s"unparsable dictionary column '$other'")
           }
@@ -125,7 +131,7 @@ object Dictionaries {
         val keyType = keyDef._2
         val keyConv = CatalystTypeConverters.createToCatalystConverter(keyType)
         val keys = rows.map(r => keyConv(r.get(0)))
-        val attrs = attrDefs.zipWithIndex.map { case ((aname, atype, dflt), i) =>
+        val attrs = attrDefs.zipWithIndex.map { case ((aname, atype, dflt, _), i) =>
           val conv = CatalystTypeConverters.createToCatalystConverter(atype)
           val values = rows.map(r => conv(r.get(i + 1)))
           val mapLit = Literal(
@@ -142,7 +148,8 @@ object Dictionaries {
         }.toMap
         dicts.put(name, Dict(name, keyType,
           Literal(new GenericArrayData(keys),
-            ArrayType(keyType, containsNull = false)), attrs))
+            ArrayType(keyType, containsNull = false)), attrs,
+          colDefs.find(_._4).map(_._1)))
         ddlText.put(name, stmt)
         status(spark)
       case _ => throw new IllegalArgumentException(
@@ -152,7 +159,7 @@ object Dictionaries {
   }
 
   private def keyDefCast(name: String,
-      colDefs: Seq[(String, DataType, Option[String])])
+      colDefs: Seq[(String, DataType, Option[String], Boolean)])
       : org.apache.spark.sql.Column = {
     val dt = colDefs.find(_._1 == name).get._2
     org.apache.spark.sql.functions.col(name).cast(dt).as(name)
@@ -248,6 +255,21 @@ object Dictionaries {
     "float64" -> DoubleType, "date" -> DateType,
     "datetime" -> TimestampType, "uuid" -> StringType)
 
+  /** The hierarchy attribute's key→parent map, long-typed (the walk
+    * kernels memoize their index per plan-constant map instance). */
+  private def hierMap(d: Dict): Expression = {
+    val a = d.hierAttr.map(d.attrs).getOrElse(
+      throw new IllegalArgumentException(
+        s"dictionary ${d.name} has no HIERARCHICAL attribute"))
+    Cast(a.mapLit, MapType(LongType, LongType))
+  }
+  private val hierCls = classOf[graft.functions.DictHierarchy.type]
+  private def hierInvoke(method: String, ret: DataType, d: Dict,
+      extra: Seq[Expression]): Expression =
+    org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+      hierCls, ret, method, hierMap(d) +: extra,
+      MapType(LongType, LongType) +: extra.map(_ => LongType))
+
   val builders: Map[String, Seq[Expression] => Expression] = {
     val core: Map[String, Seq[Expression] => Expression] = Map(
       "dictget" -> (args => get(args)),
@@ -256,6 +278,25 @@ object Dictionaries {
       "dicthas" -> (args => {
         val d = dict(args(0))
         ArrayContains(d.keysLit, Cast(args(1), d.keyType))
+      }),
+      // hierarchical walks (HierarchyDictionariesUtils.h) over the
+      // attribute declared HIERARCHICAL
+      "dictgethierarchy" -> (args => hierInvoke("hierarchy",
+        ArrayType(LongType), dict(args(0)),
+        Seq(Cast(args(1), LongType)))),
+      "dictisin" -> (args => hierInvoke("isIn", BooleanType,
+        dict(args(0)),
+        Seq(Cast(args(1), LongType), Cast(args(2), LongType)))),
+      "dictgetchildren" -> (args => hierInvoke("firstChildren",
+        ArrayType(LongType), dict(args(0)),
+        Seq(Cast(args(1), LongType)))),
+      "dictgetdescendants" -> (args => {
+        val d = dict(args(0))
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          hierCls, ArrayType(LongType), "descendants",
+          Seq(hierMap(d), Cast(args(1), LongType),
+            Cast(args.lift(2).getOrElse(Literal(0)), IntegerType)),
+          Seq(MapType(LongType, LongType), LongType, IntegerType))
       }))
     val typedGets = typedLanes.map { case (lane, dt) =>
       s"dictget$lane" -> (typed(dt) _)
