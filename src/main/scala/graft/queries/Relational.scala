@@ -209,6 +209,27 @@ object Relational extends QueryPack {
       GROUP BY GROUPING SETS ((l_returnflag), ())
       ORDER BY l_returnflag NULLS FIRST"""),
 
+    // The literal `WITH TOTALS` keyword (round 10): the dialect rewrites
+    // GROUP BY k WITH TOTALS to the global grouping set; the NULL-keyed
+    // extra row is the totals block. DuckDB oracle states the
+    // grouping-sets spelling.
+    graft.Q("q_ch_with_totals", (s, dir) => {
+      graft.Tables.register(s, dir)
+      graft.sql.ClickHouseSql.sql(s, """
+        SELECT l_returnflag,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          COUNT(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag WITH TOTALS
+        ORDER BY l_returnflag NULLS FIRST""")
+    }, Some("""
+      SELECT l_returnflag,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        COUNT(*) AS n
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), ())
+      ORDER BY l_returnflag NULLS FIRST""")),
+
     // WITH-clause CTE reuse (reference: CTEs resolved in QueryAnalysisPass).
     Q.shared("q_cte_reuse", """
       WITH big_orders AS (

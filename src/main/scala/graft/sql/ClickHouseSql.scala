@@ -37,6 +37,7 @@ object ClickHouseSql {
     s = rewritePrewhere(s)
     s = rewriteFinal(s)
     s = rewriteQualify(s)
+    s = rewriteWithTotals(s)
     s = rewriteWithFill(s)
     s = rewriteDistinctOn(s)
     s = rewriteLimitBy(s)
@@ -593,6 +594,28 @@ object ClickHouseSql {
     // recurse for a QUALIFY in the tail's set-op branches (rare)
     s"SELECT * EXCEPT(__qualify) FROM (SELECT *, ($pred) AS __qualify " +
       s"FROM ($core) graft_qualify_sub) WHERE __qualify$tail"
+  }
+
+  /** `GROUP BY k1, k2 WITH TOTALS` (ASTSelectQuery group_by_with_totals;
+    * TotalsHavingTransform): the reference emits an extra all-aggregated
+    * totals row — the declarative mapping is the global grouping set,
+    * `GROUP BY GROUPING SETS ((k1, k2), ())`, whose extra row carries
+    * NULL keys (the reference's separate totals block renders key
+    * defaults; the NULL-keyed row is the documented Spark rendering).
+    * WITH ROLLUP / WITH CUBE pass through — Spark speaks them natively. */
+  private def rewriteWithTotals(s: String): String = {
+    val at = depth0Index(s, "WITH TOTALS", 0)
+    if (at < 0) return s
+    // the GROUP BY this TOTALS belongs to: the last depth-0 GROUP BY
+    // before it
+    var gb = -1
+    var i = depth0Index(s, "GROUP BY", 0)
+    while (i >= 0 && i < at) { gb = i; i = depth0Index(s, "GROUP BY", i + 1) }
+    if (gb < 0) return s
+    val keys = s.substring(gb + "GROUP BY".length, at).trim
+    rewriteWithTotals(
+      s.substring(0, gb) + s"GROUP BY GROUPING SETS (($keys), ())" +
+        s.substring(at + "WITH TOTALS".length))
   }
 
   private def rewriteDistinctOn(s: String): String = {
