@@ -26,14 +26,15 @@ import org.apache.hadoop.fs.Path
   *  2. STAGE — write the mutated rows of affected partitions to a
   *     `__mutating` sibling directory. The staged copy is durable on
   *     disk BEFORE any destructive step; a crash here loses nothing.
-  *  3. SWAP — dynamic-partition-overwrite the affected partitions from
-  *     the staged files (Spark defers the per-partition delete to job
-  *     commit, after the replacement data is written), then drop
-  *     partitions whose rows all died (a DELETE that empties a
-  *     partition must not resurrect it from leftover files). A crash
-  *     mid-swap leaves the original-or-staged copy on disk — never
-  *     neither (the old `localCheckpoint → overwrite` pattern kept the
-  *     only copy in session executor memory during the delete window).
+  *  3. SWAP — rename each staged partition directory into the table
+  *     (old dir aside to a trash sibling, staged in, trash deleted
+  *     last), and retire partitions whose rows all died (a DELETE that
+  *     empties a partition must not resurrect it from leftover files).
+  *     The mutated data is written exactly ONCE; the swap is
+  *     O(affected partitions) metadata operations. A crash mid-swap
+  *     leaves the original-or-staged copy on disk — never neither (the
+  *     old `localCheckpoint → overwrite` pattern kept the only copy in
+  *     session executor memory during the delete window).
   *  4. Clean the stage only after the swap commits.
   */
 object DurableRewrite {
@@ -50,6 +51,58 @@ object DurableRewrite {
   /** Above this many affected partitions the predicate literal list
     * stops being a sane plan node — fall back to a full rewrite. */
   private val MaxEnumeratedPartitions = 10000
+
+  /** Relative paths of the leaf partition directories `depth` levels
+    * under `base` (Hive `col=value` layout), skipping metadata files. */
+  private def leafPartitionDirs(fs: org.apache.hadoop.fs.FileSystem,
+      base: Path, depth: Int): Seq[String] = {
+    def walk(p: Path, d: Int): Seq[String] =
+      if (d == 0) Seq("")
+      else fs.listStatus(p).toSeq
+        .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        .flatMap(st => walk(st.getPath, d - 1)
+          .map(rest => if (rest.isEmpty) st.getPath.getName
+            else s"${st.getPath.getName}/$rest"))
+    if (!fs.exists(base)) Seq.empty else walk(base, depth)
+  }
+
+  /** The old-aside / staged-in / trash-last rename dance (same contract
+    * as ScaleOps.swapIn): a failure mid-swap restores the old directory
+    * and preserves the staged copy. */
+  private def swapDirIn(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      dst: Path, staged: Path): Unit = {
+    val trash = new Path(root,
+      s"_trash_mutating/${dst.getName}_${System.nanoTime()}")
+    fs.mkdirs(trash.getParent)
+    fs.mkdirs(dst.getParent)
+    val hadOld = fs.exists(dst)
+    if (hadOld && !fs.rename(dst, trash))
+      throw new IllegalStateException(
+        s"mutation swap: could not move old $dst aside; nothing changed " +
+          s"(staged copy preserved at $staged)")
+    try {
+      if (!fs.rename(staged, dst))
+        throw new IllegalStateException(
+          s"mutation swap: rename of staged $staged to $dst failed")
+    } catch {
+      case e: Throwable =>
+        if (hadOld) fs.rename(trash, dst)
+        throw new IllegalStateException(
+          s"mutation swap failed; old partition restored, staged copy " +
+            s"preserved at $staged", e)
+    }
+    fs.delete(trash, true)
+  }
+
+  /** `a=1/b=x y` → `a = '1', b = 'x y'` (unescaped values, quoted). */
+  private def partitionSpec(rel: String): String =
+    rel.split("/").map { seg =>
+      val Array(k, v) = seg.split("=", 2)
+      val unescaped = org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.unescapePathName(v)
+      s"$k = '${unescaped.replace("'", "''")}'"
+    }.mkString(", ")
 
   private def withOverwriteMode[T](spark: SparkSession, mode: String)(f: => T): T = {
     val key = "spark.sql.sources.partitionOverwriteMode"
@@ -128,42 +181,42 @@ object DurableRewrite {
                 if (r.isNullAt(i)) col(pc).isNull else col(pc) === lit(r.get(i))
               }.reduce(_ && _)
             }.reduce(_ || _)
-          val staged = stageWrite(mutated.filter(cond))
-          withOverwriteMode(spark, "dynamic") {
-            staged.write.mode("overwrite").insertInto(table)
-          }
-          // partitions whose rows ALL died are absent from the staged
-          // data — dynamic overwrite leaves their old files standing, so
-          // retire them explicitly (the staged copy is still on disk)
-          val survived = staged.select(partCols.map(col): _*).distinct()
-            .collect().map(r => partCols.indices.map(i => r.get(i))).toSet
-          val emptied =
-            vals.filterNot(r => survived(partCols.indices.map(i => r.get(i))))
-          def partDir(r: org.apache.spark.sql.Row): String =
+          val w0 = mutated.filter(cond).write.mode("overwrite")
+          w0.partitionBy(partCols: _*).parquet(stage.toString)
+          failpoint(table)
+          // SWAP, not a second write: each staged partition directory
+          // renames into the table via the trash dance (old dir aside,
+          // staged in, trash deleted last — a failure restores the old
+          // dir). O(affected partitions) metadata ops; the mutated data
+          // is written exactly ONCE. Partitions the mutation emptied
+          // (or whose rows all moved away) have no staged dir and are
+          // retired; partitions the mutation CREATED (an UPDATE of a
+          // partition column moves rows) appear as new staged dirs.
+          val stagedDirs = leafPartitionDirs(fs, stage, partCols.size)
+          def affectedDir(r: org.apache.spark.sql.Row): String =
             partCols.zipWithIndex.map { case (pc, i) =>
               org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
                 .getPartitionPathString(pc,
                   if (r.isNullAt(i)) null else r.get(i).toString)
             }.mkString("/")
-          vals.filter(r => survived(partCols.indices.map(i => r.get(i))))
-            .foreach(r => graft.sources.SystemTables.PartLogLedger
-              .record("MutatePart", table, partDir(r)))
-          if (emptied.nonEmpty) {
-            emptied.foreach { r =>
-              val dir = partDir(r)
-              graft.sources.SystemTables.PartLogLedger
-                .record("RemovePart", table, dir)
-              fs.delete(new Path(loc, dir), true)
-              val spec = partCols.zipWithIndex.map { case (pc, i) =>
-                val v = if (r.isNullAt(i)) "__HIVE_DEFAULT_PARTITION__"
-                        else r.get(i).toString.replace("'", "''")
-                s"$pc = '$v'"
-              }.mkString(", ")
-              scala.util.Try(
-                spark.sql(s"ALTER TABLE $table DROP PARTITION IF EXISTS ($spec)"))
-            }
-            spark.sql(s"REFRESH TABLE $table")
+          stagedDirs.foreach { rel =>
+            swapDirIn(fs, new Path(loc), new Path(loc, rel),
+              new Path(stage, rel))
+            graft.sources.SystemTables.PartLogLedger
+              .record("MutatePart", table, rel)
+            scala.util.Try(spark.sql(
+              s"ALTER TABLE $table ADD IF NOT EXISTS PARTITION " +
+                s"(${partitionSpec(rel)})"))
           }
+          vals.map(affectedDir).filterNot(stagedDirs.toSet).foreach { rel =>
+            graft.sources.SystemTables.PartLogLedger
+              .record("RemovePart", table, rel)
+            fs.delete(new Path(loc, rel), true)
+            scala.util.Try(spark.sql(
+              s"ALTER TABLE $table DROP PARTITION IF EXISTS " +
+                s"(${partitionSpec(rel)})"))
+          }
+          spark.sql(s"REFRESH TABLE $table")
           Result(vals.size, total - vals.size)
         }
       }
