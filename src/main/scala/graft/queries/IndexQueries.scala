@@ -204,6 +204,28 @@ object IndexQueries extends QueryPack {
     // spec-verified but measured WORSE on this isotropic corpus
     // (VectorPQ.create scaladoc has the numbers) — the raw lane is the
     // honest default here.
+    // SQ8 scalar-quantized brute-force ANN (round 10 — the faiss
+    // QT_8bit design): 8 bits/dim + stored exact norm, search = one
+    // byte-code scan against broadcast per-query weight rows. The
+    // 8-bit codec is near-lossless, so the recall floor sits far above
+    // the PQ lanes' — the memory/accuracy point between raw and PQ.
+    Q.df("q_ann_sq8", LlmPipeline.metricsOracle(Seq(
+      "sq8_k_bounded", "sq8_nonempty", "sq8_sound_ids",
+      "sq8_recall_floor"))) { (s, dir) =>
+      val src = Tables.load(s, dir, "embeddings")
+      val e = VectorIndex.prep(src)
+      val r = graft.operators.VectorSQ.train(e, "v")
+      val enc = graft.operators.VectorSQ.encode(e, r, "vec_id", "v")
+      val queries = e.filter(col("vec_id") < 20)
+        .select(col("vec_id"), col("v")).collect().toSeq
+        .map(row => (row.getLong(0),
+          row.getSeq[Double](1).toArray))
+      val topk = graft.operators.VectorSQ
+        .topK(s, enc, r, queries, k = 10, excludeSelf = true)
+        .select(col("query_id").as("qid"), col("vec_id").as("nid"))
+      LlmPipeline.annMetrics("sq8", topk, e, 10, 0.9).orderBy("metric")
+    },
+
     Q.df("q_ann_ivfpq", LlmPipeline.metricsOracle(Seq(
       "ivfpq_adc_k_bounded", "ivfpq_adc_nonempty", "ivfpq_adc_sound_ids",
       "ivfpq_adc_recall_floor", "ivfpq_rerank_k_bounded",
