@@ -36,8 +36,10 @@ object ClickHouseSql {
     s = rewriteArrayJoin(s)
     s = rewritePrewhere(s)
     s = rewriteFinal(s)
-    s = rewriteQualify(s)
+    // TOTALS before QUALIFY: the qualify wrap parenthesizes the core,
+    // which would hide a depth-0 WITH TOTALS from its own rewrite
     s = rewriteWithTotals(s)
+    s = rewriteQualify(s)
     s = rewriteWithFill(s)
     s = rewriteDistinctOn(s)
     s = rewriteLimitBy(s)

@@ -147,4 +147,63 @@ class DialectTortureSpec extends SparkFunSuite {
         accurateCastOrNull(o_orderkey, 'Int32') AS k
       FROM orders ORDER BY o_orderkey LIMIT 5""") == 5)
   }
+
+  test("round-10 statement forms survive hostile combinations") {
+    val ch = (s: String) => graft.sql.ClickHouseSql.sql(spark, s)
+    Tables.register(spark, sf)
+    // QUALIFY + WITH TOTALS + LIMIT in ONE statement: the qualify wrap
+    // keeps the grouping-sets rewrite and trailing LIMIT outside
+    val r1 = ch("""
+      SELECT n_regionkey AS r, count() AS n,
+        row_number() OVER (ORDER BY count() DESC, n_regionkey) AS rn
+      FROM nation
+      GROUP BY n_regionkey WITH TOTALS
+      QUALIFY rn <= 3
+      ORDER BY rn LIMIT 2""").collect()
+    assert(r1.length == 2)
+    // the totals row (NULL key) ranks first: 25 nations total
+    assert(r1.head.isNullAt(0) && r1.head.getLong(1) == 25L)
+    // QUALIFY word inside a literal + a real QUALIFY in the same stmt
+    val r2 = ch("""
+      SELECT 'no QUALIFY here' AS s, n_nationkey,
+        row_number() OVER (ORDER BY n_nationkey) AS rn
+      FROM nation QUALIFY rn = 1""").collect()
+    assert(r2.length == 1 && r2.head.getString(0) == "no QUALIFY here")
+    // standalone UPDATE touching a merge()-readable policed table name,
+    // with hostile spacing; then TOTALS over the mutated data
+    spark.sql("DROP TABLE IF EXISTS tort10_t")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "tort10_t")
+    wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
+    val sp = spark; import sp.implicits._
+    Seq((1L, 10L, "a"), (2L, 20L, "a"), (3L, 30L, "b"))
+      .toDF("k", "v", "p").write.partitionBy("p").saveAsTable("tort10_t")
+    ch("update   tort10_t   SET v = v + 1   WHERE p = 'a'")
+    assert(ch("SELECT sum(v) AS s FROM merge('tort10_.*')")
+      .head().getLong(0) == 62L)
+    // PARALLEL WITH combining DDL + INSERT, literal containing the words
+    ch("CREATE TABLE tort10_p1 (a Int64) ENGINE = MergeTree ORDER BY a " +
+      "PARALLEL WITH CREATE TABLE tort10_p2 (s String) ENGINE = Memory")
+    ch("INSERT INTO tort10_p2 SELECT 'PARALLEL WITH is just text here'")
+    assert(spark.table("tort10_p2").count() == 1)
+    // named collection round-trips through ALTER and file() under
+    // hostile casing
+    ch("drop named collection if exists tort10_nc")
+    val tmp = java.nio.file.Files.createTempDirectory("tort10_nc").toString
+    spark.table("tort10_t").write.mode("overwrite").parquet(tmp)
+    ch(s"CREATE NAMED COLLECTION tort10_nc AS path = '$tmp', format = 'Parquet'")
+    ch("alter  NAMED  collection tort10_nc SET unused = 'x'")
+    assert(ch("SELECT count() AS n FROM file(tort10_nc)")
+      .head().getLong(0) == 3L)
+    // time-window scalars compose with GROUP BY and the events table
+    assert(run("""
+      SELECT tumbleStart(ts, INTERVAL 1 HOUR) AS w, count() AS n
+      FROM events GROUP BY w ORDER BY w LIMIT 5""") > 0)
+    // reinterpret chain: string -> number -> string roundtrip
+    assert(ch("SELECT reinterpretAsString(reinterpretAsUInt32('abcd')) AS s")
+      .head().getString(0) == "abcd")
+    Seq("tort10_t", "tort10_p1", "tort10_p2").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    ch("DROP NAMED COLLECTION IF EXISTS tort10_nc")
+  }
 }
