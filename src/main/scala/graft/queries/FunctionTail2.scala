@@ -65,6 +65,67 @@ object FunctionTail2 extends QueryPack {
   override def queries: Seq[Q] = Seq(
     seriesStl,
 
+    // Registry sweep #8: dateDiff BOUNDARY semantics (dateDiff.cpp —
+    // year/month/day/hour boundaries, so '2023-12-31'→'2024-01-01' is
+    // 1 year), the 2-arg Spark behavior preserved, banker's rounding,
+    // boundary-array roundDown, pmodOrNull, byteSize sizing contract
+    // (String = len + 9), charset conversion, partitionID, the
+    // reinterpretAsUUID docs-example byte layout, and introspection.
+    ch("q_fn_tail8", """
+      SELECT
+        CAST(dateDiff('year', toDate('2023-12-31'), toDate('2024-01-01')) AS BIGINT) AS dy,
+        CAST(dateDiff('month', toDate('2024-01-31'), toDate('2024-02-01')) AS BIGINT) AS dm,
+        CAST(dateDiff('day', toDateTime('2024-01-01 23:59:59'),
+          toDateTime('2024-01-02 00:00:01')) AS BIGINT) AS dd,
+        CAST(dateDiff('hour', toDateTime('2024-01-01 01:59:00'),
+          toDateTime('2024-01-01 02:01:00')) AS BIGINT) AS dh,
+        CAST(dateDiff(toDate('2024-01-10'), toDate('2024-01-01')) AS BIGINT) AS d2,
+        CAST(roundBankers(2.5) AS DOUBLE) AS rb1,
+        CAST(roundBankers(3.5) AS DOUBLE) AS rb2,
+        CAST(roundBankers(2.345, 2) AS DOUBLE) AS rb3,
+        CAST(roundDown(5.5, array(1.0, 4.0, 6.0)) AS DOUBLE) AS rd1,
+        CAST(roundDown(0.5, array(1.0, 4.0, 6.0)) AS DOUBLE) AS rd2,
+        isNotDistinctFrom(CAST(NULL AS INT), CAST(NULL AS INT)) AS ind,
+        CAST(pmodOrNull(7, 3) AS DOUBLE) AS pm,
+        pmodOrNull(7, 0) IS NULL AS pmz,
+        database() AS db,
+        arrayStringConcat(currentSchemas(true), ',') AS cs,
+        CAST(connection_id() AS BIGINT) AS cid,
+        CAST(byteSize(CAST(1 AS INT)) AS BIGINT) AS bs_int,
+        CAST(byteSize('abc') AS BIGINT) AS bs_str,
+        CAST(byteSize(array(1, 2)) AS BIGINT) AS bs_arr,
+        convertCharset(unhex('E9'), 'ISO-8859-1', 'UTF-8') AS cc,
+        partitionID(2024, 'x') AS pid,
+        hasSubsequenceUTF8('hello world', 'hlo') = 1 AS hs,
+        CAST(size(extractAllGroups('a1b2', '([a-z])([0-9])')) AS BIGINT) AS eag,
+        reinterpretAsUUID(unhex('0F0E0D0C0B0A09080706050403020100')) AS uuid""",
+      """
+      SELECT
+        CAST(1 AS BIGINT) AS dy,
+        CAST(1 AS BIGINT) AS dm,
+        CAST(1 AS BIGINT) AS dd,
+        CAST(1 AS BIGINT) AS dh,
+        CAST(9 AS BIGINT) AS d2,
+        CAST(2.0 AS DOUBLE) AS rb1,
+        CAST(4.0 AS DOUBLE) AS rb2,
+        CAST(2.34 AS DOUBLE) AS rb3,
+        CAST(4.0 AS DOUBLE) AS rd1,
+        CAST(1.0 AS DOUBLE) AS rd2,
+        TRUE AS ind,
+        CAST(1.0 AS DOUBLE) AS pm,
+        TRUE AS pmz,
+        'default' AS db,
+        'default' AS cs,
+        CAST(0 AS BIGINT) AS cid,
+        CAST(4 AS BIGINT) AS bs_int,
+        CAST(12 AS BIGINT) AS bs_str,
+        CAST(16 AS BIGINT) AS bs_arr,
+        'é' AS cc,
+        '2024-x' AS pid,
+        TRUE AS hs,
+        CAST(2 AS BIGINT) AS eag,
+        '08090a0b-0c0d-0e0f-0001-020304050607' AS uuid"""),
+
     // Time-window scalars (FunctionsTimeWindow.cpp): tumble/hop window
     // bounds as fixed-duration floor arithmetic; hopEnd is the latest
     // hop-aligned end past ts (the step-back loop closed-form), and

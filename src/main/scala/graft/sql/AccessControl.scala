@@ -251,6 +251,18 @@ object AccessControl {
         p.toAll, p.grantees.toSeq.sorted.mkString(",")))
   }
 
+  /** Profile names covering the session user — the currentProfiles /
+    * enabledProfiles / defaultProfiles introspection (a single-session
+    * engine applies profiles at SET-user time, so the three reference
+    * views coincide here — documented). */
+  def profilesFor(spark: SparkSession, kind: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val me = currentUser(spark)
+    settingsProfiles.asScala.values.toSeq
+      .filter(p => granteeCovers(p.toAll, p.grantees, me))
+      .map(_.name).sorted
+  }
+
   /** Apply every profile covering the CURRENT user to the session conf
     * — called when SET user authenticates a session. */
   def applyProfiles(spark: SparkSession): Unit = {

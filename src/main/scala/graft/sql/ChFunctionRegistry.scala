@@ -438,7 +438,7 @@ object ChFunctionRegistry {
       ChRegistryTail.builders ++ ChRegistryTail2.builders ++
       ChRegistryTail3.builders ++ ChRegistryTail4.builders ++
       ChRegistryTail5.builders ++ ChRegistryTail6.builders ++
-      ChRegistryTail7.builders ++
+      ChRegistryTail7.builders ++ ChRegistryTail8.builders ++
       ChRegistryWide.builders ++ Dictionaries.builders
 
   /** Install the aliases into the session's function registry — but ONLY

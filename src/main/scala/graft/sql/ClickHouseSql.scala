@@ -31,6 +31,12 @@ object ClickHouseSql {
     // GLOBAL IN / GLOBAL JOIN: a distributed-execution hint (broadcast the
     // right side to every shard) — Catalyst + AQE own that decision here
     s = s.replaceAll("(?i)\\bGLOBAL\\s+(?=(NOT\\s+)?IN\\b|ANY\\b|ALL\\b|INNER\\b|LEFT\\b|RIGHT\\b|FULL\\b|JOIN\\b)", "")
+    // CH dateDiff('unit', a, b): Spark's parser OWNS the datediff name
+    // (special unquoted-unit grammar, rejects the string form at parse
+    // time) — rename the quoted-unit spelling to the registered
+    // boundary-semantics builder before parsing
+    s = s.replaceAll("(?i)\\b(dateDiff|date_diff)\\s*\\(\\s*(?=')",
+      "chDateDiff(")
     s = rewriteParametric(s)
     s = rewriteSample(s)
     s = rewriteArrayJoin(s)
