@@ -261,4 +261,55 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(!p.contains("CartesianProduct"),
       "semantic dedup plans a CartesianProduct")
   }
+
+  test("PII scrub rides the scan: no shuffle before the final aggregate") {
+    // round-10: the five regex classes are per-row regexp_replace/
+    // regexp_count chains — the only exchange allowed is the one-row
+    // final aggregate's; the document scan itself never repartitions
+    import graft.operators.PiiScrub
+    val scrubbed = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        PiiScrub.scrub(col("text")).as("t"),
+        PiiScrub.totalCount(col("text")))
+    val p = scrubbed.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      "per-row scrub projection must not shuffle")
+    assert(p.contains("WholeStageCodegen") || p.contains("*(1)"),
+      "scrub chain fell out of whole-stage codegen")
+  }
+
+  test("SQ8 search broadcasts the query weights; corpus never shuffles to them") {
+    import graft.operators.{VectorIndex, VectorSQ}
+    val e = VectorIndex.prep(Tables.load(spark, sf, "embeddings"))
+    val r = VectorSQ.train(e, "v")
+    val enc = VectorSQ.encode(e, r, "vec_id", "v")
+    val qs = Seq((0L, Array.fill(64)(0.1)))
+    val p = VectorSQ.topK(spark, enc, r, qs, 10)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      "query weights must broadcast to the code scan")
+    assert(!p.contains("CartesianProduct"),
+      "SQ8 scan degenerated to a CartesianProduct shuffle")
+  }
+
+  test("durable pruned mutation: the affected-partition scan prunes at the source") {
+    val sp = spark; import sp.implicits._
+    val t = "graft_planaudit_mut"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), t)
+    wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
+    Seq((1L, "p1"), (2L, "p2"), (3L, "p3")).toDF("k", "p")
+      .write.partitionBy("p").saveAsTable(t)
+    try {
+      // the enumeration scan for a partition-column predicate must show
+      // partition filters — at 100 TB it reads ONE partition's listing
+      val scan = spark.table(t).filter(col("p") === "p2")
+        .select("p").distinct().queryExecution.executedPlan.toString
+      assert(scan.contains("PartitionFilters: [") &&
+        scan.replaceAll("\\s", "").contains("PartitionFilters:[isnotnull(p"),
+        s"affected-partition enumeration lost partition pruning:\n$scan")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
 }
