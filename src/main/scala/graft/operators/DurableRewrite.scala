@@ -189,9 +189,11 @@ object DurableRewrite {
           // staged in, trash deleted last — a failure restores the old
           // dir). O(affected partitions) metadata ops; the mutated data
           // is written exactly ONCE. Partitions the mutation emptied
-          // (or whose rows all moved away) have no staged dir and are
-          // retired; partitions the mutation CREATED (an UPDATE of a
-          // partition column moves rows) appear as new staged dirs.
+          // have no staged dir and are retired. Mutations never MOVE
+          // rows across partitions: statements that would assign a
+          // partition column are rejected at the statement layer (the
+          // reference likewise forbids UPDATE of key columns), so the
+          // staged dirs are always a subset of the affected set.
           val stagedDirs = leafPartitionDirs(fs, stage, partCols.size)
           def affectedDir(r: org.apache.spark.sql.Row): String =
             partCols.zipWithIndex.map { case (pc, i) =>

@@ -1422,6 +1422,12 @@ object ClickHouseSql {
         case re(t, c, pval) =>
           val base = spark.table(t)
           val dt = base.schema(c).dataType
+          // clearing a partition column would move every row's
+          // partition — forbidden like the reference's key columns
+          require(!spark.sessionState.catalog.getTableMetadata(
+              org.apache.spark.sql.catalyst.TableIdentifier(t))
+              .partitionColumnNames.exists(_.equalsIgnoreCase(c)),
+            s"Cannot CLEAR key column `$c` (it is a partition column of $t)")
           val condOpt = Option(pval).map { v =>
             val pcols = spark.sessionState.catalog.getTableMetadata(
               org.apache.spark.sql.catalyst.TableIdentifier(t))
@@ -2586,6 +2592,15 @@ object ClickHouseSql {
           case other => throw new IllegalArgumentException(
             s"unparsable UPDATE assignment '$other'")
         }.toMap
+        // the reference forbids mutating key columns
+        // (MutationsInterpreter: "Cannot UPDATE key column") — and the
+        // pruned part rewrite depends on rows never changing partition
+        val pkCols = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(t))
+          .partitionColumnNames.map(_.toLowerCase).toSet
+        asn.keys.find(c => pkCols.contains(c.toLowerCase)).foreach(c =>
+          throw new IllegalArgumentException(
+            s"Cannot UPDATE key column `$c` (it is a partition column of $t)"))
         val mutated = graft.operators.Mutations
           .update(spark.table(t), expr(rewrite(pred)), asn)
         graft.operators.DurableRewrite.rewrite(spark, t, mutated,

@@ -121,6 +121,25 @@ class DurableRewriteSpec extends SparkFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("partition-key columns cannot be mutated (reference key-column rule)") {
+    val t = "graft_durable_keyguard"
+    mkPartitioned(t)
+    try {
+      val e1 = intercept[IllegalArgumentException] {
+        ClickHouseSql.sql(spark, s"ALTER TABLE $t UPDATE part = 'p9' WHERE id = 1")
+      }
+      assert(e1.getMessage.contains("key column"))
+      val e2 = intercept[IllegalArgumentException] {
+        ClickHouseSql.sql(spark, s"ALTER TABLE $t CLEAR COLUMN part")
+      }
+      assert(e2.getMessage.contains("key column"))
+      // non-key mutations still work afterwards
+      ClickHouseSql.sql(spark, s"ALTER TABLE $t UPDATE v = 0.0 WHERE id = 1")
+      assert(spark.table(t).filter(col("id") === 1).select("v")
+        .as[Double].collect().head == 0.0)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("unpartitioned mutation still durable via full staged rewrite") {
     val t = "graft_durable_flat"
     spark.sql(s"DROP TABLE IF EXISTS $t")
