@@ -74,6 +74,27 @@ class Tail7Spec extends SparkFunSuite {
     assert(r.getBoolean(4))
   }
 
+  test("sweep #8 kernels: serial monotonicity, byteSize recursion, charset") {
+    // generateSerialID: successive statements draw increasing values
+    val a = ClickHouseSql.sql(spark,
+      "SELECT CAST(generateSerialID('t7_probe') AS BIGINT) AS v")
+      .collect().head.getLong(0)
+    val b = ClickHouseSql.sql(spark,
+      "SELECT CAST(generateSerialID('t7_probe') AS BIGINT) AS v")
+      .collect().head.getLong(0)
+    assert(b > a, s"serial must be monotonic: $a then $b")
+    // byteSize recurses into arrays of strings (len + 9 each + header)
+    val bs = ClickHouseSql.sql(spark,
+      "SELECT CAST(byteSize(array('ab', 'c')) AS BIGINT) AS v")
+      .collect().head.getLong(0)
+    assert(bs == 8 + (2 + 9) + (1 + 9), s"got $bs")
+    // convertCharset decodes legacy bytes to the right text
+    val cc = ClickHouseSql.sql(spark,
+      "SELECT convertCharset(unhex('E9E8'), 'ISO-8859-1', 'UTF-8') AS v")
+      .collect().head.getString(0)
+    assert(cc == "éè")
+  }
+
   test("currentUser follows SET user") {
     ClickHouseSql.sql(spark, "CREATE USER IF NOT EXISTS t7_user")
     try {
