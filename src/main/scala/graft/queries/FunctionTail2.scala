@@ -343,7 +343,8 @@ object FunctionTail2 extends QueryPack {
         bitmapHasAll(bitmapBuild(array(1,2,3)), bitmapBuild(array(2,3))) AS hasall,
         bitmapHasAll(bitmapBuild(array(1,2,3)), bitmapBuild(array(2,4))) AS nothasall,
         arrayStringConcat(bitmapToArray(bitmapSubsetInRange(bitmapBuild(array(1,5,9,12)), 5, 12)), ',') AS subset_rng,
-        arrayStringConcat(bitmapToArray(bitmapSubsetLimit(bitmapBuild(array(1,5,9,12)), 5, 2)), ',') AS subset_lim""",
+        arrayStringConcat(bitmapToArray(bitmapSubsetLimit(bitmapBuild(array(1,5,9,12)), 5, 2)), ',') AS subset_lim,
+        arrayStringConcat(bitmapToArray(subBitmap(bitmapBuild(array(1,5,9,12)), 1, 2)), ',') AS sub_pos""",
       """
       SELECT
         CAST(5 AS BIGINT) AS card,
@@ -362,7 +363,8 @@ object FunctionTail2 extends QueryPack {
         TRUE AS hasall,
         FALSE AS nothasall,
         '5,9' AS subset_rng,
-        '5,9' AS subset_lim"""),
+        '5,9' AS subset_lim,
+        '5,9' AS sub_pos"""),
 
     // URL-safe unpadded base64 (base64UrlEncode.cpp: '+'→'-', '/'→'_',
     // no '=' pad), compareSubstrings sign at 0-based offsets, byteSlice,

@@ -111,6 +111,13 @@ object ChRegistryTail2 {
       bmBuild(Slice(ArrayFilter(bmToArr(args.head), lam1(x =>
         GreaterThanOrEqual(x, asLong(args(1))))),
         Literal(1), Cast(args(2), IntegerType)))),
+    // subBitmap(bm, offset, limit): members by POSITION — skip `offset`
+    // smallest members, take the next `limit` (subBitmap.cpp; the
+    // positional sibling of the value-based subsetLimit)
+    "subbitmap" -> (args =>
+      bmBuild(Slice(bmToArr(args.head),
+        Add(Cast(args(1), IntegerType), Literal(1)),
+        Cast(args(2), IntegerType)))),
 
     // --- base64 URL-safe unpadded codec (base64UrlEncode.cpp) ----------
     "base64urlencode" -> (args =>
