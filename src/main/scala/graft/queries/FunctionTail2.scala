@@ -126,6 +126,25 @@ object FunctionTail2 extends QueryPack {
         CAST(2 AS BIGINT) AS eag,
         '08090a0b-0c0d-0e0f-0001-020304050607' AS uuid"""),
 
+    // Sweep #8 addendum: named member access, nested-array validation,
+    // multi-ellipse containment, joda-syntax unix rendering.
+    ch("q_fn_tail8b", """
+      SELECT
+        getSubcolumn(struct(7 AS a, 'x' AS b), 'a') AS gsc,
+        validateNestedArraySizes(array(1,2), array('a','b')) AS vn_ok,
+        validateNestedArraySizes(array(1,2), array('a')) AS vn_bad,
+        pointInEllipses(1.0, 0.0, 0.0, 0.0, 2.0, 1.0) AS pe_in,
+        pointInEllipses(5.0, 5.0, 0.0, 0.0, 2.0, 1.0, 10.0, 10.0, 1.0, 1.0) AS pe_out,
+        fromUnixTimestampInJodaSyntax(1700000000, 'yyyy-MM-dd HH:mm:ss') AS fj""",
+      """
+      SELECT
+        7 AS gsc,
+        TRUE AS vn_ok,
+        FALSE AS vn_bad,
+        TRUE AS pe_in,
+        FALSE AS pe_out,
+        '2023-11-14 22:13:20' AS fj"""),
+
     // Time-window scalars (FunctionsTimeWindow.cpp): tumble/hop window
     // bounds as fixed-duration floor arithmetic; hopEnd is the latest
     // hop-aligned end past ts (the step-back loop closed-form), and

@@ -129,7 +129,39 @@ object ChRegistryTail8 {
     "extractallgroups" -> (args =>
       delegate("extractallgroupsvertical", args)),
     "reinterpretasuuid" -> (args => kernel(StringType, "reinterpretAsUuid",
-      Seq(Cast(args.head, BinaryType)), Seq(BinaryType))))
+      Seq(Cast(args.head, BinaryType)), Seq(BinaryType))),
+    // getSubcolumn(x, 'name') (getSubcolumn.cpp): named member access
+    // resolved by the analyzer — struct fields, map keys, array elements
+    "getsubcolumn" -> (args => args(1) match {
+      case Literal(s, StringType) if s != null =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
+          args.head, Literal(s.toString))
+      case _ => throw new IllegalArgumentException(
+        "getSubcolumn: the subcolumn name must be a string literal")
+    }),
+    // validateNestedArraySizes (validateNestedArraySizes.cpp): every
+    // argument array has the same length
+    "validatenestedarraysizes" -> (args =>
+      args.map(a => Size(a): Expression).sliding(2).map {
+        case Seq(a, b) => EqualTo(a, b): Expression
+        case _ => Literal(true): Expression
+      }.reduceOption[Expression](And).getOrElse(Literal(true))),
+    // pointInEllipses(x, y, x0, y0, a0, b0, …) (pointInEllipses.cpp):
+    // inside ANY of the ellipses
+    "pointinellipses" -> (args => {
+      val x = Cast(args(0), DoubleType)
+      val y = Cast(args(1), DoubleType)
+      args.drop(2).grouped(4).map { g =>
+        val Seq(x0, y0, a, b) = g.map(Cast(_, DoubleType)).toSeq
+        val dx = Divide(Subtract(x, x0), a)
+        val dy = Divide(Subtract(y, y0), b)
+        LessThanOrEqual(Add(Multiply(dx, dx), Multiply(dy, dy)),
+          Literal(1.0)): Expression
+      }.reduce(Or)
+    }),
+    "fromunixtimestampinjodasyntax" -> (args =>
+      DateFormatClass(SecondsToTimestamp(Cast(args.head, LongType)),
+        args(1))))
 
   private def pmodOrNull(args: Seq[Expression]): Expression = {
     val b = args(1)
