@@ -34,9 +34,13 @@ object ClickHouseSql {
     // CH dateDiff('unit', a, b): Spark's parser OWNS the datediff name
     // (special unquoted-unit grammar, rejects the string form at parse
     // time) — rename the quoted-unit spelling to the registered
-    // boundary-semantics builder before parsing
-    s = s.replaceAll("(?i)\\b(dateDiff|date_diff)\\s*\\(\\s*(?=')",
-      "chDateDiff(")
+    // boundary-semantics builder before parsing. Only OUTSIDE string
+    // literals (the dialect's standard quote-split).
+    s = s.split("'", -1).zipWithIndex.map { case (seg, i) =>
+      if (i % 2 == 1) seg
+      else seg.replaceAll("(?i)\\b(dateDiff|date_diff)\\s*\\(\\s*$",
+        "chDateDiff(")
+    }.mkString("'")
     s = rewriteParametric(s)
     s = rewriteSample(s)
     s = rewriteArrayJoin(s)
