@@ -845,7 +845,9 @@ object AccessControl {
     val priv =
       if (stmt.matches("(?is)^(SELECT|WITH)\\b.*")) Some("SELECT")
       else if (stmt.matches("(?is)^INSERT\\b.*")) Some("INSERT")
-      else if (stmt.matches("(?is)^(ALTER|OPTIMIZE|DELETE)\\b.*")) Some("ALTER")
+      // standalone UPDATE is the same mutation as ALTER TABLE UPDATE
+      else if (stmt.matches("(?is)^(ALTER|OPTIMIZE|DELETE|UPDATE)\\b.*"))
+        Some("ALTER")
       else if (stmt.matches("(?is)^(DROP|TRUNCATE)\\b.*")) Some("DROP")
       else None
     priv.foreach { p =>

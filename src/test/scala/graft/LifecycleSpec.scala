@@ -255,6 +255,31 @@ class LifecycleSpec extends SparkFunSuite {
     }
   }
 
+  test("standalone UPDATE is privilege-gated like ALTER TABLE UPDATE") {
+    val t = "graft_gate_upd_t"
+    scratch(t)
+    ch(s"CREATE MATERIALIZED VIEW $t AS SELECT n_nationkey AS k, 1 AS v FROM nation")
+    ch("CREATE USER IF NOT EXISTS gate_upd_u")
+    ch(s"GRANT SELECT ON $t TO gate_upd_u")
+    try {
+      ch("SET user = 'gate_upd_u'")
+      val e = intercept[SecurityException] {
+        ch(s"UPDATE $t SET v = 2 WHERE k = 1")
+      }
+      assert(e.getMessage.contains("ALTER"))
+      ch("SET user = 'default'")
+      ch(s"GRANT ALTER ON $t TO gate_upd_u")
+      ch("SET user = 'gate_upd_u'")
+      ch(s"UPDATE $t SET v = 2 WHERE k = 1") // granted: executes
+      ch("SET user = 'default'")
+      assert(ch(s"SELECT sum(v) AS s FROM $t").collect().head.getLong(0) == 26L)
+    } finally {
+      ch("SET user = 'default'")
+      scala.util.Try(ch("DROP USER IF EXISTS gate_upd_u"))
+      scala.util.Try(ch(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("quotas: oracle lanes, window reset after the interval, errors metered") {
     val r = queries.LifecycleQueries.queries
       .find(_.name == "q_ch_quota").get.run(spark, sf).collect().head
