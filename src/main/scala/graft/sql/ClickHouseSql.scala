@@ -590,6 +590,12 @@ object ClickHouseSql {
   private def rewriteQualify(s0: String): String = {
     val at = depth0Index(s0, "QUALIFY", 0)
     if (at < 0) return s0
+    // INSERT INTO t SELECT … QUALIFY …: rewrite the SELECT part only
+    if (s0.trim.matches("(?is)^INSERT\\b.*")) {
+      val selAt = depth0Index(s0, "SELECT", 0)
+      return if (selAt <= 0) s0
+      else s0.substring(0, selAt) + rewriteQualify(s0.substring(selAt))
+    }
     if (!s0.trim.matches("(?is)^(SELECT|WITH)\\b.*")) return s0
     val s = s0.trim.stripSuffix(";")
     val at2 = depth0Index(s, "QUALIFY", 0)

@@ -218,5 +218,18 @@ class DialectSpec extends SparkFunSuite {
     val lit = ClickHouseSql.sql(spark,
       "SELECT 'no QUALIFY here' AS s").collect().head.getString(0)
     assert(lit == "no QUALIFY here")
+    // INSERT INTO … SELECT … QUALIFY rewrites the SELECT part only
+    spark.sql("DROP TABLE IF EXISTS qual_ins_t")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "qual_ins_t")
+    wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
+    ClickHouseSql.sql(spark,
+      "CREATE TABLE qual_ins_t (id Int32, g String) ENGINE = Memory")
+    ClickHouseSql.sql(spark, """
+      INSERT INTO qual_ins_t
+      SELECT id, g FROM qual_t
+      QUALIFY row_number() OVER (PARTITION BY g ORDER BY v DESC) = 1""")
+    assert(spark.table("qual_ins_t").count() == 2)
+    spark.sql("DROP TABLE qual_ins_t")
   }
 }
