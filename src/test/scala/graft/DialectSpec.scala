@@ -225,10 +225,12 @@ class DialectSpec extends SparkFunSuite {
     wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
     ClickHouseSql.sql(spark,
       "CREATE TABLE qual_ins_t (id Int32, g String) ENGINE = Memory")
+    // raw-OVER predicates see the SELECT's projected columns (the
+    // documented scope) — rank by the projected id here
     ClickHouseSql.sql(spark, """
       INSERT INTO qual_ins_t
       SELECT id, g FROM qual_t
-      QUALIFY row_number() OVER (PARTITION BY g ORDER BY v DESC) = 1""")
+      QUALIFY row_number() OVER (PARTITION BY g ORDER BY id DESC) = 1""")
     assert(spark.table("qual_ins_t").count() == 2)
     spark.sql("DROP TABLE qual_ins_t")
   }
