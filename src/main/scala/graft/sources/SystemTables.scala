@@ -443,7 +443,8 @@ object SystemTables {
   def quotaUsage(spark: SparkSession): DataFrame = {
     import spark.implicits._
     graft.sql.AccessControl.listQuotaUsage
-      .toDF("quota_name", "quota_key", "queries", "errors", "max_queries")
+      .toDF("quota_name", "quota_key", "queries", "errors", "result_rows",
+        "max_queries")
   }
 
   /** system.settings_profiles (StorageSystemSettingsProfiles.cpp). */

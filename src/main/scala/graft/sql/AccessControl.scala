@@ -149,9 +149,63 @@ object AccessControl {
     "read_bytes", "execution_time", "written_bytes",
     "failed_sequential_authentications")
 
-  /** Enforced at statement granularity on the session ledger. */
+  /** Enforced at statement granularity on the session ledger.
+    * result_rows is charged AFTER a query completes (the
+    * QueryExecutionListener lane below) — like the reference, the
+    * statement that exceeds the limit runs to completion and the NEXT
+    * one is rejected. */
   private val meteredLimits = Set("queries", "query_selects",
-    "query_inserts", "errors")
+    "query_inserts", "errors", "result_rows")
+
+  /** result_rows metering: a per-session QueryExecutionListener reads
+    * the completed plan's root output-row metric and charges the
+    * session user's covering quotas. Listener dispatch is async — a
+    * test drains it via SYSTEM FLUSH LOGS semantics before asserting. */
+  private val meterInstalled =
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean])
+  def installResultRowsMeter(spark: SparkSession): Unit = synchronized {
+    if (meterInstalled.contains(spark)) return
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = {
+          // the TOPMOST node carrying numOutputRows approximates the
+          // result cardinality (codegen roots expose no row metric of
+          // their own; the final aggregate/projection feed does)
+          val rows = qe.executedPlan.collectFirst {
+            case p if p.metrics.contains("numOutputRows") =>
+              p.metrics("numOutputRows").value
+          }.getOrElse(0L)
+          if (rows > 0) chargeResultRows(qe.sparkSession, rows)
+        }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
+    meterInstalled.add(spark)
+  }
+
+  private def chargeResultRows(spark: SparkSession, rows: Long): Unit = {
+    import scala.jdk.CollectionConverters._
+    val me = currentUser(spark)
+    if (me == "default") return
+    quotas.asScala.values
+      .filter(q => q.limits.contains("result_rows") &&
+        granteeCovers(q.toAll, q.grantees, me)).foreach { q =>
+        val now = System.currentTimeMillis()
+        quotaUsage.compute((q.name, me), (_, prev) => {
+          val base =
+            if (prev == null || now - prev.windowStart >= q.intervalSec * 1000L)
+              Usage(now, Map.empty)
+            else prev
+          Usage(base.windowStart,
+            base.counters.updated("result_rows",
+              base.counters.getOrElse("result_rows", 0L) + rows))
+        })
+      }
+  }
 
   private def granteeCovers(toAll: Boolean, grantees: Set[String],
       who: String): Boolean =
@@ -183,7 +237,10 @@ object AccessControl {
             charged.foldLeft(base.counters)((m, c) =>
               m.updated(c, m.getOrElse(c, 0L) + 1L)))
         })
-        for (c <- charged; lim <- q.limits.get(c) if meteredLimits(c))
+        // check EVERY metered limit, not just the counters this
+        // statement charged — errors and result_rows accumulate from
+        // earlier statements and must reject the next one
+        for ((c, lim) <- q.limits if meteredLimits(c))
           if (u.counters.getOrElse(c, 0L) > lim)
             throw new SecurityException(
               s"Quota for user `$me` for ${q.intervalSec}s has been " +
@@ -223,11 +280,12 @@ object AccessControl {
         q.toAll, q.grantees.toSeq.sorted.mkString(",")))
   }
 
-  def listQuotaUsage: Seq[(String, String, Long, Long, Long)] = {
+  def listQuotaUsage: Seq[(String, String, Long, Long, Long, Long)] = {
     import scala.jdk.CollectionConverters._
     quotaUsage.asScala.toSeq.sortBy(_._1).map { case ((q, u), usage) =>
       (q, u, usage.counters.getOrElse("queries", 0L),
         usage.counters.getOrElse("errors", 0L),
+        usage.counters.getOrElse("result_rows", 0L),
         quotas.asScala.get(q).flatMap(_.limits.get("queries")).getOrElse(0L))
     }
   }

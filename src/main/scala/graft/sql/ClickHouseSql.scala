@@ -782,6 +782,7 @@ object ClickHouseSql {
     // checked on the same statement that retires a stale shadow.
     AccessControl.applyRowPolicies(spark)
     AccessControl.enforce(spark, chSql)
+    AccessControl.installResultRowsMeter(spark) // idempotent per session
     // Query parameters (src/Parsers/ASTQueryParameter.h:10): `{name:Type}`
     // placeholders substitute as TYPE-CHECKED literals from the session's
     // `SET param_<name> = v` values, before any other rewriting. Only

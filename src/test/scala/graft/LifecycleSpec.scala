@@ -324,6 +324,48 @@ class LifecycleSpec extends SparkFunSuite {
     }
   }
 
+  test("result_rows quota: charged after the query, trips the next statement") {
+    Tables.register(spark, sf)
+    val t = "graft_quota_rows_t"
+    scratch(t)
+    ch(s"CREATE MATERIALIZED VIEW $t AS SELECT n_nationkey FROM nation")
+    ch("CREATE USER IF NOT EXISTS quota_rows_u")
+    ch(s"GRANT SELECT ON $t TO quota_rows_u")
+    ch("CREATE QUOTA q_rows FOR INTERVAL 1 hour MAX result_rows = 30 " +
+      "TO quota_rows_u")
+    try {
+      def usageRows(): Long = ch("""SELECT CAST(result_rows AS BIGINT) AS r
+        FROM system.quota_usage WHERE quota_name = 'q_rows'""")
+        .collect().headOption.map(_.getLong(0)).getOrElse(0L)
+      // async listener dispatch: poll the charged counter to a floor
+      def drainTo(floor: Long): Unit = {
+        val deadline = System.nanoTime() + 10000L * 1000000L
+        while (usageRows() < floor && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        assert(usageRows() >= floor,
+          s"listener charge stuck below $floor (at ${usageRows()})")
+      }
+      ch("SET user = 'quota_rows_u'")
+      // 25 rows: under the limit, and charged only after completion
+      assert(ch(s"SELECT n_nationkey FROM $t").collect().length == 25)
+      ch("SET user = 'default'"); drainTo(25); ch("SET user = 'quota_rows_u'")
+      // counter 25 <= 30: the next query still runs (…to 50)
+      assert(ch(s"SELECT n_nationkey FROM $t").collect().length == 25)
+      ch("SET user = 'default'"); drainTo(50); ch("SET user = 'quota_rows_u'")
+      // counter 50 > 30: the NEXT statement is rejected (reference
+      // semantics — the exceeding query itself completed)
+      val e = intercept[SecurityException] {
+        ch(s"SELECT n_nationkey FROM $t").collect()
+      }
+      assert(e.getMessage.contains("result_rows"))
+    } finally {
+      ch("SET user = 'default'")
+      scala.util.Try(ch("DROP QUOTA IF EXISTS q_rows"))
+      scala.util.Try(ch("DROP USER IF EXISTS quota_rows_u"))
+      scala.util.Try(ch(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("settings profile applies on SET user authentication") {
     val r = queries.LifecycleQueries.queries
       .find(_.name == "q_ch_settings_profile").get.run(spark, sf).collect().head
