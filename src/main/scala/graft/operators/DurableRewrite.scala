@@ -95,14 +95,24 @@ object DurableRewrite {
     fs.delete(trash, true)
   }
 
-  /** `a=1/b=x y` → `a = '1', b = 'x y'` (unescaped values, quoted). */
-  private def partitionSpec(rel: String): String =
-    rel.split("/").map { seg =>
-      val Array(k, v) = seg.split("=", 2)
+  /** `a=1/b=x y` → `Some("a = '1', b = 'x y'")` (unescaped values,
+    * quoted). None when any segment is the Hive default-partition
+    * sentinel: a null partition value has no literal the ALTER
+    * partition-spec grammar can carry, so callers SKIP the catalog call
+    * for null-keyed partitions (the file-level swap already committed;
+    * a later REFRESH/MSCK reconciles the catalog). Recording the
+    * sentinel as a STRING literal would corrupt catalog metadata. */
+  private def partitionSpec(rel: String): Option[String] = {
+    val segs = rel.split("/").map(_.split("=", 2))
+    if (segs.exists(_(1) ==
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .DEFAULT_PARTITION_NAME)) None
+    else Some(segs.map { case Array(k, v) =>
       val unescaped = org.apache.spark.sql.catalyst.catalog
         .ExternalCatalogUtils.unescapePathName(v)
       s"$k = '${unescaped.replace("'", "''")}'"
-    }.mkString(", ")
+    }.mkString(", "))
+  }
 
   private def withOverwriteMode[T](spark: SparkSession, mode: String)(f: => T): T = {
     val key = "spark.sql.sources.partitionOverwriteMode"
@@ -129,12 +139,21 @@ object DurableRewrite {
     val stage = new Path(loc + "__mutating")
     fs.delete(stage, true)
 
-    // partition-directory count from driver-side file metadata (the
-    // listing Spark already holds) — bounded by partition count
+    // partition count from the CATALOG partition listing — O(partitions)
+    // metastore ops, never O(files) (inputFiles enumerated every file).
+    // Falls back to an FS directory walk (also O(partitions): only
+    // directories are listed at partition depth) for tables whose
+    // partitions were written outside the catalog.
     def partitionDirs(): Seq[String] =
       if (partCols.isEmpty) Seq(loc)
-      else spark.table(table).inputFiles.toSeq
-        .map(f => new Path(f).getParent.toString).distinct
+      else {
+        val fromCatalog = scala.util.Try(
+          spark.sessionState.catalog.listPartitionNames(
+            org.apache.spark.sql.catalyst.TableIdentifier(table)))
+          .getOrElse(Seq.empty)
+        if (fromCatalog.nonEmpty) fromCatalog
+        else leafPartitionDirs(fs, new Path(loc), partCols.size)
+      }
 
     def stageWrite(df: DataFrame): DataFrame = {
       val w0 = df.write.mode("overwrite")
@@ -206,17 +225,15 @@ object DurableRewrite {
               new Path(stage, rel))
             graft.sources.SystemTables.PartLogLedger
               .record("MutatePart", table, rel)
-            scala.util.Try(spark.sql(
-              s"ALTER TABLE $table ADD IF NOT EXISTS PARTITION " +
-                s"(${partitionSpec(rel)})"))
+            partitionSpec(rel).foreach(spec => scala.util.Try(spark.sql(
+              s"ALTER TABLE $table ADD IF NOT EXISTS PARTITION ($spec)")))
           }
           vals.map(affectedDir).filterNot(stagedDirs.toSet).foreach { rel =>
             graft.sources.SystemTables.PartLogLedger
               .record("RemovePart", table, rel)
             fs.delete(new Path(loc, rel), true)
-            scala.util.Try(spark.sql(
-              s"ALTER TABLE $table DROP PARTITION IF EXISTS " +
-                s"(${partitionSpec(rel)})"))
+            partitionSpec(rel).foreach(spec => scala.util.Try(spark.sql(
+              s"ALTER TABLE $table DROP PARTITION IF EXISTS ($spec)")))
           }
           spark.sql(s"REFRESH TABLE $table")
           Result(vals.size, total - vals.size)

@@ -157,10 +157,16 @@ object AccessControl {
   private val meteredLimits = Set("queries", "query_selects",
     "query_inserts", "errors", "result_rows")
 
-  /** result_rows metering: a per-session QueryExecutionListener reads
-    * the completed plan's root output-row metric and charges the
-    * session user's covering quotas. Listener dispatch is async — a
-    * test drains it via SYSTEM FLUSH LOGS semantics before asserting. */
+  /** result_rows metering: the statement's RETURNED DataFrame is
+    * wrapped in an `observe` (CollectMetrics) node whose name encodes
+    * the issuing user; a per-session QueryExecutionListener charges the
+    * observed exact row count against that user's covering quotas.
+    * Only the top-level returned frame carries the marker, so
+    * engine-internal actions (mutation partition prunes, skip-index
+    * refresh, system-table rendering) never inflate result_rows.
+    * Listener dispatch is async — a test drains it via SYSTEM FLUSH
+    * LOGS semantics before asserting. */
+  private val meterPrefix = "__graft_result_rows__"
   private val meterInstalled =
     java.util.Collections.newSetFromMap(
       new java.util.WeakHashMap[SparkSession, java.lang.Boolean])
@@ -170,16 +176,14 @@ object AccessControl {
       new org.apache.spark.sql.util.QueryExecutionListener {
         override def onSuccess(funcName: String,
             qe: org.apache.spark.sql.execution.QueryExecution,
-            durationNs: Long): Unit = {
-          // the TOPMOST node carrying numOutputRows approximates the
-          // result cardinality (codegen roots expose no row metric of
-          // their own; the final aggregate/projection feed does)
-          val rows = qe.executedPlan.collectFirst {
-            case p if p.metrics.contains("numOutputRows") =>
-              p.metrics("numOutputRows").value
-          }.getOrElse(0L)
-          if (rows > 0) chargeResultRows(qe.sparkSession, rows)
-        }
+            durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith(meterPrefix) && !row.isNullAt(0)) {
+              val rows = row.getLong(0)
+              if (rows > 0)
+                chargeResultRows(name.substring(meterPrefix.length), rows)
+            }
+          }
         override def onFailure(funcName: String,
             qe: org.apache.spark.sql.execution.QueryExecution,
             exception: Exception): Unit = ()
@@ -187,9 +191,25 @@ object AccessControl {
     meterInstalled.add(spark)
   }
 
-  private def chargeResultRows(spark: SparkSession, rows: Long): Unit = {
+  /** Wrap the statement's returned frame with the metering observation
+    * iff the session user is metered for result_rows (default and
+    * uncovered users return the frame untouched — zero plan change on
+    * the common path). */
+  def meterResultRows(spark: SparkSession, df: DataFrame): DataFrame = {
     import scala.jdk.CollectionConverters._
     val me = currentUser(spark)
+    if (me == "default") return df
+    val covered = quotas.asScala.values.exists(q =>
+      q.limits.contains("result_rows") &&
+        granteeCovers(q.toAll, q.grantees, me))
+    if (!covered) df
+    else df.observe(meterPrefix + me,
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)))
+  }
+
+  private def chargeResultRows(me: String, rows: Long): Unit = {
+    import scala.jdk.CollectionConverters._
     if (me == "default") return
     quotas.asScala.values
       .filter(q => q.limits.contains("result_rows") &&
@@ -396,6 +416,21 @@ object AccessControl {
       }
       Option(n).map(_.toLong).getOrElse(1L) * mult
     }
+    // KEYED BY: the reference buckets usage by QuotaKeyType
+    // (src/Access/Common/QuotaDefs.h) — this engine meters per session
+    // user, so only user_name keying is honest. Other reference key
+    // types are REJECTED LOUDLY (documented deviation) rather than
+    // silently accepted with different semantics; unknown names error.
+    val refQuotaKeys = Set("none", "user_name", "ip_address",
+      "forwarded_ip_address", "client_key", "client_key_or_user_name",
+      "client_key_or_ip_address")
+    def checkQuotaKey(keyed: String): Unit = Option(keyed).foreach { k =>
+      val key = k.toLowerCase
+      require(refQuotaKeys(key), s"unknown quota key type '$k'")
+      require(key == "user_name",
+        s"KEYED BY $k is not supported: this engine meters quotas per " +
+          "session user (KEYED BY user_name) only — documented deviation")
+    }
     def granteeSpec(to: String): (Boolean, Set[String]) =
       Option(to).map(_.trim) match {
         case None => (false, Set.empty[String])
@@ -481,6 +516,7 @@ object AccessControl {
         ok
       case alterQuota(name, keyed, n, unit, maxList, to) =>
         requireAdmin()
+        checkQuotaKey(keyed)
         val prev = Option(quotas.get(name)).getOrElse(
           throw new IllegalArgumentException(s"there is no quota `$name`"))
         val limits = Option(maxList).map(names(_).map { kv =>
@@ -599,6 +635,7 @@ object AccessControl {
           s"${p.condition} TO $toPart").toDF("statement")
       case createQuota(ifNot, name, keyed, n, unit, maxList, to) =>
         requireAdmin()
+        checkQuotaKey(keyed)
         val limits = Option(maxList).map(names(_).map { kv =>
           val Array(k, v) = kv.split("=", 2).map(_.trim)
           val key = k.toLowerCase

@@ -551,9 +551,40 @@ object ClickHouseSql {
     * ` LIMIT 1 BY keys` after an existing LIMIT produced invalid SQL (the
     * advice-round bug: the LIMIT-BY window regex then swallowed
     * `k LIMIT 10` as its ORDER BY spec). */
-  /** First depth-0, outside-quotes occurrence of the WORD `kw` (which
-    * may contain spaces) at or after `from`; -1 if none. */
-  private def depth0Index(s: String, kw: String, from: Int): Int = {
+  /** First depth-0, outside-quotes occurrence of the keyword `kw` at or
+    * after `from`; -1 if none. Multi-word keywords ("GROUP BY",
+    * "WITH TOTALS") tolerate ANY whitespace run — including newlines —
+    * between words, matching what the quote-split regex rewrites accept. */
+  private def depth0Index(s: String, kw: String, from: Int): Int =
+    depth0Find(s, kw, from).map(_._1).getOrElse(-1)
+
+  /** Like depth0Index but yields (start, endExclusive) — the end is
+    * needed by callers slicing around a multi-word keyword, whose
+    * matched length varies with the whitespace between its words. */
+  private def depth0Find(s: String, kw: String,
+      from: Int): Option[(Int, Int)] = {
+    val words = kw.split("\\s+")
+    // matched span of the word sequence starting at i, or -1
+    def matchAt(i: Int): Int = {
+      var pos = i
+      var w = 0
+      while (w < words.length) {
+        val word = words(w)
+        if (!s.regionMatches(true, pos, word, 0, word.length)) return -1
+        pos += word.length
+        if (w < words.length - 1) {
+          val ws0 = pos
+          while (pos < s.length && Character.isWhitespace(s.charAt(pos)))
+            pos += 1
+          if (pos == ws0) return -1 // words must be separated
+        } else {
+          if (pos < s.length && (Character.isLetterOrDigit(s.charAt(pos)) ||
+              s.charAt(pos) == '_')) return -1 // word boundary after
+        }
+        w += 1
+      }
+      pos
+    }
     var depth = 0; var inStr = false; var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
@@ -564,17 +595,15 @@ object ClickHouseSql {
         case ')' => depth -= 1
         case _ =>
           if (depth == 0 && i >= from &&
-              s.regionMatches(true, i, kw, 0, kw.length) &&
               (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1)) &&
-                s.charAt(i - 1) != '_') &&
-              (i + kw.length >= s.length ||
-                !Character.isLetterOrDigit(s.charAt(i + kw.length)) &&
-                  s.charAt(i + kw.length) != '_'))
-            return i
+                s.charAt(i - 1) != '_')) {
+            val end = matchAt(i)
+            if (end >= 0) return Some((i, end))
+          }
       }
       i += 1
     }
-    -1
+    None
   }
 
   /** `QUALIFY pred` (ASTSelectQuery's qualify clause — a filter over
@@ -622,18 +651,17 @@ object ClickHouseSql {
     * defaults; the NULL-keyed row is the documented Spark rendering).
     * WITH ROLLUP / WITH CUBE pass through — Spark speaks them natively. */
   private def rewriteWithTotals(s: String): String = {
-    val at = depth0Index(s, "WITH TOTALS", 0)
-    if (at < 0) return s
+    val (at, atEnd) = depth0Find(s, "WITH TOTALS", 0).getOrElse(return s)
     // the GROUP BY this TOTALS belongs to: the last depth-0 GROUP BY
     // before it
-    var gb = -1
-    var i = depth0Index(s, "GROUP BY", 0)
-    while (i >= 0 && i < at) { gb = i; i = depth0Index(s, "GROUP BY", i + 1) }
-    if (gb < 0) return s
-    val keys = s.substring(gb + "GROUP BY".length, at).trim
+    var gb: Option[(Int, Int)] = None
+    var m = depth0Find(s, "GROUP BY", 0)
+    while (m.exists(_._1 < at)) { gb = m; m = depth0Find(s, "GROUP BY", m.get._1 + 1) }
+    val (gbAt, gbEnd) = gb.getOrElse(return s)
+    val keys = s.substring(gbEnd, at).trim
     rewriteWithTotals(
-      s.substring(0, gb) + s"GROUP BY GROUPING SETS (($keys), ())" +
-        s.substring(at + "WITH TOTALS".length))
+      s.substring(0, gbAt) + s"GROUP BY GROUPING SETS (($keys), ())" +
+        s.substring(atEnd))
   }
 
   private def rewriteDistinctOn(s: String): String = {
@@ -739,7 +767,9 @@ object ClickHouseSql {
       // metered limit (queries/query_selects/query_inserts/errors)
       // throws here; `default` and SET are never metered
       AccessControl.chargeQuota(spark, chSql)
-      sqlImpl(spark, chSql)
+      // result_rows metering marks ONLY the statement's returned frame
+      // (engine-internal actions never charge); exact count via observe
+      AccessControl.meterResultRows(spark, sqlImpl(spark, chSql))
     }
     catch {
       case e: Throwable =>
@@ -817,7 +847,10 @@ object ClickHouseSql {
           if (i % 2 == 0) marker.replaceAllIn(s, "\u0001") else s
         }.mkString("'")
         withSentinel.split('\u0001').map(_.trim).filter(_.nonEmpty)
-          .foreach(part => sql(spark, part))
+          // sqlImpl, not sql: the user issued ONE statement — quota was
+          // already charged once at the sql() entry (QuotaCache::used
+          // charges per statement, not per PARALLEL WITH leg)
+          .foreach(part => sqlImpl(spark, part))
         import spark.implicits._
         return Seq("OK").toDF("status")
       }
@@ -826,7 +859,9 @@ object ClickHouseSql {
       ("(?is)^(.*?)\\s+INTO\\s+OUTFILE\\s+'([^']+)'(?:\\s+FORMAT\\s+([A-Za-z0-9]+))?\\s*;?\\s*$").r
     trimmed0 match {
       case outfile(core, path, fmt) if trimmed0.matches("(?is)^(SELECT|WITH)\\b.*") =>
-        val df = sql(spark, core)
+        // sqlImpl, not sql: the OUTFILE core is the same user statement,
+        // already quota-charged once at the sql() entry
+        val df = sqlImpl(spark, core)
         val n = df.count()
         val w = df.coalesce(1).write.mode("overwrite")
         Option(fmt).map(_.toLowerCase).getOrElse("csv") match {
@@ -1542,7 +1577,7 @@ object ClickHouseSql {
       // pruning decisions the transparent rule took.
       val q = trimmed.replaceFirst("(?is)^EXPLAIN\\s+indexes\\s*=\\s*1\\s+", "")
       graft.plans.SkipIndexPruning.clearDecisions()
-      val df = sql(spark, q)
+      val df = sqlImpl(spark, q) // same statement — no second quota charge
       df.queryExecution.optimizedPlan // force optimization → decisions
       val ds = graft.plans.SkipIndexPruning.lastDecisions
       import spark.implicits._

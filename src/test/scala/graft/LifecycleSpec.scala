@@ -543,4 +543,98 @@ class LifecycleSpec extends SparkFunSuite {
       spark, s"$base/data", s"$base/index", Seq("epsilon")).count() == 1)
     operators.TextIndex.drop(spark, s"$base/data", s"$base/index")
   }
+
+  // ---- round-11 ADVICE regressions ----------------------------------
+
+  test("quota charges ONCE per statement: OUTFILE core and PARALLEL WITH " +
+      "legs are internal re-entries (QuotaCache::used)") {
+    val t = "graft_quota_once_t"
+    scratch(t)
+    ch(s"CREATE MATERIALIZED VIEW $t AS SELECT 1 AS a")
+    ch("CREATE USER IF NOT EXISTS quota_once_u")
+    ch(s"GRANT SELECT ON $t TO quota_once_u")
+    ch(s"GRANT INSERT ON $t TO quota_once_u")
+    ch("CREATE QUOTA q_once FOR INTERVAL 1 hour MAX queries = 100 " +
+      "TO quota_once_u")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_outfile")
+      .resolve("out").toString
+    def usage(counter: String): Long =
+      ch(s"""SELECT CAST($counter AS BIGINT) AS c FROM system.quota_usage
+        WHERE quota_name = 'q_once'""").collect()
+        .headOption.map(_.getLong(0)).getOrElse(0L)
+    try {
+      ch("SET user = 'quota_once_u'")
+      // one user statement with an internal re-entry for the core
+      ch(s"SELECT a FROM $t INTO OUTFILE '$tmp' FORMAT CSV").collect()
+      ch("SET user = 'default'")
+      assert(usage("queries") == 1L,
+        s"INTO OUTFILE must charge once, got ${usage("queries")}")
+      // PARALLEL WITH: N legs, ONE statement, ONE charge
+      ch("SET user = 'quota_once_u'")
+      ch(s"INSERT INTO $t VALUES (2) PARALLEL WITH INSERT INTO $t VALUES (3)")
+      ch("SET user = 'default'")
+      assert(usage("queries") == 2L,
+        s"PARALLEL WITH must charge once, total ${usage("queries")}")
+    } finally {
+      ch("SET user = 'default'")
+      scala.util.Try(ch("DROP QUOTA IF EXISTS q_once"))
+      scala.util.Try(ch("DROP USER IF EXISTS quota_once_u"))
+      scala.util.Try(ch(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("CREATE QUOTA KEYED BY non-user keys rejects loudly " +
+      "(documented deviation), unknown key names error") {
+    intercept[IllegalArgumentException] {
+      ch("CREATE QUOTA q_keyed KEYED BY ip_address FOR INTERVAL 1 hour " +
+        "MAX queries = 5 TO ALL")
+    }
+    intercept[IllegalArgumentException] {
+      ch("CREATE QUOTA q_keyed KEYED BY banana FOR INTERVAL 1 hour " +
+        "MAX queries = 5 TO ALL")
+    }
+    // the supported key still works
+    ch("CREATE QUOTA q_keyed KEYED BY user_name FOR INTERVAL 1 hour " +
+      "MAX queries = 5 TO ALL")
+    scala.util.Try(ch("DROP QUOTA IF EXISTS q_keyed"))
+  }
+
+  test("multi-word dialect keywords tolerate whitespace runs " +
+      "(GROUP  BY … WITH\\nTOTALS, QUALIFY … ORDER  BY)") {
+    Tables.register(spark, sf)
+    val totals = ch(
+      "SELECT n_regionkey, count() AS c FROM nation " +
+        "GROUP  BY n_regionkey WITH\n  TOTALS").collect()
+    assert(totals.length == 6) // 5 groups + the totals row
+    assert(totals.exists(r => r.isNullAt(0) && r.getLong(1) == 25L))
+    val q = ch(
+      "SELECT n_regionkey, row_number() OVER " +
+        "(PARTITION BY n_regionkey ORDER BY n_nationkey) AS rn FROM nation " +
+        "QUALIFY rn = 1 ORDER  BY\nn_regionkey").collect()
+    assert(q.length == 5 &&
+      q.map(_.getAs[Number](0).longValue).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+  }
+
+  test("durable mutation on a NULL-keyed partition: swap commits, no " +
+      "sentinel-string partition spec reaches the catalog") {
+    val t = "graft_null_part_t"
+    scratch(t)
+    val s = spark
+    import s.implicits._
+    Seq((Some("a"), 1L), (Some("a"), 2L), (None: Option[String], 3L),
+      (None: Option[String], 4L))
+      .toDF("k", "v").write.partitionBy("k").saveAsTable(t)
+    ch(s"ALTER TABLE $t UPDATE v = v + 100 WHERE v >= 3")
+    val rows = spark.table(t).collect()
+    assert(rows.filter(_.isNullAt(1)).map(_.getLong(0)).sorted.toSeq ==
+      Seq(103L, 104L))
+    assert(rows.filter(!_.isNullAt(1)).map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L))
+    // a second mutation that EMPTIES the null partition exercises the
+    // DROP-side skip (the old code issued `k = '__HIVE_DEFAULT_…'` DDL)
+    ch(s"ALTER TABLE $t DELETE WHERE v >= 100")
+    val left = spark.table(t).collect()
+    assert(left.length == 2 && left.forall(r => r.getString(1) == "a"))
+    scratch(t)
+  }
 }
