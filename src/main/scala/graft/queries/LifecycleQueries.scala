@@ -936,11 +936,55 @@ object LifecycleQueries extends QueryPack {
       CAST(1 AS BIGINT) AS wl_rows,
       CAST(1 AS BIGINT) AS unknown_wl"""))
 
+  /** LIVE VIEW + WATCH (StorageLiveView.h:28,105-116;
+    * StorageLiveView.cpp:722-745 "Update blocks only if hash keys do
+    * not match"; ASTWatchQuery.h limit_length + is_watch_events): the
+    * version counter bumps exactly once per result CHANGE — a write
+    * that leaves the result identical must NOT bump — and WATCH serves
+    * (result, _version) / EVENTS serves bare versions. */
+  private val watchLive = Q("q_ch_watch", (s, dir) => {
+    Tables.register(s, dir)
+    val t = "graft_watch_t"
+    scratch(s, t)
+    ch.sql(s, "DROP VIEW IF EXISTS graft_watch_lv")
+    ch.sql(s, s"CREATE MATERIALIZED VIEW $t AS SELECT n_nationkey AS k FROM nation")
+    ch.sql(s, "CREATE LIVE VIEW graft_watch_lv AS " +
+      s"SELECT count() AS n, max(k) AS m FROM $t")
+    try {
+      def watchVersion(): Long = ch.sql(s, "WATCH graft_watch_lv")
+        .collect().head.getAs[Number]("_version").longValue
+      val v1 = watchVersion() // creation state
+      ch.sql(s, s"INSERT INTO $t VALUES (1000)")
+      val v2 = watchVersion() // result changed → bump
+      val v2Again = watchVersion() // same hash → exactly-once
+      // a write that leaves the result IDENTICAL must not bump
+      ch.sql(s, s"ALTER TABLE $t DELETE WHERE k < 0")
+      val vNoop = watchVersion()
+      ch.sql(s, s"INSERT INTO $t VALUES (2000)")
+      watchVersion()
+      val events = ch.sql(s, "WATCH graft_watch_lv EVENTS LIMIT 3")
+        .collect().map(_.getLong(0)).mkString(",")
+      // plain SELECT over the live view stays fresh by construction
+      val n = ch.sql(s, "SELECT n FROM graft_watch_lv")
+        .collect().head.getLong(0)
+      import s.implicits._
+      Seq((v1, v2, v2Again, vNoop, events, n))
+        .toDF("v1", "v2", "v2_again", "v_noop", "events", "n")
+    } finally {
+      scala.util.Try(ch.sql(s, "DROP VIEW IF EXISTS graft_watch_lv"))
+      scala.util.Try(scratch(s, t))
+    }
+  }, Some("""
+    SELECT CAST(1 AS BIGINT) AS v1, CAST(2 AS BIGINT) AS v2,
+      CAST(2 AS BIGINT) AS v2_again, CAST(2 AS BIGINT) AS v_noop,
+      '1,2,3' AS events,
+      CAST((SELECT COUNT(*) + 2 FROM nation) AS BIGINT) AS n"""))
+
   override def queries: Seq[Q] = Seq(
     replacePartition, movePartition, fetchPartition, undropTable,
     refreshMv, optimizeDedupBy, limitOffsetBy, dynamicTyped,
     systemMaintenance, mutationRewrite, backupRestore, systemBreadth,
     rbac, rowPolicy, quota, settingsProfile, alterMeta, partLog,
     settingsChanges, setRole, accessProbe, statementTail,
-    namedCollection, adminTail)
+    namedCollection, adminTail, watchLive)
 }

@@ -937,6 +937,20 @@ object AccessControl {
     if (stmt.matches("(?is)^SET\\b.*")) return
     require(users.contains(me),
       s"unknown user `$me` (SET user names a user created with CREATE USER)")
+    // WATCH lv reads through the live view: require SELECT on the
+    // view's base tables (the stored SELECT — same data surface)
+    if (stmt.matches("(?is)^WATCH\\b.*")) {
+      val name = stmt.replaceFirst("(?is)^WATCH\\s+", "")
+        .split("\\s+").headOption.getOrElse("")
+      LiveViews.selectOf(name).foreach { sel =>
+        touchedTables(spark, sel).foreach { t =>
+          if (!allowed(me, "SELECT", t)) throw new SecurityException(
+            s"$me: Not enough privileges. To execute this query, it's " +
+              s"necessary to have the grant SELECT ON $t")
+        }
+      }
+      return
+    }
     val priv =
       if (stmt.matches("(?is)^(SELECT|WITH)\\b.*")) Some("SELECT")
       else if (stmt.matches("(?is)^INSERT\\b.*")) Some("INSERT")

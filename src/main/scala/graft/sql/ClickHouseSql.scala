@@ -1240,6 +1240,53 @@ object ClickHouseSql {
       recordEngineMeta(trimmed) // ORDER BY / SAMPLE BY / COMMENT / defaults
       out
     }
+    else if (trimmed.matches("(?is)^CREATE\\s+LIVE\\s+VIEW\\b.*")) {
+      // CREATE LIVE VIEW (StorageLiveView.h): version-counted view; the
+      // push channel is served pull-side by WATCH (graft.sql.LiveViews)
+      val re = ("(?is)^CREATE\\s+LIVE\\s+VIEW\\s+(IF\\s+NOT\\s+EXISTS\\s+)?" +
+        "([A-Za-z_][A-Za-z0-9_.]*)\\s+AS\\s+(.*)$").r
+      trimmed match {
+        case re(ifNot, name, select) =>
+          LiveViews.create(spark, name, select.trim.stripSuffix(";"),
+            ifNot != null,
+            s => rewrite(expandSchemaTransformers(spark, s)))
+          import spark.implicits._
+          Seq("OK").toDF("status")
+        case _ => throw new IllegalArgumentException(
+          "unsupported CREATE LIVE VIEW form")
+      }
+    } else if (trimmed.matches("(?is)^WATCH\\b.*")) {
+      // WATCH lv [EVENTS] [LIMIT n] (ASTWatchQuery: table + optional
+      // limit_length + is_watch_events): bounded re-evaluation — the
+      // version bumps iff the result hash changed (exactly once per
+      // underlying change, however many WATCHes observe it)
+      val re = ("(?is)^WATCH\\s+([A-Za-z_][A-Za-z0-9_.]*)" +
+        "(\\s+EVENTS)?(?:\\s+LIMIT\\s+(\\d+))?\\s*;?\\s*$").r
+      trimmed match {
+        case re(name, events, limit) =>
+          val run = (s: String) =>
+            spark.sql(rewrite(expandSchemaTransformers(spark, s)))
+          if (events != null)
+            LiveViews.watchEvents(spark, name,
+              Option(limit).map(_.toInt), run)
+          else LiveViews.watch(spark, name, run)
+        case _ => throw new IllegalArgumentException(
+          "unsupported WATCH form (expected WATCH view [EVENTS] [LIMIT n])")
+      }
+    } else if (trimmed.matches(
+        "(?is)^DROP\\s+(LIVE\\s+)?VIEW\\s+(IF\\s+EXISTS\\s+)?" +
+          "[A-Za-z_][A-Za-z0-9_.]*\\s*;?\\s*$") &&
+        LiveViews.contains(trimmed
+          .replaceFirst("(?is)^DROP\\s+(LIVE\\s+)?VIEW\\s+(IF\\s+EXISTS\\s+)?", "")
+          .replaceFirst(";\\s*$", "").trim)) {
+      val name = trimmed
+        .replaceFirst("(?is)^DROP\\s+(LIVE\\s+)?VIEW\\s+(IF\\s+EXISTS\\s+)?", "")
+        .replaceFirst(";\\s*$", "").trim
+      LiveViews.remove(name)
+      spark.catalog.dropTempView(name)
+      import spark.implicits._
+      Seq("OK").toDF("status")
+    }
     else if (trimmed.matches("(?is)^CREATE\\s+MATERIALIZED\\s+VIEW\\b.*")) {
       // batch analog of the reference's MV: materialize the SELECT once as
       // a parquet CTAS (the streaming push chain is WindowView

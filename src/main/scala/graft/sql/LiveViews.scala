@@ -1,0 +1,138 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LIVE VIEW + WATCH — the reference's push-channel view
+  * (src/Storages/LiveView/StorageLiveView.h:28,105-116 and
+  * StorageLiveView.cpp:687-745): a live view keeps a VERSION counter
+  * that bumps only when the hash of the query result CHANGES
+  * (`getBlocksHashKey`; "Update blocks only if hash keys do not
+  * match"), serves its result with an ephemeral `_version` column, and
+  * `WATCH lv [EVENTS] [LIMIT n]` emits (result, version) — or bare
+  * versions with EVENTS — per update.
+  *
+  * Spark rendering (single-session batch engine — no push socket):
+  *  - CREATE LIVE VIEW registers a catalog VIEW (SELECT stays fresh by
+  *    construction: Catalyst expands the view body at read time) plus a
+  *    ledger entry (version, last result hash, bounded version history).
+  *  - Version bumps are LAZY and idempotent: every WATCH re-evaluates
+  *    the stored SELECT and bumps iff the result hash changed — an
+  *    underlying INSERT therefore bumps the version exactly once, no
+  *    matter how many WATCHes observe it (the reference's hash-compare,
+  *    re-expressed pull-side).
+  *  - The hash is an ORDER-INSENSITIVE multiset hash (sum of per-row
+  *    xxhash64 over all columns), computed as a distributed aggregate —
+  *    nothing but one (count, sum) row reaches the driver, so a live
+  *    view over a 100 TB base table costs one scan per WATCH, not a
+  *    result collect. (The reference hashes blocks in block order; a
+  *    distributed engine has no stable block order to hash.)
+  *  - `WATCH lv LIMIT n` returns the last n versions joined with the
+  *    CURRENT result rows (`_version` column, StorageLiveView.cpp:716);
+  *    historical result SNAPSHOTS are not retained — only version
+  *    numbers, hashes, row counts and timestamps (bounded driver
+  *    state) — a documented deviation from the reference's in-memory
+  *    blocks cache, which does not scale past a single node.
+  *  - `WATCH lv EVENTS LIMIT n` returns the last n recorded versions,
+  *    ascending, as bare `version` rows (LiveViewEventsSource.h).
+  */
+object LiveViews {
+
+  final case class VersionEntry(version: Long, hash: Long, rows: Long,
+      at: java.sql.Timestamp)
+
+  final case class LiveView(name: String, select: String,
+      version: Long, lastHash: Long, history: Vector[VersionEntry])
+
+  private val maxHistory = 1024 // bounded ledger per view
+
+  private val views =
+    new java.util.concurrent.ConcurrentHashMap[String, LiveView]()
+
+  def contains(name: String): Boolean = views.containsKey(name.toLowerCase)
+
+  def list: Seq[(String, String, Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    views.asScala.values.toSeq.sortBy(_.name)
+      .map(v => (v.name, v.select, v.version, v.history.size.toLong))
+  }
+
+  def remove(name: String): Unit = views.remove(name.toLowerCase)
+
+  /** The stored SELECT of a live view (privilege gating reads through
+    * to its base tables). */
+  def selectOf(name: String): Option[String] =
+    Option(views.get(name.toLowerCase)).map(_.select)
+
+  def clear(): Unit = views.clear()
+
+  /** Order-insensitive multiset hash + row count of the view's CURRENT
+    * result: one distributed aggregate, one driver row. */
+  private def resultFingerprint(df: DataFrame): (Long, Long) = {
+    val cols = df.columns.map(col)
+    val r = df.agg(count(lit(1)).as("n"),
+      sum(xxhash64(cols: _*)).as("h")).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** Re-evaluate `name` and bump its version iff the result hash
+    * changed since the last evaluation (StorageLiveView.cpp:722-745).
+    * Returns the post-evaluation ledger entry. */
+  def refresh(spark: SparkSession, name: String,
+      run: String => DataFrame): LiveView = {
+    val key = name.toLowerCase
+    val lv = Option(views.get(key)).getOrElse(throw new IllegalArgumentException(
+      s"WATCH: `$name` is not a live view"))
+    val (rows, h) = resultFingerprint(run(lv.select))
+    views.compute(key, (_, cur0) => {
+      val cur = if (cur0 == null) lv else cur0
+      if (h == cur.lastHash) cur
+      else {
+        val v = cur.version + 1
+        cur.copy(version = v, lastHash = h,
+          history = (cur.history :+ VersionEntry(v, h, rows,
+            new java.sql.Timestamp(System.currentTimeMillis())))
+            .takeRight(maxHistory))
+      }
+    })
+  }
+
+  /** CREATE LIVE VIEW: temp view (text-derived plan — re-resolved per
+    * read, so plain SELECT stays fresh across base-table inserts) plus
+    * a ledger entry at version 1 with the creation-time result hash
+    * (the reference materializes the first result on create). */
+  def create(spark: SparkSession, name: String, chSelect: String,
+      ifNotExists: Boolean, toSpark: String => String): Unit = {
+    val key = name.toLowerCase
+    if (views.containsKey(key)) {
+      if (ifNotExists) return
+      throw new IllegalArgumentException(s"live view `$name` already exists")
+    }
+    val body = toSpark(chSelect)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $name AS $body")
+    val (rows, h) = resultFingerprint(spark.sql(body))
+    views.put(key, LiveView(name, chSelect, 1L, h,
+      Vector(VersionEntry(1L, h, rows,
+        new java.sql.Timestamp(System.currentTimeMillis())))))
+  }
+
+  /** WATCH lv EVENTS [LIMIT n]: the last n recorded versions,
+    * ascending (all of them without LIMIT). */
+  def watchEvents(spark: SparkSession, name: String, limit: Option[Int],
+      run: String => DataFrame): DataFrame = {
+    val lv = refresh(spark, name, run)
+    val hist = limit.map(n => lv.history.takeRight(n)).getOrElse(lv.history)
+    import spark.implicits._
+    hist.map(_.version).toDF("version")
+  }
+
+  /** WATCH lv [LIMIT n]: the CURRENT result with the `_version`
+    * ephemeral column (StorageLiveView.cpp:716). LIMIT bounds how many
+    * updates a streaming client would wait for; a batch engine serves
+    * the latest state exactly once. */
+  def watch(spark: SparkSession, name: String,
+      run: String => DataFrame): DataFrame = {
+    val lv = refresh(spark, name, run)
+    run(lv.select).withColumn("_version", lit(lv.version))
+  }
+}

@@ -190,4 +190,42 @@ class StreamingSpec extends SparkFunSuite {
     assert(mv.count() == expected)
     assert(mv.columns.toSeq == Seq("event_id", "user_id", "value"))
   }
+
+  test("LIVE VIEW: an underlying INSERT bumps the version exactly once " +
+      "(hash-compare, StorageLiveView.cpp:722)") {
+    val ch = graft.sql.ClickHouseSql
+    val t = "graft_lv_spec_t"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), t)
+    wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
+    ch.sql(spark, "DROP VIEW IF EXISTS graft_lv_spec")
+    ch.sql(spark, s"CREATE MATERIALIZED VIEW $t AS SELECT 1 AS a")
+    ch.sql(spark, s"CREATE LIVE VIEW graft_lv_spec AS SELECT sum(a) AS s FROM $t")
+    try {
+      def v(): Long = ch.sql(spark, "WATCH graft_lv_spec")
+        .collect().head.getAs[Long]("_version")
+      assert(v() == 1L)
+      ch.sql(spark, s"INSERT INTO $t VALUES (41)")
+      // however many WATCHes observe one insert, ONE bump
+      assert(v() == 2L); assert(v() == 2L); assert(v() == 2L)
+      // the result rides the current version
+      val r = ch.sql(spark, "WATCH graft_lv_spec").collect().head
+      assert(r.getLong(r.fieldIndex("s")) == 42L)
+      // EVENTS without LIMIT: full recorded history, ascending
+      assert(ch.sql(spark, "WATCH graft_lv_spec EVENTS")
+        .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+      // IF NOT EXISTS is a no-op on an existing live view
+      ch.sql(spark,
+        s"CREATE LIVE VIEW IF NOT EXISTS graft_lv_spec AS SELECT 9 AS s")
+      assert(v() == 2L)
+      // unknown view rejects
+      intercept[IllegalArgumentException] {
+        ch.sql(spark, "WATCH graft_lv_nope")
+      }
+    } finally {
+      scala.util.Try(ch.sql(spark, "DROP VIEW IF EXISTS graft_lv_spec"))
+      scala.util.Try(spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }
