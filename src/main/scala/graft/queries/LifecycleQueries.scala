@@ -980,11 +980,107 @@ object LifecycleQueries extends QueryPack {
       '1,2,3' AS events,
       CAST((SELECT COUNT(*) + 2 FROM nation) AS BIGINT) AS n"""))
 
+  /** GRANT … WITH GRANT OPTION / ADMIN OPTION (ParserGrantQuery.cpp):
+    * the delegation bit lets its holder GRANT/REVOKE that privilege
+    * (role) onward; REVOKE GRANT OPTION FOR strips the bit but keeps
+    * the grant; revoking the privilege removes the bit with it. */
+  private val grantOption = Q("q_ch_grant_option", (s, dir) => {
+    Tables.register(s, dir)
+    val t = "graft_go_t"
+    scratch(s, t)
+    def caught(body: => Unit): Long =
+      try { body; 0L } catch { case _: SecurityException => 1L }
+    ch.sql(s, "SET user = 'default'")
+    ch.sql(s, s"CREATE MATERIALIZED VIEW $t AS SELECT n_nationkey FROM nation")
+    Seq("go_lead", "go_peer", "go_plain").foreach { u =>
+      ch.sql(s, s"DROP USER IF EXISTS $u")
+      ch.sql(s, s"CREATE USER $u")
+    }
+    ch.sql(s, "DROP ROLE IF EXISTS go_role")
+    ch.sql(s, "CREATE ROLE go_role")
+    try {
+      ch.sql(s, s"GRANT SELECT ON $t TO go_lead WITH GRANT OPTION")
+      ch.sql(s, s"GRANT SELECT ON $t TO go_plain")
+      // delegated grant works: the option holder grants onward
+      ch.sql(s, "SET user = 'go_lead'")
+      ch.sql(s, s"GRANT SELECT ON $t TO go_peer")
+      ch.sql(s, "SET user = 'go_peer'")
+      val peerReads = ch.sql(s, s"SELECT count() AS n FROM $t")
+        .collect().head.getLong(0)
+      // a plain grantee (no option) cannot delegate or revoke
+      ch.sql(s, "SET user = 'go_plain'")
+      val plainDenied = caught {
+        ch.sql(s, s"GRANT SELECT ON $t TO go_peer")
+      }
+      val plainRevokeDenied = caught {
+        ch.sql(s, s"REVOKE SELECT ON $t FROM go_peer")
+      }
+      // the option holder can REVOKE what it can GRANT
+      ch.sql(s, "SET user = 'go_lead'")
+      ch.sql(s, s"REVOKE SELECT ON $t FROM go_peer")
+      ch.sql(s, "SET user = 'go_peer'")
+      val peerAfterRevoke = caught {
+        ch.sql(s, s"SELECT count() AS n FROM $t").collect()
+      }
+      // SHOW GRANTS renders the bit; stripping it keeps the grant
+      ch.sql(s, "SET user = 'default'")
+      val shownWith = ch.sql(s, "SHOW GRANTS FOR go_lead")
+        .collect().map(_.getString(0)).mkString(";")
+      ch.sql(s, s"REVOKE GRANT OPTION FOR SELECT ON $t FROM go_lead")
+      val shownStripped = ch.sql(s, "SHOW GRANTS FOR go_lead")
+        .collect().map(_.getString(0)).mkString(";")
+      ch.sql(s, "SET user = 'go_lead'")
+      val leadStillReads = ch.sql(s, s"SELECT count() AS n FROM $t")
+        .collect().head.getLong(0)
+      val leadDelegationGone = caught {
+        ch.sql(s, s"GRANT SELECT ON $t TO go_peer")
+      }
+      // ADMIN OPTION: the role-delegation analog
+      ch.sql(s, "SET user = 'default'")
+      ch.sql(s, "GRANT go_role TO go_lead WITH ADMIN OPTION")
+      ch.sql(s, "SET user = 'go_lead'")
+      ch.sql(s, "GRANT go_role TO go_peer")
+      ch.sql(s, "SET user = 'default'")
+      val peerHasRole = ch.sql(s, """
+        SELECT count() AS n FROM system.grants
+        WHERE grantee = 'go_peer' AND access_type = 'ROLE'
+          AND target = 'go_role'""").collect().head.getLong(0)
+      ch.sql(s, "REVOKE ADMIN OPTION FOR go_role FROM go_lead")
+      ch.sql(s, "SET user = 'go_lead'")
+      val adminGone = caught { ch.sql(s, "GRANT go_role TO go_plain") }
+      ch.sql(s, "SET user = 'default'")
+      import s.implicits._
+      Seq((peerReads, plainDenied, plainRevokeDenied, peerAfterRevoke,
+        shownWith, shownStripped, leadStillReads, leadDelegationGone,
+        peerHasRole, adminGone))
+        .toDF("peer_reads", "plain_denied", "plain_revoke_denied",
+          "peer_after_revoke", "shown_with", "shown_stripped",
+          "lead_still_reads", "lead_delegation_gone", "peer_has_role",
+          "admin_gone")
+    } finally {
+      ch.sql(s, "SET user = 'default'")
+      Seq("go_lead", "go_peer", "go_plain").foreach(u =>
+        scala.util.Try(ch.sql(s, s"DROP USER IF EXISTS $u")))
+      scala.util.Try(ch.sql(s, "DROP ROLE IF EXISTS go_role"))
+      scala.util.Try(scratch(s, t))
+    }
+  }, Some("""
+    SELECT (SELECT COUNT(*) FROM nation) AS peer_reads,
+      CAST(1 AS BIGINT) AS plain_denied,
+      CAST(1 AS BIGINT) AS plain_revoke_denied,
+      CAST(1 AS BIGINT) AS peer_after_revoke,
+      'GRANT SELECT ON graft_go_t TO go_lead WITH GRANT OPTION' AS shown_with,
+      'GRANT SELECT ON graft_go_t TO go_lead' AS shown_stripped,
+      (SELECT COUNT(*) FROM nation) AS lead_still_reads,
+      CAST(1 AS BIGINT) AS lead_delegation_gone,
+      CAST(1 AS BIGINT) AS peer_has_role,
+      CAST(1 AS BIGINT) AS admin_gone"""))
+
   override def queries: Seq[Q] = Seq(
     replacePartition, movePartition, fetchPartition, undropTable,
     refreshMv, optimizeDedupBy, limitOffsetBy, dynamicTyped,
     systemMaintenance, mutationRewrite, backupRestore, systemBreadth,
     rbac, rowPolicy, quota, settingsProfile, alterMeta, partLog,
     settingsChanges, setRole, accessProbe, statementTail,
-    namedCollection, adminTail, watchLive)
+    namedCollection, adminTail, watchLive, grantOption)
 }

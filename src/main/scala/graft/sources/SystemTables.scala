@@ -371,11 +371,12 @@ object SystemTables {
   }
 
   /** system.grants (StorageSystemGrants.cpp): one row per granted
-    * privilege or role. */
+    * privilege or role; grant_option is the delegation bit (admin
+    * option for role rows). */
   def grantsTable(spark: SparkSession): DataFrame = {
     import spark.implicits._
     graft.sql.AccessControl.listGrants
-      .toDF("grantee", "access_type", "target")
+      .toDF("grantee", "access_type", "target", "grant_option")
   }
 
   /** system.row_policies (StorageSystemRowPolicies.cpp). */

@@ -22,7 +22,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object AccessControl {
 
-  final case class Grant(grantee: String, privilege: String, target: String)
+  /** One granted privilege; `grantOption` is the delegation bit
+    * (ParserGrantQuery.cpp `WITH GRANT OPTION`): its holder may
+    * GRANT/REVOKE that privilege on that target to/from others. */
+  final case class Grant(grantee: String, privilege: String, target: String,
+      grantOption: Boolean = false)
 
   private val users =
     java.util.Collections.newSetFromMap(
@@ -35,6 +39,10 @@ object AccessControl {
       new java.util.concurrent.ConcurrentHashMap[Grant, java.lang.Boolean])
   /** grantee → granted roles. */
   private val roleGrants =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+  /** grantee → roles held WITH ADMIN OPTION (ParserGrantQuery.cpp):
+    * the holder may GRANT/REVOKE those roles to/from others. */
+  private val roleAdminOptions =
     new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
   /** user → roles ACTIVATED by SET ROLE (absent = the default set).
     * (ASTSetRoleQuery SET_ROLE: the session narrows which granted roles
@@ -85,13 +93,36 @@ object AccessControl {
     roles.asScala.toSeq.sorted
   }
 
-  def listGrants: Seq[(String, String, String)] = {
+  /** (grantee, access_type, target, delegation bit) — grant option for
+    * privileges, admin option for roles. */
+  def listGrants: Seq[(String, String, String, Boolean)] = {
     import scala.jdk.CollectionConverters._
-    (grants.asScala.toSeq.map(g => (g.grantee, g.privilege, g.target)) ++
+    (grants.asScala.toSeq
+      .map(g => (g.grantee, g.privilege, g.target, g.grantOption)) ++
       roleGrants.asScala.toSeq.flatMap { case (u, rs) =>
-        rs.toSeq.map(r => (u, "ROLE", r))
+        rs.toSeq.map(r => (u, "ROLE", r,
+          roleAdminOptions.getOrDefault(u, Set.empty).contains(r)))
       }).sorted
   }
+
+  /** Does `who` (through the current identity closure) hold GRANT
+    * OPTION for `priv` on `target`? A broader option target (*, *.*)
+    * covers a narrower request; ALL covers every privilege. */
+  private def hasGrantOption(who: String, priv: String,
+      target: String): Boolean = {
+    import scala.jdk.CollectionConverters._
+    val seen = identityClosure(who)
+    val req = target.toLowerCase
+    grants.asScala.exists(g => g.grantOption && seen.contains(g.grantee) &&
+      (g.privilege == "ALL" || g.privilege == priv) &&
+      (g.target == "*.*" || g.target == "*" || g.target == req))
+  }
+
+  /** Does `who` hold ADMIN OPTION on role `r` (directly or through a
+    * role in the current closure)? */
+  private def hasAdminOption(who: String, r: String): Boolean =
+    identityClosure(who).exists(m =>
+      roleAdminOptions.getOrDefault(m, Set.empty).contains(r))
 
   /** One row policy (ASTCreateRowPolicyQuery: `CREATE ROW POLICY name ON
     * table USING condition TO {grantees | ALL}`): reads of `table` by a
@@ -371,6 +402,22 @@ object AccessControl {
       "FROM\\s+(.+)$").r
     val grantRole = "(?is)^GRANT\\s+([A-Za-z_][A-Za-z0-9_,\\s]*)\\s+TO\\s+(.+)$".r
     val revokeRole = "(?is)^REVOKE\\s+([A-Za-z_][A-Za-z0-9_,\\s]*)\\s+FROM\\s+(.+)$".r
+    // REVOKE GRANT OPTION FOR / ADMIN OPTION FOR strip the delegation
+    // bit only — the underlying grant survives (ParserGrantQuery.cpp
+    // grant_option "GRANT OPTION FOR" / admin_option branch)
+    val revokeGrantOption = ("(?is)^REVOKE\\s+GRANT\\s+OPTION\\s+FOR\\s+(.+?)" +
+      "\\s+ON\\s+(\\*\\.\\*|\\*|[A-Za-z_][A-Za-z0-9_.]*)\\s+FROM\\s+(.+)$").r
+    val revokeAdminOption = ("(?is)^REVOKE\\s+ADMIN\\s+OPTION\\s+FOR\\s+" +
+      "([A-Za-z_][A-Za-z0-9_,\\s]*)\\s+FROM\\s+(.+)$").r
+    // `… WITH GRANT OPTION` / `… WITH ADMIN OPTION` tails: detected and
+    // stripped up front so the GRANT patterns' trailing grantee capture
+    // stays clean
+    val withGrantOpt =
+      stmt.matches("(?is).*\\s+WITH\\s+GRANT\\s+OPTION\\s*$")
+    val withAdminOpt =
+      stmt.matches("(?is).*\\s+WITH\\s+ADMIN\\s+OPTION\\s*$")
+    val stmtNoOpt =
+      stmt.replaceFirst("(?is)\\s+WITH\\s+(GRANT|ADMIN)\\s+OPTION\\s*$", "")
     val showFor = "(?is)^SHOW\\s+GRANTS(?:\\s+FOR\\s+([A-Za-z_][A-Za-z0-9_]*))?$".r
 
     def names(s: String): Seq[String] =
@@ -484,7 +531,7 @@ object AccessControl {
       "([A-Za-z_][A-Za-z0-9_]*)" +
       "(?:\\s+SETTINGS\\s+(.+?))?(?:\\s+TO\\s+([A-Za-z_,\\s]+|ALL))?$").r
 
-    stmt match {
+    stmtNoOpt match {
       case alterUserRename(from, to) =>
         requireAdmin()
         require(users.contains(from), s"there is no user `$from`")
@@ -493,6 +540,7 @@ object AccessControl {
         users.remove(from); users.add(to)
         // every identity edge follows the rename
         Option(roleGrants.remove(from)).foreach(roleGrants.put(to, _))
+        Option(roleAdminOptions.remove(from)).foreach(roleAdminOptions.put(to, _))
         Option(activeRoles.remove(from)).foreach(activeRoles.put(to, _))
         Option(defaultRoles.remove(from)).foreach(defaultRoles.put(to, _))
         grants.asScala.filter(_.grantee == from).toSeq.foreach { g =>
@@ -511,6 +559,11 @@ object AccessControl {
         }
         roleGrants.replaceAll((_, rs) =>
           if (rs.contains(from)) rs - from + to else rs)
+        roleAdminOptions.replaceAll((_, rs) =>
+          if (rs.contains(from)) rs - from + to else rs)
+        Option(roleGrants.remove(from)).foreach(roleGrants.put(to, _))
+        Option(roleAdminOptions.remove(from))
+          .foreach(roleAdminOptions.put(to, _))
         renameGrantee(from, to)
         retireShadows(spark)
         ok
@@ -729,8 +782,12 @@ object AccessControl {
         val target = Option(who).getOrElse(me)
         val rows =
           listGrants.filter(_._1 == target).map {
-            case (_, "ROLE", r) => s"GRANT $r TO $target"
-            case (_, p, t) => s"GRANT $p ON $t TO $target"
+            case (_, "ROLE", r, admin) =>
+              s"GRANT $r TO $target" +
+                (if (admin) " WITH ADMIN OPTION" else "")
+            case (_, p, t, opt) =>
+              s"GRANT $p ON $t TO $target" +
+                (if (opt) " WITH GRANT OPTION" else "")
           }
         rows.toDF("grants")
       case createUser(ifNot, name, _) =>
@@ -759,30 +816,82 @@ object AccessControl {
         import scala.jdk.CollectionConverters._
         grants.asScala.filter(_.grantee == name).foreach(grants.remove)
         roleGrants.replaceAll((_, rs) => rs - name)
+        roleAdminOptions.replaceAll((_, rs) => rs - name)
+        ok
+      // delegation-aware gates: `default` always may; a non-default
+      // user may GRANT/REVOKE exactly the privileges it holds WITH
+      // GRANT OPTION (roles: WITH ADMIN OPTION) on that target
+      case revokeGrantOption(ps, target, from) =>
+        for (p <- privs(ps))
+          if (me != "default" && !hasGrantOption(me, p, target))
+            throw new SecurityException(
+              s"$me: Not enough privileges. To execute this query, it's " +
+                s"necessary to have the grant $p ON $target WITH GRANT OPTION")
+        for (g <- names(from); p <- privs(ps))
+          if (grants.remove(Grant(g, p, target.toLowerCase,
+              grantOption = true)))
+            grants.add(Grant(g, p, target.toLowerCase))
+        ok
+      case revokeAdminOption(rs, from) if names(rs).forall(roles.contains) =>
+        for (r <- names(rs))
+          if (me != "default" && !hasAdminOption(me, r))
+            throw new SecurityException(
+              s"$me: Not enough privileges. To execute this query, it's " +
+                s"necessary to have the grant $r WITH ADMIN OPTION")
+        for (g <- names(from); r <- names(rs))
+          roleAdminOptions.computeIfPresent(g, (_, cur) => cur - r)
         ok
       case grantPriv(ps, target, to) =>
-        requireAdmin()
+        for (p <- privs(ps))
+          if (me != "default" && !hasGrantOption(me, p, target))
+            throw new SecurityException(
+              s"$me: Not enough privileges. To execute this query, it's " +
+                s"necessary to have the grant $p ON $target WITH GRANT OPTION")
         for (g <- names(to); p <- privs(ps)) {
           knownGrantee(g)
-          grants.add(Grant(g, p, target.toLowerCase))
+          if (withGrantOpt) {
+            grants.remove(Grant(g, p, target.toLowerCase))
+            grants.add(Grant(g, p, target.toLowerCase, grantOption = true))
+          } else if (!grants.contains(
+              Grant(g, p, target.toLowerCase, grantOption = true)))
+            grants.add(Grant(g, p, target.toLowerCase))
         }
         ok
       case revokePriv(ps, target, from) =>
-        requireAdmin()
-        for (g <- names(from); p <- privs(ps))
+        for (p <- privs(ps))
+          if (me != "default" && !hasGrantOption(me, p, target))
+            throw new SecurityException(
+              s"$me: Not enough privileges. To execute this query, it's " +
+                s"necessary to have the grant $p ON $target WITH GRANT OPTION")
+        // revoking the privilege strips its grant option with it
+        for (g <- names(from); p <- privs(ps)) {
           grants.remove(Grant(g, p, target.toLowerCase))
+          grants.remove(Grant(g, p, target.toLowerCase, grantOption = true))
+        }
         ok
       case grantRole(rs, to) if names(rs).forall(roles.contains) =>
-        requireAdmin()
+        for (r <- names(rs))
+          if (me != "default" && !hasAdminOption(me, r))
+            throw new SecurityException(
+              s"$me: Not enough privileges. To execute this query, it's " +
+                s"necessary to have the grant $r WITH ADMIN OPTION")
         for (g <- names(to); r <- names(rs)) {
           knownGrantee(g)
           roleGrants.merge(g, Set(r), _ ++ _)
+          if (withAdminOpt) roleAdminOptions.merge(g, Set(r), _ ++ _)
         }
         ok
       case revokeRole(rs, from) if names(rs).forall(roles.contains) =>
-        requireAdmin()
-        for (g <- names(from); r <- names(rs))
+        for (r <- names(rs))
+          if (me != "default" && !hasAdminOption(me, r))
+            throw new SecurityException(
+              s"$me: Not enough privileges. To execute this query, it's " +
+                s"necessary to have the grant $r WITH ADMIN OPTION")
+        // revoking the role strips its admin option with it
+        for (g <- names(from); r <- names(rs)) {
           roleGrants.computeIfPresent(g, (_, cur) => cur - r)
+          roleAdminOptions.computeIfPresent(g, (_, cur) => cur - r)
+        }
         ok
       case _ => throw new IllegalArgumentException(
         s"unsupported access-control statement: $stmt0")

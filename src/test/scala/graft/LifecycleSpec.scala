@@ -544,6 +544,33 @@ class LifecycleSpec extends SparkFunSuite {
     operators.TextIndex.drop(spark, s"$base/data", s"$base/index")
   }
 
+  test("GRANT OPTION / ADMIN OPTION: delegated grant works, " +
+      "non-delegated rejects, revoke strips the bit with the grant") {
+    val r = queries.LifecycleQueries.queries
+      .find(_.name == "q_ch_grant_option").get.run(spark, sf)
+      .collect().head
+    assert(r.getLong(r.fieldIndex("peer_reads")) == 25L)
+    assert(r.getLong(r.fieldIndex("plain_denied")) == 1L)
+    assert(r.getLong(r.fieldIndex("plain_revoke_denied")) == 1L)
+    assert(r.getLong(r.fieldIndex("peer_after_revoke")) == 1L)
+    assert(r.getString(r.fieldIndex("shown_with"))
+      .endsWith("WITH GRANT OPTION"))
+    assert(!r.getString(r.fieldIndex("shown_stripped")).contains("OPTION"))
+    assert(r.getLong(r.fieldIndex("lead_still_reads")) == 25L)
+    assert(r.getLong(r.fieldIndex("lead_delegation_gone")) == 1L)
+    assert(r.getLong(r.fieldIndex("peer_has_role")) == 1L)
+    assert(r.getLong(r.fieldIndex("admin_gone")) == 1L)
+  }
+
+  test("LIVE VIEW oracle lane: q_ch_watch versions and freshness") {
+    val r = queries.LifecycleQueries.queries
+      .find(_.name == "q_ch_watch").get.run(spark, sf).collect().head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(r.getLong(3) == 2L)
+    assert(r.getString(4) == "1,2,3")
+    assert(r.getLong(5) == 27L)
+  }
+
   // ---- round-11 ADVICE regressions ----------------------------------
 
   test("quota charges ONCE per statement: OUTFILE core and PARALLEL WITH " +
