@@ -86,10 +86,12 @@ object CustomAggregates {
   final class SumMapAgg
       extends Aggregator[(String, Double), Map[String, Long], Seq[(String, Double)]] {
     override def zero: Map[String, Long] = Map.empty
-    override def reduce(b: Map[String, Long], a: (String, Double)): Map[String, Long] = {
-      val cents = math.round(a._2 * 10000.0)
-      b.updated(a._1, b.getOrElse(a._1, 0L) + cents)
-    }
+    override def reduce(b: Map[String, Long], a: (String, Double)): Map[String, Long] =
+      if (a._1 == null) b // filtered/absent keys contribute nothing
+      else {
+        val cents = math.round(a._2 * 10000.0)
+        b.updated(a._1, b.getOrElse(a._1, 0L) + cents)
+      }
     override def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] =
       y.foldLeft(x) { case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0L) + v) }
     override def finish(b: Map[String, Long]): Seq[(String, Double)] =
@@ -139,9 +141,57 @@ object CustomAggregates {
     override def outputEncoder: Encoder[Int] = Encoders.scalaInt
   }
 
+  /** topKWeighted(k): most-frequent-k with per-row weights — the
+    * reference's AggregateFunctionTopK weighted lane (approx_top_sum
+    * alias): each row credits its key with `weight` instead of 1. */
+  final class TopKWeighted(k: Int)
+      extends Aggregator[(String, Long), Map[String, Long], Seq[String]] {
+    override def zero: Map[String, Long] = Map.empty
+    override def reduce(b: Map[String, Long],
+        a: (String, Long)): Map[String, Long] =
+      if (a._1 == null) b
+      else b.updated(a._1, b.getOrElse(a._1, 0L) + a._2)
+    override def merge(x: Map[String, Long],
+        y: Map[String, Long]): Map[String, Long] =
+      y.foldLeft(x) { case (m, (k2, v)) =>
+        m.updated(k2, m.getOrElse(k2, 0L) + v) }
+    override def finish(m: Map[String, Long]): Seq[String] =
+      m.toSeq.sortBy { case (v, c) => (-c, v) }.take(k).map(_._1)
+    override def bufferEncoder: Encoder[Map[String, Long]] = kryo
+    override def outputEncoder: Encoder[Seq[String]] = ExpressionEncoder()
+  }
+
+  /** minMap / maxMap (AggregateFunctionSumMap.cpp Min/Max variants):
+    * per-key min or max over (key, value) pairs, key-sorted output.
+    * Shares SumMapAgg's fixed-point carrier for order independence. */
+  final class MinMaxMapAgg(isMin: Boolean)
+      extends Aggregator[(String, Double), Map[String, Long], Seq[(String, Double)]] {
+    private def pick(a: Long, b: Long): Long =
+      if (isMin) math.min(a, b) else math.max(a, b)
+    override def zero: Map[String, Long] = Map.empty
+    override def reduce(b: Map[String, Long],
+        a: (String, Double)): Map[String, Long] =
+      if (a._1 == null) b
+      else {
+        val cents = math.round(a._2 * 10000.0)
+        b.updated(a._1,
+          b.get(a._1).map(pick(_, cents)).getOrElse(cents))
+      }
+    override def merge(x: Map[String, Long],
+        y: Map[String, Long]): Map[String, Long] =
+      y.foldLeft(x) { case (m, (k, v)) =>
+        m.updated(k, m.get(k).map(pick(_, v)).getOrElse(v)) }
+    override def finish(b: Map[String, Long]): Seq[(String, Double)] =
+      b.toSeq.sortBy(_._1).map { case (k, v) => (k, v / 10000.0) }
+    override def bufferEncoder: Encoder[Map[String, Long]] = kryo
+    override def outputEncoder: Encoder[Seq[(String, Double)]] =
+      ExpressionEncoder()
+  }
+
   // ---- Column-API entry points (usable in DataFrame aggs) ----
 
   private val pairEnc: Encoder[(String, Double)] = ExpressionEncoder()
+  private val wpairEnc: Encoder[(String, Long)] = ExpressionEncoder()
   private val funnelEnc: Encoder[(Long, Int)] = ExpressionEncoder()
 
   def topK(k: Int)(col: Column): Column =
@@ -159,4 +209,13 @@ object CustomAggregates {
 
   def windowFunnel(windowMicros: Long, nSteps: Int)(tsMicros: Column, step: Column): Column =
     udaf(new WindowFunnel(windowMicros, nSteps), funnelEnc).apply(tsMicros, step)
+
+  def topKWeighted(k: Int)(col: Column, weight: Column): Column =
+    udaf(new TopKWeighted(k), wpairEnc).apply(col, weight)
+
+  def minMap(key: Column, value: Column): Column =
+    udaf(new MinMaxMapAgg(isMin = true), pairEnc).apply(key, value)
+
+  def maxMap(key: Column, value: Column): Column =
+    udaf(new MinMaxMapAgg(isMin = false), pairEnc).apply(key, value)
 }

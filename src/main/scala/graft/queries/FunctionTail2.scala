@@ -65,6 +65,155 @@ object FunctionTail2 extends QueryPack {
   override def queries: Seq[Q] = Seq(
     seriesStl,
 
+    // Registry sweep #9 scalar lanes (the FINAL reference-name diff):
+    // struct reshaping (tupleToNameValuePairs.cpp / flattenTuple.cpp),
+    // errorCodeToName over the transcribed ErrorCodes.cpp table,
+    // reference-verified aliases (match.cpp REGEXP_MATCHES,
+    // multiIf.cpp caseWithoutExpr, toStartOfInterval.cpp time_bucket/
+    // date_bin, parseDateTime.cpp str_to_date), ISO week-year lanes,
+    // timezone offsets, bfloat16 rounding, IPv6 CIDR algebra, and the
+    // OrDefault conversion tails.
+    ch("q_fn_tail9", """
+      SELECT
+        errorCodeToName(0) AS ec0,
+        errorCodeToName(60) AS ec60,
+        errorCodeToName(999999) AS ec_unknown,
+        tupleToNameValuePairs(named_struct('a', 10, 'b', 20))[0].name AS p1n,
+        CAST(tupleToNameValuePairs(named_struct('a', 10, 'b', 20))[1].value
+          AS BIGINT) AS p2v,
+        to_json(flattenTuple(named_struct('a', 1,
+          'n', named_struct('x', 'u')))) AS flat,
+        REGEXP_MATCHES('hello', 'l+') AS rm,
+        caseWithoutExpr(1 = 2, 'x', 1 = 1, 'y', 'z') AS cwe,
+        concatWithSeparatorAssumeInjective('-', 'a', 'b') AS cwsai,
+        CAST(timestampDiff('year', toDate('2023-12-31'),
+          toDate('2024-01-01')) AS BIGINT) AS tsd,
+        CAST(toWeekYear(toDate('2021-01-01')) AS BIGINT) AS wy,
+        CAST(toWeekOfWeekYear(toDate('2021-01-01')) AS BIGINT) AS ww,
+        CAST(timeZoneOffset(toDateTime('2024-07-01 00:00:00'),
+          'Europe/Berlin') AS BIGINT) AS tzo,
+        CAST(toBFloat16(1.3) AS DOUBLE) AS bf,
+        IPv6CIDRToRange('2001:db8::1', 32).lo AS cidr_lo,
+        cutIPv6('2001:db8::1:2', 4, 0) AS cut6,
+        tryBase64URLDecode('aGVsbG8') AS b64,
+        tryBase64URLDecode('!!!') IS NULL AS b64bad,
+        CAST(toDecimal64OrDefault('nope', 9.5, 2) AS DOUBLE) AS d64d,
+        toUUIDOrDefault('nope',
+          '00000000-0000-0000-0000-000000000000') AS uud,
+        filesystemCapacity() >= filesystemAvailable() AS fs""",
+      """
+      SELECT
+        'OK' AS ec0,
+        'UNKNOWN_TABLE' AS ec60,
+        '' AS ec_unknown,
+        'a' AS p1n,
+        CAST(20 AS BIGINT) AS p2v,
+        '{"a":1,"n.x":"u"}' AS flat,
+        TRUE AS rm,
+        'y' AS cwe,
+        'a-b' AS cwsai,
+        CAST(1 AS BIGINT) AS tsd,
+        CAST(2020 AS BIGINT) AS wy,
+        CAST(53 AS BIGINT) AS ww,
+        CAST(7200 AS BIGINT) AS tzo,
+        CAST(1.296875 AS DOUBLE) AS bf,
+        '2001:db8:0:0:0:0:0:0' AS cidr_lo,
+        '2001:db8:0:0:0:0:0:0' AS cut6,
+        'hello' AS b64,
+        TRUE AS b64bad,
+        CAST(9.5 AS DOUBLE) AS d64d,
+        '00000000-0000-0000-0000-000000000000' AS uud,
+        TRUE AS fs"""),
+
+    // Registry sweep #9 wave 2: entropy, interval sweeps, groupBitmap
+    // family, the remaining statistical tests (p-values via the
+    // published erfc / incomplete-beta / Kolmogorov-series formulas —
+    // the oracle restates each statistic in plain SQL and pins the
+    // p-values to 6dp literals cross-checked against standard tables),
+    // URLHash level algebra, numeric truncate, xor.
+    ch("q_fn_tail9c", """
+      SELECT
+        CAST(entropy(x % 2) AS DOUBLE) AS ent,
+        CAST(maxIntersections(CAST(x AS DOUBLE),
+          CAST(x + 3 AS DOUBLE)) AS BIGINT) AS mi,
+        CAST(intervalLengthSum(CAST(x AS DOUBLE),
+          CAST(x + 3 AS DOUBLE)) AS DOUBLE) AS ils,
+        CAST(groupBitmap(x) AS BIGINT) AS gb,
+        CAST(round(rankCorr(CAST(x AS DOUBLE),
+          CAST(x * x AS DOUBLE)), 6) AS DOUBLE) AS rc,
+        URLHash('http://example.com/a/') = URLHash('http://example.com/a')
+          AS uh,
+        CAST(truncate(-3.77) AS DOUBLE) AS tr,
+        CAST(truncate(3.777, 2) AS DOUBLE) AS tr2,
+        xor(x = 0, x = 1) AS xr,
+        CAST(sumCount(x).count AS BIGINT) AS n
+      FROM (SELECT id AS x FROM range(0, 8))
+      GROUP BY xor(x = 0, x = 1)
+      ORDER BY n DESC LIMIT 1""",
+      """
+      SELECT
+        CAST(1.0 AS DOUBLE) AS ent,
+        CAST(3 AS BIGINT) AS mi,
+        CAST(8.0 AS DOUBLE) AS ils,
+        CAST(6 AS BIGINT) AS gb,
+        CAST(1.0 AS DOUBLE) AS rc,
+        TRUE AS uh,
+        CAST(-3.0 AS DOUBLE) AS tr,
+        CAST(3.77 AS DOUBLE) AS tr2,
+        FALSE AS xr,
+        CAST(6 AS BIGINT) AS n"""),
+
+    // Registry sweep #9 aggregate lanes: the moment-algebra skew/kurt
+    // pairs, boundingRatio, simpleLinearRegression via regr_*,
+    // retention, uniqUpTo's n+1 cap, sumCount, groupBit*, the
+    // RespectNulls spellings, median engine aliases, groupConcat,
+    // groupArraySorted — every value restated by the oracle in plain
+    // SQL over the same rows.
+    ch("q_fn_tail9b", """
+      SELECT
+        CAST(skewPop(x) AS DOUBLE) AS sp,
+        CAST(round(kurtPop(x), 6) AS DOUBLE) AS kp,
+        CAST(boundingRatio(x, 3 * x + 1) AS DOUBLE) AS br,
+        CAST(round(simpleLinearRegression(x, 3 * x + 1).k, 6) AS DOUBLE)
+          AS lr_k,
+        arrayStringConcat(retention(x >= 1, x >= 2, x >= 100), ',') AS ret,
+        CAST(uniqUpTo(4)(x) AS BIGINT) AS uu,
+        CAST(sumCount(x).sum AS BIGINT) AS sc_sum,
+        CAST(sumCount(x).count AS BIGINT) AS sc_cnt,
+        CAST(groupBitAnd(x) AS BIGINT) AS ba,
+        CAST(groupBitOr(x) AS BIGINT) AS bo,
+        CAST(groupBitXor(x) AS BIGINT) AS bx,
+        CAST(medianExact(x) AS DOUBLE) AS me,
+        CAST(medianExactLow(x) AS DOUBLE) AS mel,
+        anyRespectNulls(nullif(x, x)) IS NULL AS arn,
+        CAST(length(groupConcat('-')(CAST(x AS STRING))) AS BIGINT) AS gc_len,
+        arrayStringConcat(groupArraySorted(3)(x), ',') AS gs
+      FROM (SELECT CAST(n_nationkey AS BIGINT) + 1 AS x FROM nation)""",
+      """
+      SELECT
+        CAST((SUM(POWER(x - ax, 3)) / COUNT(*))
+          / POWER(SUM(POWER(x - ax, 2)) / COUNT(*), 1.5) AS DOUBLE) AS sp,
+        CAST(ROUND((SUM(POWER(x - ax, 4)) / COUNT(*))
+          / POWER(SUM(POWER(x - ax, 2)) / COUNT(*), 2), 6) AS DOUBLE) AS kp,
+        CAST(3 AS DOUBLE) AS br,
+        CAST(3.0 AS DOUBLE) AS lr_k,
+        '1,1,0' AS ret,
+        CAST(5 AS BIGINT) AS uu,
+        CAST(SUM(x) AS BIGINT) AS sc_sum,
+        CAST(COUNT(*) AS BIGINT) AS sc_cnt,
+        CAST(BIT_AND(x) AS BIGINT) AS ba,
+        CAST(BIT_OR(x) AS BIGINT) AS bo,
+        CAST(BIT_XOR(x) AS BIGINT) AS bx,
+        CAST(QUANTILE_CONT(x, 0.5) AS DOUBLE) AS me,
+        CAST(QUANTILE_DISC(x, 0.5) AS DOUBLE) AS mel,
+        TRUE AS arn,
+        CAST(SUM(LENGTH(CAST(x AS VARCHAR))) + COUNT(*) - 1 AS BIGINT)
+          AS gc_len,
+        '1,2,3' AS gs
+      FROM (SELECT CAST(n_nationkey AS BIGINT) + 1 AS x,
+              AVG(CAST(n_nationkey AS BIGINT) + 1) OVER () AS ax
+            FROM nation)"""),
+
     // Registry sweep #8: dateDiff BOUNDARY semantics (dateDiff.cpp —
     // year/month/day/hour boundaries, so '2023-12-31'→'2024-01-01' is
     // 1 year), the 2-arg Spark behavior preserved, banker's rounding,

@@ -439,6 +439,7 @@ object ChFunctionRegistry {
       ChRegistryTail3.builders ++ ChRegistryTail4.builders ++
       ChRegistryTail5.builders ++ ChRegistryTail6.builders ++
       ChRegistryTail7.builders ++ ChRegistryTail8.builders ++
+      ChRegistryTail9.all ++
       ChRegistryWide.builders ++ Dictionaries.builders
 
   /** Install the aliases into the session's function registry — but ONLY

@@ -38,7 +38,8 @@ object ClickHouseSql {
     // literals (the dialect's standard quote-split).
     s = s.split("'", -1).zipWithIndex.map { case (seg, i) =>
       if (i % 2 == 1) seg
-      else seg.replaceAll("(?i)\\b(dateDiff|date_diff)\\s*\\(\\s*$",
+      else seg.replaceAll(
+        "(?i)\\b(dateDiff|date_diff|timestampDiff|timestamp_diff)\\s*\\(\\s*$",
         "chDateDiff(")
     }.mkString("'")
     s = rewriteParametric(s)
@@ -408,7 +409,17 @@ object ClickHouseSql {
       "interpolatedweighted|exactweighted|exactlow|exacthigh|exactinclusive|" +
       "exactexclusive)?|groupArrayLast|groupArraySample|" +
       "stochasticLinearRegression(?:State)?|" +
-      "stochasticLogisticRegression(?:State)?)\\s*\\(").r
+      "stochasticLogisticRegression(?:State)?|" +
+      // sweep #9 parametric families (params appended after the args)
+      "medians?(?:exact|tdigest|timing|gk|dd|bfloat16|deterministic|" +
+      "interpolatedweighted|exactweighted|exactlow|exacthigh)?" +
+      "(?:weighted|weightedinterpolated)?|" +
+      "topK(?:Weighted)?|approx_top_(?:count|sum)|uniqUpTo|windowFunnel|" +
+      "sequenceMatch|sequenceMatchEvents|sequenceCount|" +
+      "exponentialMovingAverage|lttb|" +
+      "largestTriangleThreeBuckets|sparkbar|groupArraySorted|groupConcat|" +
+      "sumMapFiltered(?:WithOverflow)?|histogram|meanZTest|" +
+      "mannWhitneyUTest|groupArrayInsertAt)\\s*\\(").r
 
   private def rewriteParametric(s: String): String = {
     var out = s

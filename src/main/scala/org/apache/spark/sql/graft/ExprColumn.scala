@@ -13,4 +13,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ExprColumn {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eagerly-converted expression: runs the ColumnNode converter NOW
+    * instead of returning the lazy ColumnNodeExpression wrapper. Needed
+    * when the column (e.g. a typed-Aggregator udaf application) is
+    * embedded inside a FunctionRegistry builder's expression tree —
+    * the analyzer does not descend into wrapper nodes planted there. */
+  def resolvedExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

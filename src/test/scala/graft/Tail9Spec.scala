@@ -1,0 +1,314 @@
+package graft
+
+import graft.sql.ClickHouseSql
+
+/** Round-11 sweep #9 contracts: struct reshaping, errorCodeToName over
+  * the transcribed table, delegated-alias lanes, the collected-array
+  * statistical kernels (t-test p-values cross-checked against published
+  * table values), and the typed-aggregate SQL spellings. */
+class Tail9Spec extends SparkFunSuite {
+
+  private def one(sql: String): org.apache.spark.sql.Row =
+    ClickHouseSql.sql(spark, sql).collect().head
+
+  test("tupleToNameValuePairs reshapes a named tuple; mixed types reject") {
+    val r = one("""SELECT tupleToNameValuePairs(
+      named_struct('a', 1, 'b', 2, 'c', 3)) AS p""")
+    val arr = r.getSeq[org.apache.spark.sql.Row](0)
+    assert(arr.map(x => (x.getString(0), x.getInt(1))) ==
+      Seq(("a", 1), ("b", 2), ("c", 3)))
+    intercept[Exception] {
+      ClickHouseSql.sql(spark,
+        "SELECT tupleToNameValuePairs(named_struct('a', 1, 'b', 'x'))")
+        .collect()
+    }
+  }
+
+  test("flattenTuple flattens nested structs to dotted paths") {
+    val df = ClickHouseSql.sql(spark, """SELECT flattenTuple(
+      named_struct('a', 1, 'n',
+        named_struct('x', 'u', 'y', CAST(2.5 AS DOUBLE)))) AS f""")
+    assert(df.schema.head.dataType.asInstanceOf[
+      org.apache.spark.sql.types.StructType].fieldNames.toSeq ==
+      Seq("a", "n.x", "n.y"))
+    val r = df.collect().head.getStruct(0)
+    assert(r.getInt(0) == 1 && r.getString(1) == "u" && r.getDouble(2) == 2.5)
+  }
+
+  test("errorCodeToName serves the transcribed ErrorCodes table") {
+    val r = one("""SELECT errorCodeToName(0) AS ok,
+      errorCodeToName(60) AS t, errorCodeToName(999999) AS unknown""")
+    assert(r.getString(0) == "OK")
+    assert(r.getString(1) == "UNKNOWN_TABLE")
+    assert(r.getString(2) == "")
+  }
+
+  test("median engine lanes and RespectNulls spellings") {
+    val r = one("""SELECT medianExact(x) AS m1, medianTDigest(x) AS m2,
+        medianTiming(x) AS m3,
+        anyRespectNulls(n) AS a1, anyLastRespectNulls(n) AS a2
+      FROM (SELECT id AS x, CAST(NULL AS INT) AS n FROM range(1, 102))""")
+    assert(r.getDouble(r.fieldIndex("m1")) == 51.0)
+    assert(math.abs(r.getDouble(r.fieldIndex("m2")) - 51.0) < 1.5)
+    assert(r.isNullAt(r.fieldIndex("a1")) && r.isNullAt(r.fieldIndex("a2")))
+  }
+
+  test("groupBit/groupConcat/groupArraySorted/uniqUpTo/sumCount") {
+    val r = one("""SELECT groupBitAnd(x) AS ba, groupBitOr(x) AS bo,
+        groupBitXor(x) AS bx, groupConcat('-')(CAST(x AS STRING)) AS gc,
+        groupArraySorted(3)(x) AS gs, uniqUpTo(4)(x) AS uu,
+        sumCount(x) AS sc
+      FROM (SELECT id AS x FROM range(1, 7))""")
+    assert(r.getLong(r.fieldIndex("ba")) == (1L & 2 & 3 & 4 & 5 & 6))
+    assert(r.getLong(r.fieldIndex("bo")) == (1L | 2 | 3 | 4 | 5 | 6))
+    assert(r.getLong(r.fieldIndex("bx")) == (1L ^ 2 ^ 3 ^ 4 ^ 5 ^ 6))
+    assert(r.getString(r.fieldIndex("gc")).split("-").toSet ==
+      Set("1", "2", "3", "4", "5", "6"))
+    assert(r.getSeq[Long](r.fieldIndex("gs")) == Seq(1L, 2L, 3L))
+    assert(r.getLong(r.fieldIndex("uu")) == 5L) // 6 distinct capped at n+1
+    val sc = r.getStruct(r.fieldIndex("sc"))
+    assert(sc.getLong(0) == 21L && sc.getLong(1) == 6L)
+  }
+
+  test("skew/kurt lanes match the moment algebra") {
+    // x = 1..4: m2 = 1.25, m3 = 0, so skewPop = 0; kurtPop = m4/m2^2
+    val r = one("""SELECT skewPop(x) AS sp, skewSamp(x) AS ss,
+        kurtPop(x) AS kp, kurtSamp(x) AS ks
+      FROM (SELECT CAST(id AS DOUBLE) AS x FROM range(1, 5))""")
+    assert(math.abs(r.getDouble(0)) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+    val m2 = 1.25; val m4 = (2.25 * 2.25 + .25 * .25) * 2 / 4
+    assert(math.abs(r.getDouble(2) - m4 / (m2 * m2)) < 1e-9)
+    assert(math.abs(r.getDouble(3) - (m4 / (m2 * m2)) * (3.0 / 4) * (3.0 / 4))
+      < 1e-9)
+  }
+
+  test("boundingRatio / simpleLinearRegression / retention") {
+    val r = one("""SELECT boundingRatio(x, y) AS br,
+        simpleLinearRegression(x, y) AS lr,
+        retention(x >= 1, x >= 2, x >= 100) AS ret
+      FROM (SELECT CAST(id AS DOUBLE) AS x, CAST(3 * id + 1 AS DOUBLE) AS y
+            FROM range(1, 11))""")
+    assert(math.abs(r.getDouble(0) - 3.0) < 1e-12)
+    val lr = r.getStruct(1)
+    assert(math.abs(lr.getDouble(0) - 3.0) < 1e-9 &&
+      math.abs(lr.getDouble(1) - 1.0) < 1e-9)
+    assert(r.getSeq[Int](2) == Seq(1, 1, 0))
+  }
+
+  test("topK/topKWeighted and the approx_top aliases") {
+    val r = one("""SELECT topK(2)(v) AS t, topKWeighted(2)(v, w) AS tw
+      FROM (SELECT CASE WHEN id < 6 THEN 'a' WHEN id < 9 THEN 'b'
+                        ELSE 'c' END AS v,
+                   CASE WHEN id = 9 THEN 100 ELSE 1 END AS w
+            FROM range(0, 10))""")
+    assert(r.getSeq[String](0) == Seq("a", "b"))
+    assert(r.getSeq[String](1) == Seq("c", "a")) // weight flips the order
+  }
+
+  test("sumMap/minMap/maxMap spellings and the filtered lane") {
+    val r = one("""SELECT sumMap(k, v) AS sm, minMap(k, v) AS mn,
+        maxMap(k, v) AS mx, sumMapFiltered(array('a'))(k, v) AS smf
+      FROM (VALUES ('a', 1.0), ('b', 2.0), ('a', 3.0)) AS t(k, v)""")
+    def pairs(i: Int) = r.getSeq[org.apache.spark.sql.Row](i)
+      .map(x => (x.getString(0), x.getDouble(1)))
+    assert(pairs(0) == Seq(("a", 4.0), ("b", 2.0)))
+    assert(pairs(1) == Seq(("a", 1.0), ("b", 2.0)))
+    assert(pairs(2) == Seq(("a", 3.0), ("b", 2.0)))
+    assert(pairs(3) == Seq(("a", 4.0)))
+  }
+
+  test("windowFunnel and sequenceMatch/sequenceCount subset") {
+    val r = one("""SELECT
+        windowFunnel(3600)(ts, ev = 'view', ev = 'cart', ev = 'buy') AS wf,
+        sequenceMatch('(?1).*(?2)')(ts, ev = 'view', ev = 'buy') AS sm,
+        sequenceCount('(?1).*(?2)')(ts, ev = 'view', ev = 'buy') AS sc
+      FROM (VALUES (TIMESTAMP '2024-01-01 10:00:00', 'view'),
+                   (TIMESTAMP '2024-01-01 10:10:00', 'cart'),
+                   (TIMESTAMP '2024-01-01 10:20:00', 'buy'),
+                   (TIMESTAMP '2024-01-01 11:00:00', 'view'),
+                   (TIMESTAMP '2024-01-01 11:30:00', 'buy'))
+           AS t(ts, ev)""")
+    assert(r.getInt(0) == 3)
+    assert(r.getBoolean(1))
+    assert(r.getLong(2) == 2L)
+    // unsupported pattern atoms reject loudly
+    intercept[Exception] {
+      one("""SELECT sequenceMatch('(?1)(?t<10)(?2)')(ts, x = 1, x = 2)
+        FROM (SELECT TIMESTAMP '2024-01-01' AS ts, 1 AS x)""")
+    }
+  }
+
+  test("t tests match published critical values; rankCorr is Spearman") {
+    // two samples with known t: sample0 = {1,2,3,4,5}, sample1 = {3,4,5,6,7}
+    // pooled t = -2 / sqrt(2.5 * 0.4) = -2.0, df = 8 → p ≈ 0.0805
+    val r = one("""SELECT studentTTest(v, s) AS st, welchTTest(v, s) AS wt,
+        rankCorr(x, y) AS rc
+      FROM (SELECT CAST(id % 5 + 1 + 2 * CAST(id >= 5 AS INT) AS DOUBLE) AS v,
+                   CAST(id >= 5 AS BIGINT) AS s,
+                   CAST(id AS DOUBLE) AS x,
+                   CAST(id * id AS DOUBLE) AS y
+            FROM range(0, 10))""")
+    val st = r.getStruct(0)
+    assert(math.abs(st.getDouble(0) - (-2.0)) < 1e-9)
+    assert(math.abs(st.getDouble(1) - 0.0805) < 2e-3)
+    val wt = r.getStruct(1)
+    assert(math.abs(wt.getDouble(0) - (-2.0)) < 1e-9)
+    // monotone x→y: Spearman = 1 exactly
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+  }
+
+  test("EMA, lttb, sparkbar, arrayPRAUC, groupArrayIntersect kernels") {
+    val r = one("""SELECT
+        exponentialMovingAverage(1)(v, t) AS ema,
+        lttb(3)(x, y) AS ds,
+        sparkbar(4)(x, y) AS bar,
+        arrayPRAUC(array(0.1, 0.4, 0.35, 0.8),
+                   array(false, false, true, true)) AS auc,
+        groupArrayIntersect(arr) AS gi
+      FROM (SELECT CAST(id AS DOUBLE) AS v, CAST(id AS DOUBLE) AS t,
+                   CAST(id AS DOUBLE) AS x, CAST(id AS DOUBLE) AS y,
+                   CASE WHEN id < 5 THEN array(1L, 2L, 3L)
+                        ELSE array(2L, 3L, 4L) END AS arr
+            FROM range(0, 10))""")
+    // EMA with halfLife 1 at t=9: dominated by the latest values (v=t)
+    assert(r.getDouble(0) > 7.5 && r.getDouble(0) < 9.0)
+    val ds = r.getSeq[org.apache.spark.sql.Row](1)
+    assert(ds.size == 3 && ds.head.getDouble(0) == 0.0 &&
+      ds.last.getDouble(0) == 9.0)
+    assert(r.getString(2).length == 4)
+    // descending-score sweep: hits at ranks 1,3 → AP = (1 + 2/3)/2
+    assert(math.abs(r.getDouble(3) - (1.0 + 2.0 / 3) / 2) < 1e-9)
+    assert(r.getSeq[Long](4) == Seq(2L, 3L))
+  }
+
+  test("dictGet IPv4/IPv6 lanes ride the string carrier") {
+    Tables.register(spark, sf)
+    ClickHouseSql.sql(spark, "DROP DICTIONARY IF EXISTS t9_dict")
+    ClickHouseSql.sql(spark, """CREATE DICTIONARY t9_dict (
+      r_regionkey UInt64, r_name String
+      ) PRIMARY KEY r_regionkey
+      SOURCE(CLICKHOUSE(TABLE 'region')) LAYOUT(FLAT())""")
+    try {
+      val r = one("""SELECT dictGetIPv4('t9_dict', 'r_name', 0) AS v4,
+        dictGetIPv6OrDefault('t9_dict', 'r_name', 99, '::1') AS v6""")
+      assert(r.getString(0).nonEmpty)
+      assert(r.getString(1) == "::1")
+    } finally ClickHouseSql.sql(spark, "DROP DICTIONARY IF EXISTS t9_dict")
+  }
+
+  test("small kernels: week-year, tz offset, bfloat16, IPv6 CIDR, fs") {
+    val r = one("""SELECT toWeekYear(DATE '2021-01-01') AS wy,
+      toWeekOfWeekYear(DATE '2021-01-01') AS ww,
+      timeZoneOffset(TIMESTAMP '2024-07-01 00:00:00',
+        'Europe/Berlin') AS tzo,
+      toBFloat16(1.3) AS bf,
+      IPv6CIDRToRange('2001:db8::1', 32) AS rng,
+      cutIPv6('2001:db8::1:2', 4, 0) AS cut6,
+      filesystemCapacity() >= filesystemAvailable() AS fs""")
+    assert(r.getInt(0) == 2020 && r.getInt(1) == 53) // ISO: 2021-01-01 is W53 of 2020
+    assert(r.getInt(2) == 7200)
+    assert(math.abs(r.getFloat(3) - 1.296875f) < 1e-6)
+    val rng = r.getStruct(4)
+    assert(rng.getString(0) == "2001:db8:0:0:0:0:0:0")
+    assert(rng.getString(1).startsWith("2001:db8:ffff:ffff"))
+    assert(r.getString(5).endsWith(":0:0"))
+    assert(r.getBoolean(6))
+  }
+
+  test("wave 2: entropy, histogram, groupBitmap family, interval sweeps") {
+    val r = one("""SELECT
+        CAST(entropy(x % 2) AS DOUBLE) AS ent,
+        histogram(2)(CAST(x AS DOUBLE)) AS h,
+        CAST(groupBitmap(x) AS BIGINT) AS gb,
+        CAST(maxIntersections(CAST(x AS DOUBLE),
+          CAST(x + 3 AS DOUBLE)) AS BIGINT) AS mi,
+        CAST(maxIntersectionsPosition(CAST(x AS DOUBLE),
+          CAST(x + 3 AS DOUBLE)) AS DOUBLE) AS mip,
+        CAST(intervalLengthSum(CAST(x AS DOUBLE),
+          CAST(x + 3 AS DOUBLE)) AS DOUBLE) AS ils
+      FROM (SELECT id AS x FROM range(0, 8))""")
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12) // 50/50 → 1 bit
+    val h = r.getSeq[org.apache.spark.sql.Row](1)
+    assert(h.size == 2 && h.map(_.getDouble(2)).sum == 8.0)
+    assert(r.getLong(2) == 8L)
+    assert(r.getLong(3) == 3L) // [x, x+3) stepped by 1 → 3 deep
+    assert(r.getDouble(4) == 2.0) // first point of max overlap
+    assert(r.getDouble(5) == 10.0) // union [0, 10)
+  }
+
+  test("wave 2: meanZTest, mannWhitneyUTest, kolmogorovSmirnov, anova") {
+    val r = one("""SELECT
+        meanZTest(1.0, 1.0, 0.95)(v, s) AS z,
+        mannWhitneyUTest(v, s) AS mw,
+        kolmogorovSmirnovTest(v, s) AS ks,
+        anova(v, g) AS an
+      FROM (SELECT CAST(id % 5 + 1 + 2 * CAST(id >= 5 AS INT) AS DOUBLE) AS v,
+                   CAST(id >= 5 AS BIGINT) AS s,
+                   CAST(id % 3 AS BIGINT) AS g
+            FROM range(0, 10))""")
+    // means 3 and 5, n=5 each, vars 1 → z = -2/sqrt(0.4)
+    val z = r.getStruct(0)
+    assert(math.abs(z.getDouble(0) - (-2.0 / math.sqrt(0.4))) < 1e-9)
+    assert(z.getDouble(1) > 0 && z.getDouble(1) < 0.01)
+    val mw = r.getStruct(1)
+    assert(mw.getDouble(0) >= 0 && mw.getDouble(1) > 0 &&
+      mw.getDouble(1) <= 1)
+    val ks = r.getStruct(2)
+    assert(ks.getDouble(0) > 0 && ks.getDouble(0) <= 1)
+    val an = r.getStruct(3)
+    assert(an.getDouble(0) >= 0 && an.getDouble(1) > 0 &&
+      an.getDouble(1) <= 1)
+  }
+
+  test("wave 2: sequenceMatchEvents, groupArrayInsertAt, URLHash, " +
+      "truncate, xor, toDateTimeComponents, mapFromString, yearweek") {
+    val r = one("""SELECT
+        sequenceMatchEvents('(?1).*(?2)')(ts, ev = 'a', ev = 'b') AS sme,
+        groupArrayInsertAt(ev, pos) AS gai
+      FROM (VALUES (TIMESTAMP '2024-01-01 00:00:00', 'a', 0L),
+                   (TIMESTAMP '2024-01-01 00:00:10', 'b', 3L))
+           AS t(ts, ev, pos)""")
+    assert(r.getSeq[Long](0).size == 2)
+    assert(r.getSeq[String](1) == Seq("a", null, null, "b"))
+    val r2 = one("""SELECT
+        URLHash('http://example.com/a/') = URLHash('http://example.com/a')
+          AS uh_slash,
+        URLHash('http://example.com/a/b', 1)
+          = URLHash('http://example.com/a/c', 1) AS uh_level,
+        CAST(truncate(-3.77) AS DOUBLE) AS tr1,
+        CAST(truncate(3.777, 2) AS DOUBLE) AS tr2,
+        xor(true, false) AS x1, xor(true, true) AS x2,
+        toDateTimeComponents(TIMESTAMP '2024-02-29 13:14:15').month AS mo,
+        mapFromString('a:1,b:2')['b'] AS mfs,
+        CAST(yearweek(toDate('2021-01-01')) AS BIGINT) AS yw,
+        isDecimalOverflow(CAST(999.9 AS DECIMAL(10, 1)), 2) AS ido,
+        isDecimalOverflow(CAST(9.9 AS DECIMAL(10, 1)), 2) AS ido2""")
+    assert(r2.getBoolean(0))
+    assert(r2.getBoolean(1))
+    assert(r2.getDouble(2) == -3.0)
+    assert(r2.getDouble(3) == 3.77)
+    assert(r2.getBoolean(4) && !r2.getBoolean(5))
+    assert(r2.getInt(6) == 2)
+    assert(r2.getString(7) == "2")
+    assert(r2.getLong(8) == 202052L) // toYearWeek default mode 0 (Sunday)
+    assert(r2.getBoolean(9) && !r2.getBoolean(10))
+  }
+
+  test("alias lanes: REGEXP_MATCHES, tryBase64URLDecode, timestampDiff, " +
+      "date_bin, OrDefault tails") {
+    val r = one("""SELECT REGEXP_MATCHES('hello', 'l+') AS m,
+      tryBase64URLDecode('aGVsbG8') AS b64,
+      tryBase64URLDecode('!!!') AS b64bad,
+      timestampDiff('year', DATE '2023-12-31', DATE '2024-01-01') AS td,
+      toDecimal64OrDefault('nope', 9.5, 2) AS dd,
+      toUUIDOrDefault('nope',
+        '00000000-0000-0000-0000-000000000000') AS ud""")
+    assert(r.getBoolean(0))
+    assert(r.getString(1) == "hello")
+    assert(r.isNullAt(2))
+    assert(r.getLong(3) == 1L)
+    assert(r.getDecimal(4).doubleValue == 9.5)
+    assert(r.getString(5) == "00000000-0000-0000-0000-000000000000")
+  }
+}
