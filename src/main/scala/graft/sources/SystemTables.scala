@@ -19,16 +19,88 @@ object SystemTables {
     private val events =
       new java.util.concurrent.ConcurrentLinkedDeque[
         (java.sql.Timestamp, String, String, String)]()
-    def record(eventType: String, table: String, partName: String): Unit = {
-      events.addLast((new java.sql.Timestamp(System.currentTimeMillis()),
-        eventType, table, partName))
-      while (events.size > max) events.pollFirst()
+
+    // The reference's part_log is a real MergeTree table that survives
+    // restarts (PartLog.h / StorageSystemPartLog): the analog is an
+    // append-only TSV sidecar under the warehouse, loaded once per
+    // process and compacted when the bounded ledger rolls over. Pure
+    // driver-side metadata — O(events), never row-count state.
+    @volatile private var loadedSidecar: String = null
+    private def sidecarPath(): Option[java.nio.file.Path] =
+      org.apache.spark.sql.SparkSession.getActiveSession.map { s =>
+        java.nio.file.Paths.get(
+          s.conf.get("spark.sql.warehouse.dir")
+            .stripPrefix("file:"), "_graft_part_log", "events.tsv")
+      }
+    private def esc(v: String) =
+      v.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
+    private def unesc(v: String) =
+      v.replace("\\n", "\n").replace("\\t", "\t").replace("\\\\", "\\")
+    private def ensureLoaded(): Unit = sidecarPath().foreach { p =>
+      val key = p.toString
+      if (loadedSidecar != key) synchronized {
+        if (loadedSidecar != key) {
+          if (java.nio.file.Files.exists(p)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.readAllLines(p).asScala.foreach { line =>
+              line.split("\t", -1) match {
+                case Array(ts, et, t, pn) => scala.util.Try(
+                  events.addLast((new java.sql.Timestamp(ts.toLong),
+                    unesc(et), unesc(t), unesc(pn))))
+                case _ =>
+              }
+            }
+            while (events.size > max) events.pollFirst()
+          }
+          loadedSidecar = key
+        }
+      }
     }
+    private def append(ts: Long, et: String, t: String,
+        pn: String): Unit = sidecarPath().foreach { p =>
+      scala.util.Try {
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p,
+          s"$ts\t${esc(et)}\t${esc(t)}\t${esc(pn)}\n",
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      }
+    }
+    private def compact(): Unit = sidecarPath().foreach { p =>
+      scala.util.Try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p, events.asScala.map(e =>
+          s"${e._1.getTime}\t${esc(e._2)}\t${esc(e._3)}\t${esc(e._4)}")
+          .toSeq.asJava)
+      }
+    }
+    def record(eventType: String, table: String, partName: String): Unit =
+      synchronized {
+        ensureLoaded()
+        val now = System.currentTimeMillis()
+        events.addLast((new java.sql.Timestamp(now),
+          eventType, table, partName))
+        if (events.size > max) {
+          while (events.size > max) events.pollFirst()
+          compact() // rollover: rewrite the sidecar to the bounded window
+        } else append(now, eventType, table, partName)
+      }
     def snapshot: Seq[(java.sql.Timestamp, String, String, String)] = {
+      ensureLoaded()
       import scala.jdk.CollectionConverters._
       events.asScala.toSeq
     }
-    private[graft] def clear(): Unit = events.clear()
+    private[graft] def clear(): Unit = synchronized {
+      events.clear()
+      sidecarPath().foreach(p =>
+        scala.util.Try(java.nio.file.Files.deleteIfExists(p)))
+    }
+    /** Test hook: drop the in-memory state WITHOUT touching the
+      * sidecar — simulates a process restart. */
+    private[graft] def resetMemoryForTest(): Unit = synchronized {
+      events.clear(); loadedSidecar = null
+    }
   }
 
   /** system.part_log (StorageSystemPartLog via PartLog.h): one row per
@@ -625,13 +697,34 @@ object SystemTables {
     import scala.jdk.CollectionConverters._
     val gc = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
       .asScala.map(_.getCollectionCount).sum
+    // OS-level gauges (the reference's OSMemoryTotal/MemoryResident
+    // class): the com.sun extension bean, present on every JVM here
+    val (osTotal, osFree, cpuNs) = os match {
+      case x: com.sun.management.OperatingSystemMXBean =>
+        (x.getTotalMemorySize, x.getFreeMemorySize, x.getProcessCpuTime)
+      case _ => (0L, 0L, 0L)
+    }
+    // filesystem gauges (FilesystemCapacity/Available in the
+    // reference list): the warehouse volume's FileStore — O(1) statvfs,
+    // never a directory walk
+    val store = java.nio.file.Files.getFileStore(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+      .toAbsolutePath.getRoot)
     Seq(
       ("UptimeMs", rt.getUptime),
       ("MemoryHeapUsed", mem.getHeapMemoryUsage.getUsed),
       ("MemoryHeapCommitted", mem.getHeapMemoryUsage.getCommitted),
+      ("MemoryNonHeapUsed", mem.getNonHeapMemoryUsage.getUsed),
       ("ThreadCount", th.getThreadCount.toLong),
       ("GCCollections", gc),
-      ("AvailableProcessors", os.getAvailableProcessors.toLong)
+      ("AvailableProcessors", os.getAvailableProcessors.toLong),
+      ("OSMemoryTotal", osTotal),
+      ("OSMemoryFree", osFree),
+      ("ProcessCpuTimeNs", cpuNs),
+      ("FilesystemCapacity", store.getTotalSpace),
+      ("FilesystemAvailable", store.getUsableSpace),
+      ("NumberOfTables",
+        spark.sessionState.catalog.listTables("default").size.toLong)
     ).toDF("metric", "value")
   }
 }

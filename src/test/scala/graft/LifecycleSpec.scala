@@ -571,6 +571,36 @@ class LifecycleSpec extends SparkFunSuite {
     assert(r.getLong(5) == 27L)
   }
 
+  test("system.part_log persists across restart via the warehouse sidecar") {
+    val L = graft.sources.SystemTables.PartLogLedger
+    L.clear()
+    L.record("NewPart", "graft_plog_persist_t", "k=1")
+    L.record("MutatePart", "graft_plog_persist_t", "k=1")
+    // simulate a process restart: drop ALL in-memory state; the next
+    // read must reload the sidecar (the reference's part_log is a real
+    // table that survives restarts)
+    L.resetMemoryForTest()
+    val rows = ch("""SELECT event_type FROM system.part_log
+      WHERE `table` = 'graft_plog_persist_t' ORDER BY event_type""")
+      .collect().map(_.getString(0))
+    assert(rows.toSeq == Seq("MutatePart", "NewPart"))
+    L.clear()
+    // cleared: sidecar gone too — a fresh load sees nothing
+    L.resetMemoryForTest()
+    assert(ch("""SELECT count() AS n FROM system.part_log
+      WHERE `table` = 'graft_plog_persist_t'""")
+      .collect().head.getLong(0) == 0L)
+  }
+
+  test("asynchronous_metrics serves OS/filesystem gauges honestly") {
+    val m = ch("SELECT metric, value FROM system.asynchronous_metrics")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("FilesystemCapacity") >= m("FilesystemAvailable"))
+    assert(m("OSMemoryTotal") >= m("OSMemoryFree"))
+    assert(m("MemoryNonHeapUsed") > 0 && m("ProcessCpuTimeNs") > 0)
+    assert(m.contains("NumberOfTables"))
+  }
+
   // ---- round-11 ADVICE regressions ----------------------------------
 
   test("quota charges ONCE per statement: OUTFILE core and PARALLEL WITH " +
