@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, expr, lit}
 
 /** Driver benchmark contract: one JSON line with per-query seconds over
   * SPARK_GRAFT_SF_DIR (sf0.1 in driver runs).
@@ -236,13 +237,68 @@ object Bench {
         graft.operators.DurableRewrite.stats.get("graft_mutbench_t"))
       val mutRewritten = mutStats.map(_.rewrittenPartitions).getOrElse(-1)
       val mutUntouched = mutStats.map(_.untouchedPartitions).getOrElse(-1)
+      // round-11: SQ8-vs-raw ANN — the measured traffic/time point of
+      // the 8-bit lane. At sf0.1 the 2k-vector table is overhead-bound,
+      // so the comparison runs over 128k PERTURBED replicas (per-element
+      // deterministic noise defeats parquet dictionary compression —
+      // identical replicas would understate the raw bytes 10×). Bytes =
+      // on-disk size of each projected table (what a scan must read);
+      // time = min-of-3 single-query top-10 over each.
+      val annBase = s"/tmp/graft_annsq8_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val annFs = java.nio.file.Paths.get(annBase)
+      if (!java.nio.file.Files.exists(annFs)) {
+        val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select((col("vec_id") * lit(64L)).as("base"), col("embedding"))
+          .crossJoin(spark.range(64).withColumnRenamed("id", "rep"))
+          .select((col("base") + col("rep")).as("vec_id"),
+            expr("transform(embedding, (x, i) -> " +
+              "x + 0.001d * sin((base + rep) * 131 + i))").as("v"))
+        e.write.mode("overwrite").parquet(s"$annBase/raw")
+        val raw0 = spark.read.parquet(s"$annBase/raw")
+        val r = graft.operators.VectorSQ.train(raw0, "v")
+        graft.operators.VectorSQ.encode(raw0, r, "vec_id", "v")
+          .write.mode("overwrite").parquet(s"$annBase/sq8")
+      }
+      def dirBytes(p: String): Long = {
+        val d = new java.io.File(p)
+        Option(d.listFiles).map(_.filter(_.isFile)
+          .filter(_.getName.endsWith(".parquet")).map(_.length).sum)
+          .getOrElse(0L)
+      }
+      val annRawBytes = dirBytes(s"$annBase/raw")
+      val annSq8Bytes = dirBytes(s"$annBase/sq8")
+      val rawBig = spark.read.parquet(s"$annBase/raw")
+      val annRows = rawBig.count()
+      val qVec = rawBig.filter(col("vec_id") === 0L)
+        .select("v").head().getSeq[Double](0).toArray
+      val ranges = graft.operators.VectorSQ.train(rawBig, "v")
+      val encBig = spark.read.parquet(s"$annBase/sq8")
+      def minOf3(f: => Unit): Double = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.min
+      val qSql = qVec.mkString("array(", "D,", "D)")
+      val annRawSec = minOf3 {
+        rawBig.select(col("vec_id"),
+          (expr(s"aggregate(zip_with(v, $qSql, (a, b) -> a * b), 0D, " +
+            "(acc, x) -> acc + x)") /
+            (expr("sqrt(aggregate(transform(v, x -> x * x), 0D, " +
+              "(acc, x) -> acc + x))") *
+              lit(math.sqrt(qVec.map(x => x * x).sum)))).as("cos"))
+          .orderBy(col("cos").desc).limit(10).collect()
+      }
+      val annSq8Sec = minOf3 {
+        graft.operators.VectorSQ.topK(spark, encBig, ranges,
+          Seq((0L, qVec)), 10).collect()
+      }
       System.err.println(s"BENCH IO token index: $matchedFiles/$totalFiles files " +
         s"(best phrase $phraseFiles/$totalFiles; " +
         s"selective token $selFiles/$selTotal); " +
         s"lazy topk wide scan: $wideRows/$tableRows rows; " +
         s"mutation rewritten parts: $mutParts " +
-        s"(partitions rewritten $mutRewritten / untouched $mutUntouched)")
-      s""","io":{"text_index_files_matched":$matchedFiles,"text_index_files_total":$totalFiles,"best_phrase_files":$phraseFiles,"selective_token_files":$selFiles,"selective_token_files_total":$selTotal,"lazy_topk_wide_rows":$wideRows,"table_rows":$tableRows,"mutation_rewritten_parts":$mutParts,"mutation_rewritten_partitions":$mutRewritten,"mutation_untouched_partitions":$mutUntouched}"""
+        s"(partitions rewritten $mutRewritten / untouched $mutUntouched); " +
+        s"ann sq8-vs-raw over $annRows vecs: bytes $annSq8Bytes/$annRawBytes, " +
+        f"sec $annSq8Sec%.3f/$annRawSec%.3f")
+      s""","io":{"text_index_files_matched":$matchedFiles,"text_index_files_total":$totalFiles,"best_phrase_files":$phraseFiles,"selective_token_files":$selFiles,"selective_token_files_total":$selTotal,"lazy_topk_wide_rows":$wideRows,"table_rows":$tableRows,"mutation_rewritten_parts":$mutParts,"mutation_rewritten_partitions":$mutRewritten,"mutation_untouched_partitions":$mutUntouched,"ann_rows":$annRows,"ann_raw_bytes":$annRawBytes,"ann_sq8_bytes":$annSq8Bytes,"ann_raw_sec":$annRawSec,"ann_sq8_sec":$annSq8Sec}"""
     } catch { case e: Throwable =>
       System.err.println(s"BENCH io note failed: $e"); ""
     }
