@@ -74,6 +74,45 @@ object HashKernels {
     minOf(shingleHashes(s.toString, k, ci = false, 0L))
   def wordShingleMinHashB(s: org.apache.spark.unsafe.types.UTF8String, k: Int): Long =
     minOf(shingleHashes(s.toString, k, ci = false, 0x9e3779b97f4a7c15L))
+  // CaseInsensitive spellings (FunctionsStringHash.cpp CI lanes): same
+  // two-lane stand-in over lowercased input; the UTF8 spellings share
+  // the base kernels (strings are Unicode here)
+  def ngramMinHashACI(s: org.apache.spark.unsafe.types.UTF8String, n: Int): Long =
+    minOf(gramHashes(s.toString, n, ci = true, 0L))
+  def ngramMinHashBCI(s: org.apache.spark.unsafe.types.UTF8String, n: Int): Long =
+    minOf(gramHashes(s.toString, n, ci = true, 0x9e3779b97f4a7c15L))
+  def wordShingleMinHashACI(s: org.apache.spark.unsafe.types.UTF8String, k: Int): Long =
+    minOf(shingleHashes(s.toString, k, ci = true, 0L))
+  def wordShingleMinHashBCI(s: org.apache.spark.unsafe.types.UTF8String, k: Int): Long =
+    minOf(shingleHashes(s.toString, k, ci = true, 0x9e3779b97f4a7c15L))
+
+  // *Arg variants (FunctionsStringHash.cpp *Arg lanes): the SHINGLE that
+  // achieves each lane's min hash — what the reference exposes as the
+  // tuple-of-tuples payload for near-dup diagnosis
+  private def argMinGram(s0: String, n: Int, ci: Boolean, seed: Long): String = {
+    val s = if (ci) s0.toLowerCase else s0
+    if (s.length < n) s
+    else (0 to s.length - n).minByOption(i => fnv1a(s, i, n, seed))
+      .map(i => s.substring(i, i + n)).getOrElse("")
+  }
+  private def argMinShingle(s0: String, k: Int, ci: Boolean, seed: Long): String = {
+    val words = (if (ci) s0.toLowerCase else s0).split("\\s+").filter(_.nonEmpty)
+    if (words.length == 0) ""
+    else if (words.length < k) words.mkString(" ")
+    else words.sliding(k).map(_.mkString(" "))
+      .minByOption(j => fnv1a(j, 0, j.length, seed)).getOrElse("")
+  }
+  def ngramMinHashArg(s: org.apache.spark.unsafe.types.UTF8String, n: Int,
+      ci: Boolean, laneB: Boolean): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      argMinGram(s.toString, n, ci,
+        if (laneB) 0x9e3779b97f4a7c15L else 0L))
+  def wordShingleMinHashArg(s: org.apache.spark.unsafe.types.UTF8String,
+      k: Int, ci: Boolean,
+      laneB: Boolean): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      argMinShingle(s.toString, k, ci,
+        if (laneB) 0x9e3779b97f4a7c15L else 0L))
 
   /** 128-bit stand-in: two independent 64-bit lanes, big-endian bytes
     * (FixedString(16) carrier like the reference's sipHash128). */

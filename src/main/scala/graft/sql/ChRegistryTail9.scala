@@ -644,6 +644,62 @@ object ChRegistryTail9 {
       Not(EqualTo(a, b))))
   )
 
+  // ---- minhash/simhash spelling matrix (FunctionsStringHash.cpp):
+  // CaseInsensitive lanes lowercase, UTF8 spellings share the base
+  // kernels (strings are Unicode), Arg lanes expose the shingle that
+  // achieves each lane's min — same two-lane stand-in policy as Tail3
+  // (name-compatible, never value-pinned) ------------------------------
+
+  private val hkCls = classOf[graft.functions.HashKernels.type]
+  private def minhashLanes: Map[String, Seq[Expression] => Expression] = {
+    def argOr(args: Seq[Expression], i: Int, dflt: Int): Expression =
+      if (args.length > i) Cast(args(i), IntegerType) else Literal(dflt)
+    def mh(method: String, suffix: String)(args: Seq[Expression]) =
+      StaticInvoke(hkCls, LongType, method + suffix,
+        Seq(args.head, argOr(args, 1, 3)), Seq(StringType, IntegerType))
+    def pair(method: String, ci: Boolean)(args: Seq[Expression]) =
+      CreateStruct(Seq(
+        mh(method, if (ci) "ACI" else "A")(args),
+        mh(method, if (ci) "BCI" else "B")(args)))
+    def argPair(method: String, ci: Boolean)(args: Seq[Expression]) =
+      CreateStruct(Seq(
+        StaticInvoke(hkCls, StringType, method,
+          Seq(args.head, argOr(args, 1, 3), Literal(ci), Literal(false)),
+          Seq(StringType, IntegerType, BooleanType, BooleanType)),
+        StaticInvoke(hkCls, StringType, method,
+          Seq(args.head, argOr(args, 1, 3), Literal(ci), Literal(true)),
+          Seq(StringType, IntegerType, BooleanType, BooleanType))))
+    Map(
+      "ngramminhashcaseinsensitive" -> pair("ngramMinHash", ci = true) _,
+      "ngramminhashutf8" -> pair("ngramMinHash", ci = false) _,
+      "ngramminhashcaseinsensitiveutf8" -> pair("ngramMinHash", ci = true) _,
+      "wordshingleminhashcaseinsensitive" ->
+        pair("wordShingleMinHash", ci = true) _,
+      "wordshingleminhashutf8" -> pair("wordShingleMinHash", ci = false) _,
+      "wordshingleminhashcaseinsensitiveutf8" ->
+        pair("wordShingleMinHash", ci = true) _,
+      "ngramsimhashcaseinsensitiveutf8" -> ((args: Seq[Expression]) =>
+        StaticInvoke(hkCls, LongType, "ngramSimHashCI",
+          Seq(args.head, argOr(args, 1, 3)), Seq(StringType, IntegerType))),
+      "wordshinglesimhashcaseinsensitiveutf8" -> ((args: Seq[Expression]) =>
+        StaticInvoke(hkCls, LongType, "wordShingleSimHashCI",
+          Seq(args.head, argOr(args, 1, 3)), Seq(StringType, IntegerType))),
+      "ngramminhasharg" -> argPair("ngramMinHashArg", ci = false) _,
+      "ngramminhashargcaseinsensitive" ->
+        argPair("ngramMinHashArg", ci = true) _,
+      "ngramminhashargutf8" -> argPair("ngramMinHashArg", ci = false) _,
+      "ngramminhashargcaseinsensitiveutf8" ->
+        argPair("ngramMinHashArg", ci = true) _,
+      "wordshingleminhasharg" ->
+        argPair("wordShingleMinHashArg", ci = false) _,
+      "wordshingleminhashargcaseinsensitive" ->
+        argPair("wordShingleMinHashArg", ci = true) _,
+      "wordshingleminhashargutf8" ->
+        argPair("wordShingleMinHashArg", ci = false) _,
+      "wordshingleminhashargcaseinsensitiveutf8" ->
+        argPair("wordShingleMinHashArg", ci = true) _)
+  }
+
   val all: Map[String, Seq[Expression] => Expression] =
-    builders ++ filteredBuilders ++ builders2
+    builders ++ filteredBuilders ++ builders2 ++ minhashLanes
 }

@@ -295,6 +295,21 @@ class Tail9Spec extends SparkFunSuite {
     assert(r2.getBoolean(9) && !r2.getBoolean(10))
   }
 
+  test("minhash spelling matrix: CI lowercases, UTF8 shares base, " +
+      "Arg exposes the winning shingle") {
+    val r = one("""SELECT
+      ngramMinHash('Hello World') = ngramMinHashUTF8('Hello World') AS utf8_same,
+      ngramMinHashCaseInsensitive('Hello') = ngramMinHashCaseInsensitive('hello') AS ci_folds,
+      wordShingleMinHash('a b c d', 2) = wordShingleMinHashUTF8('a b c d', 2) AS ws_utf8,
+      ngramMinHashArg('abcd', 2).col1 AS arg1,
+      wordShingleMinHashArgCaseInsensitive('The Quick Fox', 2).col1 AS warg,
+      ngramSimHashCaseInsensitiveUTF8('XYZ') = ngramSimHashCaseInsensitive('xyz') AS sh_ci""")
+    assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2))
+    assert(r.getString(3).length == 2 && "abcd".contains(r.getString(3)))
+    assert(Seq("the quick", "quick fox").contains(r.getString(4)))
+    assert(r.getBoolean(5))
+  }
+
   test("alias lanes: REGEXP_MATCHES, tryBase64URLDecode, timestampDiff, " +
       "date_bin, OrDefault tails") {
     val r = one("""SELECT REGEXP_MATCHES('hello', 'l+') AS m,
