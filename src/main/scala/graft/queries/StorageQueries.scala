@@ -503,9 +503,13 @@ object StorageQueries extends QueryPack {
     // beans). Oracle = name inventory + non-negativity.
     Q.df("q_system_async_metrics", """
       SELECT * FROM (VALUES
-        ('AvailableProcessors', TRUE), ('GCCollections', TRUE),
+        ('AvailableProcessors', TRUE), ('FilesystemAvailable', TRUE),
+        ('FilesystemCapacity', TRUE), ('GCCollections', TRUE),
         ('MemoryHeapCommitted', TRUE), ('MemoryHeapUsed', TRUE),
-        ('ThreadCount', TRUE), ('UptimeMs', TRUE)
+        ('MemoryNonHeapUsed', TRUE), ('NumberOfTables', TRUE),
+        ('OSMemoryFree', TRUE), ('OSMemoryTotal', TRUE),
+        ('ProcessCpuTimeNs', TRUE), ('ThreadCount', TRUE),
+        ('UptimeMs', TRUE)
       ) t(metric, sane) ORDER BY metric""") { (s, dir) =>
       SystemTables.asynchronousMetrics(s)
         .select(col("metric"), (col("value") >= 0).as("sane"))
