@@ -1137,6 +1137,10 @@ object ClickHouseSql {
       import spark.implicits._
       val t = trimmed.replaceFirst("(?is)^SHOW\\s+CREATE\\s+(TABLE\\s+)?", "")
         .replaceFirst(";\\s*$", "").trim
+      // live views render their stored definition (StorageLiveView)
+      LiveViews.selectOf(t).foreach { sel =>
+        return Seq(s"CREATE LIVE VIEW $t AS $sel").toDF("statement")
+      }
       Option(refreshableViews.get(t.toLowerCase)) match {
         case Some(rv) =>
           // refreshable MV: render the stored definition with its schedule

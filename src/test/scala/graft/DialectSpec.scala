@@ -139,7 +139,7 @@ class DialectSpec extends SparkFunSuite {
     val am = ClickHouseSql.sql(spark,
       "SELECT COUNT(*) AS n FROM system.asynchronous_metrics WHERE value >= 0")
       .head().getLong(0)
-    assert(am == 6)
+    assert(am == 13) // round-11: + OS/filesystem gauge class
     // events counters move when a query runs through the dialect
     graft.sources.SystemTables.ensureEventCounters(spark)
     ClickHouseSql.sql(spark, "SELECT 42 AS ev_probe").collect()

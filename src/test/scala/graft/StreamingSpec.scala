@@ -219,6 +219,10 @@ class StreamingSpec extends SparkFunSuite {
       ch.sql(spark,
         s"CREATE LIVE VIEW IF NOT EXISTS graft_lv_spec AS SELECT 9 AS s")
       assert(v() == 2L)
+      // SHOW CREATE renders the stored definition
+      assert(ch.sql(spark, "SHOW CREATE graft_lv_spec")
+        .collect().head.getString(0)
+        .startsWith("CREATE LIVE VIEW graft_lv_spec AS"))
       // unknown view rejects
       intercept[IllegalArgumentException] {
         ch.sql(spark, "WATCH graft_lv_nope")
