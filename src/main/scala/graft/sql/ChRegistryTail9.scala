@@ -626,6 +626,25 @@ object ChRegistryTail9 {
     // the boolean xor
     "mapfromstring" -> (args =>
       ChFunctionRegistry.builders("extractkeyvaluepairs")(args)),
+    // mapPartialSort/mapPartialReverseSort (sorts the first `limit`
+    // entries, rest unspecified): the full sort SATISFIES the partial
+    // guarantee — the limit argument is accepted and absorbed
+    // (documented; the partial form is a CPU-saving detail with no
+    // observable contract beyond the prefix)
+    "mappartialsort" -> (args =>
+      ChFunctionRegistry.builders("mapsort")(Seq(args.last))),
+    "mappartialreversesort" -> (args =>
+      ChFunctionRegistry.builders("mapreversesort")(Seq(args.last))),
+    // toInterval(n, 'unit') (toInterval.cpp — the generic spelling of
+    // the toInterval<Kind> family): dispatch on the unit literal to the
+    // registered kind lanes
+    "tointerval" -> (args => {
+      val unit = foldStr(args(1)).toLowerCase.stripSuffix("s")
+      val lane = s"tointerval$unit"
+      require(ChFunctionRegistry.builders.contains(lane),
+        s"toInterval: unsupported unit '$unit'")
+      ChFunctionRegistry.builders(lane)(Seq(args.head))
+    }),
     "yearweek" -> (args => ChFunctionRegistry.builders("toyearweek")(args)),
     "truncate" -> (args => {
       val x = asDouble(args.head)

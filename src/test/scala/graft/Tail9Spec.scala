@@ -310,6 +310,17 @@ class Tail9Spec extends SparkFunSuite {
     assert(r.getBoolean(5))
   }
 
+  test("toInterval generic dispatch and mapPartialSort absorption") {
+    val r = one("""SELECT
+      toDate('2024-01-01') + toInterval(3, 'day') AS d,
+      toDateTime('2024-01-01 00:00:00') + toInterval(2, 'hours') AS t,
+      mapPartialSort(2, map('b', 2, 'a', 1)) AS mp""")
+    assert(r.get(0).toString.startsWith("2024-01-04"))
+    assert(r.get(1).toString.contains("2024-01-01 02:00"))
+    assert(r.getMap[String, Int](2).toSeq.sorted == Seq(("a", 1), ("b", 2)))
+    intercept[Exception] { one("SELECT toInterval(1, 'fortnight')") }
+  }
+
   test("alias lanes: REGEXP_MATCHES, tryBase64URLDecode, timestampDiff, " +
       "date_bin, OrDefault tails") {
     val r = one("""SELECT REGEXP_MATCHES('hello', 'l+') AS m,
