@@ -844,10 +844,11 @@ object ClickHouseSql {
     // writers. Returns a one-row status with the row count, like the
     // clickhouse-client summary line.
     // stmt1 PARALLEL WITH stmt2 [PARALLEL WITH …] (ParserParallelWithQuery):
-    // the reference runs independent DDL/DML legs concurrently; a
-    // single-session engine executes them in order — same end state,
-    // the parallelism is only a latency optimization (documented). The
-    // split happens OUTSIDE single-quoted literals only.
+    // independent DDL/DML legs run CONCURRENTLY — one thread per leg
+    // (bounded pool), each submitting its own Spark jobs; the scheduler
+    // interleaves them exactly like the reference's thread pool. Legs
+    // are independent by the statement's contract. The split happens
+    // OUTSIDE single-quoted literals only.
     if (!trimmed0.matches("(?is)^(SELECT|WITH)\\b.*")) {
       val segs = trimmed0.split("'", -1)
       val marker = "(?i)\\bPARALLEL\\s+WITH\\b".r
@@ -857,11 +858,37 @@ object ClickHouseSql {
         val withSentinel = segs.zipWithIndex.map { case (s, i) =>
           if (i % 2 == 0) marker.replaceAllIn(s, "\u0001") else s
         }.mkString("'")
-        withSentinel.split('\u0001').map(_.trim).filter(_.nonEmpty)
-          // sqlImpl, not sql: the user issued ONE statement — quota was
-          // already charged once at the sql() entry (QuotaCache::used
-          // charges per statement, not per PARALLEL WITH leg)
-          .foreach(part => sqlImpl(spark, part))
+        // sqlImpl, not sql: the user issued ONE statement — quota was
+        // already charged once at the sql() entry (QuotaCache::used
+        // charges per statement, not per PARALLEL WITH leg).
+        // Legs targeting the SAME table stay sequential (Spark's file
+        // commit protocol stages every insert under the table's one
+        // _temporary dir — concurrent committers there clobber each
+        // other); legs on distinct targets run genuinely concurrently,
+        // like the reference's thread pool.
+        val legs = withSentinel.split('\u0001').map(_.trim).filter(_.nonEmpty)
+        def legTable(l: String): Option[String] = {
+          val re = ("(?is)^(?:INSERT\\s+INTO|CREATE\\s+(?:OR\\s+REPLACE\\s+)?" +
+            "(?:TEMPORARY\\s+)?TABLE(?:\\s+IF\\s+NOT\\s+EXISTS)?|" +
+            "DROP\\s+TABLE(?:\\s+IF\\s+EXISTS)?|ALTER\\s+TABLE|" +
+            "TRUNCATE\\s+TABLE(?:\\s+IF\\s+EXISTS)?|UPDATE|DELETE\\s+FROM|" +
+            "OPTIMIZE\\s+TABLE)\\s+([A-Za-z_][A-Za-z0-9_.]*)").r
+          re.findFirstMatchIn(l).map(_.group(1).toLowerCase)
+        }
+        val groups = legs.zipWithIndex
+          .groupBy { case (l, i) => legTable(l).getOrElse(s"__leg_$i") }
+          .values.map(_.sortBy(_._2).map(_._1).toSeq).toSeq
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(groups.length, 8))
+        try {
+          import scala.jdk.CollectionConverters._
+          val tasks: java.util.List[java.util.concurrent.Callable[Unit]] =
+            groups.map[java.util.concurrent.Callable[Unit]](group =>
+              () => { group.foreach(part => sqlImpl(spark, part)); () }).asJava
+          pool.invokeAll(tasks).asScala.foreach(_.get())
+        } catch {
+          case e: java.util.concurrent.ExecutionException => throw e.getCause
+        } finally pool.shutdown()
         import spark.implicits._
         return Seq("OK").toDF("status")
       }

@@ -601,6 +601,23 @@ class LifecycleSpec extends SparkFunSuite {
     assert(m.contains("NumberOfTables"))
   }
 
+  test("PARALLEL WITH runs distinct-target legs concurrently, " +
+      "same-table legs in statement order") {
+    val t = "graft_pw_t"; val t2 = "graft_pw_t2"
+    scratch(t); scratch(t2)
+    ch(s"CREATE MATERIALIZED VIEW $t AS SELECT CAST(1 AS BIGINT) AS a")
+    // legs 1+3 share table t (ordered: insert THEN update sees it);
+    // leg 2 creates t2 in parallel
+    ch(s"INSERT INTO $t VALUES (10) " +
+      s"PARALLEL WITH CREATE TABLE $t2 (b Int64) ENGINE = MergeTree ORDER BY b " +
+      s"PARALLEL WITH UPDATE $t SET a = a * 2 WHERE a >= 10")
+    val vals = spark.table(t).collect().map(_.getLong(0)).sorted.toSeq
+    assert(vals == Seq(1L, 20L),
+      s"same-table legs must run in order: got $vals")
+    assert(spark.catalog.tableExists(t2))
+    scratch(t); scratch(t2)
+  }
+
   // ---- round-11 ADVICE regressions ----------------------------------
 
   test("quota charges ONCE per statement: OUTFILE core and PARALLEL WITH " +
