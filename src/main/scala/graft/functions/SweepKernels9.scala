@@ -318,6 +318,188 @@ object SweepKernels9 {
     new GenericArrayData(out.asInstanceOf[Array[Any]])
   }
 
+  // ---- REAL hash kernels (upgrading the round-2 stand-ins, like the
+  // sweep-#7 SipHash upgrade): MurmurHash2/MurmurHash3 re-implemented
+  // from Appleby's PUBLISHED public-domain algorithms (smhasher), the
+  // Java/Hive 31-recurrence from the JDK contract, CRC-64 from the
+  // textbook reflected table-driven form with the reference's ECMA-182
+  // polynomial (CRC.cpp:42 — a constant, not logic). Seeds per
+  // FunctionsHashing.h: murmurHash2_32/64 and murmurHash3_* use 0. ----
+
+  /** MurmurHash2 (32-bit, Appleby): m=0x5bd1e995, r=24. */
+  def murmurHash2WithSeed(data: Array[Byte], seed: Int): Int = {
+    val m = 0x5bd1e995
+    val r = 24
+    var h = seed ^ data.length
+    val n4 = data.length / 4
+    var i = 0
+    while (i < n4) {
+      val i4 = i * 4
+      var k = (data(i4) & 0xff) | ((data(i4 + 1) & 0xff) << 8) |
+        ((data(i4 + 2) & 0xff) << 16) | ((data(i4 + 3) & 0xff) << 24)
+      k *= m; k ^= k >>> r; k *= m
+      h *= m; h ^= k
+      i += 1
+    }
+    val tail = n4 * 4
+    val rem = data.length & 3
+    if (rem >= 3) h ^= (data(tail + 2) & 0xff) << 16
+    if (rem >= 2) h ^= (data(tail + 1) & 0xff) << 8
+    if (rem >= 1) { h ^= data(tail) & 0xff; h *= m }
+    h ^= h >>> 13; h *= m; h ^= h >>> 15
+    h
+  }
+  def murmurHash2_32(data: Array[Byte]): Long =
+    murmurHash2WithSeed(data, 0).toLong & 0xffffffffL
+
+  /** MurmurHash64A (Appleby) with caller seed — murmurHash2_64 uses 0,
+    * gccMurmurHash (Tail7) 0xc70f6907. */
+  def murmurHash64A(data: Array[Byte], seed: Long): Long = {
+    val m = 0xc6a4a7935bd1e995L
+    val r = 47
+    var h = seed ^ (data.length * m)
+    val full = data.length & ~7
+    var i = 0
+    while (i < full) {
+      var k = 0L
+      var j = 0
+      while (j < 8) { k |= (data(i + j) & 0xffL) << (8 * j); j += 1 }
+      k *= m; k ^= k >>> r; k *= m
+      h ^= k; h *= m
+      i += 8
+    }
+    val rem = data.length & 7
+    var j = rem - 1
+    while (j >= 0) { h ^= (data(full + j) & 0xffL) << (8 * j); j -= 1 }
+    if (rem > 0) h *= m
+    h ^= h >>> r; h *= m; h ^= h >>> r
+    h
+  }
+  def murmurHash2_64(data: Array[Byte]): Long = murmurHash64A(data, 0L)
+
+  /** MurmurHash3 x86_32 (Appleby), canonical tail handling (Spark's
+    * builtin deviates on unaligned tails, so it cannot carry this). */
+  def murmurHash3_32(data: Array[Byte]): Long = {
+    val c1 = 0xcc9e2d51
+    val c2 = 0x1b873593
+    var h = 0
+    val n4 = data.length / 4
+    var i = 0
+    while (i < n4) {
+      val i4 = i * 4
+      var k = (data(i4) & 0xff) | ((data(i4 + 1) & 0xff) << 8) |
+        ((data(i4 + 2) & 0xff) << 16) | ((data(i4 + 3) & 0xff) << 24)
+      k *= c1; k = Integer.rotateLeft(k, 15); k *= c2
+      h ^= k; h = Integer.rotateLeft(h, 13); h = h * 5 + 0xe6546b64
+      i += 1
+    }
+    val tail = n4 * 4
+    var k1 = 0
+    if ((data.length & 3) >= 3) k1 ^= (data(tail + 2) & 0xff) << 16
+    if ((data.length & 3) >= 2) k1 ^= (data(tail + 1) & 0xff) << 8
+    if ((data.length & 3) >= 1) {
+      k1 ^= data(tail) & 0xff
+      k1 *= c1; k1 = Integer.rotateLeft(k1, 15); k1 *= c2
+      h ^= k1
+    }
+    h ^= data.length
+    h ^= h >>> 16; h *= 0x85ebca6b; h ^= h >>> 13; h *= 0xc2b2ae35
+    h ^= h >>> 16
+    h.toLong & 0xffffffffL
+  }
+
+  /** MurmurHash3 x64_128 (Appleby) → (h1, h2). */
+  private def murmur3x64128(data: Array[Byte]): (Long, Long) = {
+    val c1 = 0x87c37b91114253d5L
+    val c2 = 0x4cf5ad432745937fL
+    var h1 = 0L; var h2 = 0L
+    def longLE(o: Int): Long = {
+      var k = 0L; var j = 0
+      while (j < 8) { k |= (data(o + j) & 0xffL) << (8 * j); j += 1 }
+      k
+    }
+    val nblocks = data.length / 16
+    var i = 0
+    while (i < nblocks) {
+      var k1 = longLE(i * 16); var k2 = longLE(i * 16 + 8)
+      k1 *= c1; k1 = java.lang.Long.rotateLeft(k1, 31); k1 *= c2; h1 ^= k1
+      h1 = java.lang.Long.rotateLeft(h1, 27); h1 += h2; h1 = h1 * 5 + 0x52dce729L
+      k2 *= c2; k2 = java.lang.Long.rotateLeft(k2, 33); k2 *= c1; h2 ^= k2
+      h2 = java.lang.Long.rotateLeft(h2, 31); h2 += h1; h2 = h2 * 5 + 0x38495ab5L
+      i += 1
+    }
+    val tail = nblocks * 16
+    var k1 = 0L; var k2 = 0L
+    val rem = data.length & 15
+    var j = math.min(rem, 15) - 1
+    while (j >= 8) { k2 ^= (data(tail + j) & 0xffL) << (8 * (j - 8)); j -= 1 }
+    if (rem > 8) {
+      k2 *= c2; k2 = java.lang.Long.rotateLeft(k2, 33); k2 *= c1; h2 ^= k2
+    }
+    j = math.min(rem, 8) - 1
+    while (j >= 0) { k1 ^= (data(tail + j) & 0xffL) << (8 * j); j -= 1 }
+    if (rem > 0) {
+      k1 *= c1; k1 = java.lang.Long.rotateLeft(k1, 31); k1 *= c2; h1 ^= k1
+    }
+    h1 ^= data.length; h2 ^= data.length
+    h1 += h2; h2 += h1
+    def fmix(k0: Long): Long = {
+      var k = k0
+      k ^= k >>> 33; k *= 0xff51afd7ed558ccdL
+      k ^= k >>> 33; k *= 0xc4ceb9fe1a85ec53L
+      k ^= k >>> 33
+      k
+    }
+    h1 = fmix(h1); h2 = fmix(h2)
+    h1 += h2; h2 += h1
+    (h1, h2)
+  }
+  /** murmurHash3_64 = x64_128(seed 0) halves XOR'd
+    * (FunctionsHashing.h:485). */
+  def murmurHash3_64(data: Array[Byte]): Long = {
+    val (a, b) = murmur3x64128(data); a ^ b
+  }
+  /** murmurHash3_128: the 16 raw little-endian bytes of (h1, h2) —
+    * the reference memcpys the union image. */
+  def murmurHash3_128(data: Array[Byte]): Array[Byte] = {
+    val (a, b) = murmur3x64128(data)
+    val bb = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putLong(a); bb.putLong(b); bb.array()
+  }
+
+  /** javaHash over bytes: h = 31·h + signext(byte), signed Int32
+    * (FunctionsHashing.h:543-549). */
+  def javaHash(data: Array[Byte]): Int = {
+    var h = 0
+    var i = 0
+    while (i < data.length) { h = 31 * h + data(i); i += 1 }
+    h
+  }
+  /** hiveHash = javaHash with the sign bit cleared. */
+  def hiveHash(data: Array[Byte]): Int = javaHash(data) & 0x7fffffff
+
+  /** CRC-64 (reflected table-driven CRC, init 0, no xorout) with the
+    * ECMA-182 polynomial constant the reference uses (CRC.cpp:42). */
+  private lazy val crc64Table: Array[Long] = {
+    val poly = 0xc96c5795d7870f42L
+    Array.tabulate(256) { n =>
+      var c = n.toLong
+      var k = 0
+      while (k < 8) { c = if ((c & 1L) != 0) poly ^ (c >>> 1) else c >>> 1; k += 1 }
+      c
+    }
+  }
+  def crc64(data: Array[Byte]): Long = {
+    var crc = 0L
+    var i = 0
+    while (i < data.length) {
+      crc = crc64Table(((crc ^ data(i)) & 0xff).toInt) ^ (crc >>> 8)
+      i += 1
+    }
+    crc
+  }
+
   /** groupArrayIntersect (AggregateFunctionGroupArrayIntersect.cpp):
     * intersection of all aggregated arrays, deduplicated; order follows
     * the first array's element order. Kernel over the collected list of

@@ -448,18 +448,14 @@ object ChRegistryExt {
     "sha384" -> (args => sha2bin(args.head, 384)),
     "sha512" -> (args => sha2bin(args.head, 512)),
     "crc32ieee" -> (args => Crc32(Cast(args.head, BinaryType))),
-    // name/shape-compatible only (no JVM primitive):
-    "crc64" -> xx,
-    "murmurhash2_32" -> (args => Cast(xx(args), IntegerType)),
-    "murmurhash2_64" -> xx,
-    "murmurhash3_32" -> (args => Cast(xx(args), IntegerType)),
-    "murmurhash3_64" -> xx,
-    "murmurhash3_128" -> (args => shaPrefix(args.head, 16)),
+    // murmurHash2/3, javaHash, hiveHash and crc64 moved to REAL
+    // published-algorithm kernels in ChRegistryTail9 (round 11, the
+    // sweep-#7 SipHash pattern). Still name/shape-compatible only —
+    // no published spec beyond their C sources, which the no-copy
+    // policy keeps out:
     "farmhash64" -> xx,
     "farmfingerprint64" -> xx,
     "metrohash64" -> xx,
-    "javahash" -> xx,
-    "hivehash" -> (args => Cast(xx(args), IntegerType)),
     "wyhash64" -> xx,
     "md4" -> (args => shaPrefix(args.head, 16)),
     "ripemd160" -> (args => shaPrefix(args.head, 20)),

@@ -454,6 +454,23 @@ object ChRegistryTail9 {
     ExprColumn.resolvedExpression(c)
   }
 
+  /** The value's UTF-8 byte image: strings/binaries byte-identical;
+    * other types hash their string rendering (documented — the
+    * stand-ins hashed a Spark-typed image, so the single-arg string
+    * lane is the one with a reference contract to honor). */
+  private def bytesOf(e: Expression): Expression =
+    Cast(Cast(e, StringType), BinaryType)
+
+  private def realHash(args: Seq[Expression], ret: DataType,
+      method: String): Expression =
+    if (args.length == 1)
+      kernel(ret, method, Seq(bytesOf(args.head)), Seq(BinaryType))
+    else if (ret == BinaryType)
+      StaticInvoke(classOf[graft.functions.HashKernels.type], BinaryType,
+        "hash128", Seq(XxHash64(args, 42L), XxHash64(args, 7L)),
+        Seq(LongType, LongType))
+    else XxHash64(args, 42L)
+
   /** Per-row (tsMicros, condition bitmask) struct for the sequence
     * kernels, collected per group. */
   private val seqPairType = ArrayType(StructType(Seq(
@@ -617,6 +634,30 @@ object ChRegistryTail9 {
     "toint256ordefault" -> (args => orDefault("toint256ornull", args)),
     "touint128ordefault" -> (args => orDefault("touint128ornull", args)),
     "touint256ordefault" -> (args => orDefault("touint256ornull", args)),
+
+    // REAL hash lanes (sweep-#7-style upgrade of the round-2 stand-ins;
+    // published Appleby MurmurHash2/3, the JDK 31-recurrence, textbook
+    // reflected CRC-64 with the reference's ECMA-182 polynomial):
+    // single-arg string/binary inputs hash their UTF-8 bytes exactly
+    // like the reference; multi-arg combine lanes keep the engine-wide
+    // stand-in (documented, same policy as sipHash128's combine)
+    "murmurhash2_32" -> (args => realHash(args, LongType, "murmurHash2_32")),
+    "murmurhash2_64" -> (args => realHash(args, LongType, "murmurHash2_64")),
+    "murmurhash3_32" -> (args => realHash(args, LongType, "murmurHash3_32")),
+    "murmurhash3_64" -> (args => realHash(args, LongType, "murmurHash3_64")),
+    "murmurhash3_128" -> (args =>
+      realHash(args, BinaryType, "murmurHash3_128")),
+    "javahash" -> (args =>
+      if (args.length == 1)
+        Cast(kernel(IntegerType, "javaHash", Seq(bytesOf(args.head)),
+          Seq(BinaryType)), LongType)
+      else XxHash64(args, 42L)),
+    "hivehash" -> (args =>
+      if (args.length == 1)
+        Cast(kernel(IntegerType, "hiveHash", Seq(bytesOf(args.head)),
+          Seq(BinaryType)), LongType)
+      else Cast(XxHash64(args, 42L), IntegerType)),
+    "crc64" -> (args => realHash(args, LongType, "crc64")),
 
     // last alias closures (reference registerAlias, each verified):
     // mapFromString → extractKeyValuePairs (extractKeyValuePairs.cpp:255),

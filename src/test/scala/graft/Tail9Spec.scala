@@ -310,6 +310,65 @@ class Tail9Spec extends SparkFunSuite {
     assert(r.getBoolean(5))
   }
 
+  test("real hash kernels: published vectors + cross-checks against " +
+      "the pinned kafka/gcc murmur lanes") {
+    import graft.functions.{SweepKernels9 => K9, SweepKernels7 => K7,
+      SweepKernels => K}
+    // MurmurHash3 x86_32 official vector (Appleby smhasher):
+    // hash('hello', 0) = 0x248bfa47; empty input hashes to 0
+    assert(K9.murmurHash3_32("hello".getBytes) == 0x248bfa47L)
+    assert(K9.murmurHash3_32(Array.empty[Byte]) == 0L)
+    // x64_128 of empty input: h1 = h2 = 0 → 64-bit lane 0, 16 zero bytes
+    assert(K9.murmurHash3_64(Array.empty[Byte]) == 0L)
+    assert(K9.murmurHash3_128(Array.empty[Byte]).forall(_ == 0))
+    assert(K9.murmurHash3_128("hello".getBytes).length == 16)
+    // Spark's builtin Murmur3 is canonical for 4-aligned lengths —
+    // an INDEPENDENT implementation to agree with
+    val aligned = "abcdefgh1234".getBytes
+    assert(K9.murmurHash3_32(aligned) ==
+      (org.apache.spark.unsafe.hash.Murmur3_x86_32
+        .hashUnsafeBytes(aligned,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          aligned.length, 0).toLong & 0xffffffffL))
+    // MurmurHash2: the pinned kafka lane IS murmur2(seed 0x9747b28c)
+    // with the partitioner mask; the pinned gcc lane IS MurmurHash64A
+    // (seed 0xc70f6907) — both must be reproduced exactly
+    val rnd = new scala.util.Random(7)
+    (1 to 50).foreach { _ =>
+      val data = Array.fill(rnd.nextInt(40))(rnd.nextInt.toByte)
+      assert(K.kafkaMurmurHash(data) ==
+        (K9.murmurHash2WithSeed(data, 0x9747b28c).toLong & 0x7fffffffL))
+      assert(K7.gccMurmurHash(data) == K9.murmurHash64A(data, 0xc70f6907L))
+    }
+    // javaHash: the JDK recurrence — 'abc'.hashCode = 96354
+    assert(K9.javaHash("abc".getBytes) == "abc".hashCode)
+    assert(K9.javaHash(Array.empty[Byte]) == 0)
+    assert(K9.hiveHash("abc".getBytes) == ("abc".hashCode & 0x7fffffff))
+    // CRC-64: table-driven equals the naive bit-loop definition
+    def naiveCrc64(data: Array[Byte]): Long = {
+      val poly = 0xc96c5795d7870f42L
+      var crc = 0L
+      data.foreach { b =>
+        crc ^= (b & 0xffL)
+        (1 to 8).foreach { _ =>
+          crc = if ((crc & 1L) != 0) poly ^ (crc >>> 1) else crc >>> 1
+        }
+      }
+      crc
+    }
+    (1 to 20).foreach { _ =>
+      val data = Array.fill(rnd.nextInt(64))(rnd.nextInt.toByte)
+      assert(K9.crc64(data) == naiveCrc64(data))
+    }
+    // the SQL lanes ride the kernels (single string arg = real hash)
+    val r = one("""SELECT murmurHash3_32('hello') AS m32,
+      javaHash('abc') AS jh, hiveHash('abc') AS hh,
+      murmurHash2_64('x') = gccMurmurHash('x') AS seeds_differ""")
+    assert(r.getLong(0) == 0x248bfa47L)
+    assert(r.getLong(1) == 96354L && r.getLong(2) == 96354L)
+    assert(!r.getBoolean(3)) // different seeds → different hashes
+  }
+
   test("toInterval generic dispatch and mapPartialSort absorption") {
     val r = one("""SELECT
       toDate('2024-01-01') + toInterval(3, 'day') AS d,
