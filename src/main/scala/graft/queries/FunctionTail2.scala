@@ -125,6 +125,29 @@ object FunctionTail2 extends QueryPack {
         '00000000-0000-0000-0000-000000000000' AS uud,
         TRUE AS fs"""),
 
+    // Round-11 hash upgrade: EXTERNALLY-anchored values — the official
+    // Appleby x86_32 'hello' vector and the JDK hashCode contract are
+    // facts both engines can state as literals (the stand-ins these
+    // lanes replaced could never be value-pinned).
+    ch("q_fn_real_hashes", """
+      SELECT
+        CAST(murmurHash3_32('hello') AS BIGINT) AS m3_hello,
+        CAST(murmurHash3_32('') AS BIGINT) AS m3_empty,
+        CAST(javaHash('abc') AS BIGINT) AS jh_abc,
+        CAST(hiveHash('abc') AS BIGINT) AS hh_abc,
+        CAST(length(murmurHash3_128('abc')) AS BIGINT) AS m128_len,
+        murmurHash2_64('abc') <> murmurHash3_64('abc') AS algos_differ,
+        CAST(crc64('') AS BIGINT) AS crc_empty""",
+      """
+      SELECT
+        CAST(613153351 AS BIGINT) AS m3_hello,
+        CAST(0 AS BIGINT) AS m3_empty,
+        CAST(96354 AS BIGINT) AS jh_abc,
+        CAST(96354 AS BIGINT) AS hh_abc,
+        CAST(16 AS BIGINT) AS m128_len,
+        TRUE AS algos_differ,
+        CAST(0 AS BIGINT) AS crc_empty"""),
+
     // Registry sweep #9 wave 2: entropy, interval sweeps, groupBitmap
     // family, the remaining statistical tests (p-values via the
     // published erfc / incomplete-beta / Kolmogorov-series formulas —
