@@ -830,6 +830,72 @@ object SweepKernels9 {
   def isDecimalOverflow(d: Decimal, precision: Int): Boolean =
     d.toJavaBigDecimal.unscaledValue.abs.toString.length > precision
 
+  /** sequenceNextNode(direction, base)(ts, event, base_cond, cond1..N)
+    * (AggregateFunctionSequenceNextNode.cpp:348-421): sort by
+    * timestamp, locate the base row (head / tail / first_match /
+    * last_match — match rows need cond1 AND base_cond), walk the
+    * condition chain forward or backward, and return the EVENT VALUE of
+    * the node after the chain — null if the chain breaks. Input rows:
+    * (ts, event, canBase, condition bitmask). */
+  def sequenceNextNode(direction: UTF8String, base: UTF8String,
+      rows: ArrayData, nConds: Int): UTF8String = {
+    val n = rows.numElements()
+    if (n == 0) return null
+    val idx = (0 until n).sortBy(i => rows.getStruct(i, 4).getLong(0))
+    def ev(i: Int): UTF8String = rows.getStruct(idx(i), 4).getUTF8String(1)
+    def canBase(i: Int): Boolean = rows.getStruct(idx(i), 4).getLong(2) != 0
+    def bit(i: Int, b: Int): Boolean =
+      (rows.getStruct(idx(i), 4).getLong(3) & (1L << b)) != 0
+    val fwd = direction.toString.toLowerCase match {
+      case "forward" => true
+      case "backward" => false
+      case other => throw new IllegalArgumentException(
+        s"sequenceNextNode: unknown direction '$other'")
+    }
+    val baseIdx: Option[Int] = base.toString.toLowerCase match {
+      case "head" => Some(0).filter(canBase)
+      case "tail" => Some(n - 1).filter(canBase)
+      case "first_match" =>
+        (0 until n).find(i => bit(i, 0) && canBase(i))
+      case "last_match" =>
+        (0 until n).findLast(i => bit(i, 0) && canBase(i))
+      case other => throw new IllegalArgumentException(
+        s"sequenceNextNode: unknown base '$other'")
+    }
+    baseIdx.flatMap { b =>
+      var i = 0
+      var ok = true
+      while (ok && i < nConds) {
+        val at = if (fwd) b + i else b - i
+        ok = at >= 0 && at < n && bit(at, i)
+        i += 1
+      }
+      val next = if (fwd) b + nConds else b - nConds
+      if (ok && next >= 0 && next < n) Some(ev(next)) else None
+    }.orNull
+  }
+
+  /** deltaSumTimestamp(value, ts)
+    * (AggregateFunctionDeltaSumTimestamp.cpp): the sum of POSITIVE
+    * deltas of `value` in TIMESTAMP order — unlike deltaSum (block-
+    * order dependent, documented out), the ordering column makes this
+    * deterministic on a shuffled engine. */
+  def deltaSumTimestamp(pairs: ArrayData): Double = {
+    val n = pairs.numElements()
+    if (n == 0) return 0.0
+    val idx = (0 until n).sortBy(i => pairs.getStruct(i, 2).getDouble(1))
+    var sum = 0.0
+    var prev = pairs.getStruct(idx(0), 2).getDouble(0)
+    var i = 1
+    while (i < n) {
+      val v = pairs.getStruct(idx(i), 2).getDouble(0)
+      if (v > prev) sum += v - prev
+      prev = v
+      i += 1
+    }
+    sum
+  }
+
   /** sequenceMatch / sequenceCount pattern subset
     * (AggregateFunctionSequenceMatch.h): `(?N)` event steps separated
     * by `.*` (any gap) — the dominant funnel shapes. `.` (exactly one

@@ -582,6 +582,40 @@ object ChRegistryTail9 {
         StructField("p_value", DoubleType))), "anova",
         Seq(tsPair(args.take(2))), Seq(tsPairType))),
 
+    // sequenceNextNode(direction, base)(ts, event, base_cond, conds…):
+    // the event value of the node after the matched chain
+    "sequencenextnode" -> (args => {
+      // post-parametric order: (ts, event, base_cond, cond…, dir, base)
+      val dir = args(args.length - 2)
+      val base = args.last
+      val conds = args.drop(3).dropRight(2)
+      val mask =
+        if (conds.isEmpty) Literal(0L)
+        else conds.zipWithIndex.map { case (c, i) =>
+          If(Cast(c, BooleanType), Literal(1L << i), Literal(0L))
+        }.reduceLeft[Expression]((a, b) => BitwiseOr(a, b))
+      val rows = agg(CollectList(CreateStruct(Seq(
+        UnixMicros(Cast(args(0), TimestampType)),
+        Cast(args(1), StringType),
+        Cast(Cast(args(2), BooleanType), LongType),
+        mask))))
+      kernel(StringType, "sequenceNextNode",
+        Seq(Cast(dir, StringType), Cast(base, StringType), rows,
+          Literal(conds.length)),
+        Seq(StringType, StringType,
+          ArrayType(StructType(Seq(StructField("ts", LongType),
+            StructField("ev", StringType), StructField("cb", LongType),
+            StructField("m", LongType)))), IntegerType))
+    }),
+
+    // deltaSumTimestamp(value, ts): positive deltas in TIMESTAMP order —
+    // the ordering column makes it deterministic, unlike deltaSum
+    "deltasumtimestamp" -> (args =>
+      kernel(DoubleType, "deltaSumTimestamp",
+        Seq(agg(CollectList(CreateStruct(Seq(asDouble(args(0)),
+          asDouble(Cast(Cast(args(1), TimestampType), DoubleType))))))),
+        Seq(pairArrayType))),
+
     // sequenceMatchEvents: timestamps of the first match
     "sequencematchevents" -> (args => {
       val conds = args.tail.dropRight(1)

@@ -419,7 +419,7 @@ object ClickHouseSql {
       "exponentialMovingAverage|lttb|" +
       "largestTriangleThreeBuckets|sparkbar|groupArraySorted|groupConcat|" +
       "sumMapFiltered(?:WithOverflow)?|histogram|meanZTest|" +
-      "mannWhitneyUTest|groupArrayInsertAt)\\s*\\(").r
+      "mannWhitneyUTest|groupArrayInsertAt|sequenceNextNode)\\s*\\(").r
 
   private def rewriteParametric(s: String): String = {
     var out = s

@@ -369,6 +369,41 @@ class Tail9Spec extends SparkFunSuite {
     assert(!r.getBoolean(3)) // different seeds → different hashes
   }
 
+  test("sequenceNextNode: all four bases, both directions; " +
+      "deltaSumTimestamp orders by its timestamp column") {
+    val events = """(VALUES
+      (TIMESTAMP '2024-01-01 10:00:00', 'home',  true),
+      (TIMESTAMP '2024-01-01 10:01:00', 'gift',  true),
+      (TIMESTAMP '2024-01-01 10:02:00', 'exit',  true),
+      (TIMESTAMP '2024-01-01 10:03:00', 'home',  true),
+      (TIMESTAMP '2024-01-01 10:04:00', 'buy',   true)) AS t(ts, ev, ok)"""
+    val r = one(s"""SELECT
+      sequenceNextNode('forward', 'head')(ts, ev, ok, ev = 'home') AS f_head,
+      sequenceNextNode('forward', 'first_match')(ts, ev, ok,
+        ev = 'gift') AS f_first,
+      sequenceNextNode('forward', 'last_match')(ts, ev, ok,
+        ev = 'home') AS f_last,
+      sequenceNextNode('backward', 'tail')(ts, ev, ok, ev = 'buy') AS b_tail,
+      sequenceNextNode('forward', 'head')(ts, ev, ok,
+        ev = 'home', ev = 'gift', ev = 'exit') AS f_chain,
+      sequenceNextNode('forward', 'head')(ts, ev, ok,
+        ev = 'home', ev = 'buy') AS f_broken
+      FROM $events""")
+    assert(r.getString(0) == "gift") // head=home, next after 1-chain
+    assert(r.getString(1) == "exit") // first gift → next
+    assert(r.getString(2) == "buy") // last home → next
+    assert(r.getString(3) == "home") // tail=buy, backward → previous
+    assert(r.getString(4) == "home") // home,gift,exit chain → 4th row
+    assert(r.isNullAt(5)) // home then gift ≠ buy: chain breaks
+    val d = one("""SELECT deltaSumTimestamp(v, ts) AS ds
+      FROM (VALUES (4.0, TIMESTAMP '2024-01-01 00:00:03'),
+                   (1.0, TIMESTAMP '2024-01-01 00:00:01'),
+                   (3.0, TIMESTAMP '2024-01-01 00:00:02'),
+                   (2.0, TIMESTAMP '2024-01-01 00:00:04')) AS t(v, ts)""")
+    // ts order values: 1, 3, 4, 2 → positive deltas 2 + 1 = 3
+    assert(d.getDouble(0) == 3.0)
+  }
+
   test("toInterval generic dispatch and mapPartialSort absorption") {
     val r = one("""SELECT
       toDate('2024-01-01') + toInterval(3, 'day') AS d,
