@@ -237,6 +237,32 @@ class Tail9Spec extends SparkFunSuite {
     assert(r.getDouble(5) == 10.0) // union [0, 10)
   }
 
+  test("statistical tests against hand-computed table values") {
+    // one-way ANOVA, groups {1,2,3},{2,3,4},{3,4,5}: means 2,3,4,
+    // grand 3 → SSB = 6 (df 2), SSW = 6 (df 6) → F = 3; for d1 = 2 the
+    // F survival function is closed-form: p = (1 + F·d1/d2)^(−d2/2)
+    // = 2^−3 = 0.125
+    val a = one("""SELECT anova(v, g) AS an FROM (VALUES
+      (1.0, 0L),(2.0, 0L),(3.0, 0L),
+      (2.0, 1L),(3.0, 1L),(4.0, 1L),
+      (3.0, 2L),(4.0, 2L),(5.0, 2L)) AS t(v, g)""").getStruct(0)
+    assert(math.abs(a.getDouble(0) - 3.0) < 1e-9)
+    assert(math.abs(a.getDouble(1) - 0.125) < 1e-6)
+    // Mann-Whitney {1,2} vs {3,4}: U = 0, mu = 2, sigma = sqrt(5/3)
+    // → z = -1.549, two-sided normal p = 0.1213
+    val mw = one("""SELECT mannWhitneyUTest(v, s) AS r FROM (VALUES
+      (1.0, 0L),(2.0, 0L),(3.0, 1L),(4.0, 1L)) AS t(v, s)""").getStruct(0)
+    assert(mw.getDouble(0) == 0.0)
+    assert(math.abs(mw.getDouble(1) - 0.1213) < 2e-3)
+    // KS {1,2,3} vs {4,5,6}: D = 1, en = sqrt(1.5),
+    // lambda = 1.4346 → p = 2*sum((-1)^(k-1) e^(-2k^2 l^2)) = 0.0326
+    val ks = one("""SELECT kolmogorovSmirnovTest(v, s) AS r FROM (VALUES
+      (1.0, 0L),(2.0, 0L),(3.0, 0L),(4.0, 1L),(5.0, 1L),(6.0, 1L))
+      AS t(v, s)""").getStruct(0)
+    assert(ks.getDouble(0) == 1.0)
+    assert(math.abs(ks.getDouble(1) - 0.0326) < 2e-3)
+  }
+
   test("wave 2: meanZTest, mannWhitneyUTest, kolmogorovSmirnov, anova") {
     val r = one("""SELECT
         meanZTest(1.0, 1.0, 0.95)(v, s) AS z,
