@@ -23,10 +23,12 @@ import org.apache.spark.sql.functions._
   *    re-expressed pull-side).
   *  - The hash is an ORDER-INSENSITIVE multiset hash (sum of per-row
   *    xxhash64 over all columns), computed as a distributed aggregate —
-  *    nothing but one (count, sum) row reaches the driver, so a live
-  *    view over a 100 TB base table costs one scan per WATCH, not a
-  *    result collect. (The reference hashes blocks in block order; a
-  *    distributed engine has no stable block order to hash.)
+  *    nothing but one (count, sum) row reaches the driver. WATCH EVENTS
+  *    costs exactly that one aggregate scan; plain WATCH adds the
+  *    result scan the client is about to consume anyway (the reference
+  *    likewise materializes the result blocks it hashes). Never a
+  *    driver-side result collect. (The reference hashes blocks in
+  *    block order; a distributed engine has no stable block order.)
   *  - `WATCH lv LIMIT n` returns the last n versions joined with the
   *    CURRENT result rows (`_version` column, StorageLiveView.cpp:716);
   *    historical result SNAPSHOTS are not retained — only version
