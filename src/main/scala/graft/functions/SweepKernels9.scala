@@ -830,6 +830,72 @@ object SweepKernels9 {
   def isDecimalOverflow(d: Decimal, precision: Int): Boolean =
     d.toJavaBigDecimal.unscaledValue.abs.toString.length > precision
 
+  // ---- JSON path introspection (src/Functions/JSONPaths.cpp family)
+  // over the engine's TEXT/Variant JSON carrier: AllPaths walks the
+  // document's leaf paths; on a text carrier every path is a dynamic
+  // path and there is no shared-data section, so DynamicPaths ≡
+  // AllPaths and SharedDataPaths ≡ [] (documented — those split on the
+  // reference's column-layout internals, which have no analog here) ---
+
+  private def jsonLeafPaths(json: String): Seq[(String, String)] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(json)
+    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    def typeName(n: com.fasterxml.jackson.databind.JsonNode): String =
+      if (n.isNull) "None"
+      else if (n.isBoolean) "Bool"
+      else if (n.isIntegralNumber) "Int64"
+      else if (n.isNumber) "Float64"
+      else if (n.isTextual) "String"
+      else if (n.isArray) {
+        import scala.jdk.CollectionConverters._
+        val inner = n.elements.asScala.map(typeName).toSeq.distinct
+        s"Array(${if (inner.size == 1) s"Nullable(${inner.head})"
+          else "Nullable(String)"})"
+      } else "String"
+    def walk(n: com.fasterxml.jackson.databind.JsonNode,
+        prefix: String): Unit =
+      if (n.isObject) {
+        val it = n.fields()
+        while (it.hasNext) {
+          val e = it.next()
+          val p = if (prefix.isEmpty) e.getKey else s"$prefix.${e.getKey}"
+          if (e.getValue.isObject) walk(e.getValue, p)
+          else out += ((p, typeName(e.getValue)))
+        }
+      }
+    walk(root, "")
+    out.sortBy(_._1).toSeq
+  }
+
+  def jsonAllPaths(json: UTF8String): ArrayData =
+    new GenericArrayData(jsonLeafPaths(json.toString)
+      .map(p => UTF8String.fromString(p._1): Any).toArray)
+
+  def jsonAllPathsWithTypes(json: UTF8String)
+      : org.apache.spark.sql.catalyst.util.MapData = {
+    val ps = jsonLeafPaths(json.toString)
+    org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      ps.map(p => UTF8String.fromString(p._1)).toArray,
+      ps.map(p => UTF8String.fromString(p._2)).toArray)
+  }
+
+  /** bitmapTransform(bitmap, fromArr, toArr)
+    * (src/Functions/FunctionsBitmap.h bitmapTransform): for each
+    * from[i] present in the bitmap, remove it and add to[i]. */
+  def bitmapTransform(b: Array[Byte], from: ArrayData,
+      to: ArrayData): Array[Byte] = {
+    require(from.numElements() == to.numElements(),
+      "bitmapTransform: from/to arrays must be the same size")
+    val values = BitmapKernels.toArr(b)
+    val mapping = (0 until from.numElements())
+      .map(i => from.getLong(i) -> to.getLong(i)).toMap
+    val out = (0 until values.numElements())
+      .map(i => { val v = values.getLong(i); mapping.getOrElse(v, v) })
+      .distinct.toArray
+    BitmapKernels.build(new GenericArrayData(out.map(x => x: Any)))
+  }
+
   /** sequenceNextNode(direction, base)(ts, event, base_cond, cond1..N)
     * (AggregateFunctionSequenceNextNode.cpp:348-421): sort by
     * timestamp, locate the base row (head / tail / first_match /

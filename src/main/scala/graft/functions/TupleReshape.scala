@@ -72,6 +72,80 @@ object TupleReshape {
       copy(child = c)
   }
 
+  /** addTupleOfIntervals / subtractTupleOfIntervals (reference
+    * src/Functions/FunctionBinaryArithmetic.h tuple-of-intervals lane):
+    * apply every interval in the tuple to the date/timestamp, in field
+    * order. Schema-driven like the reshapers — the struct's interval
+    * field types resolve at analysis time. */
+  case class ShiftTupleOfIntervals(date: Expression, tuple: Expression,
+      sign: Int) extends Expression with CodegenFallback {
+    override def children: Seq[Expression] = Seq(date, tuple)
+    override def nullable: Boolean = true
+
+    private lazy val st = tuple.dataType.asInstanceOf[StructType]
+
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val dateOk = date.dataType == DateType ||
+        date.dataType == TimestampType
+      val tupleOk = tuple.dataType match {
+        case s: StructType => s.fields.forall(f => f.dataType match {
+          case _: YearMonthIntervalType | _: DayTimeIntervalType |
+               CalendarIntervalType => true
+          case _ => false
+        })
+        case _ => false
+      }
+      if (dateOk && tupleOk) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        "expected (date/timestamp, tuple of intervals), got " +
+          s"(${date.dataType.simpleString}, ${tuple.dataType.simpleString})")
+    }
+
+    override def dataType: DataType = date.dataType
+
+    override def eval(input: InternalRow): Any = {
+      val d = date.eval(input)
+      val t = tuple.eval(input)
+      if (d == null || t == null) return null
+      val row = t.asInstanceOf[InternalRow]
+      var ldt: java.time.LocalDateTime = date.dataType match {
+        case DateType => java.time.LocalDate
+          .ofEpochDay(d.asInstanceOf[Int].toLong).atStartOfDay()
+        case _ => java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(d.asInstanceOf[Long], 1000000L),
+          (Math.floorMod(d.asInstanceOf[Long], 1000000L) * 1000).toInt,
+          java.time.ZoneOffset.UTC)
+      }
+      st.fields.zipWithIndex.foreach { case (f, i) =>
+        if (!row.isNullAt(i)) f.dataType match {
+          case _: YearMonthIntervalType =>
+            ldt = ldt.plusMonths(sign.toLong * row.getInt(i))
+          case _: DayTimeIntervalType =>
+            ldt = ldt.plus(sign.toLong * row.getLong(i),
+              java.time.temporal.ChronoUnit.MICROS)
+          case CalendarIntervalType =>
+            val iv = row.getInterval(i)
+            ldt = ldt.plusMonths(sign.toLong * iv.months)
+              .plusDays(sign.toLong * iv.days)
+              .plus(sign.toLong * iv.microseconds,
+                java.time.temporal.ChronoUnit.MICROS)
+          case _ =>
+        }
+      }
+      date.dataType match {
+        case DateType => ldt.toLocalDate.toEpochDay.toInt
+        case _ => ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          ldt.getNano / 1000L
+      }
+    }
+
+    override def prettyName: String =
+      if (sign > 0) "addtupleofintervals" else "subtracttupleofintervals"
+    override protected def withNewChildrenInternal(
+        c: IndexedSeq[Expression]): Expression =
+      copy(date = c(0), tuple = c(1))
+  }
+
   case class FlattenTuple(child: Expression)
       extends UnaryExpression with CodegenFallback {
 

@@ -735,8 +735,95 @@ object ChRegistryTail9 {
     }),
     "xor" -> (args => args.map(a =>
       Cast(a, BooleanType): Expression).reduceLeft((a, b) =>
-      Not(EqualTo(a, b))))
+      Not(EqualTo(a, b)))),
+
+    // tuple-of-intervals arithmetic (FunctionBinaryArithmetic.h lane):
+    // schema-driven — the struct's interval field types resolve at
+    // analysis time
+    "addtupleofintervals" -> (args =>
+      graft.functions.TupleReshape.ShiftTupleOfIntervals(
+        args(0), args(1), 1)),
+    "subtracttupleofintervals" -> (args =>
+      graft.functions.TupleReshape.ShiftTupleOfIntervals(
+        args(0), args(1), -1)),
+
+    // categoricalInformationValue(cat1..catN, tag)
+    // (AggregateFunctionCategoricalInformationValue.h): per-category
+    // IV = (a/A − b/B)·ln(aB/(bA)) — pure aggregate arithmetic
+    "categoricalinformationvalue" -> (args => {
+      val tag = Cast(args.last, BooleanType)
+      val cats = args.dropRight(1)
+      def cnt(p: Expression) =
+        asDouble(agg(Sum(Cast(Cast(p, BooleanType), IntegerType))))
+      val bigA = cnt(tag)
+      val bigB = cnt(Not(tag))
+      // LEGACY division: an empty class gives ±Infinity like the
+      // reference's float math (ANSI double division would throw)
+      def div(x: Expression, y: Expression) =
+        Divide(x, y, EvalMode.LEGACY)
+      CreateArray(cats.map { c =>
+        val a = cnt(And(Cast(c, BooleanType), tag))
+        val b = cnt(And(Cast(c, BooleanType), Not(tag)))
+        Multiply(
+          Subtract(div(a, bigA), div(b, bigB)),
+          Log(div(Multiply(a, bigB), Multiply(b, bigA))))
+      })
+    }),
+
+    // ranked array enumeration: the flat (depth-1, single-array) form
+    // IS arrayEnumerateUniq/Dense; deeper rank layouts reject loudly
+    // (the depth axis reshapes nested-array occurrence scopes — a
+    // cosmetic view with no new capability; documented)
+    "arrayenumerateuniqranked" -> (args => {
+      require(args.length == 1, "arrayEnumerateUniqRanked: only the " +
+        "single-array depth-1 form is supported (documented subset)")
+      ChRegistryArrays.builders("arrayenumerateuniq")(args)
+    }),
+    "arrayenumeratedenseranked" -> (args => {
+      require(args.length == 1, "arrayEnumerateDenseRanked: only the " +
+        "single-array depth-1 form is supported (documented subset)")
+      ChRegistryArrays.builders("arrayenumeratedense")(args)
+    }),
+
+    // cutToFirstSignificantSubdomainWithWWW[RFC]: the base cut, with a
+    // leading www. label preserved when the host carries one
+    "cuttofirstsignificantsubdomainwithwww" -> (args => withWww(args)),
+    "cuttofirstsignificantsubdomainwithwwwrfc" -> (args => withWww(args)),
+
+    // bitmapTransform over the Roaring carrier
+    "bitmaptransform" -> (args => kernel(BinaryType, "bitmapTransform",
+      Seq(Cast(args(0), BinaryType), Cast(args(1), ArrayType(LongType)),
+        Cast(args(2), ArrayType(LongType))),
+      Seq(BinaryType, ArrayType(LongType), ArrayType(LongType)))),
+
+    // JSON path introspection over the text/Variant carrier
+    "jsonallpaths" -> (args => jsonPaths(args, "jsonAllPaths")),
+    "jsondynamicpaths" -> (args => jsonPaths(args, "jsonAllPaths")),
+    "jsonallpathswithtypes" -> (args =>
+      kernel(MapType(StringType, StringType), "jsonAllPathsWithTypes",
+        Seq(Cast(args.head, StringType)), Seq(StringType))),
+    "jsondynamicpathswithtypes" -> (args =>
+      kernel(MapType(StringType, StringType), "jsonAllPathsWithTypes",
+        Seq(Cast(args.head, StringType)), Seq(StringType))),
+    "jsonshareddatapaths" -> (_ =>
+      Literal.create(Seq.empty[String], ArrayType(StringType))),
+    "jsonshareddatapathswithtypes" -> (_ =>
+      Literal.create(Map.empty[String, String],
+        MapType(StringType, StringType)))
   )
+
+  private def jsonPaths(args: Seq[Expression],
+      method: String): Expression =
+    kernel(ArrayType(StringType), method,
+      Seq(Cast(args.head, StringType)), Seq(StringType))
+
+  private def withWww(args: Seq[Expression]): Expression = {
+    val cut = ChRegistryUrlDate
+      .builders("cuttofirstsignificantsubdomain")(args)
+    val hostLower = Lower(ChRegistryUrlDate.builders("domain")(args))
+    If(StartsWith(hostLower, Literal("www.")),
+      Concat(Seq(Literal("www."), cut)), cut)
+  }
 
   // ---- minhash/simhash spelling matrix (FunctionsStringHash.cpp):
   // CaseInsensitive lanes lowercase, UTF8 spellings share the base

@@ -430,6 +430,45 @@ class Tail9Spec extends SparkFunSuite {
     assert(d.getDouble(0) == 3.0)
   }
 
+  test("tuple-of-intervals, categorical IV, ranked enumeration, " +
+      "withWWW subdomain cut, bitmapTransform, JSON paths") {
+    val r = one("""SELECT
+      addTupleOfIntervals(DATE '2024-01-01',
+        struct(INTERVAL '1' MONTH, INTERVAL '2' DAY)) AS add_t,
+      subtractTupleOfIntervals(TIMESTAMP '2024-03-03 10:00:00',
+        struct(INTERVAL '2' MONTH, INTERVAL '2' DAY,
+               INTERVAL '10' HOUR)) AS sub_t,
+      arrayEnumerateUniqRanked(array(10, 20, 10)) AS aeu,
+      cutToFirstSignificantSubdomainWithWWW(
+        'https://www.news.example.com/p') AS www,
+      cutToFirstSignificantSubdomainWithWWW(
+        'https://news.example.com/p') AS nowww,
+      bitmapToArray(bitmapTransform(bitmapBuild(array(1L, 2L, 3L)),
+        array(2L), array(9L))) AS bt,
+      JSONAllPaths('{"a": 1, "n": {"x": "u", "y": [1, 2]}}') AS jap,
+      JSONAllPathsWithTypes('{"a": 1, "s": "x"}')['a'] AS jat,
+      JSONSharedDataPaths('{"a": 1}') AS jsd""")
+    assert(r.get(0).toString.startsWith("2024-02-03"))
+    assert(r.get(1).toString.startsWith("2024-01-01 00:00"))
+    assert(r.getSeq[Int](2) == Seq(1, 1, 2))
+    assert(r.getString(3) == "www.example.com")
+    assert(r.getString(4) == "example.com")
+    assert(r.getSeq[Long](5).sorted == Seq(1L, 3L, 9L))
+    assert(r.getSeq[String](6) == Seq("a", "n.x", "n.y"))
+    assert(r.getString(7) == "Int64")
+    assert(r.getSeq[String](8).isEmpty)
+    intercept[Exception] {
+      one("SELECT arrayEnumerateUniqRanked(array(1), array(2))")
+    }
+    // IV: perfectly separating category → large positive IV; its
+    // complement mirrors it
+    val iv = one("""SELECT categoricalInformationValue(v < 3, v >= 3,
+        v >= 3) AS iv
+      FROM (VALUES (1.0), (2.0), (3.0), (4.0)) AS t(v)""")
+      .getSeq[Double](0)
+    assert(iv.length == 2)
+  }
+
   test("toInterval generic dispatch and mapPartialSort absorption") {
     val r = one("""SELECT
       toDate('2024-01-01') + toInterval(3, 'day') AS d,
