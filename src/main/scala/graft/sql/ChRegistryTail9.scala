@@ -809,8 +809,28 @@ object ChRegistryTail9 {
       Literal.create(Seq.empty[String], ArrayType(StringType))),
     "jsonshareddatapathswithtypes" -> (_ =>
       Literal.create(Map.empty[String, String],
-        MapType(StringType, StringType)))
+        MapType(StringType, StringType))),
+
+    // getServerSetting / getMergeTreeSetting (serverConstants.cpp
+    // class): resolve from the session's setting ledger at ANALYSIS
+    // time, like the reference's query-time constant fold; unknown
+    // names reject loudly (the reference throws UNKNOWN_SETTING)
+    "getserversetting" -> (args => settingLit(args, "graft.ch.")),
+    "getmergetreesetting" -> (args =>
+      settingLit(args, "graft.ch.merge_tree."))
   )
+
+  private def settingLit(args: Seq[Expression],
+      prefix: String): Expression = {
+    val name = foldStr(args.head)
+    val v = org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(s => s.conf.getOption(prefix + name)
+        .orElse(s.conf.getOption(s"graft.ch.$name")))
+      .getOrElse(throw new IllegalArgumentException(
+        s"Unknown setting '$name' (set it with SET $name = …)"))
+    Literal(org.apache.spark.unsafe.types.UTF8String.fromString(v),
+      StringType)
+  }
 
   private def jsonPaths(args: Seq[Expression],
       method: String): Expression =

@@ -469,6 +469,15 @@ class Tail9Spec extends SparkFunSuite {
     assert(iv.length == 2)
   }
 
+  test("getServerSetting / getMergeTreeSetting resolve the setting ledger") {
+    ClickHouseSql.sql(spark, "SET t9_knob = 'abc'")
+    ClickHouseSql.sql(spark, "SET t9_mt_knob = '42'")
+    val r = one("""SELECT getServerSetting('t9_knob') AS a,
+      getMergeTreeSetting('t9_mt_knob') AS b""")
+    assert(r.getString(0) == "abc" && r.getString(1) == "42")
+    intercept[Exception] { one("SELECT getServerSetting('t9_missing')") }
+  }
+
   test("toInterval generic dispatch and mapPartialSort absorption") {
     val r = one("""SELECT
       toDate('2024-01-01') + toInterval(3, 'day') AS d,
