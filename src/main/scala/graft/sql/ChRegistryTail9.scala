@@ -828,7 +828,13 @@ object ChRegistryTail9 {
         .orElse(s.conf.getOption(s"graft.ch.$name")))
       .getOrElse(throw new IllegalArgumentException(
         s"Unknown setting '$name' (set it with SET $name = …)"))
-    Literal(org.apache.spark.unsafe.types.UTF8String.fromString(v),
+    // the ledger stores SET values verbatim — string literals keep
+    // their quotes there, like SHOW SETTING strips them on render
+    val rendered =
+      if (v.length >= 2 && v.startsWith("'") && v.endsWith("'"))
+        v.substring(1, v.length - 1)
+      else v
+    Literal(org.apache.spark.unsafe.types.UTF8String.fromString(rendered),
       StringType)
   }
 
