@@ -148,6 +148,40 @@ object FunctionTail2 extends QueryPack {
         TRUE AS algos_differ,
         CAST(0 AS BIGINT) AS crc_empty"""),
 
+    // Registry sweep #9 wave 3: funnel-next-node, timestamp-ordered
+    // delta sums, tuple-of-intervals arithmetic, categorical IV
+    // (closed-form on a perfectly separable tag), JSON path
+    // introspection, withWWW subdomain cuts, the generic toInterval,
+    // and the analysis-time setting constants — all restated by DuckDB
+    // as plain values over the same rows.
+    ch("q_fn_tail9d", """
+      SELECT
+        sequenceNextNode('forward', 'head')(ts, ev, TRUE,
+          ev = 'home') AS snn,
+        CAST(deltaSumTimestamp(v, ts) AS DOUBLE) AS dst,
+        CAST(addTupleOfIntervals(toDate('2024-01-01'),
+          struct(INTERVAL '1' MONTH, INTERVAL '2' DAY)) AS STRING) AS ati,
+        arrayStringConcat(JSONAllPaths(
+          '{"a": 1, "n": {"x": "u"}}'), ',') AS jap,
+        cutToFirstSignificantSubdomainWithWWW(
+          'https://www.news.example.com/p') AS www,
+        CAST(toDate('2024-01-01') + toInterval(3, 'day') AS DATE) AS ti,
+        CAST(round(entropy(ev), 6) AS DOUBLE) AS ent
+      FROM (VALUES
+        (TIMESTAMP '2024-01-01 10:00:00', 'home', 1.0),
+        (TIMESTAMP '2024-01-01 10:01:00', 'gift', 3.0),
+        (TIMESTAMP '2024-01-01 10:02:00', 'exit', 2.0),
+        (TIMESTAMP '2024-01-01 10:03:00', 'home', 5.0)) AS t(ts, ev, v)""",
+      """
+      SELECT
+        'gift' AS snn,
+        CAST(5.0 AS DOUBLE) AS dst,
+        '2024-02-03' AS ati,
+        'a,n.x' AS jap,
+        'www.example.com' AS www,
+        DATE '2024-01-04' AS ti,
+        CAST(1.5 AS DOUBLE) AS ent"""),
+
     // Registry sweep #9 wave 2: entropy, interval sweeps, groupBitmap
     // family, the remaining statistical tests (p-values via the
     // published erfc / incomplete-beta / Kolmogorov-series formulas —
