@@ -206,4 +206,37 @@ class DialectTortureSpec extends SparkFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS $t"))
     ch("DROP NAMED COLLECTION IF EXISTS tort10_nc")
   }
+
+  test("round-11 statement forms survive hostile spacing and casing") {
+    val ch = (s: String) => graft.sql.ClickHouseSql.sql(spark, s)
+    Tables.register(spark, sf)
+    spark.sql("DROP TABLE IF EXISTS tort11_t")
+    ch("create   MATERIALIZED view tort11_t AS SELECT 1 AS a")
+    // LIVE VIEW + WATCH with hostile casing/spacing; a literal
+    // containing the keywords must not trip the dispatch
+    ch("DROP VIEW IF EXISTS tort11_lv")
+    ch("cReAtE   LiVe   ViEw tort11_lv AS SELECT sum(a) AS s, " +
+      "'WATCH EVENTS LIMIT 5' AS trap FROM tort11_t")
+    assert(ch("wAtCh   tort11_lv").collect().head
+      .getAs[Long]("_version") == 1L)
+    ch(s"INSERT INTO tort11_t VALUES (41)")
+    assert(ch("WATCH tort11_lv   EVENTS   LIMIT   2").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // GRANT ... with Grant   Option casing; REVOKE the option form
+    ch("DROP USER IF EXISTS tort11_u")
+    ch("CREATE USER tort11_u")
+    ch("gRaNt SELECT ON tort11_t TO tort11_u wItH   gRaNt   OpTiOn")
+    assert(ch("SHOW GRANTS FOR tort11_u").collect()
+      .exists(_.getString(0).endsWith("WITH GRANT OPTION")))
+    ch("REVOKE   grant OPTION   FOR SELECT ON tort11_t FROM tort11_u")
+    assert(ch("SHOW GRANTS FOR tort11_u").collect()
+      .forall(!_.getString(0).contains("OPTION")))
+    // parametric sweep-9 names under hostile spacing
+    val t9 = ch("""SELECT topK( 2 )( CAST(n_regionkey AS STRING) ) AS t,
+      uniqUpTo(3)(   n_regionkey   ) AS u FROM nation""").collect().head
+    assert(t9.getSeq[String](0).length == 2 && t9.getLong(1) == 4L)
+    ch("DROP VIEW IF EXISTS tort11_lv")
+    ch("DROP USER IF EXISTS tort11_u")
+    spark.sql("DROP TABLE IF EXISTS tort11_t")
+  }
 }
