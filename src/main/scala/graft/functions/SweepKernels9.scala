@@ -896,6 +896,117 @@ object SweepKernels9 {
     BitmapKernels.build(new GenericArrayData(out.map(x => x: Any)))
   }
 
+  // ---- WKT geometry text readers (the OGC 06-103r4 well-known-text
+  // grammar — a published spec; reference src/Functions/readWkt.cpp
+  // consumes the same forms): POINT / LINESTRING / RING (a linestring
+  // body) / POLYGON / MULTILINESTRING / MULTIPOLYGON. Output shapes
+  // follow the engine's geo carrier: point = struct(x, y), ring/line =
+  // array(point), polygon = array(ring), multi* = one more level. ----
+
+  private def point(x: Double, y: Double): InternalRow =
+    new GenericInternalRow(Array[Any](x, y))
+
+  private def parsePointList(s: String): Array[Any] =
+    s.split(",").map { p =>
+      val xs = p.trim.split("\\s+")
+      require(xs.length >= 2, s"WKT: bad point '$p'")
+      point(xs(0).toDouble, xs(1).toDouble): Any
+    }
+
+  private def stripTag(wkt: String, tag: String): String = {
+    val t = wkt.trim
+    require(t.toUpperCase.startsWith(tag),
+      s"WKT: expected $tag, got: ${t.take(24)}")
+    val body = t.substring(tag.length).trim
+    require(body.startsWith("(") && body.endsWith(")"),
+      s"WKT: expected parenthesized $tag body")
+    body.substring(1, body.length - 1)
+  }
+
+  /** Split a parenthesized list at depth 0 commas: "(a),(b)" → a, b. */
+  private def splitGroups(body: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var depth = 0; var start = -1
+    var i = 0
+    while (i < body.length) {
+      body.charAt(i) match {
+        case '(' => if (depth == 0) start = i + 1; depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) out += body.substring(start, i)
+        case _ =>
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  def readWktPoint(wkt: UTF8String): InternalRow = {
+    val xs = stripTag(wkt.toString, "POINT").trim.split("\\s+")
+    point(xs(0).toDouble, xs(1).toDouble)
+  }
+  def readWktLineString(wkt: UTF8String): ArrayData =
+    new GenericArrayData(parsePointList(stripTag(wkt.toString, "LINESTRING")))
+  /** A ring is a linestring body (readWkt.cpp registers the same
+    * parser under the Ring name). */
+  def readWktRing(wkt: UTF8String): ArrayData = {
+    val s = wkt.toString.trim
+    val body =
+      if (s.toUpperCase.startsWith("POLYGON"))
+        splitGroups(stripTag(s, "POLYGON")).head // first = outer ring
+      else stripTag(s, "LINESTRING")
+    new GenericArrayData(parsePointList(body))
+  }
+  def readWktPolygon(wkt: UTF8String): ArrayData = {
+    val body = stripTag(wkt.toString, "POLYGON")
+    new GenericArrayData(splitGroups(body)
+      .map(g => new GenericArrayData(parsePointList(g)): Any).toArray)
+  }
+  def readWktMultiLineString(wkt: UTF8String): ArrayData = {
+    val body = stripTag(wkt.toString, "MULTILINESTRING")
+    new GenericArrayData(splitGroups(body)
+      .map(g => new GenericArrayData(parsePointList(g)): Any).toArray)
+  }
+  def readWktMultiPolygon(wkt: UTF8String): ArrayData = {
+    val body = stripTag(wkt.toString, "MULTIPOLYGON")
+    // each polygon is itself a parenthesized group of rings
+    new GenericArrayData(splitGroups(body).map { poly =>
+      new GenericArrayData(splitGroups(poly)
+        .map(g => new GenericArrayData(parsePointList(g)): Any).toArray): Any
+    }.toArray)
+  }
+
+  /** pointInPolygon((x, y), polygon) (src/Functions/pointInPolygon.cpp
+    * non-indexed path): even-odd crossing number over the outer ring,
+    * minus any hole that contains the point. `rings` = array of rings
+    * of struct(x, y). */
+  def pointInPolygonRings(x: Double, y: Double, rings: ArrayData): Boolean = {
+    def inRing(ring: ArrayData): Boolean = {
+      val n = ring.numElements()
+      var inside = false
+      var i = 0
+      var j = n - 1
+      while (i < n) {
+        val pi = ring.getStruct(i, 2); val pj = ring.getStruct(j, 2)
+        val xi = pi.getDouble(0); val yi = pi.getDouble(1)
+        val xj = pj.getDouble(0); val yj = pj.getDouble(1)
+        if (((yi > y) != (yj > y)) &&
+            (x < (xj - xi) * (y - yi) / (yj - yi) + xi)) inside = !inside
+        j = i; i += 1
+      }
+      inside
+    }
+    val nr = rings.numElements()
+    if (nr == 0) return false
+    if (!inRing(rings.getArray(0))) return false
+    var h = 1
+    while (h < nr) {
+      if (inRing(rings.getArray(h))) return false
+      h += 1
+    }
+    true
+  }
+
   /** sequenceNextNode(direction, base)(ts, event, base_cond, cond1..N)
     * (AggregateFunctionSequenceNextNode.cpp:348-421): sort by
     * timestamp, locate the base row (head / tail / first_match /

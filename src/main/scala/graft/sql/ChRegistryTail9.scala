@@ -811,6 +811,42 @@ object ChRegistryTail9 {
       Literal.create(Map.empty[String, String],
         MapType(StringType, StringType))),
 
+    // WKT geometry readers (readWkt.cpp over the published OGC
+    // well-known-text grammar) + the pointInPolygon SQL lane on the
+    // same carrier (point = struct(x, y), ring = array(point),
+    // polygon = array(ring), multi* = one more level)
+    "readwktpoint" -> (args => kernel(pointType, "readWktPoint",
+      Seq(Cast(args.head, StringType)), Seq(StringType))),
+    "readwktlinestring" -> (args => kernel(ringType, "readWktLineString",
+      Seq(Cast(args.head, StringType)), Seq(StringType))),
+    "readwktring" -> (args => kernel(ringType, "readWktRing",
+      Seq(Cast(args.head, StringType)), Seq(StringType))),
+    "readwktpolygon" -> (args => kernel(polyType, "readWktPolygon",
+      Seq(Cast(args.head, StringType)), Seq(StringType))),
+    "readwktmultilinestring" -> (args =>
+      kernel(polyType, "readWktMultiLineString",
+        Seq(Cast(args.head, StringType)), Seq(StringType))),
+    "readwktmultipolygon" -> (args =>
+      kernel(ArrayType(polyType), "readWktMultiPolygon",
+        Seq(Cast(args.head, StringType)), Seq(StringType))),
+    // pointInPolygon((x, y), ring-or-polygon): a bare ring promotes to
+    // the single-ring polygon (pointInPolygon.cpp accepts both)
+    "pointinpolygon" -> (args => {
+      val pt = args.head
+      val x = asDouble(GetStructField(pt, 0))
+      val y = asDouble(GetStructField(pt, 1))
+      val geom = Cast(args(1), polyType) match {
+        case c if scala.util.Try(args(1).dataType).toOption
+            .exists(_.isInstanceOf[ArrayType] &&
+              !args(1).dataType.asInstanceOf[ArrayType]
+                .elementType.isInstanceOf[ArrayType]) =>
+          CreateArray(Seq(Cast(args(1), ringType)))
+        case c => c
+      }
+      kernel(BooleanType, "pointInPolygonRings",
+        Seq(x, y, geom), Seq(DoubleType, DoubleType, polyType))
+    }),
+
     // getServerSetting / getMergeTreeSetting (serverConstants.cpp
     // class): resolve from the session's setting ledger at ANALYSIS
     // time, like the reference's query-time constant fold; unknown
@@ -819,6 +855,11 @@ object ChRegistryTail9 {
     "getmergetreesetting" -> (args =>
       settingLit(args, "graft.ch.merge_tree."))
   )
+
+  private val pointType = StructType(Seq(
+    StructField("x", DoubleType), StructField("y", DoubleType)))
+  private val ringType = ArrayType(pointType)
+  private val polyType = ArrayType(ringType)
 
   private def settingLit(args: Seq[Expression],
       prefix: String): Expression = {

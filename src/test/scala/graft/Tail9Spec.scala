@@ -469,6 +469,35 @@ class Tail9Spec extends SparkFunSuite {
     assert(iv.length == 2)
   }
 
+  test("WKT readers parse the OGC grammar; pointInPolygon honors holes") {
+    val r = one("""SELECT
+      readWKTPoint('POINT (1.5 -2)') AS p,
+      readWKTLineString('LINESTRING (0 0, 1 1, 2 0)') AS ls,
+      readWKTRing('POLYGON ((0 0, 10 0, 10 10, 0 10))') AS ring,
+      readWKTPolygon(
+        'POLYGON ((0 0, 10 0, 10 10, 0 10), (4 4, 6 4, 6 6, 4 6))') AS poly,
+      readWKTMultiPolygon(
+        'MULTIPOLYGON (((0 0, 1 0, 1 1)), ((5 5, 6 5, 6 6), (0 0, 0 1, 1 1)))')
+        AS mp,
+      pointInPolygon(struct(2.0, 2.0),
+        readWKTPolygon(
+          'POLYGON ((0 0, 10 0, 10 10, 0 10), (4 4, 6 4, 6 6, 4 6))')) AS in1,
+      pointInPolygon(struct(5.0, 5.0),
+        readWKTPolygon(
+          'POLYGON ((0 0, 10 0, 10 10, 0 10), (4 4, 6 4, 6 6, 4 6))')) AS hole,
+      pointInPolygon(struct(11.0, 1.0),
+        readWKTRing('POLYGON ((0 0, 10 0, 10 10, 0 10))')) AS out1""")
+    val p = r.getStruct(0)
+    assert(p.getDouble(0) == 1.5 && p.getDouble(1) == -2.0)
+    assert(r.getSeq[org.apache.spark.sql.Row](1).size == 3)
+    assert(r.getSeq[org.apache.spark.sql.Row](2).size == 4)
+    assert(r.getSeq[Any](3).size == 2)
+    assert(r.getSeq[Any](4).size == 2)
+    assert(r.getBoolean(5)) // inside outer, outside hole
+    assert(!r.getBoolean(6)) // inside the hole
+    assert(!r.getBoolean(7)) // outside
+  }
+
   test("getServerSetting / getMergeTreeSetting resolve the setting ledger") {
     ClickHouseSql.sql(spark, "SET t9_knob = 'abc'")
     ClickHouseSql.sql(spark, "SET t9_mt_knob = '42'")
