@@ -69,12 +69,17 @@ object LiveViews {
   def clear(): Unit = views.clear()
 
   /** Order-insensitive multiset hash + row count of the view's CURRENT
-    * result: one distributed aggregate, one driver row. */
+    * result: one distributed aggregate, one driver row. The per-row
+    * hashes sum on a DECIMAL(38) carrier — an ANSI long sum overflows
+    * after a handful of near-Long.Max hash values (XOR would be
+    * overflow-free but cancels duplicate rows in pairs). */
   private def resultFingerprint(df: DataFrame): (Long, Long) = {
     val cols = df.columns.map(col)
     val r = df.agg(count(lit(1)).as("n"),
-      sum(xxhash64(cols: _*)).as("h")).head()
-    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      sum(xxhash64(cols: _*).cast("decimal(38,0)")).as("h")).head()
+    val h = if (r.isNullAt(1)) 0L
+      else r.getDecimal(1).unscaledValue().longValue() // wrap to 64 bits
+    (r.getLong(0), h)
   }
 
   /** Re-evaluate `name` and bump its version iff the result hash

@@ -312,4 +312,65 @@ class PlanAuditSpec extends SparkFunSuite {
         s"affected-partition enumeration lost partition pruning:\n$scan")
     } finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
+
+  test("round-11 typed-aggregate SQL lanes run partial+final (map-side " +
+      "combine before the shuffle)") {
+    Tables.register(spark, sf)
+    val df = graft.sql.ClickHouseSql.sql(spark,
+      "SELECT n_regionkey, topK(2)(n_name) AS t, sumMap(n_name, " +
+        "CAST(n_nationkey AS DOUBLE)) AS sm FROM nation GROUP BY n_regionkey")
+    val p = df.queryExecution.executedPlan.toString
+    // ObjectHashAggregate with BOTH stages: the buffer merges map-side
+    // and only per-key summaries cross the exchange — the property the
+    // 100 TB story needs from every custom Aggregator
+    assert(p.contains("ObjectHashAggregate"), s"expected object agg:\n$p")
+    assert("(?s)ObjectHashAggregate.*Exchange.*ObjectHashAggregate".r
+      .findFirstIn(p).isDefined,
+      s"expected partial+final around the exchange:\n$p")
+    df.collect()
+  }
+
+  test("LIVE VIEW fingerprint plan is a pure aggregate — one driver row") {
+    Tables.register(spark, sf)
+    val ch = graft.sql.ClickHouseSql
+    ch.sql(spark, "DROP VIEW IF EXISTS audit_lv")
+    ch.sql(spark,
+      "CREATE LIVE VIEW audit_lv AS SELECT n_regionkey, count() AS c " +
+        "FROM nation GROUP BY n_regionkey")
+    try {
+      // WATCH EVENTS costs the fingerprint aggregate only: assert the
+      // version ledger moved without any collect of the result set
+      val v1 = ch.sql(spark, "WATCH audit_lv EVENTS").collect()
+      assert(v1.map(_.getLong(0)).toSeq == Seq(1L))
+    } finally ch.sql(spark, "DROP VIEW IF EXISTS audit_lv")
+  }
+
+  test("concurrent WATCHes after one change bump the version exactly once") {
+    val ch = graft.sql.ClickHouseSql
+    val t = "audit_lv_t"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), t)
+    wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
+    ch.sql(spark, "DROP VIEW IF EXISTS audit_lv2")
+    ch.sql(spark, s"CREATE MATERIALIZED VIEW $t AS SELECT 1 AS a")
+    ch.sql(spark, s"CREATE LIVE VIEW audit_lv2 AS SELECT sum(a) AS s FROM $t")
+    try {
+      ch.sql(spark, s"INSERT INTO $t VALUES (9)")
+      import scala.jdk.CollectionConverters._
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      val versions = try {
+        pool.invokeAll((1 to 4).map[java.util.concurrent.Callable[Long]](
+          _ => () => ch.sql(spark, "WATCH audit_lv2").collect()
+            .head.getAs[Long]("_version")).asJava)
+          .asScala.map(_.get()).toSeq
+      } finally pool.shutdown()
+      // every racer sees version 2 — the hash-compare bump is
+      // idempotent under contention (ConcurrentHashMap.compute)
+      assert(versions.forall(_ == 2L), s"got $versions")
+    } finally {
+      ch.sql(spark, "DROP VIEW IF EXISTS audit_lv2")
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
 }
