@@ -115,16 +115,33 @@ object BpeTokenizer {
 
   // ---- encoding kernel -------------------------------------------------
 
-  /** Parsed rank tables, memoized per merge-list content. */
-  private val rankCache =
-    new java.util.concurrent.ConcurrentHashMap[Int, Map[(String, String), Int]]()
+  /** Parsed rank tables, memoized per merge-list content. The key is
+    * (length, two independent 64-bit content hashes) — a 2^-128-class
+    * collision domain over the full BYTE content (the old key was one
+    * 32-bit rolling hash of element hashCodes: two different merge
+    * tables colliding on it would silently share ranks) — and the cache
+    * is bounded (a process cycling many merge tables must not grow
+    * driver memory without bound). */
+  private val rankCacheMax = 64
+  private val rankCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Long, Long), Map[(String, String), Int]]()
 
   private def ranksOf(merges: ArrayData): Map[(String, String), Int] = {
     val n = merges.numElements()
-    var h = 17
+    var h1 = 1125899906842597L
+    var h2 = 0xcbf29ce484222325L // FNV-1a 64 over all bytes, order-mixed
     var i = 0
-    while (i < n) { h = h * 31 + merges.getUTF8String(i).hashCode; i += 1 }
-    rankCache.computeIfAbsent(h, _ =>
+    while (i < n) {
+      val s = merges.getUTF8String(i)
+      var j = 0
+      val m = s.numBytes()
+      while (j < m) { h2 = (h2 ^ (s.getByte(j) & 0xff)) * 0x100000001b3L; j += 1 }
+      h2 = (h2 ^ 0x2e) * 0x100000001b3L // element separator byte
+      h1 = h1 * 31 + s.hashCode
+      i += 1
+    }
+    if (rankCache.size > rankCacheMax) rankCache.clear()
+    rankCache.computeIfAbsent((n, h1, h2), _ =>
       (0 until n).map { i =>
         val Array(a, b) = merges.getUTF8String(i).toString.split(" ", 2)
         (a, b) -> i

@@ -114,17 +114,6 @@ object DurableRewrite {
     }.mkString(", "))
   }
 
-  private def withOverwriteMode[T](spark: SparkSession, mode: String)(f: => T): T = {
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, mode)
-    try f
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
-
   /** Rewrite `table`'s data as `mutated` (same schema). `affected` is
     * the statement's row predicate (rows the mutation CHANGES or
     * REMOVES): with a partitioned table it prunes the rewrite to
@@ -168,10 +157,12 @@ object DurableRewrite {
     def fullRewrite(): Result = {
       val staged = stageWrite(mutated)
       // static mode: the WHOLE table is replaced, including partitions
-      // whose rows all died (dynamic mode would leave them standing)
-      withOverwriteMode(spark, "static") {
-        staged.write.mode("overwrite").insertInto(table)
-      }
+      // whose rows all died (dynamic mode would leave them standing).
+      // Per-WRITE option, not a session-conf set/restore: concurrent
+      // mutation legs (PARALLEL WITH) interleaving a global set/restore
+      // could permanently flip a user-configured dynamic mode to static.
+      staged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "static").insertInto(table)
       graft.sources.SystemTables.PartLogLedger
         .record("MutatePart", table, "all")
       Result(partitionDirs().size, 0)

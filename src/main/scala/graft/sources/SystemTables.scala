@@ -40,6 +40,9 @@ object SystemTables {
       val key = p.toString
       if (loadedSidecar != key) synchronized {
         if (loadedSidecar != key) {
+          // a mid-process warehouse switch must not MIX histories: the
+          // ledger mirrors exactly one sidecar at a time
+          if (loadedSidecar != null) events.clear()
           if (java.nio.file.Files.exists(p)) {
             import scala.jdk.CollectionConverters._
             java.nio.file.Files.readAllLines(p).asScala.foreach { line =>
@@ -100,6 +103,12 @@ object SystemTables {
       * sidecar — simulates a process restart. */
     private[graft] def resetMemoryForTest(): Unit = synchronized {
       events.clear(); loadedSidecar = null
+    }
+    /** Test hook: mark the in-memory state as belonging to ANOTHER
+      * warehouse — the next read must CLEAR it before reloading this
+      * warehouse's sidecar (histories never mix). */
+    private[graft] def markForeignForTest(): Unit = synchronized {
+      loadedSidecar = "__other_warehouse__"
     }
   }
 

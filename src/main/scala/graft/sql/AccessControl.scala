@@ -115,7 +115,11 @@ object AccessControl {
     val req = target.toLowerCase
     grants.asScala.exists(g => g.grantOption && seen.contains(g.grantee) &&
       (g.privilege == "ALL" || g.privilege == priv) &&
-      (g.target == "*.*" || g.target == "*" || g.target == req))
+      // same target rule as allowed(): an option grant stored
+      // db-qualified (db.table) covers a GRANT naming the bare table —
+      // delegation must not be stricter than the read gate it delegates
+      (g.target == "*.*" || g.target == "*" || g.target == req ||
+        g.target.endsWith("." + req)))
   }
 
   /** Does `who` hold ADMIN OPTION on role `r` (directly or through a

@@ -858,33 +858,147 @@ object ClickHouseSql {
         val withSentinel = segs.zipWithIndex.map { case (s, i) =>
           if (i % 2 == 0) marker.replaceAllIn(s, "\u0001") else s
         }.mkString("'")
-        // sqlImpl, not sql: the user issued ONE statement — quota was
-        // already charged once at the sql() entry (QuotaCache::used
+        // sqlImpl, not sql: the user issued ONE statement (quota was
+        // already charged once at the sql() entry; QuotaCache::used
         // charges per statement, not per PARALLEL WITH leg).
-        // Legs targeting the SAME table stay sequential (Spark's file
-        // commit protocol stages every insert under the table's one
-        // _temporary dir — concurrent committers there clobber each
-        // other); legs on distinct targets run genuinely concurrently,
-        // like the reference's thread pool.
+        // Legs are grouped by EVERY table identifier each statement
+        // references (sources included, so a leg READING a table
+        // another leg mutates orders behind it instead of racing it),
+        // with transitive sharing merged (union-find). Groups run
+        // concurrently; inside a group legs stay in statement order,
+        // EXCEPT a group of plain `INSERT INTO t SELECT/VALUES ...` legs
+        // into one shared target (none reading that target), which runs
+        // concurrently through per-leg staging dirs + an append commit
+        // by file rename: Spark's own commit protocol stages every
+        // insert of a table under its single `_temporary` dir, so the
+        // constraint is lifted beside it, not fought inside it.
         val legs = withSentinel.split('\u0001').map(_.trim).filter(_.nonEmpty)
-        def legTable(l: String): Option[String] = {
-          val re = ("(?is)^(?:INSERT\\s+INTO|CREATE\\s+(?:OR\\s+REPLACE\\s+)?" +
-            "(?:TEMPORARY\\s+)?TABLE(?:\\s+IF\\s+NOT\\s+EXISTS)?|" +
-            "DROP\\s+TABLE(?:\\s+IF\\s+EXISTS)?|ALTER\\s+TABLE|" +
-            "TRUNCATE\\s+TABLE(?:\\s+IF\\s+EXISTS)?|UPDATE|DELETE\\s+FROM|" +
-            "OPTIMIZE\\s+TABLE)\\s+([A-Za-z_][A-Za-z0-9_.]*)").r
-          re.findFirstMatchIn(l).map(_.group(1).toLowerCase)
+        def legIdents(l: String): Set[String] = {
+          val outside = l.split("'", -1).zipWithIndex
+            .collect { case (s, i) if i % 2 == 0 => s }.mkString(" ")
+          val kw = Set("select", "values", "with", "table", "if", "not",
+            "exists", "from", "into", "where", "only", "infile", "outfile",
+            "partition")
+          ("(?is)\\b(?:FROM|JOIN|INTO|UPDATE|TABLE)\\s+(?:TABLE\\s+)?" +
+            "(?:IF\\s+(?:NOT\\s+)?EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_.]*)").r
+            .findAllMatchIn(outside).map(_.group(1).toLowerCase)
+            .filterNot(kw).toSet
         }
-        val groups = legs.zipWithIndex
-          .groupBy { case (l, i) => legTable(l).getOrElse(s"__leg_$i") }
-          .values.map(_.sortBy(_._2).map(_._1).toSeq).toSeq
+        val ids = legs.map(legIdents)
+        val parent = Array.tabulate(legs.length)(identity)
+        def find(x: Int): Int = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        val owner = scala.collection.mutable.Map.empty[String, Int]
+        for (i <- legs.indices; t <- ids(i)) owner.get(t) match {
+          case Some(j) => parent(find(i)) = find(j)
+          case None => owner(t) = i
+        }
+        val groups = legs.indices.groupBy(find).values
+          .map(_.sorted.map(legs(_)).toSeq).toSeq
+        val insRe = ("(?is)^INSERT\\s+INTO\\s+(?:TABLE\\s+)?" +
+          "([A-Za-z_][A-Za-z0-9_.]*)\\s+((?:SELECT|WITH|VALUES)\\b.*?);?\\s*$").r
+        def concurrentInsertLegs(group: Seq[String])
+            : Option[(String, Seq[String])] =
+          if (group.size < 2) None
+          else {
+            val parsed = group.map {
+              case insRe(t, tail) => Some((t.toLowerCase, tail.trim))
+              case _ => None
+            }
+            val t0 = parsed.headOption.flatten.map(_._1)
+            val ok = parsed.forall(_.isDefined) && t0.isDefined &&
+              parsed.flatten.forall(_._1 == t0.get) &&
+              parsed.flatten.forall(p => !legIdents(p._2).contains(t0.get)) &&
+              scala.util.Try(spark.sessionState.catalog.getTableMetadata(
+                org.apache.spark.sql.catalyst.TableIdentifier(t0.get))
+                .provider.exists(_.equalsIgnoreCase("parquet")))
+                .getOrElse(false)
+            if (ok) Some((t0.get, parsed.flatten.map(_._2))) else None
+          }
+        val commitLock = new Object
+        def appendInsertLeg(t: String, tail: String): Unit = {
+          AccessControl.enforce(spark, s"INSERT INTO $t $tail")
+          val df0 =
+            if (tail.matches("(?is)^VALUES\\b.*")) spark.sql(tail)
+            else sqlImpl(spark, tail)
+          val meta = spark.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(t))
+          val partCols = meta.partitionColumnNames
+          val schema = spark.table(t).schema
+          require(df0.columns.length == schema.length,
+            s"INSERT INTO $t: ${df0.columns.length} columns, " +
+              s"table has ${schema.length}")
+          // positional binding + cast, exactly like insertInto
+          val aligned = df0.toDF(schema.map(_.name): _*)
+            .select(schema.map(f => org.apache.spark.sql.functions
+              .col(f.name).cast(f.dataType)): _*)
+          val loc = meta.location.getPath
+          val root = new org.apache.hadoop.fs.Path(loc)
+          val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val stage = new org.apache.hadoop.fs.Path(
+            loc + "__parallel_" + java.util.UUID.randomUUID().toString.take(12))
+          try {
+            val w = aligned.write.mode("overwrite")
+            (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+              .parquet(stage.toString)
+            // move every staged data file into the table under its
+            // partition-relative dir; Spark part-file names carry a
+            // per-job UUID, so concurrent renames into one dir are safe
+            def move(dir: org.apache.hadoop.fs.Path, rel: String): Unit =
+              fs.listStatus(dir).foreach { st =>
+                val n = st.getPath.getName
+                if (n.startsWith("_") || n.startsWith(".")) ()
+                else if (st.isDirectory)
+                  move(st.getPath, if (rel.isEmpty) n else s"$rel/$n")
+                else {
+                  val dstDir = if (rel.isEmpty) root
+                    else new org.apache.hadoop.fs.Path(root, rel)
+                  fs.mkdirs(dstDir)
+                  if (!fs.rename(st.getPath,
+                      new org.apache.hadoop.fs.Path(dstDir, n)))
+                    throw new IllegalStateException(
+                      s"PARALLEL WITH append: rename of ${st.getPath} failed")
+                }
+              }
+            move(stage, "")
+            commitLock.synchronized {
+              if (partCols.nonEmpty) spark.sql(s"MSCK REPAIR TABLE $t")
+              spark.sql(s"REFRESH TABLE $t")
+              refreshSkipIndexes(spark, t)
+              queryCache.clear()
+            }
+          } finally fs.delete(stage, true)
+        }
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
           math.min(groups.length, 8))
         try {
           import scala.jdk.CollectionConverters._
           val tasks: java.util.List[java.util.concurrent.Callable[Unit]] =
-            groups.map[java.util.concurrent.Callable[Unit]](group =>
-              () => { group.foreach(part => sqlImpl(spark, part)); () }).asJava
+            groups.map[java.util.concurrent.Callable[Unit]] { group =>
+              concurrentInsertLegs(group) match {
+                case Some((t, tails)) => () => {
+                  val inner = java.util.concurrent.Executors
+                    .newFixedThreadPool(math.min(tails.size, 8))
+                  try {
+                    val sub: java.util.List[
+                      java.util.concurrent.Callable[Unit]] =
+                      tails.map[java.util.concurrent.Callable[Unit]](tail =>
+                        () => { appendInsertLeg(t, tail); () }).asJava
+                    inner.invokeAll(sub).asScala.foreach(_.get())
+                  } catch {
+                    case e: java.util.concurrent.ExecutionException =>
+                      throw e.getCause
+                  } finally inner.shutdown()
+                }
+                case None =>
+                  () => { group.foreach(part => sqlImpl(spark, part)); () }
+              }
+            }.asJava
           pool.invokeAll(tasks).asScala.foreach(_.get())
         } catch {
           case e: java.util.concurrent.ExecutionException => throw e.getCause

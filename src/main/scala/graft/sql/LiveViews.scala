@@ -82,17 +82,17 @@ object LiveViews {
     (r.getLong(0), h)
   }
 
-  /** Re-evaluate `name` and bump its version iff the result hash
-    * changed since the last evaluation (StorageLiveView.cpp:722-745).
-    * Returns the post-evaluation ledger entry. */
-  def refresh(spark: SparkSession, name: String,
-      run: String => DataFrame): LiveView = {
-    val key = name.toLowerCase
-    val lv = Option(views.get(key)).getOrElse(throw new IllegalArgumentException(
-      s"WATCH: `$name` is not a live view"))
-    val (rows, h) = resultFingerprint(run(lv.select))
+  private def viewOf(name: String): LiveView =
+    Option(views.get(name.toLowerCase)).getOrElse(
+      throw new IllegalArgumentException(s"WATCH: `$name` is not a live view"))
+
+  /** Exactly-once version bump for an observed (hash, rows) pair —
+    * `ConcurrentHashMap.compute` makes concurrent WATCHes of the same
+    * update race-free (only the first observer of a new hash bumps). */
+  private def bump(key: String, fallback: LiveView, h: Long,
+      rows: Long): LiveView =
     views.compute(key, (_, cur0) => {
-      val cur = if (cur0 == null) lv else cur0
+      val cur = if (cur0 == null) fallback else cur0
       if (h == cur.lastHash) cur
       else {
         val v = cur.version + 1
@@ -102,6 +102,15 @@ object LiveViews {
             .takeRight(maxHistory))
       }
     })
+
+  /** Re-evaluate `name` and bump its version iff the result hash
+    * changed since the last evaluation (StorageLiveView.cpp:722-745).
+    * Returns the post-evaluation ledger entry. */
+  def refresh(spark: SparkSession, name: String,
+      run: String => DataFrame): LiveView = {
+    val lv = viewOf(name)
+    val (rows, h) = resultFingerprint(run(lv.select))
+    bump(name.toLowerCase, lv, h, rows)
   }
 
   /** CREATE LIVE VIEW: temp view (text-derived plan — re-resolved per
@@ -136,10 +145,21 @@ object LiveViews {
   /** WATCH lv [LIMIT n]: the CURRENT result with the `_version`
     * ephemeral column (StorageLiveView.cpp:716). LIMIT bounds how many
     * updates a streaming client would wait for; a batch engine serves
-    * the latest state exactly once. */
+    * the latest state exactly once.
+    *
+    * ONE evaluation serves both the fingerprint and the client:
+    * `localCheckpoint` pins the result rows in executor storage
+    * (distributed — never a driver collect), the hash is computed over
+    * that SAME materialized frame, and the frame is what's returned —
+    * so under concurrent inserts the served rows always match the
+    * reported `_version`, and the stored SELECT's scan cost is paid
+    * once per WATCH, not twice. */
   def watch(spark: SparkSession, name: String,
       run: String => DataFrame): DataFrame = {
-    val lv = refresh(spark, name, run)
-    run(lv.select).withColumn("_version", lit(lv.version))
+    val lv0 = viewOf(name)
+    val snap = run(lv0.select).localCheckpoint()
+    val (rows, h) = resultFingerprint(snap)
+    val lv = bump(name.toLowerCase, lv0, h, rows)
+    snap.withColumn("_version", lit(lv.version))
   }
 }

@@ -67,4 +67,20 @@ class BpeTokenizerSpec extends SparkFunSuite {
       sum(length(col("text"))).as("chars")).collect().head
     assert(c.getLong(0) < c.getLong(1))
   }
+
+  test("rank cache is content-keyed: different merge tables of the same " +
+      "shape never share ranks (r11 32-bit-key collision nit)") {
+    // same length, different content — with the old one-Int rolling key
+    // a collision would silently encode list 2 with list 1's ranks; the
+    // content key makes cross-contamination structurally impossible
+    val m1 = Seq("h u", "hu g</w>")
+    val m2 = Seq("p u", "pu g</w>")
+    val d = df(Seq("hug pug"))
+    val o1 = d.select(BpeTokenizer.encode(col("text"), m1).as("t"))
+      .collect().head.getSeq[String](0)
+    val o2 = d.select(BpeTokenizer.encode(col("text"), m2).as("t"))
+      .collect().head.getSeq[String](0)
+    assert(o1 == Seq("hug</w>", "p", "u", "g</w>"), s"m1 ranks: $o1")
+    assert(o2 == Seq("h", "u", "g</w>", "pug</w>"), s"m2 ranks: $o2")
+  }
 }

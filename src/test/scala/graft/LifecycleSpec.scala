@@ -618,6 +618,80 @@ class LifecycleSpec extends SparkFunSuite {
     scratch(t); scratch(t2)
   }
 
+  // ---- round-12 ADVICE regressions ----------------------------------
+
+  test("PARALLEL WITH: a leg reading a table another leg mutates orders " +
+      "behind it (legs group by ALL referenced tables, not the target)") {
+    val a = "graft_pw_dep_a"; val b = "graft_pw_dep_b"
+    scratch(a); scratch(b)
+    ch(s"CREATE TABLE $b (x Int64) ENGINE = MergeTree ORDER BY x")
+    ch(s"INSERT INTO $b VALUES (1), (2), (3)")
+    ch(s"CREATE TABLE $a (x Int64) ENGINE = MergeTree ORDER BY x")
+    // the INSERT reads b; TRUNCATE mutates b — shared identifier b puts
+    // both legs in one ordered group (the r11 grouping keyed only the
+    // FIRST-referenced table: a vs b, and the two legs raced)
+    ch(s"INSERT INTO $a SELECT x FROM $b PARALLEL WITH TRUNCATE TABLE $b")
+    assert(spark.table(a).count() == 3L,
+      "the reading leg must see the pre-TRUNCATE rows")
+    assert(spark.table(b).count() == 0L)
+    scratch(a); scratch(b)
+  }
+
+  test("PARALLEL WITH: same-target INSERT legs all land via per-leg " +
+      "staging + append commit (existing rows kept, no leg lost)") {
+    val t = "graft_pw_ccins"
+    scratch(t)
+    ch(s"CREATE TABLE $t (x Int64) ENGINE = MergeTree ORDER BY x")
+    ch(s"INSERT INTO $t VALUES (0)")
+    ch(s"INSERT INTO $t SELECT CAST(id AS BIGINT) + 1 AS x FROM range(3) " +
+      s"PARALLEL WITH INSERT INTO $t VALUES (100), (101) " +
+      s"PARALLEL WITH INSERT INTO $t SELECT CAST(200 AS BIGINT) AS x")
+    val got = spark.table(t).collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(0L, 1L, 2L, 3L, 100L, 101L, 200L), s"got $got")
+    scratch(t)
+  }
+
+  test("GRANT OPTION target matching mirrors the read gate: a " +
+      "db-qualified option grant covers the bare table name") {
+    val t = "graft_go_suffix_t"
+    scratch(t)
+    ch(s"CREATE MATERIALIZED VIEW $t AS SELECT 1 AS a")
+    ch("CREATE USER IF NOT EXISTS go_suffix_u")
+    ch("CREATE USER IF NOT EXISTS go_suffix_v")
+    ch(s"GRANT SELECT ON default.$t TO go_suffix_u WITH GRANT OPTION")
+    try {
+      ch("SET user = 'go_suffix_u'")
+      // r11 denied this: the option grant is stored as default.t but the
+      // GRANT names the bare table — allowed() accepts the suffix match,
+      // so delegation must too
+      ch(s"GRANT SELECT ON $t TO go_suffix_v")
+      ch("SET user = 'default'")
+      val shown = ch("SHOW GRANTS FOR go_suffix_v").collect()
+        .map(_.getString(0)).mkString("; ")
+      assert(shown.toLowerCase.contains(t), s"grant missing: $shown")
+    } finally {
+      ch("SET user = 'default'")
+      scala.util.Try(ch("DROP USER IF EXISTS go_suffix_u"))
+      scala.util.Try(ch("DROP USER IF EXISTS go_suffix_v"))
+      scratch(t)
+    }
+  }
+
+  test("part_log never mixes warehouses: switching sidecars clears the " +
+      "in-memory ledger before reloading") {
+    val L = graft.sources.SystemTables.PartLogLedger
+    L.clear()
+    L.record("NewPart", "graft_plog_switch_t", "k=1") // sidecar has 1 row
+    // pretend the loaded state belongs to another warehouse: the next
+    // read must CLEAR it, then reload this warehouse's sidecar — without
+    // the clear the same event would appear twice (mixed histories)
+    L.markForeignForTest()
+    assert(ch("""SELECT count() AS n FROM system.part_log
+      WHERE `table` = 'graft_plog_switch_t'""")
+      .collect().head.getLong(0) == 1L)
+    L.clear()
+  }
+
   // ---- round-11 ADVICE regressions ----------------------------------
 
   test("quota charges ONCE per statement: OUTFILE core and PARALLEL WITH " +
