@@ -1379,6 +1379,136 @@ object FunctionTail2 extends QueryPack {
         '86Rf07' AS s123,
         'bM' AS s0,
         '1,2,3' AS d123,
-        '123456789,42,0' AS rt""")
+        '123456789,42,0' AS rt"""),
+
+    // Round-12 sweep #10: the custom-TLD subdomain family over a
+    // SESSION-REGISTERED public-suffix list (TLDListsHolder::getTldList
+    // — here a named collection, the analog of the config-named list
+    // files), exercising REGULAR entries, `*.` wildcards, `!`
+    // exceptions, the second-level fallback, the WithWWW twin, and
+    // portRFC — every expected value computable by hand from the list,
+    // plus a corpus-wide lane whose per-branch outputs the oracle
+    // restates through the same CASE.
+    Q("q_fn_custom_tld", (s, dir) => {
+      Tables.register(s, dir)
+      ClickHouseSql.sql(s,
+        "DROP NAMED COLLECTION IF EXISTS public_suffix_demo")
+      ClickHouseSql.sql(s, "CREATE NAMED COLLECTION public_suffix_demo " +
+        "AS lines = 'com.tr,co.uk,*.kawasaki.jp,!city.kawasaki.jp,dev.example'")
+      ClickHouseSql.sql(s, """
+        SELECT
+          cutToFirstSignificantSubdomainCustom(
+            'https://news.yandex.com.tr/x', 'public_suffix_demo') AS cut_reg,
+          firstSignificantSubdomainCustom(
+            'https://news.yandex.com.tr/x', 'public_suffix_demo') AS fss_reg,
+          cutToFirstSignificantSubdomainCustomWithWWW(
+            'https://www.dev.example/p', 'public_suffix_demo') AS cut_www,
+          cutToFirstSignificantSubdomainCustom(
+            'https://www.dev.example/p', 'public_suffix_demo') AS cut_nowww,
+          cutToFirstSignificantSubdomainCustom(
+            'https://a.b.kawasaki.jp', 'public_suffix_demo') AS cut_any,
+          cutToFirstSignificantSubdomainCustom(
+            'https://x.city.kawasaki.jp', 'public_suffix_demo') AS cut_exc,
+          cutToFirstSignificantSubdomainCustomRFC(
+            'https://a.b.example.com/p', 'public_suffix_demo') AS cut_fb,
+          firstSignificantSubdomainCustomRFC(
+            'https://a.b.example.com/p', 'public_suffix_demo') AS fss_fb,
+          CAST(portRFC('https://h.example.com:8443/p') AS BIGINT) AS prfc,
+          CAST(portRFC('https://h.example.com/p') AS BIGINT) AS prfc0,
+          agg.c_ok, agg.n
+        FROM (
+          SELECT sum(CASE WHEN (m = 0 AND cut = 'yandex.com.tr')
+                         OR (m = 1 AND cut = 'a.b.kawasaki.jp')
+                         OR (m = 2 AND cut = 'example.com')
+                     THEN 1 ELSE 0 END) AS c_ok,
+                 count() AS n
+          FROM (
+            SELECT doc_id % 3 AS m,
+              cutToFirstSignificantSubdomainCustom(concat('https://',
+                CASE WHEN doc_id % 3 = 0 THEN 'news.yandex.com.tr'
+                     WHEN doc_id % 3 = 1 THEN 'a.b.kawasaki.jp'
+                     ELSE 'www.blog.example.com' END,
+                '/', toString(doc_id)), 'public_suffix_demo') AS cut
+            FROM documents)) AS agg""")
+    }, Some("""
+      SELECT
+        'yandex.com.tr' AS cut_reg,
+        'yandex' AS fss_reg,
+        'www.dev.example' AS cut_www,
+        'dev.example' AS cut_nowww,
+        'a.b.kawasaki.jp' AS cut_any,
+        'city.kawasaki.jp' AS cut_exc,
+        'example.com' AS cut_fb,
+        'example' AS fss_fb,
+        CAST(8443 AS BIGINT) AS prfc,
+        CAST(0 AS BIGINT) AS prfc0,
+        (SELECT count(*) FROM documents) AS c_ok,
+        (SELECT count(*) FROM documents) AS n""")),
+
+    // Round-12 sweep #10 aggregate tail — names the reproducible
+    // extraction (scripts/extract_fn_names.py) surfaced beyond the old
+    // hand-built list: the weighted/plural quantile-engine matrix, the
+    // groupArrayArray/array_concat_agg combinator aliases, the Nothing
+    // placeholder family, and the Dynamic/JSON introspection
+    // aggregates. Every value restated by DuckDB as a literal.
+    ch("q_fn_tail10", """
+      SELECT
+        CAST(quantileTimingWeighted(0.5)(v, w) AS DOUBLE) AS qtw,
+        arrayStringConcat(arrayMap(x -> toString(round(x, 1)),
+          quantilesExactWeighted(0.25, 0.75)(v, w)), ',') AS qsw,
+        arrayStringConcat(arrayMap(x -> toString(round(x, 1)),
+          quantilesExactInclusive(0.5)(v)), ',') AS qsei,
+        arrayStringConcat(arrayMap(x -> toString(round(x, 1)),
+          quantilesGK(100, 0.0, 1.0)(v)), ',') AS qgk,
+        arrayStringConcat(arrayMap(x -> toString(x),
+          arraySort(array_concat_agg(arr))), ',') AS aca,
+        CAST(nothing(v) AS STRING) AS noth,
+        CAST(nothingNull(v) AS STRING) AS nothn,
+        CAST(nothingUInt64(v) AS BIGINT) AS noth64,
+        arrayStringConcat(distinctJSONPaths(js), ',') AS djp,
+        arrayStringConcat(distinctJSONPathsAndTypes(js)['a'], ',') AS djpt_a,
+        arrayStringConcat(distinctDynamicTypes(
+          parse_json(toString(w))), ',') AS ddt
+      FROM (VALUES
+        (CAST(1.0 AS DOUBLE), 1, array(1, 2), '{"a": 1, "b": {"x": "u"}}'),
+        (CAST(3.0 AS DOUBLE), 3, array(3), '{"a": "s"}')) AS t(v, w, arr, js)""",
+      """
+      SELECT
+        CAST(3.0 AS DOUBLE) AS qtw,
+        '2.5,3.0' AS qsw,
+        '2.0' AS qsei,
+        '1.0,3.0' AS qgk,
+        '1,2,3' AS aca,
+        CAST(NULL AS VARCHAR) AS noth,
+        CAST(NULL AS VARCHAR) AS nothn,
+        CAST(0 AS BIGINT) AS noth64,
+        'a,b.x' AS djp,
+        'Int64,String' AS djpt_a,
+        'BIGINT' AS ddt"""),
+
+    // Round-12: the formatQuery printer family (formatQuery.cpp) —
+    // canonical keyword case + spacing, clause breaks in the multiline
+    // form, literal passthrough, comment elision, and NULL (not throw)
+    // from the OrNull twins on tokenizer-detectable parse errors.
+    ch("q_fn_format_query", """
+      SELECT
+        formatQuery('select a,b from t where x=1 order by a') AS fq,
+        formatQuerySingleLine(
+          'select a,b from t where x=1 order by a') AS fq1,
+        formatQuerySingleLine('select sum( x ) from t -- trailing') AS fn,
+        formatQuerySingleLine('select lower(''ABC'') as s') AS lit,
+        formatQueryOrNull('select (1') AS bad_paren,
+        formatQueryOrNull('foo bar') AS bad_head,
+        formatQuerySingleLineOrNull('select `x') AS bad_quote""",
+      """
+      SELECT
+        'SELECT a, b' || chr(10) || 'FROM t' || chr(10) ||
+          'WHERE x = 1' || chr(10) || 'ORDER BY a' AS fq,
+        'SELECT a, b FROM t WHERE x = 1 ORDER BY a' AS fq1,
+        'SELECT sum(x) FROM t' AS fn,
+        'SELECT lower(''ABC'') AS s' AS lit,
+        CAST(NULL AS VARCHAR) AS bad_paren,
+        CAST(NULL AS VARCHAR) AS bad_head,
+        CAST(NULL AS VARCHAR) AS bad_quote""")
   )
 }

@@ -439,7 +439,7 @@ object ChFunctionRegistry {
       ChRegistryTail3.builders ++ ChRegistryTail4.builders ++
       ChRegistryTail5.builders ++ ChRegistryTail6.builders ++
       ChRegistryTail7.builders ++ ChRegistryTail8.builders ++
-      ChRegistryTail9.all ++
+      ChRegistryTail9.all ++ ChRegistryTail10.builders ++
       ChRegistryWide.builders ++ Dictionaries.builders
 
   /** Install the aliases into the session's function registry — but ONLY
@@ -462,6 +462,10 @@ object ChFunctionRegistry {
 
   def install(spark: SparkSession): Unit = synchronized {
     if (installedSessions.contains(spark)) return // idempotent: no re-register
+    // TLD lists also register through CREATE NAMED COLLECTION (the
+    // analog of TLDListsHolder's config-named list files)
+    graft.functions.TldLists.collectionProvider =
+      name => ClickHouseSql.namedCollection(name)
     val registry = spark.sessionState.functionRegistry
     val builtin = org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
     builders.foreach { case (name, builder) =>

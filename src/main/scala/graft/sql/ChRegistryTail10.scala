@@ -1,0 +1,192 @@
+package graft.sql
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.types._
+
+/** Round-12 registry sweep #10: the custom-TLD subdomain family over
+  * session-registered public-suffix lists
+  * (FirstSignificantSubdomainCustomImpl.h:24 —
+  * `TLDListsHolder::getTldList(tld_list_name)`; the second argument
+  * must be a constant string, getArgumentsThatAreAlwaysConstant), the
+  * strict-host port twin, and the formatQuery printer family
+  * (src/Functions/formatQuery.cpp).
+  *
+  * The list NAME resolves at plan time (the reference resolves it once
+  * per block for the constant column); the list CONTENT travels as a
+  * plan literal — executor-local at any cluster size, like a broadcast
+  * dim, never a driver-global lookup from a task. */
+object ChRegistryTail10 {
+
+  private val tldCls = classOf[graft.functions.TldKernels.type]
+  private val fmtCls = classOf[graft.functions.QueryFormatKernels.type]
+
+  /** The constant TLD-list-name argument → the list content literal. */
+  private def tldBlob(nameArg: Expression): Expression = {
+    val listName = nameArg match {
+      case e if e.foldable => e.eval() match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        case other => String.valueOf(other)
+      }
+      case _ => throw new IllegalArgumentException(
+        "the TLD_list_name argument must be a constant string " +
+          "(the reference requires a ColumnConst too)")
+    }
+    Literal(org.apache.spark.unsafe.types.UTF8String.fromString(
+      graft.functions.TldLists.blob(listName)), StringType)
+  }
+
+  private def fssCustom(args: Seq[Expression]): Expression =
+    StaticInvoke(tldCls, StringType, "fssCustom",
+      Seq(args.head, tldBlob(args(1))), Seq(StringType, StringType))
+
+  private def cutCustom(withWww: Boolean)(args: Seq[Expression]): Expression =
+    StaticInvoke(tldCls, StringType, "cutToFssCustom",
+      Seq(args.head, tldBlob(args(1)), Literal(withWww)),
+      Seq(StringType, StringType, BooleanType))
+
+  private def fmt(method: String)(args: Seq[Expression]): Expression =
+    StaticInvoke(fmtCls, StringType, method, Seq(args.head),
+      Seq(StringType))
+
+  /** port(url[, default_port]) — the RFC twin shares the lenient host
+    * lane (the graft URL surface documents RFC twins as same-extraction;
+    * port.cpp:131). */
+  private def portRfc(args: Seq[Expression]): Expression = {
+    val dflt: Expression =
+      if (args.size > 1) Cast(args(1), IntegerType) else Literal(0)
+    Coalesce(Seq(Cast(RegExpExtract(
+      ParseUrl(Seq(args.head, Literal("AUTHORITY")), failOnError = false),
+      Literal(":(\\d+)$"), Literal(1)), IntegerType, None, EvalMode.TRY),
+      dflt))
+  }
+
+  // ---- aggregate-name tail surfaced by the round-12 reproducible
+  // extraction (scripts/extract_fn_names.py found registrations the
+  // earlier hand-built list missed) --------------------------------
+
+  private val nameSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def lv(): UnresolvedNamedLambdaVariable =
+    UnresolvedNamedLambdaVariable(Seq("ch_t10_" + nameSeq.incrementAndGet()))
+  private def lam1(f: Expression => Expression): LambdaFunction = {
+    val x = lv(); LambdaFunction(f(x), Seq(x))
+  }
+  private def agg(f: AggregateFunction): Expression =
+    f.toAggregateExpression()
+  private def foldDouble(e: Expression): Double = e.eval() match {
+    case n: Number => n.doubleValue
+    case other => throw new IllegalArgumentException(
+      s"expected a numeric literal, got $other")
+  }
+
+  /** Weighted singular quantile engines → exact percentile with a
+    * frequency expression (the same same-observable mapping the
+    * registry documents for quantileExactWeighted /
+    * quantileInterpolatedWeighted; post-parametric-rewrite order is
+    * (x, w[, p])). */
+  private def weightedQ(args: Seq[Expression]): Expression =
+    if (args.length == 2) new Percentile(args(0), Literal(0.5d), args(1))
+    else new Percentile(args(0), args(2), args(1))
+
+  /** Plural weighted forms: (x, w, p1, p2, …) → array percentile. */
+  private def weightedQs(args: Seq[Expression]): Expression =
+    new Percentile(args(0), CreateArray(args.drop(2)), args(1))
+
+  /** Plural approx forms with one leading engine parameter
+    * (accuracy/determinator): (x, param, p1, p2, …). */
+  private def approxQsParam(args: Seq[Expression]): Expression =
+    new ApproximatePercentile(args(0), CreateArray(args.drop(2)))
+
+  private def structField(e: Expression, f: String): Expression =
+    org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
+      e, Literal(f))
+
+  /** distinctJSONPathsAndTypes: per-row path→type maps merged into one
+    * Map(path → sorted distinct types) (AggregateFunctionDistinct
+    * JSONPaths.cpp family; the per-row walk is the jsonAllPathsWithTypes
+    * kernel). */
+  private def distinctPathsAndTypes(x: Expression): Expression = {
+    val perRow = MapEntries(StaticInvoke(
+      classOf[graft.functions.SweepKernels9.type],
+      MapType(StringType, StringType), "jsonAllPathsWithTypes",
+      Seq(x), Seq(StringType)))
+    def all: Expression =
+      ArrayDistinct(Flatten(agg(CollectList(perRow))))
+    val paths = new SortArray(ArrayDistinct(
+      ArrayTransform(all, lam1(e => structField(e, "key")))))
+    MapFromEntries(ArrayTransform(paths, lam1(p =>
+      CreateStruct(Seq(p, new SortArray(ArrayDistinct(ArrayTransform(
+        ArrayFilter(all, lam1(e =>
+          EqualTo(structField(e, "key"), p))),
+        lam1(e => structField(e, "value"))))))))))
+  }
+
+  val builders: Map[String, Seq[Expression] => Expression] = Map(
+    // -- quantile engine matrix completion (weighted + plural names;
+    // AggregateFunctionQuantile.cpp registers every engine in both
+    // singular and plural spellings, weighted twins included)
+    "quantiletimingweighted" -> weightedQ _,
+    "quantiletdigestweighted" -> weightedQ _,
+    "quantilebfloat16weighted" -> weightedQ _,
+    "quantileexactweightedinterpolated" -> weightedQ _,
+    "quantilesexactweighted" -> weightedQs _,
+    "quantilesexactweightedinterpolated" -> weightedQs _,
+    "quantilesinterpolatedweighted" -> weightedQs _,
+    "quantilestimingweighted" -> weightedQs _,
+    "quantilestdigestweighted" -> weightedQs _,
+    "quantilesbfloat16weighted" -> weightedQs _,
+    "quantilesbfloat16" -> (args =>
+      new ApproximatePercentile(args(0), CreateArray(args.tail))),
+    "quantilesexactexclusive" -> (args =>
+      new Percentile(args(0), CreateArray(args.tail))),
+    "quantilesexactinclusive" -> (args =>
+      new Percentile(args(0), CreateArray(args.tail))),
+    "quantilesgk" -> approxQsParam _,
+    "quantilesdeterministic" -> approxQsParam _,
+    "quantilesdd" -> (args => CreateArray(args.drop(2).map(p =>
+      agg(graft.functions.QuantileSketches.QuantileDD(args(0),
+        q = foldDouble(p), alpha = foldDouble(args(1))))))),
+    // -- array_concat_agg = the groupArrayArray (-Array combinator)
+    // alias (AggregateFunctionFactory alias, case-insensitive)
+    "array_concat_agg" -> (args =>
+      Flatten(agg(CollectList(args.head)))),
+    "grouparrayarray" -> (args =>
+      Flatten(agg(CollectList(args.head)))),
+    // -- the Nothing placeholder family (AggregateFunctionNothing.h:
+    // "takes arbitrary arguments and does nothing"; return = NULL of
+    // the argument type / Nullable(Nothing) / UInt64 default 0)
+    "nothing" -> (args =>
+      if (args.isEmpty) Literal(null)
+      else agg(new First(If(Literal(false), args.head, Literal(null)),
+        ignoreNulls = false))),
+    "nothingnull" -> (_ =>
+      agg(new First(Cast(Literal(null), StringType), ignoreNulls = false))),
+    "nothinguint64" -> (_ =>
+      Coalesce(Seq(agg(Max(Literal(0L))), Literal(0L)))),
+    // -- Dynamic/JSON introspection aggregates over the Variant lane
+    "distinctdynamictypes" -> (args =>
+      new SortArray(ArrayDistinct(agg(CollectList(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+          "schema_of_variant", Seq(args.head), isDistinct = false)))))),
+    "distinctjsonpaths" -> (args =>
+      new SortArray(ArrayDistinct(Flatten(agg(CollectList(StaticInvoke(
+        classOf[graft.functions.SweepKernels9.type],
+        ArrayType(StringType), "jsonAllPaths",
+        Seq(args.head), Seq(StringType)))))))),
+    "distinctjsonpathsandtypes" -> (args =>
+      distinctPathsAndTypes(args.head)),
+    "firstsignificantsubdomaincustom" -> fssCustom _,
+    "firstsignificantsubdomaincustomrfc" -> fssCustom _,
+    "cuttofirstsignificantsubdomaincustom" -> cutCustom(withWww = false) _,
+    "cuttofirstsignificantsubdomaincustomrfc" -> cutCustom(withWww = false) _,
+    "cuttofirstsignificantsubdomaincustomwithwww" ->
+      cutCustom(withWww = true) _,
+    "cuttofirstsignificantsubdomaincustomwithwwwrfc" ->
+      cutCustom(withWww = true) _,
+    "portrfc" -> portRfc _,
+    "formatquery" -> fmt("formatQuery") _,
+    "formatqueryornull" -> fmt("formatQueryOrNull") _,
+    "formatquerysingleline" -> fmt("formatQuerySingleLine") _,
+    "formatquerysinglelineornull" -> fmt("formatQuerySingleLineOrNull") _)
+}

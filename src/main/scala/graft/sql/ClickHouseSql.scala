@@ -405,9 +405,11 @@ object ClickHouseSql {
     * registry's `f(args, params)` shape. Scoped to the quantile family
     * (the registered parametric names). */
   private val parametricName =
-    ("(?i)\\b(quantiles?(?:exact|tdigest|timing|gk|dd|bfloat16|deterministic|" +
-      "interpolatedweighted|exactweighted|exactlow|exacthigh|exactinclusive|" +
-      "exactexclusive)?|groupArrayLast|groupArraySample|" +
+    ("(?i)\\b(quantiles?(?:exactweightedinterpolated|exactweighted|" +
+      "exactlow|exacthigh|exactinclusive|exactexclusive|exact|" +
+      "tdigestweighted|tdigest|timingweighted|timing|gk|dd|" +
+      "bfloat16weighted|bfloat16|deterministic|" +
+      "interpolatedweighted)?|groupArrayLast|groupArraySample|" +
       "stochasticLinearRegression(?:State)?|" +
       "stochasticLogisticRegression(?:State)?|" +
       // sweep #9 parametric families (params appended after the args)
@@ -2407,6 +2409,11 @@ object ClickHouseSql {
   /** name → key/value bundle (values stored unquoted). */
   private val namedCollections =
     scala.collection.concurrent.TrieMap.empty[String, Map[String, String]]
+
+  /** One collection's key/value bundle (TLD lists and table functions
+    * resolve collection names through this). */
+  def namedCollection(name: String): Option[Map[String, String]] =
+    namedCollections.get(name)
 
   /** system.named_collections feed. */
   def listNamedCollections: Seq[(String, String)] =

@@ -1,0 +1,85 @@
+package graft
+
+import graft.sql.ClickHouseSql
+
+/** Round-12 sweep #10 contracts: the custom-TLD walk corner-for-corner
+  * against hand-traced ExtractFirstSignificantSubdomain::executeCustom
+  * behavior (wildcards, exceptions, exclusion-at-wildcard, fallbacks,
+  * first/second-level hosts), list registration surfaces, and the
+  * formatQuery canonical printer rules. */
+class Tail10Spec extends SparkFunSuite {
+
+  private def one(expr: String): String = {
+    val r = ClickHouseSql.sql(spark, s"SELECT $expr AS v").collect().head
+    if (r.isNullAt(0)) null else r.getString(0)
+  }
+
+  graft.functions.TldLists.register("t10", Seq(
+    "// comment line", "com.tr", "co.uk",
+    "*.kawasaki.jp", "!city.kawasaki.jp", "dev.example"))
+
+  test("custom cut: regular entries match the LONGEST listed suffix") {
+    assert(one("cutToFirstSignificantSubdomainCustom(" +
+      "'https://news.yandex.com.tr/x', 't10')") == "yandex.com.tr")
+    // deeper entry beats the shorter walk position
+    graft.functions.TldLists.register("t10b", Seq("example", "b.example"))
+    assert(one("cutToFirstSignificantSubdomainCustom(" +
+      "'https://a.x.b.example', 't10b')") == "x.b.example")
+  }
+
+  test("custom cut: `*.` wildcard takes one extra label; `!` exception " +
+      "suppresses it (executeCustom TLD_ANY/TLD_EXCLUDE)") {
+    assert(one("cutToFirstSignificantSubdomainCustom(" +
+      "'https://a.b.kawasaki.jp', 't10')") == "a.b.kawasaki.jp")
+    assert(one("cutToFirstSignificantSubdomainCustom(" +
+      "'https://x.city.kawasaki.jp', 't10')") == "city.kawasaki.jp")
+    // exception host itself: wildcard at the first dot behaves regular
+    assert(one("cutToFirstSignificantSubdomainCustom(" +
+      "'https://city.kawasaki.jp', 't10')") == "city.kawasaki.jp")
+  }
+
+  test("custom cut fallbacks: no dots = host itself; no match = " +
+      "second-level domain; WithWWW keeps the www label") {
+    assert(one("cutToFirstSignificantSubdomainCustom(" +
+      "'https://localhost/x', 't10')") == "localhost")
+    assert(one("cutToFirstSignificantSubdomainCustom(" +
+      "'https://a.b.example.com/x', 't10')") == "example.com")
+    assert(one("cutToFirstSignificantSubdomainCustomWithWWW(" +
+      "'https://www.foo/x', 't10')") == "www.foo")
+    assert(one("cutToFirstSignificantSubdomainCustom(" +
+      "'https://www.foo/x', 't10')") == "foo")
+  }
+
+  test("custom fss consults the last-two-label suffix only (the " +
+      "reference routes fssCustom through the classic execute walk)") {
+    assert(one("firstSignificantSubdomainCustom(" +
+      "'https://news.yandex.com.tr/x', 't10')") == "yandex")
+    assert(one("firstSignificantSubdomainCustom(" +
+      "'https://a.b.example.com/x', 't10')") == "example")
+    assert(one("firstSignificantSubdomainCustom(" +
+      "'https://example.com/x', 't10')") == "example")
+    assert(one("firstSignificantSubdomainCustom(" +
+      "'https://localhost/x', 't10')") == "localhost")
+  }
+
+  test("unknown TLD list throws the TLD_LIST_NOT_FOUND analog; the " +
+      "name must be a constant") {
+    val e = intercept[Exception](one(
+      "cutToFirstSignificantSubdomainCustom('https://a.b.c', 'no_such')"))
+    assert(e.getMessage.contains("does not exist"))
+  }
+
+  test("formatQuery: canonical case/spacing, clause breaks at depth 0 " +
+      "only, OrNull twins return NULL on tokenizer errors") {
+    assert(one("formatQuery('select a,b from t where x=1')") ==
+      "SELECT a, b\nFROM t\nWHERE x = 1")
+    assert(one("formatQuerySingleLine(" +
+      "'select sum( x ) from (select 1 from u) as q')") ==
+      "SELECT sum(x) FROM (SELECT 1 FROM u) AS q")
+    assert(one("formatQueryOrNull('select (1')") == null)
+    assert(one("formatQueryOrNull('notsql 1')") == null)
+    assert(one("formatQuerySingleLineOrNull('select `x')") == null)
+    val e = intercept[Exception](one("formatQuery('select (1')"))
+    assert(e.getMessage.toLowerCase.contains("cannot parse"))
+  }
+}
