@@ -980,6 +980,49 @@ object LifecycleQueries extends QueryPack {
       '1,2,3' AS events,
       CAST((SELECT COUNT(*) + 2 FROM nation) AS BIGINT) AS n"""))
 
+  /** LIVE VIEW streaming PUSH lane (round 12 — the reference's
+    * writeIntoLiveView write-side chain): a file-stream over the base
+    * table's directory triggers the stored SELECT's re-evaluation under
+    * the pinned fingerprint contract, so an INSERT bumps `_version`
+    * with NO client WATCH in between. Bounded: the query collects a
+    * fixed number of micro-batch versions and stops the stream. */
+  private val watchStream = Q("q_ch_watch_stream", (s, dir) => {
+    Tables.register(s, dir)
+    val t = "graft_ws_t"
+    scratch(s, t)
+    ch.sql(s, "DROP VIEW IF EXISTS graft_ws_lv")
+    ch.sql(s, s"CREATE MATERIALIZED VIEW $t AS SELECT n_nationkey AS k FROM nation")
+    ch.sql(s, "CREATE LIVE VIEW graft_ws_lv AS " +
+      s"SELECT count() AS n, max(k) AS m FROM $t")
+    val q = graft.sql.LiveViews.startPush(s, "graft_ws_lv", t,
+      ch.liveViewRun(s))
+    try {
+      q.processAllAvailable() // snapshot batch: hash unchanged, no bump
+      val v1 = graft.sql.LiveViews.versionOf("graft_ws_lv")
+      ch.sql(s, s"INSERT INTO $t VALUES (1000)")
+      q.processAllAvailable() // the INSERT pushes — no WATCH issued
+      val v2 = graft.sql.LiveViews.versionOf("graft_ws_lv")
+      ch.sql(s, s"INSERT INTO $t VALUES (2000)")
+      q.processAllAvailable()
+      val v3 = graft.sql.LiveViews.versionOf("graft_ws_lv")
+      // the pushed versions are the SAME ledger WATCH serves
+      val events = ch.sql(s, "WATCH graft_ws_lv EVENTS LIMIT 3")
+        .collect().map(_.getLong(0)).mkString(",")
+      val n = ch.sql(s, "SELECT n FROM graft_ws_lv")
+        .collect().head.getLong(0)
+      import s.implicits._
+      Seq((v1, v2, v3, events, n))
+        .toDF("v1", "v2", "v3", "events", "n")
+    } finally {
+      graft.sql.LiveViews.stopPush("graft_ws_lv")
+      scala.util.Try(ch.sql(s, "DROP VIEW IF EXISTS graft_ws_lv"))
+      scala.util.Try(scratch(s, t))
+    }
+  }, Some("""
+    SELECT CAST(1 AS BIGINT) AS v1, CAST(2 AS BIGINT) AS v2,
+      CAST(3 AS BIGINT) AS v3, '1,2,3' AS events,
+      CAST((SELECT COUNT(*) + 2 FROM nation) AS BIGINT) AS n"""))
+
   /** GRANT … WITH GRANT OPTION / ADMIN OPTION (ParserGrantQuery.cpp):
     * the delegation bit lets its holder GRANT/REVOKE that privilege
     * (role) onward; REVOKE GRANT OPTION FOR strips the bit but keeps
@@ -1082,5 +1125,5 @@ object LifecycleQueries extends QueryPack {
     systemMaintenance, mutationRewrite, backupRestore, systemBreadth,
     rbac, rowPolicy, quota, settingsProfile, alterMeta, partLog,
     settingsChanges, setRole, accessProbe, statementTail,
-    namedCollection, adminTail, watchLive, grantOption)
+    namedCollection, adminTail, watchLive, watchStream, grantOption)
 }

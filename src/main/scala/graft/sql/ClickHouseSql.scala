@@ -1413,7 +1413,8 @@ object ClickHouseSql {
         case _ => throw new IllegalArgumentException(
           "unsupported CREATE LIVE VIEW form")
       }
-    } else if (trimmed.matches("(?is)^WATCH\\b.*")) {
+    }
+    else if (trimmed.matches("(?is)^WATCH\\b.*")) {
       // WATCH lv [EVENTS] [LIMIT n] (ASTWatchQuery: table + optional
       // limit_length + is_watch_events): bounded re-evaluation — the
       // version bumps iff the result hash changed (exactly once per
@@ -1422,8 +1423,7 @@ object ClickHouseSql {
         "(\\s+EVENTS)?(?:\\s+LIMIT\\s+(\\d+))?\\s*;?\\s*$").r
       trimmed match {
         case re(name, events, limit) =>
-          val run = (s: String) =>
-            spark.sql(rewrite(expandSchemaTransformers(spark, s)))
+          val run = liveViewRun(spark)
           if (events != null)
             LiveViews.watchEvents(spark, name,
               Option(limit).map(_.toInt), run)
@@ -2002,6 +2002,13 @@ object ClickHouseSql {
     * enabled per-session with `SET use_query_cache = 1`, dropped with
     * `SYSTEM DROP QUERY CACHE`. */
   val queryCache = new graft.operators.ResultCache()
+
+  /** The engine-internal evaluation lane WATCH and the LIVE VIEW push
+    * stream share: full dialect rewrite, NO quota charge (re-evaluating
+    * a live view is not a user statement — QuotaCache::used charges
+    * statements, and the push lane fires per micro-batch). */
+  def liveViewRun(spark: SparkSession): String => DataFrame =
+    s => spark.sql(rewrite(expandSchemaTransformers(spark, s)))
 
   // ---- projection DDL (ParserProjection → plans/*Projections) ---------
 

@@ -59,7 +59,10 @@ object LiveViews {
       .map(v => (v.name, v.select, v.version, v.history.size.toLong))
   }
 
-  def remove(name: String): Unit = views.remove(name.toLowerCase)
+  def remove(name: String): Unit = {
+    stopPush(name)
+    views.remove(name.toLowerCase)
+  }
 
   /** The stored SELECT of a live view (privilege gating reads through
     * to its base tables). */
@@ -131,6 +134,59 @@ object LiveViews {
       Vector(VersionEntry(1L, h, rows,
         new java.sql.Timestamp(System.currentTimeMillis())))))
   }
+
+  // ---- streaming push lane (round 12) --------------------------------
+
+  private val pushes = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.streaming.StreamingQuery]()
+
+  /** Current version without re-evaluating (ledger read only). */
+  def versionOf(name: String): Long = viewOf(name).version
+
+  /** Write-side PUSH — the reference's `writeIntoLiveView` chain
+    * (StorageLiveView.h:25 BlocksMetadata: an INSERT into a base table
+    * recomputes the view and bumps `_version` if the hash changed,
+    * WITHOUT any client request). Spark rendering: a Structured
+    * Streaming file source over the base TABLE's directory is the
+    * write signal — each micro-batch that surfaces new files triggers
+    * re-evaluation of the stored SELECT under the SAME pinned
+    * fingerprint contract (`refresh`), so an INSERT lands in the
+    * version ledger with no intervening WATCH. The micro-batch carries
+    * only the inserted DELTA (the file source reads new files only);
+    * the recompute is the stored SELECT itself — exactly the LIVE VIEW
+    * contract, now push-scheduled instead of poll-scheduled. Batch 0
+    * is the create-time snapshot: its hash matches the creation
+    * fingerprint, so it never bumps. */
+  def startPush(spark: SparkSession, name: String, baseTable: String,
+      run: String => DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    viewOf(name) // must exist (same error as WATCH)
+    val key = name.toLowerCase
+    stopPush(name)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(baseTable))
+    val loc = meta.location.getPath
+    val schema = spark.table(baseTable).schema
+    val stream = spark.readStream.schema(schema)
+      .option("basePath", loc).parquet(loc)
+    val q = stream.writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("500 milliseconds"))
+      .foreachBatch { (_: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        refresh(spark, name, run); ()
+      }
+      .queryName(s"live_view_push_$key")
+      .start()
+    pushes.put(key, q)
+    q
+  }
+
+  /** Stop the push lane (idempotent; DROP VIEW calls this too). */
+  def stopPush(name: String): Unit =
+    Option(pushes.remove(name.toLowerCase))
+      .foreach(q => scala.util.Try(q.stop()))
 
   /** WATCH lv EVENTS [LIMIT n]: the last n recorded versions,
     * ascending (all of them without LIMIT). */

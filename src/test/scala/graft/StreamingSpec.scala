@@ -191,6 +191,41 @@ class StreamingSpec extends SparkFunSuite {
     assert(mv.columns.toSeq == Seq("event_id", "user_id", "value"))
   }
 
+  test("LIVE VIEW push lane: an INSERT surfaces as a version bump with " +
+      "NO intervening WATCH (write-side push, writeIntoLiveView)") {
+    val ch = graft.sql.ClickHouseSql
+    val lv = graft.sql.LiveViews
+    val t = "graft_push_spec_t"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    ch.sql(spark, "DROP VIEW IF EXISTS graft_push_lv")
+    ch.sql(spark, s"CREATE MATERIALIZED VIEW $t AS SELECT 1 AS k")
+    ch.sql(spark,
+      s"CREATE LIVE VIEW graft_push_lv AS SELECT count() AS n FROM $t")
+    val q = lv.startPush(spark, "graft_push_lv", t, ch.liveViewRun(spark))
+    try {
+      q.processAllAvailable()
+      // batch 0 = the create-time snapshot: same hash, no bump
+      assert(lv.versionOf("graft_push_lv") == 1L)
+      ch.sql(spark, s"INSERT INTO $t VALUES (2)")
+      q.processAllAvailable()
+      // the version ledger moved although NO WATCH was issued
+      assert(lv.versionOf("graft_push_lv") == 2L,
+        "the INSERT must push a version bump without any client WATCH")
+      // a rewrite that leaves the result identical must not bump even
+      // though it produces new files for the stream to see
+      ch.sql(spark, s"ALTER TABLE $t DELETE WHERE k < 0")
+      q.processAllAvailable()
+      assert(lv.versionOf("graft_push_lv") == 2L)
+      // the pushed version is the SAME ledger the pull-side serves
+      assert(ch.sql(spark, "WATCH graft_push_lv EVENTS")
+        .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    } finally {
+      lv.stopPush("graft_push_lv")
+      scala.util.Try(ch.sql(spark, "DROP VIEW IF EXISTS graft_push_lv"))
+      scala.util.Try(spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("LIVE VIEW: an underlying INSERT bumps the version exactly once " +
       "(hash-compare, StorageLiveView.cpp:722)") {
     val ch = graft.sql.ClickHouseSql
