@@ -1468,7 +1468,11 @@ object FunctionTail2 extends QueryPack {
         arrayStringConcat(distinctJSONPaths(js), ',') AS djp,
         arrayStringConcat(distinctJSONPathsAndTypes(js)['a'], ',') AS djpt_a,
         arrayStringConcat(distinctDynamicTypes(
-          parse_json(toString(w))), ',') AS ddt
+          parse_json(toString(w))), ',') AS ddt,
+        length(getOSKernelVersion()) > 4 AS oskv,
+        initialQueryStartTime() >= toDateTime('2020-01-01 00:00:00') AS iqst,
+        hasColumnInTable('default', 'nation', 'n_name') AS hct,
+        hasColumnInTable('default', 'nation', 'no_such_col') AS hct0
       FROM (VALUES
         (CAST(1.0 AS DOUBLE), 1, array(1, 2), '{"a": 1, "b": {"x": "u"}}'),
         (CAST(3.0 AS DOUBLE), 3, array(3), '{"a": "s"}')) AS t(v, w, arr, js)""",
@@ -1484,7 +1488,11 @@ object FunctionTail2 extends QueryPack {
         CAST(0 AS BIGINT) AS noth64,
         'a,b.x' AS djp,
         'Int64,String' AS djpt_a,
-        'BIGINT' AS ddt"""),
+        'BIGINT' AS ddt,
+        TRUE AS oskv,
+        TRUE AS iqst,
+        TRUE AS hct,
+        FALSE AS hct0"""),
 
     // Round-12: the formatQuery printer family (formatQuery.cpp) —
     // canonical keyword case + spacing, clause breaks in the multiline

@@ -122,7 +122,52 @@ object ChRegistryTail10 {
         lam1(e => structField(e, "value"))))))))))
   }
 
+  private def activeSession = org.apache.spark.sql.SparkSession.getActiveSession
+
+  private def strLit(s: String): Expression =
+    Literal(org.apache.spark.unsafe.types.UTF8String.fromString(s), StringType)
+
+  private def foldStr(e: Expression): String = e.eval() match {
+    case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+    case other => throw new IllegalArgumentException(
+      s"expected a string literal, got $other")
+  }
+
   val builders: Map[String, Seq[Expression] => Expression] = Map(
+    // -- server-state names a single-session engine CAN answer honestly
+    // (the rest of that residue category reads Keeper/TLS/transaction
+    // state that has no analog here — documented in FUNCTIONS.md):
+    // uname sysname+release (getOSKernelVersion.cpp)
+    "getoskernelversion" -> (_ => strLit(
+      System.getProperty("os.name") + " " + System.getProperty("os.version"))),
+    // the session's SET query_id tag ('' when unset) — the same tag
+    // KILL QUERY targets
+    "query_id" -> (_ => strLit(activeSession
+      .flatMap(s => s.conf.getOption("graft.ch.query_id"))
+      .map(_.stripPrefix("'").stripSuffix("'")).getOrElse(""))),
+    // plan-time statement start; on a single-node engine the INITIAL
+    // (distributed-root) query IS this query — both spellings
+    "initialquerystarttime" -> (_ =>
+      Cast(Literal(System.currentTimeMillis() / 1000L), TimestampType)),
+    "initial_query_start_time" -> (_ =>
+      Cast(Literal(System.currentTimeMillis() / 1000L), TimestampType)),
+    // hasColumnInTable([host[,user[,pw]],] db, table, column): catalog
+    // probe — constant args, resolved at plan time; a missing table
+    // throws (the reference's documented contract), a missing column
+    // is false
+    "hascolumnintable" -> (args => {
+      val lits = args.takeRight(3).map(foldStr)
+      val (db, table, column) = (lits(0), lits(1), lits(2))
+      val s = activeSession.getOrElse(throw new IllegalStateException(
+        "hasColumnInTable: no active session"))
+      val name =
+        if (db.isEmpty || db.equalsIgnoreCase("default")) table
+        else s"$db.$table"
+      val schema = scala.util.Try(s.table(name).schema).getOrElse(
+        throw new IllegalArgumentException(
+          s"hasColumnInTable: table $name does not exist"))
+      Literal(schema.fieldNames.exists(_.equalsIgnoreCase(column)))
+    }),
     // -- quantile engine matrix completion (weighted + plural names;
     // AggregateFunctionQuantile.cpp registers every engine in both
     // singular and plural spellings, weighted twins included)

@@ -69,6 +69,19 @@ class Tail10Spec extends SparkFunSuite {
     assert(e.getMessage.contains("does not exist"))
   }
 
+  test("server-state closures: query_id follows SET, " +
+      "initialQueryStartTime is the plan-time stamp, " +
+      "hasColumnInTable throws on a missing table") {
+    ClickHouseSql.sql(spark, "SET query_id = 'tail10_q'")
+    try assert(one("query_id()") == "tail10_q")
+    finally ClickHouseSql.sql(spark, "SET query_id = ''")
+    assert(one("query_id()") == "")
+    assert(one("toString(getOSKernelVersion())").nonEmpty)
+    val e = intercept[Exception](one(
+      "hasColumnInTable('default', 'no_such_table_t10', 'x')"))
+    assert(e.getMessage.contains("does not exist"))
+  }
+
   test("formatQuery: canonical case/spacing, clause breaks at depth 0 " +
       "only, OrNull twins return NULL on tokenizer errors") {
     assert(one("formatQuery('select a,b from t where x=1')") ==
