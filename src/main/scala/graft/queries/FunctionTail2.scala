@@ -1472,10 +1472,16 @@ object FunctionTail2 extends QueryPack {
         length(getOSKernelVersion()) > 4 AS oskv,
         initialQueryStartTime() >= toDateTime('2020-01-01 00:00:00') AS iqst,
         hasColumnInTable('default', 'nation', 'n_name') AS hct,
-        hasColumnInTable('default', 'nation', 'no_such_col') AS hct0
+        hasColumnInTable('default', 'nation', 'no_such_col') AS hct0,
+        CAST(getMaxTableNameLengthForDatabase('default') AS BIGINT) AS mtnl,
+        CAST(estimateCompressionRatio('NONE')(rep) AS DOUBLE) AS ecr_none,
+        estimateCompressionRatio('LZ4')(rep) > 5.0 AS ecr_lz4,
+        estimateCompressionRatio('ZSTD(3)')(rep) > 5.0 AS ecr_zstd
       FROM (VALUES
-        (CAST(1.0 AS DOUBLE), 1, array(1, 2), '{"a": 1, "b": {"x": "u"}}'),
-        (CAST(3.0 AS DOUBLE), 3, array(3), '{"a": "s"}')) AS t(v, w, arr, js)""",
+        (CAST(1.0 AS DOUBLE), 1, array(1, 2), '{"a": 1, "b": {"x": "u"}}',
+          repeat('abcdef', 200)),
+        (CAST(3.0 AS DOUBLE), 3, array(3), '{"a": "s"}',
+          repeat('abcdef', 200))) AS t(v, w, arr, js, rep)""",
       """
       SELECT
         CAST(3.0 AS DOUBLE) AS qtw,
@@ -1492,7 +1498,11 @@ object FunctionTail2 extends QueryPack {
         TRUE AS oskv,
         TRUE AS iqst,
         TRUE AS hct,
-        FALSE AS hct0"""),
+        FALSE AS hct0,
+        CAST(206 AS BIGINT) AS mtnl,
+        CAST(1.0 AS DOUBLE) AS ecr_none,
+        TRUE AS ecr_lz4,
+        TRUE AS ecr_zstd"""),
 
     // Round-12: the formatQuery printer family (formatQuery.cpp) —
     // canonical keyword case + spacing, clause breaks in the multiline

@@ -168,6 +168,38 @@ object ChRegistryTail10 {
           s"hasColumnInTable: table $name does not exist"))
       Literal(schema.fieldNames.exists(_.equalsIgnoreCase(column)))
     }),
+    // estimateCompressionRatio([codec[, block_kb]])(col) — real LZ4/ZSTD
+    // through Spark's bundled codecs over a bounded per-group sample
+    // (functions/CompressionRatio.scala; post-parametric-rewrite order
+    // is (col[, codec[, block_kb]]); the block-size parameter is
+    // accepted and absorbed by the bounded sample)
+    "estimatecompressionratio" -> (args =>
+      agg(graft.functions.CompressionRatio.EstimateCompressionRatio(
+        args.head,
+        if (args.size > 1) foldStr(args(1)) else "LZ4"))),
+    // getMacro('name') — the reference reads the server's <macros>
+    // config (getMacro.cpp); the session analog is a named collection
+    // called `macros` (the same registration surface the TLD lists use)
+    "getmacro" -> (args => {
+      val name = foldStr(args.head)
+      val v = ClickHouseSql.namedCollection("macros").flatMap(_.get(name))
+        .getOrElse(throw new IllegalArgumentException(
+          s"No macro '$name' in config (CREATE NAMED COLLECTION macros " +
+            s"AS $name = '...')"))
+      strLit(v)
+    }),
+    // getMaxTableNameLengthForDatabase('db') — the reference's own
+    // formula (computeMaxTableNameLength.cpp): min(NAME_MAX - len(
+    // ".sql.detached"), NAME_MAX - 1 - len(db) - 1 - 36 - len(".sql"))
+    // with the Linux NAME_MAX of 255 (the JVM exposes no pathconf;
+    // documented constant)
+    "getmaxtablenamelengthfordatabase" -> (args => {
+      val db = foldStr(args.head)
+      val nameMax = 255
+      val maxCreate = nameMax - ".sql.detached".length
+      val maxDrop = nameMax - 1 - db.length - 1 - 36 - ".sql".length
+      Literal(math.min(maxCreate, maxDrop))
+    }),
     // -- quantile engine matrix completion (weighted + plural names;
     // AggregateFunctionQuantile.cpp registers every engine in both
     // singular and plural spellings, weighted twins included)

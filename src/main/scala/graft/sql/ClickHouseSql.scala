@@ -421,7 +421,8 @@ object ClickHouseSql {
       "exponentialMovingAverage|lttb|" +
       "largestTriangleThreeBuckets|sparkbar|groupArraySorted|groupConcat|" +
       "sumMapFiltered(?:WithOverflow)?|histogram|meanZTest|" +
-      "mannWhitneyUTest|groupArrayInsertAt|sequenceNextNode)\\s*\\(").r
+      "mannWhitneyUTest|groupArrayInsertAt|sequenceNextNode|" +
+      "estimateCompressionRatio)\\s*\\(").r
 
   private def rewriteParametric(s: String): String = {
     var out = s

@@ -82,6 +82,40 @@ class Tail10Spec extends SparkFunSuite {
     assert(e.getMessage.contains("does not exist"))
   }
 
+  test("getMacro reads the `macros` named collection; missing macro " +
+      "throws the NO_ELEMENTS_IN_CONFIG analog") {
+    ClickHouseSql.sql(spark, "DROP NAMED COLLECTION IF EXISTS macros")
+    ClickHouseSql.sql(spark,
+      "CREATE NAMED COLLECTION macros AS shard = 's1', replica = 'r7'")
+    try {
+      assert(one("getMacro('replica')") == "r7")
+      val e = intercept[Exception](one("getMacro('nope')"))
+      assert(e.getMessage.contains("No macro"))
+    } finally ClickHouseSql.sql(spark,
+      "DROP NAMED COLLECTION IF EXISTS macros")
+  }
+
+  test("estimateCompressionRatio: NONE is exactly 1.0, real codecs " +
+      "compress repetitive text far better than high-entropy bytes") {
+    val r = ClickHouseSql.sql(spark, """
+      SELECT
+        CAST(estimateCompressionRatio('NONE')(rep) AS DOUBLE) AS none,
+        CAST(estimateCompressionRatio('LZ4')(rep) AS DOUBLE) AS lz4_rep,
+        CAST(estimateCompressionRatio('ZSTD')(rep) AS DOUBLE) AS zstd_rep,
+        CAST(estimateCompressionRatio('LZ4')(rnd) AS DOUBLE) AS lz4_rnd
+      FROM (
+        SELECT repeat('abcdef', 300) AS rep,
+               toString(sipHash64(toString(number))) AS rnd
+        FROM numbers(50))""").collect().head
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) > 5.0 && r.getDouble(2) > 5.0)
+    assert(r.getDouble(1) > r.getDouble(3),
+      "repetitive text must compress better than hash text")
+    val e = intercept[Exception](one(
+      "estimateCompressionRatio('BROTLI')(1)"))
+    assert(e.getMessage.toLowerCase.contains("unknown codec"))
+  }
+
   test("formatQuery: canonical case/spacing, clause breaks at depth 0 " +
       "only, OrNull twins return NULL on tokenizer errors") {
     assert(one("formatQuery('select a,b from t where x=1')") ==
