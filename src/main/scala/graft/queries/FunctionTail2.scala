@@ -1504,6 +1504,66 @@ object FunctionTail2 extends QueryPack {
         TRUE AS ecr_lz4,
         TRUE AS ecr_zstd"""),
 
+    // Round-12: the embedded-geobase region family over a SESSION-
+    // REGISTERED hierarchy (FunctionsEmbeddedDictionaries.h over
+    // RegionsHierarchy.h walk semantics — the reference loads
+    // user-supplied regions_hierarchy/regions_names files; the analog
+    // registers the same file contents per session). Every value
+    // computable by hand from the 6-region fixture; a corpus-wide lane
+    // pins the distributed path.
+    Q("q_fn_geobase", (s, dir) => {
+      Tables.register(s, dir)
+      graft.functions.GeoBases.register("regions_hierarchy", Seq(
+        "10001\t0\t1", "10002\t10001\t1", "225\t10002\t3\t146000000",
+        "3\t225\t5", "1\t3\t6\t12000000", "213\t1\t4",
+        "-5\t0\t3")) // negative id = garbage row (HierarchyFormatReader)
+      graft.functions.GeoBases.register("regions_names_ru",
+        Seq("1\tMoskva", "225\tRossiya"))
+      graft.functions.GeoBases.register("regions_names_en",
+        Seq("1\tMoscow", "225\tRussia"))
+      ClickHouseSql.sql(s, """
+        SELECT
+          CAST(regionToCity(213) AS BIGINT) AS city,
+          CAST(regionToDistrict(213) AS BIGINT) AS district,
+          CAST(regionToArea(213) AS BIGINT) AS area,
+          CAST(regionToCountry(213) AS BIGINT) AS country,
+          CAST(regionToContinent(213) AS BIGINT) AS continent,
+          CAST(regionToTopContinent(213) AS BIGINT) AS topcont,
+          CAST(regionToPopulation(225) AS BIGINT) AS pop,
+          regionIn(213, 225) AS in_up,
+          regionIn(225, 213) AS in_down,
+          arrayStringConcat(arrayMap(x -> toString(x),
+            regionHierarchy(1)), ',') AS hier,
+          regionToName(1, 'en') AS name_en,
+          regionToName(1) AS name_ru,
+          regionToName(1, 'xx') AS name_fallback,
+          regionToName(999) AS name_missing,
+          agg.ok, agg.n
+        FROM (
+          SELECT sum(CASE WHEN regionToCountry(
+                   CASE WHEN n_nationkey % 2 = 0 THEN 213 ELSE 1 END) = 225
+                 THEN 1 ELSE 0 END) AS ok,
+                 count() AS n
+          FROM nation) AS agg""")
+    }, Some("""
+      SELECT
+        CAST(1 AS BIGINT) AS city,
+        CAST(213 AS BIGINT) AS district,
+        CAST(3 AS BIGINT) AS area,
+        CAST(225 AS BIGINT) AS country,
+        CAST(10002 AS BIGINT) AS continent,
+        CAST(10001 AS BIGINT) AS topcont,
+        CAST(146000000 AS BIGINT) AS pop,
+        TRUE AS in_up,
+        FALSE AS in_down,
+        '1,3,225,10002,10001' AS hier,
+        'Moscow' AS name_en,
+        'Moskva' AS name_ru,
+        'Moskva' AS name_fallback,
+        '' AS name_missing,
+        (SELECT count(*) FROM nation) AS ok,
+        (SELECT count(*) FROM nation) AS n""")),
+
     // Round-12: the formatQuery printer family (formatQuery.cpp) —
     // canonical keyword case + spacing, clause breaks in the multiline
     // form, literal passthrough, comment elision, and NULL (not throw)

@@ -466,6 +466,8 @@ object ChFunctionRegistry {
     // analog of TLDListsHolder's config-named list files)
     graft.functions.TldLists.collectionProvider =
       name => ClickHouseSql.namedCollection(name)
+    graft.functions.GeoBases.collectionProvider =
+      name => ClickHouseSql.namedCollection(name)
     val registry = spark.sessionState.functionRegistry
     val builtin = org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
     builders.foreach { case (name, builder) =>

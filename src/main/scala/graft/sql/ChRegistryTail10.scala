@@ -37,6 +37,25 @@ object ChRegistryTail10 {
       graft.functions.TldLists.blob(listName)), StringType)
   }
 
+  private val geoCls = classOf[graft.functions.GeoBaseKernels.type]
+
+  /** regionToX(id[, geobase]): the optional geobase name resolves at
+    * plan time, the hierarchy ships as a plan literal (same lane as the
+    * TLD lists). */
+  private def regionWalk(kind: Int)(args: Seq[Expression]): Expression = {
+    val geobase = if (args.size > 1) foldStr(args(1)) else ""
+    StaticInvoke(geoCls, LongType, "regionWalk",
+      Seq(Cast(args.head, LongType),
+        strLit(graft.functions.GeoBases.hierarchyBlob(geobase)),
+        Literal(kind)),
+      Seq(LongType, StringType, IntegerType))
+  }
+
+  private def geoBlobArg(args: Seq[Expression], at: Int): Expression =
+    strLit(graft.functions.GeoBases.hierarchyBlob(
+      if (args.size > at) foldStr(args(at)) else ""))
+
+  /** formatQuery family + custom-TLD helpers below. */
   private def fssCustom(args: Seq[Expression]): Expression =
     StaticInvoke(tldCls, StringType, "fssCustom",
       Seq(args.head, tldBlob(args(1))), Seq(StringType, StringType))
@@ -200,6 +219,36 @@ object ChRegistryTail10 {
       val maxDrop = nameMax - 1 - db.length - 1 - 36 - ".sql".length
       Literal(math.min(maxCreate, maxDrop))
     }),
+    // -- embedded-geobase region family over SESSION-REGISTERED
+    // hierarchy/name files (FunctionsEmbeddedDictionaries.h;
+    // RegionType: City=6, Country=3, District=4, Area=5, Continent=1;
+    // toTopContinent = LAST continent on the chain; regionToName
+    // falls back to ru, unknown region = '')
+    "regiontocity" -> regionWalk(6) _,
+    "regiontocountry" -> regionWalk(3) _,
+    "regiontodistrict" -> regionWalk(4) _,
+    "regiontoarea" -> regionWalk(5) _,
+    "regiontocontinent" -> regionWalk(1) _,
+    "regiontotopcontinent" -> regionWalk(100) _,
+    "regiontopopulation" -> (args =>
+      StaticInvoke(geoCls, LongType, "regionPopulation",
+        Seq(Cast(args.head, LongType), geoBlobArg(args, 1)),
+        Seq(LongType, StringType))),
+    "regionin" -> (args =>
+      StaticInvoke(geoCls, BooleanType, "regionIn",
+        Seq(Cast(args(0), LongType), Cast(args(1), LongType),
+          geoBlobArg(args, 2)),
+        Seq(LongType, LongType, StringType))),
+    "regionhierarchy" -> (args =>
+      StaticInvoke(geoCls, ArrayType(LongType), "regionHierarchy",
+        Seq(Cast(args.head, LongType), geoBlobArg(args, 1)),
+        Seq(LongType, StringType))),
+    "regiontoname" -> (args =>
+      StaticInvoke(geoCls, StringType, "regionName",
+        Seq(Cast(args.head, LongType),
+          strLit(graft.functions.GeoBases.namesBlob(
+            if (args.size > 1) foldStr(args(1)) else "ru"))),
+        Seq(LongType, StringType))),
     // -- quantile engine matrix completion (weighted + plural names;
     // AggregateFunctionQuantile.cpp registers every engine in both
     // singular and plural spellings, weighted twins included)

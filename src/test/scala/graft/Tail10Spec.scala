@@ -95,6 +95,32 @@ class Tail10Spec extends SparkFunSuite {
       "DROP NAMED COLLECTION IF EXISTS macros")
   }
 
+  test("geobase lanes: named-collection registration, garbage-row " +
+      "skip, named geobase variants, unknown geobase throws") {
+    ClickHouseSql.sql(spark,
+      "DROP NAMED COLLECTION IF EXISTS regions_hierarchy_t10")
+    // the collection carries the reference's file format (escaped \n
+    // separators; tabs between the columns)
+    ClickHouseSql.sql(spark,
+      "CREATE NAMED COLLECTION regions_hierarchy_t10 AS lines = " +
+        "'7\t0\t1\\n8\t7\t3\t500\\n9\t8\t6\\n-4\t0\t3'")
+    try {
+      def one(expr: String): String = {
+        val r = ClickHouseSql.sql(spark, s"SELECT $expr AS v").collect().head
+        String.valueOf(r.get(0))
+      }
+      assert(one("regionToCountry(9, 't10')") == "8")
+      assert(one("regionToContinent(9, 't10')") == "7")
+      assert(one("regionToPopulation(8, 't10')") == "500")
+      assert(one("regionIn(9, 7, 't10')") == "true")
+      // the garbage row (-4) is skipped, not an error; unknown ids = 0
+      assert(one("regionToCountry(4, 't10')") == "0")
+      val e = intercept[Exception](one("regionToCity(1, 'no_such_base')"))
+      assert(e.getMessage.contains("not registered"))
+    } finally ClickHouseSql.sql(spark,
+      "DROP NAMED COLLECTION IF EXISTS regions_hierarchy_t10")
+  }
+
   test("estimateCompressionRatio: NONE is exactly 1.0, real codecs " +
       "compress repetitive text far better than high-entropy bytes") {
     val r = ClickHouseSql.sql(spark, """
