@@ -1504,6 +1504,39 @@ object FunctionTail2 extends QueryPack {
         TRUE AS ecr_lz4,
         TRUE AS ecr_zstd"""),
 
+    // Round-12: the Hyperscan fuzzy family's literal lane — exact
+    // approximate-substring semantics (Sellers DP) for metacharacter-
+    // free patterns. Literal battery hand-computed; the corpus lane
+    // pins distance-0 == plain substring containment (an equivalence
+    // DuckDB restates with LIKE) and distance monotonicity.
+    ch("q_fn_fuzzy_match", """
+      SELECT
+        multiFuzzyMatchAny('hello world', 1, array('wprld')) AS any1,
+        multiFuzzyMatchAny('hello world', 0, array('wprld')) AS any0,
+        multiFuzzyMatchAny('ac', 1, array('abc')) AS ins1,
+        CAST(multiFuzzyMatchAnyIndex('abc def', 1,
+          array('zzz', 'dxf')) AS BIGINT) AS idx,
+        arrayStringConcat(arrayMap(x -> toString(x),
+          multiFuzzyMatchAllIndices('abcdef', 1,
+            array('abd', 'zzz', 'def'))), ',') AS all_idx,
+        agg.d0, agg.d1 >= agg.d0 AS mono
+      FROM (
+        SELECT
+          sum(CASE WHEN multiFuzzyMatchAny(text, 0, array('the'))
+              THEN 1 ELSE 0 END) AS d0,
+          sum(CASE WHEN multiFuzzyMatchAny(text, 1, array('the'))
+              THEN 1 ELSE 0 END) AS d1
+        FROM documents) AS agg""",
+      """
+      SELECT
+        TRUE AS any1,
+        FALSE AS any0,
+        TRUE AS ins1,
+        CAST(2 AS BIGINT) AS idx,
+        '1,3' AS all_idx,
+        (SELECT count(*) FROM documents WHERE text LIKE '%the%') AS d0,
+        TRUE AS mono"""),
+
     // Round-12: the embedded-geobase region family over a SESSION-
     // REGISTERED hierarchy (FunctionsEmbeddedDictionaries.h over
     // RegionsHierarchy.h walk semantics — the reference loads

@@ -55,6 +55,37 @@ object ChRegistryTail10 {
     strLit(graft.functions.GeoBases.hierarchyBlob(
       if (args.size > at) foldStr(args(at)) else ""))
 
+  /** multiFuzzyMatch* literal lane (haystack, distance, [patterns]) —
+    * distance and the pattern array are plan constants, mirroring the
+    * reference's constant-array requirement; regex-bearing patterns
+    * reject at plan time (FuzzyMatchKernels.requireLiteralPatterns). */
+  private def fuzzy(method: String, ret: DataType)
+      (args: Seq[Expression]): Expression = {
+    val k = args(1) match {
+      case e if e.foldable => e.eval() match {
+        case n: Number => n.intValue
+        case other => throw new IllegalArgumentException(
+          s"multiFuzzyMatch*: distance must be a constant integer, got $other")
+      }
+      case _ => throw new IllegalArgumentException(
+        "multiFuzzyMatch*: distance must be a constant")
+    }
+    val pats = args(2) match {
+      case e if e.foldable => e.eval() match {
+        case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+          (0 until a.numElements()).map(a.getUTF8String(_).toString)
+        case other => throw new IllegalArgumentException(
+          s"multiFuzzyMatch*: patterns must be a constant array, got $other")
+      }
+      case _ => throw new IllegalArgumentException(
+        "multiFuzzyMatch*: patterns must be a constant array")
+    }
+    graft.functions.FuzzyMatchKernels.requireLiteralPatterns(pats)
+    StaticInvoke(classOf[graft.functions.FuzzyMatchKernels.type], ret,
+      method, Seq(args.head, Literal(k), args(2)),
+      Seq(StringType, IntegerType, ArrayType(StringType)))
+  }
+
   /** formatQuery family + custom-TLD helpers below. */
   private def fssCustom(args: Seq[Expression]): Expression =
     StaticInvoke(tldCls, StringType, "fssCustom",
@@ -219,6 +250,14 @@ object ChRegistryTail10 {
       val maxDrop = nameMax - 1 - db.length - 1 - 36 - ".sql".length
       Literal(math.min(maxCreate, maxDrop))
     }),
+    // -- Hyperscan fuzzy family, literal lane (MultiMatchAnyImpl.h
+    // edit-distance compilation; exact Sellers approximate-substring
+    // semantics for metacharacter-free patterns, loud plan-time reject
+    // for regex patterns)
+    "multifuzzymatchany" -> fuzzy("fuzzyAny", BooleanType) _,
+    "multifuzzymatchanyindex" -> fuzzy("fuzzyAnyIndex", LongType) _,
+    "multifuzzymatchallindices" ->
+      fuzzy("fuzzyAllIndices", ArrayType(LongType)) _,
     // -- embedded-geobase region family over SESSION-REGISTERED
     // hierarchy/name files (FunctionsEmbeddedDictionaries.h;
     // RegionType: City=6, Country=3, District=4, Area=5, Continent=1;

@@ -95,6 +95,24 @@ class Tail10Spec extends SparkFunSuite {
       "DROP NAMED COLLECTION IF EXISTS macros")
   }
 
+  test("multiFuzzyMatch literal lane: Sellers substring-within-k " +
+      "corners; regex patterns reject at plan time") {
+    // substitution / deletion / insertion, each at the k boundary
+    assert(one("toString(multiFuzzyMatchAny('banana', 1, array('banXna')))")
+      == "true")
+    assert(one("toString(multiFuzzyMatchAny('banana', 1, array('bnna')))")
+      == "true") // 'bnna' vs 'bnan'? — vs substring 'anana': del
+    assert(one("toString(multiFuzzyMatchAny('banana', 0, array('banXna')))")
+      == "false")
+    assert(one("toString(multiFuzzyMatchAny('xy', 2, array('ab')))")
+      == "true") // k >= m always fits
+    assert(one("toString(multiFuzzyMatchAnyIndex('abc', 1, array('zzzz')))")
+      == "0")
+    val e = intercept[Exception](one(
+      "toString(multiFuzzyMatchAny('x', 1, array('a.*b')))"))
+    assert(e.getMessage.contains("Hyperscan"))
+  }
+
   test("geobase lanes: named-collection registration, garbage-row " +
       "skip, named geobase variants, unknown geobase throws") {
     ClickHouseSql.sql(spark,
