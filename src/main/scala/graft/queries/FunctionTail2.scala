@@ -1504,6 +1504,36 @@ object FunctionTail2 extends QueryPack {
         TRUE AS ecr_lz4,
         TRUE AS ecr_zstd"""),
 
+    // Round-12: toIPv6 conversion family (DNS-free parse, RFC 5952
+    // canonical carrier, IPv4-mapped form) + the 128/256-bit
+    // reinterpret lanes (LE byte image on the wide-int decimal-string
+    // carrier; 'ab' = 0x6261 LE = 25185, the reference's own docs
+    // example for the narrow lanes).
+    ch("q_fn_ipv6_wide", """
+      SELECT
+        toIPv6('2001:0db8:0000:0000:0000:0000:0000:0001') AS canon,
+        toIPv6OrNull('not-an-ip') AS bad_null,
+        toIPv6OrZero('not-an-ip') AS bad_zero,
+        toIPv6OrDefault('not-an-ip', '::1') AS bad_dflt,
+        toIPv6('1.2.3.4') AS v4_mapped,
+        reinterpretAsUInt128('ab') AS u128,
+        reinterpretAsUInt256('ab') AS u256,
+        reinterpretAsInt128(unhex(repeat('ff', 16))) AS i128_neg,
+        reinterpretAsInt256(unhex(repeat('ff', 32))) AS i256_neg,
+        reinterpretAsUInt128(unhex('0a')) AS u128_pad""",
+      """
+      SELECT
+        '2001:db8::1' AS canon,
+        CAST(NULL AS VARCHAR) AS bad_null,
+        '::' AS bad_zero,
+        '::1' AS bad_dflt,
+        '::ffff:1.2.3.4' AS v4_mapped,
+        '25185' AS u128,
+        '25185' AS u256,
+        '-1' AS i128_neg,
+        '-1' AS i256_neg,
+        '10' AS u128_pad"""),
+
     // Round-12: the Hyperscan fuzzy family's literal lane — exact
     // approximate-substring semantics (Sellers DP) for metacharacter-
     // free patterns. Literal battery hand-computed; the corpus lane

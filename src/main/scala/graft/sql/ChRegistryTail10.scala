@@ -38,6 +38,13 @@ object ChRegistryTail10 {
   }
 
   private val geoCls = classOf[graft.functions.GeoBaseKernels.type]
+  private val ipv6Cls = classOf[graft.functions.Ipv6CastKernels.type]
+
+  private def reinterpretWide(args: Seq[Expression], width: Int,
+      signed: Boolean): Expression =
+    StaticInvoke(ipv6Cls, StringType, "reinterpretWide",
+      Seq(Cast(args.head, BinaryType), Literal(width), Literal(signed)),
+      Seq(BinaryType, IntegerType, BooleanType))
 
   /** regionToX(id[, geobase]): the optional geobase name resolves at
     * plan time, the hierarchy ships as a plan literal (same lane as the
@@ -250,6 +257,28 @@ object ChRegistryTail10 {
       val maxDrop = nameMax - 1 - db.length - 1 - 36 - ".sql".length
       Literal(math.min(maxCreate, maxDrop))
     }),
+    // -- toIPv6 conversion family (FunctionsConversion.cpp IPv6 lanes;
+    // DNS-free guava parse, RFC 5952 canonical carrier, IPv4 text maps
+    // to ::ffff:a.b.c.d)
+    "toipv6" -> (args => StaticInvoke(ipv6Cls, StringType, "toIpv6",
+      Seq(args.head), Seq(StringType))),
+    "toipv6ornull" -> (args => StaticInvoke(ipv6Cls, StringType,
+      "toIpv6OrNull", Seq(args.head), Seq(StringType))),
+    "toipv6orzero" -> (args => StaticInvoke(ipv6Cls, StringType,
+      "toIpv6OrZero", Seq(args.head), Seq(StringType))),
+    "toipv6ordefault" -> (args => StaticInvoke(ipv6Cls, StringType,
+      "toIpv6OrDefault", Seq(args(0), args(1)),
+      Seq(StringType, StringType))),
+    // -- reinterpretAs 128/256-bit lanes (reinterpretAs.cpp): LE byte
+    // image onto the wide-int decimal-string carrier
+    "reinterpretasuint128" -> (args => reinterpretWide(args, 16,
+      signed = false)),
+    "reinterpretasint128" -> (args => reinterpretWide(args, 16,
+      signed = true)),
+    "reinterpretasuint256" -> (args => reinterpretWide(args, 32,
+      signed = false)),
+    "reinterpretasint256" -> (args => reinterpretWide(args, 32,
+      signed = true)),
     // -- Hyperscan fuzzy family, literal lane (MultiMatchAnyImpl.h
     // edit-distance compilation; exact Sellers approximate-substring
     // semantics for metacharacter-free patterns, loud plan-time reject
