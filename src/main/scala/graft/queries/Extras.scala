@@ -51,6 +51,31 @@ object Extras extends QueryPack {
         .select(col("k").cast("integer").as("k"), col("name"))
     },
 
+    // format() table function (round 12 — TableFunctionFormat.cpp):
+    // inline data parsed through the named input format with the schema
+    // INFERRED from the data; nameless formats name columns c1..cN.
+    // Three format lanes (CSV / JSONEachRow / Values) unioned into one
+    // frame the oracle restates as plain VALUES.
+    Q.df("q_tf_format", """
+      SELECT * FROM (VALUES
+        ('csv', 1, 'one'), ('csv', 2, 'two'),
+        ('json', 1, 'one'), ('json', 2, 'two'),
+        ('values', 1, 'one'), ('values', 2, 'two'))
+        AS t(src, k, v) ORDER BY src, k""") { (s, _) =>
+      graft.sql.ClickHouseSql.sql(s, """
+        SELECT 'csv' AS src, c1 AS k, c2 AS v
+          FROM format(CSV, '1,one\n2,two')
+        UNION ALL
+        SELECT 'json' AS src, a AS k, b AS v
+          FROM format(JSONEachRow,
+            '{"a": 1, "b": "one"}\n{"a": 2, "b": "two"}')
+        UNION ALL
+        SELECT 'values' AS src, c1 AS k, c2 AS v
+          FROM format(Values, '(1, ''one''), (2, ''two'')')
+        ORDER BY src, k""")
+        .select(col("src"), col("k").cast("integer").as("k"), col("v"))
+    },
+
     // Recursive CTE (src/Processors/QueryPlan/ReadFromRecursiveCTEStep.h):
     // Spark has no recursive CTE — rendered as a driver-side fixpoint loop
     // of DataFrame unions (each iteration is still a distributed job).

@@ -1244,7 +1244,7 @@ object ClickHouseSql {
       if (trimmedNoFmt.matches("(?is)^(SELECT|WITH)\\b.*"))
         resolveParamViews(spark,
           resolveMergeFn(spark, resolveFileFn(spark,
-            resolveCollectionFileFn(trimmedNoFmt))))
+            resolveFormatFn(spark, resolveCollectionFileFn(trimmedNoFmt)))))
       else trimmedNoFmt
     // rewrite only OUTSIDE single-quoted literals: split on ' and touch
     // the even-indexed (non-literal) segments
@@ -2524,6 +2524,75 @@ object ClickHouseSql {
           s"file(): unsupported format '$other'")
       }
       val view = s"graft_file_fn_${fileFnCounter.incrementAndGet()}"
+      df.createOrReplaceTempView(view)
+      java.util.regex.Matcher.quoteReplacement(view)
+    })
+
+  // ---- format() table function (TableFunctionFormat.cpp) --------------
+
+  /** `format(Fmt, 'inline data')` — first arg a bare format name (the
+    * scalar format('pattern', …) has a QUOTED first arg and never
+    * matches). */
+  private val formatFnRe =
+    ("(?is)\\bformat\\s*\\(\\s*([A-Za-z0-9]+)\\s*,\\s*" +
+      "'((?:\\\\.|''|[^'\\\\])*)'\\s*\\)").r
+
+  /** ClickHouse string-literal unescape: backslash escapes + '' doubling. */
+  private def unescapeChString(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb.append('\n')
+          case 't' => sb.append('\t')
+          case 'r' => sb.append('\r')
+          case '0' => sb.append(' ')
+          case o => sb.append(o) // \' \\ and any other passthrough
+        }
+        i += 2
+      } else if (c == '\'' && i + 1 < s.length && s.charAt(i + 1) == '\'') {
+        sb.append('\''); i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Replace `format(Fmt, 'data')` with a temp view over the parsed
+    * inline data (TableFunctionFormat.cpp: parse a literal through the
+    * named input format, schema INFERRED from the data). Nameless
+    * formats name columns c1..cN like the reference's inference does. */
+  private def resolveFormatFn(spark: SparkSession, sql0: String): String =
+    formatFnRe.replaceAllIn(sql0, m => {
+      val fmt = m.group(1).toLowerCase
+      val data = unescapeChString(m.group(2))
+      def c1cN(df: org.apache.spark.sql.DataFrame) =
+        df.toDF(df.columns.indices.map(i => s"c${i + 1}"): _*)
+      def fromTempFile(read: String => org.apache.spark.sql.DataFrame) = {
+        val dir = java.nio.file.Files.createTempDirectory("graft_format_fn")
+        val f = dir.resolve("data.txt")
+        java.nio.file.Files.writeString(f, data)
+        read(f.toString)
+      }
+      val df = fmt match {
+        case "values" => c1cN(spark.sql(s"SELECT * FROM (VALUES $data)"))
+        case "jsoneachrow" | "ndjson" | "json" =>
+          fromTempFile(spark.read.json(_))
+        case "csv" => c1cN(fromTempFile(
+          spark.read.option("inferSchema", "true").csv(_)))
+        case "csvwithnames" => fromTempFile(
+          spark.read.option("inferSchema", "true")
+            .option("header", "true").csv(_))
+        case "tabseparated" | "tsv" => c1cN(fromTempFile(
+          spark.read.option("inferSchema", "true").option("sep", "\t").csv(_)))
+        case "tabseparatedwithnames" | "tsvwithnames" => fromTempFile(
+          spark.read.option("inferSchema", "true").option("sep", "\t")
+            .option("header", "true").csv(_))
+        case other => throw new IllegalArgumentException(
+          s"format(): unsupported inline format '$other'")
+      }
+      val view = s"graft_format_fn_${fileFnCounter.incrementAndGet()}"
       df.createOrReplaceTempView(view)
       java.util.regex.Matcher.quoteReplacement(view)
     })
