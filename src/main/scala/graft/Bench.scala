@@ -80,7 +80,12 @@ object Bench {
     // round-10: the PII-scrub regex pipeline over the documents corpus —
     // five ordered regexp_replace/regexp_count classes per row, the
     // scan-speed redaction profile every training-data pipeline runs
-    "q_pii_scrub")
+    "q_pii_scrub",
+    // round-12: real BPE train + corpus-wide encode/decode roundtrip —
+    // the tokenizer throughput profile (ONE corpus-scale word-count
+    // shuffle for training, then codegen-inlined per-row kernels with
+    // the merge ranks as a broadcast plan literal)
+    "q_bpe_tokenize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
