@@ -1504,6 +1504,36 @@ object FunctionTail2 extends QueryPack {
         TRUE AS ecr_lz4,
         TRUE AS ecr_zstd"""),
 
+    // Round-12: the IN-operator function spellings (in.cpp registers
+    // all eight as callable functions; null_is_skipped lanes yield NULL
+    // for a NULL needle and skip set NULLs, nullIn lanes treat NULL as
+    // a value). `in` itself is the Spark builtin; the set argument is
+    // an ARRAY on this engine.
+    ch("q_fn_in_family", """
+      SELECT
+        notIn(2, array(1, 3)) AS ni,
+        globalIn(2, array(1, 2)) AS gi,
+        globalNotIn(2, array(1, 2)) AS gni,
+        globalIn(2, array(1, NULL)) AS skip_null,
+        CAST(globalIn(NULL, array(1)) AS STRING) AS null_needle,
+        nullIn(NULL, array(1, NULL)) AS nin_hit,
+        nullIn(NULL, array(1, 2)) AS nin_miss,
+        globalNullIn(2, array(2, NULL)) AS gnin,
+        notNullIn(NULL, array(1, NULL)) AS nnin,
+        globalNotNullIn(3, array(1, NULL)) AS gnnin""",
+      """
+      SELECT
+        TRUE AS ni,
+        TRUE AS gi,
+        FALSE AS gni,
+        FALSE AS skip_null,
+        CAST(NULL AS VARCHAR) AS null_needle,
+        TRUE AS nin_hit,
+        FALSE AS nin_miss,
+        TRUE AS gnin,
+        FALSE AS nnin,
+        TRUE AS gnnin"""),
+
     // Round-12: toIPv6 conversion family (DNS-free parse, RFC 5952
     // canonical carrier, IPv4-mapped form) + the 128/256-bit
     // reinterpret lanes (LE byte image on the wide-int decimal-string

@@ -40,6 +40,28 @@ object ChRegistryTail10 {
   private val geoCls = classOf[graft.functions.GeoBaseKernels.type]
   private val ipv6Cls = classOf[graft.functions.Ipv6CastKernels.type]
 
+  /** exists(set, e -> e = x), null-coalesced — the skip-NULLs
+    * membership probe (an exists-equality, not array_contains, so a
+    * NULL-typed literal needle still type-checks). */
+  private def setContains(x: Expression, set: Expression): Expression =
+    Coalesce(Seq(ArrayExists(set, lam1(e => EqualTo(e, x))),
+      Literal(false)))
+
+  /** in(x, set): NULL needle → NULL; NULLs in the set are skipped. */
+  private def chIn(args: Seq[Expression]): Expression =
+    If(IsNull(args(0)), Literal(null, BooleanType),
+      setContains(args(0), args(1)))
+
+  private def chNotIn(args: Seq[Expression]): Expression =
+    If(IsNull(args(0)), Literal(null, BooleanType), Not(chIn(args)))
+
+  /** nullIn(x, set): NULL is a value — NULL matches a set NULL. */
+  private def chNullIn(args: Seq[Expression]): Expression =
+    If(IsNull(args(0)),
+      Coalesce(Seq(ArrayExists(args(1), lam1(e => IsNull(e))),
+        Literal(false))),
+      setContains(args(0), args(1)))
+
   private def reinterpretWide(args: Seq[Expression], width: Int,
       signed: Boolean): Expression =
     StaticInvoke(ipv6Cls, StringType, "reinterpretWide",
@@ -257,6 +279,20 @@ object ChRegistryTail10 {
       val maxDrop = nameMax - 1 - db.length - 1 - 36 - ".sql".length
       Literal(math.min(maxCreate, maxDrop))
     }),
+    // -- the IN-operator FUNCTION spellings (src/Functions/in.cpp
+    // registers all eight as user-callable FunctionFactory entries;
+    // `in` itself is the Spark builtin). GLOBAL twins are identical
+    // trees (GLOBAL is a distribution hint — Catalyst owns that).
+    // null_is_skipped lanes (in/notIn): NULL needle → NULL, set NULLs
+    // skipped; nullIn lanes treat NULL as a value (NULL matches NULL).
+    // The set argument is an ARRAY on this engine (documented).
+    "notin" -> (args => chNotIn(args)),
+    "globalin" -> (args => chIn(args)),
+    "globalnotin" -> (args => chNotIn(args)),
+    "nullin" -> (args => chNullIn(args)),
+    "globalnullin" -> (args => chNullIn(args)),
+    "notnullin" -> (args => Not(chNullIn(args))),
+    "globalnotnullin" -> (args => Not(chNullIn(args))),
     // -- toIPv6 conversion family (FunctionsConversion.cpp IPv6 lanes;
     // DNS-free guava parse, RFC 5952 canonical carrier, IPv4 text maps
     // to ::ffff:a.b.c.d)
