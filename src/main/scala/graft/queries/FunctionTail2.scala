@@ -1504,6 +1504,30 @@ object FunctionTail2 extends QueryPack {
         TRUE AS ecr_lz4,
         TRUE AS ecr_zstd"""),
 
+    // Round-12: the experimental-KQL array sorters (KqlArraySort.cpp):
+    // sort the first array (nulls last unless the trailing bool says
+    // first), permute siblings by the same order, NULL a sibling whose
+    // length mismatches.
+    ch("q_fn_kql_sort", """
+      SELECT
+        arrayStringConcat(arrayMap(x -> ifNull(toString(x), 'N'),
+          kql_array_sort_asc(array(3, 1, NULL, 2)).col1), ',') AS asc_nl,
+        arrayStringConcat(arrayMap(x -> ifNull(toString(x), 'N'),
+          kql_array_sort_asc(array(3, 1, NULL), false).col1), ',') AS asc_nf,
+        arrayStringConcat(arrayMap(x -> toString(x),
+          kql_array_sort_desc(array(1, 3, 2)).col1), ',') AS desc_k,
+        arrayStringConcat(
+          kql_array_sort_asc(array(2, 1), array('b', 'a')).col2, ',') AS perm,
+        CAST(kql_array_sort_asc(array(2, 1), array('x')).col2
+          AS STRING) AS mismatch""",
+      """
+      SELECT
+        '1,2,3,N' AS asc_nl,
+        'N,1,3' AS asc_nf,
+        '3,2,1' AS desc_k,
+        'a,b' AS perm,
+        CAST(NULL AS VARCHAR) AS mismatch"""),
+
     // Round-12: the IN-operator function spellings (in.cpp registers
     // all eight as callable functions; null_is_skipped lanes yield NULL
     // for a NULL needle and skip set NULLs, nullIn lanes treat NULL as

@@ -40,6 +40,58 @@ object ChRegistryTail10 {
   private val geoCls = classOf[graft.functions.GeoBaseKernels.type]
   private val ipv6Cls = classOf[graft.functions.Ipv6CastKernels.type]
 
+  private def lam2(f: (Expression, Expression) => Expression)
+      : LambdaFunction = {
+    val x = lv(); val y = lv(); LambdaFunction(f(x, y), Seq(x, y))
+  }
+
+  /** kql_array_sort_asc/_desc (Kusto/KqlArraySort.cpp): sort the first
+    * array (nulls last unless the trailing bool says first) and PERMUTE
+    * the other arrays by the same order, returning a tuple; an array
+    * whose length mismatches the first comes back NULL (the reference's
+    * null-column rule). Pure HOF tree: zip-by-index → array_sort with
+    * an explicit comparator → per-slot projection. */
+  private def kqlArraySort(desc: Boolean)(args: Seq[Expression]): Expression = {
+    val (arrs, nullsLast) = args.last match {
+      case Literal(b: Boolean, BooleanType) => (args.init, b)
+      case _ => (args, true)
+    }
+    require(arrs.nonEmpty, "kql_array_sort: needs at least one array")
+    def cmp(lk: Expression, rk: Expression): Expression =
+      CaseWhen(Seq(
+        (And(IsNull(lk), IsNull(rk)), Literal(0)),
+        (IsNull(lk), Literal(if (nullsLast) 1 else -1)),
+        (IsNull(rk), Literal(if (nullsLast) -1 else 1)),
+        (if (desc) GreaterThan(lk, rk) else LessThan(lk, rk), Literal(-1)),
+        (if (desc) LessThan(lk, rk) else GreaterThan(lk, rk), Literal(1))),
+        Literal(0))
+    def named(fields: Seq[Expression]): Expression =
+      CreateNamedStruct(fields.zipWithIndex.flatMap { case (e, i) =>
+        Seq(Literal(s"col${i + 1}"), e)
+      })
+    if (arrs.size == 1)
+      named(Seq(new ArraySort(arrs.head, lam2((l, r) => cmp(l, r)))))
+    else {
+      val zipped = ArrayTransform(arrs.head, lam2((e, i) =>
+        named(e +: arrs.tail.map(a =>
+          ElementAt(a, Add(i, Literal(1)), None, failOnError = false)))))
+      val sorted = new ArraySort(zipped, lam2((l, r) => cmp(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
+          l, Literal("col1")),
+        org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
+          r, Literal("col1")))))
+      val outs = arrs.zipWithIndex.map { case (a, i) =>
+        val proj = ArrayTransform(sorted, lam1(s =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
+            s, Literal(s"col${i + 1}"))))
+        if (i == 0) proj
+        else If(EqualTo(Size(a), Size(arrs.head)), proj,
+          Literal.create(null, NullType))
+      }
+      named(outs)
+    }
+  }
+
   /** exists(set, e -> e = x), null-coalesced — the skip-NULLs
     * membership probe (an exists-equality, not array_contains, so a
     * NULL-typed literal needle still type-checks). */
@@ -279,6 +331,10 @@ object ChRegistryTail10 {
       val maxDrop = nameMax - 1 - db.length - 1 - 36 - ".sql".length
       Literal(math.min(maxCreate, maxDrop))
     }),
+    // -- the experimental-KQL array sorters (user-callable like any
+    // registered function)
+    "kql_array_sort_asc" -> kqlArraySort(desc = false) _,
+    "kql_array_sort_desc" -> kqlArraySort(desc = true) _,
     // -- the IN-operator FUNCTION spellings (src/Functions/in.cpp
     // registers all eight as user-callable FunctionFactory entries;
     // `in` itself is the Spark builtin). GLOBAL twins are identical
