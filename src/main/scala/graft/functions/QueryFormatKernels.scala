@@ -138,7 +138,10 @@ object QueryFormatKernels {
       val sep: String =
         if (prev == null) ""
         else if (!singleLine && depth == 0 && isKw &&
-          breakBefore.contains(t0.toLowerCase) && prev != "(") "\n"
+          breakBefore.contains(t0.toLowerCase) && prev != "(" &&
+          // clause heads that complete the PREVIOUS keyword stay inline
+          // (INSERT INTO, GROUP BY's BY is not in breakBefore anyway)
+          !(t == "INTO" && prev == "INSERT")) "\n"
         else if (t == "," || t == ";" || t == ")" || t == "::") ""
         else if (prev == "(" || prev == "::") ""
         else if (t == "." || prev == ".") ""

@@ -5,18 +5,30 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
 import org.apache.spark.sql.types._
 
-/** Round-12 registry sweep #10: the custom-TLD subdomain family over
-  * session-registered public-suffix lists
-  * (FirstSignificantSubdomainCustomImpl.h:24 —
-  * `TLDListsHolder::getTldList(tld_list_name)`; the second argument
-  * must be a constant string, getArgumentsThatAreAlwaysConstant), the
-  * strict-host port twin, and the formatQuery printer family
-  * (src/Functions/formatQuery.cpp).
+/** Round-12 registry sweep #10 — the function closures of this round:
   *
-  * The list NAME resolves at plan time (the reference resolves it once
-  * per block for the constant column); the list CONTENT travels as a
-  * plan literal — executor-local at any cluster size, like a broadcast
-  * dim, never a driver-global lookup from a task. */
+  *  - the custom-TLD subdomain family over session-registered
+  *    public-suffix lists (FirstSignificantSubdomainCustomImpl.h:24 —
+  *    `TLDListsHolder::getTldList(tld_list_name)`) + portRFC;
+  *  - the formatQuery printer family (formatQuery.cpp);
+  *  - the embedded-geobase region family over session-registered
+  *    hierarchy/name files (FunctionsEmbeddedDictionaries.h);
+  *  - the Hyperscan fuzzy trio's exact literal lane
+  *    (MultiMatchAnyImpl.h);
+  *  - toIPv6* + reinterpretAs{Int,UInt}{128,256};
+  *  - the callable IN-operator spellings (in.cpp) and the KQL array
+  *    sorters (Kusto/KqlArraySort.cpp);
+  *  - server-state names a single-session engine CAN answer, incl.
+  *    estimateCompressionRatio over real LZ4/ZSTD;
+  *  - the weighted/plural quantile-engine matrix, groupArrayArray/
+  *    array_concat_agg, the Nothing family, and the Dynamic/JSON
+  *    introspection aggregates the reproducible extraction surfaced.
+  *
+  * Session-registered data (TLD lists, geobases, macros) resolves its
+  * constant NAME argument at plan time (the reference resolves it once
+  * per block for the constant column); the CONTENT travels as a plan
+  * literal — executor-local at any cluster size, like a broadcast dim,
+  * never a driver-global lookup from a task. */
 object ChRegistryTail10 {
 
   private val tldCls = classOf[graft.functions.TldKernels.type]
@@ -167,7 +179,6 @@ object ChRegistryTail10 {
       Seq(StringType, IntegerType, ArrayType(StringType)))
   }
 
-  /** formatQuery family + custom-TLD helpers below. */
   private def fssCustom(args: Seq[Expression]): Expression =
     StaticInvoke(tldCls, StringType, "fssCustom",
       Seq(args.head, tldBlob(args(1))), Seq(StringType, StringType))

@@ -373,4 +373,28 @@ class PlanAuditSpec extends SparkFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS $t")
     }
   }
+
+  test("round-12 kernel lanes ride the scan: custom-TLD cut and fuzzy " +
+      "match over the corpus plan as map-only stages (one exchange for " +
+      "the final aggregate, no broadcast/loop joins)") {
+    graft.functions.TldLists.register("audit_tld", Seq("com", "co.uk"))
+    val ch = graft.sql.ClickHouseSql
+    Tables.register(spark, sf)
+    val df = ch.sql(spark, """
+      SELECT cutToFirstSignificantSubdomainCustom(
+               concat('https://', source, '.example.com/', toString(doc_id)),
+               'audit_tld') AS cut,
+             sum(CASE WHEN multiFuzzyMatchAny(text, 1, array('the'))
+                 THEN 1 ELSE 0 END) AS n
+      FROM documents GROUP BY cut""")
+    val p = df.queryExecution.executedPlan.toString
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, // partial/final agg pair at most
+      s"kernel lanes must not add shuffles beyond the aggregate: $p")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      "the list/pattern content must ship as plan literals, never a join")
+    assert(p.contains("StaticInvoke") || p.contains("fsscustom") ||
+      p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      s"unexpected plan shape: $p")
+  }
 }
