@@ -2548,7 +2548,7 @@ object ClickHouseSql {
           case 'n' => sb.append('\n')
           case 't' => sb.append('\t')
           case 'r' => sb.append('\r')
-          case '0' => sb.append(' ')
+          case '0' => sb.append('\u0000')
           case o => sb.append(o) // \' \\ and any other passthrough
         }
         i += 2
