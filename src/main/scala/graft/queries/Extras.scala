@@ -76,6 +76,21 @@ object Extras extends QueryPack {
         .select(col("src"), col("k").cast("integer").as("k"), col("v"))
     },
 
+    // remote()/null() table functions (round 12 —
+    // TableFunctionRemote.cpp, TableFunctionNull.cpp): localhost
+    // addresses resolve to the local catalog table (what the reference
+    // does on a one-node cluster; any OTHER address is a loud error,
+    // never a silent local read); null('structure') reads empty.
+    Q.df("q_tf_remote_null", """
+      SELECT (SELECT count(*) FROM nation) AS remote_n,
+             CAST(0 AS BIGINT) AS null_n""") { (s, dir) =>
+      Tables.register(s, dir)
+      graft.sql.ClickHouseSql.sql(s, """
+        SELECT a.n AS remote_n, b.n AS null_n
+        FROM (SELECT count() AS n FROM remote('localhost', default, nation)) a
+        CROSS JOIN (SELECT count() AS n FROM null('x Int64')) b""")
+    },
+
     // Recursive CTE (src/Processors/QueryPlan/ReadFromRecursiveCTEStep.h):
     // Spark has no recursive CTE — rendered as a driver-side fixpoint loop
     // of DataFrame unions (each iteration is still a distributed job).

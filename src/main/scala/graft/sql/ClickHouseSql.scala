@@ -1244,7 +1244,8 @@ object ClickHouseSql {
       if (trimmedNoFmt.matches("(?is)^(SELECT|WITH)\\b.*"))
         resolveParamViews(spark,
           resolveMergeFn(spark, resolveFileFn(spark,
-            resolveFormatFn(spark, resolveCollectionFileFn(trimmedNoFmt)))))
+            resolveFormatFn(spark, resolveRemoteFn(spark,
+              resolveNullFn(spark, resolveCollectionFileFn(trimmedNoFmt)))))))
       else trimmedNoFmt
     // rewrite only OUTSIDE single-quoted literals: split on ' and touch
     // the even-indexed (non-literal) segments
@@ -2526,6 +2527,52 @@ object ClickHouseSql {
       val view = s"graft_file_fn_${fileFnCounter.incrementAndGet()}"
       df.createOrReplaceTempView(view)
       java.util.regex.Matcher.quoteReplacement(view)
+    })
+
+  // ---- null() + remote() table functions -------------------------------
+
+  private val nullFnRe = "(?i)\\bnull\\s*\\(\\s*'([^']+)'\\s*\\)".r
+
+  /** `null('a Int64, b String')` (TableFunctionNull.cpp / StorageNull):
+    * a table of the given structure whose reads are empty (writes into
+    * Null storage are discarded; the read side is what a SELECT sees). */
+  private def resolveNullFn(spark: SparkSession, sql0: String): String =
+    nullFnRe.replaceAllIn(sql0, m => {
+      val schema = chSchemaToStruct(m.group(1))
+      val view = s"graft_null_fn_${fileFnCounter.incrementAndGet()}"
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .createOrReplaceTempView(view)
+      java.util.regex.Matcher.quoteReplacement(view)
+    })
+
+  private val remoteFnRe =
+    ("(?i)\\bremote(?:Secure)?\\s*\\(\\s*'([^']+)'\\s*,\\s*" +
+      "(?:'([^']+)'|([A-Za-z_][A-Za-z0-9_.]*))\\s*" +
+      "(?:,\\s*(?:'([^']+)'|([A-Za-z_][A-Za-z0-9_.]*)))?\\s*\\)").r
+
+  /** `remote['Secure']('addresses', [db,] table)`
+    * (TableFunctionRemote.cpp): reads the table on the named hosts.
+    * This engine IS the single host — localhost addresses resolve to
+    * the local catalog table (exactly what the reference does on a
+    * one-node cluster); any other address is a LOUD error, never a
+    * silent local read. */
+  private def resolveRemoteFn(spark: SparkSession, sql0: String): String =
+    remoteFnRe.replaceAllIn(sql0, m => {
+      val hosts = m.group(1).split(",").map(_.trim.split(":")(0))
+      val local = Set("localhost", "127.0.0.1", "::1")
+      hosts.filterNot(local.contains).headOption.foreach(h =>
+        throw new IllegalArgumentException(
+          s"remote(): this is a single-node engine — address '$h' is " +
+            "not this host (only localhost/127.0.0.1 resolve)"))
+      val first = Option(m.group(2)).getOrElse(m.group(3))
+      val second = Option(m.group(4)).orElse(Option(m.group(5)))
+      val table = second match {
+        case Some(t) =>
+          if (first.equalsIgnoreCase("default")) t else s"$first.$t"
+        case None => first.stripPrefix("default.")
+      }
+      java.util.regex.Matcher.quoteReplacement(table)
     })
 
   // ---- format() table function (TableFunctionFormat.cpp) --------------

@@ -82,6 +82,14 @@ class Tail10Spec extends SparkFunSuite {
     assert(e.getMessage.contains("does not exist"))
   }
 
+  test("remote() resolves only THIS host; any other address is a loud " +
+      "error, never a silent local read") {
+    val e = intercept[Exception](ClickHouseSql.sql(spark,
+      "SELECT count() AS n FROM remote('otherhost:9000', some.table)")
+      .collect())
+    assert(e.getMessage.contains("single-node"))
+  }
+
   test("getMacro reads the `macros` named collection; missing macro " +
       "throws the NO_ELEMENTS_IN_CONFIG analog") {
     ClickHouseSql.sql(spark, "DROP NAMED COLLECTION IF EXISTS macros")
