@@ -239,4 +239,37 @@ class DialectTortureSpec extends SparkFunSuite {
     ch("DROP USER IF EXISTS tort11_u")
     spark.sql("DROP TABLE IF EXISTS tort11_t")
   }
+
+  test("round-12 forms survive hostile combinations: table functions " +
+      "inside unions, custom TLD next to a string trap, fuzzy + " +
+      "parametric aggregates in one statement") {
+    def ch(s: String) = graft.sql.ClickHouseSql.sql(spark, s)
+    graft.functions.TldLists.register("tort12", Seq("co.uk"))
+    // a literal containing 'format(CSV, ' must NOT trip the resolver
+    // (the table-function regex runs before the quote-split)
+    val trap = ch("""SELECT 'format(CSV, ''1,2'') is text' AS s,
+      c1 AS k FROM format(CSV, '7,x')""").collect().head
+    assert(trap.getString(0).contains("format(CSV,"))
+    assert(trap.getInt(1) == 7)
+    // union of three inline tables + remote-localhost + null()
+    val u = ch("""
+      SELECT k FROM (
+        SELECT c1 AS k FROM format(Values, '(1), (2)')
+        UNION ALL SELECT CAST(a AS INT) AS k FROM format(JSONEachRow,
+          '{"a": 3}')
+        UNION ALL SELECT CAST(x AS INT) AS k FROM null('x Int64'))
+      ORDER BY k""").collect().map(_.getInt(0)).toSeq
+    assert(u == Seq(1, 2, 3))
+    // hostile spacing on the new function names
+    val f = ch("""SELECT
+      cutToFirstSignificantSubdomainCustom(
+        'https://a.b.co.uk/x'  ,   'tort12' ) AS cut,
+      multiFuzzyMatchAnyIndex( 'abc' , 1 , array( 'abd' , 'zz' ) ) AS fz,
+      quantilesExactWeighted( 0.5 )( CAST(n_regionkey AS DOUBLE),
+        n_nationkey % 3 + 1 ) AS qw
+      FROM nation GROUP BY 1, 2""").collect().head
+    assert(f.getString(0) == "b.co.uk")
+    assert(f.getLong(1) == 1L)
+    assert(f.getSeq[Double](2).length == 1)
+  }
 }

@@ -226,6 +226,38 @@ class StreamingSpec extends SparkFunSuite {
     }
   }
 
+  test("LIVE VIEW push lane over a PARTITIONED base table: new files " +
+      "under partition dirs trigger the push (basePath stream)") {
+    val ch = graft.sql.ClickHouseSql
+    val lv = graft.sql.LiveViews
+    val t = "graft_push_part_t"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    ch.sql(spark, "DROP VIEW IF EXISTS graft_push_part_lv")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, p STRING) USING parquet " +
+      "PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a'), (2, 'b')")
+    ch.sql(spark, "CREATE LIVE VIEW graft_push_part_lv AS " +
+      s"SELECT p, count() AS n FROM $t GROUP BY p")
+    val q = lv.startPush(spark, "graft_push_part_lv", t,
+      ch.liveViewRun(spark))
+    try {
+      q.processAllAvailable()
+      assert(lv.versionOf("graft_push_part_lv") == 1L)
+      // an INSERT creating a NEW partition directory must surface too
+      spark.sql(s"INSERT INTO $t VALUES (3, 'c')")
+      q.processAllAvailable()
+      assert(lv.versionOf("graft_push_part_lv") == 2L,
+        "a new partition's files must trigger the push")
+      spark.sql(s"INSERT INTO $t VALUES (4, 'a')")
+      q.processAllAvailable()
+      assert(lv.versionOf("graft_push_part_lv") == 3L)
+    } finally {
+      lv.stopPush("graft_push_part_lv")
+      scala.util.Try(ch.sql(spark, "DROP VIEW IF EXISTS graft_push_part_lv"))
+      scala.util.Try(spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("LIVE VIEW: an underlying INSERT bumps the version exactly once " +
       "(hash-compare, StorageLiveView.cpp:722)") {
     val ch = graft.sql.ClickHouseSql
