@@ -466,14 +466,20 @@ object ClickHouseSql {
 
   /** `FROM numbers(n)` / `numbers(a, b)` SQL table function
     * (reference TableFunctionNumbers) → Spark's `range` table function,
-    * column renamed to the reference's `number`. */
+    * column renamed to the reference's `number`. zeros(n) / zeros_mt(n)
+    * (TableFunctionZeros) is the same shape with a constant `zero`
+    * column (the reference's cheapest row generator; _mt differs only
+    * in the reference's threading, which Spark owns here). */
   private def rewriteNumbers(s: String): String = {
     val one = "(?is)\\bFROM\\s+numbers\\s*\\(\\s*(\\d+)\\s*\\)".r
     val two = "(?is)\\bFROM\\s+numbers\\s*\\(\\s*(\\d+)\\s*,\\s*(\\d+)\\s*\\)".r
+    val zeros = "(?is)\\bFROM\\s+zeros(?:_mt)?\\s*\\(\\s*(\\d+)\\s*\\)".r
     val s1 = two.replaceAllIn(s, m =>
       s"FROM (SELECT id AS number FROM range(${m.group(1)}, ${m.group(1).toLong + m.group(2).toLong})) _nums")
-    one.replaceAllIn(s1, m =>
+    val s2 = one.replaceAllIn(s1, m =>
       s"FROM (SELECT id AS number FROM range(${m.group(1)})) _nums")
+    zeros.replaceAllIn(s2, m =>
+      s"FROM (SELECT CAST(0 AS TINYINT) AS zero FROM range(${m.group(1)})) _zeros")
   }
 
   /** `FROM generateRandom('a UInt32, b String, ...'[, seed])` table

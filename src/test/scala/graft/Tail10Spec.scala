@@ -82,6 +82,14 @@ class Tail10Spec extends SparkFunSuite {
     assert(e.getMessage.contains("does not exist"))
   }
 
+  test("zeros()/zeros_mt() table functions: n rows of the zero column") {
+    val r = ClickHouseSql.sql(spark,
+      "SELECT count() AS n, sum(zero) AS s FROM zeros(1000)").collect().head
+    assert(r.getLong(0) == 1000L && r.getLong(1) == 0L)
+    assert(ClickHouseSql.sql(spark,
+      "SELECT count() AS n FROM zeros_mt(64)").collect().head.getLong(0) == 64L)
+  }
+
   test("remote() resolves only THIS host; any other address is a loud " +
       "error, never a silent local read") {
     val e = intercept[Exception](ClickHouseSql.sql(spark,
