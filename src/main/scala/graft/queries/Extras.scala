@@ -83,12 +83,16 @@ object Extras extends QueryPack {
     // never a silent local read); null('structure') reads empty.
     Q.df("q_tf_remote_null", """
       SELECT (SELECT count(*) FROM nation) AS remote_n,
-             CAST(0 AS BIGINT) AS null_n""") { (s, dir) =>
+             CAST(0 AS BIGINT) AS null_n,
+             CAST(500 AS BIGINT) AS zeros_n,
+             CAST(0 AS BIGINT) AS zeros_sum""") { (s, dir) =>
       Tables.register(s, dir)
       graft.sql.ClickHouseSql.sql(s, """
-        SELECT a.n AS remote_n, b.n AS null_n
+        SELECT a.n AS remote_n, b.n AS null_n, c.n AS zeros_n,
+               c.s AS zeros_sum
         FROM (SELECT count() AS n FROM remote('localhost', default, nation)) a
-        CROSS JOIN (SELECT count() AS n FROM null('x Int64')) b""")
+        CROSS JOIN (SELECT count() AS n FROM null('x Int64')) b
+        CROSS JOIN (SELECT count() AS n, sum(zero) AS s FROM zeros(500)) c""")
     },
 
     // Recursive CTE (src/Processors/QueryPlan/ReadFromRecursiveCTEStep.h):
