@@ -118,6 +118,36 @@ object QueryFormatKernels {
   private def isWord(t: String): Boolean =
     t.nonEmpty && (t.charAt(0).isLetter || t.charAt(0) == '_')
 
+  /** Keyword-set words that commonly double as COLUMN NAMES — these
+    * uppercase only in an unambiguous keyword POSITION (the reference's
+    * AST printer preserves identifier spelling: `select key from t`
+    * keeps `key` lowercase). Everything else in `keywords` is a clause
+    * or operator word that cannot be a bare identifier in valid SQL
+    * positionally adjacent to itself, so it keeps the simple rule. */
+  private val contextualKw: Set[String] = Set(
+    "key", "first", "last", "comment", "database", "row", "rows",
+    "range", "groups")
+
+  /** Is the contextual word `w` (lowercase) in keyword position? `prevL`
+    * is the previous ORIGINAL token lowercased (null at start), `n1`/`n2`
+    * the next two tokens lowercased ("" past the end). */
+  private def contextKeyword(w: String, prevL: String, n1: String,
+      n2: String): Boolean = w match {
+    case "key" => prevL == "primary"
+    case "first" | "last" => prevL == "nulls"
+    case "row" => prevL == "current"
+    case "rows" | "range" | "groups" =>
+      // window frame heads: ROWS|RANGE|GROUPS BETWEEN … / UNBOUNDED … /
+      // <n> PRECEDING|FOLLOWING
+      n1 == "between" || n1 == "unbounded" ||
+        (n1.nonEmpty && n1.charAt(0).isDigit &&
+          (n2 == "preceding" || n2 == "following"))
+    case "comment" => n1.startsWith("'") // COMMENT 'text'
+    case "database" => Set("create", "drop", "show", "attach", "detach",
+      "exists", "on", "undrop")(prevL)
+    case _ => false
+  }
+
   private def render(sql: String, singleLine: Boolean): String = {
     val ts = tokens(sql)
     if (ts.isEmpty) throw new ParseError("empty statement")
@@ -126,9 +156,16 @@ object QueryFormatKernels {
     var depth = 0
     val sb = new StringBuilder
     var prev: String = null
+    var prevRaw: String = null // original spelling, for context checks
     // two-word clause heads: GROUP BY / ORDER BY keep one line
-    ts.foreach { t0 =>
-      val isKw = isWord(t0) && keywords.contains(t0.toLowerCase)
+    ts.zipWithIndex.foreach { case (t0, ti) =>
+      val lower = t0.toLowerCase
+      val afterDot = prevRaw == "." // qualified ref: always an identifier
+      val isKw = isWord(t0) && keywords.contains(lower) && !afterDot &&
+        (!contextualKw(lower) || contextKeyword(lower,
+          if (prevRaw == null) "" else prevRaw.toLowerCase,
+          if (ti + 1 < ts.length) ts(ti + 1).toLowerCase else "",
+          if (ti + 2 < ts.length) ts(ti + 2).toLowerCase else ""))
       val t = if (isKw) t0.toUpperCase else t0
       if (t == "(") depth += 1
       if (t == ")") {
@@ -150,6 +187,7 @@ object QueryFormatKernels {
         else " "
       sb.append(sep).append(t)
       prev = t
+      prevRaw = t0
     }
     if (depth != 0) throw new ParseError("unbalanced (")
     sb.toString

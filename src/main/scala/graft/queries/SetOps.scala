@@ -32,10 +32,14 @@ object SetOps extends QueryPack {
       SELECT s_nationkey AS k FROM supplier
       ORDER BY k"""),
 
+    // Customers with no 400k+ order: non-empty at sf0.01 (202 rows) so
+    // the oracle hash carries real EXCEPT signal — the previous
+    // nationkey spelling returned 0 rows, which a broken EXCEPT would
+    // also return (round-12 verdict wrong #1).
     Q.shared("q_except", """
-      SELECT c_nationkey AS k FROM customer
+      SELECT c_custkey AS k FROM customer
       EXCEPT
-      SELECT s_nationkey AS k FROM supplier
+      SELECT o_custkey AS k FROM orders WHERE o_totalprice > 400000
       ORDER BY k"""),
 
     // ALL variants keep multiplicity (IntersectOrExceptTransform all=true).
@@ -85,12 +89,14 @@ object SetOps extends QueryPack {
           HAVING COUNT(*) > 100)
       ORDER BY o_orderkey"""),
 
-    // Global-NOT-IN with a correlated guard (anti-join with null-safety).
+    // Global-NOT-IN with a null-safe anti-join. Customers with no
+    // near-max-price order — non-empty at sf0.01 (the previous supplier
+    // spelling returned 0 rows: trivially-true hash, no signal).
     Q.shared("q_not_in", """
-      SELECT s_suppkey, s_name
-      FROM supplier
-      WHERE s_suppkey NOT IN (
-        SELECT l_suppkey FROM lineitem WHERE l_quantity > 49.0)
-      ORDER BY s_suppkey""")
+      SELECT c_custkey, c_name
+      FROM customer
+      WHERE c_custkey NOT IN (
+        SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
+      ORDER BY c_custkey""")
   )
 }

@@ -2626,7 +2626,16 @@ object ClickHouseSql {
         val dir = java.nio.file.Files.createTempDirectory("graft_format_fn")
         val f = dir.resolve("data.txt")
         java.nio.file.Files.writeString(f, data)
-        read(f.toString)
+        // localCheckpoint (eager) pins the parsed rows in executor storage
+        // so the temp file can be deleted immediately — repeated format()
+        // calls in a long session no longer leak temp dirs, and the temp
+        // view registered below references the checkpointed frame, not
+        // the deleted file.
+        try read(f.toString).localCheckpoint()
+        finally {
+          java.nio.file.Files.deleteIfExists(f)
+          java.nio.file.Files.deleteIfExists(dir)
+        }
       }
       val df = fmt match {
         case "values" => c1cN(spark.sql(s"SELECT * FROM (VALUES $data)"))

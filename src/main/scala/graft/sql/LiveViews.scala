@@ -91,12 +91,15 @@ object LiveViews {
 
   /** Exactly-once version bump for an observed (hash, rows) pair —
     * `ConcurrentHashMap.compute` makes concurrent WATCHes of the same
-    * update race-free (only the first observer of a new hash bumps). */
-  private def bump(key: String, fallback: LiveView, h: Long,
-      rows: Long): LiveView =
-    views.compute(key, (_, cur0) => {
-      val cur = if (cur0 == null) fallback else cur0
-      if (h == cur.lastHash) cur
+    * update race-free (only the first observer of a new hash bumps).
+    * A WATCH/refresh racing DROP VIEW must NOT resurrect the dropped
+    * view: when the entry is already absent the compute lambda returns
+    * null (leaves it absent) and the caller gets the same "not a live
+    * view" error a straight WATCH of a missing view raises. */
+  private def bump(key: String, h: Long, rows: Long): LiveView = {
+    val out = views.compute(key, (_, cur) => {
+      if (cur == null) null // dropped mid-evaluation: stay dropped
+      else if (h == cur.lastHash) cur
       else {
         val v = cur.version + 1
         cur.copy(version = v, lastHash = h,
@@ -105,6 +108,11 @@ object LiveViews {
             .takeRight(maxHistory))
       }
     })
+    if (out == null)
+      throw new IllegalArgumentException(
+        s"WATCH: `$key` is not a live view")
+    out
+  }
 
   /** Re-evaluate `name` and bump its version iff the result hash
     * changed since the last evaluation (StorageLiveView.cpp:722-745).
@@ -113,7 +121,7 @@ object LiveViews {
       run: String => DataFrame): LiveView = {
     val lv = viewOf(name)
     val (rows, h) = resultFingerprint(run(lv.select))
-    bump(name.toLowerCase, lv, h, rows)
+    bump(name.toLowerCase, h, rows)
   }
 
   /** CREATE LIVE VIEW: temp view (text-derived plan — re-resolved per
@@ -215,7 +223,7 @@ object LiveViews {
     val lv0 = viewOf(name)
     val snap = run(lv0.select).localCheckpoint()
     val (rows, h) = resultFingerprint(snap)
-    val lv = bump(name.toLowerCase, lv0, h, rows)
+    val lv = bump(name.toLowerCase, h, rows)
     snap.withColumn("_version", lit(lv.version))
   }
 }

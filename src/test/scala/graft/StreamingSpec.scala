@@ -299,4 +299,33 @@ class StreamingSpec extends SparkFunSuite {
       scala.util.Try(spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
+
+  test("LIVE VIEW: a bump racing DROP VIEW does not resurrect the " +
+      "dropped view (round-12 ADVICE — compute leaves the entry absent)") {
+    val ch = graft.sql.ClickHouseSql
+    val lv = graft.sql.LiveViews
+    ch.sql(spark, "DROP VIEW IF EXISTS graft_lv_race")
+    ch.sql(spark, "CREATE LIVE VIEW graft_lv_race AS SELECT 7 AS a")
+    try {
+      // simulate the race: the WATCH has read the pre-drop ledger entry
+      // and is evaluating the stored SELECT when DROP VIEW lands — the
+      // run thunk below performs the drop mid-evaluation, so the bump
+      // that follows sees an absent entry and must NOT re-insert it
+      assert(lv.contains("graft_lv_race"))
+      val dropMidEval: String => org.apache.spark.sql.DataFrame = s => {
+        lv.remove("graft_lv_race")
+        ch.liveViewRun(spark)(s)
+      }
+      intercept[IllegalArgumentException] {
+        lv.watch(spark, "graft_lv_race", dropMidEval)
+      }
+      assert(!lv.contains("graft_lv_race"),
+        "a WATCH racing DROP VIEW must not resurrect the ledger entry")
+      intercept[IllegalArgumentException] {
+        ch.sql(spark, "WATCH graft_lv_race")
+      }
+    } finally {
+      scala.util.Try(ch.sql(spark, "DROP VIEW IF EXISTS graft_lv_race"))
+    }
+  }
 }

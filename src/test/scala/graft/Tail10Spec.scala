@@ -189,4 +189,33 @@ class Tail10Spec extends SparkFunSuite {
     val e = intercept[Exception](one("formatQuery('select (1')"))
     assert(e.getMessage.toLowerCase.contains("cannot parse"))
   }
+
+  test("formatQuery preserves identifiers that collide with keyword " +
+      "spellings (key/first/last/row/comment/database) while still " +
+      "uppercasing them in true keyword position") {
+    // identifier positions stay as written (reference AST printer
+    // preserves identifier spelling — round-12 ADVICE)
+    assert(one("formatQuerySingleLine('select key from t')") ==
+      "SELECT key FROM t")
+    assert(one("formatQuerySingleLine(" +
+      "'select first, last, row, comment from t')") ==
+      "SELECT first, last, row, comment FROM t")
+    assert(one("formatQuerySingleLine('select t.select from t')") ==
+      "SELECT t.select FROM t")
+    assert(one("formatQuerySingleLine('select database from hosts')") ==
+      "SELECT database FROM hosts")
+    // keyword positions still canonicalize
+    assert(one("formatQuerySingleLine(" +
+      "'select a from t order by a nulls first')") ==
+      "SELECT a FROM t ORDER BY a NULLS FIRST")
+    // (t( with no space: the canonical printer treats any non-keyword
+    // word before '(' as a call/def head — pre-existing spacing rule)
+    assert(one("formatQuerySingleLine(" +
+      "'create table t (k int, primary key (k))')") ==
+      "CREATE TABLE t(k int, PRIMARY KEY (k))")
+    assert(one("formatQuerySingleLine('select sum(x) over (order by d " +
+      "rows between 1 preceding and current row) from t')") ==
+      "SELECT sum(x) OVER (ORDER BY d ROWS BETWEEN 1 PRECEDING AND " +
+        "CURRENT ROW) FROM t")
+  }
 }
