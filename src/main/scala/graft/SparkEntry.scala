@@ -43,7 +43,8 @@ object SparkEntry {
     qp.WideIntQueries,
     qp.IndexQueries,
     qp.CodecQueries,
-    qp.LifecycleQueries
+    qp.LifecycleQueries,
+    qp.JoinSqlQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -46,28 +46,54 @@ object JoinOps {
       leftTs: Column, rightTs: Column,
       rightPayload: Seq[String],
       rightTieBreak: Column,
+      op: String = "<="): DataFrame =
+    asofJoinKeys(left, right, Seq(leftKey), Seq(rightKey), leftTs, rightTs,
+      rightPayload, rightTieBreak, op)
+
+  /** Multi-key ASOF (the general form the dialect's `ASOF JOIN … ON
+    * k1 = k1 AND k2 = k2 AND t >= t` spelling needs): identical
+    * union-window plan, the window key is a struct over the equality
+    * columns — still exactly one shuffle. The tiebreak keeps its NATIVE
+    * type (any orderable type, e.g. a struct over all right columns for
+    * a deterministic total order), not a Long cast. */
+  def asofJoinKeys(
+      left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTs: Column, rightTs: Column,
+      rightPayload: Seq[String],
+      rightTieBreak: Column,
       op: String = "<="): DataFrame = {
     val backward = op == "<=" || op == "<"
     val inclusive = op == "<=" || op == ">="
     require(Set("<=", "<", ">=", ">")(op), s"unsupported ASOF inequality: $op")
+    require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
+      "ASOF: left/right equality key lists must be non-empty and equal-length")
     val lCols = left.columns
     // Keys keep their NATIVE type (string/date/numeric all partition
     // correctly). The round-1 cast-to-Long silently NULLed non-numeric
     // keys, collapsing every row into one window partition.
     // Side sort values: asc on __side puts right (0) before left (1) when
     // inclusive, left (1) before right (2) when strict.
+    def keyOf(ks: Seq[String]): Column =
+      if (ks.length == 1) col(ks.head)
+      // canonical field names: the union resolves __k by name, so the
+      // left and right structs must carry identical nested names
+      else struct(ks.zipWithIndex.map { case (k, i) => col(k).as(s"k$i") }: _*)
+    // the union needs one concrete __tie type on BOTH sides: resolve the
+    // tiebreak's type from the right schema (no job — schema-only)
+    val tieType = right.select(rightTieBreak.as("__tie")).schema.head.dataType
     val l = left
-      .withColumn("__k", col(leftKey))
+      .withColumn("__k", keyOf(leftKeys))
       .withColumn("__t", leftTs)
       .withColumn("__side", lit(1))
-      .withColumn("__tie", lit(null).cast(LongType))
+      .withColumn("__tie", lit(null).cast(tieType))
     val lTagged = rightPayload.foldLeft(l)((d, c) =>
       d.withColumn(s"__r_$c", lit(null)))
     val r0 = right
-      .withColumn("__k", col(rightKey))
+      .withColumn("__k", keyOf(rightKeys))
       .withColumn("__t", rightTs)
       .withColumn("__side", lit(if (inclusive) 0 else 2))
-      .withColumn("__tie", rightTieBreak.cast(LongType))
+      .withColumn("__tie", rightTieBreak.cast(tieType))
     val rTagged = rightPayload.foldLeft(r0)((d, c) =>
       d.withColumn(s"__r_$c", col(c)))
     val unionCols = Seq("__k", "__t", "__side", "__tie") ++ rightPayload.map(c => s"__r_$c")

@@ -1985,7 +1985,16 @@ object ClickHouseSql {
         s"USE $db: only the `default` database exists on this engine")
       Seq("OK").toDF("status")
     } else {
-      val result = spark.sql(rewrite(expandSchemaTransformers(spark, trimmed)))
+      // ASOF / PASTE / ANY join spellings (round-13 — the reference's own
+      // syntax for its non-standard strictnesses, Joins.h:44/78) rewrite
+      // onto the oracled JoinOps operators BEFORE the textual dialect
+      // pass; the guard keeps ordinary SQL off the parsing cost.
+      val preJoined =
+        if (trimmed.matches("(?is)^(SELECT|WITH)\\b.*") &&
+            JoinSpellings.applies(trimmed))
+          JoinSpellings.rewrite(spark, trimmed, selectRunner(spark))
+        else trimmed
+      val result = spark.sql(rewrite(expandSchemaTransformers(spark, preJoined)))
       // INSERT appends files to the table's layout: per-file skip indexes
       // no longer cover the new files (transparent pruning would silently
       // exclude the inserted rows) and cached SELECT results are stale —
@@ -2017,6 +2026,19 @@ object ClickHouseSql {
     * statements, and the push lane fires per micro-batch). */
   def liveViewRun(spark: SparkSession): String => DataFrame =
     s => spark.sql(rewrite(expandSchemaTransformers(spark, s)))
+
+  /** SELECT evaluator for JoinSpellings' subquery sides: the full
+    * dialect treatment including NESTED join spellings (an ASOF side
+    * may itself contain an ANY JOIN). Lazy — callers that only need the
+    * schema never run a job. */
+  private[sql] def selectRunner(spark: SparkSession): String => DataFrame =
+    s0 => {
+      val s1 =
+        if (JoinSpellings.applies(s0))
+          JoinSpellings.rewrite(spark, s0, selectRunner(spark))
+        else s0
+      spark.sql(rewrite(expandSchemaTransformers(spark, s1)))
+    }
 
   // ---- projection DDL (ParserProjection → plans/*Projections) ---------
 

@@ -272,4 +272,38 @@ class DialectTortureSpec extends SparkFunSuite {
     assert(f.getLong(1) == 1L)
     assert(f.getSeq[Double](2).length == 1)
   }
+
+  test("round-13 join spellings survive hostile forms: literals carrying " +
+      "the keywords, conjunct-order permutations, hostile spacing") {
+    val ch = (s: String) => graft.sql.ClickHouseSql.sql(spark, s)
+    Tables.register(spark, sf)
+    // a string literal containing 'ASOF JOIN' / 'PASTE JOIN' must NOT
+    // trigger the rewrite (the applies() guard splits on quotes)
+    val lit = ch("SELECT 'use ASOF JOIN or PASTE JOIN or ANY JOIN' AS s, " +
+      "count() AS n FROM nation GROUP BY s").collect().head
+    assert(lit.getString(0).contains("ASOF JOIN"))
+    assert(lit.getLong(1) == 25L)
+    // inequality conjunct FIRST, equality second; hostile spacing
+    val a = ch("""
+      SELECT user_id, r.ok AS ok FROM events   ASOF
+        LEFT   JOIN ( SELECT o_custkey AS ck , o_orderdate AS od ,
+          o_orderkey AS ok FROM orders ) r
+        ON ts >= r.od AND user_id = r.ck
+      ORDER BY user_id, event_id LIMIT 5""").collect()
+    assert(a.length == 5)
+    // ANY with the strictness token on either side of the kind
+    val n1 = ch("SELECT count() AS n FROM orders ANY LEFT JOIN lineitem l " +
+      "ON o_orderkey = l.l_orderkey").collect().head.getLong(0)
+    val n2 = ch("SELECT count() AS n FROM orders LEFT ANY JOIN lineitem l " +
+      "ON o_orderkey = l.l_orderkey").collect().head.getLong(0)
+    val total = ch("SELECT count() AS n FROM orders").collect().head.getLong(0)
+    assert(n1 == total && n2 == total,
+      "ANY LEFT must keep exactly one row per left row")
+    // anyLast()/anyHeavy() function names must not trip the ANY JOIN scan
+    assert(ch("SELECT anyLast(n_name) AS x FROM nation").collect().length == 1)
+    // GLOBAL ANY JOIN: the distributed-hint prefix composes
+    assert(ch("SELECT count() AS n FROM orders GLOBAL ANY LEFT JOIN " +
+      "lineitem l ON o_orderkey = l.l_orderkey").collect()
+      .head.getLong(0) == total)
+  }
 }
