@@ -432,6 +432,36 @@ object Extras5 extends QueryPack {
           min("gs").cast("long").as("min_gs"),
           sum(col("gs") * col("cnt")).cast("long").as("total_gs"))
         .orderBy("l_returnflag")
-    }
+    },
+
+    // GROUPS frames THROUGH THE DIALECT (round-13 — the general
+    // dense_rank + RANGE rewrite, ClickHouseSql.rewriteGroupsFrames,
+    // generalizing the hand-emulated q_win_groups_frame above): an
+    // arbitrary 2-PRECEDING/1-FOLLOWING peer-group frame. DuckDB's
+    // parser rejects GROUPS too ("not implemented yet"), so the oracle
+    // derives the peer-group sums independently: per-(partition, date)
+    // pre-aggregation + a ROWS frame over the per-date table, joined
+    // back — a different construction from the engine's per-row
+    // dense_rank + RANGE plan.
+    ch("q_ch_groups_frame_sql", """
+      SELECT l_returnflag AS f, CAST(l_shipdate AS DATE) AS d,
+        CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) OVER (
+          PARTITION BY l_returnflag ORDER BY CAST(l_shipdate AS DATE)
+          GROUPS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS gsum
+      FROM lineitem WHERE l_partkey <= 20
+      ORDER BY f, d, gsum""",
+      """
+      WITH r AS (SELECT l_returnflag AS f, CAST(l_shipdate AS DATE) AS d,
+                   CAST(ROUND(l_quantity * 100) AS BIGINT) AS qc
+                 FROM lineitem WHERE l_partkey <= 20),
+      pd AS (SELECT f, d, SUM(qc) AS dqc, COUNT(*) AS cnt FROM r GROUP BY f, d),
+      w AS (SELECT f, d, cnt,
+              SUM(dqc) OVER (PARTITION BY f ORDER BY d
+                ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS gs
+            FROM pd)
+      SELECT w.f AS f, w.d AS d, CAST(w.gs AS BIGINT) AS gsum
+      FROM w JOIN (SELECT f AS xf, d AS xd FROM r) x
+        ON w.f = x.xf AND w.d = x.xd
+      ORDER BY w.f, w.d, gsum""")
   )
 }

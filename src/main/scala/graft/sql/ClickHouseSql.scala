@@ -47,6 +47,7 @@ object ClickHouseSql {
     s = rewriteArrayJoin(s)
     s = rewritePrewhere(s)
     s = rewriteFinal(s)
+    s = rewriteGroupsFrames(s)
     // TOTALS before QUALIFY: the qualify wrap parenthesizes the core,
     // which would hide a depth-0 WITH TOTALS from its own rewrite
     s = rewriteWithTotals(s)
@@ -61,6 +62,130 @@ object ClickHouseSql {
     s = rewriteMatrixAggs(s)
     s = inlineUserFunctions(s)
     s
+  }
+
+  /** GROUPS window frames (reference WindowDescription.h:30-40 —
+    * WindowFrame::FrameType::GROUPS makes peer groups of the ORDER BY
+    * value the frame unit; Spark only has ROWS/RANGE). General rewrite
+    * (round-13, generalizing the one-query q_win_groups_frame
+    * emulation): every `OVER ([PARTITION BY p] ORDER BY o GROUPS
+    * BETWEEN a AND b)` in the TOP-LEVEL select list gains a dense_rank
+    * group index computed in a wrapping subquery —
+    *   `dense_rank() OVER (PARTITION BY p ORDER BY o) AS __grp_i`
+    * — and the frame becomes `ORDER BY __grp_i RANGE BETWEEN a AND b`:
+    * equal-o rows share one __grp value, so a RANGE offset over the
+    * integer group index counts PEER GROUPS exactly like the reference.
+    * Same single window shuffle (the subquery's dense_rank and the
+    * outer window hash-partition identically — Catalyst reuses the
+    * Exchange), so the emulation adds no scale cost.
+    *
+    * Supported form: a top-level SELECT over one FROM segment with
+    * optional WHERE and trailing ORDER BY/LIMIT; GROUP BY / HAVING /
+    * set operations with a GROUPS frame reject loudly (never a silent
+    * misread), as do GROUPS frames inside subqueries or CTE bodies. */
+  private def rewriteGroupsFrames(s0: String): String = {
+    val groupsRe = "(?i)\\bGROUPS\\s+BETWEEN\\b".r
+    if (groupsRe.findFirstIn(JoinSpellings.maskLiterals(s0)).isEmpty)
+      return s0
+    var s = s0
+    // collected distinct (partitionBy, orderBy) specs → __grp_i index
+    val specs = scala.collection.mutable.LinkedHashMap.empty[(String, String), Int]
+    val overRe = "(?i)\\bOVER\\s*\\(".r
+    val bodyRe = ("(?is)^\\s*(?:PARTITION\\s+BY\\s+(.+?)\\s+)?ORDER\\s+BY\\s+" +
+      "(.+?)\\s+GROUPS\\s+BETWEEN\\s+" +
+      "(UNBOUNDED\\s+PRECEDING|CURRENT\\s+ROW|\\d+\\s+(?:PRECEDING|FOLLOWING))" +
+      "\\s+AND\\s+" +
+      "(UNBOUNDED\\s+FOLLOWING|CURRENT\\s+ROW|\\d+\\s+(?:PRECEDING|FOLLOWING))" +
+      "\\s*$").r
+    var replaced = true
+    var budget = 16
+    while (replaced && budget > 0) {
+      replaced = false
+      budget -= 1
+      val m = JoinSpellings.maskLiterals(s)
+      // the OVER may nest inside EXPRESSION parens (CAST(sum(x) OVER …))
+      // but not inside a (SELECT …) subquery — a __grp_i computed in the
+      // top-level wrap would be out of scope there
+      def insideSubquery(pos: Int): Boolean = {
+        val stack = scala.collection.mutable.Stack.empty[Int]
+        for (i <- 0 until pos) {
+          if (m.charAt(i) == '(') stack.push(i)
+          else if (m.charAt(i) == ')' && stack.nonEmpty) stack.pop()
+        }
+        stack.exists { p =>
+          val inner = m.substring(p + 1).dropWhile(_.isWhitespace)
+          inner.take(6).equalsIgnoreCase("select") ||
+            inner.take(4).equalsIgnoreCase("with")
+        }
+      }
+      overRe.findAllMatchIn(m).find { om =>
+        val open = m.indexOf('(', om.start)
+        val close = JoinSpellings.closeOf(m, open)
+        groupsRe.findFirstIn(m.substring(open + 1, close - 1)).isDefined
+      } match {
+        case Some(om) =>
+          val open = m.indexOf('(', om.start)
+          val close = JoinSpellings.closeOf(m, open)
+          if (insideSubquery(om.start))
+            throw new IllegalArgumentException(
+              "GROUPS frames are supported in the top-level select list " +
+                "only — hoist the subquery's window or use ROWS/RANGE")
+          val body = s.substring(open + 1, close - 1)
+          body match {
+            case bodyRe(part, ord, a, b) =>
+              val key = (Option(part).map(_.trim).getOrElse(""), ord.trim)
+              val idx = specs.getOrElseUpdate(key, specs.size)
+              val pclause = if (key._1.isEmpty) "" else s"PARTITION BY ${key._1} "
+              s = s.substring(0, open + 1) +
+                s"${pclause}ORDER BY __grp_$idx RANGE BETWEEN $a AND $b" +
+                s.substring(close - 1)
+              replaced = true
+            case _ => throw new IllegalArgumentException(
+              "GROUPS frame: unsupported window body — expected " +
+                "[PARTITION BY …] ORDER BY … GROUPS BETWEEN a AND b, got: " +
+                body.trim.take(120))
+          }
+        case None =>
+      }
+    }
+    if (specs.isEmpty) return s
+    // wrap the top-level SELECT: its FROM[+WHERE] segment moves into a
+    // subquery that also computes every __grp_i
+    val m = JoinSpellings.maskLiterals(s)
+    val depthAt = new Array[Int](m.length)
+    var d = 0
+    for (i <- 0 until m.length) {
+      depthAt(i) = d
+      if (m.charAt(i) == '(') d += 1
+      else if (m.charAt(i) == ')') d -= 1
+    }
+    def depth0(re: scala.util.matching.Regex): Seq[Int] =
+      re.findAllMatchIn(m).filter(x => depthAt(x.start) == 0)
+        .map(_.start).toSeq
+    if (depth0("(?i)\\bGROUP\\s+BY\\b".r).nonEmpty ||
+        depth0("(?i)\\bHAVING\\b".r).nonEmpty ||
+        depth0("(?i)\\b(UNION|INTERSECT|EXCEPT)\\b".r).nonEmpty)
+      throw new IllegalArgumentException(
+        "GROUPS frame: not supported together with a top-level GROUP BY/" +
+          "HAVING/set operation — wrap the aggregation in a subquery")
+    val selIdx = depth0("(?i)\\bSELECT\\b".r).headOption.getOrElse(
+      throw new IllegalArgumentException(
+        "GROUPS frame: no top-level SELECT found"))
+    val fromIdx = depth0("(?i)\\bFROM\\b".r)
+      .find(_ > selIdx).getOrElse(throw new IllegalArgumentException(
+        "GROUPS frame: the select needs a FROM clause"))
+    val tailIdx = (depth0("(?i)\\bORDER\\s+BY\\b".r) ++
+      depth0("(?i)\\bLIMIT\\b".r)).filter(_ > fromIdx)
+      .minOption.getOrElse(s.length)
+    val sel = s.substring(selIdx + 6, fromIdx)
+    val src = s.substring(fromIdx + 4, tailIdx).trim.stripSuffix(";")
+    val tail = if (tailIdx >= s.length) "" else " " + s.substring(tailIdx)
+    val grps = specs.map { case ((p, o), i) =>
+      val pc = if (p.isEmpty) "" else s"PARTITION BY $p "
+      s"dense_rank() OVER (${pc}ORDER BY $o) AS __grp_$i"
+    }.mkString(", ")
+    s.substring(0, selIdx) +
+      s"SELECT $sel FROM (SELECT *, $grps FROM $src) __groups_base" + tail
   }
 
   /** corrMatrix / covarSampMatrix / covarPopMatrix (reference

@@ -74,9 +74,9 @@ object JoinSpellings {
   // ---- lexical helpers -------------------------------------------------
 
   /** Same-length copy with single-quoted literal contents blanked to
-    * , so regex/bracket scans never trip on quoted text while
+    * U+0001, so regex/bracket scans never trip on quoted text while
     * indices stay valid in the ORIGINAL string. */
-  private def maskLiterals(s: String): String = {
+  private[sql] def maskLiterals(s: String): String = {
     val sb = new StringBuilder(s)
     var i = 0
     var in = false
@@ -90,7 +90,7 @@ object JoinSpellings {
   }
 
   /** Index just past the ')' matching the '(' at `open` (masked text). */
-  private def closeOf(m: String, open: Int): Int = {
+  private[sql] def closeOf(m: String, open: Int): Int = {
     var depth = 0
     var i = open
     while (i < m.length) {

@@ -306,4 +306,53 @@ class DialectTortureSpec extends SparkFunSuite {
       "lineitem l ON o_orderkey = l.l_orderkey").collect()
       .head.getLong(0) == total)
   }
+
+  test("GROUPS frames: general rewrite handles unbounded/current-row " +
+      "bounds, multiple windows, a WHERE, and rejects loudly outside the " +
+      "supported shape") {
+    val ch = (s: String) => graft.sql.ClickHouseSql.sql(spark, s)
+    Tables.register(spark, sf)
+    // peer-group running sum == the hand-derived per-value expectation:
+    // with GROUPS UNBOUNDED PRECEDING..CURRENT ROW every row of the same
+    // order value carries the FULL group's sum (unlike ROWS)
+    val rows = ch("""
+      SELECT n_regionkey AS r,
+        CAST(SUM(n_nationkey) OVER (ORDER BY n_regionkey
+          GROUPS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS rsum
+      FROM nation ORDER BY r, rsum""").collect()
+    val perRegion = spark.table("nation")
+      .groupBy("n_regionkey").sum("n_nationkey")
+      .collect().map(x => x.getAs[Number](0).longValue ->
+        x.getAs[Number](1).longValue).toMap
+    val expect = (0L to 4L).map(r =>
+      r -> (0L to r).map(perRegion).sum).toMap
+    assert(rows.forall(x => x.getLong(1) ==
+      expect(x.getAs[Number](0).longValue)),
+      "every row of a peer group must carry the whole group's sum")
+    // two different GROUPS windows in one select list
+    val two = ch("""
+      SELECT n_nationkey,
+        CAST(COUNT(*) OVER (ORDER BY n_regionkey
+          GROUPS BETWEEN CURRENT ROW AND CURRENT ROW) AS BIGINT) AS peers,
+        CAST(SUM(n_nationkey) OVER (PARTITION BY n_regionkey
+          ORDER BY n_nationkey
+          GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT) AS s2
+      FROM nation ORDER BY n_nationkey""").collect()
+    assert(two.forall(_.getLong(1) == 5L),
+      "CURRENT ROW GROUPS frame = the whole peer group (5 nations/region)")
+    // rejects: GROUP BY combo, and a GROUPS frame inside a subquery
+    val e1 = intercept[Exception](ch(
+      "SELECT n_regionkey, SUM(SUM(n_nationkey)) OVER (ORDER BY " +
+        "n_regionkey GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS x " +
+        "FROM nation GROUP BY n_regionkey"))
+    assert(e1.getMessage.contains("GROUPS frame"))
+    val e2 = intercept[Exception](ch(
+      "SELECT * FROM (SELECT SUM(n_nationkey) OVER (ORDER BY n_regionkey " +
+        "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS x FROM nation) t"))
+    assert(e2.getMessage.contains("top-level"))
+    // a literal containing 'GROUPS BETWEEN' must not trigger the rewrite
+    assert(ch("SELECT 'GROUPS BETWEEN a AND b' AS s FROM nation LIMIT 1")
+      .collect().head.getString(0).contains("GROUPS BETWEEN"))
+  }
 }
