@@ -1007,16 +1007,38 @@ object ClickHouseSql {
         // insert of a table under its single `_temporary` dir, so the
         // constraint is lifted beside it, not fought inside it.
         val legs = withSentinel.split('\u0001').map(_.trim).filter(_.nonEmpty)
+        // Every table identifier a leg references. Round-12 ADVICE fixes:
+        // comma-separated FROM lists ('FROM a, b' — each element's first
+        // word is the table, the rest an alias), backtick-quoted names,
+        // and 'default.'-qualified vs bare spellings of one table now all
+        // land on the same group key, so legs sharing a table can never
+        // race into different union-find groups.
         def legIdents(l: String): Set[String] = {
           val outside = l.split("'", -1).zipWithIndex
             .collect { case (s, i) if i % 2 == 0 => s }.mkString(" ")
           val kw = Set("select", "values", "with", "table", "if", "not",
             "exists", "from", "into", "where", "only", "infile", "outfile",
-            "partition")
-          ("(?is)\\b(?:FROM|JOIN|INTO|UPDATE|TABLE)\\s+(?:TABLE\\s+)?" +
-            "(?:IF\\s+(?:NOT\\s+)?EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_.]*)").r
-            .findAllMatchIn(outside).map(_.group(1).toLowerCase)
-            .filterNot(kw).toSet
+            "partition", "as", "on", "using", "join", "left", "right",
+            "inner", "full", "cross", "group", "order", "limit")
+          val ident = "(?:`[^`]+`|[A-Za-z_][A-Za-z0-9_.]*)"
+          // an alias may follow each list element, but a CLAUSE keyword
+          // after the ident is not an alias (…FROM a JOIN b…)
+          val alias = "(?:\\s+(?:AS\\s+)?(?!(?:JOIN|ON|USING|WHERE|GROUP|" +
+            "ORDER|LIMIT|LEFT|RIGHT|INNER|FULL|CROSS|INTO|SELECT|SET|" +
+            "PARTITION|VALUES|UNION|HAVING|SETTINGS|FORMAT|PREWHERE|" +
+            "FINAL|SAMPLE|ASOF|ANY|PASTE|GLOBAL|SEMI|ANTI|INTERSECT|" +
+            "EXCEPT|QUALIFY|OFFSET|WINDOW)\\b)[A-Za-z_][A-Za-z0-9_]*)?"
+          val listRe = ("(?is)\\b(?:FROM|JOIN|INTO|UPDATE|TABLE)\\s+" +
+            "(?:TABLE\\s+)?(?:IF\\s+(?:NOT\\s+)?EXISTS\\s+)?" +
+            s"($ident$alias(?:\\s*,\\s*$ident$alias)*)").r
+          listRe.findAllMatchIn(outside)
+            .flatMap(_.group(1).split(','))
+            .map(_.trim.split("\\s+")(0))
+            .map(_.stripPrefix("`").stripSuffix("`").toLowerCase)
+            .map(t => if (t.startsWith("default.")) t.substring(8) else t)
+            .filter(_.nonEmpty)
+            .filterNot(kw)
+            .toSet
         }
         val ids = legs.map(legIdents)
         val parent = Array.tabulate(legs.length)(identity)
@@ -1034,28 +1056,36 @@ object ClickHouseSql {
         }
         val groups = legs.indices.groupBy(find).values
           .map(_.sorted.map(legs(_)).toSeq).toSeq
+        // optional (c1, c2, …) column list (round-13: column-list INSERTs
+        // join the concurrent append lane instead of serializing)
         val insRe = ("(?is)^INSERT\\s+INTO\\s+(?:TABLE\\s+)?" +
-          "([A-Za-z_][A-Za-z0-9_.]*)\\s+((?:SELECT|WITH|VALUES)\\b.*?);?\\s*$").r
+          "([A-Za-z_][A-Za-z0-9_.]*)\\s*(?:\\(([^()]*)\\)\\s*)?" +
+          "((?:SELECT|WITH|VALUES)\\b.*?);?\\s*$").r
         def concurrentInsertLegs(group: Seq[String])
-            : Option[(String, Seq[String])] =
+            : Option[(String, Seq[(Option[Seq[String]], String)])] =
           if (group.size < 2) None
           else {
             val parsed = group.map {
-              case insRe(t, tail) => Some((t.toLowerCase, tail.trim))
+              case insRe(t, colList, tail) => Some((t.toLowerCase,
+                Option(colList).map(_.split(',').map(_.trim)
+                  .filter(_.nonEmpty).toSeq).filter(_.nonEmpty),
+                tail.trim))
               case _ => None
             }
             val t0 = parsed.headOption.flatten.map(_._1)
             val ok = parsed.forall(_.isDefined) && t0.isDefined &&
               parsed.flatten.forall(_._1 == t0.get) &&
-              parsed.flatten.forall(p => !legIdents(p._2).contains(t0.get)) &&
+              parsed.flatten.forall(p => !legIdents(p._3).contains(t0.get)) &&
               scala.util.Try(spark.sessionState.catalog.getTableMetadata(
                 org.apache.spark.sql.catalyst.TableIdentifier(t0.get))
                 .provider.exists(_.equalsIgnoreCase("parquet")))
                 .getOrElse(false)
-            if (ok) Some((t0.get, parsed.flatten.map(_._2))) else None
+            if (ok) Some((t0.get, parsed.flatten.map(p => (p._2, p._3))))
+            else None
           }
         val commitLock = new Object
-        def appendInsertLeg(t: String, tail: String): Unit = {
+        def appendInsertLeg(t: String, colList: Option[Seq[String]],
+            tail: String): Unit = {
           AccessControl.enforce(spark, s"INSERT INTO $t $tail")
           val df0 =
             if (tail.matches("(?is)^VALUES\\b.*")) spark.sql(tail)
@@ -1064,13 +1094,35 @@ object ClickHouseSql {
             org.apache.spark.sql.catalyst.TableIdentifier(t))
           val partCols = meta.partitionColumnNames
           val schema = spark.table(t).schema
-          require(df0.columns.length == schema.length,
-            s"INSERT INTO $t: ${df0.columns.length} columns, " +
-              s"table has ${schema.length}")
-          // positional binding + cast, exactly like insertInto
-          val aligned = df0.toDF(schema.map(_.name): _*)
-            .select(schema.map(f => org.apache.spark.sql.functions
-              .col(f.name).cast(f.dataType)): _*)
+          // positional binding + cast, exactly like insertInto; with a
+          // column list, unlisted table columns fill with NULL (the
+          // standard INSERT (cols) contract)
+          val aligned = colList match {
+            case None =>
+              require(df0.columns.length == schema.length,
+                s"INSERT INTO $t: ${df0.columns.length} columns, " +
+                  s"table has ${schema.length}")
+              df0.toDF(schema.map(_.name): _*)
+                .select(schema.map(f => org.apache.spark.sql.functions
+                  .col(f.name).cast(f.dataType)): _*)
+            case Some(cols) =>
+              require(df0.columns.length == cols.length,
+                s"INSERT INTO $t (${cols.mkString(", ")}): " +
+                  s"${df0.columns.length} columns in the source")
+              val known = schema.map(_.name.toLowerCase).toSet
+              cols.find(c => !known.contains(c.toLowerCase)).foreach(c =>
+                throw new IllegalArgumentException(
+                  s"INSERT INTO $t: unknown column '$c' in the list"))
+              val listed = cols.map(_.toLowerCase)
+              val named = df0.toDF(listed: _*)
+              named.select(schema.map { f =>
+                if (listed.contains(f.name.toLowerCase))
+                  org.apache.spark.sql.functions.col(f.name.toLowerCase)
+                    .cast(f.dataType).as(f.name)
+                else org.apache.spark.sql.functions.lit(null)
+                  .cast(f.dataType).as(f.name)
+              }: _*)
+          }
           val loc = meta.location.getPath
           val root = new org.apache.hadoop.fs.Path(loc)
           val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1080,26 +1132,62 @@ object ClickHouseSql {
             val w = aligned.write.mode("overwrite")
             (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
               .parquet(stage.toString)
-            // move every staged data file into the table under its
-            // partition-relative dir; Spark part-file names carry a
-            // per-job UUID, so concurrent renames into one dir are safe
-            def move(dir: org.apache.hadoop.fs.Path, rel: String): Unit =
+            // TWO-PHASE append commit (round-12 ADVICE: the one-by-one
+            // visible rename could leave a partially applied insert on a
+            // mid-move failure). Phase A renames every staged data file
+            // into its destination dir under a DOT-prefixed temp name —
+            // invisible to every reader (Spark skips '.'/'_' files).
+            // Phase B flips the dot-names to final names; these renames
+            // are same-dir metadata ops, and a failure mid-B rolls the
+            // already-flipped files back to invisibility before
+            // rethrowing — a leg's files become visible all-or-nothing.
+            val legTag = java.util.UUID.randomUUID().toString.take(8)
+            val planned = scala.collection.mutable.ArrayBuffer
+              .empty[(org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path)]
+            def stageInvisible(dir: org.apache.hadoop.fs.Path,
+                rel: String): Unit =
               fs.listStatus(dir).foreach { st =>
                 val n = st.getPath.getName
                 if (n.startsWith("_") || n.startsWith(".")) ()
                 else if (st.isDirectory)
-                  move(st.getPath, if (rel.isEmpty) n else s"$rel/$n")
+                  stageInvisible(st.getPath,
+                    if (rel.isEmpty) n else s"$rel/$n")
                 else {
                   val dstDir = if (rel.isEmpty) root
                     else new org.apache.hadoop.fs.Path(root, rel)
                   fs.mkdirs(dstDir)
-                  if (!fs.rename(st.getPath,
-                      new org.apache.hadoop.fs.Path(dstDir, n)))
+                  val tmp = new org.apache.hadoop.fs.Path(dstDir,
+                    s".graft_commit_${legTag}_$n")
+                  if (!fs.rename(st.getPath, tmp))
                     throw new IllegalStateException(
-                      s"PARALLEL WITH append: rename of ${st.getPath} failed")
+                      s"PARALLEL WITH append: staging rename of " +
+                        s"${st.getPath} failed")
+                  planned += ((tmp,
+                    new org.apache.hadoop.fs.Path(dstDir, n)))
                 }
               }
-            move(stage, "")
+            stageInvisible(stage, "")
+            val flipped = scala.collection.mutable.ArrayBuffer
+              .empty[(org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path)]
+            try {
+              planned.foreach { case (tmp, fin) =>
+                if (!fs.rename(tmp, fin))
+                  throw new IllegalStateException(
+                    s"PARALLEL WITH append: commit rename to $fin failed")
+                flipped += ((tmp, fin))
+              }
+            } catch {
+              case e: Throwable =>
+                // roll back: hide the already-visible files again, then
+                // drop every temp so no partial insert survives
+                flipped.foreach { case (tmp, fin) =>
+                  scala.util.Try(fs.rename(fin, tmp))
+                }
+                planned.foreach { case (tmp, _) =>
+                  scala.util.Try(fs.delete(tmp, false))
+                }
+                throw e
+            }
             commitLock.synchronized {
               if (partCols.nonEmpty) spark.sql(s"MSCK REPAIR TABLE $t")
               spark.sql(s"REFRESH TABLE $t")
@@ -1121,8 +1209,10 @@ object ClickHouseSql {
                   try {
                     val sub: java.util.List[
                       java.util.concurrent.Callable[Unit]] =
-                      tails.map[java.util.concurrent.Callable[Unit]](tail =>
-                        () => { appendInsertLeg(t, tail); () }).asJava
+                      tails.map[java.util.concurrent.Callable[Unit]] {
+                        case (colList, tail) =>
+                          () => { appendInsertLeg(t, colList, tail); () }
+                      }.asJava
                     inner.invokeAll(sub).asScala.foreach(_.get())
                   } catch {
                     case e: java.util.concurrent.ExecutionException =>

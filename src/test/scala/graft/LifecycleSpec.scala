@@ -651,6 +651,53 @@ class LifecycleSpec extends SparkFunSuite {
     scratch(t)
   }
 
+  test("PARALLEL WITH: COLUMN-LIST same-target INSERT legs run through " +
+      "the concurrent append lane too; unlisted columns fill with NULL " +
+      "(round-12 builder follow-up)") {
+    val t = "graft_pw_collist"
+    scratch(t)
+    ch(s"CREATE TABLE $t (x Int64, y String, z Int64) " +
+      "ENGINE = MergeTree ORDER BY x")
+    ch(s"INSERT INTO $t VALUES (0, 'seed', 9)")
+    ch(s"INSERT INTO $t (x, y) SELECT CAST(id AS BIGINT) + 1, 'a' " +
+      s"FROM range(2) " +
+      s"PARALLEL WITH INSERT INTO $t (z, x) VALUES (77, 100) " +
+      s"PARALLEL WITH INSERT INTO $t (x) SELECT CAST(200 AS BIGINT)")
+    val rows = spark.table(t).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(rows == Seq(
+      (0L, "seed", 9L),
+      (1L, "a", -1L), (2L, "a", -1L),   // z unlisted → NULL
+      (100L, null, 77L),                 // y unlisted → NULL, z=77
+      (200L, null, -1L)), s"got $rows")
+    scratch(t)
+  }
+
+  test("PARALLEL WITH: comma-separated FROM lists and default.-qualified " +
+      "spellings land in the same ordering group as the bare name " +
+      "(round-12 ADVICE legIdents fix)") {
+    val a = "graft_pw_comma_a"; val b = "graft_pw_comma_b"
+    val c = "graft_pw_comma_c"
+    scratch(a); scratch(b); scratch(c)
+    ch(s"CREATE TABLE $b (x Int64) ENGINE = MergeTree ORDER BY x")
+    ch(s"INSERT INTO $b VALUES (1), (2)")
+    ch(s"CREATE TABLE $c (y Int64) ENGINE = MergeTree ORDER BY y")
+    ch(s"INSERT INTO $c VALUES (10)")
+    ch(s"CREATE TABLE $a (x Int64, y Int64) ENGINE = MergeTree ORDER BY x")
+    // the reading leg references b ONLY as the second element of a
+    // comma-list, default-qualified — the old extractor missed it and
+    // the TRUNCATE raced the read
+    ch(s"INSERT INTO $a SELECT x, y FROM $c, default.$b " +
+      s"PARALLEL WITH TRUNCATE TABLE $b")
+    assert(spark.table(a).count() == 2L,
+      "the reading leg must see the pre-TRUNCATE rows of b")
+    assert(spark.table(b).count() == 0L)
+    scratch(a); scratch(b); scratch(c)
+  }
+
   test("GRANT OPTION target matching mirrors the read gate: a " +
       "db-qualified option grant covers the bare table name") {
     val t = "graft_go_suffix_t"
