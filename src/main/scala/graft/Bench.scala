@@ -85,7 +85,12 @@ object Bench {
     // the tokenizer throughput profile (ONE corpus-scale word-count
     // shuffle for training, then codegen-inlined per-row kernels with
     // the merge ranks as a broadcast plan literal)
-    "q_bpe_tokenize")
+    "q_bpe_tokenize",
+    // round-13: ASOF through the DIALECT path (parse + temp-view surgery
+    // + the same single-shuffle union-window operator q_asof_join
+    // measures) — keeps the rewrite overhead and the operator's scale
+    // claim continuously measured under the reference's own syntax
+    "q_ch_asof_sql")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
