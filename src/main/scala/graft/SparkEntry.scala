@@ -44,7 +44,8 @@ object SparkEntry {
     qp.IndexQueries,
     qp.CodecQueries,
     qp.LifecycleQueries,
-    qp.JoinSqlQueries
+    qp.JoinSqlQueries,
+    qp.KqlQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,81 @@
+package graft.queries
+
+import graft.{Q, QueryPack, Tables}
+import graft.sql.ClickHouseSql
+
+/** KQL (Kusto) dialect queries running end-to-end through the engine —
+  * `SET dialect = 'kusto'` exactly like the reference
+  * (src/Interpreters/executeQuery.cpp:1044, src/Parsers/Kusto/). Each
+  * oracle states the equivalent relational semantics in plain DuckDB
+  * SQL, so the TRANSLATION is what's being checked. */
+object KqlQueries extends QueryPack {
+
+  private def kq(name: String, kql: String, oracle: String): Q =
+    Q(name, (s, dir) => {
+      Tables.register(s, dir)
+      ClickHouseSql.sql(s, "SET dialect = 'kusto'")
+      try ClickHouseSql.sql(s, kql)
+      finally ClickHouseSql.sql(s, "SET dialect = 'clickhouse'")
+    }, Some(oracle))
+
+  override def queries: Seq[Q] = Seq(
+
+    // filter + summarize with the reference's alias rules + KQL's
+    // default-DESC sort overridden to asc
+    kq("q_kql_summarize",
+      "lineitem | where l_quantity > 45 " +
+        "| summarize n = count(), s = sum(toint(l_quantity)) " +
+        "by l_returnflag | sort by l_returnflag asc",
+      """
+      SELECT l_returnflag, COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS INT)) AS BIGINT) AS s
+      FROM lineitem WHERE l_quantity > 45
+      GROUP BY l_returnflag ORDER BY l_returnflag"""),
+
+    // case-INSENSITIVE contains + between + project + take (this
+    // corpus's p_type domain is MEDIUM/SMALL/PROMO/STANDARD/LARGE/
+    // ECONOMY — 'econ' in lowercase only matches case-insensitively,
+    // which is exactly the KQL contains contract under test; 92 rows
+    // at sf0.01 before the take)
+    kq("q_kql_string_ops",
+      "part | where p_type contains 'econ' and p_size between (1 .. 15) " +
+        "| project p_partkey, p_type, p_size " +
+        "| sort by p_partkey asc | take 100",
+      """
+      SELECT p_partkey, p_type, p_size
+      FROM part
+      WHERE lower(p_type) LIKE '%econ%' AND p_size BETWEEN 1 AND 15
+      ORDER BY p_partkey LIMIT 100"""),
+
+    // extend (computed columns) + bin() grouping + startswith
+    kq("q_kql_extend_bin",
+      "customer | extend seg = toupper(c_mktsegment), " +
+        "bal = bin(c_acctbal, 1000) " +
+        "| where seg startswith 'B' " +
+        "| summarize n = count() by bal | sort by bal asc",
+      """
+      SELECT CAST(FLOOR(c_acctbal / 1000) * 1000 AS BIGINT) AS bal,
+        COUNT(*) AS n
+      FROM customer
+      WHERE UPPER(c_mktsegment) LIKE 'B%'
+      GROUP BY 1 ORDER BY bal"""),
+
+    // whole-term `has` over the documents corpus + the count operator
+    kq("q_kql_has_count",
+      "documents | where text has 'model' | count",
+      """
+      SELECT COUNT(*) AS Count FROM documents
+      WHERE regexp_matches(text,
+        '(?i)(^|[^0-9A-Za-z_])model([^0-9A-Za-z_]|$)')"""),
+
+    // distinct projection through the pipe chain
+    kq("q_kql_distinct",
+      "orders | where o_totalprice > 400000 " +
+        "| distinct o_orderstatus, o_orderpriority " +
+        "| sort by o_orderstatus asc, o_orderpriority asc",
+      """
+      SELECT DISTINCT o_orderstatus, o_orderpriority
+      FROM orders WHERE o_totalprice > 400000
+      ORDER BY o_orderstatus, o_orderpriority""")
+  )
+}

@@ -964,11 +964,23 @@ object ClickHouseSql {
     // segments OUTSIDE single-quoted literals are touched.
     val trimmed0 = {
       val raw = chSql.trim
+      // SET dialect = 'kusto' (executeQuery.cpp:1044 Dialect::kusto, the
+      // reference's KQL front-end switch): every non-SET statement
+      // translates through KqlTranslator FIRST, then proceeds through
+      // the ordinary statement lanes as SQL. SET stays native so
+      // `SET dialect = 'clickhouse'` can always switch back.
+      val dialect = spark.conf.getOption("graft.ch.dialect")
+        .map(_.stripPrefix("'").stripSuffix("'").trim.toLowerCase)
+        .getOrElse("clickhouse")
+      val t0 =
+        if (dialect == "kusto" && !raw.matches("(?is)^SET\\b.*"))
+          KqlTranslator.translate(spark, raw)
+        else raw
       // CREATE VIEW bodies KEEP their placeholders — they substitute at
       // call time, per view invocation (parameterized views)
-      if (!raw.contains("{") ||
-          raw.matches("(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?VIEW\\b.*")) raw
-      else raw.split("'", -1).zipWithIndex.map { case (seg, i) =>
+      if (!t0.contains("{") ||
+          t0.matches("(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?VIEW\\b.*")) t0
+      else t0.split("'", -1).zipWithIndex.map { case (seg, i) =>
         if (i % 2 == 1) seg else substituteParams(spark, seg)
       }.mkString("'")
     }

@@ -1,0 +1,590 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+
+/** KQL (Kusto Query Language) dialect front-end — the reference parses
+  * KQL when `SET dialect = 'kusto'` is active
+  * (src/Interpreters/executeQuery.cpp:1044 Dialect::kusto,
+  * src/Parsers/Kusto/ParserKQLQuery.cpp). This translator covers the
+  * reference's own operator surface (ParserKQLQuery::getOperator:
+  * filter/where, limit/take, project, distinct, extend, sort by/order
+  * by, summarize, table, mv-expand, print; make-series rejects loudly
+  * as unsupported) plus the string-operator catalog of
+  * ParserKQLOperators.cpp (contains/has/startswith/… with the !/_cs/~
+  * variants) — each pipe stage compiles to a Spark SQL layer over the
+  * previous one, so Catalyst owns the final plan (projection collapse
+  * folds the layers; nothing here executes).
+  *
+  * KQL semantics preserved deliberately:
+  *  - `sort by x` defaults to DESCENDING (ParserKQLSort.cpp:49).
+  *  - summarize output aliases follow the reference's rules
+  *    (KQL_ReleaseNote.md): `count()` → `count_`, `count(Age)` →
+  *    `count_Age`, expression args → `fn_`; a `bin(col, n)` group key
+  *    keeps the COLUMN name, other key expressions become `Columns1…N`.
+  *  - array indexing is 0-based (`x[0]` is the first element —
+  *    KQL_ReleaseNote.md bug-fix entry), mapped onto element_at(x, i+1).
+  *  - case-insensitive operators (`contains`, `has`, `=~`, `in~`)
+  *    lower both sides; the `_cs` variants compare raw.
+  */
+object KqlTranslator {
+
+  private val counter = new java.util.concurrent.atomic.AtomicLong()
+  private def sub(q: String): String =
+    s"($q) __kql_${counter.incrementAndGet()}"
+
+  /** Translate one KQL statement to Spark SQL. `spark` resolves schemas
+    * for the stages that need column lists (extend-replace, mv-expand);
+    * schema resolution plans but never runs a job. */
+  def translate(spark: SparkSession, kql: String): String = {
+    val stages = splitPipes(kql.trim.stripSuffix(";"))
+    require(stages.nonEmpty, "KQL: empty statement")
+    val head = stages.head.trim
+    var cur: String =
+      if (head.toLowerCase.startsWith("print")) printStage(head)
+      else if (head.matches("(?is)^table\\s*\\(\\s*'[^']+'\\s*\\)\\s*$"))
+        "SELECT * FROM " +
+          "'([^']+)'".r.findFirstMatchIn(head).get.group(1)
+      else if (head.matches("^[A-Za-z_][A-Za-z0-9_.]*$"))
+        s"SELECT * FROM $head"
+      else throw new IllegalArgumentException(
+        s"KQL: the pipeline must start with a table name or print, got '$head'")
+    stages.tail.foreach { st0 =>
+      val st = st0.trim
+      val opWord = "^[a-z!-]+(\\s+by\\b)?".r.findFirstIn(st.toLowerCase)
+        .getOrElse("")
+      cur = opWord match {
+        case "where" | "filter" =>
+          s"SELECT * FROM ${sub(cur)} WHERE ${expr(st.drop(opWord.length))}"
+        case "take" | "limit" =>
+          s"SELECT * FROM ${sub(cur)} LIMIT ${st.drop(opWord.length).trim}"
+        case "project" =>
+          s"SELECT ${projList(st.drop("project".length))} FROM ${sub(cur)}"
+        case "distinct" =>
+          val body = st.drop("distinct".length).trim
+          if (body == "*") s"SELECT DISTINCT * FROM ${sub(cur)}"
+          else s"SELECT DISTINCT ${projList(body)} FROM ${sub(cur)}"
+        case "extend" => extendStage(spark, cur, st.drop("extend".length))
+        case "sort by" | "order by" =>
+          s"SELECT * FROM ${sub(cur)} ORDER BY " +
+            sortList(st.drop(opWord.length))
+        case "summarize" => summarizeStage(cur, st.drop("summarize".length))
+        case "mv-expand" => mvExpandStage(spark, cur, st.drop("mv-expand".length))
+        case "count" if st.toLowerCase == "count" =>
+          s"SELECT count(*) AS Count FROM ${sub(cur)}"
+        case "make-series" => throw new IllegalArgumentException(
+          "KQL: make-series is not supported by this engine — express the " +
+            "series with summarize ... by bin(...)")
+        case other => throw new IllegalArgumentException(
+          s"KQL: unsupported operator '$other' (supported: where/filter, " +
+            "take/limit, project, distinct, extend, sort by/order by, " +
+            "summarize, mv-expand, count, print, table)")
+      }
+    }
+    cur
+  }
+
+  // ---- stage compilers ---------------------------------------------------
+
+  /** `print [name =] expr, ...` → one-row select; unnamed columns are
+    * print_0, print_1, … (the KQL convention). */
+  private def printStage(st: String): String = {
+    val items = splitTop(st.trim.drop("print".length), ',')
+    val sel = items.zipWithIndex.map { case (it, i) =>
+      it.trim match {
+        case named(n, e) => s"${expr(e)} AS $n"
+        case e => s"${expr(e)} AS print_$i"
+      }
+    }.mkString(", ")
+    s"SELECT $sel"
+  }
+
+  private val named = "(?s)^([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*(.+)$".r
+
+  /** `a, b = expr, c` — a projection list with KQL `name = expr` aliases. */
+  private def projList(body: String): String =
+    splitTop(body, ',').map(_.trim).map {
+      case named(n, e) => s"${expr(e)} AS $n"
+      case e => expr(e)
+    }.mkString(", ")
+
+  /** `extend c = expr[, …]`: appends columns, REPLACING any existing
+    * column of the same name (KQL_ReleaseNote.md bug-fix entry). */
+  private def extendStage(spark: SparkSession, cur: String,
+      body: String): String = {
+    val adds = splitTop(body, ',').map(_.trim).map {
+      case named(n, e) => (n, expr(e))
+      case e => throw new IllegalArgumentException(
+        s"KQL extend: expected name = expr, got '$e'")
+    }
+    val existing = spark.sql(cur).columns
+    val replaced = adds.map(_._1.toLowerCase).toSet
+    val keep = existing.filterNot(c => replaced.contains(c.toLowerCase))
+      .map(c => s"`$c`")
+    (keep ++ adds.map { case (n, e) => s"$e AS $n" })
+      .mkString("SELECT ", ", ", s" FROM ${sub(cur)}")
+  }
+
+  /** `sort by c1 [asc|desc], c2 …` — KQL defaults to DESC
+    * (ParserKQLSort.cpp:49). */
+  private def sortList(body: String): String =
+    splitTop(body, ',').map(_.trim).map { item =>
+      val m = "(?is)^(.*?)\\s+(asc|desc)(\\s+nulls\\s+(first|last))?$".r
+      item match {
+        case m(e, dir, _, nulls) =>
+          s"${expr(e)} ${dir.toUpperCase}" +
+            Option(nulls).map(n => s" NULLS ${n.toUpperCase}").getOrElse("")
+        case e => s"${expr(e)} DESC"
+      }
+    }.mkString(", ")
+
+  /** `summarize [alias =] agg(…)[, …] [by key[, …]]` with the
+    * reference's output-alias rules. */
+  private def summarizeStage(cur: String, body0: String): String = {
+    val (aggPart, byPart) = splitByKeyword(body0, "by")
+    var colN = 0
+    val keys = byPart.toSeq.flatMap(splitTop(_, ',')).map(_.trim).map {
+      case named(n, e) => (expr(e), n)
+      case e if e.matches("^[A-Za-z_][A-Za-z0-9_]*$") => (e, e)
+      case e =>
+        // bin(col, n) keeps the column's name; other exprs → ColumnsN
+        val binCol = "(?is)^bin\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*,".r
+        binCol.findFirstMatchIn(e) match {
+          case Some(m) => (expr(e), m.group(1))
+          case None => colN += 1; (expr(e), s"Columns$colN")
+        }
+    }
+    val aggs = splitTop(aggPart, ',').map(_.trim).filter(_.nonEmpty).map {
+      case named(n, e) => s"${aggExpr(e)._1} AS $n"
+      case e => val (sql, alias) = aggExpr(e); s"$sql AS $alias"
+    }
+    val sel = (keys.map { case (e, n) => s"$e AS $n" } ++ aggs).mkString(", ")
+    if (keys.isEmpty) s"SELECT $sel FROM ${sub(cur)}"
+    else s"SELECT $sel FROM ${sub(cur)} GROUP BY " +
+      keys.map(_._1).mkString(", ")
+  }
+
+  /** One KQL aggregate call → (spark SQL, reference-rule alias). */
+  private def aggExpr(e: String): (String, String) = {
+    val call = "(?s)^([A-Za-z_][A-Za-z0-9_]*)\\s*\\((.*)\\)$".r
+    e.trim match {
+      case call(fn0, args0) =>
+        val fn = fn0.toLowerCase
+        val args = splitTop(args0, ',').map(_.trim).filter(_.nonEmpty)
+        def aliasFor(a: Seq[String]): String = {
+          val base = a.headOption.filter(_.matches("^[A-Za-z_][A-Za-z0-9_]*$"))
+            .map(c => s"_$c").getOrElse("_")
+          s"$fn$base"
+        }
+        fn match {
+          case "count" =>
+            if (args.isEmpty) ("count(*)", "count_")
+            else (s"count(${expr(args.head)})", aliasFor(args))
+          case "countif" =>
+            (s"count_if(${expr(args.head)})", "countif_")
+          case "dcount" =>
+            (s"count(DISTINCT ${expr(args.head)})", aliasFor(args))
+          case "sum" | "avg" | "min" | "max" | "stdev" | "variance" =>
+            val sparkFn = fn match {
+              case "stdev" => "stddev_samp"
+              case "variance" => "var_samp"
+              case o => o
+            }
+            (s"$sparkFn(${expr(args.head)})", aliasFor(args))
+          case "sumif" | "avgif" | "minif" | "maxif" =>
+            val base = fn.dropRight(2)
+            (s"$base(CASE WHEN ${expr(args(1))} THEN ${expr(args.head)} END)",
+              aliasFor(args))
+          case "make_list" =>
+            (s"collect_list(${expr(args.head)})", aliasFor(args))
+          case "make_set" =>
+            (s"collect_set(${expr(args.head)})", aliasFor(args))
+          case "percentile" =>
+            (s"percentile(${expr(args.head)}, ${expr(args(1))} / 100.0)",
+              aliasFor(args))
+          case other => throw new IllegalArgumentException(
+            s"KQL summarize: unsupported aggregate '$other'")
+        }
+      case other => throw new IllegalArgumentException(
+        s"KQL summarize: expected an aggregate call, got '$other'")
+    }
+  }
+
+  /** `mv-expand c`: replace array column c with its exploded elements,
+    * all other columns carried (ParserKQLMVExpand). */
+  private def mvExpandStage(spark: SparkSession, cur: String,
+      body: String): String = {
+    val c = body.trim
+    require(c.matches("^[A-Za-z_][A-Za-z0-9_]*$"),
+      s"KQL mv-expand: expected a column name, got '$c'")
+    val others = spark.sql(cur).columns
+      .filterNot(_.equalsIgnoreCase(c)).map(x => s"`$x`")
+    s"SELECT ${(others :+ s"__mv AS $c").mkString(", ")} " +
+      s"FROM ${sub(cur)} LATERAL VIEW explode($c) __mvt AS __mv"
+  }
+
+  // ---- expression translation ---------------------------------------------
+
+  /** KQL scalar expression → Spark SQL expression. String literals are
+    * lifted into placeholders FIRST (both quote styles), every rewrite
+    * runs on the literal-free text, and the placeholders substitute
+    * back at the end — an operator spelling INSIDE a string can never
+    * corrupt the literal, and the has-family can read its needle's
+    * content to build the token-boundary regex. Unknown content passes
+    * through (Spark's analyzer is the backstop — errors stay loud,
+    * never silent misreads). */
+  private[sql] def expr(e0: String): String = {
+    val lits = scala.collection.mutable.ArrayBuffer.empty[String]
+    def reg(content: String): String = {
+      lits += content
+      s"__KQLLIT${lits.size - 1}__"
+    }
+    var e = liftStrings(e0.trim, reg)
+    // datetime(2017-1-1 12:23:34) → TIMESTAMP '2017-01-01 12:23:34'
+    e = "(?i)\\bdatetime\\s*\\(\\s*([0-9: .-]+?)\\s*\\)".r
+      .replaceAllIn(e, m => java.util.regex.Matcher.quoteReplacement(
+        s"TIMESTAMP ${reg(normalizeDt(m.group(1)))}"))
+    // dynamic([x, y, …]) → array(x, y, …) (balanced)
+    e = rewriteDynamic(e)
+    // operators — longest spellings first
+    e = e.replaceAll("(?i)\\bmatches\\s+regex\\b", " RLIKE ")
+    e = e.replaceAll("!~", " __KQL_NEQI__ ")
+    e = e.replaceAll("=~", " __KQL_EQI__ ")
+    e = e.replaceAll("==", " = ")
+    // function renames (pure spelling maps)
+    Seq("strcat" -> "concat", "strlen" -> "length", "tolower" -> "lower",
+      "toupper" -> "upper", "now" -> "current_timestamp",
+      "iif" -> "if", "iff" -> "if").foreach { case (k, v) =>
+      e = e.replaceAll(s"(?i)\\b$k\\s*\\(", s"$v(")
+    }
+    // typed casts
+    Seq("tostring" -> "STRING", "toint" -> "INT", "tolong" -> "BIGINT",
+      "todouble" -> "DOUBLE", "toreal" -> "DOUBLE",
+      "tobool" -> "BOOLEAN", "todatetime" -> "TIMESTAMP")
+      .foreach { case (k, t) =>
+        e = e.replaceAll(s"(?i)\\b$k\\s*\\(", s"CAST__KQL__${t}__(")
+      }
+    // CAST__KQL__T__(x) → CAST(x AS T) (balanced rewrite)
+    e = rewriteCastMarkers(e)
+    // isnull/isempty family (balanced args)
+    e = rewriteUnaryPredicate(e, "isnotnull", x => s"(($x) IS NOT NULL)")
+    e = rewriteUnaryPredicate(e, "isnull", x => s"(($x) IS NULL)")
+    e = rewriteUnaryPredicate(e, "isnotempty",
+      x => s"(($x) IS NOT NULL AND ($x) <> ${reg("")})")
+    e = rewriteUnaryPredicate(e, "isempty",
+      x => s"(($x) IS NULL OR ($x) = ${reg("")})")
+    // bin(x, n) → floor-to-multiple
+    e = rewriteBin(e)
+    // case(p1, v1, ..., default) → CASE WHEN chain
+    e = rewriteCase(e)
+    // x[i] → element_at(x, i+1) (KQL indexes from 0)
+    e = "([A-Za-z_][A-Za-z0-9_]*)\\s*\\[\\s*(\\d+)\\s*\\]".r
+      .replaceAllIn(e, m =>
+        s"element_at(${m.group(1)}, ${m.group(2).toInt + 1})")
+    // string comparison operators (placeholder-aware)
+    e = rewriteStringOps(e, lits, reg)
+    // `a between (x .. y)` → BETWEEN
+    e = "(?i)\\b(!)?between\\s*\\(\\s*([^.]+?)\\s*\\.\\.\\s*([^)]+?)\\s*\\)".r
+      .replaceAllIn(e, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          (if (m.group(1) != null) "NOT " else "") +
+            s"BETWEEN ${m.group(2)} AND ${m.group(3)}"))
+    // case-insensitive equality markers
+    e = "(\\S+)\\s+__KQL_EQI__\\s+(\\S+)".r.replaceAllIn(e,
+      m => java.util.regex.Matcher.quoteReplacement(
+        s"lower(${m.group(1)}) = lower(${m.group(2)})"))
+    e = "(\\S+)\\s+__KQL_NEQI__\\s+(\\S+)".r.replaceAllIn(e,
+      m => java.util.regex.Matcher.quoteReplacement(
+        s"lower(${m.group(1)}) <> lower(${m.group(2)})"))
+    // substitute the literals back as single-quoted SQL strings
+    "__KQLLIT(\\d+)__".r.replaceAllIn(e, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        "'" + lits(m.group(1).toInt).replace("'", "''") + "'")).trim
+  }
+
+  /** Lift 'single' and "double" quoted strings into placeholders.
+    * KQL double-quoted strings use backslash escapes; single-quoted
+    * pass through raw. */
+  private def liftStrings(s: String, reg: String => String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') {
+        val e = s.indexOf('\'', i + 1)
+        require(e >= 0, "KQL: unterminated string literal")
+        sb.append(reg(s.substring(i + 1, e)))
+        i = e + 1
+      } else if (c == '"') {
+        val content = new StringBuilder
+        var j = i + 1
+        var closed = false
+        while (j < s.length && !closed) {
+          val d = s.charAt(j)
+          if (d == '\\' && j + 1 < s.length) {
+            content.append(s.charAt(j + 1)); j += 2
+          } else if (d == '"') { closed = true; j += 1 }
+          else { content.append(d); j += 1 }
+        }
+        require(closed, "KQL: unterminated string literal")
+        sb.append(reg(content.toString))
+        i = j
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** dynamic([x, y, …]) → array(x, y, …) — balanced. */
+  private def rewriteDynamic(e0: String): String = {
+    var e = e0
+    val re = "(?i)\\bdynamic\\s*\\(".r
+    var m = re.findFirstMatchIn(e)
+    var guard = 0
+    while (m.isDefined && guard < 32) {
+      guard += 1
+      val open = e.indexOf('(', m.get.start)
+      val close = JoinSpellings.closeOf(e, open)
+      val inner = e.substring(open + 1, close - 1).trim
+      val body =
+        if (inner.startsWith("[") && inner.endsWith("]"))
+          inner.substring(1, inner.length - 1)
+        else inner
+      e = e.substring(0, m.get.start) + s"array($body)" + e.substring(close)
+      m = re.findFirstMatchIn(e)
+    }
+    e
+  }
+
+  /** The ParserKQLOperators.cpp catalog: contains/startswith/endswith/
+    * has/hasprefix/hassuffix with !/_cs variants, in/!in/in~/!in~.
+    * Case-insensitive is the KQL DEFAULT; _cs compares raw. Operands:
+    * a simple column/call/placeholder-literal/number on either side
+    * (the has-family needs a LITERAL needle to build its token-boundary
+    * regex — loud otherwise). Runs on literal-lifted text, so operator
+    * spellings inside strings never match. */
+  private def rewriteStringOps(e0: String,
+      lits: scala.collection.mutable.ArrayBuffer[String],
+      reg: String => String): String = {
+    val operand = "(?:[A-Za-z_][A-Za-z0-9_.]*\\s*\\([^()]*\\)|" +
+      "__KQLLIT\\d+__|[A-Za-z_][A-Za-z0-9_.]*|\\d+(?:\\.\\d+)?)"
+    def litOf(b: String, op: String): String = b.trim match {
+      case lit if lit.matches("__KQLLIT\\d+__") =>
+        lits("\\d+".r.findFirstIn(lit).get.toInt)
+      case other => throw new IllegalArgumentException(
+        s"KQL $op: the needle must be a string literal, got '$other'")
+    }
+    def rxQuote(s: String): String =
+      s.replaceAll("([\\\\.\\[\\]{}()*+?^$|])", "\\\\$1")
+    def tokenMatch(a: String, b: String, op: String, ci: Boolean): String = {
+      val t = rxQuote(litOf(b, op))
+      val flag = if (ci) "(?i)" else ""
+      s"($a RLIKE ${reg(s"$flag(^|[^0-9A-Za-z_])$t([^0-9A-Za-z_]|$$)")})"
+    }
+    def tokenPrefix(a: String, b: String, ci: Boolean): String = {
+      val t = rxQuote(litOf(b, "hasprefix"))
+      val flag = if (ci) "(?i)" else ""
+      s"($a RLIKE ${reg(s"$flag(^|[^0-9A-Za-z_])$t")})"
+    }
+    def tokenSuffix(a: String, b: String, ci: Boolean): String = {
+      val t = rxQuote(litOf(b, "hassuffix"))
+      val flag = if (ci) "(?i)" else ""
+      s"($a RLIKE ${reg(s"$flag$t([^0-9A-Za-z_]|$$)")})"
+    }
+    var e = e0
+    // in~ / !in~ / in / !in with a parenthesized list
+    e = ("(?i)(" + operand + ")\\s+(!?)in(~?)\\s*\\(([^()]*)\\)").r
+      .replaceAllIn(e, m => {
+        val a = m.group(1); val neg = m.group(2) == "!"
+        val ci = m.group(3) == "~"
+        val items = splitTop(m.group(4), ',').map(_.trim)
+        val (lhs, list) =
+          if (ci) (s"lower($a)", items.map(i => s"lower($i)"))
+          else (a, items)
+        java.util.regex.Matcher.quoteReplacement(
+          s"$lhs ${if (neg) "NOT IN" else "IN"} (${list.mkString(", ")})")
+      })
+    val ops = Seq("contains_cs", "contains", "startswith_cs", "startswith",
+      "endswith_cs", "endswith", "hasprefix_cs", "hasprefix",
+      "hassuffix_cs", "hassuffix", "has_cs", "has_all", "has_any", "has")
+    ops.foreach { op =>
+      val re = ("(?i)(" + operand + ")\\s+(!?)" + op +
+        (if (op == "has_all" || op == "has_any") "\\s*\\(([^()]*)\\)"
+         else "\\s+(" + operand + ")")).r
+      e = re.replaceAllIn(e, m => {
+        val a = m.group(1)
+        val neg = m.group(2) == "!"
+        val b = m.group(3)
+        val out = op match {
+          case "contains" => s"(instr(lower($a), lower($b)) > 0)"
+          case "contains_cs" => s"(instr($a, $b) > 0)"
+          case "startswith" => s"startswith(lower($a), lower($b))"
+          case "startswith_cs" => s"startswith($a, $b)"
+          case "endswith" => s"endswith(lower($a), lower($b))"
+          case "endswith_cs" => s"endswith($a, $b)"
+          case "has" => tokenMatch(a, b, "has", ci = true)
+          case "has_cs" => tokenMatch(a, b, "has_cs", ci = false)
+          case "hasprefix" => tokenPrefix(a, b, ci = true)
+          case "hasprefix_cs" => tokenPrefix(a, b, ci = false)
+          case "hassuffix" => tokenSuffix(a, b, ci = true)
+          case "hassuffix_cs" => tokenSuffix(a, b, ci = false)
+          case "has_any" =>
+            splitTop(b, ',').map(x => tokenMatch(a, x.trim, "has_any", ci = true))
+              .mkString("(", " OR ", ")")
+          case "has_all" =>
+            splitTop(b, ',').map(x => tokenMatch(a, x.trim, "has_all", ci = true))
+              .mkString("(", " AND ", ")")
+        }
+        java.util.regex.Matcher.quoteReplacement(
+          if (neg) s"(NOT $out)" else out)
+      })
+    }
+    e
+  }
+
+  // ---- small rewrite helpers ----------------------------------------------
+
+  private def normalizeDt(raw: String): String = {
+    val parts = raw.trim.split("\\s+")
+    val d = parts(0).split("-").map(_.toInt)
+    val date = f"${d(0)}%04d-${d(1)}%02d-${d(2)}%02d"
+    if (parts.length == 1) date
+    else {
+      val t = parts(1).split(":").map(_.takeWhile(c => c.isDigit || c == '.'))
+      val hh = f"${t(0).toInt}%02d"
+      val mm = if (t.length > 1) f"${t(1).toInt}%02d" else "00"
+      val ss = if (t.length > 2) t(2) else "00"
+      s"$date $hh:$mm:${if (ss.length == 1) "0" + ss else ss}"
+    }
+  }
+
+  private def rewriteCastMarkers(e0: String): String = {
+    var e = e0
+    val re = "CAST__KQL__([A-Z]+)__\\(".r
+    var m = re.findFirstMatchIn(e)
+    var guard = 0
+    while (m.isDefined && guard < 64) {
+      guard += 1
+      val t = m.get.group(1)
+      val open = m.get.end - 1
+      val close = JoinSpellings.closeOf(e, open)
+      val inner = e.substring(open + 1, close - 1)
+      e = e.substring(0, m.get.start) + s"CAST($inner AS $t)" +
+        e.substring(close)
+      m = re.findFirstMatchIn(e)
+    }
+    e
+  }
+
+  private def rewriteUnaryPredicate(e0: String, fn: String,
+      out: String => String): String = {
+    var e = e0
+    val re = s"(?i)\\b$fn\\s*\\(".r
+    var m = re.findFirstMatchIn(e)
+    var guard = 0
+    while (m.isDefined && guard < 64) {
+      guard += 1
+      val open = e.indexOf('(', m.get.start)
+      val close = JoinSpellings.closeOf(e, open)
+      val inner = e.substring(open + 1, close - 1)
+      e = e.substring(0, m.get.start) + out(inner) + e.substring(close)
+      m = re.findFirstMatchIn(e)
+    }
+    e
+  }
+
+  private def rewriteBin(e0: String): String = {
+    var e = e0
+    val re = "(?i)\\bbin\\s*\\(".r
+    var m = re.findFirstMatchIn(e)
+    var guard = 0
+    while (m.isDefined && guard < 64) {
+      guard += 1
+      val open = e.indexOf('(', m.get.start)
+      val close = JoinSpellings.closeOf(e, open)
+      val args = splitTop(e.substring(open + 1, close - 1), ',')
+      require(args.length == 2, "KQL bin(value, roundTo) takes two arguments")
+      e = e.substring(0, m.get.start) +
+        s"(FLOOR((${args(0).trim}) / (${args(1).trim})) * (${args(1).trim}))" +
+        e.substring(close)
+      m = re.findFirstMatchIn(e)
+    }
+    e
+  }
+
+  private def rewriteCase(e0: String): String = {
+    var e = e0
+    val re = "(?i)\\bcase\\s*\\(".r
+    var m = re.findFirstMatchIn(e)
+    var guard = 0
+    while (m.isDefined && guard < 16) {
+      guard += 1
+      val open = e.indexOf('(', m.get.start)
+      val close = JoinSpellings.closeOf(e, open)
+      val args = splitTop(e.substring(open + 1, close - 1), ',').map(_.trim)
+      require(args.length >= 3 && args.length % 2 == 1,
+        "KQL case(p1, v1, …, default) needs pred/value pairs + a default")
+      val whens = args.init.grouped(2)
+        .map(p => s"WHEN ${p(0)} THEN ${p(1)}").mkString(" ")
+      e = e.substring(0, m.get.start) +
+        s"(CASE $whens ELSE ${args.last} END)" + e.substring(close)
+      m = re.findFirstMatchIn(e)
+    }
+    e
+  }
+
+  // ---- lexing --------------------------------------------------------------
+
+  /** Split a KQL statement on top-level '|' (outside quotes/parens). */
+  private def splitPipes(s: String): Seq[String] = splitTop(s, '|')
+
+  /** Split on `sep` at depth 0, outside single/double-quoted strings. */
+  private def splitTop(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var inS = false
+    var inD = false
+    var last = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inS) { if (c == '\'') inS = false }
+      else if (inD) { if (c == '"' && (i == 0 || s.charAt(i - 1) != '\\')) inD = false }
+      else c match {
+        case '\'' => inS = true
+        case '"' => inD = true
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case x if x == sep && depth == 0 =>
+          out += s.substring(last, i); last = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(last)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Split `summarize aggs by keys` on the top-level BY keyword. */
+  private def splitByKeyword(s: String, kw: String): (String, Option[String]) = {
+    val m = JoinSpellings.maskLiterals(s)
+    var depth = 0
+    var i = 0
+    while (i < m.length) {
+      val c = m.charAt(i)
+      if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (depth == 0 && i + kw.length <= m.length &&
+          m.substring(i, i + kw.length).equalsIgnoreCase(kw) &&
+          (i == 0 || !m.charAt(i - 1).isLetterOrDigit) &&
+          (i + kw.length == m.length || !m.charAt(i + kw.length).isLetterOrDigit))
+        return (s.substring(0, i), Some(s.substring(i + kw.length)))
+      i += 1
+    }
+    (s, None)
+  }
+
+  /** Apply `f` to the segments of `e` OUTSIDE single-quoted literals. */
+  private def onOutside(e: String)(f: String => String): String =
+    e.split("'", -1).zipWithIndex.map { case (seg, i) =>
+      if (i % 2 == 1) seg else f(seg)
+    }.mkString("'")
+}

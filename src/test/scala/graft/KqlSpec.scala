@@ -1,0 +1,134 @@
+package graft
+
+/** KQL dialect front-end (round-13; reference src/Parsers/Kusto/ —
+  * ParserKQLQuery operator surface + ParserKQLOperators string-operator
+  * catalog + the KQL_ReleaseNote.md alias/indexing rules), activated
+  * exactly like the reference: `SET dialect = 'kusto'`. */
+class KqlSpec extends SparkFunSuite {
+  import SparkTestBase.spark.implicits._
+
+  private def ch(s: String) = graft.sql.ClickHouseSql.sql(spark, s)
+
+  private def inKusto[T](body: => T): T = {
+    ch("SET dialect = 'kusto'")
+    try body
+    finally ch("SET dialect = 'clickhouse'")
+  }
+
+  private def mk(): Unit =
+    Seq((1L, "Alice Kim", 28L, "Engineer", "md"),
+        (2L, "bob tran", 38L, "Teacher", "phd"),
+        (3L, "Cara Wu", 28L, "Engineer", "bs"),
+        (4L, "dan ito", 45L, "Manager", "md"),
+        (5L, "Eve Ray", 33L, "Teacher", "ms"))
+      .toDF("Id", "Name", "Age", "Occupation", "Education")
+      .createOrReplaceTempView("Customers")
+
+  test("pipeline core: where / project / sort (DESC default) / take") {
+    mk()
+    inKusto {
+      val r = ch("Customers | where Age < 40 | project Name, Age " +
+        "| sort by Age | take 3").collect()
+      // KQL sort defaults to DESCENDING (ParserKQLSort.cpp:49)
+      assert(r.map(_.getLong(1)).toSeq == Seq(38L, 33L, 28L))
+    }
+  }
+
+  test("summarize alias rules (KQL_ReleaseNote.md): count() -> count_, " +
+      "count(col) -> count_col, bin key keeps the column name") {
+    mk()
+    inKusto {
+      val r = ch("Customers | summarize count() by bin(Age, 10) " +
+        "| sort by Age asc").collect()
+      assert(r.head.schema.fieldNames.toSeq == Seq("Age", "count_"))
+      assert(r.map(x => (x.getAs[Number](0).longValue,
+        x.getAs[Number](1).longValue)).toSeq ==
+        Seq((20L, 2L), (30L, 2L), (40L, 1L)))
+      val named = ch("Customers | summarize n = dcount(Occupation), " +
+        "avg(Age) by Education | sort by Education asc").collect()
+      assert(named.head.schema.fieldNames.toSeq ==
+        Seq("Education", "n", "avg_Age"))
+    }
+  }
+
+  test("distinct, extend (replaces an existing column), count operator") {
+    mk()
+    inKusto {
+      assert(ch("Customers | distinct Occupation").count() == 3L)
+      val e = ch("Customers | extend Age = Age + 1, IsOld = Age >= 45 " +
+        "| where IsOld | project Name, Age").collect()
+      // extend REPLACES Age; IsOld computed from the ORIGINAL Age
+      // evaluates within the same layer, so 45 stays the threshold on
+      // the pre-extend value — dan (45) qualifies, now aged 46
+      assert(e.map(x => (x.getString(0), x.getLong(1))).toSeq ==
+        Seq(("dan ito", 46L)))
+      assert(ch("Customers | count").collect().head.getLong(0) == 5L)
+    }
+  }
+
+  test("KQL string operators: contains/startswith are case-INSENSITIVE, " +
+      "_cs variants exact, has matches whole terms, in~/!in, =~") {
+    mk()
+    inKusto {
+      assert(ch("Customers | where Name contains 'ALICE' | count")
+        .head().getLong(0) == 1L)
+      assert(ch("Customers | where Name contains_cs 'ALICE' | count")
+        .head().getLong(0) == 0L)
+      assert(ch("Customers | where Name startswith 'bo' | count")
+        .head().getLong(0) == 1L)
+      // has = whole term: 'Kim' is a term of 'Alice Kim'; 'Ki' is not
+      assert(ch("Customers | where Name has 'kim' | count")
+        .head().getLong(0) == 1L)
+      assert(ch("Customers | where Name has 'ki' | count")
+        .head().getLong(0) == 0L)
+      assert(ch("Customers | where Name !has 'kim' | count")
+        .head().getLong(0) == 4L)
+      assert(ch("Customers | where Occupation in~ ('engineer', 'MANAGER') " +
+        "| count").head().getLong(0) == 3L)
+      assert(ch("Customers | where Occupation !in ('Engineer') | count")
+        .head().getLong(0) == 3L)
+      assert(ch("Customers | where Occupation =~ 'engineer' | count")
+        .head().getLong(0) == 2L)
+      assert(ch("Customers | where Age between (28 .. 33) | count")
+        .head().getLong(0) == 3L)
+    }
+  }
+
+  test("print, scalar functions, dynamic arrays, 0-based indexing, " +
+      "mv-expand") {
+    mk()
+    inKusto {
+      val p = ch("print x = strcat('a', 'b'), strlen('abc'), " +
+        "iif(2 > 1, 'y', 'n'), toint('7') + 1").collect().head
+      assert(p.getString(0) == "ab")
+      assert(p.getAs[Number](1).longValue == 3L) // length
+      assert(p.getString(2) == "y")
+      assert(p.getAs[Number](3).longValue == 8L)
+      // KQL indexes arrays from 0 (KQL_ReleaseNote bug-fix entry)
+      val a = ch("print v = dynamic([10, 20, 30])[1]").collect().head
+      assert(a.getAs[Number](0).longValue == 20L)
+      val mv = ch("print k = 'x', v = dynamic([1, 2, 3]) | mv-expand v " +
+        "| summarize s = sum(v) by k").collect().head
+      assert(mv.getAs[Number](1).longValue == 6L)
+      // case() chain
+      val c = ch("print case(1 > 2, 'a', 3 > 2, 'b', 'c')").collect().head
+      assert(c.getString(0) == "b")
+    }
+  }
+
+  test("operator spellings inside string literals never fire; unsupported " +
+      "operators reject loudly; SET switches the dialect back") {
+    mk()
+    inKusto {
+      val lit = ch("print s = 'x has y | where contains'").collect().head
+      assert(lit.getString(0) == "x has y | where contains")
+      val e = intercept[Exception](ch("Customers | make-series c = count() " +
+        "on Age from 0 to 100 step 10"))
+      assert(e.getMessage.contains("make-series"))
+      val e2 = intercept[Exception](ch("Customers | foobar Age"))
+      assert(e2.getMessage.contains("unsupported operator"))
+    }
+    // back in the default dialect, ordinary SQL runs again
+    assert(ch("SELECT 1 AS one").collect().head.getInt(0) == 1)
+  }
+}
