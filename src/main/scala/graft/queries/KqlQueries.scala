@@ -18,6 +18,14 @@ object KqlQueries extends QueryPack {
       finally ClickHouseSql.sql(s, "SET dialect = 'clickhouse'")
     }, Some(oracle))
 
+  private def pq(name: String, prql: String, oracle: String): Q =
+    Q(name, (s, dir) => {
+      Tables.register(s, dir)
+      ClickHouseSql.sql(s, "SET dialect = 'prql'")
+      try ClickHouseSql.sql(s, prql)
+      finally ClickHouseSql.sql(s, "SET dialect = 'clickhouse'")
+    }, Some(oracle))
+
   override def queries: Seq[Q] = Seq(
 
     // filter + summarize with the reference's alias rules + KQL's
@@ -76,6 +84,38 @@ object KqlQueries extends QueryPack {
       """
       SELECT DISTINCT o_orderstatus, o_orderpriority
       FROM orders WHERE o_totalprice > 400000
-      ORDER BY o_orderstatus, o_orderpriority""")
+      ORDER BY o_orderstatus, o_orderpriority"""),
+
+    // ---- PRQL dialect (ParserPRQLQuery.cpp; SET dialect = 'prql') ----
+
+    // the canonical PRQL pipeline: filter → derive → group/aggregate →
+    // sort (with the `-x` descending form) — checks the verb chain and
+    // expression mapping end-to-end
+    pq("q_prql_pipeline",
+      """from orders
+         filter o_totalprice > 300000 && o_orderstatus == 'F'
+         derive {bucket = o_orderkey % 4}
+         group {bucket} (aggregate {n = count this, mx = max o_totalprice})
+         sort {-n, bucket}""",
+      """
+      SELECT o_orderkey % 4 AS bucket, COUNT(*) AS n,
+        MAX(o_totalprice) AS mx
+      FROM orders
+      WHERE o_totalprice > 300000 AND o_orderstatus = 'F'
+      GROUP BY 1 ORDER BY n DESC, bucket"""),
+
+    // select + date literal + take (join's USING form is spec-pinned in
+    // PrqlSpec — the TPC-H corpus has no same-named join columns)
+    pq("q_prql_select_take",
+      """from events
+         filter value > 0.5 && ts >= @2024-01-15
+         select {event_id, user_id, event_type}
+         sort {event_id}
+         take 500""",
+      """
+      SELECT event_id, user_id, event_type
+      FROM events
+      WHERE value > 0.5 AND ts >= DATE '2024-01-15'
+      ORDER BY event_id LIMIT 500""")
   )
 }

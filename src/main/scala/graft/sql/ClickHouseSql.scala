@@ -973,8 +973,9 @@ object ClickHouseSql {
         .map(_.stripPrefix("'").stripSuffix("'").trim.toLowerCase)
         .getOrElse("clickhouse")
       val t0 =
-        if (dialect == "kusto" && !raw.matches("(?is)^SET\\b.*"))
-          KqlTranslator.translate(spark, raw)
+        if (raw.matches("(?is)^SET\\b.*")) raw
+        else if (dialect == "kusto") KqlTranslator.translate(spark, raw)
+        else if (dialect == "prql") PrqlTranslator.translate(raw)
         else raw
       // CREATE VIEW bodies KEEP their placeholders — they substitute at
       // call time, per view invocation (parameterized views)

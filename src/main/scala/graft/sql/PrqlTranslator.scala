@@ -1,0 +1,210 @@
+package graft.sql
+
+/** PRQL dialect front-end — the reference compiles PRQL to SQL when
+  * `SET dialect = 'prql'` is active (src/Interpreters/executeQuery.cpp:1055,
+  * src/Parsers/PRQL/ParserPRQLQuery.cpp — the reference delegates to the
+  * embedded `prql_to_sql` Rust compiler; this engine compiles a native
+  * subset of the PRQL 1.x pipeline verbs straight to Spark SQL layers).
+  *
+  * Supported verbs: `from t`, `filter cond`, `derive {a = e, …}`,
+  * `select {a, b = e, …}`, `aggregate {n = sum x, …}`,
+  * `group {k, …} (aggregate {…})`, `sort {x, -y}` (PRQL defaults ASC,
+  * `-x` is DESC), `take n`, `join side:left|inner t (==col)`.
+  * Expressions: `==` → `=`, `&&`/`||` → AND/OR, `@2024-01-31` date
+  * literals, s-expressions pass through to Spark's parser (loud on
+  * anything it can't resolve — never a silent misread). Aggregation
+  * calls use PRQL's space form: `sum x`, `average x`, `count this`,
+  * `count_distinct x`, `min/max/stddev x`.
+  */
+object PrqlTranslator {
+
+  private val counter = new java.util.concurrent.atomic.AtomicLong()
+  private def sub(q: String): String =
+    s"($q) __prql_${counter.incrementAndGet()}"
+
+  def translate(prql: String): String = {
+    val stages = splitStages(prql)
+    require(stages.nonEmpty, "PRQL: empty pipeline")
+    val fromRe = "(?is)^from\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s*$".r
+    var cur = stages.head match {
+      case fromRe(t) => s"SELECT * FROM $t"
+      case other => throw new IllegalArgumentException(
+        s"PRQL: the pipeline must start with `from <table>`, got '$other'")
+    }
+    stages.tail.foreach { st =>
+      val verb = "^[a-z_]+".r.findFirstIn(st.toLowerCase).getOrElse("")
+      val body = st.drop(verb.length).trim
+      cur = verb match {
+        case "filter" =>
+          s"SELECT * FROM ${sub(cur)} WHERE ${expr(body)}"
+        case "take" =>
+          require(body.matches("\\d+"),
+            s"PRQL take: only `take n` is supported, got '$body'")
+          s"SELECT * FROM ${sub(cur)} LIMIT $body"
+        case "derive" =>
+          val items = tupleItems(body).map {
+            case named(n, e) => s"${expr(e)} AS $n"
+            case other => throw new IllegalArgumentException(
+              s"PRQL derive: expected name = expr, got '$other'")
+          }
+          s"SELECT *, ${items.mkString(", ")} FROM ${sub(cur)}"
+        case "select" =>
+          val items = tupleItems(body).map {
+            case named(n, e) => s"${expr(e)} AS $n"
+            case e => expr(e)
+          }
+          s"SELECT ${items.mkString(", ")} FROM ${sub(cur)}"
+        case "sort" =>
+          val items = tupleItems(body).map(_.trim).map { it =>
+            if (it.startsWith("-")) s"${expr(it.drop(1))} DESC"
+            else s"${expr(it)} ASC"
+          }
+          s"SELECT * FROM ${sub(cur)} ORDER BY ${items.mkString(", ")}"
+        case "aggregate" =>
+          s"SELECT ${aggItems(body).mkString(", ")} FROM ${sub(cur)}"
+        case "group" =>
+          val m = "(?s)^(\\{[^}]*\\}|[A-Za-z_][A-Za-z0-9_]*)\\s*\\((.*)\\)\\s*$".r
+          body match {
+            case m(keys0, inner0) =>
+              val keys = tupleItems(keys0).map(expr)
+              val inner = inner0.trim
+              require(inner.toLowerCase.startsWith("aggregate"),
+                "PRQL group: only `group {keys} (aggregate {…})` is supported")
+              val aggs = aggItems(inner.drop("aggregate".length).trim)
+              s"SELECT ${(keys ++ aggs).mkString(", ")} FROM ${sub(cur)} " +
+                s"GROUP BY ${keys.mkString(", ")}"
+            case _ => throw new IllegalArgumentException(
+              s"PRQL group: expected `group {keys} (aggregate {{…}})`, got '$body'")
+          }
+        case "join" =>
+          val m = ("(?is)^(?:side\\s*:\\s*(left|inner|right|full)\\s+)?" +
+            "([A-Za-z_][A-Za-z0-9_.]*)\\s*\\(\\s*==\\s*" +
+            "([A-Za-z_][A-Za-z0-9_]*)\\s*\\)\\s*$").r
+          body match {
+            case m(side, t, k) =>
+              val kind = Option(side).map(_.toUpperCase).getOrElse("INNER")
+              s"SELECT * FROM ${sub(cur)} $kind JOIN $t USING ($k)"
+            case _ => throw new IllegalArgumentException(
+              "PRQL join: supported form is `join side:left t (==col)`, " +
+                s"got '$body'")
+          }
+        case other => throw new IllegalArgumentException(
+          s"PRQL: unsupported verb '$other' (supported: from, filter, " +
+            "derive, select, aggregate, group, sort, take, join)")
+      }
+    }
+    cur
+  }
+
+  private val named = "(?s)^([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*(.+)$".r
+
+  /** `{a, b = e}` or a bare single item → items. */
+  private def tupleItems(body0: String): Seq[String] = {
+    val body = body0.trim
+    val inner =
+      if (body.startsWith("{") && body.endsWith("}"))
+        body.substring(1, body.length - 1)
+      else body
+    splitTop(inner).map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** PRQL aggregation items: `n = count this`, `s = sum x`, `avg y`. */
+  private def aggItems(body: String): Seq[String] =
+    tupleItems(body).map { it =>
+      val (alias, call) = it.trim match {
+        case named(n, e) => (Some(n), e.trim)
+        case e => (None, e.trim)
+      }
+      val m = "(?s)^([A-Za-z_]+)\\s+(.+)$".r
+      val sql = call match {
+        case m(fn, arg0) =>
+          val arg = expr(arg0)
+          fn.toLowerCase match {
+            case "sum" => s"sum($arg)"
+            case "average" => s"avg($arg)"
+            case "min" => s"min($arg)"
+            case "max" => s"max($arg)"
+            case "stddev" => s"stddev_samp($arg)"
+            case "count" =>
+              if (arg0.trim.equalsIgnoreCase("this")) "count(*)"
+              else s"count($arg)"
+            case "count_distinct" => s"count(DISTINCT $arg)"
+            case other => throw new IllegalArgumentException(
+              s"PRQL aggregate: unsupported function '$other'")
+          }
+        case _ => throw new IllegalArgumentException(
+          s"PRQL aggregate: expected `fn arg`, got '$call'")
+      }
+      alias.map(a => s"$sql AS $a")
+        .getOrElse(throw new IllegalArgumentException(
+          s"PRQL aggregate: name the output (`n = $call`)"))
+    }
+
+  /** PRQL scalar expression → Spark SQL (outside string literals). */
+  private def expr(e0: String): String = {
+    val out = e0.split("'", -1).zipWithIndex.map { case (seg0, i) =>
+      if (i % 2 == 1) seg0
+      else {
+        var s = seg0
+        // "double" strings → 'single'
+        s = s.replace("\"", "'")
+        s = s.replaceAll("==", " = ")
+        s = s.replaceAll("&&", " AND ")
+        s = s.replaceAll("\\|\\|", " OR ")
+        // @2024-01-31 date literal
+        s = "@(\\d{4}-\\d{2}-\\d{2})".r
+          .replaceAllIn(s, m => s"DATE '${m.group(1)}'")
+        s
+      }
+    }.mkString("'")
+    out.trim
+  }
+
+  /** Pipeline stages: split on newlines and top-level '|' (outside
+    * quotes/braces/parens). */
+  private def splitStages(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var inS = false
+    var last = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inS) { if (c == '\'' || c == '"') inS = false }
+      else c match {
+        case '\'' | '"' => inS = true
+        case '(' | '{' | '[' => depth += 1
+        case ')' | '}' | ']' => depth -= 1
+        case '\n' | '|' if depth == 0 =>
+          out += s.substring(last, i); last = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(last)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Split tuple items on top-level commas. */
+  private def splitTop(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var inS = false
+    var last = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inS) { if (c == '\'' || c == '"') inS = false }
+      else c match {
+        case '\'' | '"' => inS = true
+        case '(' | '{' | '[' => depth += 1
+        case ')' | '}' | ']' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(last, i); last = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(last)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+/** PRQL dialect front-end (round-13; reference
+  * src/Parsers/PRQL/ParserPRQLQuery.cpp — `SET dialect = 'prql'`). */
+class PrqlSpec extends SparkFunSuite {
+  import SparkTestBase.spark.implicits._
+
+  private def ch(s: String) = graft.sql.ClickHouseSql.sql(spark, s)
+
+  private def inPrql[T](body: => T): T = {
+    ch("SET dialect = 'prql'")
+    try body
+    finally ch("SET dialect = 'clickhouse'")
+  }
+
+  private def mk(): Unit =
+    Seq((1L, "a", 10L, 3L), (2L, "a", 20L, 1L), (3L, "b", 30L, 2L),
+        (4L, "b", 40L, 5L), (5L, "c", 50L, 4L))
+      .toDF("id", "grp", "v", "ord")
+      .createOrReplaceTempView("prql_t")
+
+  test("from | filter | derive | select | sort | take") {
+    mk()
+    inPrql {
+      val r = ch("""from prql_t
+        filter v >= 20 && grp != 'c'
+        derive {dbl = v * 2}
+        select {id, dbl}
+        sort {-dbl}
+        take 2""").collect()
+      assert(r.map(x => (x.getLong(0), x.getLong(1))).toSeq ==
+        Seq((4L, 80L), (3L, 60L)))
+    }
+  }
+
+  test("group {k} (aggregate {…}) and bare aggregate") {
+    mk()
+    inPrql {
+      val g = ch("from prql_t | group {grp} (aggregate {n = count this, " +
+        "s = sum v})").collect()
+        .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).sortBy(_._1)
+      assert(g.toSeq == Seq(("a", 2L, 30L), ("b", 2L, 70L), ("c", 1L, 50L)))
+      val a = ch("from prql_t | aggregate {m = average v, " +
+        "d = count_distinct grp}").collect().head
+      assert(a.getDouble(0) == 30.0 && a.getLong(1) == 3L)
+    }
+  }
+
+  test("join side:left (==col), == comparisons, loud rejects") {
+    mk()
+    Seq(("a", "alpha"), ("b", "beta")).toDF("grp", "label")
+      .createOrReplaceTempView("prql_d")
+    inPrql {
+      val j = ch("from prql_t | join side:left prql_d (==grp) " +
+        "| filter id == 1 | select {id, label}").collect().head
+      assert(j.getLong(0) == 1L && j.getString(1) == "alpha")
+      val e = intercept[Exception](ch("from prql_t | window rows:-2..0"))
+      assert(e.getMessage.contains("unsupported verb"))
+      val e2 = intercept[Exception](ch("select {1}"))
+      assert(e2.getMessage.contains("from"))
+    }
+    assert(ch("SELECT 2 AS two").collect().head.getInt(0) == 2)
+  }
+}
