@@ -581,6 +581,36 @@ object Formats extends QueryPack {
       graft.sources.ChMiscFormats.writeMsgPack(src, path)
       graft.sources.ChMiscFormats.readMsgPack(s, path, src.schema)
         .orderBy("c_custkey")
+    },
+
+    // Protobuf (round-13 — closes the round-12 documented format gap):
+    // write the frame through the wire-format encoder (varints, zigzag,
+    // packed repeated), read it back, compare against the source — the
+    // oracle reads the same parquet directly, so any wire defect is a
+    // red row. Repeated field included (order-count per customer).
+    Q.df("q_format_protobuf", """
+      SELECT c_custkey, c_name,
+        CAST(c_nationkey AS INT) AS nat,
+        CAST(c_acctbal AS DOUBLE) AS bal
+      FROM customer ORDER BY c_custkey""") { (s, dir) =>
+      val src = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"),
+          col("c_nationkey").cast("int").as("nat"),
+          col("c_acctbal").cast("double").as("bal"))
+        .repartition(3)
+      val proto = """
+        syntax = "proto3";
+        message Customer {
+          int64 c_custkey = 1;
+          string c_name = 2;
+          sint32 nat = 3;
+          double bal = 4;
+        }"""
+      val path = fixtureDir("protobuf_customer", dir)
+      graft.sources.ChProtobufFormat.writeProtobuf(src, path, proto,
+        "Customer")
+      graft.sources.ChProtobufFormat.readProtobuf(s, path, proto,
+        "Customer").orderBy("c_custkey")
     }
   )
 }

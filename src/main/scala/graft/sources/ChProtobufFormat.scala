@@ -1,0 +1,403 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, EOFException, OutputStream}
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Protobuf / ProtobufSingle formats (reference:
+  * src/Formats/registerFormats.cpp registerInputFormatProtobuf +
+  * src/Formats/ProtobufSerializer.cpp; format_schema carries
+  * 'file.proto:MessageName'). Round-12 COVERAGE carried Protobuf as the
+  * documented format gap ("descriptor tooling"); this closes it with a
+  * self-contained implementation of the PUBLIC protobuf wire format
+  * (developers.google.com/protocol-buffers/docs/encoding — varints,
+  * zigzag, the four wire types, packed repeated) plus a minimal proto3
+  * schema parser for flat scalar messages:
+  *
+  *   message M { int64 id = 1; string name = 2; repeated double v = 3; }
+  *
+  * Supported field types: double, float, bool, string, bytes,
+  * int32/int64, uint32/uint64, sint32/sint64, fixed32/sfixed32,
+  * fixed64/sfixed64, and `repeated` of each (numerics packed, the
+  * proto3 default). Nested messages / enums / maps / oneof reject
+  * loudly — the flat-row subset is exactly what a table row is.
+  *
+  * Framing, per the reference's two formats:
+  *   Protobuf        every row is one message prefixed by a VARINT
+  *                   byte length (the stream-friendly framing).
+  *   ProtobufSingle  ONE bare message, no length prefix.
+  *
+  * Writer semantics: every field is written EXPLICITLY (including
+  * proto3 defaults) so decode∘encode is the identity; readers accept
+  * missing fields as proto3 defaults (0 / '' / false / empty list) —
+  * NULL on the Spark side is written as the default, the documented
+  * proto3 lossiness. Distribution model matches the other graft wire
+  * formats: one self-contained part file per partition on write, one
+  * Spark task per part streaming-decoded on read.
+  */
+object ChProtobufFormat {
+
+  // ------------------------------------------------------------- schema
+
+  final case class ProtoField(name: String, number: Int, ptype: String,
+      repeated: Boolean)
+
+  private val scalarTypes = Set("double", "float", "bool", "string",
+    "bytes", "int32", "int64", "uint32", "uint64", "sint32", "sint64",
+    "fixed32", "sfixed32", "fixed64", "sfixed64")
+
+  /** Parse a proto3 schema text and return `message`'s fields sorted by
+    * field number. Flat scalar messages only — anything else is loud. */
+  def parseProto(schemaText: String, message: String): Seq[ProtoField] = {
+    // strip comments
+    val clean = schemaText.replaceAll("//[^\n]*", "")
+      .replaceAll("(?s)/\\*.*?\\*/", "")
+    val msgRe = ("(?s)\\bmessage\\s+" + java.util.regex.Pattern.quote(message) +
+      "\\s*\\{([^{}]*)\\}").r
+    val body = msgRe.findFirstMatchIn(clean).map(_.group(1)).getOrElse(
+      throw new IllegalArgumentException(
+        s"protobuf: message '$message' not found in the schema " +
+          "(nested messages are not supported)"))
+    // not line-anchored: `message M { int64 k = 1; string s = 2; }` on
+    // one line parses the same as the multi-line layout
+    val fieldRe =
+      "(repeated\\s+)?([A-Za-z_][A-Za-z0-9_.]*)\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*(\\d+)\\s*;".r
+    val fields = fieldRe.findAllMatchIn(body).map { m =>
+      val t = m.group(2)
+      require(scalarTypes(t), s"protobuf: unsupported field type '$t' " +
+        "(flat scalar messages only — no nested messages/enums/maps)")
+      ProtoField(m.group(3), m.group(4).toInt, t, m.group(1) != null)
+    }.toSeq
+    require(fields.nonEmpty, s"protobuf: message '$message' has no fields")
+    require(fields.map(_.number).distinct.length == fields.length,
+      "protobuf: duplicate field numbers")
+    fields.sortBy(_.number)
+  }
+
+  /** Spark schema implied by the proto fields (field-number order). */
+  def sparkSchema(fields: Seq[ProtoField]): StructType =
+    StructType(fields.map { f =>
+      val base: DataType = f.ptype match {
+        case "double" => DoubleType
+        case "float" => FloatType
+        case "bool" => BooleanType
+        case "string" => StringType
+        case "bytes" => BinaryType
+        case "int32" | "sint32" | "sfixed32" => IntegerType
+        case "fixed32" | "uint32" => LongType // unsigned ranges need 64 bits
+        case _ => LongType
+      }
+      StructField(f.name,
+        if (f.repeated) ArrayType(base, containsNull = false) else base,
+        nullable = true)
+    })
+
+  private def wireType(t: String): Int = t match {
+    case "double" | "fixed64" | "sfixed64" => 1
+    case "float" | "fixed32" | "sfixed32" => 5
+    case "string" | "bytes" => 2
+    case _ => 0 // varints
+  }
+
+  // ------------------------------------------------------------ encoding
+
+  private def writeVarint(out: OutputStream, v0: Long): Unit = {
+    var v = v0
+    while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+    out.write(v.toInt)
+  }
+
+  private def zigzag(v: Long): Long = (v << 1) ^ (v >> 63)
+  private def unzigzag(v: Long): Long = (v >>> 1) ^ -(v & 1)
+
+  private def writeFixed32(out: OutputStream, v: Int): Unit = {
+    out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+    out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff)
+  }
+
+  private def writeFixed64(out: OutputStream, v: Long): Unit = {
+    var i = 0
+    while (i < 8) { out.write(((v >>> (8 * i)) & 0xff).toInt); i += 1 }
+  }
+
+  private def scalarBytes(t: String, v: Any): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    writeScalar(bos, t, v)
+    bos.toByteArray
+  }
+
+  /** One scalar payload (no tag). */
+  private def writeScalar(out: OutputStream, t: String, v: Any): Unit = t match {
+    case "double" =>
+      writeFixed64(out, java.lang.Double.doubleToLongBits(
+        v.asInstanceOf[Number].doubleValue))
+    case "float" =>
+      writeFixed32(out, java.lang.Float.floatToIntBits(
+        v.asInstanceOf[Number].floatValue))
+    case "bool" => writeVarint(out, if (v.asInstanceOf[Boolean]) 1L else 0L)
+    case "int32" | "int64" | "uint32" | "uint64" =>
+      writeVarint(out, v.asInstanceOf[Number].longValue)
+    case "sint32" | "sint64" =>
+      writeVarint(out, zigzag(v.asInstanceOf[Number].longValue))
+    case "fixed32" | "sfixed32" =>
+      writeFixed32(out, v.asInstanceOf[Number].intValue)
+    case "fixed64" | "sfixed64" =>
+      writeFixed64(out, v.asInstanceOf[Number].longValue)
+    case "string" =>
+      val b = v.toString.getBytes(StandardCharsets.UTF_8)
+      writeVarint(out, b.length.toLong); out.write(b)
+    case "bytes" =>
+      val b = v.asInstanceOf[Array[Byte]]
+      writeVarint(out, b.length.toLong); out.write(b)
+  }
+
+  /** One row → one serialized message (no framing). */
+  def encodeRow(row: Row, schema: StructType,
+      fields: Seq[ProtoField]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    fields.foreach { f =>
+      val idx = schema.fieldIndex(f.name)
+      val wt = wireType(f.ptype)
+      if (!f.repeated) {
+        val v =
+          if (row.isNullAt(idx)) defaultOf(f.ptype) // proto3: NULL = default
+          else row.get(idx)
+        writeVarint(out, (f.number.toLong << 3) | wt)
+        writeScalar(out, f.ptype, v)
+      } else if (!row.isNullAt(idx)) {
+        val xs = row.getSeq[Any](idx)
+        if (f.ptype == "string" || f.ptype == "bytes") {
+          xs.foreach { x =>
+            writeVarint(out, (f.number.toLong << 3) | 2)
+            writeScalar(out, f.ptype, x)
+          }
+        } else if (xs.nonEmpty) {
+          // packed numerics (the proto3 default wire shape)
+          val payload = new java.io.ByteArrayOutputStream()
+          xs.foreach(x => writeScalar(payload, f.ptype, x))
+          writeVarint(out, (f.number.toLong << 3) | 2)
+          writeVarint(out, payload.size.toLong)
+          payload.writeTo(out)
+        }
+      }
+    }
+    out.toByteArray
+  }
+
+  private def defaultOf(t: String): Any = t match {
+    case "double" => 0.0d
+    case "float" => 0.0f
+    case "bool" => false
+    case "string" => ""
+    case "bytes" => Array.emptyByteArray
+    case "int32" | "sint32" | "sfixed32" => 0
+    case _ => 0L
+  }
+
+  // ------------------------------------------------------------ decoding
+
+  private final class ByteReader(val b: Array[Byte]) {
+    var pos = 0
+    def hasMore: Boolean = pos < b.length
+    def varint(): Long = {
+      var shift = 0
+      var out = 0L
+      var more = true
+      while (more) {
+        if (pos >= b.length) throw new EOFException("protobuf: EOF in varint")
+        val x = b(pos) & 0xff
+        pos += 1
+        out |= (x & 0x7fL) << shift
+        shift += 7
+        more = (x & 0x80) != 0
+      }
+      out
+    }
+    def fixed32(): Int = {
+      val v = (b(pos) & 0xff) | ((b(pos + 1) & 0xff) << 8) |
+        ((b(pos + 2) & 0xff) << 16) | ((b(pos + 3) & 0xff) << 24)
+      pos += 4; v
+    }
+    def fixed64(): Long = {
+      var v = 0L
+      var i = 0
+      while (i < 8) { v |= (b(pos + i) & 0xffL) << (8 * i); i += 1 }
+      pos += 8; v
+    }
+    def bytes(n: Int): Array[Byte] = {
+      val out = java.util.Arrays.copyOfRange(b, pos, pos + n)
+      pos += n; out
+    }
+  }
+
+  private def readScalar(r: ByteReader, t: String): Any = t match {
+    case "double" => java.lang.Double.longBitsToDouble(r.fixed64())
+    case "float" => java.lang.Float.intBitsToFloat(r.fixed32())
+    case "bool" => r.varint() != 0L
+    case "int32" => r.varint().toInt
+    case "int64" | "uint64" => r.varint()
+    case "uint32" => r.varint() & 0xffffffffL
+    case "sint32" => unzigzag(r.varint()).toInt
+    case "sint64" => unzigzag(r.varint())
+    case "fixed32" => r.fixed32().toLong & 0xffffffffL
+    case "sfixed32" => r.fixed32()
+    case "fixed64" | "sfixed64" => r.fixed64()
+    case "string" => new String(r.bytes(r.varint().toInt), StandardCharsets.UTF_8)
+    case "bytes" => r.bytes(r.varint().toInt)
+  }
+
+  /** One serialized message → one Row in `fields` (number) order. */
+  def decodeRow(msg: Array[Byte], fields: Seq[ProtoField]): Row = {
+    val byNumber = fields.zipWithIndex.map { case (f, i) => f.number -> ((f, i)) }.toMap
+    val vals = new Array[Any](fields.length)
+    val lists = fields.map(f =>
+      if (f.repeated) scala.collection.mutable.ArrayBuffer.empty[Any] else null)
+    val r = new ByteReader(msg)
+    while (r.hasMore) {
+      val key = r.varint()
+      val num = (key >>> 3).toInt
+      val wt = (key & 7).toInt
+      byNumber.get(num) match {
+        case Some((f, i)) =>
+          if (f.repeated && wt == 2 && wireType(f.ptype) != 2) {
+            // packed numerics
+            val len = r.varint().toInt
+            val end = r.pos + len
+            while (r.pos < end) lists(i) += readScalar(r, f.ptype)
+          } else if (f.repeated) {
+            lists(i) += readScalar(r, f.ptype)
+          } else {
+            vals(i) = readScalar(r, f.ptype)
+          }
+        case None => // unknown field: skip by wire type (proto contract)
+          wt match {
+            case 0 => r.varint()
+            case 1 => r.fixed64()
+            case 2 => r.bytes(r.varint().toInt)
+            case 5 => r.fixed32()
+            case other => throw new IllegalArgumentException(
+              s"protobuf: unsupported wire type $other")
+          }
+      }
+    }
+    fields.zipWithIndex.foreach { case (f, i) =>
+      if (f.repeated) vals(i) = lists(i).toSeq
+      else if (vals(i) == null) vals(i) = defaultOf(f.ptype) match {
+        case b: Array[Byte] => b
+        case x => x
+      }
+    }
+    Row.fromSeq(vals.toIndexedSeq)
+  }
+
+  // ------------------------------------------------------------- framing
+
+  private def prepareDir(path: String): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    if (fs.exists(p)) fs.delete(p, true)
+    fs.mkdirs(p)
+  }
+
+  private def partPath(dir: String, idx: Int): Path =
+    new Path(dir, f"part-$idx%05d.pb")
+
+  private def listParts(dir: String): Seq[String] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(new Configuration())
+    fs.listStatus(p).filter(_.getPath.getName.endsWith(".pb"))
+      .map(_.getPath.toString).sorted.toSeq
+  }
+
+  /** Write `df` as a directory of length-delimited protobuf part files
+    * (FORMAT Protobuf), one per partition. `single = true` writes BARE
+    * messages (FORMAT ProtobufSingle) — then every partition must hold
+    * exactly one row, because bare concatenated messages of one type
+    * are not splittable. */
+  def writeProtobuf(df: DataFrame, path: String, schemaText: String,
+      message: String, single: Boolean = false): Unit = {
+    val fields = parseProto(schemaText, message)
+    val schema = df.schema
+    fields.foreach(f => require(schema.fieldNames.contains(f.name),
+      s"protobuf: column '${f.name}' missing from the DataFrame"))
+    prepareDir(path)
+    df.rdd.mapPartitionsWithIndex { (idx, rows) =>
+      val fs = new Path(path).getFileSystem(new Configuration())
+      val out = new BufferedOutputStream(
+        fs.create(partPath(path, idx), true), 1 << 16)
+      try {
+        var n = 0
+        rows.foreach { row =>
+          n += 1
+          if (single && n > 1) throw new IllegalArgumentException(
+            "ProtobufSingle: one bare message per stream — coalesce to " +
+              "one row per partition or use FORMAT Protobuf")
+          val msg = encodeRow(row, schema, fields)
+          if (!single) writeVarint(out, msg.length.toLong)
+          out.write(msg)
+        }
+      } finally out.close()
+      Iterator.empty
+    }.count()
+    ()
+  }
+
+  /** Read a Protobuf directory: one Spark task per part file, each
+    * stream-decoded message by message. Schema comes from the proto. */
+  def readProtobuf(spark: SparkSession, path: String, schemaText: String,
+      message: String, single: Boolean = false): DataFrame = {
+    val fields = parseProto(schemaText, message)
+    val schema = sparkSchema(fields)
+    val parts = listParts(path)
+    val rows = spark.sparkContext
+      .parallelize(parts, math.max(parts.length, 1))
+      .flatMap { file =>
+        val p = new Path(file)
+        val fs = p.getFileSystem(new Configuration())
+        val in = new DataInputStream(
+          new BufferedInputStream(fs.open(p), 1 << 16))
+        if (single) {
+          val all = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](1 << 16)
+          var n = in.read(buf)
+          while (n >= 0) { all.write(buf, 0, n); n = in.read(buf) }
+          in.close()
+          if (all.size == 0) Iterator.empty
+          else Iterator.single(decodeRow(all.toByteArray, fields))
+        } else new Iterator[Row] {
+          private var nextLen: Int = readLenOrEof(in)
+          override def hasNext: Boolean = {
+            if (nextLen < 0) { in.close(); false } else true
+          }
+          override def next(): Row = {
+            val msg = new Array[Byte](nextLen)
+            in.readFully(msg)
+            nextLen = readLenOrEof(in)
+            decodeRow(msg, fields)
+          }
+        }
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Next message's varint length, or -1 at clean EOF. */
+  private def readLenOrEof(in: DataInputStream): Int = {
+    val first = in.read()
+    if (first < 0) return -1
+    var out = (first & 0x7fL)
+    var shift = 7
+    var more = (first & 0x80) != 0
+    while (more) {
+      val x = in.read()
+      if (x < 0) throw new EOFException("protobuf: EOF in length varint")
+      out |= (x & 0x7fL) << shift
+      shift += 7
+      more = (x & 0x80) != 0
+    }
+    out.toInt
+  }
+}

@@ -1294,6 +1294,16 @@ object ClickHouseSql {
             try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
             finally out.close()
           case "rowbinary" => graft.sources.ChWireFormats.writeRowBinary(df, path)
+          // Protobuf / ProtobufSingle (round-13 — needs the reference's
+          // format_schema setting: SET format_schema = 'file.proto:Msg')
+          case "protobuf" =>
+            val (schemaText, msg) = formatSchemaOf(spark)
+            graft.sources.ChProtobufFormat.writeProtobuf(
+              df.coalesce(1), path, schemaText, msg)
+          case "protobufsingle" =>
+            val (schemaText, msg) = formatSchemaOf(spark)
+            graft.sources.ChProtobufFormat.writeProtobuf(
+              df.coalesce(1), path, schemaText, msg, single = true)
           case _ => w.csv(path)
         }
         import spark.implicits._
@@ -1329,6 +1339,12 @@ object ClickHouseSql {
             graft.sources.ChTextFormats.readJsonObjectEachRow(spark, path, schema)
           case "rowbinary" =>
             graft.sources.ChWireFormats.readRowBinary(spark, path, schema)
+          case "protobuf" | "protobufsingle" =>
+            val (schemaText, msg) = formatSchemaOf(spark)
+            val raw = graft.sources.ChProtobufFormat.readProtobuf(
+              spark, path, schemaText, msg, single = fmt == "protobufsingle")
+            raw.select(schema.map(f => org.apache.spark.sql.functions
+              .col(f.name).cast(f.dataType)): _*)
           case other => throw new IllegalArgumentException(
             s"FROM INFILE: unsupported format '$other'")
         }
@@ -2247,6 +2263,28 @@ object ClickHouseSql {
     * enabled per-session with `SET use_query_cache = 1`, dropped with
     * `SYSTEM DROP QUERY CACHE`. */
   val queryCache = new graft.operators.ResultCache()
+
+  /** The reference's format_schema setting ('file.proto:MessageName',
+    * src/Formats/FormatSchemaInfo.cpp) for the Protobuf formats: read
+    * the schema file and return (text, message). Loud when unset. */
+  private def formatSchemaOf(spark: SparkSession): (String, String) = {
+    val raw = spark.conf.getOption("graft.ch.format_schema")
+      .map(_.stripPrefix("'").stripSuffix("'").trim)
+      .getOrElse(throw new IllegalArgumentException(
+        "FORMAT Protobuf needs SET format_schema = 'file.proto:Message'"))
+    val i = raw.lastIndexOf(':')
+    require(i > 0 && i < raw.length - 1,
+      s"format_schema must be 'file.proto:Message', got '$raw'")
+    val (file, msg) = (raw.substring(0, i), raw.substring(i + 1))
+    val p = new org.apache.hadoop.fs.Path(file)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val text =
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    (text, msg)
+  }
 
   /** The engine-internal evaluation lane WATCH and the LIVE VIEW push
     * stream share: full dialect rewrite, NO quota charge (re-evaluating

@@ -1,0 +1,153 @@
+package graft
+
+import graft.sources.ChProtobufFormat
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Protobuf format (round-13 — closes the round-12 documented format
+  * gap). Golden bytes follow the official wire-format documentation's
+  * worked examples (varint 150 = 0x96 0x01, zigzag, packed repeated). */
+class ChProtobufFormatSpec extends SparkFunSuite {
+  import SparkTestBase.spark.implicits._
+
+  private val proto = """
+    syntax = "proto3";
+    message T {
+      int64 id = 1;
+      string name = 2;
+      repeated int32 v = 3;
+      sint32 z = 4;
+      double d = 5;
+    }"""
+
+  private val fields = ChProtobufFormat.parseProto(proto, "T")
+
+  test("parseProto: fields in number order; nested/enum reject loudly") {
+    assert(fields.map(f => (f.name, f.number, f.ptype, f.repeated)) == Seq(
+      ("id", 1, "int64", false), ("name", 2, "string", false),
+      ("v", 3, "int32", true), ("z", 4, "sint32", false),
+      ("d", 5, "double", false)))
+    val e = intercept[IllegalArgumentException] {
+      ChProtobufFormat.parseProto(
+        "message A { message B { int32 x = 1; } int32 y = 2; }", "A")
+    }
+    assert(e.getMessage.contains("not found") ||
+      e.getMessage.contains("unsupported"))
+    val e2 = intercept[IllegalArgumentException] {
+      ChProtobufFormat.parseProto("message A { SomeEnum e = 1; }", "A")
+    }
+    assert(e2.getMessage.contains("unsupported field type"))
+  }
+
+  test("golden bytes: the documented wire encoding, byte for byte") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("v", ArrayType(IntegerType)),
+      StructField("z", IntegerType), StructField("d", DoubleType)))
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+      Array[Any](150L, "abc", Seq(1, 2, 300), -2, 1.5), schema)
+    val got = ChProtobufFormat.encodeRow(row, schema, fields)
+      .map(b => f"${b & 0xff}%02x").mkString(" ")
+    assert(got ==
+      "08 96 01 " +            // field 1 varint 150
+      "12 03 61 62 63 " +      // field 2 len-3 "abc"
+      "1a 04 01 02 ac 02 " +   // field 3 packed [1, 2, 300]
+      "20 03 " +               // field 4 zigzag(-2) = 3
+      "29 00 00 00 00 00 00 f8 3f") // field 5 double 1.5 LE
+  }
+
+  test("decode ∘ encode is the identity; unknown fields skip; missing " +
+      "fields read as proto3 defaults") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("v", ArrayType(IntegerType)),
+      StructField("z", IntegerType), StructField("d", DoubleType)))
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+      Array[Any](-7L, "héllo", Seq(0, -1, 1 << 20), 2147483647, -0.25), schema)
+    val back = ChProtobufFormat.decodeRow(
+      ChProtobufFormat.encodeRow(row, schema, fields), fields)
+    assert(back.getLong(0) == -7L)
+    assert(back.getString(1) == "héllo")
+    assert(back.getSeq[Int](2) == Seq(0, -1, 1 << 20))
+    assert(back.getInt(3) == 2147483647)
+    assert(back.getDouble(4) == -0.25)
+    // unknown field 9 (varint) prepended — must skip cleanly
+    val extra = Array[Byte](0x48, 0x2a) ++ // field 9, wt 0, value 42
+      ChProtobufFormat.encodeRow(row, schema, fields)
+    assert(ChProtobufFormat.decodeRow(extra, fields).getLong(0) == -7L)
+    // empty message → all defaults
+    val empty = ChProtobufFormat.decodeRow(Array.emptyByteArray, fields)
+    assert(empty.getLong(0) == 0L && empty.getString(1) == "" &&
+      empty.getSeq[Int](2) == Seq.empty && empty.getDouble(4) == 0.0)
+  }
+
+  test("Protobuf directory roundtrip across partitions; ProtobufSingle " +
+      "enforces one bare message per stream") {
+    val df = (1 to 100).map(i =>
+      (i.toLong, s"n$i", Seq(i, i * 2), -i, i / 4.0))
+      .toDF("id", "name", "v", "z", "d").repartition(4)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pb_spec").toString
+    try {
+      ChProtobufFormat.writeProtobuf(df, s"$dir/multi", proto, "T")
+      val back = ChProtobufFormat
+        .readProtobuf(spark, s"$dir/multi", proto, "T")
+      assert(back.count() == 100L)
+      val r5 = back.filter("id = 5").collect().head
+      assert(r5.getString(1) == "n5" && r5.getSeq[Int](2) == Seq(5, 10) &&
+        r5.getInt(3) == -5 && r5.getDouble(4) == 1.25)
+      // single: one row per stream
+      ChProtobufFormat.writeProtobuf(df.filter("id = 7").coalesce(1),
+        s"$dir/single", proto, "T", single = true)
+      val one = ChProtobufFormat
+        .readProtobuf(spark, s"$dir/single", proto, "T", single = true)
+        .collect()
+      assert(one.length == 1 && one.head.getLong(0) == 7L)
+      val e = intercept[Exception] {
+        ChProtobufFormat.writeProtobuf(df.coalesce(1), s"$dir/bad", proto,
+          "T", single = true)
+      }
+      assert(e.getMessage.contains("ProtobufSingle") ||
+        Option(e.getCause).exists(_.getMessage.contains("ProtobufSingle")))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("INTO OUTFILE / FROM INFILE FORMAT Protobuf ride the dialect with " +
+      "SET format_schema = 'file.proto:Message'; unset setting is loud") {
+    val ch = (s: String) => graft.sql.ClickHouseSql.sql(spark, s)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pb_sql").toString
+    val t = "graft_pb_t"
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Path.of(s"$dir/cust.proto"),
+        "syntax = \"proto3\";\nmessage M { int64 k = 1; string s = 2; }\n")
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      ch(s"CREATE TABLE $t (k Int64, s String) ENGINE = MergeTree ORDER BY k")
+      ch(s"INSERT INTO $t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+      // no format_schema set → loud
+      spark.conf.unset("graft.ch.format_schema")
+      val e = intercept[Exception](ch(
+        s"SELECT k, s FROM $t INTO OUTFILE '$dir/out' FORMAT Protobuf"))
+      assert(e.getMessage.contains("format_schema"))
+      ch(s"SET format_schema = '$dir/cust.proto:M'")
+      val n = ch(s"SELECT k, s FROM $t ORDER BY k " +
+        s"INTO OUTFILE '$dir/out' FORMAT Protobuf").collect().head.getLong(0)
+      assert(n == 3L)
+      // read back through INSERT ... FROM INFILE
+      ch(s"TRUNCATE TABLE $t")
+      val read = ch(s"INSERT INTO $t FROM INFILE '$dir/out' " +
+        "FORMAT Protobuf").collect().head.getLong(0)
+      assert(read == 3L)
+      val rows = spark.table(t).orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(rows == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    } finally {
+      spark.conf.unset("graft.ch.format_schema")
+      scala.util.Try(spark.sql(s"DROP TABLE IF EXISTS $t"))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+}
