@@ -1704,6 +1704,31 @@ object FunctionTail2 extends QueryPack {
         'SELECT lower(''ABC'') AS s' AS lit,
         CAST(NULL AS VARCHAR) AS bad_paren,
         CAST(NULL AS VARCHAR) AS bad_head,
-        CAST(NULL AS VARCHAR) AS bad_quote""")
+        CAST(NULL AS VARCHAR) AS bad_quote"""),
+
+    // lemmatize / synonyms over session-registered dictionaries
+    // (round-13; lemmatize.cpp / synonyms.cpp — the reference loads
+    // dictionary FILES from server config, this engine registers them
+    // per session; miss semantics pinned: lemmatize passes through,
+    // synonyms → empty array). The oracle restates the registered
+    // mapping as CASE expressions.
+    Q("q_fn_nlp_dict", (s, dir) => {
+      Tables.register(s, dir)
+      graft.functions.NlpDictionaries.registerLemmatizer("q13_types", Seq(
+        "ECONOMY" -> "econ", "STANDARD" -> "std", "PROMO" -> "promo"))
+      graft.functions.NlpDictionaries.registerSynonyms("q13_syn", Seq(
+        Seq("SMALL", "MEDIUM", "LARGE")))
+      ClickHouseSql.sql(s, """
+        SELECT p_partkey,
+          lemmatize('q13_types', p_type) AS lem,
+          CAST(size(synonyms('q13_syn', p_type)) AS INT) AS nsyn
+        FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""")
+    }, Some("""
+      SELECT p_partkey,
+        CASE p_type WHEN 'ECONOMY' THEN 'econ' WHEN 'STANDARD' THEN 'std'
+                    WHEN 'PROMO' THEN 'promo' ELSE p_type END AS lem,
+        CASE WHEN p_type IN ('SMALL', 'MEDIUM', 'LARGE') THEN 3
+             ELSE 0 END AS nsyn
+      FROM part WHERE p_partkey <= 500 ORDER BY p_partkey"""))
   )
 }

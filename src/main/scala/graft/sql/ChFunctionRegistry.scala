@@ -468,6 +468,8 @@ object ChFunctionRegistry {
       name => ClickHouseSql.namedCollection(name)
     graft.functions.GeoBases.collectionProvider =
       name => ClickHouseSql.namedCollection(name)
+    graft.functions.NlpDictionaries.collectionProvider =
+      name => ClickHouseSql.namedCollection(name)
     val registry = spark.sessionState.functionRegistry
     val builtin = org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
     builders.foreach { case (name, builder) =>

@@ -192,6 +192,48 @@ object ChRegistryTail10 {
     StaticInvoke(fmtCls, StringType, method, Seq(args.head),
       Seq(StringType))
 
+  private val nlpCls = classOf[graft.functions.NlpKernels.type]
+
+  /** Constant dictionary-name argument → its registered content, as a
+    * plan literal (the reference requires a constant name too; the
+    * lemmatizer/extension loads once per query, here at plan time). */
+  private def nlpBlob(nameArg: Expression,
+      blobOf: String => String): Expression = {
+    val name = nameArg match {
+      case e if e.foldable => e.eval() match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        case other => String.valueOf(other)
+      }
+      case _ => throw new IllegalArgumentException(
+        "the dictionary name argument must be a constant string " +
+          "(the reference requires a ColumnConst too)")
+    }
+    Literal(org.apache.spark.unsafe.types.UTF8String.fromString(
+      blobOf(name)), StringType)
+  }
+
+  /** lemmatize('dict', word) — dictionary lookup, misses pass the word
+    * through unchanged (lemmatize.cpp over Lemmatizers.h). */
+  private def lemmatizeFn(args: Seq[Expression]): Expression =
+    StaticInvoke(nlpCls, StringType, "lemmatizeDict",
+      Seq(nlpBlob(args.head, graft.functions.NlpDictionaries.lemmaBlob),
+        args(1)), Seq(StringType, StringType))
+
+  /** synonyms('ext', token) → Array(String) — the synset containing the
+    * token, empty array on miss (synonyms.cpp over
+    * SynonymsExtensions.h). The kernel returns a U+0001-joined string
+    * (NULL on miss) that splits into the array here. */
+  private def synonymsFn(args: Seq[Expression]): Expression = {
+    val inv = StaticInvoke(nlpCls, StringType, "synonymsDict",
+      Seq(nlpBlob(args.head, graft.functions.NlpDictionaries.synBlob),
+        args(1)), Seq(StringType, StringType))
+    If(IsNull(args(1)),
+      Literal.create(null, ArrayType(StringType)),
+      If(IsNull(inv),
+        Literal.create(Array.empty[String], ArrayType(StringType)),
+        StringSplit(inv, Literal("\u0001"), Literal(-1))))
+  }
+
   /** port(url[, default_port]) — the RFC twin shares the lenient host
     * lane (the graft URL surface documents RFC twins as same-extraction;
     * port.cpp:131). */
@@ -485,5 +527,9 @@ object ChRegistryTail10 {
     "formatquery" -> fmt("formatQuery") _,
     "formatqueryornull" -> fmt("formatQueryOrNull") _,
     "formatquerysingleline" -> fmt("formatQuerySingleLine") _,
-    "formatquerysinglelineornull" -> fmt("formatQuerySingleLineOrNull") _)
+    "formatquerysinglelineornull" -> fmt("formatQuerySingleLineOrNull") _,
+    // -- dictionary-backed NLP (round-13: lemmatize.cpp / synonyms.cpp
+    // over session-registered dictionaries — NlpKernels)
+    "lemmatize" -> lemmatizeFn _,
+    "synonyms" -> synonymsFn _)
 }
