@@ -86,6 +86,50 @@ object KqlQueries extends QueryPack {
       FROM orders WHERE o_totalprice > 400000
       ORDER BY o_orderstatus, o_orderpriority"""),
 
+    // make-series over a DATETIME axis with a timespan step
+    // (ParserKQLMakeSeries): one row per event_type carrying the dense
+    // 30-day count series + the grid itself; empty days fill with the
+    // default 0. The oracle rebuilds the same dense series in DuckDB
+    // with a grid cross join + ordered list() — a structurally
+    // different construction from the engine's map-projection plan.
+    Q("q_kql_make_series", (s, dir) => {
+      Tables.register(s, dir)
+      ClickHouseSql.sql(s, "SET dialect = 'kusto'")
+      val series =
+        try ClickHouseSql.sql(s,
+          "events | make-series n = count() on ts " +
+            "from datetime(2024-01-01) to datetime(2024-01-31) step 1d " +
+            "by event_type | sort by event_type asc")
+        finally ClickHouseSql.sql(s, "SET dialect = 'clickhouse'")
+      // stringify the array columns for the driver's hash compare (the
+      // battery's convention for array outputs)
+      series.selectExpr("event_type",
+        "array_join(transform(n, x -> CAST(CAST(x AS DECIMAL(18,1)) " +
+          "AS STRING)), ',') AS n_str",
+        "array_join(transform(ts, x -> date_format(x, 'yyyy-MM-dd')), " +
+          "',') AS days")
+    }, Some("""
+      WITH grid AS (
+        SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+          TIMESTAMP '2024-01-30', INTERVAL 1 DAY)) AS g),
+      types AS (SELECT DISTINCT event_type FROM events),
+      binned AS (
+        SELECT event_type, date_trunc('day', ts) AS g,
+          COUNT(*) AS c
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'
+        GROUP BY 1, 2)
+      SELECT t.event_type,
+        ARRAY_TO_STRING(LIST(CAST(CAST(COALESCE(CAST(b.c AS DOUBLE), 0.0)
+          AS DECIMAL(18,1)) AS VARCHAR) ORDER BY grid.g), ',') AS n_str,
+        ARRAY_TO_STRING(LIST(strftime(grid.g, '%Y-%m-%d')
+          ORDER BY grid.g), ',') AS days
+      FROM types t
+      CROSS JOIN grid
+      LEFT JOIN binned b ON b.event_type = t.event_type AND b.g = grid.g
+      GROUP BY t.event_type
+      ORDER BY t.event_type""")),
+
     // ---- PRQL dialect (ParserPRQLQuery.cpp; SET dialect = 'prql') ----
 
     // the canonical PRQL pipeline: filter → derive → group/aggregate →

@@ -71,9 +71,8 @@ object KqlTranslator {
         case "mv-expand" => mvExpandStage(spark, cur, st.drop("mv-expand".length))
         case "count" if st.toLowerCase == "count" =>
           s"SELECT count(*) AS Count FROM ${sub(cur)}"
-        case "make-series" => throw new IllegalArgumentException(
-          "KQL: make-series is not supported by this engine — express the " +
-            "series with summarize ... by bin(...)")
+        case "make-series" =>
+          makeSeriesStage(cur, st.drop("make-series".length))
         case other => throw new IllegalArgumentException(
           s"KQL: unsupported operator '$other' (supported: where/filter, " +
             "take/limit, project, distinct, extend, sort by/order by, " +
@@ -206,6 +205,92 @@ object KqlTranslator {
         }
       case other => throw new IllegalArgumentException(
         s"KQL summarize: expected an aggregate call, got '$other'")
+    }
+  }
+
+  /** `make-series alias = agg(col) [default = d] on axis from a to b
+    * step s [by k, …]` (ParserKQLMakeSeries — the KQL time-series
+    * verb): one row per by-group carrying ARRAY columns — the dense
+    * axis grid [a, b) and the per-bin aggregate with `default` filling
+    * empty bins (0 when unstated, the reference's
+    * AggregationColumn.default_value).
+    *
+    * Spark-first composition, two aggregates and ZERO joins:
+    *   1. bin the axis and aggregate per (keys, bin);
+    *   2. collapse each group's bins into a map
+    *      (map_from_entries ∘ collect_list);
+    *   3. project the dense series with
+    *      transform(sequence(a, b-s, s), x -> coalesce(m[x], default)) —
+    *      the grid materializes per ROW from plan literals, so no
+    *      explode/join ever touches the corpus and the shuffle profile
+    *      is exactly a two-level GROUP BY at any scale.
+    * A datetime axis works through epoch seconds (timespan steps 1h/30m
+    * etc. become seconds) and the axis array projects back to
+    * timestamps. */
+  private def makeSeriesStage(cur: String, body0: String): String = {
+    val m0 = ("(?is)^\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*" + // alias =
+      "([A-Za-z_][A-Za-z0-9_]*)\\s*\\(([^()]*)\\)\\s*" +      // agg(args)
+      "(?:default\\s*=\\s*([-0-9.]+)\\s*)?" +                  // default
+      "on\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+" +                   // axis col
+      "from\\s+(.+?)\\s+to\\s+(.+?)\\s+step\\s+(\\S+)\\s*" +   // from/to/step
+      "(?:by\\s+(.+))?$").r
+    body0.trim match {
+      case m0(alias, fn0, arg0, dflt0, axis, from0, to0, step0, by0) =>
+        val keys = Option(by0).toSeq.flatMap(splitTop(_, ',')).map(_.trim)
+        val dflt = Option(dflt0).getOrElse("0")
+        // timespan steps (1h / 30m / 15s / 1d) → seconds; a datetime
+        // axis then bins over epoch seconds
+        val spanRe = "(?i)^(\\d+)(d|h|m|s)$".r
+        val (stepSql, timeAxis) = step0.trim match {
+          case spanRe(n, u) =>
+            val mult = u.toLowerCase match {
+              case "d" => 86400L
+              case "h" => 3600L
+              case "m" => 60L
+              case "s" => 1L
+            }
+            ((n.toLong * mult).toString, true)
+          case s => (expr(s), false)
+        }
+        val axisExpr =
+          if (timeAxis) s"unix_timestamp($axis)" else axis
+        def bound(b: String): String =
+          if (timeAxis) s"unix_timestamp(${expr(b)})"
+          else s"(${expr(b)})"
+        val (fromSql, toSql) = (bound(from0), bound(to0))
+        val fn = fn0.toLowerCase
+        val aggSql = fn match {
+          case "count" => "count(*)"
+          case "sum" | "avg" | "min" | "max" => s"$fn(${expr(arg0)})"
+          case "dcount" => s"count(DISTINCT ${expr(arg0)})"
+          case other => throw new IllegalArgumentException(
+            s"KQL make-series: unsupported aggregate '$other'")
+        }
+        val kSel = if (keys.isEmpty) "" else keys.mkString("", ", ", ", ")
+        val kGrp = if (keys.isEmpty) "" else " , " + keys.mkString(", ")
+        val binned =
+          s"SELECT $kSel" +
+            s"CAST(FLOOR(($axisExpr - $fromSql) / ($stepSql)) * ($stepSql) + " +
+            s"$fromSql AS DOUBLE) AS __ms_g, CAST($aggSql AS DOUBLE) AS __ms_v " +
+            s"FROM ${sub(cur)} " +
+            s"WHERE $axisExpr >= $fromSql AND $axisExpr < $toSql " +
+            s"GROUP BY __ms_g$kGrp"
+        val mapped =
+          s"SELECT ${kSel}map_from_entries(collect_list(" +
+            s"struct(__ms_g, __ms_v))) AS __ms_m FROM ${sub(binned)}" +
+            (if (keys.isEmpty) "" else s" GROUP BY ${keys.mkString(", ")}")
+        val grid = s"sequence(CAST($fromSql AS BIGINT), " +
+          s"CAST($toSql AS BIGINT) - CAST($stepSql AS BIGINT), " +
+          s"CAST($stepSql AS BIGINT))"
+        val axisOut =
+          if (timeAxis) s"transform($grid, x -> timestamp_seconds(x))"
+          else grid
+        s"SELECT ${kSel}transform($grid, x -> coalesce(" +
+          s"element_at(__ms_m, CAST(x AS DOUBLE)), CAST($dflt AS DOUBLE)))" +
+          s" AS $alias, $axisOut AS $axis FROM ${sub(mapped)}"
+      case other => throw new IllegalArgumentException(
+        "KQL make-series: expected `alias = agg(col) [default = d] on " +
+          s"axis from a to b step s [by keys]`, got '$other'")
     }
   }
 

@@ -122,13 +122,35 @@ class KqlSpec extends SparkFunSuite {
     inKusto {
       val lit = ch("print s = 'x has y | where contains'").collect().head
       assert(lit.getString(0) == "x has y | where contains")
-      val e = intercept[Exception](ch("Customers | make-series c = count() " +
-        "on Age from 0 to 100 step 10"))
-      assert(e.getMessage.contains("make-series"))
       val e2 = intercept[Exception](ch("Customers | foobar Age"))
       assert(e2.getMessage.contains("unsupported operator"))
     }
     // back in the default dialect, ordinary SQL runs again
     assert(ch("SELECT 1 AS one").collect().head.getInt(0) == 1)
+  }
+
+  test("make-series: dense grid arrays with default fill, numeric and " +
+      "by-key forms (ParserKQLMakeSeries)") {
+    mk()
+    inKusto {
+      // ages 28,38,28,45,33 over [20, 50) step 10 → bins 20,30,40:
+      // counts [2, 2, 1]; empty bins filled with the default
+      val r = ch("Customers | make-series n = count() on Age " +
+        "from 20 to 50 step 10").collect().head
+      assert(r.getSeq[Double](0) == Seq(2.0, 2.0, 1.0))
+      assert(r.getSeq[Long](1) == Seq(20L, 30L, 40L))
+      // by-key + explicit default: engineers have no 30s bin → -1 fill
+      val by = ch("Customers | make-series n = count() default = -1 " +
+        "on Age from 20 to 50 step 10 by Occupation " +
+        "| sort by Occupation asc").collect()
+      val eng = by.find(_.getString(0) == "Engineer").get
+      assert(eng.getSeq[Double](1) == Seq(2.0, -1.0, -1.0))
+      val mgr = by.find(_.getString(0) == "Manager").get
+      assert(mgr.getSeq[Double](1) == Seq(-1.0, -1.0, 1.0))
+      // aggregate over a column
+      val avg = ch("Customers | make-series m = avg(Age) on Age " +
+        "from 20 to 50 step 10").collect().head
+      assert(avg.getSeq[Double](0) == Seq(28.0, 35.5, 45.0))
+    }
   }
 }
