@@ -397,4 +397,27 @@ class PlanAuditSpec extends SparkFunSuite {
       p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
       s"unexpected plan shape: $p")
   }
+
+  test("dialect ASOF JOIN keeps the union-window shape: one shuffle on " +
+      "the key, a window, never a range/nested-loop join (round-13)") {
+    val ch = graft.sql.ClickHouseSql
+    Tables.register(spark, sf)
+    val df = ch.sql(spark, """
+      SELECT user_id, event_id, r.od AS asof_date
+      FROM events ASOF LEFT JOIN (
+        SELECT o_custkey AS ck, o_orderdate AS od, o_orderkey AS ok
+        FROM orders) r
+      ON user_id = r.ck AND ts >= r.od""")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Window"),
+      s"ASOF must plan as the union-window operator: $p")
+    assert(!p.contains("BroadcastNestedLoop") &&
+      !p.contains("CartesianProduct") && !p.contains("SortMergeJoin") &&
+      !p.contains("ShuffledHashJoin"),
+      s"ASOF must not plan a per-row range join: $p")
+    // hashpartitioning on the union's key feeds the window — the ONE
+    // shuffle; the union sides repartition together under it
+    assert(p.contains("hashpartitioning(__k"),
+      s"the window key shuffle is missing: $p")
+  }
 }
