@@ -130,6 +130,33 @@ object KqlQueries extends QueryPack {
       GROUP BY t.event_type
       ORDER BY t.event_type""")),
 
+    // the KQLFunctionFactory scalar tail over real columns: 0-based
+    // substring/indexof/split-element, countof, strcat_delim, trim,
+    // array_length(split), tohex — the oracle restates each in plain
+    // 1-based DuckDB SQL.
+    kq("q_kql_fn_tail",
+      "part | where p_partkey <= 300 " +
+        "| extend nm = substring(p_name, 0, 4), " +
+        "pos = indexof(p_name, ' '), " +
+        "words = array_length(split(p_name, ' ')), " +
+        "w0 = split(p_name, ' ', 0), " +
+        "joined = strcat_delim('|', p_brand, p_type), " +
+        "hx = tohex(p_size), " +
+        "ntrim = trim_end('t', p_name) " +
+        "| project p_partkey, nm, pos, words, w0, joined, hx, ntrim " +
+        "| sort by p_partkey asc",
+      """
+      SELECT p_partkey,
+        substring(p_name, 1, 4) AS nm,
+        CAST(strpos(p_name, ' ') - 1 AS BIGINT) AS pos,
+        CAST(LEN(string_split(p_name, ' ')) AS BIGINT) AS words,
+        string_split(p_name, ' ')[1] AS w0,
+        p_brand || '|' || p_type AS joined,
+        lower(to_hex(p_size)) AS hx,
+        regexp_replace(p_name, '(?:t)+$', '') AS ntrim
+      FROM part WHERE p_partkey <= 300
+      ORDER BY p_partkey"""),
+
     // ---- PRQL dialect (ParserPRQLQuery.cpp; SET dialect = 'prql') ----
 
     // the canonical PRQL pipeline: filter → derive → group/aggregate →

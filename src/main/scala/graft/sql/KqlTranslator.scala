@@ -361,6 +361,8 @@ object KqlTranslator {
     e = rewriteBin(e)
     // case(p1, v1, ..., default) → CASE WHEN chain
     e = rewriteCase(e)
+    // the KQLFunctionFactory scalar tail (string/array/datetime/binary)
+    e = rewriteKqlFunctions(e, lits, reg)
     // x[i] → element_at(x, i+1) (KQL indexes from 0)
     e = "([A-Za-z_][A-Za-z0-9_]*)\\s*\\[\\s*(\\d+)\\s*\\]".r
       .replaceAllIn(e, m =>
@@ -523,6 +525,206 @@ object KqlTranslator {
       })
     }
     e
+  }
+
+  // ---- KQL scalar-function tail --------------------------------------------
+
+  /** Balanced rewrite of every `fn(args)` call: `out(args)` replaces the
+    * call. Case-insensitive, budget-looped (output may contain further
+    * calls of other names, never of `fn` itself). */
+  private def rewriteCall(e0: String, fn: String,
+      out: Seq[String] => String): String = {
+    var e = e0
+    val re = s"(?i)\\b$fn\\s*\\(".r
+    var m = re.findFirstMatchIn(e)
+    var guard = 0
+    while (m.isDefined && guard < 64) {
+      guard += 1
+      val open = e.indexOf('(', m.get.start)
+      val close = JoinSpellings.closeOf(e, open)
+      val args = splitTop(e.substring(open + 1, close - 1), ',')
+        .map(_.trim).filter(_.nonEmpty)
+      e = e.substring(0, m.get.start) + out(args) + e.substring(close)
+      m = re.findFirstMatchIn(e)
+    }
+    e
+  }
+
+  /** The KQLFunctionFactory scalar surface this engine maps
+    * (the KustoFunctions sources): 0-based string/array indexing, the
+    * datetime start/end family, timespan arithmetic, binary ops, json
+    * extraction. Literal-lifted input: string args appear as
+    * __KQLLITn__ placeholders (resolve with `lit`, emit new literals
+    * with `reg`). */
+  private def rewriteKqlFunctions(e0: String,
+      lits: scala.collection.mutable.ArrayBuffer[String],
+      reg: String => String): String = {
+    def lit(a: String): Option[String] = a.trim match {
+      case x if x.matches("__KQLLIT\\d+__") =>
+        Some(lits("\\d+".r.findFirstIn(x).get.toInt))
+      case _ => None
+    }
+    def needLit(a: String, fn: String): String = lit(a).getOrElse(
+      throw new IllegalArgumentException(
+        s"KQL $fn: this argument must be a string literal, got '$a'"))
+    def rxq(s: String): String =
+      s.replaceAll("([\\\\.\\[\\]{}()*+?^$|])", "\\\\$1")
+    var e = e0
+    // ---- strings ----
+    // substring(s, start[, len]) — KQL is 0-based. The output spells the
+    // SAME function name, so it goes out under a marker (renamed at the
+    // bottom) or the budget loop would re-rewrite its own output.
+    e = rewriteCall(e, "substring", a =>
+      if (a.length >= 3)
+        s"__KQLSUBSTR__(${a(0)}, CAST(${a(1)} AS INT) + 1, CAST(${a(2)} AS INT))"
+      else s"__KQLSUBSTR__(${a(0)}, CAST(${a(1)} AS INT) + 1)")
+    // indexof(s, sub) — 0-based, -1 on miss (instr is 1-based, 0 miss)
+    e = rewriteCall(e, "indexof", a =>
+      s"(instr(${a(0)}, ${a(1)}) - 1)")
+    // countof(s, sub[, 'normal'|'regex'])
+    e = rewriteCall(e, "countof", a => {
+      val kind = a.lift(2).flatMap(lit).getOrElse("normal")
+      val pat =
+        if (kind == "regex") a(1)
+        else reg(rxq(needLit(a(1), "countof")))
+      s"CAST(regexp_count(${a(0)}, $pat) AS BIGINT)"
+    })
+    e = rewriteCall(e, "replace_string", a =>
+      s"replace(${a(0)}, ${a(1)}, ${a(2)})")
+    e = rewriteCall(e, "replace_regex", a =>
+      s"regexp_replace(${a(0)}, ${a(1)}, ${a(2)})")
+    e = rewriteCall(e, "strcat_delim", a =>
+      s"concat_ws(${a.head}, ${a.tail.mkString(", ")})")
+    e = rewriteCall(e, "strrep", a =>
+      s"repeat(${a(0)}, CAST(${a(1)} AS INT))")
+    e = rewriteCall(e, "strcmp", a =>
+      s"(CASE WHEN ${a(0)} < ${a(1)} THEN -1 " +
+        s"WHEN ${a(0)} > ${a(1)} THEN 1 ELSE 0 END)")
+    // split(s, delim[, i]) — plain-string delimiter, 0-based element
+    // (marker for the same self-spelling reason as substring)
+    e = rewriteCall(e, "split", a => {
+      val d = reg(rxq(needLit(a(1), "split")))
+      val base = s"__KQLSPLIT__(${a(0)}, $d)"
+      if (a.length >= 3) s"element_at($base, CAST(${a(2)} AS INT) + 1)"
+      else base
+    })
+    // trim family — trim(regex, text) (KQL argument order)
+    e = rewriteCall(e, "trim_start", a =>
+      s"regexp_replace(${a(1)}, ${reg("^(?:" + needLit(a(0), "trim_start") + ")+")}, ${reg("")})")
+    e = rewriteCall(e, "trim_end", a =>
+      s"regexp_replace(${a(1)}, ${reg("(?:" + needLit(a(0), "trim_end") + ")+$")}, ${reg("")})")
+    e = rewriteCall(e, "trim", a => {
+      val r = needLit(a(0), "trim")
+      s"regexp_replace(${a(1)}, ${reg(s"^(?:$r)+|(?:$r)+$$")}, ${reg("")})"
+    })
+    e = rewriteCall(e, "base64_encode_tostring", a => s"base64(${a(0)})")
+    e = rewriteCall(e, "base64_decode_tostring", a =>
+      s"CAST(unbase64(${a(0)}) AS STRING)")
+    e = rewriteCall(e, "tohex", a => s"lower(hex(${a(0)}))")
+    e = rewriteCall(e, "url_encode", a => s"encodeURLComponent(${a(0)})")
+    e = rewriteCall(e, "url_decode", a => s"decodeURLComponent(${a(0)})")
+    // extract(regex, group, text) / extract_json('$.p', json[, typeof])
+    e = rewriteCall(e, "extract", a =>
+      s"nullif(regexp_extract(${a(2)}, ${a(0)}, CAST(${a(1)} AS INT)), ${reg("")})")
+    def exjson(a: Seq[String]): String = {
+      val base = s"get_json_object(${a(1)}, ${a(0)})"
+      a.lift(2).map(_.trim.toLowerCase) match {
+        case Some(t) if t.startsWith("typeof") =>
+          val ty = t.replaceAll("(?i)typeof\\s*\\(|\\)", "").trim match {
+            case "int" => "INT"
+            case "long" => "BIGINT"
+            case "real" | "double" => "DOUBLE"
+            case "bool" | "boolean" => "BOOLEAN"
+            case _ => "STRING"
+          }
+          s"CAST($base AS $ty)"
+        case _ => base
+      }
+    }
+    e = rewriteCall(e, "extract_json", exjson)
+    e = rewriteCall(e, "extractjson", exjson)
+    e = rewriteCall(e, "parse_csv", a => s"split(${a(0)}, ${reg(",")})")
+    // ---- arrays ----
+    e = rewriteCall(e, "array_length", a =>
+      s"CAST(size(${a(0)}) AS BIGINT)")
+    e = rewriteCall(e, "array_concat", a => s"concat(${a.mkString(", ")})")
+    e = rewriteCall(e, "array_reverse", a => s"reverse(${a(0)})")
+    e = rewriteCall(e, "array_sum", a =>
+      s"aggregate(${a(0)}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+    // array_index_of: 0-based, -1 miss (array_position is 1-based/0)
+    e = rewriteCall(e, "array_index_of", a =>
+      s"(array_position(${a(0)}, ${a(1)}) - 1)")
+    // array_slice(arr, start, end) — 0-based INCLUSIVE bounds
+    e = rewriteCall(e, "array_slice", a =>
+      s"slice(${a(0)}, CAST(${a(1)} AS INT) + 1, " +
+        s"CAST(${a(2)} AS INT) - CAST(${a(1)} AS INT) + 1)")
+    e = rewriteCall(e, "pack_array", a => s"array(${a.mkString(", ")})")
+    e = rewriteCall(e, "set_union", a =>
+      a.reduce((x, y) => s"array_union($x, $y)"))
+    e = rewriteCall(e, "set_intersect", a =>
+      a.reduce((x, y) => s"array_intersect($x, $y)"))
+    e = rewriteCall(e, "set_difference", a =>
+      a.reduce((x, y) => s"array_except($x, $y)"))
+    e = rewriteCall(e, "set_has_element", a =>
+      s"array_contains(${a(0)}, ${a(1)})")
+    // ---- datetime ----
+    Seq("day", "month", "year").foreach { u =>
+      e = rewriteCall(e, s"startof$u", a =>
+        s"date_trunc(${reg(u.toUpperCase)}, ${a(0)})")
+      e = rewriteCall(e, s"endof$u", a =>
+        s"(date_trunc(${reg(u.toUpperCase)}, ${a(0)}) + INTERVAL 1 " +
+          s"$u - INTERVAL 1 MICROSECOND)")
+    }
+    e = rewriteCall(e, "getyear", a => s"year(${a(0)})")
+    e = rewriteCall(e, "getmonth", a => s"month(${a(0)})")
+    e = rewriteCall(e, "monthofyear", a => s"month(${a(0)})")
+    e = rewriteCall(e, "dayofmonth", a => s"day(${a(0)})")
+    e = rewriteCall(e, "hourofday", a => s"hour(${a(0)})")
+    e = rewriteCall(e, "week_of_year", a => s"weekofyear(${a(0)})")
+    // ago(1h) — timespan literal relative to now
+    e = "(?i)\\bago\\s*\\(\\s*(\\d+)\\s*(d|h|m|s)\\s*\\)".r
+      .replaceAllIn(e, m => {
+        val unit = m.group(2).toLowerCase match {
+          case "d" => "DAY"
+          case "h" => "HOUR"
+          case "m" => "MINUTE"
+          case "s" => "SECOND"
+        }
+        s"(current_timestamp() - INTERVAL ${m.group(1)} $unit)"
+      })
+    // datetime_add/diff — chDateDiff carries the reference's
+    // boundary-count semantics; KQL's diff is (period, later, earlier)
+    e = rewriteCall(e, "datetime_add", a => {
+      val u = needLit(a(0), "datetime_add").toUpperCase
+      s"timestampadd($u, CAST(${a(1)} AS INT), ${a(2)})"
+    })
+    e = rewriteCall(e, "datetime_diff", a =>
+      s"chDateDiff(${a(0)}, ${a(2)}, ${a(1)})")
+    e = rewriteCall(e, "unixtime_seconds_todatetime", a =>
+      s"timestamp_seconds(${a(0)})")
+    e = rewriteCall(e, "unixtime_milliseconds_todatetime", a =>
+      s"timestamp_millis(CAST(${a(0)} AS BIGINT))")
+    e = rewriteCall(e, "unixtime_microseconds_todatetime", a =>
+      s"timestamp_micros(CAST(${a(0)} AS BIGINT))")
+    e = rewriteCall(e, "unixtime_nanoseconds_todatetime", a =>
+      s"timestamp_micros(CAST(${a(0)} / 1000 AS BIGINT))")
+    e = rewriteCall(e, "make_datetime", a =>
+      if (a.length >= 6)
+        s"make_timestamp(${a(0)}, ${a(1)}, ${a(2)}, ${a(3)}, ${a(4)}, ${a(5)})"
+      else s"make_timestamp(${a(0)}, ${a(1)}, ${a(2)}, 0, 0, 0)")
+    e = rewriteCall(e, "format_datetime", a =>
+      s"date_format(${a(0)}, ${a(1)})")
+    // ---- binary ----
+    e = rewriteCall(e, "binary_and", a => s"(${a(0)} & ${a(1)})")
+    e = rewriteCall(e, "binary_or", a => s"(${a(0)} | ${a(1)})")
+    e = rewriteCall(e, "binary_xor", a => s"(${a(0)} ^ ${a(1)})")
+    e = rewriteCall(e, "binary_not", a => s"(~${a(0)})")
+    e = rewriteCall(e, "binary_shift_left", a =>
+      s"shiftleft(${a(0)}, CAST(${a(1)} AS INT))")
+    e = rewriteCall(e, "binary_shift_right", a =>
+      s"shiftright(${a(0)}, CAST(${a(1)} AS INT))")
+    e = rewriteCall(e, "bitset_count_ones", a => s"bit_count(${a(0)})")
+    e.replace("__KQLSUBSTR__", "substring").replace("__KQLSPLIT__", "split")
   }
 
   // ---- small rewrite helpers ----------------------------------------------

@@ -129,6 +129,67 @@ class KqlSpec extends SparkFunSuite {
     assert(ch("SELECT 1 AS one").collect().head.getInt(0) == 1)
   }
 
+  test("KQL scalar-function tail (KQLFunctionFactory): 0-based " +
+      "substring/indexof/split, countof, trim(regex, s), extract, " +
+      "array ops, datetime start/end family, binary ops") {
+    inKusto {
+      val s1 = ch("print substring('abcdef', 1, 3), indexof('abcdef', 'cd'), " +
+        "indexof('abcdef', 'zz'), countof('a,b,a,a', 'a'), " +
+        "split('a;b;c', ';', 1), strcat_delim('-', 'x', 'y', 'z'), " +
+        "strcmp('a', 'b'), replace_string('aXbXc', 'X', '_')").collect().head
+      assert(s1.getString(0) == "bcd")
+      assert(s1.getAs[Number](1).longValue == 2L)  // 0-based hit
+      assert(s1.getAs[Number](2).longValue == -1L) // miss
+      assert(s1.getAs[Number](3).longValue == 3L)
+      assert(s1.getString(4) == "b")
+      assert(s1.getString(5) == "x-y-z")
+      assert(s1.getAs[Number](6).intValue == -1)
+      assert(s1.getString(7) == "a_b_c")
+      val s2 = ch("print trim('-', '--ab--'), trim_start('-', '--ab--'), " +
+        "trim_end('-', '--ab--'), tohex(255), " +
+        "base64_decode_tostring(base64_encode_tostring('hi')), " +
+        "extract('([0-9]+)', 1, 'v42x'), " +
+        "extract_json('$.a', '{\"a\": 7}', typeof(int))").collect().head
+      assert(s2.getString(0) == "ab" && s2.getString(1) == "ab--" &&
+        s2.getString(2) == "--ab")
+      assert(s2.getString(3) == "ff")
+      assert(s2.getString(4) == "hi")
+      assert(s2.getString(5) == "42")
+      assert(s2.getAs[Number](6).intValue == 7)
+      val a = ch("print array_length(dynamic([1,2,3])), " +
+        "array_index_of(dynamic([10,20]), 20), " +
+        "array_index_of(dynamic([10,20]), 99), " +
+        "array_sum(dynamic([1,2,3])), " +
+        "array_slice(dynamic([0,1,2,3,4]), 1, 3), " +
+        "set_has_element(dynamic([1,2]), 2)").collect().head
+      assert(a.getAs[Number](0).longValue == 3L)
+      assert(a.getAs[Number](1).longValue == 1L)
+      assert(a.getAs[Number](2).longValue == -1L)
+      assert(a.getAs[Number](3).doubleValue == 6.0)
+      assert(a.getSeq[Int](4) == Seq(1, 2, 3))
+      assert(a.getBoolean(5))
+      val d = ch("print startofmonth(datetime(2024-02-17 10:30:00)), " +
+        "endofday(datetime(2024-02-17 10:30:00)), " +
+        "getyear(datetime(2024-02-17)), hourofday(datetime(2024-02-17 10:30:00)), " +
+        "datetime_diff('day', datetime(2024-02-17), datetime(2024-02-10)), " +
+        "datetime_add('day', 3, datetime(2024-02-17)), " +
+        "unixtime_seconds_todatetime(86400)").collect().head
+      assert(d.getTimestamp(0).toString.startsWith("2024-02-01 00:00:00"))
+      assert(d.getTimestamp(1).toString.startsWith("2024-02-17 23:59:59.999999"))
+      assert(d.getAs[Number](2).intValue == 2024)
+      assert(d.getAs[Number](3).intValue == 10)
+      assert(d.getAs[Number](4).longValue == 7L)
+      assert(d.getTimestamp(5).toString.startsWith("2024-02-20"))
+      assert(d.getTimestamp(6).toString.startsWith("1970-01-02"))
+      val b = ch("print binary_and(12, 10), binary_xor(12, 10), " +
+        "binary_shift_left(1, 4), bitset_count_ones(255)").collect().head
+      assert(b.getAs[Number](0).longValue == 8L)
+      assert(b.getAs[Number](1).longValue == 6L)
+      assert(b.getAs[Number](2).longValue == 16L)
+      assert(b.getAs[Number](3).longValue == 8L)
+    }
+  }
+
   test("make-series: dense grid arrays with default fill, numeric and " +
       "by-key forms (ParserKQLMakeSeries)") {
     mk()
