@@ -250,5 +250,66 @@ object Extras extends QueryPack {
         '1,3,6,10,15,21' AS cumsum,
         '0,1,1,1,1,1' AS diff,
         CAST(91 AS INT) AS sum_squares""")
+  ,
+
+    // deltaLake('path') table function (round-13 — native transaction-
+    // log replay, sources/DeltaLakeSource; reference
+    // TableFunctionObjectStorage.h:100 over DeltaLakeMetadata.cpp).
+    // The fixture is a hand-built PROTOCOL.md table: commit 0 adds two
+    // partition files of customer rows, commit 1 REMOVES the second and
+    // adds a third — the read must see exactly commit 1's active set
+    // with the partition column restored from the log, which the
+    // oracle states as the equivalent predicate over customer.
+    Q.df("q_tf_delta_lake", """
+      SELECT c_custkey, c_name, seg FROM (
+        SELECT c_custkey, c_name, 'lo' AS seg FROM customer
+        WHERE c_custkey <= 100
+        UNION ALL
+        SELECT c_custkey, c_name, 'hi' AS seg FROM customer
+        WHERE c_custkey > 200 AND c_custkey <= 300) t
+      ORDER BY c_custkey""") { (s, dir) =>
+      val root = s"/tmp/graft_deltafn_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"))
+      def file(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+        val tmp = s"$root/__tmp_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .map(_.getPath).find(_.getName.startsWith("part-")).get
+        fs.rename(part, new org.apache.hadoop.fs.Path(root, name))
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
+      file("lo.parquet", cust.filter(col("c_custkey") <= 100))
+      file("mid.parquet", cust.filter(
+        col("c_custkey") > 100 && col("c_custkey") <= 200))
+      file("hi.parquet", cust.filter(
+        col("c_custkey") > 200 && col("c_custkey") <= 300))
+      val schemaString = ("""{"type":"struct","fields":[""" +
+        """{"name":"c_custkey","type":"long","nullable":true,"metadata":{}},""" +
+        """{"name":"c_name","type":"string","nullable":true,"metadata":{}},""" +
+        """{"name":"seg","type":"string","nullable":true,"metadata":{}}]}""")
+        .replace("\"", "\\\"")
+      val log = new org.apache.hadoop.fs.Path(root, "_delta_log")
+      fs.mkdirs(log)
+      def commit(v: Long, lines: Seq[String]): Unit = {
+        val out = fs.create(new org.apache.hadoop.fs.Path(log, f"$v%020d.json"), true)
+        try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+        finally out.close()
+      }
+      commit(0L, Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        s"""{"metaData":{"id":"graft-q","format":{"provider":"parquet"},"schemaString":"$schemaString","partitionColumns":["seg"],"configuration":{}}}""",
+        """{"add":{"path":"lo.parquet","partitionValues":{"seg":"lo"},"size":1,"modificationTime":1,"dataChange":true}}""",
+        """{"add":{"path":"mid.parquet","partitionValues":{"seg":"mid"},"size":1,"modificationTime":1,"dataChange":true}}"""))
+      commit(1L, Seq(
+        """{"remove":{"path":"mid.parquet","deletionTimestamp":2,"dataChange":true}}""",
+        """{"add":{"path":"hi.parquet","partitionValues":{"seg":"hi"},"size":1,"modificationTime":2,"dataChange":true}}"""))
+      graft.sql.ClickHouseSql.sql(s,
+        s"SELECT c_custkey, c_name, seg FROM deltaLake('$root') " +
+          "ORDER BY c_custkey")
+    }
   )
 }

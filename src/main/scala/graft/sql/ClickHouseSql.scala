@@ -1495,7 +1495,8 @@ object ClickHouseSql {
         resolveParamViews(spark,
           resolveMergeFn(spark, resolveFileFn(spark,
             resolveFormatFn(spark, resolveRemoteFn(spark,
-              resolveNullFn(spark, resolveCollectionFileFn(trimmedNoFmt)))))))
+              resolveNullFn(spark, resolveDeltaLakeFn(spark,
+                resolveCollectionFileFn(trimmedNoFmt))))))))
       else trimmedNoFmt
     // rewrite only OUTSIDE single-quoted literals: split on ' and touch
     // the even-indexed (non-literal) segments
@@ -2790,6 +2791,23 @@ object ClickHouseSql {
               .quoteReplacement(s"file('$path', '$fmt'$schema)")
           case None => m.matched // not a collection — leave for file() proper
         })
+
+  /** `deltaLake('path'[, version])` (TableFunctionObjectStorage.h:100
+    * DeltaLakeDefinition — the reference's Delta table function; the
+    * S3/Azure twins are credentialed variants of the same read): a temp
+    * view over the native log replay (sources/DeltaLakeSource). The
+    * optional second argument is `versionAsOf` time travel. */
+  private val deltaLakeFnRe =
+    "(?i)\\bdeltaLake(?:Local)?\\s*\\(\\s*'([^']+)'\\s*(?:,\\s*(\\d+)\\s*)?\\)".r
+
+  private def resolveDeltaLakeFn(spark: SparkSession, sql0: String): String =
+    deltaLakeFnRe.replaceAllIn(sql0, m => {
+      val df = graft.sources.DeltaLakeSource.read(spark, m.group(1),
+        Option(m.group(2)).map(_.toLong))
+      val view = s"graft_delta_fn_${fileFnCounter.incrementAndGet()}"
+      df.createOrReplaceTempView(view)
+      java.util.regex.Matcher.quoteReplacement(view)
+    })
 
   private def resolveFileFn(spark: SparkSession, sql0: String): String =
     fileFnRe.replaceAllIn(sql0, m => {
