@@ -310,6 +310,41 @@ object Extras extends QueryPack {
       graft.sql.ClickHouseSql.sql(s,
         s"SELECT c_custkey, c_name, seg FROM deltaLake('$root') " +
           "ORDER BY c_custkey")
+    },
+
+    // hudi('path') table function (round-13 — HudiMetadata.cpp
+    // semantics: latest-timestamp base file per file group). The
+    // fixture writes file group fg1 TWICE — the stale version carries
+    // the keys shifted by 1e6, so a reader that picked the wrong
+    // version (or both) is a red row, not a row-count coincidence.
+    Q.df("q_tf_hudi", """
+      SELECT c_custkey, c_name FROM customer
+      WHERE c_custkey <= 150 ORDER BY c_custkey""") { (s, dir) =>
+      val root = s"/tmp/graft_hudifn_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(root, ".hoodie"))
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"))
+      def file(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+        val tmp = s"$root/__tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .map(_.getPath).find(_.getName.startsWith("part-")).get
+        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/p0"))
+        fs.rename(part, new org.apache.hadoop.fs.Path(s"$root/p0", name))
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
+      val fresh = cust.filter(col("c_custkey") <= 100)
+      val stale = fresh.withColumn("c_custkey",
+        col("c_custkey") + 1000000L)
+      file("fg1_0-1-0_20240101000000.parquet", stale)
+      file("fg1_0-2-0_20240102000000.parquet", fresh)
+      file("fg2_0-1-0_20240101000000.parquet", cust.filter(
+        col("c_custkey") > 100 && col("c_custkey") <= 150))
+      graft.sql.ClickHouseSql.sql(s,
+        s"SELECT c_custkey, c_name FROM hudi('$root') ORDER BY c_custkey")
     }
   )
 }

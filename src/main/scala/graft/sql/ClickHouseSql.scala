@@ -2800,14 +2800,23 @@ object ClickHouseSql {
   private val deltaLakeFnRe =
     "(?i)\\bdeltaLake(?:Local)?\\s*\\(\\s*'([^']+)'\\s*(?:,\\s*(\\d+)\\s*)?\\)".r
 
-  private def resolveDeltaLakeFn(spark: SparkSession, sql0: String): String =
-    deltaLakeFnRe.replaceAllIn(sql0, m => {
+  private def resolveDeltaLakeFn(spark: SparkSession, sql0: String): String = {
+    val step1 = deltaLakeFnRe.replaceAllIn(sql0, m => {
       val df = graft.sources.DeltaLakeSource.read(spark, m.group(1),
         Option(m.group(2)).map(_.toLong))
       val view = s"graft_delta_fn_${fileFnCounter.incrementAndGet()}"
       df.createOrReplaceTempView(view)
       java.util.regex.Matcher.quoteReplacement(view)
     })
+    // hudi('path') (TableFunctionObjectStorage.h:118) — native
+    // copy-on-write latest-file-group selection (HudiMetadata.cpp)
+    "(?i)\\bhudi\\s*\\(\\s*'([^']+)'\\s*\\)".r.replaceAllIn(step1, m => {
+      val df = graft.sources.HudiSource.read(spark, m.group(1))
+      val view = s"graft_hudi_fn_${fileFnCounter.incrementAndGet()}"
+      df.createOrReplaceTempView(view)
+      java.util.regex.Matcher.quoteReplacement(view)
+    })
+  }
 
   private def resolveFileFn(spark: SparkSession, sql0: String): String =
     fileFnRe.replaceAllIn(sql0, m => {
