@@ -345,6 +345,90 @@ object Extras extends QueryPack {
         col("c_custkey") > 100 && col("c_custkey") <= 150))
       graft.sql.ClickHouseSql.sql(s,
         s"SELECT c_custkey, c_name FROM hudi('$root') ORDER BY c_custkey")
+    },
+
+    // iceberg('path') table function (round-13 — native metadata/
+    // manifest replay, sources/IcebergSource; reference
+    // IcebergMetadata.cpp). Spec-conformant fixture: two data files
+    // live in the manifest, a third is a DELETED entry — the read must
+    // see exactly the live set, which the oracle states as the
+    // equivalent predicate over customer.
+    Q.df("q_tf_iceberg", """
+      SELECT c_custkey, c_name FROM customer
+      WHERE c_custkey <= 120 ORDER BY c_custkey""") { (s, dir) =>
+      val root = s"/tmp/graft_icefn_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"))
+      def file(name: String, df: org.apache.spark.sql.DataFrame): String = {
+        val tmp = s"$root/__tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .map(_.getPath).find(_.getName.startsWith("part-")).get
+        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/data"))
+        val dst = new org.apache.hadoop.fs.Path(s"$root/data", name)
+        fs.rename(part, dst)
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        dst.toString
+      }
+      val f1 = file("d1.parquet", cust.filter(col("c_custkey") <= 60))
+      val f2 = file("d2.parquet", cust.filter(
+        col("c_custkey") > 60 && col("c_custkey") <= 120))
+      val f3 = file("d3.parquet", cust.filter(
+        col("c_custkey") > 120 && col("c_custkey") <= 180))
+      val entrySchema = new org.apache.avro.Schema.Parser().parse("""
+        {"type":"record","name":"manifest_entry","fields":[
+          {"name":"status","type":"int"},
+          {"name":"data_file","type":{"type":"record","name":"data_file",
+            "fields":[{"name":"content","type":"int","default":0},
+              {"name":"file_path","type":"string"},
+              {"name":"file_format","type":"string"},
+              {"name":"record_count","type":"long"}]}}]}""")
+      val listSchema = new org.apache.avro.Schema.Parser().parse("""
+        {"type":"record","name":"manifest_file","fields":[
+          {"name":"manifest_path","type":"string"},
+          {"name":"manifest_length","type":"long"},
+          {"name":"content","type":"int","default":0}]}""")
+      def entry(status: Int, p: String) = {
+        val d = new org.apache.avro.generic.GenericData.Record(
+          entrySchema.getField("data_file").schema())
+        d.put("content", 0); d.put("file_path", p)
+        d.put("file_format", "PARQUET"); d.put("record_count", 1L)
+        val e = new org.apache.avro.generic.GenericData.Record(entrySchema)
+        e.put("status", status); e.put("data_file", d); e
+      }
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/metadata"))
+      def writeAvro(path: String, sch: org.apache.avro.Schema,
+          rows: Seq[org.apache.avro.generic.GenericRecord]): Unit = {
+        val w = new org.apache.avro.file.DataFileWriter(
+          new org.apache.avro.generic.GenericDatumWriter[
+            org.apache.avro.generic.GenericRecord](sch))
+        w.create(sch, new java.io.File(path))
+        try rows.foreach(w.append) finally w.close()
+      }
+      val mPath = s"$root/metadata/m1.avro"
+      writeAvro(mPath, entrySchema,
+        Seq(entry(1, f1), entry(0, f2), entry(2, f3)))
+      val ml = new org.apache.avro.generic.GenericData.Record(listSchema)
+      ml.put("manifest_path", mPath)
+      ml.put("manifest_length", 1L)
+      ml.put("content", 0)
+      val mlPath = s"$root/metadata/snap-1.avro"
+      writeAvro(mlPath, listSchema, Seq(ml))
+      val metaJson = s"""{
+        "format-version": 2, "table-uuid": "graft-q-iceberg",
+        "current-snapshot-id": 101, "current-schema-id": 0,
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+          {"id": 1, "name": "c_custkey", "required": false, "type": "long"},
+          {"id": 2, "name": "c_name", "required": false, "type": "string"}]}],
+        "snapshots": [{"snapshot-id": 101, "manifest-list": "$mlPath"}]}"""
+      val out = fs.create(new org.apache.hadoop.fs.Path(
+        s"$root/metadata/v1.metadata.json"), true)
+      try out.write(metaJson.getBytes("UTF-8")) finally out.close()
+      graft.sql.ClickHouseSql.sql(s,
+        s"SELECT c_custkey, c_name FROM iceberg('$root') ORDER BY c_custkey")
     }
   )
 }

@@ -2810,12 +2810,23 @@ object ClickHouseSql {
     })
     // hudi('path') (TableFunctionObjectStorage.h:118) — native
     // copy-on-write latest-file-group selection (HudiMetadata.cpp)
-    "(?i)\\bhudi\\s*\\(\\s*'([^']+)'\\s*\\)".r.replaceAllIn(step1, m => {
-      val df = graft.sources.HudiSource.read(spark, m.group(1))
-      val view = s"graft_hudi_fn_${fileFnCounter.incrementAndGet()}"
-      df.createOrReplaceTempView(view)
-      java.util.regex.Matcher.quoteReplacement(view)
-    })
+    val step2 = "(?i)\\bhudi\\s*\\(\\s*'([^']+)'\\s*\\)".r
+      .replaceAllIn(step1, m => {
+        val df = graft.sources.HudiSource.read(spark, m.group(1))
+        val view = s"graft_hudi_fn_${fileFnCounter.incrementAndGet()}"
+        df.createOrReplaceTempView(view)
+        java.util.regex.Matcher.quoteReplacement(view)
+      })
+    // iceberg('path'[, snapshotId]) — native metadata/manifest replay
+    // (IcebergMetadata.cpp)
+    "(?i)\\biceberg\\s*\\(\\s*'([^']+)'\\s*(?:,\\s*(\\d+)\\s*)?\\)".r
+      .replaceAllIn(step2, m => {
+        val df = graft.sources.IcebergSource.read(spark, m.group(1),
+          Option(m.group(2)).map(_.toLong))
+        val view = s"graft_iceberg_fn_${fileFnCounter.incrementAndGet()}"
+        df.createOrReplaceTempView(view)
+        java.util.regex.Matcher.quoteReplacement(view)
+      })
   }
 
   private def resolveFileFn(spark: SparkSession, sql0: String): String =
