@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
 
 /** Native Delta Lake READ support — the round-12 verdict's one
   * capability-class gap ("lakehouse reads … blocked on connector
@@ -162,22 +162,46 @@ object DeltaLakeSource {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
-    // one distributed scan per partition-value group; the log stores
-    // partition values as STRINGS — cast back to the schema types
-    val groups = active.toSeq.groupBy(_._2).toSeq
-    val frames = groups.map { case (pv, files) =>
-      val paths = files.map { case (p, _) =>
-        new Path(tablePath,
-          java.net.URLDecoder.decode(p, "UTF-8")).toString
-      }
-      val base = spark.read.schema(dataSchema).parquet(paths: _*)
-      m.partitionColumns.foldLeft(base) { (df, pc) =>
-        val dt = schema(pc).dataType
-        val v = pv.get(pc).flatten
-        df.withColumn(pc,
-          v.map(x => lit(x).cast(dt)).getOrElse(lit(null).cast(dt)))
-      }.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    // Delta stores partition values in the LOG, not in the files — they
+    // re-attach here. The 100 TB shape: ONE distributed scan over every
+    // active file plus a BROADCAST join from input_file_name() to the
+    // log's partition values (file-count-sized — metadata, like any
+    // small dim). A per-partition-group scan+union would instead build
+    // a plan with one branch per partition: thousands of branches on a
+    // real table.
+    val qualified = active.toSeq.map { case (p, pv) =>
+      val abs = new Path(tablePath, java.net.URLDecoder.decode(p, "UTF-8"))
+      (fs.makeQualified(abs), pv)
     }
-    frames.reduce(_ unionByName _)
+    val base = spark.read.schema(dataSchema)
+      .parquet(qualified.map(_._1.toString): _*)
+    if (m.partitionColumns.isEmpty)
+      return base.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    import org.apache.spark.sql.Row
+    val pvSchema = StructType(
+      StructField("__delta_file", StringType, nullable = false) +:
+        m.partitionColumns.map(pc =>
+          StructField(s"__pv_$pc", StringType, nullable = true)))
+    // join key = the DECODED PATH component: input_file_name() renders
+    // "scheme://…" URL-encoded while Path.toString renders "scheme:/…" —
+    // the path part is the stable spelling of both
+    val pvRows = qualified.map { case (f, pv) =>
+      Row.fromSeq(f.toUri.getPath +:
+        m.partitionColumns.map(pc => pv.get(pc).flatten.orNull))
+    }
+    val pvDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(pvRows, 1), pvSchema)
+    base
+      .withColumn("__delta_file",
+        org.apache.spark.sql.functions.expr(
+          "url_decode(regexp_replace(input_file_name(), " +
+            "'^[a-zA-Z][a-zA-Z0-9+.-]*:/+', '/'))"))
+      .join(org.apache.spark.sql.functions.broadcast(pvDf),
+        Seq("__delta_file"), "left")
+      .select(schema.fields.map { f =>
+        if (m.partitionColumns.contains(f.name))
+          col(s"__pv_${f.name}").cast(f.dataType).as(f.name)
+        else col(f.name)
+      }.toIndexedSeq: _*)
   }
 }
