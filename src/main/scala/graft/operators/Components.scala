@@ -29,19 +29,24 @@ object Components {
     * storage via checkpoint(), so executor loss only recomputes the
     * current round. The labels produced are IDENTICAL either way —
     * pinned by ComponentsStarSpec. */
-  private val appliedCheckpointDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // last dir actually applied to the (global) SparkContext setting —
+  // setCheckpointDir creates a fresh UUID subdir per call, so apply it
+  // only on CHANGE, but re-apply when another caller switched it away
+  // (an absent re-apply would silently land A's checkpoints in B's dir)
+  private val appliedCheckpointDir =
+    new java.util.concurrent.atomic.AtomicReference[String]()
 
   private def cut(df: DataFrame, checkpointDir: Option[String]): DataFrame =
     checkpointDir match {
       case None => df.localCheckpoint()
       case Some(d) =>
         val sc = df.sparkSession.sparkContext
-        // setCheckpointDir creates a fresh UUID subdir per call — apply
-        // each requested dir once per JVM, not once per round
-        appliedCheckpointDirs.computeIfAbsent(d, _ => {
-          sc.setCheckpointDir(d); d
-        })
+        appliedCheckpointDir.synchronized {
+          if (appliedCheckpointDir.get() != d) {
+            sc.setCheckpointDir(d)
+            appliedCheckpointDir.set(d)
+          }
+        }
         df.checkpoint()
     }
 

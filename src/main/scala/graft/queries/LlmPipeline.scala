@@ -428,11 +428,12 @@ object LlmPipeline extends QueryPack {
       ORDER BY id_a, id_b""") { (s, dir) =>
       val (docs, pairs) = minhashLshPairs(Tables.load(s, dir, "documents"))
       // The survivor-pair result is tiny — materialize it eagerly
-      // (localCheckpoint is eager) so the shingle cache can be RELEASED
+      // (the lineage cut is eager) so the shingle cache can be RELEASED
       // before returning (round-3 verdict #5: a lazily-returned plan
       // would pin the cached shingle table in executor memory for the
-      // life of the session).
-      val out = pairs.localCheckpoint()
+      // life of the session). lineageCut carries the round-13 durable
+      // option for a real cluster (localCheckpoint locally).
+      val out = graft.operators.Components.lineageCut(pairs)
       docs.unpersist()
       out
     },
@@ -451,11 +452,10 @@ object LlmPipeline extends QueryPack {
       val planted = src.filter(col("doc_id") < 200)
         .withColumn("doc_id", col("doc_id") + 1000000L)
       val (docs, pairs) = minhashLshPairs(src.unionByName(planted))
-      val out = pairs
+      val out = graft.operators.Components.lineageCut(pairs
         .filter(col("id_b") === col("id_a") + 1000000L && col("id_a") < 200)
         .select(col("id_a").as("doc_id"), lit(true).as("found"))
-        .orderBy("doc_id")
-        .localCheckpoint()
+        .orderBy("doc_id"))
       docs.unpersist()
       out
     },

@@ -62,6 +62,14 @@ object ChProtobufFormat {
       throw new IllegalArgumentException(
         s"protobuf: message '$message' not found in the schema " +
           "(nested messages are not supported)"))
+    // the loud-reject contract must hold for declarations the field
+    // regex would otherwise SKIP silently (map<>/oneof/option/reserved)
+    Seq("map\\s*<" -> "map fields", "\\boneof\\b" -> "oneof blocks",
+      "\\breserved\\b" -> "reserved ranges").foreach { case (re, what) =>
+      if (("(?i)" + re).r.findFirstIn(body).isDefined)
+        throw new IllegalArgumentException(
+          s"protobuf: $what are not supported (flat scalar messages only)")
+    }
     // not line-anchored: `message M { int64 k = 1; string s = 2; }` on
     // one line parses the same as the multi-line layout
     val fieldRe =

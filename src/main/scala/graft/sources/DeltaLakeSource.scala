@@ -169,8 +169,14 @@ object DeltaLakeSource {
     // small dim). A per-partition-group scan+union would instead build
     // a plan with one branch per partition: thousands of branches on a
     // real table.
+    // add.path is a percent-encoded RELATIVE URI (PROTOCOL.md) — decode
+    // via URI rules, where '+' is a literal plus (URLDecoder would turn
+    // it into a space and miss the file)
+    def decodePath(p: String): String =
+      try new java.net.URI(p).getPath
+      catch { case _: java.net.URISyntaxException => p }
     val qualified = active.toSeq.map { case (p, pv) =>
-      val abs = new Path(tablePath, java.net.URLDecoder.decode(p, "UTF-8"))
+      val abs = new Path(tablePath, decodePath(p))
       (fs.makeQualified(abs), pv)
     }
     val base = spark.read.schema(dataSchema)
@@ -183,8 +189,12 @@ object DeltaLakeSource {
         m.partitionColumns.map(pc =>
           StructField(s"__pv_$pc", StringType, nullable = true)))
     // join key = the DECODED PATH component: input_file_name() renders
-    // "scheme://…" URL-encoded while Path.toString renders "scheme:/…" —
-    // the path part is the stable spelling of both
+    // "scheme://authority/…" URL-encoded while Path.toUri.getPath is the
+    // bare decoded path — strip `scheme:` plus the OPTIONAL //authority
+    // (hdfs://nn:8020, s3a://bucket — keeping it would shift the key and
+    // NULL every partition column on any authority-bearing filesystem),
+    // then percent-decode with '+' protected (url_decode is
+    // form-decoding, which would eat literal pluses).
     val pvRows = qualified.map { case (f, pv) =>
       Row.fromSeq(f.toUri.getPath +:
         m.partitionColumns.map(pc => pv.get(pc).flatten.orNull))
@@ -194,8 +204,8 @@ object DeltaLakeSource {
     base
       .withColumn("__delta_file",
         org.apache.spark.sql.functions.expr(
-          "url_decode(regexp_replace(input_file_name(), " +
-            "'^[a-zA-Z][a-zA-Z0-9+.-]*:/+', '/'))"))
+          "url_decode(replace(regexp_replace(input_file_name(), " +
+            "'^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?', ''), '+', '%2B'))"))
       .join(org.apache.spark.sql.functions.broadcast(pvDf),
         Seq("__delta_file"), "left")
       .select(schema.fields.map { f =>

@@ -102,22 +102,29 @@ object IcebergSource {
       } finally reader.close()
     }
 
+    // v1 manifests carry no `content` fields at all — GenericRecord.get
+    // THROWS on an absent name (avro-1.12 "Not a valid schema field"),
+    // so absence must check the writer schema first, defaulting to the
+    // v1 meaning (0 = data)
+    def optField(r: GenericRecord, name: String): Option[AnyRef] =
+      if (r.getSchema.getField(name) == null) None else Option(r.get(name))
+
     val dataFiles = avroRecords(manifestList).flatMap { m =>
-      val content = Option(m.get("content")).map(_.toString.toInt).getOrElse(0)
+      val content = optField(m, "content").map(_.toString.toInt).getOrElse(0)
       if (content != 0) throw new IllegalArgumentException(
         "iceberg: the snapshot carries DELETE manifests (v2 row-level " +
           "deletes) — this native reader refuses rather than serving " +
           "deleted rows")
       val manifestPath = m.get("manifest_path").toString
       avroRecords(manifestPath).flatMap { e =>
-        val status = Option(e.get("status")).map(_.toString.toInt).getOrElse(1)
+        val status = optField(e, "status").map(_.toString.toInt).getOrElse(1)
         if (status == 2) None // deleted entry
         else {
           val df = e.get("data_file").asInstanceOf[GenericRecord]
-          Option(df.get("content")).map(_.toString.toInt).foreach(c =>
+          optField(df, "content").map(_.toString.toInt).foreach(c =>
             if (c != 0) throw new IllegalArgumentException(
               "iceberg: delete files present — unsupported"))
-          val fmt = Option(df.get("file_format")).map(_.toString)
+          val fmt = optField(df, "file_format").map(_.toString)
             .getOrElse("PARQUET")
           if (!fmt.equalsIgnoreCase("parquet"))
             throw new IllegalArgumentException(

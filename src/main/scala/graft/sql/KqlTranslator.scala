@@ -279,15 +279,27 @@ object KqlTranslator {
           s"SELECT ${kSel}map_from_entries(collect_list(" +
             s"struct(__ms_g, __ms_v))) AS __ms_m FROM ${sub(binned)}" +
             (if (keys.isEmpty) "" else s" GROUP BY ${keys.mkString(", ")}")
-        val grid = s"sequence(CAST($fromSql AS BIGINT), " +
-          s"CAST($toSql AS BIGINT) - CAST($stepSql AS BIGINT), " +
-          s"CAST($stepSql AS BIGINT))"
+        // grid = bin STARTS from..to exclusive: k = 0 .. ceil((to-from)/
+        // step)-1 — the ceil keeps the final PARTIAL bin (Kusto emits it;
+        // a sequence(from, to-step, step) would drop rows binned into it
+        // whenever (to-from) is not a step multiple), and a fractional
+        // step survives untruncated because only the COUNT is integral
+        val nBins = s"greatest(CAST(CEIL((($toSql) - ($fromSql)) / " +
+          s"($stepSql)) AS BIGINT), CAST(0 AS BIGINT))"
+        val grid = s"transform(sequence(CAST(0 AS BIGINT), $nBins - 1), " +
+          s"__msk -> ($fromSql) + __msk * ($stepSql))"
         val axisOut =
-          if (timeAxis) s"transform($grid, x -> timestamp_seconds(x))"
+          if (timeAxis)
+            s"transform($grid, x -> timestamp_seconds(CAST(x AS BIGINT)))"
           else grid
-        s"SELECT ${kSel}transform($grid, x -> coalesce(" +
+        s"SELECT ${kSel}CASE WHEN $nBins <= 0 THEN " +
+          s"CAST(array() AS ARRAY<DOUBLE>) ELSE " +
+          s"transform($grid, x -> coalesce(" +
           s"element_at(__ms_m, CAST(x AS DOUBLE)), CAST($dflt AS DOUBLE)))" +
-          s" AS $alias, $axisOut AS $axis FROM ${sub(mapped)}"
+          s" END AS $alias, CASE WHEN $nBins <= 0 THEN " +
+          s"CAST(array() AS ${if (timeAxis) "ARRAY<TIMESTAMP>" else "ARRAY<DOUBLE>"}) " +
+          s"ELSE ${if (timeAxis) axisOut else s"transform($grid, x -> CAST(x AS DOUBLE))"} " +
+          s"END AS $axis FROM ${sub(mapped)}"
       case other => throw new IllegalArgumentException(
         "KQL make-series: expected `alias = agg(col) [default = d] on " +
           s"axis from a to b step s [by keys]`, got '$other'")
@@ -324,8 +336,10 @@ object KqlTranslator {
       s"__KQLLIT${lits.size - 1}__"
     }
     var e = liftStrings(e0.trim, reg)
-    // datetime(2017-1-1 12:23:34) → TIMESTAMP '2017-01-01 12:23:34'
-    e = "(?i)\\bdatetime\\s*\\(\\s*([0-9: .-]+?)\\s*\\)".r
+    // datetime(2017-1-1 12:23:34) → TIMESTAMP '2017-01-01 12:23:34';
+    // the ISO forms datetime(2024-05-25T08:20:03[Z]) — Kusto's canonical
+    // spelling — normalize through the same lane
+    e = "(?i)\\bdatetime\\s*\\(\\s*([0-9TZz: .-]+?)\\s*\\)".r
       .replaceAllIn(e, m => java.util.regex.Matcher.quoteReplacement(
         s"TIMESTAMP ${reg(normalizeDt(m.group(1)))}"))
     // dynamic([x, y, …]) → array(x, y, …) (balanced)
@@ -369,19 +383,31 @@ object KqlTranslator {
         s"element_at(${m.group(1)}, ${m.group(2).toInt + 1})")
     // string comparison operators (placeholder-aware)
     e = rewriteStringOps(e, lits, reg)
-    // `a between (x .. y)` → BETWEEN
-    e = "(?i)\\b(!)?between\\s*\\(\\s*([^.]+?)\\s*\\.\\.\\s*([^)]+?)\\s*\\)".r
+    // `a between (x .. y)` → BETWEEN ('..' is the explicit delimiter, so
+    // lazy bound captures read decimals like 1.5 correctly)
+    e = "(?i)\\b(!)?between\\s*\\(\\s*(.+?)\\s*\\.\\.\\s*([^)]+?)\\s*\\)".r
       .replaceAllIn(e, m =>
         java.util.regex.Matcher.quoteReplacement(
           (if (m.group(1) != null) "NOT " else "") +
             s"BETWEEN ${m.group(2)} AND ${m.group(3)}"))
-    // case-insensitive equality markers
-    e = "(\\S+)\\s+__KQL_EQI__\\s+(\\S+)".r.replaceAllIn(e,
+    // case-insensitive equality markers — SIMPLE operands only (a
+    // column/call/literal/number, the same grammar as the string
+    // operators); a leftover marker means an operand shape the rewrite
+    // could not read, which must be LOUD, not a partially-lowercased
+    // comparison
+    val eqiOperand = "(?:[A-Za-z_][A-Za-z0-9_.]*\\s*\\([^()]*\\)|" +
+      "__KQLLIT\\d+__|[A-Za-z_][A-Za-z0-9_.]*|\\d+(?:\\.\\d+)?)"
+    e = s"($eqiOperand)\\s+__KQL_EQI__\\s+($eqiOperand)".r.replaceAllIn(e,
       m => java.util.regex.Matcher.quoteReplacement(
         s"lower(${m.group(1)}) = lower(${m.group(2)})"))
-    e = "(\\S+)\\s+__KQL_NEQI__\\s+(\\S+)".r.replaceAllIn(e,
+    e = s"($eqiOperand)\\s+__KQL_NEQI__\\s+($eqiOperand)".r.replaceAllIn(e,
       m => java.util.regex.Matcher.quoteReplacement(
         s"lower(${m.group(1)}) <> lower(${m.group(2)})"))
+    if (e.contains("__KQL_EQI__") || e.contains("__KQL_NEQI__"))
+      throw new IllegalArgumentException(
+        "KQL =~/!~: operands must be simple columns, calls without " +
+          "nested parentheses, or literals — rewrite the expression " +
+          s"or compare with ==: ${e0.trim.take(120)}")
     // substitute the literals back as single-quoted SQL strings
     "__KQLLIT(\\d+)__".r.replaceAllIn(e, m =>
       java.util.regex.Matcher.quoteReplacement(
@@ -729,7 +755,10 @@ object KqlTranslator {
 
   // ---- small rewrite helpers ----------------------------------------------
 
-  private def normalizeDt(raw: String): String = {
+  private def normalizeDt(raw0: String): String = {
+    // ISO forms: 'T' separates date and time, a trailing 'Z' marks UTC
+    // (this engine's session timezone IS UTC)
+    val raw = raw0.trim.stripSuffix("Z").stripSuffix("z").replace("T", " ")
     val parts = raw.trim.split("\\s+")
     val d = parts(0).split("-").map(_.toInt)
     val date = f"${d(0)}%04d-${d(1)}%02d-${d(2)}%02d"

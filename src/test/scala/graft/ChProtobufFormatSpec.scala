@@ -37,6 +37,19 @@ class ChProtobufFormatSpec extends SparkFunSuite {
       ChProtobufFormat.parseProto("message A { SomeEnum e = 1; }", "A")
     }
     assert(e2.getMessage.contains("unsupported field type"))
+    // review fix: map<> / oneof were silently SKIPPED by the field
+    // regex — they must reject loudly like the doc promises
+    val e3 = intercept[IllegalArgumentException] {
+      ChProtobufFormat.parseProto(
+        "message A { int64 id = 1; map<string,int64> tags = 2; }", "A")
+    }
+    assert(e3.getMessage.contains("map fields"))
+    val e4 = intercept[IllegalArgumentException] {
+      ChProtobufFormat.parseProto(
+        "message A { int64 id = 1; oneof pick { int32 a = 2; } }", "A")
+    }
+    assert(e4.getMessage.toLowerCase.contains("oneof") ||
+      e4.getMessage.contains("not found"))
   }
 
   test("golden bytes: the documented wire encoding, byte for byte") {

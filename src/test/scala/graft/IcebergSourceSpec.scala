@@ -117,6 +117,46 @@ class IcebergSourceSpec extends SparkFunSuite {
       .deleteDirectory(new java.io.File(dir))
   }
 
+  test("format-version-1 manifests (no `content` fields anywhere) read " +
+      "fine — absent Avro fields default instead of throwing (review fix)") {
+    val v1ListSchema = new Schema.Parser().parse("""
+      {"type":"record","name":"manifest_file","fields":[
+        {"name":"manifest_path","type":"string"},
+        {"name":"manifest_length","type":"long"}]}""")
+    val v1EntrySchema = new Schema.Parser().parse("""
+      {"type":"record","name":"manifest_entry","fields":[
+        {"name":"status","type":"int"},
+        {"name":"data_file","type":{"type":"record","name":"data_file",
+          "fields":[{"name":"file_path","type":"string"},
+            {"name":"file_format","type":"string"},
+            {"name":"record_count","type":"long"}]}}]}""")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_iceberg_v1").toString
+    try {
+      val f1 = dataFile(dir, "d1.parquet", Seq((1L, "a"), (2L, "b")))
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Path.of(dir, "metadata"))
+      val d = new GenericData.Record(
+        v1EntrySchema.getField("data_file").schema())
+      d.put("file_path", f1); d.put("file_format", "PARQUET")
+      d.put("record_count", 2L)
+      val e = new GenericData.Record(v1EntrySchema)
+      e.put("status", 1); e.put("data_file", d)
+      val mPath = s"$dir/metadata/m1.avro"
+      writeAvro(mPath, v1EntrySchema, Seq(e))
+      val ml = new GenericData.Record(v1ListSchema)
+      ml.put("manifest_path", mPath); ml.put("manifest_length", 1L)
+      val mlPath = s"$dir/metadata/snap-1.avro"
+      writeAvro(mlPath, v1ListSchema, Seq(ml))
+      java.nio.file.Files.writeString(
+        java.nio.file.Path.of(dir, "metadata", "v1.metadata.json"),
+        metadataJson(55L, mlPath))
+      assert(graft.sources.IcebergSource.read(spark, dir).count() == 2L,
+        "v1 manifests without content fields must read, not throw")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
   test("delete manifests reject loudly; version-hint picks the metadata " +
       "version; unknown snapshot id is loud") {
     val dir = java.nio.file.Files

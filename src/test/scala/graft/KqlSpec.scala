@@ -91,6 +91,17 @@ class KqlSpec extends SparkFunSuite {
         .head().getLong(0) == 2L)
       assert(ch("Customers | where Age between (28 .. 33) | count")
         .head().getLong(0) == 3L)
+      // decimal bounds (review fix: the lazy bound capture reads 1.5)
+      assert(ch("Customers | where Age between (27.5 .. 33.5) | count")
+        .head().getLong(0) == 3L)
+      // ISO datetime spellings (Kusto's canonical T/Z forms)
+      assert(ch("print d = datetime(2024-05-25T08:20:03Z)").collect()
+        .head.getTimestamp(0).toString.startsWith("2024-05-25 08:20:03"))
+      // =~ with an unreadable operand shape is LOUD, never
+      // partially-lowercased
+      val eqi = intercept[Exception](ch(
+        "Customers | where strcat(Name, strcat('a', 'b')) =~ 'x' | count"))
+      assert(eqi.getMessage.contains("=~"))
     }
   }
 
@@ -199,7 +210,16 @@ class KqlSpec extends SparkFunSuite {
       val r = ch("Customers | make-series n = count() on Age " +
         "from 20 to 50 step 10").collect().head
       assert(r.getSeq[Double](0) == Seq(2.0, 2.0, 1.0))
-      assert(r.getSeq[Long](1) == Seq(20L, 30L, 40L))
+      assert(r.getSeq[Double](1) == Seq(20.0, 30.0, 40.0))
+      // the FINAL PARTIAL bin is emitted when (to - from) is not a step
+      // multiple: [20, 45) step 10 → bins 20, 30, 40 with 45 excluded
+      // by the range but age 45 < 45 false → bins carry 2, 2, 0... and
+      // [20, 46) keeps 45 in the partial bin [40, 46)
+      val part = ch("Customers | make-series n = count() on Age " +
+        "from 20 to 46 step 10").collect().head
+      assert(part.getSeq[Double](1) == Seq(20.0, 30.0, 40.0))
+      assert(part.getSeq[Double](0) == Seq(2.0, 2.0, 1.0),
+        "age 45 lands in the final partial bin [40, 46)")
       // by-key + explicit default: engineers have no 30s bin → -1 fill
       val by = ch("Customers | make-series n = count() default = -1 " +
         "on Age from 20 to 50 step 10 by Occupation " +
