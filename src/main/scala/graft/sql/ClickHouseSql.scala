@@ -2800,33 +2800,60 @@ object ClickHouseSql {
   private val deltaLakeFnRe =
     "(?i)\\bdeltaLake(?:Local)?\\s*\\(\\s*'([^']+)'\\s*(?:,\\s*(\\d+)\\s*)?\\)".r
 
+  /** Replace matches of `re` found OUTSIDE string literals only: the
+    * scan runs over the literal-masked copy (so a fn spelling INSIDE a
+    * literal never fires) while the argument text slices from the
+    * ORIGINAL string by match position. */
+  private def replaceOutsideLiterals(sql0: String,
+      re: scala.util.matching.Regex)(
+      build: (String => String) => String): String = {
+    var s = sql0
+    var budget = 8
+    var found = true
+    while (found && budget > 0) {
+      budget -= 1
+      val masked = JoinSpellings.maskLiterals(s)
+      re.findFirstMatchIn(masked) match {
+        case None => found = false
+        case Some(m) =>
+          val cur = s
+          val rep = build(g => {
+            val i = g.toInt
+            if (m.start(i) < 0) null else cur.substring(m.start(i), m.end(i))
+          })
+          s = s.substring(0, m.start) + rep + s.substring(m.end)
+      }
+    }
+    s
+  }
+
   private def resolveDeltaLakeFn(spark: SparkSession, sql0: String): String = {
-    val step1 = deltaLakeFnRe.replaceAllIn(sql0, m => {
-      val df = graft.sources.DeltaLakeSource.read(spark, m.group(1),
-        Option(m.group(2)).map(_.toLong))
+    val step1 = replaceOutsideLiterals(sql0, deltaLakeFnRe) { g =>
+      val df = graft.sources.DeltaLakeSource.read(spark, g("1"),
+        Option(g("2")).map(_.toLong))
       val view = s"graft_delta_fn_${fileFnCounter.incrementAndGet()}"
       df.createOrReplaceTempView(view)
-      java.util.regex.Matcher.quoteReplacement(view)
-    })
+      view
+    }
     // hudi('path') (TableFunctionObjectStorage.h:118) — native
     // copy-on-write latest-file-group selection (HudiMetadata.cpp)
-    val step2 = "(?i)\\bhudi\\s*\\(\\s*'([^']+)'\\s*\\)".r
-      .replaceAllIn(step1, m => {
-        val df = graft.sources.HudiSource.read(spark, m.group(1))
-        val view = s"graft_hudi_fn_${fileFnCounter.incrementAndGet()}"
-        df.createOrReplaceTempView(view)
-        java.util.regex.Matcher.quoteReplacement(view)
-      })
+    val step2 = replaceOutsideLiterals(step1,
+      "(?i)\\bhudi\\s*\\(\\s*'([^']+)'\\s*\\)".r) { g =>
+      val df = graft.sources.HudiSource.read(spark, g("1"))
+      val view = s"graft_hudi_fn_${fileFnCounter.incrementAndGet()}"
+      df.createOrReplaceTempView(view)
+      view
+    }
     // iceberg('path'[, snapshotId]) — native metadata/manifest replay
     // (IcebergMetadata.cpp)
-    "(?i)\\biceberg\\s*\\(\\s*'([^']+)'\\s*(?:,\\s*(\\d+)\\s*)?\\)".r
-      .replaceAllIn(step2, m => {
-        val df = graft.sources.IcebergSource.read(spark, m.group(1),
-          Option(m.group(2)).map(_.toLong))
-        val view = s"graft_iceberg_fn_${fileFnCounter.incrementAndGet()}"
-        df.createOrReplaceTempView(view)
-        java.util.regex.Matcher.quoteReplacement(view)
-      })
+    replaceOutsideLiterals(step2,
+      "(?i)\\biceberg\\s*\\(\\s*'([^']+)'\\s*(?:,\\s*(\\d+)\\s*)?\\)".r) { g =>
+      val df = graft.sources.IcebergSource.read(spark, g("1"),
+        Option(g("2")).map(_.toLong))
+      val view = s"graft_iceberg_fn_${fileFnCounter.incrementAndGet()}"
+      df.createOrReplaceTempView(view)
+      view
+    }
   }
 
   private def resolveFileFn(spark: SparkSession, sql0: String): String =

@@ -355,4 +355,15 @@ class DialectTortureSpec extends SparkFunSuite {
     assert(ch("SELECT 'GROUPS BETWEEN a AND b' AS s FROM nation LIMIT 1")
       .collect().head.getString(0).contains("GROUPS BETWEEN"))
   }
+
+  test("lakehouse table-function spellings inside string literals never " +
+      "fire (the resolvers scan literal-masked text)") {
+    val ch = (s: String) => graft.sql.ClickHouseSql.sql(spark, s)
+    Tables.register(spark, sf)
+    val r = ch("SELECT 'use deltaLake(''/nope'') or hudi(''/nope'') or " +
+      "iceberg(''/nope'') here' AS s FROM nation LIMIT 1")
+      .collect().head.getString(0)
+    assert(r.contains("deltaLake('/nope')") && r.contains("hudi('/nope')"),
+      s"the literal must pass through untouched: $r")
+  }
 }
