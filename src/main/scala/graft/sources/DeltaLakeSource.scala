@@ -2,45 +2,69 @@ package graft.sources
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{broadcast, col, lit, not, udf}
 import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
+
+import graft.sources.DeltaDeletionVectors.DvDescriptor
 
 /** Native Delta Lake READ support — the round-12 verdict's one
   * capability-class gap ("lakehouse reads … blocked on connector
   * jars"). The reference does NOT use connector jars either: its
-  * DeltaLakeMetadata.cpp replays the PUBLIC transaction-log protocol
-  * (delta.io PROTOCOL.md — `_delta_log/%020d.json` commits of
+  * DeltaLake/TableSnapshot.cpp replays the PUBLIC transaction-log
+  * protocol (delta.io PROTOCOL.md — `_delta_log/%020d.json` commits of
   * add/remove/metaData/protocol actions, optional
   * `%020d.checkpoint.parquet` snapshots, `_last_checkpoint` pointer),
   * and so does this reader:
   *
   *  1. list the log, pick the target version (latest, or `versionAsOf`
   *     for time travel);
-  *  2. seed from the newest single-part checkpoint ≤ target (a parquet
-  *     file of the same actions — read DISTRIBUTED, only the action
-  *     columns collected: the log is metadata-scale even at 100 TB);
+  *  2. seed from the newest single-part checkpoint ≤ target. The
+  *     checkpoint is itself parquet, so the add/remove reconciliation
+  *     runs DISTRIBUTED (left-anti join on path) over a MINIMAL
+  *     projection (path, partitionValues, deletionVector) — only the
+  *     surviving action tuples reach the driver, behind a LOUD
+  *     action-count cap (a 100 TB table with tens of millions of
+  *     files must fail with an error, not an OOM);
   *  3. replay the JSON commits after it, in version order — `add`
-  *     activates a file, `remove` retires it, the newest `metaData`
-  *     carries the schema (schemaString is a Spark StructType JSON —
-  *     the format Delta itself defines) and the partition columns;
+  *     activates a file (carrying its deletion vector, if any),
+  *     `remove` retires it, the newest `metaData` carries the schema
+  *     (schemaString is a Spark StructType JSON — the format Delta
+  *     itself defines) and the partition columns;
   *  4. read the ACTIVE files with the data schema — one distributed
-  *     parquet scan per partition-value group, partition columns
-  *     restored as literals cast to their schema types (Delta stores
-  *     them in the log, not in the files), unioned by name.
+  *     parquet scan, partition columns restored as literals cast to
+  *     their schema types via a broadcast join from input_file_name()
+  *     (Delta stores them in the log, not in the files);
+  *  5. rows masked by a deletion vector are filtered out: each DV is a
+  *     roaring bitmap of 0-based row positions within its file
+  *     (PROTOCOL.md "Deletion Vector Format", sources/
+  *     DeltaDeletionVectors.scala), tested against the parquet
+  *     `_metadata.row_index` through a broadcast of the compressed
+  *     bitmap bytes — the DATA never shuffles for the mask.
   *
-  * Protocol gate: minReaderVersion > 1 rejects LOUDLY (deletion
-  * vectors / column mapping change data layout — serving rows while
-  * ignoring them would be silently wrong). Multi-part checkpoints
-  * reject loudly too; JSON commits after the last single-part
-  * checkpoint still replay.
+  * Protocol gates (LOUD, never silently wrong): minReaderVersion 2
+  * (column mapping) rejects; minReaderVersion 3 is accepted iff
+  * readerFeatures ⊆ {deletionVectors}; multi-part checkpoints reject.
   */
 object DeltaLakeSource {
 
   private final case class Meta(schemaString: String,
       partitionColumns: Seq[String])
 
+  /** One active file: partition values + optional deletion vector. */
+  private final case class Active(pv: Map[String, Option[String]],
+      dv: Option[DvDescriptor])
+
+  /** Loud cap on driver-collected checkpoint actions — ~a few hundred
+    * bytes per tuple, so 4M actions ≈ low-GB driver heap, the same
+    * order the reference's kernel snapshot holds. */
+  val MaxCollectedActions: Long = 4000000L
+
+  /** Loud cap on total broadcast DV bytes (compressed roaring). */
+  val MaxDvBytes: Long = 1L << 30
+
   def read(spark: SparkSession, tablePath: String,
-      versionAsOf: Option[Long] = None): DataFrame = {
+      versionAsOf: Option[Long] = None,
+      maxCollectedActions: Long = MaxCollectedActions): DataFrame = {
     val logDir = new Path(tablePath, "_delta_log")
     val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(logDir),
@@ -63,48 +87,90 @@ object DeltaLakeSource {
         "deltaLake: multi-part checkpoints are not supported by this reader")
 
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    // active file path -> partitionValues json-ish map
-    val active = scala.collection.mutable.LinkedHashMap
-      .empty[String, Map[String, Option[String]]]
+    // active file path -> partition values + deletion vector
+    val active = scala.collection.mutable.LinkedHashMap.empty[String, Active]
     var meta: Option[Meta] = None
     var minReader = 1
+    var readerFeatures = Set.empty[String]
 
-    // ---- checkpoint seed ----
+    // ---- checkpoint seed (distributed reconcile, minimal projection) ----
     val ckptV = entries.collect { case ckptRe(v) => v.toLong }
       .filter(_ <= target).sorted.lastOption
     ckptV.foreach { v =>
       val f = new Path(logDir, f"$v%020d.checkpoint.parquet").toString
       val cp = spark.read.parquet(f)
       val cols = cp.columns.toSet
-      def has(c: String) = cols.contains(c)
-      val rows = cp.select(
-        (if (has("add")) col("add") else lit(null)).as("add"),
-        (if (has("remove")) col("remove") else lit(null)).as("remove"),
-        (if (has("metaData")) col("metaData") else lit(null)).as("metaData"),
-        (if (has("protocol")) col("protocol") else lit(null)).as("protocol"))
-        .collect()
-      rows.foreach { r =>
-        if (!r.isNullAt(0)) {
-          val a = r.getStruct(0)
-          val p = a.getAs[String]("path")
-          val pv = Option(a.getAs[scala.collection.Map[String, String]](
-            "partitionValues")).map(_.toMap.map { case (k, x) =>
-              k -> Option(x) }).getOrElse(Map.empty)
-          active(p) = pv
+      def sub(parent: String, name: String): Boolean =
+        cols.contains(parent) && cp.schema(parent).dataType
+          .asInstanceOf[StructType].fieldNames.contains(name)
+
+      // metaData + protocol: at most a handful of rows — tiny collect
+      if (cols.contains("metaData")) {
+        cp.where(col("metaData").isNotNull)
+          .select(col("metaData.schemaString"),
+            if (sub("metaData", "partitionColumns"))
+              col("metaData.partitionColumns")
+            else lit(null).cast("array<string>"))
+          .collect().foreach { r =>
+            meta = Some(Meta(r.getString(0),
+              Option(r.getAs[scala.collection.Seq[String]](1))
+                .map(_.toSeq).getOrElse(Seq.empty)))
+          }
+      }
+      if (cols.contains("protocol")) {
+        cp.where(col("protocol").isNotNull)
+          .select(col("protocol.minReaderVersion"),
+            if (sub("protocol", "readerFeatures"))
+              col("protocol.readerFeatures")
+            else lit(null).cast("array<string>"))
+          .collect().foreach { r =>
+            minReader = math.max(minReader, r.getAs[Number](0).intValue)
+            Option(r.getAs[scala.collection.Seq[String]](1))
+              .foreach(fs => readerFeatures ++= fs)
+          }
+      }
+
+      if (cols.contains("add")) {
+        val dvCols =
+          if (sub("add", "deletionVector"))
+            Seq(col("add.deletionVector.storageType").as("__dv_st"),
+              col("add.deletionVector.pathOrInlineDv").as("__dv_path"),
+              col("add.deletionVector.offset").as("__dv_off"),
+              col("add.deletionVector.sizeInBytes").as("__dv_size"),
+              col("add.deletionVector.cardinality").as("__dv_card"))
+          else Seq(lit(null).cast("string").as("__dv_st"),
+            lit(null).cast("string").as("__dv_path"),
+            lit(null).cast("int").as("__dv_off"),
+            lit(null).cast("int").as("__dv_size"),
+            lit(null).cast("long").as("__dv_card"))
+        val adds = cp.where(col("add").isNotNull)
+          .select(Seq(col("add.path").as("path"),
+            (if (sub("add", "partitionValues")) col("add.partitionValues")
+             else lit(null).cast("map<string,string>")).as("pv")) ++
+            dvCols: _*)
+        val live =
+          if (cols.contains("remove"))
+            adds.join(cp.where(col("remove").isNotNull)
+              .select(col("remove.path").as("path")), Seq("path"),
+              "left_anti")
+          else adds
+        val cnt = live.count()
+        require(cnt <= maxCollectedActions,
+          s"deltaLake: checkpoint $f holds $cnt live add actions, above " +
+            s"the $maxCollectedActions driver cap — refusing rather than " +
+            "risking a driver OOM")
+        live.collect().foreach { r =>
+          val p = r.getString(0)
+          val pv = Option(r.getAs[scala.collection.Map[String, String]](1))
+            .map(_.toMap.map { case (k, x) => k -> Option(x) })
+            .getOrElse(Map.empty[String, Option[String]])
+          val dv = Option(r.getString(2)).map { st =>
+            DvDescriptor(st, r.getString(3),
+              if (r.isNullAt(4)) None else Some(r.getAs[Number](4).intValue),
+              r.getAs[Number](5).intValue, r.getAs[Number](6).longValue)
+          }
+          active(p) = Active(pv, dv)
         }
-        if (!r.isNullAt(1)) {
-          val rm = r.getStruct(1)
-          active.remove(rm.getAs[String]("path"))
-        }
-        if (!r.isNullAt(2)) {
-          val md = r.getStruct(2)
-          meta = Some(Meta(md.getAs[String]("schemaString"),
-            Option(md.getAs[scala.collection.Seq[String]](
-              "partitionColumns")).map(_.toSeq).getOrElse(Seq.empty)))
-        }
-        if (!r.isNullAt(3))
-          minReader = math.max(minReader,
-            r.getStruct(3).getAs[Number]("minReaderVersion").intValue)
       }
     }
 
@@ -130,7 +196,15 @@ object DeltaLakeSource {
               }
               b.result()
             }.getOrElse(Map.empty[String, Option[String]])
-            active(a.get("path").asText) = pv
+            val dv = Option(a.get("deletionVector")).filterNot(_.isNull)
+              .map { d =>
+                DvDescriptor(d.get("storageType").asText,
+                  d.get("pathOrInlineDv").asText,
+                  Option(d.get("offset")).filterNot(_.isNull).map(_.asInt),
+                  d.get("sizeInBytes").asInt,
+                  d.get("cardinality").asLong)
+              }
+            active(a.get("path").asText) = Active(pv, dv)
           }
           Option(node.get("remove")).foreach(rm =>
             active.remove(rm.get("path").asText))
@@ -140,18 +214,29 @@ object DeltaLakeSource {
             }.getOrElse(Seq.empty)
             meta = Some(Meta(md.get("schemaString").asText, pcs))
           }
-          Option(node.get("protocol")).foreach(p =>
-            minReader = math.max(minReader,
-              p.get("minReaderVersion").asInt))
+          Option(node.get("protocol")).foreach { p =>
+            minReader = math.max(minReader, p.get("minReaderVersion").asInt)
+            Option(p.get("readerFeatures")).filterNot(_.isNull)
+              .foreach(arr => readerFeatures ++=
+                (0 until arr.size).map(arr.get(_).asText))
+          }
         }
       }
 
-    if (minReader > 1)
+    // protocol gate: v2 = column mapping (unsupported); v3 = feature
+    // list, of which only deletionVectors is implemented here
+    if (minReader == 2)
       throw new IllegalArgumentException(
-        s"deltaLake: protocol minReaderVersion $minReader needs reader " +
-          "features (deletion vectors / column mapping) this native log " +
-          "replay does not implement — refusing rather than serving " +
-          "wrong rows")
+        "deltaLake: protocol minReaderVersion 2 needs column mapping, " +
+          "which this native log replay does not implement — refusing " +
+          "rather than serving wrong columns")
+    if (minReader >= 3) {
+      val unsupported = readerFeatures - "deletionVectors"
+      if (unsupported.nonEmpty) throw new IllegalArgumentException(
+        s"deltaLake: protocol readerFeatures ${unsupported.mkString(", ")} " +
+          "are not implemented by this native log replay — refusing " +
+          "rather than serving wrong rows")
+    }
     val m = meta.getOrElse(throw new IllegalArgumentException(
       "deltaLake: no metaData action found in the log"))
     val schema = DataType.fromJson(m.schemaString).asInstanceOf[StructType]
@@ -169,25 +254,27 @@ object DeltaLakeSource {
     // small dim). A per-partition-group scan+union would instead build
     // a plan with one branch per partition: thousands of branches on a
     // real table.
-    // add.path is a percent-encoded RELATIVE URI (PROTOCOL.md) — decode
-    // via URI rules, where '+' is a literal plus (URLDecoder would turn
-    // it into a space and miss the file)
-    def decodePath(p: String): String =
-      try new java.net.URI(p).getPath
-      catch { case _: java.net.URISyntaxException => p }
-    val qualified = active.toSeq.map { case (p, pv) =>
-      val abs = new Path(tablePath, decodePath(p))
-      (fs.makeQualified(abs), pv)
+    // add.path is a percent-encoded URI (PROTOCOL.md) — usually RELATIVE
+    // to the table root, but absolute URIs are legal (shallow clones /
+    // external files). Decode via URI rules, where '+' is a literal plus
+    // (URLDecoder would turn it into a space and miss the file); an
+    // absolute URI keeps its scheme/authority instead of having getPath
+    // resolved against tablePath (which would read the wrong location).
+    val qualified = active.toSeq.map { case (p, a) =>
+      val uri = try new java.net.URI(p)
+        catch { case _: java.net.URISyntaxException => null }
+      val abs =
+        if (uri != null && uri.getScheme != null) new Path(uri)
+        else if (uri != null && uri.getPath.startsWith("/"))
+          new Path(uri.getPath)
+        else new Path(tablePath, if (uri != null) uri.getPath else p)
+      (abs.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(abs), a)
     }
-    val base = spark.read.schema(dataSchema)
+    val hasDv = qualified.exists(_._2.dv.isDefined)
+    val base0 = spark.read.schema(dataSchema)
       .parquet(qualified.map(_._1.toString): _*)
-    if (m.partitionColumns.isEmpty)
-      return base.select(schema.fieldNames.map(col).toIndexedSeq: _*)
-    import org.apache.spark.sql.Row
-    val pvSchema = StructType(
-      StructField("__delta_file", StringType, nullable = false) +:
-        m.partitionColumns.map(pc =>
-          StructField(s"__pv_$pc", StringType, nullable = true)))
+
     // join key = the DECODED PATH component: input_file_name() renders
     // "scheme://authority/…" URL-encoded while Path.toUri.getPath is the
     // bare decoded path — strip `scheme:` plus the OPTIONAL //authority
@@ -195,23 +282,91 @@ object DeltaLakeSource {
     // NULL every partition column on any authority-bearing filesystem),
     // then percent-decode with '+' protected (url_decode is
     // form-decoding, which would eat literal pluses).
-    val pvRows = qualified.map { case (f, pv) =>
+    val fileKeyExpr =
+      "url_decode(replace(regexp_replace(input_file_name(), " +
+        "'^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?', ''), '+', '%2B'))"
+
+    // deletion-vector mask: broadcast the COMPRESSED bitmap bytes keyed
+    // by decoded file path; executors deserialize lazily and test the
+    // parquet row index. DVs are metadata-scale (roaring-compressed),
+    // loud-capped — the data scan itself never shuffles for the mask.
+    val base =
+      if (!hasDv) base0
+      else {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val dvData: Map[String, Array[Byte]] = qualified.flatMap {
+          case (f, a) => a.dv.map { d =>
+            val bytes = DeltaDeletionVectors.readData(conf, tablePath, d)
+            // integrity: the descriptor's cardinality must match
+            val bm = DeltaDeletionVectors.deserializeBitmaps(bytes)
+            val card = bm.valuesIterator.map(_.getLongCardinality).sum
+            require(card == d.cardinality,
+              s"deltaLake DV: bitmap cardinality $card != descriptor " +
+                s"cardinality ${d.cardinality} for ${f.toUri.getPath}")
+            f.toUri.getPath -> bytes
+          }
+        }.toMap
+        val total = dvData.valuesIterator.map(_.length.toLong).sum
+        require(total <= MaxDvBytes,
+          s"deltaLake: deletion vectors total $total bytes, above the " +
+            s"$MaxDvBytes broadcast cap — refusing rather than risking " +
+            "an executor OOM")
+        val bc = spark.sparkContext.broadcast(dvData)
+        val checker = new DvChecker(bc)
+        val deleted = udf((file: String, idx: Long) =>
+          checker.deleted(file, idx))
+        base0
+          .withColumn("__delta_dv_file",
+            org.apache.spark.sql.functions.expr(fileKeyExpr))
+          .withColumn("__delta_dv_idx", col("_metadata.row_index"))
+          .filter(not(deleted(col("__delta_dv_file"),
+            col("__delta_dv_idx"))))
+          .drop("__delta_dv_file", "__delta_dv_idx")
+      }
+
+    if (m.partitionColumns.isEmpty)
+      return base.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    import org.apache.spark.sql.Row
+    val pvSchema = StructType(
+      StructField("__delta_file", StringType, nullable = false) +:
+        m.partitionColumns.map(pc =>
+          StructField(s"__pv_$pc", StringType, nullable = true)))
+    val pvRows = qualified.map { case (f, a) =>
       Row.fromSeq(f.toUri.getPath +:
-        m.partitionColumns.map(pc => pv.get(pc).flatten.orNull))
+        m.partitionColumns.map(pc => a.pv.get(pc).flatten.orNull))
     }
     val pvDf = spark.createDataFrame(
       spark.sparkContext.parallelize(pvRows, 1), pvSchema)
     base
       .withColumn("__delta_file",
-        org.apache.spark.sql.functions.expr(
-          "url_decode(replace(regexp_replace(input_file_name(), " +
-            "'^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?', ''), '+', '%2B'))"))
-      .join(org.apache.spark.sql.functions.broadcast(pvDf),
-        Seq("__delta_file"), "left")
+        org.apache.spark.sql.functions.expr(fileKeyExpr))
+      .join(broadcast(pvDf), Seq("__delta_file"), "left")
       .select(schema.fields.map { f =>
         if (m.partitionColumns.contains(f.name))
           col(s"__pv_${f.name}").cast(f.dataType).as(f.name)
         else col(f.name)
       }.toIndexedSeq: _*)
+  }
+
+  /** Serializable row-index membership test over broadcast DV bytes —
+    * deserializes each file's bitmap at most once per executor task
+    * batch (transient cache survives within a deserialized closure). */
+  private final class DvChecker(
+      bc: org.apache.spark.broadcast.Broadcast[Map[String, Array[Byte]]])
+      extends Serializable {
+    @transient private lazy val cache =
+      new java.util.concurrent.ConcurrentHashMap[String,
+        Map[Int, org.roaringbitmap.RoaringBitmap]]()
+    def deleted(file: String, idx: Long): Boolean =
+      bc.value.get(file) match {
+        case None => false
+        case Some(bytes) =>
+          var m = cache.get(file)
+          if (m == null) {
+            m = DeltaDeletionVectors.deserializeBitmaps(bytes)
+            cache.put(file, m)
+          }
+          DeltaDeletionVectors.contains(m, idx)
+      }
   }
 }

@@ -47,8 +47,18 @@ object HudiSource {
         s"hudi: unexpected base-file name ${p.getName} " +
           "(expected fileId_writeToken_timestamp.parquet)")
       val key = (p.getParent.toString, parts(0))
-      // instant stems may carry a millisecond suffix — numeric prefix
-      val ts = parts(2).takeWhile(_.isDigit).toLong
+      // instant stems may carry a millisecond suffix — and instants of
+      // MIXED precision can share one file group (14-digit second
+      // instants from an old writer, 17-digit millisecond instants from
+      // a new one). Compare on a fixed width: second-precision instants
+      // pad to milliseconds with '000', so 20240102000000 ranks below
+      // 20240102000000500 instead of always losing to any 17-digit
+      // value numerically.
+      val digits = parts(2).takeWhile(_.isDigit)
+      require(digits.nonEmpty,
+        s"hudi: base-file name ${p.getName} has no instant timestamp")
+      val ts = (if (digits.length < 17) digits + "0" * (17 - digits.length)
+        else digits).toLong
       if (!latest.get(key).exists(_._1 >= ts))
         latest(key) = (ts, p.toString)
     }

@@ -178,6 +178,28 @@ object ClickHouseSql {
       depth0("(?i)\\bLIMIT\\b".r)).filter(_ > fromIdx)
       .minOption.getOrElse(s.length)
     val sel = s.substring(selIdx + 6, fromIdx)
+    // a star projection (`SELECT *` / `SELECT t.*`) would silently gain
+    // the __grp_N helper columns the wrap computes — loud reject, like
+    // the other unsupported shapes (`count(*)` is fine: its star sits
+    // inside parens; `a * b` is fine: its star follows an operand)
+    locally {
+      val mSel = m.substring(selIdx + 6, fromIdx)
+      var d2 = 0
+      for (i <- 0 until mSel.length) {
+        val c = mSel.charAt(i)
+        if (c == '(') d2 += 1
+        else if (c == ')') d2 -= 1
+        else if (c == '*' && d2 == 0) {
+          val prev = mSel.substring(0, i).reverse.dropWhile(_.isWhitespace)
+            .headOption
+          if (prev.isEmpty || prev.contains(',') || prev.contains('.'))
+            throw new IllegalArgumentException(
+              "GROUPS frame: `SELECT *` is not supported with a GROUPS " +
+                "window (the rewrite adds helper columns a star would " +
+                "leak) — list the output columns explicitly")
+        }
+      }
+    }
     val src = s.substring(fromIdx + 4, tailIdx).trim.stripSuffix(";")
     val tail = if (tailIdx >= s.length) "" else " " + s.substring(tailIdx)
     val grps = specs.map { case ((p, o), i) =>

@@ -42,6 +42,25 @@ object JoinSpellings {
 
   private val counter = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Bounded ledger for the rewrite's temp views: each ASOF/PASTE
+    * statement registers a `graft_asof_join_N` / `graft_paste_join_N`
+    * view the rewritten SQL references; a long session would otherwise
+    * accumulate catalog entries without bound. Dropping immediately is
+    * unsafe (the caller analyzes the rewritten SQL AFTER the rewrite
+    * returns), but by the time 128 NEWER statements have been rewritten,
+    * the owning statement's analysis has long completed (it happens
+    * synchronously inside the same sql() call) — so evict the oldest. */
+  private val viewLedger = new java.util.ArrayDeque[String]()
+  private[graft] val viewLedgerCap = 128
+
+  private[graft] def registerBounded(spark: SparkSession, view: String,
+      df: DataFrame): Unit = synchronized {
+    df.createOrReplaceTempView(view)
+    viewLedger.addLast(view)
+    while (viewLedger.size > viewLedgerCap)
+      spark.catalog.dropTempView(viewLedger.removeFirst())
+  }
+
   /** Cheap guard: does the statement contain one of the spellings
     * outside string literals? Ordinary SQL never pays rewrite cost. */
   def applies(sql: String): Boolean = {
@@ -548,7 +567,7 @@ object JoinSpellings {
       if (kind == "INNER") joined0.filter(col(s"asof_$rtc").isNotNull)
       else joined0
     val view = s"graft_asof_join_${counter.incrementAndGet()}"
-    joined.createOrReplaceTempView(view)
+    registerBounded(spark, view, joined)
     val rewritten = s.substring(0, fromStart) + s"FROM $view " +
       s.substring(ce)
     val rightOnly = rDf.columns.filterNot(c =>
@@ -580,7 +599,7 @@ object JoinSpellings {
               overlap.mkString("[", ", ", "]") + " — rename in a subquery")
           val zipped = graft.operators.JoinOps.pasteJoin(lDf, rDf)
           val view = s"graft_paste_join_${counter.incrementAndGet()}"
-          zipped.createOrReplaceTempView(view)
+          registerBounded(spark, view, zipped)
           val out = s.substring(0, fromStart) + s"FROM $view" +
             s.substring(rRel.end)
           // both sides' columns keep their names — strip the qualifiers

@@ -8,8 +8,8 @@ import org.apache.spark.sql.SparkSession
   * src/Parsers/Kusto/ParserKQLQuery.cpp). This translator covers the
   * reference's own operator surface (ParserKQLQuery::getOperator:
   * filter/where, limit/take, project, distinct, extend, sort by/order
-  * by, summarize, table, mv-expand, print; make-series rejects loudly
-  * as unsupported) plus the string-operator catalog of
+  * by, summarize, table, mv-expand, make-series, print) plus the
+  * string-operator catalog of
   * ParserKQLOperators.cpp (contains/has/startswith/… with the !/_cs/~
   * variants) — each pipe stage compiles to a Spark SQL layer over the
   * previous one, so Catalyst owns the final plan (projection collapse
@@ -384,8 +384,11 @@ object KqlTranslator {
     // string comparison operators (placeholder-aware)
     e = rewriteStringOps(e, lits, reg)
     // `a between (x .. y)` → BETWEEN ('..' is the explicit delimiter, so
-    // lazy bound captures read decimals like 1.5 correctly)
-    e = "(?i)\\b(!)?between\\s*\\(\\s*(.+?)\\s*\\.\\.\\s*([^)]+?)\\s*\\)".r
+    // lazy bound captures read decimals like 1.5 correctly). The
+    // negation must match WITHOUT a word boundary before it — '!' is a
+    // non-word char, so `\b(!)?between` can never capture the '!' after
+    // a space and `x !between (…)` would emit `x ! BETWEEN …`.
+    e = "(?i)(?<![\\w])(!)?between\\s*\\(\\s*(.+?)\\s*\\.\\.\\s*([^)]+?)\\s*\\)".r
       .replaceAllIn(e, m =>
         java.util.regex.Matcher.quoteReplacement(
           (if (m.group(1) != null) "NOT " else "") +

@@ -140,24 +140,40 @@ object PrqlTranslator {
           s"PRQL aggregate: name the output (`n = $call`)"))
     }
 
-  /** PRQL scalar expression → Spark SQL (outside string literals). */
+  /** PRQL scalar expression → Spark SQL (outside string literals).
+    * BOTH quote styles lift into placeholders before the operator
+    * rewrites — a double-quoted literal's content would otherwise be
+    * corrupted by the ==/&&/|| rewrites (`"a==b"` → `'a = b'`), because
+    * a plain single-quote split only protects already-single-quoted
+    * text. */
   private def expr(e0: String): String = {
-    val out = e0.split("'", -1).zipWithIndex.map { case (seg0, i) =>
-      if (i % 2 == 1) seg0
-      else {
-        var s = seg0
-        // "double" strings → 'single'
-        s = s.replace("\"", "'")
-        s = s.replaceAll("==", " = ")
-        s = s.replaceAll("&&", " AND ")
-        s = s.replaceAll("\\|\\|", " OR ")
-        // @2024-01-31 date literal
-        s = "@(\\d{4}-\\d{2}-\\d{2})".r
-          .replaceAllIn(s, m => s"DATE '${m.group(1)}'")
-        s
-      }
-    }.mkString("'")
-    out.trim
+    val lits = scala.collection.mutable.ArrayBuffer.empty[String]
+    val masked = new StringBuilder
+    var i = 0
+    while (i < e0.length) {
+      val c = e0.charAt(i)
+      if (c == '\'' || c == '"') {
+        val close = e0.indexOf(c, i + 1)
+        require(close >= 0, s"PRQL: unterminated string literal in '$e0'")
+        val body = e0.substring(i + 1, close)
+        // restore as a Spark single-quoted literal; embedded single
+        // quotes (possible in a double-quoted PRQL string) escape
+        lits += "'" + body.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        masked.append(s"__PRQLLIT${lits.length - 1}__")
+        i = close + 1
+      } else { masked.append(c); i += 1 }
+    }
+    var s = masked.toString
+    s = s.replaceAll("==", " = ")
+    s = s.replaceAll("&&", " AND ")
+    s = s.replaceAll("\\|\\|", " OR ")
+    // @2024-01-31 date literal
+    s = "@(\\d{4}-\\d{2}-\\d{2})".r
+      .replaceAllIn(s, m => s"DATE '${m.group(1)}'")
+    lits.zipWithIndex.reverse.foreach { case (lit, idx) =>
+      s = s.replace(s"__PRQLLIT${idx}__", lit) // literal replace, no regex
+    }
+    s.trim
   }
 
   /** Pipeline stages: split on newlines and top-level '|' (outside

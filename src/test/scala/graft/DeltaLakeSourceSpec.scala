@@ -125,20 +125,23 @@ class DeltaLakeSourceSpec extends SparkFunSuite {
       .deleteDirectory(new java.io.File(dir))
   }
 
-  test("protocol gate: minReaderVersion > 1 rejects loudly; a non-delta " +
-      "directory rejects loudly") {
+  test("protocol gate: minReaderVersion 2 (column mapping) rejects " +
+      "loudly; a non-delta directory rejects loudly") {
+    // (round 14: minReaderVersion 3 with readerFeatures ⊆
+    // {deletionVectors} now READS — DeltaDvReadSpec pins that
+    // transition; v2 and unknown v3 features must still refuse)
     val dir = java.nio.file.Files
       .createTempDirectory("graft_delta_p").toString
     try {
       dataFile(dir, "d1.parquet", Seq((1L, "x")))
       writeCommit(dir, 0L, Seq(
-        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}""",
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
         metaLine,
         """{"add":{"path":"d1.parquet","partitionValues":{"p":"a"},"size":1,"modificationTime":1,"dataChange":true}}"""))
       val e = intercept[IllegalArgumentException] {
         graft.sources.DeltaLakeSource.read(spark, dir)
       }
-      assert(e.getMessage.contains("minReaderVersion"))
+      assert(e.getMessage.contains("column mapping"))
       val e2 = intercept[Exception] {
         graft.sources.DeltaLakeSource.read(spark, "/tmp")
       }

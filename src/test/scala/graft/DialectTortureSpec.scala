@@ -354,6 +354,19 @@ class DialectTortureSpec extends SparkFunSuite {
     // a literal containing 'GROUPS BETWEEN' must not trigger the rewrite
     assert(ch("SELECT 'GROUPS BETWEEN a AND b' AS s FROM nation LIMIT 1")
       .collect().head.getString(0).contains("GROUPS BETWEEN"))
+    // a star projection would silently leak the __grp_N helper columns
+    // (round-14 ADVICE fix) — must reject loudly; `count(*)` inside the
+    // window call and `a * b` arithmetic must NOT trip the check
+    val e3 = intercept[Exception](ch(
+      "SELECT *, SUM(n_nationkey) OVER (ORDER BY n_regionkey " +
+        "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS x FROM nation"))
+    assert(e3.getMessage.contains("SELECT *"))
+    val ok = ch(
+      "SELECT n_nationkey * 2 AS dbl, CAST(COUNT(*) OVER (ORDER BY " +
+        "n_regionkey GROUPS BETWEEN CURRENT ROW AND CURRENT ROW) AS " +
+        "BIGINT) AS peers FROM nation ORDER BY dbl LIMIT 1").collect()
+    assert(ok.head.getLong(1) == 5L && ok.length == 1,
+      "arithmetic * and count(*) must not be mistaken for a projection star")
   }
 
   test("lakehouse table-function spellings inside string literals never " +

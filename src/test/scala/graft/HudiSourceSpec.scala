@@ -48,6 +48,28 @@ class HudiSourceSpec extends SparkFunSuite {
       .deleteDirectory(new java.io.File(dir))
   }
 
+  test("mixed-precision instants in one file group compare on a fixed " +
+      "width (round-14 ADVICE fix): a NEWER 14-digit second instant " +
+      "beats an OLDER 17-digit millisecond instant") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_hudi_mix").toString
+    try {
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Path.of(dir, ".hoodie"))
+      // 17-digit ms instant on Jan 1; 14-digit s instant on Jan 2 —
+      // numerically the 17-digit value is larger, but Jan 2 is NEWER
+      baseFile(s"$dir/p=a", "fg1_0-1-0_20240101000000123.parquet",
+        Seq((1L, "stale-ms")))
+      baseFile(s"$dir/p=a", "fg1_0-2-0_20240102000000.parquet",
+        Seq((1L, "fresh-s")))
+      val rows = graft.sources.HudiSource.read(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(rows == Seq((1L, "fresh-s")),
+        s"the Jan-2 second-precision instant must win, got $rows")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
   test("merge-on-read log files and non-hudi directories reject loudly") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_hudi_mor").toString

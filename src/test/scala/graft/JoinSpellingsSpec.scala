@@ -150,4 +150,22 @@ class JoinSpellingsSpec extends SparkFunSuite {
       "SELECT * FROM js_left l ASOF JOIN js_right r ON l.k = r.rk"))
     assert(e3.getMessage.contains("inequality"))
   }
+
+  test("temp-view ledger is bounded (round-14: long sessions must not " +
+      "accumulate graft_asof/paste_join_N catalog entries forever)") {
+    import SparkTestBase.spark.implicits._
+    val cap = graft.sql.JoinSpellings.viewLedgerCap
+    (0 until cap + 40).foreach { i =>
+      graft.sql.JoinSpellings.registerBounded(spark,
+        s"graft_ledger_probe_$i", Seq((i, "x")).toDF("a", "b"))
+    }
+    val live = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_ledger_probe_"))
+    assert(live.length <= cap,
+      s"ledger must evict beyond $cap, found ${live.length}")
+    // the NEWEST views survive; the oldest are gone
+    assert(!live.contains("graft_ledger_probe_0"))
+    assert(live.contains(s"graft_ledger_probe_${cap + 39}"))
+    live.foreach(v => spark.catalog.dropTempView(v))
+  }
 }

@@ -94,6 +94,10 @@ class KqlSpec extends SparkFunSuite {
       // decimal bounds (review fix: the lazy bound capture reads 1.5)
       assert(ch("Customers | where Age between (27.5 .. 33.5) | count")
         .head().getLong(0) == 3L)
+      // !between (round-14 ADVICE fix: '!' is a non-word char, so the
+      // old \b(!)?between could never capture the negation)
+      assert(ch("Customers | where Age !between (28 .. 33) | count")
+        .head().getLong(0) == 2L)
       // ISO datetime spellings (Kusto's canonical T/Z forms)
       assert(ch("print d = datetime(2024-05-25T08:20:03Z)").collect()
         .head.getTimestamp(0).toString.startsWith("2024-05-25 08:20:03"))

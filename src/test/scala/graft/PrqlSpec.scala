@@ -61,4 +61,19 @@ class PrqlSpec extends SparkFunSuite {
     }
     assert(ch("SELECT 2 AS two").collect().head.getInt(0) == 2)
   }
+
+  test("operator spellings inside double-quoted literals survive " +
+      "(round-14 ADVICE fix: both quote styles lift to placeholders)") {
+    mk()
+    inPrql {
+      // the literal contains '==' and '&&' — they must NOT rewrite
+      val r = ch("""from prql_t | derive {s = "a==b&&c"} | select {id, s}
+        | take 1""").collect().head
+      assert(r.getString(1) == "a==b&&c",
+        s"double-quoted literal corrupted: '${r.getString(1)}'")
+      // and a filter comparing against such a literal
+      Seq((1L, "x==y")).toDF("id", "v").createOrReplaceTempView("prql_q")
+      assert(ch("""from prql_q | filter v == "x==y"""").count() == 1L)
+    }
+  }
 }
