@@ -45,7 +45,8 @@ object SparkEntry {
     qp.CodecQueries,
     qp.LifecycleQueries,
     qp.JoinSqlQueries,
-    qp.KqlQueries
+    qp.KqlQueries,
+    qp.Extras6
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,326 @@
+package graft.queries
+
+import graft.{Q, QueryPack, Tables}
+import org.apache.spark.sql.functions._
+
+/** Round-14 lakehouse row-level surface: Delta deletion-vector reads,
+  * Iceberg v2 position/equality deletes, and the Delta append-only
+  * write path — the round-13 verdict's top three directives. Each
+  * fixture is built per the PUBLIC spec (delta.io PROTOCOL.md /
+  * iceberg.apache.org/spec) and oracled against the equivalent
+  * predicate over the source table.
+  */
+object Extras6 extends QueryPack {
+
+  private def fsOf(s: org.apache.spark.sql.SparkSession, p: String) =
+    new org.apache.hadoop.fs.Path(p).getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+
+  /** Write `df` as one ordered single-file parquet named `name` under
+    * `root`, returning the absolute path. */
+  private def oneFile(s: org.apache.spark.sql.SparkSession, root: String,
+      name: String, df: org.apache.spark.sql.DataFrame,
+      sub: String = ""): String = {
+    val fs = fsOf(s, root)
+    val tmp = s"$root/__tmp_$name"
+    df.write.mode("overwrite").parquet(tmp)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .map(_.getPath).find(_.getName.startsWith("part-")).get
+    val dir = if (sub.isEmpty) root else s"$root/$sub"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    val dst = new org.apache.hadoop.fs.Path(dir, name)
+    fs.rename(part, dst)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    dst.toString
+  }
+
+  override def queries: Seq[Q] = Seq(
+
+    // Delta deletion vectors (round 14 — PROTOCOL.md "Deletion
+    // Vectors"; reference reads them through delta-kernel, sources
+    // DeltaLake/TableSnapshot.cpp). Fixture: f1 = customers ≤ 100
+    // written in key order with a "u"-stored DV masking the positions
+    // of keys divisible by 7; f2 = 101..200 without a DV. The oracle
+    // states the surviving set as a predicate — a reader that ignored
+    // the DV (or mis-indexed it) produces extra/missing rows, not a
+    // count coincidence.
+    Q.df("q_tf_delta_dv", """
+      SELECT c_custkey, c_name FROM customer
+      WHERE c_custkey <= 200
+        AND NOT (c_custkey <= 100 AND c_custkey % 7 = 0)
+      ORDER BY c_custkey""") { (s, dir) =>
+      val root = s"/tmp/graft_deltadv_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = fsOf(s, root)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"))
+      oneFile(s, root, "f1.parquet",
+        cust.filter(col("c_custkey") <= 100)
+          .repartition(1).sortWithinPartitions("c_custkey"))
+      oneFile(s, root, "f2.parquet",
+        cust.filter(col("c_custkey") > 100 && col("c_custkey") <= 200))
+      val keys = cust.filter(col("c_custkey") <= 100)
+        .collect().map(_.getAs[Number](0).longValue).sorted
+      val delPos = keys.zipWithIndex.collect {
+        case (k, i) if k % 7 == 0 => i.toLong
+      }.toSeq
+      val data = graft.sources.DeltaDeletionVectors.serializeBitmaps(delPos)
+      val uuid = java.util.UUID.randomUUID()
+      val off = graft.sources.DeltaDeletionVectors.writeDvFile(fs,
+        new org.apache.hadoop.fs.Path(root, s"deletion_vector_$uuid.bin"),
+        Seq(data)).head
+      val enc = graft.sources.DeltaDeletionVectors.z85EncodeUuid(uuid)
+      val schemaString = cust.schema.json.replace("\\", "\\\\")
+        .replace("\"", "\\\"")
+      val log = new org.apache.hadoop.fs.Path(root, "_delta_log")
+      fs.mkdirs(log)
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(log, f"${0L}%020d.json"), true)
+      try out.write((Seq(
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          """"readerFeatures":["deletionVectors"],""" +
+          """"writerFeatures":["deletionVectors"]}}""",
+        s"""{"metaData":{"id":"graft-dv","format":{"provider":"parquet"},""" +
+          s""""schemaString":"$schemaString","partitionColumns":[],""" +
+          s""""configuration":{}}}""",
+        s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":1,""" +
+          s""""modificationTime":1,"dataChange":true,"deletionVector":""" +
+          s"""{"storageType":"u","pathOrInlineDv":"$enc","offset":$off,""" +
+          s""""sizeInBytes":${data.length},""" +
+          s""""cardinality":${delPos.length}}}}""",
+        """{"add":{"path":"f2.parquet","partitionValues":{},"size":1,""" +
+          """"modificationTime":1,"dataChange":true}}""")
+        .mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+      graft.sql.ClickHouseSql.sql(s,
+        s"SELECT c_custkey, c_name FROM deltaLake('$root') " +
+          "ORDER BY c_custkey")
+    },
+
+    // Iceberg v2 position deletes (round 14 — spec "Position Delete
+    // Files"; reference Iceberg/IcebergMetadata.cpp). Fixture: d1 =
+    // keys ≤ 60 in key order, d2 = 61..120; a delete manifest (content
+    // 1) carries a parquet position-delete file masking d1's positions
+    // of keys divisible by 5. Oracle = the surviving predicate.
+    Q.df("q_tf_iceberg_posdel", """
+      SELECT c_custkey, c_name FROM customer
+      WHERE c_custkey <= 120
+        AND NOT (c_custkey <= 60 AND c_custkey % 5 = 0)
+      ORDER BY c_custkey""") { (s, dir) =>
+      val root = s"/tmp/graft_icepd_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = fsOf(s, root)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"))
+      val f1 = oneFile(s, root, "d1.parquet",
+        cust.filter(col("c_custkey") <= 60)
+          .repartition(1).sortWithinPartitions("c_custkey"), sub = "data")
+      val f2 = oneFile(s, root, "d2.parquet",
+        cust.filter(col("c_custkey") > 60 && col("c_custkey") <= 120),
+        sub = "data")
+      val keys = cust.filter(col("c_custkey") <= 60)
+        .collect().map(_.getAs[Number](0).longValue).sorted
+      val delPos = keys.zipWithIndex.collect {
+        case (k, i) if k % 5 == 0 => i.toLong
+      }.toSeq
+      import s.implicits._
+      val pd = oneFile(s, root, "pd1.parquet",
+        delPos.map(p => (f1, p)).toDF("file_path", "pos").coalesce(1),
+        sub = "data")
+
+      val listSchema = new org.apache.avro.Schema.Parser().parse("""
+        {"type":"record","name":"manifest_file","fields":[
+          {"name":"manifest_path","type":"string"},
+          {"name":"manifest_length","type":"long"},
+          {"name":"content","type":"int","default":0},
+          {"name":"sequence_number","type":"long","default":0}]}""")
+      val entrySchema = new org.apache.avro.Schema.Parser().parse("""
+        {"type":"record","name":"manifest_entry","fields":[
+          {"name":"status","type":"int"},
+          {"name":"data_file","type":{"type":"record","name":"data_file",
+            "fields":[{"name":"content","type":"int","default":0},
+              {"name":"file_path","type":"string"},
+              {"name":"file_format","type":"string"},
+              {"name":"record_count","type":"long"}]}}]}""")
+      def entry(p: String, content: Int) = {
+        val d = new org.apache.avro.generic.GenericData.Record(
+          entrySchema.getField("data_file").schema())
+        d.put("content", content); d.put("file_path", p)
+        d.put("file_format", "PARQUET"); d.put("record_count", 1L)
+        val e = new org.apache.avro.generic.GenericData.Record(entrySchema)
+        e.put("status", 1); e.put("data_file", d); e
+      }
+      def ref(p: String, content: Int, seq: Long) = {
+        val r = new org.apache.avro.generic.GenericData.Record(listSchema)
+        r.put("manifest_path", p); r.put("manifest_length", 1L)
+        r.put("content", content); r.put("sequence_number", seq); r
+      }
+      def writeAvro(path: String, sch: org.apache.avro.Schema,
+          rows: Seq[org.apache.avro.generic.GenericRecord]): Unit = {
+        val w = new org.apache.avro.file.DataFileWriter(
+          new org.apache.avro.generic.GenericDatumWriter[
+            org.apache.avro.generic.GenericRecord](sch))
+        w.create(sch, new java.io.File(path))
+        try rows.foreach(w.append) finally w.close()
+      }
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/metadata"))
+      val mData = s"$root/metadata/m-data.avro"
+      writeAvro(mData, entrySchema, Seq(entry(f1, 0), entry(f2, 0)))
+      val mDel = s"$root/metadata/m-del.avro"
+      writeAvro(mDel, entrySchema, Seq(entry(pd, 1)))
+      val ml = s"$root/metadata/snap-9.avro"
+      writeAvro(ml, listSchema, Seq(ref(mData, 0, 1L), ref(mDel, 1, 2L)))
+      val metaJson = s"""{
+        "format-version": 2, "table-uuid": "graft-q-icepd",
+        "current-snapshot-id": 9, "current-schema-id": 0,
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+          {"id": 1, "name": "c_custkey", "required": false, "type": "long"},
+          {"id": 2, "name": "c_name", "required": false, "type": "string"}]}],
+        "snapshots": [{"snapshot-id": 9, "manifest-list": "$ml"}]}"""
+      val out = fs.create(new org.apache.hadoop.fs.Path(
+        s"$root/metadata/v1.metadata.json"), true)
+      try out.write(metaJson.getBytes("UTF-8")) finally out.close()
+      graft.sql.ClickHouseSql.sql(s,
+        s"SELECT c_custkey, c_name FROM iceberg('$root') " +
+          "ORDER BY c_custkey")
+    },
+
+    // Iceberg v2 equality deletes (spec "Equality Delete Files"):
+    // a seq-2 delete on c_custkey ∈ {10,20,30} masks the seq-1 data,
+    // while a seq-3 data file RE-ADDS key 10 — the spec's
+    // sequence-number rule keeps the re-add. Oracle restates both.
+    Q.df("q_tf_iceberg_eqdel", """
+      SELECT c_custkey, c_name FROM (
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey <= 60 AND c_custkey NOT IN (10, 20, 30)
+        UNION ALL
+        SELECT c_custkey, c_name FROM customer WHERE c_custkey = 10) t
+      ORDER BY c_custkey""") { (s, dir) =>
+      val root = s"/tmp/graft_iceeq_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = fsOf(s, root)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"))
+      val f1 = oneFile(s, root, "d1.parquet",
+        cust.filter(col("c_custkey") <= 60), sub = "data")
+      val f2 = oneFile(s, root, "d2.parquet",
+        cust.filter(col("c_custkey") === 10), sub = "data")
+      import s.implicits._
+      val ed = oneFile(s, root, "ed1.parquet",
+        Seq(10L, 20L, 30L).toDF("c_custkey")
+          .select(col("c_custkey").cast(
+            cust.schema("c_custkey").dataType)).coalesce(1), sub = "data")
+
+      val listSchema = new org.apache.avro.Schema.Parser().parse("""
+        {"type":"record","name":"manifest_file","fields":[
+          {"name":"manifest_path","type":"string"},
+          {"name":"manifest_length","type":"long"},
+          {"name":"content","type":"int","default":0},
+          {"name":"sequence_number","type":"long","default":0}]}""")
+      val entrySchema = new org.apache.avro.Schema.Parser().parse("""
+        {"type":"record","name":"manifest_entry","fields":[
+          {"name":"status","type":"int"},
+          {"name":"data_file","type":{"type":"record","name":"data_file",
+            "fields":[{"name":"content","type":"int","default":0},
+              {"name":"file_path","type":"string"},
+              {"name":"file_format","type":"string"},
+              {"name":"record_count","type":"long"},
+              {"name":"equality_ids",
+                "type":["null",{"type":"array","items":"int"}],
+                "default":null}]}}]}""")
+      def entry(p: String, content: Int, eqIds: Seq[Int]) = {
+        val d = new org.apache.avro.generic.GenericData.Record(
+          entrySchema.getField("data_file").schema())
+        d.put("content", content); d.put("file_path", p)
+        d.put("file_format", "PARQUET"); d.put("record_count", 1L)
+        if (eqIds.nonEmpty) {
+          import scala.jdk.CollectionConverters._
+          d.put("equality_ids", eqIds.map(Integer.valueOf).asJava)
+        }
+        val e = new org.apache.avro.generic.GenericData.Record(entrySchema)
+        e.put("status", 1); e.put("data_file", d); e
+      }
+      def ref(p: String, content: Int, seq: Long) = {
+        val r = new org.apache.avro.generic.GenericData.Record(listSchema)
+        r.put("manifest_path", p); r.put("manifest_length", 1L)
+        r.put("content", content); r.put("sequence_number", seq); r
+      }
+      def writeAvro(path: String, sch: org.apache.avro.Schema,
+          rows: Seq[org.apache.avro.generic.GenericRecord]): Unit = {
+        val w = new org.apache.avro.file.DataFileWriter(
+          new org.apache.avro.generic.GenericDatumWriter[
+            org.apache.avro.generic.GenericRecord](sch))
+        w.create(sch, new java.io.File(path))
+        try rows.foreach(w.append) finally w.close()
+      }
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/metadata"))
+      val m1 = s"$root/metadata/m1.avro"
+      writeAvro(m1, entrySchema, Seq(entry(f1, 0, Seq.empty)))
+      val m2 = s"$root/metadata/m2.avro"
+      writeAvro(m2, entrySchema, Seq(entry(f2, 0, Seq.empty)))
+      val mEq = s"$root/metadata/m-eq.avro"
+      writeAvro(mEq, entrySchema, Seq(entry(ed, 2, Seq(1))))
+      val ml = s"$root/metadata/snap-5.avro"
+      writeAvro(ml, listSchema, Seq(
+        ref(m1, 0, 1L), ref(mEq, 1, 2L), ref(m2, 0, 3L)))
+      val metaJson = s"""{
+        "format-version": 2, "table-uuid": "graft-q-iceeq",
+        "current-snapshot-id": 5, "current-schema-id": 0,
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+          {"id": 1, "name": "c_custkey", "required": false, "type": "long"},
+          {"id": 2, "name": "c_name", "required": false, "type": "string"}]}],
+        "snapshots": [{"snapshot-id": 5, "manifest-list": "$ml"}]}"""
+      val out = fs.create(new org.apache.hadoop.fs.Path(
+        s"$root/metadata/v1.metadata.json"), true)
+      try out.write(metaJson.getBytes("UTF-8")) finally out.close()
+      graft.sql.ClickHouseSql.sql(s,
+        s"SELECT c_custkey, c_name FROM iceberg('$root') " +
+          "ORDER BY c_custkey")
+    },
+
+    // Delta WRITE roundtrip (round 14 — the reference's INSERT INTO
+    // TABLE FUNCTION deltaLake(...) surface over its kernel write
+    // support): create a partitioned table through the dialect write
+    // lane, append a second commit, read it back through the native
+    // log replay. The oracle restates the union; time-travel v0 row
+    // count is asserted inside the fixture (a wrong commit layout
+    // would double- or under-count).
+    Q.df("q_delta_write_roundtrip", """
+      SELECT c_custkey, c_name, seg FROM (
+        SELECT c_custkey, c_name, CASE WHEN c_custkey % 2 = 0
+          THEN 'even' ELSE 'odd' END AS seg
+        FROM customer WHERE c_custkey <= 80
+        UNION ALL
+        SELECT c_custkey, c_name, 'late' AS seg FROM customer
+        WHERE c_custkey > 80 AND c_custkey <= 120) t
+      ORDER BY c_custkey""") { (s, dir) =>
+      val root = s"/tmp/graft_deltaw_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      fsOf(s, root).delete(new org.apache.hadoop.fs.Path(root), true)
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"))
+        .createOrReplaceTempView("graft_dw_cust")
+      val ch = (q: String) => graft.sql.ClickHouseSql.sql(s, q)
+      val v0 = ch(
+        s"INSERT INTO FUNCTION deltaLake('$root') PARTITION BY (seg) " +
+          "SELECT c_custkey, c_name, CASE WHEN c_custkey % 2 = 0 " +
+          "THEN 'even' ELSE 'odd' END AS seg " +
+          "FROM graft_dw_cust WHERE c_custkey <= 80")
+        .collect().head.getLong(0)
+      require(v0 == 0L, s"creation must commit version 0, got $v0")
+      val v1 = ch(
+        s"INSERT INTO FUNCTION deltaLake('$root') " +
+          "SELECT c_custkey, c_name, 'late' AS seg " +
+          "FROM graft_dw_cust WHERE c_custkey > 80 AND c_custkey <= 120")
+        .collect().head.getLong(0)
+      require(v1 == 1L, s"append must commit version 1, got $v1")
+      val n0 = ch(s"SELECT count() AS n FROM deltaLake('$root', 0)")
+        .collect().head.getLong(0)
+      val expect0 = Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") <= 80).count()
+      require(n0 == expect0,
+        s"time travel to v0 must see only the creation ($expect0), got $n0")
+      ch(s"SELECT c_custkey, c_name, seg FROM deltaLake('$root') " +
+        "ORDER BY c_custkey")
+    }
+  )
+}

@@ -1,0 +1,255 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+
+/** Native Delta Lake WRITE support — append-only commits through the
+  * optimistic-concurrency protocol (delta.io PROTOCOL.md "Transaction
+  * Log Entries" + "Concurrency Control"; the reference's write support
+  * likewise goes through the kernel's commit API,
+  * src/Storages/ObjectStorage/DataLakes/DeltaLake/). Shape:
+  *
+  *  1. data files write FIRST, into the table directory under fresh
+  *     UUID-prefixed names (a failed transaction leaves only orphans a
+  *     VACUUM would collect — never a visible state change). Writes are
+  *     ONE distributed parquet job; partitioned tables go through
+  *     Spark's partitionBy so each file carries one partition tuple,
+  *     recovered from the Hive-style directory names into the log's
+  *     partitionValues (Delta reads them from the LOG, not the paths);
+  *  2. the commit claims `_delta_log/%020d.json` with
+  *     create(overwrite = false) — the atomic put-if-absent the
+  *     protocol requires (object stores need their conditional-put
+  *     here). On collision, the loser re-reads the log delta: a pure
+  *     blind APPEND conflicts with nothing, so it bumps the version
+  *     and retries — unless a concurrent metaData/protocol action
+  *     appeared, which is a real conflict and LOUD;
+  *  3. creating the table (no `_delta_log`) writes protocol
+  *     (minReader 1 / minWriter 2) + metaData (schemaString is the
+  *     Spark StructType JSON Delta itself uses) + the adds, all in
+  *     commit 0.
+  *
+  * Loud gates: appends to tables needing minWriterVersion > 2 or any
+  * writerFeatures refuse (invariants/constraints/DVs could be
+  * violated silently); schema mismatches by name/type refuse;
+  * partition-column mismatches refuse.
+  */
+object DeltaLakeSink {
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Test-only failpoint, invoked once just before the first commit
+    * claim — crash/race specs inject a competing commit here (the same
+    * hook pattern as DurableRewrite.failpoint). */
+  private[graft] var commitFailpoint: () => Unit = () => ()
+
+  /** Append `df` to the Delta table at `tablePath`, creating it (with
+    * `partitionBy`) when absent. Returns the committed version. */
+  def append(df: DataFrame, tablePath: String,
+      partitionBy: Seq[String] = Seq.empty,
+      maxRetries: Int = 20): Long = {
+    val spark = df.sparkSession
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logDir = new Path(root, "_delta_log")
+
+    // ---- existing table state (metadata-scale replay of the log) ----
+    val commitRe = "^(\\d{20})\\.json$".r
+    def listVersions(): Seq[Long] =
+      if (!fs.exists(logDir)) Seq.empty
+      else fs.listStatus(logDir).map(_.getPath.getName)
+        .collect { case commitRe(v) => v.toLong }.sorted.toSeq
+    val versions0 = listVersions()
+    val creating = versions0.isEmpty
+
+    var tableSchemaJson: Option[String] = None
+    var tablePartCols: Seq[String] = Seq.empty
+    var minWriter = 2
+    var writerFeatures = Set.empty[String]
+    versions0.foreach { v =>
+      val in = fs.open(new Path(logDir, f"$v%020d.json"))
+      val text = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      text.split("\n").map(_.trim).filter(_.nonEmpty).foreach { line =>
+        val node = mapper.readTree(line)
+        Option(node.get("metaData")).foreach { md =>
+          tableSchemaJson = Some(md.get("schemaString").asText)
+          tablePartCols = Option(md.get("partitionColumns")).map(arr =>
+            (0 until arr.size).map(arr.get(_).asText)).getOrElse(Seq.empty)
+        }
+        Option(node.get("protocol")).foreach { p =>
+          minWriter = math.max(minWriter, p.get("minWriterVersion").asInt)
+          Option(p.get("writerFeatures")).filterNot(_.isNull).foreach(arr =>
+            writerFeatures ++= (0 until arr.size).map(arr.get(_).asText))
+        }
+      }
+    }
+    if (!creating) {
+      if (minWriter > 2 || writerFeatures.nonEmpty)
+        throw new IllegalArgumentException(
+          s"deltaLake write: the table needs minWriterVersion $minWriter" +
+            (if (writerFeatures.nonEmpty)
+              s" with writerFeatures ${writerFeatures.mkString(", ")}"
+             else "") +
+            " — this append-only writer implements protocol 2 and refuses " +
+            "rather than violating invariants it cannot see")
+      val existing = org.apache.spark.sql.types.DataType
+        .fromJson(tableSchemaJson.getOrElse(throw new IllegalArgumentException(
+          "deltaLake write: existing table has no metaData action")))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val got = df.schema
+      val want = existing.fields.map(f => f.name.toLowerCase ->
+        f.dataType).toMap
+      val have = got.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+      require(want == have,
+        s"deltaLake write: schema mismatch — table has ${existing.sql}, " +
+          s"append has ${got.sql}")
+      require(partitionBy.isEmpty ||
+        partitionBy.map(_.toLowerCase) == tablePartCols.map(_.toLowerCase),
+        s"deltaLake write: table partitions by [${tablePartCols
+          .mkString(", ")}], append asked [${partitionBy.mkString(", ")}]")
+    }
+    val partCols = if (creating) partitionBy else tablePartCols
+    partCols.foreach(c => require(
+      df.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+      s"deltaLake write: partition column '$c' missing from the data"))
+
+    // ---- stage the data files (one distributed write job) ----
+    val txn = java.util.UUID.randomUUID().toString
+    val stage = new Path(root, s"__graft_delta_stage_$txn")
+    val writer = df.write.mode("overwrite")
+    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+      .parquet(stage.toString)
+    // (relative path in the table, size, partitionValues)
+    val adds = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Map[String, Option[String]])]
+    def walk(p: Path, parts: Map[String, Option[String]]): Unit =
+      fs.listStatus(p).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n.contains("=")) {
+          val Array(k, v) = n.split("=", 2)
+          val value =
+            if (v == "__HIVE_DEFAULT_PARTITION__") None
+            else Some(java.net.URLDecoder.decode(v, "UTF-8"))
+          walk(st.getPath, parts + (k -> value))
+        } else if (n.endsWith(".parquet") && !n.startsWith(".")) {
+          // move into the table under a txn-unique flat name; partition
+          // values live in the LOG (the Delta model), not the path
+          val rel = s"part-$txn-${adds.length}.parquet"
+          val dst = new Path(root, rel)
+          if (!fs.rename(st.getPath, dst))
+            throw new IllegalStateException(
+              s"deltaLake write: staging rename to $dst failed")
+          adds += ((rel, fs.getFileStatus(dst).getLen, parts))
+        }
+      }
+    try {
+      walk(stage, Map.empty)
+    } finally fs.delete(stage, true)
+    val added = adds.toSeq
+    require(added.nonEmpty || !creating,
+      "deltaLake write: refusing to create a table from zero files")
+
+    // ---- commit with optimistic concurrency ----
+    def addJson(rel: String, size: Long,
+        pv: Map[String, Option[String]]): String = {
+      val pvNode = mapper.createObjectNode()
+      pv.foreach { case (k, v) =>
+        v match {
+          case Some(x) => pvNode.put(k, x)
+          case None => pvNode.putNull(k)
+        }
+      }
+      val add = mapper.createObjectNode()
+      add.put("path", rel)
+      add.set[com.fasterxml.jackson.databind.JsonNode]("partitionValues",
+        pvNode)
+      add.put("size", size)
+      add.put("modificationTime", System.currentTimeMillis())
+      add.put("dataChange", true)
+      val line = mapper.createObjectNode()
+      line.set[com.fasterxml.jackson.databind.JsonNode]("add", add)
+      mapper.writeValueAsString(line)
+    }
+    def metaLines(): Seq[String] = {
+      val meta = mapper.createObjectNode()
+      meta.put("id", java.util.UUID.randomUUID().toString)
+      val fmt = mapper.createObjectNode()
+      fmt.put("provider", "parquet")
+      fmt.set[com.fasterxml.jackson.databind.JsonNode]("options",
+        mapper.createObjectNode())
+      meta.set[com.fasterxml.jackson.databind.JsonNode]("format", fmt)
+      meta.put("schemaString", df.schema.json)
+      val pcs = mapper.createArrayNode()
+      partCols.foreach(pcs.add)
+      meta.set[com.fasterxml.jackson.databind.JsonNode](
+        "partitionColumns", pcs)
+      meta.set[com.fasterxml.jackson.databind.JsonNode]("configuration",
+        mapper.createObjectNode())
+      meta.put("createdTime", System.currentTimeMillis())
+      val protoLine = mapper.createObjectNode()
+      val proto = mapper.createObjectNode()
+      proto.put("minReaderVersion", 1)
+      proto.put("minWriterVersion", 2)
+      protoLine.set[com.fasterxml.jackson.databind.JsonNode](
+        "protocol", proto)
+      val metaLine = mapper.createObjectNode()
+      metaLine.set[com.fasterxml.jackson.databind.JsonNode](
+        "metaData", meta)
+      Seq(mapper.writeValueAsString(protoLine),
+        mapper.writeValueAsString(metaLine))
+    }
+    val body = (if (creating) metaLines() else Seq.empty) ++
+      added.map { case (rel, size, pv) => addJson(rel, size, pv) }
+
+    var version = versions0.lastOption.map(_ + 1).getOrElse(0L)
+    var committed = -1L
+    var attempts = 0
+    var seen = versions0.toSet
+    while (committed < 0) {
+      attempts += 1
+      require(attempts <= maxRetries,
+        s"deltaLake write: gave up after $maxRetries commit collisions")
+      if (attempts == 1) commitFailpoint()
+      val target = new Path(logDir, f"$version%020d.json")
+      if (!fs.exists(logDir)) fs.mkdirs(logDir)
+      val claimed =
+        try {
+          // overwrite = false: the protocol's atomic put-if-absent
+          val out = fs.create(target, false)
+          try out.write((body.mkString("\n") + "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case e: java.io.IOException
+              if Option(e.getMessage).exists(_.contains("exist")) => false
+        }
+      if (claimed) committed = version
+      else {
+        if (creating) throw new IllegalStateException(
+          "deltaLake write: the table was created concurrently — rerun " +
+            "the append against the now-existing table")
+        // blind appends never conflict logically — but a concurrent
+        // metaData/protocol change is a REAL conflict
+        val newer = listVersions().filterNot(seen)
+        newer.foreach { v =>
+          val in = fs.open(new Path(logDir, f"$v%020d.json"))
+          val text = try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+          text.split("\n").map(_.trim).filter(_.nonEmpty).foreach { line =>
+            val node = mapper.readTree(line)
+            if (node.has("metaData") || node.has("protocol"))
+              throw new IllegalStateException(
+                s"deltaLake write: concurrent metadata/protocol change " +
+                  s"at version $v — refusing the append")
+          }
+          seen += v
+        }
+        version = math.max(version + 1,
+          seen.maxOption.map(_ + 1).getOrElse(version + 1))
+      }
+    }
+    committed
+  }
+}

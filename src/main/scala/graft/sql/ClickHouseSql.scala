@@ -1332,6 +1332,28 @@ object ClickHouseSql {
         return Seq(n).toDF("rows_written")
       case _ =>
     }
+    // INSERT INTO [TABLE] FUNCTION deltaLake('path') [PARTITION BY (…)]
+    // <select|values> (ParserInsertQuery's TABLE FUNCTION form over the
+    // reference's Delta write support): the SELECT runs first, then the
+    // native optimistic-concurrency append commits (DeltaLakeSink) —
+    // this lane must run BEFORE lakehouse READ resolution, which would
+    // otherwise turn the write target into a read view.
+    val insertDelta = ("(?is)^INSERT\\s+INTO\\s+(?:TABLE\\s+)?FUNCTION\\s+" +
+      "deltaLake\\s*\\(\\s*'([^']+)'\\s*\\)\\s*" +
+      "(?:PARTITION\\s+BY\\s*\\(([^)]*)\\)\\s*)?(SELECT\\b.*|VALUES\\b.*)$").r
+    trimmed0 match {
+      case insertDelta(path, partCols0, tail) =>
+        val pcs = Option(partCols0).map(_.split(',').map(_.trim)
+          .filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+        val df =
+          if (tail.matches("(?is)^VALUES\\b.*")) spark.sql(s"SELECT * FROM ($tail)")
+          else sqlImpl(spark, tail)
+        val v = graft.sources.DeltaLakeSink.append(df, path,
+          partitionBy = pcs)
+        import spark.implicits._
+        return Seq(v).toDF("committed_version")
+      case _ =>
+    }
     // INSERT INTO t FROM INFILE 'path' [FORMAT fmt]
     // (ParserInsertQuery infile clause — the input twin of INTO
     // OUTFILE): read the file through the matching format reader with

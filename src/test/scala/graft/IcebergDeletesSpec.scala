@@ -1,0 +1,207 @@
+package graft
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.fs.Path
+
+/** Iceberg v2 row-level deletes (round 14 — the round-13 verdict's #2
+  * directive): position-delete files anti-join on (file path, row
+  * index), equality-delete files anti-join on the equality_ids columns
+  * with the spec's sequence-number rule (a row re-added AFTER the
+  * delete survives). Fixtures are spec-conformant Avro + parquet built
+  * by hand. */
+class IcebergDeletesSpec extends SparkFunSuite {
+  import SparkTestBase.spark.implicits._
+
+  // v2 schemas: sequence_number on the manifest-list entry; content +
+  // equality_ids on data_file
+  private val listSchema = new Schema.Parser().parse("""
+    {"type":"record","name":"manifest_file","fields":[
+      {"name":"manifest_path","type":"string"},
+      {"name":"manifest_length","type":"long"},
+      {"name":"content","type":"int","default":0},
+      {"name":"sequence_number","type":"long","default":0}]}""")
+
+  private val entrySchema = new Schema.Parser().parse("""
+    {"type":"record","name":"manifest_entry","fields":[
+      {"name":"status","type":"int"},
+      {"name":"sequence_number","type":["null","long"],"default":null},
+      {"name":"data_file","type":{"type":"record","name":"data_file",
+        "fields":[
+          {"name":"content","type":"int","default":0},
+          {"name":"file_path","type":"string"},
+          {"name":"file_format","type":"string"},
+          {"name":"record_count","type":"long"},
+          {"name":"equality_ids",
+            "type":["null",{"type":"array","items":"int"}],
+            "default":null}]}}]}""")
+
+  private def writeAvro(path: String, schema: Schema,
+      rows: Seq[GenericRecord]): Unit = {
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, new java.io.File(path))
+    try rows.foreach(w.append) finally w.close()
+  }
+
+  private def entry(filePath: String, content: Int,
+      eqIds: Seq[Int] = Seq.empty): GenericRecord = {
+    val df = new GenericData.Record(
+      entrySchema.getField("data_file").schema())
+    df.put("content", content)
+    df.put("file_path", filePath)
+    df.put("file_format", "PARQUET")
+    df.put("record_count", 1L)
+    if (eqIds.nonEmpty) {
+      import scala.jdk.CollectionConverters._
+      df.put("equality_ids",
+        eqIds.map(Integer.valueOf).asJava)
+    }
+    val e = new GenericData.Record(entrySchema)
+    e.put("status", 1)
+    e.put("sequence_number", null) // inherit from the manifest list
+    e.put("data_file", df)
+    e
+  }
+
+  private def manifestRef(path: String, content: Int,
+      seq: Long): GenericRecord = {
+    val r = new GenericData.Record(listSchema)
+    r.put("manifest_path", path)
+    r.put("manifest_length", 1L)
+    r.put("content", content)
+    r.put("sequence_number", seq)
+    r
+  }
+
+  /** Write `rows` (id, v) as one ordered parquet file — row index i
+    * holds the i-th tuple. */
+  private def dataFile(dir: String, name: String,
+      rows: Seq[(Long, String)]): String = {
+    val tmp = s"$dir/__tmp"
+    rows.toDF("id", "v").repartition(1).sortWithinPartitions("id")
+      .write.mode("overwrite").parquet(tmp)
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new Path(tmp)).map(_.getPath)
+      .find(_.getName.startsWith("part-")).get
+    fs.mkdirs(new Path(s"$dir/data"))
+    val dst = new Path(s"$dir/data", name)
+    fs.rename(part, dst)
+    fs.delete(new Path(tmp), true)
+    dst.toString
+  }
+
+  private def metadataJson(manifestList: String): String =
+    s"""{
+      "format-version": 2,
+      "table-uuid": "graft-iceberg-del",
+      "current-snapshot-id": 7,
+      "current-schema-id": 0,
+      "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+        {"id": 1, "name": "id", "required": false, "type": "long"},
+        {"id": 2, "name": "v", "required": false, "type": "string"}]}],
+      "snapshots": [{"snapshot-id": 7, "manifest-list": "$manifestList"}]
+    }"""
+
+  test("position deletes mask exactly (file_path, pos); other files " +
+      "untouched") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ice_pos").toString
+    try {
+      // d1 rows (sorted): ids 1..5 at positions 0..4
+      val f1 = dataFile(dir, "d1.parquet",
+        (1L to 5L).map(i => (i, s"v$i")))
+      val f2 = dataFile(dir, "d2.parquet",
+        (10L to 12L).map(i => (i, s"v$i")))
+      // delete positions 1 and 3 of d1 (ids 2 and 4)
+      val delPath = s"$dir/data/pd1.parquet"
+      Seq((f1, 1L), (f1, 3L)).toDF("file_path", "pos")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/__pd")
+      val fs = new Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val part = fs.listStatus(new Path(s"$dir/__pd")).map(_.getPath)
+        .find(_.getName.startsWith("part-")).get
+      fs.rename(part, new Path(delPath))
+      fs.delete(new Path(s"$dir/__pd"), true)
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Path.of(dir, "metadata"))
+      val mData = s"$dir/metadata/m-data.avro"
+      writeAvro(mData, entrySchema, Seq(entry(f1, 0), entry(f2, 0)))
+      val mDel = s"$dir/metadata/m-del.avro"
+      writeAvro(mDel, entrySchema, Seq(entry(delPath, 1)))
+      val mlPath = s"$dir/metadata/snap-7.avro"
+      writeAvro(mlPath, listSchema, Seq(
+        manifestRef(mData, 0, 1L), manifestRef(mDel, 1, 2L)))
+      java.nio.file.Files.writeString(
+        java.nio.file.Path.of(dir, "metadata", "v1.metadata.json"),
+        metadataJson(mlPath))
+      val ids = graft.sources.IcebergSource.read(spark, dir)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 3L, 5L, 10L, 11L, 12L),
+        s"positions 1 and 3 of d1 (ids 2, 4) must be masked, got $ids")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("equality deletes mask matching rows of OLDER data files only — " +
+      "a row re-added at a later sequence number survives") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ice_eq").toString
+    try {
+      val f1 = dataFile(dir, "d1.parquet",
+        (1L to 6L).map(i => (i, s"v$i"))) // seq 1
+      val f2 = dataFile(dir, "d2.parquet",
+        Seq((2L, "readded"))) // seq 3, AFTER the delete
+      // equality delete (seq 2) on id ∈ {2, 5}
+      val delPath = s"$dir/data/ed1.parquet"
+      Seq(2L, 5L).toDF("id").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/__ed")
+      val fs = new Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val part = fs.listStatus(new Path(s"$dir/__ed")).map(_.getPath)
+        .find(_.getName.startsWith("part-")).get
+      fs.rename(part, new Path(delPath))
+      fs.delete(new Path(s"$dir/__ed"), true)
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Path.of(dir, "metadata"))
+      val m1 = s"$dir/metadata/m1.avro"
+      writeAvro(m1, entrySchema, Seq(entry(f1, 0)))
+      val m2 = s"$dir/metadata/m2.avro"
+      writeAvro(m2, entrySchema, Seq(entry(f2, 0)))
+      val mDel = s"$dir/metadata/m-eq.avro"
+      writeAvro(mDel, entrySchema,
+        Seq(entry(delPath, 2, eqIds = Seq(1)))) // field id 1 = `id`
+      val mlPath = s"$dir/metadata/snap-7.avro"
+      writeAvro(mlPath, listSchema, Seq(
+        manifestRef(m1, 0, 1L), manifestRef(mDel, 1, 2L),
+        manifestRef(m2, 0, 3L)))
+      java.nio.file.Files.writeString(
+        java.nio.file.Path.of(dir, "metadata", "v1.metadata.json"),
+        metadataJson(mlPath))
+      val rows = graft.sources.IcebergSource.read(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+        .sortBy(_._1).toSeq
+      assert(rows == Seq((1L, "v1"), (2L, "readded"), (3L, "v3"),
+        (4L, "v4"), (6L, "v6")),
+        s"ids 2 and 5 masked from seq-1 data; the seq-3 re-add of id 2 " +
+          s"survives; got $rows")
+      // unknown equality_id is loud
+      val mBad = s"$dir/metadata/m-bad.avro"
+      writeAvro(mBad, entrySchema,
+        Seq(entry(delPath, 2, eqIds = Seq(99))))
+      val mlBad = s"$dir/metadata/snap-bad.avro"
+      writeAvro(mlBad, listSchema, Seq(
+        manifestRef(m1, 0, 1L), manifestRef(mBad, 1, 2L)))
+      java.nio.file.Files.writeString(
+        java.nio.file.Path.of(dir, "metadata", "v2.metadata.json"),
+        metadataJson(mlBad))
+      val e = intercept[IllegalArgumentException] {
+        graft.sources.IcebergSource.read(spark, dir).collect()
+      }
+      assert(e.getMessage.contains("equality_id"))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+}

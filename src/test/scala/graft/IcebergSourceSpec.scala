@@ -157,8 +157,11 @@ class IcebergSourceSpec extends SparkFunSuite {
       .deleteDirectory(new java.io.File(dir))
   }
 
-  test("delete manifests reject loudly; version-hint picks the metadata " +
-      "version; unknown snapshot id is loud") {
+  test("a malformed delete manifest (data files inside) rejects loudly; " +
+      "version-hint picks the metadata version; unknown snapshot id is " +
+      "loud") {
+    // (round 14: WELL-FORMED position/equality delete manifests now
+    // APPLY instead of refusing — IcebergDeletesSpec pins those)
     val dir = java.nio.file.Files
       .createTempDirectory("graft_iceberg2").toString
     try {
@@ -188,7 +191,7 @@ class IcebergSourceSpec extends SparkFunSuite {
       val e = intercept[IllegalArgumentException] {
         graft.sources.IcebergSource.read(spark, dir)
       }
-      assert(e.getMessage.contains("DELETE manifests"))
+      assert(e.getMessage.contains("delete manifest"))
       java.nio.file.Files.delete(
         java.nio.file.Path.of(dir, "metadata", "version-hint.text"))
       val e2 = intercept[IllegalArgumentException] {
