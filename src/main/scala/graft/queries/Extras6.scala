@@ -321,6 +321,135 @@ object Extras6 extends QueryPack {
         s"time travel to v0 must see only the creation ($expect0), got $n0")
       ch(s"SELECT c_custkey, c_name, seg FROM deltaLake('$root') " +
         "ORDER BY c_custkey")
+    },
+
+    // FORMAT One (round 14 — OneFormat.cpp): one dummy=0 row per input
+    // file, the content never read — the reference's existence probe.
+    // Fixture: three junk files; oracle = three constant rows.
+    Q.df("q_format_one", """
+      SELECT CAST(0 AS SMALLINT) AS dummy
+      FROM (VALUES (1), (2), (3)) t(i)""") { (s, dir) =>
+      val root = s"/tmp/graft_fmt_one_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = fsOf(s, root)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(root))
+      Seq("a.bin" -> "opaque", "b.csv" -> "not,parsed", "c" -> "")
+        .foreach { case (n, t) =>
+          val out = fs.create(new org.apache.hadoop.fs.Path(root, n), true)
+          try out.write(t.getBytes("UTF-8")) finally out.close()
+        }
+      graft.sql.ClickHouseSql.sql(s,
+        s"SELECT dummy FROM file('$root', 'One')")
+    },
+
+    // FORMAT Form (FormRowInputFormat.cpp): url-encoded k=v&k=v rows,
+    // one per file; unknown keys skip, omitted columns default. The
+    // fixture percent-encodes real customer names (space → %20, '+'
+    // literal), so a form-decoding reader (eating '+') or a skipped
+    // junk-key bug shows as a value mismatch, not a count.
+    Q.df("q_format_form", """
+      SELECT c_custkey, c_name, CAST(0 AS BIGINT) AS extra
+      FROM customer WHERE c_custkey <= 4 ORDER BY c_custkey""") { (s, dir) =>
+      val root = s"/tmp/graft_fmt_form_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = fsOf(s, root)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(root))
+      def pct(v: String): String = v.map { c =>
+        if (c.isLetterOrDigit) c.toString
+        else "%%%02X".format(c.toInt)
+      }.mkString
+      Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") <= 4)
+        .select(col("c_custkey"), col("c_name"))
+        .collect().foreach { r =>
+          val k = r.getAs[Number](0).longValue
+          val out = fs.create(
+            new org.apache.hadoop.fs.Path(root, s"r$k.form"), true)
+          try out.write(
+            (s"c_custkey=$k&junk=skipme&c_name=${pct(r.getString(1))}")
+              .getBytes("UTF-8"))
+          finally out.close()
+        }
+      graft.sql.ClickHouseSql.sql(s,
+        s"SELECT c_custkey, c_name, extra FROM file('$root', 'Form', " +
+          "'c_custkey Int64, c_name String, extra Int64') " +
+          "ORDER BY c_custkey")
+    },
+
+    // FORMAT HiveText (HiveTextRowInputFormat.cpp): header-less CSV
+    // with the Hive 0x01 delimiter and \N nulls, read through Spark's
+    // native CSV source (distributed/splittable). Fixture restates
+    // nation with one NULLed name.
+    Q.df("q_format_hivetext", """
+      SELECT n_nationkey,
+        CASE WHEN n_nationkey = 3 THEN NULL ELSE n_name END AS n_name
+      FROM nation ORDER BY n_nationkey""") { (s, dir) =>
+      val root = s"/tmp/graft_fmt_hive_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = fsOf(s, root)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(root))
+      val lines = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+        .collect().sortBy(_.getAs[Number](0).longValue)
+        .map { r =>
+          val k = r.getAs[Number](0).longValue
+          val v = if (k == 3) "\\N" else r.getString(1)
+          s"$k\u0001$v"
+        }
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(root, "part1.hive"), true)
+      try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+      graft.sql.ClickHouseSql.sql(s,
+        s"SELECT n_nationkey, n_name FROM file('$root', 'HiveText', " +
+          "'n_nationkey Int64, n_name String') ORDER BY n_nationkey")
+    },
+
+    // Protobuf NESTED messages + enums (round 14 — the reference's
+    // ProtobufSerializer handles nesting; this closes the round-13
+    // flat-scalar gate): a message field round-trips as a StructType
+    // (length-delimited sub-message), an enum as its NAME, a repeated
+    // message as an array of structs. The oracle restates the
+    // flattened projection over nation.
+    Q.df("q_format_protobuf_nested", """
+      SELECT n_nationkey AS key, n_name AS label,
+        CAST(n_nationkey * 1.5 AS DOUBLE) AS score,
+        CASE WHEN n_regionkey = 0 THEN 'LOW'
+             WHEN n_regionkey = 1 THEN 'MID' ELSE 'HIGH' END AS band,
+        n_name || ',x' AS hist_labels
+      FROM nation ORDER BY key""") { (s, dir) =>
+      val src = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("key"),
+          struct(col("n_name").as("label"),
+            (col("n_nationkey") * 1.5).cast("double").as("score"))
+            .as("sub"),
+          when(col("n_regionkey") === 0, "LOW")
+            .when(col("n_regionkey") === 1, "MID")
+            .otherwise("HIGH").as("band"),
+          array(
+            struct(col("n_name").as("label"),
+              lit(1.0).cast("double").as("score")),
+            struct(lit("x").as("label"),
+              lit(2.0).cast("double").as("score"))).as("history"))
+        .repartition(3)
+      val proto = """
+        syntax = "proto3";
+        enum Band { LOW = 0; MID = 1; HIGH = 2; }
+        message Sub { string label = 1; double score = 2; }
+        message Part {
+          int64 key = 1;
+          Sub sub = 2;
+          Band band = 3;
+          repeated Sub history = 4;
+        }"""
+      val path = s"/tmp/graft_pb_nested_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.sources.ChProtobufFormat.writeProtobuf(src, path, proto, "Part")
+      graft.sources.ChProtobufFormat.readProtobuf(s, path, proto, "Part")
+        .select(col("key"), col("sub.label").as("label"),
+          col("sub.score").as("score"), col("band"),
+          array_join(expr("transform(history, h -> h.label)"), ",")
+            .as("hist_labels"))
+        .orderBy("key")
     }
   )
 }

@@ -23,8 +23,12 @@ import org.apache.spark.sql.types._
   * Supported field types: double, float, bool, string, bytes,
   * int32/int64, uint32/uint64, sint32/sint64, fixed32/sfixed32,
   * fixed64/sfixed64, and `repeated` of each (numerics packed, the
-  * proto3 default). Nested messages / enums / maps / oneof reject
-  * loudly — the flat-row subset is exactly what a table row is.
+  * proto3 default). Round 14 adds MESSAGE-typed fields (→ StructType,
+  * length-delimited sub-messages, recursive) and ENUM fields
+  * (→ StringType carrying the enum NAME; unknown numbers decode to
+  * the number's digits — proto3's open-enum behavior), both declared
+  * as TOP-LEVEL types and referenced by name. Nested type
+  * DEFINITIONS, maps and oneof still reject loudly.
   *
   * Framing, per the reference's two formats:
   *   Protobuf        every row is one message prefixed by a VARINT
@@ -46,13 +50,67 @@ object ChProtobufFormat {
   final case class ProtoField(name: String, number: Int, ptype: String,
       repeated: Boolean)
 
+  /** Every top-level type in a schema file: message name → fields,
+    * enum name → (value name → number). */
+  final case class ProtoRegistry(messages: Map[String, Seq[ProtoField]],
+      enums: Map[String, Map[String, Int]]) {
+    def isMessage(t: String): Boolean = messages.contains(t)
+    def isEnum(t: String): Boolean = enums.contains(t)
+  }
+
+  val EmptyRegistry: ProtoRegistry =
+    ProtoRegistry(Map.empty, Map.empty)
+
   private val scalarTypes = Set("double", "float", "bool", "string",
     "bytes", "int32", "int64", "uint32", "uint64", "sint32", "sint64",
     "fixed32", "sfixed32", "fixed64", "sfixed64")
 
+  /** Parse every TOP-LEVEL `enum E { A = 0; … }` and `message M {…}`
+    * in the schema text (nested type definitions stay loud — the
+    * per-message parse rejects brace-carrying bodies). */
+  def parseRegistry(schemaText: String): ProtoRegistry = {
+    val clean = schemaText.replaceAll("//[^\n]*", "")
+      .replaceAll("(?s)/\\*.*?\\*/", "")
+    val enumRe =
+      "(?s)\\benum\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*\\{([^{}]*)\\}".r
+    val enumValRe =
+      "([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*(-?\\d+)\\s*;".r
+    val enums = enumRe.findAllMatchIn(clean).map { m =>
+      val vals = enumValRe.findAllMatchIn(m.group(2))
+        .map(v => v.group(1) -> v.group(2).toInt).toSeq
+      require(vals.nonEmpty, s"protobuf: enum ${m.group(1)} has no values")
+      m.group(1) -> vals.toMap
+    }.toMap
+    val msgRe =
+      "(?s)\\bmessage\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*\\{([^{}]*)\\}".r
+    val names = msgRe.findAllMatchIn(clean).map(_.group(1)).toSeq
+    // two passes so forward references between messages resolve
+    var reg = ProtoRegistry(names.map(_ -> Seq.empty[ProtoField]).toMap,
+      enums)
+    reg = ProtoRegistry(names.map(n =>
+      n -> parseMessageBody(clean, n, reg)).toMap, enums)
+    // recursive message shapes have no static Spark schema — loud
+    def cycles(n: String, seen: Set[String]): Unit = {
+      require(!seen(n), s"protobuf: message '$n' is recursive — " +
+        "tree-shaped messages cannot map to a static table schema")
+      reg.messages(n).map(_.ptype).filter(reg.isMessage)
+        .foreach(cycles(_, seen + n))
+    }
+    names.foreach(cycles(_, Set.empty))
+    reg
+  }
+
   /** Parse a proto3 schema text and return `message`'s fields sorted by
-    * field number. Flat scalar messages only — anything else is loud. */
+    * field number (the registry resolves message/enum field types). */
   def parseProto(schemaText: String, message: String): Seq[ProtoField] = {
+    val reg = parseRegistry(schemaText)
+    reg.messages.getOrElse(message, throw new IllegalArgumentException(
+      s"protobuf: message '$message' not found in the schema " +
+        "(nested messages are not supported)"))
+  }
+
+  private def parseMessageBody(schemaText: String, message: String,
+      reg: ProtoRegistry): Seq[ProtoField] = {
     // strip comments
     val clean = schemaText.replaceAll("//[^\n]*", "")
       .replaceAll("(?s)/\\*.*?\\*/", "")
@@ -75,9 +133,13 @@ object ChProtobufFormat {
     val fieldRe =
       "(repeated\\s+)?([A-Za-z_][A-Za-z0-9_.]*)\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*(\\d+)\\s*;".r
     val fields = fieldRe.findAllMatchIn(body).map { m =>
-      val t = m.group(2)
-      require(scalarTypes(t), s"protobuf: unsupported field type '$t' " +
-        "(flat scalar messages only — no nested messages/enums/maps)")
+      // qualified references (".pkg.Name") resolve by simple name —
+      // this parser has no packages
+      val t0 = m.group(2)
+      val t = t0.split('.').last
+      require(scalarTypes(t) || reg.isMessage(t) || reg.isEnum(t),
+        s"protobuf: unsupported field type '$t0' (scalars plus " +
+          "top-level message/enum references only — no maps)")
       ProtoField(m.group(3), m.group(4).toInt, t, m.group(1) != null)
     }.toSeq
     require(fields.nonEmpty, s"protobuf: message '$message' has no fields")
@@ -86,8 +148,10 @@ object ChProtobufFormat {
     fields.sortBy(_.number)
   }
 
-  /** Spark schema implied by the proto fields (field-number order). */
-  def sparkSchema(fields: Seq[ProtoField]): StructType =
+  /** Spark schema implied by the proto fields (field-number order).
+    * Message fields → StructType (recursive), enums → StringType. */
+  def sparkSchema(fields: Seq[ProtoField],
+      reg: ProtoRegistry = EmptyRegistry): StructType =
     StructType(fields.map { f =>
       val base: DataType = f.ptype match {
         case "double" => DoubleType
@@ -97,6 +161,8 @@ object ChProtobufFormat {
         case "bytes" => BinaryType
         case "int32" | "sint32" | "sfixed32" => IntegerType
         case "fixed32" | "uint32" => LongType // unsigned ranges need 64 bits
+        case t if reg.isMessage(t) => sparkSchema(reg.messages(t), reg)
+        case t if reg.isEnum(t) => StringType
         case _ => LongType
       }
       StructField(f.name,
@@ -104,11 +170,12 @@ object ChProtobufFormat {
         nullable = true)
     })
 
-  private def wireType(t: String): Int = t match {
+  private def wireType(t: String, reg: ProtoRegistry): Int = t match {
     case "double" | "fixed64" | "sfixed64" => 1
     case "float" | "fixed32" | "sfixed32" => 5
     case "string" | "bytes" => 2
-    case _ => 0 // varints
+    case t2 if reg.isMessage(t2) => 2 // length-delimited sub-message
+    case _ => 0 // varints (incl. enums)
   }
 
   // ------------------------------------------------------------ encoding
@@ -163,30 +230,66 @@ object ChProtobufFormat {
       writeVarint(out, b.length.toLong); out.write(b)
   }
 
+  /** One non-scalar value's length-delimited payload. */
+  private def writeComposite(out: OutputStream, t: String, v: Any,
+      reg: ProtoRegistry): Unit =
+    if (reg.isMessage(t)) {
+      val sub = v.asInstanceOf[Row]
+      val subFields = reg.messages(t)
+      val subSchema = Option(sub.schema).getOrElse(
+        sparkSchema(subFields, reg))
+      val bytes = encodeRow(sub, subSchema, subFields, reg)
+      writeVarint(out, bytes.length.toLong); out.write(bytes)
+    } else { // enum: the NAME (or bare digits) → varint of its number
+      val name = v.toString
+      val n = reg.enums(t).get(name).orElse(
+        if (name.matches("-?\\d+")) Some(name.toInt) else None)
+        .getOrElse(throw new IllegalArgumentException(
+          s"protobuf: '$name' is not a value of enum $t"))
+      writeVarint(out, n.toLong)
+    }
+
   /** One row → one serialized message (no framing). */
-  def encodeRow(row: Row, schema: StructType,
-      fields: Seq[ProtoField]): Array[Byte] = {
+  def encodeRow(row: Row, schema: StructType, fields: Seq[ProtoField],
+      reg: ProtoRegistry = EmptyRegistry): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     fields.foreach { f =>
       val idx = schema.fieldIndex(f.name)
-      val wt = wireType(f.ptype)
+      val wt = wireType(f.ptype, reg)
+      val composite = reg.isMessage(f.ptype) || reg.isEnum(f.ptype)
       if (!f.repeated) {
-        val v =
-          if (row.isNullAt(idx)) defaultOf(f.ptype) // proto3: NULL = default
-          else row.get(idx)
-        writeVarint(out, (f.number.toLong << 3) | wt)
-        writeScalar(out, f.ptype, v)
+        if (row.isNullAt(idx)) {
+          // proto3: NULL = default; an absent MESSAGE is simply not
+          // written (there is no default instance on the wire)
+          if (!reg.isMessage(f.ptype)) {
+            writeVarint(out, (f.number.toLong << 3) | wt)
+            if (composite) writeComposite(out, f.ptype,
+              defaultOf(f.ptype, reg), reg)
+            else writeScalar(out, f.ptype, defaultOf(f.ptype, reg))
+          }
+        } else {
+          writeVarint(out, (f.number.toLong << 3) | wt)
+          if (composite) writeComposite(out, f.ptype, row.get(idx), reg)
+          else writeScalar(out, f.ptype, row.get(idx))
+        }
       } else if (!row.isNullAt(idx)) {
         val xs = row.getSeq[Any](idx)
-        if (f.ptype == "string" || f.ptype == "bytes") {
+        if (reg.isMessage(f.ptype)) {
+          xs.foreach { x =>
+            writeVarint(out, (f.number.toLong << 3) | 2)
+            writeComposite(out, f.ptype, x, reg)
+          }
+        } else if (f.ptype == "string" || f.ptype == "bytes") {
           xs.foreach { x =>
             writeVarint(out, (f.number.toLong << 3) | 2)
             writeScalar(out, f.ptype, x)
           }
         } else if (xs.nonEmpty) {
-          // packed numerics (the proto3 default wire shape)
+          // packed numerics/enums (the proto3 default wire shape)
           val payload = new java.io.ByteArrayOutputStream()
-          xs.foreach(x => writeScalar(payload, f.ptype, x))
+          xs.foreach(x =>
+            if (reg.isEnum(f.ptype)) writeComposite(payload, f.ptype, x, reg)
+            else writeScalar(payload, f.ptype, x))
           writeVarint(out, (f.number.toLong << 3) | 2)
           writeVarint(out, payload.size.toLong)
           payload.writeTo(out)
@@ -196,15 +299,20 @@ object ChProtobufFormat {
     out.toByteArray
   }
 
-  private def defaultOf(t: String): Any = t match {
-    case "double" => 0.0d
-    case "float" => 0.0f
-    case "bool" => false
-    case "string" => ""
-    case "bytes" => Array.emptyByteArray
-    case "int32" | "sint32" | "sfixed32" => 0
-    case _ => 0L
-  }
+  private def defaultOf(t: String, reg: ProtoRegistry = EmptyRegistry): Any =
+    t match {
+      case "double" => 0.0d
+      case "float" => 0.0f
+      case "bool" => false
+      case "string" => ""
+      case "bytes" => Array.emptyByteArray
+      case "int32" | "sint32" | "sfixed32" => 0
+      case t2 if reg.isEnum(t2) =>
+        // proto3 default enum = number 0 (open enums: digits if unnamed)
+        reg.enums(t2).find(_._2 == 0).map(_._1).getOrElse("0")
+      case t2 if reg.isMessage(t2) => null
+      case _ => 0L
+    }
 
   // ------------------------------------------------------------ decoding
 
@@ -259,27 +367,36 @@ object ChProtobufFormat {
   }
 
   /** One serialized message → one Row in `fields` (number) order. */
-  def decodeRow(msg: Array[Byte], fields: Seq[ProtoField]): Row = {
+  def decodeRow(msg: Array[Byte], fields: Seq[ProtoField],
+      reg: ProtoRegistry = EmptyRegistry): Row = {
     val byNumber = fields.zipWithIndex.map { case (f, i) => f.number -> ((f, i)) }.toMap
     val vals = new Array[Any](fields.length)
     val lists = fields.map(f =>
       if (f.repeated) scala.collection.mutable.ArrayBuffer.empty[Any] else null)
     val r = new ByteReader(msg)
+    def readValue(f: ProtoField): Any =
+      if (reg.isMessage(f.ptype))
+        decodeRow(r.bytes(r.varint().toInt), reg.messages(f.ptype), reg)
+      else if (reg.isEnum(f.ptype)) {
+        val n = r.varint().toInt
+        reg.enums(f.ptype).find(_._2 == n).map(_._1)
+          .getOrElse(n.toString) // proto3 open enum
+      } else readScalar(r, f.ptype)
     while (r.hasMore) {
       val key = r.varint()
       val num = (key >>> 3).toInt
       val wt = (key & 7).toInt
       byNumber.get(num) match {
         case Some((f, i)) =>
-          if (f.repeated && wt == 2 && wireType(f.ptype) != 2) {
-            // packed numerics
+          if (f.repeated && wt == 2 && wireType(f.ptype, reg) != 2) {
+            // packed numerics/enums
             val len = r.varint().toInt
             val end = r.pos + len
-            while (r.pos < end) lists(i) += readScalar(r, f.ptype)
+            while (r.pos < end) lists(i) += readValue(f)
           } else if (f.repeated) {
-            lists(i) += readScalar(r, f.ptype)
+            lists(i) += readValue(f)
           } else {
-            vals(i) = readScalar(r, f.ptype)
+            vals(i) = readValue(f)
           }
         case None => // unknown field: skip by wire type (proto contract)
           wt match {
@@ -294,10 +411,11 @@ object ChProtobufFormat {
     }
     fields.zipWithIndex.foreach { case (f, i) =>
       if (f.repeated) vals(i) = lists(i).toSeq
-      else if (vals(i) == null) vals(i) = defaultOf(f.ptype) match {
-        case b: Array[Byte] => b
-        case x => x
-      }
+      else if (vals(i) == null && !reg.isMessage(f.ptype))
+        vals(i) = defaultOf(f.ptype, reg) match {
+          case b: Array[Byte] => b
+          case x => x
+        }
     }
     Row.fromSeq(vals.toIndexedSeq)
   }
@@ -328,6 +446,7 @@ object ChProtobufFormat {
     * are not splittable. */
   def writeProtobuf(df: DataFrame, path: String, schemaText: String,
       message: String, single: Boolean = false): Unit = {
+    val reg = parseRegistry(schemaText)
     val fields = parseProto(schemaText, message)
     val schema = df.schema
     fields.foreach(f => require(schema.fieldNames.contains(f.name),
@@ -344,7 +463,7 @@ object ChProtobufFormat {
           if (single && n > 1) throw new IllegalArgumentException(
             "ProtobufSingle: one bare message per stream — coalesce to " +
               "one row per partition or use FORMAT Protobuf")
-          val msg = encodeRow(row, schema, fields)
+          val msg = encodeRow(row, schema, fields, reg)
           if (!single) writeVarint(out, msg.length.toLong)
           out.write(msg)
         }
@@ -358,8 +477,9 @@ object ChProtobufFormat {
     * stream-decoded message by message. Schema comes from the proto. */
   def readProtobuf(spark: SparkSession, path: String, schemaText: String,
       message: String, single: Boolean = false): DataFrame = {
+    val reg = parseRegistry(schemaText)
     val fields = parseProto(schemaText, message)
-    val schema = sparkSchema(fields)
+    val schema = sparkSchema(fields, reg)
     val parts = listParts(path)
     val rows = spark.sparkContext
       .parallelize(parts, math.max(parts.length, 1))
@@ -375,7 +495,7 @@ object ChProtobufFormat {
           while (n >= 0) { all.write(buf, 0, n); n = in.read(buf) }
           in.close()
           if (all.size == 0) Iterator.empty
-          else Iterator.single(decodeRow(all.toByteArray, fields))
+          else Iterator.single(decodeRow(all.toByteArray, fields, reg))
         } else new Iterator[Row] {
           private var nextLen: Int = readLenOrEof(in)
           override def hasNext: Boolean = {
@@ -385,7 +505,7 @@ object ChProtobufFormat {
             val msg = new Array[Byte](nextLen)
             in.readFully(msg)
             nextLen = readLenOrEof(in)
-            decodeRow(msg, fields)
+            decodeRow(msg, fields, reg)
           }
         }
       }

@@ -97,7 +97,7 @@ object ChTextFormats {
     case other => throw new IllegalArgumentException(s"unsupported $other")
   }
 
-  private def parseRaw(dt: DataType, s: String): Any = dt match {
+  private[sources] def parseRaw(dt: DataType, s: String): Any = dt match {
     case BooleanType => s == "true" || s == "1"
     case ByteType    => s.toByte
     case ShortType   => s.toShort

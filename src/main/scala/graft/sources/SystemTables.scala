@@ -204,7 +204,8 @@ object SystemTables {
       "Native", "ArrowStream", "Avro", "BSONEachRow", "MsgPack", "Npy",
       "LineAsString", "RawBLOB", "TabSeparatedRaw", "JSONStringsEachRow",
       "JSON")
-    val inOnly = Seq("Regexp", "JSONAsString", "ParquetMetadata")
+    val inOnly = Seq("Regexp", "JSONAsString", "ParquetMetadata",
+      "One", "Form", "HiveText")
     val outOnly = Seq("Pretty", "Vertical", "Markdown", "XML")
     (both.map((_, true, true)) ++ inOnly.map((_, true, false)) ++
       outOnly.map((_, false, true)))

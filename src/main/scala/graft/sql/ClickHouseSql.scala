@@ -1389,6 +1389,10 @@ object ClickHouseSql {
               spark, path, schemaText, msg, single = fmt == "protobufsingle")
             raw.select(schema.map(f => org.apache.spark.sql.functions
               .col(f.name).cast(f.dataType)): _*)
+          case "form" =>
+            graft.sources.ChSmallFormats.readForm(spark, path, schema)
+          case "hivetext" =>
+            graft.sources.ChSmallFormats.readHiveText(spark, path, schema)
           case other => throw new IllegalArgumentException(
             s"FROM INFILE: unsupported format '$other'")
         }
@@ -2924,6 +2928,11 @@ object ClickHouseSql {
             withNames = true, withTypes = true)
         case "lineasstring" =>
           graft.sources.ChMiscFormats.readLineAsString(spark, path, "line")
+        // round-14 small-format residue (registerFormats.cpp)
+        case "one" => graft.sources.ChSmallFormats.readOne(spark, path)
+        case "form" => graft.sources.ChSmallFormats.readForm(spark, path, need)
+        case "hivetext" =>
+          graft.sources.ChSmallFormats.readHiveText(spark, path, need)
         case other => throw new IllegalArgumentException(
           s"file(): unsupported format '$other'")
       }

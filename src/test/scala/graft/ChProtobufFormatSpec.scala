@@ -163,4 +163,62 @@ class ChProtobufFormatSpec extends SparkFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("nested messages + enums (round 14): struct/enum/array-of-struct " +
+      "round trip; open-enum numbers decode to digits; recursion is loud") {
+    import graft.sources.ChProtobufFormat.{ProtoRegistry => _, _}
+    val proto = """
+      syntax = "proto3";
+      enum Color { RED = 0; GREEN = 1; BLUE = 2; }
+      message Inner { string s = 1; sint64 n = 2; }
+      message Outer {
+        int64 id = 1;
+        Inner one = 2;
+        Color color = 3;
+        repeated Inner many = 4;
+        repeated Color colors = 5;
+      }"""
+    val reg = parseRegistry(proto)
+    assert(reg.enums("Color") == Map("RED" -> 0, "GREEN" -> 1, "BLUE" -> 2))
+    val fields = parseProto(proto, "Outer")
+    val schema = sparkSchema(fields, reg)
+    assert(schema("one").dataType.isInstanceOf[StructType])
+    assert(schema("color").dataType == StringType)
+    val innerSchema = schema("one").dataType.asInstanceOf[StructType]
+    def inner(s: String, n: Long) =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](s, n), innerSchema)
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+      Array[Any](7L, inner("hi", -3L), "BLUE",
+        Seq(inner("a", 1L), inner("b", -2L)), Seq("RED", "GREEN")),
+      schema)
+    val back = decodeRow(encodeRow(row, schema, fields, reg), fields, reg)
+    assert(back.getLong(0) == 7L)
+    assert(back.getStruct(1).getString(0) == "hi" &&
+      back.getStruct(1).getLong(1) == -3L)
+    assert(back.getString(2) == "BLUE")
+    assert(back.getSeq[Row](3).map(r => (r.getString(0), r.getLong(1))) ==
+      Seq(("a", 1L), ("b", -2L)))
+    assert(back.getSeq[String](4) == Seq("RED", "GREEN"))
+    // absent sub-message decodes to null, absent enum to the 0-name
+    val empty = decodeRow(Array.emptyByteArray, fields, reg)
+    assert(empty.isNullAt(1) && empty.getString(2) == "RED")
+    // open enum: an unknown number round-trips as its digits
+    val rowNum = new org.apache.spark.sql.catalyst.expressions
+      .GenericRowWithSchema(
+        Array[Any](1L, null, "9", Seq.empty, Seq.empty), schema)
+    assert(decodeRow(encodeRow(rowNum, schema, fields, reg), fields, reg)
+      .getString(2) == "9")
+    // unknown enum NAME is loud
+    val rowBad = new org.apache.spark.sql.catalyst.expressions
+      .GenericRowWithSchema(
+        Array[Any](1L, null, "MAUVE", Seq.empty, Seq.empty), schema)
+    val e = intercept[IllegalArgumentException](
+      encodeRow(rowBad, schema, fields, reg))
+    assert(e.getMessage.contains("MAUVE"))
+    // recursive messages cannot be a table schema
+    val e2 = intercept[IllegalArgumentException](parseRegistry(
+      "message R { int64 id = 1; R next = 2; }"))
+    assert(e2.getMessage.contains("recursive"))
+  }
 }
