@@ -323,6 +323,60 @@ object Extras6 extends QueryPack {
         "ORDER BY c_custkey")
     },
 
+    // Delta column mapping (round 14 — PROTOCOL.md "Column Mapping",
+    // closes the minReaderVersion-2 gate): the parquet files store
+    // columns under delta.columnMapping.physicalName and the log keys
+    // partitionValues by physical names; the read must surface LOGICAL
+    // names with the right values. A reader that matched by position
+    // or leaked physical names fails the schema/hash compare.
+    Q.df("q_tf_delta_colmap", """
+      SELECT c_custkey, c_name,
+        CASE WHEN c_custkey % 2 = 0 THEN 'e' ELSE 'o' END AS par
+      FROM customer WHERE c_custkey <= 90 ORDER BY c_custkey""") { (s, dir) =>
+      val root = s"/tmp/graft_deltacm_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = fsOf(s, root)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val cust = Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") <= 90)
+        .select(col("c_custkey"), col("c_name"),
+          when(col("c_custkey") % 2 === 0, "e").otherwise("o").as("par"))
+      val keyType = cust.schema("c_custkey").dataType.typeName
+      // physical files: key → col-k, name → col-n; partition col par →
+      // col-p lives only in the log
+      oneFile(s, root, "fe.parquet", cust.filter(col("par") === "e")
+        .select(col("c_custkey").as("col-k"), col("c_name").as("col-n")))
+      oneFile(s, root, "fo.parquet", cust.filter(col("par") === "o")
+        .select(col("c_custkey").as("col-k"), col("c_name").as("col-n")))
+      def f(name: String, typ: String, id: Int, phys: String) =
+        s"""{\\"name\\":\\"$name\\",\\"type\\":\\"$typ\\",""" +
+          s"""\\"nullable\\":true,\\"metadata\\":""" +
+          s"""{\\"delta.columnMapping.id\\":$id,""" +
+          s"""\\"delta.columnMapping.physicalName\\":\\"$phys\\"}}"""
+      val schemaString = s"""{\\"type\\":\\"struct\\",\\"fields\\":[""" +
+        f("c_custkey", keyType, 1, "col-k") + "," +
+        f("c_name", "string", 2, "col-n") + "," +
+        f("par", "string", 3, "col-p") + "]}"
+      val log = new org.apache.hadoop.fs.Path(root, "_delta_log")
+      fs.mkdirs(log)
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(log, f"${0L}%020d.json"), true)
+      try out.write((Seq(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"graft-cm","format":{"provider":"parquet"},""" +
+          s""""schemaString":"$schemaString","partitionColumns":["par"],""" +
+          s""""configuration":{"delta.columnMapping.mode":"name",""" +
+          s""""delta.columnMapping.maxColumnId":"3"}}}""",
+        """{"add":{"path":"fe.parquet","partitionValues":{"col-p":"e"},""" +
+          """"size":1,"modificationTime":1,"dataChange":true}}""",
+        """{"add":{"path":"fo.parquet","partitionValues":{"col-p":"o"},""" +
+          """"size":1,"modificationTime":1,"dataChange":true}}""")
+        .mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+      graft.sql.ClickHouseSql.sql(s,
+        s"SELECT c_custkey, c_name, par FROM deltaLake('$root') " +
+          "ORDER BY c_custkey")
+    },
+
     // FORMAT One (round 14 — OneFormat.cpp): one dummy=0 row per input
     // file, the content never read — the reference's existence probe.
     // Fixture: three junk files; oracle = three constant rows.

@@ -18,7 +18,8 @@ import graft.sources.DeltaDeletionVectors.DvDescriptor
   *
   *  1. list the log, pick the target version (latest, or `versionAsOf`
   *     for time travel);
-  *  2. seed from the newest single-part checkpoint ≤ target. The
+  *  2. seed from the newest checkpoint ≤ target (single-part, or a
+  *     completeness-verified multi-part set read as one scan). The
   *     checkpoint is itself parquet, so the add/remove reconciliation
   *     runs DISTRIBUTED (left-anti join on path) over a MINIMAL
   *     projection (path, partitionValues, deletionVector) — only the
@@ -41,14 +42,17 @@ import graft.sources.DeltaDeletionVectors.DvDescriptor
   *     `_metadata.row_index` through a broadcast of the compressed
   *     bitmap bytes — the DATA never shuffles for the mask.
   *
-  * Protocol gates (LOUD, never silently wrong): minReaderVersion 2
-  * (column mapping) rejects; minReaderVersion 3 is accepted iff
-  * readerFeatures ⊆ {deletionVectors}; multi-part checkpoints reject.
+  * Column mapping ('name'/'id' modes, the minReaderVersion-2 surface)
+  * reads through a physicalized schema cast back to the logical one.
+  * Protocol gate (LOUD, never silently wrong): minReaderVersion 3 is
+  * accepted iff readerFeatures ⊆ {deletionVectors, columnMapping};
+  * anything else refuses.
   */
 object DeltaLakeSource {
 
   private final case class Meta(schemaString: String,
-      partitionColumns: Seq[String])
+      partitionColumns: Seq[String],
+      configuration: Map[String, String] = Map.empty)
 
   /** One active file: partition values + optional deletion vector. */
   private final case class Active(pv: Map[String, Option[String]],
@@ -72,19 +76,32 @@ object DeltaLakeSource {
     val entries = fs.listStatus(logDir).map(_.getPath.getName).toSeq
     val commitRe = "^(\\d{20})\\.json$".r
     val ckptRe = "^(\\d{20})\\.checkpoint\\.parquet$".r
-    val multiCkptRe = "^(\\d{20})\\.checkpoint\\.\\d+\\.\\d+\\.parquet$".r
+    val multiCkptRe = "^(\\d{20})\\.checkpoint\\.(\\d+)\\.(\\d+)\\.parquet$".r
     val commits = entries.collect { case commitRe(v) => v.toLong }.sorted
-    require(commits.nonEmpty || entries.exists(ckptRe.findFirstIn(_).isDefined),
+    // checkpoint version → its parquet file(s); multi-part checkpoints
+    // (%020d.checkpoint.%010d.%010d.parquet — part K of N) read as one
+    // distributed scan, COMPLETENESS verified against the N in the name
+    val ckptFiles: Map[Long, Seq[String]] = {
+      val single = entries.collect { case n @ ckptRe(v) =>
+        v.toLong -> Seq(n) }.toMap
+      val multi = entries.collect { case n @ multiCkptRe(v, _, total) =>
+        (v.toLong, total.toLong, n)
+      }.groupBy(_._1).map { case (v, parts) =>
+        val totals = parts.map(_._2).distinct
+        require(totals.length == 1 && parts.length == totals.head,
+          s"deltaLake: multi-part checkpoint $v is incomplete " +
+            s"(${parts.length} of ${totals.mkString("/")} parts)")
+        v -> parts.map(_._3).sorted.toSeq
+      }
+      single ++ multi // a single-part file wins if both exist
+    }
+    require(commits.nonEmpty || ckptFiles.nonEmpty,
       s"deltaLake: empty _delta_log at $tablePath")
     val target = versionAsOf.getOrElse(commits.lastOption.getOrElse(
-      entries.collect { case ckptRe(v) => v.toLong }.max))
+      ckptFiles.keys.max))
     versionAsOf.foreach(v => require(commits.contains(v) ||
-      entries.collect { case ckptRe(x) => x.toLong }.contains(v),
+      ckptFiles.contains(v),
       s"deltaLake: version $v not present in the log"))
-    if (entries.exists(n => multiCkptRe.findFirstIn(n).isDefined &&
-        entries.collect { case ckptRe(x) => x.toLong }.isEmpty))
-      throw new IllegalArgumentException(
-        "deltaLake: multi-part checkpoints are not supported by this reader")
 
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     // active file path -> partition values + deletion vector
@@ -94,11 +111,10 @@ object DeltaLakeSource {
     var readerFeatures = Set.empty[String]
 
     // ---- checkpoint seed (distributed reconcile, minimal projection) ----
-    val ckptV = entries.collect { case ckptRe(v) => v.toLong }
-      .filter(_ <= target).sorted.lastOption
+    val ckptV = ckptFiles.keys.filter(_ <= target).toSeq.sorted.lastOption
     ckptV.foreach { v =>
-      val f = new Path(logDir, f"$v%020d.checkpoint.parquet").toString
-      val cp = spark.read.parquet(f)
+      val f = ckptFiles(v).map(n => new Path(logDir, n).toString)
+      val cp = spark.read.parquet(f: _*)
       val cols = cp.columns.toSet
       def sub(parent: String, name: String): Boolean =
         cols.contains(parent) && cp.schema(parent).dataType
@@ -110,11 +126,16 @@ object DeltaLakeSource {
           .select(col("metaData.schemaString"),
             if (sub("metaData", "partitionColumns"))
               col("metaData.partitionColumns")
-            else lit(null).cast("array<string>"))
+            else lit(null).cast("array<string>"),
+            if (sub("metaData", "configuration"))
+              col("metaData.configuration")
+            else lit(null).cast("map<string,string>"))
           .collect().foreach { r =>
             meta = Some(Meta(r.getString(0),
               Option(r.getAs[scala.collection.Seq[String]](1))
-                .map(_.toSeq).getOrElse(Seq.empty)))
+                .map(_.toSeq).getOrElse(Seq.empty),
+              Option(r.getAs[scala.collection.Map[String, String]](2))
+                .map(_.toMap).getOrElse(Map.empty)))
           }
       }
       if (cols.contains("protocol")) {
@@ -156,7 +177,7 @@ object DeltaLakeSource {
           else adds
         val cnt = live.count()
         require(cnt <= maxCollectedActions,
-          s"deltaLake: checkpoint $f holds $cnt live add actions, above " +
+          s"deltaLake: checkpoint v$v holds $cnt live add actions, above " +
             s"the $maxCollectedActions driver cap — refusing rather than " +
             "risking a driver OOM")
         live.collect().foreach { r =>
@@ -212,7 +233,16 @@ object DeltaLakeSource {
             val pcs = Option(md.get("partitionColumns")).map { arr =>
               (0 until arr.size).map(arr.get(_).asText)
             }.getOrElse(Seq.empty)
-            meta = Some(Meta(md.get("schemaString").asText, pcs))
+            val conf = Option(md.get("configuration")).map { o =>
+              val it = o.properties().iterator()
+              val b = Map.newBuilder[String, String]
+              while (it.hasNext) {
+                val e = it.next()
+                if (!e.getValue.isNull) b += e.getKey -> e.getValue.asText
+              }
+              b.result()
+            }.getOrElse(Map.empty[String, String])
+            meta = Some(Meta(md.get("schemaString").asText, pcs, conf))
           }
           Option(node.get("protocol")).foreach { p =>
             minReader = math.max(minReader, p.get("minReaderVersion").asInt)
@@ -223,25 +253,60 @@ object DeltaLakeSource {
         }
       }
 
-    // protocol gate: v2 = column mapping (unsupported); v3 = feature
-    // list, of which only deletionVectors is implemented here
-    if (minReader == 2)
-      throw new IllegalArgumentException(
-        "deltaLake: protocol minReaderVersion 2 needs column mapping, " +
-          "which this native log replay does not implement — refusing " +
-          "rather than serving wrong columns")
+    val m = meta.getOrElse(throw new IllegalArgumentException(
+      "deltaLake: no metaData action found in the log"))
+    // column mapping (PROTOCOL.md "Column Mapping", round 14 — closes
+    // the v2 gate): in 'name'/'id' mode the parquet files store columns
+    // under delta.columnMapping.physicalName, and the log's
+    // partitionValues are keyed by physical names too. The read uses a
+    // PHYSICALIZED schema and casts back to the logical one (struct
+    // casts are positional, so nested fields rename in one cast).
+    val mappingMode = m.configuration
+      .getOrElse("delta.columnMapping.mode", "none")
+    require(Set("none", "name", "id")(mappingMode),
+      s"deltaLake: unknown columnMapping.mode '$mappingMode'")
+    // protocol gate: v2 = column mapping (now implemented); v3 = the
+    // feature list, of which deletionVectors + columnMapping are
+    // implemented here
     if (minReader >= 3) {
-      val unsupported = readerFeatures - "deletionVectors"
+      val unsupported =
+        readerFeatures - "deletionVectors" - "columnMapping"
       if (unsupported.nonEmpty) throw new IllegalArgumentException(
         s"deltaLake: protocol readerFeatures ${unsupported.mkString(", ")} " +
           "are not implemented by this native log replay — refusing " +
           "rather than serving wrong rows")
     }
-    val m = meta.getOrElse(throw new IllegalArgumentException(
-      "deltaLake: no metaData action found in the log"))
     val schema = DataType.fromJson(m.schemaString).asInstanceOf[StructType]
+
+    val PhysKey = "delta.columnMapping.physicalName"
+    def physName(f: StructField): String =
+      if (mappingMode == "none") f.name
+      else if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey)
+      else throw new IllegalArgumentException(
+        s"deltaLake: columnMapping.mode=$mappingMode but field " +
+          s"'${f.name}' has no $PhysKey — refusing rather than guessing")
+    def physicalize(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map(f =>
+        StructField(physName(f), physicalize(f.dataType), f.nullable)))
+      case org.apache.spark.sql.types.ArrayType(et, n) =>
+        org.apache.spark.sql.types.ArrayType(physicalize(et), n)
+      case org.apache.spark.sql.types.MapType(k, v, n) =>
+        org.apache.spark.sql.types.MapType(
+          physicalize(k), physicalize(v), n)
+      case other => other
+    }
+    // logical partition column → the name partitionValues is keyed by
+    // (physical under mapping; be liberal and fall back to logical)
+    val partKeyOf: Map[String, String] = m.partitionColumns.map { pc =>
+      val f = schema.fields.find(_.name == pc).getOrElse(
+        throw new IllegalArgumentException(
+          s"deltaLake: partition column '$pc' missing from the schema"))
+      pc -> physName(f)
+    }.toMap
     val dataSchema = StructType(
-      schema.fields.filterNot(f => m.partitionColumns.contains(f.name)))
+      schema.fields.filterNot(f => m.partitionColumns.contains(f.name))
+        .map(f => StructField(physName(f),
+          physicalize(f.dataType), f.nullable)))
 
     if (active.isEmpty)
       return spark.createDataFrame(
@@ -324,8 +389,17 @@ object DeltaLakeSource {
           .drop("__delta_dv_file", "__delta_dv_idx")
       }
 
+    // physical → logical projection: a positional struct cast renames
+    // nested mapped fields in one expression; mode 'none' keeps the
+    // plain column reference (no spurious Cast in the plan)
+    def logicalCol(f: StructField): org.apache.spark.sql.Column =
+      if (mappingMode == "none") col(f.name)
+      else col(physName(f)).cast(f.dataType).as(f.name)
+
     if (m.partitionColumns.isEmpty)
-      return base.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      return base.select(
+        schema.fields.filterNot(f => m.partitionColumns.contains(f.name))
+          .map(logicalCol).toIndexedSeq: _*)
     import org.apache.spark.sql.Row
     val pvSchema = StructType(
       StructField("__delta_file", StringType, nullable = false) +:
@@ -333,7 +407,8 @@ object DeltaLakeSource {
           StructField(s"__pv_$pc", StringType, nullable = true)))
     val pvRows = qualified.map { case (f, a) =>
       Row.fromSeq(f.toUri.getPath +:
-        m.partitionColumns.map(pc => a.pv.get(pc).flatten.orNull))
+        m.partitionColumns.map(pc =>
+          a.pv.get(partKeyOf(pc)).orElse(a.pv.get(pc)).flatten.orNull))
     }
     val pvDf = spark.createDataFrame(
       spark.sparkContext.parallelize(pvRows, 1), pvSchema)
@@ -344,7 +419,7 @@ object DeltaLakeSource {
       .select(schema.fields.map { f =>
         if (m.partitionColumns.contains(f.name))
           col(s"__pv_${f.name}").cast(f.dataType).as(f.name)
-        else col(f.name)
+        else logicalCol(f)
       }.toIndexedSeq: _*)
   }
 

@@ -123,29 +123,71 @@ class DeltaDvReadSpec extends SparkFunSuite {
   }
 
   test("protocol transition pins: v3+deletionVectors reads, " +
-      "v3+unknown feature refuses, v2 refuses") {
+      "v3+unknown feature refuses, v2 (mode none) reads") {
+    // (round 14 later in the same round: columnMapping became a
+    // SUPPORTED reader feature — DeltaColumnMappingSpec pins it; the
+    // refusal pin here uses a genuinely unimplemented feature)
     val dir = java.nio.file.Files.createTempDirectory("graft_dv_p").toString
     try {
       dataFile(dir, "d1.parquet", d1Rows)
       writeCommit(dir, 0L, Seq(
         """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-          """"readerFeatures":["deletionVectors","columnMapping"]}}""",
+          """"readerFeatures":["deletionVectors","v2Checkpoint"]}}""",
         metaLine, addLine("d1.parquet", None)))
       val e = intercept[IllegalArgumentException] {
         DeltaLakeSource.read(spark, dir)
       }
-      assert(e.getMessage.contains("columnMapping"))
+      assert(e.getMessage.contains("v2Checkpoint"))
+      // v2 with no columnMapping.mode set = mode none → plain read
       writeCommit(dir, 0L, Seq(
         """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
         metaLine, addLine("d1.parquet", None)))
-      val e2 = intercept[IllegalArgumentException] {
-        DeltaLakeSource.read(spark, dir)
-      }
-      assert(e2.getMessage.contains("column mapping"))
+      assert(DeltaLakeSource.read(spark, dir).count() == 10L)
       // v3 with ONLY deletionVectors (and no actual DV) reads fine
       writeCommit(dir, 0L, Seq(protocolV3, metaLine,
         addLine("d1.parquet", None)))
       assert(DeltaLakeSource.read(spark, dir).count() == 10L)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("multi-part checkpoints read as one scan; an incomplete part " +
+      "set refuses loudly") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dv_mp").toString
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    try {
+      dataFile(dir, "f0.parquet", Seq((1L, "a")))
+      dataFile(dir, "f1.parquet", Seq((2L, "b")))
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Path.of(dir, "_delta_log"))
+      def ckPart(rows: Seq[DvCkRow], part: Int, total: Int): Unit = {
+        val tmp = s"$dir/__ckp"
+        rows.toDS().coalesce(1).write.mode("overwrite").parquet(tmp)
+        val p = fs.listStatus(new Path(tmp)).map(_.getPath)
+          .find(_.getName.startsWith("part-")).get
+        fs.rename(p, new Path(s"$dir/_delta_log",
+          f"${0L}%020d.checkpoint.$part%010d.$total%010d.parquet"))
+        fs.delete(new Path(tmp), true)
+      }
+      ckPart(Seq(
+        DvCkRow(None, None, Some(DvCkMeta(schemaString, Seq.empty)),
+          Some(DvCkProt(1))),
+        DvCkRow(Some(DvCkAdd("f0.parquet")), None, None, None)), 1, 2)
+      ckPart(Seq(
+        DvCkRow(Some(DvCkAdd("f1.parquet")), None, None, None)), 2, 2)
+      val ids = DeltaLakeSource.read(spark, dir)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L),
+        s"both checkpoint parts must contribute, got $ids")
+      // drop one part → incomplete set is loud
+      fs.delete(new Path(s"$dir/_delta_log",
+        f"${0L}%020d.checkpoint.${2}%010d.${2}%010d.parquet"), false)
+      val e = intercept[IllegalArgumentException] {
+        DeltaLakeSource.read(spark, dir)
+      }
+      assert(e.getMessage.contains("incomplete"))
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(dir))
   }

@@ -125,23 +125,24 @@ class DeltaLakeSourceSpec extends SparkFunSuite {
       .deleteDirectory(new java.io.File(dir))
   }
 
-  test("protocol gate: minReaderVersion 2 (column mapping) rejects " +
+  test("protocol gate: an unimplemented v3 reader feature rejects " +
       "loudly; a non-delta directory rejects loudly") {
-    // (round 14: minReaderVersion 3 with readerFeatures ⊆
-    // {deletionVectors} now READS — DeltaDvReadSpec pins that
-    // transition; v2 and unknown v3 features must still refuse)
+    // (round 14: deletionVectors AND columnMapping are implemented —
+    // DeltaDvReadSpec / DeltaColumnMappingSpec pin those transitions;
+    // anything else in readerFeatures must still refuse)
     val dir = java.nio.file.Files
       .createTempDirectory("graft_delta_p").toString
     try {
       dataFile(dir, "d1.parquet", Seq((1L, "x")))
       writeCommit(dir, 0L, Seq(
-        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          """"readerFeatures":["typeWidening"]}}""",
         metaLine,
         """{"add":{"path":"d1.parquet","partitionValues":{"p":"a"},"size":1,"modificationTime":1,"dataChange":true}}"""))
       val e = intercept[IllegalArgumentException] {
         graft.sources.DeltaLakeSource.read(spark, dir)
       }
-      assert(e.getMessage.contains("column mapping"))
+      assert(e.getMessage.contains("typeWidening"))
       val e2 = intercept[Exception] {
         graft.sources.DeltaLakeSource.read(spark, "/tmp")
       }
