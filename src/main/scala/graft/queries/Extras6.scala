@@ -459,6 +459,43 @@ object Extras6 extends QueryPack {
           "'n_nationkey Int64, n_name String') ORDER BY n_nationkey")
     },
 
+    // FORMAT MySQLDump (MySQLDumpRowInputFormat.cpp): parses the
+    // INSERT statements of a mysqldump file, skipping DDL; NULLs,
+    // multi-row tuples and a by-name column list all exercised. The
+    // oracle restates nation with the NULLed comment.
+    Q.df("q_format_mysqldump", """
+      SELECT n_nationkey, n_name,
+        CASE WHEN n_nationkey % 4 = 0 THEN NULL
+             ELSE CAST(n_regionkey AS BIGINT) END AS region
+      FROM nation ORDER BY n_nationkey""") { (s, dir) =>
+      val root = s"/tmp/graft_fmt_mysqldump_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = fsOf(s, root)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(root))
+      val rows = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .collect().sortBy(_.getAs[Number](0).longValue)
+      val tuples = rows.map { r =>
+        val k = r.getAs[Number](0).longValue
+        val rk = if (k % 4 == 0) "NULL"
+          else r.getAs[Number](2).longValue.toString
+        s"($k,'${r.getString(1).replace("'", "''")}',$rk)"
+      }
+      val dump =
+        "-- MySQL dump (fixture)\n" +
+          "DROP TABLE IF EXISTS `nation`;\n" +
+          "CREATE TABLE `nation` (x int);\n" +
+          s"INSERT INTO `nation` VALUES ${tuples.mkString(",\n  ")};\n" +
+          "UNLOCK TABLES;\n"
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(root, "dump.sql"), true)
+      try out.write(dump.getBytes("UTF-8")) finally out.close()
+      graft.sql.ClickHouseSql.sql(s,
+        s"SELECT n_nationkey, n_name, region FROM file('$root', " +
+          "'MySQLDump', 'n_nationkey Int64, n_name String, " +
+          "region Int64') ORDER BY n_nationkey")
+    },
+
     // Protobuf NESTED messages + enums (round 14 — the reference's
     // ProtobufSerializer handles nesting; this closes the round-13
     // flat-scalar gate): a message field round-trips as a StructType

@@ -119,4 +119,147 @@ object ChSmallFormats {
       .option("nullValue", "\\N")
       .option("mode", "FAILFAST")
       .csv(path)
+
+  /** FORMAT MySQLDump (Impl/MySQLDumpRowInputFormat.cpp): reads the
+    * `INSERT INTO t [(cols)] VALUES (…),(…);` statements of a
+    * mysqldump file, skipping all DDL/SET noise. `tableName` mirrors
+    * the reference's input_format_mysql_dump_table_name setting: when
+    * empty, the dump must insert into exactly ONE table (multiple
+    * tables without a pick are LOUD, never a silent mix). A column
+    * list maps by name (input_format_mysql_dump_map_column_names);
+    * without one, values bind positionally to the target schema.
+    * One Spark task per dump file — dumps are line-oriented text whose
+    * statements cannot split safely mid-string. */
+  def readMySQLDump(spark: SparkSession, path: String, schema: StructType,
+      tableName: String = ""): DataFrame = {
+    val files = listFiles(spark, path)
+    val want = tableName
+    val types = schema.fields.map(_.dataType)
+    val names = schema.fields.map(_.name)
+    val rows = spark.sparkContext
+      .parallelize(files, math.max(files.length, 1))
+      .flatMap { file =>
+        val p = new Path(file)
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val in = fs.open(p)
+        val text = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+        parseMySQLDump(text, want, file).map { case (cols, tuple) =>
+          val vals = new Array[Any](types.length)
+          val bind: Seq[Int] = // tuple position → schema index
+            if (cols.isEmpty) tuple.indices
+            else cols.map(c => names.indexWhere(_.equalsIgnoreCase(c)))
+          require(tuple.length == bind.length,
+            s"MySQLDump: ${tuple.length} values for ${bind.length} " +
+              s"columns in $file")
+          tuple.zip(bind).foreach { case (raw, i) =>
+            if (i >= 0) // unknown listed columns skip (mapping is by name)
+              vals(i) = raw.map(ChTextFormats.parseRaw(types(i), _)).orNull
+          }
+          Row.fromSeq(vals.toIndexedSeq)
+        }
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Parse the INSERT statements → (column list or empty, tuples of
+    * Option[String] raw values — None is SQL NULL). */
+  private[sources] def parseMySQLDump(text: String, tableName: String,
+      where: String): Seq[(Seq[String], Seq[Option[String]])] = {
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Seq[String], Seq[Option[String]])]
+    val insRe = ("(?is)\\bINSERT\\s+INTO\\s+" +
+      "(?:`([^`]+)`|([A-Za-z_][A-Za-z0-9_.]*))\\s*(\\(([^)]*)\\))?\\s*" +
+      "VALUES\\s*").r
+    var from = 0
+    var cont = true
+    while (cont) insRe.findFirstMatchIn(text.substring(from)) match {
+      case None => cont = false
+      case Some(mm) => // match offsets are RELATIVE to `from`
+      val table = Option(mm.group(1)).getOrElse(mm.group(2))
+      val cols = Option(mm.group(4)).map(_.split(",").map(_.trim
+        .stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty)
+      // tuple scanner: strings respect \x escapes and '' doubling, so
+      // ';' or ')' inside a value never ends the statement early
+      var i = from + mm.end
+      var done = false
+      while (!done && i < text.length) {
+        text.charAt(i) match {
+          case '(' =>
+            val vals = scala.collection.mutable.ArrayBuffer
+              .empty[Option[String]]
+            val cur = new StringBuilder
+            var inStr = false
+            var isStr = false
+            var depth = 1
+            i += 1
+            while (depth > 0) {
+              require(i < text.length,
+                s"MySQLDump: unterminated tuple in $where")
+              val c = text.charAt(i)
+              if (inStr) {
+                if (c == '\\' && i + 1 < text.length) {
+                  cur.append(unescapeMySql(text.charAt(i + 1))); i += 1
+                } else if (c == '\'' &&
+                    i + 1 < text.length && text.charAt(i + 1) == '\'') {
+                  cur.append('\''); i += 1
+                } else if (c == '\'') inStr = false
+                else cur.append(c)
+              } else c match {
+                case '\'' =>
+                  // pre-quote whitespace is separator noise, not value
+                  if (!isStr) cur.clear()
+                  inStr = true; isStr = true
+                case '(' => depth += 1; cur.append(c)
+                case ')' if depth > 1 => depth -= 1; cur.append(c)
+                case ')' =>
+                  depth = 0
+                  val t = cur.toString.trim
+                  if (t.nonEmpty || isStr || vals.nonEmpty)
+                    vals += (if (!isStr && t.equalsIgnoreCase("NULL")) None
+                      else Some(if (isStr) cur.toString else t))
+                case ',' if depth == 1 =>
+                  val t = cur.toString.trim
+                  vals += (if (!isStr && t.equalsIgnoreCase("NULL")) None
+                    else Some(if (isStr) cur.toString else t))
+                  cur.clear(); isStr = false
+                case other => cur.append(other)
+              }
+              i += 1
+            }
+            out += ((table, cols, vals.toSeq))
+          case ',' | ' ' | '\n' | '\r' | '\t' => i += 1
+          case ';' => done = true
+          case other => throw new IllegalArgumentException(
+            s"MySQLDump: unexpected '$other' between tuples in $where")
+        }
+      }
+      from = i
+    }
+    val tables = out.map(_._1).distinct
+    val pick =
+      if (tableName.nonEmpty) tableName
+      else {
+        require(tables.length <= 1,
+          s"MySQLDump: the dump inserts into ${tables.length} tables " +
+            s"(${tables.mkString(", ")}) — name one " +
+            s"(input_format_mysql_dump_table_name) in $where")
+        tables.headOption.getOrElse(throw new IllegalArgumentException(
+          s"MySQLDump: no INSERT statements found in $where"))
+      }
+    out.filter(_._1.equalsIgnoreCase(pick))
+      .map(x => (x._2, x._3)).toSeq
+  }
+
+  private def unescapeMySql(c: Char): Char = c match {
+    case 'n' => '\n'
+    case 't' => '\t'
+    case 'r' => '\r'
+    case '0' => '\u0000'
+    case 'Z' => '\u001A'
+    case 'b' => '\b'
+    case other => other // \' \" \\ and anything else: the char itself
+  }
 }

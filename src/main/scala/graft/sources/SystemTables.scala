@@ -205,7 +205,7 @@ object SystemTables {
       "LineAsString", "RawBLOB", "TabSeparatedRaw", "JSONStringsEachRow",
       "JSON")
     val inOnly = Seq("Regexp", "JSONAsString", "ParquetMetadata",
-      "One", "Form", "HiveText")
+      "One", "Form", "HiveText", "MySQLDump")
     val outOnly = Seq("Pretty", "Vertical", "Markdown", "XML")
     (both.map((_, true, true)) ++ inOnly.map((_, true, false)) ++
       outOnly.map((_, false, true)))

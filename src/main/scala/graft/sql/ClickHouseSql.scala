@@ -1393,6 +1393,11 @@ object ClickHouseSql {
             graft.sources.ChSmallFormats.readForm(spark, path, schema)
           case "hivetext" =>
             graft.sources.ChSmallFormats.readHiveText(spark, path, schema)
+          case "mysqldump" =>
+            graft.sources.ChSmallFormats.readMySQLDump(spark, path, schema,
+              spark.conf.getOption(
+                "graft.ch.input_format_mysql_dump_table_name")
+                .map(_.stripPrefix("'").stripSuffix("'")).getOrElse(""))
           case other => throw new IllegalArgumentException(
             s"FROM INFILE: unsupported format '$other'")
         }
@@ -2933,6 +2938,11 @@ object ClickHouseSql {
         case "form" => graft.sources.ChSmallFormats.readForm(spark, path, need)
         case "hivetext" =>
           graft.sources.ChSmallFormats.readHiveText(spark, path, need)
+        case "mysqldump" =>
+          graft.sources.ChSmallFormats.readMySQLDump(spark, path, need,
+            spark.conf.getOption(
+              "graft.ch.input_format_mysql_dump_table_name")
+              .map(_.stripPrefix("'").stripSuffix("'")).getOrElse(""))
         case other => throw new IllegalArgumentException(
           s"file(): unsupported format '$other'")
       }

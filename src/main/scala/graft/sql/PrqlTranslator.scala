@@ -9,12 +9,17 @@ package graft.sql
   * Supported verbs: `from t`, `filter cond`, `derive {a = e, …}`,
   * `select {a, b = e, …}`, `aggregate {n = sum x, …}`,
   * `group {k, …} (aggregate {…})`, `sort {x, -y}` (PRQL defaults ASC,
-  * `-x` is DESC), `take n`, `join side:left|inner t (==col)`.
-  * Expressions: `==` → `=`, `&&`/`||` → AND/OR, `@2024-01-31` date
-  * literals, s-expressions pass through to Spark's parser (loud on
+  * `-x` is DESC), `take n` / `take a..b` (1-based inclusive range),
+  * `join side:left|inner t (==col)` and the general-condition form
+  * `join side:kind t (cond)` (qualify the joined side's columns with
+  * its table name), `append t` (UNION ALL by position, PRQL's
+  * concatenation verb). Expressions: `==` → `=`, `&&`/`||` → AND/OR,
+  * `@2024-01-31` date literals, `case [c1 => v1, …, true => else]` →
+  * CASE WHEN, s-expressions pass through to Spark's parser (loud on
   * anything it can't resolve — never a silent misread). Aggregation
   * calls use PRQL's space form: `sum x`, `average x`, `count this`,
-  * `count_distinct x`, `min/max/stddev x`.
+  * `count_distinct x`, `min/max/stddev x`. Still loud: `window`
+  * (rolling frames), `loop`, `select !{…}` exclusion.
   */
 object PrqlTranslator {
 
@@ -38,9 +43,18 @@ object PrqlTranslator {
         case "filter" =>
           s"SELECT * FROM ${sub(cur)} WHERE ${expr(body)}"
         case "take" =>
-          require(body.matches("\\d+"),
-            s"PRQL take: only `take n` is supported, got '$body'")
-          s"SELECT * FROM ${sub(cur)} LIMIT $body"
+          val rangeRe = "^(\\d+)\\s*\\.\\.\\s*(\\d+)$".r
+          body match {
+            case rangeRe(a, b) =>
+              require(a.toLong >= 1 && b.toLong >= a.toLong,
+                s"PRQL take: bad range '$body'")
+              s"SELECT * FROM ${sub(cur)} " +
+                s"LIMIT ${b.toLong - a.toLong + 1} OFFSET ${a.toLong - 1}"
+            case n if n.matches("\\d+") =>
+              s"SELECT * FROM ${sub(cur)} LIMIT $n"
+            case other => throw new IllegalArgumentException(
+              s"PRQL take: `take n` or `take a..b`, got '$other'")
+          }
         case "derive" =>
           val items = tupleItems(body).map {
             case named(n, e) => s"${expr(e)} AS $n"
@@ -80,14 +94,26 @@ object PrqlTranslator {
           val m = ("(?is)^(?:side\\s*:\\s*(left|inner|right|full)\\s+)?" +
             "([A-Za-z_][A-Za-z0-9_.]*)\\s*\\(\\s*==\\s*" +
             "([A-Za-z_][A-Za-z0-9_]*)\\s*\\)\\s*$").r
+          val mg = ("(?is)^(?:side\\s*:\\s*(left|inner|right|full)\\s+)?" +
+            "([A-Za-z_][A-Za-z0-9_.]*)\\s*\\((.*)\\)\\s*$").r
           body match {
             case m(side, t, k) =>
               val kind = Option(side).map(_.toUpperCase).getOrElse("INNER")
               s"SELECT * FROM ${sub(cur)} $kind JOIN $t USING ($k)"
+            case mg(side, t, cond) =>
+              // general condition: the pipeline side's columns are bare,
+              // the joined side's are `t.col` — both pass through expr()
+              val kind = Option(side).map(_.toUpperCase).getOrElse("INNER")
+              s"SELECT * FROM ${sub(cur)} $kind JOIN $t ON ${expr(cond)}"
             case _ => throw new IllegalArgumentException(
-              "PRQL join: supported form is `join side:left t (==col)`, " +
-                s"got '$body'")
+              "PRQL join: `join side:kind t (==col)` or " +
+                s"`join side:kind t (cond)`, got '$body'")
           }
+        case "append" =>
+          require(body.matches("[A-Za-z_][A-Za-z0-9_.]*"),
+            s"PRQL append: expected a table name, got '$body'")
+          // PRQL append concatenates relations (UNION ALL semantics)
+          s"SELECT * FROM ${sub(cur)} UNION ALL SELECT * FROM $body"
         case other => throw new IllegalArgumentException(
           s"PRQL: unsupported verb '$other' (supported: from, filter, " +
             "derive, select, aggregate, group, sort, take, join)")
@@ -164,6 +190,7 @@ object PrqlTranslator {
       } else { masked.append(c); i += 1 }
     }
     var s = masked.toString
+    s = rewriteCase(s)
     s = s.replaceAll("==", " = ")
     s = s.replaceAll("&&", " AND ")
     s = s.replaceAll("\\|\\|", " OR ")
@@ -174,6 +201,46 @@ object PrqlTranslator {
       s = s.replace(s"__PRQLLIT${idx}__", lit) // literal replace, no regex
     }
     s.trim
+  }
+
+  /** `case [c1 => v1, c2 => v2, true => e]` → CASE WHEN … END. Runs on
+    * the literal-masked text BEFORE the ==/&&/|| rewrites, so the
+    * branch conditions go through the same operator mapping after. */
+  private def rewriteCase(s0: String): String = {
+    var s = s0
+    var budget = 8
+    var m = "(?i)\\bcase\\s*\\[".r.findFirstMatchIn(s)
+    while (m.isDefined && budget > 0) {
+      budget -= 1
+      val open = s.indexOf('[', m.get.start)
+      var depth = 0
+      var close = -1
+      var i = open
+      while (i < s.length && close < 0) {
+        val c = s.charAt(i)
+        if (c == '[' || c == '(' || c == '{') depth += 1
+        else if (c == ']' || c == ')' || c == '}') {
+          depth -= 1; if (depth == 0) close = i
+        }
+        i += 1
+      }
+      require(close > open, s"PRQL case: unbalanced brackets in '$s0'")
+      val items = splitTop(s.substring(open + 1, close))
+      val branches = items.map { it =>
+        val at = it.indexOf("=>")
+        require(at > 0, s"PRQL case: expected `cond => value`, got '$it'")
+        (it.substring(0, at).trim, it.substring(at + 2).trim)
+      }
+      require(branches.nonEmpty, "PRQL case: no branches")
+      val whens = branches.filterNot(_._1.equalsIgnoreCase("true"))
+        .map { case (c, v) => s"WHEN $c THEN $v" }
+      val els = branches.find(_._1.equalsIgnoreCase("true"))
+        .map(b => s" ELSE ${b._2}").getOrElse("")
+      s = s.substring(0, m.get.start) +
+        s"CASE ${whens.mkString(" ")}$els END" + s.substring(close + 1)
+      m = "(?i)\\bcase\\s*\\[".r.findFirstMatchIn(s)
+    }
+    s
   }
 
   /** Pipeline stages: split on newlines and top-level '|' (outside

@@ -62,6 +62,42 @@ class PrqlSpec extends SparkFunSuite {
     assert(ch("SELECT 2 AS two").collect().head.getInt(0) == 2)
   }
 
+  test("round-14 verbs: case, take range, append, general join " +
+      "condition; window stays loud") {
+    mk()
+    Seq((10L, "x", 5L, 1L), (11L, "y", 6L, 2L))
+      .toDF("id", "grp", "v", "ord")
+      .createOrReplaceTempView("prql_t2")
+    Seq(("a", "alpha"), ("b", "beta")).toDF("gkey", "glabel")
+      .createOrReplaceTempView("prql_g")
+    inPrql {
+      // case with an ELSE (`true =>`) and an == inside a condition
+      val c = ch("""from prql_t
+        derive {band = case [v >= 30 => 'hi', grp == 'a' => 'a-lo',
+          true => 'lo']}
+        select {id, band} | sort {id}""").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(c == Seq((1L, "a-lo"), (2L, "a-lo"), (3L, "hi"),
+        (4L, "hi"), (5L, "hi")))
+      // take a..b is 1-based inclusive
+      val t = ch("from prql_t | sort {id} | take 2..4").collect()
+        .map(_.getLong(0)).toSeq
+      assert(t == Seq(2L, 3L, 4L))
+      // append = UNION ALL
+      assert(ch("from prql_t | append prql_t2").count() == 7L)
+      // general join condition (joined side qualified by table name)
+      val j = ch("""from prql_t
+        join side:inner prql_g (grp == prql_g.gkey && v >= 20)
+        select {id, glabel} | sort {id}""").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(j == Seq((2L, "alpha"), (3L, "beta"), (4L, "beta")))
+      // window is still a LOUD reject, not a silent misread
+      val e = intercept[Exception](
+        ch("from prql_t | window rows:-2..0 (derive {m = average v})"))
+      assert(e.getMessage.contains("unsupported verb"))
+    }
+  }
+
   test("operator spellings inside double-quoted literals survive " +
       "(round-14 ADVICE fix: both quote styles lift to placeholders)") {
     mk()
