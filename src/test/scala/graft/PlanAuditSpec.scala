@@ -420,4 +420,22 @@ class PlanAuditSpec extends SparkFunSuite {
     assert(p.contains("hashpartitioning(__k"),
       s"the window key shuffle is missing: $p")
   }
+
+  test("delta DV read: one file scan, broadcast partition join only, " +
+      "no extra shuffle for the mask (round 14)") {
+    val df = SparkEntry.queries("q_tf_delta_dv")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the DV mask must not introduce a shuffle or a non-broadcast join:
+    // one distributed parquet scan, the membership filter rides it
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop") &&
+      !p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"DV masking must stay join-free beyond broadcasts: $p")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans <= 1, s"expected ONE data scan, got $scans:\n$p")
+    // ORDER BY in the query is the only range shuffle allowed
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles == 0,
+      s"the unpartitioned DV read needs no hash shuffle, got $shuffles")
+  }
 }
