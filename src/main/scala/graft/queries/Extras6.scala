@@ -496,6 +496,41 @@ object Extras6 extends QueryPack {
           "region Int64') ORDER BY n_nationkey")
     },
 
+    // FORMAT ProtobufList (ProtobufListInputFormat.cpp — the envelope
+    // variant: ONE length-delimited message per stream whose field 1
+    // repeats the row message). Roundtrip over nation through the
+    // dialect's OUTFILE/INFILE lanes with format_schema set.
+    Q.df("q_format_protobuf_list", """
+      SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey""") { (s, dir) =>
+      val root = s"/tmp/graft_pblist_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = fsOf(s, root)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(root))
+      val protoPath = s"$root/row.proto"
+      val out = fs.create(new org.apache.hadoop.fs.Path(protoPath), true)
+      try out.write(("syntax = \"proto3\";\n" +
+        "message N { int64 n_nationkey = 1; string n_name = 2; }\n")
+        .getBytes("UTF-8"))
+      finally out.close()
+      val src = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_name"))
+      graft.sources.ChProtobufFormat.writeProtobufList(
+        src.coalesce(1), s"$root/data", "syntax = \"proto3\";\n" +
+          "message N { int64 n_nationkey = 1; string n_name = 2; }", "N")
+      val ch = (q: String) => graft.sql.ClickHouseSql.sql(s, q)
+      ch(s"SET format_schema = '$protoPath:N'")
+      try {
+        ch("DROP TABLE IF EXISTS graft_pblist_t")
+        ch("CREATE TABLE graft_pblist_t (n_nationkey Int64, " +
+          "n_name String) ENGINE = MergeTree ORDER BY n_nationkey")
+        ch(s"INSERT INTO graft_pblist_t FROM INFILE '$root/data' " +
+          "FORMAT ProtobufList")
+        ch("SELECT n_nationkey, n_name FROM graft_pblist_t " +
+          "ORDER BY n_nationkey")
+      } finally s.conf.unset("graft.ch.format_schema")
+    },
+
     // Protobuf NESTED messages + enums (round 14 — the reference's
     // ProtobufSerializer handles nesting; this closes the round-13
     // flat-scalar gate): a message field round-trips as a StructType

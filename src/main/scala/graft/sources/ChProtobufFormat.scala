@@ -512,6 +512,74 @@ object ChProtobufFormat {
     spark.createDataFrame(rows, schema)
   }
 
+  /** FORMAT ProtobufList (reference ProtobufListInputFormat.cpp +
+    * ProtobufSerializerEnvelope): the WHOLE stream is ONE
+    * length-delimited envelope message whose field 1 repeats the row
+    * message — `<varint total><0x0A><varint len><row>…`. One envelope
+    * per part file (each part is one stream, like the reference's). */
+  def writeProtobufList(df: DataFrame, path: String, schemaText: String,
+      message: String): Unit = {
+    val reg = parseRegistry(schemaText)
+    val fields = parseProto(schemaText, message)
+    val schema = df.schema
+    fields.foreach(f => require(schema.fieldNames.contains(f.name),
+      s"protobuf: column '${f.name}' missing from the DataFrame"))
+    prepareDir(path)
+    df.rdd.mapPartitionsWithIndex { (idx, rows) =>
+      val body = new java.io.ByteArrayOutputStream()
+      rows.foreach { row =>
+        val msg = encodeRow(row, schema, fields, reg)
+        body.write(0x0a) // field 1, wire type 2
+        writeVarint(body, msg.length.toLong)
+        body.write(msg)
+      }
+      val fs = new Path(path).getFileSystem(new Configuration())
+      val out = new BufferedOutputStream(
+        fs.create(partPath(path, idx), true), 1 << 16)
+      try {
+        writeVarint(out, body.size.toLong)
+        body.writeTo(out)
+      } finally out.close()
+      Iterator.empty
+    }.count()
+    ()
+  }
+
+  def readProtobufList(spark: SparkSession, path: String,
+      schemaText: String, message: String): DataFrame = {
+    val reg = parseRegistry(schemaText)
+    val fields = parseProto(schemaText, message)
+    val schema = sparkSchema(fields, reg)
+    val parts = listParts(path)
+    val rows = spark.sparkContext
+      .parallelize(parts, math.max(parts.length, 1))
+      .flatMap { file =>
+        val p = new Path(file)
+        val fs = p.getFileSystem(new Configuration())
+        val in = new DataInputStream(
+          new BufferedInputStream(fs.open(p), 1 << 16))
+        try {
+          val total = readLenOrEof(in)
+          if (total < 0) Seq.empty
+          else {
+            val body = new Array[Byte](total)
+            in.readFully(body)
+            val r = new ByteReader(body)
+            val out = Seq.newBuilder[Row]
+            while (r.hasMore) {
+              val key = r.varint()
+              require((key >>> 3) == 1 && (key & 7) == 2,
+                s"protobufList: expected field-1 sub-messages, got key $key")
+              val len = r.varint().toInt
+              out += decodeRow(r.bytes(len), fields, reg)
+            }
+            out.result()
+          }
+        } finally in.close()
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
   /** Next message's varint length, or -1 at clean EOF. */
   private def readLenOrEof(in: DataInputStream): Int = {
     val first = in.read()

@@ -1326,6 +1326,10 @@ object ClickHouseSql {
             val (schemaText, msg) = formatSchemaOf(spark)
             graft.sources.ChProtobufFormat.writeProtobuf(
               df.coalesce(1), path, schemaText, msg, single = true)
+          case "protobuflist" =>
+            val (schemaText, msg) = formatSchemaOf(spark)
+            graft.sources.ChProtobufFormat.writeProtobufList(
+              df.coalesce(1), path, schemaText, msg)
           case _ => w.csv(path)
         }
         import spark.implicits._
@@ -1383,10 +1387,15 @@ object ClickHouseSql {
             graft.sources.ChTextFormats.readJsonObjectEachRow(spark, path, schema)
           case "rowbinary" =>
             graft.sources.ChWireFormats.readRowBinary(spark, path, schema)
-          case "protobuf" | "protobufsingle" =>
+          case "protobuf" | "protobufsingle" | "protobuflist" =>
             val (schemaText, msg) = formatSchemaOf(spark)
-            val raw = graft.sources.ChProtobufFormat.readProtobuf(
-              spark, path, schemaText, msg, single = fmt == "protobufsingle")
+            val raw =
+              if (fmt == "protobuflist")
+                graft.sources.ChProtobufFormat.readProtobufList(
+                  spark, path, schemaText, msg)
+              else graft.sources.ChProtobufFormat.readProtobuf(
+                spark, path, schemaText, msg,
+                single = fmt == "protobufsingle")
             raw.select(schema.map(f => org.apache.spark.sql.functions
               .col(f.name).cast(f.dataType)): _*)
           case "form" =>

@@ -164,6 +164,33 @@ class ChProtobufFormatSpec extends SparkFunSuite {
     }
   }
 
+  test("ProtobufList (round 14): one envelope per stream, rows as " +
+      "field-1 sub-messages — golden framing bytes + roundtrip") {
+    import graft.sources.ChProtobufFormat
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pblist").toString
+    try {
+      val proto = "syntax = \"proto3\";\n" +
+        "message R { int64 k = 1; string s = 2; }"
+      val df = Seq((1L, "a"), (2L, "bb")).toDF("k", "s").coalesce(1)
+      ChProtobufFormat.writeProtobufList(df, dir, proto, "R")
+      val back = ChProtobufFormat.readProtobufList(spark, dir, proto, "R")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+        .sortBy(_._1).toSeq
+      assert(back == Seq((1L, "a"), (2L, "bb")))
+      // golden framing: <varint total><0x0A><len><row>…
+      val f = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".pb")).head
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      // row1 = 08 01 12 01 61 (k=1, s="a") → 5 bytes; row2 = 08 02 12
+      // 02 62 62 → 6 bytes; body = (0A 05 row1)(0A 06 row2) = 15 bytes
+      assert((bytes(0) & 0xff) == 15, s"envelope length ${bytes(0)}")
+      assert((bytes(1) & 0xff) == 0x0a && (bytes(2) & 0xff) == 5,
+        "first row must be a field-1 length-5 sub-message")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
   test("nested messages + enums (round 14): struct/enum/array-of-struct " +
       "round trip; open-enum numbers decode to digits; recursion is loud") {
     import graft.sources.ChProtobufFormat.{ProtoRegistry => _, _}
