@@ -522,6 +522,11 @@ object Extras6 extends QueryPack {
       ch(s"SET format_schema = '$protoPath:N'")
       try {
         ch("DROP TABLE IF EXISTS graft_pblist_t")
+        // a prior JVM's managed location survives the catalog — clear it
+        val wh = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), "graft_pblist_t")
+        wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(wh, true)
         ch("CREATE TABLE graft_pblist_t (n_nationkey Int64, " +
           "n_name String) ENGINE = MergeTree ORDER BY n_nationkey")
         ch(s"INSERT INTO graft_pblist_t FROM INFILE '$root/data' " +

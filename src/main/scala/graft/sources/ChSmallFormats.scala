@@ -165,8 +165,14 @@ object ChSmallFormats {
 
   /** Parse the INSERT statements → (column list or empty, tuples of
     * Option[String] raw values — None is SQL NULL). */
-  private[sources] def parseMySQLDump(text: String, tableName: String,
+  private[sources] def parseMySQLDump(text0: String, tableName: String,
       where: String): Seq[(Seq[String], Seq[Option[String]])] = {
+    // comment-only lines blank out first — a `-- INSERT INTO …` remark
+    // must never parse as data (mysqldump headers are full of SQL in
+    // comments). Values spanning lines that START with `--` would be
+    // corrupted by this, but dumps write one statement per line.
+    val text = text0.split("\n", -1)
+      .map(l => if (l.matches("\\s*(--|#).*")) "" else l).mkString("\n")
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(String, Seq[String], Seq[Option[String]])]
     val insRe = ("(?is)\\bINSERT\\s+INTO\\s+" +

@@ -2943,7 +2943,21 @@ object ClickHouseSql {
         case "lineasstring" =>
           graft.sources.ChMiscFormats.readLineAsString(spark, path, "line")
         // round-14 small-format residue (registerFormats.cpp)
-        case "one" => graft.sources.ChSmallFormats.readOne(spark, path)
+        case "one" =>
+          // the reference REJECTS a non-dummy header for One
+          // (OneFormat.cpp ctor) — a provided structure must be the
+          // single tiny-int column, never silently ignored
+          schema.foreach(st => require(st.fields.length == 1 &&
+            Set[org.apache.spark.sql.types.DataType](
+              org.apache.spark.sql.types.ByteType,
+              org.apache.spark.sql.types.ShortType,
+              org.apache.spark.sql.types.IntegerType,
+              org.apache.spark.sql.types.LongType)
+              .contains(st.fields.head.dataType),
+            "file(One): the One format produces a single UInt8 'dummy' " +
+              s"column — the given structure '${st.simpleString}' cannot " +
+              "be served"))
+          graft.sources.ChSmallFormats.readOne(spark, path)
         case "form" => graft.sources.ChSmallFormats.readForm(spark, path, need)
         case "hivetext" =>
           graft.sources.ChSmallFormats.readHiveText(spark, path, need)

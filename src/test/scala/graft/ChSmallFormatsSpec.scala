@@ -27,6 +27,12 @@ class ChSmallFormatsSpec extends SparkFunSuite {
         s"SELECT count() AS n FROM file('$dir', 'One')")
         .collect().head.getLong(0)
       assert(n == 3L)
+      // a non-dummy structure is LOUD (OneFormat.cpp ctor), not ignored
+      val e = intercept[IllegalArgumentException] {
+        graft.sql.ClickHouseSql.sql(spark,
+          s"SELECT * FROM file('$dir', 'One', 'a Int64, b String')")
+      }
+      assert(e.getMessage.contains("dummy"))
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(dir))
   }
@@ -68,6 +74,7 @@ class ChSmallFormatsSpec extends SparkFunSuite {
     try {
       write(dir, "dump.sql",
         """-- MySQL dump 10.13
+          |-- INSERT INTO `t1` VALUES (999,'comment-noise',0.0);
           |DROP TABLE IF EXISTS `t1`;
           |CREATE TABLE `t1` (id bigint, name varchar(20), score double);
           |LOCK TABLES `t1` WRITE;
