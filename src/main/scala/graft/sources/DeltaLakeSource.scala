@@ -97,6 +97,22 @@ object DeltaLakeSource {
     }
     require(commits.nonEmpty || ckptFiles.nonEmpty,
       s"deltaLake: empty _delta_log at $tablePath")
+    // _last_checkpoint pointer (PROTOCOL.md): a listing shortcut for
+    // object stores. The listing above is authoritative here; the
+    // pointer is parsed as an INTEGRITY check — naming a checkpoint
+    // that does not exist means a corrupt/vacuumed log, which must be
+    // loud rather than silently served from older state.
+    val lastCkpt = new Path(logDir, "_last_checkpoint")
+    if (fs.exists(lastCkpt)) {
+      val in = fs.open(lastCkpt)
+      val node = try new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(in.readAllBytes()) finally in.close()
+      Option(node.get("version")).map(_.asLong).foreach { v =>
+        require(ckptFiles.contains(v),
+          s"deltaLake: _last_checkpoint names version $v but no such " +
+            "checkpoint file exists — the log is inconsistent")
+      }
+    }
     val target = versionAsOf.getOrElse(commits.lastOption.getOrElse(
       ckptFiles.keys.max))
     versionAsOf.foreach(v => require(commits.contains(v) ||

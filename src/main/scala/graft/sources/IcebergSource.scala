@@ -55,7 +55,12 @@ object IcebergSource {
       seq: Long, equalityIds: Seq[Int])
 
   def read(spark: SparkSession, tablePath: String,
-      snapshotId: Option[Long] = None): DataFrame = {
+      snapshotId: Option[Long] = None,
+      asOfTimestampMs: Option[Long] = None): DataFrame = {
+    require(snapshotId.isEmpty || asOfTimestampMs.isEmpty,
+      "iceberg: snapshot-id and timestamp time travel are exclusive " +
+        "(the reference's iceberg_snapshot_id / iceberg_timestamp_ms " +
+        "settings)")
     val fs = new Path(tablePath).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val metaDir = new Path(tablePath, "metadata")
@@ -96,7 +101,16 @@ object IcebergSource {
     // ---- snapshot → manifest list ----
     val snaps = Option(meta.get("snapshots")).getOrElse(
       throw new IllegalArgumentException("iceberg: metadata has no snapshots"))
-    val targetId = snapshotId.getOrElse(
+    // timestamp time travel (iceberg_timestamp_ms): the newest snapshot
+    // whose timestamp-ms is ≤ the asked instant
+    val tsPick = asOfTimestampMs.map { ts =>
+      val cands = (0 until snaps.size).map(snaps.get)
+        .filter(s => Option(s.get("timestamp-ms")).exists(_.asLong <= ts))
+      require(cands.nonEmpty,
+        s"iceberg: no snapshot at or before timestamp $ts")
+      cands.maxBy(_.get("timestamp-ms").asLong).get("snapshot-id").asLong
+    }
+    val targetId = snapshotId.orElse(tsPick).getOrElse(
       Option(meta.get("current-snapshot-id")).map(_.asLong).getOrElse(
         throw new IllegalArgumentException(
           "iceberg: metadata has no current-snapshot-id")))

@@ -2890,7 +2890,14 @@ object ClickHouseSql {
   }
 
   private def resolveDeltaLakeFn(spark: SparkSession, sql0: String): String = {
-    val step1 = replaceOutsideLiterals(sql0, deltaLakeFnRe) { g =>
+    // *Cluster variants (TableFunctionObjectStorageCluster.cpp:
+    // deltaLakeCluster/icebergCluster/hudiCluster — same read with a
+    // cluster routing hint as arg 1): Spark IS the cluster here, so the
+    // hint drops and the base function resolves the rest
+    val step0 = replaceOutsideLiterals(sql0,
+      "(?i)\\b(deltaLake|iceberg|hudi)Cluster\\s*\\(\\s*'[^']*'\\s*,\\s*".r)(
+      g => s"${g("1")}(")
+    val step1 = replaceOutsideLiterals(step0, deltaLakeFnRe) { g =>
       val df = graft.sources.DeltaLakeSource.read(spark, g("1"),
         Option(g("2")).map(_.toLong))
       val view = s"graft_delta_fn_${fileFnCounter.incrementAndGet()}"
@@ -2910,8 +2917,17 @@ object ClickHouseSql {
     // (IcebergMetadata.cpp)
     replaceOutsideLiterals(step2,
       "(?i)\\biceberg\\s*\\(\\s*'([^']+)'\\s*(?:,\\s*(\\d+)\\s*)?\\)".r) { g =>
+      // the reference's time-travel SETTINGS (Core/Settings.cpp:
+      // iceberg_snapshot_id / iceberg_timestamp_ms, 0 = latest) apply
+      // when the call carries no explicit snapshot argument
+      def setting(name: String): Option[Long] =
+        spark.conf.getOption(s"graft.ch.$name")
+          .map(_.stripPrefix("'").stripSuffix("'").trim.toLong)
+          .filter(_ != 0L)
+      val explicit = Option(g("2")).map(_.toLong)
       val df = graft.sources.IcebergSource.read(spark, g("1"),
-        Option(g("2")).map(_.toLong))
+        explicit.orElse(setting("iceberg_snapshot_id")),
+        if (explicit.isDefined) None else setting("iceberg_timestamp_ms"))
       val view = s"graft_iceberg_fn_${fileFnCounter.incrementAndGet()}"
       df.createOrReplaceTempView(view)
       view

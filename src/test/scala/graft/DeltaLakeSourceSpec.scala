@@ -125,6 +125,31 @@ class DeltaLakeSourceSpec extends SparkFunSuite {
       .deleteDirectory(new java.io.File(dir))
   }
 
+  test("_last_checkpoint integrity: a pointer to a missing checkpoint " +
+      "is loud; a valid pointer reads; deltaLakeCluster spelling routes") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_delta_lc").toString
+    try {
+      buildTable(dir)
+      // dangling pointer → loud
+      java.nio.file.Files.writeString(java.nio.file.Path.of(
+        dir, "_delta_log", "_last_checkpoint"),
+        """{"version":9,"size":3}""")
+      val e = intercept[IllegalArgumentException] {
+        graft.sources.DeltaLakeSource.read(spark, dir)
+      }
+      assert(e.getMessage.contains("_last_checkpoint"))
+      java.nio.file.Files.delete(java.nio.file.Path.of(
+        dir, "_delta_log", "_last_checkpoint"))
+      // cluster spelling = same read with a routing hint dropped
+      val n = graft.sql.ClickHouseSql.sql(spark,
+        s"SELECT count() AS n FROM deltaLakeCluster('c1', '$dir')")
+        .collect().head.getLong(0)
+      assert(n == 3L)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
   test("protocol gate: an unimplemented v3 reader feature rejects " +
       "loudly; a non-delta directory rejects loudly") {
     // (round 14: deletionVectors AND columnMapping are implemented —

@@ -157,6 +157,62 @@ class IcebergSourceSpec extends SparkFunSuite {
       .deleteDirectory(new java.io.File(dir))
   }
 
+  test("timestamp time travel (iceberg_timestamp_ms) picks the newest " +
+      "snapshot at-or-before the instant; the SET lane routes it") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_iceberg_ts").toString
+    try {
+      val f1 = dataFile(dir, "d1.parquet", Seq((1L, "old")))
+      val f2 = dataFile(dir, "d2.parquet", Seq((2L, "new")))
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Path.of(dir, "metadata"))
+      val m1 = s"$dir/metadata/m1.avro"
+      writeAvro(m1, manifestEntrySchema, Seq(entry(1, f1)))
+      val m2 = s"$dir/metadata/m2.avro"
+      writeAvro(m2, manifestEntrySchema, Seq(entry(1, f1), entry(1, f2)))
+      val ml1 = s"$dir/metadata/snap-1.avro"
+      writeAvro(ml1, manifestListSchema, Seq(manifestRef(m1)))
+      val ml2 = s"$dir/metadata/snap-2.avro"
+      writeAvro(ml2, manifestListSchema, Seq(manifestRef(m2)))
+      java.nio.file.Files.writeString(
+        java.nio.file.Path.of(dir, "metadata", "v1.metadata.json"),
+        s"""{
+          "format-version": 2, "table-uuid": "ts",
+          "current-snapshot-id": 20, "current-schema-id": 0,
+          "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "id", "required": false, "type": "long"},
+            {"id": 2, "name": "v", "required": false, "type": "string"}]}],
+          "snapshots": [
+            {"snapshot-id": 10, "timestamp-ms": 1000,
+             "manifest-list": "$ml1"},
+            {"snapshot-id": 20, "timestamp-ms": 2000,
+             "manifest-list": "$ml2"}]
+        }""")
+      import graft.sources.IcebergSource
+      assert(IcebergSource.read(spark, dir).count() == 2L, "latest")
+      assert(IcebergSource.read(spark, dir,
+        asOfTimestampMs = Some(1500L)).count() == 1L,
+        "ts=1500 must pick snapshot 10")
+      intercept[IllegalArgumentException] {
+        IcebergSource.read(spark, dir, asOfTimestampMs = Some(500L))
+      }
+      // the reference's SETTINGS route (0 = latest)
+      val ch = (q: String) => graft.sql.ClickHouseSql.sql(spark, q)
+      ch("SET iceberg_timestamp_ms = 1500")
+      try assert(ch(s"SELECT count() AS n FROM iceberg('$dir')")
+        .collect().head.getLong(0) == 1L)
+      finally ch("SET iceberg_timestamp_ms = 0")
+      ch("SET iceberg_snapshot_id = 10")
+      try assert(ch(s"SELECT count() AS n FROM iceberg('$dir')")
+        .collect().head.getLong(0) == 1L)
+      finally ch("SET iceberg_snapshot_id = 0")
+      // icebergCluster: the cluster arg is a routing hint — same read
+      assert(ch(s"SELECT count() AS n FROM icebergCluster('c1', '$dir')")
+        .collect().head.getLong(0) == 2L)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
   test("a malformed delete manifest (data files inside) rejects loudly; " +
       "version-hint picks the metadata version; unknown snapshot id is " +
       "loud") {
