@@ -496,6 +496,35 @@ object Extras6 extends QueryPack {
           "region Int64') ORDER BY n_nationkey")
     },
 
+    // FORMAT Template (TemplateRowInputFormat.cpp + the
+    // format_template_row_format / rows_between settings): a roundtrip
+    // through a user-defined row template with mixed escaping rules —
+    // OUTFILE writes it, INFILE reads it back into a table.
+    Q.df("q_format_template", """
+      SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey""") { (s, dir) =>
+      val root = s"/tmp/graft_fmt_tpl_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      fsOf(s, root).delete(new org.apache.hadoop.fs.Path(root), true)
+      Tables.register(s, dir)
+      val ch = (q: String) => graft.sql.ClickHouseSql.sql(s, q)
+      ch("SET format_template_row_format = " +
+        "'row: ${n_nationkey:Quoted} -> ${n_name:CSV}'")
+      try {
+        ch(s"SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey " +
+          s"INTO OUTFILE '$root/data' FORMAT Template")
+        ch("DROP TABLE IF EXISTS graft_tpl_t")
+        val wh = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), "graft_tpl_t")
+        wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(wh, true)
+        ch("CREATE TABLE graft_tpl_t (n_nationkey Int64, n_name String) " +
+          "ENGINE = MergeTree ORDER BY n_nationkey")
+        ch(s"INSERT INTO graft_tpl_t FROM INFILE '$root/data' " +
+          "FORMAT Template")
+        ch("SELECT n_nationkey, n_name FROM graft_tpl_t " +
+          "ORDER BY n_nationkey")
+      } finally s.conf.unset("graft.ch.format_template_row_format")
+    },
+
     // FORMAT ProtobufList (ProtobufListInputFormat.cpp — the envelope
     // variant: ONE length-delimited message per stream whose field 1
     // repeats the row message). Roundtrip over nation through the

@@ -259,6 +259,212 @@ object ChSmallFormats {
       .map(x => (x._2, x._3)).toSeq
   }
 
+  // ------------------------------------------------------------ Template
+
+  /** Parsed `Delim0 ${col:Esc} Delim1 …` format string
+    * (reference ParsedTemplateFormatString.h: delimiters.size - 1 =
+    * columns.size; an empty column name skips the value). */
+  final case class RowTemplate(delims: Seq[String],
+      cols: Seq[(Option[String], String)])
+
+  private[graft] def parseTemplate(fmt: String): RowTemplate = {
+    val delims = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cols = scala.collection.mutable.ArrayBuffer
+      .empty[(Option[String], String)]
+    val cur = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      if (fmt.startsWith("${", i)) {
+        val close = fmt.indexOf('}', i)
+        require(close > 0, s"Template: unterminated $${...} in '$fmt'")
+        val body = fmt.substring(i + 2, close)
+        val (name0, esc) = body.indexOf(':') match {
+          case -1 => (body.trim, "None")
+          case c => (body.substring(0, c).trim,
+            body.substring(c + 1).trim)
+        }
+        require(Set("None", "Raw", "CSV", "Quoted", "Escaped", "JSON")(esc),
+          s"Template: unsupported escaping rule '$esc' " +
+            "(None/Raw/CSV/Quoted/Escaped/JSON)")
+        delims += cur.toString; cur.clear()
+        cols += ((Option(name0).filter(_.nonEmpty), esc))
+        i = close + 1
+      } else { cur.append(fmt.charAt(i)); i += 1 }
+    }
+    delims += cur.toString
+    require(cols.nonEmpty, s"Template: no columns in '$fmt'")
+    RowTemplate(delims.toSeq, cols.toSeq)
+  }
+
+  /** FORMAT Template input (TemplateRowInputFormat.cpp): rows match the
+    * row template literally, separated by `rowsBetween`; values parse
+    * per their escaping rule. Row-level templates only — a resultset
+    * template must be handled by the caller (loud in the dialect). */
+  def readTemplate(spark: SparkSession, path: String, schema: StructType,
+      rowFormat: String, rowsBetween: String = "\n"): DataFrame = {
+    val t = parseTemplate(rowFormat)
+    t.cols.flatMap(_._1).foreach(c =>
+      require(schema.fieldNames.contains(c),
+        s"Template: column '$c' not in the target structure"))
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    val files = listFiles(spark, path)
+    val rows = spark.sparkContext
+      .parallelize(files, math.max(files.length, 1))
+      .flatMap { file =>
+        val p = new Path(file)
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val in = fs.open(p)
+        val text = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        var pos = 0
+        def expect(lit: String): Unit = {
+          require(text.startsWith(lit, pos),
+            s"Template: expected '$lit' at offset $pos of $file, got " +
+              s"'${text.substring(pos, math.min(text.length, pos + 20))}'")
+          pos += lit.length
+        }
+        def untilDelim(d: String): String = {
+          val at = if (d.isEmpty) text.length else text.indexOf(d, pos)
+          require(at >= 0 || d.isEmpty,
+            s"Template: delimiter '$d' not found after offset $pos in $file")
+          val end = if (at < 0) text.length else at
+          val v = text.substring(pos, end); pos = end; v
+        }
+        def parseValue(esc: String, next: String): Option[String] =
+          esc match {
+            case "Quoted" =>
+              require(pos < text.length && text.charAt(pos) == '\'',
+                s"Template(Quoted): expected quote at $pos in $file")
+              pos += 1
+              val sb = new StringBuilder
+              var closed = false
+              while (!closed) {
+                require(pos < text.length,
+                  s"Template(Quoted): unterminated value in $file")
+                val c = text.charAt(pos)
+                if (c == '\\' && pos + 1 < text.length) {
+                  sb.append(text.charAt(pos + 1)); pos += 2
+                } else if (c == '\'') { closed = true; pos += 1 }
+                else { sb.append(c); pos += 1 }
+              }
+              Some(sb.toString)
+            case "CSV" | "JSON" if pos < text.length &&
+                text.charAt(pos) == '"' =>
+              pos += 1
+              val sb = new StringBuilder
+              var closed = false
+              while (!closed) {
+                require(pos < text.length,
+                  s"Template($esc): unterminated value in $file")
+                val c = text.charAt(pos)
+                if (esc == "CSV" && c == '"' &&
+                    pos + 1 < text.length && text.charAt(pos + 1) == '"') {
+                  sb.append('"'); pos += 2
+                } else if (esc == "JSON" && c == '\\' &&
+                    pos + 1 < text.length) {
+                  sb.append(text.charAt(pos + 1) match {
+                    case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+                    case x => x
+                  }); pos += 2
+                } else if (c == '"') { closed = true; pos += 1 }
+                else { sb.append(c); pos += 1 }
+              }
+              Some(sb.toString)
+            case "Escaped" =>
+              // escape-aware scan to the delimiter, then unescape
+              val raw = untilDelim(next)
+              if (raw == "\\N") None
+              else Some(raw.replace("\\t", "\t").replace("\\n", "\n")
+                .replace("\\r", "\r").replace("\\\\", "\\"))
+            case _ => // None/Raw, bare CSV/JSON
+              val raw = untilDelim(next)
+              if ((esc == "CSV" || esc == "JSON") && raw == "\\N") None
+              else Some(raw)
+          }
+        var first = true
+        while (pos < text.length) {
+          if (!first) expect(rowsBetween)
+          // tolerate a trailing rows-between delimiter at EOF
+          if (pos < text.length) {
+            val vals = scala.collection.mutable.Map.empty[String, Any]
+            t.cols.indices.foreach { ci =>
+              expect(t.delims(ci))
+              val v = parseValue(t.cols(ci)._2, t.delims(ci + 1))
+              t.cols(ci)._1.foreach { name =>
+                vals(name) = v.map(x =>
+                  ChTextFormats.parseRaw(types(name), x)).orNull
+              }
+            }
+            expect(t.delims.last)
+            out += Row.fromSeq(schema.fields.map(f =>
+              vals.getOrElse(f.name, null)).toIndexedSeq)
+            first = false
+          }
+        }
+        out
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** FORMAT Template output: interpolate each row through the row
+    * template with the column escaping rules, `rowsBetween` separated,
+    * one part file per partition. */
+  def writeTemplate(df: DataFrame, path: String, rowFormat: String,
+      rowsBetween: String = "\n"): Unit = {
+    val t = parseTemplate(rowFormat)
+    val schema = df.schema
+    t.cols.flatMap(_._1).foreach(c =>
+      require(schema.fieldNames.contains(c),
+        s"Template: column '$c' not in the data"))
+    val p0 = new Path(path)
+    val fs0 = p0.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (fs0.exists(p0)) fs0.delete(p0, true)
+    fs0.mkdirs(p0)
+    df.rdd.mapPartitionsWithIndex { (idx, rows) =>
+      val fs = new Path(path).getFileSystem(
+        new org.apache.hadoop.conf.Configuration())
+      val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+        fs.create(new Path(path, f"part-$idx%05d.tpl"), true),
+        java.nio.charset.StandardCharsets.UTF_8))
+      try {
+        var first = true
+        rows.foreach { row =>
+          if (!first) out.write(rowsBetween)
+          first = false
+          t.cols.indices.foreach { ci =>
+            out.write(t.delims(ci))
+            val (nameOpt, esc) = t.cols(ci)
+            val name = nameOpt.getOrElse(throw new IllegalArgumentException(
+              "Template output: every placeholder needs a column name"))
+            val i = schema.fieldIndex(name)
+            val txt =
+              if (row.isNullAt(i)) if (esc == "Quoted") "NULL" else "\\N"
+              else {
+                val raw = row.get(i).toString
+                esc match {
+                  case "Quoted" =>
+                    "'" + raw.replace("\\", "\\\\")
+                      .replace("'", "\\'") + "'"
+                  case "CSV" => "\"" + raw.replace("\"", "\"\"") + "\""
+                  case "JSON" => "\"" + raw.replace("\\", "\\\\")
+                    .replace("\"", "\\\"") + "\""
+                  case "Escaped" => raw.replace("\\", "\\\\")
+                    .replace("\t", "\\t").replace("\n", "\\n")
+                  case _ => raw
+                }
+              }
+            out.write(txt)
+          }
+          out.write(t.delims.last)
+        }
+      } finally out.close()
+      Iterator.empty
+    }.count()
+    ()
+  }
+
   private def unescapeMySql(c: Char): Char = c match {
     case 'n' => '\n'
     case 't' => '\t'

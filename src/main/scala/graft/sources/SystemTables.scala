@@ -202,7 +202,7 @@ object SystemTables {
       "JSONColumns", "JSONObjectEachRow", "Values", "TSKV",
       "CustomSeparated", "RowBinary", "RowBinaryWithNamesAndTypes",
       "Native", "ArrowStream", "Avro", "BSONEachRow", "MsgPack", "Npy",
-      "Protobuf", "ProtobufSingle", "ProtobufList",
+      "Protobuf", "ProtobufSingle", "ProtobufList", "Template",
       "LineAsString", "RawBLOB", "TabSeparatedRaw", "JSONStringsEachRow",
       "JSON")
     val inOnly = Seq("Regexp", "JSONAsString", "ParquetMetadata",

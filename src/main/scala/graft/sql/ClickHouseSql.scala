@@ -1330,6 +1330,10 @@ object ClickHouseSql {
             val (schemaText, msg) = formatSchemaOf(spark)
             graft.sources.ChProtobufFormat.writeProtobufList(
               df.coalesce(1), path, schemaText, msg)
+          case "template" =>
+            val (rowFmt, between) = templateSettingsOf(spark)
+            graft.sources.ChSmallFormats.writeTemplate(
+              df.coalesce(1), path, rowFmt, between)
           case _ => w.csv(path)
         }
         import spark.implicits._
@@ -1407,6 +1411,10 @@ object ClickHouseSql {
               spark.conf.getOption(
                 "graft.ch.input_format_mysql_dump_table_name")
                 .map(_.stripPrefix("'").stripSuffix("'")).getOrElse(""))
+          case "template" =>
+            val (rowFmt, between) = templateSettingsOf(spark)
+            graft.sources.ChSmallFormats.readTemplate(
+              spark, path, schema, rowFmt, between)
           case other => throw new IllegalArgumentException(
             s"FROM INFILE: unsupported format '$other'")
         }
@@ -2327,6 +2335,37 @@ object ClickHouseSql {
     * `SYSTEM DROP QUERY CACHE`. */
   val queryCache = new graft.operators.ResultCache()
 
+  /** The reference's Template settings (FormatFactorySettings.h:
+    * format_template_row_format inline, or format_template_row naming a
+    * file; format_template_rows_between_delimiter, default newline).
+    * Resultset-level templates are row framing this engine does not
+    * serve — LOUD when set. */
+  private def templateSettingsOf(spark: SparkSession): (String, String) = {
+    def conf(n: String): Option[String] =
+      spark.conf.getOption(s"graft.ch.$n")
+        .map(_.stripPrefix("'").stripSuffix("'")).filter(_.nonEmpty)
+    require(conf("format_template_resultset").isEmpty &&
+      conf("format_template_resultset_format").isEmpty,
+      "FORMAT Template: resultset-level templates are not supported " +
+        "(row-level only)")
+    val row = conf("format_template_row_format").orElse(
+      conf("format_template_row").map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val in = fs.open(p)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+          .stripSuffix("\n").stripSuffix("\r")
+        finally in.close()
+      }).getOrElse(throw new IllegalArgumentException(
+      "FORMAT Template needs SET format_template_row_format = '…' " +
+        "(or format_template_row = 'file')"))
+    val between = conf("format_template_rows_between_delimiter")
+      .map(_.replace("\\n", "\n").replace("\\t", "\t")
+        .replace("\\r", "\r")).getOrElse("\n")
+    (row, between)
+  }
+
   /** The reference's format_schema setting ('file.proto:MessageName',
     * src/Formats/FormatSchemaInfo.cpp) for the Protobuf formats: read
     * the schema file and return (text, message). Loud when unset. */
@@ -2982,6 +3021,10 @@ object ClickHouseSql {
             spark.conf.getOption(
               "graft.ch.input_format_mysql_dump_table_name")
               .map(_.stripPrefix("'").stripSuffix("'")).getOrElse(""))
+        case "template" =>
+          val (rowFmt, between) = templateSettingsOf(spark)
+          graft.sources.ChSmallFormats.readTemplate(
+            spark, path, need, rowFmt, between)
         case other => throw new IllegalArgumentException(
           s"file(): unsupported format '$other'")
       }

@@ -110,6 +110,52 @@ class ChSmallFormatsSpec extends SparkFunSuite {
       .deleteDirectory(new java.io.File(dir))
   }
 
+  test("Template: row-template parse/read/write with Quoted/CSV/Raw " +
+      "escaping, skipped placeholders, and loud mismatches") {
+    import graft.sources.ChSmallFormats
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_tpl").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType)))
+    try {
+      val fmt = "id=${id:Quoted}; name=${name:CSV} (${score:None})"
+      val t = ChSmallFormats.parseTemplate(fmt)
+      assert(t.delims == Seq("id=", "; name=", " (", ")") &&
+        t.cols.map(_._2) == Seq("Quoted", "CSV", "None"))
+      write(dir, "rows.tpl",
+        "id='1'; name=\"al;pha\" (1.5)\n" +
+          "id='2'; name=bare (2.5)\n" +
+          "id='3'; name=\"q\"\"uote\" (0.0)")
+      val rows = ChSmallFormats.readTemplate(spark, dir, schema, fmt)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+      assert(rows == Seq((1L, "al;pha", 1.5), (2L, "bare", 2.5),
+        (3L, "q\"uote", 0.0)), s"got $rows")
+      // write → read roundtrip with a different rows-between delimiter
+      val out = s"$dir/out"
+      import SparkTestBase.spark.implicits._
+      ChSmallFormats.writeTemplate(
+        Seq((7L, "x y", 0.5)).toDF("id", "name", "score").coalesce(1),
+        out, fmt, rowsBetween = ";;\n")
+      val back = ChSmallFormats.readTemplate(spark, out, schema, fmt,
+        rowsBetween = ";;\n").collect()
+      assert(back.length == 1 && back.head.getString(1) == "x y")
+      // a row that misses the literal delimiter is LOUD
+      write(dir, "rows.tpl", "id='1'! name=\"a\" (1.0)")
+      val e = intercept[Exception] {
+        ChSmallFormats.readTemplate(spark, dir, schema, fmt).collect()
+      }
+      assert((e.getMessage + Option(e.getCause).map(_.getMessage)
+        .getOrElse("")).contains("expected"))
+      // unsupported escaping rule is loud at parse time
+      intercept[IllegalArgumentException] {
+        ChSmallFormats.parseTemplate("x=${a:XML}")
+      }
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
   test("HiveText: 0x01 delimiter, no header, \\N nulls, schema names") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_hive").toString
