@@ -496,6 +496,46 @@ object Extras6 extends QueryPack {
           "region Int64') ORDER BY n_nationkey")
     },
 
+    // FORMAT CapnProto (CapnProtoRowInputFormat.cpp over libcapnp —
+    // here a native implementation of the public encoding; the LAST
+    // unported data format): framed single-segment messages, hole-
+    // packed scalars, NUL-terminated Text. OUTFILE→INFILE roundtrip
+    // behind the reference's format_schema setting.
+    Q.df("q_format_capnproto", """
+      SELECT n_nationkey, n_name, CAST(n_regionkey * 2.5 AS DOUBLE) AS w
+      FROM nation ORDER BY n_nationkey""") { (s, dir) =>
+      val root = s"/tmp/graft_fmt_capnp_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      fsOf(s, root).delete(new org.apache.hadoop.fs.Path(root), true)
+      fsOf(s, root).mkdirs(new org.apache.hadoop.fs.Path(root))
+      Tables.register(s, dir)
+      val schemaPath = s"$root/row.capnp"
+      val out = fsOf(s, root).create(
+        new org.apache.hadoop.fs.Path(schemaPath), true)
+      try out.write(("struct N { n_nationkey @0 :Int64; " +
+        "n_name @1 :Text; w @2 :Float64; }\n").getBytes("UTF-8"))
+      finally out.close()
+      val ch = (q: String) => graft.sql.ClickHouseSql.sql(s, q)
+      ch(s"SET format_schema = '$schemaPath:N'")
+      try {
+        ch("SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, " +
+          "CAST(n_regionkey * 2.5 AS DOUBLE) AS w FROM nation " +
+          s"ORDER BY n_nationkey INTO OUTFILE '$root/data' " +
+          "FORMAT CapnProto")
+        ch("DROP TABLE IF EXISTS graft_capnp_t")
+        val wh = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), "graft_capnp_t")
+        wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(wh, true)
+        ch("CREATE TABLE graft_capnp_t (n_nationkey Int64, " +
+          "n_name String, w Float64) ENGINE = MergeTree " +
+          "ORDER BY n_nationkey")
+        ch(s"INSERT INTO graft_capnp_t FROM INFILE '$root/data' " +
+          "FORMAT CapnProto")
+        ch("SELECT n_nationkey, n_name, w FROM graft_capnp_t " +
+          "ORDER BY n_nationkey")
+      } finally s.conf.unset("graft.ch.format_schema")
+    },
+
     // FORMAT Template (TemplateRowInputFormat.cpp + the
     // format_template_row_format / rows_between settings): a roundtrip
     // through a user-defined row template with mixed escaping rules —

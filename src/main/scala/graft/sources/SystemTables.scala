@@ -203,6 +203,7 @@ object SystemTables {
       "CustomSeparated", "RowBinary", "RowBinaryWithNamesAndTypes",
       "Native", "ArrowStream", "Avro", "BSONEachRow", "MsgPack", "Npy",
       "Protobuf", "ProtobufSingle", "ProtobufList", "Template",
+      "CapnProto",
       "LineAsString", "RawBLOB", "TabSeparatedRaw", "JSONStringsEachRow",
       "JSON")
     val inOnly = Seq("Regexp", "JSONAsString", "ParquetMetadata",

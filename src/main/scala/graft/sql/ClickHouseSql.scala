@@ -1334,6 +1334,10 @@ object ClickHouseSql {
             val (rowFmt, between) = templateSettingsOf(spark)
             graft.sources.ChSmallFormats.writeTemplate(
               df.coalesce(1), path, rowFmt, between)
+          case "capnproto" =>
+            val (schemaText, msg) = formatSchemaOf(spark)
+            graft.sources.ChCapnProtoFormat.writeCapnProto(
+              df.coalesce(1), path, schemaText, msg)
           case _ => w.csv(path)
         }
         import spark.implicits._
@@ -1415,6 +1419,12 @@ object ClickHouseSql {
             val (rowFmt, between) = templateSettingsOf(spark)
             graft.sources.ChSmallFormats.readTemplate(
               spark, path, schema, rowFmt, between)
+          case "capnproto" =>
+            val (schemaText, msg) = formatSchemaOf(spark)
+            graft.sources.ChCapnProtoFormat.readCapnProto(
+              spark, path, schemaText, msg)
+              .select(schema.map(f => org.apache.spark.sql.functions
+                .col(f.name).cast(f.dataType)): _*)
           case other => throw new IllegalArgumentException(
             s"FROM INFILE: unsupported format '$other'")
         }

@@ -119,7 +119,8 @@ class PlanAuditSpec extends SparkFunSuite {
     // Broadcast nested loop on a 1-row or tiny side is fine; a shuffled
     // CartesianProduct on two big sides is never acceptable.
     for (q <- Seq("q1_pricing_summary", "q3_shipping_priority",
-        "q_dedup_minhash_lsh", "q_text_bigrams", "q_win_running_sum")) {
+        "q_dedup_minhash_lsh", "q_text_bigrams", "q_win_running_sum",
+        "q_tf_iceberg_posdel", "q_tf_iceberg_eqdel")) {
       assert(!planOf(q).contains("CartesianProduct"),
         s"$q plans a CartesianProduct")
     }
