@@ -496,6 +496,47 @@ object Extras6 extends QueryPack {
           "region Int64') ORDER BY n_nationkey")
     },
 
+    // Delta checkpoint WRITING + overwrite (round 14, pulled forward
+    // from the round-15 list): three dialect-written commits with
+    // checkpointInterval 2, the pre-checkpoint JSON commits deleted —
+    // the read must reconstruct everything from the written checkpoint
+    // + the v2 commit; then an overwrite replaces the table. Oracle
+    // restates the post-overwrite contents.
+    Q.df("q_delta_checkpoint_write", """
+      SELECT c_custkey, c_name FROM customer
+      WHERE c_custkey > 40 AND c_custkey <= 70 ORDER BY c_custkey""") { (s, dir) =>
+      val root = s"/tmp/graft_deltackw_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = fsOf(s, root)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"))
+      def slice(a: Int, b: Int) =
+        cust.filter(col("c_custkey") > a && col("c_custkey") <= b)
+      graft.sources.DeltaLakeSink.append(slice(0, 10), root,
+        checkpointInterval = 2)
+      graft.sources.DeltaLakeSink.append(slice(10, 20), root,
+        checkpointInterval = 2) // checkpoint at v1
+      graft.sources.DeltaLakeSink.append(slice(20, 30), root,
+        checkpointInterval = 2)
+      val log = new org.apache.hadoop.fs.Path(root, "_delta_log")
+      require(fs.exists(new org.apache.hadoop.fs.Path(log,
+        f"${1L}%020d.checkpoint.parquet")), "checkpoint must exist")
+      fs.delete(new org.apache.hadoop.fs.Path(log, f"${0L}%020d.json"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(log, f"${1L}%020d.json"), false)
+      val n = graft.sql.ClickHouseSql.sql(s,
+        s"SELECT count() AS n FROM deltaLake('$root')")
+        .collect().head.getLong(0)
+      val expect = cust.filter(
+        col("c_custkey") > 0 && col("c_custkey") <= 30).count()
+      require(n == expect,
+        s"checkpoint-seeded read must see all $expect rows, got $n")
+      // overwrite: the final table contents are keys 40..70
+      graft.sources.DeltaLakeSink.overwrite(slice(40, 70), root)
+      graft.sql.ClickHouseSql.sql(s,
+        s"SELECT c_custkey, c_name FROM deltaLake('$root') " +
+          "ORDER BY c_custkey")
+    },
+
     // FORMAT CapnProto (CapnProtoRowInputFormat.cpp over libcapnp —
     // here a native implementation of the public encoding; the LAST
     // unported data format): framed single-segment messages, hole-

@@ -43,58 +43,64 @@ object DeltaLakeSink {
   private[graft] var commitFailpoint: () => Unit = () => ()
 
   /** Append `df` to the Delta table at `tablePath`, creating it (with
-    * `partitionBy`) when absent. Returns the committed version. */
+    * `partitionBy`) when absent. Returns the committed version. Every
+    * `checkpointInterval` commits a single-part checkpoint parquet +
+    * `_last_checkpoint` pointer is written (the reference's
+    * delta.checkpointInterval default is 10; 0 disables). */
   def append(df: DataFrame, tablePath: String,
       partitionBy: Seq[String] = Seq.empty,
-      maxRetries: Int = 20): Long = {
+      maxRetries: Int = 20, checkpointInterval: Int = 10): Long =
+    write(df, tablePath, partitionBy, maxRetries, checkpointInterval,
+      replace = false)
+
+  /** REPLACE the table's contents atomically: one commit carrying a
+    * remove for every previously-active file plus the new adds. A
+    * concurrent commit invalidates the captured remove set, so
+    * overwrite NEVER blind-retries — a collision is a loud conflict. */
+  def overwrite(df: DataFrame, tablePath: String,
+      partitionBy: Seq[String] = Seq.empty,
+      checkpointInterval: Int = 10): Long =
+    write(df, tablePath, partitionBy, maxRetries = 1, checkpointInterval,
+      replace = true)
+
+  private def write(df: DataFrame, tablePath: String,
+      partitionBy: Seq[String], maxRetries: Int,
+      checkpointInterval: Int, replace: Boolean): Long = {
     val spark = df.sparkSession
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val logDir = new Path(root, "_delta_log")
 
-    // ---- existing table state (metadata-scale replay of the log) ----
+    // ---- existing table state (checkpoint-aware log replay, shared
+    // with the reader so checkpoint-seeded tables write correctly) ----
     val commitRe = "^(\\d{20})\\.json$".r
     def listVersions(): Seq[Long] =
       if (!fs.exists(logDir)) Seq.empty
       else fs.listStatus(logDir).map(_.getPath.getName)
         .collect { case commitRe(v) => v.toLong }.sorted.toSeq
     val versions0 = listVersions()
-    val creating = versions0.isEmpty
+    val hasLog = fs.exists(logDir) && fs.listStatus(logDir).exists(st =>
+      st.getPath.getName.matches("\\d{20}\\.json") ||
+        st.getPath.getName.contains(".checkpoint."))
+    val state: Option[DeltaLakeSource.LogState] =
+      if (hasLog) Some(DeltaLakeSource.replayLog(spark, tablePath))
+      else None
+    val creating = state.isEmpty
 
-    var tableSchemaJson: Option[String] = None
-    var tablePartCols: Seq[String] = Seq.empty
-    var minWriter = 2
-    var writerFeatures = Set.empty[String]
-    versions0.foreach { v =>
-      val in = fs.open(new Path(logDir, f"$v%020d.json"))
-      val text = try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-      text.split("\n").map(_.trim).filter(_.nonEmpty).foreach { line =>
-        val node = mapper.readTree(line)
-        Option(node.get("metaData")).foreach { md =>
-          tableSchemaJson = Some(md.get("schemaString").asText)
-          tablePartCols = Option(md.get("partitionColumns")).map(arr =>
-            (0 until arr.size).map(arr.get(_).asText)).getOrElse(Seq.empty)
-        }
-        Option(node.get("protocol")).foreach { p =>
-          minWriter = math.max(minWriter, p.get("minWriterVersion").asInt)
-          Option(p.get("writerFeatures")).filterNot(_.isNull).foreach(arr =>
-            writerFeatures ++= (0 until arr.size).map(arr.get(_).asText))
-        }
-      }
-    }
-    if (!creating) {
-      if (minWriter > 2 || writerFeatures.nonEmpty)
+    state.foreach { st =>
+      if (st.minWriter > 2 || st.writerFeatures.nonEmpty)
         throw new IllegalArgumentException(
-          s"deltaLake write: the table needs minWriterVersion $minWriter" +
-            (if (writerFeatures.nonEmpty)
-              s" with writerFeatures ${writerFeatures.mkString(", ")}"
+          s"deltaLake write: the table needs minWriterVersion " +
+            s"${st.minWriter}" +
+            (if (st.writerFeatures.nonEmpty)
+              s" with writerFeatures ${st.writerFeatures.mkString(", ")}"
              else "") +
             " — this append-only writer implements protocol 2 and refuses " +
             "rather than violating invariants it cannot see")
       val existing = org.apache.spark.sql.types.DataType
-        .fromJson(tableSchemaJson.getOrElse(throw new IllegalArgumentException(
-          "deltaLake write: existing table has no metaData action")))
+        .fromJson(st.meta.getOrElse(throw new IllegalArgumentException(
+          "deltaLake write: existing table has no metaData action"))
+          .schemaString)
         .asInstanceOf[org.apache.spark.sql.types.StructType]
       val got = df.schema
       val want = existing.fields.map(f => f.name.toLowerCase ->
@@ -103,12 +109,15 @@ object DeltaLakeSink {
       require(want == have,
         s"deltaLake write: schema mismatch — table has ${existing.sql}, " +
           s"append has ${got.sql}")
+      val tablePartCols = st.meta.get.partitionColumns
       require(partitionBy.isEmpty ||
         partitionBy.map(_.toLowerCase) == tablePartCols.map(_.toLowerCase),
         s"deltaLake write: table partitions by [${tablePartCols
           .mkString(", ")}], append asked [${partitionBy.mkString(", ")}]")
     }
-    val partCols = if (creating) partitionBy else tablePartCols
+    val partCols =
+      if (creating) partitionBy
+      else state.get.meta.get.partitionColumns
     partCols.foreach(c => require(
       df.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
       s"deltaLake write: partition column '$c' missing from the data"))
@@ -198,7 +207,20 @@ object DeltaLakeSink {
       Seq(mapper.writeValueAsString(protoLine),
         mapper.writeValueAsString(metaLine))
     }
+    def removeJson(path: String): String = {
+      val rm = mapper.createObjectNode()
+      rm.put("path", path)
+      rm.put("deletionTimestamp", System.currentTimeMillis())
+      rm.put("dataChange", true)
+      val line = mapper.createObjectNode()
+      line.set[com.fasterxml.jackson.databind.JsonNode]("remove", rm)
+      mapper.writeValueAsString(line)
+    }
+    val removes =
+      if (replace) state.map(_.active.map(_._1)).getOrElse(Seq.empty)
+      else Seq.empty
     val body = (if (creating) metaLines() else Seq.empty) ++
+      removes.map(removeJson) ++
       added.map { case (rel, size, pv) => addJson(rel, size, pv) }
 
     var version = versions0.lastOption.map(_ + 1).getOrElse(0L)
@@ -230,6 +252,9 @@ object DeltaLakeSink {
         if (creating) throw new IllegalStateException(
           "deltaLake write: the table was created concurrently — rerun " +
             "the append against the now-existing table")
+        if (replace) throw new IllegalStateException(
+          "deltaLake write: a concurrent commit landed during the " +
+            "overwrite — the captured remove set is stale, refusing")
         // blind appends never conflict logically — but a concurrent
         // metaData/protocol change is a REAL conflict
         val newer = listVersions().filterNot(seen)
@@ -250,6 +275,99 @@ object DeltaLakeSink {
           seen.maxOption.map(_ + 1).getOrElse(version + 1))
       }
     }
+    if (checkpointInterval > 0 &&
+        (committed + 1) % checkpointInterval == 0)
+      writeCheckpoint(spark, tablePath, committed)
     committed
+  }
+
+  /** Write the single-part checkpoint for `version` (PROTOCOL.md
+    * "Checkpoints"): the reconstructed snapshot — one metaData row, one
+    * protocol row, one add per active file (with its deletionVector
+    * when present; checkpoint adds carry dataChange = false) — as
+    * `%020d.checkpoint.parquet`, then the `_last_checkpoint` pointer.
+    * Sizes come from the live file statuses. Failure here is harmless:
+    * the JSON log stays authoritative and a later write retries. */
+  def writeCheckpoint(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, version: Long): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val st = DeltaLakeSource.replayLog(spark, tablePath, Some(version))
+    val m = st.meta.getOrElse(throw new IllegalArgumentException(
+      "deltaLake checkpoint: the log has no metaData action"))
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dvSchema = StructType(Seq(
+      StructField("storageType", StringType),
+      StructField("pathOrInlineDv", StringType),
+      StructField("offset", IntegerType),
+      StructField("sizeInBytes", IntegerType),
+      StructField("cardinality", LongType)))
+    val schema = StructType(Seq(
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues",
+          MapType(StringType, StringType, valueContainsNull = true)),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType),
+        StructField("deletionVector", dvSchema)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("format", StructType(Seq(
+          StructField("provider", StringType)))),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration",
+          MapType(StringType, StringType))))),
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType)))))))
+    val metaRow = Row(null,
+      Row(m.id, Row("parquet"), m.schemaString, m.partitionColumns,
+        m.configuration.map { case (k, v) => k -> v }),
+      null)
+    val protoRow = Row(null, null,
+      Row(st.minReader, st.minWriter,
+        if (st.readerFeatures.isEmpty) null else st.readerFeatures.toSeq,
+        if (st.writerFeatures.isEmpty) null else st.writerFeatures.toSeq))
+    val addRows = st.active.map { case (p, a) =>
+      val abs = new Path(root, p) // sink-written paths are relative
+      val sz = scala.util.Try(fs.getFileStatus(abs)).map(_.getLen)
+        .getOrElse(0L)
+      val mt = scala.util.Try(fs.getFileStatus(abs))
+        .map(_.getModificationTime).getOrElse(0L)
+      Row(Row(p, a.pv.map { case (k, v) => k -> v.orNull },
+        sz, mt, false,
+        a.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
+          d.offset.map(Int.box).orNull, d.sizeInBytes,
+          d.cardinality)).orNull),
+        null, null)
+    }
+    val rows = Seq(protoRow, metaRow) ++ addRows
+    val tmp = new Path(root, s"__graft_ckpt_tmp_$version")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath)
+      .find(_.getName.startsWith("part-")).getOrElse(
+        throw new IllegalStateException("deltaLake checkpoint: no part"))
+    val dst = new Path(new Path(root, "_delta_log"),
+      f"$version%020d.checkpoint.parquet")
+    fs.delete(dst, false)
+    if (!fs.rename(part, dst))
+      throw new IllegalStateException(
+        s"deltaLake checkpoint: rename to $dst failed")
+    fs.delete(tmp, true)
+    val lc = mapper.createObjectNode()
+    lc.put("version", version)
+    lc.put("size", rows.length.toLong)
+    val out = fs.create(new Path(new Path(root, "_delta_log"),
+      "_last_checkpoint"), true)
+    try out.write(mapper.writeValueAsString(lc)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 }

@@ -50,13 +50,23 @@ import graft.sources.DeltaDeletionVectors.DvDescriptor
   */
 object DeltaLakeSource {
 
-  private final case class Meta(schemaString: String,
+  private[sources] final case class Meta(schemaString: String,
       partitionColumns: Seq[String],
-      configuration: Map[String, String] = Map.empty)
+      configuration: Map[String, String] = Map.empty,
+      id: String = "")
 
   /** One active file: partition values + optional deletion vector. */
-  private final case class Active(pv: Map[String, Option[String]],
+  private[sources] final case class Active(pv: Map[String, Option[String]],
       dv: Option[DvDescriptor])
+
+  /** The reconstructed log state at a version — shared between the
+    * reader and the sink (which uses it for overwrite sets and for
+    * WRITING checkpoints). */
+  private[sources] final case class LogState(
+      active: Seq[(String, Active)], meta: Option[Meta],
+      minReader: Int, readerFeatures: Set[String],
+      minWriter: Int, writerFeatures: Set[String],
+      version: Long)
 
   /** Loud cap on driver-collected checkpoint actions — ~a few hundred
     * bytes per tuple, so 4M actions ≈ low-GB driver heap, the same
@@ -66,9 +76,12 @@ object DeltaLakeSource {
   /** Loud cap on total broadcast DV bytes (compressed roaring). */
   val MaxDvBytes: Long = 1L << 30
 
-  def read(spark: SparkSession, tablePath: String,
+  /** Replay the transaction log to `versionAsOf` (or latest) into a
+    * LogState — checkpoint-seeded (distributed reconcile, minimal
+    * projection, loud action cap) + JSON commit replay. */
+  private[sources] def replayLog(spark: SparkSession, tablePath: String,
       versionAsOf: Option[Long] = None,
-      maxCollectedActions: Long = MaxCollectedActions): DataFrame = {
+      maxCollectedActions: Long = MaxCollectedActions): LogState = {
     val logDir = new Path(tablePath, "_delta_log")
     val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(logDir),
@@ -125,6 +138,8 @@ object DeltaLakeSource {
     var meta: Option[Meta] = None
     var minReader = 1
     var readerFeatures = Set.empty[String]
+    var minWriter = 2
+    var writerFeatures = Set.empty[String]
 
     // ---- checkpoint seed (distributed reconcile, minimal projection) ----
     val ckptV = ckptFiles.keys.filter(_ <= target).toSeq.sorted.lastOption
@@ -145,13 +160,16 @@ object DeltaLakeSource {
             else lit(null).cast("array<string>"),
             if (sub("metaData", "configuration"))
               col("metaData.configuration")
-            else lit(null).cast("map<string,string>"))
+            else lit(null).cast("map<string,string>"),
+            if (sub("metaData", "id")) col("metaData.id")
+            else lit(null).cast("string"))
           .collect().foreach { r =>
             meta = Some(Meta(r.getString(0),
               Option(r.getAs[scala.collection.Seq[String]](1))
                 .map(_.toSeq).getOrElse(Seq.empty),
               Option(r.getAs[scala.collection.Map[String, String]](2))
-                .map(_.toMap).getOrElse(Map.empty)))
+                .map(_.toMap).getOrElse(Map.empty),
+              Option(r.getString(3)).getOrElse("")))
           }
       }
       if (cols.contains("protocol")) {
@@ -159,11 +177,20 @@ object DeltaLakeSource {
           .select(col("protocol.minReaderVersion"),
             if (sub("protocol", "readerFeatures"))
               col("protocol.readerFeatures")
+            else lit(null).cast("array<string>"),
+            if (sub("protocol", "minWriterVersion"))
+              col("protocol.minWriterVersion") else lit(null).cast("int"),
+            if (sub("protocol", "writerFeatures"))
+              col("protocol.writerFeatures")
             else lit(null).cast("array<string>"))
           .collect().foreach { r =>
             minReader = math.max(minReader, r.getAs[Number](0).intValue)
             Option(r.getAs[scala.collection.Seq[String]](1))
               .foreach(fs => readerFeatures ++= fs)
+            Option(r.getAs[Number](2)).foreach(w =>
+              minWriter = math.max(minWriter, w.intValue))
+            Option(r.getAs[scala.collection.Seq[String]](3))
+              .foreach(fs => writerFeatures ++= fs)
           }
       }
 
@@ -258,16 +285,36 @@ object DeltaLakeSource {
               }
               b.result()
             }.getOrElse(Map.empty[String, String])
-            meta = Some(Meta(md.get("schemaString").asText, pcs, conf))
+            meta = Some(Meta(md.get("schemaString").asText, pcs, conf,
+              Option(md.get("id")).filterNot(_.isNull)
+                .map(_.asText).getOrElse("")))
           }
           Option(node.get("protocol")).foreach { p =>
             minReader = math.max(minReader, p.get("minReaderVersion").asInt)
             Option(p.get("readerFeatures")).filterNot(_.isNull)
               .foreach(arr => readerFeatures ++=
                 (0 until arr.size).map(arr.get(_).asText))
+            Option(p.get("minWriterVersion")).filterNot(_.isNull)
+              .foreach(w => minWriter = math.max(minWriter, w.asInt))
+            Option(p.get("writerFeatures")).filterNot(_.isNull)
+              .foreach(arr => writerFeatures ++=
+                (0 until arr.size).map(arr.get(_).asText))
           }
         }
       }
+    LogState(active.toSeq, meta, minReader, readerFeatures,
+      minWriter, writerFeatures, target)
+  }
+
+  def read(spark: SparkSession, tablePath: String,
+      versionAsOf: Option[Long] = None,
+      maxCollectedActions: Long = MaxCollectedActions): DataFrame = {
+    val state = replayLog(spark, tablePath, versionAsOf,
+      maxCollectedActions)
+    val active = state.active
+    val meta = state.meta
+    val minReader = state.minReader
+    val readerFeatures = state.readerFeatures
 
     val m = meta.getOrElse(throw new IllegalArgumentException(
       "deltaLake: no metaData action found in the log"))

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+
+/** Checkpoint WRITING + overwrite commits (round 14 — pulled forward
+  * from the round-15 candidates): every checkpointInterval commits the
+  * sink emits a single-part %020d.checkpoint.parquet + _last_checkpoint
+  * pointer that this repo's own reader (and the protocol) can seed
+  * from; overwrite replaces the table atomically and refuses on any
+  * racing commit. */
+class DeltaCheckpointWriteSpec extends SparkFunSuite {
+  import SparkTestBase.spark.implicits._
+  import graft.sources.{DeltaLakeSink, DeltaLakeSource}
+
+  test("checkpointInterval: the v1 commit writes a checkpoint + " +
+      "pointer; the table reads from it after the JSON commits are gone") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ckw").toString + "/t"
+    try {
+      DeltaLakeSink.append(Seq((1L, "a")).toDF("id", "name"), dir,
+        checkpointInterval = 2)
+      DeltaLakeSink.append(Seq((2L, "b")).toDF("id", "name"), dir,
+        checkpointInterval = 2) // (1+1) % 2 == 0 → checkpoint at v1
+      DeltaLakeSink.append(Seq((3L, "c")).toDF("id", "name"), dir,
+        checkpointInterval = 2)
+      val log = java.nio.file.Path.of(dir, "_delta_log")
+      assert(java.nio.file.Files.exists(
+        log.resolve(f"${1L}%020d.checkpoint.parquet")),
+        "checkpoint parquet must exist at v1")
+      val lc = java.nio.file.Files.readString(
+        log.resolve("_last_checkpoint"))
+      assert(lc.contains("\"version\":1"), s"pointer: $lc")
+      // drop the pre-checkpoint JSON commits — the snapshot must carry
+      java.nio.file.Files.delete(log.resolve(f"${0L}%020d.json"))
+      java.nio.file.Files.delete(log.resolve(f"${1L}%020d.json"))
+      val ids = DeltaLakeSource.read(spark, dir)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L),
+        s"checkpoint + v2 replay must reconstruct everything, got $ids")
+      assert(DeltaLakeSource.read(spark, dir, versionAsOf = Some(1L))
+        .count() == 2L, "time travel to the checkpoint version")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir).getParentFile)
+  }
+
+  test("overwrite replaces the active set atomically; a racing commit " +
+      "is a loud conflict, never a half-replace") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ovw").toString + "/t"
+    try {
+      DeltaLakeSink.append(
+        Seq((1L, "old"), (2L, "old")).toDF("id", "name"), dir)
+      val v = DeltaLakeSink.overwrite(
+        Seq((10L, "new")).toDF("id", "name"), dir)
+      assert(v == 1L)
+      val now = DeltaLakeSource.read(spark, dir)
+        .collect().map(_.getLong(0)).toSeq
+      assert(now == Seq(10L), s"overwrite must replace, got $now")
+      assert(DeltaLakeSource.read(spark, dir, versionAsOf = Some(0L))
+        .count() == 2L, "time travel still sees the pre-overwrite rows")
+      // racing blind append between log read and claim → loud for
+      // overwrite (the captured remove set is stale)
+      DeltaLakeSink.commitFailpoint = () =>
+        java.nio.file.Files.writeString(java.nio.file.Path.of(
+          dir, "_delta_log", f"${2L}%020d.json"),
+          """{"add":{"path":"ghost.parquet","partitionValues":{},""" +
+            """"size":1,"modificationTime":1,"dataChange":true}}""" + "\n")
+      val e = try intercept[IllegalStateException] {
+        DeltaLakeSink.overwrite(Seq((20L, "x")).toDF("id", "name"), dir)
+      } finally DeltaLakeSink.commitFailpoint = () => ()
+      assert(e.getMessage.contains("stale"))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir).getParentFile)
+  }
+
+  test("a written checkpoint preserves deletion vectors: the masked " +
+      "rows stay absent when the snapshot reads from the checkpoint") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ckdv").toString
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    try {
+      // hand-built DV table (as in DeltaDvReadSpec): 6 rows, 2 masked
+      val tmp = s"$dir/__tmp"
+      (0L until 6L).map(i => (i, s"n$i")).toDF("id", "name")
+        .repartition(1).sortWithinPartitions("id")
+        .write.mode("overwrite").parquet(tmp)
+      val part = fs.listStatus(new Path(tmp)).map(_.getPath)
+        .find(_.getName.startsWith("part-")).get
+      fs.rename(part, new Path(dir, "d1.parquet"))
+      fs.delete(new Path(tmp), true)
+      val data = graft.sources.DeltaDeletionVectors
+        .serializeBitmaps(Seq(1L, 4L))
+      val uuid = java.util.UUID.randomUUID()
+      val off = graft.sources.DeltaDeletionVectors.writeDvFile(fs,
+        new Path(dir, s"deletion_vector_$uuid.bin"), Seq(data)).head
+      val enc = graft.sources.DeltaDeletionVectors.z85EncodeUuid(uuid)
+      val schemaString = ("""{"type":"struct","fields":[""" +
+        """{"name":"id","type":"long","nullable":true,"metadata":{}},""" +
+        """{"name":"name","type":"string","nullable":true,"metadata":{}}]}""")
+        .replace("\"", "\\\"")
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Path.of(dir, "_delta_log"))
+      java.nio.file.Files.writeString(java.nio.file.Path.of(
+        dir, "_delta_log", f"${0L}%020d.json"),
+        Seq(
+          """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+            """"readerFeatures":["deletionVectors"],""" +
+            """"writerFeatures":["deletionVectors"]}}""",
+          s"""{"metaData":{"id":"dv","format":{"provider":"parquet"},""" +
+            s""""schemaString":"$schemaString","partitionColumns":[],""" +
+            s""""configuration":{}}}""",
+          s"""{"add":{"path":"d1.parquet","partitionValues":{},"size":1,""" +
+            s""""modificationTime":1,"dataChange":true,"deletionVector":""" +
+            s"""{"storageType":"u","pathOrInlineDv":"$enc","offset":$off,""" +
+            s""""sizeInBytes":${data.length},"cardinality":2}}}"""
+        ).mkString("\n") + "\n")
+      DeltaLakeSink.writeCheckpoint(spark, dir, 0L)
+      java.nio.file.Files.delete(java.nio.file.Path.of(
+        dir, "_delta_log", f"${0L}%020d.json"))
+      val ids = DeltaLakeSource.read(spark, dir)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(0L, 2L, 3L, 5L),
+        s"DV must survive the checkpoint round trip, got $ids")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+}
