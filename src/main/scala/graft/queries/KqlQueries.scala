@@ -212,6 +212,20 @@ object KqlQueries extends QueryPack {
       """
       SELECT n_nationkey, n_name, r_name
       FROM nation JOIN region ON n_regionkey = r_regionkey
-      ORDER BY n_nationkey""")
+      ORDER BY n_nationkey"""),
+
+    // window verb (rolling frames over the pipeline's sort order —
+    // round 14, pulled forward from the round-15 list)
+    pq("q_prql_window",
+      """from nation
+         sort {n_nationkey}
+         window rows:-2..0 (derive {rsum = sum n_regionkey})
+         select {n_nationkey, rsum}
+         sort {n_nationkey}""",
+      """
+      SELECT n_nationkey,
+        CAST(SUM(n_regionkey) OVER (ORDER BY n_nationkey
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS rsum
+      FROM nation ORDER BY n_nationkey""")
   )
 }

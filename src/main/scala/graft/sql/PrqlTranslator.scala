@@ -18,8 +18,11 @@ package graft.sql
   * CASE WHEN, s-expressions pass through to Spark's parser (loud on
   * anything it can't resolve — never a silent misread). Aggregation
   * calls use PRQL's space form: `sum x`, `average x`, `count this`,
-  * `count_distinct x`, `min/max/stddev x`. Still loud: `window`
-  * (rolling frames), `loop`, `select !{…}` exclusion.
+  * `count_distinct x`, `min/max/stddev x`. `window rows:a..b (derive
+  * {…})` / `window expanding:true (…)` / `window rolling:n (…)` compile
+  * to SQL window frames over the pipeline's LAST `sort` order (a
+  * window without a preceding sort is loud — frames need a total
+  * order). Still loud: `loop`, `select !{…}` exclusion.
   */
 object PrqlTranslator {
 
@@ -31,6 +34,8 @@ object PrqlTranslator {
     val stages = splitStages(prql)
     require(stages.nonEmpty, "PRQL: empty pipeline")
     val fromRe = "(?is)^from\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s*$".r
+    // the pipeline's current sort order (window frames anchor on it)
+    var lastSort: Seq[String] = Seq.empty
     var cur = stages.head match {
       case fromRe(t) => s"SELECT * FROM $t"
       case other => throw new IllegalArgumentException(
@@ -73,7 +78,45 @@ object PrqlTranslator {
             if (it.startsWith("-")) s"${expr(it.drop(1))} DESC"
             else s"${expr(it)} ASC"
           }
+          lastSort = items
           s"SELECT * FROM ${sub(cur)} ORDER BY ${items.mkString(", ")}"
+        case "window" =>
+          val m = ("(?is)^(?:rows\\s*:\\s*(-?\\d+)\\s*\\.\\.\\s*(-?\\d+)" +
+            "|(expanding)\\s*:\\s*true|rolling\\s*:\\s*(\\d+))\\s*" +
+            "\\((.*)\\)\\s*$").r
+          body match {
+            case m(a, b, expanding, rolling, inner0) =>
+              require(lastSort.nonEmpty,
+                "PRQL window: needs a preceding `sort` — frames anchor " +
+                  "on the pipeline's order")
+              val frame =
+                if (expanding != null)
+                  "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+                else if (rolling != null) {
+                  require(rolling.toInt >= 1, "PRQL window: rolling < 1")
+                  s"ROWS BETWEEN ${rolling.toInt - 1} PRECEDING " +
+                    "AND CURRENT ROW"
+                } else {
+                  val lo = a.toLong; val hi = b.toLong
+                  require(lo <= hi, s"PRQL window: bad range $lo..$hi")
+                  def bound(x: Long, isLow: Boolean) =
+                    if (x < 0) s"${-x} PRECEDING"
+                    else if (x == 0) "CURRENT ROW"
+                    else s"$x FOLLOWING"
+                  s"ROWS BETWEEN ${bound(lo, true)} AND ${bound(hi, false)}"
+                }
+              val inner = inner0.trim
+              require(inner.toLowerCase.startsWith("derive"),
+                "PRQL window: only `window … (derive {n = fn col})` is " +
+                  "supported")
+              val over = s"OVER (ORDER BY ${lastSort.mkString(", ")} $frame)"
+              val items = aggItems(inner.drop("derive".length).trim)
+                .map(it => it.replaceFirst("(?i) AS ", s" $over AS "))
+              s"SELECT *, ${items.mkString(", ")} FROM ${sub(cur)}"
+            case _ => throw new IllegalArgumentException(
+              "PRQL window: `window rows:a..b (derive {…})`, `window " +
+                s"expanding:true (…)` or `window rolling:n (…)`, got '$body'")
+          }
         case "aggregate" =>
           s"SELECT ${aggItems(body).mkString(", ")} FROM ${sub(cur)}"
         case "group" =>
@@ -116,7 +159,8 @@ object PrqlTranslator {
           s"SELECT * FROM ${sub(cur)} UNION ALL SELECT * FROM $body"
         case other => throw new IllegalArgumentException(
           s"PRQL: unsupported verb '$other' (supported: from, filter, " +
-            "derive, select, aggregate, group, sort, take, join)")
+            "derive, select, aggregate, group, sort, take, join, " +
+            "append, window)")
       }
     }
     cur

@@ -54,7 +54,7 @@ class PrqlSpec extends SparkFunSuite {
       val j = ch("from prql_t | join side:left prql_d (==grp) " +
         "| filter id == 1 | select {id, label}").collect().head
       assert(j.getLong(0) == 1L && j.getString(1) == "alpha")
-      val e = intercept[Exception](ch("from prql_t | window rows:-2..0"))
+      val e = intercept[Exception](ch("from prql_t | loop (filter x > 1)"))
       assert(e.getMessage.contains("unsupported verb"))
       val e2 = intercept[Exception](ch("select {1}"))
       assert(e2.getMessage.contains("from"))
@@ -91,10 +91,23 @@ class PrqlSpec extends SparkFunSuite {
         select {id, glabel} | sort {id}""").collect()
         .map(r => (r.getLong(0), r.getString(1))).toSeq
       assert(j == Seq((2L, "alpha"), (3L, "beta"), (4L, "beta")))
-      // window is still a LOUD reject, not a silent misread
+      // window (round 14, later in the round): rolling frames over the
+      // pipeline's sort order
+      val w = ch("""from prql_t | sort {id}
+        | window rows:-1..0 (derive {m = sum v})
+        | select {id, m} | sort {id}""").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(w == Seq((1L, 10L), (2L, 30L), (3L, 50L), (4L, 70L),
+        (5L, 90L)), s"rolling 2-row sum, got $w")
+      val we = ch("""from prql_t | sort {id}
+        | window expanding:true (derive {c = count this})
+        | select {id, c} | sort {id}""").collect()
+        .map(_.getLong(1)).toSeq
+      assert(we == Seq(1L, 2L, 3L, 4L, 5L), "expanding count")
+      // a window with no preceding sort has no frame order — LOUD
       val e = intercept[Exception](
         ch("from prql_t | window rows:-2..0 (derive {m = average v})"))
-      assert(e.getMessage.contains("unsupported verb"))
+      assert(e.getMessage.contains("sort"))
     }
   }
 
