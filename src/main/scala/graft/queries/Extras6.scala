@@ -459,6 +459,31 @@ object Extras6 extends QueryPack {
           "'n_nationkey Int64, n_name String') ORDER BY n_nationkey")
     },
 
+    // Iceberg APPEND (round 14 — write-side counterpart of the native
+    // reader; Hadoop-catalog version-file commits): two appends through
+    // the sink, read back through the dialect, with the creation
+    // snapshot count asserted via snapshot time travel.
+    Q.df("q_iceberg_write_roundtrip", """
+      SELECT c_custkey, c_name FROM customer
+      WHERE c_custkey <= 100 ORDER BY c_custkey""") { (s, dir) =>
+      val root = s"/tmp/graft_icew_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      fsOf(s, root).delete(new org.apache.hadoop.fs.Path(root), true)
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"))
+      val s1 = graft.sources.IcebergSink.append(
+        cust.filter(col("c_custkey") <= 50), root)
+      graft.sources.IcebergSink.append(
+        cust.filter(col("c_custkey") > 50 && col("c_custkey") <= 100), root)
+      val atS1 = graft.sources.IcebergSource
+        .read(s, root, snapshotId = Some(s1)).count()
+      val expect1 = cust.filter(col("c_custkey") <= 50).count()
+      require(atS1 == expect1,
+        s"snapshot travel to the creation must see $expect1, got $atS1")
+      graft.sql.ClickHouseSql.sql(s,
+        s"SELECT c_custkey, c_name FROM iceberg('$root') " +
+          "ORDER BY c_custkey")
+    },
+
     // FORMAT MySQLDump (MySQLDumpRowInputFormat.cpp): parses the
     // INSERT statements of a mysqldump file, skipping DDL; NULLs,
     // multi-row tuples and a by-name column list all exercised. The

@@ -1,0 +1,271 @@
+package graft.sources
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileStream, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+
+/** Native Apache Iceberg APPEND — the write-side counterpart of
+  * IcebergSource, following the PUBLIC spec's Hadoop-catalog commit
+  * protocol (iceberg.apache.org/spec + the HadoopTableOperations
+  * version-file convention):
+  *
+  *  1. the data files write FIRST (one distributed parquet job) under
+  *     `data/` with transaction-unique names — a failed commit leaves
+  *     only orphans;
+  *  2. a NEW manifest Avro lists the added files (status 1), a NEW
+  *     manifest list carries the previous snapshot's manifests forward
+  *     plus the new one, stamped with the next sequence number (the
+  *     reader inherits entry sequence numbers from the list — the rule
+  *     that makes equality deletes apply only to OLDER data);
+  *  3. `metadata/v(N+1).metadata.json` is claimed with
+  *     create(overwrite = false) — the same atomic put-if-absent the
+  *     Hadoop catalog uses; a collision means a concurrent committer
+  *     won and is LOUD (appends re-run cheaply); `version-hint.text`
+  *     updates best-effort after the claim.
+  *
+  * Scope: format-version 2, UNPARTITIONED tables (a partition spec
+  * needs spec-id plumbing this writer does not have — loud), schema
+  * fixed at creation (by-name/type match on append).
+  */
+object IcebergSink {
+
+  /** Test-only failpoint, fired just before the metadata claim. */
+  private[graft] var commitFailpoint: () => Unit = () => ()
+
+  private val listSchema = new Schema.Parser().parse("""
+    {"type":"record","name":"manifest_file","fields":[
+      {"name":"manifest_path","type":"string"},
+      {"name":"manifest_length","type":"long"},
+      {"name":"content","type":"int","default":0},
+      {"name":"sequence_number","type":"long","default":0}]}""")
+
+  private val entrySchema = new Schema.Parser().parse("""
+    {"type":"record","name":"manifest_entry","fields":[
+      {"name":"status","type":"int"},
+      {"name":"data_file","type":{"type":"record","name":"data_file",
+        "fields":[
+          {"name":"content","type":"int","default":0},
+          {"name":"file_path","type":"string"},
+          {"name":"file_format","type":"string"},
+          {"name":"record_count","type":"long"}]}}]}""")
+
+  private def sparkToIceberg(dt: org.apache.spark.sql.types.DataType)
+      : String = dt match {
+    case org.apache.spark.sql.types.BooleanType => "boolean"
+    case org.apache.spark.sql.types.IntegerType => "int"
+    case org.apache.spark.sql.types.LongType => "long"
+    case org.apache.spark.sql.types.FloatType => "float"
+    case org.apache.spark.sql.types.DoubleType => "double"
+    case org.apache.spark.sql.types.DateType => "date"
+    case org.apache.spark.sql.types.TimestampType => "timestamptz"
+    case org.apache.spark.sql.types.TimestampNTZType => "timestamp"
+    case org.apache.spark.sql.types.StringType => "string"
+    case org.apache.spark.sql.types.BinaryType => "binary"
+    case d: org.apache.spark.sql.types.DecimalType =>
+      s"decimal(${d.precision},${d.scale})"
+    case other => throw new IllegalArgumentException(
+      s"iceberg write: unsupported column type $other")
+  }
+
+  /** Append `df`, creating the table when `metadata/` is absent.
+    * Returns the new snapshot id. */
+  def append(df: DataFrame, tablePath: String): Long = {
+    val spark = df.sparkSession
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaDir = new Path(root, "metadata")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+    val metaRe = "^v(\\d+)\\.metadata\\.json$".r
+    val versions =
+      if (!fs.exists(metaDir)) Seq.empty[Int]
+      else fs.listStatus(metaDir).map(_.getPath.getName)
+        .collect { case metaRe(v) => v.toInt }.sorted.toSeq
+    val creating = versions.isEmpty
+
+    val prev = versions.lastOption.map { v =>
+      val in = fs.open(new Path(metaDir, s"v$v.metadata.json"))
+      try mapper.readTree(in.readAllBytes()) finally in.close()
+    }
+    prev.foreach { meta =>
+      // schema compatibility by name/type against the CURRENT schema
+      val schemaNode = Option(meta.get("schemas")).map { arr =>
+        val cur = Option(meta.get("current-schema-id")).map(_.asInt)
+          .getOrElse(0)
+        (0 until arr.size).map(arr.get)
+          .find(_.get("schema-id").asInt == cur).getOrElse(arr.get(0))
+      }.getOrElse(meta.get("schema"))
+      val want = (0 until schemaNode.get("fields").size).map { i =>
+        val f = schemaNode.get("fields").get(i)
+        f.get("name").asText.toLowerCase -> f.get("type").asText
+      }.toMap
+      val have = df.schema.fields.map(f =>
+        f.name.toLowerCase -> sparkToIceberg(f.dataType)).toMap
+      require(want == have,
+        s"iceberg write: schema mismatch — table has $want, " +
+          s"append has $have")
+      val specs = Option(meta.get("partition-specs"))
+      val partitioned = specs.exists { arr =>
+        (0 until arr.size).map(arr.get).exists(sp =>
+          Option(sp.get("fields")).exists(_.size > 0))
+      }
+      require(!partitioned,
+        "iceberg write: partitioned tables are not supported by this " +
+          "append-only writer")
+    }
+
+    // ---- stage data files ----
+    val txn = java.util.UUID.randomUUID().toString
+    val stage = new Path(root, s"__graft_ice_stage_$txn")
+    df.write.mode("overwrite").parquet(stage.toString)
+    val dataDir = new Path(root, "data")
+    fs.mkdirs(dataDir)
+    val added = fs.listStatus(stage).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet"))
+      .zipWithIndex.map { case (p, i) =>
+        val dst = new Path(dataDir, s"$txn-$i.parquet")
+        if (!fs.rename(p, dst)) throw new IllegalStateException(
+          s"iceberg write: staging rename to $dst failed")
+        dst.toString
+      }.toSeq
+    fs.delete(stage, true)
+    require(added.nonEmpty || !creating,
+      "iceberg write: refusing to create a table from zero files")
+    val rowCount = df.count() // record_count is required manifest data
+
+    def writeAvro(path: Path, sch: Schema,
+        rows: Seq[GenericRecord]): Long = {
+      val tmp = new Path(path.getParent, s"__tmp_${path.getName}")
+      val out = fs.create(tmp, true)
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](sch))
+      try { w.create(sch, out); rows.foreach(w.append) } finally w.close()
+      if (!fs.rename(tmp, path)) throw new IllegalStateException(
+        s"iceberg write: rename to $path failed")
+      fs.getFileStatus(path).getLen
+    }
+
+    val newSeq = prev.flatMap(m =>
+      Option(m.get("last-sequence-number")).map(_.asLong))
+      .getOrElse(0L) + 1
+    val snapshotId = math.abs(java.util.UUID.randomUUID()
+      .getMostSignificantBits)
+
+    fs.mkdirs(metaDir)
+    // new manifest: the added files
+    val mPath = new Path(metaDir, s"m-$txn.avro")
+    val mLen = writeAvro(mPath, entrySchema, added.map { f =>
+      val d = new GenericData.Record(
+        entrySchema.getField("data_file").schema())
+      d.put("content", 0); d.put("file_path", f)
+      d.put("file_format", "PARQUET")
+      d.put("record_count", rowCount / math.max(added.length, 1))
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1); e.put("data_file", d); e
+    })
+    // new manifest list: previous snapshot's manifests carried forward
+    val carried: Seq[GenericRecord] = prev.flatMap { meta =>
+      Option(meta.get("current-snapshot-id")).map(_.asLong).flatMap { id =>
+        val snaps = meta.get("snapshots")
+        (0 until snaps.size).map(snaps.get)
+          .find(_.get("snapshot-id").asLong == id)
+      }
+    }.map { snap =>
+      val p = new Path(snap.get("manifest-list").asText)
+      val in = fs.open(p)
+      val bytes = try in.readAllBytes() finally in.close()
+      val rd = new DataFileStream[GenericRecord](
+        new java.io.ByteArrayInputStream(bytes),
+        new GenericDatumReader[GenericRecord]())
+      try {
+        val out = Seq.newBuilder[GenericRecord]
+        while (rd.hasNext) {
+          val r = rd.next()
+          val c = new GenericData.Record(listSchema)
+          c.put("manifest_path", r.get("manifest_path").toString)
+          c.put("manifest_length",
+            Option(r.getSchema.getField("manifest_length"))
+              .map(_ => r.get("manifest_length")).getOrElse(0L))
+          c.put("content",
+            Option(r.getSchema.getField("content"))
+              .map(x => r.get("content")).getOrElse(0))
+          c.put("sequence_number",
+            Option(r.getSchema.getField("sequence_number"))
+              .map(x => r.get("sequence_number")).getOrElse(0L))
+          out += c
+        }
+        out.result()
+      } finally rd.close()
+    }.getOrElse(Seq.empty)
+    val newRef = {
+      val r = new GenericData.Record(listSchema)
+      r.put("manifest_path", mPath.toString)
+      r.put("manifest_length", mLen)
+      r.put("content", 0)
+      r.put("sequence_number", newSeq)
+      r
+    }
+    val mlPath = new Path(metaDir, s"snap-$snapshotId.avro")
+    writeAvro(mlPath, listSchema, carried :+ newRef)
+
+    // ---- metadata vN+1 (the commit claim) ----
+    val fieldsJson = df.schema.fields.zipWithIndex.map { case (f, i) =>
+      s"""{"id": ${i + 1}, "name": "${f.name}", "required": false, """ +
+        s""""type": "${sparkToIceberg(f.dataType)}"}"""
+    }.mkString("[", ", ", "]")
+    val schemasJson = prev.map { meta =>
+      mapper.writeValueAsString(Option(meta.get("schemas")).getOrElse {
+        val arr = mapper.createArrayNode()
+        Option(meta.get("schema")).foreach(arr.add)
+        arr
+      })
+    }.getOrElse(
+      s"""[{"type": "struct", "schema-id": 0, "fields": $fieldsJson}]""")
+    val prevSnaps = prev.map { meta =>
+      val snaps = Option(meta.get("snapshots"))
+        .map(mapper.writeValueAsString).getOrElse("[]")
+      snaps.stripSuffix("]")
+    }.filter(_ != "[").getOrElse("[")
+    val sep = if (prevSnaps == "[") "" else ", "
+    val newMetaJson = s"""{
+      "format-version": 2,
+      "table-uuid": "${prev.flatMap(m => Option(m.get("table-uuid"))
+        .map(_.asText)).getOrElse(java.util.UUID.randomUUID().toString)}",
+      "location": "$tablePath",
+      "last-sequence-number": $newSeq,
+      "current-snapshot-id": $snapshotId,
+      "current-schema-id": ${prev.flatMap(m =>
+        Option(m.get("current-schema-id")).map(_.asInt)).getOrElse(0)},
+      "schemas": $schemasJson,
+      "snapshots": $prevSnaps$sep{"snapshot-id": $snapshotId,
+        "timestamp-ms": ${System.currentTimeMillis()},
+        "sequence-number": $newSeq,
+        "manifest-list": "$mlPath"}]
+    }"""
+    val newVersion = versions.lastOption.getOrElse(0) + 1
+    commitFailpoint()
+    val target = new Path(metaDir, s"v$newVersion.metadata.json")
+    try {
+      val out = fs.create(target, false) // atomic put-if-absent
+      try out.write(newMetaJson.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } catch {
+      case e: java.io.IOException
+          if e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException]
+            || Option(e.getMessage).exists(_.contains("exist")) =>
+        throw new IllegalStateException(
+          s"iceberg write: metadata v$newVersion was claimed " +
+            "concurrently — rerun the append against the new state")
+    }
+    // pointer update is best-effort (readers list versions anyway)
+    scala.util.Try {
+      val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
+      try hint.write(newVersion.toString.getBytes("UTF-8"))
+      finally hint.close()
+    }
+    snapshotId
+  }
+}
