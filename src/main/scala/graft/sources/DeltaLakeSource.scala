@@ -90,12 +90,18 @@ object DeltaLakeSource {
     val commitRe = "^(\\d{20})\\.json$".r
     val ckptRe = "^(\\d{20})\\.checkpoint\\.parquet$".r
     val multiCkptRe = "^(\\d{20})\\.checkpoint\\.(\\d+)\\.(\\d+)\\.parquet$".r
+    // v2 checkpoints (PROTOCOL.md "V2 Spec Checkpoints"): a UUID-named
+    // manifest that may defer its add/remove actions to sidecar files
+    val v2CkptRe =
+      "^(\\d{20})\\.checkpoint\\.[0-9a-fA-F-]{36}\\.parquet$".r
     val commits = entries.collect { case commitRe(v) => v.toLong }.sorted
     // checkpoint version → its parquet file(s); multi-part checkpoints
     // (%020d.checkpoint.%010d.%010d.parquet — part K of N) read as one
     // distributed scan, COMPLETENESS verified against the N in the name
     val ckptFiles: Map[Long, Seq[String]] = {
       val single = entries.collect { case n @ ckptRe(v) =>
+        v.toLong -> Seq(n) }.toMap
+      val v2 = entries.collect { case n @ v2CkptRe(v) =>
         v.toLong -> Seq(n) }.toMap
       val multi = entries.collect { case n @ multiCkptRe(v, _, total) =>
         (v.toLong, total.toLong, n)
@@ -106,7 +112,7 @@ object DeltaLakeSource {
             s"(${parts.length} of ${totals.mkString("/")} parts)")
         v -> parts.map(_._3).sorted.toSeq
       }
-      single ++ multi // a single-part file wins if both exist
+      v2 ++ single ++ multi // classic forms win when both exist
     }
     require(commits.nonEmpty || ckptFiles.nonEmpty,
       s"deltaLake: empty _delta_log at $tablePath")
@@ -144,8 +150,33 @@ object DeltaLakeSource {
     // ---- checkpoint seed (distributed reconcile, minimal projection) ----
     val ckptV = ckptFiles.keys.filter(_ <= target).toSeq.sorted.lastOption
     ckptV.foreach { v =>
-      val f = ckptFiles(v).map(n => new Path(logDir, n).toString)
-      val cp = spark.read.parquet(f: _*)
+      val manifest = ckptFiles(v).map(n => new Path(logDir, n).toString)
+      // v2 checkpoint: the manifest may carry `sidecar` actions naming
+      // the files (under _delta_log/_sidecars/) that hold the
+      // add/remove set, plus a checkpointMetadata integrity record
+      val head = spark.read.parquet(manifest: _*)
+      val sidecars: Seq[String] =
+        if (!head.columns.contains("sidecar")) Seq.empty
+        else head.where(col("sidecar").isNotNull)
+          .select(col("sidecar.path")).collect().map { r =>
+            val p = r.getString(0)
+            if (p.contains("/") || p.contains(":"))
+              p // absolute or already-qualified
+            else new Path(new Path(logDir, "_sidecars"), p).toString
+          }.toSeq
+      if (head.columns.contains("checkpointMetadata")) {
+        head.where(col("checkpointMetadata").isNotNull)
+          .select(col("checkpointMetadata.version")).collect()
+          .foreach(r => require(r.getAs[Number](0).longValue == v,
+            s"deltaLake: v2 checkpoint at version $v carries " +
+              s"checkpointMetadata.version ${r.get(0)} — corrupt log"))
+      }
+      // one merged scan over the manifest + its sidecars (mergeSchema:
+      // sidecars carry only add/remove, the manifest the rest)
+      val cp =
+        if (sidecars.isEmpty) head
+        else spark.read.option("mergeSchema", "true")
+          .parquet(manifest ++ sidecars: _*)
       val cols = cp.columns.toSet
       def sub(parent: String, name: String): Boolean =
         cols.contains(parent) && cp.schema(parent).dataType
@@ -333,7 +364,8 @@ object DeltaLakeSource {
     // implemented here
     if (minReader >= 3) {
       val unsupported =
-        readerFeatures - "deletionVectors" - "columnMapping"
+        readerFeatures - "deletionVectors" - "columnMapping" -
+          "v2Checkpoint"
       if (unsupported.nonEmpty) throw new IllegalArgumentException(
         s"deltaLake: protocol readerFeatures ${unsupported.mkString(", ")} " +
           "are not implemented by this native log replay — refusing " +

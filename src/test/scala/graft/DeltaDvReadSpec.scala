@@ -3,6 +3,12 @@ package graft
 import org.apache.hadoop.fs.Path
 
 // checkpoint action rows (top-level for the Product encoder)
+case class V2Sidecar(path: String)
+case class V2CkMeta(version: Long)
+case class V2CkRow(add: Option[DvCkAdd], metaData: Option[DvCkMeta],
+    protocol: Option[DvCkProt], checkpointMetadata: Option[V2CkMeta],
+    sidecar: Option[V2Sidecar])
+case class SidecarRow(add: Option[DvCkAdd], remove: Option[DvCkAdd])
 case class DvCkAdd(path: String)
 case class DvCkMeta(schemaString: String, partitionColumns: Seq[String])
 case class DvCkProt(minReaderVersion: Int)
@@ -132,12 +138,12 @@ class DeltaDvReadSpec extends SparkFunSuite {
       dataFile(dir, "d1.parquet", d1Rows)
       writeCommit(dir, 0L, Seq(
         """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-          """"readerFeatures":["deletionVectors","v2Checkpoint"]}}""",
+          """"readerFeatures":["deletionVectors","typeWidening"]}}""",
         metaLine, addLine("d1.parquet", None)))
       val e = intercept[IllegalArgumentException] {
         DeltaLakeSource.read(spark, dir)
       }
-      assert(e.getMessage.contains("v2Checkpoint"))
+      assert(e.getMessage.contains("typeWidening"))
       // v2 with no columnMapping.mode set = mode none → plain read
       writeCommit(dir, 0L, Seq(
         """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
@@ -188,6 +194,63 @@ class DeltaDvReadSpec extends SparkFunSuite {
         DeltaLakeSource.read(spark, dir)
       }
       assert(e.getMessage.contains("incomplete"))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("v2 checkpoints: a UUID-named manifest with sidecar files " +
+      "reconstructs the snapshot; checkpointMetadata version mismatch " +
+      "is loud") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dv_v2ck").toString
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    try {
+      dataFile(dir, "f0.parquet", Seq((1L, "a")))
+      dataFile(dir, "f1.parquet", Seq((2L, "b")))
+      dataFile(dir, "f2.parquet", Seq((3L, "c")))
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Path.of(dir, "_delta_log", "_sidecars"))
+      def onePart(df: org.apache.spark.sql.DataFrame, dst: Path): Unit = {
+        val tmp = s"$dir/__v2tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new Path(tmp)).map(_.getPath)
+          .find(_.getName.startsWith("part-")).get
+        fs.delete(dst, false) // rename silently no-ops onto an existing file
+        fs.rename(part, dst)
+        fs.delete(new Path(tmp), true)
+      }
+      // sidecar 1: adds f0 + f1 (and a remove tombstone for f1);
+      // sidecar 2: adds f2
+      onePart(Seq(
+        SidecarRow(Some(DvCkAdd("f0.parquet")), None),
+        SidecarRow(Some(DvCkAdd("f1.parquet")), None),
+        SidecarRow(None, Some(DvCkAdd("f1.parquet")))).toDS().toDF(),
+        new Path(s"$dir/_delta_log/_sidecars", "sc1.parquet"))
+      onePart(Seq(
+        SidecarRow(Some(DvCkAdd("f2.parquet")), None)).toDS().toDF(),
+        new Path(s"$dir/_delta_log/_sidecars", "sc2.parquet"))
+      val uuid = java.util.UUID.randomUUID()
+      def manifest(ckVersion: Long): Unit = onePart(Seq(
+        V2CkRow(None, Some(DvCkMeta(schemaString, Seq.empty)),
+          Some(DvCkProt(1)), None, None),
+        V2CkRow(None, None, None, Some(V2CkMeta(ckVersion)), None),
+        V2CkRow(None, None, None, None, Some(V2Sidecar("sc1.parquet"))),
+        V2CkRow(None, None, None, None, Some(V2Sidecar("sc2.parquet"))))
+        .toDS().toDF(),
+        new Path(s"$dir/_delta_log",
+          f"${0L}%020d.checkpoint.$uuid.parquet"))
+      manifest(0L)
+      val ids = DeltaLakeSource.read(spark, dir)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 3L),
+        s"sidecar adds minus the tombstone = f0 + f2, got $ids")
+      // a manifest claiming the wrong version is corrupt — loud
+      manifest(7L)
+      val e = intercept[IllegalArgumentException] {
+        DeltaLakeSource.read(spark, dir)
+      }
+      assert(e.getMessage.contains("checkpointMetadata"))
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(dir))
   }
