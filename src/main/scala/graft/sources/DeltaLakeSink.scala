@@ -223,7 +223,13 @@ object DeltaLakeSink {
       removes.map(removeJson) ++
       added.map { case (rel, size, pv) => addJson(rel, size, pv) }
 
-    var version = versions0.lastOption.map(_ + 1).getOrElse(0L)
+    // the next version must clear BOTH the newest JSON commit and the
+    // newest checkpoint: on a vacuumed log (checkpoint only, no JSON
+    // commits) starting from the listing alone would claim a version
+    // BELOW the checkpoint — a commit readers silently never replay
+    var version = math.max(
+      versions0.lastOption.getOrElse(-1L),
+      state.map(_.version).getOrElse(-1L)) + 1
     var committed = -1L
     var attempts = 0
     var seen = versions0.toSet

@@ -43,6 +43,26 @@ class DeltaCheckpointWriteSpec extends SparkFunSuite {
       .deleteDirectory(new java.io.File(dir).getParentFile)
   }
 
+  test("appending to a fully-vacuumed log (checkpoint only, no JSON " +
+      "commits) claims the version ABOVE the checkpoint — never one " +
+      "readers would skip") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ckvac").toString + "/t"
+    try {
+      DeltaLakeSink.append(Seq((1L, "a")).toDF("id", "name"), dir,
+        checkpointInterval = 1) // checkpoint at v0
+      val log = java.nio.file.Path.of(dir, "_delta_log")
+      java.nio.file.Files.delete(log.resolve(f"${0L}%020d.json"))
+      val v = DeltaLakeSink.append(Seq((2L, "b")).toDF("id", "name"), dir)
+      assert(v == 1L, s"the append must land above the checkpoint, got $v")
+      val ids = DeltaLakeSource.read(spark, dir)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L),
+        s"both the checkpointed row and the append must read, got $ids")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir).getParentFile)
+  }
+
   test("overwrite replaces the active set atomically; a racing commit " +
       "is a loud conflict, never a half-replace") {
     val dir = java.nio.file.Files
