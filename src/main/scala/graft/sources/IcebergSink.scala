@@ -71,7 +71,18 @@ object IcebergSink {
 
   /** Append `df`, creating the table when `metadata/` is absent.
     * Returns the new snapshot id. */
-  def append(df: DataFrame, tablePath: String): Long = {
+  def append(df: DataFrame, tablePath: String): Long =
+    commit(df, tablePath, carryForward = true)
+
+  /** REPLACE the table's contents: the new snapshot's manifest list
+    * carries NOTHING forward — only the new manifest — so every prior
+    * data (and delete) file drops from the current state while older
+    * snapshots stay time-travelable. */
+  def overwrite(df: DataFrame, tablePath: String): Long =
+    commit(df, tablePath, carryForward = false)
+
+  private def commit(df: DataFrame, tablePath: String,
+      carryForward: Boolean): Long = {
     val spark = df.sparkSession
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -166,7 +177,8 @@ object IcebergSink {
       e.put("status", 1); e.put("data_file", d); e
     })
     // new manifest list: previous snapshot's manifests carried forward
-    val carried: Seq[GenericRecord] = prev.flatMap { meta =>
+    val carried: Seq[GenericRecord] = (if (carryForward) prev
+      else None).flatMap { meta =>
       Option(meta.get("current-snapshot-id")).map(_.asLong).flatMap { id =>
         val snaps = meta.get("snapshots")
         (0 until snaps.size).map(snaps.get)

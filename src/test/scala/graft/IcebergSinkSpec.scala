@@ -34,6 +34,23 @@ class IcebergSinkSpec extends SparkFunSuite {
       .deleteDirectory(new java.io.File(dir).getParentFile)
   }
 
+  test("overwrite replaces the current state while older snapshots " +
+      "stay time-travelable") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_icesink3").toString + "/t"
+    try {
+      val s1 = IcebergSink.append(
+        Seq((1L, "a"), (2L, "b")).toDF("id", "name"), dir)
+      IcebergSink.overwrite(Seq((9L, "z")).toDF("id", "name"), dir)
+      val now = IcebergSource.read(spark, dir)
+        .collect().map(_.getLong(0)).toSeq
+      assert(now == Seq(9L), s"overwrite must replace, got $now")
+      assert(IcebergSource.read(spark, dir, snapshotId = Some(s1))
+        .count() == 2L, "the pre-overwrite snapshot still reads")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir).getParentFile)
+  }
+
   test("loud gates: schema mismatch and a concurrent version claim") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_icesink2").toString + "/t"
