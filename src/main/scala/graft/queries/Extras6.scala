@@ -470,10 +470,16 @@ object Extras6 extends QueryPack {
       fsOf(s, root).delete(new org.apache.hadoop.fs.Path(root), true)
       val cust = Tables.load(s, dir, "customer")
         .select(col("c_custkey"), col("c_name"))
-      val s1 = graft.sources.IcebergSink.append(
-        cust.filter(col("c_custkey") <= 50), root)
-      graft.sources.IcebergSink.append(
-        cust.filter(col("c_custkey") > 50 && col("c_custkey") <= 100), root)
+      cust.createOrReplaceTempView("graft_icew_cust")
+      val ch = (q: String) => graft.sql.ClickHouseSql.sql(s, q)
+      // both commits ride the dialect's INSERT INTO FUNCTION lane
+      val s1 = ch(
+        s"INSERT INTO FUNCTION iceberg('$root') " +
+          "SELECT c_custkey, c_name FROM graft_icew_cust " +
+          "WHERE c_custkey <= 50").collect().head.getLong(0)
+      ch(s"INSERT INTO FUNCTION iceberg('$root') " +
+        "SELECT c_custkey, c_name FROM graft_icew_cust " +
+        "WHERE c_custkey > 50 AND c_custkey <= 100")
       val atS1 = graft.sources.IcebergSource
         .read(s, root, snapshotId = Some(s1)).count()
       val expect1 = cust.filter(col("c_custkey") <= 50).count()

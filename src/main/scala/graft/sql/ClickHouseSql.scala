@@ -1351,18 +1351,25 @@ object ClickHouseSql {
     // this lane must run BEFORE lakehouse READ resolution, which would
     // otherwise turn the write target into a read view.
     val insertDelta = ("(?is)^INSERT\\s+INTO\\s+(?:TABLE\\s+)?FUNCTION\\s+" +
-      "deltaLake\\s*\\(\\s*'([^']+)'\\s*\\)\\s*" +
+      "(deltaLake|iceberg)\\s*\\(\\s*'([^']+)'\\s*\\)\\s*" +
       "(?:PARTITION\\s+BY\\s*\\(([^)]*)\\)\\s*)?(SELECT\\b.*|VALUES\\b.*)$").r
     trimmed0 match {
-      case insertDelta(path, partCols0, tail) =>
+      case insertDelta(fn, path, partCols0, tail) =>
         val pcs = Option(partCols0).map(_.split(',').map(_.trim)
           .filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
         val df =
           if (tail.matches("(?is)^VALUES\\b.*")) spark.sql(s"SELECT * FROM ($tail)")
           else sqlImpl(spark, tail)
+        import spark.implicits._
+        if (fn.equalsIgnoreCase("iceberg")) {
+          require(pcs.isEmpty,
+            "INSERT INTO FUNCTION iceberg: partitioned writes are not " +
+              "supported (unpartitioned v2 tables only)")
+          val sid = graft.sources.IcebergSink.append(df, path)
+          return Seq(sid).toDF("snapshot_id")
+        }
         val v = graft.sources.DeltaLakeSink.append(df, path,
           partitionBy = pcs)
-        import spark.implicits._
         return Seq(v).toDF("committed_version")
       case _ =>
     }
