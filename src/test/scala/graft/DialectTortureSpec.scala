@@ -378,5 +378,11 @@ class DialectTortureSpec extends SparkFunSuite {
       .collect().head.getString(0)
     assert(r.contains("deltaLake('/nope')") && r.contains("hudi('/nope')"),
       s"the literal must pass through untouched: $r")
+    // round 14: the *Cluster spellings are rewrites too — same rule
+    val r2 = ch("SELECT 'try icebergCluster(''c'', ''/nope'') or " +
+      "deltaLakeCluster(''c'', ''/nope'')' AS s FROM nation LIMIT 1")
+      .collect().head.getString(0)
+    assert(r2.contains("icebergCluster('c', '/nope')"),
+      s"cluster spellings in literals must pass through: $r2")
   }
 }
