@@ -722,6 +722,47 @@ object Extras6 extends QueryPack {
           array_join(expr("transform(history, h -> h.label)"), ",")
             .as("hist_labels"))
         .orderBy("key")
+    },
+
+    // Protobuf map<K,V> + oneof (round 14 — the LAST protobuf surface
+    // gap; reference ProtobufSerializer handles both): a map column
+    // round-trips as MapType through the spec's repeated entry-message
+    // wire shape, and oneof members keep EXPLICIT presence — the unset
+    // member of each row must read back NULL, never the proto3
+    // default (a default-filling decoder hash-mismatches on a/b).
+    Q.df("q_format_protobuf_map", """
+      SELECT n_nationkey AS key,
+        CAST(n_regionkey AS BIGINT) AS tag_val,
+        CAST(length(n_name) AS BIGINT) AS tag_len,
+        CASE WHEN n_nationkey % 2 = 0
+          THEN CAST(n_regionkey AS BIGINT) END AS a,
+        CASE WHEN n_nationkey % 2 <> 0 THEN n_name END AS b
+      FROM nation ORDER BY key""") { (s, dir) =>
+      val src = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("key"),
+          col("n_name").as("nm"),
+          map(col("n_name"), col("n_regionkey").cast("long"),
+            lit("len"), length(col("n_name")).cast("long")).as("tags"),
+          when(col("n_nationkey") % 2 === 0,
+            col("n_regionkey").cast("long")).as("a"),
+          when(col("n_nationkey") % 2 =!= 0, col("n_name")).as("b"))
+        .repartition(3)
+      val proto = """
+        syntax = "proto3";
+        message N {
+          int64 key = 1;
+          string nm = 2;
+          map<string, int64> tags = 3;
+          oneof pick { int64 a = 4; string b = 5; }
+        }"""
+      val path = s"/tmp/graft_pb_map_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.sources.ChProtobufFormat.writeProtobuf(src, path, proto, "N")
+      graft.sources.ChProtobufFormat.readProtobuf(s, path, proto, "N")
+        .select(col("key"),
+          element_at(col("tags"), col("nm")).as("tag_val"),
+          element_at(col("tags"), lit("len")).as("tag_len"),
+          col("a"), col("b"))
+        .orderBy("key")
     }
   )
 }

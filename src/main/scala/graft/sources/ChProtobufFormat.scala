@@ -27,8 +27,13 @@ import org.apache.spark.sql.types._
   * length-delimited sub-messages, recursive) and ENUM fields
   * (→ StringType carrying the enum NAME; unknown numbers decode to
   * the number's digits — proto3's open-enum behavior), both declared
-  * as TOP-LEVEL types and referenced by name. Nested type
-  * DEFINITIONS, maps and oneof still reject loudly.
+  * as TOP-LEVEL types and referenced by name. Round 14 also adds
+  * `map<K, V>` fields (→ MapType; the wire shape is the spec's
+  * repeated entry-message with key = 1 / value = 2, last key wins)
+  * and `oneof` blocks (members flatten to nullable columns with
+  * EXPLICIT presence: unset members read back NULL, never the proto3
+  * default, and writing a row with two set members of one oneof is
+  * loud). Nested type DEFINITIONS still reject loudly.
   *
   * Framing, per the reference's two formats:
   *   Protobuf        every row is one message prefixed by a VARINT
@@ -47,8 +52,15 @@ object ChProtobufFormat {
 
   // ------------------------------------------------------------- schema
 
+  /** One declared field. `ptype` is the scalar/message/enum type name,
+    * or the literal "map" for map fields (key/value types in `mapKV`).
+    * `oneofGroup` carries the enclosing oneof's name for its members —
+    * they encode/decode with explicit presence. */
   final case class ProtoField(name: String, number: Int, ptype: String,
-      repeated: Boolean)
+      repeated: Boolean, mapKV: Option[(String, String)] = None,
+      oneofGroup: Option[String] = None) {
+    def isMap: Boolean = mapKV.isDefined
+  }
 
   /** Every top-level type in a schema file: message name → fields,
     * enum name → (value name → number). */
@@ -65,38 +77,74 @@ object ChProtobufFormat {
     "bytes", "int32", "int64", "uint32", "uint64", "sint32", "sint64",
     "fixed32", "sfixed32", "fixed64", "sfixed64")
 
+  /** Legal map KEY types per the proto3 spec: any integral or string
+    * type (no floats, bytes, enums or messages). */
+  private val mapKeyTypes = Set("bool", "string", "int32", "int64",
+    "uint32", "uint64", "sint32", "sint64", "fixed32", "sfixed32",
+    "fixed64", "sfixed64")
+
+  /** Every top-level `kind name { body }` block, brace-balanced (a
+    * `[^{}]*` body regex would refuse any message carrying a oneof
+    * block). Nested definitions are consumed with their parent and
+    * rejected by the per-message parse, never silently registered. */
+  private def topLevelBlocks(clean: String): Seq[(String, String, String)] = {
+    val out = Seq.newBuilder[(String, String, String)]
+    val kw = "\\b(message|enum)\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*\\{"
+      .r.pattern.matcher(clean)
+    var at = 0
+    while (kw.find(at)) {
+      val open = kw.end - 1
+      var depth = 1
+      var i = open + 1
+      while (depth > 0) {
+        require(i < clean.length,
+          s"protobuf: unbalanced braces in ${kw.group(1)} ${kw.group(2)}")
+        val c = clean.charAt(i)
+        if (c == '{') depth += 1 else if (c == '}') depth -= 1
+        i += 1
+      }
+      out += ((kw.group(1), kw.group(2), clean.substring(open + 1, i - 1)))
+      at = i
+    }
+    out.result()
+  }
+
   /** Parse every TOP-LEVEL `enum E { A = 0; … }` and `message M {…}`
-    * in the schema text (nested type definitions stay loud — the
-    * per-message parse rejects brace-carrying bodies). */
+    * in the schema text (nested type DEFINITIONS stay loud — the
+    * per-message parse rejects message/enum keywords in bodies). */
   def parseRegistry(schemaText: String): ProtoRegistry = {
     val clean = schemaText.replaceAll("//[^\n]*", "")
       .replaceAll("(?s)/\\*.*?\\*/", "")
-    val enumRe =
-      "(?s)\\benum\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*\\{([^{}]*)\\}".r
+    val blocks = topLevelBlocks(clean)
     val enumValRe =
       "([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*(-?\\d+)\\s*;".r
-    val enums = enumRe.findAllMatchIn(clean).map { m =>
-      val vals = enumValRe.findAllMatchIn(m.group(2))
+    val enums = blocks.collect { case ("enum", n, body) =>
+      val vals = enumValRe.findAllMatchIn(body)
         .map(v => v.group(1) -> v.group(2).toInt).toSeq
-      require(vals.nonEmpty, s"protobuf: enum ${m.group(1)} has no values")
-      m.group(1) -> vals.toMap
+      require(vals.nonEmpty, s"protobuf: enum $n has no values")
+      n -> vals.toMap
     }.toMap
-    val msgRe =
-      "(?s)\\bmessage\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*\\{([^{}]*)\\}".r
-    val names = msgRe.findAllMatchIn(clean).map(_.group(1)).toSeq
+    val msgs = blocks.collect { case ("message", n, body) => n -> body }
+    require(msgs.map(_._1).distinct.length == msgs.length,
+      "protobuf: duplicate top-level message names")
     // two passes so forward references between messages resolve
-    var reg = ProtoRegistry(names.map(_ -> Seq.empty[ProtoField]).toMap,
+    var reg = ProtoRegistry(msgs.map(_._1 -> Seq.empty[ProtoField]).toMap,
       enums)
-    reg = ProtoRegistry(names.map(n =>
-      n -> parseMessageBody(clean, n, reg)).toMap, enums)
+    reg = ProtoRegistry(msgs.map { case (n, body) =>
+      n -> parseMessageBody(n, body, reg)
+    }.toMap, enums)
     // recursive message shapes have no static Spark schema — loud
+    // (map VALUES may be messages too, so they join the dependency walk)
     def cycles(n: String, seen: Set[String]): Unit = {
       require(!seen(n), s"protobuf: message '$n' is recursive — " +
         "tree-shaped messages cannot map to a static table schema")
-      reg.messages(n).map(_.ptype).filter(reg.isMessage)
+      reg.messages(n)
+        .flatMap(f => f.mapKV.map(_._2).toSeq ++
+          (if (f.isMap) Nil else Seq(f.ptype)))
+        .filter(reg.isMessage)
         .foreach(cycles(_, seen + n))
     }
-    names.foreach(cycles(_, Set.empty))
+    msgs.foreach { case (n, _) => cycles(n, Set.empty) }
     reg
   }
 
@@ -106,64 +154,107 @@ object ChProtobufFormat {
     val reg = parseRegistry(schemaText)
     reg.messages.getOrElse(message, throw new IllegalArgumentException(
       s"protobuf: message '$message' not found in the schema " +
-        "(nested messages are not supported)"))
+        "(nested message definitions are not supported)"))
   }
 
-  private def parseMessageBody(schemaText: String, message: String,
-      reg: ProtoRegistry): Seq[ProtoField] = {
-    // strip comments
-    val clean = schemaText.replaceAll("//[^\n]*", "")
-      .replaceAll("(?s)/\\*.*?\\*/", "")
-    val msgRe = ("(?s)\\bmessage\\s+" + java.util.regex.Pattern.quote(message) +
-      "\\s*\\{([^{}]*)\\}").r
-    val body = msgRe.findFirstMatchIn(clean).map(_.group(1)).getOrElse(
-      throw new IllegalArgumentException(
-        s"protobuf: message '$message' not found in the schema " +
-          "(nested messages are not supported)"))
-    // the loud-reject contract must hold for declarations the field
-    // regex would otherwise SKIP silently (map<>/oneof/option/reserved)
-    Seq("map\\s*<" -> "map fields", "\\boneof\\b" -> "oneof blocks",
-      "\\breserved\\b" -> "reserved ranges").foreach { case (re, what) =>
-      if (("(?i)" + re).r.findFirstIn(body).isDefined)
-        throw new IllegalArgumentException(
-          s"protobuf: $what are not supported (flat scalar messages only)")
-    }
-    // not line-anchored: `message M { int64 k = 1; string s = 2; }` on
-    // one line parses the same as the multi-line layout
+  /** Plain `repeated? Type name = N;` declarations in `text` — not
+    * line-anchored, so one-line message bodies parse the same. */
+  private def plainFields(text: String, reg: ProtoRegistry,
+      oneofGroup: Option[String]): Seq[ProtoField] = {
     val fieldRe =
       "(repeated\\s+)?([A-Za-z_][A-Za-z0-9_.]*)\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*(\\d+)\\s*;".r
-    val fields = fieldRe.findAllMatchIn(body).map { m =>
+    fieldRe.findAllMatchIn(text).map { m =>
       // qualified references (".pkg.Name") resolve by simple name —
       // this parser has no packages
       val t0 = m.group(2)
       val t = t0.split('.').last
       require(scalarTypes(t) || reg.isMessage(t) || reg.isEnum(t),
         s"protobuf: unsupported field type '$t0' (scalars plus " +
-          "top-level message/enum references only — no maps)")
-      ProtoField(m.group(3), m.group(4).toInt, t, m.group(1) != null)
+          "top-level message/enum references only)")
+      require(oneofGroup.isEmpty || m.group(1) == null,
+        s"protobuf: repeated fields are not allowed inside oneof " +
+          s"'${oneofGroup.get}' (the proto3 grammar forbids them)")
+      ProtoField(m.group(3), m.group(4).toInt, t, m.group(1) != null,
+        oneofGroup = oneofGroup)
     }.toSeq
+  }
+
+  private def parseMessageBody(message: String, body0: String,
+      reg: ProtoRegistry): Seq[ProtoField] = {
+    // nested type DEFINITIONS stay loud: the oneof extraction below
+    // leaves any message/enum keyword in a body un-consumed, and
+    // `reserved` ranges would silently skip otherwise
+    Seq("\\bmessage\\b" -> "nested message definitions",
+      "\\benum\\b" -> "nested enum definitions",
+      "\\breserved\\b" -> "reserved ranges").foreach { case (re, what) =>
+      if (re.r.findFirstIn(body0).isDefined)
+        throw new IllegalArgumentException(
+          s"protobuf: $what are not supported in message '$message' " +
+            "(declare types at the top level)")
+    }
+    // oneof blocks: brace-free bodies (nested defs already rejected),
+    // members parse as explicit-presence fields of the group
+    val oneofRe =
+      "(?s)\\boneof\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*\\{([^{}]*)\\}".r
+    val oneofFields = oneofRe.findAllMatchIn(body0).flatMap { m =>
+      require(!"\\bmap\\s*<".r.findFirstIn(m.group(2)).isDefined,
+        s"protobuf: map fields are not allowed inside oneof '${m.group(1)}'")
+      val fs = plainFields(m.group(2), reg, Some(m.group(1)))
+      require(fs.nonEmpty,
+        s"protobuf: oneof '${m.group(1)}' has no members")
+      fs
+    }.toSeq
+    val body1 = oneofRe.replaceAllIn(body0, " ")
+    // map<K, V> fields (proto3 spec: always singular, never packed)
+    val mapRe = ("\\bmap\\s*<\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*,\\s*" +
+      "([A-Za-z_][A-Za-z0-9_.]*)\\s*>\\s+([A-Za-z_][A-Za-z0-9_]*)" +
+      "\\s*=\\s*(\\d+)\\s*;").r
+    val mapFields = mapRe.findAllMatchIn(body1).map { m =>
+      val kt = m.group(1)
+      val vt = m.group(2).split('.').last
+      require(mapKeyTypes(kt),
+        s"protobuf: map key type '$kt' is illegal (proto3 allows " +
+          "integral, bool and string keys only)")
+      require(scalarTypes(vt) || reg.isMessage(vt) || reg.isEnum(vt),
+        s"protobuf: unsupported map value type '${m.group(2)}' " +
+          "(scalars plus top-level message/enum references only)")
+      ProtoField(m.group(3), m.group(4).toInt, "map", repeated = false,
+        mapKV = Some((kt, vt)))
+    }.toSeq
+    val body = mapRe.replaceAllIn(body1, " ")
+    val fields = plainFields(body, reg, None) ++ mapFields ++ oneofFields
     require(fields.nonEmpty, s"protobuf: message '$message' has no fields")
     require(fields.map(_.number).distinct.length == fields.length,
       "protobuf: duplicate field numbers")
+    require(fields.map(_.name).distinct.length == fields.length,
+      "protobuf: duplicate field names")
     fields.sortBy(_.number)
   }
 
+  private def baseType(t: String, reg: ProtoRegistry): DataType = t match {
+    case "double" => DoubleType
+    case "float" => FloatType
+    case "bool" => BooleanType
+    case "string" => StringType
+    case "bytes" => BinaryType
+    case "int32" | "sint32" | "sfixed32" => IntegerType
+    case "fixed32" | "uint32" => LongType // unsigned ranges need 64 bits
+    case t2 if reg.isMessage(t2) => sparkSchema(reg.messages(t2), reg)
+    case t2 if reg.isEnum(t2) => StringType
+    case _ => LongType
+  }
+
   /** Spark schema implied by the proto fields (field-number order).
-    * Message fields → StructType (recursive), enums → StringType. */
+    * Message fields → StructType (recursive), enums → StringType,
+    * maps → MapType. */
   def sparkSchema(fields: Seq[ProtoField],
       reg: ProtoRegistry = EmptyRegistry): StructType =
     StructType(fields.map { f =>
-      val base: DataType = f.ptype match {
-        case "double" => DoubleType
-        case "float" => FloatType
-        case "bool" => BooleanType
-        case "string" => StringType
-        case "bytes" => BinaryType
-        case "int32" | "sint32" | "sfixed32" => IntegerType
-        case "fixed32" | "uint32" => LongType // unsigned ranges need 64 bits
-        case t if reg.isMessage(t) => sparkSchema(reg.messages(t), reg)
-        case t if reg.isEnum(t) => StringType
-        case _ => LongType
+      val base: DataType = f.mapKV match {
+        case Some((kt, vt)) =>
+          MapType(baseType(kt, reg), baseType(vt, reg),
+            valueContainsNull = false)
+        case None => baseType(f.ptype, reg)
       }
       StructField(f.name,
         if (f.repeated) ArrayType(base, containsNull = false) else base,
@@ -173,7 +264,7 @@ object ChProtobufFormat {
   private def wireType(t: String, reg: ProtoRegistry): Int = t match {
     case "double" | "fixed64" | "sfixed64" => 1
     case "float" | "fixed32" | "sfixed32" => 5
-    case "string" | "bytes" => 2
+    case "string" | "bytes" | "map" => 2
     case t2 if reg.isMessage(t2) => 2 // length-delimited sub-message
     case _ => 0 // varints (incl. enums)
   }
@@ -249,19 +340,57 @@ object ChProtobufFormat {
       writeVarint(out, n.toLong)
     }
 
+  /** One map entry's tag + length-delimited payload (key = 1,
+    * value = 2; a NULL value writes as its default — message values
+    * stay absent, the wire's default instance). */
+  private def writeMapEntry(out: java.io.ByteArrayOutputStream,
+      num: Int, kt: String, vt: String, k: Any, v: Any,
+      reg: ProtoRegistry): Unit = {
+    val entry = new java.io.ByteArrayOutputStream()
+    writeVarint(entry, (1L << 3) | wireType(kt, reg))
+    writeScalar(entry, kt, k)
+    val vv = if (v == null && !reg.isMessage(vt)) defaultOf(vt, reg) else v
+    if (vv != null) {
+      writeVarint(entry, (2L << 3) | wireType(vt, reg))
+      if (reg.isMessage(vt) || reg.isEnum(vt))
+        writeComposite(entry, vt, vv, reg)
+      else writeScalar(entry, vt, vv)
+    }
+    writeVarint(out, (num.toLong << 3) | 2)
+    writeVarint(out, entry.size.toLong)
+    entry.writeTo(out)
+  }
+
   /** One row → one serialized message (no framing). */
   def encodeRow(row: Row, schema: StructType, fields: Seq[ProtoField],
       reg: ProtoRegistry = EmptyRegistry): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
+    // oneof contract: at most one set member per group
+    fields.filter(_.oneofGroup.isDefined).groupBy(_.oneofGroup.get)
+      .foreach { case (g, fs) =>
+        val set = fs.filterNot(f => row.isNullAt(schema.fieldIndex(f.name)))
+        require(set.length <= 1,
+          s"protobuf: oneof '$g' has ${set.length} set members " +
+            s"(${set.map(_.name).mkString(", ")}) — a oneof carries at " +
+            "most one")
+      }
     fields.foreach { f =>
       val idx = schema.fieldIndex(f.name)
       val wt = wireType(f.ptype, reg)
       val composite = reg.isMessage(f.ptype) || reg.isEnum(f.ptype)
-      if (!f.repeated) {
+      if (f.isMap) {
+        if (!row.isNullAt(idx)) {
+          val (kt, vt) = f.mapKV.get
+          row.getMap[Any, Any](idx).foreach { case (k, v) =>
+            writeMapEntry(out, f.number, kt, vt, k, v, reg)
+          }
+        }
+      } else if (!f.repeated) {
         if (row.isNullAt(idx)) {
           // proto3: NULL = default; an absent MESSAGE is simply not
-          // written (there is no default instance on the wire)
-          if (!reg.isMessage(f.ptype)) {
+          // written (there is no default instance on the wire), and a
+          // oneof member has EXPLICIT presence — unset writes nothing
+          if (!reg.isMessage(f.ptype) && f.oneofGroup.isEmpty) {
             writeVarint(out, (f.number.toLong << 3) | wt)
             if (composite) writeComposite(out, f.ptype,
               defaultOf(f.ptype, reg), reg)
@@ -373,20 +502,52 @@ object ChProtobufFormat {
     val vals = new Array[Any](fields.length)
     val lists = fields.map(f =>
       if (f.repeated) scala.collection.mutable.ArrayBuffer.empty[Any] else null)
+    val maps = fields.map(f =>
+      if (f.isMap) scala.collection.mutable.LinkedHashMap.empty[Any, Any]
+      else null)
     val r = new ByteReader(msg)
-    def readValue(f: ProtoField): Any =
-      if (reg.isMessage(f.ptype))
-        decodeRow(r.bytes(r.varint().toInt), reg.messages(f.ptype), reg)
-      else if (reg.isEnum(f.ptype)) {
-        val n = r.varint().toInt
-        reg.enums(f.ptype).find(_._2 == n).map(_._1)
+    def readTyped(rr: ByteReader, t: String): Any =
+      if (reg.isMessage(t))
+        decodeRow(rr.bytes(rr.varint().toInt), reg.messages(t), reg)
+      else if (reg.isEnum(t)) {
+        val n = rr.varint().toInt
+        reg.enums(t).find(_._2 == n).map(_._1)
           .getOrElse(n.toString) // proto3 open enum
-      } else readScalar(r, f.ptype)
+      } else readScalar(rr, t)
+    def readValue(f: ProtoField): Any = readTyped(r, f.ptype)
+    def skipField(rr: ByteReader, wt: Int): Unit = wt match {
+      case 0 => rr.varint()
+      case 1 => rr.fixed64()
+      case 2 => rr.bytes(rr.varint().toInt)
+      case 5 => rr.fixed32()
+      case other => throw new IllegalArgumentException(
+        s"protobuf: unsupported wire type $other")
+    }
     while (r.hasMore) {
       val key = r.varint()
       val num = (key >>> 3).toInt
       val wt = (key & 7).toInt
       byNumber.get(num) match {
+        case Some((f, i)) if f.isMap =>
+          // one length-delimited entry message: key = 1, value = 2;
+          // absent halves take their defaults (the spec's contract);
+          // duplicate keys: LAST entry wins
+          val (kt, vt) = f.mapKV.get
+          val er = new ByteReader(r.bytes(r.varint().toInt))
+          var k: Any = defaultOf(kt, reg)
+          var v: Any =
+            if (reg.isMessage(vt))
+              decodeRow(Array.emptyByteArray, reg.messages(vt), reg)
+            else defaultOf(vt, reg)
+          while (er.hasMore) {
+            val ekey = er.varint()
+            (ekey >>> 3).toInt match {
+              case 1 => k = readTyped(er, kt)
+              case 2 => v = readTyped(er, vt)
+              case _ => skipField(er, (ekey & 7).toInt)
+            }
+          }
+          maps(i)(k) = v
         case Some((f, i)) =>
           if (f.repeated && wt == 2 && wireType(f.ptype, reg) != 2) {
             // packed numerics/enums
@@ -399,19 +560,14 @@ object ChProtobufFormat {
             vals(i) = readValue(f)
           }
         case None => // unknown field: skip by wire type (proto contract)
-          wt match {
-            case 0 => r.varint()
-            case 1 => r.fixed64()
-            case 2 => r.bytes(r.varint().toInt)
-            case 5 => r.fixed32()
-            case other => throw new IllegalArgumentException(
-              s"protobuf: unsupported wire type $other")
-          }
+          skipField(r, wt)
       }
     }
     fields.zipWithIndex.foreach { case (f, i) =>
       if (f.repeated) vals(i) = lists(i).toSeq
-      else if (vals(i) == null && !reg.isMessage(f.ptype))
+      else if (f.isMap) vals(i) = maps(i).toMap // absent map = empty
+      else if (vals(i) == null && !reg.isMessage(f.ptype) &&
+          f.oneofGroup.isEmpty) // oneof members keep explicit presence
         vals(i) = defaultOf(f.ptype, reg) match {
           case b: Array[Byte] => b
           case x => x

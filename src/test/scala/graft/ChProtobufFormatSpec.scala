@@ -32,24 +32,23 @@ class ChProtobufFormatSpec extends SparkFunSuite {
         "message A { message B { int32 x = 1; } int32 y = 2; }", "A")
     }
     assert(e.getMessage.contains("not found") ||
-      e.getMessage.contains("unsupported"))
+      e.getMessage.contains("unsupported") ||
+      e.getMessage.contains("not supported"))
     val e2 = intercept[IllegalArgumentException] {
       ChProtobufFormat.parseProto("message A { SomeEnum e = 1; }", "A")
     }
     assert(e2.getMessage.contains("unsupported field type"))
-    // review fix: map<> / oneof were silently SKIPPED by the field
-    // regex — they must reject loudly like the doc promises
-    val e3 = intercept[IllegalArgumentException] {
-      ChProtobufFormat.parseProto(
-        "message A { int64 id = 1; map<string,int64> tags = 2; }", "A")
-    }
-    assert(e3.getMessage.contains("map fields"))
-    val e4 = intercept[IllegalArgumentException] {
-      ChProtobufFormat.parseProto(
-        "message A { int64 id = 1; oneof pick { int32 a = 2; } }", "A")
-    }
-    assert(e4.getMessage.toLowerCase.contains("oneof") ||
-      e4.getMessage.contains("not found"))
+    // round 14: map<> / oneof are SUPPORTED now (ChProtobufMapOneofSpec
+    // owns their semantics) — here only the parse shape is pinned so a
+    // regression back to the silent-skip era stays loud
+    val withMap = ChProtobufFormat.parseProto(
+      "message A { int64 id = 1; map<string,int64> tags = 2; }", "A")
+    assert(withMap.map(f => (f.name, f.isMap)) ==
+      Seq(("id", false), ("tags", true)))
+    val withOneof = ChProtobufFormat.parseProto(
+      "message A { int64 id = 1; oneof pick { int32 a = 2; } }", "A")
+    assert(withOneof.map(f => (f.name, f.oneofGroup)) ==
+      Seq(("id", None), ("a", Some("pick"))))
   }
 
   test("golden bytes: the documented wire encoding, byte for byte") {
