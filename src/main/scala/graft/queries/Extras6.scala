@@ -724,6 +724,70 @@ object Extras6 extends QueryPack {
         .orderBy("key")
     },
 
+    // Delta row-level DELETE (round 14 — copy-on-write remove+add
+    // commits, the write-side twin of the DV read): build a partitioned
+    // table through the dialect, DELETE a predicate slice, read the
+    // survivors back through the native log replay. Time travel to the
+    // pre-delete version is asserted inside the fixture; the oracle
+    // recomputes the surviving set from the source table.
+    Q.df("q_delta_delete_rows", """
+      SELECT c_custkey, c_name, CASE WHEN c_custkey % 2 = 0
+        THEN 'even' ELSE 'odd' END AS seg
+      FROM customer
+      WHERE c_custkey <= 120 AND c_custkey % 3 <> 0
+      ORDER BY c_custkey""") { (s, dir) =>
+      val root = s"/tmp/graft_deltadel_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      fsOf(s, root).delete(new org.apache.hadoop.fs.Path(root), true)
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"))
+        .createOrReplaceTempView("graft_dd_cust")
+      val ch = (q: String) => graft.sql.ClickHouseSql.sql(s, q)
+      ch(s"INSERT INTO FUNCTION deltaLake('$root') PARTITION BY (seg) " +
+        "SELECT c_custkey, c_name, CASE WHEN c_custkey % 2 = 0 " +
+        "THEN 'even' ELSE 'odd' END AS seg " +
+        "FROM graft_dd_cust WHERE c_custkey <= 120")
+      val total = Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") <= 120).count()
+      val expectDel = Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") <= 120 && col("c_custkey") % 3 === 0)
+        .count()
+      val del = ch(s"DELETE FROM FUNCTION deltaLake('$root') " +
+        "WHERE c_custkey % 3 = 0").collect().head
+      require(del.getLong(0) == 1L && del.getLong(1) == expectDel,
+        s"delete must commit v1 removing $expectDel rows, got $del")
+      val n0 = ch(s"SELECT count() AS n FROM deltaLake('$root', 0)")
+        .collect().head.getLong(0)
+      require(n0 == total,
+        s"time travel to v0 must still see all $total rows, got $n0")
+      ch(s"SELECT c_custkey, c_name, seg FROM deltaLake('$root') " +
+        "ORDER BY c_custkey")
+    },
+
+    // Delta row-level UPDATE (round 14): the same copy-on-write
+    // machinery with assignments applied WHERE-matched (unmatched rows
+    // in rewritten files carry over verbatim — a whole-file transform
+    // would corrupt them and hash-mismatch here).
+    Q.df("q_delta_update_rows", """
+      SELECT c_custkey,
+        CASE WHEN c_custkey % 5 = 0 THEN upper(c_name)
+             ELSE c_name END AS c_name
+      FROM customer WHERE c_custkey <= 100
+      ORDER BY c_custkey""") { (s, dir) =>
+      val root = s"/tmp/graft_deltaupd_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      fsOf(s, root).delete(new org.apache.hadoop.fs.Path(root), true)
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"))
+        .createOrReplaceTempView("graft_du_cust")
+      val ch = (q: String) => graft.sql.ClickHouseSql.sql(s, q)
+      ch(s"INSERT INTO FUNCTION deltaLake('$root') " +
+        "SELECT c_custkey, c_name FROM graft_du_cust " +
+        "WHERE c_custkey <= 100")
+      ch(s"ALTER TABLE FUNCTION deltaLake('$root') " +
+        "UPDATE c_name = upper(c_name) WHERE c_custkey % 5 = 0")
+      ch(s"SELECT c_custkey, c_name FROM deltaLake('$root') " +
+        "ORDER BY c_custkey")
+    },
+
     // Protobuf map<K,V> + oneof (round 14 — the LAST protobuf surface
     // gap; reference ProtobufSerializer handles both): a map column
     // round-trips as MapType through the spec's repeated entry-message

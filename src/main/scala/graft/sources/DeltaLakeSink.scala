@@ -123,62 +123,11 @@ object DeltaLakeSink {
       s"deltaLake write: partition column '$c' missing from the data"))
 
     // ---- stage the data files (one distributed write job) ----
-    val txn = java.util.UUID.randomUUID().toString
-    val stage = new Path(root, s"__graft_delta_stage_$txn")
-    val writer = df.write.mode("overwrite")
-    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
-      .parquet(stage.toString)
-    // (relative path in the table, size, partitionValues)
-    val adds = scala.collection.mutable.ArrayBuffer
-      .empty[(String, Long, Map[String, Option[String]])]
-    def walk(p: Path, parts: Map[String, Option[String]]): Unit =
-      fs.listStatus(p).foreach { st =>
-        val n = st.getPath.getName
-        if (st.isDirectory && n.contains("=")) {
-          val Array(k, v) = n.split("=", 2)
-          val value =
-            if (v == "__HIVE_DEFAULT_PARTITION__") None
-            else Some(java.net.URLDecoder.decode(v, "UTF-8"))
-          walk(st.getPath, parts + (k -> value))
-        } else if (n.endsWith(".parquet") && !n.startsWith(".")) {
-          // move into the table under a txn-unique flat name; partition
-          // values live in the LOG (the Delta model), not the path
-          val rel = s"part-$txn-${adds.length}.parquet"
-          val dst = new Path(root, rel)
-          if (!fs.rename(st.getPath, dst))
-            throw new IllegalStateException(
-              s"deltaLake write: staging rename to $dst failed")
-          adds += ((rel, fs.getFileStatus(dst).getLen, parts))
-        }
-      }
-    try {
-      walk(stage, Map.empty)
-    } finally fs.delete(stage, true)
-    val added = adds.toSeq
+    val added = stageDataFiles(df, root, fs, partCols)
     require(added.nonEmpty || !creating,
       "deltaLake write: refusing to create a table from zero files")
 
     // ---- commit with optimistic concurrency ----
-    def addJson(rel: String, size: Long,
-        pv: Map[String, Option[String]]): String = {
-      val pvNode = mapper.createObjectNode()
-      pv.foreach { case (k, v) =>
-        v match {
-          case Some(x) => pvNode.put(k, x)
-          case None => pvNode.putNull(k)
-        }
-      }
-      val add = mapper.createObjectNode()
-      add.put("path", rel)
-      add.set[com.fasterxml.jackson.databind.JsonNode]("partitionValues",
-        pvNode)
-      add.put("size", size)
-      add.put("modificationTime", System.currentTimeMillis())
-      add.put("dataChange", true)
-      val line = mapper.createObjectNode()
-      line.set[com.fasterxml.jackson.databind.JsonNode]("add", add)
-      mapper.writeValueAsString(line)
-    }
     def metaLines(): Seq[String] = {
       val meta = mapper.createObjectNode()
       meta.put("id", java.util.UUID.randomUUID().toString)
@@ -206,15 +155,6 @@ object DeltaLakeSink {
         "metaData", meta)
       Seq(mapper.writeValueAsString(protoLine),
         mapper.writeValueAsString(metaLine))
-    }
-    def removeJson(path: String): String = {
-      val rm = mapper.createObjectNode()
-      rm.put("path", path)
-      rm.put("deletionTimestamp", System.currentTimeMillis())
-      rm.put("dataChange", true)
-      val line = mapper.createObjectNode()
-      line.set[com.fasterxml.jackson.databind.JsonNode]("remove", rm)
-      mapper.writeValueAsString(line)
     }
     val removes =
       if (replace) state.map(_.active.map(_._1)).getOrElse(Seq.empty)
@@ -285,6 +225,203 @@ object DeltaLakeSink {
         (committed + 1) % checkpointInterval == 0)
       writeCheckpoint(spark, tablePath, committed)
     committed
+  }
+
+  /** Stage `df`'s rows as parquet files inside the table directory
+    * under txn-unique flat names, returning one (relative path, size,
+    * partitionValues) tuple per file. Partitioned data goes through
+    * Spark's partitionBy; the Hive-style staging dirs are walked back
+    * into LOG partitionValues (the Delta model keeps them in the log,
+    * not the path). A failure leaves only orphan files a VACUUM would
+    * collect — never a visible state change. */
+  private def stageDataFiles(df: DataFrame, root: Path,
+      fs: org.apache.hadoop.fs.FileSystem, partCols: Seq[String])
+      : Seq[(String, Long, Map[String, Option[String]])] = {
+    val txn = java.util.UUID.randomUUID().toString
+    val stage = new Path(root, s"__graft_delta_stage_$txn")
+    val writer = df.write.mode("overwrite")
+    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+      .parquet(stage.toString)
+    val adds = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Map[String, Option[String]])]
+    def walk(p: Path, parts: Map[String, Option[String]]): Unit =
+      fs.listStatus(p).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n.contains("=")) {
+          val Array(k, v) = n.split("=", 2)
+          val value =
+            if (v == "__HIVE_DEFAULT_PARTITION__") None
+            else Some(java.net.URLDecoder.decode(v, "UTF-8"))
+          walk(st.getPath, parts + (k -> value))
+        } else if (n.endsWith(".parquet") && !n.startsWith(".")) {
+          val rel = s"part-$txn-${adds.length}.parquet"
+          val dst = new Path(root, rel)
+          if (!fs.rename(st.getPath, dst))
+            throw new IllegalStateException(
+              s"deltaLake write: staging rename to $dst failed")
+          adds += ((rel, fs.getFileStatus(dst).getLen, parts))
+        }
+      }
+    try {
+      walk(stage, Map.empty)
+    } finally fs.delete(stage, true)
+    adds.toSeq
+  }
+
+  private def addJson(rel: String, size: Long,
+      pv: Map[String, Option[String]]): String = {
+    val pvNode = mapper.createObjectNode()
+    pv.foreach { case (k, v) =>
+      v match {
+        case Some(x) => pvNode.put(k, x)
+        case None => pvNode.putNull(k)
+      }
+    }
+    val add = mapper.createObjectNode()
+    add.put("path", rel)
+    add.set[com.fasterxml.jackson.databind.JsonNode]("partitionValues",
+      pvNode)
+    add.put("size", size)
+    add.put("modificationTime", System.currentTimeMillis())
+    add.put("dataChange", true)
+    val line = mapper.createObjectNode()
+    line.set[com.fasterxml.jackson.databind.JsonNode]("add", add)
+    mapper.writeValueAsString(line)
+  }
+
+  private def removeJson(path: String): String = {
+    val rm = mapper.createObjectNode()
+    rm.put("path", path)
+    rm.put("deletionTimestamp", System.currentTimeMillis())
+    rm.put("dataChange", true)
+    val line = mapper.createObjectNode()
+    line.set[com.fasterxml.jackson.databind.JsonNode]("remove", rm)
+    mapper.writeValueAsString(line)
+  }
+
+  /** Row-level DELETE through a copy-on-write rewrite (the protocol's
+    * remove + add commit; the reference's row-level Delta mutations go
+    * through the same kernel commit shape). Only files that HOLD
+    * matching rows rewrite — untouched files keep their identity, so
+    * a partition-pruned predicate touches one partition's files on a
+    * 100 TB table. Returns (committed version, rows deleted); deleting
+    * zero rows commits nothing and returns the current version. */
+  def delete(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      predicate: org.apache.spark.sql.Column,
+      checkpointInterval: Int = 10): (Long, Long) =
+    mutate(spark, tablePath, predicate, None, checkpointInterval)
+
+  /** Row-level UPDATE through the same copy-on-write rewrite: matched
+    * files rewrite with each assignment applied WHERE the predicate
+    * holds (cast back to the column's declared type); unmatched rows in
+    * those files carry over verbatim. Partition ("key") columns refuse
+    * to update — the reference's MutationsInterpreter rule, and the
+    * rewrite depends on rows never changing partition. */
+  def update(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      assignments: Seq[(String, org.apache.spark.sql.Column)],
+      predicate: org.apache.spark.sql.Column,
+      checkpointInterval: Int = 10): (Long, Long) = {
+    require(assignments.nonEmpty, "deltaLake update: no assignments")
+    mutate(spark, tablePath, predicate, Some(assignments),
+      checkpointInterval)
+  }
+
+  private def mutate(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, predicate: org.apache.spark.sql.Column,
+      assignments: Option[Seq[(String, org.apache.spark.sql.Column)]],
+      checkpointInterval: Int): (Long, Long) = {
+    import org.apache.spark.sql.functions.{col, not, when}
+    val what = if (assignments.isEmpty) "delete" else "update"
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val state = DeltaLakeSource.replayLog(spark, tablePath)
+    val m = state.meta.getOrElse(throw new IllegalArgumentException(
+      s"deltaLake $what: the log has no metaData action"))
+    if (state.minWriter > 2 || state.writerFeatures.nonEmpty)
+      throw new IllegalArgumentException(
+        s"deltaLake $what: the table needs minWriterVersion " +
+          s"${state.minWriter}" +
+          (if (state.writerFeatures.nonEmpty)
+            s" with writerFeatures ${state.writerFeatures.mkString(", ")}"
+           else "") +
+          " — this protocol-2 writer refuses rather than violating " +
+          "invariants it cannot see")
+    require(m.configuration
+        .getOrElse("delta.columnMapping.mode", "none") == "none",
+      s"deltaLake $what: column-mapped tables are not supported — " +
+        "refusing rather than writing physical-name files blind")
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(m.schemaString)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val partCols = m.partitionColumns
+    assignments.foreach(_.foreach { case (c, _) =>
+      require(!partCols.exists(_.equalsIgnoreCase(c)),
+        s"Cannot UPDATE key column `$c` (it is a partition column)")
+      require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"deltaLake update: no column `$c` in the table schema")
+    })
+
+    // ---- 1. which files hold matching rows (distributed scan; only
+    // per-file COUNTS reach the driver — metadata scale) ----
+    val withFile = DeltaLakeSource.read(spark, tablePath,
+      withFileColumn = true)
+    val matchedCounts = withFile.filter(predicate)
+      .groupBy(col("__delta_file")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (matchedCounts.isEmpty) return (state.version, 0L)
+    val matchedRows = matchedCounts.values.sum
+    val byDecoded = state.active.map { case (p, _) =>
+      DeltaLakeSource.qualify(spark, tablePath, p).toUri.getPath -> p
+    }.toMap
+    val matchedLog = matchedCounts.keySet.map(k =>
+      byDecoded.getOrElse(k, throw new IllegalStateException(
+        s"deltaLake $what: scanned file $k is not in the log")))
+
+    // ---- 2. rewrite ONLY the matched files (one distributed job over
+    // exactly those files; existing deletion vectors apply during the
+    // read, so the rewritten files carry no DV) ----
+    val scoped = DeltaLakeSource.read(spark, tablePath,
+      onlyPaths = Some(matchedLog))
+    val rewritten = assignments match {
+      case None => scoped.filter(not(predicate))
+      case Some(asn) =>
+        asn.foldLeft(scoped) { case (d, (c, e)) =>
+          val declared = schema.fields
+            .find(_.name.equalsIgnoreCase(c)).get
+          d.withColumn(declared.name,
+            when(predicate, e.cast(declared.dataType))
+              .otherwise(col(declared.name)))
+        }
+    }
+    val added = stageDataFiles(rewritten, root, fs, partCols)
+
+    // ---- 3. one remove+add commit; a collision means the captured
+    // file set is stale — LOUD, never a silent lost update ----
+    val body = matchedLog.toSeq.sorted.map(removeJson) ++
+      added.map { case (rel, size, pv) => addJson(rel, size, pv) }
+    val version = state.version + 1
+    commitFailpoint()
+    val logDir = new Path(root, "_delta_log")
+    val target = new Path(logDir, f"$version%020d.json")
+    val claimed =
+      try {
+        val out = fs.create(target, false)
+        try out.write((body.mkString("\n") + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException
+            if Option(e.getMessage).exists(_.contains("exist")) => false
+      }
+    if (!claimed) throw new IllegalStateException(
+      s"deltaLake $what: a concurrent commit claimed version $version — " +
+        "the captured file set is stale, refusing rather than losing " +
+        "the concurrent change")
+    if (checkpointInterval > 0 && (version + 1) % checkpointInterval == 0)
+      writeCheckpoint(spark, tablePath, version)
+    (version, matchedRows)
   }
 
   /** Write the single-part checkpoint for `version` (PROTOCOL.md

@@ -337,12 +337,45 @@ object DeltaLakeSource {
       minWriter, writerFeatures, target)
   }
 
+  /** Resolve one add.path to its qualified filesystem Path (PROTOCOL.md:
+    * a percent-encoded URI, usually relative to the table root but
+    * legally absolute — shallow clones / external files). Shared by the
+    * reader and the sink's copy-on-write mutations. */
+  private[sources] def qualify(spark: SparkSession, tablePath: String,
+      p: String): Path = {
+    val uri = try new java.net.URI(p)
+      catch { case _: java.net.URISyntaxException => null }
+    val abs =
+      if (uri != null && uri.getScheme != null) new Path(uri)
+      else if (uri != null && uri.getPath.startsWith("/"))
+        new Path(uri.getPath)
+      else new Path(tablePath, if (uri != null) uri.getPath else p)
+    abs.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(abs)
+  }
+
+  /** Read the table at `tablePath`. `onlyPaths` restricts the scan to
+    * those active files (log path keys — the sink's mutation rewrite
+    * reads ONLY the files it rewrites); `withFileColumn` appends the
+    * decoded qualified path as `__delta_file` for per-file attribution
+    * (which files hold rows matching a DELETE predicate). */
   def read(spark: SparkSession, tablePath: String,
       versionAsOf: Option[Long] = None,
-      maxCollectedActions: Long = MaxCollectedActions): DataFrame = {
+      maxCollectedActions: Long = MaxCollectedActions,
+      onlyPaths: Option[Set[String]] = None,
+      withFileColumn: Boolean = false): DataFrame = {
     val state = replayLog(spark, tablePath, versionAsOf,
       maxCollectedActions)
-    val active = state.active
+    val active = onlyPaths match {
+      case None => state.active
+      case Some(ps) =>
+        val have = state.active.map(_._1).toSet
+        val missing = ps -- have
+        require(missing.isEmpty,
+          s"deltaLake: onlyPaths names files not active in the log: " +
+            missing.mkString(", "))
+        state.active.filter { case (p, _) => ps(p) }
+    }
     val meta = state.meta
     val minReader = state.minReader
     val readerFeatures = state.readerFeatures
@@ -405,7 +438,11 @@ object DeltaLakeSource {
 
     if (active.isEmpty)
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        if (withFileColumn)
+          StructType(schema.fields :+
+            StructField("__delta_file", StringType))
+        else schema)
 
     // Delta stores partition values in the LOG, not in the files — they
     // re-attach here. The 100 TB shape: ONE distributed scan over every
@@ -421,15 +458,7 @@ object DeltaLakeSource {
     // absolute URI keeps its scheme/authority instead of having getPath
     // resolved against tablePath (which would read the wrong location).
     val qualified = active.toSeq.map { case (p, a) =>
-      val uri = try new java.net.URI(p)
-        catch { case _: java.net.URISyntaxException => null }
-      val abs =
-        if (uri != null && uri.getScheme != null) new Path(uri)
-        else if (uri != null && uri.getPath.startsWith("/"))
-          new Path(uri.getPath)
-        else new Path(tablePath, if (uri != null) uri.getPath else p)
-      (abs.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .makeQualified(abs), a)
+      (qualify(spark, tablePath, p), a)
     }
     val hasDv = qualified.exists(_._2.dv.isDefined)
     val base0 = spark.read.schema(dataSchema)
@@ -491,10 +520,15 @@ object DeltaLakeSource {
       if (mappingMode == "none") col(f.name)
       else col(physName(f)).cast(f.dataType).as(f.name)
 
-    if (m.partitionColumns.isEmpty)
-      return base.select(
-        schema.fields.filterNot(f => m.partitionColumns.contains(f.name))
-          .map(logicalCol).toIndexedSeq: _*)
+    if (m.partitionColumns.isEmpty) {
+      val dataCols = schema.fields
+        .filterNot(f => m.partitionColumns.contains(f.name))
+        .map(logicalCol).toIndexedSeq
+      return if (!withFileColumn) base.select(dataCols: _*)
+        else base.select(dataCols :+
+          org.apache.spark.sql.functions.expr(fileKeyExpr)
+            .as("__delta_file"): _*)
+    }
     import org.apache.spark.sql.Row
     val pvSchema = StructType(
       StructField("__delta_file", StringType, nullable = false) +:
@@ -507,15 +541,17 @@ object DeltaLakeSource {
     }
     val pvDf = spark.createDataFrame(
       spark.sparkContext.parallelize(pvRows, 1), pvSchema)
+    val projected = schema.fields.map { f =>
+      if (m.partitionColumns.contains(f.name))
+        col(s"__pv_${f.name}").cast(f.dataType).as(f.name)
+      else logicalCol(f)
+    }.toIndexedSeq
     base
       .withColumn("__delta_file",
         org.apache.spark.sql.functions.expr(fileKeyExpr))
       .join(broadcast(pvDf), Seq("__delta_file"), "left")
-      .select(schema.fields.map { f =>
-        if (m.partitionColumns.contains(f.name))
-          col(s"__pv_${f.name}").cast(f.dataType).as(f.name)
-        else logicalCol(f)
-      }.toIndexedSeq: _*)
+      .select((if (withFileColumn) projected :+ col("__delta_file")
+        else projected): _*)
   }
 
   /** Serializable row-index membership test over broadcast DV bytes —

@@ -1373,6 +1373,46 @@ object ClickHouseSql {
         return Seq(v).toDF("committed_version")
       case _ =>
     }
+    // Row-level Delta mutations over the table-function spelling
+    // (round 14 — the write-side twin of the deltaLake() read):
+    //   DELETE FROM [TABLE] FUNCTION deltaLake('p') WHERE pred
+    //   ALTER TABLE FUNCTION deltaLake('p') DELETE WHERE pred
+    //   ALTER TABLE FUNCTION deltaLake('p') UPDATE a = e, … WHERE pred
+    // Copy-on-write remove+add commits through DeltaLakeSink.mutate —
+    // only files holding matching rows rewrite.
+    val deltaDelete = ("(?is)^ALTER\\s+TABLE\\s+FUNCTION\\s+" +
+      "deltaLake\\s*\\(\\s*'([^']+)'\\s*\\)" +
+      "\\s*DELETE\\s+WHERE\\s+(.+?);?\\s*$").r
+    val deltaDeleteShort = ("(?is)^DELETE\\s+FROM\\s+(?:TABLE\\s+)?FUNCTION\\s+" +
+      "deltaLake\\s*\\(\\s*'([^']+)'\\s*\\)\\s*WHERE\\s+(.+?);?\\s*$").r
+    val deltaUpdate = ("(?is)^ALTER\\s+TABLE\\s+FUNCTION\\s+" +
+      "deltaLake\\s*\\(\\s*'([^']+)'\\s*\\)\\s*UPDATE\\s+(.+?)\\s+" +
+      "WHERE\\s+(.+?);?\\s*$").r
+    trimmed0 match {
+      case deltaDelete(path, pred) =>
+        import spark.implicits._
+        val (v, n) = graft.sources.DeltaLakeSink.delete(spark, path,
+          org.apache.spark.sql.functions.expr(rewrite(pred)))
+        return Seq((v, n)).toDF("committed_version", "rows_deleted")
+      case deltaDeleteShort(path, pred) =>
+        import spark.implicits._
+        val (v, n) = graft.sources.DeltaLakeSink.delete(spark, path,
+          org.apache.spark.sql.functions.expr(rewrite(pred)))
+        return Seq((v, n)).toDF("committed_version", "rows_deleted")
+      case deltaUpdate(path, assigns, pred) =>
+        import spark.implicits._
+        val kv = "(?s)^\\s*`?([A-Za-z_][A-Za-z0-9_]*)`?\\s*=\\s*(.*)$".r
+        val asn = splitTopLevel(assigns).map {
+          case kv(c, e) => c -> org.apache.spark.sql.functions
+            .expr(rewrite(e))
+          case other => throw new IllegalArgumentException(
+            s"unparsable UPDATE assignment '$other'")
+        }
+        val (v, n) = graft.sources.DeltaLakeSink.update(spark, path,
+          asn, org.apache.spark.sql.functions.expr(rewrite(pred)))
+        return Seq((v, n)).toDF("committed_version", "rows_updated")
+      case _ =>
+    }
     // INSERT INTO t FROM INFILE 'path' [FORMAT fmt]
     // (ParserInsertQuery infile clause — the input twin of INTO
     // OUTFILE): read the file through the matching format reader with
