@@ -280,4 +280,253 @@ object IcebergSink {
     }
     snapshotId
   }
+
+  /** Row-level DELETE through a copy-on-write manifest rewrite (the
+    * spec's CoW path: rewrite the files holding matches, publish a new
+    * snapshot whose single data manifest lists every survivor —
+    * untouched files carry over BY REFERENCE, never rewritten, so a
+    * selective predicate touches a file-count-proportional slice of a
+    * 100 TB table). Returns (new snapshot id, rows deleted); zero
+    * matches commit nothing and return the current snapshot id. */
+  def delete(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      predicate: org.apache.spark.sql.Column): (Long, Long) =
+    mutate(spark, tablePath, predicate, None)
+
+  /** Row-level UPDATE: the same copy-on-write rewrite with assignments
+    * applied WHERE the predicate holds, cast to the declared column
+    * type; unmatched rows in rewritten files carry over verbatim. */
+  def update(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      assignments: Seq[(String, org.apache.spark.sql.Column)],
+      predicate: org.apache.spark.sql.Column): (Long, Long) = {
+    require(assignments.nonEmpty, "iceberg update: no assignments")
+    mutate(spark, tablePath, predicate, Some(assignments))
+  }
+
+  private def mutate(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, predicate: org.apache.spark.sql.Column,
+      assignments: Option[Seq[(String, org.apache.spark.sql.Column)]])
+      : (Long, Long) = {
+    import org.apache.spark.sql.functions.{col, expr, not, when}
+    val what = if (assignments.isEmpty) "delete" else "update"
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaDir = new Path(root, "metadata")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val metaRe = "^v(\\d+)\\.metadata\\.json$".r
+    val versions =
+      if (!fs.exists(metaDir)) Seq.empty[Int]
+      else fs.listStatus(metaDir).map(_.getPath.getName)
+        .collect { case metaRe(v) => v.toInt }.sorted.toSeq
+    require(versions.nonEmpty,
+      s"iceberg $what: $tablePath is not an Iceberg table")
+    val meta = {
+      val in = fs.open(new Path(metaDir,
+        s"v${versions.last}.metadata.json"))
+      try mapper.readTree(in.readAllBytes()) finally in.close()
+    }
+    val schemaNode = Option(meta.get("schemas")).map { arr =>
+      val cur = Option(meta.get("current-schema-id")).map(_.asInt)
+        .getOrElse(0)
+      (0 until arr.size).map(arr.get)
+        .find(_.get("schema-id").asInt == cur).getOrElse(arr.get(0))
+    }.getOrElse(meta.get("schema"))
+    val schema = IcebergSource.structOf(schemaNode)
+    val partitioned = Option(meta.get("partition-specs")).exists { arr =>
+      (0 until arr.size).map(arr.get).exists(sp =>
+        Option(sp.get("fields")).exists(_.size > 0))
+    }
+    require(!partitioned,
+      s"iceberg $what: partitioned tables are not supported by this " +
+        "writer")
+    assignments.foreach(_.foreach { case (c, _) =>
+      require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"iceberg update: no column `$c` in the table schema")
+    })
+    val curSnapId = Option(meta.get("current-snapshot-id")).map(_.asLong)
+      .getOrElse(throw new IllegalArgumentException(
+        s"iceberg $what: metadata has no current-snapshot-id"))
+    val snaps = meta.get("snapshots")
+    val manifestList = (0 until snaps.size).map(snaps.get)
+      .find(_.get("snapshot-id").asLong == curSnapId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"iceberg $what: snapshot $curSnapId missing")).get("manifest-list")
+      .asText
+
+    // ---- current state: data files (+ record counts); delete files
+    // make the current state depend on anti-join semantics a manifest
+    // rewrite cannot preserve — LOUD, compact first ----
+    def avroRecords(path: String): Seq[GenericRecord] = {
+      val in = fs.open(new Path(path))
+      val bytes = try in.readAllBytes() finally in.close()
+      val rd = new DataFileStream[GenericRecord](
+        new java.io.ByteArrayInputStream(bytes),
+        new GenericDatumReader[GenericRecord]())
+      try {
+        val out = Seq.newBuilder[GenericRecord]
+        while (rd.hasNext) out += rd.next()
+        out.result()
+      } finally rd.close()
+    }
+    def optField(r: GenericRecord, name: String): Option[AnyRef] =
+      if (r.getSchema.getField(name) == null) None else Option(r.get(name))
+    val dataFiles = Seq.newBuilder[(String, Long)] // path → record_count
+    avroRecords(manifestList).foreach { m =>
+      avroRecords(m.get("manifest_path").toString).foreach { e =>
+        val status = optField(e, "status").map(_.toString.toInt).getOrElse(1)
+        if (status != 2) {
+          val d = e.get("data_file").asInstanceOf[GenericRecord]
+          val content = optField(d, "content").map(_.toString.toInt)
+            .getOrElse(0)
+          require(content == 0,
+            s"iceberg $what: the current snapshot carries row-level " +
+              "delete files — rewrite (compact) the table before " +
+              "copy-on-write mutations")
+          dataFiles += ((d.get("file_path").toString,
+            optField(d, "record_count").map(_.toString.toLong)
+              .getOrElse(0L)))
+        }
+      }
+    }
+    val files = dataFiles.result()
+    require(files.nonEmpty, s"iceberg $what: the table has no data files")
+
+    // ---- which files hold matches (per-file counts only) ----
+    val normSql = (c: String) =>
+      s"url_decode(replace(regexp_replace($c, " +
+        s"'^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?', ''), '+', '%2B'))"
+    def normPath(p: String): String = {
+      val uri = try new java.net.URI(p)
+        catch { case _: java.net.URISyntaxException => null }
+      if (uri != null && uri.getPath != null && uri.getPath.nonEmpty)
+        uri.getPath
+      else p
+    }
+    val matchedCounts = spark.read.schema(schema)
+      .parquet(files.map(_._1): _*)
+      .withColumn("__ice_file", expr(normSql("_metadata.file_path")))
+      .filter(predicate)
+      .groupBy(col("__ice_file")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (matchedCounts.isEmpty) return (curSnapId, 0L)
+    val matchedRows = matchedCounts.values.sum
+    val byNorm = files.map { case (p, _) => normPath(p) -> p }.toMap
+    val matched = matchedCounts.keySet.map(k =>
+      byNorm.getOrElse(k, throw new IllegalStateException(
+        s"iceberg $what: scanned file $k is not in the manifests")))
+
+    // ---- rewrite ONLY the matched files ----
+    val scoped = spark.read.schema(schema).parquet(matched.toSeq: _*)
+    val rewritten = assignments match {
+      case None => scoped.filter(not(predicate))
+      case Some(asn) =>
+        asn.foldLeft(scoped) { case (d, (c, e)) =>
+          val declared = schema.fields.find(_.name.equalsIgnoreCase(c)).get
+          d.withColumn(declared.name,
+            when(predicate, e.cast(declared.dataType))
+              .otherwise(col(declared.name)))
+        }
+    }
+    val txn = java.util.UUID.randomUUID().toString
+    val stage = new Path(root, s"__graft_ice_stage_$txn")
+    rewritten.write.mode("overwrite").parquet(stage.toString)
+    val dataDir = new Path(root, "data")
+    fs.mkdirs(dataDir)
+    val rewrittenRows = rewritten.count()
+    val added = fs.listStatus(stage).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+      .zipWithIndex.map { case (p, i) =>
+        val dst = new Path(dataDir, s"$txn-$i.parquet")
+        if (!fs.rename(p, dst)) throw new IllegalStateException(
+          s"iceberg $what: staging rename to $dst failed")
+        dst.toString
+      }.toSeq
+    fs.delete(stage, true)
+
+    // ---- one new manifest: survivors by reference (status 0,
+    // original record counts) + rewritten files (status 1) ----
+    val newSeq = Option(meta.get("last-sequence-number")).map(_.asLong)
+      .getOrElse(0L) + 1
+    val snapshotId = math.abs(java.util.UUID.randomUUID()
+      .getMostSignificantBits)
+    def writeAvro(path: Path, sch: Schema,
+        rows: Seq[GenericRecord]): Long = {
+      val tmp = new Path(path.getParent, s"__tmp_${path.getName}")
+      val out = fs.create(tmp, true)
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](sch))
+      try { w.create(sch, out); rows.foreach(w.append) } finally w.close()
+      if (!fs.rename(tmp, path)) throw new IllegalStateException(
+        s"iceberg $what: rename to $path failed")
+      fs.getFileStatus(path).getLen
+    }
+    def entryOf(path: String, status: Int, count: Long): GenericRecord = {
+      val d = new GenericData.Record(
+        entrySchema.getField("data_file").schema())
+      d.put("content", 0); d.put("file_path", path)
+      d.put("file_format", "PARQUET"); d.put("record_count", count)
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", status); e.put("data_file", d); e
+    }
+    val untouched = files.filterNot { case (p, _) => matched(p) }
+    val mPath = new Path(metaDir, s"m-$txn.avro")
+    val mLen = writeAvro(mPath, entrySchema,
+      untouched.map { case (p, c) => entryOf(p, 0, c) } ++
+        added.map(p => entryOf(p, 1,
+          rewrittenRows / math.max(added.length, 1))))
+    val mlPath = new Path(metaDir, s"snap-$snapshotId.avro")
+    val ref = new GenericData.Record(listSchema)
+    ref.put("manifest_path", mPath.toString)
+    ref.put("manifest_length", mLen)
+    ref.put("content", 0)
+    ref.put("sequence_number", newSeq)
+    writeAvro(mlPath, listSchema, Seq(ref))
+
+    // ---- metadata vN+1 claim (put-if-absent; collision is LOUD —
+    // the captured file set is stale) ----
+    val prevSnaps = Option(meta.get("snapshots"))
+      .map(mapper.writeValueAsString).getOrElse("[]").stripSuffix("]")
+    val sep = if (prevSnaps == "[") "" else ", "
+    val newMetaJson = s"""{
+      "format-version": 2,
+      "table-uuid": "${Option(meta.get("table-uuid")).map(_.asText)
+        .getOrElse(java.util.UUID.randomUUID().toString)}",
+      "location": "$tablePath",
+      "last-sequence-number": $newSeq,
+      "current-snapshot-id": $snapshotId,
+      "current-schema-id": ${Option(meta.get("current-schema-id"))
+        .map(_.asInt).getOrElse(0)},
+      "schemas": ${Option(meta.get("schemas"))
+        .map(mapper.writeValueAsString).getOrElse {
+          val arr = mapper.createArrayNode()
+          Option(meta.get("schema")).foreach(arr.add)
+          mapper.writeValueAsString(arr)
+        }},
+      "snapshots": $prevSnaps$sep{"snapshot-id": $snapshotId,
+        "timestamp-ms": ${System.currentTimeMillis()},
+        "sequence-number": $newSeq,
+        "manifest-list": "$mlPath"}]
+    }"""
+    val newVersion = versions.last + 1
+    commitFailpoint()
+    val target = new Path(metaDir, s"v$newVersion.metadata.json")
+    try {
+      val out = fs.create(target, false)
+      try out.write(newMetaJson.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } catch {
+      case e: java.io.IOException
+          if e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException]
+            || Option(e.getMessage).exists(_.contains("exist")) =>
+        throw new IllegalStateException(
+          s"iceberg $what: metadata v$newVersion was claimed " +
+            "concurrently — the captured file set is stale, refusing")
+    }
+    scala.util.Try {
+      val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
+      try hint.write(newVersion.toString.getBytes("UTF-8"))
+      finally hint.close()
+    }
+    (snapshotId, matchedRows)
+  }
 }

@@ -254,7 +254,7 @@ object IcebergSource {
   }
 
   /** Iceberg schema JSON → Spark StructType (spec type names). */
-  private def structOf(node: com.fasterxml.jackson.databind.JsonNode)
+  private[sources] def structOf(node: com.fasterxml.jackson.databind.JsonNode)
       : StructType = {
     val fields = node.get("fields")
     StructType((0 until fields.size).map { i =>

@@ -1373,44 +1373,56 @@ object ClickHouseSql {
         return Seq(v).toDF("committed_version")
       case _ =>
     }
-    // Row-level Delta mutations over the table-function spelling
-    // (round 14 — the write-side twin of the deltaLake() read):
-    //   DELETE FROM [TABLE] FUNCTION deltaLake('p') WHERE pred
-    //   ALTER TABLE FUNCTION deltaLake('p') DELETE WHERE pred
-    //   ALTER TABLE FUNCTION deltaLake('p') UPDATE a = e, … WHERE pred
-    // Copy-on-write remove+add commits through DeltaLakeSink.mutate —
-    // only files holding matching rows rewrite.
-    val deltaDelete = ("(?is)^ALTER\\s+TABLE\\s+FUNCTION\\s+" +
-      "deltaLake\\s*\\(\\s*'([^']+)'\\s*\\)" +
+    // Row-level lakehouse mutations over the table-function spelling
+    // (round 14 — the write-side twin of the deltaLake()/iceberg()
+    // reads):
+    //   DELETE FROM [TABLE] FUNCTION deltaLake|iceberg('p') WHERE pred
+    //   ALTER TABLE FUNCTION deltaLake|iceberg('p') DELETE WHERE pred
+    //   ALTER TABLE FUNCTION deltaLake|iceberg('p') UPDATE a = e, … WHERE pred
+    // Copy-on-write commits (Delta: remove+add; Iceberg: manifest
+    // rewrite + new snapshot) — only files holding matching rows
+    // rewrite.
+    val lakeDelete = ("(?is)^ALTER\\s+TABLE\\s+FUNCTION\\s+" +
+      "(deltaLake|iceberg)\\s*\\(\\s*'([^']+)'\\s*\\)" +
       "\\s*DELETE\\s+WHERE\\s+(.+?);?\\s*$").r
-    val deltaDeleteShort = ("(?is)^DELETE\\s+FROM\\s+(?:TABLE\\s+)?FUNCTION\\s+" +
-      "deltaLake\\s*\\(\\s*'([^']+)'\\s*\\)\\s*WHERE\\s+(.+?);?\\s*$").r
-    val deltaUpdate = ("(?is)^ALTER\\s+TABLE\\s+FUNCTION\\s+" +
-      "deltaLake\\s*\\(\\s*'([^']+)'\\s*\\)\\s*UPDATE\\s+(.+?)\\s+" +
+    val lakeDeleteShort = ("(?is)^DELETE\\s+FROM\\s+(?:TABLE\\s+)?FUNCTION\\s+" +
+      "(deltaLake|iceberg)\\s*\\(\\s*'([^']+)'\\s*\\)\\s*WHERE\\s+(.+?);?\\s*$").r
+    val lakeUpdate = ("(?is)^ALTER\\s+TABLE\\s+FUNCTION\\s+" +
+      "(deltaLake|iceberg)\\s*\\(\\s*'([^']+)'\\s*\\)\\s*UPDATE\\s+(.+?)\\s+" +
       "WHERE\\s+(.+?);?\\s*$").r
+    def lakeMutate(fn: String, path: String, pred: String,
+        assigns: Option[String]): org.apache.spark.sql.DataFrame = {
+      import spark.implicits._
+      val predicate = org.apache.spark.sql.functions.expr(rewrite(pred))
+      val kv = "(?s)^\\s*`?([A-Za-z_][A-Za-z0-9_]*)`?\\s*=\\s*(.*)$".r
+      val asn = assigns.map(splitTopLevel(_).map {
+        case kv(c, e) => c -> org.apache.spark.sql.functions
+          .expr(rewrite(e))
+        case other => throw new IllegalArgumentException(
+          s"unparsable UPDATE assignment '$other'")
+      })
+      val isIce = fn.equalsIgnoreCase("iceberg")
+      val (v, n) = (isIce, asn) match {
+        case (false, None) =>
+          graft.sources.DeltaLakeSink.delete(spark, path, predicate)
+        case (false, Some(a)) =>
+          graft.sources.DeltaLakeSink.update(spark, path, a, predicate)
+        case (true, None) =>
+          graft.sources.IcebergSink.delete(spark, path, predicate)
+        case (true, Some(a)) =>
+          graft.sources.IcebergSink.update(spark, path, a, predicate)
+      }
+      val vName = if (isIce) "snapshot_id" else "committed_version"
+      val nName = if (asn.isEmpty) "rows_deleted" else "rows_updated"
+      Seq((v, n)).toDF(vName, nName)
+    }
     trimmed0 match {
-      case deltaDelete(path, pred) =>
-        import spark.implicits._
-        val (v, n) = graft.sources.DeltaLakeSink.delete(spark, path,
-          org.apache.spark.sql.functions.expr(rewrite(pred)))
-        return Seq((v, n)).toDF("committed_version", "rows_deleted")
-      case deltaDeleteShort(path, pred) =>
-        import spark.implicits._
-        val (v, n) = graft.sources.DeltaLakeSink.delete(spark, path,
-          org.apache.spark.sql.functions.expr(rewrite(pred)))
-        return Seq((v, n)).toDF("committed_version", "rows_deleted")
-      case deltaUpdate(path, assigns, pred) =>
-        import spark.implicits._
-        val kv = "(?s)^\\s*`?([A-Za-z_][A-Za-z0-9_]*)`?\\s*=\\s*(.*)$".r
-        val asn = splitTopLevel(assigns).map {
-          case kv(c, e) => c -> org.apache.spark.sql.functions
-            .expr(rewrite(e))
-          case other => throw new IllegalArgumentException(
-            s"unparsable UPDATE assignment '$other'")
-        }
-        val (v, n) = graft.sources.DeltaLakeSink.update(spark, path,
-          asn, org.apache.spark.sql.functions.expr(rewrite(pred)))
-        return Seq((v, n)).toDF("committed_version", "rows_updated")
+      case lakeDelete(fn, path, pred) =>
+        return lakeMutate(fn, path, pred, None)
+      case lakeDeleteShort(fn, path, pred) =>
+        return lakeMutate(fn, path, pred, None)
+      case lakeUpdate(fn, path, assigns, pred) =>
+        return lakeMutate(fn, path, pred, Some(assigns))
       case _ =>
     }
     // INSERT INTO t FROM INFILE 'path' [FORMAT fmt]
