@@ -829,6 +829,56 @@ object Extras6 extends QueryPack {
         "ORDER BY c_custkey")
     },
 
+    // Hudi MERGE-ON-READ (round 14 — beyond the reference, which reads
+    // base files only): a base file plus log blocks (upserts over
+    // region-0 names, deletes of region-1 nations) merge through one
+    // key shuffle; the oracle restates the merged state over nation.
+    Q.df("q_tf_hudi_mor", """
+      SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS k,
+        CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        CASE WHEN n_regionkey = 0 THEN upper(n_name)
+             ELSE n_name END AS n_name
+      FROM nation WHERE n_regionkey <> 1
+      ORDER BY n_nationkey""") { (s, dir) =>
+      val root = s"/tmp/graft_hudimor_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = fsOf(s, root)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/.hoodie"))
+      val nation = Tables.load(s, dir, "nation")
+        .select(concat(lit("n"), col("n_nationkey").cast("string"))
+          .as("_hoodie_record_key"),
+          col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_name"), col("n_regionkey").cast("int").as("rk"))
+      oneFile(s, root, "fg1_0-1-0_20240101000000.parquet",
+        nation.drop("rk").orderBy("n_nationkey"))
+      val avroSchema = new org.apache.avro.Schema.Parser().parse("""
+        {"type":"record","name":"r","fields":[
+          {"name":"_hoodie_record_key","type":"string"},
+          {"name":"n_nationkey","type":"long"},
+          {"name":"n_name","type":"string"}]}""")
+      val r0 = nation.filter(col("rk") === 0)
+        .select("_hoodie_record_key", "n_nationkey", "n_name")
+        .collect() // 25-row dimension — fixture-scale collect
+      val upserts = r0.toSeq.map { r =>
+        val g = new org.apache.avro.generic.GenericData.Record(avroSchema)
+        g.put("_hoodie_record_key", r.getString(0))
+        g.put("n_nationkey", r.getLong(1))
+        g.put("n_name", r.getString(2).toUpperCase)
+        g.asInstanceOf[org.apache.avro.generic.GenericRecord]
+      }
+      val delKeys = nation.filter(col("rk") === 1)
+        .select("_hoodie_record_key").collect().map(_.getString(0)).toSeq
+      val log = new org.apache.hadoop.fs.Path(root,
+        ".fg1_20240101000000.log.1_0-1-0")
+      graft.sources.HudiLogFormat.appendDataBlock(fs, log,
+        "20240102000000", avroSchema, upserts)
+      graft.sources.HudiLogFormat.appendDeleteBlock(fs, log,
+        "20240102000001", delKeys)
+      graft.sql.ClickHouseSql.sql(s,
+        s"SELECT _hoodie_record_key AS k, n_nationkey, n_name " +
+          s"FROM hudi('$root') ORDER BY n_nationkey")
+    },
+
     // Protobuf map<K,V> + oneof (round 14 — the LAST protobuf surface
     // gap; reference ProtobufSerializer handles both): a map column
     // round-trips as MapType through the spec's repeated entry-message

@@ -1,19 +1,44 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, max_by, not, struct}
+import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
 
-/** Native Hudi copy-on-write READ — the reference's
-  * HudiMetadata::getDataFilesImpl semantics re-expressed: Hudi base
-  * files are named `[FileId]_[WriteToken]_[Timestamp].parquet`, a
-  * copy-on-write update rewrites a whole file group under a new
-  * timestamp, so the current table state is the LATEST-timestamped
-  * file per (partition, file id) — selected from the file listing
-  * alone, exactly as the reference does. Merge-on-read tables (`.log.`
-  * delta files) reject loudly: serving base files while ignoring
-  * un-compacted deltas would be silently stale.
+/** Native Hudi READ — copy-on-write per the reference's
+  * HudiMetadata::getDataFilesImpl semantics, plus MERGE-ON-READ log
+  * replay the reference does not have (HudiMetadata.cpp: "Currently we
+  * support reading only base files"; serving base files while log
+  * deltas exist would be silently stale, which round 13 made a loud
+  * gate — round 14 replaces the gate with the real merge).
+  *
+  * Copy-on-write: base files are `[FileId]_[WriteToken]_[Timestamp]
+  * .parquet`; an update rewrites a whole file group under a new
+  * timestamp, so the current state is the LATEST-timestamped file per
+  * (partition, file id), selected from the listing alone.
+  *
+  * Merge-on-read: each file group may carry dot-prefixed log files
+  * `.FileId_BaseInstant.log.Version_WriteToken` of record-level
+  * upsert/delete blocks (sources/HudiLogFormat, the spec's block
+  * layout). The merge is Spark-shaped for 100 TB:
+  *  - the base files read as ONE distributed parquet scan;
+  *  - log files decode DISTRIBUTED (one task per log file), each event
+  *    stamped with a precedence ordinal from the driver-sorted
+  *    (instant, version, event-index) order — metadata-scale sort,
+  *    record-scale decode;
+  *  - ONE hash shuffle on `_hoodie_record_key` resolves winners via
+  *    max_by(precedence): log events override base rows, later blocks
+  *    override earlier ones, and a winning DELETE tombstone drops the
+  *    key (Hudi's merge contract — keys are unique within a file
+  *    group, so the global key-merge is equivalent to per-group
+  *    merges).
+  * Loud gates: MoR tables whose base files lack `_hoodie_record_key`,
+  * unparsable log names, foreign block types (HudiLogFormat).
   */
 object HudiSource {
+
+  private val logNameRe =
+    "^\\.(.+)_([0-9]+)\\.log\\.([0-9]+)(?:_(.+))?$".r
 
   def read(spark: SparkSession, tablePath: String): DataFrame = {
     val root = new Path(tablePath)
@@ -21,19 +46,16 @@ object HudiSource {
     require(fs.exists(new Path(root, ".hoodie")),
       s"hudi: $tablePath has no .hoodie directory — not a Hudi table")
     val files = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val logs = scala.collection.mutable.ArrayBuffer.empty[Path]
     def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
       val n = st.getPath.getName
-      if (n.startsWith(".") || n.startsWith("_")) {
-        // metadata dirs skipped — but a MoR delta log anywhere is loud
-        if (n.contains(".log.")) throw new IllegalArgumentException(
-          "hudi: merge-on-read log files present — this native reader " +
-            "serves copy-on-write tables only (compact first)")
+      if (st.isDirectory) {
+        // metadata dirs (.hoodie, _partition_metadata holders) skip
+        if (!n.startsWith(".") && !n.startsWith("_")) walk(st.getPath)
       }
-      else if (st.isDirectory) walk(st.getPath)
-      else if (n.contains(".log.")) throw new IllegalArgumentException(
-        "hudi: merge-on-read log files present — this native reader " +
-          "serves copy-on-write tables only (compact first)")
-      else if (n.endsWith(".parquet")) files += st.getPath
+      else if (n.contains(".log.")) logs += st.getPath
+      else if (n.endsWith(".parquet") && !n.startsWith(".") &&
+        !n.startsWith("_")) files += st.getPath
     }
     walk(root)
     require(files.nonEmpty, s"hudi: no base files under $tablePath")
@@ -62,6 +84,68 @@ object HudiSource {
       if (!latest.get(key).exists(_._1 >= ts))
         latest(key) = (ts, p.toString)
     }
-    spark.read.parquet(latest.values.map(_._2).toSeq: _*)
+    val base = spark.read.parquet(latest.values.map(_._2).toSeq: _*)
+    if (logs.isEmpty) return base
+
+    // ---- merge-on-read ----
+    val keyCol = "_hoodie_record_key"
+    require(base.columns.contains(keyCol),
+      s"hudi: merge-on-read needs $keyCol in the base files — " +
+        "refusing rather than merging on a guessed key")
+    // driver-side: order log files by (instant, version) — the same
+    // fixed-width instant normalization as base files
+    val ordered = logs.map { p =>
+      p.getName match {
+        case logNameRe(_, instant, ver, _) =>
+          val ts =
+            if (instant.length < 17) instant + "0" * (17 - instant.length)
+            else instant
+          ((ts, ver.toInt), p.toString)
+        case _ => throw new IllegalArgumentException(
+          s"hudi: unparsable log-file name ${p.getName} (expected " +
+            ".fileId_instant.log.version_token)")
+      }
+    }.sortBy(_._1).map(_._2).toSeq
+    val schema = base.schema
+    val names = schema.fieldNames.toSeq
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+    val withOrd = ordered.zipWithIndex
+    val eventRows = spark.sparkContext
+      .parallelize(withOrd, math.max(withOrd.length, 1))
+      .flatMap { case (file, ord) =>
+        val p = new Path(file)
+        val lfs = p.getFileSystem(serConf.value)
+        val in = lfs.open(p)
+        val bytes = try in.readAllBytes() finally in.close()
+        HudiLogFormat.readLogFile(bytes).zipWithIndex.map {
+          case (ev, i) =>
+            val prec = (ord.toLong << 32) | i.toLong
+            val vals: Seq[Any] =
+              if (ev.isDelete)
+                names.map(n => if (n == keyCol) ev.key else null)
+              else names.map { n =>
+                require(ev.fields.contains(n),
+                  s"hudi log: data record lacks column '$n' of the base " +
+                    "schema — refusing a partial-row merge")
+                ev.fields(n)
+              }
+            Row.fromSeq(vals ++ Seq(prec, ev.isDelete))
+        }
+      }
+    val evSchema = StructType(schema.fields.toSeq ++ Seq(
+      StructField("__hudi_prec", LongType, nullable = false),
+      StructField("__hudi_del", BooleanType, nullable = false)))
+    val events = spark.createDataFrame(eventRows, evSchema)
+    val baseTagged = base
+      .withColumn("__hudi_prec", lit(-1L))
+      .withColumn("__hudi_del", lit(false))
+    val payload = struct((names :+ "__hudi_del").map(col): _*)
+    baseTagged.unionByName(events)
+      .groupBy(col(keyCol).as("__hudi_key"))
+      .agg(max_by(payload, col("__hudi_prec")).as("__w"))
+      .filter(not(col("__w.__hudi_del")))
+      .select(names.map(n => col(s"__w.$n").as(n)): _*)
   }
 }

@@ -70,12 +70,15 @@ class HudiSourceSpec extends SparkFunSuite {
       .deleteDirectory(new java.io.File(dir))
   }
 
-  test("merge-on-read log files and non-hudi directories reject loudly") {
+  test("merge-on-read gates stay loud: a keyless base refuses the " +
+      "merge, corrupt log bytes refuse at decode, non-hudi dirs refuse") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_hudi_mor").toString
     try {
       java.nio.file.Files.createDirectories(
         java.nio.file.Path.of(dir, ".hoodie"))
+      // round 14: logs MERGE now (HudiMoRSpec) — but a base without
+      // _hoodie_record_key cannot merge and must refuse, not guess
       baseFile(s"$dir/p=a", "fg1_0-1-0_20240101000000.parquet",
         Seq((1L, "x")))
       java.nio.file.Files.writeString(java.nio.file.Path.of(
@@ -83,7 +86,7 @@ class HudiSourceSpec extends SparkFunSuite {
       val e = intercept[IllegalArgumentException] {
         graft.sources.HudiSource.read(spark, dir)
       }
-      assert(e.getMessage.contains("merge-on-read"))
+      assert(e.getMessage.contains("_hoodie_record_key"))
       val e2 = intercept[Exception] {
         graft.sources.HudiSource.read(spark, "/tmp")
       }
