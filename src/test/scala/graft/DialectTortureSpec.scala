@@ -385,4 +385,32 @@ class DialectTortureSpec extends SparkFunSuite {
     assert(r2.contains("icebergCluster('c', '/nope')"),
       s"cluster spellings in literals must pass through: $r2")
   }
+
+  test("lakehouse MUTATION spellings inside string literals never fire " +
+      "(the lanes anchor at statement start), and half-formed " +
+      "statements do not dispatch a mutation") {
+    val ch = (s: String) => graft.sql.ClickHouseSql.sql(spark, s)
+    Tables.register(spark, sf)
+    // a SELECT whose literal spells the whole mutation must pass
+    // through as text — never committing anything
+    val r = ch("SELECT 'DELETE FROM FUNCTION deltaLake(''/nope'') " +
+      "WHERE 1=1 or ALTER TABLE FUNCTION iceberg(''/nope'') UPDATE " +
+      "x = 1 WHERE 1=1' AS s FROM nation LIMIT 1")
+      .collect().head.getString(0)
+    assert(r.contains("DELETE FROM FUNCTION deltaLake('/nope')") &&
+      r.contains("ALTER TABLE FUNCTION iceberg('/nope')"),
+      s"mutation spellings in literals must pass through: $r")
+    // an actual mutation against a non-table path is LOUD, not silent
+    val e = intercept[Exception] {
+      ch("DELETE FROM FUNCTION deltaLake('/tmp/graft_no_such_table_xyz') " +
+        "WHERE 1 = 1")
+    }
+    assert(e.getMessage.contains("not a Delta table") ||
+      e.getMessage.contains("_delta_log"))
+    val e2 = intercept[Exception] {
+      ch("ALTER TABLE FUNCTION iceberg('/tmp/graft_no_such_table_xyz') " +
+        "DELETE WHERE 1 = 1")
+    }
+    assert(e2.getMessage.contains("not an Iceberg table"))
+  }
 }
