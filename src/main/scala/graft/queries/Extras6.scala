@@ -814,8 +814,11 @@ object Extras6 extends QueryPack {
       val expectDel = Tables.load(s, dir, "customer")
         .filter(col("c_custkey") <= 100 && col("c_custkey") % 3 === 0)
         .count()
-      val del = ch(s"DELETE FROM FUNCTION iceberg('$root') " +
-        "WHERE c_custkey % 3 = 0").collect().head
+      // ALTER … DELETE is the COPY-ON-WRITE lane (DELETE FROM is the
+      // lightweight position-delete lane, oracled separately by
+      // q_iceberg_posdel_write — a CoW UPDATE after it would refuse)
+      val del = ch(s"ALTER TABLE FUNCTION iceberg('$root') " +
+        "DELETE WHERE c_custkey % 3 = 0").collect().head
       require(del.getLong(1) == expectDel,
         s"delete must remove $expectDel rows, got ${del.getLong(1)}")
       ch(s"ALTER TABLE FUNCTION iceberg('$root') " +
@@ -918,6 +921,82 @@ object Extras6 extends QueryPack {
           element_at(col("tags"), lit("len")).as("tag_len"),
           col("a"), col("b"))
         .orderBy("key")
+    },
+
+    // Delta LIGHTWEIGHT delete (round 14 continuation — the reference's
+    // DELETE FROM is the lightweight mask, MutationsInterpreter's
+    // _row_exists path; the Delta spelling is a DELETION VECTOR
+    // commit): two successive DELETE FROM statements mask through DVs
+    // with NO data-file rewrites (file identity asserted in-fixture;
+    // the second delete OR-merges the first file's bitmap). The oracle
+    // restates the surviving predicate; a reader that ignored or
+    // mis-merged the DVs returns extra rows.
+    Q.df("q_delta_delete_dv_write", """
+      SELECT c_custkey, c_name, CASE WHEN c_custkey % 2 = 0
+        THEN 'even' ELSE 'odd' END AS seg
+      FROM customer
+      WHERE c_custkey <= 150 AND c_custkey % 3 <> 0
+        AND NOT (c_custkey % 5 = 0 AND c_custkey % 2 = 0)
+      ORDER BY c_custkey""") { (s, dir) =>
+      val root = s"/tmp/graft_dvwrite_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      fsOf(s, root).delete(new org.apache.hadoop.fs.Path(root), true)
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"))
+        .createOrReplaceTempView("graft_dvw_cust")
+      val ch = (q: String) => graft.sql.ClickHouseSql.sql(s, q)
+      ch(s"INSERT INTO FUNCTION deltaLake('$root') PARTITION BY (seg) " +
+        "SELECT c_custkey, c_name, CASE WHEN c_custkey % 2 = 0 " +
+        "THEN 'even' ELSE 'odd' END AS seg " +
+        "FROM graft_dvw_cust WHERE c_custkey <= 150")
+      def files(): Set[String] = fsOf(s, root)
+        .listStatus(new org.apache.hadoop.fs.Path(root))
+        .map(_.getPath.getName).filter(_.endsWith(".parquet")).toSet
+      val files0 = files()
+      ch(s"DELETE FROM FUNCTION deltaLake('$root') " +
+        "WHERE c_custkey % 3 = 0")
+      ch(s"DELETE FROM FUNCTION deltaLake('$root') " +
+        "WHERE c_custkey % 5 = 0 AND seg = 'even'")
+      require(files() == files0,
+        "lightweight deletes must not rewrite or add data files")
+      val total = Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") <= 150).count()
+      val n0 = ch(s"SELECT count() AS n FROM deltaLake('$root', 0)")
+        .collect().head.getLong(0)
+      require(n0 == total,
+        s"time travel to v0 must see all $total rows, got $n0")
+      ch(s"SELECT c_custkey, c_name, seg FROM deltaLake('$root') " +
+        "ORDER BY c_custkey")
+    },
+
+    // Iceberg LIGHTWEIGHT delete (round 14 continuation — the same
+    // DELETE FROM mask, spelled as a v2 POSITION-DELETE file per the
+    // spec): the second delete only matches VISIBLE rows (the first
+    // delete's mask applies during the matching scan), so a
+    // double-delete would hash-mismatch the oracle.
+    Q.df("q_iceberg_posdel_write", """
+      SELECT c_custkey, c_name FROM customer
+      WHERE c_custkey <= 120 AND c_custkey % 4 <> 0
+        AND NOT (c_custkey <= 30)
+      ORDER BY c_custkey""") { (s, dir) =>
+      val root = s"/tmp/graft_icepdw_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      fsOf(s, root).delete(new org.apache.hadoop.fs.Path(root), true)
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"))
+        .createOrReplaceTempView("graft_ipdw_cust")
+      val ch = (q: String) => graft.sql.ClickHouseSql.sql(s, q)
+      ch(s"INSERT INTO FUNCTION iceberg('$root') " +
+        "SELECT c_custkey, c_name FROM graft_ipdw_cust " +
+        "WHERE c_custkey <= 120")
+      def dataFiles(): Set[String] = fsOf(s, root)
+        .listStatus(new org.apache.hadoop.fs.Path(s"$root/data"))
+        .map(_.getPath.getName).filter(_.endsWith(".parquet")).toSet
+      val files0 = dataFiles()
+      ch(s"DELETE FROM FUNCTION iceberg('$root') WHERE c_custkey % 4 = 0")
+      ch(s"DELETE FROM FUNCTION iceberg('$root') WHERE c_custkey <= 30")
+      require(files0.subsetOf(dataFiles()),
+        "lightweight deletes must not rewrite or remove data files")
+      ch(s"SELECT c_custkey, c_name FROM iceberg('$root') " +
+        "ORDER BY c_custkey")
     }
   )
 }

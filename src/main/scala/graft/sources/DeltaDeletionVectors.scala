@@ -122,12 +122,20 @@ object DeltaDeletionVectors {
     * RoaringBitmapArray). */
   def serializeBitmaps(rowIndexes: Seq[Long]): Array[Byte] = {
     val byKey = rowIndexes.groupBy(v => (v >>> 32).toInt).toSeq.sortBy(_._1)
-    val bitmaps = byKey.map { case (k, vs) =>
+    serializeBitmapMap(byKey.map { case (k, vs) =>
       val rb = new RoaringBitmap()
       vs.foreach(v => rb.add(v.toInt))
-      rb.runOptimize()
       (k, rb)
-    }
+    })
+  }
+
+  /** (key → 32-bit bitmap) pairs → the `data` blob. Keys must be the
+    * high 32 bits of the row indexes; pairs serialize in ascending key
+    * order (the spec's array order). Shared by the Seq[Long] helper and
+    * the distributed per-file bitmap build in the DV-writing DELETE. */
+  def serializeBitmapMap(bitmaps0: Seq[(Int, RoaringBitmap)]): Array[Byte] = {
+    val bitmaps = bitmaps0.sortBy(_._1)
+    bitmaps.foreach(_._2.runOptimize())
     val size = 4 + 8 + bitmaps.map(4 + _._2.serializedSizeInBytes()).sum
     val buf = java.nio.ByteBuffer.allocate(size)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -135,6 +143,21 @@ object DeltaDeletionVectors {
     buf.putLong(bitmaps.length.toLong)
     bitmaps.foreach { case (k, rb) => buf.putInt(k); rb.serialize(buf) }
     buf.array()
+  }
+
+  /** OR-merge two `data` blobs (an existing file DV + newly deleted
+    * rows) into one, returning (merged blob, merged cardinality). */
+  def mergeBlobs(a: Array[Byte], b: Array[Byte]): (Array[Byte], Long) = {
+    val m = scala.collection.mutable.Map.empty[Int, RoaringBitmap]
+    deserializeBitmaps(a).foreach { case (k, rb) => m(k) = rb.clone() }
+    deserializeBitmaps(b).foreach { case (k, rb) =>
+      m.get(k) match {
+        case Some(cur) => cur.or(rb)
+        case None => m(k) = rb.clone()
+      }
+    }
+    val blob = serializeBitmapMap(m.toSeq)
+    (blob, m.valuesIterator.map(_.getLongCardinality).sum)
   }
 
   /** The `data` blob → per-key 32-bit bitmaps. Trailing bytes beyond

@@ -42,6 +42,93 @@ object DeltaLakeSink {
     * hook pattern as DurableRewrite.failpoint). */
   private[graft] var commitFailpoint: () => Unit = () => ()
 
+  /** Writer-protocol gate (PROTOCOL.md "Table Features" + the legacy
+    * writer-version table). Instead of the blanket minWriterVersion > 2
+    * refusal, each feature the table carries — explicitly in
+    * writerFeatures (minWriter 7) or implicitly through a legacy
+    * version — checks whether THIS operation can violate it:
+    *
+    *   appendOnly        blocks deletes/updates when delta.appendOnly
+    *   invariants        blocks row-adding ops when the schema carries
+    *                     delta.invariants metadata
+    *   checkConstraints  blocks row-adding ops when delta.constraints.*
+    *                     properties exist
+    *   generatedColumns  blocks row-adding ops when the schema carries
+    *                     delta.generationExpression
+    *   identityColumns   blocks row-adding ops when the schema carries
+    *                     delta.identity.* metadata
+    *   changeDataFeed    blocks ALL data changes when
+    *                     delta.enableChangeDataFeed (this writer cannot
+    *                     emit CDC files)
+    *   deletionVectors   no write-side obligation (appends do not touch
+    *                     DVs; rewrites read through them and emit
+    *                     DV-free files)
+    *   columnMapping     the CALLER's concern — data files need
+    *                     physical column names
+    *
+    * A feature outside this table, or a legacy minWriterVersion > 7,
+    * refuses loudly: the obligation is unknown, so writing could be
+    * silently wrong. `op` is one of append/delete/update/overwrite.
+    * A CoW delete only REMOVES rows, so invariant/constraint/generated
+    * features cannot break (surviving rows already satisfied them). */
+  private[sources] def writerGate(state: DeltaLakeSource.LogState,
+      what: String, op: String): Unit = {
+    val implemented = Set("deletionVectors", "appendOnly", "invariants",
+      "checkConstraints", "changeDataFeed", "generatedColumns",
+      "identityColumns", "columnMapping")
+    require(state.minWriter <= 7,
+      s"deltaLake $what: minWriterVersion ${state.minWriter} is newer " +
+        "than this writer understands — refusing rather than violating " +
+        "obligations it cannot see")
+    val effective: Set[String] = (state.minWriter match {
+      case w if w <= 1 => Set.empty[String]
+      case 2 => Set("appendOnly", "invariants")
+      case 3 => Set("appendOnly", "invariants", "checkConstraints")
+      case 4 => Set("appendOnly", "invariants", "checkConstraints",
+        "changeDataFeed", "generatedColumns")
+      case 5 => Set("appendOnly", "invariants", "checkConstraints",
+        "changeDataFeed", "generatedColumns", "columnMapping")
+      case 6 => Set("appendOnly", "invariants", "checkConstraints",
+        "changeDataFeed", "generatedColumns", "columnMapping",
+        "identityColumns")
+      case _ => Set.empty[String] // 7: the explicit list governs
+    }) ++ state.writerFeatures
+    val unknown = effective -- implemented
+    require(unknown.isEmpty,
+      s"deltaLake $what: the table needs writer features " +
+        s"${unknown.toSeq.sorted.mkString(", ")} this writer does not " +
+        "implement — refusing rather than violating them silently")
+    val conf = state.meta.map(_.configuration).getOrElse(Map.empty)
+    val schemaStr = state.meta.map(_.schemaString).getOrElse("")
+    def enabled(k: String) = conf.get(k).exists(_.equalsIgnoreCase("true"))
+    val addsRows = op == "append" || op == "update" || op == "overwrite"
+    val removesRows = op != "append"
+    if (effective("invariants") && addsRows)
+      require(!schemaStr.contains("delta.invariants"),
+        s"deltaLake $what: the schema declares column invariants this " +
+          "writer cannot enforce — refusing")
+    if (effective("checkConstraints") && addsRows)
+      require(!conf.keysIterator.exists(_.startsWith("delta.constraints.")),
+        s"deltaLake $what: the table declares CHECK constraints this " +
+          "writer cannot enforce — refusing")
+    if (effective("generatedColumns") && addsRows)
+      require(!schemaStr.contains("delta.generationExpression"),
+        s"deltaLake $what: the schema declares generated columns this " +
+          "writer cannot compute — refusing")
+    if (effective("identityColumns") && addsRows)
+      require(!schemaStr.contains("delta.identity."),
+        s"deltaLake $what: the schema declares identity columns this " +
+          "writer cannot allocate — refusing")
+    if (effective("changeDataFeed"))
+      require(!enabled("delta.enableChangeDataFeed"),
+        s"deltaLake $what: the table enables change data feed and this " +
+          "writer cannot emit CDC files — refusing")
+    if (effective("appendOnly") && removesRows)
+      require(!enabled("delta.appendOnly"),
+        s"deltaLake $what: the table is delta.appendOnly — refusing to " +
+          "remove rows")
+  }
+
   /** Append `df` to the Delta table at `tablePath`, creating it (with
     * `partitionBy`) when absent. Returns the committed version. Every
     * `checkpointInterval` commits a single-part checkpoint parquet +
@@ -88,15 +175,11 @@ object DeltaLakeSink {
     val creating = state.isEmpty
 
     state.foreach { st =>
-      if (st.minWriter > 2 || st.writerFeatures.nonEmpty)
-        throw new IllegalArgumentException(
-          s"deltaLake write: the table needs minWriterVersion " +
-            s"${st.minWriter}" +
-            (if (st.writerFeatures.nonEmpty)
-              s" with writerFeatures ${st.writerFeatures.mkString(", ")}"
-             else "") +
-            " — this append-only writer implements protocol 2 and refuses " +
-            "rather than violating invariants it cannot see")
+      writerGate(st, "write", if (replace) "overwrite" else "append")
+      require(st.meta.exists(_.configuration
+          .getOrElse("delta.columnMapping.mode", "none") == "none"),
+        "deltaLake write: column-mapped tables need physical-name data " +
+          "files this appender does not write — refusing")
       val existing = org.apache.spark.sql.types.DataType
         .fromJson(st.meta.getOrElse(throw new IllegalArgumentException(
           "deltaLake write: existing table has no metaData action"))
@@ -269,7 +352,8 @@ object DeltaLakeSink {
   }
 
   private def addJson(rel: String, size: Long,
-      pv: Map[String, Option[String]]): String = {
+      pv: Map[String, Option[String]],
+      dv: Option[DeltaDeletionVectors.DvDescriptor] = None): String = {
     val pvNode = mapper.createObjectNode()
     pv.foreach { case (k, v) =>
       v match {
@@ -284,6 +368,15 @@ object DeltaLakeSink {
     add.put("size", size)
     add.put("modificationTime", System.currentTimeMillis())
     add.put("dataChange", true)
+    dv.foreach { d =>
+      val n = mapper.createObjectNode()
+      n.put("storageType", d.storageType)
+      n.put("pathOrInlineDv", d.pathOrInlineDv)
+      d.offset.foreach(n.put("offset", _))
+      n.put("sizeInBytes", d.sizeInBytes)
+      n.put("cardinality", d.cardinality)
+      add.set[com.fasterxml.jackson.databind.JsonNode]("deletionVector", n)
+    }
     val line = mapper.createObjectNode()
     line.set[com.fasterxml.jackson.databind.JsonNode]("add", add)
     mapper.writeValueAsString(line)
@@ -311,6 +404,177 @@ object DeltaLakeSink {
       checkpointInterval: Int = 10): (Long, Long) =
     mutate(spark, tablePath, predicate, None, checkpointInterval)
 
+  /** LIGHTWEIGHT row-level DELETE — the Delta twin of the reference's
+    * lightweight `DELETE FROM` (which masks rows via `_row_exists`
+    * instead of rewriting parts, MutationsInterpreter's lightweight
+    * path): deleted rows mask through DELETION VECTORS (PROTOCOL.md
+    * "Deletion Vectors") and NO data file rewrites:
+    *
+    *  1. one distributed scan finds matched (file, parquet row index)
+    *     pairs THROUGH any existing DV masks and builds one roaring
+    *     bitmap per file executor-side (groupByKey on the file path —
+    *     only compressed bitmaps reach the driver, loud-capped);
+    *  2. existing DVs OR-merge driver-side (bitmap scale);
+    *  3. ONE new DV file holds every affected file's bitmap at its own
+    *     offset ("u" storage, Z85 uuid name);
+    *  4. one commit re-adds each affected file at its SAME path with
+    *     the new descriptor (remove + add, dataChange true), claimed
+    *     put-if-absent — a collision is loud, never a lost update.
+    *
+    * Tables below protocol (3, 7, deletionVectors) UPGRADE in the same
+    * commit, enumerating the legacy features their old versions implied
+    * (the spec's table-features upgrade rule). Column-mapped tables
+    * work as-is: nothing rewrites, the stored partitionValues and paths
+    * echo verbatim. Returns (version, rows deleted); zero matches
+    * commit nothing. */
+  def deleteLightweight(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, predicate: org.apache.spark.sql.Column,
+      checkpointInterval: Int = 10): (Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val state = DeltaLakeSource.replayLog(spark, tablePath)
+    writerGate(state, "delete", "delete")
+
+    // ---- 1. matched (file, row index) → per-file bitmaps, built
+    // DISTRIBUTED so only compressed blobs reach the driver ----
+    val withPos = DeltaLakeSource.read(spark, tablePath,
+      withFileColumn = true, withRowIndexColumn = true)
+    import spark.implicits._
+    val perFile: Array[(String, Array[Byte], Long)] = withPos
+      .filter(predicate)
+      .select(col("__delta_file"), col("__delta_row_index"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (file, it) =>
+        val bms = scala.collection.mutable.Map
+          .empty[Int, org.roaringbitmap.RoaringBitmap]
+        var card = 0L
+        it.foreach { case (_, idx) =>
+          bms.getOrElseUpdate((idx >>> 32).toInt,
+            new org.roaringbitmap.RoaringBitmap).add(idx.toInt)
+          card += 1L
+        }
+        (file, DeltaDeletionVectors.serializeBitmapMap(bms.toSeq), card)
+      }.collect()
+    if (perFile.isEmpty) return (state.version, 0L)
+    val matchedRows = perFile.map(_._3).sum
+    val totalBytes = perFile.map(_._2.length.toLong).sum
+    require(totalBytes <= DeltaLakeSource.MaxDvBytes,
+      s"deltaLake delete: new deletion vectors total $totalBytes bytes, " +
+        s"above the ${DeltaLakeSource.MaxDvBytes} cap — use the " +
+        "copy-on-write ALTER ... DELETE instead")
+
+    // ---- 2. merge with existing DVs; map scan paths → log paths ----
+    val byDecoded = state.active.map { case (p, a) =>
+      DeltaLakeSource.qualify(spark, tablePath, p).toUri.getPath -> (p, a)
+    }.toMap
+    val conf = spark.sparkContext.hadoopConfiguration
+    val merged: Seq[(String, Active2, Array[Byte], Long)] =
+      perFile.toSeq.map { case (decoded, blob, card) =>
+        val (logPath, a) = byDecoded.getOrElse(decoded,
+          throw new IllegalStateException(
+            s"deltaLake delete: scanned file $decoded is not in the log"))
+        a.dv match {
+          case None => (logPath, Active2(a.pv), blob, card)
+          case Some(old) =>
+            val oldBlob = DeltaDeletionVectors.readData(conf, tablePath, old)
+            val (m, c) = DeltaDeletionVectors.mergeBlobs(oldBlob, blob)
+            (logPath, Active2(a.pv), m, c)
+        }
+      }
+
+    // ---- 3. one DV file for the whole commit ----
+    val uuid = java.util.UUID.randomUUID()
+    val dvPath = new Path(root, s"deletion_vector_$uuid.bin")
+    val offsets = DeltaDeletionVectors.writeDvFile(fs, dvPath,
+      merged.map(_._3))
+    val encoded = DeltaDeletionVectors.z85EncodeUuid(uuid)
+
+    // ---- 4. commit: protocol upgrade (when needed) + remove/add per
+    // affected file at its original path ----
+    val upgrade = upgradeForDvLine(state)
+    val body = upgrade.toSeq ++ merged.zip(offsets).flatMap {
+      case ((logPath, a2, blob, card), off) =>
+        val abs = DeltaLakeSource.qualify(spark, tablePath, logPath)
+        val size = scala.util.Try(fs.getFileStatus(abs).getLen)
+          .getOrElse(0L)
+        Seq(removeJson(logPath),
+          addJson(logPath, size, a2.pv,
+            Some(DeltaDeletionVectors.DvDescriptor("u", encoded,
+              Some(off), blob.length, card))))
+    }
+    val version = state.version + 1
+    commitFailpoint()
+    val logDir = new Path(root, "_delta_log")
+    val target = new Path(logDir, f"$version%020d.json")
+    val claimed =
+      try {
+        val out = fs.create(target, false)
+        try out.write((body.mkString("\n") + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException
+            if Option(e.getMessage).exists(_.contains("exist")) => false
+      }
+    if (!claimed) throw new IllegalStateException(
+      s"deltaLake delete: a concurrent commit claimed version $version " +
+        "— the captured deletion vectors are stale, refusing rather " +
+        "than losing the concurrent change")
+    if (checkpointInterval > 0 && (version + 1) % checkpointInterval == 0)
+      writeCheckpoint(spark, tablePath, version)
+    (version, matchedRows)
+  }
+
+  /** Carrier for the original add's partitionValues (the lightweight
+    * delete re-adds files verbatim — physical keys included). */
+  private final case class Active2(pv: Map[String, Option[String]])
+
+  /** The protocol action enabling deletionVectors, or None when the
+    * table already has it. Upgrading from a legacy version enumerates
+    * the features that version IMPLIED (PROTOCOL.md's upgrade rule) so
+    * other writers keep honoring them. */
+  private def upgradeForDvLine(state: DeltaLakeSource.LogState)
+      : Option[String] = {
+    val has = state.minReader >= 3 && state.minWriter == 7 &&
+      state.readerFeatures("deletionVectors") &&
+      state.writerFeatures("deletionVectors")
+    if (has) return None
+    val legacyWriter: Set[String] = state.minWriter match {
+      case w if w <= 1 => Set.empty
+      case 2 => Set("appendOnly", "invariants")
+      case 3 => Set("appendOnly", "invariants", "checkConstraints")
+      case 4 => Set("appendOnly", "invariants", "checkConstraints",
+        "changeDataFeed", "generatedColumns")
+      case 5 => Set("appendOnly", "invariants", "checkConstraints",
+        "changeDataFeed", "generatedColumns", "columnMapping")
+      case 6 => Set("appendOnly", "invariants", "checkConstraints",
+        "changeDataFeed", "generatedColumns", "columnMapping",
+        "identityColumns")
+      case _ => state.writerFeatures
+    }
+    val legacyReader: Set[String] = state.minReader match {
+      case r if r <= 1 => Set.empty
+      case 2 => Set("columnMapping")
+      case _ => state.readerFeatures
+    }
+    val proto = mapper.createObjectNode()
+    proto.put("minReaderVersion", 3)
+    proto.put("minWriterVersion", 7)
+    val rf = mapper.createArrayNode()
+    (legacyReader + "deletionVectors").toSeq.sorted.foreach(rf.add)
+    proto.set[com.fasterxml.jackson.databind.JsonNode]("readerFeatures", rf)
+    val wf = mapper.createArrayNode()
+    (legacyWriter + "deletionVectors").toSeq.sorted.foreach(wf.add)
+    proto.set[com.fasterxml.jackson.databind.JsonNode]("writerFeatures", wf)
+    val line = mapper.createObjectNode()
+    line.set[com.fasterxml.jackson.databind.JsonNode]("protocol", proto)
+    Some(mapper.writeValueAsString(line))
+  }
+
   /** Row-level UPDATE through the same copy-on-write rewrite: matched
     * files rewrite with each assignment applied WHERE the predicate
     * holds (cast back to the column's declared type); unmatched rows in
@@ -337,15 +601,7 @@ object DeltaLakeSink {
     val state = DeltaLakeSource.replayLog(spark, tablePath)
     val m = state.meta.getOrElse(throw new IllegalArgumentException(
       s"deltaLake $what: the log has no metaData action"))
-    if (state.minWriter > 2 || state.writerFeatures.nonEmpty)
-      throw new IllegalArgumentException(
-        s"deltaLake $what: the table needs minWriterVersion " +
-          s"${state.minWriter}" +
-          (if (state.writerFeatures.nonEmpty)
-            s" with writerFeatures ${state.writerFeatures.mkString(", ")}"
-           else "") +
-          " — this protocol-2 writer refuses rather than violating " +
-          "invariants it cannot see")
+    writerGate(state, what, what)
     require(m.configuration
         .getOrElse("delta.columnMapping.mode", "none") == "none",
       s"deltaLake $what: column-mapped tables are not supported — " +

@@ -358,12 +358,16 @@ object DeltaLakeSource {
     * those active files (log path keys — the sink's mutation rewrite
     * reads ONLY the files it rewrites); `withFileColumn` appends the
     * decoded qualified path as `__delta_file` for per-file attribution
-    * (which files hold rows matching a DELETE predicate). */
+    * (which files hold rows matching a DELETE predicate);
+    * `withRowIndexColumn` appends the parquet physical row index as
+    * `__delta_row_index` (the coordinate a deletion vector masks — the
+    * DV-writing lightweight DELETE needs both). */
   def read(spark: SparkSession, tablePath: String,
       versionAsOf: Option[Long] = None,
       maxCollectedActions: Long = MaxCollectedActions,
       onlyPaths: Option[Set[String]] = None,
-      withFileColumn: Boolean = false): DataFrame = {
+      withFileColumn: Boolean = false,
+      withRowIndexColumn: Boolean = false): DataFrame = {
     val state = replayLog(spark, tablePath, versionAsOf,
       maxCollectedActions)
     val active = onlyPaths match {
@@ -439,10 +443,12 @@ object DeltaLakeSource {
     if (active.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        if (withFileColumn)
-          StructType(schema.fields :+
-            StructField("__delta_file", StringType))
-        else schema)
+        StructType(schema.fields ++
+          (if (withFileColumn)
+            Seq(StructField("__delta_file", StringType)) else Nil) ++
+          (if (withRowIndexColumn)
+            Seq(StructField("__delta_row_index",
+              org.apache.spark.sql.types.LongType)) else Nil)))
 
     // Delta stores partition values in the LOG, not in the files — they
     // re-attach here. The 100 TB shape: ONE distributed scan over every
@@ -513,6 +519,13 @@ object DeltaLakeSource {
           .drop("__delta_dv_file", "__delta_dv_idx")
       }
 
+    // the physical parquet row index must capture BEFORE any join (the
+    // `_metadata` pseudo-column belongs to the scan relation)
+    val based =
+      if (withRowIndexColumn)
+        base.withColumn("__delta_row_index", col("_metadata.row_index"))
+      else base
+
     // physical → logical projection: a positional struct cast renames
     // nested mapped fields in one expression; mode 'none' keeps the
     // plain column reference (no spurious Cast in the plan)
@@ -524,10 +537,12 @@ object DeltaLakeSource {
       val dataCols = schema.fields
         .filterNot(f => m.partitionColumns.contains(f.name))
         .map(logicalCol).toIndexedSeq
-      return if (!withFileColumn) base.select(dataCols: _*)
-        else base.select(dataCols :+
-          org.apache.spark.sql.functions.expr(fileKeyExpr)
-            .as("__delta_file"): _*)
+      val extras =
+        (if (withFileColumn)
+          Seq(org.apache.spark.sql.functions.expr(fileKeyExpr)
+            .as("__delta_file")) else Nil) ++
+        (if (withRowIndexColumn) Seq(col("__delta_row_index")) else Nil)
+      return based.select(dataCols ++ extras: _*)
     }
     import org.apache.spark.sql.Row
     val pvSchema = StructType(
@@ -546,12 +561,14 @@ object DeltaLakeSource {
         col(s"__pv_${f.name}").cast(f.dataType).as(f.name)
       else logicalCol(f)
     }.toIndexedSeq
-    base
+    based
       .withColumn("__delta_file",
         org.apache.spark.sql.functions.expr(fileKeyExpr))
       .join(broadcast(pvDf), Seq("__delta_file"), "left")
-      .select((if (withFileColumn) projected :+ col("__delta_file")
-        else projected): _*)
+      .select(projected ++
+        (if (withFileColumn) Seq(col("__delta_file")) else Nil) ++
+        (if (withRowIndexColumn) Seq(col("__delta_row_index"))
+         else Nil): _*)
   }
 
   /** Serializable row-index membership test over broadcast DV bytes —

@@ -281,6 +281,235 @@ object IcebergSink {
     snapshotId
   }
 
+  /** LIGHTWEIGHT row-level DELETE — the merge-on-read path (the
+    * reference's lightweight `DELETE FROM` masks rows instead of
+    * rewriting parts; Iceberg's spelling of that mask is a v2 POSITION
+    * DELETE file, spec §"Position Delete Files"): matched VISIBLE rows
+    * (existing deletes apply first) write as (file_path, pos) parquet
+    * rows sorted within each delete file, registered through a
+    * content=1 delete manifest in a new snapshot that carries every
+    * prior manifest forward — NO data file rewrites, so a selective
+    * delete costs one scan plus a delete-row-count write no matter the
+    * table size. Returns (new snapshot id, rows deleted); zero matches
+    * commit nothing. */
+  def deleteLightweight(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, predicate: org.apache.spark.sql.Column)
+      : (Long, Long) = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaDir = new Path(root, "metadata")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val metaRe = "^v(\\d+)\\.metadata\\.json$".r
+    val versions =
+      if (!fs.exists(metaDir)) Seq.empty[Int]
+      else fs.listStatus(metaDir).map(_.getPath.getName)
+        .collect { case metaRe(v) => v.toInt }.sorted.toSeq
+    require(versions.nonEmpty,
+      s"iceberg delete: $tablePath is not an Iceberg table")
+    val meta = {
+      val in = fs.open(new Path(metaDir,
+        s"v${versions.last}.metadata.json"))
+      try mapper.readTree(in.readAllBytes()) finally in.close()
+    }
+    require(Option(meta.get("format-version")).forall(_.asInt >= 2),
+      "iceberg delete: row-level deletes need format-version 2")
+    val partitioned = Option(meta.get("partition-specs")).exists { arr =>
+      (0 until arr.size).map(arr.get).exists(sp =>
+        Option(sp.get("fields")).exists(_.size > 0))
+    }
+    require(!partitioned,
+      "iceberg delete: partitioned tables are not supported by this " +
+        "writer")
+    val curSnapId = Option(meta.get("current-snapshot-id")).map(_.asLong)
+      .getOrElse(throw new IllegalArgumentException(
+        "iceberg delete: metadata has no current-snapshot-id"))
+
+    // data-file list for the normalized-path → manifest-spelling map
+    val snaps = meta.get("snapshots")
+    val manifestList = (0 until snaps.size).map(snaps.get)
+      .find(_.get("snapshot-id").asLong == curSnapId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"iceberg delete: snapshot $curSnapId missing"))
+      .get("manifest-list").asText
+    def avroRecords(path: String): Seq[GenericRecord] = {
+      val in = fs.open(new Path(path))
+      val bytes = try in.readAllBytes() finally in.close()
+      val rd = new DataFileStream[GenericRecord](
+        new java.io.ByteArrayInputStream(bytes),
+        new GenericDatumReader[GenericRecord]())
+      try {
+        val out = Seq.newBuilder[GenericRecord]
+        while (rd.hasNext) out += rd.next()
+        out.result()
+      } finally rd.close()
+    }
+    def optField(r: GenericRecord, name: String): Option[AnyRef] =
+      if (r.getSchema.getField(name) == null) None else Option(r.get(name))
+    def normPath(p: String): String = {
+      val uri = try new java.net.URI(p)
+        catch { case _: java.net.URISyntaxException => null }
+      if (uri != null && uri.getPath != null && uri.getPath.nonEmpty)
+        uri.getPath
+      else p
+    }
+    val dataPaths = Seq.newBuilder[String]
+    avroRecords(manifestList).foreach { m =>
+      avroRecords(m.get("manifest_path").toString).foreach { e =>
+        val status = optField(e, "status").map(_.toString.toInt).getOrElse(1)
+        val d = e.get("data_file").asInstanceOf[GenericRecord]
+        val content = optField(d, "content").map(_.toString.toInt)
+          .getOrElse(0)
+        if (status != 2 && content == 0)
+          dataPaths += d.get("file_path").toString
+      }
+    }
+    val files = dataPaths.result()
+
+    // ---- matched VISIBLE rows → (manifest-spelled file_path, pos);
+    // the read applies existing pos/eq deletes, so a row deletes at
+    // most once ----
+    val visible = IcebergSource.read(spark, tablePath,
+      withPosColumns = true)
+    val matched = visible.filter(predicate)
+      .select(col("__ice_file"), col("__ice_pos").as("pos"))
+    val lookup = spark.createDataFrame(
+      files.map(p => (normPath(p), p))).toDF("__ice_file", "file_path")
+    // persisted: the matched set drives a count, a null audit and the
+    // delete-file write — one scan, not three
+    val delRows0 = matched.join(broadcast(lookup), Seq("__ice_file"),
+      "left").select(col("file_path"), col("pos")).persist()
+    val matchedRows = delRows0.count()
+    if (matchedRows == 0L) { delRows0.unpersist(); return (curSnapId, 0L) }
+    require(delRows0.filter(col("file_path").isNull).isEmpty,
+      "iceberg delete: a matched row's file is not in the manifests — " +
+        "refusing rather than writing an unanchored position delete")
+
+    // ---- write the delete file(s): sorted by (file_path, pos) within
+    // each file, the spec's ordering rule; ~1M delete rows per file ----
+    val parts = math.max(1L, math.min(
+      spark.sessionState.conf.numShufflePartitions.toLong,
+      (matchedRows + 999999L) / 1000000L)).toInt
+    val txn = java.util.UUID.randomUUID().toString
+    val stage = new Path(root, s"__graft_ice_stage_$txn")
+    try {
+      delRows0.repartitionByRange(parts, col("file_path"), col("pos"))
+        .sortWithinPartitions("file_path", "pos")
+        .write.mode("overwrite").parquet(stage.toString)
+    } finally delRows0.unpersist()
+    val dataDir = new Path(root, "data")
+    fs.mkdirs(dataDir)
+    val added = fs.listStatus(stage).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") &&
+        fs.getFileStatus(p).getLen > 0)
+      .zipWithIndex.map { case (p, i) =>
+        val dst = new Path(dataDir, s"$txn-delete-$i.parquet")
+        if (!fs.rename(p, dst)) throw new IllegalStateException(
+          s"iceberg delete: staging rename to $dst failed")
+        dst.toString
+      }.toSeq
+    fs.delete(stage, true)
+    // empty-partition parquet parts still hold a footer; re-check the
+    // actual row presence per part so no 0-row delete file registers
+    val nonEmpty = added.filter(p =>
+      !spark.read.parquet(p).isEmpty)
+
+    // ---- new delete manifest + manifest list carrying all forward ----
+    val newSeq = Option(meta.get("last-sequence-number")).map(_.asLong)
+      .getOrElse(0L) + 1
+    val snapshotId = math.abs(java.util.UUID.randomUUID()
+      .getMostSignificantBits)
+    def writeAvro(path: Path, sch: Schema,
+        rows: Seq[GenericRecord]): Long = {
+      val tmp = new Path(path.getParent, s"__tmp_${path.getName}")
+      val out = fs.create(tmp, true)
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](sch))
+      try { w.create(sch, out); rows.foreach(w.append) } finally w.close()
+      if (!fs.rename(tmp, path)) throw new IllegalStateException(
+        s"iceberg delete: rename to $path failed")
+      fs.getFileStatus(path).getLen
+    }
+    val mPath = new Path(metaDir, s"m-$txn.avro")
+    val mLen = writeAvro(mPath, entrySchema, nonEmpty.map { f =>
+      val d = new GenericData.Record(
+        entrySchema.getField("data_file").schema())
+      d.put("content", 1); d.put("file_path", f)
+      d.put("file_format", "PARQUET")
+      d.put("record_count", matchedRows / math.max(nonEmpty.length, 1))
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1); e.put("data_file", d); e
+    })
+    val carried: Seq[GenericRecord] =
+      avroRecords(manifestList).map { r =>
+        val c = new GenericData.Record(listSchema)
+        c.put("manifest_path", r.get("manifest_path").toString)
+        c.put("manifest_length",
+          optField(r, "manifest_length").getOrElse(0L))
+        c.put("content", optField(r, "content").getOrElse(0))
+        c.put("sequence_number",
+          optField(r, "sequence_number").getOrElse(0L))
+        c
+      }
+    val newRef = {
+      val r = new GenericData.Record(listSchema)
+      r.put("manifest_path", mPath.toString)
+      r.put("manifest_length", mLen)
+      r.put("content", 1)
+      r.put("sequence_number", newSeq)
+      r
+    }
+    val mlPath = new Path(metaDir, s"snap-$snapshotId.avro")
+    writeAvro(mlPath, listSchema, carried :+ newRef)
+
+    // ---- metadata vN+1 claim ----
+    val prevSnaps = Option(meta.get("snapshots"))
+      .map(mapper.writeValueAsString).getOrElse("[]").stripSuffix("]")
+    val sep = if (prevSnaps == "[") "" else ", "
+    val newMetaJson = s"""{
+      "format-version": 2,
+      "table-uuid": "${Option(meta.get("table-uuid")).map(_.asText)
+        .getOrElse(java.util.UUID.randomUUID().toString)}",
+      "location": "$tablePath",
+      "last-sequence-number": $newSeq,
+      "current-snapshot-id": $snapshotId,
+      "current-schema-id": ${Option(meta.get("current-schema-id"))
+        .map(_.asInt).getOrElse(0)},
+      "schemas": ${Option(meta.get("schemas"))
+        .map(mapper.writeValueAsString).getOrElse {
+          val arr = mapper.createArrayNode()
+          Option(meta.get("schema")).foreach(arr.add)
+          mapper.writeValueAsString(arr)
+        }},
+      "snapshots": $prevSnaps$sep{"snapshot-id": $snapshotId,
+        "timestamp-ms": ${System.currentTimeMillis()},
+        "sequence-number": $newSeq,
+        "manifest-list": "$mlPath"}]
+    }"""
+    val newVersion = versions.last + 1
+    commitFailpoint()
+    val target = new Path(metaDir, s"v$newVersion.metadata.json")
+    try {
+      val out = fs.create(target, false)
+      try out.write(newMetaJson.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } catch {
+      case e: java.io.IOException
+          if e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException]
+            || Option(e.getMessage).exists(_.contains("exist")) =>
+        throw new IllegalStateException(
+          s"iceberg delete: metadata v$newVersion was claimed " +
+            "concurrently — the captured delete set is stale, refusing")
+    }
+    scala.util.Try {
+      val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
+      try hint.write(newVersion.toString.getBytes("UTF-8"))
+      finally hint.close()
+    }
+    (snapshotId, matchedRows)
+  }
+
   /** Row-level DELETE through a copy-on-write manifest rewrite (the
     * spec's CoW path: rewrite the files holding matches, publish a new
     * snapshot whose single data manifest lists every survivor —

@@ -54,9 +54,14 @@ object IcebergSource {
   private final case class DeleteSpec(path: String, content: Int,
       seq: Long, equalityIds: Seq[Int])
 
+  /** `withPosColumns` appends `__ice_file` (the normalized data-file
+    * path) and `__ice_pos` (the parquet row index) — the coordinates a
+    * position delete names; the position-delete WRITING path needs both
+    * for every VISIBLE row. */
   def read(spark: SparkSession, tablePath: String,
       snapshotId: Option[Long] = None,
-      asOfTimestampMs: Option[Long] = None): DataFrame = {
+      asOfTimestampMs: Option[Long] = None,
+      withPosColumns: Boolean = false): DataFrame = {
     require(snapshotId.isEmpty || asOfTimestampMs.isEmpty,
       "iceberg: snapshot-id and timestamp time travel are exclusive " +
         "(the reference's iceberg_snapshot_id / iceberg_timestamp_ms " +
@@ -189,11 +194,29 @@ object IcebergSource {
     }
     val data = dataFiles.result()
     val dels = deletes.result()
+    // normalize a path to its decoded path component, so the manifest's
+    // spelling, a delete file's file_path column, and Spark's
+    // _metadata.file_path URI rendering all compare equal
+    val normSql = (c: String) =>
+      s"url_decode(replace(regexp_replace($c, " +
+        s"'^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?', ''), '+', '%2B'))"
+    def posCols(df: DataFrame): DataFrame = df
+      .withColumn("__ice_file",
+        org.apache.spark.sql.functions.expr(
+          normSql("_metadata.file_path")))
+      .withColumn("__ice_pos",
+        org.apache.spark.sql.functions.col("_metadata.row_index"))
     if (data.isEmpty)
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    if (dels.isEmpty)
-      return spark.read.schema(schema).parquet(data.map(_._1): _*)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        if (!withPosColumns) schema
+        else StructType(schema.fields ++ Seq(
+          StructField("__ice_file", StringType),
+          StructField("__ice_pos", LongType))))
+    if (dels.isEmpty) {
+      val plain = spark.read.schema(schema).parquet(data.map(_._1): _*)
+      return if (withPosColumns) posCols(plain) else plain
+    }
 
     // field id → column name, for equality_ids resolution (top-level
     // fields only — the spec allows nested ids, which reject loudly)
@@ -204,18 +227,12 @@ object IcebergSource {
         Option(f.get("id")).map(_.asInt -> f.get("name").asText)
       }.toMap
     }
-    // normalize a path to its decoded path component, so the manifest's
-    // spelling, a delete file's file_path column, and Spark's
-    // _metadata.file_path URI rendering all compare equal
-    val normSql = (c: String) =>
-      s"url_decode(replace(regexp_replace($c, " +
-        s"'^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?', ''), '+', '%2B'))"
-
     val posDeletes = dels.filter(_.content == 1)
     val eqDeletes = dels.filter(_.content == 2)
 
     def applyDeletes(files: Seq[String], seq: Long): DataFrame = {
       var df = spark.read.schema(schema).parquet(files: _*)
+      if (withPosColumns || posDeletes.nonEmpty) df = posCols(df)
       // position deletes: the spec applies them to data seq <= delete
       // seq; a path can only be named by a delete AFTER the file
       // exists, so the path equi-join enforces that naturally
@@ -223,14 +240,8 @@ object IcebergSource {
         val del = spark.read.parquet(posDeletes.map(_.path): _*)
           .selectExpr(s"${normSql("file_path")} AS __ice_file",
             "pos AS __ice_pos")
-        df = df
-          .withColumn("__ice_file",
-            org.apache.spark.sql.functions.expr(
-              normSql("_metadata.file_path")))
-          .withColumn("__ice_pos",
-            org.apache.spark.sql.functions.col("_metadata.row_index"))
-          .join(del, Seq("__ice_file", "__ice_pos"), "left_anti")
-          .drop("__ice_file", "__ice_pos")
+        df = df.join(del, Seq("__ice_file", "__ice_pos"), "left_anti")
+        if (!withPosColumns) df = df.drop("__ice_file", "__ice_pos")
       }
       eqDeletes.filter(_.seq > seq).foreach { d =>
         val cols = d.equalityIds.map(id => idToName.getOrElse(id,

@@ -1391,7 +1391,8 @@ object ClickHouseSql {
       "(deltaLake|iceberg)\\s*\\(\\s*'([^']+)'\\s*\\)\\s*UPDATE\\s+(.+?)\\s+" +
       "WHERE\\s+(.+?);?\\s*$").r
     def lakeMutate(fn: String, path: String, pred: String,
-        assigns: Option[String]): org.apache.spark.sql.DataFrame = {
+        assigns: Option[String],
+        lightweight: Boolean): org.apache.spark.sql.DataFrame = {
       import spark.implicits._
       val predicate = org.apache.spark.sql.functions.expr(rewrite(pred))
       val kv = "(?s)^\\s*`?([A-Za-z_][A-Za-z0-9_]*)`?\\s*=\\s*(.*)$".r
@@ -1404,11 +1405,21 @@ object ClickHouseSql {
       val isIce = fn.equalsIgnoreCase("iceberg")
       val (v, n) = (isIce, asn) match {
         case (false, None) =>
-          graft.sources.DeltaLakeSink.delete(spark, path, predicate)
+          // the reference's split: DELETE FROM is the LIGHTWEIGHT
+          // delete (mask, not rewrite — deletion vectors here, the
+          // _row_exists mask there); ALTER TABLE ... DELETE is the
+          // heavyweight mutation (copy-on-write rewrite)
+          if (lightweight)
+            graft.sources.DeltaLakeSink.deleteLightweight(
+              spark, path, predicate)
+          else graft.sources.DeltaLakeSink.delete(spark, path, predicate)
         case (false, Some(a)) =>
           graft.sources.DeltaLakeSink.update(spark, path, a, predicate)
         case (true, None) =>
-          graft.sources.IcebergSink.delete(spark, path, predicate)
+          if (lightweight)
+            graft.sources.IcebergSink.deleteLightweight(
+              spark, path, predicate)
+          else graft.sources.IcebergSink.delete(spark, path, predicate)
         case (true, Some(a)) =>
           graft.sources.IcebergSink.update(spark, path, a, predicate)
       }
@@ -1418,11 +1429,12 @@ object ClickHouseSql {
     }
     trimmed0 match {
       case lakeDelete(fn, path, pred) =>
-        return lakeMutate(fn, path, pred, None)
+        return lakeMutate(fn, path, pred, None, lightweight = false)
       case lakeDeleteShort(fn, path, pred) =>
-        return lakeMutate(fn, path, pred, None)
+        return lakeMutate(fn, path, pred, None, lightweight = true)
       case lakeUpdate(fn, path, assigns, pred) =>
-        return lakeMutate(fn, path, pred, Some(assigns))
+        return lakeMutate(fn, path, pred, Some(assigns),
+          lightweight = false)
       case _ =>
     }
     // INSERT INTO t FROM INFILE 'path' [FORMAT fmt]

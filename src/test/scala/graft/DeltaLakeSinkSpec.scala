@@ -115,15 +115,51 @@ class DeltaLakeSinkSpec extends SparkFunSuite {
           partitionBy = Seq("name"))
       }
       assert(e2.getMessage.contains("partitions by"))
-      // a v7 writer-features table refuses
+      // the writer-feature gate is a per-feature OBLIGATION matrix
+      // (round 14): a v7 table whose invariants feature has nothing to
+      // enforce (no delta.invariants in the schema) appends fine…
       java.nio.file.Files.writeString(java.nio.file.Path.of(
         dir, "_delta_log", f"${1L}%020d.json"),
         """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
           """"writerFeatures":["invariants"]}}""" + "\n")
+      DeltaLakeSink.append(Seq((2L, "b")).toDF("id", "name"), dir)
+      // …an UNKNOWN feature still refuses (obligation unknowable)…
+      java.nio.file.Files.writeString(java.nio.file.Path.of(
+        dir, "_delta_log", f"${3L}%020d.json"),
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+          """"writerFeatures":["rowTracking"]}}""" + "\n")
       val e3 = intercept[IllegalArgumentException] {
-        DeltaLakeSink.append(Seq((2L, "b")).toDF("id", "name"), dir)
+        DeltaLakeSink.append(Seq((3L, "c")).toDF("id", "name"), dir)
       }
-      assert(e3.getMessage.contains("minWriterVersion"))
+      assert(e3.getMessage.contains("rowTracking"))
+      // …and delta.appendOnly blocks deletes but never appends
+      java.nio.file.Files.delete(java.nio.file.Path.of(
+        dir, "_delta_log", f"${3L}%020d.json"))
+      val schemaString = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(java.nio.file.Path.of(
+          dir, "_delta_log", f"${0L}%020d.json")).split("\n")
+          .find(_.contains("metaData")).get)
+        .get("metaData").get("schemaString").asText
+      val metaLine = new com.fasterxml.jackson.databind.ObjectMapper()
+        .writeValueAsString(java.util.Map.of("metaData", java.util.Map.of(
+          "id", "t", "schemaString", schemaString,
+          "partitionColumns", java.util.List.of[String](),
+          "configuration", java.util.Map.of("delta.appendOnly", "true"))))
+      // enable the FEATURE too: on a v7 table the delta.appendOnly
+      // property only binds when appendOnly is in writerFeatures
+      // (PROTOCOL.md enablement rule)
+      val protoLine =
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+          """"writerFeatures":["invariants","appendOnly"]}}"""
+      java.nio.file.Files.writeString(java.nio.file.Path.of(
+        dir, "_delta_log", f"${3L}%020d.json"),
+        protoLine + "\n" + metaLine + "\n")
+      DeltaLakeSink.append(Seq((4L, "d")).toDF("id", "name"), dir)
+      val e4 = intercept[IllegalArgumentException] {
+        DeltaLakeSink.delete(spark, dir,
+          org.apache.spark.sql.functions.col("id") === 1L)
+      }
+      assert(e4.getMessage.contains("appendOnly"))
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(dir).getParentFile)
   }

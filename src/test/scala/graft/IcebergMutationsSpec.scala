@@ -79,9 +79,11 @@ class IcebergMutationsSpec extends SparkFunSuite {
           col("id") === 1)
       }
       assert(e.getMessage.contains("no column"))
-      // dialect lanes
+      // dialect lanes: ALTER TABLE … DELETE is the copy-on-write
+      // mutation (DELETE FROM is the LIGHTWEIGHT position-delete lane,
+      // pinned separately — a CoW update after it would refuse)
       val del = graft.sql.ClickHouseSql.sql(spark,
-        s"DELETE FROM FUNCTION iceberg('$dir') WHERE id % 4 = 0")
+        s"ALTER TABLE FUNCTION iceberg('$dir') DELETE WHERE id % 4 = 0")
         .collect().head
       assert(del.getLong(1) == 3L)
       val upd = graft.sql.ClickHouseSql.sql(spark,
