@@ -997,6 +997,54 @@ object Extras6 extends QueryPack {
         "lightweight deletes must not rewrite or remove data files")
       ch(s"SELECT c_custkey, c_name FROM iceberg('$root') " +
         "ORDER BY c_custkey")
+    },
+
+    // Hudi timeline awareness + time travel (round 14 continuation —
+    // beyond the reference's base-file listing): a file group written
+    // at t1, rewritten at t2 (committed) and rewritten AGAIN at t3
+    // (INFLIGHT — an uncommitted write that must stay invisible).
+    // Current read = t2 state; 'asOf t1' = the original. The oracle
+    // restates both lanes over nation — a reader serving the pending
+    // slice, or time-traveling wrongly, hash-mismatches.
+    Q.df("q_tf_hudi_timetravel", """
+      SELECT 'current' AS lane, CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        CASE WHEN n_regionkey = 0 THEN upper(n_name) ELSE n_name END
+          AS n_name
+      FROM nation
+      UNION ALL
+      SELECT 'asof_t1' AS lane, CAST(n_nationkey AS BIGINT), n_name
+      FROM nation
+      ORDER BY lane, n_nationkey""") { (s, dir) =>
+      val root = s"/tmp/graft_huditt_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = fsOf(s, root)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/.hoodie"))
+      val nation = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_name"), col("n_regionkey"))
+      oneFile(s, root, "fg1_0-1-0_20240101000000.parquet",
+        nation.select("n_nationkey", "n_name").orderBy("n_nationkey"))
+      oneFile(s, root, "fg1_0-2-0_20240102000000.parquet",
+        nation.select(col("n_nationkey"),
+          when(col("n_regionkey") === 0, upper(col("n_name")))
+            .otherwise(col("n_name")).as("n_name"))
+          .orderBy("n_nationkey"))
+      oneFile(s, root, "fg1_0-3-0_20240103000000.parquet",
+        nation.select(col("n_nationkey"),
+          lit("UNCOMMITTED").as("n_name")).orderBy("n_nationkey"))
+      Seq("20240101000000.commit", "20240102000000.commit",
+        "20240103000000.commit.inflight").foreach { n =>
+        val out = fs.create(new org.apache.hadoop.fs.Path(
+          s"$root/.hoodie/$n"), true)
+        try out.write("{}".getBytes("UTF-8")) finally out.close()
+      }
+      graft.sql.ClickHouseSql.sql(s,
+        s"SELECT 'current' AS lane, n_nationkey, n_name " +
+          s"FROM hudi('$root') " +
+          "UNION ALL " +
+          s"SELECT 'asof_t1' AS lane, n_nationkey, n_name " +
+          s"FROM hudi('$root', '20240101000000') " +
+          "ORDER BY lane, n_nationkey")
     }
   )
 }

@@ -48,9 +48,12 @@ object HudiLogFormat {
   val AvroContentVersion = 3
 
   /** One decoded record-level event: an upsert carrying the Avro
-    * record, or a delete carrying only the key. */
+    * record, or a delete carrying only the key. `instant` is the
+    * block's INSTANT_TIME header — the commit that wrote it, which
+    * timeline filtering (pending-instant exclusion, time travel) keys
+    * on; blocks without the header carry "" and bypass that filter. */
   final case class LogEvent(key: String, isDelete: Boolean,
-      fields: Map[String, Any])
+      fields: Map[String, Any], instant: String = "")
 
   // ------------------------------------------------------------- write
 
@@ -212,7 +215,8 @@ object HudiLogFormat {
                 .map(_.toString).getOrElse(
                   throw new IllegalArgumentException(
                     "hudi log: data record has no _hoodie_record_key"))
-              out += LogEvent(key, isDelete = false, fields)
+              out += LogEvent(key, isDelete = false, fields,
+                headers.getOrElse(HeaderInstantTime, ""))
             }
           case TypeDelete =>
             val c = new DataInputStream(new ByteArrayInputStream(content))
@@ -225,7 +229,8 @@ object HudiLogFormat {
               val k = new Array[Byte](len)
               c.readFully(k)
               out += LogEvent(new String(k, StandardCharsets.UTF_8),
-                isDelete = true, Map.empty)
+                isDelete = true, Map.empty,
+                headers.getOrElse(HeaderInstantTime, ""))
             }
           case TypeCommand => // rollback markers etc — no row effect
           case other => throw new IllegalArgumentException(

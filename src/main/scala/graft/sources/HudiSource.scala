@@ -40,11 +40,73 @@ object HudiSource {
   private val logNameRe =
     "^\\.(.+)_([0-9]+)\\.log\\.([0-9]+)(?:_(.+))?$".r
 
-  def read(spark: SparkSession, tablePath: String): DataFrame = {
+  /** Pad a (14-digit second / 17-digit millisecond) instant to a fixed
+    * 17-digit width so mixed precisions compare correctly. */
+  private def padInstant(digits: String): Long =
+    (if (digits.length < 17) digits + "0" * (17 - digits.length)
+     else digits).toLong
+
+  /** The active timeline under `.hoodie` (classic layout —
+    * `<instant>.<action>[.<state>]` files; the reference lists the same
+    * directory in HudiMetadata.cpp's lakehouse family):
+    * (completed commit instants, pending instants, timeline present).
+    * `commit`/`deltacommit`/`replacecommit` with no state suffix are
+    * COMPLETED; their `.inflight`/`.requested` forms are PENDING until
+    * the completed file lands. Other actions (clean, rollback, …) do
+    * not gate data visibility. */
+  private def timeline(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): (Set[Long], Set[Long], Boolean) = {
+    val dir = new Path(root, ".hoodie")
+    val instantRe =
+      "^(\\d{14,17})\\.(commit|deltacommit|replacecommit)(\\.(inflight|requested))?$".r
+    val completed = Set.newBuilder[Long]
+    val pending0 = Set.newBuilder[Long]
+    fs.listStatus(dir).foreach { st =>
+      if (!st.isDirectory) st.getPath.getName match {
+        case instantRe(ts, _, _, state) =>
+          if (state == null) completed += padInstant(ts)
+          else pending0 += padInstant(ts)
+        case _ =>
+      }
+    }
+    val done = completed.result()
+    // an instant is pending only while its completed file is absent
+    val pending = pending0.result() -- done
+    (done, pending, done.nonEmpty || pending.nonEmpty)
+  }
+
+  /** Read the table's current — or, with `asOfInstant`, historical —
+    * state. Timeline awareness (round 14): file slices and log blocks
+    * written by PENDING instants (`.inflight`/`.requested` without a
+    * completed file) or newer than the newest completed instant are
+    * invisible, exactly like an uncommitted write; instants older than
+    * the active timeline pass (they may be archived). `asOfInstant`
+    * serves the newest state at or before that instant (second- or
+    * millisecond-precision digits). Tables without timeline instants
+    * (bare fixtures) serve the listing as-is. */
+  def read(spark: SparkSession, tablePath: String,
+      asOfInstant: Option[String] = None): DataFrame = {
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(new Path(root, ".hoodie")),
       s"hudi: $tablePath has no .hoodie directory — not a Hudi table")
+    val asOf = asOfInstant.map { s =>
+      val digits = s.takeWhile(_.isDigit)
+      require(digits.nonEmpty && digits.length == s.length,
+        s"hudi: asOfInstant '$s' is not an instant timestamp")
+      padInstant(digits)
+    }
+    val (completed, pending, hasTimeline) = timeline(fs, root)
+    val maxCompleted = if (completed.isEmpty) Long.MaxValue
+      else completed.max
+    // visibility rule for an instant ts: never pending; never newer
+    // than the newest completed instant when a timeline exists (a
+    // completed write can only be ≤ it — newer files are uncommitted);
+    // never newer than the asOf pick
+    def visible(ts: Long): Boolean =
+      !pending.contains(ts) &&
+        (!hasTimeline || ts <= maxCompleted) &&
+        asOf.forall(ts <= _)
     val files = scala.collection.mutable.ArrayBuffer.empty[Path]
     val logs = scala.collection.mutable.ArrayBuffer.empty[Path]
     def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
@@ -59,7 +121,7 @@ object HudiSource {
     }
     walk(root)
     require(files.nonEmpty, s"hudi: no base files under $tablePath")
-    // (partition dir, fileId) → latest-timestamp file
+    // (partition dir, fileId) → latest VISIBLE-timestamp file
     // name stem = fileId _ writeToken _ timestamp
     val latest = scala.collection.mutable.Map.empty[(String, String), (Long, String)]
     files.foreach { p =>
@@ -79,11 +141,15 @@ object HudiSource {
       val digits = parts(2).takeWhile(_.isDigit)
       require(digits.nonEmpty,
         s"hudi: base-file name ${p.getName} has no instant timestamp")
-      val ts = (if (digits.length < 17) digits + "0" * (17 - digits.length)
-        else digits).toLong
-      if (!latest.get(key).exists(_._1 >= ts))
+      val ts = padInstant(digits)
+      // a pending/future slice falls back to the group's newest VISIBLE
+      // slice — the uncommitted rewrite stays invisible
+      if (visible(ts) && !latest.get(key).exists(_._1 >= ts))
         latest(key) = (ts, p.toString)
     }
+    require(latest.nonEmpty,
+      s"hudi: no base files visible at the requested instant under " +
+        s"$tablePath")
     val base = spark.read.parquet(latest.values.map(_._2).toSeq: _*)
     if (logs.isEmpty) return base
 
@@ -112,6 +178,14 @@ object HudiSource {
       spark.sparkContext.hadoopConfiguration)
     val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
     val withOrd = ordered.zipWithIndex
+    // the visibility rule ships to the executors as plain values —
+    // blocks from pending/uncommitted/post-asOf instants are invisible
+    // (blocks without an INSTANT_TIME header pass; only this writer's
+    // own fixtures produce them)
+    val visPending = pending
+    val visMax = maxCompleted
+    val visHasTimeline = hasTimeline
+    val visAsOf = asOf
     val eventRows = spark.sparkContext
       .parallelize(withOrd, math.max(withOrd.length, 1))
       .flatMap { case (file, ord) =>
@@ -119,19 +193,28 @@ object HudiSource {
         val lfs = p.getFileSystem(serConf.value)
         val in = lfs.open(p)
         val bytes = try in.readAllBytes() finally in.close()
-        HudiLogFormat.readLogFile(bytes).zipWithIndex.map {
+        HudiLogFormat.readLogFile(bytes).zipWithIndex.flatMap {
           case (ev, i) =>
-            val prec = (ord.toLong << 32) | i.toLong
-            val vals: Seq[Any] =
-              if (ev.isDelete)
-                names.map(n => if (n == keyCol) ev.key else null)
-              else names.map { n =>
-                require(ev.fields.contains(n),
-                  s"hudi log: data record lacks column '$n' of the base " +
-                    "schema — refusing a partial-row merge")
-                ev.fields(n)
-              }
-            Row.fromSeq(vals ++ Seq(prec, ev.isDelete))
+            val evVisible = ev.instant.isEmpty || {
+              val ts = padInstant(ev.instant.takeWhile(_.isDigit))
+              !visPending.contains(ts) &&
+                (!visHasTimeline || ts <= visMax) &&
+                visAsOf.forall(ts <= _)
+            }
+            if (!evVisible) None
+            else {
+              val prec = (ord.toLong << 32) | i.toLong
+              val vals: Seq[Any] =
+                if (ev.isDelete)
+                  names.map(n => if (n == keyCol) ev.key else null)
+                else names.map { n =>
+                  require(ev.fields.contains(n),
+                    s"hudi log: data record lacks column '$n' of the base " +
+                      "schema — refusing a partial-row merge")
+                  ev.fields(n)
+                }
+              Some(Row.fromSeq(vals ++ Seq(prec, ev.isDelete)))
+            }
         }
       }
     val evSchema = StructType(schema.fields.toSeq ++ Seq(

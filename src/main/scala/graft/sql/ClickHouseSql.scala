@@ -3024,11 +3024,17 @@ object ClickHouseSql {
       df.createOrReplaceTempView(view)
       view
     }
-    // hudi('path') (TableFunctionObjectStorage.h:118) — native
-    // copy-on-write latest-file-group selection (HudiMetadata.cpp)
+    // hudi('path'[, 'instant']) (TableFunctionObjectStorage.h:118) —
+    // native latest-file-slice selection with timeline awareness
+    // (HudiMetadata.cpp); the optional second argument time-travels to
+    // the newest completed instant at or before it
     val step2 = replaceOutsideLiterals(step1,
-      "(?i)\\bhudi\\s*\\(\\s*'([^']+)'\\s*\\)".r) { g =>
-      val df = graft.sources.HudiSource.read(spark, g("1"))
+      // the instant stays a QUOTED group: the scan runs over the
+      // literal-masked SQL, where digits inside quotes are hidden —
+      // the argument text slices from the original by position
+      "(?i)\\bhudi\\s*\\(\\s*'([^']+)'\\s*(?:,\\s*'([^']*)'\\s*)?\\)".r) { g =>
+      val df = graft.sources.HudiSource.read(spark, g("1"),
+        Option(g("2")))
       val view = s"graft_hudi_fn_${fileFnCounter.incrementAndGet()}"
       df.createOrReplaceTempView(view)
       view
