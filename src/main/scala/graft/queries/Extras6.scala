@@ -1045,6 +1045,60 @@ object Extras6 extends QueryPack {
           s"SELECT 'asof_t1' AS lane, n_nationkey, n_name " +
           s"FROM hudi('$root', '20240101000000') " +
           "ORDER BY lane, n_nationkey")
+    },
+
+    // Column-mapped Delta WRITES (round 14 continuation — appends,
+    // UPDATE and both delete lanes on a minReaderVersion-2 'name'-mode
+    // table): the fixture hand-writes the mapped metaData per
+    // PROTOCOL.md, then every mutation flows through LOGICAL names
+    // while the staged parquet stores PHYSICAL columns and the log
+    // keys partitionValues physically. The oracle restates the final
+    // state over nation; wrong physical/logical plumbing surfaces as
+    // nulls or missing columns, not a count drift.
+    Q.df("q_delta_colmap_mutate", """
+      SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        CASE WHEN n_nationkey % 3 = 0 THEN upper(n_name)
+             ELSE n_name END AS n_name,
+        CASE WHEN n_nationkey % 2 = 0 THEN 'e' ELSE 'o' END AS seg
+      FROM nation WHERE n_nationkey % 5 <> 0
+      ORDER BY n_nationkey""") { (s, dir) =>
+      val root = s"/tmp/graft_cmapmut_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = fsOf(s, root)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/_delta_log"))
+      def esc(x: String) = x.replace("\\", "\\\\").replace("\"", "\\\"")
+      val schemaString =
+        """{"type":"struct","fields":[""" +
+          """{"name":"n_nationkey","type":"long","nullable":true,"metadata":""" +
+          """{"delta.columnMapping.id":1,"delta.columnMapping.physicalName":"col-k"}},""" +
+          """{"name":"n_name","type":"string","nullable":true,"metadata":""" +
+          """{"delta.columnMapping.id":2,"delta.columnMapping.physicalName":"col-n"}},""" +
+          """{"name":"seg","type":"string","nullable":true,"metadata":""" +
+          """{"delta.columnMapping.id":3,"delta.columnMapping.physicalName":"col-p"}}]}"""
+      val v0 = Seq(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"cm","format":{"provider":"parquet"},""" +
+          s""""schemaString":"${esc(schemaString)}",""" +
+          s""""partitionColumns":["seg"],""" +
+          s""""configuration":{"delta.columnMapping.mode":"name",""" +
+          s""""delta.columnMapping.maxColumnId":"3"}}}""").mkString("\n")
+      val out = fs.create(new org.apache.hadoop.fs.Path(
+        s"$root/_delta_log/" + f"${0L}%020d.json"), true)
+      try out.write((v0 + "\n").getBytes("UTF-8")) finally out.close()
+      graft.sources.DeltaLakeSink.append(
+        Tables.load(s, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("n_nationkey"),
+            col("n_name"),
+            when(col("n_nationkey") % 2 === 0, "e").otherwise("o")
+              .as("seg")),
+        root, partitionBy = Seq("seg"))
+      val ch = (q: String) => graft.sql.ClickHouseSql.sql(s, q)
+      ch(s"ALTER TABLE FUNCTION deltaLake('$root') " +
+        "UPDATE n_name = upper(n_name) WHERE n_nationkey % 3 = 0")
+      ch(s"DELETE FROM FUNCTION deltaLake('$root') " +
+        "WHERE n_nationkey % 5 = 0")
+      ch(s"SELECT n_nationkey, n_name, seg FROM deltaLake('$root') " +
+        "ORDER BY n_nationkey")
     }
   )
 }

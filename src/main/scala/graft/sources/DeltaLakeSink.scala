@@ -176,19 +176,31 @@ object DeltaLakeSink {
 
     state.foreach { st =>
       writerGate(st, "write", if (replace) "overwrite" else "append")
-      require(st.meta.exists(_.configuration
-          .getOrElse("delta.columnMapping.mode", "none") == "none"),
-        "deltaLake write: column-mapped tables need physical-name data " +
-          "files this appender does not write — refusing")
       val existing = org.apache.spark.sql.types.DataType
         .fromJson(st.meta.getOrElse(throw new IllegalArgumentException(
           "deltaLake write: existing table has no metaData action"))
           .schemaString)
         .asInstanceOf[org.apache.spark.sql.types.StructType]
       val got = df.schema
+      // compare STRUCTURE only: nested fields may carry metadata (e.g.
+      // delta.columnMapping.*) and nullability the incoming frame
+      // legitimately lacks
+      def norm(dt: org.apache.spark.sql.types.DataType)
+          : org.apache.spark.sql.types.DataType = dt match {
+        case st: org.apache.spark.sql.types.StructType =>
+          org.apache.spark.sql.types.StructType(st.fields.map(f =>
+            org.apache.spark.sql.types.StructField(
+              f.name.toLowerCase, norm(f.dataType))))
+        case org.apache.spark.sql.types.ArrayType(et, _) =>
+          org.apache.spark.sql.types.ArrayType(norm(et))
+        case org.apache.spark.sql.types.MapType(k, v, _) =>
+          org.apache.spark.sql.types.MapType(norm(k), norm(v))
+        case other => other
+      }
       val want = existing.fields.map(f => f.name.toLowerCase ->
-        f.dataType).toMap
-      val have = got.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+        norm(f.dataType)).toMap
+      val have = got.fields.map(f => f.name.toLowerCase ->
+        norm(f.dataType)).toMap
       require(want == have,
         s"deltaLake write: schema mismatch — table has ${existing.sql}, " +
           s"append has ${got.sql}")
@@ -205,8 +217,25 @@ object DeltaLakeSink {
       df.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
       s"deltaLake write: partition column '$c' missing from the data"))
 
-    // ---- stage the data files (one distributed write job) ----
-    val added = stageDataFiles(df, root, fs, partCols)
+    // ---- stage the data files (one distributed write job); a
+    // column-mapped table stores PHYSICAL column names in its parquet
+    // files and keys partitionValues by them (round 14 — appends to
+    // colmap tables; creation never enables mapping) ----
+    val mappingMode = state.flatMap(_.meta)
+      .map(_.configuration.getOrElse("delta.columnMapping.mode", "none"))
+      .getOrElse("none")
+    val (stagedDf, stagePartCols) =
+      if (mappingMode == "none") (df, partCols)
+      else {
+        val tableSchema = org.apache.spark.sql.types.DataType
+          .fromJson(state.get.meta.get.schemaString)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        (toPhysical(df, tableSchema, mappingMode),
+          partCols.map(pc => DeltaLakeSource.physNameOf(
+            tableSchema.fields.find(_.name.equalsIgnoreCase(pc)).get,
+            mappingMode)))
+      }
+    val added = stageDataFiles(stagedDf, root, fs, stagePartCols)
     require(added.nonEmpty || !creating,
       "deltaLake write: refusing to create a table from zero files")
 
@@ -533,6 +562,20 @@ object DeltaLakeSink {
     * delete re-adds files verbatim — physical keys included). */
   private final case class Active2(pv: Map[String, Option[String]])
 
+  /** Rename a logical-schema DataFrame to its PHYSICAL column names
+    * for a column-mapped table (nested fields rename through the
+    * positional struct cast — the write-side mirror of the reader's
+    * physical → logical projection). */
+  private def toPhysical(df: DataFrame,
+      tableSchema: org.apache.spark.sql.types.StructType,
+      mode: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.select(tableSchema.fields.map(f =>
+      col(f.name)
+        .cast(DeltaLakeSource.physicalizeType(f.dataType, mode))
+        .as(DeltaLakeSource.physNameOf(f, mode))).toIndexedSeq: _*)
+  }
+
   /** The protocol action enabling deletionVectors, or None when the
     * table already has it. Upgrading from a legacy version enumerates
     * the features that version IMPLIED (PROTOCOL.md's upgrade rule) so
@@ -602,10 +645,8 @@ object DeltaLakeSink {
     val m = state.meta.getOrElse(throw new IllegalArgumentException(
       s"deltaLake $what: the log has no metaData action"))
     writerGate(state, what, what)
-    require(m.configuration
-        .getOrElse("delta.columnMapping.mode", "none") == "none",
-      s"deltaLake $what: column-mapped tables are not supported — " +
-        "refusing rather than writing physical-name files blind")
+    val mappingMode = m.configuration
+      .getOrElse("delta.columnMapping.mode", "none")
     val schema = org.apache.spark.sql.types.DataType
       .fromJson(m.schemaString)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
@@ -649,7 +690,15 @@ object DeltaLakeSink {
               .otherwise(col(declared.name)))
         }
     }
-    val added = stageDataFiles(rewritten, root, fs, partCols)
+    // a column-mapped table's rewrite stages PHYSICAL names (the read
+    // above produced logical ones) and keys partitionValues physically
+    val (stagedDf, stagePartCols) =
+      if (mappingMode == "none") (rewritten, partCols)
+      else (toPhysical(rewritten, schema, mappingMode),
+        partCols.map(pc => DeltaLakeSource.physNameOf(
+          schema.fields.find(_.name.equalsIgnoreCase(pc)).get,
+          mappingMode)))
+    val added = stageDataFiles(stagedDf, root, fs, stagePartCols)
 
     // ---- 3. one remove+add commit; a collision means the captured
     // file set is stale — LOUD, never a silent lost update ----

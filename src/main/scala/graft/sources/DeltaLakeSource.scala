@@ -337,6 +337,32 @@ object DeltaLakeSource {
       minWriter, writerFeatures, target)
   }
 
+  /** Logical field → the physical column name its parquet files store
+    * (delta.columnMapping.physicalName). Shared by the reader and the
+    * sink's column-mapped appends/mutations. */
+  private[sources] def physNameOf(f: StructField, mode: String): String = {
+    val PhysKey = "delta.columnMapping.physicalName"
+    if (mode == "none") f.name
+    else if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey)
+    else throw new IllegalArgumentException(
+      s"deltaLake: columnMapping.mode=$mode but field " +
+        s"'${f.name}' has no $PhysKey — refusing rather than guessing")
+  }
+
+  /** Rename a logical type's nested fields to their physical names. */
+  private[sources] def physicalizeType(dt: DataType,
+      mode: String): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      StructField(physNameOf(f, mode), physicalizeType(f.dataType, mode),
+        f.nullable)))
+    case org.apache.spark.sql.types.ArrayType(et, n) =>
+      org.apache.spark.sql.types.ArrayType(physicalizeType(et, mode), n)
+    case org.apache.spark.sql.types.MapType(k, v, n) =>
+      org.apache.spark.sql.types.MapType(
+        physicalizeType(k, mode), physicalizeType(v, mode), n)
+    case other => other
+  }
+
   /** Resolve one add.path to its qualified filesystem Path (PROTOCOL.md:
     * a percent-encoded URI, usually relative to the table root but
     * legally absolute — shallow clones / external files). Shared by the
@@ -410,23 +436,9 @@ object DeltaLakeSource {
     }
     val schema = DataType.fromJson(m.schemaString).asInstanceOf[StructType]
 
-    val PhysKey = "delta.columnMapping.physicalName"
-    def physName(f: StructField): String =
-      if (mappingMode == "none") f.name
-      else if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey)
-      else throw new IllegalArgumentException(
-        s"deltaLake: columnMapping.mode=$mappingMode but field " +
-          s"'${f.name}' has no $PhysKey — refusing rather than guessing")
-    def physicalize(dt: DataType): DataType = dt match {
-      case st: StructType => StructType(st.fields.map(f =>
-        StructField(physName(f), physicalize(f.dataType), f.nullable)))
-      case org.apache.spark.sql.types.ArrayType(et, n) =>
-        org.apache.spark.sql.types.ArrayType(physicalize(et), n)
-      case org.apache.spark.sql.types.MapType(k, v, n) =>
-        org.apache.spark.sql.types.MapType(
-          physicalize(k), physicalize(v), n)
-      case other => other
-    }
+    def physName(f: StructField): String = physNameOf(f, mappingMode)
+    def physicalize(dt: DataType): DataType =
+      physicalizeType(dt, mappingMode)
     // logical partition column → the name partitionValues is keyed by
     // (physical under mapping; be liberal and fall back to logical)
     val partKeyOf: Map[String, String] = m.partitionColumns.map { pc =>

@@ -122,6 +122,67 @@ class DeltaColumnMappingSpec extends SparkFunSuite {
       .deleteDirectory(new java.io.File(dir))
   }
 
+  test("column-mapped WRITES (round 14): appends stage physical names " +
+      "and physical partitionValues keys; update and both delete lanes " +
+      "compose on the mapped table") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cmap_wr").toString
+    try {
+      dataFile(s"$dir/seed", "ignored.parquet", Seq((0L, "zero")))
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir, "seed"))
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Path.of(dir, "_delta_log"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Path.of(dir, "_delta_log", f"${0L}%020d.json"),
+        Seq("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+          metaLine("name")).mkString("\n") + "\n")
+      // APPEND with logical names — the staged parquet must store
+      // physical columns, partitionValues must key by col-ppp
+      val df = Seq((1L, "one", "x"), (2L, "two", "x"), (3L, "three", "y"))
+        .toDF("id", "label", "p")
+        .select(col("id"),
+          struct(col("label").as("label")).as("info"), col("p"))
+      val v1 = graft.sources.DeltaLakeSink.append(df, dir,
+        partitionBy = Seq("p"))
+      assert(v1 == 1L)
+      val commit1 = java.nio.file.Files.readString(
+        java.nio.file.Path.of(dir, "_delta_log", f"${1L}%020d.json"))
+      assert(commit1.contains("\"col-ppp\""),
+        "partitionValues must key by the PHYSICAL partition name")
+      val stagedFile = new java.io.File(dir).listFiles
+        .map(_.getName).find(_.endsWith(".parquet")).get
+      val physCols = spark.read.parquet(s"$dir/$stagedFile").columns.toSet
+      assert(physCols == Set("col-aaa", "col-ccc"),
+        s"data files must store physical names, got $physCols")
+      val back = graft.sources.DeltaLakeSource.read(spark, dir)
+      assert(back.columns.toSeq == Seq("id", "info", "p"))
+      assert(back.count() == 3L)
+      // UPDATE through the logical name
+      val (v2, n2) = graft.sources.DeltaLakeSink.update(spark, dir,
+        Seq("info" -> struct(upper(col("info.label")).as("label"))),
+        col("id") === 2L)
+      assert(v2 == 2L && n2 == 1L)
+      val lbl = graft.sources.DeltaLakeSource.read(spark, dir)
+        .where(col("id") === 2L).select("info.label")
+        .as[String].collect().head
+      assert(lbl == "TWO")
+      // lightweight DV delete, then CoW delete, both on the mapped table
+      val (v3, n3) = graft.sources.DeltaLakeSink.deleteLightweight(
+        spark, dir, col("id") === 1L)
+      assert(v3 == 3L && n3 == 1L)
+      val (v4, n4) = graft.sources.DeltaLakeSink.delete(
+        spark, dir, col("id") === 3L)
+      assert(v4 == 4L && n4 == 1L)
+      val ids = graft.sources.DeltaLakeSource.read(spark, dir)
+        .select("id").as[Long].collect().toSeq
+      assert(ids == Seq(2L))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
   test("mapping mode without physicalName metadata is loud; unknown " +
       "mode is loud") {
     val dir = java.nio.file.Files

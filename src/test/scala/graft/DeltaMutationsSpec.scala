@@ -100,8 +100,10 @@ class DeltaMutationsSpec extends SparkFunSuite {
           col("id") === 1)
       }
       assert(e2.getMessage.contains("no column"))
-      // a metaData action switching on column mapping makes any later
-      // mutation refuse loudly (the gate fires before any scan)
+      // a metaData action switching on column mapping WITHOUT
+      // physicalName metadata stays loud (mutations on properly-mapped
+      // tables are supported — DeltaColumnMappingSpec — but a mapped
+      // schema with no physical names can only be guessed at)
       val schemaString = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(java.nio.file.Files.readString(java.nio.file.Path.of(
           dir, "_delta_log", f"${0L}%020d.json")).split("\n")
@@ -118,7 +120,7 @@ class DeltaMutationsSpec extends SparkFunSuite {
       val e3 = intercept[IllegalArgumentException] {
         DeltaLakeSink.delete(spark, dir, col("id") === 3)
       }
-      assert(e3.getMessage.contains("column-mapped"))
+      assert(e3.getMessage.contains("physicalName"))
     } finally cleanup(dir)
   }
 
