@@ -226,6 +226,27 @@ object KqlQueries extends QueryPack {
       SELECT n_nationkey,
         CAST(SUM(n_regionkey) OVER (ORDER BY n_nationkey
           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS rsum
-      FROM nation ORDER BY n_nationkey""")
+      FROM nation ORDER BY n_nationkey"""),
+
+    // round-14 continuation — the last PRQL residue: s-strings (the
+    // raw-SQL escape hatch with {expr} interpolation) and the loop verb
+    // (PRQL's fixpoint iteration: the union of the input and every
+    // iteration until one is empty) over a per-nation seed. The oracle
+    // restates the doubling chain with a recursive CTE.
+    pq("q_prql_loop",
+      """from nation
+         filter n_nationkey <= 6
+         select {k = n_nationkey, v = n_nationkey + 1}
+         loop (filter v <= 40 | select {k = k, v = v * 2})
+         derive {tag = s"concat('n', {k})"}
+         sort {k, v}""",
+      """
+      WITH RECURSIVE r(k, v) AS (
+        SELECT n_nationkey AS k, n_nationkey + 1 AS v
+        FROM nation WHERE n_nationkey <= 6
+        UNION ALL
+        SELECT k, v * 2 FROM r WHERE v <= 40)
+      SELECT k, v, 'n' || CAST(k AS VARCHAR) AS tag
+      FROM r ORDER BY k, v""")
   )
 }

@@ -997,7 +997,7 @@ object ClickHouseSql {
       val t0 =
         if (raw.matches("(?is)^SET\\b.*")) raw
         else if (dialect == "kusto") KqlTranslator.translate(spark, raw)
-        else if (dialect == "prql") PrqlTranslator.translate(raw)
+        else if (dialect == "prql") PrqlTranslator.translate(spark, raw)
         else raw
       // CREATE VIEW bodies KEEP their placeholders — they substitute at
       // call time, per view invocation (parameterized views)

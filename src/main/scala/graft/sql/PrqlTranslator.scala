@@ -22,7 +22,14 @@ package graft.sql
   * {…})` / `window expanding:true (…)` / `window rolling:n (…)` compile
   * to SQL window frames over the pipeline's LAST `sort` order (a
   * window without a preceding sort is loud — frames need a total
-  * order). Still loud: `loop`, `select !{…}` exclusion.
+  * order). Round-14 continuation: relation literals
+  * (`from [{a=1, b="x"}, …]` → inline UNION ALL), s-strings
+  * (`s"RAW SQL with {expr} interpolation"` — PRQL's SQL escape hatch),
+  * and `loop (pipeline)` — PRQL's fixpoint iteration (union of every
+  * iteration's result until an iteration is empty), run as a
+  * driver-side fixpoint of distributed jobs exactly like the recursive
+  * CTE lane (needs the session — the translate(spark, …) entry the
+  * dialect switch uses). Still loud: `select !{…}` exclusion.
   */
 object PrqlTranslator {
 
@@ -30,16 +37,23 @@ object PrqlTranslator {
   private def sub(q: String): String =
     s"($q) __prql_${counter.incrementAndGet()}"
 
-  def translate(prql: String): String = {
+  /** Pure translation — `loop` (which must EXECUTE) is loud here. */
+  def translate(prql: String): String = translate(null, prql)
+
+  def translate(spark: org.apache.spark.sql.SparkSession,
+      prql: String): String = {
     val stages = splitStages(prql)
     require(stages.nonEmpty, "PRQL: empty pipeline")
     val fromRe = "(?is)^from\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s*$".r
+    val fromLitRe = "(?is)^from\\s+(\\[.*\\])\\s*$".r
     // the pipeline's current sort order (window frames anchor on it)
     var lastSort: Seq[String] = Seq.empty
     var cur = stages.head match {
       case fromRe(t) => s"SELECT * FROM $t"
+      case fromLitRe(lit) => relationLiteral(lit)
       case other => throw new IllegalArgumentException(
-        s"PRQL: the pipeline must start with `from <table>`, got '$other'")
+        s"PRQL: the pipeline must start with `from <table>` or a " +
+          s"relation literal `from [{{…}}, …]`, got '$other'")
     }
     stages.tail.foreach { st =>
       val verb = "^[a-z_]+".r.findFirstIn(st.toLowerCase).getOrElse("")
@@ -157,13 +171,80 @@ object PrqlTranslator {
             s"PRQL append: expected a table name, got '$body'")
           // PRQL append concatenates relations (UNION ALL semantics)
           s"SELECT * FROM ${sub(cur)} UNION ALL SELECT * FROM $body"
+        case "loop" =>
+          // PRQL loop: apply the inner pipeline to the previous result
+          // repeatedly until an iteration is empty; the verb's value is
+          // the UNION of the input and every iteration. A driver-side
+          // fixpoint of distributed jobs (the recursive-CTE shape),
+          // with the same lineage truncation and iteration guard.
+          require(spark != null,
+            "PRQL loop: needs a live session — run it through " +
+              "SET dialect = 'prql', not the pure translator")
+          require(body.startsWith("(") && body.endsWith(")"),
+            s"PRQL loop: expected `loop (pipeline)`, got '$body'")
+          val inner = body.substring(1, body.length - 1).trim
+          require(inner.nonEmpty, "PRQL loop: empty pipeline")
+          val id = counter.incrementAndGet()
+          val frontierView = s"graft_prql_loop_f_$id"
+          var acc = spark.sql(cur)
+          var frontier = acc
+          var iter = 0
+          var done = false
+          val maxIter = 1000
+          while (!done && iter < maxIter) {
+            iter += 1
+            frontier.createOrReplaceTempView(frontierView)
+            val next = spark.sql(
+              translate(spark, s"from $frontierView\n$inner"))
+            if (next.isEmpty) done = true
+            else {
+              acc = acc.unionByName(next)
+              frontier = next
+              if (iter % 8 == 0) acc = acc.localCheckpoint()
+            }
+          }
+          spark.catalog.dropTempView(frontierView)
+          require(done,
+            s"PRQL loop: did not reach an empty iteration within " +
+              s"$maxIter rounds — refusing a possibly-unbounded loop")
+          val outView = s"graft_prql_loop_$id"
+          acc.createOrReplaceTempView(outView)
+          s"SELECT * FROM $outView"
         case other => throw new IllegalArgumentException(
           s"PRQL: unsupported verb '$other' (supported: from, filter, " +
             "derive, select, aggregate, group, sort, take, join, " +
-            "append, window)")
+            "append, window, loop)")
       }
     }
     cur
+  }
+
+  /** `[{a=1, b="x"}, {a=2, b="y"}]` → an inline UNION ALL relation.
+    * Every row must carry the same column names in the same order (the
+    * PRQL book's tuple-array relation literal). */
+  private def relationLiteral(lit: String): String = {
+    val rows = splitTop(lit.substring(1, lit.length - 1))
+      .map(_.trim).filter(_.nonEmpty)
+    require(rows.nonEmpty, "PRQL: empty relation literal")
+    val parsed = rows.map { r =>
+      require(r.startsWith("{") && r.endsWith("}"),
+        s"PRQL relation literal: expected a tuple {{…}}, got '$r'")
+      splitTop(r.substring(1, r.length - 1)).map(_.trim).map {
+        case named(n, e) => (n, expr(e))
+        case other => throw new IllegalArgumentException(
+          s"PRQL relation literal: expected name = value, got '$other'")
+      }
+    }
+    val cols = parsed.head.map(_._1)
+    parsed.foreach(p => require(p.map(_._1) == cols,
+      s"PRQL relation literal: rows disagree on columns " +
+        s"(${cols.mkString(", ")} vs ${p.map(_._1).mkString(", ")})"))
+    val selects = parsed.zipWithIndex.map { case (p, i) =>
+      if (i == 0)
+        "SELECT " + p.map { case (n, v) => s"$v AS $n" }.mkString(", ")
+      else "SELECT " + p.map(_._2).mkString(", ")
+    }
+    selects.mkString(" UNION ALL ")
   }
 
   private val named = "(?s)^([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*(.+)$".r
@@ -219,10 +300,26 @@ object PrqlTranslator {
   private def expr(e0: String): String = {
     val lits = scala.collection.mutable.ArrayBuffer.empty[String]
     val masked = new StringBuilder
+    def identChar(ch: Char) = ch.isLetterOrDigit || ch == '_'
     var i = 0
     while (i < e0.length) {
       val c = e0.charAt(i)
-      if (c == '\'' || c == '"') {
+      // s-string: PRQL's raw-SQL escape hatch (`s"LEFT({col}, 3)"`) —
+      // the body splices through UNQUOTED, with {expr} interpolations
+      // recursively translated; the placeholder shields it from the
+      // operator rewrites like any literal
+      if ((c == 's' || c == 'S') && i + 1 < e0.length &&
+          e0.charAt(i + 1) == '"' &&
+          (masked.isEmpty || !identChar(masked.last))) {
+        val close = e0.indexOf('"', i + 2)
+        require(close >= 0, s"PRQL: unterminated s-string in '$e0'")
+        val raw = e0.substring(i + 2, close)
+        val sql = "\\{([^{}]*)\\}".r.replaceAllIn(raw, m =>
+          java.util.regex.Matcher.quoteReplacement(expr(m.group(1))))
+        lits += sql
+        masked.append(s"__PRQLLIT${lits.length - 1}__")
+        i = close + 1
+      } else if (c == '\'' || c == '"') {
         val close = e0.indexOf(c, i + 1)
         require(close >= 0, s"PRQL: unterminated string literal in '$e0'")
         val body = e0.substring(i + 1, close)

@@ -54,7 +54,8 @@ class PrqlSpec extends SparkFunSuite {
       val j = ch("from prql_t | join side:left prql_d (==grp) " +
         "| filter id == 1 | select {id, label}").collect().head
       assert(j.getLong(0) == 1L && j.getString(1) == "alpha")
-      val e = intercept[Exception](ch("from prql_t | loop (filter x > 1)"))
+      // loop is SUPPORTED since round 14 — an unknown verb stays loud
+      val e = intercept[Exception](ch("from prql_t | explode v"))
       assert(e.getMessage.contains("unsupported verb"))
       val e2 = intercept[Exception](ch("select {1}"))
       assert(e2.getMessage.contains("from"))
@@ -123,6 +124,35 @@ class PrqlSpec extends SparkFunSuite {
       // and a filter comparing against such a literal
       Seq((1L, "x==y")).toDF("id", "v").createOrReplaceTempView("prql_q")
       assert(ch("""from prql_q | filter v == "x==y"""").count() == 1L)
+    }
+  }
+
+  test("round-14 continuation: relation literals, s-strings, loop") {
+    mk()
+    inPrql {
+      // relation literal: from [{…}, …] — column agreement enforced
+      val lit = ch("""from [{a = 1, b = "x"}, {a = 2, b = "y"}]
+        | sort {-a}""").collect()
+        .map(r => (r.get(0).toString.toLong, r.getString(1))).toSeq
+      assert(lit == Seq((2L, "y"), (1L, "x")), s"got $lit")
+      val eLit = intercept[Exception](
+        ch("""from [{a = 1}, {b = 2}]""").collect())
+      assert(eLit.getMessage.contains("disagree"))
+      // s-string: raw SQL with {expr} interpolation; the body is
+      // shielded from the ==/&& rewrites
+      val s1 = ch("""from prql_t | derive {h = s"substring(grp || '==', 1, 3)"}
+        | filter id == 1 | select {h}""").collect().head.getString(0)
+      assert(s1 == "a==", s"s-string splice got '$s1'")
+      // loop: the PRQL fixpoint verb — collatz-ish doubling until > 40
+      // returns the input UNION every iteration
+      val looped = ch("""from [{n = 3}]
+        | loop (filter n <= 40 | derive {m = n * 2} | select {n = m})
+        | sort {n}""").collect().map(_.get(0).toString.toLong).toSeq
+      assert(looped == Seq(3L, 6L, 12L, 24L, 48L), s"got $looped")
+      // loop through the PURE translator (no session) stays loud
+      val eLoop = intercept[Exception](
+        graft.sql.PrqlTranslator.translate("from t | loop (filter x > 0)"))
+      assert(eLoop.getMessage.contains("session"))
     }
   }
 }
