@@ -1099,6 +1099,56 @@ object Extras6 extends QueryPack {
         "WHERE n_nationkey % 5 = 0")
       ch(s"SELECT n_nationkey, n_name, seg FROM deltaLake('$root') " +
         "ORDER BY n_nationkey")
+    },
+
+    // Lakehouse compaction (round 14 continuation — OPTIMIZE TABLE
+    // FUNCTION, ClickHouse's OPTIMIZE FINAL over the lakehouse lanes):
+    // both tables take lightweight deletes, compact (masks materialize
+    // away: Delta DVs drop from the commits, Iceberg delete files drop
+    // from the snapshot), and the Iceberg side proves the "compact
+    // first" remedy by running a CoW UPDATE afterwards. The oracle
+    // restates both lanes; a compaction that lost or resurrected
+    // masked rows hash-mismatches.
+    Q.df("q_lake_optimize", """
+      SELECT 'delta' AS lane, c_custkey, c_name FROM customer
+      WHERE c_custkey <= 80 AND c_custkey % 3 <> 0
+      UNION ALL
+      SELECT 'iceberg' AS lane, c_custkey,
+        CASE WHEN c_custkey % 7 = 0 THEN upper(c_name) ELSE c_name END
+      FROM customer
+      WHERE c_custkey <= 80 AND c_custkey % 4 <> 0
+      ORDER BY lane, c_custkey""") { (s, dir) =>
+      val dRoot = s"/tmp/graft_opt_d_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val iRoot = s"/tmp/graft_opt_i_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      Seq(dRoot, iRoot).foreach(r =>
+        fsOf(s, r).delete(new org.apache.hadoop.fs.Path(r), true))
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"))
+        .createOrReplaceTempView("graft_opt_cust")
+      val ch = (q: String) => graft.sql.ClickHouseSql.sql(s, q)
+      ch(s"INSERT INTO FUNCTION deltaLake('$dRoot') " +
+        "SELECT c_custkey, c_name FROM graft_opt_cust WHERE c_custkey <= 80")
+      ch(s"DELETE FROM FUNCTION deltaLake('$dRoot') WHERE c_custkey % 3 = 0")
+      val opt = ch(s"OPTIMIZE TABLE FUNCTION deltaLake('$dRoot') FINAL")
+        .collect().head
+      require(opt.getLong(0) == 2L, s"delta compaction must commit v2, got $opt")
+      val post = java.nio.file.Files.readString(java.nio.file.Path.of(
+        dRoot, "_delta_log", f"${2L}%020d.json"))
+      require(!post.contains("deletionVector"),
+        "compaction must materialize the DV masks away")
+      ch(s"INSERT INTO FUNCTION iceberg('$iRoot') " +
+        "SELECT c_custkey, c_name FROM graft_opt_cust WHERE c_custkey <= 80")
+      ch(s"DELETE FROM FUNCTION iceberg('$iRoot') WHERE c_custkey % 4 = 0")
+      ch(s"OPTIMIZE TABLE FUNCTION iceberg('$iRoot')")
+      // the compacted snapshot carries no delete files → CoW works again
+      ch(s"ALTER TABLE FUNCTION iceberg('$iRoot') " +
+        "UPDATE c_name = upper(c_name) WHERE c_custkey % 7 = 0")
+      ch(s"SELECT 'delta' AS lane, c_custkey, c_name " +
+        s"FROM deltaLake('$dRoot') " +
+        "UNION ALL " +
+        s"SELECT 'iceberg' AS lane, c_custkey, c_name " +
+        s"FROM iceberg('$iRoot') " +
+        "ORDER BY lane, c_custkey")
     }
   )
 }

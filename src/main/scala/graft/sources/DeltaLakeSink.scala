@@ -101,8 +101,10 @@ object DeltaLakeSink {
     val conf = state.meta.map(_.configuration).getOrElse(Map.empty)
     val schemaStr = state.meta.map(_.schemaString).getOrElse("")
     def enabled(k: String) = conf.get(k).exists(_.equalsIgnoreCase("true"))
+    // "compact" neither adds nor removes rows LOGICALLY (dataChange
+    // false) — the spec permits it even on appendOnly/CDF tables
     val addsRows = op == "append" || op == "update" || op == "overwrite"
-    val removesRows = op != "append"
+    val removesRows = op != "append" && op != "compact"
     if (effective("invariants") && addsRows)
       require(!schemaStr.contains("delta.invariants"),
         s"deltaLake $what: the schema declares column invariants this " +
@@ -119,7 +121,7 @@ object DeltaLakeSink {
       require(!schemaStr.contains("delta.identity."),
         s"deltaLake $what: the schema declares identity columns this " +
           "writer cannot allocate — refusing")
-    if (effective("changeDataFeed"))
+    if (effective("changeDataFeed") && (addsRows || removesRows))
       require(!enabled("delta.enableChangeDataFeed"),
         s"deltaLake $what: the table enables change data feed and this " +
           "writer cannot emit CDC files — refusing")
@@ -272,7 +274,7 @@ object DeltaLakeSink {
       if (replace) state.map(_.active.map(_._1)).getOrElse(Seq.empty)
       else Seq.empty
     val body = (if (creating) metaLines() else Seq.empty) ++
-      removes.map(removeJson) ++
+      removes.map(p => removeJson(p)) ++
       added.map { case (rel, size, pv) => addJson(rel, size, pv) }
 
     // the next version must clear BOTH the newest JSON commit and the
@@ -382,7 +384,8 @@ object DeltaLakeSink {
 
   private def addJson(rel: String, size: Long,
       pv: Map[String, Option[String]],
-      dv: Option[DeltaDeletionVectors.DvDescriptor] = None): String = {
+      dv: Option[DeltaDeletionVectors.DvDescriptor] = None,
+      dataChange: Boolean = true): String = {
     val pvNode = mapper.createObjectNode()
     pv.foreach { case (k, v) =>
       v match {
@@ -396,7 +399,7 @@ object DeltaLakeSink {
       pvNode)
     add.put("size", size)
     add.put("modificationTime", System.currentTimeMillis())
-    add.put("dataChange", true)
+    add.put("dataChange", dataChange)
     dv.foreach { d =>
       val n = mapper.createObjectNode()
       n.put("storageType", d.storageType)
@@ -411,14 +414,85 @@ object DeltaLakeSink {
     mapper.writeValueAsString(line)
   }
 
-  private def removeJson(path: String): String = {
+  private def removeJson(path: String,
+      dataChange: Boolean = true): String = {
     val rm = mapper.createObjectNode()
     rm.put("path", path)
     rm.put("deletionTimestamp", System.currentTimeMillis())
-    rm.put("dataChange", true)
+    rm.put("dataChange", dataChange)
     val line = mapper.createObjectNode()
     line.set[com.fasterxml.jackson.databind.JsonNode]("remove", rm)
     mapper.writeValueAsString(line)
+  }
+
+  /** COMPACTION — the lakehouse spelling of OPTIMIZE TABLE FINAL: read
+    * the current logical state (deletion vectors apply), rewrite it as
+    * size-targeted files (~128 MiB from the live file statuses), and
+    * commit remove(all old) + add(new) with dataChange = FALSE — the
+    * table's rows do not change, so the commit is legal even on
+    * delta.appendOnly tables (the spec permits dataChange-false
+    * removes for compaction). DVs materialize away. Returns
+    * (version, files before, files after); an empty or single-file
+    * DV-free table is a no-op. */
+  def compact(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, checkpointInterval: Int = 10): (Long, Int, Int) = {
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val state = DeltaLakeSource.replayLog(spark, tablePath)
+    writerGate(state, "optimize", "compact")
+    val m = state.meta.getOrElse(throw new IllegalArgumentException(
+      "deltaLake optimize: the log has no metaData action"))
+    val mappingMode = m.configuration
+      .getOrElse("delta.columnMapping.mode", "none")
+    val hasDv = state.active.exists(_._2.dv.isDefined)
+    if (state.active.isEmpty ||
+        (state.active.length == 1 && !hasDv))
+      return (state.version, state.active.length, state.active.length)
+    val totalBytes = state.active.map { case (p, _) =>
+      val abs = DeltaLakeSource.qualify(spark, tablePath, p)
+      scala.util.Try(fs.getFileStatus(abs).getLen).getOrElse(0L)
+    }.sum
+    val target = math.max(1L,
+      (totalBytes + (128L << 20) - 1) / (128L << 20)).toInt
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(m.schemaString)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val partCols = m.partitionColumns
+    val df = DeltaLakeSource.read(spark, tablePath).repartition(target)
+    val (stagedDf, stagePartCols) =
+      if (mappingMode == "none") (df, partCols)
+      else (toPhysical(df, schema, mappingMode),
+        partCols.map(pc => DeltaLakeSource.physNameOf(
+          schema.fields.find(_.name.equalsIgnoreCase(pc)).get,
+          mappingMode)))
+    val added = stageDataFiles(stagedDf, root, fs, stagePartCols)
+    val body = state.active.map(a => removeJson(a._1,
+        dataChange = false)) ++
+      added.map { case (rel, size, pv) =>
+        addJson(rel, size, pv, dataChange = false)
+      }
+    val version = state.version + 1
+    commitFailpoint()
+    val logDir = new Path(root, "_delta_log")
+    val target2 = new Path(logDir, f"$version%020d.json")
+    val claimed =
+      try {
+        val out = fs.create(target2, false)
+        try out.write((body.mkString("\n") + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException
+            if Option(e.getMessage).exists(_.contains("exist")) => false
+      }
+    if (!claimed) throw new IllegalStateException(
+      "deltaLake optimize: a concurrent commit landed during the " +
+        "compaction — the captured file set is stale, refusing")
+    if (checkpointInterval > 0 && (version + 1) % checkpointInterval == 0)
+      writeCheckpoint(spark, tablePath, version)
+    (version, state.active.length, added.length)
   }
 
   /** Row-level DELETE through a copy-on-write rewrite (the protocol's
@@ -702,7 +776,7 @@ object DeltaLakeSink {
 
     // ---- 3. one remove+add commit; a collision means the captured
     // file set is stale — LOUD, never a silent lost update ----
-    val body = matchedLog.toSeq.sorted.map(removeJson) ++
+    val body = matchedLog.toSeq.sorted.map(p => removeJson(p)) ++
       added.map { case (rel, size, pv) => addJson(rel, size, pv) }
     val version = state.version + 1
     commitFailpoint()

@@ -81,6 +81,19 @@ object IcebergSink {
   def overwrite(df: DataFrame, tablePath: String): Long =
     commit(df, tablePath, carryForward = false)
 
+  /** COMPACTION — the lakehouse spelling of OPTIMIZE TABLE FINAL:
+    * materialize the current state (position/equality deletes apply
+    * during the read) into fresh data files and publish it as an
+    * overwrite snapshot. Delete files drop from the current state, so
+    * copy-on-write mutations work again afterwards; older snapshots
+    * stay travelable. Returns the new snapshot id. */
+  def compact(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String): Long = {
+    // the staged data files read the OLD state before the metadata
+    // claim swaps the snapshot — a self-read-then-overwrite is safe
+    overwrite(IcebergSource.read(spark, tablePath), tablePath)
+  }
+
   private def commit(df: DataFrame, tablePath: String,
       carryForward: Boolean): Long = {
     val spark = df.sparkSession

@@ -1437,6 +1437,27 @@ object ClickHouseSql {
           lightweight = false)
       case _ =>
     }
+    // OPTIMIZE TABLE FUNCTION deltaLake|iceberg('path') [FINAL] —
+    // lakehouse compaction: materialize the current state (DV masks /
+    // delete files apply) into fresh size-targeted files; dataChange
+    // false on Delta, an overwrite snapshot on Iceberg (which drops the
+    // delete files, re-enabling copy-on-write mutations)
+    val lakeOptimize = ("(?is)^OPTIMIZE\\s+TABLE\\s+FUNCTION\\s+" +
+      "(deltaLake|iceberg)\\s*\\(\\s*'([^']+)'\\s*\\)(?:\\s+FINAL)?" +
+      "\\s*;?\\s*$").r
+    trimmed0 match {
+      case lakeOptimize(fn, path) =>
+        import spark.implicits._
+        if (fn.equalsIgnoreCase("iceberg")) {
+          val sid = graft.sources.IcebergSink.compact(spark, path)
+          return Seq(sid).toDF("snapshot_id")
+        }
+        val (v, before, after) =
+          graft.sources.DeltaLakeSink.compact(spark, path)
+        return Seq((v, before.toLong, after.toLong))
+          .toDF("committed_version", "files_before", "files_after")
+      case _ =>
+    }
     // INSERT INTO t FROM INFILE 'path' [FORMAT fmt]
     // (ParserInsertQuery infile clause — the input twin of INTO
     // OUTFILE): read the file through the matching format reader with
