@@ -1149,6 +1149,59 @@ object Extras6 extends QueryPack {
         s"SELECT 'iceberg' AS lane, c_custkey, c_name " +
         s"FROM iceberg('$iRoot') " +
         "ORDER BY lane, c_custkey")
+    },
+
+    // Hudi WRITE roundtrip (round 14 continuation — beyond the
+    // reference, whose Hudi support is read-only): create-as-upsert,
+    // then an UPSERT whose updates land as merge-on-read log blocks
+    // (region-0 names uppercased — base files asserted untouched) and
+    // whose new keys open a fresh base group, then a lightweight
+    // DELETE (delete blocks) of region 1. The oracle restates the
+    // merged state over nation; serving stale base rows or losing the
+    // new-key group hash-mismatches.
+    Q.df("q_hudi_write_roundtrip", """
+      SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS k,
+        CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        CASE WHEN n_regionkey = 0 THEN upper(n_name)
+             ELSE n_name END AS n_name
+      FROM nation WHERE n_regionkey <> 1
+      UNION ALL
+      SELECT 'extra', 99, 'NEWLAND'
+      ORDER BY n_nationkey, k""") { (s, dir) =>
+      val root = s"/tmp/graft_hudiwr_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = fsOf(s, root)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      Tables.load(s, dir, "nation")
+        .select(concat(lit("n"), col("n_nationkey").cast("string"))
+          .as("_hoodie_record_key"),
+          col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_name"), col("n_regionkey").cast("long").as("rk"))
+        .createOrReplaceTempView("graft_hw_nation")
+      val ch = (q: String) => graft.sql.ClickHouseSql.sql(s, q)
+      ch(s"INSERT INTO FUNCTION hudi('$root') " +
+        "SELECT _hoodie_record_key, n_nationkey, n_name " +
+        "FROM graft_hw_nation")
+      def bases(): Set[String] = fs
+        .listStatus(new org.apache.hadoop.fs.Path(root))
+        .map(_.getPath.getName).filter(_.endsWith(".parquet")).toSet
+      val bases0 = bases()
+      // upsert: uppercase region-0 names (updates) + one new key
+      ch(s"INSERT INTO FUNCTION hudi('$root') " +
+        "SELECT _hoodie_record_key, n_nationkey, upper(n_name) AS n_name " +
+        "FROM graft_hw_nation WHERE rk = 0 " +
+        "UNION ALL SELECT 'extra', 99, 'NEWLAND'")
+      require(bases0.subsetOf(bases()) && bases().size == bases0.size + 1,
+        "updates must land as log blocks; the new key opens one group")
+      val delKeys = Tables.load(s, dir, "nation")
+        .filter(col("n_regionkey") === 1)
+        .select(concat(lit("n"), col("n_nationkey").cast("string")))
+        .collect().map(r => s"'${r.getString(0)}'") // 25-row dim fixture
+      ch(s"DELETE FROM FUNCTION hudi('$root') WHERE _hoodie_record_key " +
+        s"IN (${delKeys.mkString(", ")})")
+      require(bases() == bases0 + (bases() -- bases0).head,
+        "deletes must not rewrite base files")
+      ch(s"SELECT _hoodie_record_key AS k, n_nationkey, n_name " +
+        s"FROM hudi('$root') ORDER BY n_nationkey, k")
     }
   )
 }

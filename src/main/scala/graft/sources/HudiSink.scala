@@ -1,0 +1,325 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, input_file_name}
+
+/** Native Hudi WRITE support — BEYOND the reference (HudiMetadata.cpp
+  * reads base files only; there is no write side at all). Merge-on-read
+  * commits through the documented table layout (hudi.apache.org
+  * tech-specs; the same base-file naming, log-block format and timeline
+  * state machine HudiSource/HudiLogFormat read):
+  *
+  *  - UPSERT (`upsert`): rows whose `_hoodie_record_key` exists in a
+  *    base file become a DATA BLOCK appended to that file group's log
+  *    (one log file per affected group, WRITTEN BY EXECUTORS — the rows
+  *    shuffle once by file group, never to the driver); new keys write
+  *    a fresh base-file group. Creating the table (no base files) is a
+  *    pure insert.
+  *  - DELETE (`deleteWhere`): the lightweight lane — matching keys
+  *    become DELETE BLOCKS in their groups' logs; no file rewrites.
+  *
+  * Timeline state machine: every commit claims
+  * `.hoodie/<instant>.deltacommit.requested` with create(overwrite =
+  * false) — allocation collisions bump the millisecond instant —
+  * then marks `.inflight`, writes the data, and COMPLETES the instant
+  * last. A crash leaves a pending instant, which the timeline-aware
+  * reader already treats as invisible; nothing partial is ever served.
+  *
+  * Scope gates (loud): unpartitioned tables (no Hive-style partition
+  * dirs), schemas of long/int/double/float/boolean/string columns (the
+  * Avro log codec's surface), upserts must carry every base column.
+  * Keys absent from every base file route to a fresh insert group;
+  * delete keys absent from every base attach to the lexicographically
+  * first group — the reader's key-merge is global, so placement does
+  * not change results (documented deviation from Hudi's pluggable
+  * index routing).
+  */
+object HudiSink {
+
+  /** Test-only failpoint, fired between the inflight mark and the
+    * completion write — crash specs assert the pending state stays
+    * invisible. */
+  private[graft] var completeFailpoint: () => Unit = () => ()
+
+  private val KeyCol = "_hoodie_record_key"
+
+  private def avroTypeOf(dt: org.apache.spark.sql.types.DataType): String =
+    dt match {
+      case org.apache.spark.sql.types.LongType => "long"
+      case org.apache.spark.sql.types.IntegerType => "int"
+      case org.apache.spark.sql.types.DoubleType => "double"
+      case org.apache.spark.sql.types.FloatType => "float"
+      case org.apache.spark.sql.types.BooleanType => "boolean"
+      case org.apache.spark.sql.types.StringType => "string"
+      case other => throw new IllegalArgumentException(
+        s"hudi write: column type $other is outside the log codec's " +
+          "surface (long/int/double/float/boolean/string)")
+    }
+
+  private def avroSchemaJson(
+      schema: org.apache.spark.sql.types.StructType): String =
+    schema.fields.map(f =>
+      s"""{"name":"${f.name}","type":["null","${avroTypeOf(f.dataType)}"],""" +
+        s""""default":null}""")
+      .mkString(
+        """{"type":"record","name":"graft_hudi_row","fields":[""",
+        ",", "]}")
+
+  /** Allocate and CLAIM a new instant: millisecond-precision 17-digit
+    * digits, `.requested` created put-if-absent; a collision bumps the
+    * millisecond. Returns the instant string. */
+  private def claimInstant(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path, action: String): String = {
+    val hoodie = new Path(root, ".hoodie")
+    fs.mkdirs(hoodie)
+    var t = System.currentTimeMillis()
+    var attempts = 0
+    while (attempts < 1000) {
+      attempts += 1
+      val instant = new java.text.SimpleDateFormat("yyyyMMddHHmmssSSS") {
+        setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+      }.format(new java.util.Date(t))
+      val target = new Path(hoodie, s"$instant.$action.requested")
+      val claimed =
+        try {
+          fs.create(target, false).close(); true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case e: java.io.IOException
+              if Option(e.getMessage).exists(_.contains("exist")) => false
+        }
+      if (claimed) return instant
+      t += 1
+    }
+    throw new IllegalStateException(
+      "hudi write: could not allocate an instant in 1000 attempts")
+  }
+
+  private def markInflight(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path, instant: String, action: String): Unit =
+    fs.create(new Path(new Path(root, ".hoodie"),
+      s"$instant.$action.inflight"), true).close()
+
+  private def complete(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path, instant: String, action: String): Unit = {
+    completeFailpoint()
+    val out = fs.create(new Path(new Path(root, ".hoodie"),
+      s"$instant.$action"), true)
+    try out.write("{}".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The current base-file groups: fileId → (base instant, base path),
+    * newest visible slice per group. Refuses partitioned layouts. */
+  private def baseGroups(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Map[String, (String, Path)] = {
+    val out = scala.collection.mutable.Map.empty[String, (String, Path)]
+    if (!fs.exists(root)) return out.toMap
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && !n.startsWith(".") && !n.startsWith("_"))
+        throw new IllegalArgumentException(
+          s"hudi write: partitioned layouts are not supported (found " +
+            s"directory '$n') — this writer handles unpartitioned tables")
+      if (!st.isDirectory && n.endsWith(".parquet") && !n.startsWith(".") &&
+          !n.startsWith("_")) {
+        val parts = n.stripSuffix(".parquet").split('_')
+        require(parts.length == 3,
+          s"hudi write: unexpected base-file name $n")
+        val cur = out.get(parts(0))
+        if (cur.isEmpty || cur.get._1 < parts(2))
+          out(parts(0)) = (parts(2), st.getPath)
+      }
+    }
+    out.toMap
+  }
+
+  /** Next log version per file group (existing `.log.N` maxima + 1). */
+  private def nextLogVersions(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Map[String, Int] = {
+    val re = "^\\.(.+)_([0-9]+)\\.log\\.([0-9]+)(?:_(.+))?$".r
+    val out = scala.collection.mutable.Map.empty[String, Int]
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      st.getPath.getName match {
+        case re(fileId, _, ver, _) =>
+          out(fileId) = math.max(out.getOrElse(fileId, 0), ver.toInt)
+        case _ =>
+      }
+    }
+    out.toMap
+  }
+
+  /** UPSERT `df` (which must carry `_hoodie_record_key` plus the base
+    * columns): existing keys append as log data blocks in their file
+    * group, new keys write a fresh base-file group. Creates the table
+    * when absent. Returns (instant, rows upserted). */
+  def upsert(df: DataFrame, tablePath: String): (String, Long) = {
+    val spark = df.sparkSession
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(df.schema.fieldNames.contains(KeyCol),
+      s"hudi write: the data must carry $KeyCol (Hudi's record key)")
+    df.schema.fields.foreach(f => avroTypeOf(f.dataType)) // loud gate
+    val groups = baseGroups(fs, root)
+    val creating = groups.isEmpty
+
+    // schema agreement with the base files: the MoR merge requires log
+    // records to carry every base column AT the base's types (an
+    // int-typed log value under a bigint base column would corrupt the
+    // merge), and a new insert group must not drift the table schema
+    val aligned: DataFrame =
+      if (creating) df
+      else {
+        val baseSchema = spark.read
+          .parquet(groups.values.map(_._2.toString).toSeq: _*).schema
+        val have = df.schema.fieldNames.map(_.toLowerCase).toSet
+        val missing = baseSchema.fieldNames.filterNot(n =>
+          have(n.toLowerCase))
+        require(missing.isEmpty,
+          s"hudi write: upsert lacks base columns ${missing.mkString(", ")}")
+        val extra = df.schema.fieldNames.filterNot(n =>
+          baseSchema.fieldNames.exists(_.equalsIgnoreCase(n)))
+        require(extra.isEmpty,
+          s"hudi write: upsert carries columns ${extra.mkString(", ")} " +
+            "outside the base schema — refusing a schema drift")
+        df.select(baseSchema.fields.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+      }
+
+    val instant = claimInstant(fs, root, "deltacommit")
+    markInflight(fs, root, instant, "deltacommit")
+    val n = aligned.count()
+
+    // ---- route rows: key → existing group (broadcast file-count map
+    // joined against a DISTRIBUTED key scan), else the insert lane ----
+    val routed: DataFrame =
+      if (creating) aligned.withColumn("__hudi_gid",
+        org.apache.spark.sql.functions.lit(null: String))
+      else {
+        val keyToGid = spark.read
+          .parquet(groups.values.map(_._2.toString).toSeq: _*)
+          .select(col(KeyCol).as("__k"), input_file_name().as("__f"))
+          .withColumn("__hudi_gid",
+            org.apache.spark.sql.functions
+              .regexp_extract(col("__f"), "([^/]+?)_[^/_]+_[^/_]+\\.parquet$", 1))
+          .select(col("__k"), col("__hudi_gid"))
+        aligned.join(keyToGid, aligned(KeyCol) === keyToGid("__k"),
+          "left")
+          .drop("__k")
+      }
+
+    val dataCols = aligned.schema.fieldNames.toSeq
+    val schemaJson = avroSchemaJson(aligned.schema)
+
+    // ---- updates: one log file per group, written BY THE EXECUTOR
+    // holding that group's rows (one shuffle on the group id) ----
+    val logVersions = nextLogVersions(fs, root)
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val rootStr = root.toString
+    val groupBase = groups.map { case (gid, (bi, _)) => gid -> bi }
+    val updates = routed.filter(col("__hudi_gid").isNotNull)
+    import spark.implicits._
+    val written: Array[Long] = updates
+      .repartition(col("__hudi_gid"))
+      .mapPartitions { it =>
+        val rows = it.toSeq
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val byGid = rows.groupBy(_.getAs[String]("__hudi_gid"))
+          val fsx = new Path(rootStr).getFileSystem(conf.value)
+          val avro = new org.apache.avro.Schema.Parser().parse(schemaJson)
+          byGid.iterator.map { case (gid, rs) =>
+            val bi = groupBase.getOrElse(gid,
+              throw new IllegalStateException(
+                s"hudi write: routed group $gid has no base instant"))
+            val ver = logVersions.getOrElse(gid, 0) + 1
+            val log = new Path(rootStr, s".${gid}_$bi.log.${ver}_0-0-0")
+            val recs = rs.map { r =>
+              val g = new org.apache.avro.generic.GenericData.Record(avro)
+              dataCols.foreach { c =>
+                g.put(c, r.getAs[Any](c) match {
+                  case null => null
+                  case x => x
+                })
+              }
+              g.asInstanceOf[org.apache.avro.generic.GenericRecord]
+            }
+            HudiLogFormat.appendDataBlock(fsx, log, instant, avro, recs)
+            rs.length.toLong
+          }
+        }
+      }.collect()
+
+    // ---- inserts: new keys → one fresh base-file group ----
+    val inserts = routed.filter(col("__hudi_gid").isNull)
+      .select(dataCols.map(col): _*)
+    if (!inserts.isEmpty) {
+      val gid = java.util.UUID.randomUUID().toString.take(8) +
+        "-ins-" + instant.takeRight(6)
+      val stage = new Path(root, s"__graft_hudi_stage_$instant")
+      inserts.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = fs.listStatus(stage).map(_.getPath)
+        .find(_.getName.startsWith("part-")).getOrElse(
+          throw new IllegalStateException("hudi write: no staged part"))
+      val dst = new Path(root, s"${gid}_0-0-0_$instant.parquet")
+      if (!fs.rename(part, dst)) throw new IllegalStateException(
+        s"hudi write: staging rename to $dst failed")
+      fs.delete(stage, true)
+    }
+    complete(fs, root, instant, "deltacommit")
+    (instant, n)
+  }
+
+  /** Lightweight DELETE: matching keys (from `predicate` over the
+    * CURRENT merged state) become delete blocks in their file groups'
+    * logs — no file rewrites. Returns (instant, rows deleted); zero
+    * matches complete nothing. */
+  def deleteWhere(spark: SparkSession, tablePath: String,
+      predicate: org.apache.spark.sql.Column): (String, Long) = {
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val groups = baseGroups(fs, root)
+    require(groups.nonEmpty, s"hudi delete: no base files at $tablePath")
+    val cur = HudiSource.read(spark, tablePath)
+    require(cur.columns.contains(KeyCol),
+      s"hudi delete: the table has no $KeyCol")
+    import spark.implicits._
+    val keys = cur.filter(predicate).select(col(KeyCol)).as[String]
+    // key → group from the base files; unplaced keys (log-only rows)
+    // attach to the first group — the reader's key-merge is global
+    val keyToGid = spark.read
+      .parquet(groups.values.map(_._2.toString).toSeq: _*)
+      .select(col(KeyCol).as("__k"), input_file_name().as("__f"))
+      .withColumn("__hudi_gid",
+        org.apache.spark.sql.functions
+          .regexp_extract(col("__f"), "([^/]+?)_[^/_]+_[^/_]+\\.parquet$", 1))
+      .select(col("__k"), col("__hudi_gid"))
+    val firstGid = groups.keys.toSeq.sorted.head
+    // keyToGid is base-row-scale — a plain join (AQE broadcasts the
+    // DELETE-KEY side when it is small, the common case)
+    val routed = keys.toDF(KeyCol)
+      .join(keyToGid, col(KeyCol) === col("__k"), "left")
+      .select(col(KeyCol),
+        org.apache.spark.sql.functions.coalesce(col("__hudi_gid"),
+          org.apache.spark.sql.functions.lit(firstGid)).as("__hudi_gid"))
+    // delete keys are delete-scale — collect per group driver-side
+    val byGid = routed.as[(String, String)].collect()
+      .groupBy(_._2).map { case (g, ks) => g -> ks.map(_._1).toSeq }
+    if (byGid.isEmpty) return ("", 0L)
+    val total = byGid.valuesIterator.map(_.length.toLong).sum
+    val instant = claimInstant(fs, root, "deltacommit")
+    markInflight(fs, root, instant, "deltacommit")
+    val logVersions = nextLogVersions(fs, root)
+    byGid.foreach { case (gid, ks) =>
+      val bi = groups.get(gid).map(_._1).getOrElse(
+        throw new IllegalStateException(
+          s"hudi delete: group $gid has no base instant"))
+      val ver = logVersions.getOrElse(gid, 0) + 1
+      val log = new Path(root, s".${gid}_$bi.log.${ver}_0-0-0")
+      HudiLogFormat.appendDeleteBlock(fs, log, instant, ks.sorted)
+    }
+    complete(fs, root, instant, "deltacommit")
+    (instant, total)
+  }
+}

@@ -1351,7 +1351,7 @@ object ClickHouseSql {
     // this lane must run BEFORE lakehouse READ resolution, which would
     // otherwise turn the write target into a read view.
     val insertDelta = ("(?is)^INSERT\\s+INTO\\s+(?:TABLE\\s+)?FUNCTION\\s+" +
-      "(deltaLake|iceberg)\\s*\\(\\s*'([^']+)'\\s*\\)\\s*" +
+      "(deltaLake|iceberg|hudi)\\s*\\(\\s*'([^']+)'\\s*\\)\\s*" +
       "(?:PARTITION\\s+BY\\s*\\(([^)]*)\\)\\s*)?(SELECT\\b.*|VALUES\\b.*)$").r
     trimmed0 match {
       case insertDelta(fn, path, partCols0, tail) =>
@@ -1368,9 +1368,32 @@ object ClickHouseSql {
           val sid = graft.sources.IcebergSink.append(df, path)
           return Seq(sid).toDF("snapshot_id")
         }
+        if (fn.equalsIgnoreCase("hudi")) {
+          // Hudi INSERT is an UPSERT (the engine's default operation):
+          // existing keys become log data blocks, new keys a fresh
+          // base-file group. The SELECT must carry _hoodie_record_key.
+          require(pcs.isEmpty,
+            "INSERT INTO FUNCTION hudi: partitioned writes are not " +
+              "supported (unpartitioned tables only)")
+          val (instant, nRows) = graft.sources.HudiSink.upsert(df, path)
+          return Seq((instant, nRows)).toDF("instant", "rows_upserted")
+        }
         val v = graft.sources.DeltaLakeSink.append(df, path,
           partitionBy = pcs)
         return Seq(v).toDF("committed_version")
+      case _ =>
+    }
+    // DELETE FROM FUNCTION hudi('path') WHERE pred — the lightweight
+    // lane (delete blocks in the groups' logs; no rewrites), matching
+    // the Delta-DV / Iceberg-position-delete split
+    val hudiDelete = ("(?is)^DELETE\\s+FROM\\s+(?:TABLE\\s+)?FUNCTION\\s+" +
+      "hudi\\s*\\(\\s*'([^']+)'\\s*\\)\\s*WHERE\\s+(.+?);?\\s*$").r
+    trimmed0 match {
+      case hudiDelete(path, pred) =>
+        import spark.implicits._
+        val (instant, nRows) = graft.sources.HudiSink.deleteWhere(spark,
+          path, org.apache.spark.sql.functions.expr(rewrite(pred)))
+        return Seq((instant, nRows)).toDF("instant", "rows_deleted")
       case _ =>
     }
     // Row-level lakehouse mutations over the table-function spelling
