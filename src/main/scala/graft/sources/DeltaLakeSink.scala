@@ -71,16 +71,13 @@ object DeltaLakeSink {
     * silently wrong. `op` is one of append/delete/update/overwrite.
     * A CoW delete only REMOVES rows, so invariant/constraint/generated
     * features cannot break (surviving rows already satisfied them). */
-  private[sources] def writerGate(state: DeltaLakeSource.LogState,
-      what: String, op: String): Unit = {
-    val implemented = Set("deletionVectors", "appendOnly", "invariants",
-      "checkConstraints", "changeDataFeed", "generatedColumns",
-      "identityColumns", "columnMapping")
-    require(state.minWriter <= 7,
-      s"deltaLake $what: minWriterVersion ${state.minWriter} is newer " +
-        "than this writer understands — refusing rather than violating " +
-        "obligations it cannot see")
-    val effective: Set[String] = (state.minWriter match {
+  /** The writer features a LEGACY minWriterVersion implies
+    * (PROTOCOL.md's version table) — shared by the gate and the
+    * DV protocol-upgrade enumeration so they can never disagree.
+    * Version 7 returns empty: the explicit writerFeatures list
+    * governs. */
+  private def legacyWriterFeatures(minWriter: Int): Set[String] =
+    minWriter match {
       case w if w <= 1 => Set.empty[String]
       case 2 => Set("appendOnly", "invariants")
       case 3 => Set("appendOnly", "invariants", "checkConstraints")
@@ -91,8 +88,20 @@ object DeltaLakeSink {
       case 6 => Set("appendOnly", "invariants", "checkConstraints",
         "changeDataFeed", "generatedColumns", "columnMapping",
         "identityColumns")
-      case _ => Set.empty[String] // 7: the explicit list governs
-    }) ++ state.writerFeatures
+      case _ => Set.empty[String]
+    }
+
+  private[sources] def writerGate(state: DeltaLakeSource.LogState,
+      what: String, op: String): Unit = {
+    val implemented = Set("deletionVectors", "appendOnly", "invariants",
+      "checkConstraints", "changeDataFeed", "generatedColumns",
+      "identityColumns", "columnMapping")
+    require(state.minWriter <= 7,
+      s"deltaLake $what: minWriterVersion ${state.minWriter} is newer " +
+        "than this writer understands — refusing rather than violating " +
+        "obligations it cannot see")
+    val effective: Set[String] =
+      legacyWriterFeatures(state.minWriter) ++ state.writerFeatures
     val unknown = effective -- implemented
     require(unknown.isEmpty,
       s"deltaLake $what: the table needs writer features " +
@@ -121,7 +130,11 @@ object DeltaLakeSink {
       require(!schemaStr.contains("delta.identity."),
         s"deltaLake $what: the schema declares identity columns this " +
           "writer cannot allocate — refusing")
-    if (effective("changeDataFeed") && (addsRows || removesRows))
+    // CDC files are only REQUIRED for commits that change or remove
+    // existing rows — CDF readers derive append-only commits from the
+    // dataChange adds themselves (PROTOCOL.md "Change Data Files"), so
+    // plain appends to a CDF table stay legal
+    if (effective("changeDataFeed") && removesRows)
       require(!enabled("delta.enableChangeDataFeed"),
         s"deltaLake $what: the table enables change data feed and this " +
           "writer cannot emit CDC files — refusing")
@@ -660,19 +673,9 @@ object DeltaLakeSink {
       state.readerFeatures("deletionVectors") &&
       state.writerFeatures("deletionVectors")
     if (has) return None
-    val legacyWriter: Set[String] = state.minWriter match {
-      case w if w <= 1 => Set.empty
-      case 2 => Set("appendOnly", "invariants")
-      case 3 => Set("appendOnly", "invariants", "checkConstraints")
-      case 4 => Set("appendOnly", "invariants", "checkConstraints",
-        "changeDataFeed", "generatedColumns")
-      case 5 => Set("appendOnly", "invariants", "checkConstraints",
-        "changeDataFeed", "generatedColumns", "columnMapping")
-      case 6 => Set("appendOnly", "invariants", "checkConstraints",
-        "changeDataFeed", "generatedColumns", "columnMapping",
-        "identityColumns")
-      case _ => state.writerFeatures
-    }
+    val legacyWriter: Set[String] =
+      if (state.minWriter >= 7) state.writerFeatures
+      else legacyWriterFeatures(state.minWriter)
     val legacyReader: Set[String] = state.minReader match {
       case r if r <= 1 => Set.empty
       case 2 => Set("columnMapping")
@@ -754,7 +757,13 @@ object DeltaLakeSink {
     val scoped = DeltaLakeSource.read(spark, tablePath,
       onlyPaths = Some(matchedLog))
     val rewritten = assignments match {
-      case None => scoped.filter(not(predicate))
+      // survivors = rows NOT exactly-true under the predicate: a plain
+      // not(predicate) is NULL for NULL-valued rows, which would drop
+      // them from the rewrite — silent data loss on rows the DELETE
+      // never matched
+      case None =>
+        scoped.filter(not(predicate <=> org.apache.spark.sql.functions
+          .lit(true)))
       case Some(asn) =>
         asn.foldLeft(scoped) { case (d, (c, e)) =>
           val declared = schema.fields

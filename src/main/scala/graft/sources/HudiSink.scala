@@ -234,7 +234,6 @@ object HudiSink {
               throw new IllegalStateException(
                 s"hudi write: routed group $gid has no base instant"))
             val ver = logVersions.getOrElse(gid, 0) + 1
-            val log = new Path(rootStr, s".${gid}_$bi.log.${ver}_0-0-0")
             val recs = rs.map { r =>
               val g = new org.apache.avro.generic.GenericData.Record(avro)
               dataCols.foreach { c =>
@@ -245,7 +244,20 @@ object HudiSink {
               }
               g.asInstanceOf[org.apache.avro.generic.GenericRecord]
             }
-            HudiLogFormat.appendDataBlock(fsx, log, instant, avro, recs)
+            // retry/speculation safety: build the log under a temp name
+            // the reader's walker ignores (no ".log." marker), publish
+            // by rename. A racing attempt publishes identical content,
+            // so either rename outcome leaves a consistent file; a
+            // crashed attempt leaves only an ignored temp.
+            val tmp = new Path(rootStr, s"__graft_hudi_tmplog_" +
+              java.util.UUID.randomUUID().toString.take(8))
+            HudiLogFormat.appendDataBlock(fsx, tmp, instant, avro, recs)
+            val log = new Path(rootStr, s".${gid}_$bi.log.${ver}_0-0-0")
+            if (!fsx.rename(tmp, log)) {
+              fsx.delete(tmp, false)
+              if (!fsx.exists(log)) throw new IllegalStateException(
+                s"hudi write: could not publish log file $log")
+            }
             rs.length.toLong
           }
         }

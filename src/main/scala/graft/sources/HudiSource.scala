@@ -186,6 +186,13 @@ object HudiSource {
     val visMax = maxCompleted
     val visHasTimeline = hasTimeline
     val visAsOf = asOf
+    // merge precedence orders by the BLOCK'S COMMIT INSTANT first (the
+    // Hudi contract — a later commit wins wherever its block lives),
+    // then log-over-base at a tie, then (file order, event index) for
+    // blocks of one commit. Ordering by the log file's NAME instant
+    // alone would let a base slice's position override commit order on
+    // cross-group events (e.g. a delete routed to another group) and
+    // would let pre-compaction log blocks beat a newer base slice.
     val eventRows = spark.sparkContext
       .parallelize(withOrd, math.max(withOrd.length, 1))
       .flatMap { case (file, ord) =>
@@ -195,15 +202,16 @@ object HudiSource {
         val bytes = try in.readAllBytes() finally in.close()
         HudiLogFormat.readLogFile(bytes).zipWithIndex.flatMap {
           case (ev, i) =>
-            val evVisible = ev.instant.isEmpty || {
-              val ts = padInstant(ev.instant.takeWhile(_.isDigit))
-              !visPending.contains(ts) &&
+            val ts =
+              if (ev.instant.isEmpty) Long.MaxValue // headerless: wins
+              else padInstant(ev.instant.takeWhile(_.isDigit))
+            val evVisible = ev.instant.isEmpty ||
+              (!visPending.contains(ts) &&
                 (!visHasTimeline || ts <= visMax) &&
-                visAsOf.forall(ts <= _)
-            }
+                visAsOf.forall(ts <= _))
             if (!evVisible) None
             else {
-              val prec = (ord.toLong << 32) | i.toLong
+              val seq = (ord.toLong << 32) | i.toLong
               val vals: Seq[Any] =
                 if (ev.isDelete)
                   names.map(n => if (n == keyCol) ev.key else null)
@@ -213,21 +221,29 @@ object HudiSource {
                       "schema — refusing a partial-row merge")
                   ev.fields(n)
                 }
-              Some(Row.fromSeq(vals ++ Seq(prec, ev.isDelete)))
+              Some(Row.fromSeq(vals ++ Seq(ts, 1L, seq, ev.isDelete)))
             }
         }
       }
     val evSchema = StructType(schema.fields.toSeq ++ Seq(
-      StructField("__hudi_prec", LongType, nullable = false),
+      StructField("__hudi_inst", LongType, nullable = false),
+      StructField("__hudi_islog", LongType, nullable = false),
+      StructField("__hudi_seq", LongType, nullable = false),
       StructField("__hudi_del", BooleanType, nullable = false)))
     val events = spark.createDataFrame(eventRows, evSchema)
     val baseTagged = base
-      .withColumn("__hudi_prec", lit(-1L))
+      .withColumn("__hudi_inst", org.apache.spark.sql.functions.expr(
+        "cast(rpad(regexp_extract(input_file_name(), " +
+          "'_([0-9]+)\\\\.parquet$', 1), 17, '0') as bigint)"))
+      .withColumn("__hudi_islog", lit(0L))
+      .withColumn("__hudi_seq", lit(0L))
       .withColumn("__hudi_del", lit(false))
     val payload = struct((names :+ "__hudi_del").map(col): _*)
+    val prec = struct(col("__hudi_inst"), col("__hudi_islog"),
+      col("__hudi_seq"))
     baseTagged.unionByName(events)
       .groupBy(col(keyCol).as("__hudi_key"))
-      .agg(max_by(payload, col("__hudi_prec")).as("__w"))
+      .agg(max_by(payload, prec).as("__w"))
       .filter(not(col("__w.__hudi_del")))
       .select(names.map(n => col(s"__w.$n").as(n)): _*)
   }

@@ -659,7 +659,11 @@ object IcebergSink {
     // ---- rewrite ONLY the matched files ----
     val scoped = spark.read.schema(schema).parquet(matched.toSeq: _*)
     val rewritten = assignments match {
-      case None => scoped.filter(not(predicate))
+      // survivors = rows NOT exactly-true: not(predicate) is NULL for
+      // NULL-valued rows, which would silently drop them
+      case None =>
+        scoped.filter(not(predicate <=> org.apache.spark.sql.functions
+          .lit(true)))
       case Some(asn) =>
         asn.foldLeft(scoped) { case (d, (c, e)) =>
           val declared = schema.fields.find(_.name.equalsIgnoreCase(c)).get

@@ -194,8 +194,13 @@ object PrqlTranslator {
           while (!done && iter < maxIter) {
             iter += 1
             frontier.createOrReplaceTempView(frontierView)
+            // the frontier materializes EAGERLY each round: without it
+            // every iteration's plan embeds the whole previous chain
+            // (O(n²) recompute across isEmpty + the final query, and a
+            // 1000-deep nested plan at the guard)
             val next = spark.sql(
               translate(spark, s"from $frontierView\n$inner"))
+              .localCheckpoint(true)
             if (next.isEmpty) done = true
             else {
               acc = acc.unionByName(next)

@@ -160,6 +160,28 @@ class DeltaLakeSinkSpec extends SparkFunSuite {
           org.apache.spark.sql.functions.col("id") === 1L)
       }
       assert(e4.getMessage.contains("appendOnly"))
+      // change data feed blocks row CHANGES, never plain appends (CDF
+      // readers derive append commits from the dataChange adds)
+      val metaCdf = new com.fasterxml.jackson.databind.ObjectMapper()
+        .writeValueAsString(java.util.Map.of("metaData", java.util.Map.of(
+          "id", "t", "schemaString", schemaString,
+          "partitionColumns", java.util.List.of[String](),
+          "configuration",
+          java.util.Map.of("delta.enableChangeDataFeed", "true"))))
+      val protoCdf =
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+          """"writerFeatures":["invariants","changeDataFeed"]}}"""
+      val v5 = new java.io.File(dir, "_delta_log").listFiles
+        .map(_.getName).filter(_.endsWith(".json")).length.toLong
+      java.nio.file.Files.writeString(java.nio.file.Path.of(
+        dir, "_delta_log", f"$v5%020d.json"),
+        protoCdf + "\n" + metaCdf + "\n")
+      DeltaLakeSink.append(Seq((5L, "e")).toDF("id", "name"), dir)
+      val e5 = intercept[IllegalArgumentException] {
+        DeltaLakeSink.delete(spark, dir,
+          org.apache.spark.sql.functions.col("id") === 1L)
+      }
+      assert(e5.getMessage.contains("change data feed"))
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(dir).getParentFile)
   }

@@ -173,6 +173,23 @@ class DeltaMutationsSpec extends SparkFunSuite {
     } finally cleanup(dir)
   }
 
+  test("rows where the DELETE predicate evaluates to NULL survive the " +
+      "rewrite (not(pred) would drop them — silent data loss)") {
+    val dir = tmp("nullpred")
+    try {
+      DeltaLakeSink.append(
+        Seq((1L, java.lang.Long.valueOf(5L)), (2L, null.asInstanceOf[java.lang.Long]),
+          (3L, java.lang.Long.valueOf(7L)))
+          .toDF("id", "v").repartition(1), dir)
+      val (_, n) = DeltaLakeSink.delete(spark, dir, col("v") === 5L)
+      assert(n == 1L)
+      val ids = DeltaLakeSource.read(spark, dir)
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(2L, 3L),
+        s"the NULL-valued row must survive the rewrite, got $ids")
+    } finally cleanup(dir)
+  }
+
   test("commit collision during a mutation is loud, not a lost update") {
     val dir = tmp("race")
     try {

@@ -131,4 +131,69 @@ class HudiTimelineSpec extends SparkFunSuite {
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(dir))
   }
+
+  test("merge precedence follows the BLOCK commit instant across file " +
+      "groups: a later delete in an earlier-sliced group's log beats an " +
+      "earlier log insert elsewhere; a newer base slice beats older " +
+      "log blocks") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_hudi_prec").toString
+    try {
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Path.of(dir, ".hoodie"))
+      val s2 = spark
+      import s2.implicits._
+      def base(name: String, rows: Seq[(String, Long, String)]): Unit = {
+        val tmp = s"$dir/__tmp"
+        rows.toDF("_hoodie_record_key", "id", "v").coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .map(_.getPath).find(_.getName.startsWith("part-")).get
+        fs.rename(part, new org.apache.hadoop.fs.Path(dir, name))
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
+      // group A based at t1, group B based at t3
+      base("ga_0-1-0_20240101000000.parquet", Seq(("a1", 1L, "va")))
+      base("gb_0-1-0_20240103000000.parquet", Seq(("b1", 2L, "vb")))
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val avroSchema = new org.apache.avro.Schema.Parser().parse("""
+        {"type":"record","name":"r","fields":[
+          {"name":"_hoodie_record_key","type":"string"},
+          {"name":"id","type":"long"},
+          {"name":"v","type":"string"}]}""")
+      def rec(k: String, id: Long, v: String) = {
+        val g = new org.apache.avro.generic.GenericData.Record(avroSchema)
+        g.put("_hoodie_record_key", k); g.put("id", id); g.put("v", v)
+        g.asInstanceOf[org.apache.avro.generic.GenericRecord]
+      }
+      // t4: key x INSERTED via group B's log; t5: x DELETED via group
+      // A's log (cross-group routing, like HudiSink.deleteWhere on a
+      // log-only key). File-name-order precedence would replay A's log
+      // (base t1) before B's (base t3) and RESURRECT x.
+      graft.sources.HudiLogFormat.appendDataBlock(fs,
+        new org.apache.hadoop.fs.Path(dir,
+          ".gb_20240103000000.log.1_0-0-0"),
+        "20240104000000", avroSchema, Seq(rec("x", 9L, "inserted")))
+      graft.sources.HudiLogFormat.appendDeleteBlock(fs,
+        new org.apache.hadoop.fs.Path(dir,
+          ".ga_20240101000000.log.1_0-0-0"),
+        "20240105000000", Seq("x"))
+      val keys = graft.sources.HudiSource.read(spark, dir)
+        .select("_hoodie_record_key").as[String].collect().toSet
+      assert(keys == Set("a1", "b1"),
+        s"the later cross-group delete must win, got $keys")
+      // a NEWER base slice (compaction/re-insert at t6) beats the old
+      // t5 delete block
+      base("ga_0-2-0_20240106000000.parquet",
+        Seq(("a1", 1L, "va"), ("x", 9L, "reborn")))
+      val keys2 = graft.sources.HudiSource.read(spark, dir)
+        .select("_hoodie_record_key").as[String].collect().toSet
+      assert(keys2 == Set("a1", "b1", "x"),
+        s"the newer base slice must beat older log blocks, got $keys2")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
 }

@@ -99,6 +99,24 @@ class IcebergMutationsSpec extends SparkFunSuite {
     } finally cleanup(dir)
   }
 
+  test("rows where the DELETE predicate evaluates to NULL survive the " +
+      "manifest rewrite") {
+    val dir = tmp("nullpred")
+    try {
+      IcebergSink.append(
+        Seq((1L, java.lang.Long.valueOf(5L)),
+          (2L, null.asInstanceOf[java.lang.Long]),
+          (3L, java.lang.Long.valueOf(7L)))
+          .toDF("id", "v").repartition(1), dir)
+      val (_, n) = IcebergSink.delete(spark, dir, col("v") === 5L)
+      assert(n == 1L)
+      val ids = IcebergSource.read(spark, dir)
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(2L, 3L),
+        s"the NULL-valued row must survive the rewrite, got $ids")
+    } finally cleanup(dir)
+  }
+
   test("a snapshot carrying row-level delete files refuses mutations " +
       "loudly; a metadata claim collision is loud") {
     val dir = tmp("gate")
