@@ -51,6 +51,113 @@ object IcebergSink {
           {"name":"file_format","type":"string"},
           {"name":"record_count","type":"long"}]}}]}""")
 
+  // ---- shared commit machinery (used by append/overwrite, the CoW
+  // mutations and the lightweight position-delete writer — one copy,
+  // so the three lanes can never drift) ----
+
+  private def avroRecords(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Seq[GenericRecord] = {
+    val in = fs.open(new Path(path))
+    val bytes = try in.readAllBytes() finally in.close()
+    val rd = new DataFileStream[GenericRecord](
+      new java.io.ByteArrayInputStream(bytes),
+      new GenericDatumReader[GenericRecord]())
+    try {
+      val out = Seq.newBuilder[GenericRecord]
+      while (rd.hasNext) out += rd.next()
+      out.result()
+    } finally rd.close()
+  }
+
+  private def optField(r: GenericRecord, name: String): Option[AnyRef] =
+    if (r.getSchema.getField(name) == null) None else Option(r.get(name))
+
+  private def writeAvro(fs: org.apache.hadoop.fs.FileSystem, path: Path,
+      sch: Schema, rows: Seq[GenericRecord], what: String): Long = {
+    val tmp = new Path(path.getParent, s"__tmp_${path.getName}")
+    val out = fs.create(tmp, true)
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](sch))
+    try { w.create(sch, out); rows.foreach(w.append) } finally w.close()
+    if (!fs.rename(tmp, path)) throw new IllegalStateException(
+      s"iceberg $what: rename to $path failed")
+    fs.getFileStatus(path).getLen
+  }
+
+  /** Re-issue a manifest-list record under `listSchema` (carried
+    * manifests keep path/length/content/sequence). */
+  private def copyListRecord(r: GenericRecord): GenericRecord = {
+    val c = new GenericData.Record(listSchema)
+    c.put("manifest_path", r.get("manifest_path").toString)
+    c.put("manifest_length", optField(r, "manifest_length").getOrElse(0L))
+    c.put("content", optField(r, "content").getOrElse(0))
+    c.put("sequence_number",
+      optField(r, "sequence_number").getOrElse(0L))
+    c
+  }
+
+  /** The v(N+1) metadata JSON for a new snapshot: prior state carried
+    * from `meta` (None = creating, `freshSchemas` supplies the schema
+    * array), the new snapshot appended. */
+  private def snapshotMetadataJson(
+      meta: Option[com.fasterxml.jackson.databind.JsonNode],
+      tablePath: String, newSeq: Long, snapshotId: Long,
+      mlPath: String, freshSchemas: => String): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val schemasJson = meta.map { m =>
+      mapper.writeValueAsString(Option(m.get("schemas")).getOrElse {
+        val arr = mapper.createArrayNode()
+        Option(m.get("schema")).foreach(arr.add)
+        arr
+      })
+    }.getOrElse(freshSchemas)
+    val prevSnaps = meta.flatMap(m => Option(m.get("snapshots")))
+      .map(mapper.writeValueAsString).getOrElse("[]").stripSuffix("]")
+    val sep = if (prevSnaps == "[") "" else ", "
+    s"""{
+      "format-version": 2,
+      "table-uuid": "${meta.flatMap(m => Option(m.get("table-uuid")))
+        .map(_.asText).getOrElse(java.util.UUID.randomUUID().toString)}",
+      "location": "$tablePath",
+      "last-sequence-number": $newSeq,
+      "current-snapshot-id": $snapshotId,
+      "current-schema-id": ${meta.flatMap(m =>
+        Option(m.get("current-schema-id")).map(_.asInt)).getOrElse(0)},
+      "schemas": $schemasJson,
+      "snapshots": $prevSnaps$sep{"snapshot-id": $snapshotId,
+        "timestamp-ms": ${System.currentTimeMillis()},
+        "sequence-number": $newSeq,
+        "manifest-list": "$mlPath"}]
+    }"""
+  }
+
+  /** Claim `vN.metadata.json` with the Hadoop catalog's atomic
+    * put-if-absent; a collision is LOUD. The version hint updates
+    * best-effort after the claim. */
+  private def claimVersion(fs: org.apache.hadoop.fs.FileSystem,
+      metaDir: Path, newVersion: Int, json: String, what: String,
+      collisionNote: String): Unit = {
+    val target = new Path(metaDir, s"v$newVersion.metadata.json")
+    try {
+      val out = fs.create(target, false)
+      try out.write(json.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } catch {
+      case e: java.io.IOException
+          if e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException]
+            || Option(e.getMessage).exists(_.contains("exist")) =>
+        throw new IllegalStateException(
+          s"iceberg $what: metadata v$newVersion was claimed " +
+            s"concurrently — $collisionNote")
+    }
+    scala.util.Try {
+      val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
+      try hint.write(newVersion.toString.getBytes("UTF-8"))
+      finally hint.close()
+    }
+  }
+
   private def sparkToIceberg(dt: org.apache.spark.sql.types.DataType)
       : String = dt match {
     case org.apache.spark.sql.types.BooleanType => "boolean"
@@ -159,18 +266,6 @@ object IcebergSink {
       "iceberg write: refusing to create a table from zero files")
     val rowCount = df.count() // record_count is required manifest data
 
-    def writeAvro(path: Path, sch: Schema,
-        rows: Seq[GenericRecord]): Long = {
-      val tmp = new Path(path.getParent, s"__tmp_${path.getName}")
-      val out = fs.create(tmp, true)
-      val w = new DataFileWriter[GenericRecord](
-        new GenericDatumWriter[GenericRecord](sch))
-      try { w.create(sch, out); rows.foreach(w.append) } finally w.close()
-      if (!fs.rename(tmp, path)) throw new IllegalStateException(
-        s"iceberg write: rename to $path failed")
-      fs.getFileStatus(path).getLen
-    }
-
     val newSeq = prev.flatMap(m =>
       Option(m.get("last-sequence-number")).map(_.asLong))
       .getOrElse(0L) + 1
@@ -180,7 +275,7 @@ object IcebergSink {
     fs.mkdirs(metaDir)
     // new manifest: the added files
     val mPath = new Path(metaDir, s"m-$txn.avro")
-    val mLen = writeAvro(mPath, entrySchema, added.map { f =>
+    val mLen = writeAvro(fs, mPath, entrySchema, added.map { f =>
       val d = new GenericData.Record(
         entrySchema.getField("data_file").schema())
       d.put("content", 0); d.put("file_path", f)
@@ -188,7 +283,7 @@ object IcebergSink {
       d.put("record_count", rowCount / math.max(added.length, 1))
       val e = new GenericData.Record(entrySchema)
       e.put("status", 1); e.put("data_file", d); e
-    })
+    }, "write")
     // new manifest list: previous snapshot's manifests carried forward
     val carried: Seq[GenericRecord] = (if (carryForward) prev
       else None).flatMap { meta =>
@@ -197,33 +292,8 @@ object IcebergSink {
         (0 until snaps.size).map(snaps.get)
           .find(_.get("snapshot-id").asLong == id)
       }
-    }.map { snap =>
-      val p = new Path(snap.get("manifest-list").asText)
-      val in = fs.open(p)
-      val bytes = try in.readAllBytes() finally in.close()
-      val rd = new DataFileStream[GenericRecord](
-        new java.io.ByteArrayInputStream(bytes),
-        new GenericDatumReader[GenericRecord]())
-      try {
-        val out = Seq.newBuilder[GenericRecord]
-        while (rd.hasNext) {
-          val r = rd.next()
-          val c = new GenericData.Record(listSchema)
-          c.put("manifest_path", r.get("manifest_path").toString)
-          c.put("manifest_length",
-            Option(r.getSchema.getField("manifest_length"))
-              .map(_ => r.get("manifest_length")).getOrElse(0L))
-          c.put("content",
-            Option(r.getSchema.getField("content"))
-              .map(x => r.get("content")).getOrElse(0))
-          c.put("sequence_number",
-            Option(r.getSchema.getField("sequence_number"))
-              .map(x => r.get("sequence_number")).getOrElse(0L))
-          out += c
-        }
-        out.result()
-      } finally rd.close()
-    }.getOrElse(Seq.empty)
+    }.map(snap => avroRecords(fs, snap.get("manifest-list").asText)
+      .map(copyListRecord)).getOrElse(Seq.empty)
     val newRef = {
       val r = new GenericData.Record(listSchema)
       r.put("manifest_path", mPath.toString)
@@ -233,64 +303,20 @@ object IcebergSink {
       r
     }
     val mlPath = new Path(metaDir, s"snap-$snapshotId.avro")
-    writeAvro(mlPath, listSchema, carried :+ newRef)
+    writeAvro(fs, mlPath, listSchema, carried :+ newRef, "write")
 
     // ---- metadata vN+1 (the commit claim) ----
-    val fieldsJson = df.schema.fields.zipWithIndex.map { case (f, i) =>
+    def fieldsJson = df.schema.fields.zipWithIndex.map { case (f, i) =>
       s"""{"id": ${i + 1}, "name": "${f.name}", "required": false, """ +
         s""""type": "${sparkToIceberg(f.dataType)}"}"""
     }.mkString("[", ", ", "]")
-    val schemasJson = prev.map { meta =>
-      mapper.writeValueAsString(Option(meta.get("schemas")).getOrElse {
-        val arr = mapper.createArrayNode()
-        Option(meta.get("schema")).foreach(arr.add)
-        arr
-      })
-    }.getOrElse(
+    val newMetaJson = snapshotMetadataJson(prev, tablePath, newSeq,
+      snapshotId, mlPath.toString,
       s"""[{"type": "struct", "schema-id": 0, "fields": $fieldsJson}]""")
-    val prevSnaps = prev.map { meta =>
-      val snaps = Option(meta.get("snapshots"))
-        .map(mapper.writeValueAsString).getOrElse("[]")
-      snaps.stripSuffix("]")
-    }.filter(_ != "[").getOrElse("[")
-    val sep = if (prevSnaps == "[") "" else ", "
-    val newMetaJson = s"""{
-      "format-version": 2,
-      "table-uuid": "${prev.flatMap(m => Option(m.get("table-uuid"))
-        .map(_.asText)).getOrElse(java.util.UUID.randomUUID().toString)}",
-      "location": "$tablePath",
-      "last-sequence-number": $newSeq,
-      "current-snapshot-id": $snapshotId,
-      "current-schema-id": ${prev.flatMap(m =>
-        Option(m.get("current-schema-id")).map(_.asInt)).getOrElse(0)},
-      "schemas": $schemasJson,
-      "snapshots": $prevSnaps$sep{"snapshot-id": $snapshotId,
-        "timestamp-ms": ${System.currentTimeMillis()},
-        "sequence-number": $newSeq,
-        "manifest-list": "$mlPath"}]
-    }"""
     val newVersion = versions.lastOption.getOrElse(0) + 1
     commitFailpoint()
-    val target = new Path(metaDir, s"v$newVersion.metadata.json")
-    try {
-      val out = fs.create(target, false) // atomic put-if-absent
-      try out.write(newMetaJson.getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-    } catch {
-      case e: java.io.IOException
-          if e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException]
-            || Option(e.getMessage).exists(_.contains("exist")) =>
-        throw new IllegalStateException(
-          s"iceberg write: metadata v$newVersion was claimed " +
-            "concurrently — rerun the append against the new state")
-    }
-    // pointer update is best-effort (readers list versions anyway)
-    scala.util.Try {
-      val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
-      try hint.write(newVersion.toString.getBytes("UTF-8"))
-      finally hint.close()
-    }
+    claimVersion(fs, metaDir, newVersion, newMetaJson, "write",
+      "rerun the append against the new state")
     snapshotId
   }
 
@@ -345,20 +371,6 @@ object IcebergSink {
       .getOrElse(throw new IllegalArgumentException(
         s"iceberg delete: snapshot $curSnapId missing"))
       .get("manifest-list").asText
-    def avroRecords(path: String): Seq[GenericRecord] = {
-      val in = fs.open(new Path(path))
-      val bytes = try in.readAllBytes() finally in.close()
-      val rd = new DataFileStream[GenericRecord](
-        new java.io.ByteArrayInputStream(bytes),
-        new GenericDatumReader[GenericRecord]())
-      try {
-        val out = Seq.newBuilder[GenericRecord]
-        while (rd.hasNext) out += rd.next()
-        out.result()
-      } finally rd.close()
-    }
-    def optField(r: GenericRecord, name: String): Option[AnyRef] =
-      if (r.getSchema.getField(name) == null) None else Option(r.get(name))
     def normPath(p: String): String = {
       val uri = try new java.net.URI(p)
         catch { case _: java.net.URISyntaxException => null }
@@ -367,8 +379,8 @@ object IcebergSink {
       else p
     }
     val dataPaths = Seq.newBuilder[String]
-    avroRecords(manifestList).foreach { m =>
-      avroRecords(m.get("manifest_path").toString).foreach { e =>
+    avroRecords(fs, manifestList).foreach { m =>
+      avroRecords(fs, m.get("manifest_path").toString).foreach { e =>
         val status = optField(e, "status").map(_.toString.toInt).getOrElse(1)
         val d = e.get("data_file").asInstanceOf[GenericRecord]
         val content = optField(d, "content").map(_.toString.toInt)
@@ -432,19 +444,8 @@ object IcebergSink {
       .getOrElse(0L) + 1
     val snapshotId = math.abs(java.util.UUID.randomUUID()
       .getMostSignificantBits)
-    def writeAvro(path: Path, sch: Schema,
-        rows: Seq[GenericRecord]): Long = {
-      val tmp = new Path(path.getParent, s"__tmp_${path.getName}")
-      val out = fs.create(tmp, true)
-      val w = new DataFileWriter[GenericRecord](
-        new GenericDatumWriter[GenericRecord](sch))
-      try { w.create(sch, out); rows.foreach(w.append) } finally w.close()
-      if (!fs.rename(tmp, path)) throw new IllegalStateException(
-        s"iceberg delete: rename to $path failed")
-      fs.getFileStatus(path).getLen
-    }
     val mPath = new Path(metaDir, s"m-$txn.avro")
-    val mLen = writeAvro(mPath, entrySchema, nonEmpty.map { f =>
+    val mLen = writeAvro(fs, mPath, entrySchema, nonEmpty.map { f =>
       val d = new GenericData.Record(
         entrySchema.getField("data_file").schema())
       d.put("content", 1); d.put("file_path", f)
@@ -452,18 +453,9 @@ object IcebergSink {
       d.put("record_count", matchedRows / math.max(nonEmpty.length, 1))
       val e = new GenericData.Record(entrySchema)
       e.put("status", 1); e.put("data_file", d); e
-    })
+    }, "delete")
     val carried: Seq[GenericRecord] =
-      avroRecords(manifestList).map { r =>
-        val c = new GenericData.Record(listSchema)
-        c.put("manifest_path", r.get("manifest_path").toString)
-        c.put("manifest_length",
-          optField(r, "manifest_length").getOrElse(0L))
-        c.put("content", optField(r, "content").getOrElse(0))
-        c.put("sequence_number",
-          optField(r, "sequence_number").getOrElse(0L))
-        c
-      }
+      avroRecords(fs, manifestList).map(copyListRecord)
     val newRef = {
       val r = new GenericData.Record(listSchema)
       r.put("manifest_path", mPath.toString)
@@ -473,53 +465,15 @@ object IcebergSink {
       r
     }
     val mlPath = new Path(metaDir, s"snap-$snapshotId.avro")
-    writeAvro(mlPath, listSchema, carried :+ newRef)
+    writeAvro(fs, mlPath, listSchema, carried :+ newRef, "delete")
 
     // ---- metadata vN+1 claim ----
-    val prevSnaps = Option(meta.get("snapshots"))
-      .map(mapper.writeValueAsString).getOrElse("[]").stripSuffix("]")
-    val sep = if (prevSnaps == "[") "" else ", "
-    val newMetaJson = s"""{
-      "format-version": 2,
-      "table-uuid": "${Option(meta.get("table-uuid")).map(_.asText)
-        .getOrElse(java.util.UUID.randomUUID().toString)}",
-      "location": "$tablePath",
-      "last-sequence-number": $newSeq,
-      "current-snapshot-id": $snapshotId,
-      "current-schema-id": ${Option(meta.get("current-schema-id"))
-        .map(_.asInt).getOrElse(0)},
-      "schemas": ${Option(meta.get("schemas"))
-        .map(mapper.writeValueAsString).getOrElse {
-          val arr = mapper.createArrayNode()
-          Option(meta.get("schema")).foreach(arr.add)
-          mapper.writeValueAsString(arr)
-        }},
-      "snapshots": $prevSnaps$sep{"snapshot-id": $snapshotId,
-        "timestamp-ms": ${System.currentTimeMillis()},
-        "sequence-number": $newSeq,
-        "manifest-list": "$mlPath"}]
-    }"""
+    val newMetaJson = snapshotMetadataJson(Some(meta), tablePath, newSeq,
+      snapshotId, mlPath.toString, "[]")
     val newVersion = versions.last + 1
     commitFailpoint()
-    val target = new Path(metaDir, s"v$newVersion.metadata.json")
-    try {
-      val out = fs.create(target, false)
-      try out.write(newMetaJson.getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-    } catch {
-      case e: java.io.IOException
-          if e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException]
-            || Option(e.getMessage).exists(_.contains("exist")) =>
-        throw new IllegalStateException(
-          s"iceberg delete: metadata v$newVersion was claimed " +
-            "concurrently — the captured delete set is stale, refusing")
-    }
-    scala.util.Try {
-      val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
-      try hint.write(newVersion.toString.getBytes("UTF-8"))
-      finally hint.close()
-    }
+    claimVersion(fs, metaDir, newVersion, newMetaJson, "delete",
+      "the captured delete set is stale, refusing")
     (snapshotId, matchedRows)
   }
 
@@ -597,23 +551,9 @@ object IcebergSink {
     // ---- current state: data files (+ record counts); delete files
     // make the current state depend on anti-join semantics a manifest
     // rewrite cannot preserve — LOUD, compact first ----
-    def avroRecords(path: String): Seq[GenericRecord] = {
-      val in = fs.open(new Path(path))
-      val bytes = try in.readAllBytes() finally in.close()
-      val rd = new DataFileStream[GenericRecord](
-        new java.io.ByteArrayInputStream(bytes),
-        new GenericDatumReader[GenericRecord]())
-      try {
-        val out = Seq.newBuilder[GenericRecord]
-        while (rd.hasNext) out += rd.next()
-        out.result()
-      } finally rd.close()
-    }
-    def optField(r: GenericRecord, name: String): Option[AnyRef] =
-      if (r.getSchema.getField(name) == null) None else Option(r.get(name))
     val dataFiles = Seq.newBuilder[(String, Long)] // path → record_count
-    avroRecords(manifestList).foreach { m =>
-      avroRecords(m.get("manifest_path").toString).foreach { e =>
+    avroRecords(fs, manifestList).foreach { m =>
+      avroRecords(fs, m.get("manifest_path").toString).foreach { e =>
         val status = optField(e, "status").map(_.toString.toInt).getOrElse(1)
         if (status != 2) {
           val d = e.get("data_file").asInstanceOf[GenericRecord]
@@ -694,17 +634,6 @@ object IcebergSink {
       .getOrElse(0L) + 1
     val snapshotId = math.abs(java.util.UUID.randomUUID()
       .getMostSignificantBits)
-    def writeAvro(path: Path, sch: Schema,
-        rows: Seq[GenericRecord]): Long = {
-      val tmp = new Path(path.getParent, s"__tmp_${path.getName}")
-      val out = fs.create(tmp, true)
-      val w = new DataFileWriter[GenericRecord](
-        new GenericDatumWriter[GenericRecord](sch))
-      try { w.create(sch, out); rows.foreach(w.append) } finally w.close()
-      if (!fs.rename(tmp, path)) throw new IllegalStateException(
-        s"iceberg $what: rename to $path failed")
-      fs.getFileStatus(path).getLen
-    }
     def entryOf(path: String, status: Int, count: Long): GenericRecord = {
       val d = new GenericData.Record(
         entrySchema.getField("data_file").schema())
@@ -715,64 +644,26 @@ object IcebergSink {
     }
     val untouched = files.filterNot { case (p, _) => matched(p) }
     val mPath = new Path(metaDir, s"m-$txn.avro")
-    val mLen = writeAvro(mPath, entrySchema,
+    val mLen = writeAvro(fs, mPath, entrySchema,
       untouched.map { case (p, c) => entryOf(p, 0, c) } ++
         added.map(p => entryOf(p, 1,
-          rewrittenRows / math.max(added.length, 1))))
+          rewrittenRows / math.max(added.length, 1))), what)
     val mlPath = new Path(metaDir, s"snap-$snapshotId.avro")
     val ref = new GenericData.Record(listSchema)
     ref.put("manifest_path", mPath.toString)
     ref.put("manifest_length", mLen)
     ref.put("content", 0)
     ref.put("sequence_number", newSeq)
-    writeAvro(mlPath, listSchema, Seq(ref))
+    writeAvro(fs, mlPath, listSchema, Seq(ref), what)
 
     // ---- metadata vN+1 claim (put-if-absent; collision is LOUD —
     // the captured file set is stale) ----
-    val prevSnaps = Option(meta.get("snapshots"))
-      .map(mapper.writeValueAsString).getOrElse("[]").stripSuffix("]")
-    val sep = if (prevSnaps == "[") "" else ", "
-    val newMetaJson = s"""{
-      "format-version": 2,
-      "table-uuid": "${Option(meta.get("table-uuid")).map(_.asText)
-        .getOrElse(java.util.UUID.randomUUID().toString)}",
-      "location": "$tablePath",
-      "last-sequence-number": $newSeq,
-      "current-snapshot-id": $snapshotId,
-      "current-schema-id": ${Option(meta.get("current-schema-id"))
-        .map(_.asInt).getOrElse(0)},
-      "schemas": ${Option(meta.get("schemas"))
-        .map(mapper.writeValueAsString).getOrElse {
-          val arr = mapper.createArrayNode()
-          Option(meta.get("schema")).foreach(arr.add)
-          mapper.writeValueAsString(arr)
-        }},
-      "snapshots": $prevSnaps$sep{"snapshot-id": $snapshotId,
-        "timestamp-ms": ${System.currentTimeMillis()},
-        "sequence-number": $newSeq,
-        "manifest-list": "$mlPath"}]
-    }"""
+    val newMetaJson = snapshotMetadataJson(Some(meta), tablePath, newSeq,
+      snapshotId, mlPath.toString, "[]")
     val newVersion = versions.last + 1
     commitFailpoint()
-    val target = new Path(metaDir, s"v$newVersion.metadata.json")
-    try {
-      val out = fs.create(target, false)
-      try out.write(newMetaJson.getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-    } catch {
-      case e: java.io.IOException
-          if e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException]
-            || Option(e.getMessage).exists(_.contains("exist")) =>
-        throw new IllegalStateException(
-          s"iceberg $what: metadata v$newVersion was claimed " +
-            "concurrently — the captured file set is stale, refusing")
-    }
-    scala.util.Try {
-      val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
-      try hint.write(newVersion.toString.getBytes("UTF-8"))
-      finally hint.close()
-    }
+    claimVersion(fs, metaDir, newVersion, newMetaJson, what,
+      "the captured file set is stale, refusing")
     (snapshotId, matchedRows)
   }
 }
