@@ -26,6 +26,46 @@ import org.apache.spark.sql.functions.{col, expr, lit}
   */
 object Bench {
 
+  /** CPU-bound calibration probe (round-15 directive #1): a deterministic
+    * 64-bit mix loop run on `threads` JVM threads, wall-clock timed. The
+    * loop is pure ALU (no allocation, no IO, no Spark), so its solo time
+    * on this box is a physical constant; any inflation of the measured
+    * time over [[CalibrationSoloSec]] is ambient load / hypervisor steal,
+    * NOT engine code. Probes run before pass 1 and after every pass, so a
+    * contention wave mid-bench is machine-detectable from the JSON alone
+    * (`calibration.probe_secs` + `ratio_*`) instead of requiring a
+    * forensic solo re-run (BENCH_r14 postmortem: uniform 2.3-6.9x query
+    * inflation on byte-identical code, 1861s wall vs 304s).
+    */
+  def calibrationProbe(threads: Int): Double = {
+    val iters = 100000000L
+    val t0 = System.nanoTime()
+    val sink = new java.util.concurrent.atomic.AtomicLong(0L)
+    val ts = (0 until threads).map { tid =>
+      val th = new Thread(() => {
+        var h = 0x9E3779B97F4A7C15L + tid
+        var i = 0L
+        while (i < iters) {
+          h ^= i; h *= 0xFF51AFD7ED558CCDL; h ^= (h >>> 33); i += 1
+        }
+        sink.addAndGet(h) // defeat dead-code elimination
+        ()
+      })
+      th.start(); th
+    }
+    ts.foreach(_.join())
+    if (sink.get == 42L) System.err.println("probe sink")
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Measured solo time of calibrationProbe(32) on this box: 24 samples
+    * across 4 idle JVMs on 2026-08-16 spanned 0.219-0.368 s with steady
+    * state ~0.25 s; constant = the observed floor. ratio = probe_sec /
+    * this; ratio ~1.0-1.5 = clean window, ratio >> 2 = contended pass
+    * (BENCH_r14-class poisoning showed uniform 2.3-6.9x on query times).
+    */
+  val CalibrationSoloSec: Double = 0.24
+
   val headline: Seq[String] = Seq(
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "q6_forecast_revenue", "q10_returned_items", "q18_large_volume_customer",
@@ -135,7 +175,19 @@ object Bench {
     // samples across waves, not within one.
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
-    for (pass <- 1 to runs; name <- names) {
+    val probeThreads = cpus.toInt
+    val probeSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val passSums = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def runProbe(tag: String): Unit = {
+      val p = calibrationProbe(probeThreads)
+      probeSecs += p
+      System.err.println(
+        f"BENCH calibration $tag $p%.3f s (ratio ${p / CalibrationSoloSec}%.2f)")
+    }
+    runProbe("pre-pass1")
+    for (pass <- 1 to runs) {
+      var passSum = 0.0
+      for (name <- names) {
       spark.catalog.clearCache()
       // clearCache() covers catalog-registered DataFrame caches only —
       // localCheckpoint()ed RDDs (PrefixSum base, minhash survivor
@@ -153,11 +205,16 @@ object Bench {
         val sec = (System.nanoTime() - t0) / 1e9
         System.err.println(f"BENCH $name pass$pass $sec%.2f s")
         samples(name) = sec :: samples(name)
+        passSum += sec
       } catch {
         case e: Throwable =>
           System.err.println(s"BENCH $name pass$pass FAILED: $e")
           e.printStackTrace()
       }
+      }
+      passSums += passSum
+      System.err.println(f"BENCH pass$pass sum $passSum%.2f s")
+      runProbe(s"post-pass$pass")
     }
     var failed = List.empty[String]
     val results = names.map { name =>
@@ -312,8 +369,23 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"BENCH io note failed: $e"); ""
     }
+    // Calibration + per-pass sums (round-15 directive #1): a poisoned run
+    // is machine-detectable — ratio_median >> 1 means the box was
+    // contended during the bench, so the query numbers are inflated by
+    // environment, not code. min-of-passes stays the headline value.
+    val probeSorted = probeSecs.toSeq.sorted
+    val ratios = probeSorted.map(_ / CalibrationSoloSec)
+    def fmtArr(xs: Seq[Double]): String =
+      xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+    val calibJson =
+      s""""calibration":{"solo_ref_sec":$CalibrationSoloSec,""" +
+        s""""probe_secs":${fmtArr(probeSecs.toSeq)},""" +
+        f""""ratio_min":${ratios.head}%.2f,""" +
+        f""""ratio_median":${ratios(ratios.size / 2)}%.2f,""" +
+        f""""ratio_max":${ratios.last}%.2f}"""
+    val passSumsJson = fmtArr(passSums.toSeq)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"failed":$failedJson,"runs":$runs,"sf":"$sfDir"$ioNote}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"failed":$failedJson,"runs":$runs,"pass_sums":$passSumsJson,$calibJson,"sf":"$sfDir"$ioNote}"""
     // stdout for the driver AND a file: sbt interleaves [info]/[error]
     // prefixes into stdout, which made BENCH_r01's "parsed" null — the
     // file copy is always a clean single JSON line.
