@@ -412,6 +412,84 @@ object Formats extends QueryPack {
         .orderBy("s_suppkey")
     },
 
+    // JSONCompact document (JSONCompactRowInputFormat.cpp — round 15,
+    // closes the unrecorded JSON-family gap): meta + data-as-ARRAYS +
+    // rows envelope; reader validates meta against the schema.
+    Q.df("q_format_jsoncompact", """
+      SELECT s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS bal,
+        CASE WHEN s_nationkey < 5 THEN NULL ELSE s_name END AS alt
+      FROM supplier ORDER BY s_suppkey""") { (s, dir) =>
+      val src = Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"),
+          col("s_acctbal").cast("double").as("bal"),
+          when(col("s_nationkey") < 5, lit(null).cast("string"))
+            .otherwise(col("s_name")).as("alt"))
+        .repartition(2)
+      val path = fixtureDir("jsoncompact_supplier", dir)
+      graft.sources.ChTextFormats.writeJsonCompactDocument(src, path)
+      graft.sources.ChTextFormats.readJsonCompactDocument(s, path, src.schema)
+        .orderBy("s_suppkey")
+    },
+
+    // JSONCompactColumns (JSONCompactColumnsBlockInputFormat.cpp —
+    // round 15): nameless columnar form — array of column arrays bound
+    // by POSITION to the target schema.
+    Q.df("q_format_jsoncompactcolumns", """
+      SELECT s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS bal,
+        CASE WHEN s_nationkey < 5 THEN NULL ELSE s_name END AS alt
+      FROM supplier ORDER BY s_suppkey""") { (s, dir) =>
+      val src = Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"),
+          col("s_acctbal").cast("double").as("bal"),
+          when(col("s_nationkey") < 5, lit(null).cast("string"))
+            .otherwise(col("s_name")).as("alt"))
+        .repartition(2)
+      val path = fixtureDir("jsoncompactcolumns_supplier", dir)
+      graft.sources.ChTextFormats.writeJsonCompactColumns(src, path)
+      graft.sources.ChTextFormats.readJsonCompactColumns(s, path, src.schema)
+        .orderBy("s_suppkey")
+    },
+
+    // JSONColumnsWithMetadata (JSONColumnsWithMetadataBlockInputFormat
+    // .cpp — round 15): JSONColumns wrapped in the result-document
+    // envelope; reader validates the meta block AND the rows count.
+    Q.df("q_format_jsoncolumns_metadata", """
+      SELECT s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS bal,
+        CASE WHEN s_nationkey < 5 THEN NULL ELSE s_name END AS alt
+      FROM supplier ORDER BY s_suppkey""") { (s, dir) =>
+      val src = Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"),
+          col("s_acctbal").cast("double").as("bal"),
+          when(col("s_nationkey") < 5, lit(null).cast("string"))
+            .otherwise(col("s_name")).as("alt"))
+        .repartition(2)
+      val path = fixtureDir("jsoncolumnsmeta_supplier", dir)
+      graft.sources.ChTextFormats.writeJsonColumnsWithMetadata(src, path)
+      graft.sources.ChTextFormats.readJsonColumnsWithMetadata(s, path, src.schema)
+        .orderBy("s_suppkey")
+    },
+
+    // JSONAsObject (JSONAsObjectRowInputFormat — round 15): every
+    // top-level object one row of a single JSON-typed column (Spark 4
+    // VariantType via parse_json); typed access through variant_get —
+    // the "ingest now, address typed paths later" lane.
+    Q.df("q_format_jsonasobject", """
+      SELECT COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS s,
+        CAST(SUM(n_regionkey) AS BIGINT) AS r,
+        MIN(n_name) AS first_name
+      FROM nation""") { (s, dir) =>
+      val path = fixtureDir("jsonasobject_nation", dir)
+      Tables.load(s, dir, "nation").repartition(2)
+        .write.mode("overwrite").json(path)
+      graft.sources.ChMiscFormats.readJsonAsObject(s, path)
+        .select(
+          expr("variant_get(json, '$.n_nationkey', 'bigint')").as("k"),
+          expr("variant_get(json, '$.n_regionkey', 'bigint')").as("g"),
+          expr("variant_get(json, '$.n_name', 'string')").as("nm"))
+        .agg(count(lit(1)).as("n"), sum("k").as("s"), sum("g").as("r"),
+          min("nm").as("first_name"))
+    },
+
     // TabSeparatedRaw (TabSeparatedRawRow{Input,Output}Format.cpp —
     // round 8): TSV with NO escaping, values byte-verbatim; separators
     // in values are unrepresentable (loud write failure, not silent

@@ -344,6 +344,24 @@ object ChMiscFormats {
     spark.createDataFrame(rows, schema)
   }
 
+  // -------------------------------------------------------- JSONAsObject
+  // registerInputFormatJSONAsObject (JSONAsStringRowInputFormat.cpp,
+  // JSONAsObjectRowInputFormat): same segmentation as JSONAsString —
+  // every top-level object one row — but the single target column is the
+  // reference's JSON/Object type, so fields are typed-path addressable
+  // without re-parsing per access. SURVEY §1.2 maps Object('json') onto
+  // Spark 4 VariantType: the scanner finds object boundaries and
+  // parse_json materializes the real VARIANT value (binary variant
+  // encoding); a malformed object fails the parse loudly, matching the
+  // reference's INCORRECT_DATA behavior.
+
+  def readJsonAsObject(spark: SparkSession, path: String,
+      column: String = "json", ext: String = "json"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, parse_json}
+    readJsonAsString(spark, path, column, ext)
+      .select(parse_json(col(column)).as(column))
+  }
+
   // ----------------------------------------------------- ParquetMetadata
   // registerInputFormatParquetMetadata: reading a parquet file THROUGH
   // this format yields its metadata as rows instead of its data — the

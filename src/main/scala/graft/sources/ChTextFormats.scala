@@ -1083,6 +1083,240 @@ object ChTextFormats {
     spark.createDataFrame(rows, schema)
   }
 
+  // --------------------------------------------------- JSONCompact (document)
+  // registerInputFormatJSONCompact (JSONCompactRowInputFormat.cpp): the
+  // whole-document sibling of the JSON format — typed meta block, then
+  // data rows as ARRAYS (the JSONCompactEachRow cell discipline), then a
+  // rows count. readPrefix validates the header against meta
+  // (readMetadataAndValidateHeader), so a drifted file fails loudly —
+  // mirrored here by the meta == schema require.
+
+  def writeJsonCompactDocument(df: DataFrame, path: String): Unit = {
+    val schema = df.schema
+    schema.fields.foreach(f => ChWireFormats.chTypeName(f.dataType, f.nullable))
+    prepareDir(path)
+    df.rdd.mapPartitionsWithIndex { (idx, rows) =>
+      writePart(path, idx, "jsoncompact") { w =>
+        w.write("{\n\"meta\":\n[\n")
+        w.write(schema.fields.map { f =>
+          "{\"name\": \"" + jsonEscape(f.name) + "\", \"type\": \"" +
+            jsonEscape(ChWireFormats.chTypeName(f.dataType, f.nullable)) + "\"}"
+        }.mkString("", ",\n", "\n],\n\"data\":\n[\n"))
+        var n = 0L
+        rows.foreach { row =>
+          if (n > 0) w.write(",\n")
+          w.write(schema.fields.indices
+            .map(i => jsonCell(schema.fields(i).dataType, row, i))
+            .mkString("[", ", ", "]"))
+          n += 1
+        }
+        w.write(s"\n],\n\"rows\": $n\n}\n")
+      }
+      Iterator.empty
+    }.count()
+    ()
+  }
+
+  def readJsonCompactDocument(spark: SparkSession, path: String,
+      schema: StructType): DataFrame = {
+    val expectMeta = schema.fields.map(f =>
+      f.name -> ChWireFormats.chTypeName(f.dataType, f.nullable)).toSeq
+    val parts = listParts(path, "jsoncompact")
+    val rows = spark.sparkContext.parallelize(parts, math.max(parts.length, 1))
+      .flatMap { file =>
+        val lines = rowLines(readPartText(file)).toIndexedSeq
+        val metaStart = lines.indexWhere(_.trim == "\"meta\":")
+        val dataStart = lines.indexWhere(_.trim == "\"data\":")
+        require(metaStart >= 0 && dataStart > metaStart,
+          s"JSONCompact: missing meta/data sections in $file")
+        val metaObjs = lines.slice(metaStart + 2, lines.indexWhere(
+          l => l.trim == "]," || l.trim == "]", metaStart + 2))
+        val meta = metaObjs.map { l =>
+          val kv = parseJsonObject(l.trim.stripSuffix(","))
+          (kv("name")._1, kv("type")._1)
+        }
+        require(meta == expectMeta,
+          s"JSONCompact meta $meta != schema $expectMeta in $file")
+        val dataEnd = lines.indexWhere(
+          l => l.trim == "]," || l.trim == "]", dataStart + 2)
+        val declared = lines.drop(dataEnd).collectFirst {
+          case l if l.trim.startsWith("\"rows\":") =>
+            l.trim.stripPrefix("\"rows\":").stripSuffix(",").trim.toLong
+        }
+        val arrs = lines.slice(dataStart + 2, dataEnd).filter(_.trim.nonEmpty)
+        require(declared.contains(arrs.length.toLong),
+          s"JSONCompact rows $declared != data length ${arrs.length} in $file")
+        arrs.iterator.map { l =>
+          val cells = parseJsonArray(l.trim.stripSuffix(","))
+          require(cells.length == schema.fields.length,
+            s"JSONCompact arity ${cells.length} in $file")
+          Row.fromSeq(schema.fields.indices.map { i =>
+            val (c, quoted) = cells(i)
+            if (!quoted && c == "null") null
+            else parseRaw(schema.fields(i).dataType, c)
+          })
+        }
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
+  // ---------------------------------------------- JSONCompactColumns
+  // registerInputFormatJSONCompactColumns (JSONCompactColumnsBlockInput
+  // Format.cpp): the NAMELESS columnar form — one top-level array of
+  // column arrays per block, bound to the target schema BY POSITION
+  // (readColumnStart returns nullopt: no name to bind by). Sharded one
+  // block per part file, column arrays one per line.
+
+  def writeJsonCompactColumns(df: DataFrame, path: String): Unit = {
+    val schema = df.schema
+    prepareDir(path)
+    df.rdd.mapPartitionsWithIndex { (idx, rows) =>
+      val buf = rows.toArray
+      writePart(path, idx, "jsoncompactcolumns") { w =>
+        w.write("[\n")
+        schema.fields.zipWithIndex.foreach { case (f, i) =>
+          w.write("[")
+          var j = 0
+          while (j < buf.length) {
+            if (j > 0) w.write(", ")
+            w.write(jsonCell(f.dataType, buf(j), i))
+            j += 1
+          }
+          w.write(if (i < schema.fields.length - 1) "],\n" else "]\n")
+        }
+        w.write("]\n")
+      }
+      Iterator.empty
+    }.count()
+    ()
+  }
+
+  def readJsonCompactColumns(spark: SparkSession, path: String,
+      schema: StructType): DataFrame = {
+    val parts = listParts(path, "jsoncompactcolumns")
+    val rows = spark.sparkContext.parallelize(parts, math.max(parts.length, 1))
+      .flatMap { file =>
+        val colLines = rowLines(readPartText(file)).map(_.trim)
+          .filter(t => t.nonEmpty && t != "[" && t != "]").toIndexedSeq
+        require(colLines.length == schema.fields.length,
+          s"JSONCompactColumns: ${colLines.length} columns for " +
+            s"${schema.fields.length}-field schema in $file")
+        val cols = colLines.map(l => parseJsonArray(l.stripSuffix(",")))
+        val n = if (cols.isEmpty) 0 else cols.head.length
+        require(cols.forall(_.length == n),
+          s"JSONCompactColumns: ragged arrays in $file")
+        (0 until n).iterator.map { j =>
+          Row.fromSeq(schema.fields.indices.map { i =>
+            val (cell, quoted) = cols(i)(j)
+            if (!quoted && cell == "null") null
+            else parseRaw(schema.fields(i).dataType, cell)
+          })
+        }
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
+  // ------------------------------------------ JSONColumnsWithMetadata
+  // registerInputFormatJSONColumnsWithMetadata (JSONColumnsWithMetadata
+  // BlockInputFormat.cpp): JSONColumns wrapped in the result-document
+  // envelope — readChunkStart reads + validates the meta block against
+  // the header (readMetadataAndValidateHeader), binds "data"'s columnar
+  // object by NAME, and checkChunkEnd skips the statistics tail (rows
+  // etc.). Reader validates meta AND the rows count.
+
+  def writeJsonColumnsWithMetadata(df: DataFrame, path: String): Unit = {
+    val schema = df.schema
+    schema.fields.foreach(f => ChWireFormats.chTypeName(f.dataType, f.nullable))
+    prepareDir(path)
+    df.rdd.mapPartitionsWithIndex { (idx, rows) =>
+      val buf = rows.toArray
+      writePart(path, idx, "jsoncolumnsmeta") { w =>
+        w.write("{\n\"meta\":\n[\n")
+        w.write(schema.fields.map { f =>
+          "{\"name\": \"" + jsonEscape(f.name) + "\", \"type\": \"" +
+            jsonEscape(ChWireFormats.chTypeName(f.dataType, f.nullable)) + "\"}"
+        }.mkString("", ",\n", "\n],\n\"data\":\n{\n"))
+        schema.fields.zipWithIndex.foreach { case (f, i) =>
+          w.write("\"" + jsonEscape(f.name) + "\": [")
+          var j = 0
+          while (j < buf.length) {
+            if (j > 0) w.write(", ")
+            w.write(jsonCell(f.dataType, buf(j), i))
+            j += 1
+          }
+          w.write(if (i < schema.fields.length - 1) "],\n" else "]\n")
+        }
+        w.write(s"},\n\"rows\": ${buf.length}\n}\n")
+      }
+      Iterator.empty
+    }.count()
+    ()
+  }
+
+  def readJsonColumnsWithMetadata(spark: SparkSession, path: String,
+      schema: StructType): DataFrame = {
+    val expectMeta = schema.fields.map(f =>
+      f.name -> ChWireFormats.chTypeName(f.dataType, f.nullable)).toSeq
+    val parts = listParts(path, "jsoncolumnsmeta")
+    val rows = spark.sparkContext.parallelize(parts, math.max(parts.length, 1))
+      .flatMap { file =>
+        val lines = rowLines(readPartText(file)).toIndexedSeq
+        val metaStart = lines.indexWhere(_.trim == "\"meta\":")
+        val dataStart = lines.indexWhere(_.trim == "\"data\":")
+        require(metaStart >= 0 && dataStart > metaStart,
+          s"JSONColumnsWithMetadata: missing meta/data sections in $file")
+        val metaObjs = lines.slice(metaStart + 2, lines.indexWhere(
+          l => l.trim == "]," || l.trim == "]", metaStart + 2))
+        val meta = metaObjs.map { l =>
+          val kv = parseJsonObject(l.trim.stripSuffix(","))
+          (kv("name")._1, kv("type")._1)
+        }
+        require(meta == expectMeta,
+          s"JSONColumnsWithMetadata meta $meta != schema $expectMeta in $file")
+        val dataEnd = lines.indexWhere(
+          l => l.trim == "}," || l.trim == "}", dataStart + 2)
+        val byName = scala.collection.mutable.Map
+          .empty[String, IndexedSeq[(String, Boolean)]]
+        lines.slice(dataStart + 2, dataEnd).foreach { line =>
+          val t = line.trim
+          if (t.nonEmpty) {
+            require(t.startsWith("\""),
+              s"JSONColumnsWithMetadata: bad column line $t")
+            var pos = 1
+            val sb = new StringBuilder
+            while (t.charAt(pos) != '\"') {
+              if (t.charAt(pos) == '\\') { sb.append(t.charAt(pos + 1)); pos += 2 }
+              else { sb.append(t.charAt(pos)); pos += 1 }
+            }
+            val rest = t.substring(pos + 1).trim.stripPrefix(":").trim
+              .stripSuffix(",")
+            byName(sb.toString) = parseJsonArray(rest)
+          }
+        }
+        val cols = schema.fields.map { f =>
+          byName.getOrElse(f.name,
+            sys.error(s"JSONColumnsWithMetadata: column ${f.name} missing in $file"))
+        }
+        val n = if (cols.isEmpty) 0 else cols.head.length
+        require(cols.forall(_.length == n),
+          s"JSONColumnsWithMetadata: ragged arrays in $file")
+        val declared = lines.drop(dataEnd).collectFirst {
+          case l if l.trim.startsWith("\"rows\":") =>
+            l.trim.stripPrefix("\"rows\":").stripSuffix(",").trim.toLong
+        }
+        require(declared.contains(n.toLong),
+          s"JSONColumnsWithMetadata rows $declared != data length $n in $file")
+        (0 until n).iterator.map { j =>
+          Row.fromSeq(schema.fields.indices.map { i =>
+            val (cell, quoted) = cols(i)(j)
+            if (!quoted && cell == "null") null
+            else parseRaw(schema.fields(i).dataType, cell)
+          })
+        }
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
   // ----------------------------------------------------------- Vertical
   // VerticalRowOutputFormat.cpp — output-only (a terminal/report format):
   // per row a `Row N:` header with a `─` rule, then `name: value` lines

@@ -200,14 +200,15 @@ object SystemTables {
       "TabSeparatedWithNames", "TabSeparatedWithNamesAndTypes",
       "JSONCompactEachRow", "JSONCompactEachRowWithNamesAndTypes",
       "JSONColumns", "JSONObjectEachRow", "Values", "TSKV",
+      "JSONCompact", "JSONCompactColumns", "JSONColumnsWithMetadata",
       "CustomSeparated", "RowBinary", "RowBinaryWithNamesAndTypes",
       "Native", "ArrowStream", "Avro", "BSONEachRow", "MsgPack", "Npy",
       "Protobuf", "ProtobufSingle", "ProtobufList", "Template",
       "CapnProto",
       "LineAsString", "RawBLOB", "TabSeparatedRaw", "JSONStringsEachRow",
       "JSON")
-    val inOnly = Seq("Regexp", "JSONAsString", "ParquetMetadata",
-      "One", "Form", "HiveText", "MySQLDump")
+    val inOnly = Seq("Regexp", "JSONAsString", "JSONAsObject",
+      "ParquetMetadata", "One", "Form", "HiveText", "MySQLDump")
     val outOnly = Seq("Pretty", "Vertical", "Markdown", "XML")
     (both.map((_, true, true)) ++ inOnly.map((_, true, false)) ++
       outOnly.map((_, false, true)))

@@ -237,4 +237,59 @@ class ChTextFormatsSpec extends SparkFunSuite {
     val back = ChTextFormats.readTabSeparated(spark, p, schema)
     assert(back.rdd.getNumPartitions == 3)
   }
+
+  test("JSONCompact document: meta verified, array rows, roundtrip exact") {
+    val p = tmp("jsoncompact")
+    ChTextFormats.writeJsonCompactDocument(df, p)
+    assertSame(ChTextFormats.readJsonCompactDocument(spark, p, schema))
+    val drifted = StructType(Seq(schema("id").copy(name = "nope"),
+      schema("s"), schema("x"), schema("ts")))
+    val err = intercept[Exception] {
+      ChTextFormats.readJsonCompactDocument(spark, p, drifted).collect()
+    }
+    assert(err.getMessage.contains("meta") || err.getMessage.contains("Meta")
+      || err.getMessage.contains("nope"))
+  }
+
+  test("JSONCompactColumns: positional binding, arity verified, roundtrip") {
+    val p = tmp("jsoncompactcols")
+    ChTextFormats.writeJsonCompactColumns(df, p)
+    assertSame(ChTextFormats.readJsonCompactColumns(spark, p, schema))
+    // a schema with the wrong column COUNT fails loudly (positional form
+    // has no names to reconcile by)
+    val narrower = StructType(schema.fields.take(2))
+    val err = intercept[Exception] {
+      ChTextFormats.readJsonCompactColumns(spark, p, narrower).collect()
+    }
+    assert(err.getMessage.contains("columns"))
+  }
+
+  test("JSONColumnsWithMetadata: meta + rows verified, binds by name") {
+    val p = tmp("jsoncolsmeta")
+    ChTextFormats.writeJsonColumnsWithMetadata(df, p)
+    assertSame(ChTextFormats.readJsonColumnsWithMetadata(spark, p, schema))
+    val drifted = StructType(Seq(schema("id").copy(name = "nope"),
+      schema("s"), schema("x"), schema("ts")))
+    val err = intercept[Exception] {
+      ChTextFormats.readJsonColumnsWithMetadata(spark, p, drifted).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
+  test("JSONAsObject: one variant row per top-level object, typed paths") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val p = tmp("jsonasobject")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(p, "part-00000.json"),
+      """{"k": 1, "s": "a{b}c"} {"k": 2, "s": "x\"y"}
+        |{"k": 3, "s": null}""".stripMargin)
+    val back = graft.sources.ChMiscFormats.readJsonAsObject(spark, p)
+      .select(
+        expr("variant_get(json, '$.k', 'bigint')").as("k"),
+        expr("variant_get(json, '$.s', 'string')").as("s"))
+      .collect().sortBy(_.getLong(0)).toSeq
+    assert(back.map(_.getLong(0)) == Seq(1L, 2L, 3L))
+    assert(back.map(r => Option(r.getString(1))) ==
+      Seq(Some("a{b}c"), Some("x\"y"), None))
+  }
 }
