@@ -86,10 +86,8 @@ object HudiLogFormat {
     out.writeLong(total.toLong)
   }
 
-  /** Append one AVRO data block of `records` (encoded with `schema`)
-    * to `path` (created when absent), stamped with `instantTime`. */
-  def appendDataBlock(fs: FileSystem, path: Path, instantTime: String,
-      schema: Schema, records: Seq[GenericRecord]): Unit = {
+  private def dataBlockContent(schema: Schema,
+      records: Seq[GenericRecord]): Array[Byte] = {
     val content = new ByteArrayOutputStream()
     val c = new DataOutputStream(content)
     c.writeInt(AvroContentVersion)
@@ -103,14 +101,10 @@ object HudiLogFormat {
       c.writeInt(rec.size)
       rec.writeTo(c)
     }
-    appendRaw(fs, path, TypeAvroData,
-      Seq(HeaderInstantTime -> instantTime,
-        HeaderSchema -> schema.toString), content.toByteArray)
+    content.toByteArray
   }
 
-  /** Append one DELETE block of `keys` to `path`. */
-  def appendDeleteBlock(fs: FileSystem, path: Path, instantTime: String,
-      keys: Seq[String]): Unit = {
+  private def deleteBlockContent(keys: Seq[String]): Array[Byte] = {
     val content = new ByteArrayOutputStream()
     val c = new DataOutputStream(content)
     c.writeInt(AvroContentVersion)
@@ -120,8 +114,48 @@ object HudiLogFormat {
       c.writeInt(b.length)
       c.write(b)
     }
+    content.toByteArray
+  }
+
+  /** Append one AVRO data block of `records` (encoded with `schema`)
+    * to `path` (created when absent), stamped with `instantTime`. */
+  def appendDataBlock(fs: FileSystem, path: Path, instantTime: String,
+      schema: Schema, records: Seq[GenericRecord]): Unit =
+    appendRaw(fs, path, TypeAvroData,
+      Seq(HeaderInstantTime -> instantTime,
+        HeaderSchema -> schema.toString), dataBlockContent(schema, records))
+
+  /** Append one DELETE block of `keys` to `path`. */
+  def appendDeleteBlock(fs: FileSystem, path: Path, instantTime: String,
+      keys: Seq[String]): Unit =
     appendRaw(fs, path, TypeDelete,
-      Seq(HeaderInstantTime -> instantTime), content.toByteArray)
+      Seq(HeaderInstantTime -> instantTime), deleteBlockContent(keys))
+
+  /** Streaming log-file writer (round 15): opens `path` once —
+    * put-if-absent, create(overwrite = false), so a name collision is a
+    * LOUD error at open, never a silent overwrite — and appends blocks
+    * as the caller produces bounded chunks. Executors write a file
+    * group's whole log without materializing the group's rows; a log
+    * file is a sequence of blocks per the spec, so chunk-per-block is a
+    * valid layout. */
+  final class LogWriter(fs: FileSystem, path: Path) {
+    private val out = new DataOutputStream(
+      new java.io.BufferedOutputStream(fs.create(path, false), 1 << 16))
+    private var blocks = 0L
+    def writeDataBlock(instantTime: String, schema: Schema,
+        records: Seq[GenericRecord]): Unit = {
+      writeBlock(out, TypeAvroData,
+        Seq(HeaderInstantTime -> instantTime,
+          HeaderSchema -> schema.toString), dataBlockContent(schema, records))
+      blocks += 1
+    }
+    def writeDeleteBlock(instantTime: String, keys: Seq[String]): Unit = {
+      writeBlock(out, TypeDelete,
+        Seq(HeaderInstantTime -> instantTime), deleteBlockContent(keys))
+      blocks += 1
+    }
+    def blockCount: Long = blocks
+    def close(): Unit = out.close()
   }
 
   private def appendRaw(fs: FileSystem, path: Path, blockType: Int,

@@ -202,8 +202,19 @@ object HudiSource {
         val bytes = try in.readAllBytes() finally in.close()
         HudiLogFormat.readLogFile(bytes).zipWithIndex.flatMap {
           case (ev, i) =>
+            // a block without INSTANT_TIME cannot be placed in commit
+            // order: on a timeline-less table (bare .hoodie fixtures)
+            // it is trivially visible and wins merges, but on a table
+            // WITH a timeline serving it would bypass pending-instant
+            // exclusion and time travel — refuse loudly instead of
+            // defaulting to always-visible/always-wins (r14 ADVICE).
+            require(ev.instant.nonEmpty || !visHasTimeline,
+              s"hudi log: block without an INSTANT_TIME header in $file " +
+                "on a table WITH a timeline — cannot order it against " +
+                "commits; refusing rather than serving possibly-" +
+                "uncommitted or post-as-of rows")
             val ts =
-              if (ev.instant.isEmpty) Long.MaxValue // headerless: wins
+              if (ev.instant.isEmpty) Long.MaxValue // timeline-less: wins
               else padInstant(ev.instant.takeWhile(_.isDigit))
             val evVisible = ev.instant.isEmpty ||
               (!visPending.contains(ts) &&

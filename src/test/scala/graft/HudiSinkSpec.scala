@@ -35,7 +35,11 @@ class HudiSinkSpec extends SparkFunSuite {
       assert(n1 == 6L && i1.length == 17)
       val bases0 = new java.io.File(dir).listFiles.map(_.getName)
         .filter(_.endsWith(".parquet")).toSet
-      assert(bases0.size == 1)
+      // round 15: inserts write DISTRIBUTED — one base group per
+      // non-empty staged part, so a multi-partition create yields
+      // MULTIPLE file groups (the r14 coalesce(1) single-task funnel
+      // is gone); empty shuffle partitions are skipped
+      assert(bases0.size > 1, s"expected multi-group create, got $bases0")
       assert(HudiSource.read(spark, dir).count() == 6L)
       // upsert: k1/k2 update (log blocks), k9 inserts (new base group)
       val (_, n2) = HudiSink.upsert(
@@ -44,8 +48,8 @@ class HudiSinkSpec extends SparkFunSuite {
       assert(n2 == 3L)
       val bases1 = new java.io.File(dir).listFiles.map(_.getName)
         .filter(_.endsWith(".parquet")).toSet
-      assert(bases0.subsetOf(bases1) && bases1.size == 2,
-        "updates must NOT rewrite the base; inserts add one group")
+      assert(bases0.subsetOf(bases1) && bases1.size == bases0.size + 1,
+        "updates must NOT rewrite the base; a 1-key insert adds ONE group")
       assert(new java.io.File(dir).listFiles.map(_.getName)
         .exists(_.contains(".log.")), "updates must land as log files")
       val got = HudiSource.read(spark, dir)
@@ -74,6 +78,57 @@ class HudiSinkSpec extends SparkFunSuite {
         .where(col("_hoodie_record_key") === "k3")
         .select("v").as[String].collect().head == "UPD3")
     } finally cleanup(dir)
+  }
+
+  test("streaming chunked log writes: a skewed group splits into " +
+      "multiple blocks, delete keys never collect to the driver whole, " +
+      "and concurrent-commit log names can never collide") {
+    val dir = tmp("chunks")
+    val (oldRows, oldKeys) =
+      (graft.sources.HudiSink.ChunkRows, graft.sources.HudiSink.DeleteChunkKeys)
+    try {
+      // shrink the chunk bounds so the streaming path MUST emit several
+      // blocks per group — pins the bounded-buffer lane end-to-end
+      graft.sources.HudiSink.ChunkRows = 7
+      graft.sources.HudiSink.DeleteChunkKeys = 5
+      val (_, n1) = HudiSink.upsert(
+        df((1L to 40L).map(i => (f"k$i%03d", i, s"a$i"))), dir)
+      assert(n1 == 40L)
+      // update EVERY key: each group's log is written in 7-row chunks
+      val (i2, n2) = HudiSink.upsert(
+        df((1L to 40L).map(i => (f"k$i%03d", i, s"U$i"))), dir)
+      assert(n2 == 40L)
+      val logs = new java.io.File(dir).listFiles.map(_.getName)
+        .filter(n => n.contains(".log.") && !n.endsWith(".crc")).toSeq
+      assert(logs.nonEmpty)
+      // concurrent-commit safety (r14 ADVICE medium): every log name
+      // carries its commit instant as the write token, so two commits
+      // computing the same next version can never claim the same name
+      assert(logs.forall(_.matches(".*\\.log\\.[0-9]+_[0-9]{17}$")),
+        s"log names must embed the commit instant token: $logs")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val multiBlock = logs.filter { n =>
+        val bytes = {
+          val in = fs.open(new org.apache.hadoop.fs.Path(dir, n))
+          try in.readAllBytes() finally in.close()
+        }
+        graft.sources.HudiLogFormat.readLogFile(bytes)
+          .count(_.instant == i2) > 7
+      }
+      assert(multiBlock.nonEmpty,
+        "at least one group must have split its update into >1 chunk")
+      assert(HudiSource.read(spark, dir)
+        .where(col("v").startsWith("U")).count() == 40L)
+      // chunked delete blocks (5 keys per block), executor-written
+      val (_, nd) = HudiSink.deleteWhere(spark, dir, col("id") <= 33L)
+      assert(nd == 33L)
+      assert(HudiSource.read(spark, dir).count() == 7L)
+    } finally {
+      graft.sources.HudiSink.ChunkRows = oldRows
+      graft.sources.HudiSink.DeleteChunkKeys = oldKeys
+      cleanup(dir)
+    }
   }
 
   test("a crash before completion leaves a pending instant the reader " +
