@@ -398,7 +398,8 @@ object DeltaLakeSink {
   private def addJson(rel: String, size: Long,
       pv: Map[String, Option[String]],
       dv: Option[DeltaDeletionVectors.DvDescriptor] = None,
-      dataChange: Boolean = true): String = {
+      dataChange: Boolean = true,
+      numRecords: Option[Long] = None): String = {
     val pvNode = mapper.createObjectNode()
     pv.foreach { case (k, v) =>
       v match {
@@ -421,6 +422,13 @@ object DeltaLakeSink {
       n.put("sizeInBytes", d.sizeInBytes)
       n.put("cardinality", d.cardinality)
       add.set[com.fasterxml.jackson.databind.JsonNode]("deletionVector", n)
+    }
+    // PROTOCOL.md writer requirements for deletion vectors: an add that
+    // carries a DV descriptor must include stats with the file's
+    // physical numRecords and tightBounds = false (external readers —
+    // delta-spark, delta-kernel — use numRecords for DV-masked counts).
+    numRecords.foreach { nr =>
+      add.put("stats", s"""{"numRecords":$nr,"tightBounds":false}""")
     }
     val line = mapper.createObjectNode()
     line.set[com.fasterxml.jackson.databind.JsonNode]("add", add)
@@ -600,6 +608,26 @@ object DeltaLakeSink {
         }
       }
 
+    // ---- 2b. validate the POST-merge table-wide DV total against the
+    // read cap: this commit's merged blobs PLUS the DVs that stay on
+    // unaffected active files. Checking only the fresh blobs (the r14
+    // form) let repeated deletes push the table's total past MaxDvBytes,
+    // after which the reader's broadcast-cap require failed EVERY read —
+    // a successful write must never render the table unreadable. ----
+    val affected = merged.map(_._1).toSet
+    val untouchedDvBytes = state.active.iterator.collect {
+      case (p, a) if !affected.contains(p) && a.dv.isDefined =>
+        a.dv.get.sizeInBytes.toLong
+    }.sum
+    val postMergeTotal = merged.map(_._3.length.toLong).sum +
+      untouchedDvBytes
+    require(postMergeTotal <= DeltaLakeSource.MaxDvBytes,
+      s"deltaLake delete: committing would put the table-wide deletion-" +
+        s"vector total at $postMergeTotal bytes, above the " +
+        s"${DeltaLakeSource.MaxDvBytes} read cap — run OPTIMIZE " +
+        "(compaction applies and drops the DVs) or use the " +
+        "copy-on-write ALTER ... DELETE instead")
+
     // ---- 3. one DV file for the whole commit ----
     val uuid = java.util.UUID.randomUUID()
     val dvPath = new Path(root, s"deletion_vector_$uuid.bin")
@@ -615,10 +643,19 @@ object DeltaLakeSink {
         val abs = DeltaLakeSource.qualify(spark, tablePath, logPath)
         val size = scala.util.Try(fs.getFileStatus(abs).getLen)
           .getOrElse(0L)
+        // the file's PHYSICAL row count for the required DV stats —
+        // footer-only read, affected files only (delete-scale)
+        val physRows = {
+          val pin = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(abs, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(pin)
+          try r.getRecordCount finally r.close()
+        }
         Seq(removeJson(logPath),
           addJson(logPath, size, a2.pv,
             Some(DeltaDeletionVectors.DvDescriptor("u", encoded,
-              Some(off), blob.length, card))))
+              Some(off), blob.length, card)),
+            numRecords = Some(physRows)))
     }
     val version = state.version + 1
     commitFailpoint()

@@ -74,7 +74,13 @@ object DeltaLakeSource {
   val MaxCollectedActions: Long = 4000000L
 
   /** Loud cap on total broadcast DV bytes (compressed roaring). */
-  val MaxDvBytes: Long = 1L << 30
+  /** Table-wide deletion-vector byte cap: reads broadcast every active
+    * DV, so the reader refuses above this; the DV-writing delete lane
+    * validates its POST-merge total (this commit's blobs + DVs on
+    * untouched files) against the same constant so a successful write
+    * can never render the table unreadable. Var only so specs can
+    * shrink it to pin the cap behavior. */
+  var MaxDvBytes: Long = 1L << 30
 
   /** Replay the transaction log to `versionAsOf` (or latest) into a
     * LogState — checkpoint-seeded (distributed reconcile, minimal

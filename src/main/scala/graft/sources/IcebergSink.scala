@@ -96,39 +96,54 @@ object IcebergSink {
     c
   }
 
-  /** The v(N+1) metadata JSON for a new snapshot: prior state carried
-    * from `meta` (None = creating, `freshSchemas` supplies the schema
-    * array), the new snapshot appended. */
+  /** The v(N+1) metadata JSON for a new snapshot: the prior metadata
+    * object is DEEP-COPIED whole and only the snapshot-cursor fields
+    * are overridden, so top-level fields this writer does not model
+    * (partition-specs, last-column-id, sort-orders, properties,
+    * refs ...) carry through VERBATIM — real Iceberg engines validate
+    * them, and the r14 string-template form silently dropped them on
+    * every commit. None = creating (`freshSchemas` supplies the schema
+    * array). */
   private def snapshotMetadataJson(
       meta: Option[com.fasterxml.jackson.databind.JsonNode],
       tablePath: String, newSeq: Long, snapshotId: Long,
       mlPath: String, freshSchemas: => String): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val schemasJson = meta.map { m =>
-      mapper.writeValueAsString(Option(m.get("schemas")).getOrElse {
-        val arr = mapper.createArrayNode()
-        Option(m.get("schema")).foreach(arr.add)
-        arr
-      })
-    }.getOrElse(freshSchemas)
-    val prevSnaps = meta.flatMap(m => Option(m.get("snapshots")))
-      .map(mapper.writeValueAsString).getOrElse("[]").stripSuffix("]")
-    val sep = if (prevSnaps == "[") "" else ", "
-    s"""{
-      "format-version": 2,
-      "table-uuid": "${meta.flatMap(m => Option(m.get("table-uuid")))
-        .map(_.asText).getOrElse(java.util.UUID.randomUUID().toString)}",
-      "location": "$tablePath",
-      "last-sequence-number": $newSeq,
-      "current-snapshot-id": $snapshotId,
-      "current-schema-id": ${meta.flatMap(m =>
-        Option(m.get("current-schema-id")).map(_.asInt)).getOrElse(0)},
-      "schemas": $schemasJson,
-      "snapshots": $prevSnaps$sep{"snapshot-id": $snapshotId,
-        "timestamp-ms": ${System.currentTimeMillis()},
-        "sequence-number": $newSeq,
-        "manifest-list": "$mlPath"}]
-    }"""
+    val out: com.fasterxml.jackson.databind.node.ObjectNode = meta match {
+      case Some(m) => m.deepCopy[com.fasterxml.jackson.databind.JsonNode]()
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      case None => mapper.createObjectNode()
+    }
+    out.put("format-version", 2)
+    if (!out.has("table-uuid"))
+      out.put("table-uuid", java.util.UUID.randomUUID().toString)
+    out.put("location", tablePath)
+    out.put("last-sequence-number", newSeq)
+    out.put("current-snapshot-id", snapshotId)
+    if (!out.has("current-schema-id")) out.put("current-schema-id", 0)
+    if (!out.has("schemas")) {
+      // v1-style metadata: lift the legacy singular "schema" into the
+      // v2 array (kept in place too — passthrough, not rewrite)
+      val arr =
+        if (out.has("schema")) {
+          val a = mapper.createArrayNode(); a.add(out.get("schema")); a
+        } else mapper.readTree(freshSchemas)
+      out.set[com.fasterxml.jackson.databind.JsonNode]("schemas", arr)
+    }
+    val snaps = out.get("snapshots") match {
+      case a: com.fasterxml.jackson.databind.node.ArrayNode => a
+      case _ =>
+        val a = mapper.createArrayNode()
+        out.set[com.fasterxml.jackson.databind.JsonNode]("snapshots", a)
+        a
+    }
+    val sn = mapper.createObjectNode()
+    sn.put("snapshot-id", snapshotId)
+    sn.put("timestamp-ms", System.currentTimeMillis())
+    sn.put("sequence-number", newSeq)
+    sn.put("manifest-list", mlPath)
+    snaps.add(sn)
+    mapper.writeValueAsString(out)
   }
 
   /** Claim `vN.metadata.json` with the Hadoop catalog's atomic
@@ -418,7 +433,18 @@ object IcebergSink {
     val txn = java.util.UUID.randomUUID().toString
     val stage = new Path(root, s"__graft_ice_stage_$txn")
     try {
-      delRows0.repartitionByRange(parts, col("file_path"), col("pos"))
+      // stamp the spec's RESERVED field ids into the parquet schema
+      // (iceberg.apache.org/spec "Reserved field ids": file_path =
+      // 2147483546, pos = 2147483545) — the in-repo reader resolves by
+      // name, but external Iceberg engines resolve delete-file columns
+      // by FIELD ID; Spark writes parquet field ids from the
+      // `parquet.field.id` column metadata
+      def withId(name: String, id: Long) = col(name).as(name,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id", id).build())
+      delRows0
+        .select(withId("file_path", 2147483546L), withId("pos", 2147483545L))
+        .repartitionByRange(parts, col("file_path"), col("pos"))
         .sortWithinPartitions("file_path", "pos")
         .write.mode("overwrite").parquet(stage.toString)
     } finally delRows0.unpersist()

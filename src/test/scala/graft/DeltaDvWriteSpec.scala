@@ -66,6 +66,23 @@ class DeltaDvWriteSpec extends SparkFunSuite {
       val adds = lines.flatMap(l => Option(l.get("add")))
       assert(adds.nonEmpty && adds.forall(a =>
         a.get("deletionVector").get("storageType").asText == "u"))
+      // PROTOCOL.md DV writer requirement (r14 ADVICE): every add that
+      // carries a deletionVector must ship stats with the file's
+      // PHYSICAL numRecords and tightBounds=false
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      adds.foreach { a =>
+        val statsNode = a.get("stats")
+        assert(statsNode != null, "DV add must carry stats")
+        val st = mapper.readTree(statsNode.asText)
+        assert(!st.get("tightBounds").asBoolean)
+        val nr = st.get("numRecords").asLong
+        val masked = a.get("deletionVector").get("cardinality").asLong
+        assert(nr > 0 && nr >= masked,
+          s"physical numRecords $nr must bound the DV cardinality $masked")
+      }
+      assert(adds.map(a => mapper.readTree(a.get("stats").asText)
+        .get("numRecords").asLong).sum == 40L,
+        "summed physical numRecords must equal the table's written rows")
       val ids = DeltaLakeSource.read(spark, dir)
         .select("id").as[Long].collect().sorted.toSeq
       assert(ids == (1L to 40L).filterNot(_ % 5 == 0))
@@ -114,6 +131,49 @@ class DeltaDvWriteSpec extends SparkFunSuite {
       assert(got == (5L to 10L).map(i =>
         (i, if (i == 5) i * 10 + 1 else i * 10)))
     } finally cleanup(dir)
+  }
+
+  test("the DV byte cap validates POST-merge table-wide total: a write " +
+      "that would break every subsequent read refuses loudly, points at " +
+      "OPTIMIZE, and commits nothing") {
+    val dir = tmp("cap")
+    val oldCap = DeltaLakeSource.MaxDvBytes
+    try {
+      DeltaLakeSink.append((1L to 200L).map(i => (i, i * 10L))
+        .toDF("id", "v").repartition(4), dir)
+      // first delete under the normal cap: establishes existing DVs
+      val (v1, _) = DeltaLakeSink.deleteLightweight(spark, dir,
+        col("id") % 7 === 0)
+      assert(v1 == 1L)
+      // shrink the cap to sit BETWEEN the existing DV total (so the
+      // scan through existing DVs still reads) and existing + new (so
+      // the SECOND delete's post-merge validation must refuse) — the
+      // r14 form only counted the fresh blobs and let the table cross
+      // the read cap
+      val existingDvBytes = {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        commitLines(dir, 1L).flatMap(l => Option(l.get("add")))
+          .map(_.get("deletionVector").get("sizeInBytes").asLong).sum
+      }
+      DeltaLakeSource.MaxDvBytes = existingDvBytes + 8L
+      val e = intercept[IllegalArgumentException] {
+        DeltaLakeSink.deleteLightweight(spark, dir, col("id") % 11 === 0)
+      }
+      assert(e.getMessage.contains("OPTIMIZE"),
+        s"cap refusal must point at compaction: ${e.getMessage}")
+      DeltaLakeSource.MaxDvBytes = oldCap
+      // nothing committed; the table still reads and the delete now lands
+      assert(!new java.io.File(dir,
+        "_delta_log/" + f"${2L}%020d.json").exists)
+      val (v2, n2) = DeltaLakeSink.deleteLightweight(spark, dir,
+        col("id") % 11 === 0)
+      assert(v2 == 2L && n2 > 0L)
+      assert(DeltaLakeSource.read(spark, dir).count() ==
+        (1L to 200L).count(i => i % 7 != 0 && i % 11 != 0))
+    } finally {
+      DeltaLakeSource.MaxDvBytes = oldCap
+      cleanup(dir)
+    }
   }
 
   test("collision is loud; delta.appendOnly refuses; the dialect " +

@@ -54,6 +54,25 @@ class IcebergPosDeleteWriteSpec extends SparkFunSuite {
         rows.forall(r => files0.exists(f => r._1.endsWith(f))))
       assert(rows == rows.sortBy(r => (r._1, r._2)),
         "delete rows must be sorted by (file_path, pos)")
+      // the spec's RESERVED field ids ride in the parquet schema
+      // (external engines resolve delete columns by id, not name):
+      // file_path = 2147483546, pos = 2147483545 (r14 ADVICE)
+      delFiles.foreach { n =>
+        val pin = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"$dir/data/$n"),
+          spark.sparkContext.hadoopConfiguration)
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(pin)
+        val pqSchema =
+          try rd.getFooter.getFileMetaData.getSchema finally rd.close()
+        val idByName = pqSchema.getFields.toArray.toSeq.map {
+          case t: org.apache.parquet.schema.Type =>
+            t.getName -> t.getId.intValue
+        }.toMap
+        assert(idByName("file_path") == 2147483546,
+          s"file_path field id: ${idByName("file_path")}")
+        assert(idByName("pos") == 2147483545,
+          s"pos field id: ${idByName("pos")}")
+      }
       val ids = IcebergSource.read(spark, dir)
         .select("id").as[Long].collect().sorted.toSeq
       assert(ids == (1L to 30L).filterNot(_ % 3 == 0))

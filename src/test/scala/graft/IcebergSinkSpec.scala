@@ -34,6 +34,42 @@ class IcebergSinkSpec extends SparkFunSuite {
       .deleteDirectory(new java.io.File(dir).getParentFile)
   }
 
+  test("unmodeled top-level metadata fields carry through commits " +
+      "VERBATIM (partition-specs, last-column-id, properties ...)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_icesink4").toString + "/t"
+    try {
+      IcebergSink.append(Seq((1L, "a")).toDF("id", "name"), dir)
+      // splice fields this writer does not model into the live metadata
+      // (what a real engine's commit would have written)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val mdir = java.nio.file.Path.of(dir, "metadata")
+      val v1 = mdir.resolve("v1.metadata.json")
+      val node = mapper.readTree(java.nio.file.Files.readString(v1))
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      node.put("last-column-id", 2)
+      node.putArray("partition-specs").addObject()
+        .put("spec-id", 0).putArray("fields")
+      node.putObject("properties").put("owner", "someone-else")
+      java.nio.file.Files.writeString(v1, mapper.writeValueAsString(node))
+      // the splice bypassed Hadoop's LocalFileSystem — drop the now-
+      // stale checksum sidecar or the next read fails on it
+      java.nio.file.Files.deleteIfExists(
+        mdir.resolve(".v1.metadata.json.crc"))
+      // a new commit must carry all three through verbatim (the r14
+      // string-template writer dropped them — r14 ADVICE)
+      IcebergSink.append(Seq((2L, "b")).toDF("id", "name"), dir)
+      val v2 = mapper.readTree(java.nio.file.Files.readString(
+        mdir.resolve("v2.metadata.json")))
+      assert(v2.get("last-column-id").asInt == 2)
+      assert(v2.get("partition-specs") != null &&
+        v2.get("partition-specs").get(0).get("spec-id").asInt == 0)
+      assert(v2.get("properties").get("owner").asText == "someone-else")
+      assert(IcebergSource.read(spark, dir).count() == 2L)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir).getParentFile)
+  }
+
   test("overwrite replaces the current state while older snapshots " +
       "stay time-travelable") {
     val dir = java.nio.file.Files
