@@ -856,13 +856,33 @@ object DeltaLakeSink {
     * `%020d.checkpoint.parquet`, then the `_last_checkpoint` pointer.
     * Sizes come from the live file statuses. Failure here is harmless:
     * the JSON log stays authoritative and a later write retries. */
+  /** Max add actions per v2 sidecar file — var only so specs can force
+    * the multi-sidecar layout on small fixtures. */
+  private[graft] var SidecarMaxActions: Int = 100000
+
+  /** Write a checkpoint at `version`. `policy` None consults the
+    * table's `delta.checkpointPolicy` configuration (the protocol's
+    * own switch): "classic" (default) writes the single-part
+    * `%020d.checkpoint.parquet`; "v2" (PROTOCOL.md "V2 Spec
+    * Checkpoints") writes a UUID-named manifest
+    * (`%020d.checkpoint.<uuid>.parquet`) holding protocol + metaData +
+    * a checkpointMetadata integrity record + `sidecar` actions, with
+    * the add set deferred to `_delta_log/_sidecars/<uuid>.parquet`
+    * files of at most [[SidecarMaxActions]] actions each — the layout
+    * the round-14 reader already replays. */
   def writeCheckpoint(spark: org.apache.spark.sql.SparkSession,
-      tablePath: String, version: Long): Unit = {
+      tablePath: String, version: Long,
+      policy: Option[String] = None): Unit = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val st = DeltaLakeSource.replayLog(spark, tablePath, Some(version))
     val m = st.meta.getOrElse(throw new IllegalArgumentException(
       "deltaLake checkpoint: the log has no metaData action"))
+    val resolvedPolicy = policy
+      .orElse(m.configuration.get("delta.checkpointPolicy"))
+      .getOrElse("classic")
+    require(resolvedPolicy == "classic" || resolvedPolicy == "v2",
+      s"deltaLake checkpoint: unknown checkpointPolicy '$resolvedPolicy'")
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dvSchema = StructType(Seq(
@@ -914,24 +934,66 @@ object DeltaLakeSink {
           d.cardinality)).orNull),
         null, null)
     }
-    val rows = Seq(protoRow, metaRow) ++ addRows
-    val tmp = new Path(root, s"__graft_ckpt_tmp_$version")
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), schema)
-      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = fs.listStatus(tmp).map(_.getPath)
-      .find(_.getName.startsWith("part-")).getOrElse(
-        throw new IllegalStateException("deltaLake checkpoint: no part"))
-    val dst = new Path(new Path(root, "_delta_log"),
-      f"$version%020d.checkpoint.parquet")
-    fs.delete(dst, false)
-    if (!fs.rename(part, dst))
-      throw new IllegalStateException(
-        s"deltaLake checkpoint: rename to $dst failed")
-    fs.delete(tmp, true)
+    val logDir = new Path(root, "_delta_log")
+    // one staged single-part parquet → renamed to `dst`
+    def stageParquet(rows: Seq[Row], rowSchema: StructType, tag: String,
+        dst: Path): Unit = {
+      val tmp = new Path(root, s"__graft_ckpt_tmp_${version}_$tag")
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), rowSchema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = fs.listStatus(tmp).map(_.getPath)
+        .find(_.getName.startsWith("part-")).getOrElse(
+          throw new IllegalStateException("deltaLake checkpoint: no part"))
+      fs.delete(dst, false)
+      if (!fs.rename(part, dst))
+        throw new IllegalStateException(
+          s"deltaLake checkpoint: rename to $dst failed")
+      fs.delete(tmp, true)
+    }
+    val totalActions: Long =
+      if (resolvedPolicy == "classic") {
+        stageParquet(Seq(protoRow, metaRow) ++ addRows, schema, "c",
+          new Path(logDir, f"$version%020d.checkpoint.parquet"))
+        2L + addRows.size
+      } else {
+        // ---- v2: sidecars hold the add set, the manifest the rest ----
+        val sidecarDir = new Path(logDir, "_sidecars")
+        fs.mkdirs(sidecarDir)
+        val addOnlySchema = StructType(Seq(schema("add")))
+        val sidecars = addRows.grouped(math.max(SidecarMaxActions, 1))
+          .zipWithIndex.map { case (chunk, i) =>
+            val name = s"${java.util.UUID.randomUUID()}.parquet"
+            val dst = new Path(sidecarDir, name)
+            stageParquet(chunk.map(r => Row(r.get(0))), addOnlySchema,
+              s"sc$i", dst)
+            (name, fs.getFileStatus(dst).getLen,
+              fs.getFileStatus(dst).getModificationTime)
+          }.toSeq
+        val manifestSchema = StructType(Seq(
+          schema("metaData"), schema("protocol"),
+          StructField("checkpointMetadata", StructType(Seq(
+            StructField("version", LongType)))),
+          StructField("sidecar", StructType(Seq(
+            StructField("path", StringType),
+            StructField("sizeInBytes", LongType),
+            StructField("modificationTime", LongType))))))
+        // metaRow/protoRow were built for (add, metaData, protocol) —
+        // re-shape to the manifest's column order
+        val mRows =
+          Seq(Row(metaRow.get(1), null, null, null),
+            Row(null, protoRow.get(2), null, null),
+            Row(null, null, Row(version), null)) ++
+            sidecars.map { case (n, sz, mt) =>
+              Row(null, null, null, Row(n, sz, mt))
+            }
+        stageParquet(mRows, manifestSchema, "m", new Path(logDir,
+          f"$version%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet"))
+        mRows.size.toLong + addRows.size
+      }
     val lc = mapper.createObjectNode()
     lc.put("version", version)
-    lc.put("size", rows.length.toLong)
+    lc.put("size", totalActions)
     val out = fs.create(new Path(new Path(root, "_delta_log"),
       "_last_checkpoint"), true)
     try out.write(mapper.writeValueAsString(lc)

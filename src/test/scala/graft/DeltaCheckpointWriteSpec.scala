@@ -43,6 +43,60 @@ class DeltaCheckpointWriteSpec extends SparkFunSuite {
       .deleteDirectory(new java.io.File(dir).getParentFile)
   }
 
+  test("v2 checkpoint write (round 15): UUID manifest + multi-sidecar " +
+      "layout reads back identically after the JSON log vacuums; " +
+      "checkpointMetadata + pointer integrity hold; DVs survive") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ckv2").toString + "/t"
+    val oldMax = DeltaLakeSink.SidecarMaxActions
+    try {
+      // several files so the shrunken sidecar cap forces >1 sidecar
+      DeltaLakeSink.append((1L to 40L).map(i => (i, s"n$i"))
+        .toDF("id", "name").repartition(5), dir, checkpointInterval = 0)
+      DeltaLakeSink.append(Seq((41L, "x")).toDF("id", "name"), dir,
+        checkpointInterval = 0)
+      // a DV so the sidecar add rows carry the descriptor through
+      val (v2, _) = DeltaLakeSink.deleteLightweight(spark, dir,
+        org.apache.spark.sql.functions.col("id") % 10 === 0,
+        checkpointInterval = 0)
+      DeltaLakeSink.SidecarMaxActions = 3
+      DeltaLakeSink.writeCheckpoint(spark, dir, v2, policy = Some("v2"))
+      val log = java.nio.file.Path.of(dir, "_delta_log")
+      val names = new java.io.File(log.toString).listFiles.map(_.getName)
+      val manifest = names.filter(_.matches(
+        f"$v2%020d\\.checkpoint\\.[0-9a-fA-F-]{36}\\.parquet"))
+      assert(manifest.length == 1, s"expected one v2 manifest: " +
+        names.mkString(", "))
+      val sidecars = Option(new java.io.File(log.resolve("_sidecars")
+        .toString).listFiles).map(_.map(_.getName)
+        .filter(_.endsWith(".parquet")).toSeq).getOrElse(Nil)
+      assert(sidecars.size > 1,
+        s"the 3-action cap must force multiple sidecars, got $sidecars")
+      // the manifest itself holds NO adds — they live in the sidecars
+      val mdf = spark.read.parquet(log.resolve(manifest.head).toString)
+      assert(!mdf.columns.contains("add"))
+      assert(mdf.where(org.apache.spark.sql.functions
+        .col("checkpointMetadata").isNotNull).count() == 1L)
+      val expect = (1L to 41L).filterNot(_ % 10 == 0)
+      // vacuum EVERY JSON commit: the v2 manifest + sidecars must
+      // reconstruct the whole state, deletion vectors included
+      names.filter(_.endsWith(".json")).foreach(n =>
+        java.nio.file.Files.delete(log.resolve(n)))
+      val ids = DeltaLakeSource.read(spark, dir)
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(ids == expect,
+        s"v2 checkpoint replay after vacuum: got ${ids.take(8)}...")
+      // and a fresh append on top of the vacuumed v2 log still commits
+      DeltaLakeSink.append(Seq((99L, "z")).toDF("id", "name"), dir,
+        checkpointInterval = 0)
+      assert(DeltaLakeSource.read(spark, dir).count() == expect.size + 1L)
+    } finally {
+      DeltaLakeSink.SidecarMaxActions = oldMax
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir).getParentFile)
+    }
+  }
+
   test("appending to a fully-vacuumed log (checkpoint only, no JSON " +
       "commits) claims the version ABOVE the checkpoint — never one " +
       "readers would skip") {
