@@ -50,7 +50,8 @@ object IcebergSink {
           {"name":"file_path","type":"string"},
           {"name":"file_format","type":"string"},
           {"name":"record_count","type":"long"},
-          {"name":"partition_json","type":"string","default":"{}"}]}}]}""")
+          {"name":"partition_json","type":["null","string"],
+           "default":null}]}}]}""")
 
   // ---- shared commit machinery (used by append/overwrite, the CoW
   // mutations and the lightweight position-delete writer — one copy,

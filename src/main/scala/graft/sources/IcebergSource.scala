@@ -269,25 +269,44 @@ object IcebergSource {
         df = df.join(del, Seq("__ice_file", "__ice_pos"), "left_anti")
         if (!withPosColumns) df = df.drop("__ice_file", "__ice_pos")
       }
-      eqDeletes.filter(_.seq > seq).foreach { d =>
-        val cols = d.equalityIds.map(id => idToName.getOrElse(id,
-          throw new IllegalArgumentException(
-            s"iceberg: equality_id $id has no top-level field in the " +
-              "schema — nested equality deletes are not supported")))
-        val del = spark.read.parquet(d.path)
-          .select(cols.map(c => org.apache.spark.sql.functions.col(c)
-            .as(s"__ice_eq_$c")): _*)
-        val cond = cols.map(c => df(c) <=> del(s"__ice_eq_$c"))
-          .reduce(_ && _)
-        df = df.join(del, cond, "left_anti")
-      }
+      // eq-delete files sharing an equality-id set UNION into ONE scan
+      // + ONE anti-join (round 15 — the r14 per-FILE join stacked a
+      // plan branch per delete file; a long-lived table with thousands
+      // of eq-delete files built a thousand-join plan). Exact because
+      // every delete here applies fully to this class (see below).
+      eqDeletes.filter(_.seq > seq).groupBy(_.equalityIds.sorted)
+        .toSeq.sortBy(_._1.mkString(","))
+        .foreach { case (ids, ds) =>
+          val cols = ids.map(id => idToName.getOrElse(id,
+            throw new IllegalArgumentException(
+              s"iceberg: equality_id $id has no top-level field in the " +
+                "schema — nested equality deletes are not supported")))
+          val del = spark.read.parquet(ds.map(_.path): _*)
+            .select(cols.map(c => org.apache.spark.sql.functions.col(c)
+              .as(s"__ice_eq_$c")): _*)
+          val cond = cols.map(c => df(c) <=> del(s"__ice_eq_$c"))
+            .reduce(_ && _)
+          df = df.join(del, cond, "left_anti")
+        }
       df
     }
 
-    // group data files by sequence number — snapshot-count many groups
-    data.groupBy(_._2).toSeq.sortBy(_._1).map { case (seq, fs) =>
-      applyDeletes(fs.map(_._1), seq)
-    }.reduce(_ unionByName _)
+    // collapse data files into delete-APPLICABILITY classes: all data
+    // sequence numbers between two consecutive eq-delete sequence
+    // numbers see the SAME applicable delete set, so they read as one
+    // group — (distinct eq-delete seqs + 1) many union branches, not
+    // snapshot-count many (round 15; position deletes join on exact
+    // (file, pos) coordinates, so classing by eq-seqs alone is exact)
+    val eqSeqs = eqDeletes.map(_.seq).distinct.sorted
+    def classIdx(seq: Long): Int = {
+      val i = eqSeqs.indexWhere(_ > seq)
+      if (i < 0) eqSeqs.length else i
+    }
+    data.groupBy { case (_, seq) => classIdx(seq) }.toSeq.sortBy(_._1)
+      .map { case (_, fs) =>
+        // any member's seq selects the same applicable set — use max
+        applyDeletes(fs.map(_._1), fs.map(_._2).max)
+      }.reduce(_ unionByName _)
   }
 
   /** Iceberg schema JSON → Spark StructType (spec type names). */

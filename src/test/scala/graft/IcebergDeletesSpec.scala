@@ -204,4 +204,78 @@ class IcebergDeletesSpec extends SparkFunSuite {
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(dir))
   }
+
+  test("many eq-delete files MERGE: plan holds one anti-join per " +
+      "(applicability class x distinct id-set), union branches = " +
+      "classes — not per delete file (round 15)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ice_eqmerge").toString
+    try {
+      val fs = new Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      def idDeleteFile(name: String, ids: Seq[Long]): String = {
+        val delPath = s"$dir/data/$name"
+        ids.toDF("id").coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/__ed")
+        val part = fs.listStatus(new Path(s"$dir/__ed")).map(_.getPath)
+          .find(_.getName.startsWith("part-")).get
+        fs.rename(part, new Path(delPath))
+        fs.delete(new Path(s"$dir/__ed"), true)
+        delPath
+      }
+      // data at seqs 1, 3, 5; eq-deletes at seqs 2 (two files) and
+      // 4 (three files), ALL sharing the id-set {1}
+      val f1 = dataFile(dir, "d1.parquet",
+        (1L to 6L).map(i => (i, s"f1-$i")))
+      val f2 = dataFile(dir, "d2.parquet",
+        (1L to 6L).map(i => (i, s"f2-$i")))
+      val f3 = dataFile(dir, "d3.parquet",
+        (1L to 6L).map(i => (i, s"f3-$i")))
+      val del2 = Seq(idDeleteFile("e2a.parquet", Seq(1L)),
+        idDeleteFile("e2b.parquet", Seq(2L)))
+      val del4 = Seq(idDeleteFile("e4a.parquet", Seq(3L)),
+        idDeleteFile("e4b.parquet", Seq(4L)),
+        idDeleteFile("e4c.parquet", Seq(5L)))
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Path.of(dir, "metadata"))
+      def m(name: String, files: Seq[String], content: Int): String = {
+        val p = s"$dir/metadata/$name"
+        writeAvro(p, entrySchema, files.map(f =>
+          entry(f, content, eqIds = if (content == 2) Seq(1) else Nil)))
+        p
+      }
+      val mlPath = s"$dir/metadata/snap-7.avro"
+      writeAvro(mlPath, listSchema, Seq(
+        manifestRef(m("m1.avro", Seq(f1), 0), 0, 1L),
+        manifestRef(m("me2.avro", del2, 2), 1, 2L),
+        manifestRef(m("m3.avro", Seq(f2), 0), 0, 3L),
+        manifestRef(m("me4.avro", del4, 2), 1, 4L),
+        manifestRef(m("m5.avro", Seq(f3), 0), 0, 5L)))
+      java.nio.file.Files.writeString(
+        java.nio.file.Path.of(dir, "metadata", "v1.metadata.json"),
+        metadataJson(mlPath))
+      val df = graft.sources.IcebergSource.read(spark, dir)
+      // correctness: f1 loses 1-5, f2 loses 3-5, f3 loses nothing
+      val got = df.collect().map(r => r.getString(1)).sorted.toSeq
+      val expect = (Seq("f1-6") ++
+        Seq(1L, 2L, 6L).map(i => s"f2-$i") ++
+        (1L to 6L).map(i => s"f3-$i")).sorted
+      assert(got == expect, s"got $got")
+      // plan shape: 5 delete files but only TWO anti-joins (class of
+      // seq-1 data and class of seq-3 data; seq-5 sees none), and
+      // THREE union branches (one per applicability class)
+      import org.apache.spark.sql.catalyst.plans.logical.{Join, Union}
+      import org.apache.spark.sql.catalyst.plans.LeftAnti
+      val plan = df.queryExecution.optimizedPlan
+      val antiJoins = plan.collect {
+        case j: Join if j.joinType == LeftAnti => j }
+      assert(antiJoins.size == 2,
+        s"expected 2 merged anti-joins for 5 delete files, " +
+          s"got ${antiJoins.size}")
+      val unionBranches = plan.collect { case u: Union => u.children.size }
+      assert(unionBranches.sum == 3,
+        s"expected 3 applicability-class branches, got $unionBranches")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
 }
