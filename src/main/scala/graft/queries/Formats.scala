@@ -415,7 +415,7 @@ object Formats extends QueryPack {
     // JSONCompact document (JSONCompactRowInputFormat.cpp — round 15,
     // closes the unrecorded JSON-family gap): meta + data-as-ARRAYS +
     // rows envelope; reader validates meta against the schema.
-    Q.df("q_format_jsoncompact", """
+    Q.df("q_format_jsoncompact_doc", """
       SELECT s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS bal,
         CASE WHEN s_nationkey < 5 THEN NULL ELSE s_name END AS alt
       FROM supplier ORDER BY s_suppkey""") { (s, dir) =>
