@@ -780,7 +780,7 @@ object Extras6 extends QueryPack {
         "THEN 'even' ELSE 'odd' END AS seg " +
         "FROM graft_dd_cust WHERE c_custkey <= 120")
       val total = Tables.load(s, dir, "customer")
-        .filter(col("c_custkey") <= 600).count()
+        .filter(col("c_custkey") <= 120).count()
       val expectDel = Tables.load(s, dir, "customer")
         .filter(col("c_custkey") <= 120 && col("c_custkey") % 3 === 0)
         .count()
