@@ -438,5 +438,25 @@ class PlanAuditSpec extends SparkFunSuite {
     val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(shuffles == 0,
       s"the unpartitioned DV read needs no hash shuffle, got $shuffles")
+    // round 15 (r14 verdict minor #6): the mask is a codegen'd
+    // DvDeleted expression, NOT a Scala UDF — no catalyst↔scala
+    // boundary on the scan hot path, and the filter stays inside
+    // whole-stage codegen (codegen spans only print on the FINAL AQE
+    // plan, hence the post-collect re-read)
+    assert(!p.contains("ScalaUDF"),
+      s"the DV mask must not plan a Scala UDF: $p")
+    assert(p.contains("dvdeleted") || p.contains("DvDeleted"),
+      s"the codegen'd DV predicate is missing from the plan: $p")
+    df.collect()
+    val pFinal = df.queryExecution.executedPlan.toString
+    // in the final AQE plan a `*(n)` prefix marks a whole-stage-codegen
+    // span — the DV filter's line must carry one
+    val codegenLine = pFinal.linesIterator
+      .filter(_.contains("dvdeleted")).toSeq
+    // (toString prints Final AND Initial plans — the FINAL one carries
+    // the span marker)
+    assert(codegenLine.exists(_.contains("*(")),
+      s"the DV mask filter must sit inside a whole-stage-codegen span " +
+        s"(got: ${codegenLine.mkString(" | ")})")
   }
 }
