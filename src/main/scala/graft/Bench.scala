@@ -187,7 +187,16 @@ object Bench {
     runProbe("pre-pass1")
     for (pass <- 1 to runs) {
       var passSum = 0.0
+      var sinceProbe = 0
       for (name <- names) {
+      // intra-pass probes (round-15 second iteration): the first solo
+      // run showed minutes-long waves INSIDE a pass (q6, byte-identical
+      // trivial filter: 0.37s in pass 1, 25.5s in pass 2) that
+      // endpoint-only probes under-detect (endpoints read 1.2-1.5 while
+      // the wave inflated queries 30-70x) — sample every 9 queries so
+      // the ratio series brackets every query's run
+      sinceProbe += 1
+      if (sinceProbe >= 9) { sinceProbe = 0; runProbe(s"mid-pass$pass") }
       spark.catalog.clearCache()
       // clearCache() covers catalog-registered DataFrame caches only —
       // localCheckpoint()ed RDDs (PrefixSum base, minhash survivor

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, input_file_name}
+import org.apache.spark.sql.functions.col
 
 /** Native Hudi WRITE support — BEYOND the reference (HudiMetadata.cpp
   * reads base files only; there is no write side at all). Merge-on-read
@@ -26,14 +26,23 @@ import org.apache.spark.sql.functions.{col, input_file_name}
   * last. A crash leaves a pending instant, which the timeline-aware
   * reader already treats as invisible; nothing partial is ever served.
   *
-  * Scope gates (loud): unpartitioned tables (no Hive-style partition
-  * dirs), schemas of long/int/double/float/boolean/string columns (the
-  * Avro log codec's surface), upserts must carry every base column.
-  * Keys absent from every base file route to a fresh insert group;
-  * delete keys absent from every base attach to the lexicographically
-  * first group — the reader's key-merge is global, so placement does
-  * not change results (documented deviation from Hudi's pluggable
-  * index routing).
+  * Partitioned tables (round 15): Hive-style `k=v` partition dirs are
+  * first-class — groups key on (partition dir, fileId), logs publish
+  * INTO their group's partition dir, inserts route by the row's
+  * partition-column values (creation takes `partitionBy`; appends
+  * derive the columns from the layout), and partition columns stay IN
+  * the data files (Hudi's drop.partition.columns=false default), so
+  * HudiSource's recursive walk reads them with no tuple
+  * reconstruction. Non-hive-style partitioned layouts refuse loudly at
+  * insert routing.
+  *
+  * Scope gates (loud): schemas of long/int/double/float/boolean/string
+  * columns (the Avro log codec's surface), upserts must carry every
+  * base column. Keys absent from every base file route to a fresh
+  * insert group; delete keys absent from every base attach to the
+  * lexicographically first group — the reader's key-merge is global,
+  * so placement does not change results (documented deviation from
+  * Hudi's pluggable index routing).
   */
 object HudiSink {
 
@@ -109,59 +118,111 @@ object HudiSink {
     try out.write("{}".getBytes("UTF-8")) finally out.close()
   }
 
-  /** The current base-file groups: fileId → (base instant, base path),
-    * newest visible slice per group. Refuses partitioned layouts. */
-  private def baseGroups(fs: org.apache.hadoop.fs.FileSystem,
-      root: Path): Map[String, (String, Path)] = {
-    val out = scala.collection.mutable.Map.empty[String, (String, Path)]
-    if (!fs.exists(root)) return out.toMap
-    fs.listStatus(root).foreach { st =>
-      val n = st.getPath.getName
-      if (st.isDirectory && !n.startsWith(".") && !n.startsWith("_"))
-        throw new IllegalArgumentException(
-          s"hudi write: partitioned layouts are not supported (found " +
-            s"directory '$n') — this writer handles unpartitioned tables")
-      if (!st.isDirectory && n.endsWith(".parquet") && !n.startsWith(".") &&
-          !n.startsWith("_")) {
-        val parts = n.stripSuffix(".parquet").split('_')
-        require(parts.length == 3,
-          s"hudi write: unexpected base-file name $n")
-        val cur = out.get(parts(0))
-        if (cur.isEmpty || cur.get._1 < parts(2))
-          out(parts(0)) = (parts(2), st.getPath)
-      }
-    }
-    out.toMap
+  /** Composite route key for a file group: `<partition rel path> U+0001
+    * <fileId>` — "" rel for the table root, so unpartitioned tables are
+    * the one-partition special case of the same machinery (round 15). */
+  private def route(rel: String, gid: String): String = s"$rel\u0001$gid"
+  private def splitRoute(r: String): (String, String) = {
+    val i = r.indexOf('\u0001')
+    (r.substring(0, i), r.substring(i + 1))
   }
 
-  /** Next log version per file group (existing `.log.N` maxima + 1). */
-  private def nextLogVersions(fs: org.apache.hadoop.fs.FileSystem,
-      root: Path): Map[String, Int] = {
-    val re = "^\\.(.+)_([0-9]+)\\.log\\.([0-9]+)(?:_(.+))?$".r
-    val out = scala.collection.mutable.Map.empty[String, Int]
-    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
-      st.getPath.getName match {
-        case re(fileId, _, ver, _) =>
-          out(fileId) = math.max(out.getOrElse(fileId, 0), ver.toInt)
+  /** Recursive partition-aware walk: collects per-route base files
+    * and log-version maxima in ONE listing pass. Partition dirs are any
+    * non-dot/underscore directories (Hive-style `k=v` enforced only
+    * when inserts must ROUTE new rows). */
+  private def scanLayout(fs: org.apache.hadoop.fs.FileSystem, root: Path)
+      : (Map[String, (String, Path)], Map[String, Int]) = {
+    val groups = scala.collection.mutable.Map.empty[String, (String, Path)]
+    val logVers = scala.collection.mutable.Map.empty[String, Int]
+    val logRe = "^\\.(.+)_([0-9]+)\\.log\\.([0-9]+)(?:_(.+))?$".r
+    if (!fs.exists(root)) return (groups.toMap, logVers.toMap)
+    def walk(p: Path, rel: String): Unit = fs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory) {
+        if (!n.startsWith(".") && !n.startsWith("_") &&
+            !n.startsWith("__graft_"))
+          walk(st.getPath, if (rel.isEmpty) n else s"$rel/$n")
+      } else n match {
+        case logRe(fileId, _, ver, _) =>
+          val r = route(rel, fileId)
+          logVers(r) = math.max(logVers.getOrElse(r, 0), ver.toInt)
+        case _ if n.endsWith(".parquet") && !n.startsWith(".") &&
+            !n.startsWith("_") =>
+          val parts = n.stripSuffix(".parquet").split('_')
+          require(parts.length == 3,
+            s"hudi write: unexpected base-file name $n")
+          val r = route(rel, parts(0))
+          val cur = groups.get(r)
+          if (cur.isEmpty || cur.get._1 < parts(2))
+            groups(r) = (parts(2), st.getPath)
         case _ =>
       }
     }
-    out.toMap
+    walk(root, "")
+    (groups.toMap, logVers.toMap)
   }
+
+  /** Hive-style partition COLUMNS derived from the existing layout's
+    * directory names (`k=v/...`); Nil for an unpartitioned table. Loud
+    * when the layout is partitioned but not hive-style (inserts could
+    * not be routed). */
+  private def layoutPartitionColumns(
+      groups: Map[String, (String, Path)]): Seq[String] = {
+    val rels = groups.keys.map(r => splitRoute(r)._1).filter(_.nonEmpty)
+    if (rels.isEmpty) return Nil
+    val colSeqs = rels.map(_.split('/').toSeq.map { seg =>
+      val i = seg.indexOf('=')
+      require(i > 0,
+        s"hudi write: partition directory '$seg' is not hive-style " +
+          "k=v — cannot route inserts into this layout")
+      seg.substring(0, i)
+    }).toSet
+    require(colSeqs.size == 1,
+      s"hudi write: inconsistent partition layouts: $colSeqs")
+    colSeqs.head
+  }
+
+  /** Decoded-path spelling of input_file_name() — scheme/authority
+    * stripped, percent-decoded with '+' protected (the Delta reader's
+    * normalization, reused so broadcast path→route lookups hit). */
+  private val FileKeyExpr =
+    "url_decode(replace(regexp_replace(input_file_name(), " +
+      "'^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?', ''), '+', '%2B'))"
 
   /** UPSERT `df` (which must carry `_hoodie_record_key` plus the base
     * columns): existing keys append as log data blocks in their file
-    * group, new keys write a fresh base-file group. Creates the table
-    * when absent. Returns (instant, rows upserted). */
-  def upsert(df: DataFrame, tablePath: String): (String, Long) = {
+    * group, new keys write fresh base-file groups. Creates the table
+    * when absent — `partitionBy` (creation only) lays the table out as
+    * Hive-style partition dirs; appends DERIVE the partition columns
+    * from the existing `k=v` layout. Partition columns stay IN the data
+    * files (Hudi's default — drop.partition.columns=false), so the
+    * MoR reader needs no tuple reconstruction. Returns (instant, rows
+    * upserted). */
+  def upsert(df: DataFrame, tablePath: String,
+      partitionBy: Seq[String] = Nil): (String, Long) = {
     val spark = df.sparkSession
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(df.schema.fieldNames.contains(KeyCol),
       s"hudi write: the data must carry $KeyCol (Hudi's record key)")
     df.schema.fields.foreach(f => avroTypeOf(f.dataType)) // loud gate
-    val groups = baseGroups(fs, root)
+    val (groups, logVersions) = scanLayout(fs, root)
     val creating = groups.isEmpty
+    val partCols: Seq[String] =
+      if (creating) {
+        partitionBy.foreach(c => require(
+          df.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+          s"hudi write: partition column `$c` is not in the schema"))
+        partitionBy
+      } else {
+        val lay = layoutPartitionColumns(groups)
+        require(partitionBy.isEmpty ||
+          partitionBy.map(_.toLowerCase) == lay.map(_.toLowerCase),
+          s"hudi write: partitionBy $partitionBy does not match the " +
+            s"table's layout $lay")
+        lay
+      }
 
     // schema agreement with the base files: the MoR merge requires log
     // records to carry every base column AT the base's types (an
@@ -190,18 +251,25 @@ object HudiSink {
     markInflight(fs, root, instant, "deltacommit")
     val n = aligned.count()
 
-    // ---- route rows: key → existing group (broadcast file-count map
-    // joined against a DISTRIBUTED key scan), else the insert lane ----
+    // ---- route rows: key → existing group (decoded-path → route
+    // lookup broadcast-joined against a DISTRIBUTED key scan), else the
+    // insert lane. __hudi_gid carries the composite (partition, fileId)
+    // route so one machinery serves partitioned and flat layouts. ----
+    val pathToRoute = groups.toSeq.map { case (r, (_, p)) =>
+      (p.toUri.getPath, r)
+    }
     val routed: DataFrame =
       if (creating) aligned.withColumn("__hudi_gid",
         org.apache.spark.sql.functions.lit(null: String))
       else {
+        import spark.implicits._
+        val lookup = org.apache.spark.sql.functions.broadcast(
+          pathToRoute.toDF("__p", "__hudi_gid"))
         val keyToGid = spark.read
           .parquet(groups.values.map(_._2.toString).toSeq: _*)
-          .select(col(KeyCol).as("__k"), input_file_name().as("__f"))
-          .withColumn("__hudi_gid",
-            org.apache.spark.sql.functions
-              .regexp_extract(col("__f"), "([^/]+?)_[^/_]+_[^/_]+\\.parquet$", 1))
+          .select(col(KeyCol).as("__k"),
+            org.apache.spark.sql.functions.expr(FileKeyExpr).as("__p"))
+          .join(lookup, Seq("__p"))
           .select(col("__k"), col("__hudi_gid"))
         aligned.join(keyToGid, aligned(KeyCol) === keyToGid("__k"),
           "left")
@@ -217,11 +285,10 @@ object HudiSink {
     // chunk-by-chunk (one data block per chunk, a legal layout: a log
     // file is a block sequence), so a skewed group never materializes in
     // executor memory (round-15 de-weak of the r14 `it.toSeq`). ----
-    val logVersions = nextLogVersions(fs, root)
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val rootStr = root.toString
-    val groupBase = groups.map { case (gid, (bi, _)) => gid -> bi }
+    val groupBase = groups.map { case (r, (bi, _)) => r -> bi }
     val updates = routed.filter(col("__hudi_gid").isNotNull)
     import spark.implicits._
     val written: Array[Long] = updates
@@ -250,14 +317,17 @@ object HudiSink {
           // racing commit's rename silently discard the loser). A
           // pre-existing file under the full name can only be this
           // commit's own earlier task attempt with identical content.
-          def publish(gid: String): Unit = {
+          def publish(routeKey: String): Unit = {
             flushChunk()
             writer.close()
-            val bi = groupBase.getOrElse(gid,
+            val (rel, gid) = splitRoute(routeKey)
+            val bi = groupBase.getOrElse(routeKey,
               throw new IllegalStateException(
                 s"hudi write: routed group $gid has no base instant"))
-            val ver = logVersions.getOrElse(gid, 0) + 1
-            val log = new Path(rootStr, s".${gid}_$bi.log.${ver}_$instant")
+            val ver = logVersions.getOrElse(routeKey, 0) + 1
+            val dir = if (rel.isEmpty) new Path(rootStr)
+              else new Path(rootStr, rel)
+            val log = new Path(dir, s".${gid}_$bi.log.${ver}_$instant")
             if (!fsx.rename(tmp, log)) {
               fsx.delete(tmp, false)
               if (!fsx.exists(log)) throw new IllegalStateException(
@@ -295,26 +365,45 @@ object HudiSink {
       .select(dataCols.map(col): _*)
     if (!inserts.isEmpty) {
       val stage = new Path(root, s"__graft_hudi_stage_$instant")
-      inserts.write.mode("overwrite").parquet(stage.toString)
-      val partFiles = fs.listStatus(stage).map(_.getPath)
-        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      // partitioned layout: Hive-style staging over DUPLICATED columns
+      // keeps every original column IN the data files while the staging
+      // dir names route each file to its partition dir
+      if (partCols.isEmpty)
+        inserts.write.mode("overwrite").parquet(stage.toString)
+      else inserts
+        .select(inserts.columns.map(col).toIndexedSeq ++
+          partCols.map(c => col(c).as(s"__part_$c")): _*)
+        .write.mode("overwrite")
+        .partitionBy(partCols.map(c => s"__part_$c"): _*)
+        .parquet(stage.toString)
       var gi = 0
-      partFiles.foreach { part =>
-        // skip 0-row parts (empty shuffle partitions) — footer-only read
-        val pin = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromPath(part, spark.sparkContext.hadoopConfiguration)
-        val preader = org.apache.parquet.hadoop.ParquetFileReader.open(pin)
-        val rows = try preader.getRecordCount finally preader.close()
-        if (rows > 0L) {
-          val gid = java.util.UUID.randomUUID().toString.take(8) +
-            f"-ins$gi%04d-" + instant.takeRight(6)
-          gi += 1
-          val dst = new Path(root, s"${gid}_0-0-0_$instant.parquet")
-          if (!fs.rename(part, dst)) throw new IllegalStateException(
-            s"hudi write: staging rename to $dst failed")
+      def place(p: Path, rel: String): Unit =
+        fs.listStatus(p).foreach { st =>
+          val nn = st.getPath.getName
+          if (st.isDirectory && nn.contains("=")) {
+            val seg = nn.stripPrefix("__part_")
+            place(st.getPath, if (rel.isEmpty) seg else s"$rel/$seg")
+          } else if (nn.startsWith("part-") && nn.endsWith(".parquet")) {
+            // skip 0-row parts (empty shuffle partitions) — footer read
+            val pin = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(st.getPath, spark.sparkContext.hadoopConfiguration)
+            val preader =
+              org.apache.parquet.hadoop.ParquetFileReader.open(pin)
+            val rows = try preader.getRecordCount finally preader.close()
+            if (rows > 0L) {
+              val gid = java.util.UUID.randomUUID().toString.take(8) +
+                f"-ins$gi%04d-" + instant.takeRight(6)
+              gi += 1
+              val dir = if (rel.isEmpty) root else new Path(root, rel)
+              fs.mkdirs(dir)
+              val dst = new Path(dir, s"${gid}_0-0-0_$instant.parquet")
+              if (!fs.rename(st.getPath, dst))
+                throw new IllegalStateException(
+                  s"hudi write: staging rename to $dst failed")
+            }
+          }
         }
-      }
-      fs.delete(stage, true)
+      try place(stage, "") finally fs.delete(stage, true)
     }
     complete(fs, root, instant, "deltacommit")
     (instant, n)
@@ -335,21 +424,24 @@ object HudiSink {
       predicate: org.apache.spark.sql.Column): (String, Long) = {
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val groups = baseGroups(fs, root)
+    val (groups, logVersions) = scanLayout(fs, root)
     require(groups.nonEmpty, s"hudi delete: no base files at $tablePath")
     val cur = HudiSource.read(spark, tablePath)
     require(cur.columns.contains(KeyCol),
       s"hudi delete: the table has no $KeyCol")
     import spark.implicits._
     val keys = cur.filter(predicate).select(col(KeyCol)).as[String]
-    // key → group from the base files; unplaced keys (log-only rows)
-    // attach to the first group — the reader's key-merge is global
+    // key → group from the base files (decoded-path → composite route
+    // broadcast lookup); unplaced keys (log-only rows) attach to the
+    // first group — the reader's key-merge is global
+    val lookup = org.apache.spark.sql.functions.broadcast(
+      groups.toSeq.map { case (r, (_, p)) => (p.toUri.getPath, r) }
+        .toDF("__p", "__hudi_gid"))
     val keyToGid = spark.read
       .parquet(groups.values.map(_._2.toString).toSeq: _*)
-      .select(col(KeyCol).as("__k"), input_file_name().as("__f"))
-      .withColumn("__hudi_gid",
-        org.apache.spark.sql.functions
-          .regexp_extract(col("__f"), "([^/]+?)_[^/_]+_[^/_]+\\.parquet$", 1))
+      .select(col(KeyCol).as("__k"),
+        org.apache.spark.sql.functions.expr(FileKeyExpr).as("__p"))
+      .join(lookup, Seq("__p"))
       .select(col("__k"), col("__hudi_gid"))
     val firstGid = groups.keys.toSeq.sorted.head
     // keyToGid is base-row-scale — a plain join (AQE broadcasts the
@@ -363,7 +455,6 @@ object HudiSink {
     if (total == 0L) return ("", 0L)
     val instant = claimInstant(fs, root, "deltacommit")
     markInflight(fs, root, instant, "deltacommit")
-    val logVersions = nextLogVersions(fs, root)
     // delete blocks are written BY THE EXECUTORS holding each group's
     // keys — streaming over keys sorted within the partition, chunked
     // one delete block per DeleteChunkKeys (round-15 de-weak: the r14
@@ -373,7 +464,7 @@ object HudiSink {
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val rootStr = root.toString
-    val groupBase = groups.map { case (gid, (bi, _)) => gid -> bi }
+    val groupBase = groups.map { case (r, (bi, _)) => r -> bi }
     val writtenDel: Array[Long] = routed
       .repartition(col("__hudi_gid"))
       .sortWithinPartitions("__hudi_gid", KeyCol)
@@ -392,14 +483,17 @@ object HudiSink {
             writer.writeDeleteBlock(instant, buf.toSeq)
             buf.clear()
           }
-          def publish(gid: String): Unit = {
+          def publish(routeKey: String): Unit = {
             flushChunk()
             writer.close()
-            val bi = groupBase.getOrElse(gid,
+            val (rel, gid) = splitRoute(routeKey)
+            val bi = groupBase.getOrElse(routeKey,
               throw new IllegalStateException(
                 s"hudi delete: group $gid has no base instant"))
-            val ver = logVersions.getOrElse(gid, 0) + 1
-            val log = new Path(rootStr, s".${gid}_$bi.log.${ver}_$instant")
+            val ver = logVersions.getOrElse(routeKey, 0) + 1
+            val dir = if (rel.isEmpty) new Path(rootStr)
+              else new Path(rootStr, rel)
+            val log = new Path(dir, s".${gid}_$bi.log.${ver}_$instant")
             if (!fsx.rename(tmp, log)) {
               fsx.delete(tmp, false)
               if (!fsx.exists(log)) throw new IllegalStateException(

@@ -162,12 +162,70 @@ class HudiSinkSpec extends SparkFunSuite {
           .withColumn("w", col("id")), dir)
       }
       assert(e2.getMessage.contains("lacks base columns"))
-      java.nio.file.Files.createDirectories(
-        java.nio.file.Path.of(dir, "p=a"))
+      // a base file under a NON-hive-style dir: inserts cannot be
+      // routed — loud, not silently misplaced (round 15: hive-style
+      // partitioned layouts are first-class, arbitrary dirs are not)
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val aBase = new java.io.File(dir).listFiles
+        .filter(_.getName.endsWith(".parquet")).head
+      fs.mkdirs(new org.apache.hadoop.fs.Path(dir, "oops"))
+      fs.rename(new org.apache.hadoop.fs.Path(aBase.getPath),
+        new org.apache.hadoop.fs.Path(s"$dir/oops/${aBase.getName}"))
       val e3 = intercept[IllegalArgumentException] {
-        HudiSink.upsert(df(Seq(("k1", 1L, "x"))), dir)
+        HudiSink.upsert(df(Seq(("zz", 99L, "x"))), dir)
       }
-      assert(e3.getMessage.contains("partitioned"))
+      assert(e3.getMessage.contains("hive-style"))
+    } finally cleanup(dir)
+  }
+
+  test("partitioned table (round 15): create with partitionBy, appends " +
+      "derive the layout, updates/deletes publish logs INTO partition " +
+      "dirs, new partitions appear, reads need no reconstruction") {
+    val dir = tmp("part")
+    try {
+      def pdf(rows: Seq[(String, Long, String, String)]) =
+        rows.toDF("_hoodie_record_key", "id", "v", "p")
+      val (_, n1) = HudiSink.upsert(pdf(
+        (1L to 12L).map(i => (f"k$i%02d", i, s"a$i",
+          if (i <= 6) "x" else "y"))), dir, partitionBy = Seq("p"))
+      assert(n1 == 12L)
+      val dirs = new java.io.File(dir).listFiles.filter(_.isDirectory)
+        .map(_.getName).filterNot(_.startsWith(".")).sorted.toSeq
+      assert(dirs == Seq("p=x", "p=y"), s"got $dirs")
+      assert(HudiSource.read(spark, dir).count() == 12L)
+      // upsert: update k01 (log block IN p=x), insert k99 into a NEW
+      // partition z — the derived layout routes it
+      val (_, n2) = HudiSink.upsert(pdf(Seq(
+        ("k01", 1L, "UPD", "x"), ("k99", 99L, "NEW", "z"))), dir)
+      assert(n2 == 2L)
+      assert(new java.io.File(s"$dir/p=x").listFiles.map(_.getName)
+        .exists(n => n.contains(".log.") && !n.endsWith(".crc")),
+        "the update's log must land INSIDE p=x")
+      assert(new java.io.File(s"$dir/p=z").listFiles.map(_.getName)
+        .exists(_.endsWith(".parquet")),
+        "the new key must create partition p=z")
+      val got = HudiSource.read(spark, dir)
+        .select("_hoodie_record_key", "v").as[(String, String)]
+        .collect().toMap
+      assert(got("k01") == "UPD" && got("k99") == "NEW" &&
+        got("k07") == "a7" && got.size == 13)
+      // an explicit partitionBy that disagrees with the layout is loud
+      val eMismatch = intercept[IllegalArgumentException] {
+        HudiSink.upsert(pdf(Seq(("k50", 50L, "w", "x"))), dir,
+          partitionBy = Seq("v"))
+      }
+      assert(eMismatch.getMessage.contains("does not match"))
+      // delete across partitions: delete blocks land in their groups'
+      // partition dirs, rows drop table-wide
+      val (_, nd) = HudiSink.deleteWhere(spark, dir, col("id") % 2 === 0)
+      assert(nd == 6L, s"got $nd") // k02 k04 k06 k08 k10 k12
+      assert(HudiSource.read(spark, dir).count() == 7L)
+      val logDirs = Seq("p=x", "p=y").filter(d =>
+        new java.io.File(s"$dir/$d").listFiles.map(_.getName)
+          .exists(n => n.contains(".log.") && !n.endsWith(".crc")))
+      assert(logDirs == Seq("p=x", "p=y"),
+        s"delete logs must land in both partitions, got $logDirs")
     } finally cleanup(dir)
   }
 }
