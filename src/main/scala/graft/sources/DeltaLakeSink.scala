@@ -93,9 +93,13 @@ object DeltaLakeSink {
 
   private[sources] def writerGate(state: DeltaLakeSource.LogState,
       what: String, op: String): Unit = {
+    // typeWidening (round 15): its writer obligation is maintaining
+    // delta.typeChanges metadata WHEN CHANGING a column's type — this
+    // writer never changes types (schema drift is refused), and appends
+    // at the table's current (widened) schema are spec-legal as-is
     val implemented = Set("deletionVectors", "appendOnly", "invariants",
       "checkConstraints", "changeDataFeed", "generatedColumns",
-      "identityColumns", "columnMapping")
+      "identityColumns", "columnMapping", "typeWidening")
     require(state.minWriter <= 7,
       s"deltaLake $what: minWriterVersion ${state.minWriter} is newer " +
         "than this writer understands — refusing rather than violating " +

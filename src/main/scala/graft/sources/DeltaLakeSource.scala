@@ -431,10 +431,17 @@ object DeltaLakeSource {
     // protocol gate: v2 = column mapping (now implemented); v3 = the
     // feature list, of which deletionVectors + columnMapping are
     // implemented here
+    // typeWidening (round 15): the protocol stores the WIDENED schema
+    // in metaData.schemaString while older files keep the narrow
+    // physical type; Spark 4's parquet reader performs the widening
+    // conversions natively (int→long, float→double, decimal precision
+    // growth — probed on this Spark build), so the read is the plain
+    // wide-schema scan. A widening pair Spark cannot convert fails the
+    // scan LOUDLY (parquet conversion error), never silently wrong.
     if (minReader >= 3) {
       val unsupported =
         readerFeatures - "deletionVectors" - "columnMapping" -
-          "v2Checkpoint"
+          "v2Checkpoint" - "typeWidening"
       if (unsupported.nonEmpty) throw new IllegalArgumentException(
         s"deltaLake: protocol readerFeatures ${unsupported.mkString(", ")} " +
           "are not implemented by this native log replay — refusing " +
