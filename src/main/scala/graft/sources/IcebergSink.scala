@@ -469,13 +469,12 @@ object IcebergSink {
     }
     require(Option(meta.get("format-version")).forall(_.asInt >= 2),
       "iceberg delete: row-level deletes need format-version 2")
-    val partitioned = Option(meta.get("partition-specs")).exists { arr =>
-      (0 until arr.size).map(arr.get).exists(sp =>
-        Option(sp.get("fields")).exists(_.size > 0))
-    }
-    require(!partitioned,
-      "iceberg delete: partitioned tables are not supported by this " +
-        "writer")
+    // round 15: partitioned tables are fine here — position deletes
+    // anchor on (file_path, pos), the partition spec only validates
+    // identity transforms (delete-file manifest entries carry no
+    // tuple; the reader applies deletes by path, and data-file
+    // manifest pruning is untouched)
+    identitySpecColumns(meta)
     val curSnapId = Option(meta.get("current-snapshot-id")).map(_.asLong)
       .getOrElse(throw new IllegalArgumentException(
         "iceberg delete: metadata has no current-snapshot-id"))
@@ -659,8 +658,10 @@ object IcebergSink {
         Option(sp.get("fields")).exists(_.size > 0))
     }
     require(!partitioned,
-      s"iceberg $what: partitioned tables are not supported by this " +
-        "writer")
+      s"iceberg $what: copy-on-write mutations on PARTITIONED tables " +
+        "are not supported (rewritten files would need per-tuple " +
+        "re-staging) — use the position-delete DELETE lane, or " +
+        "compact + overwrite")
     assignments.foreach(_.foreach { case (c, _) =>
       require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
         s"iceberg update: no column `$c` in the table schema")

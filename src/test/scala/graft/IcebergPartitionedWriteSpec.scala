@@ -70,6 +70,60 @@ class IcebergPartitionedWriteSpec extends SparkFunSuite {
     } finally cleanup(dir)
   }
 
+  test("position deletes on a partitioned table (round 15): masks span " +
+      "partitions, manifest pruning survives, compaction clears the " +
+      "delete files and keeps the spec, CoW still refuses loudly") {
+    val dir = tmp("posdel")
+    try {
+      IcebergSink.append(frame(
+        (1L to 20L).map(i => (i, s"n$i", if (i <= 12) "a" else "b"))),
+        dir, partitionBy = Seq("p"))
+      val (_, nDel) = IcebergSink.deleteLightweight(spark, dir,
+        col("id") % 4 === 0) // 4,8,12 in p=a; 16,20 in p=b
+      assert(nDel == 5L)
+      val after = IcebergSource.read(spark, dir)
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(after == (1L to 20L).filterNot(_ % 4 == 0))
+      // manifest pruning composes with the delete mask
+      val prunedB = IcebergSource.read(spark, dir,
+        partitionEq = Map("p" -> Some("b")))
+      assert(prunedB.select("id").as[Long].collect().sorted.toSeq ==
+        Seq(13L, 14L, 15L, 17L, 18L, 19L))
+      val allFiles = IcebergSource.read(spark, dir).inputFiles.length
+      assert(prunedB.inputFiles.length < allFiles)
+      // CoW mutations still refuse (delete files present AND
+      // partitioned) — the message routes to the working lanes
+      val e = intercept[IllegalArgumentException] {
+        IcebergSink.update(spark, dir, Seq("name" -> col("name")),
+          col("id") === 1)
+      }
+      assert(e.getMessage.toLowerCase.contains("partitioned") ||
+        e.getMessage.contains("delete files"))
+      // compaction materializes the masked state, drops the delete
+      // files, keeps the spec
+      IcebergSink.compact(spark, dir)
+      val compacted = IcebergSource.read(spark, dir)
+      assert(compacted.select("id").as[Long].collect().sorted.toSeq ==
+        (1L to 20L).filterNot(_ % 4 == 0))
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val metaFiles = new java.io.File(dir, "metadata").listFiles
+        .map(_.getName).filter(_.matches("v\\d+\\.metadata\\.json"))
+      val last = metaFiles.map(n =>
+        n.stripPrefix("v").stripSuffix(".metadata.json").toInt).max
+      val m = mapper.readTree(java.nio.file.Files.readString(
+        java.nio.file.Path.of(dir, "metadata", s"v$last.metadata.json")))
+      assert(m.get("partition-specs").get(0).get("fields").size == 1,
+        "compaction must carry the partition spec")
+      // post-compaction the partition pruning works on the fresh files
+      val prunedA2 = IcebergSource.read(spark, dir,
+        partitionEq = Map("p" -> Some("a")))
+      assert(prunedA2.select("id").as[Long].collect().sorted.toSeq ==
+        (1L to 12L).filterNot(_ % 4 == 0))
+      assert(prunedA2.inputFiles.length <
+        IcebergSource.read(spark, dir).inputFiles.length)
+    } finally cleanup(dir)
+  }
+
   test("null partition values, overwrite and compaction keep the spec, " +
       "loud gates: spec mismatch and non-identity transforms") {
     val dir = tmp("gates")
