@@ -138,12 +138,12 @@ class DeltaDvReadSpec extends SparkFunSuite {
       dataFile(dir, "d1.parquet", d1Rows)
       writeCommit(dir, 0L, Seq(
         """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-          """"readerFeatures":["deletionVectors","typeWidening"]}}""",
+          """"readerFeatures":["deletionVectors","collations"]}}""",
         metaLine, addLine("d1.parquet", None)))
       val e = intercept[IllegalArgumentException] {
         DeltaLakeSource.read(spark, dir)
       }
-      assert(e.getMessage.contains("typeWidening"))
+      assert(e.getMessage.contains("collations"))
       // v2 with no columnMapping.mode set = mode none → plain read
       writeCommit(dir, 0L, Seq(
         """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",

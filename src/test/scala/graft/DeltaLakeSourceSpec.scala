@@ -161,13 +161,13 @@ class DeltaLakeSourceSpec extends SparkFunSuite {
       dataFile(dir, "d1.parquet", Seq((1L, "x")))
       writeCommit(dir, 0L, Seq(
         """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-          """"readerFeatures":["typeWidening"]}}""",
+          """"readerFeatures":["collations"]}}""",
         metaLine,
         """{"add":{"path":"d1.parquet","partitionValues":{"p":"a"},"size":1,"modificationTime":1,"dataChange":true}}"""))
       val e = intercept[IllegalArgumentException] {
         graft.sources.DeltaLakeSource.read(spark, dir)
       }
-      assert(e.getMessage.contains("typeWidening"))
+      assert(e.getMessage.contains("collations"))
       val e2 = intercept[Exception] {
         graft.sources.DeltaLakeSource.read(spark, "/tmp")
       }
