@@ -1362,20 +1362,20 @@ object ClickHouseSql {
           else sqlImpl(spark, tail)
         import spark.implicits._
         if (fn.equalsIgnoreCase("iceberg")) {
-          require(pcs.isEmpty,
-            "INSERT INTO FUNCTION iceberg: partitioned writes are not " +
-              "supported (unpartitioned v2 tables only)")
-          val sid = graft.sources.IcebergSink.append(df, path)
+          // round 15: PARTITION BY (…) declares an identity-transform
+          // spec at creation; appends derive the table's spec
+          val sid = graft.sources.IcebergSink.append(df, path,
+            partitionBy = pcs)
           return Seq(sid).toDF("snapshot_id")
         }
         if (fn.equalsIgnoreCase("hudi")) {
           // Hudi INSERT is an UPSERT (the engine's default operation):
           // existing keys become log data blocks, new keys a fresh
           // base-file group. The SELECT must carry _hoodie_record_key.
-          require(pcs.isEmpty,
-            "INSERT INTO FUNCTION hudi: partitioned writes are not " +
-              "supported (unpartitioned tables only)")
-          val (instant, nRows) = graft.sources.HudiSink.upsert(df, path)
+          // round 15: PARTITION BY (…) lays the table out as hive-style
+          // partition dirs at creation; appends derive the layout.
+          val (instant, nRows) = graft.sources.HudiSink.upsert(df, path,
+            partitionBy = pcs)
           return Seq((instant, nRows)).toDF("instant", "rows_upserted")
         }
         val v = graft.sources.DeltaLakeSink.append(df, path,

@@ -70,6 +70,30 @@ class IcebergPartitionedWriteSpec extends SparkFunSuite {
     } finally cleanup(dir)
   }
 
+  test("dialect INSERT INTO FUNCTION iceberg/hudi PARTITION BY (…) " +
+      "creates the partitioned layout") {
+    val di = tmp("dlg_ice")
+    val dh = tmp("dlg_hudi")
+    try {
+      val ch = (q: String) => graft.sql.ClickHouseSql.sql(spark, q)
+      ch(s"INSERT INTO FUNCTION iceberg('$di') PARTITION BY (p) " +
+        "SELECT 1 AS id, 'a' AS p UNION ALL SELECT 2, 'b'")
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val m = mapper.readTree(java.nio.file.Files.readString(
+        java.nio.file.Path.of(di, "metadata", "v1.metadata.json")))
+      assert(m.get("partition-specs").get(0).get("fields")
+        .get(0).get("name").asText == "p")
+      assert(IcebergSource.read(spark, di).count() == 2L)
+      ch(s"INSERT INTO FUNCTION hudi('$dh') PARTITION BY (p) " +
+        "SELECT 'k1' AS _hoodie_record_key, 1 AS id, 'a' AS p " +
+        "UNION ALL SELECT 'k2', 2, 'b'")
+      val dirs = new java.io.File(dh).listFiles.filter(_.isDirectory)
+        .map(_.getName).filterNot(_.startsWith(".")).sorted.toSeq
+      assert(dirs == Seq("p=a", "p=b"), s"got $dirs")
+      assert(graft.sources.HudiSource.read(spark, dh).count() == 2L)
+    } finally { cleanup(di); cleanup(dh) }
+  }
+
   test("position deletes on a partitioned table (round 15): masks span " +
       "partitions, manifest pruning survives, compaction clears the " +
       "delete files and keeps the spec, CoW still refuses loudly") {
