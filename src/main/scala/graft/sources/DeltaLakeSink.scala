@@ -96,10 +96,17 @@ object DeltaLakeSink {
     // typeWidening (round 15): its writer obligation is maintaining
     // delta.typeChanges metadata WHEN CHANGING a column's type — this
     // writer never changes types (schema drift is refused), and appends
-    // at the table's current (widened) schema are spec-legal as-is
+    // at the table's current (widened) schema are spec-legal as-is.
+    // rowTracking/domainMetadata (round 15): fresh row ids assign on
+    // appends/overwrites (see the write lane), DV deletes re-add files
+    // verbatim with their ids echoed, and live domains persist through
+    // log replay + checkpoints — but a COPY-ON-WRITE rewrite MOVES rows
+    // and would need materialized row-id columns, so those ops refuse
+    // below.
     val implemented = Set("deletionVectors", "appendOnly", "invariants",
       "checkConstraints", "changeDataFeed", "generatedColumns",
-      "identityColumns", "columnMapping", "typeWidening")
+      "identityColumns", "columnMapping", "typeWidening",
+      "rowTracking", "domainMetadata")
     require(state.minWriter <= 7,
       s"deltaLake $what: minWriterVersion ${state.minWriter} is newer " +
         "than this writer understands — refusing rather than violating " +
@@ -118,6 +125,12 @@ object DeltaLakeSink {
     // false) — the spec permits it even on appendOnly/CDF tables
     val addsRows = op == "append" || op == "update" || op == "overwrite"
     val removesRows = op != "append" && op != "compact"
+    if (effective("rowTracking"))
+      require(op == "append" || op == "overwrite" || op == "delete-dv",
+        s"deltaLake $what: the table tracks row ids and this operation " +
+          "rewrites files (moved rows would need MATERIALIZED row-id " +
+          "columns this writer does not emit) — use the deletion-vector " +
+          "DELETE lane or appends")
     if (effective("invariants") && addsRows)
       require(!schemaStr.contains("delta.invariants"),
         s"deltaLake $what: the schema declares column invariants this " +
@@ -290,9 +303,57 @@ object DeltaLakeSink {
     val removes =
       if (replace) state.map(_.active.map(_._1)).getOrElse(Seq.empty)
       else Seq.empty
-    val body = (if (creating) metaLines() else Seq.empty) ++
-      removes.map(p => removeJson(p)) ++
-      added.map { case (rel, size, pv) => addJson(rel, size, pv) }
+    // row tracking (round 15): every add gets FRESH base row ids above
+    // the table's high watermark (domain delta.rowTracking) and the
+    // commit version as defaultRowCommitVersion; the commit also bumps
+    // the watermark domain. The body therefore depends on the claimed
+    // VERSION — built per attempt below.
+    val rowTracking = state.exists(st =>
+      (legacyWriterFeatures(st.minWriter) ++ st.writerFeatures)
+        .contains("rowTracking"))
+    val addedRows: Seq[Long] =
+      if (!rowTracking) added.map(_ => 0L)
+      else added.map { case (rel, _, _) =>
+        val pin = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(root, rel),
+            spark.sparkContext.hadoopConfiguration)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(pin)
+        try r.getRecordCount finally r.close()
+      }
+    val watermark0: Long = state.flatMap(_.domains.get("delta.rowTracking"))
+      .flatMap { cfg =>
+        scala.util.Try(mapper.readTree(cfg)
+          .get("rowIdHighWaterMark").asLong).toOption
+      }.getOrElse(-1L)
+    def bodyFor(version: Long): Seq[String] = {
+      val addLines =
+        if (!rowTracking)
+          added.map { case (rel, size, pv) => addJson(rel, size, pv) }
+        else {
+          var wm = watermark0
+          added.zip(addedRows).map { case ((rel, size, pv), rows) =>
+            val base = wm + 1
+            wm += rows
+            addJson(rel, size, pv, baseRowId = Some(base),
+              defaultRowCommitVersion = Some(version))
+          }
+        }
+      val domainLines =
+        if (!rowTracking) Seq.empty
+        else {
+          val dm = mapper.createObjectNode()
+          dm.put("domain", "delta.rowTracking")
+          dm.put("configuration",
+            s"""{"rowIdHighWaterMark":${watermark0 + addedRows.sum}}""")
+          dm.put("removed", false)
+          val line = mapper.createObjectNode()
+          line.set[com.fasterxml.jackson.databind.JsonNode](
+            "domainMetadata", dm)
+          Seq(mapper.writeValueAsString(line))
+        }
+      (if (creating) metaLines() else Seq.empty) ++
+        removes.map(p => removeJson(p)) ++ addLines ++ domainLines
+    }
 
     // the next version must clear BOTH the newest JSON commit and the
     // newest checkpoint: on a vacuumed log (checkpoint only, no JSON
@@ -315,7 +376,7 @@ object DeltaLakeSink {
         try {
           // overwrite = false: the protocol's atomic put-if-absent
           val out = fs.create(target, false)
-          try out.write((body.mkString("\n") + "\n")
+          try out.write((bodyFor(version).mkString("\n") + "\n")
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
           finally out.close()
           true
@@ -332,6 +393,11 @@ object DeltaLakeSink {
         if (replace) throw new IllegalStateException(
           "deltaLake write: a concurrent commit landed during the " +
             "overwrite — the captured remove set is stale, refusing")
+        if (rowTracking) throw new IllegalStateException(
+          "deltaLake write: a concurrent commit landed on a " +
+            "row-tracking table — the captured rowIdHighWaterMark is " +
+            "stale and blind-retrying would hand out overlapping row " +
+            "ids; rerun the append against the new state")
         // blind appends never conflict logically — but a concurrent
         // metaData/protocol change is a REAL conflict
         val newer = listVersions().filterNot(seen)
@@ -403,7 +469,9 @@ object DeltaLakeSink {
       pv: Map[String, Option[String]],
       dv: Option[DeltaDeletionVectors.DvDescriptor] = None,
       dataChange: Boolean = true,
-      numRecords: Option[Long] = None): String = {
+      numRecords: Option[Long] = None,
+      baseRowId: Option[Long] = None,
+      defaultRowCommitVersion: Option[Long] = None): String = {
     val pvNode = mapper.createObjectNode()
     pv.foreach { case (k, v) =>
       v match {
@@ -434,6 +502,8 @@ object DeltaLakeSink {
     numRecords.foreach { nr =>
       add.put("stats", s"""{"numRecords":$nr,"tightBounds":false}""")
     }
+    baseRowId.foreach(add.put("baseRowId", _))
+    defaultRowCommitVersion.foreach(add.put("defaultRowCommitVersion", _))
     val line = mapper.createObjectNode()
     line.set[com.fasterxml.jackson.databind.JsonNode]("add", add)
     mapper.writeValueAsString(line)
@@ -562,7 +632,9 @@ object DeltaLakeSink {
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val state = DeltaLakeSource.replayLog(spark, tablePath)
-    writerGate(state, "delete", "delete")
+    // op "delete-dv": rows MASK in place (files re-add verbatim), they
+    // never move — legal on row-tracking tables, unlike CoW deletes
+    writerGate(state, "delete", "delete-dv")
 
     // ---- 1. matched (file, row index) → per-file bitmaps, built
     // DISTRIBUTED so only compressed blobs reach the driver ----
@@ -604,11 +676,14 @@ object DeltaLakeSink {
           throw new IllegalStateException(
             s"deltaLake delete: scanned file $decoded is not in the log"))
         a.dv match {
-          case None => (logPath, Active2(a.pv), blob, card)
+          case None =>
+            (logPath, Active2(a.pv, a.baseRowId,
+              a.defaultRowCommitVersion), blob, card)
           case Some(old) =>
             val oldBlob = DeltaDeletionVectors.readData(conf, tablePath, old)
             val (m, c) = DeltaDeletionVectors.mergeBlobs(oldBlob, blob)
-            (logPath, Active2(a.pv), m, c)
+            (logPath, Active2(a.pv, a.baseRowId,
+              a.defaultRowCommitVersion), m, c)
         }
       }
 
@@ -659,7 +734,10 @@ object DeltaLakeSink {
           addJson(logPath, size, a2.pv,
             Some(DeltaDeletionVectors.DvDescriptor("u", encoded,
               Some(off), blob.length, card)),
-            numRecords = Some(physRows)))
+            numRecords = Some(physRows),
+            // row tracking: the file re-adds VERBATIM, so its ids echo
+            baseRowId = a2.baseRowId,
+            defaultRowCommitVersion = a2.defaultRowCommitVersion))
     }
     val version = state.version + 1
     commitFailpoint()
@@ -688,7 +766,9 @@ object DeltaLakeSink {
 
   /** Carrier for the original add's partitionValues (the lightweight
     * delete re-adds files verbatim — physical keys included). */
-  private final case class Active2(pv: Map[String, Option[String]])
+  private final case class Active2(pv: Map[String, Option[String]],
+      baseRowId: Option[Long] = None,
+      defaultRowCommitVersion: Option[Long] = None)
 
   /** Rename a logical-schema DataFrame to its PHYSICAL column names
     * for a column-mapped table (nested fields rename through the
@@ -903,7 +983,9 @@ object DeltaLakeSink {
         StructField("size", LongType),
         StructField("modificationTime", LongType),
         StructField("dataChange", BooleanType),
-        StructField("deletionVector", dvSchema)))),
+        StructField("deletionVector", dvSchema),
+        StructField("baseRowId", LongType),
+        StructField("defaultRowCommitVersion", LongType)))),
       StructField("metaData", StructType(Seq(
         StructField("id", StringType),
         StructField("format", StructType(Seq(
@@ -916,15 +998,25 @@ object DeltaLakeSink {
         StructField("minReaderVersion", IntegerType),
         StructField("minWriterVersion", IntegerType),
         StructField("readerFeatures", ArrayType(StringType)),
-        StructField("writerFeatures", ArrayType(StringType)))))))
+        StructField("writerFeatures", ArrayType(StringType))))),
+      StructField("domainMetadata", StructType(Seq(
+        StructField("domain", StringType),
+        StructField("configuration", StringType),
+        StructField("removed", BooleanType))))))
     val metaRow = Row(null,
       Row(m.id, Row("parquet"), m.schemaString, m.partitionColumns,
         m.configuration.map { case (k, v) => k -> v }),
-      null)
+      null, null)
     val protoRow = Row(null, null,
       Row(st.minReader, st.minWriter,
         if (st.readerFeatures.isEmpty) null else st.readerFeatures.toSeq,
-        if (st.writerFeatures.isEmpty) null else st.writerFeatures.toSeq))
+        if (st.writerFeatures.isEmpty) null else st.writerFeatures.toSeq),
+      null)
+    // live domains (row-tracking watermark etc.) must survive a vacuum
+    // — the protocol requires checkpoints to carry domain metadata
+    val domainRows = st.domains.toSeq.map { case (d, cfg) =>
+      Row(null, null, null, Row(d, cfg, false))
+    }
     val addRows = st.active.map { case (p, a) =>
       val abs = new Path(root, p) // sink-written paths are relative
       val sz = scala.util.Try(fs.getFileStatus(abs)).map(_.getLen)
@@ -935,8 +1027,10 @@ object DeltaLakeSink {
         sz, mt, false,
         a.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
           d.offset.map(Int.box).orNull, d.sizeInBytes,
-          d.cardinality)).orNull),
-        null, null)
+          d.cardinality)).orNull,
+        a.baseRowId.map(Long.box).orNull,
+        a.defaultRowCommitVersion.map(Long.box).orNull),
+        null, null, null)
     }
     val logDir = new Path(root, "_delta_log")
     // one staged single-part parquet → renamed to `dst`
@@ -957,9 +1051,10 @@ object DeltaLakeSink {
     }
     val totalActions: Long =
       if (resolvedPolicy == "classic") {
-        stageParquet(Seq(protoRow, metaRow) ++ addRows, schema, "c",
+        stageParquet(Seq(protoRow, metaRow) ++ domainRows ++ addRows,
+          schema, "c",
           new Path(logDir, f"$version%020d.checkpoint.parquet"))
-        2L + addRows.size
+        2L + domainRows.size + addRows.size
       } else {
         // ---- v2: sidecars hold the add set, the manifest the rest ----
         val sidecarDir = new Path(logDir, "_sidecars")
@@ -981,16 +1076,18 @@ object DeltaLakeSink {
           StructField("sidecar", StructType(Seq(
             StructField("path", StringType),
             StructField("sizeInBytes", LongType),
-            StructField("modificationTime", LongType))))))
+            StructField("modificationTime", LongType)))),
+          schema("domainMetadata")))
         // metaRow/protoRow were built for (add, metaData, protocol) —
         // re-shape to the manifest's column order
         val mRows =
-          Seq(Row(metaRow.get(1), null, null, null),
-            Row(null, protoRow.get(2), null, null),
-            Row(null, null, Row(version), null)) ++
+          Seq(Row(metaRow.get(1), null, null, null, null),
+            Row(null, protoRow.get(2), null, null, null),
+            Row(null, null, Row(version), null, null)) ++
             sidecars.map { case (n, sz, mt) =>
-              Row(null, null, null, Row(n, sz, mt))
-            }
+              Row(null, null, null, Row(n, sz, mt), null)
+            } ++
+            domainRows.map(dr => Row(null, null, null, null, dr.get(3)))
         stageParquet(mRows, manifestSchema, "m", new Path(logDir,
           f"$version%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet"))
         mRows.size.toLong + addRows.size

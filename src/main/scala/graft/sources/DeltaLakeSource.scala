@@ -55,18 +55,26 @@ object DeltaLakeSource {
       configuration: Map[String, String] = Map.empty,
       id: String = "")
 
-  /** One active file: partition values + optional deletion vector. */
+  /** One active file: partition values + optional deletion vector +
+    * (round 15, row tracking) the add's baseRowId /
+    * defaultRowCommitVersion so re-adds (DV deletes) echo them. */
   private[sources] final case class Active(pv: Map[String, Option[String]],
-      dv: Option[DvDescriptor])
+      dv: Option[DvDescriptor],
+      baseRowId: Option[Long] = None,
+      defaultRowCommitVersion: Option[Long] = None)
 
   /** The reconstructed log state at a version — shared between the
     * reader and the sink (which uses it for overwrite sets and for
-    * WRITING checkpoints). */
+    * WRITING checkpoints). `domains` = live (non-removed)
+    * domainMetadata configurations by domain name (PROTOCOL.md
+    * "Domain Metadata" — row tracking keeps its rowIdHighWaterMark in
+    * domain `delta.rowTracking`). */
   private[sources] final case class LogState(
       active: Seq[(String, Active)], meta: Option[Meta],
       minReader: Int, readerFeatures: Set[String],
       minWriter: Int, writerFeatures: Set[String],
-      version: Long)
+      version: Long,
+      domains: Map[String, String] = Map.empty)
 
   /** Loud cap on driver-collected checkpoint actions — ~a few hundred
     * bytes per tuple, so 4M actions ≈ low-GB driver heap, the same
@@ -152,6 +160,7 @@ object DeltaLakeSource {
     var readerFeatures = Set.empty[String]
     var minWriter = 2
     var writerFeatures = Set.empty[String]
+    val domains = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
     // ---- checkpoint seed (distributed reconcile, minimal projection) ----
     val ckptV = ckptFiles.keys.filter(_ <= target).toSeq.sorted.lastOption
@@ -244,11 +253,17 @@ object DeltaLakeSource {
             lit(null).cast("int").as("__dv_off"),
             lit(null).cast("int").as("__dv_size"),
             lit(null).cast("long").as("__dv_card"))
+        val rowTrackCols =
+          Seq((if (sub("add", "baseRowId")) col("add.baseRowId")
+            else lit(null).cast("long")).as("__base_rid"),
+            (if (sub("add", "defaultRowCommitVersion"))
+              col("add.defaultRowCommitVersion")
+            else lit(null).cast("long")).as("__def_rcv"))
         val adds = cp.where(col("add").isNotNull)
           .select(Seq(col("add.path").as("path"),
             (if (sub("add", "partitionValues")) col("add.partitionValues")
              else lit(null).cast("map<string,string>")).as("pv")) ++
-            dvCols: _*)
+            dvCols ++ rowTrackCols: _*)
         val live =
           if (cols.contains("remove"))
             adds.join(cp.where(col("remove").isNotNull)
@@ -270,7 +285,20 @@ object DeltaLakeSource {
               if (r.isNullAt(4)) None else Some(r.getAs[Number](4).intValue),
               r.getAs[Number](5).intValue, r.getAs[Number](6).longValue)
           }
-          active(p) = Active(pv, dv)
+          active(p) = Active(pv, dv,
+            if (r.isNullAt(7)) None else Some(r.getAs[Number](7).longValue),
+            if (r.isNullAt(8)) None else Some(r.getAs[Number](8).longValue))
+        }
+        // domainMetadata rows ride in checkpoints too (the protocol
+        // requires it — a vacuumed log must not lose the row-tracking
+        // watermark); removed domains are excluded at write time
+        if (cols.contains("domainMetadata")) {
+          cp.where(col("domainMetadata").isNotNull)
+            .select(col("domainMetadata.domain"),
+              col("domainMetadata.configuration"))
+            .collect().foreach { r =>
+              domains(r.getString(0)) = Option(r.getString(1)).getOrElse("")
+            }
         }
       }
     }
@@ -305,10 +333,23 @@ object DeltaLakeSource {
                   d.get("sizeInBytes").asInt,
                   d.get("cardinality").asLong)
               }
-            active(a.get("path").asText) = Active(pv, dv)
+            active(a.get("path").asText) = Active(pv, dv,
+              Option(a.get("baseRowId")).filterNot(_.isNull).map(_.asLong),
+              Option(a.get("defaultRowCommitVersion"))
+                .filterNot(_.isNull).map(_.asLong))
           }
           Option(node.get("remove")).foreach(rm =>
             active.remove(rm.get("path").asText))
+          // domainMetadata (PROTOCOL.md "Domain Metadata"): latest
+          // action per domain wins; removed=true drops it
+          Option(node.get("domainMetadata")).foreach { dm =>
+            val domain = dm.get("domain").asText
+            if (Option(dm.get("removed")).exists(_.asBoolean))
+              domains.remove(domain)
+            else domains(domain) =
+              Option(dm.get("configuration")).filterNot(_.isNull)
+                .map(_.asText).getOrElse("")
+          }
           Option(node.get("metaData")).foreach { md =>
             val pcs = Option(md.get("partitionColumns")).map { arr =>
               (0 until arr.size).map(arr.get(_).asText)
@@ -340,7 +381,7 @@ object DeltaLakeSource {
         }
       }
     LogState(active.toSeq, meta, minReader, readerFeatures,
-      minWriter, writerFeatures, target)
+      minWriter, writerFeatures, target, domains.toMap)
   }
 
   /** Logical field → the physical column name its parquet files store

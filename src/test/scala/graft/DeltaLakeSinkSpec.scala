@@ -127,11 +127,11 @@ class DeltaLakeSinkSpec extends SparkFunSuite {
       java.nio.file.Files.writeString(java.nio.file.Path.of(
         dir, "_delta_log", f"${3L}%020d.json"),
         """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
-          """"writerFeatures":["rowTracking"]}}""" + "\n")
+          """"writerFeatures":["icebergCompatV2"]}}""" + "\n")
       val e3 = intercept[IllegalArgumentException] {
         DeltaLakeSink.append(Seq((3L, "c")).toDF("id", "name"), dir)
       }
-      assert(e3.getMessage.contains("rowTracking"))
+      assert(e3.getMessage.contains("icebergCompatV2"))
       // …and delta.appendOnly blocks deletes but never appends
       java.nio.file.Files.delete(java.nio.file.Path.of(
         dir, "_delta_log", f"${3L}%020d.json"))
