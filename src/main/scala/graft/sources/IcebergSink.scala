@@ -25,9 +25,13 @@ import org.apache.spark.sql.DataFrame
   *     won and is LOUD (appends re-run cheaply); `version-hint.text`
   *     updates best-effort after the claim.
   *
-  * Scope: format-version 2, UNPARTITIONED tables (a partition spec
-  * needs spec-id plumbing this writer does not have — loud), schema
-  * fixed at creation (by-name/type match on append).
+  * Scope: format-version 2; schema fixed at creation (by-name/type
+  * match on append). Partitioned tables (round 15): IDENTITY-transform
+  * specs are first-class across append/overwrite/compaction, the
+  * position-delete lane, and copy-on-write mutations (rewritten
+  * survivors re-stage per tuple; assigning a partition column in an
+  * UPDATE refuses — rows would move partitions); derived transforms
+  * (bucket/truncate/temporal) refuse loudly.
   */
 object IcebergSink {
 
@@ -258,6 +262,66 @@ object IcebergSink {
     }
   }
 
+  /** Stage `df` (Hive-style over DUPLICATED partition columns when
+    * `partCols` is non-empty, so the real columns stay IN the files)
+    * and rename the parts into `data/` under txn-unique names. Returns
+    * (path, footer row count, partition tuple) per non-empty file.
+    * Shared by the append/overwrite commit and the CoW rewrite so the
+    * two staging lanes can never drift. */
+  private def stageData(df: DataFrame, root: Path,
+      fs: org.apache.hadoop.fs.FileSystem, partCols: Seq[String],
+      txn: String): Seq[(String, Long, Map[String, Option[String]])] = {
+    import org.apache.spark.sql.functions.col
+    val spark = df.sparkSession
+    val stage = new Path(root, s"__graft_ice_stage_$txn")
+    if (partCols.isEmpty) df.write.mode("overwrite").parquet(stage.toString)
+    else df.select(df.columns.map(col).toIndexedSeq ++
+        partCols.map(c => col(c).as(s"__part_$c")): _*)
+      .write.mode("overwrite")
+      .partitionBy(partCols.map(c => s"__part_$c"): _*)
+      .parquet(stage.toString)
+    val dataDir = new Path(root, "data")
+    fs.mkdirs(dataDir)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Map[String, Option[String]])]
+    def walk(p: Path, tuple: Map[String, Option[String]]): Unit =
+      fs.listStatus(p).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n.contains("=")) {
+          val Array(k, v) = n.split("=", 2)
+          val value =
+            if (v == "__HIVE_DEFAULT_PARTITION__") None
+            else Some(java.net.URLDecoder.decode(v, "UTF-8"))
+          walk(st.getPath, tuple + (k.stripPrefix("__part_") -> value))
+        } else if (n.endsWith(".parquet") && !n.startsWith(".")) {
+          val pin = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(st.getPath, spark.sparkContext.hadoopConfiguration)
+          val preader = org.apache.parquet.hadoop.ParquetFileReader.open(pin)
+          val rows = try preader.getRecordCount finally preader.close()
+          if (rows > 0L) { // empty shuffle partitions stage 0-row parts
+            val dst = new Path(dataDir, s"$txn-${out.length}.parquet")
+            if (!fs.rename(st.getPath, dst)) throw new IllegalStateException(
+              s"iceberg write: staging rename to $dst failed")
+            out += ((dst.toString, rows, tuple))
+          }
+        }
+      }
+    try walk(stage, Map.empty) finally fs.delete(stage, true)
+    out.toSeq
+  }
+
+  private def tupleJson(tuple: Map[String, Option[String]]): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    tuple.foreach { case (k, v) =>
+      v match {
+        case Some(x) => node.put(k, x)
+        case None => node.putNull(k)
+      }
+    }
+    mapper.writeValueAsString(node)
+  }
+
   private def commit(df: DataFrame, tablePath: String,
       carryForward: Boolean, partitionBy: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
@@ -319,45 +383,7 @@ object IcebergSink {
     // transform storage rule, and what IcebergSource reads) while the
     // tuple is recoverable from the staging directory names ----
     val txn = java.util.UUID.randomUUID().toString
-    val stage = new Path(root, s"__graft_ice_stage_$txn")
-    if (partCols.isEmpty) df.write.mode("overwrite").parquet(stage.toString)
-    else {
-      import org.apache.spark.sql.functions.col
-      val dup = df.select(df.columns.map(col).toIndexedSeq ++
-        partCols.map(c => col(c).as(s"__part_$c")): _*)
-      dup.write.mode("overwrite")
-        .partitionBy(partCols.map(c => s"__part_$c"): _*)
-        .parquet(stage.toString)
-    }
-    val dataDir = new Path(root, "data")
-    fs.mkdirs(dataDir)
-    // walk the staging tree collecting (file, partition tuple); rename
-    // into data/ flat — the tuple lives in the manifest, not the path
-    val added = scala.collection.mutable.ArrayBuffer
-      .empty[(String, Long, Map[String, Option[String]])]
-    def walk(p: Path, tuple: Map[String, Option[String]]): Unit =
-      fs.listStatus(p).foreach { st =>
-        val n = st.getPath.getName
-        if (st.isDirectory && n.contains("=")) {
-          val Array(k, v) = n.split("=", 2)
-          val value =
-            if (v == "__HIVE_DEFAULT_PARTITION__") None
-            else Some(java.net.URLDecoder.decode(v, "UTF-8"))
-          walk(st.getPath, tuple + (k.stripPrefix("__part_") -> value))
-        } else if (n.endsWith(".parquet") && !n.startsWith(".")) {
-          val pin = org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromPath(st.getPath, spark.sparkContext.hadoopConfiguration)
-          val preader = org.apache.parquet.hadoop.ParquetFileReader.open(pin)
-          val rows = try preader.getRecordCount finally preader.close()
-          if (rows > 0L) { // empty shuffle partitions stage 0-row parts
-            val dst = new Path(dataDir, s"$txn-${added.length}.parquet")
-            if (!fs.rename(st.getPath, dst)) throw new IllegalStateException(
-              s"iceberg write: staging rename to $dst failed")
-            added += ((dst.toString, rows, tuple))
-          }
-        }
-      }
-    try walk(stage, Map.empty) finally fs.delete(stage, true)
+    val added = stageData(df, root, fs, partCols, txn)
     require(added.nonEmpty || !creating,
       "iceberg write: refusing to create a table from zero files")
 
@@ -370,21 +396,14 @@ object IcebergSink {
     fs.mkdirs(metaDir)
     // new manifest: the added files
     val mPath = new Path(metaDir, s"m-$txn.avro")
-    val mLen = writeAvro(fs, mPath, entrySchema, added.toSeq.map {
+    val mLen = writeAvro(fs, mPath, entrySchema, added.map {
       case (f, rows, tuple) =>
         val d = new GenericData.Record(
           entrySchema.getField("data_file").schema())
         d.put("content", 0); d.put("file_path", f)
         d.put("file_format", "PARQUET")
         d.put("record_count", rows) // exact, from the parquet footer
-        val tupleNode = mapper.createObjectNode()
-        tuple.foreach { case (k, v) =>
-          v match {
-            case Some(x) => tupleNode.put(k, x)
-            case None => tupleNode.putNull(k)
-          }
-        }
-        d.put("partition_json", mapper.writeValueAsString(tupleNode))
+        d.put("partition_json", tupleJson(tuple))
         val e = new GenericData.Record(entrySchema)
         e.put("status", 1); e.put("data_file", d); e
     }, "write")
@@ -653,15 +672,16 @@ object IcebergSink {
         .find(_.get("schema-id").asInt == cur).getOrElse(arr.get(0))
     }.getOrElse(meta.get("schema"))
     val schema = IcebergSource.structOf(schemaNode)
-    val partitioned = Option(meta.get("partition-specs")).exists { arr =>
-      (0 until arr.size).map(arr.get).exists(sp =>
-        Option(sp.get("fields")).exists(_.size > 0))
-    }
-    require(!partitioned,
-      s"iceberg $what: copy-on-write mutations on PARTITIONED tables " +
-        "are not supported (rewritten files would need per-tuple " +
-        "re-staging) — use the position-delete DELETE lane, or " +
-        "compact + overwrite")
+    // round 15: partitioned CoW — rewritten survivors re-stage per
+    // tuple through the shared stageData lane (identity transforms
+    // only); an UPDATE that assigns a partition column would MOVE rows
+    // across partitions and refuses loudly
+    val specCols = identitySpecColumns(meta)
+    assignments.foreach(_.foreach { case (c, _) =>
+      require(!specCols.exists(_.equalsIgnoreCase(c)),
+        s"iceberg update: assigning partition column `$c` would move " +
+          "rows across partitions — delete + re-insert instead")
+    })
     assignments.foreach(_.foreach { case (c, _) =>
       require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
         s"iceberg update: no column `$c` in the table schema")
@@ -679,7 +699,9 @@ object IcebergSink {
     // ---- current state: data files (+ record counts); delete files
     // make the current state depend on anti-join semantics a manifest
     // rewrite cannot preserve — LOUD, compact first ----
-    val dataFiles = Seq.newBuilder[(String, Long)] // path → record_count
+    // path → (record_count, recorded partition tuple json) — untouched
+    // entries must echo their tuple or manifest pruning goes blind
+    val dataFiles = Seq.newBuilder[(String, Long, Option[String])]
     avroRecords(fs, manifestList).foreach { m =>
       avroRecords(fs, m.get("manifest_path").toString).foreach { e =>
         val status = optField(e, "status").map(_.toString.toInt).getOrElse(1)
@@ -693,7 +715,8 @@ object IcebergSink {
               "copy-on-write mutations")
           dataFiles += ((d.get("file_path").toString,
             optField(d, "record_count").map(_.toString.toLong)
-              .getOrElse(0L)))
+              .getOrElse(0L),
+            optField(d, "partition_json").map(_.toString)))
         }
       }
     }
@@ -719,7 +742,7 @@ object IcebergSink {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     if (matchedCounts.isEmpty) return (curSnapId, 0L)
     val matchedRows = matchedCounts.values.sum
-    val byNorm = files.map { case (p, _) => normPath(p) -> p }.toMap
+    val byNorm = files.map { case (p, _, _) => normPath(p) -> p }.toMap
     val matched = matchedCounts.keySet.map(k =>
       byNorm.getOrElse(k, throw new IllegalStateException(
         s"iceberg $what: scanned file $k is not in the manifests")))
@@ -741,20 +764,10 @@ object IcebergSink {
         }
     }
     val txn = java.util.UUID.randomUUID().toString
-    val stage = new Path(root, s"__graft_ice_stage_$txn")
-    rewritten.write.mode("overwrite").parquet(stage.toString)
-    val dataDir = new Path(root, "data")
-    fs.mkdirs(dataDir)
-    val rewrittenRows = rewritten.count()
-    val added = fs.listStatus(stage).map(_.getPath)
-      .filter(_.getName.endsWith(".parquet"))
-      .zipWithIndex.map { case (p, i) =>
-        val dst = new Path(dataDir, s"$txn-$i.parquet")
-        if (!fs.rename(p, dst)) throw new IllegalStateException(
-          s"iceberg $what: staging rename to $dst failed")
-        dst.toString
-      }.toSeq
-    fs.delete(stage, true)
+    // shared staging lane: per-tuple splitting on partitioned tables,
+    // exact footer record counts either way (the old divided
+    // approximation is gone)
+    val added = stageData(rewritten, root, fs, specCols, txn)
 
     // ---- one new manifest: survivors by reference (status 0,
     // original record counts) + rewritten files (status 1) ----
@@ -762,20 +775,24 @@ object IcebergSink {
       .getOrElse(0L) + 1
     val snapshotId = math.abs(java.util.UUID.randomUUID()
       .getMostSignificantBits)
-    def entryOf(path: String, status: Int, count: Long): GenericRecord = {
+    def entryOf(path: String, status: Int, count: Long,
+        tuple: Option[String]): GenericRecord = {
       val d = new GenericData.Record(
         entrySchema.getField("data_file").schema())
       d.put("content", 0); d.put("file_path", path)
       d.put("file_format", "PARQUET"); d.put("record_count", count)
+      tuple.foreach(d.put("partition_json", _))
       val e = new GenericData.Record(entrySchema)
       e.put("status", status); e.put("data_file", d); e
     }
-    val untouched = files.filterNot { case (p, _) => matched(p) }
+    val untouched = files.filterNot { case (p, _, _) => matched(p) }
     val mPath = new Path(metaDir, s"m-$txn.avro")
     val mLen = writeAvro(fs, mPath, entrySchema,
-      untouched.map { case (p, c) => entryOf(p, 0, c) } ++
-        added.map(p => entryOf(p, 1,
-          rewrittenRows / math.max(added.length, 1))), what)
+      untouched.map { case (p, c, tj) => entryOf(p, 0, c, tj) } ++
+        added.map { case (p, rows, tuple) =>
+          entryOf(p, 1, rows,
+            if (specCols.isEmpty) None else Some(tupleJson(tuple)))
+        }, what)
     val mlPath = new Path(metaDir, s"snap-$snapshotId.avro")
     val ref = new GenericData.Record(listSchema)
     ref.put("manifest_path", mPath.toString)

@@ -148,6 +148,54 @@ class IcebergPartitionedWriteSpec extends SparkFunSuite {
     } finally cleanup(dir)
   }
 
+  test("copy-on-write mutations on a partitioned table (round 15): " +
+      "rewritten survivors re-stage per tuple, untouched files keep " +
+      "their recorded tuples, pruning works after the mutation, " +
+      "partition-column assignment refuses") {
+    val dir = tmp("cow")
+    try {
+      IcebergSink.append(frame(
+        (1L to 20L).map(i => (i, s"n$i", if (i <= 12) "a" else "b"))),
+        dir, partitionBy = Seq("p"))
+      // UPDATE touching only p=a rows (non-partition column)
+      val (_, nUp) = IcebergSink.update(spark, dir,
+        Seq("name" -> org.apache.spark.sql.functions.upper(col("name"))),
+        col("id") <= 3)
+      assert(nUp == 3L)
+      val got = IcebergSource.read(spark, dir)
+        .select("id", "name").as[(Long, String)].collect().toMap
+      assert(got(1L) == "N1" && got(2L) == "N2" && got(3L) == "N3" &&
+        got(4L) == "n4" && got.size == 20)
+      // pruning still works on BOTH sides after the rewrite: untouched
+      // p=b files kept their tuples; rewritten p=a files re-recorded
+      val prunedB = IcebergSource.read(spark, dir,
+        partitionEq = Map("p" -> Some("b")))
+      assert(prunedB.count() == 8L)
+      assert(prunedB.inputFiles.length <
+        IcebergSource.read(spark, dir).inputFiles.length)
+      val prunedA = IcebergSource.read(spark, dir,
+        partitionEq = Map("p" -> Some("a")))
+      assert(prunedA.count() == 12L)
+      assert(prunedA.inputFiles.length <
+        IcebergSource.read(spark, dir).inputFiles.length,
+        "rewritten files must carry fresh tuples (else pruning on p=a " +
+          "reads everything)")
+      // CoW DELETE across partitions
+      val (_, nDel) = IcebergSink.delete(spark, dir, col("id") % 5 === 0)
+      assert(nDel == 4L) // 5, 10, 15, 20
+      assert(IcebergSource.read(spark, dir)
+        .select("id").as[Long].collect().sorted.toSeq ==
+        (1L to 20L).filterNot(_ % 5 == 0))
+      // assigning the partition column refuses loudly
+      val e = intercept[IllegalArgumentException] {
+        IcebergSink.update(spark, dir,
+          Seq("p" -> org.apache.spark.sql.functions.lit("z")),
+          col("id") === 1)
+      }
+      assert(e.getMessage.contains("move"))
+    } finally cleanup(dir)
+  }
+
   test("null partition values, overwrite and compaction keep the spec, " +
       "loud gates: spec mismatch and non-identity transforms") {
     val dir = tmp("gates")
