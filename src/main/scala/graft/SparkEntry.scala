@@ -46,7 +46,8 @@ object SparkEntry {
     qp.LifecycleQueries,
     qp.JoinSqlQueries,
     qp.KqlQueries,
-    qp.Extras6
+    qp.Extras6,
+    qp.Extras7
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

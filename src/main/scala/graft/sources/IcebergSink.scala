@@ -26,12 +26,16 @@ import org.apache.spark.sql.DataFrame
   *     updates best-effort after the claim.
   *
   * Scope: format-version 2; schema fixed at creation (by-name/type
-  * match on append). Partitioned tables (round 15): IDENTITY-transform
-  * specs are first-class across append/overwrite/compaction, the
-  * position-delete lane, and copy-on-write mutations (rewritten
-  * survivors re-stage per tuple; assigning a partition column in an
-  * UPDATE refuses — rows would move partitions); derived transforms
-  * (bucket/truncate/temporal) refuse loudly.
+  * match on append). Partitioned tables (round 15, extended round 16):
+  * identity AND derived transforms (bucket[N]/truncate[W]/year/month/
+  * day/hour, evaluated by IcebergTransforms per the spec) are
+  * first-class across append/overwrite/compaction, the position-delete
+  * lane, and copy-on-write mutations (rewritten survivors re-stage per
+  * tuple; an UPDATE assigning any partition SOURCE column refuses —
+  * rows would move partitions). Manifest entries record the spec's
+  * typed `partition` struct (field-id 102, per-field partition ids)
+  * so external engines resolve tuples by field id; `partition_json`
+  * stays alongside as the internal convenience form.
   */
 object IcebergSink {
 
@@ -56,6 +60,67 @@ object IcebergSink {
           {"name":"record_count","type":"long"},
           {"name":"partition_json","type":["null","string"],
            "default":null}]}}]}""")
+
+  /** The manifest entry schema for a PARTITIONED table: the spec's
+    * typed `partition` struct (data_file field-id 102; each struct
+    * field carries its partition-spec field id, types from the
+    * transform's result type) so spec-compliant external engines —
+    * which resolve manifest columns by field id and require `partition`
+    * for partitioned specs — read and prune graft-written tables.
+    * `partition_json` stays alongside (internal convenience; the
+    * reader prefers the struct). Unpartitioned tables keep the static
+    * schema. */
+  private def entrySchemaFor(
+      fields: Seq[IcebergTransforms.IcePartField]): Schema = {
+    if (fields.isEmpty) return entrySchema
+    val structFields = fields.map { f =>
+      s"""{"name":"${f.name}","field-id":${f.fieldId},""" +
+        s""""type":["null",${IcebergTransforms.resultAvroType(f)}],""" +
+        s""""default":null}"""
+    }.mkString(",")
+    new Schema.Parser().parse(s"""
+      {"type":"record","name":"manifest_entry","fields":[
+        {"name":"status","type":"int"},
+        {"name":"data_file","type":{"type":"record","name":"data_file",
+          "fields":[
+            {"name":"content","type":"int","default":0},
+            {"name":"file_path","type":"string"},
+            {"name":"file_format","type":"string"},
+            {"name":"record_count","type":"long"},
+            {"name":"partition","field-id":102,"type":["null",
+              {"type":"record","name":"r102","fields":[$structFields]}],
+             "default":null},
+            {"name":"partition_json","type":["null","string"],
+             "default":null}]}}]}""")
+  }
+
+  /** Build one manifest entry under `eSchema`: the typed partition
+    * struct (when the spec has fields and the tuple is known) plus the
+    * partition_json convenience form. */
+  private def mkEntry(eSchema: Schema, status: Int, content: Int,
+      path: String, rows: Long,
+      tuple: Option[Map[String, Option[String]]],
+      fields: Seq[IcebergTransforms.IcePartField]): GenericRecord = {
+    val dSchema = eSchema.getField("data_file").schema()
+    val d = new GenericData.Record(dSchema)
+    d.put("content", content); d.put("file_path", path)
+    d.put("file_format", "PARQUET"); d.put("record_count", rows)
+    tuple.foreach { t =>
+      d.put("partition_json", tupleJson(t))
+      if (fields.nonEmpty && dSchema.getField("partition") != null) {
+        val pSchema = dSchema.getField("partition").schema().getTypes
+          .get(1) // ["null", record]
+        val p = new GenericData.Record(pSchema)
+        fields.foreach { f =>
+          p.put(f.name,
+            IcebergTransforms.typedOfCanonical(t.getOrElse(f.name, None), f))
+        }
+        d.put("partition", p)
+      }
+    }
+    val e = new GenericData.Record(eSchema)
+    e.put("status", status); e.put("data_file", d); e
+  }
 
   // ---- shared commit machinery (used by append/overwrite, the CoW
   // mutations and the lightweight position-delete writer — one copy,
@@ -206,12 +271,15 @@ object IcebergSink {
   }
 
   /** Append `df`, creating the table when `metadata/` is absent.
-    * `partitionBy` (creation only — appends DERIVE the columns from the
-    * table's default spec) declares an identity-transform partition
-    * spec: data files split one-tuple-per-file, the tuple lands in the
-    * manifest entry so reads can prune at the manifest level, and the
-    * partition columns stay IN the data files as the spec requires for
-    * identity transforms. Returns the new snapshot id. */
+    * `partitionBy` (creation only — appends DERIVE the spec from the
+    * table) declares the partition spec: bare column names are
+    * identity transforms; `bucket(N, col)` / `truncate(W, col)` /
+    * `year(col)` / `month(col)` / `day(col)` / `hour(col)` declare
+    * derived transforms (evaluated per the spec by IcebergTransforms).
+    * Data files split one-tuple-per-file, the tuple lands in the
+    * manifest entry (typed `partition` struct + partition_json) so
+    * reads prune at the manifest level, and every SOURCE column stays
+    * IN the data files. Returns the new snapshot id. */
   def append(df: DataFrame, tablePath: String,
       partitionBy: Seq[String] = Nil): Long =
     commit(df, tablePath, carryForward = true, partitionBy)
@@ -237,48 +305,43 @@ object IcebergSink {
     overwrite(IcebergSource.read(spark, tablePath), tablePath)
   }
 
-  /** The default partition spec's IDENTITY-transform column names, in
-    * spec order; loud on any other transform (bucket/truncate/temporal
-    * values are derived, not stored, and this writer has no transform
-    * evaluation). */
-  private def identitySpecColumns(
-      meta: com.fasterxml.jackson.databind.JsonNode): Seq[String] = {
-    val specs = Option(meta.get("partition-specs")).toSeq
-      .flatMap(arr => (0 until arr.size).map(arr.get))
-    if (specs.isEmpty) return Nil
-    val defaultId = Option(meta.get("default-spec-id")).map(_.asInt)
-      .getOrElse(0)
-    val spec = specs.find(_.get("spec-id").asInt == defaultId)
-      .getOrElse(specs.head)
-    val fields = Option(spec.get("fields")).toSeq
-      .flatMap(arr => (0 until arr.size).map(arr.get))
-    fields.map { f =>
-      val tr = f.get("transform").asText
-      require(tr == "identity",
-        s"iceberg write: partition transform '$tr' is not supported — " +
-          "only identity transforms (derived transforms need evaluation " +
-          "this writer does not have)")
-      f.get("name").asText
-    }
-  }
+  /** The current schema node of a metadata JSON (v2 `schemas` array,
+    * or the legacy singular `schema`). */
+  private def schemaNodeOf(meta: com.fasterxml.jackson.databind.JsonNode)
+      : com.fasterxml.jackson.databind.JsonNode =
+    Option(meta.get("schemas")).map { arr =>
+      val cur = Option(meta.get("current-schema-id")).map(_.asInt)
+        .getOrElse(0)
+      (0 until arr.size).map(arr.get)
+        .find(_.get("schema-id").asInt == cur).getOrElse(arr.get(0))
+    }.getOrElse(meta.get("schema"))
 
-  /** Stage `df` (Hive-style over DUPLICATED partition columns when
-    * `partCols` is non-empty, so the real columns stay IN the files)
-    * and rename the parts into `data/` under txn-unique names. Returns
+  /** The table's default partition spec, parsed and resolved against
+    * the current schema (identity + derived transforms; loud on
+    * transforms outside the spec's family). Nil for unpartitioned. */
+  private def specFields(meta: com.fasterxml.jackson.databind.JsonNode)
+      : Seq[IcebergTransforms.IcePartField] =
+    IcebergTransforms.specFieldsOf(meta, schemaNodeOf(meta))
+
+  /** Stage `df` (Hive-style over COMPUTED transform columns when the
+    * spec has fields, so every source column stays IN the files) and
+    * rename the parts into `data/` under txn-unique names. Returns
     * (path, footer row count, partition tuple) per non-empty file.
     * Shared by the append/overwrite commit and the CoW rewrite so the
     * two staging lanes can never drift. */
   private def stageData(df: DataFrame, root: Path,
-      fs: org.apache.hadoop.fs.FileSystem, partCols: Seq[String],
+      fs: org.apache.hadoop.fs.FileSystem,
+      fields: Seq[IcebergTransforms.IcePartField],
       txn: String): Seq[(String, Long, Map[String, Option[String]])] = {
     import org.apache.spark.sql.functions.col
     val spark = df.sparkSession
     val stage = new Path(root, s"__graft_ice_stage_$txn")
-    if (partCols.isEmpty) df.write.mode("overwrite").parquet(stage.toString)
+    if (fields.isEmpty) df.write.mode("overwrite").parquet(stage.toString)
     else df.select(df.columns.map(col).toIndexedSeq ++
-        partCols.map(c => col(c).as(s"__part_$c")): _*)
+        fields.map(f => IcebergTransforms.stagingColumn(f)
+          .as(s"__part_${f.name}")): _*)
       .write.mode("overwrite")
-      .partitionBy(partCols.map(c => s"__part_$c"): _*)
+      .partitionBy(fields.map(f => s"__part_${f.name}"): _*)
       .parquet(stage.toString)
     val dataDir = new Path(root, "data")
     fs.mkdirs(dataDir)
@@ -359,31 +422,47 @@ object IcebergSink {
         s"iceberg write: schema mismatch — table has $want, " +
           s"append has $have")
     }
-    // partition columns: creation takes the caller's, appends derive
-    // them from the table's default spec (identity only — loud on any
-    // derived transform); a caller-supplied list on append must agree
-    val partCols: Seq[String] = prev match {
-      case None =>
-        partitionBy.foreach(c => require(
-          df.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
-          s"iceberg write: partition column `$c` is not in the schema"))
-        partitionBy
+    // partition spec: creation parses the caller's partitionBy
+    // (identity columns or transform spellings — parseWriteSpec);
+    // appends derive the spec from the table's metadata; a
+    // caller-supplied list on append must agree canonically
+    def parseCallerSpec(): Seq[IcebergTransforms.IcePartField] =
+      partitionBy.zipWithIndex.map { case (s, i) =>
+        val (tr, p, src) = IcebergTransforms.parseWriteSpec(s)
+        val srcIdx = df.schema.fieldNames
+          .indexWhere(_.equalsIgnoreCase(src))
+        require(srcIdx >= 0,
+          s"iceberg write: partition source column `$src` is not in " +
+            "the schema")
+        IcebergTransforms.IcePartField(
+          IcebergTransforms.defaultFieldName(tr, p, src), tr, p,
+          df.schema.fieldNames(srcIdx), srcIdx + 1, 1000 + i,
+          df.schema.fields(srcIdx).dataType)
+      }
+    val partFields: Seq[IcebergTransforms.IcePartField] = prev match {
+      case None => parseCallerSpec()
       case Some(meta) =>
-        val specCols = identitySpecColumns(meta)
-        require(partitionBy.isEmpty ||
-          partitionBy.map(_.toLowerCase) == specCols.map(_.toLowerCase),
-          s"iceberg write: partitionBy $partitionBy does not match the " +
-            s"table's partition spec $specCols")
-        specCols
+        val fields = specFields(meta)
+        if (partitionBy.nonEmpty) {
+          val asked = parseCallerSpec()
+            .map(f => (f.transform, f.param, f.sourceName.toLowerCase))
+          val have = fields
+            .map(f => (f.transform, f.param, f.sourceName.toLowerCase))
+          require(asked == have,
+            s"iceberg write: partitionBy $partitionBy does not match " +
+              s"the table's partition spec ${have.mkString(", ")}")
+        }
+        fields
     }
 
     // ---- stage data files: partitioned tables split ONE TUPLE PER
-    // FILE via Hive-style staging over DUPLICATED partition columns, so
-    // the real columns stay IN the data files (the spec's identity-
-    // transform storage rule, and what IcebergSource reads) while the
-    // tuple is recoverable from the staging directory names ----
+    // FILE via Hive-style staging over COMPUTED transform columns, so
+    // every source column stays IN the data files (the spec's storage
+    // rule for identity transforms; derived transforms never store
+    // their result in data files) while the tuple is recoverable from
+    // the staging directory names ----
     val txn = java.util.UUID.randomUUID().toString
-    val added = stageData(df, root, fs, partCols, txn)
+    val added = stageData(df, root, fs, partFields, txn)
     require(added.nonEmpty || !creating,
       "iceberg write: refusing to create a table from zero files")
 
@@ -394,18 +473,14 @@ object IcebergSink {
       .getMostSignificantBits)
 
     fs.mkdirs(metaDir)
-    // new manifest: the added files
+    // new manifest: the added files (typed partition struct + the
+    // partition_json convenience form on partitioned tables)
+    val eSchema = entrySchemaFor(partFields)
     val mPath = new Path(metaDir, s"m-$txn.avro")
-    val mLen = writeAvro(fs, mPath, entrySchema, added.map {
+    val mLen = writeAvro(fs, mPath, eSchema, added.map {
       case (f, rows, tuple) =>
-        val d = new GenericData.Record(
-          entrySchema.getField("data_file").schema())
-        d.put("content", 0); d.put("file_path", f)
-        d.put("file_format", "PARQUET")
-        d.put("record_count", rows) // exact, from the parquet footer
-        d.put("partition_json", tupleJson(tuple))
-        val e = new GenericData.Record(entrySchema)
-        e.put("status", 1); e.put("data_file", d); e
+        mkEntry(eSchema, 1, 0, f, rows,
+          if (partFields.isEmpty) None else Some(tuple), partFields)
     }, "write")
     // new manifest list: previous snapshot's manifests carried forward
     val carried: Seq[GenericRecord] = (if (carryForward) prev
@@ -433,16 +508,15 @@ object IcebergSink {
       s"""{"id": ${i + 1}, "name": "${f.name}", "required": false, """ +
         s""""type": "${sparkToIceberg(f.dataType)}"}"""
     }.mkString("[", ", ", "]")
-    // creation of a partitioned table records the identity spec (spec
-    // field-ids start at 1000 per the spec's partition-field-id rule;
-    // source-id = the schema field id)
+    // creation of a partitioned table records the REAL transforms in
+    // the spec JSON (spec field-ids start at 1000 per the spec's
+    // partition-field-id rule; source-id = the schema field id)
     val freshSpecs =
-      if (partCols.isEmpty) None
-      else Some(partCols.zipWithIndex.map { case (c, i) =>
-        val srcId = df.schema.fieldNames
-          .indexWhere(_.equalsIgnoreCase(c)) + 1
-        s"""{"name": "$c", "transform": "identity", """ +
-          s""""source-id": $srcId, "field-id": ${1000 + i}}"""
+      if (partFields.isEmpty) None
+      else Some(partFields.map { f =>
+        s"""{"name": "${f.name}", "transform": "${IcebergTransforms
+          .transformString(f.transform, f.param)}", """ +
+          s""""source-id": ${f.sourceId}, "field-id": ${f.fieldId}}"""
       }.mkString("""[{"spec-id": 0, "fields": [""", ", ", "]}]"))
     val newMetaJson = snapshotMetadataJson(prev, tablePath, newSeq,
       snapshotId, mlPath.toString,
@@ -488,12 +562,12 @@ object IcebergSink {
     }
     require(Option(meta.get("format-version")).forall(_.asInt >= 2),
       "iceberg delete: row-level deletes need format-version 2")
-    // round 15: partitioned tables are fine here — position deletes
-    // anchor on (file_path, pos), the partition spec only validates
-    // identity transforms (delete-file manifest entries carry no
-    // tuple; the reader applies deletes by path, and data-file
-    // manifest pruning is untouched)
-    identitySpecColumns(meta)
+    // round 15/16: partitioned tables are fine here — position deletes
+    // anchor on (file_path, pos); the spec parse below is a loud gate
+    // against transforms outside the supported family (delete-file
+    // manifest entries carry no tuple; the reader applies deletes by
+    // path, and data-file manifest pruning is untouched)
+    specFields(meta)
     val curSnapId = Option(meta.get("current-snapshot-id")).map(_.asLong)
       .getOrElse(throw new IllegalArgumentException(
         "iceberg delete: metadata has no current-snapshot-id"))
@@ -672,15 +746,16 @@ object IcebergSink {
         .find(_.get("schema-id").asInt == cur).getOrElse(arr.get(0))
     }.getOrElse(meta.get("schema"))
     val schema = IcebergSource.structOf(schemaNode)
-    // round 15: partitioned CoW — rewritten survivors re-stage per
-    // tuple through the shared stageData lane (identity transforms
-    // only); an UPDATE that assigns a partition column would MOVE rows
-    // across partitions and refuses loudly
-    val specCols = identitySpecColumns(meta)
+    // round 15/16: partitioned CoW — rewritten survivors re-stage per
+    // tuple through the shared stageData lane (identity AND derived
+    // transforms, recomputed from the source columns); an UPDATE that
+    // assigns any partition SOURCE column would MOVE rows across
+    // partitions and refuses loudly
+    val partFields = specFields(meta)
     assignments.foreach(_.foreach { case (c, _) =>
-      require(!specCols.exists(_.equalsIgnoreCase(c)),
-        s"iceberg update: assigning partition column `$c` would move " +
-          "rows across partitions — delete + re-insert instead")
+      require(!partFields.exists(_.sourceName.equalsIgnoreCase(c)),
+        s"iceberg update: assigning partition source column `$c` would " +
+          "move rows across partitions — delete + re-insert instead")
     })
     assignments.foreach(_.foreach { case (c, _) =>
       require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
@@ -699,9 +774,10 @@ object IcebergSink {
     // ---- current state: data files (+ record counts); delete files
     // make the current state depend on anti-join semantics a manifest
     // rewrite cannot preserve — LOUD, compact first ----
-    // path → (record_count, recorded partition tuple json) — untouched
+    // path → (record_count, recorded partition tuple) — untouched
     // entries must echo their tuple or manifest pruning goes blind
-    val dataFiles = Seq.newBuilder[(String, Long, Option[String])]
+    val dataFiles = Seq.newBuilder[
+      (String, Long, Option[Map[String, Option[String]]])]
     avroRecords(fs, manifestList).foreach { m =>
       avroRecords(fs, m.get("manifest_path").toString).foreach { e =>
         val status = optField(e, "status").map(_.toString.toInt).getOrElse(1)
@@ -716,7 +792,7 @@ object IcebergSink {
           dataFiles += ((d.get("file_path").toString,
             optField(d, "record_count").map(_.toString.toLong)
               .getOrElse(0L),
-            optField(d, "partition_json").map(_.toString)))
+            IcebergTransforms.entryTuple(d, partFields, mapper)))
         }
       }
     }
@@ -764,34 +840,28 @@ object IcebergSink {
         }
     }
     val txn = java.util.UUID.randomUUID().toString
-    // shared staging lane: per-tuple splitting on partitioned tables,
-    // exact footer record counts either way (the old divided
-    // approximation is gone)
-    val added = stageData(rewritten, root, fs, specCols, txn)
+    // shared staging lane: per-tuple splitting on partitioned tables
+    // (transforms recomputed from the source columns), exact footer
+    // record counts either way
+    val added = stageData(rewritten, root, fs, partFields, txn)
 
     // ---- one new manifest: survivors by reference (status 0,
-    // original record counts) + rewritten files (status 1) ----
+    // original record counts + their original tuples) + rewritten
+    // files (status 1) ----
     val newSeq = Option(meta.get("last-sequence-number")).map(_.asLong)
       .getOrElse(0L) + 1
     val snapshotId = math.abs(java.util.UUID.randomUUID()
       .getMostSignificantBits)
-    def entryOf(path: String, status: Int, count: Long,
-        tuple: Option[String]): GenericRecord = {
-      val d = new GenericData.Record(
-        entrySchema.getField("data_file").schema())
-      d.put("content", 0); d.put("file_path", path)
-      d.put("file_format", "PARQUET"); d.put("record_count", count)
-      tuple.foreach(d.put("partition_json", _))
-      val e = new GenericData.Record(entrySchema)
-      e.put("status", status); e.put("data_file", d); e
-    }
+    val eSchema = entrySchemaFor(partFields)
     val untouched = files.filterNot { case (p, _, _) => matched(p) }
     val mPath = new Path(metaDir, s"m-$txn.avro")
-    val mLen = writeAvro(fs, mPath, entrySchema,
-      untouched.map { case (p, c, tj) => entryOf(p, 0, c, tj) } ++
+    val mLen = writeAvro(fs, mPath, eSchema,
+      untouched.map { case (p, c, tuple) =>
+        mkEntry(eSchema, 0, 0, p, c, tuple, partFields)
+      } ++
         added.map { case (p, rows, tuple) =>
-          entryOf(p, 1, rows,
-            if (specCols.isEmpty) None else Some(tupleJson(tuple)))
+          mkEntry(eSchema, 1, 0, p, rows,
+            if (partFields.isEmpty) None else Some(tuple), partFields)
         }, what)
     val mlPath = new Path(metaDir, s"snap-$snapshotId.avro")
     val ref = new GenericData.Record(listSchema)
@@ -810,5 +880,118 @@ object IcebergSink {
     claimVersion(fs, metaDir, newVersion, newMetaJson, what,
       "the captured file set is stale, refusing")
     (snapshotId, matchedRows)
+  }
+
+  /** EXPIRE SNAPSHOTS — the maintenance verb that bounds a long-lived
+    * table's metadata (Iceberg's expire_snapshots): keep the newest
+    * `keepLast` snapshots by timestamp (the CURRENT snapshot is always
+    * kept), publish metadata v(N+1) with the expired snapshots removed
+    * from the snapshot list, then delete the manifest lists, manifests
+    * and data/delete files referenced ONLY by expired snapshots.
+    *
+    * Durability discipline: the ONLY destructive step (file deletion)
+    * runs AFTER the new metadata version is durably claimed — a crash
+    * mid-delete leaves unreferenced orphans, never a broken table; a
+    * crash before the claim changes nothing. Time travel to an expired
+    * snapshot id is LOUD afterwards (the reader's snapshot lookup
+    * throws on ids absent from the metadata). Returns (snapshots
+    * expired, files deleted). */
+  def expireSnapshots(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, keepLast: Int = 1): (Int, Int) = {
+    require(keepLast >= 1, "iceberg expire: keepLast must be >= 1")
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaDir = new Path(root, "metadata")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val metaRe = "^v(\\d+)\\.metadata\\.json$".r
+    val versions =
+      if (!fs.exists(metaDir)) Seq.empty[Int]
+      else fs.listStatus(metaDir).map(_.getPath.getName)
+        .collect { case metaRe(v) => v.toInt }.sorted.toSeq
+    require(versions.nonEmpty,
+      s"iceberg expire: $tablePath is not an Iceberg table")
+    val meta = {
+      val in = fs.open(new Path(metaDir,
+        s"v${versions.last}.metadata.json"))
+      try mapper.readTree(in.readAllBytes()) finally in.close()
+    }
+    val snapsNode = Option(meta.get("snapshots")).getOrElse(
+      throw new IllegalArgumentException(
+        "iceberg expire: metadata has no snapshots"))
+    val snaps = (0 until snapsNode.size).map(snapsNode.get)
+    val currentId = Option(meta.get("current-snapshot-id")).map(_.asLong)
+      .getOrElse(throw new IllegalArgumentException(
+        "iceberg expire: metadata has no current-snapshot-id"))
+    val byNewest = snaps.sortBy(s =>
+      -Option(s.get("timestamp-ms")).map(_.asLong).getOrElse(0L))
+    val keepIds: Set[Long] = (byNewest.take(keepLast)
+      .map(_.get("snapshot-id").asLong) :+ currentId).toSet
+    val expired = snaps.filterNot(s => keepIds(s.get("snapshot-id").asLong))
+    if (expired.isEmpty) return (0, 0)
+
+    // referenced paths per snapshot family: (manifest lists, manifests,
+    // data/delete files) — all metadata-scale driver walks, exactly how
+    // the reader replays them
+    def refsOf(snapSeq: Seq[com.fasterxml.jackson.databind.JsonNode])
+        : (Set[String], Set[String], Set[String]) = {
+      val lists = Set.newBuilder[String]
+      val manifests = Set.newBuilder[String]
+      val files = Set.newBuilder[String]
+      snapSeq.foreach { s =>
+        val ml = s.get("manifest-list").asText
+        lists += ml
+        avroRecords(fs, ml).foreach { m =>
+          val mp = m.get("manifest_path").toString
+          manifests += mp
+          avroRecords(fs, mp).foreach { e =>
+            val status = optField(e, "status").map(_.toString.toInt)
+              .getOrElse(1)
+            if (status != 2)
+              files += e.get("data_file").asInstanceOf[GenericRecord]
+                .get("file_path").toString
+          }
+        }
+      }
+      (lists.result(), manifests.result(), files.result())
+    }
+    val retained = snaps.filter(s => keepIds(s.get("snapshot-id").asLong))
+    val (keepLists, keepManifests, keepFiles) = refsOf(retained)
+    val (expLists, expManifests, expFiles) = refsOf(expired)
+
+    // ---- metadata v(N+1): the same deep-copy passthrough as commits,
+    // with the expired snapshots dropped from the list ----
+    val out = meta.deepCopy[com.fasterxml.jackson.databind.JsonNode]()
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val newSnaps = mapper.createArrayNode()
+    retained.foreach(newSnaps.add)
+    out.set[com.fasterxml.jackson.databind.JsonNode]("snapshots", newSnaps)
+    // snapshot-log entries naming expired snapshots must go too (spec:
+    // the log may only reference snapshots present in the table)
+    Option(out.get("snapshot-log")).foreach { log =>
+      val filtered = mapper.createArrayNode()
+      (0 until log.size).map(log.get).foreach { e =>
+        if (keepIds(e.get("snapshot-id").asLong)) filtered.add(e)
+      }
+      out.set[com.fasterxml.jackson.databind.JsonNode](
+        "snapshot-log", filtered)
+    }
+    val newVersion = versions.last + 1
+    commitFailpoint()
+    claimVersion(fs, metaDir, newVersion,
+      mapper.writeValueAsString(out), "expire",
+      "rerun the expiration against the new state")
+
+    // ---- destructive step LAST: delete what only expired snapshots
+    // referenced (deletion failures leave orphans — logged, not fatal:
+    // the committed metadata is already consistent) ----
+    var deleted = 0
+    ((expLists -- keepLists) ++ (expManifests -- keepManifests) ++
+      (expFiles -- keepFiles)).foreach { p =>
+      try { if (fs.delete(new Path(p), false)) deleted += 1 }
+      catch { case e: java.io.IOException =>
+        System.err.println(s"iceberg expire: could not delete $p: $e")
+      }
+    }
+    (expired.size, deleted)
   }
 }

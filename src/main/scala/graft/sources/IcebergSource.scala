@@ -60,17 +60,29 @@ object IcebergSource {
     * for every VISIBLE row. */
   /** `partitionEq`: identity-partition equality filter applied at the
     * MANIFEST level — data files whose recorded partition tuple
-    * disagrees on any (column → value) entry are never listed in the
-    * scan (None values match null tuples). At 100 TB this prunes whole
-    * files from metadata alone, before any footer is opened; the
-    * identity columns also live IN the data files, so the same
-    * predicate can (and should) additionally push down to parquet for
-    * row-group pruning of the surviving files. */
+    * disagrees on any (spec field name → value) entry are never listed
+    * in the scan (None values match null tuples). At 100 TB this
+    * prunes whole files from metadata alone, before any footer is
+    * opened; the identity columns also live IN the data files, so the
+    * same predicate can (and should) additionally push down to parquet
+    * for row-group pruning of the surviving files.
+    *
+    * `pruneSource` (round 16 — the reference's ManifestFilesPruning
+    * covers the same family): SOURCE-column equality literals (column
+    * name → literal rendered as a string, e.g. "7" / "2024-03-05" /
+    * "2024-03-05 17:00:00"). For every partition-spec field derived
+    * from that column — identity, bucket[N], truncate[W],
+    * year/month/day/hour — the literal runs through the TRANSFORM
+    * (IcebergTransforms) and entries whose recorded tuple disagrees
+    * are pruned, so a `day(ts)`- or `bucket(4, id)`-partitioned table
+    * scans only the matching files. Unparseable literals or absent
+    * tuples never prune (keep = safe). */
   def read(spark: SparkSession, tablePath: String,
       snapshotId: Option[Long] = None,
       asOfTimestampMs: Option[Long] = None,
       withPosColumns: Boolean = false,
-      partitionEq: Map[String, Option[String]] = Map.empty): DataFrame = {
+      partitionEq: Map[String, Option[String]] = Map.empty,
+      pruneSource: Map[String, String] = Map.empty): DataFrame = {
     require(snapshotId.isEmpty || asOfTimestampMs.isEmpty,
       "iceberg: snapshot-id and timestamp time travel are exclusive " +
         "(the reference's iceberg_snapshot_id / iceberg_timestamp_ms " +
@@ -111,6 +123,13 @@ object IcebergSource {
     }.orElse(Option(meta.get("schema"))).getOrElse(
       throw new IllegalArgumentException("iceberg: metadata has no schema"))
     val schema = structOf(schemaNode)
+    // default partition spec, for manifest-level pruning; TOLERANT — a
+    // transform outside the supported family disables pruning (every
+    // file kept) rather than failing a read that would be correct
+    // anyway (source columns live in the data files)
+    val specFields: Seq[IcebergTransforms.IcePartField] =
+      scala.util.Try(IcebergTransforms.specFieldsOf(meta, schemaNode))
+        .getOrElse(Nil)
 
     // ---- snapshot → manifest list ----
     val snaps = Option(meta.get("snapshots")).getOrElse(
@@ -179,23 +198,41 @@ object IcebergSource {
             throw new IllegalArgumentException(
               s"iceberg: file format $fmt is not supported (parquet only)")
           val path = df.get("file_path").toString
-          // manifest-level partition pruning: the sink records each
-          // data file's identity tuple as partition_json
-          val tupleMatches = partitionEq.isEmpty || {
-            optField(df, "partition_json").map(_.toString) match {
-              case None => true // no tuple recorded — cannot prune
-              case Some(tj) =>
-                val node = mapper.readTree(tj)
-                partitionEq.forall { case (k, want) =>
-                  val v = Option(node.get(k))
-                  v match {
-                    case None => true // column not in this file's tuple
-                    case Some(n) if n.isNull => want.isEmpty
-                    case Some(n) => want.contains(n.asText)
+          // manifest-level partition pruning: tuples come from the
+          // spec's typed `partition` struct (external engines and this
+          // sink both write it) or the sink's partition_json fallback;
+          // identity equality (partitionEq, by spec field name) and
+          // transformed source-literal equality (pruneSource) both
+          // apply — a disagreement on ANY entry prunes the file, an
+          // absent/unevaluable tuple keeps it
+          val tupleMatches =
+            (partitionEq.isEmpty && pruneSource.isEmpty) || {
+              IcebergTransforms.entryTuple(df, specFields, mapper) match {
+                case None => true // no tuple recorded — cannot prune
+                case Some(t) =>
+                  val eqOk = partitionEq.forall { case (k, want) =>
+                    t.get(k) match {
+                      case None => true // field not in this tuple
+                      case Some(None) => want.isEmpty
+                      case Some(Some(v)) => want.contains(v)
+                    }
                   }
-                }
+                  val srcOk = pruneSource.forall { case (src, raw) =>
+                    specFields.filter(
+                      _.sourceName.equalsIgnoreCase(src)).forall { f =>
+                      (IcebergTransforms.transformLiteral(f, raw),
+                        t.get(f.name)) match {
+                        case (Some(expect), Some(Some(actual))) =>
+                          expect == actual
+                        // non-null literal cannot live in a null tuple
+                        case (Some(_), Some(None)) => false
+                        case _ => true // unevaluable — keep the file
+                      }
+                    }
+                  }
+                  eqOk && srcOk
+              }
             }
-          }
           fileContent match {
             case 0 =>
               if (manifestContent != 0) throw new IllegalArgumentException(

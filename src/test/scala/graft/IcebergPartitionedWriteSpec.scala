@@ -223,20 +223,22 @@ class IcebergPartitionedWriteSpec extends SparkFunSuite {
       assert(m2.get("partition-specs").get(0).get("fields").size == 1,
         "overwrite must carry the partition spec through")
       assert(IcebergSource.read(spark, dir).count() == 1L)
-      // a non-identity transform in the spec refuses loudly
+      // a transform OUTSIDE the supported family refuses loudly
+      // (round 16: bucket/truncate/temporal are now first-class, so
+      // the gate moved from "non-identity" to "unknown transform")
       val v2 = java.nio.file.Path.of(dir, "metadata", "v2.metadata.json")
       val node = mapper.readTree(java.nio.file.Files.readString(v2))
         .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
       node.get("partition-specs").get(0).get("fields").get(0)
         .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-        .put("transform", "bucket[16]")
+        .put("transform", "zorder[16]")
       java.nio.file.Files.writeString(v2, mapper.writeValueAsString(node))
       java.nio.file.Files.deleteIfExists(java.nio.file.Path.of(
         dir, "metadata", ".v2.metadata.json.crc"))
       val e2 = intercept[IllegalArgumentException] {
         IcebergSink.append(Seq((8L, "w", "z")).toDF("id", "name", "p"), dir)
       }
-      assert(e2.getMessage.contains("identity"))
+      assert(e2.getMessage.contains("unsupported partition transform"))
     } finally cleanup(dir)
   }
 }
