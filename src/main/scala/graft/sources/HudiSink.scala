@@ -445,14 +445,20 @@ object HudiSink {
       .select(col("__k"), col("__hudi_gid"))
     val firstGid = groups.keys.toSeq.sorted.head
     // keyToGid is base-row-scale — a plain join (AQE broadcasts the
-    // DELETE-KEY side when it is small, the common case)
+    // DELETE-KEY side when it is small, the common case). PERSISTED:
+    // `total` and the distributed write job must see the SAME matched
+    // key set — recomputing the lineage for the write could diverge
+    // (a concurrent commit between the two jobs changes the match) and
+    // trip the written-vs-matched check only after the instant is
+    // claimed, stranding a pending instant on the timeline.
     val routed = keys.toDF(KeyCol)
       .join(keyToGid, col(KeyCol) === col("__k"), "left")
       .select(col(KeyCol),
         org.apache.spark.sql.functions.coalesce(col("__hudi_gid"),
           org.apache.spark.sql.functions.lit(firstGid)).as("__hudi_gid"))
+      .persist()
     val total = routed.count()
-    if (total == 0L) return ("", 0L)
+    if (total == 0L) { routed.unpersist(); return ("", 0L) }
     val instant = claimInstant(fs, root, "deltacommit")
     markInflight(fs, root, instant, "deltacommit")
     // delete blocks are written BY THE EXECUTORS holding each group's
@@ -518,9 +524,94 @@ object HudiSink {
           counts.result().iterator
         }
       }.collect()
+    routed.unpersist()
     require(writtenDel.sum == total,
       s"hudi delete: wrote ${writtenDel.sum} keys, matched $total")
     complete(fs, root, instant, "deltacommit")
     (instant, total)
+  }
+
+  /** COMPACTION — fold each log-bearing file group's blocks into a
+    * fresh base slice (the MoR maintenance verb Hudi runs as its
+    * compaction table service; without it this sink's own
+    * upsert/delete logs grow unboundedly):
+    *
+    *  1. the CURRENT merged state reads through the existing
+    *     timeline-aware MoR merge (one distributed read);
+    *  2. rows route to their file group via the same broadcast
+    *     path→route lookup the upsert lane uses, scoped to groups
+    *     that HAVE log files — untouched groups keep their slices;
+    *  3. one shuffle on the group id writes ONE new base file per
+    *     group, renamed to `fileId_0-0-0_<instant>.parquet` in the
+    *     group's partition dir;
+    *  4. the timeline completes a `commit` instant LAST — a crash
+    *     leaves a pending instant whose slices the reader ignores.
+    *
+    * Old slices and log files stay on disk: time travel to
+    * pre-compaction instants serves the old state, and the reader's
+    * merge precedence (a base slice newer than a log block's commit
+    * instant wins) makes every pre-compaction log block a no-op
+    * without deleting anything. A group whose merged state is EMPTY
+    * (every row tombstoned) stages no file and keeps serving through
+    * its tombstones. Returns (instant, groups compacted); tables with
+    * no log files complete nothing. */
+  def compact(spark: SparkSession, tablePath: String): (String, Int) = {
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (groups, logVersions) = scanLayout(fs, root)
+    require(groups.nonEmpty, s"hudi compact: no base files at $tablePath")
+    val logRoutes = logVersions.keySet.intersect(groups.keySet)
+    if (logRoutes.isEmpty) return ("", 0)
+    val merged = HudiSource.read(spark, tablePath)
+    require(merged.columns.contains(KeyCol),
+      s"hudi compact: the table has no $KeyCol")
+    import spark.implicits._
+    val lookup = org.apache.spark.sql.functions.broadcast(
+      groups.toSeq.map { case (r, (_, p)) => (p.toUri.getPath, r) }
+        .toDF("__p", "__hudi_gid"))
+    val keyToGid = spark.read
+      .parquet(groups.values.map(_._2.toString).toSeq: _*)
+      .select(col(KeyCol).as("__k"),
+        org.apache.spark.sql.functions.expr(FileKeyExpr).as("__p"))
+      .join(lookup, Seq("__p"))
+      .select(col("__k"), col("__hudi_gid"))
+    // upserts only ever log keys that exist in a base file, so every
+    // merged row routes; log-only keys cannot exist in the merged
+    // state (delete tombstones for unplaced keys drop rows, not add)
+    val routed = merged
+      .join(keyToGid, merged(KeyCol) === keyToGid("__k"), "inner")
+      .drop("__k")
+      .filter(col("__hudi_gid").isin(logRoutes.toSeq: _*))
+    val instant = claimInstant(fs, root, "commit")
+    markInflight(fs, root, instant, "commit")
+    val stage = new Path(root, s"__graft_hudi_compact_$instant")
+    // one file per group: the hash repartition puts each gid wholly in
+    // one task, partitionBy splits that task's output per gid value
+    routed.repartition(col("__hudi_gid"))
+      .write.mode("overwrite").partitionBy("__hudi_gid")
+      .parquet(stage.toString)
+    var compacted = 0
+    try {
+      fs.listStatus(stage).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n.startsWith("__hudi_gid=")) {
+          val routeKey = java.net.URLDecoder.decode(
+            n.stripPrefix("__hudi_gid="), "UTF-8")
+          val (rel, gid) = splitRoute(routeKey)
+          val part = fs.listStatus(st.getPath).map(_.getPath)
+            .find(p => p.getName.startsWith("part-") &&
+              p.getName.endsWith(".parquet"))
+          part.foreach { p =>
+            val dir = if (rel.isEmpty) root else new Path(root, rel)
+            val dst = new Path(dir, s"${gid}_0-0-0_$instant.parquet")
+            if (!fs.rename(p, dst)) throw new IllegalStateException(
+              s"hudi compact: staging rename to $dst failed")
+            compacted += 1
+          }
+        }
+      }
+    } finally fs.delete(stage, true)
+    complete(fs, root, instant, "commit")
+    (instant, compacted)
   }
 }

@@ -1460,20 +1460,41 @@ object ClickHouseSql {
           lightweight = false)
       case _ =>
     }
-    // OPTIMIZE TABLE FUNCTION deltaLake|iceberg('path') [FINAL] —
+    // OPTIMIZE TABLE FUNCTION deltaLake|iceberg|hudi('path') [FINAL] —
     // lakehouse compaction: materialize the current state (DV masks /
-    // delete files apply) into fresh size-targeted files; dataChange
+    // delete files / log blocks apply) into fresh files; dataChange
     // false on Delta, an overwrite snapshot on Iceberg (which drops the
-    // delete files, re-enabling copy-on-write mutations)
+    // delete files, re-enabling copy-on-write mutations), a per-group
+    // base-slice fold at a `commit` instant on Hudi MoR (round 16)
     val lakeOptimize = ("(?is)^OPTIMIZE\\s+TABLE\\s+FUNCTION\\s+" +
-      "(deltaLake|iceberg)\\s*\\(\\s*'([^']+)'\\s*\\)(?:\\s+FINAL)?" +
+      "(deltaLake|iceberg|hudi)\\s*\\(\\s*'([^']+)'\\s*\\)(?:\\s+FINAL)?" +
       "\\s*;?\\s*$").r
+    // OPTIMIZE TABLE FUNCTION iceberg('path') EXPIRE SNAPSHOTS
+    // [KEEP N] — the expire_snapshots maintenance verb (round 16):
+    // metadata drops the expired snapshots, files only they referenced
+    // delete AFTER the new version is claimed
+    val lakeExpire = ("(?is)^OPTIMIZE\\s+TABLE\\s+FUNCTION\\s+" +
+      "iceberg\\s*\\(\\s*'([^']+)'\\s*\\)\\s+EXPIRE\\s+SNAPSHOTS" +
+      "(?:\\s+KEEP\\s+(\\d+))?\\s*;?\\s*$").r
     trimmed0 match {
+      case lakeExpire(path, keep0) =>
+        import spark.implicits._
+        val keep = Option(keep0).map(_.toInt).getOrElse(1)
+        val (expired, deleted) = graft.sources.IcebergSink
+          .expireSnapshots(spark, path, keepLast = keep)
+        return Seq((expired.toLong, deleted.toLong))
+          .toDF("snapshots_expired", "files_deleted")
       case lakeOptimize(fn, path) =>
         import spark.implicits._
         if (fn.equalsIgnoreCase("iceberg")) {
           val sid = graft.sources.IcebergSink.compact(spark, path)
           return Seq(sid).toDF("snapshot_id")
+        }
+        if (fn.equalsIgnoreCase("hudi")) {
+          val (instant, groups) =
+            graft.sources.HudiSink.compact(spark, path)
+          return Seq((instant, groups.toLong))
+            .toDF("instant", "groups_compacted")
         }
         val (v, before, after) =
           graft.sources.DeltaLakeSink.compact(spark, path)
