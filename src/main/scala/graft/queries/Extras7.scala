@@ -148,6 +148,70 @@ object Extras7 extends QueryPack {
       graft.sql.ClickHouseSql.sql(s,
         s"SELECT _hoodie_record_key AS k, c_custkey, c_name " +
           s"FROM hudi('$root') ORDER BY c_custkey")
+    },
+
+    // Delta CHANGE DATA FEED (round 16 — r15 verdict Missing #3;
+    // PROTOCOL.md "Change Data Files"): create → enable CDF (protocol
+    // upgrade rides the same commit) → append → UPDATE → DELETE, then
+    // table_changes('path', 0) through the dialect. Appends must write
+    // NO cdc files while mutations must (both asserted in-query); the
+    // oracle restates every change row — insert slices from the two
+    // appends, update_preimage/postimage, and the deletes with their
+    // post-update names — keyed by the DETERMINISTIC commit versions.
+    Q.df("q_delta_cdf", """
+      SELECT c_custkey, c_name, 'insert' AS change_type,
+        CAST(0 AS BIGINT) AS commit_version
+      FROM customer WHERE c_custkey <= 120
+      UNION ALL
+      SELECT c_custkey, c_name, 'insert', CAST(2 AS BIGINT)
+      FROM customer WHERE c_custkey > 120 AND c_custkey <= 150
+      UNION ALL
+      SELECT c_custkey, c_name, 'update_preimage', CAST(3 AS BIGINT)
+      FROM customer WHERE c_custkey <= 150 AND c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey, 'CHANGED', 'update_postimage', CAST(3 AS BIGINT)
+      FROM customer WHERE c_custkey <= 150 AND c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey,
+        CASE WHEN c_custkey % 10 = 0 THEN 'CHANGED' ELSE c_name END,
+        'delete', CAST(4 AS BIGINT)
+      FROM customer WHERE c_custkey <= 150 AND c_custkey % 7 = 0
+      ORDER BY commit_version, change_type, c_custkey""") { (s, dir) =>
+      val root = s"/tmp/graft_deltacdf_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      fsOf(s, root).delete(new org.apache.hadoop.fs.Path(root), true)
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("c_custkey"),
+          col("c_name"))
+      graft.sources.DeltaLakeSink.append(
+        cust.filter(col("c_custkey") <= 120), root,
+        checkpointInterval = 0) // v0
+      val v1 = graft.sources.DeltaLakeSink.setTableProperties(s, root,
+        Map("delta.enableChangeDataFeed" -> "true"))
+      val v2 = graft.sources.DeltaLakeSink.append(
+        cust.filter(col("c_custkey") > 120 && col("c_custkey") <= 150),
+        root, checkpointInterval = 0)
+      val (v3, _) = graft.sources.DeltaLakeSink.update(s, root,
+        Seq("c_name" -> lit("CHANGED")), col("c_custkey") % 10 === 0,
+        checkpointInterval = 0)
+      val (v4, _) = graft.sources.DeltaLakeSink.delete(s, root,
+        col("c_custkey") % 7 === 0, checkpointInterval = 0)
+      require((v1, v2, v3, v4) == ((1L, 2L, 3L, 4L)),
+        s"deterministic versions expected, got ($v1, $v2, $v3, $v4)")
+      def commitText(v: Long): String = {
+        val in = fsOf(s, root).open(new org.apache.hadoop.fs.Path(
+          s"$root/_delta_log/" + f"$v%020d.json"))
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      }
+      require(!commitText(v2).contains("\"cdc\""),
+        "appends to a CDF table must not write cdc files")
+      require(commitText(v3).contains("\"cdc\"") &&
+        commitText(v4).contains("\"cdc\""),
+        "mutations on a CDF table must write cdc actions")
+      graft.sql.ClickHouseSql.sql(s,
+        s"SELECT c_custkey, c_name, _change_type AS change_type, " +
+          s"_commit_version AS commit_version " +
+          s"FROM table_changes('$root', 0) " +
+          "ORDER BY commit_version, change_type, c_custkey")
     }
   )
 }

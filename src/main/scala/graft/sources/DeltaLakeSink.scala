@@ -106,7 +106,7 @@ object DeltaLakeSink {
     val implemented = Set("deletionVectors", "appendOnly", "invariants",
       "checkConstraints", "changeDataFeed", "generatedColumns",
       "identityColumns", "columnMapping", "typeWidening",
-      "rowTracking", "domainMetadata")
+      "rowTracking", "domainMetadata", "v2Checkpoint")
     require(state.minWriter <= 7,
       s"deltaLake $what: minWriterVersion ${state.minWriter} is newer " +
         "than this writer understands — refusing rather than violating " +
@@ -150,11 +150,16 @@ object DeltaLakeSink {
     // CDC files are only REQUIRED for commits that change or remove
     // existing rows — CDF readers derive append-only commits from the
     // dataChange adds themselves (PROTOCOL.md "Change Data Files"), so
-    // plain appends to a CDF table stay legal
-    if (effective("changeDataFeed") && removesRows)
+    // plain appends to a CDF table stay legal. Round 16: the
+    // copy-on-write mutate lane EMITS cdc actions + _change_data files,
+    // so delete/update pass too; overwrite and the DV delete lane still
+    // cannot capture per-row changes and refuse.
+    if (effective("changeDataFeed") && removesRows &&
+        op != "delete" && op != "update")
       require(!enabled("delta.enableChangeDataFeed"),
         s"deltaLake $what: the table enables change data feed and this " +
-          "writer cannot emit CDC files — refusing")
+          "operation cannot emit CDC files (only the copy-on-write " +
+          "DELETE/UPDATE lanes capture per-row changes) — refusing")
     if (effective("appendOnly") && removesRows)
       require(!enabled("delta.appendOnly"),
         s"deltaLake $what: the table is delta.appendOnly — refusing to " +
@@ -432,13 +437,15 @@ object DeltaLakeSink {
     * not the path). A failure leaves only orphan files a VACUUM would
     * collect — never a visible state change. */
   private def stageDataFiles(df: DataFrame, root: Path,
-      fs: org.apache.hadoop.fs.FileSystem, partCols: Seq[String])
+      fs: org.apache.hadoop.fs.FileSystem, partCols: Seq[String],
+      subDir: String = "", prefix: String = "part")
       : Seq[(String, Long, Map[String, Option[String]])] = {
     val txn = java.util.UUID.randomUUID().toString
     val stage = new Path(root, s"__graft_delta_stage_$txn")
     val writer = df.write.mode("overwrite")
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .parquet(stage.toString)
+    if (subDir.nonEmpty) fs.mkdirs(new Path(root, subDir))
     val adds = scala.collection.mutable.ArrayBuffer
       .empty[(String, Long, Map[String, Option[String]])]
     def walk(p: Path, parts: Map[String, Option[String]]): Unit =
@@ -451,7 +458,8 @@ object DeltaLakeSink {
             else Some(java.net.URLDecoder.decode(v, "UTF-8"))
           walk(st.getPath, parts + (k -> value))
         } else if (n.endsWith(".parquet") && !n.startsWith(".")) {
-          val rel = s"part-$txn-${adds.length}.parquet"
+          val name = s"$prefix-$txn-${adds.length}.parquet"
+          val rel = if (subDir.isEmpty) name else s"$subDir/$name"
           val dst = new Path(root, rel)
           if (!fs.rename(st.getPath, dst))
             throw new IllegalStateException(
@@ -506,6 +514,28 @@ object DeltaLakeSink {
     defaultRowCommitVersion.foreach(add.put("defaultRowCommitVersion", _))
     val line = mapper.createObjectNode()
     line.set[com.fasterxml.jackson.databind.JsonNode]("add", add)
+    mapper.writeValueAsString(line)
+  }
+
+  /** A `cdc` action (PROTOCOL.md "Add CDC File"): change data files
+    * carry dataChange = false — CDF-unaware readers must ignore them. */
+  private def cdcJson(rel: String, size: Long,
+      pv: Map[String, Option[String]]): String = {
+    val pvNode = mapper.createObjectNode()
+    pv.foreach { case (k, v) =>
+      v match {
+        case Some(x) => pvNode.put(k, x)
+        case None => pvNode.putNull(k)
+      }
+    }
+    val c = mapper.createObjectNode()
+    c.put("path", rel)
+    c.set[com.fasterxml.jackson.databind.JsonNode]("partitionValues",
+      pvNode)
+    c.put("size", size)
+    c.put("dataChange", false)
+    val line = mapper.createObjectNode()
+    line.set[com.fasterxml.jackson.databind.JsonNode]("cdc", c)
     mapper.writeValueAsString(line)
   }
 
@@ -784,36 +814,124 @@ object DeltaLakeSink {
         .as(DeltaLakeSource.physNameOf(f, mode))).toIndexedSeq: _*)
   }
 
-  /** The protocol action enabling deletionVectors, or None when the
-    * table already has it. Upgrading from a legacy version enumerates
-    * the features that version IMPLIED (PROTOCOL.md's upgrade rule) so
-    * other writers keep honoring them. */
-  private def upgradeForDvLine(state: DeltaLakeSource.LogState)
-      : Option[String] = {
-    val has = state.minReader >= 3 && state.minWriter == 7 &&
-      state.readerFeatures("deletionVectors") &&
-      state.writerFeatures("deletionVectors")
-    if (has) return None
-    val legacyWriter: Set[String] =
+  /** The protocol action adding `addReader`/`addWriter` features, or
+    * None when the table's EFFECTIVE feature sets (explicit lists, or
+    * the sets a legacy version implies) already cover them. Upgrading
+    * from a legacy version enumerates the features that version
+    * IMPLIED (PROTOCOL.md's upgrade rule) so other writers keep
+    * honoring them; minReaderVersion only bumps to 3 when a reader
+    * feature is actually added. */
+  private def upgradeLine(state: DeltaLakeSource.LogState,
+      addReader: Set[String], addWriter: Set[String]): Option[String] = {
+    val effWriter: Set[String] =
       if (state.minWriter >= 7) state.writerFeatures
       else legacyWriterFeatures(state.minWriter)
-    val legacyReader: Set[String] = state.minReader match {
+    val effReader: Set[String] = state.minReader match {
       case r if r <= 1 => Set.empty
       case 2 => Set("columnMapping")
       case _ => state.readerFeatures
     }
+    if (addWriter.subsetOf(effWriter) && addReader.subsetOf(effReader))
+      return None
+    val newMinReader = if (addReader.nonEmpty) 3 else state.minReader
     val proto = mapper.createObjectNode()
-    proto.put("minReaderVersion", 3)
+    proto.put("minReaderVersion", newMinReader)
     proto.put("minWriterVersion", 7)
-    val rf = mapper.createArrayNode()
-    (legacyReader + "deletionVectors").toSeq.sorted.foreach(rf.add)
-    proto.set[com.fasterxml.jackson.databind.JsonNode]("readerFeatures", rf)
+    if (newMinReader >= 3) {
+      val rf = mapper.createArrayNode()
+      (effReader ++ addReader).toSeq.sorted.foreach(rf.add)
+      proto.set[com.fasterxml.jackson.databind.JsonNode](
+        "readerFeatures", rf)
+    }
     val wf = mapper.createArrayNode()
-    (legacyWriter + "deletionVectors").toSeq.sorted.foreach(wf.add)
+    (effWriter ++ addWriter).toSeq.sorted.foreach(wf.add)
     proto.set[com.fasterxml.jackson.databind.JsonNode]("writerFeatures", wf)
     val line = mapper.createObjectNode()
     line.set[com.fasterxml.jackson.databind.JsonNode]("protocol", proto)
     Some(mapper.writeValueAsString(line))
+  }
+
+  /** The protocol action enabling deletionVectors (readers AND writers
+    * must understand DVs), or None when the table already has it. */
+  private def upgradeForDvLine(state: DeltaLakeSource.LogState)
+      : Option[String] =
+    upgradeLine(state, Set("deletionVectors"), Set("deletionVectors"))
+
+  /** SET table properties — the ALTER TABLE ... SET TBLPROPERTIES
+    * analog: one commit carrying the updated metaData action (the
+    * existing configuration merged with `props`). Enabling a property
+    * whose table feature the protocol lacks upgrades the protocol in
+    * the SAME commit (the spec's rule — a reader/writer must see the
+    * feature before acting on the property):
+    * delta.enableChangeDataFeed → changeDataFeed (writer);
+    * delta.checkpointPolicy=v2 → v2Checkpoint (reader + writer).
+    * Returns the committed version; a collision is loud. */
+  def setTableProperties(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, props: Map[String, String]): Long = {
+    require(props.nonEmpty, "deltaLake set-properties: no properties")
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val state = DeltaLakeSource.replayLog(spark, tablePath)
+    // op "compact" = neither adds nor removes rows: the gate still
+    // refuses unknown features, which is the obligation here
+    writerGate(state, "set-properties", "compact")
+    val m = state.meta.getOrElse(throw new IllegalArgumentException(
+      "deltaLake set-properties: the log has no metaData action"))
+    val needWriter = Set.newBuilder[String]
+    val needReader = Set.newBuilder[String]
+    props.foreach {
+      case ("delta.enableChangeDataFeed", v)
+          if v.equalsIgnoreCase("true") =>
+        needWriter += "changeDataFeed"
+      case ("delta.checkpointPolicy", v) if v.equalsIgnoreCase("v2") =>
+        needReader += "v2Checkpoint"; needWriter += "v2Checkpoint"
+      case _ =>
+    }
+    val upgrade = upgradeLine(state, needReader.result(),
+      needWriter.result())
+    val meta = mapper.createObjectNode()
+    meta.put("id", if (m.id.nonEmpty) m.id
+      else java.util.UUID.randomUUID().toString)
+    val fmt = mapper.createObjectNode()
+    fmt.put("provider", "parquet")
+    fmt.set[com.fasterxml.jackson.databind.JsonNode]("options",
+      mapper.createObjectNode())
+    meta.set[com.fasterxml.jackson.databind.JsonNode]("format", fmt)
+    meta.put("schemaString", m.schemaString)
+    val pcs = mapper.createArrayNode()
+    m.partitionColumns.foreach(pcs.add)
+    meta.set[com.fasterxml.jackson.databind.JsonNode](
+      "partitionColumns", pcs)
+    val confNode = mapper.createObjectNode()
+    (m.configuration ++ props).foreach { case (k, v) =>
+      confNode.put(k, v)
+    }
+    meta.set[com.fasterxml.jackson.databind.JsonNode](
+      "configuration", confNode)
+    val metaLine = mapper.createObjectNode()
+    metaLine.set[com.fasterxml.jackson.databind.JsonNode](
+      "metaData", meta)
+    val body = upgrade.toSeq :+ mapper.writeValueAsString(metaLine)
+    val version = state.version + 1
+    commitFailpoint()
+    val target = new Path(new Path(root, "_delta_log"),
+      f"$version%020d.json")
+    val claimed =
+      try {
+        val out = fs.create(target, false)
+        try out.write((body.mkString("\n") + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException
+            if Option(e.getMessage).exists(_.contains("exist")) => false
+      }
+    if (!claimed) throw new IllegalStateException(
+      s"deltaLake set-properties: a concurrent commit claimed version " +
+        s"$version — rerun against the new state")
+    version
   }
 
   /** Row-level UPDATE through the same copy-on-write rewrite: matched
@@ -904,10 +1022,52 @@ object DeltaLakeSink {
           mappingMode)))
     val added = stageDataFiles(stagedDf, root, fs, stagePartCols)
 
-    // ---- 3. one remove+add commit; a collision means the captured
-    // file set is stale — LOUD, never a silent lost update ----
+    // ---- 2b. CHANGE DATA FEED (round 16 — PROTOCOL.md "Change Data
+    // Files"): when the table enables delta.enableChangeDataFeed, the
+    // commit must capture the per-row changes as `_change_data/` files
+    // with a `_change_type` column — DELETE emits the matched rows as
+    // 'delete', UPDATE emits 'update_preimage' + 'update_postimage'.
+    // Same staging lane as data files (partition values in the ACTION,
+    // not the file), dataChange = false so CDF-unaware readers skip
+    // them. ----
+    val cdfEnabled = m.configuration.get("delta.enableChangeDataFeed")
+      .exists(_.equalsIgnoreCase("true"))
+    val cdcAdded: Seq[(String, Long, Map[String, Option[String]])] =
+      if (!cdfEnabled) Seq.empty
+      else {
+        import org.apache.spark.sql.functions.lit
+        val matchedDf = scoped.filter(
+          predicate <=> lit(true))
+        val changeDf = assignments match {
+          case None =>
+            matchedDf.withColumn("_change_type", lit("delete"))
+          case Some(asn) =>
+            val pre = matchedDf
+              .withColumn("_change_type", lit("update_preimage"))
+            val post = asn.foldLeft(matchedDf) { case (d, (c, e)) =>
+              val declared = schema.fields
+                .find(_.name.equalsIgnoreCase(c)).get
+              d.withColumn(declared.name, e.cast(declared.dataType))
+            }.withColumn("_change_type", lit("update_postimage"))
+            pre.unionByName(post)
+        }
+        val stagedCdc =
+          if (mappingMode == "none") changeDf
+          else changeDf.select(schema.fields.map(f =>
+            col(f.name)
+              .cast(DeltaLakeSource.physicalizeType(f.dataType,
+                mappingMode))
+              .as(DeltaLakeSource.physNameOf(f, mappingMode)))
+            .toIndexedSeq :+ col("_change_type"): _*)
+        stageDataFiles(stagedCdc, root, fs, stagePartCols,
+          subDir = "_change_data", prefix = "cdc")
+      }
+
+    // ---- 3. one remove+add(+cdc) commit; a collision means the
+    // captured file set is stale — LOUD, never a silent lost update ----
     val body = matchedLog.toSeq.sorted.map(p => removeJson(p)) ++
-      added.map { case (rel, size, pv) => addJson(rel, size, pv) }
+      added.map { case (rel, size, pv) => addJson(rel, size, pv) } ++
+      cdcAdded.map { case (rel, size, pv) => cdcJson(rel, size, pv) }
     val version = state.version + 1
     commitFailpoint()
     val logDir = new Path(root, "_delta_log")
@@ -962,11 +1122,24 @@ object DeltaLakeSink {
     val st = DeltaLakeSource.replayLog(spark, tablePath, Some(version))
     val m = st.meta.getOrElse(throw new IllegalArgumentException(
       "deltaLake checkpoint: the log has no metaData action"))
-    val resolvedPolicy = policy
+    val askedPolicy = policy
       .orElse(m.configuration.get("delta.checkpointPolicy"))
       .getOrElse("classic")
-    require(resolvedPolicy == "classic" || resolvedPolicy == "v2",
-      s"deltaLake checkpoint: unknown checkpointPolicy '$resolvedPolicy'")
+    require(askedPolicy == "classic" || askedPolicy == "v2",
+      s"deltaLake checkpoint: unknown checkpointPolicy '$askedPolicy'")
+    // v2 checkpoints are gated on the v2Checkpoint READER feature
+    // (PROTOCOL.md "V2 Spec Checkpoints"): a classic-only reader will
+    // not recognize the UUID-named file, and after the pre-checkpoint
+    // JSON commits are vacuumed it would be STRANDED — so writing one
+    // without the feature declared is refused loudly (r15 ADVICE).
+    val hasV2Feature = st.minReader >= 3 &&
+      st.readerFeatures("v2Checkpoint")
+    require(askedPolicy != "v2" || hasV2Feature,
+      "deltaLake checkpoint: checkpointPolicy v2 needs the " +
+        "v2Checkpoint reader feature in the protocol — set it (e.g. " +
+        "setTableProperties delta.checkpointPolicy=v2 upgrades the " +
+        "protocol) before writing v2 checkpoints")
+    val resolvedPolicy = askedPolicy
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dvSchema = StructType(Seq(
@@ -985,7 +1158,11 @@ object DeltaLakeSink {
         StructField("dataChange", BooleanType),
         StructField("deletionVector", dvSchema),
         StructField("baseRowId", LongType),
-        StructField("defaultRowCommitVersion", LongType)))),
+        StructField("defaultRowCommitVersion", LongType),
+        // round 16 (r15 ADVICE): the add's stats JSON — the protocol's
+        // writer requirement for DV adds (numRecords/tightBounds) must
+        // survive a checkpoint + JSON-log vacuum
+        StructField("stats", StringType)))),
       StructField("metaData", StructType(Seq(
         StructField("id", StringType),
         StructField("format", StructType(Seq(
@@ -1029,7 +1206,8 @@ object DeltaLakeSink {
           d.offset.map(Int.box).orNull, d.sizeInBytes,
           d.cardinality)).orNull,
         a.baseRowId.map(Long.box).orNull,
-        a.defaultRowCommitVersion.map(Long.box).orNull),
+        a.defaultRowCommitVersion.map(Long.box).orNull,
+        a.stats.orNull),
         null, null, null)
     }
     val logDir = new Path(root, "_delta_log")
@@ -1049,8 +1227,23 @@ object DeltaLakeSink {
           s"deltaLake checkpoint: rename to $dst failed")
       fs.delete(tmp, true)
     }
+    // size-triggered v2 (round-16 directive #7): a classic checkpoint
+    // builds every add Row on the driver and writes ONE file — at the
+    // action cap that is a multi-GB single task. When the table's add
+    // set exceeds the sidecar chunk size AND the protocol already
+    // declares v2Checkpoint, default to the v2 lane (the protocol
+    // permits it for any writer that supports the feature); without
+    // the feature the classic form stays — the protocol upgrade is the
+    // table owner's call, not a checkpoint side effect.
+    val effectivePolicy =
+      if (resolvedPolicy == "classic" && hasV2Feature &&
+          addRows.size > SidecarMaxActions) {
+        System.err.println(s"deltaLake checkpoint: ${addRows.size} adds " +
+          s"exceed $SidecarMaxActions — switching to the v2 sidecar lane")
+        "v2"
+      } else resolvedPolicy
     val totalActions: Long =
-      if (resolvedPolicy == "classic") {
+      if (effectivePolicy == "classic") {
         stageParquet(Seq(protoRow, metaRow) ++ domainRows ++ addRows,
           schema, "c",
           new Path(logDir, f"$version%020d.checkpoint.parquet"))

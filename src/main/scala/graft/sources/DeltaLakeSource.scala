@@ -57,11 +57,14 @@ object DeltaLakeSource {
 
   /** One active file: partition values + optional deletion vector +
     * (round 15, row tracking) the add's baseRowId /
-    * defaultRowCommitVersion so re-adds (DV deletes) echo them. */
+    * defaultRowCommitVersion so re-adds (DV deletes) echo them +
+    * (round 16) the add's `stats` JSON so CHECKPOINTS carry the
+    * numRecords/tightBounds the protocol requires for DV adds. */
   private[sources] final case class Active(pv: Map[String, Option[String]],
       dv: Option[DvDescriptor],
       baseRowId: Option[Long] = None,
-      defaultRowCommitVersion: Option[Long] = None)
+      defaultRowCommitVersion: Option[Long] = None,
+      stats: Option[String] = None)
 
   /** The reconstructed log state at a version — shared between the
     * reader and the sink (which uses it for overwrite sets and for
@@ -86,9 +89,11 @@ object DeltaLakeSource {
     * DV, so the reader refuses above this; the DV-writing delete lane
     * validates its POST-merge total (this commit's blobs + DVs on
     * untouched files) against the same constant so a successful write
-    * can never render the table unreadable. Var only so specs can
-    * shrink it to pin the cap behavior. */
-  var MaxDvBytes: Long = 1L << 30
+    * can never render the table unreadable. private[graft] var only so
+    * SPECS can shrink it to pin the cap behavior — a public mutable
+    * global would let any caller silently change write-refusal
+    * behavior across the JVM (r15 ADVICE). */
+  private[graft] var MaxDvBytes: Long = 1L << 30
 
   /** Replay the transaction log to `versionAsOf` (or latest) into a
     * LogState — checkpoint-seeded (distributed reconcile, minimal
@@ -258,7 +263,9 @@ object DeltaLakeSource {
             else lit(null).cast("long")).as("__base_rid"),
             (if (sub("add", "defaultRowCommitVersion"))
               col("add.defaultRowCommitVersion")
-            else lit(null).cast("long")).as("__def_rcv"))
+            else lit(null).cast("long")).as("__def_rcv"),
+            (if (sub("add", "stats")) col("add.stats")
+            else lit(null).cast("string")).as("__stats"))
         val adds = cp.where(col("add").isNotNull)
           .select(Seq(col("add.path").as("path"),
             (if (sub("add", "partitionValues")) col("add.partitionValues")
@@ -287,7 +294,8 @@ object DeltaLakeSource {
           }
           active(p) = Active(pv, dv,
             if (r.isNullAt(7)) None else Some(r.getAs[Number](7).longValue),
-            if (r.isNullAt(8)) None else Some(r.getAs[Number](8).longValue))
+            if (r.isNullAt(8)) None else Some(r.getAs[Number](8).longValue),
+            Option(r.getString(9)))
         }
         // domainMetadata rows ride in checkpoints too (the protocol
         // requires it — a vacuumed log must not lose the row-tracking
@@ -336,7 +344,8 @@ object DeltaLakeSource {
             active(a.get("path").asText) = Active(pv, dv,
               Option(a.get("baseRowId")).filterNot(_.isNull).map(_.asLong),
               Option(a.get("defaultRowCommitVersion"))
-                .filterNot(_.isNull).map(_.asLong))
+                .filterNot(_.isNull).map(_.asLong),
+              Option(a.get("stats")).filterNot(_.isNull).map(_.asText))
           }
           Option(node.get("remove")).foreach(rm =>
             active.remove(rm.get("path").asText))
@@ -636,6 +645,160 @@ object DeltaLakeSource {
         (if (withFileColumn) Seq(col("__delta_file")) else Nil) ++
         (if (withRowIndexColumn) Seq(col("__delta_row_index"))
          else Nil): _*)
+  }
+
+  /** CHANGE DATA FEED read — the `table_changes('path', v1[, v2])`
+    * surface (round 16; PROTOCOL.md "Change Data Files" + "Add CDC
+    * File"): per commit version in [v1, v2],
+    *
+    *  - a commit carrying `cdc` actions serves its changes from THOSE
+    *    files alone (they store the table columns + `_change_type` —
+    *    update_preimage/update_postimage/delete); its add/remove
+    *    actions are ignored for CDF purposes, per the protocol;
+    *  - a commit with only dataChange=true adds is an append — its
+    *    added files read as `_change_type = 'insert'`;
+    *  - a commit that REMOVES data without cdc actions is LOUD: change
+    *    data was not captured for it, and deriving it from the removed
+    *    files would be guesswork.
+    *
+    * Output = the table schema + `_change_type` + `_commit_version`.
+    * Partition columns re-attach from the actions' partitionValues
+    * (CDC files follow the same stored-in-the-log rule as data files).
+    * The scan is per-commit (a CDF range is commit-count-sized, the
+    * files within each commit read as one distributed scan). */
+  def readChanges(spark: SparkSession, tablePath: String,
+      startVersion: Long, endVersion: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.Row
+    val logDir = new Path(tablePath, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(logDir),
+      s"deltaLake: $tablePath has no _delta_log — not a Delta table")
+    val commitRe = "^(\\d{20})\\.json$".r
+    val commits = fs.listStatus(logDir).map(_.getPath.getName)
+      .collect { case commitRe(v) => v.toLong }.sorted.toSeq
+    require(commits.nonEmpty,
+      s"deltaLake table_changes: no JSON commits at $tablePath " +
+        "(checkpoint-only logs carry no per-commit change information)")
+    val end = endVersion.getOrElse(commits.last)
+    require(startVersion <= end,
+      s"deltaLake table_changes: start $startVersion > end $end")
+    val state = replayLog(spark, tablePath, Some(end))
+    val m = state.meta.getOrElse(throw new IllegalArgumentException(
+      "deltaLake table_changes: the log has no metaData action"))
+    require(m.configuration.get("delta.enableChangeDataFeed")
+      .exists(_.equalsIgnoreCase("true")),
+      "deltaLake table_changes: the table does not enable " +
+        "delta.enableChangeDataFeed")
+    require(m.configuration
+      .getOrElse("delta.columnMapping.mode", "none") == "none",
+      "deltaLake table_changes: column-mapped tables are not " +
+        "implemented on the CDF read path")
+    val schema = DataType.fromJson(m.schemaString).asInstanceOf[StructType]
+    val partCols = m.partitionColumns
+    val dataSchema = StructType(
+      schema.fields.filterNot(f => partCols.contains(f.name)))
+    val outSchema = StructType(schema.fields ++ Seq(
+      StructField("_change_type", StringType),
+      StructField("_commit_version",
+        org.apache.spark.sql.types.LongType)))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val fileKeyExpr =
+      "url_decode(replace(regexp_replace(input_file_name(), " +
+        "'^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?', ''), '+', '%2B'))"
+
+    def pvOf(node: com.fasterxml.jackson.databind.JsonNode)
+        : Map[String, Option[String]] =
+      Option(node.get("partitionValues")).map { o =>
+        val it = o.properties().iterator()
+        val b = Map.newBuilder[String, Option[String]]
+        while (it.hasNext) {
+          val e = it.next()
+          b += e.getKey -> (if (e.getValue.isNull) None
+            else Some(e.getValue.asText))
+        }
+        b.result()
+      }.getOrElse(Map.empty)
+
+    // one slice = the files of one commit's CDF lane
+    def slice(entries: Seq[(String, Map[String, Option[String]])],
+        changeTypeInFile: Boolean, v: Long): DataFrame = {
+      val qualified = entries.map { case (p, pv) =>
+        (qualify(spark, tablePath, p), pv)
+      }
+      val fileSchema =
+        if (changeTypeInFile)
+          StructType(dataSchema.fields :+
+            StructField("_change_type", StringType))
+        else dataSchema
+      val base = spark.read.schema(fileSchema)
+        .parquet(qualified.map(_._1.toString): _*)
+      val withCt =
+        if (changeTypeInFile) base
+        else base.withColumn("_change_type", lit("insert"))
+      val restored =
+        if (partCols.isEmpty) withCt
+        else {
+          val pvSchema = StructType(
+            StructField("__delta_file", StringType, nullable = false) +:
+              partCols.map(pc =>
+                StructField(s"__pv_$pc", StringType, nullable = true)))
+          val pvRows = qualified.map { case (f, pv) =>
+            Row.fromSeq(f.toUri.getPath +:
+              partCols.map(pc => pv.get(pc).flatten.orNull))
+          }
+          val pvDf = spark.createDataFrame(
+            spark.sparkContext.parallelize(pvRows, 1), pvSchema)
+          withCt.withColumn("__delta_file",
+            org.apache.spark.sql.functions.expr(fileKeyExpr))
+            .join(broadcast(pvDf), Seq("__delta_file"), "left")
+        }
+      restored.select(schema.fields.map { f =>
+        if (partCols.contains(f.name))
+          col(s"__pv_${f.name}").cast(f.dataType).as(f.name)
+        else col(f.name)
+      }.toIndexedSeq ++ Seq(col("_change_type"),
+        lit(v).as("_commit_version")): _*)
+    }
+
+    val slices = Seq.newBuilder[DataFrame]
+    commits.filter(v => v >= startVersion && v <= end).foreach { v =>
+      val in = fs.open(new Path(logDir, f"$v%020d.json"))
+      val text = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      val adds = Seq.newBuilder[(String, Map[String, Option[String]])]
+      val cdcs = Seq.newBuilder[(String, Map[String, Option[String]])]
+      var removesData = false
+      text.split("\n").map(_.trim).filter(_.nonEmpty).foreach { line =>
+        val node = mapper.readTree(line)
+        Option(node.get("add")).foreach { a =>
+          if (Option(a.get("dataChange")).forall(_.asBoolean))
+            adds += ((a.get("path").asText, pvOf(a)))
+        }
+        Option(node.get("remove")).foreach { r =>
+          if (Option(r.get("dataChange")).forall(_.asBoolean))
+            removesData = true
+        }
+        Option(node.get("cdc")).foreach { c =>
+          cdcs += ((c.get("path").asText, pvOf(c)))
+        }
+      }
+      val cdcFiles = cdcs.result()
+      if (cdcFiles.nonEmpty) slices += slice(cdcFiles,
+        changeTypeInFile = true, v)
+      else {
+        require(!removesData,
+          s"deltaLake table_changes: version $v removes data without " +
+            "cdc actions — change data was not captured for that commit")
+        val added = adds.result()
+        if (added.nonEmpty) slices += slice(added,
+          changeTypeInFile = false, v)
+      }
+    }
+    slices.result() match {
+      case Seq() => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], outSchema)
+      case ss => ss.reduce(_ unionByName _)
+    }
   }
 
   /** Serializable row-index membership test over broadcast DV bytes —

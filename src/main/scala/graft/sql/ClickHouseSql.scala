@@ -3082,7 +3082,20 @@ object ClickHouseSql {
     val step0 = replaceOutsideLiterals(sql0,
       "(?i)\\b(deltaLake|iceberg|hudi)Cluster\\s*\\(\\s*'[^']*'\\s*,\\s*".r)(
       g => s"${g("1")}(")
-    val step1 = replaceOutsideLiterals(step0, deltaLakeFnRe) { g =>
+    // table_changes('path', v1[, v2]) — the Delta CHANGE DATA FEED
+    // read (round 16): per-commit change rows with _change_type +
+    // _commit_version, from cdc files where a commit wrote them and
+    // from dataChange adds (as inserts) otherwise
+    val step0c = replaceOutsideLiterals(step0,
+      ("(?i)\\btable_changes\\s*\\(\\s*'([^']+)'\\s*,\\s*(\\d+)\\s*" +
+        "(?:,\\s*(\\d+)\\s*)?\\)").r) { g =>
+      val df = graft.sources.DeltaLakeSource.readChanges(spark, g("1"),
+        g("2").toLong, Option(g("3")).map(_.toLong))
+      val view = s"graft_delta_cdf_${fileFnCounter.incrementAndGet()}"
+      df.createOrReplaceTempView(view)
+      view
+    }
+    val step1 = replaceOutsideLiterals(step0c, deltaLakeFnRe) { g =>
       val df = graft.sources.DeltaLakeSource.read(spark, g("1"),
         Option(g("2")).map(_.toLong))
       val view = s"graft_delta_fn_${fileFnCounter.incrementAndGet()}"

@@ -55,6 +55,17 @@ class DeltaCheckpointWriteSpec extends SparkFunSuite {
         .toDF("id", "name").repartition(5), dir, checkpointInterval = 0)
       DeltaLakeSink.append(Seq((41L, "x")).toDF("id", "name"), dir,
         checkpointInterval = 0)
+      // round 16: a v2 checkpoint needs the v2Checkpoint reader feature
+      // in the protocol (the ADVICE gate) — without it the write must
+      // refuse loudly...
+      val refused = intercept[IllegalArgumentException] {
+        DeltaLakeSink.writeCheckpoint(spark, dir, 1L, policy = Some("v2"))
+      }
+      assert(refused.getMessage.contains("v2Checkpoint"))
+      // ...and setTableProperties(checkpointPolicy=v2) upgrades the
+      // protocol in the same commit it sets the property
+      DeltaLakeSink.setTableProperties(spark, dir,
+        Map("delta.checkpointPolicy" -> "v2"))
       // a DV so the sidecar add rows carry the descriptor through
       val (v2, _) = DeltaLakeSink.deleteLightweight(spark, dir,
         org.apache.spark.sql.functions.col("id") % 10 === 0,

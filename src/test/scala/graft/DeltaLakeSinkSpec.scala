@@ -177,9 +177,21 @@ class DeltaLakeSinkSpec extends SparkFunSuite {
         dir, "_delta_log", f"$v5%020d.json"),
         protoCdf + "\n" + metaCdf + "\n")
       DeltaLakeSink.append(Seq((5L, "e")).toDF("id", "name"), dir)
+      // round 16: the copy-on-write DELETE now EMITS cdc actions +
+      // _change_data files on CDF tables instead of refusing — the
+      // refusal moved to the lanes that cannot capture per-row changes
+      // (the DV delete lane, overwrite)
+      val (vDel, nDel) = DeltaLakeSink.delete(spark, dir,
+        org.apache.spark.sql.functions.col("id") === 1L)
+      assert(nDel == 1L)
+      val cdfCommit = java.nio.file.Files.readString(
+        java.nio.file.Path.of(dir, "_delta_log", f"$vDel%020d.json"))
+      assert(cdfCommit.contains("\"cdc\"") &&
+        cdfCommit.contains("_change_data/"),
+        s"a CDF delete must carry cdc actions, got: $cdfCommit")
       val e5 = intercept[IllegalArgumentException] {
-        DeltaLakeSink.delete(spark, dir,
-          org.apache.spark.sql.functions.col("id") === 1L)
+        DeltaLakeSink.deleteLightweight(spark, dir,
+          org.apache.spark.sql.functions.col("id") === 2L)
       }
       assert(e5.getMessage.contains("change data feed"))
     } finally org.apache.commons.io.FileUtils
