@@ -413,4 +413,51 @@ class DialectTortureSpec extends SparkFunSuite {
     }
     assert(e2.getMessage.contains("not an Iceberg table"))
   }
+
+  test("round-16 lanes survive hostile forms: table_changes inside a " +
+      "literal never resolves, hostile spacing works, EXPIRE SNAPSHOTS " +
+      "dispatches and its spelling inside a literal does not") {
+    val ch = (s: String) => graft.sql.ClickHouseSql.sql(spark, s)
+    import SparkTestBase.spark.implicits._
+    Tables.register(spark, sf)
+    // the spelling INSIDE a literal must pass through as text (the
+    // resolver scans the literal-masked statement)
+    val lit = ch("SELECT 'use table_changes(''/nope'', 1) or OPTIMIZE " +
+      "TABLE FUNCTION iceberg(''/nope'') EXPIRE SNAPSHOTS KEEP 9' AS s " +
+      "FROM nation LIMIT 1").collect().head.getString(0)
+    assert(lit.contains("table_changes('/nope', 1)") &&
+      lit.contains("EXPIRE SNAPSHOTS KEEP 9"),
+      s"round-16 spellings in literals must pass through: $lit")
+    // a real CDF table read through hostile spacing/casing
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_tort16").toString + "/t"
+    try {
+      graft.sources.DeltaLakeSink.append(
+        Seq((1L, "a"), (2L, "b")).toDF("id", "name"), dir,
+        checkpointInterval = 0)
+      graft.sources.DeltaLakeSink.setTableProperties(spark, dir,
+        Map("delta.enableChangeDataFeed" -> "true"))
+      graft.sources.DeltaLakeSink.delete(spark, dir,
+        org.apache.spark.sql.functions.col("id") === 2L,
+        checkpointInterval = 0)
+      val got = ch(s"SELECT id, _change_type FROM TABLE_CHANGES( " +
+        s" '$dir' ,  2  ,  2 ) ORDER BY id")
+        .as[(Long, String)].collect().toSeq
+      assert(got == Seq((2L, "delete")))
+      // EXPIRE SNAPSHOTS with hostile casing on an Iceberg table
+      val iceDir = java.nio.file.Files
+        .createTempDirectory("graft_tort16i").toString + "/t"
+      graft.sources.IcebergSink.append(
+        Seq((1L, "a")).toDF("id", "name"), iceDir)
+      graft.sources.IcebergSink.overwrite(
+        Seq((2L, "b")).toDF("id", "name"), iceDir)
+      val exp = ch(s"optimize  TABLE   function  iceberg('$iceDir')  " +
+        "expire SNAPSHOTS   keep 1").collect().head
+      assert(exp.getLong(0) == 1L && exp.getLong(1) >= 1L,
+        s"expire must report (1 expired, >0 deleted), got $exp")
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(iceDir).getParentFile)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir).getParentFile)
+  }
 }
