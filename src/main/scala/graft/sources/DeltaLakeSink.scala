@@ -151,15 +151,17 @@ object DeltaLakeSink {
     // existing rows — CDF readers derive append-only commits from the
     // dataChange adds themselves (PROTOCOL.md "Change Data Files"), so
     // plain appends to a CDF table stay legal. Round 16: the
-    // copy-on-write mutate lane EMITS cdc actions + _change_data files,
-    // so delete/update pass too; overwrite and the DV delete lane still
-    // cannot capture per-row changes and refuse.
+    // copy-on-write mutate lane AND the deletion-vector delete lane
+    // both EMIT cdc actions + _change_data files, so delete/update/
+    // delete-dv pass; overwrite still cannot capture per-row changes
+    // (the removed set is the whole table — the protocol expects
+    // per-row change files, and materializing them would rewrite
+    // everything an overwrite exists to avoid) and refuses.
     if (effective("changeDataFeed") && removesRows &&
-        op != "delete" && op != "update")
+        op != "delete" && op != "update" && op != "delete-dv")
       require(!enabled("delta.enableChangeDataFeed"),
         s"deltaLake $what: the table enables change data feed and this " +
-          "operation cannot emit CDC files (only the copy-on-write " +
-          "DELETE/UPDATE lanes capture per-row changes) — refusing")
+          "operation cannot emit CDC files — refusing")
     if (effective("appendOnly") && removesRows)
       require(!enabled("delta.appendOnly"),
         s"deltaLake $what: the table is delta.appendOnly — refusing to " +
@@ -744,10 +746,54 @@ object DeltaLakeSink {
       merged.map(_._3))
     val encoded = DeltaDeletionVectors.z85EncodeUuid(uuid)
 
+    // ---- 3b. CHANGE DATA FEED (round 16): PROTOCOL.md requires a
+    // writer that masks rows via deletion vectors on a CDF table to
+    // ALSO write the change data for the deleted rows — the matched
+    // rows (visible pre-delete, existing DVs applied) stage as
+    // _change_data/ files with _change_type = 'delete', named by cdc
+    // actions. One extra scan of the matched predicate, delete-scale.
+    val mMeta = state.meta.getOrElse(throw new IllegalArgumentException(
+      "deltaLake delete: the log has no metaData action"))
+    val cdfEnabled = mMeta.configuration
+      .get("delta.enableChangeDataFeed")
+      .exists(_.equalsIgnoreCase("true"))
+    val cdcAdded: Seq[(String, Long, Map[String, Option[String]])] =
+      if (!cdfEnabled) Seq.empty
+      else {
+        val mappingMode = mMeta.configuration
+          .getOrElse("delta.columnMapping.mode", "none")
+        val schema = org.apache.spark.sql.types.DataType
+          .fromJson(mMeta.schemaString)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val partCols = mMeta.partitionColumns
+        val matchedDf = DeltaLakeSource.read(spark, tablePath)
+          .filter(predicate <=> org.apache.spark.sql.functions.lit(true))
+          .withColumn("_change_type",
+            org.apache.spark.sql.functions.lit("delete"))
+        val stagedCdc =
+          if (mappingMode == "none") matchedDf
+          else matchedDf.select(schema.fields.map(f =>
+            col(f.name)
+              .cast(DeltaLakeSource.physicalizeType(f.dataType,
+                mappingMode))
+              .as(DeltaLakeSource.physNameOf(f, mappingMode)))
+            .toIndexedSeq :+ col("_change_type"): _*)
+        val stagePartCols =
+          if (mappingMode == "none") partCols
+          else partCols.map(pc => DeltaLakeSource.physNameOf(
+            schema.fields.find(_.name.equalsIgnoreCase(pc)).get,
+            mappingMode))
+        stageDataFiles(stagedCdc, root, fs, stagePartCols,
+          subDir = "_change_data", prefix = "cdc")
+      }
+
     // ---- 4. commit: protocol upgrade (when needed) + remove/add per
     // affected file at its original path ----
     val upgrade = upgradeForDvLine(state)
-    val body = upgrade.toSeq ++ merged.zip(offsets).flatMap {
+    val cdcLines = cdcAdded.map { case (rel, size, pv) =>
+      cdcJson(rel, size, pv)
+    }
+    val body = upgrade.toSeq ++ cdcLines ++ merged.zip(offsets).flatMap {
       case ((logPath, a2, blob, card), off) =>
         val abs = DeltaLakeSource.qualify(spark, tablePath, logPath)
         val size = scala.util.Try(fs.getFileStatus(abs).getLen)

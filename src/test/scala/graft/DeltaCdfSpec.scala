@@ -97,15 +97,29 @@ class DeltaCdfSpec extends SparkFunSuite {
           "ORDER BY id").as[(Long, String)].collect().toSeq
       assert(viaSql == Seq((5L, "delete")))
 
-      // overwrite and the DV lane still refuse on CDF tables
+      // overwrite still refuses on CDF tables (it cannot capture
+      // per-row changes without rewriting everything it exists to
+      // avoid)
       val e1 = intercept[IllegalArgumentException] {
         DeltaLakeSink.overwrite(Seq((9L, "z")).toDF("id", "name"), dir)
       }
       assert(e1.getMessage.contains("change data feed"))
-      val e2 = intercept[IllegalArgumentException] {
-        DeltaLakeSink.deleteLightweight(spark, dir, col("id") === 1L)
-      }
-      assert(e2.getMessage.contains("change data feed"))
+      // the DV delete lane EMITS change data too (the protocol's
+      // writer requirement for DV adds on CDF tables): rows mask in
+      // place AND the commit carries cdc actions with the deleted rows
+      val (v5, nDv) = DeltaLakeSink.deleteLightweight(spark, dir,
+        col("id") === 1L, checkpointInterval = 0)
+      assert(nDv == 1L)
+      val v5Text = java.nio.file.Files.readString(java.nio.file.Path.of(
+        dir, "_delta_log", f"$v5%020d.json"))
+      assert(v5Text.contains("\"cdc\"") &&
+        v5Text.contains("deletionVector"),
+        s"a DV delete on a CDF table must carry cdc actions: $v5Text")
+      val chDv = DeltaLakeSource.readChanges(spark, dir, v5, Some(v5))
+        .select("id", "_change_type").as[(Long, String)].collect().toSeq
+      assert(chDv == Seq((1L, "delete")), s"got $chDv")
+      assert(DeltaLakeSource.read(spark, dir)
+        .filter(col("id") === 1L).isEmpty)
     } finally cleanup(dir)
   }
 

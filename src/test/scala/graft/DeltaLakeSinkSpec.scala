@@ -189,9 +189,12 @@ class DeltaLakeSinkSpec extends SparkFunSuite {
       assert(cdfCommit.contains("\"cdc\"") &&
         cdfCommit.contains("_change_data/"),
         s"a CDF delete must carry cdc actions, got: $cdfCommit")
+      // overwrite remains the one CDF refusal (per-row change capture
+      // would rewrite everything an overwrite exists to avoid); the
+      // DV delete lane emits cdc like the CoW lane (DeltaCdfSpec pins
+      // both emission lanes)
       val e5 = intercept[IllegalArgumentException] {
-        DeltaLakeSink.deleteLightweight(spark, dir,
-          org.apache.spark.sql.functions.col("id") === 2L)
+        DeltaLakeSink.overwrite(Seq((9L, "z")).toDF("id", "name"), dir)
       }
       assert(e5.getMessage.contains("change data feed"))
     } finally org.apache.commons.io.FileUtils
