@@ -175,8 +175,10 @@ object IcebergSource {
     def optField(r: GenericRecord, name: String): Option[AnyRef] =
       if (r.getSchema.getField(name) == null) None else Option(r.get(name))
 
-    // (path, sequence number) per live data file; delete specs separately
-    val dataFiles = Seq.newBuilder[(String, Long)]
+    // (path, sequence number, recorded tuple) per live data file;
+    // delete specs separately
+    val dataFiles = Seq.newBuilder[
+      (String, Long, Option[Map[String, Option[String]]])]
     val deletes = Seq.newBuilder[DeleteSpec]
     avroRecords(manifestList).foreach { m =>
       val manifestContent =
@@ -204,10 +206,15 @@ object IcebergSource {
           // identity equality (partitionEq, by spec field name) and
           // transformed source-literal equality (pruneSource) both
           // apply — a disagreement on ANY entry prunes the file, an
-          // absent/unevaluable tuple keeps it
+          // absent/unevaluable tuple keeps it. The tuple also rides
+          // into the returned scan's FileIndex for DYNAMIC
+          // planning-time pruning from the query's own predicates.
+          val tuple: Option[Map[String, Option[String]]] =
+            if (specFields.isEmpty && partitionEq.isEmpty) None
+            else IcebergTransforms.entryTuple(df, specFields, mapper)
           val tupleMatches =
             (partitionEq.isEmpty && pruneSource.isEmpty) || {
-              IcebergTransforms.entryTuple(df, specFields, mapper) match {
+              tuple match {
                 case None => true // no tuple recorded — cannot prune
                 case Some(t) =>
                   val eqOk = partitionEq.forall { case (k, want) =>
@@ -218,17 +225,8 @@ object IcebergSource {
                     }
                   }
                   val srcOk = pruneSource.forall { case (src, raw) =>
-                    specFields.filter(
-                      _.sourceName.equalsIgnoreCase(src)).forall { f =>
-                      (IcebergTransforms.transformLiteral(f, raw),
-                        t.get(f.name)) match {
-                        case (Some(expect), Some(Some(actual))) =>
-                          expect == actual
-                        // non-null literal cannot live in a null tuple
-                        case (Some(_), Some(None)) => false
-                        case _ => true // unevaluable — keep the file
-                      }
-                    }
+                    IcebergTransforms.tupleAdmitsSource(Some(t),
+                      specFields, src, raw)
                   }
                   eqOk && srcOk
               }
@@ -237,7 +235,7 @@ object IcebergSource {
             case 0 =>
               if (manifestContent != 0) throw new IllegalArgumentException(
                 s"iceberg: data file $path inside a delete manifest")
-              if (tupleMatches) dataFiles += ((path, entrySeq))
+              if (tupleMatches) dataFiles += ((path, entrySeq, tuple))
             case 1 => deletes += DeleteSpec(path, 1, entrySeq, Seq.empty)
             case 2 =>
               val ids = optField(df, "equality_ids").map {
@@ -277,8 +275,25 @@ object IcebergSource {
           StructField("__ice_file", StringType),
           StructField("__ice_pos", LongType))))
     if (dels.isEmpty) {
-      val plain = spark.read.schema(schema).parquet(data.map(_._1): _*)
-      return if (withPosColumns) posCols(plain) else plain
+      if (withPosColumns) // the position-delete writer's coordinates
+        return posCols(spark.read.schema(schema).parquet(data.map(_._1): _*))
+      // plain scan: a HadoopFsRelation over the manifest-aware
+      // FileIndex, so the query's OWN pushed data filters prune whole
+      // files at planning time from the recorded partition tuples —
+      // the reference's ManifestFilesPruning behavior, with zero
+      // caller opt-in. getFileStatus is one driver metadata call per
+      // file, the same listing cost spark.read.parquet pays.
+      val statuses = data.map { case (p, _, tuple) =>
+        (fs.getFileStatus(new Path(p)), tuple)
+      }
+      val index = new IcebergManifestFileIndex(statuses, specFields)
+      val rel = org.apache.spark.sql.execution.datasources
+        .HadoopFsRelation(index, StructType(Nil), schema, None,
+          new org.apache.spark.sql.execution.datasources.parquet
+            .ParquetFileFormat, Map.empty)(spark)
+      return org.apache.spark.sql.graft.RelationBridge.ofRows(spark,
+        org.apache.spark.sql.execution.datasources.LogicalRelation(rel,
+          isStreaming = false))
     }
 
     // field id → column name, for equality_ids resolution (top-level
@@ -339,7 +354,7 @@ object IcebergSource {
       val i = eqSeqs.indexWhere(_ > seq)
       if (i < 0) eqSeqs.length else i
     }
-    data.groupBy { case (_, seq) => classIdx(seq) }.toSeq.sortBy(_._1)
+    data.groupBy { case (_, seq, _) => classIdx(seq) }.toSeq.sortBy(_._1)
       .map { case (_, fs) =>
         // any member's seq selects the same applicable set — use max
         applyDeletes(fs.map(_._1), fs.map(_._2).max)

@@ -307,6 +307,48 @@ object IcebergTransforms {
     }
   }
 
+  /** Does a file whose recorded `tuple` admit rows where source column
+    * `src` equals the literal rendered as `raw`? Shared by the static
+    * read-side pruning (`pruneSource`) and the dynamic
+    * [[IcebergManifestFileIndex]] planning-time pruning so the two can
+    * never disagree. None tuples, unevaluable literals, and spec
+    * fields of other sources all ADMIT (keep = safe). */
+  def tupleAdmitsSource(tuple: Option[Map[String, Option[String]]],
+      fields: Seq[IcePartField], src: String, raw: String): Boolean =
+    tuple match {
+      case None => true
+      case Some(t) =>
+        fields.filter(_.sourceName.equalsIgnoreCase(src)).forall { f =>
+          (transformLiteral(f, raw), t.get(f.name)) match {
+            case (Some(expect), Some(Some(actual))) => expect == actual
+            // a non-null literal cannot live in a null tuple
+            case (Some(_), Some(None)) => false
+            case _ => true // unevaluable — keep the file
+          }
+        }
+    }
+
+  /** Render a CATALYST literal (internal representation) as the raw
+    * string [[transformLiteral]] parses — ints/longs/strings verbatim,
+    * DateType days and TimestampType micros as ISO text. None = a type
+    * the pruner does not evaluate (keep the file). */
+  def rawOfLiteral(value: Any, dt: DataType): Option[String] =
+    if (value == null) None
+    else dt match {
+      case IntegerType | LongType | ShortType | ByteType =>
+        Some(value.toString)
+      case StringType => Some(value.toString)
+      case DateType => Some(java.time.LocalDate
+        .ofEpochDay(value.asInstanceOf[Int].toLong).toString)
+      case TimestampType | TimestampNTZType =>
+        val us = value.asInstanceOf[Long]
+        val secs = Math.floorDiv(us, 1000000L)
+        val nanos = (Math.floorMod(us, 1000000L) * 1000L).toInt
+        Some(java.time.LocalDateTime.ofEpochSecond(secs, nanos,
+          java.time.ZoneOffset.UTC).toString)
+      case _ => None
+    }
+
   /** Parse a tuple string back to the typed value the manifest's
     * partition struct stores (Hive staging renders everything as
     * strings). */

@@ -206,6 +206,56 @@ class IcebergTransformsSpec extends SparkFunSuite {
     } finally cleanup(dir)
   }
 
+  test("DYNAMIC planning-time pruning: the query's own predicate over " +
+      "iceberg('t') prunes files through the manifest-aware FileIndex") {
+    val dir = tmp("dyn")
+    try {
+      IcebergSink.append((1L to 400L).map(i => (i, s"n$i"))
+        .toDF("id", "name").repartition(1), dir,
+        partitionBy = Seq("bucket(4, id)"))
+      def scanNumFiles(df: org.apache.spark.sql.DataFrame): Long = {
+        df.collect()
+        def scans(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+          p match {
+            case a: org.apache.spark.sql.execution.adaptive
+                .AdaptiveSparkPlanExec => scans(a.executedPlan)
+            case q: org.apache.spark.sql.execution.adaptive
+                .QueryStageExec => scans(q.plan)
+            case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+              Seq(s)
+            case other => other.children.flatMap(scans)
+          }
+        scans(df.queryExecution.executedPlan)
+          .map(_.metrics("numFiles").value).sum
+      }
+      // no predicate: all 4 bucket files scan (sum forces a real scan
+      // — the dialect's trivial-count lane answers count(*) from
+      // metadata with zero files read)
+      val all = graft.sql.ClickHouseSql.sql(spark,
+        s"SELECT sum(id) AS s FROM iceberg('$dir')")
+      assert(scanNumFiles(all) == 4L)
+      // an equality predicate on the bucket SOURCE column prunes to
+      // the one matching bucket file — automatically, at planning time
+      val one = graft.sql.ClickHouseSql.sql(spark,
+        s"SELECT id, name FROM iceberg('$dir') WHERE id = 34")
+      assert(one.count() == 1L)
+      assert(scanNumFiles(one) == 1L,
+        "the FileIndex must prune to the literal's bucket")
+      // IN-lists prune to the union of matching buckets
+      val in = graft.sql.ClickHouseSql.sql(spark,
+        s"SELECT id FROM iceberg('$dir') WHERE id IN (34, 35, 36)")
+      assert(in.count() == 3L)
+      assert(scanNumFiles(in) <= 3L)
+      // a non-equality predicate keeps every file (conservative) and
+      // stays correct
+      val rng = graft.sql.ClickHouseSql.sql(spark,
+        s"SELECT sum(id) AS s FROM iceberg('$dir') WHERE id <= 10")
+      assert(rng.collect().head.getLong(0) == 55L)
+      assert(scanNumFiles(rng) == 4L)
+    } finally cleanup(dir)
+  }
+
   test("expireSnapshots: metadata shrinks, expired-only files delete, " +
       "current reads identical, travel to expired is loud") {
     val dir = tmp("expire")
