@@ -542,6 +542,56 @@ object DeltaLakeSource {
       (qualify(spark, tablePath, p), a)
     }
     val hasDv = qualified.exists(_._2.dv.isDefined)
+
+    // ---- round 16: the PLAIN lane (no DVs, no coordinate columns, no
+    // column mapping) scans through a PartitionedListFileIndex — the
+    // log-stored partitionValues become NATIVE scan partitions, so a
+    // query's partition predicates prune whole files at planning time
+    // and the partition columns attach inside the scan itself, with no
+    // broadcast join in the plan. On a 100 TB table partitioned by
+    // day, `WHERE day = X` now reads one partition's files instead of
+    // every file. The DV / coordinate / column-mapped lanes keep the
+    // explicit-path scan + broadcast-pv join (they anchor on
+    // _metadata coordinates or physical names). ----
+    if (!hasDv && !withFileColumn && !withRowIndexColumn &&
+        mappingMode == "none") {
+      val partSchema = StructType(m.partitionColumns.map(pc =>
+        schema.fields.find(_.name == pc).get))
+      val zone = Option(spark.sessionState.conf.sessionLocalTimeZone)
+      def castVal(s: Option[String], dt: DataType): Any = s match {
+        case None => null
+        case Some(v) => org.apache.spark.sql.catalyst.expressions.Cast(
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            org.apache.spark.unsafe.types.UTF8String.fromString(v),
+            StringType), dt, zone).eval(null)
+      }
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val grouped = qualified.groupBy { case (_, a) =>
+        m.partitionColumns.map(pc =>
+          a.pv.get(partKeyOf(pc)).orElse(a.pv.get(pc)).flatten)
+      }.toSeq.map { case (tupleVals, fs0) =>
+        val row = org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+          tupleVals.zip(partSchema.fields).map { case (v, f) =>
+            castVal(v, f.dataType)
+          })
+        (row, fs0.map { case (p, _) =>
+          p.getFileSystem(hconf).getFileStatus(p)
+        })
+      }
+      val index = new PartitionedListFileIndex(grouped, partSchema)
+      val rel = org.apache.spark.sql.execution.datasources
+        .HadoopFsRelation(index, partSchema, dataSchema, None,
+          new org.apache.spark.sql.execution.datasources.parquet
+            .ParquetFileFormat, Map.empty)(spark)
+      val df0 = org.apache.spark.sql.graft.RelationBridge.ofRows(spark,
+        org.apache.spark.sql.execution.datasources.LogicalRelation(rel,
+          isStreaming = false))
+      // the scan emits data columns then partition columns — restore
+      // the table's declared order
+      return df0.select(
+        schema.fields.map(f => col(f.name)).toIndexedSeq: _*)
+    }
+
     val base0 = spark.read.schema(dataSchema)
       .parquet(qualified.map(_._1.toString): _*)
 
