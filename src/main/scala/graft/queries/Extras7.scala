@@ -212,6 +212,93 @@ object Extras7 extends QueryPack {
           s"_commit_version AS commit_version " +
           s"FROM table_changes('$root', 0) " +
           "ORDER BY commit_version, change_type, c_custkey")
+    },
+
+    // Delta VACUUM (round 16 — the storage-reclaim twin of the new
+    // Iceberg expiration): DV delete → compaction (strands the old
+    // parquet files + the DV bin) → VACUUM RETAIN 0 HOURS through the
+    // dialect. In-query pins: a default-retention vacuum deletes
+    // NOTHING (the young-file guard), the zero-retention pass deletes
+    // the stranded files incl. the DV bin, and time travel to the
+    // pre-compaction version is loud afterwards. The oracle restates
+    // the surviving rows — a vacuum that touched a referenced file
+    // would lose rows, not just space.
+    Q.df("q_delta_vacuum", """
+      SELECT c_custkey, c_name FROM customer
+      WHERE c_custkey <= 80 AND c_custkey % 9 <> 0
+      ORDER BY c_custkey""") { (s, dir) =>
+      val root = s"/tmp/graft_deltavac_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      fsOf(s, root).delete(new org.apache.hadoop.fs.Path(root), true)
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("c_custkey"),
+          col("c_name")).filter(col("c_custkey") <= 80)
+      graft.sources.DeltaLakeSink.append(cust, root,
+        checkpointInterval = 0)
+      graft.sources.DeltaLakeSink.deleteLightweight(s, root,
+        col("c_custkey") % 9 === 0, checkpointInterval = 0)
+      val (vComp, _, _) = graft.sources.DeltaLakeSink.compact(s, root,
+        checkpointInterval = 0)
+      require(graft.sources.DeltaLakeSink.vacuum(s, root) == ((0, 0L)),
+        "a default-retention vacuum must not touch young files")
+      val res = graft.sql.ClickHouseSql.sql(s,
+        s"OPTIMIZE TABLE FUNCTION deltaLake('$root') VACUUM " +
+          "RETAIN 0 HOURS").collect().head
+      require(res.getLong(0) > 0L && res.getLong(1) > 0L,
+        s"the stranded pre-compaction files must collect, got $res")
+      require(!new java.io.File(root).listFiles.map(_.getName)
+        .exists(_.startsWith("deletion_vector_")),
+        "the unreferenced DV bin must collect")
+      require(scala.util.Try(graft.sources.DeltaLakeSource.read(s, root,
+        versionAsOf = Some(vComp - 1)).collect()).isFailure,
+        "time travel needing vacuumed files must be loud")
+      graft.sources.DeltaLakeSource.read(s, root).orderBy("c_custkey")
+    },
+
+    // Hudi CLEAN (round 16 — KEEP_LATEST_FILE_VERSIONS): upsert logs →
+    // compaction (second slice per group) → CLEAN KEEP 1 through the
+    // dialect deletes every pre-compaction slice and its logs (counts
+    // pinned in-query). The oracle restates the merged state — a clean
+    // that removed a retained slice or a still-needed log would lose
+    // or resurrect rows.
+    Q.df("q_hudi_clean", """
+      SELECT 'c' || CAST(c_custkey AS VARCHAR) AS k,
+        CAST(c_custkey AS BIGINT) AS c_custkey,
+        CASE WHEN c_custkey % 5 = 0 THEN 'CLEANED' ELSE c_name END
+          AS c_name
+      FROM customer WHERE c_custkey <= 100
+      ORDER BY c_custkey""") { (s, dir) =>
+      val root = s"/tmp/graft_hudicln_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = fsOf(s, root)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val cust = Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") <= 100)
+        .select(concat(lit("c"), col("c_custkey").cast("string"))
+          .as("_hoodie_record_key"),
+          col("c_custkey").cast("long").as("c_custkey"), col("c_name"))
+      graft.sources.HudiSink.upsert(cust, root)
+      graft.sources.HudiSink.upsert(
+        cust.filter(col("c_custkey") % 5 === 0)
+          .withColumn("c_name", lit("CLEANED")), root)
+      val (_, groups) = graft.sources.HudiSink.compact(s, root)
+      require(groups > 0, "the update logs must compact")
+      def names(): Seq[String] = fs
+        .listStatus(new org.apache.hadoop.fs.Path(root))
+        .map(_.getPath.getName).toSeq
+      val logsBefore = names().count(n => n.contains(".log.") &&
+        !n.endsWith(".crc"))
+      require(logsBefore > 0)
+      val res = graft.sql.ClickHouseSql.sql(s,
+        s"OPTIMIZE TABLE FUNCTION hudi('$root') CLEAN KEEP 1")
+        .collect().head
+      require(res.getLong(0) == groups.toLong &&
+        res.getLong(1) == logsBefore.toLong,
+        s"clean must drop $groups slices + $logsBefore logs, got $res")
+      require(!names().exists(n => n.contains(".log.") &&
+        !n.endsWith(".crc")), "no logs may survive a KEEP 1 clean here")
+      graft.sources.HudiSource.read(s, root)
+        .select(col("_hoodie_record_key").as("k"), col("c_custkey"),
+          col("c_name"))
+        .orderBy("c_custkey")
     }
   )
 }

@@ -1139,6 +1139,74 @@ object DeltaLakeSink {
     (version, matchedRows)
   }
 
+  /** VACUUM — delete files under the table directory that the CURRENT
+    * snapshot does not reference and whose modification time is older
+    * than `retentionMs` (Delta's default retention is 7 days; the
+    * retention window is what makes vacuum safe against files a
+    * CONCURRENT uncommitted write just staged). Candidates: data
+    * parquet files, `deletion_vector_*.bin` files not referenced by
+    * any active add, `_change_data/` files (cdc actions are only
+    * referenced by historical commits — Delta's own vacuum collects
+    * them past retention), and leftover staging directories from
+    * crashed writers. `_delta_log` is never touched. Time travel to a
+    * version needing a deleted file becomes loud at scan time, the
+    * protocol's documented vacuum trade. Returns (files deleted,
+    * bytes reclaimed). */
+  def vacuum(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      retentionMs: Long = 7L * 24 * 3600 * 1000): (Int, Long) = {
+    require(retentionMs >= 0, "deltaLake vacuum: negative retention")
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val state = DeltaLakeSource.replayLog(spark, tablePath)
+    // referenced = the current snapshot's data files + their DV files,
+    // compared on decoded path components (the reader's normalization)
+    val referenced: Set[String] = state.active.flatMap { case (p, a) =>
+      val dataPath =
+        DeltaLakeSource.qualify(spark, tablePath, p).toUri.getPath
+      val dvPath = a.dv.filter(d => d.storageType == "u" ||
+        d.storageType == "p").map(d =>
+        fs.makeQualified(DeltaDeletionVectors.dvFilePath(tablePath, d))
+          .toUri.getPath)
+      dataPath +: dvPath.toSeq
+    }.toSet
+    val cutoff = System.currentTimeMillis() - retentionMs
+    var deleted = 0
+    var bytes = 0L
+    // hidden (dot/underscore-prefixed) names are PROTECTED, the same
+    // rule Delta's vacuum applies — with _change_data special-cased as
+    // collectible and __graft staging dirs collectible as this
+    // writer's own crash leftovers
+    def collectibleDir(n: String): Boolean =
+      n == "_change_data" || n.startsWith("__graft") ||
+        (!n.startsWith("_") && !n.startsWith("."))
+    def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory) {
+        if (n != "_delta_log" && collectibleDir(n)) {
+          walk(st.getPath)
+          // prune now-empty dirs (crashed staging dirs, emptied
+          // _change_data) — best-effort
+          if (fs.listStatus(st.getPath).isEmpty)
+            scala.util.Try(fs.delete(st.getPath, false))
+        }
+      } else if (!n.startsWith(".") && !n.startsWith("_")) {
+        val decoded = fs.makeQualified(st.getPath).toUri.getPath
+        if (!referenced.contains(decoded) &&
+            st.getModificationTime < cutoff) {
+          val len = st.getLen
+          if (fs.delete(st.getPath, false)) {
+            deleted += 1; bytes += len
+            // the checksum sidecar of a deleted file goes with it
+            scala.util.Try(fs.delete(
+              new Path(st.getPath.getParent, s".$n.crc"), false))
+          }
+        }
+      }
+    }
+    walk(root)
+    (deleted, bytes)
+  }
+
   /** Write the single-part checkpoint for `version` (PROTOCOL.md
     * "Checkpoints"): the reconstructed snapshot — one metaData row, one
     * protocol row, one add per active file (with its deletionVector

@@ -614,4 +614,80 @@ object HudiSink {
     complete(fs, root, instant, "commit")
     (instant, compacted)
   }
+
+  /** CLEAN — Hudi's KEEP_LATEST_FILE_VERSIONS cleaner: per file group,
+    * retain the newest `keepSlices` VISIBLE base slices; older visible
+    * slices delete together with the log files attached to them
+    * (`.fileId_<baseInstant>.log.*`). Safe for current reads: a log
+    * always attaches to the latest slice at write time, so a deleted
+    * slice's log events carry commit instants older than the retained
+    * slice and were folded by whatever produced it (compaction or a
+    * CoW rewrite) — the merge result is unchanged. Pending slices are
+    * never deleted (their commit may still complete). Time travel to
+    * cleaned instants becomes unavailable — the trade cleaning exists
+    * for. Completes a `clean` timeline instant (the reader ignores
+    * non-commit actions for visibility, per the table spec). Returns
+    * (base files deleted, log files deleted). */
+  def clean(spark: SparkSession, tablePath: String,
+      keepSlices: Int = 1): (Int, Int) = {
+    require(keepSlices >= 1, "hudi clean: keepSlices must be >= 1")
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(root, ".hoodie")),
+      s"hudi clean: $tablePath is not a Hudi table")
+    val (completed, pending, hasTimeline) = HudiSource.timeline(fs, root)
+    val maxCompleted = if (completed.isEmpty) Long.MaxValue
+      else completed.max
+    def visible(ts: Long): Boolean =
+      !pending.contains(ts) && (!hasTimeline || ts <= maxCompleted)
+    // full slice + log listing (scanLayout keeps only the latest slice
+    // per group — cleaning needs them all)
+    val logRe = "^\\.(.+)_([0-9]+)\\.log\\.([0-9]+)(?:_(.+))?$".r
+    val slices = scala.collection.mutable.Map
+      .empty[String, List[(Long, Path)]].withDefaultValue(Nil)
+    val logsBy = scala.collection.mutable.Map
+      .empty[(String, Long), List[Path]].withDefaultValue(Nil)
+    def walk(p: Path, rel: String): Unit = fs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory) {
+        if (!n.startsWith(".") && !n.startsWith("_") &&
+            !n.startsWith("__graft"))
+          walk(st.getPath, if (rel.isEmpty) n else s"$rel/$n")
+      } else n match {
+        case logRe(fileId, baseTs, _, _) =>
+          val key = (route(rel, fileId),
+            HudiSource.padInstant(baseTs.takeWhile(_.isDigit)))
+          logsBy(key) = st.getPath :: logsBy(key)
+        case _ if n.endsWith(".parquet") && !n.startsWith(".") &&
+            !n.startsWith("_") =>
+          val parts = n.stripSuffix(".parquet").split('_')
+          require(parts.length == 3,
+            s"hudi clean: unexpected base-file name $n")
+          val r = route(rel, parts(0))
+          val ts = HudiSource.padInstant(parts(2).takeWhile(_.isDigit))
+          slices(r) = (ts, st.getPath) :: slices(r)
+        case _ =>
+      }
+    }
+    walk(root, "")
+    val instant = claimInstant(fs, root, "clean")
+    markInflight(fs, root, instant, "clean")
+    var delBase = 0
+    var delLogs = 0
+    slices.foreach { case (r, ss) =>
+      val visSorted = ss.filter(s => visible(s._1)).sortBy(-_._1)
+      if (visSorted.length > keepSlices) {
+        visSorted.drop(keepSlices).foreach { case (ts, p) =>
+          if (fs.delete(p, false)) {
+            delBase += 1
+            logsBy((r, ts)).foreach { lp =>
+              if (fs.delete(lp, false)) delLogs += 1
+            }
+          }
+        }
+      }
+    }
+    complete(fs, root, instant, "clean")
+    (delBase, delLogs)
+  }
 }

@@ -42,7 +42,7 @@ object HudiSource {
 
   /** Pad a (14-digit second / 17-digit millisecond) instant to a fixed
     * 17-digit width so mixed precisions compare correctly. */
-  private def padInstant(digits: String): Long =
+  private[sources] def padInstant(digits: String): Long =
     (if (digits.length < 17) digits + "0" * (17 - digits.length)
      else digits).toLong
 
@@ -54,7 +54,7 @@ object HudiSource {
     * COMPLETED; their `.inflight`/`.requested` forms are PENDING until
     * the completed file lands. Other actions (clean, rollback, …) do
     * not gate data visibility. */
-  private def timeline(fs: org.apache.hadoop.fs.FileSystem,
+  private[sources] def timeline(fs: org.apache.hadoop.fs.FileSystem,
       root: Path): (Set[Long], Set[Long], Boolean) = {
     val dir = new Path(root, ".hoodie")
     val instantRe =

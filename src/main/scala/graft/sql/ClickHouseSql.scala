@@ -1476,6 +1476,18 @@ object ClickHouseSql {
     val lakeExpire = ("(?is)^OPTIMIZE\\s+TABLE\\s+FUNCTION\\s+" +
       "iceberg\\s*\\(\\s*'([^']+)'\\s*\\)\\s+EXPIRE\\s+SNAPSHOTS" +
       "(?:\\s+KEEP\\s+(\\d+))?\\s*;?\\s*$").r
+    // OPTIMIZE TABLE FUNCTION deltaLake('path') VACUUM
+    // [RETAIN N HOURS] — delete files the current snapshot does not
+    // reference, older than the retention window (default 168h)
+    val lakeVacuum = ("(?is)^OPTIMIZE\\s+TABLE\\s+FUNCTION\\s+" +
+      "deltaLake\\s*\\(\\s*'([^']+)'\\s*\\)\\s+VACUUM" +
+      "(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?\\s*;?\\s*$").r
+    // OPTIMIZE TABLE FUNCTION hudi('path') CLEAN [KEEP N] — retain the
+    // newest N visible base slices per file group, delete the rest
+    // with their attached logs
+    val lakeClean = ("(?is)^OPTIMIZE\\s+TABLE\\s+FUNCTION\\s+" +
+      "hudi\\s*\\(\\s*'([^']+)'\\s*\\)\\s+CLEAN" +
+      "(?:\\s+KEEP\\s+(\\d+))?\\s*;?\\s*$").r
     trimmed0 match {
       case lakeExpire(path, keep0) =>
         import spark.implicits._
@@ -1484,6 +1496,20 @@ object ClickHouseSql {
           .expireSnapshots(spark, path, keepLast = keep)
         return Seq((expired.toLong, deleted.toLong))
           .toDF("snapshots_expired", "files_deleted")
+      case lakeVacuum(path, hours0) =>
+        import spark.implicits._
+        val hours = Option(hours0).map(_.toLong).getOrElse(168L)
+        val (files, bytes) = graft.sources.DeltaLakeSink
+          .vacuum(spark, path, retentionMs = hours * 3600L * 1000L)
+        return Seq((files.toLong, bytes))
+          .toDF("files_deleted", "bytes_reclaimed")
+      case lakeClean(path, keep0) =>
+        import spark.implicits._
+        val keep = Option(keep0).map(_.toInt).getOrElse(1)
+        val (bases, logs) = graft.sources.HudiSink
+          .clean(spark, path, keepSlices = keep)
+        return Seq((bases.toLong, logs.toLong))
+          .toDF("base_files_deleted", "log_files_deleted")
       case lakeOptimize(fn, path) =>
         import spark.implicits._
         if (fn.equalsIgnoreCase("iceberg")) {
