@@ -150,8 +150,89 @@ object HudiSource {
     require(latest.nonEmpty,
       s"hudi: no base files visible at the requested instant under " +
         s"$tablePath")
+    // ---- log-free (copy-on-write) reads: when the layout is
+    // hive-style partitioned, scan through a PartitionedListFileIndex
+    // (round 16) — partition predicates then prune whole FILES at
+    // planning time instead of merely skipping row groups after every
+    // footer opens. Partition values parse from the k=v dir names and
+    // type from the file schema (Hudi keeps partition columns IN the
+    // data files — drop.partition.columns=false default — so the
+    // declared types are authoritative). MoR tables (logs present)
+    // keep the full scan: the key-merge needs every group anyway. ----
+    if (logs.isEmpty) {
+      val rootUri = fs.makeQualified(root).toUri.getPath
+      val byRel: Seq[(String, String)] = latest.values.toSeq.map {
+        case (_, p) =>
+          val parent = new Path(p).getParent
+          val parentUri = fs.makeQualified(parent).toUri.getPath
+          val rel =
+            if (parentUri == rootUri) ""
+            else parentUri.stripPrefix(rootUri).stripPrefix("/")
+          (rel, p)
+      }
+      val rels = byRel.map(_._1).distinct
+      val hiveCols: Option[Seq[String]] =
+        if (rels.exists(_.isEmpty)) None // unpartitioned or mixed layout
+        else {
+          val colSeqs = rels.map(_.split('/').toSeq.map { seg =>
+            val i = seg.indexOf('=')
+            if (i <= 0) null else seg.substring(0, i)
+          }).distinct
+          if (colSeqs.size == 1 && !colSeqs.head.contains(null))
+            Some(colSeqs.head)
+          else None // not hive-style — plain scan below
+        }
+      hiveCols match {
+        case None =>
+          return spark.read.parquet(latest.values.map(_._2).toSeq: _*)
+        case Some(partCols) =>
+          val fullSchema = spark.read
+            .parquet(byRel.head._2).schema
+          if (!partCols.forall(c =>
+              fullSchema.fieldNames.exists(_.equalsIgnoreCase(c))))
+            return spark.read.parquet(latest.values.map(_._2).toSeq: _*)
+          val partFields = partCols.map(c =>
+            fullSchema.fields.find(_.name.equalsIgnoreCase(c)).get)
+          val partSchema = org.apache.spark.sql.types
+            .StructType(partFields)
+          val dataSchema = org.apache.spark.sql.types.StructType(
+            fullSchema.fields.filterNot(f =>
+              partCols.exists(_.equalsIgnoreCase(f.name))))
+          val zone = Option(spark.sessionState.conf.sessionLocalTimeZone)
+          def castVal(s: String,
+              dt: org.apache.spark.sql.types.DataType): Any =
+            if (s == "__HIVE_DEFAULT_PARTITION__") null
+            else org.apache.spark.sql.catalyst.expressions.Cast(
+              org.apache.spark.sql.catalyst.expressions.Literal(
+                org.apache.spark.unsafe.types.UTF8String.fromString(
+                  java.net.URLDecoder.decode(s, "UTF-8")),
+                org.apache.spark.sql.types.StringType), dt, zone)
+              .eval(null)
+          val grouped = byRel.groupBy(_._1).toSeq.map { case (rel, fsq) =>
+            val segVals = rel.split('/').map(seg =>
+              seg.substring(seg.indexOf('=') + 1))
+            val values = org.apache.spark.sql.catalyst.InternalRow
+              .fromSeq(segVals.zip(partFields).map { case (v, f) =>
+                castVal(v, f.dataType)
+              }.toIndexedSeq)
+            (values, fsq.map { case (_, p) =>
+              fs.getFileStatus(new Path(p))
+            })
+          }
+          val index = new PartitionedListFileIndex(grouped, partSchema)
+          val rel = org.apache.spark.sql.execution.datasources
+            .HadoopFsRelation(index, partSchema, dataSchema, None,
+              new org.apache.spark.sql.execution.datasources.parquet
+                .ParquetFileFormat, Map.empty)(spark)
+          val df0 = org.apache.spark.sql.graft.RelationBridge.ofRows(
+            spark, org.apache.spark.sql.execution.datasources
+              .LogicalRelation(rel, isStreaming = false))
+          // restore the file schema's declared column order
+          return df0.select(fullSchema.fieldNames.toIndexedSeq
+            .map(org.apache.spark.sql.functions.col): _*)
+      }
+    }
     val base = spark.read.parquet(latest.values.map(_._2).toSeq: _*)
-    if (logs.isEmpty) return base
 
     // ---- merge-on-read ----
     val keyCol = "_hoodie_record_key"

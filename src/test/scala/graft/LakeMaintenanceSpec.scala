@@ -109,4 +109,53 @@ class LakeMaintenanceSpec extends SparkFunSuite {
       assert(viaSql.getLong(0) == 0L && viaSql.getLong(1) == 0L)
     } finally cleanup(dir)
   }
+
+  test("hudi partitioned COW reads prune files at planning time " +
+      "(round 16): after compact + clean the hive layout scans through " +
+      "the PartitionedListFileIndex") {
+    val dir = tmp("hprune")
+    try {
+      val d = (1L to 24L).map(i =>
+        (s"k$i", i, s"a$i", (i % 4).toString))
+        .toDF("_hoodie_record_key", "id", "v", "p")
+      HudiSink.upsert(d, dir, partitionBy = Seq("p"))
+      HudiSink.upsert(Seq(("k4", 4L, "UPD", "0"))
+        .toDF("_hoodie_record_key", "id", "v", "p"), dir)
+      HudiSink.compact(spark, dir)
+      HudiSink.clean(spark, dir, keepSlices = 1)
+      val expect = HudiSource.read(spark, dir)
+        .select("_hoodie_record_key", "v").as[(String, String)]
+        .collect().toMap
+      assert(expect("k4") == "UPD" && expect.size == 24)
+      // the log-free partitioned read rides the FileIndex: a partition
+      // predicate prunes files
+      val all = HudiSource.read(spark, dir)
+      val totalFiles = all.inputFiles.length
+      assert(totalFiles >= 4, s"4 partitions expected, got $totalFiles")
+      val one = HudiSource.read(spark, dir).filter(col("p") === "1")
+      one.collect()
+      def scans(pl: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+        pl match {
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => scans(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive
+              .QueryStageExec => scans(q.plan)
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            Seq(s)
+          case other => other.children.flatMap(scans)
+        }
+      val numFiles = scans(one.queryExecution.executedPlan)
+        .map(_.metrics("numFiles").value).sum
+      assert(numFiles < totalFiles && numFiles >= 1,
+        s"hudi partition pruning: $numFiles of $totalFiles files")
+      assert(one.select("id").as[Long].collect().sorted.toSeq ==
+        (1L to 24L).filter(_ % 4 == 1))
+      // values identical to the pre-clean merge result
+      val got = HudiSource.read(spark, dir)
+        .select("_hoodie_record_key", "v").as[(String, String)]
+        .collect().toMap
+      assert(got == expect)
+    } finally cleanup(dir)
+  }
 }
