@@ -299,6 +299,71 @@ object Extras7 extends QueryPack {
         .select(col("_hoodie_record_key").as("k"), col("c_custkey"),
           col("c_name"))
         .orderBy("c_custkey")
+    },
+
+    // Delta RESTORE (round 16 — point-in-time recovery): append →
+    // UPDATE → RESTORE TO VERSION 0 through the dialect. The restored
+    // content must equal the original append (the oracle restates it)
+    // while the PRE-restore state stays travelable (pinned in-query:
+    // restore preserves history, unlike a rollback-by-truncation).
+    Q.df("q_delta_restore", """
+      SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 100
+      ORDER BY c_custkey""") { (s, dir) =>
+      val root = s"/tmp/graft_deltarst_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      fsOf(s, root).delete(new org.apache.hadoop.fs.Path(root), true)
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("c_custkey"),
+          col("c_name")).filter(col("c_custkey") <= 100)
+      graft.sources.DeltaLakeSink.append(cust, root,
+        checkpointInterval = 0) // v0
+      val (v1, nUpd) = graft.sources.DeltaLakeSink.update(s, root,
+        Seq("c_name" -> lit("MUTATED")), col("c_custkey") % 10 === 0,
+        checkpointInterval = 0)
+      require(nUpd > 0L && v1 == 1L,
+        s"expected a matched update at v1, got ($nUpd, $v1)")
+      val res = graft.sql.ClickHouseSql.sql(s,
+        s"RESTORE TABLE FUNCTION deltaLake('$root') TO VERSION 0")
+        .collect().head
+      require(res.getLong(0) == 2L && res.getLong(1) > 0 &&
+        res.getLong(2) > 0, s"restore must commit re-adds+removes: $res")
+      // history preserved: the pre-restore (mutated) state travels
+      val mutated = graft.sources.DeltaLakeSource.read(s, root,
+        versionAsOf = Some(1L))
+        .filter(col("c_name") === "MUTATED").count()
+      require(mutated == nUpd,
+        s"the pre-restore state must stay travelable: $mutated != $nUpd")
+      graft.sources.DeltaLakeSource.read(s, root).orderBy("c_custkey")
+    },
+
+    // Iceberg ROLLBACK (round 16): two appends → roll the current
+    // snapshot back to the first → a third append builds on the
+    // rolled-back state. Current = first + third slices (the oracle
+    // restates them); the bypassed second snapshot stays travelable
+    // (pinned in-query).
+    Q.df("q_iceberg_rollback", """
+      SELECT c_custkey, c_name FROM customer
+      WHERE c_custkey <= 50 OR (c_custkey > 100 AND c_custkey <= 120)
+      ORDER BY c_custkey""") { (s, dir) =>
+      val root = s"/tmp/graft_icerb_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      fsOf(s, root).delete(new org.apache.hadoop.fs.Path(root), true)
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"))
+      val s1 = graft.sources.IcebergSink.append(
+        cust.filter(col("c_custkey") <= 50), root)
+      val s2 = graft.sources.IcebergSink.append(
+        cust.filter(col("c_custkey") > 50 && col("c_custkey") <= 100),
+        root)
+      graft.sql.ClickHouseSql.sql(s,
+        s"ALTER TABLE FUNCTION iceberg('$root') ROLLBACK TO SNAPSHOT $s1")
+        .collect()
+      graft.sources.IcebergSink.append(
+        cust.filter(col("c_custkey") > 100 && col("c_custkey") <= 120),
+        root)
+      require(graft.sources.IcebergSource.read(s, root,
+        snapshotId = Some(s2)).count() ==
+        cust.filter(col("c_custkey") <= 100).count(),
+        "the bypassed snapshot must stay travelable")
+      graft.sources.IcebergSource.read(s, root).orderBy("c_custkey")
     }
   )
 }

@@ -481,7 +481,8 @@ object DeltaLakeSink {
       dataChange: Boolean = true,
       numRecords: Option[Long] = None,
       baseRowId: Option[Long] = None,
-      defaultRowCommitVersion: Option[Long] = None): String = {
+      defaultRowCommitVersion: Option[Long] = None,
+      rawStats: Option[String] = None): String = {
     val pvNode = mapper.createObjectNode()
     pv.foreach { case (k, v) =>
       v match {
@@ -512,6 +513,7 @@ object DeltaLakeSink {
     numRecords.foreach { nr =>
       add.put("stats", s"""{"numRecords":$nr,"tightBounds":false}""")
     }
+    rawStats.foreach(add.put("stats", _)) // verbatim echo (restore)
     baseRowId.foreach(add.put("baseRowId", _))
     defaultRowCommitVersion.foreach(add.put("defaultRowCommitVersion", _))
     val line = mapper.createObjectNode()
@@ -1137,6 +1139,93 @@ object DeltaLakeSink {
     if (checkpointInterval > 0 && (version + 1) % checkpointInterval == 0)
       writeCheckpoint(spark, tablePath, version)
     (version, matchedRows)
+  }
+
+  /** RESTORE — revert the table's CONTENT to `version` with one new
+    * commit (the delta-spark RESTORE verb): files active at the target
+    * but not now re-ADD (echoing their partitionValues, deletion
+    * vectors, stats and row-tracking ids verbatim — nothing moves),
+    * files active now but not at the target REMOVE. History is
+    * preserved (restore is itself a commit; time travel to the
+    * pre-restore state still works). Refuses loudly when a target
+    * file or its DV no longer exists on disk (a vacuum already
+    * collected it) and on CDF tables (a restore's change rows would
+    * need a full content diff this writer does not emit). Returns
+    * (committed version, files re-added, files removed). */
+  def restore(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      version: Long, checkpointInterval: Int = 10): (Long, Int, Int) = {
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = DeltaLakeSource.replayLog(spark, tablePath)
+    require(version <= cur.version,
+      s"deltaLake restore: version $version is not in the past " +
+        s"(current ${cur.version})")
+    // restore both removes current rows and re-adds old ones
+    writerGate(cur, "restore", "delete")
+    writerGate(cur, "restore", "append")
+    val conf = cur.meta.map(_.configuration).getOrElse(Map.empty)
+    require(!conf.get("delta.enableChangeDataFeed")
+      .exists(_.equalsIgnoreCase("true")),
+      "deltaLake restore: the table enables change data feed and a " +
+        "restore's change rows would need a full content diff — " +
+        "refusing")
+    val target = DeltaLakeSource.replayLog(spark, tablePath,
+      Some(version))
+    val curPaths = cur.active.map(_._1).toSet
+    val targetByPath = target.active.toMap
+    val reAdds = target.active.filterNot { case (p, _) => curPaths(p) }
+    val removes = cur.active.map(_._1)
+      .filterNot(targetByPath.contains)
+    if (reAdds.isEmpty && removes.isEmpty)
+      return (cur.version, 0, 0)
+    // every re-added file (and its DV) must still exist — a vacuumed
+    // target is unrecoverable and must be LOUD, not a broken table
+    reAdds.foreach { case (p, a) =>
+      val abs = DeltaLakeSource.qualify(spark, tablePath, p)
+      require(fs.exists(abs),
+        s"deltaLake restore: data file $p of version $version no " +
+          "longer exists (vacuumed?) — the version is unrecoverable")
+      a.dv.filter(d => d.storageType == "u" || d.storageType == "p")
+        .foreach { d =>
+          val dvp = DeltaDeletionVectors.dvFilePath(tablePath, d)
+          require(fs.exists(dvp),
+            s"deltaLake restore: deletion vector of $p no longer " +
+              "exists (vacuumed?) — the version is unrecoverable")
+        }
+    }
+    val body = removes.sorted.map(p => removeJson(p)) ++
+      reAdds.map { case (p, a) =>
+        val abs = DeltaLakeSource.qualify(spark, tablePath, p)
+        val size = scala.util.Try(fs.getFileStatus(abs).getLen)
+          .getOrElse(0L)
+        addJson(p, size, a.pv, a.dv,
+          baseRowId = a.baseRowId,
+          defaultRowCommitVersion = a.defaultRowCommitVersion,
+          rawStats = a.stats) // the target add's stats echo verbatim
+      }
+    val newVersion = cur.version + 1
+    commitFailpoint()
+    val targetPath = new Path(new Path(root, "_delta_log"),
+      f"$newVersion%020d.json")
+    val claimed =
+      try {
+        val out = fs.create(targetPath, false)
+        try out.write((body.mkString("\n") + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException
+            if Option(e.getMessage).exists(_.contains("exist")) => false
+      }
+    if (!claimed) throw new IllegalStateException(
+      s"deltaLake restore: a concurrent commit claimed version " +
+        s"$newVersion — the captured file sets are stale, refusing")
+    if (checkpointInterval > 0 &&
+        (newVersion + 1) % checkpointInterval == 0)
+      writeCheckpoint(spark, tablePath, newVersion)
+    (newVersion, reAdds.size, removes.size)
   }
 
   /** VACUUM — delete files under the table directory that the CURRENT

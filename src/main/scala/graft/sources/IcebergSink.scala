@@ -882,6 +882,48 @@ object IcebergSink {
     (snapshotId, matchedRows)
   }
 
+  /** ROLLBACK — set the CURRENT snapshot back to `snapshotId` (the
+    * spec's set-current-snapshot): metadata v(N+1) re-points
+    * current-snapshot-id at the target, which must still be present
+    * in the snapshot list. Nothing deletes — newer snapshots stay
+    * travelable (and a later expireSnapshots can drop them);
+    * last-sequence-number is untouched so future commits keep the
+    * spec's monotonic sequence numbers. Returns the new metadata
+    * version. */
+  def rollback(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, snapshotId: Long): Int = {
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaDir = new Path(root, "metadata")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val metaRe = "^v(\\d+)\\.metadata\\.json$".r
+    val versions =
+      if (!fs.exists(metaDir)) Seq.empty[Int]
+      else fs.listStatus(metaDir).map(_.getPath.getName)
+        .collect { case metaRe(v) => v.toInt }.sorted.toSeq
+    require(versions.nonEmpty,
+      s"iceberg rollback: $tablePath is not an Iceberg table")
+    val meta = {
+      val in = fs.open(new Path(metaDir,
+        s"v${versions.last}.metadata.json"))
+      try mapper.readTree(in.readAllBytes()) finally in.close()
+    }
+    val snaps = Option(meta.get("snapshots")).toSeq
+      .flatMap(arr => (0 until arr.size).map(arr.get))
+    require(snaps.exists(_.get("snapshot-id").asLong == snapshotId),
+      s"iceberg rollback: snapshot $snapshotId is not present in the " +
+        "metadata (expired?) — unrecoverable")
+    val out = meta.deepCopy[com.fasterxml.jackson.databind.JsonNode]()
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    out.put("current-snapshot-id", snapshotId)
+    val newVersion = versions.last + 1
+    commitFailpoint()
+    claimVersion(fs, metaDir, newVersion,
+      mapper.writeValueAsString(out), "rollback",
+      "rerun the rollback against the new state")
+    newVersion
+  }
+
   /** EXPIRE SNAPSHOTS — the maintenance verb that bounds a long-lived
     * table's metadata (Iceberg's expire_snapshots): keep the newest
     * `keepLast` snapshots by timestamp (the CURRENT snapshot is always

@@ -1488,6 +1488,30 @@ object ClickHouseSql {
     val lakeClean = ("(?is)^OPTIMIZE\\s+TABLE\\s+FUNCTION\\s+" +
       "hudi\\s*\\(\\s*'([^']+)'\\s*\\)\\s+CLEAN" +
       "(?:\\s+KEEP\\s+(\\d+))?\\s*;?\\s*$").r
+    // RESTORE TABLE FUNCTION deltaLake('p') TO VERSION N — revert the
+    // content to a past version with one commit (history preserved);
+    // ALTER TABLE FUNCTION iceberg('p') ROLLBACK TO SNAPSHOT <id> —
+    // re-point the current snapshot (round 16)
+    val lakeRestore = ("(?is)^RESTORE\\s+TABLE\\s+FUNCTION\\s+" +
+      "deltaLake\\s*\\(\\s*'([^']+)'\\s*\\)\\s+TO\\s+VERSION\\s+" +
+      "(\\d+)\\s*;?\\s*$").r
+    val lakeRollback = ("(?is)^ALTER\\s+TABLE\\s+FUNCTION\\s+" +
+      "iceberg\\s*\\(\\s*'([^']+)'\\s*\\)\\s+ROLLBACK\\s+TO\\s+" +
+      "SNAPSHOT\\s+(\\d+)\\s*;?\\s*$").r
+    trimmed0 match {
+      case lakeRestore(path, v) =>
+        import spark.implicits._
+        val (cv, added, removed) = graft.sources.DeltaLakeSink
+          .restore(spark, path, v.toLong)
+        return Seq((cv, added.toLong, removed.toLong))
+          .toDF("committed_version", "files_readded", "files_removed")
+      case lakeRollback(path, sid) =>
+        import spark.implicits._
+        val mv = graft.sources.IcebergSink
+          .rollback(spark, path, sid.toLong)
+        return Seq(mv.toLong).toDF("metadata_version")
+      case _ =>
+    }
     trimmed0 match {
       case lakeExpire(path, keep0) =>
         import spark.implicits._

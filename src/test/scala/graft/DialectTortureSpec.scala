@@ -428,6 +428,22 @@ class DialectTortureSpec extends SparkFunSuite {
     assert(lit.contains("table_changes('/nope', 1)") &&
       lit.contains("EXPIRE SNAPSHOTS KEEP 9"),
       s"round-16 spellings in literals must pass through: $lit")
+    // same for the VACUUM / CLEAN / RESTORE / ROLLBACK verbs — the
+    // lanes anchor at statement start, so embedded spellings never
+    // dispatch
+    val lit2 = ch("SELECT 'RESTORE TABLE FUNCTION deltaLake(''/nope'') " +
+      "TO VERSION 3; OPTIMIZE TABLE FUNCTION hudi(''/nope'') CLEAN " +
+      "KEEP 2' AS s FROM nation LIMIT 1").collect().head.getString(0)
+    assert(lit2.contains("TO VERSION 3") && lit2.contains("CLEAN KEEP 2"))
+    // half-formed maintenance statements do not dispatch a verb
+    intercept[Exception] {
+      ch("OPTIMIZE TABLE FUNCTION deltaLake('/tmp/graft_no_such_t') " +
+        "VACUUM RETAIN 1 HOURS")
+    }
+    intercept[Exception] {
+      ch("RESTORE TABLE FUNCTION deltaLake('/tmp/graft_no_such_t') " +
+        "TO VERSION 1")
+    }
     // a real CDF table read through hostile spacing/casing
     val dir = java.nio.file.Files
       .createTempDirectory("graft_tort16").toString + "/t"
