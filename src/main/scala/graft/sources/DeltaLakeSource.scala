@@ -739,14 +739,30 @@ object DeltaLakeSource {
       .exists(_.equalsIgnoreCase("true")),
       "deltaLake table_changes: the table does not enable " +
         "delta.enableChangeDataFeed")
-    require(m.configuration
-      .getOrElse("delta.columnMapping.mode", "none") == "none",
-      "deltaLake table_changes: column-mapped tables are not " +
-        "implemented on the CDF read path")
+    // column-mapped tables (round 16): data and cdc files store
+    // PHYSICAL column names; the scan physicalizes and the projection
+    // casts back — the same mirror the main read uses. The
+    // _change_type column itself is never mapped (it is not a table
+    // column).
+    val mappingMode = m.configuration
+      .getOrElse("delta.columnMapping.mode", "none")
+    require(Set("none", "name", "id")(mappingMode),
+      s"deltaLake table_changes: unknown columnMapping.mode " +
+        s"'$mappingMode'")
     val schema = DataType.fromJson(m.schemaString).asInstanceOf[StructType]
     val partCols = m.partitionColumns
+    def physName(f: StructField): String = physNameOf(f, mappingMode)
     val dataSchema = StructType(
-      schema.fields.filterNot(f => partCols.contains(f.name)))
+      schema.fields.filterNot(f => partCols.contains(f.name))
+        .map(f => StructField(physName(f),
+          physicalizeType(f.dataType, mappingMode), f.nullable)))
+    val partKeyOf: Map[String, String] = partCols.map { pc =>
+      val f = schema.fields.find(_.name == pc).getOrElse(
+        throw new IllegalArgumentException(
+          s"deltaLake table_changes: partition column '$pc' missing " +
+            "from the schema"))
+      pc -> physName(f)
+    }.toMap
     val outSchema = StructType(schema.fields ++ Seq(
       StructField("_change_type", StringType),
       StructField("_commit_version",
@@ -794,7 +810,8 @@ object DeltaLakeSource {
                 StructField(s"__pv_$pc", StringType, nullable = true)))
           val pvRows = qualified.map { case (f, pv) =>
             Row.fromSeq(f.toUri.getPath +:
-              partCols.map(pc => pv.get(pc).flatten.orNull))
+              partCols.map(pc => pv.get(partKeyOf(pc))
+                .orElse(pv.get(pc)).flatten.orNull))
           }
           val pvDf = spark.createDataFrame(
             spark.sparkContext.parallelize(pvRows, 1), pvSchema)
@@ -805,7 +822,8 @@ object DeltaLakeSource {
       restored.select(schema.fields.map { f =>
         if (partCols.contains(f.name))
           col(s"__pv_${f.name}").cast(f.dataType).as(f.name)
-        else col(f.name)
+        else if (mappingMode == "none") col(f.name)
+        else col(physName(f)).cast(f.dataType).as(f.name)
       }.toIndexedSeq ++ Seq(col("_change_type"),
         lit(v).as("_commit_version")): _*)
     }

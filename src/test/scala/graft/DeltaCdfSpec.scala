@@ -170,6 +170,68 @@ class DeltaCdfSpec extends SparkFunSuite {
     } finally cleanup(dir)
   }
 
+  test("column-mapped CDF table: cdc files stage under physical names " +
+      "and readChanges restores the logical schema") {
+    val dir = tmp("colmap")
+    val jsonEsc = (s: String) =>
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
+    try {
+      // a name-mapped flat table: logical (id, name, p[part]) stored
+      // physically as (col-a, col-n, col-p)
+      val schemaString =
+        """{"type":"struct","fields":[""" +
+          """{"name":"id","type":"long","nullable":true,"metadata":""" +
+          """{"delta.columnMapping.id":1,"delta.columnMapping.physicalName":"col-a"}},""" +
+          """{"name":"name","type":"string","nullable":true,"metadata":""" +
+          """{"delta.columnMapping.id":2,"delta.columnMapping.physicalName":"col-n"}},""" +
+          """{"name":"p","type":"string","nullable":true,"metadata":""" +
+          """{"delta.columnMapping.id":3,"delta.columnMapping.physicalName":"col-p"}}]}"""
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+      val df = (1L to 6L).map(i => (i, s"n$i")).toDF("a", "b")
+        .select(col("a").as("col-a"), col("b").as("col-n"))
+      val tmpd = s"$dir/__tmp"
+      df.coalesce(1).write.mode("overwrite").parquet(tmpd)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmpd))
+        .map(_.getPath).find(_.getName.startsWith("part-")).get
+      fs.rename(part, new org.apache.hadoop.fs.Path(dir, "f1.parquet"))
+      fs.delete(new org.apache.hadoop.fs.Path(tmpd), true)
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Path.of(dir, "_delta_log"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Path.of(dir, "_delta_log", f"${0L}%020d.json"),
+        Seq(
+          """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+          s"""{"metaData":{"id":"cm","format":{"provider":"parquet"},""" +
+            s""""schemaString":"${jsonEsc(schemaString)}",""" +
+            s""""partitionColumns":["p"],""" +
+            s""""configuration":{"delta.columnMapping.mode":"name",""" +
+            s""""delta.enableChangeDataFeed":"true",""" +
+            s""""delta.columnMapping.maxColumnId":"3"}}}""",
+          """{"add":{"path":"f1.parquet","partitionValues":""" +
+            """{"col-p":"x"},"size":1,"modificationTime":1,""" +
+            """"dataChange":true}}"""
+        ).mkString("\n") + "\n")
+      // a CoW delete on the mapped CDF table stages physical cdc files
+      val (v1, n) = DeltaLakeSink.delete(spark, dir, col("id") >= 5L,
+        checkpointInterval = 0)
+      assert(n == 2L)
+      val cdc = new java.io.File(dir, "_change_data").listFiles
+        .filter(_.getName.endsWith(".parquet"))
+      assert(cdc.nonEmpty)
+      val physical = spark.read.parquet(cdc.head.getPath).columns.toSet
+      assert(physical.contains("col-a") && physical.contains("col-n") &&
+        physical.contains("_change_type"),
+        s"cdc files must store physical names, got $physical")
+      val ch = DeltaLakeSource.readChanges(spark, dir, v1)
+        .select("id", "name", "p", "_change_type")
+        .as[(Long, String, String, String)].collect().toSet
+      assert(ch == Set((5L, "n5", "x", "delete"),
+        (6L, "n6", "x", "delete")), s"got $ch")
+    } finally cleanup(dir)
+  }
+
   test("checkpoint add schema carries stats (the DV-add protocol " +
       "requirement survives a vacuum)") {
     val dir = tmp("stats")
