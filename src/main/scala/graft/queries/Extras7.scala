@@ -364,6 +364,48 @@ object Extras7 extends QueryPack {
         cust.filter(col("c_custkey") <= 100).count(),
         "the bypassed snapshot must stay travelable")
       graft.sources.IcebergSource.read(s, root).orderBy("c_custkey")
+    },
+
+    // Iceberg INCREMENTAL APPEND SCAN (round 16 — the snapshot-range
+    // changes read, Iceberg's incremental-read contract): three
+    // appends, then iceberg_changes(root, s1) through the dialect
+    // serves exactly the rows of appends 2+3 (the oracle restates
+    // them); a bounded (s1, s2] range serves only append 2, and a
+    // range crossing a row-level DELETE refuses loudly (both pinned
+    // in-query).
+    Q.df("q_iceberg_incremental", """
+      SELECT c_custkey, c_name FROM customer
+      WHERE c_custkey > 40 AND c_custkey <= 120
+      ORDER BY c_custkey""") { (s, dir) =>
+      val root = s"/tmp/graft_iceinc_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      fsOf(s, root).delete(new org.apache.hadoop.fs.Path(root), true)
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"))
+      val s1 = graft.sources.IcebergSink.append(
+        cust.filter(col("c_custkey") <= 40), root)
+      val s2 = graft.sources.IcebergSink.append(
+        cust.filter(col("c_custkey") > 40 && col("c_custkey") <= 80),
+        root)
+      val s3 = graft.sources.IcebergSink.append(
+        cust.filter(col("c_custkey") > 80 && col("c_custkey") <= 120),
+        root)
+      val bounded = graft.sources.IcebergSource.readIncremental(s, root,
+        s1, Some(s2)).count()
+      require(bounded ==
+        cust.filter(col("c_custkey") > 40 && col("c_custkey") <= 80)
+          .count(),
+        s"the bounded range must serve only the second append: $bounded")
+      // a range crossing a row-level delete refuses
+      graft.sources.IcebergSink.deleteLightweight(s, root,
+        col("c_custkey") === 1L)
+      val loud = scala.util.Try(graft.sources.IcebergSource
+        .readIncremental(s, root, s1).count())
+      require(loud.isFailure,
+        "a range containing a delete must refuse")
+      // the append-only prefix still serves through the dialect
+      graft.sql.ClickHouseSql.sql(s,
+        s"SELECT c_custkey, c_name FROM " +
+          s"iceberg_changes('$root', $s1, $s3) ORDER BY c_custkey")
     }
   )
 }

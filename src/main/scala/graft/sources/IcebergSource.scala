@@ -361,6 +361,114 @@ object IcebergSource {
       }.reduce(_ unionByName _)
   }
 
+  /** INCREMENTAL APPEND SCAN — rows appended strictly AFTER
+    * `fromSnapshotId` up to `toSnapshotId` (default: current), the
+    * Iceberg incremental-read contract: only ranges consisting purely
+    * of APPEND snapshots serve; a range containing an overwrite, a
+    * row-level delete, or a copy-on-write rewrite refuses loudly
+    * (those change history, not just extend it — serving "the new
+    * files" would be silently wrong). Detection is structural, from
+    * the manifests alone: the TO snapshot's manifest list must carry
+    * every FROM manifest forward, the in-range manifests must hold
+    * only status-1 (ADDED) data entries, and no delete manifests may
+    * appear in range. The scan is ONE distributed read over the added
+    * files. */
+  def readIncremental(spark: SparkSession, tablePath: String,
+      fromSnapshotId: Long, toSnapshotId: Option[Long] = None)
+      : DataFrame = {
+    val fs = new Path(tablePath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val metaDir = new Path(tablePath, "metadata")
+    val metaRe = "^v(\\d+)\\.metadata\\.json$".r
+    val versions = fs.listStatus(metaDir).map(_.getPath.getName)
+      .collect { case metaRe(v) => v.toInt }
+    require(versions.nonEmpty,
+      s"iceberg: no vN.metadata.json under $metaDir")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = {
+      val in = fs.open(new Path(metaDir,
+        s"v${versions.max}.metadata.json"))
+      try mapper.readTree(in.readAllBytes()) finally in.close()
+    }
+    val schemaNode = Option(meta.get("schemas")).map { arr =>
+      val cur = Option(meta.get("current-schema-id")).map(_.asInt)
+        .getOrElse(0)
+      (0 until arr.size).map(arr.get)
+        .find(_.get("schema-id").asInt == cur).getOrElse(arr.get(0))
+    }.getOrElse(meta.get("schema"))
+    val schema = structOf(schemaNode)
+    val snaps = Option(meta.get("snapshots")).toSeq
+      .flatMap(arr => (0 until arr.size).map(arr.get))
+    def snapOf(id: Long) = snaps.find(_.get("snapshot-id").asLong == id)
+      .getOrElse(throw new IllegalArgumentException(
+        s"iceberg incremental: snapshot $id not present (expired?)"))
+    val from = snapOf(fromSnapshotId)
+    val toId = toSnapshotId.getOrElse(
+      Option(meta.get("current-snapshot-id")).map(_.asLong).getOrElse(
+        throw new IllegalArgumentException(
+          "iceberg incremental: no current-snapshot-id")))
+    val to = snapOf(toId)
+    val fromSeq = Option(from.get("sequence-number")).map(_.asLong)
+      .getOrElse(0L)
+    val toSeq = Option(to.get("sequence-number")).map(_.asLong)
+      .getOrElse(0L)
+    require(toSeq >= fromSeq,
+      s"iceberg incremental: to-snapshot $toId precedes $fromSnapshotId")
+
+    def avroRecs(path: String): Seq[GenericRecord] = {
+      val in = fs.open(new Path(path))
+      val bytes = try in.readAllBytes() finally in.close()
+      val rd = new DataFileStream[GenericRecord](
+        new ByteArrayInputStream(bytes),
+        new GenericDatumReader[GenericRecord]())
+      try {
+        val out = Seq.newBuilder[GenericRecord]
+        while (rd.hasNext) out += rd.next()
+        out.result()
+      } finally rd.close()
+    }
+    def opt(r: GenericRecord, n: String): Option[AnyRef] =
+      if (r.getSchema.getField(n) == null) None else Option(r.get(n))
+
+    val fromManifests = avroRecs(from.get("manifest-list").asText)
+      .map(_.get("manifest_path").toString).toSet
+    val toRecords = avroRecs(to.get("manifest-list").asText)
+    val toPaths = toRecords.map(_.get("manifest_path").toString).toSet
+    require(fromManifests.subsetOf(toPaths),
+      s"iceberg incremental: the range ($fromSnapshotId, $toId] " +
+        "contains an overwrite or rewrite (manifests dropped) — " +
+        "incremental reads serve append-only ranges")
+    val added = Seq.newBuilder[String]
+    toRecords.foreach { m =>
+      val seq = opt(m, "sequence_number").map(_.toString.toLong)
+        .getOrElse(0L)
+      if (seq > fromSeq && seq <= toSeq) {
+        require(opt(m, "content").map(_.toString.toInt)
+          .getOrElse(0) == 0,
+          s"iceberg incremental: the range ($fromSnapshotId, $toId] " +
+            "contains row-level delete files — incremental reads " +
+            "serve append-only ranges")
+        avroRecs(m.get("manifest_path").toString).foreach { e =>
+          val status = opt(e, "status").map(_.toString.toInt)
+            .getOrElse(1)
+          require(status == 1,
+            s"iceberg incremental: manifest entries with status " +
+              s"$status in range — a rewrite happened, refusing")
+          val d = e.get("data_file").asInstanceOf[GenericRecord]
+          require(opt(d, "content").map(_.toString.toInt)
+            .getOrElse(0) == 0,
+            "iceberg incremental: delete content in range — refusing")
+          added += d.get("file_path").toString
+        }
+      }
+    }
+    val files = added.result()
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    spark.read.schema(schema).parquet(files: _*)
+  }
+
   /** Iceberg schema JSON → Spark StructType (spec type names). */
   private[sources] def structOf(node: com.fasterxml.jackson.databind.JsonNode)
       : StructType = {

@@ -3145,7 +3145,20 @@ object ClickHouseSql {
       df.createOrReplaceTempView(view)
       view
     }
-    val step1 = replaceOutsideLiterals(step0c, deltaLakeFnRe) { g =>
+    // iceberg_changes('path', fromSnap[, toSnap]) — the Iceberg
+    // incremental append scan (round 16): rows appended strictly after
+    // the from-snapshot; ranges containing overwrites/deletes/rewrites
+    // refuse loudly
+    val step0d = replaceOutsideLiterals(step0c,
+      ("(?i)\\biceberg_changes\\s*\\(\\s*'([^']+)'\\s*,\\s*(\\d+)\\s*" +
+        "(?:,\\s*(\\d+)\\s*)?\\)").r) { g =>
+      val df = graft.sources.IcebergSource.readIncremental(spark,
+        g("1"), g("2").toLong, Option(g("3")).map(_.toLong))
+      val view = s"graft_ice_inc_${fileFnCounter.incrementAndGet()}"
+      df.createOrReplaceTempView(view)
+      view
+    }
+    val step1 = replaceOutsideLiterals(step0d, deltaLakeFnRe) { g =>
       val df = graft.sources.DeltaLakeSource.read(spark, g("1"),
         Option(g("2")).map(_.toLong))
       val view = s"graft_delta_fn_${fileFnCounter.incrementAndGet()}"
