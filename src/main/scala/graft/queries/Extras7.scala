@@ -406,6 +406,45 @@ object Extras7 extends QueryPack {
       graft.sql.ClickHouseSql.sql(s,
         s"SELECT c_custkey, c_name FROM " +
           s"iceberg_changes('$root', $s1, $s3) ORDER BY c_custkey")
+    },
+
+    // Hudi INCREMENTAL query (round 16 — completes the incremental/CDC
+    // read on all three formats: Delta table_changes, Iceberg
+    // iceberg_changes, Hudi hudi_changes): batch 1 inserts, batch 2
+    // inserts new keys AND updates some of batch 1 —
+    // hudi_changes(root, i1) must serve exactly batch 2's keys plus
+    // the updated rows at their new values, and NOT untouched batch-1
+    // rows (the oracle restates that set). A bounded (i1, i1] range is
+    // empty (pinned in-query).
+    Q.df("q_hudi_incremental", """
+      SELECT 'c' || CAST(c_custkey AS VARCHAR) AS k,
+        CAST(c_custkey AS BIGINT) AS c_custkey,
+        CASE WHEN c_custkey <= 60 THEN 'UPDATED' ELSE c_name END
+          AS c_name
+      FROM customer
+      WHERE (c_custkey <= 60 AND c_custkey % 6 = 0)
+         OR (c_custkey > 60 AND c_custkey <= 90)
+      ORDER BY c_custkey""") { (s, dir) =>
+      val root = s"/tmp/graft_hudiinc_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      fsOf(s, root).delete(new org.apache.hadoop.fs.Path(root), true)
+      val cust = Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") <= 90)
+        .select(concat(lit("c"), col("c_custkey").cast("string"))
+          .as("_hoodie_record_key"),
+          col("c_custkey").cast("long").as("c_custkey"), col("c_name"))
+      val (i1, _) = graft.sources.HudiSink.upsert(
+        cust.filter(col("c_custkey") <= 60), root)
+      graft.sources.HudiSink.upsert(
+        cust.filter(col("c_custkey") > 60)
+          .unionByName(cust
+            .filter(col("c_custkey") <= 60 && col("c_custkey") % 6 === 0)
+            .withColumn("c_name", lit("UPDATED"))), root)
+      require(graft.sources.HudiSource.readIncremental(s, root, i1,
+        toInstant = Some(i1)).isEmpty,
+        "an empty (i1, i1] range must serve nothing")
+      graft.sql.ClickHouseSql.sql(s,
+        s"SELECT _hoodie_record_key AS k, c_custkey, c_name " +
+          s"FROM hudi_changes('$root', '$i1') ORDER BY c_custkey")
     }
   )
 }

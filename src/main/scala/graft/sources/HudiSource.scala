@@ -37,6 +37,26 @@ import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructTyp
   */
 object HudiSource {
 
+  /** INCREMENTAL read — the rows of the state at `toInstant` (default:
+    * current) whose WINNING event committed strictly AFTER
+    * `fromInstant`: Hudi's incremental-query semantics (records
+    * inserted or updated in the range; rows whose winner is a DELETE
+    * tombstone are absent, as in any read). Piggybacks on the same
+    * merge as `read` — one extra column through the shuffle, then a
+    * filter. */
+  def readIncremental(spark: SparkSession, tablePath: String,
+      fromInstant: String, toInstant: Option[String] = None)
+      : DataFrame = {
+    val digits = fromInstant.takeWhile(_.isDigit)
+    require(digits.nonEmpty && digits.length == fromInstant.length,
+      s"hudi incremental: '$fromInstant' is not an instant timestamp")
+    val fromTs = padInstant(digits)
+    read(spark, tablePath, asOfInstant = toInstant,
+      withWinnerInstant = true)
+      .filter(col("__hudi_winner_inst") > fromTs)
+      .drop("__hudi_winner_inst")
+  }
+
   private val logNameRe =
     "^\\.(.+)_([0-9]+)\\.log\\.([0-9]+)(?:_(.+))?$".r
 
@@ -84,8 +104,13 @@ object HudiSource {
     * serves the newest state at or before that instant (second- or
     * millisecond-precision digits). Tables without timeline instants
     * (bare fixtures) serve the listing as-is. */
+  /** `withWinnerInstant` appends `__hudi_winner_inst` — the padded
+    * commit instant of each row's WINNING event (the base slice's
+    * instant for untouched rows, the log block's commit instant for
+    * merged ones) — the coordinate the incremental read filters on. */
   def read(spark: SparkSession, tablePath: String,
-      asOfInstant: Option[String] = None): DataFrame = {
+      asOfInstant: Option[String] = None,
+      withWinnerInstant: Boolean = false): DataFrame = {
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(new Path(root, ".hoodie")),
@@ -159,6 +184,15 @@ object HudiSource {
     // data files — drop.partition.columns=false default — so the
     // declared types are authoritative). MoR tables (logs present)
     // keep the full scan: the key-merge needs every group anyway. ----
+    // on log-free paths the winning instant IS the slice's file-name
+    // instant — derivable from input_file_name on any scan shape
+    val sliceInstantExpr =
+      "cast(rpad(regexp_extract(input_file_name(), " +
+        "'_([0-9]+)\\\\.parquet$', 1), 17, '0') as bigint)"
+    def finish(df: DataFrame): DataFrame =
+      if (!withWinnerInstant) df
+      else df.withColumn("__hudi_winner_inst",
+        org.apache.spark.sql.functions.expr(sliceInstantExpr))
     if (logs.isEmpty) {
       val rootUri = fs.makeQualified(root).toUri.getPath
       val byRel: Seq[(String, String)] = latest.values.toSeq.map {
@@ -184,13 +218,15 @@ object HudiSource {
         }
       hiveCols match {
         case None =>
-          return spark.read.parquet(latest.values.map(_._2).toSeq: _*)
+          return finish(
+            spark.read.parquet(latest.values.map(_._2).toSeq: _*))
         case Some(partCols) =>
           val fullSchema = spark.read
             .parquet(byRel.head._2).schema
           if (!partCols.forall(c =>
               fullSchema.fieldNames.exists(_.equalsIgnoreCase(c))))
-            return spark.read.parquet(latest.values.map(_._2).toSeq: _*)
+            return finish(
+              spark.read.parquet(latest.values.map(_._2).toSeq: _*))
           val partFields = partCols.map(c =>
             fullSchema.fields.find(_.name.equalsIgnoreCase(c)).get)
           val partSchema = org.apache.spark.sql.types
@@ -228,8 +264,8 @@ object HudiSource {
             spark, org.apache.spark.sql.execution.datasources
               .LogicalRelation(rel, isStreaming = false))
           // restore the file schema's declared column order
-          return df0.select(fullSchema.fieldNames.toIndexedSeq
-            .map(org.apache.spark.sql.functions.col): _*)
+          return finish(df0.select(fullSchema.fieldNames.toIndexedSeq
+            .map(org.apache.spark.sql.functions.col): _*))
       }
     }
     val base = spark.read.parquet(latest.values.map(_._2).toSeq: _*)
@@ -330,13 +366,17 @@ object HudiSource {
       .withColumn("__hudi_islog", lit(0L))
       .withColumn("__hudi_seq", lit(0L))
       .withColumn("__hudi_del", lit(false))
-    val payload = struct((names :+ "__hudi_del").map(col): _*)
+    val payload =
+      struct((names :+ "__hudi_del" :+ "__hudi_inst").map(col): _*)
     val prec = struct(col("__hudi_inst"), col("__hudi_islog"),
       col("__hudi_seq"))
     baseTagged.unionByName(events)
       .groupBy(col(keyCol).as("__hudi_key"))
       .agg(max_by(payload, prec).as("__w"))
       .filter(not(col("__w.__hudi_del")))
-      .select(names.map(n => col(s"__w.$n").as(n)): _*)
+      .select(names.map(n => col(s"__w.$n").as(n)) ++
+        (if (withWinnerInstant)
+          Seq(col("__w.__hudi_inst").as("__hudi_winner_inst"))
+         else Nil): _*)
   }
 }

@@ -3158,7 +3158,19 @@ object ClickHouseSql {
       df.createOrReplaceTempView(view)
       view
     }
-    val step1 = replaceOutsideLiterals(step0d, deltaLakeFnRe) { g =>
+    // hudi_changes('path', 'fromInstant'[, 'toInstant']) — the Hudi
+    // incremental query (round 16): rows whose winning event committed
+    // strictly after the from-instant
+    val step0e = replaceOutsideLiterals(step0d,
+      ("(?i)\\bhudi_changes\\s*\\(\\s*'([^']+)'\\s*,\\s*'([^']*)'\\s*" +
+        "(?:,\\s*'([^']*)'\\s*)?\\)").r) { g =>
+      val df = graft.sources.HudiSource.readIncremental(spark, g("1"),
+        g("2"), Option(g("3")))
+      val view = s"graft_hudi_inc_${fileFnCounter.incrementAndGet()}"
+      df.createOrReplaceTempView(view)
+      view
+    }
+    val step1 = replaceOutsideLiterals(step0e, deltaLakeFnRe) { g =>
       val df = graft.sources.DeltaLakeSource.read(spark, g("1"),
         Option(g("2")).map(_.toLong))
       val view = s"graft_delta_fn_${fileFnCounter.incrementAndGet()}"

@@ -433,8 +433,12 @@ class DialectTortureSpec extends SparkFunSuite {
     // dispatch
     val lit2 = ch("SELECT 'RESTORE TABLE FUNCTION deltaLake(''/nope'') " +
       "TO VERSION 3; OPTIMIZE TABLE FUNCTION hudi(''/nope'') CLEAN " +
-      "KEEP 2' AS s FROM nation LIMIT 1").collect().head.getString(0)
-    assert(lit2.contains("TO VERSION 3") && lit2.contains("CLEAN KEEP 2"))
+      "KEEP 2; hudi_changes(''/nope'', ''1''); " +
+      "iceberg_changes(''/nope'', 5)' AS s FROM nation LIMIT 1")
+      .collect().head.getString(0)
+    assert(lit2.contains("TO VERSION 3") && lit2.contains("CLEAN KEEP 2") &&
+      lit2.contains("hudi_changes('/nope', '1')") &&
+      lit2.contains("iceberg_changes('/nope', 5)"))
     // half-formed maintenance statements do not dispatch a verb
     intercept[Exception] {
       ch("OPTIMIZE TABLE FUNCTION deltaLake('/tmp/graft_no_such_t') " +
