@@ -47,7 +47,8 @@ object SparkEntry {
     qp.JoinSqlQueries,
     qp.KqlQueries,
     qp.Extras6,
-    qp.Extras7
+    qp.Extras7,
+    qp.Extras8
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -42,6 +42,12 @@ object IcebergSink {
   /** Test-only failpoint, fired just before the metadata claim. */
   private[graft] var commitFailpoint: () => Unit = () => ()
 
+  /** One CURRENT data file during a CoW mutation — everything the
+    * rewritten manifest must echo for the untouched survivors. */
+  private final case class ExistingFile(path: String, rows: Long,
+      tuple: Option[Map[String, Option[String]]], sizeBytes: Long,
+      lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]])
+
   private val listSchema = new Schema.Parser().parse("""
     {"type":"record","name":"manifest_file","fields":[
       {"name":"manifest_path","type":"string"},
@@ -49,7 +55,26 @@ object IcebergSink {
       {"name":"content","type":"int","default":0},
       {"name":"sequence_number","type":"long","default":0}]}""")
 
-  private val entrySchema = new Schema.Parser().parse("""
+  /** The spec's key/value-record rendering of the bounds maps
+    * (`lower_bounds` field 125 with k126/v127, `upper_bounds` 128 with
+    * k129/v130 — binary values in Appendix D single-value form). */
+  private def boundsFieldsJson: String = """
+          {"name":"file_size_in_bytes","type":"long","field-id":104,
+           "default":0},
+          {"name":"lower_bounds","field-id":125,"type":["null",
+            {"type":"array","logicalType":"map",
+             "items":{"type":"record","name":"k126_v127","fields":[
+               {"name":"key","type":"int","field-id":126},
+               {"name":"value","type":"bytes","field-id":127}]}}],
+           "default":null},
+          {"name":"upper_bounds","field-id":128,"type":["null",
+            {"type":"array","logicalType":"map",
+             "items":{"type":"record","name":"k129_v130","fields":[
+               {"name":"key","type":"int","field-id":129},
+               {"name":"value","type":"bytes","field-id":130}]}}],
+           "default":null},"""
+
+  private val entrySchema = new Schema.Parser().parse(s"""
     {"type":"record","name":"manifest_entry","fields":[
       {"name":"status","type":"int"},
       {"name":"data_file","type":{"type":"record","name":"data_file",
@@ -57,7 +82,7 @@ object IcebergSink {
           {"name":"content","type":"int","default":0},
           {"name":"file_path","type":"string"},
           {"name":"file_format","type":"string"},
-          {"name":"record_count","type":"long"},
+          {"name":"record_count","type":"long"},$boundsFieldsJson
           {"name":"partition_json","type":["null","string"],
            "default":null}]}}]}""")
 
@@ -86,7 +111,7 @@ object IcebergSink {
             {"name":"content","type":"int","default":0},
             {"name":"file_path","type":"string"},
             {"name":"file_format","type":"string"},
-            {"name":"record_count","type":"long"},
+            {"name":"record_count","type":"long"},$boundsFieldsJson
             {"name":"partition","field-id":102,"type":["null",
               {"type":"record","name":"r102","fields":[$structFields]}],
              "default":null},
@@ -95,16 +120,40 @@ object IcebergSink {
   }
 
   /** Build one manifest entry under `eSchema`: the typed partition
-    * struct (when the spec has fields and the tuple is known) plus the
-    * partition_json convenience form. */
+    * struct (when the spec has fields and the tuple is known), the
+    * partition_json convenience form, the file size (spec field 104 —
+    * readers build their scan without re-stat-ing the file), and the
+    * column bounds maps (fields 125/128 — min/max file skipping).
+    * `sizeBytes` 0 = unknown; empty bounds maps write null. */
   private def mkEntry(eSchema: Schema, status: Int, content: Int,
       path: String, rows: Long,
       tuple: Option[Map[String, Option[String]]],
-      fields: Seq[IcebergTransforms.IcePartField]): GenericRecord = {
+      fields: Seq[IcebergTransforms.IcePartField],
+      sizeBytes: Long = 0L,
+      lower: Map[Int, Array[Byte]] = Map.empty,
+      upper: Map[Int, Array[Byte]] = Map.empty): GenericRecord = {
     val dSchema = eSchema.getField("data_file").schema()
     val d = new GenericData.Record(dSchema)
     d.put("content", content); d.put("file_path", path)
     d.put("file_format", "PARQUET"); d.put("record_count", rows)
+    // always set: Avro GenericData does NOT auto-fill schema defaults
+    // on write (r15 pitfall) — 0 means unknown, readers filter it out
+    d.put("file_size_in_bytes", sizeBytes)
+    def putBounds(field: String, m: Map[Int, Array[Byte]]): Unit =
+      if (m.nonEmpty) {
+        val itemSchema = dSchema.getField(field).schema()
+          .getTypes.get(1).getElementType
+        val arr = new java.util.ArrayList[GenericRecord](m.size)
+        m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+          val kv = new GenericData.Record(itemSchema)
+          kv.put("key", k)
+          kv.put("value", java.nio.ByteBuffer.wrap(v))
+          arr.add(kv)
+        }
+        d.put(field, arr)
+      }
+    putBounds("lower_bounds", lower)
+    putBounds("upper_bounds", upper)
     tuple.foreach { t =>
       d.put("partition_json", tupleJson(t))
       if (fields.nonEmpty && dSchema.getField("partition") != null) {
@@ -323,21 +372,56 @@ object IcebergSink {
       : Seq[IcebergTransforms.IcePartField] =
     IcebergTransforms.specFieldsOf(meta, schemaNodeOf(meta))
 
+  /** One staged-and-renamed data file: exact footer row count, byte
+    * size (→ manifest file_size_in_bytes), the partition tuple, and
+    * the serialized column bounds harvested from the footer's
+    * statistics (→ lower_bounds/upper_bounds). */
+  private[graft] final case class StagedFile(path: String, rows: Long,
+      sizeBytes: Long, tuple: Map[String, Option[String]],
+      lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]])
+
+  /** Stamp `parquet.field.id` metadata (the table's Iceberg field ids)
+    * onto every top-level column, so the staged parquet files carry
+    * ids per the spec — external engines (and this source's
+    * schema-evolution lane) resolve columns by id. Spark's parquet
+    * writer emits the ids whenever the schema metadata carries them. */
+  private def stampFieldIds(df: DataFrame,
+      colIds: Map[String, Int]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    // default-on in Spark 4, but the write is only spec-compliant if
+    // the ids actually land in the files — pin the conf explicitly
+    df.sparkSession.conf.set("spark.sql.parquet.fieldId.write.enabled",
+      "true")
+    df.select(df.schema.fields.toIndexedSeq.map { f =>
+      colIds.get(f.name.toLowerCase) match {
+        case Some(id) => col(f.name).as(f.name,
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("parquet.field.id", id.toLong).build())
+        case None => col(f.name)
+      }
+    }: _*)
+  }
+
   /** Stage `df` (Hive-style over COMPUTED transform columns when the
     * spec has fields, so every source column stays IN the files) and
-    * rename the parts into `data/` under txn-unique names. Returns
-    * (path, footer row count, partition tuple) per non-empty file.
-    * Shared by the append/overwrite commit and the CoW rewrite so the
-    * two staging lanes can never drift. */
+    * rename the parts into `data/` under txn-unique names. Returns a
+    * [[StagedFile]] per non-empty file — row count, size, and column
+    * bounds all come from the ONE footer read per staged file.
+    * `colIds` (lower-cased column name → Iceberg field id) keys the
+    * bounds and stamps parquet field ids into the files. Shared by
+    * the append/overwrite commit and the CoW rewrite so the two
+    * staging lanes can never drift. */
   private def stageData(df: DataFrame, root: Path,
       fs: org.apache.hadoop.fs.FileSystem,
       fields: Seq[IcebergTransforms.IcePartField],
-      txn: String): Seq[(String, Long, Map[String, Option[String]])] = {
+      txn: String, colIds: Map[String, Int]): Seq[StagedFile] = {
     import org.apache.spark.sql.functions.col
     val spark = df.sparkSession
     val stage = new Path(root, s"__graft_ice_stage_$txn")
-    if (fields.isEmpty) df.write.mode("overwrite").parquet(stage.toString)
-    else df.select(df.columns.map(col).toIndexedSeq ++
+    val stamped = stampFieldIds(df, colIds)
+    if (fields.isEmpty)
+      stamped.write.mode("overwrite").parquet(stage.toString)
+    else stamped.select(df.columns.map(col).toIndexedSeq ++
         fields.map(f => IcebergTransforms.stagingColumn(f)
           .as(s"__part_${f.name}")): _*)
       .write.mode("overwrite")
@@ -345,8 +429,7 @@ object IcebergSink {
       .parquet(stage.toString)
     val dataDir = new Path(root, "data")
     fs.mkdirs(dataDir)
-    val out = scala.collection.mutable.ArrayBuffer
-      .empty[(String, Long, Map[String, Option[String]])]
+    val out = scala.collection.mutable.ArrayBuffer.empty[StagedFile]
     def walk(p: Path, tuple: Map[String, Option[String]]): Unit =
       fs.listStatus(p).foreach { st =>
         val n = st.getPath.getName
@@ -360,12 +443,18 @@ object IcebergSink {
           val pin = org.apache.parquet.hadoop.util.HadoopInputFile
             .fromPath(st.getPath, spark.sparkContext.hadoopConfiguration)
           val preader = org.apache.parquet.hadoop.ParquetFileReader.open(pin)
-          val rows = try preader.getRecordCount finally preader.close()
+          val (rows, lower, upper) = try {
+            val footer = preader.getFooter
+            val (lo, hi) = IcebergBounds.footerBounds(footer, df.schema,
+              colIds)
+            (preader.getRecordCount, lo, hi)
+          } finally preader.close()
           if (rows > 0L) { // empty shuffle partitions stage 0-row parts
             val dst = new Path(dataDir, s"$txn-${out.length}.parquet")
             if (!fs.rename(st.getPath, dst)) throw new IllegalStateException(
               s"iceberg write: staging rename to $dst failed")
-            out += ((dst.toString, rows, tuple))
+            out += StagedFile(dst.toString, rows, st.getLen, tuple,
+              lower, upper)
           }
         }
       }
@@ -461,8 +550,22 @@ object IcebergSink {
     // rule for identity transforms; derived transforms never store
     // their result in data files) while the tuple is recoverable from
     // the staging directory names ----
+    // column name → Iceberg field id: the TABLE's schema ids when it
+    // exists (external creators may not use 1..N), else position+1
+    // (matching the creation schema JSON below)
+    val colIds: Map[String, Int] = prev match {
+      case Some(meta) =>
+        val sn = schemaNodeOf(meta)
+        (0 until sn.get("fields").size).flatMap { i =>
+          val f = sn.get("fields").get(i)
+          Option(f.get("id")).map(id =>
+            f.get("name").asText.toLowerCase -> id.asInt)
+        }.toMap
+      case None => df.schema.fieldNames.zipWithIndex
+        .map { case (n, i) => n.toLowerCase -> (i + 1) }.toMap
+    }
     val txn = java.util.UUID.randomUUID().toString
-    val added = stageData(df, root, fs, partFields, txn)
+    val added = stageData(df, root, fs, partFields, txn, colIds)
     require(added.nonEmpty || !creating,
       "iceberg write: refusing to create a table from zero files")
 
@@ -477,10 +580,10 @@ object IcebergSink {
     // partition_json convenience form on partitioned tables)
     val eSchema = entrySchemaFor(partFields)
     val mPath = new Path(metaDir, s"m-$txn.avro")
-    val mLen = writeAvro(fs, mPath, eSchema, added.map {
-      case (f, rows, tuple) =>
-        mkEntry(eSchema, 1, 0, f, rows,
-          if (partFields.isEmpty) None else Some(tuple), partFields)
+    val mLen = writeAvro(fs, mPath, eSchema, added.map { sf =>
+      mkEntry(eSchema, 1, 0, sf.path, sf.rows,
+        if (partFields.isEmpty) None else Some(sf.tuple), partFields,
+        sf.sizeBytes, sf.lower, sf.upper)
     }, "write")
     // new manifest list: previous snapshot's manifests carried forward
     val carried: Seq[GenericRecord] = (if (carryForward) prev
@@ -670,6 +773,9 @@ object IcebergSink {
       d.put("content", 1); d.put("file_path", f)
       d.put("file_format", "PARQUET")
       d.put("record_count", matchedRows / math.max(nonEmpty.length, 1))
+      d.put("file_size_in_bytes",
+        scala.util.Try(fs.getFileStatus(new Path(f)).getLen)
+          .getOrElse(0L))
       val e = new GenericData.Record(entrySchema)
       e.put("status", 1); e.put("data_file", d); e
     }, "delete")
@@ -745,7 +851,15 @@ object IcebergSink {
       (0 until arr.size).map(arr.get)
         .find(_.get("schema-id").asInt == cur).getOrElse(arr.get(0))
     }.getOrElse(meta.get("schema"))
-    val schema = IcebergSource.structOf(schemaNode)
+    // evolved tables (multiple schemas) must resolve data-file columns
+    // by field id here too, or the rewrite would read renamed columns
+    // as null and persist the damage
+    val resolveByFieldId =
+      Option(meta.get("schemas")).exists(_.size > 1)
+    if (resolveByFieldId)
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val schema = IcebergSource.structOf(schemaNode,
+      withFieldIds = resolveByFieldId)
     // round 15/16: partitioned CoW — rewritten survivors re-stage per
     // tuple through the shared stageData lane (identity AND derived
     // transforms, recomputed from the source columns); an UPDATE that
@@ -774,10 +888,9 @@ object IcebergSink {
     // ---- current state: data files (+ record counts); delete files
     // make the current state depend on anti-join semantics a manifest
     // rewrite cannot preserve — LOUD, compact first ----
-    // path → (record_count, recorded partition tuple) — untouched
-    // entries must echo their tuple or manifest pruning goes blind
-    val dataFiles = Seq.newBuilder[
-      (String, Long, Option[Map[String, Option[String]]])]
+    // untouched entries must ECHO their tuple, size and column bounds
+    // or manifest pruning goes blind after every mutation
+    val dataFiles = Seq.newBuilder[ExistingFile]
     avroRecords(fs, manifestList).foreach { m =>
       avroRecords(fs, m.get("manifest_path").toString).foreach { e =>
         val status = optField(e, "status").map(_.toString.toInt).getOrElse(1)
@@ -789,10 +902,14 @@ object IcebergSink {
             s"iceberg $what: the current snapshot carries row-level " +
               "delete files — rewrite (compact) the table before " +
               "copy-on-write mutations")
-          dataFiles += ((d.get("file_path").toString,
+          dataFiles += ExistingFile(d.get("file_path").toString,
             optField(d, "record_count").map(_.toString.toLong)
               .getOrElse(0L),
-            IcebergTransforms.entryTuple(d, partFields, mapper)))
+            IcebergTransforms.entryTuple(d, partFields, mapper),
+            optField(d, "file_size_in_bytes").map(_.toString.toLong)
+              .getOrElse(0L),
+            IcebergBounds.boundsOfEntry(d, "lower_bounds"),
+            IcebergBounds.boundsOfEntry(d, "upper_bounds"))
         }
       }
     }
@@ -811,14 +928,14 @@ object IcebergSink {
       else p
     }
     val matchedCounts = spark.read.schema(schema)
-      .parquet(files.map(_._1): _*)
+      .parquet(files.map(_.path): _*)
       .withColumn("__ice_file", expr(normSql("_metadata.file_path")))
       .filter(predicate)
       .groupBy(col("__ice_file")).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     if (matchedCounts.isEmpty) return (curSnapId, 0L)
     val matchedRows = matchedCounts.values.sum
-    val byNorm = files.map { case (p, _, _) => normPath(p) -> p }.toMap
+    val byNorm = files.map(f => normPath(f.path) -> f.path).toMap
     val matched = matchedCounts.keySet.map(k =>
       byNorm.getOrElse(k, throw new IllegalStateException(
         s"iceberg $what: scanned file $k is not in the manifests")))
@@ -843,7 +960,17 @@ object IcebergSink {
     // shared staging lane: per-tuple splitting on partitioned tables
     // (transforms recomputed from the source columns), exact footer
     // record counts either way
-    val added = stageData(rewritten, root, fs, partFields, txn)
+    // column name -> field id from the table's schema node, for the
+    // rewritten files' bounds keys and parquet field-id stamping
+    val colIds: Map[String, Int] = {
+      val sn = schemaNodeOf(meta)
+      (0 until sn.get("fields").size).flatMap { i =>
+        val f = sn.get("fields").get(i)
+        Option(f.get("id")).map(id =>
+          f.get("name").asText.toLowerCase -> id.asInt)
+      }.toMap
+    }
+    val added = stageData(rewritten, root, fs, partFields, txn, colIds)
 
     // ---- one new manifest: survivors by reference (status 0,
     // original record counts + their original tuples) + rewritten
@@ -853,15 +980,17 @@ object IcebergSink {
     val snapshotId = math.abs(java.util.UUID.randomUUID()
       .getMostSignificantBits)
     val eSchema = entrySchemaFor(partFields)
-    val untouched = files.filterNot { case (p, _, _) => matched(p) }
+    val untouched = files.filterNot(f => matched(f.path))
     val mPath = new Path(metaDir, s"m-$txn.avro")
     val mLen = writeAvro(fs, mPath, eSchema,
-      untouched.map { case (p, c, tuple) =>
-        mkEntry(eSchema, 0, 0, p, c, tuple, partFields)
+      untouched.map { f =>
+        mkEntry(eSchema, 0, 0, f.path, f.rows, f.tuple, partFields,
+          f.sizeBytes, f.lower, f.upper)
       } ++
-        added.map { case (p, rows, tuple) =>
-          mkEntry(eSchema, 1, 0, p, rows,
-            if (partFields.isEmpty) None else Some(tuple), partFields)
+        added.map { sf =>
+          mkEntry(eSchema, 1, 0, sf.path, sf.rows,
+            if (partFields.isEmpty) None else Some(sf.tuple), partFields,
+            sf.sizeBytes, sf.lower, sf.upper)
         }, what)
     val mlPath = new Path(metaDir, s"snap-$snapshotId.avro")
     val ref = new GenericData.Record(listSchema)

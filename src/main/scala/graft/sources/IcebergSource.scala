@@ -54,6 +54,15 @@ object IcebergSource {
   private final case class DeleteSpec(path: String, content: Int,
       seq: Long, equalityIds: Seq[Int])
 
+  /** One live data file's manifest-carried metadata: sequence number
+    * (delete applicability), partition tuple (manifest pruning),
+    * file size (spares a driver getFileStatus), column bounds
+    * (min/max pruning). */
+  private final case class DataFileMeta(path: String, seq: Long,
+      tuple: Option[Map[String, Option[String]]],
+      sizeBytes: Option[Long],
+      bounds: Map[String, IcebergBounds.ColBounds])
+
   /** `withPosColumns` appends `__ice_file` (the normalized data-file
     * path) and `__ice_pos` (the parquet row index) — the coordinates a
     * position delete names; the position-delete WRITING path needs both
@@ -122,7 +131,23 @@ object IcebergSource {
         .getOrElse(arr.get(arr.size - 1))
     }.orElse(Option(meta.get("schema"))).getOrElse(
       throw new IllegalArgumentException("iceberg: metadata has no schema"))
-    val schema = structOf(schemaNode)
+    // SCHEMA EVOLUTION (round 17 — the reference's SchemaProcessor
+    // resolves manifest/data columns by FIELD ID, DataLakes/Iceberg/
+    // SchemaProcessor.cpp): a table whose metadata carries MORE THAN
+    // ONE schema has been evolved (renames/adds/drops append a new
+    // schema entry), so name-based resolution would silently read a
+    // renamed column as null from pre-rename files. Such tables read
+    // with `parquet.field.id` metadata stamped on every column and
+    // Spark's field-id resolution enabled — matching is then by the
+    // ids the writers stamped into the parquet files; files WITHOUT
+    // ids fail LOUDLY (Spark's ignore-missing default) rather than
+    // serving nulls. Single-schema tables keep name resolution, which
+    // is exact for them.
+    val resolveByFieldId =
+      Option(meta.get("schemas")).exists(_.size > 1)
+    if (resolveByFieldId)
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val schema = structOf(schemaNode, withFieldIds = resolveByFieldId)
     // default partition spec, for manifest-level pruning; TOLERANT — a
     // transform outside the supported family disables pruning (every
     // file kept) rather than failing a read that would be correct
@@ -175,10 +200,20 @@ object IcebergSource {
     def optField(r: GenericRecord, name: String): Option[AnyRef] =
       if (r.getSchema.getField(name) == null) None else Option(r.get(name))
 
-    // (path, sequence number, recorded tuple) per live data file;
-    // delete specs separately
-    val dataFiles = Seq.newBuilder[
-      (String, Long, Option[Map[String, Option[String]]])]
+    // field id → (name, iceberg type) for column-bounds resolution
+    val idToNameType: Map[Int, (String, String)] = {
+      val flds = schemaNode.get("fields")
+      (0 until flds.size).flatMap { i =>
+        val f = flds.get(i)
+        for {
+          id <- Option(f.get("id")).map(_.asInt)
+          t <- Option(f.get("type")).filter(_.isTextual).map(_.asText)
+        } yield id -> (f.get("name").asText, t)
+      }.toMap
+    }
+    // per live data file: path, sequence number, recorded tuple,
+    // manifest-carried size, column bounds; delete specs separately
+    val dataFiles = Seq.newBuilder[DataFileMeta]
     val deletes = Seq.newBuilder[DeleteSpec]
     avroRecords(manifestList).foreach { m =>
       val manifestContent =
@@ -235,7 +270,20 @@ object IcebergSource {
             case 0 =>
               if (manifestContent != 0) throw new IllegalArgumentException(
                 s"iceberg: data file $path inside a delete manifest")
-              if (tupleMatches) dataFiles += ((path, entrySeq, tuple))
+              if (tupleMatches) {
+                // manifest-carried size (spec field 104) spares one
+                // driver getFileStatus per file at scan build; column
+                // bounds (fields 125/128) feed the FileIndex's
+                // min/max pruning
+                val size = optField(df, "file_size_in_bytes")
+                  .map(_.toString.toLong).filter(_ > 0L)
+                val bounds = IcebergBounds.colBoundsOf(
+                  IcebergBounds.boundsOfEntry(df, "lower_bounds"),
+                  IcebergBounds.boundsOfEntry(df, "upper_bounds"),
+                  idToNameType)
+                dataFiles += DataFileMeta(path, entrySeq, tuple, size,
+                  bounds)
+              }
             case 1 => deletes += DeleteSpec(path, 1, entrySeq, Seq.empty)
             case 2 =>
               val ids = optField(df, "equality_ids").map {
@@ -276,15 +324,22 @@ object IcebergSource {
           StructField("__ice_pos", LongType))))
     if (dels.isEmpty) {
       if (withPosColumns) // the position-delete writer's coordinates
-        return posCols(spark.read.schema(schema).parquet(data.map(_._1): _*))
+        return posCols(spark.read.schema(schema).parquet(data.map(_.path): _*))
       // plain scan: a HadoopFsRelation over the manifest-aware
       // FileIndex, so the query's OWN pushed data filters prune whole
-      // files at planning time from the recorded partition tuples —
-      // the reference's ManifestFilesPruning behavior, with zero
-      // caller opt-in. getFileStatus is one driver metadata call per
-      // file, the same listing cost spark.read.parquet pays.
-      val statuses = data.map { case (p, _, tuple) =>
-        (fs.getFileStatus(new Path(p)), tuple)
+      // files at planning time from the recorded partition tuples and
+      // column bounds — the reference's ManifestFilesPruning behavior,
+      // with zero caller opt-in. FileStatus builds from the manifest's
+      // file_size_in_bytes when recorded (round 17 — no per-file
+      // driver getFileStatus on a million-file table); files whose
+      // manifests carry no size fall back to one status call.
+      val statuses = data.map { d =>
+        val st = d.sizeBytes match {
+          case Some(len) => new org.apache.hadoop.fs.FileStatus(
+            len, false, 1, 134217728L, 0L, new Path(d.path))
+          case None => fs.getFileStatus(new Path(d.path))
+        }
+        (st, d.tuple, d.bounds)
       }
       val index = new IcebergManifestFileIndex(statuses, specFields)
       val rel = org.apache.spark.sql.execution.datasources
@@ -354,10 +409,10 @@ object IcebergSource {
       val i = eqSeqs.indexWhere(_ > seq)
       if (i < 0) eqSeqs.length else i
     }
-    data.groupBy { case (_, seq, _) => classIdx(seq) }.toSeq.sortBy(_._1)
+    data.groupBy(d => classIdx(d.seq)).toSeq.sortBy(_._1)
       .map { case (_, fs) =>
         // any member's seq selects the same applicable set — use max
-        applyDeletes(fs.map(_._1), fs.map(_._2).max)
+        applyDeletes(fs.map(_.path), fs.map(_.seq).max)
       }.reduce(_ unionByName _)
   }
 
@@ -396,7 +451,13 @@ object IcebergSource {
       (0 until arr.size).map(arr.get)
         .find(_.get("schema-id").asInt == cur).getOrElse(arr.get(0))
     }.getOrElse(meta.get("schema"))
-    val schema = structOf(schemaNode)
+    // same field-id resolution rule as `read` — an evolved table's
+    // files must resolve by id, not name
+    val resolveByFieldId =
+      Option(meta.get("schemas")).exists(_.size > 1)
+    if (resolveByFieldId)
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val schema = structOf(schemaNode, withFieldIds = resolveByFieldId)
     val snaps = Option(meta.get("snapshots")).toSeq
       .flatMap(arr => (0 until arr.size).map(arr.get))
     def snapOf(id: Long) = snaps.find(_.get("snapshot-id").asLong == id)
@@ -469,14 +530,25 @@ object IcebergSource {
     spark.read.schema(schema).parquet(files: _*)
   }
 
-  /** Iceberg schema JSON → Spark StructType (spec type names). */
-  private[sources] def structOf(node: com.fasterxml.jackson.databind.JsonNode)
-      : StructType = {
+  /** Iceberg schema JSON → Spark StructType (spec type names). With
+    * `withFieldIds` each column carries `parquet.field.id` metadata
+    * (the schema's Iceberg field id, which the spec requires writers
+    * to stamp into parquet), so Spark's field-id read resolution
+    * matches columns by ID instead of name — the schema-evolution
+    * read path. */
+  private[sources] def structOf(node: com.fasterxml.jackson.databind.JsonNode,
+      withFieldIds: Boolean = false): StructType = {
     val fields = node.get("fields")
     StructType((0 until fields.size).map { i =>
       val f = fields.get(i)
+      val md =
+        if (!withFieldIds) Metadata.empty
+        else Option(f.get("id")).map(id => new MetadataBuilder()
+          .putLong("parquet.field.id", id.asLong).build())
+          .getOrElse(Metadata.empty)
       StructField(f.get("name").asText, typeOf(f.get("type")),
-        nullable = !Option(f.get("required")).exists(_.asBoolean))
+        nullable = !Option(f.get("required")).exists(_.asBoolean),
+        metadata = md)
     })
   }
 

@@ -241,7 +241,12 @@ object IcebergTransforms {
     * of the prune comparison (manifest entry vs transformed query
     * literal). Identity-over-date renders ISO (matching the Hive-style
     * staging dirs the sink records in partition_json); date-typed
-    * struct ints convert. */
+    * struct ints convert. Identity-over-timestamp canonicalizes to RAW
+    * EPOCH MICROS — external typed partition structs store the long
+    * micros value, and [[transformLiteral]] renders the query literal
+    * the same way, so the two sides agree (round 17: the ISO-vs-micros
+    * mismatch silently pruned every file on external
+    * identity-timestamp tables). */
   def canonicalOfAvro(value: AnyRef, f: IcePartField): Option[String] =
     Option(value).map { v =>
       (resultType(f), v) match {
@@ -252,6 +257,19 @@ object IcebergTransforms {
         case _ => v.toString
       }
     }
+
+  /** Is a typed struct value RENDERABLE into the canonical string form
+    * the pruner compares? Avro fixed/bytes values (uuid, binary,
+    * decimal partition sources) have no faithful canonical string —
+    * entryTuple DROPS such fields so the file always admits, instead
+    * of comparing a Java toString that can never match and silently
+    * pruning every file. */
+  def renderableStructValue(v: AnyRef): Boolean = v match {
+    case null => true
+    case _: java.nio.ByteBuffer => false
+    case _: org.apache.avro.generic.GenericFixed => false
+    case _ => true
+  }
 
   /** Evaluate the transform over a query literal (rendered as a
     * string: "7", "2024-03-05", "2024-03-05 17:00:00", "hello") into
@@ -281,7 +299,14 @@ object IcebergTransforms {
       case _ => None
     }
     f.transform match {
-      case "identity" => Some(raw)
+      case "identity" => f.sourceType match {
+        // canonical for identity-over-timestamp is epoch MICROS (what
+        // the typed partition struct stores); everything else compares
+        // the raw rendering directly
+        case TimestampType | TimestampNTZType =>
+          parsedMicros.map(_.toString)
+        case _ => Some(raw)
+      }
       case "bucket" => f.sourceType match {
         case StringType => Some(bucketString(f.param, raw).toString)
         case _ => parsedLong.map(v => bucketLong(f.param, v).toString)
@@ -324,6 +349,166 @@ object IcebergTransforms {
             // a non-null literal cannot live in a null tuple
             case (Some(_), Some(None)) => false
             case _ => true // unevaluable — keep the file
+          }
+        }
+    }
+
+  /** Transforms whose result is MONOTONIC NON-DECREASING in the source
+    * value, so a transformed bound compares directly against a file's
+    * tuple value (the reference's partition KeyCondition prunes exactly
+    * this family on ranges — ManifestFilesPruning.cpp:44-93). Bucket is
+    * a hash: equality-only, never range-pruned. */
+  def orderPreservingTransform(f: IcePartField): Boolean =
+    f.transform match {
+      case "identity" | "truncate" | "year" | "month" | "day" | "hour" =>
+        true
+      case _ => false
+    }
+
+  /** Compare two canonical tuple strings under the field's RESULT
+    * domain. None = not comparable (unparseable or a type without a
+    * defined order here) — callers must admit. Timestamp-result fields
+    * (identity over a timestamp source) canonicalize to epoch micros,
+    * so they compare as longs. */
+  def compareCanonical(f: IcePartField, a: String, b: String)
+      : Option[Int] = resultType(f) match {
+    case IntegerType | LongType | TimestampType | TimestampNTZType =>
+      for (x <- a.toLongOption; y <- b.toLongOption)
+        yield java.lang.Long.compare(x, y)
+    case FloatType | DoubleType =>
+      for (x <- a.toDoubleOption; y <- b.toDoubleOption)
+        yield java.lang.Double.compare(x, y)
+    case DateType => scala.util.Try(java.lang.Long.compare(
+      java.time.LocalDate.parse(a).toEpochDay,
+      java.time.LocalDate.parse(b).toEpochDay)).toOption
+    case StringType => Some(Integer.signum(a.compareTo(b)))
+    case _ => None
+  }
+
+  /** Evaluate an order-preserving transform over the literal SHIFTED
+    * by `delta` in the source's discrete unit (ints: 1, dates: days,
+    * timestamps: micros) — the exact-bound trick for STRICT
+    * inequalities: `v < X ⟺ v <= X-ε`, so the admit test compares
+    * against `t(X-ε)` instead of the conservative `t(X)` (a
+    * `ts < midnight` predicate then prunes the midnight day instead of
+    * admitting it). None for string sources, unparseable literals, or
+    * overflow — callers fall back to the unshifted bound. */
+  def transformLiteralShifted(f: IcePartField, raw: String,
+      delta: Long): Option[String] = {
+    val base: Option[Long] = f.sourceType match {
+      case IntegerType | LongType => raw.toLongOption
+      case DateType => scala.util.Try(
+        java.time.LocalDate.parse(raw).toEpochDay).toOption
+      case TimestampType | TimestampNTZType => scala.util.Try {
+        val norm = raw.replace(' ', 'T')
+        val ldt =
+          if (norm.length <= 10)
+            java.time.LocalDate.parse(norm).atStartOfDay
+          else java.time.LocalDateTime.parse(norm)
+        ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          ldt.getNano / 1000
+      }.toOption
+      case _ => None
+    }
+    base.flatMap(v0 =>
+        scala.util.Try(Math.addExact(v0, delta)).toOption)
+      .flatMap(v => evalFromDomain(f, v))
+  }
+
+  /** Evaluate a transform over a source value in its LONG domain
+    * (int/long value, date epoch days, timestamp epoch micros) into
+    * the canonical tuple string. Order-preserving transforms only. */
+  private def evalFromDomain(f: IcePartField, v: Long): Option[String] = {
+    def days: Option[Long] = f.sourceType match {
+      case DateType => Some(v)
+      case TimestampType | TimestampNTZType =>
+        Some(Math.floorDiv(v, 86400000000L))
+      case _ => None
+    }
+    f.transform match {
+      case "identity" => f.sourceType match {
+        case IntegerType | LongType | TimestampType | TimestampNTZType =>
+          Some(v.toString)
+        case DateType =>
+          Some(java.time.LocalDate.ofEpochDay(v).toString)
+        case _ => None
+      }
+      case "truncate" => f.sourceType match {
+        case IntegerType | LongType =>
+          val w = f.param.toLong
+          Some((v - (((v % w) + w) % w)).toString)
+        case _ => None
+      }
+      case "day" => days.map(_.toString)
+      case "year" => days.map(d =>
+        (java.time.LocalDate.ofEpochDay(d).getYear - 1970).toString)
+      case "month" => days.map { d =>
+        val ld = java.time.LocalDate.ofEpochDay(d)
+        ((ld.getYear - 1970) * 12 + ld.getMonthValue - 1).toString
+      }
+      case "hour" => f.sourceType match {
+        case TimestampType | TimestampNTZType =>
+          Some(Math.floorDiv(v, 3600000000L).toString)
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** Range analog of [[tupleAdmitsSource]]: may a file whose recorded
+    * `tuple` contain rows where source column `src` satisfies an
+    * INEQUALITY against the literal `raw`? `lower` = the predicate
+    * bounds the column from BELOW (`src > raw` / `src >= raw`);
+    * otherwise from above. Because every order-preserving transform t
+    * is monotonic non-decreasing, `v >= X ⇒ t(v) >= t(X)`: a file with
+    * tuple T can hold a qualifying row only if `T >= t(X)` (lower) /
+    * `T <= t(X)` (upper). STRICT predicates tighten the bound exactly
+    * by shifting one discrete unit (`v > X ⟺ v >= X+ε` →
+    * `T >= t(X+ε)`) when the domain allows, falling back to the
+    * non-strict bound otherwise. Bucket and unevaluable shapes always
+    * admit; a NULL tuple value satisfies no inequality and prunes. */
+  def tupleAdmitsSourceBound(tuple: Option[Map[String, Option[String]]],
+      fields: Seq[IcePartField], src: String, raw: String,
+      lower: Boolean, strict: Boolean = false): Boolean =
+    tuple match {
+      case None => true
+      case Some(t) =>
+        fields.filter(f => f.sourceName.equalsIgnoreCase(src) &&
+            orderPreservingTransform(f)).forall { f =>
+          val bound =
+            if (strict)
+              transformLiteralShifted(f, raw, if (lower) 1L else -1L)
+                .orElse(transformLiteral(f, raw))
+            else transformLiteral(f, raw)
+          (bound, t.get(f.name)) match {
+            case (Some(b), Some(Some(actual))) =>
+              compareCanonical(f, actual, b) match {
+                case Some(c) => if (lower) c >= 0 else c <= 0
+                case None => true
+              }
+            case (Some(_), Some(None)) => false
+            case _ => true
+          }
+        }
+    }
+
+  /** NULL-predicate pruning: transforms of null are null (spec rule),
+    * so `src IS NULL` admits only files whose tuple value is null, and
+    * `src IS NOT NULL` only files whose tuple value is not. Applies to
+    * every VALUE transform including bucket — but never void, whose
+    * result is null for every source value. Absent tuples/fields
+    * admit. */
+  def tupleAdmitsSourceNull(tuple: Option[Map[String, Option[String]]],
+      fields: Seq[IcePartField], src: String, isNull: Boolean): Boolean =
+    tuple match {
+      case None => true
+      case Some(t) =>
+        fields.filter(f => f.sourceName.equalsIgnoreCase(src) &&
+            f.transform != "void").forall { f =>
+          t.get(f.name) match {
+            case Some(Some(_)) => !isNull
+            case Some(None) => isNull
+            case None => true
           }
         }
     }
@@ -386,7 +571,14 @@ object IcebergTransforms {
         case r: org.apache.avro.generic.GenericRecord =>
           fields.flatMap { f =>
             if (r.getSchema.getField(f.name) == null) None
-            else Some(f.name -> canonicalOfAvro(r.get(f.name), f))
+            else {
+              val v = r.get(f.name)
+              // fixed/bytes values (uuid, binary, decimal) have no
+              // faithful string canonical — drop the field so the
+              // pruner always admits instead of never matching
+              if (!renderableStructValue(v)) None
+              else Some(f.name -> canonicalOfAvro(v, f))
+            }
           }.toMap
       }.filter(_.nonEmpty)
     fromStruct.orElse {

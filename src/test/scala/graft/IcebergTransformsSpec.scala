@@ -247,12 +247,14 @@ class IcebergTransformsSpec extends SparkFunSuite {
         s"SELECT id FROM iceberg('$dir') WHERE id IN (34, 35, 36)")
       assert(in.count() == 3L)
       assert(scanNumFiles(in) <= 3L)
-      // a non-equality predicate keeps every file (conservative) and
-      // stays correct
+      // a range predicate never prunes through the BUCKET transform
+      // (hash order ≠ value order); column BOUNDS (round 17) may still
+      // skip files whose id range misses — correctness pinned either
+      // way
       val rng = graft.sql.ClickHouseSql.sql(spark,
         s"SELECT sum(id) AS s FROM iceberg('$dir') WHERE id <= 10")
       assert(rng.collect().head.getLong(0) == 55L)
-      assert(scanNumFiles(rng) == 4L)
+      assert(scanNumFiles(rng) >= 1L && scanNumFiles(rng) <= 4L)
     } finally cleanup(dir)
   }
 
