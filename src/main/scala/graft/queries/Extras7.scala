@@ -153,17 +153,17 @@ object Extras7 extends QueryPack {
     // Delta CHANGE DATA FEED (round 16 — r15 verdict Missing #3;
     // PROTOCOL.md "Change Data Files"): create → enable CDF (protocol
     // upgrade rides the same commit) → append → UPDATE → DELETE, then
-    // table_changes('path', 0) through the dialect. Appends must write
-    // NO cdc files while mutations must (both asserted in-query); the
-    // oracle restates every change row — insert slices from the two
-    // appends, update_preimage/postimage, and the deletes with their
-    // post-update names — keyed by the DETERMINISTIC commit versions.
+    // table_changes('path', 1) through the dialect — from the ENABLING
+    // version: a range covering the pre-enablement creation commit is
+    // LOUD (round 17, pinned in-query — change data was never captured
+    // for it; delta-spark errors identically). Appends must write NO
+    // cdc files while mutations must (both asserted in-query); the
+    // oracle restates every captured change row — the post-enablement
+    // insert slice, update_preimage/postimage, and the deletes with
+    // their post-update names — keyed by DETERMINISTIC commit versions.
     Q.df("q_delta_cdf", """
       SELECT c_custkey, c_name, 'insert' AS change_type,
-        CAST(0 AS BIGINT) AS commit_version
-      FROM customer WHERE c_custkey <= 120
-      UNION ALL
-      SELECT c_custkey, c_name, 'insert', CAST(2 AS BIGINT)
+        CAST(2 AS BIGINT) AS commit_version
       FROM customer WHERE c_custkey > 120 AND c_custkey <= 150
       UNION ALL
       SELECT c_custkey, c_name, 'update_preimage', CAST(3 AS BIGINT)
@@ -207,10 +207,14 @@ object Extras7 extends QueryPack {
       require(commitText(v3).contains("\"cdc\"") &&
         commitText(v4).contains("\"cdc\""),
         "mutations on a CDF table must write cdc actions")
+      // a range covering the pre-enablement creation commit refuses
+      require(scala.util.Try(graft.sources.DeltaLakeSource
+        .readChanges(s, root, 0L)).isFailure,
+        "a range covering pre-CDF commits must be loud")
       graft.sql.ClickHouseSql.sql(s,
         s"SELECT c_custkey, c_name, _change_type AS change_type, " +
           s"_commit_version AS commit_version " +
-          s"FROM table_changes('$root', 0) " +
+          s"FROM table_changes('$root', 1) " +
           "ORDER BY commit_version, change_type, c_custkey")
     },
 

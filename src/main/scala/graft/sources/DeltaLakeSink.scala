@@ -1229,18 +1229,19 @@ object DeltaLakeSink {
   }
 
   /** VACUUM — delete files under the table directory that the CURRENT
-    * snapshot does not reference and whose modification time is older
-    * than `retentionMs` (Delta's default retention is 7 days; the
-    * retention window is what makes vacuum safe against files a
-    * CONCURRENT uncommitted write just staged). Candidates: data
-    * parquet files, `deletion_vector_*.bin` files not referenced by
-    * any active add, `_change_data/` files (cdc actions are only
-    * referenced by historical commits — Delta's own vacuum collects
-    * them past retention), and leftover staging directories from
-    * crashed writers. `_delta_log` is never touched. Time travel to a
-    * version needing a deleted file becomes loud at scan time, the
-    * protocol's documented vacuum trade. Returns (files deleted,
-    * bytes reclaimed). */
+    * snapshot does not reference and whose REMOVAL predates the
+    * retention cutoff (Delta's default retention is 7 days). The age
+    * gate is the REMOVE ACTION's `deletionTimestamp` (round 17 — the
+    * r16 ADVICE finding: an mtime gate deletes an old file the moment
+    * a compaction removes it, breaking concurrent readers and time
+    * travel WITHIN the retention window the protocol promises is
+    * safe); a DV bin ages by the removal of the add that referenced
+    * it, and files no commit ever named (crashed-writer staging
+    * orphans, historical `_change_data` files) keep the modification-
+    * time gate — removal time does not exist for them. `_delta_log` is
+    * never touched. Time travel to a version needing a deleted file
+    * becomes loud at scan time, the protocol's documented vacuum
+    * trade. Returns (files deleted, bytes reclaimed). */
   def vacuum(spark: org.apache.spark.sql.SparkSession, tablePath: String,
       retentionMs: Long = 7L * 24 * 3600 * 1000): (Int, Long) = {
     require(retentionMs >= 0, "deltaLake vacuum: negative retention")
@@ -1258,7 +1259,62 @@ object DeltaLakeSink {
           .toUri.getPath)
       dataPath +: dvPath.toSeq
     }.toSet
+    // remove-action timestamps from the whole JSON log (the log is
+    // commit-count metadata; vacuum never deletes log files, so every
+    // remove this writer or an external one committed is here): decoded
+    // data path → LATEST deletionTimestamp (absent timestamps fall
+    // back to the commit file's own mtime). DV bins map through the
+    // add actions that referenced them — a bin strands exactly when
+    // its referencing add is removed/replaced.
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val logDir = new Path(root, "_delta_log")
+    val commitRe = "^(\\d{20})\\.json$".r
+    val removeTs = scala.collection.mutable.Map.empty[String, Long]
+    val dvOfData = scala.collection.mutable.Map.empty[String, String]
+    fs.listStatus(logDir).filter(st =>
+        commitRe.pattern.matcher(st.getPath.getName).matches())
+      .sortBy(_.getPath.getName).foreach { st =>
+        val in = fs.open(st.getPath)
+        val text = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+        text.split("\n").map(_.trim).filter(_.nonEmpty).foreach { line =>
+          val node = mapper.readTree(line)
+          Option(node.get("remove")).foreach { r =>
+            val p = DeltaLakeSource.qualify(spark, tablePath,
+              r.get("path").asText).toUri.getPath
+            val ts = Option(r.get("deletionTimestamp")).map(_.asLong)
+              .getOrElse(st.getModificationTime)
+            removeTs(p) = math.max(removeTs.getOrElse(p, 0L), ts)
+          }
+          Option(node.get("add")).foreach { a =>
+            Option(a.get("deletionVector")).foreach { dvn =>
+              val storage = Option(dvn.get("storageType")).map(_.asText)
+              if (storage.contains("u") || storage.contains("p")) {
+                val addPath = DeltaLakeSource.qualify(spark, tablePath,
+                  a.get("path").asText).toUri.getPath
+                scala.util.Try {
+                  val dv = DeltaDeletionVectors.DvDescriptor(
+                    dvn.get("storageType").asText,
+                    dvn.get("pathOrInlineDv").asText,
+                    Option(dvn.get("offset")).filterNot(_.isNull)
+                      .map(_.asInt),
+                    dvn.get("sizeInBytes").asInt,
+                    dvn.get("cardinality").asLong)
+                  fs.makeQualified(DeltaDeletionVectors
+                    .dvFilePath(tablePath, dv)).toUri.getPath
+                }.foreach(dvPath => dvOfData(dvPath) = addPath)
+              }
+            }
+          }
+        }
+      }
     val cutoff = System.currentTimeMillis() - retentionMs
+    // a candidate's effective removal time: its own remove action, or
+    // (DV bins) the latest removal/replacement of the add that carried
+    // it, else None (never committed — mtime gate)
+    def removalTime(decoded: String): Option[Long] =
+      removeTs.get(decoded).orElse(
+        dvOfData.get(decoded).flatMap(removeTs.get))
     var deleted = 0
     var bytes = 0L
     // hidden (dot/underscore-prefixed) names are PROTECTED, the same
@@ -1280,8 +1336,14 @@ object DeltaLakeSink {
         }
       } else if (!n.startsWith(".") && !n.startsWith("_")) {
         val decoded = fs.makeQualified(st.getPath).toUri.getPath
-        if (!referenced.contains(decoded) &&
-            st.getModificationTime < cutoff) {
+        // age by the file's REMOVAL, not its creation: a file removed
+        // a moment ago (e.g. by compact) survives the full retention
+        // window even if it is years old
+        val aged = removalTime(decoded) match {
+          case Some(ts) => ts < cutoff
+          case None => st.getModificationTime < cutoff
+        }
+        if (!referenced.contains(decoded) && aged) {
           val len = st.getLen
           if (fs.delete(st.getPath, false)) {
             deleted += 1; bytes += len

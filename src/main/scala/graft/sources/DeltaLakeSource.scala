@@ -732,13 +732,33 @@ object DeltaLakeSource {
     val end = endVersion.getOrElse(commits.last)
     require(startVersion <= end,
       s"deltaLake table_changes: start $startVersion > end $end")
+    // EVERY version in [start, end] must exist as a JSON commit (round
+    // 17 — the r16 ADVICE finding: an external table whose old commits
+    // were cleaned would silently serve PARTIAL changes; delta-spark
+    // errors when change history is unavailable, and so do we)
+    val present = commits.toSet
+    val absent = (startVersion to end).filterNot(present)
+    require(absent.isEmpty,
+      s"deltaLake table_changes: commit JSON for version" +
+        s"${if (absent.size > 1) "s" else ""} " +
+        s"${absent.take(5).mkString(", ")}" +
+        s"${if (absent.size > 5) ", …" else ""} " +
+        "is missing — change history for the requested range is " +
+        "unavailable")
     val state = replayLog(spark, tablePath, Some(end))
     val m = state.meta.getOrElse(throw new IllegalArgumentException(
       "deltaLake table_changes: the log has no metaData action"))
-    require(m.configuration.get("delta.enableChangeDataFeed")
-      .exists(_.equalsIgnoreCase("true")),
-      "deltaLake table_changes: the table does not enable " +
-        "delta.enableChangeDataFeed")
+    // CDF enablement is PER COMMIT, not end-state: a commit that
+    // predates delta.enableChangeDataFeed=true captured no change data
+    // — serving its adds as inserts would be guesswork presented as
+    // fact. Track the config through the log: the state as of
+    // start-1 (checkpoint-aware replay), then per-commit metaData
+    // updates inside the range.
+    var cdfEnabledNow: Boolean =
+      if (startVersion <= commits.head) false
+      else replayLog(spark, tablePath, Some(startVersion - 1)).meta
+        .flatMap(_.configuration.get("delta.enableChangeDataFeed"))
+        .exists(_.equalsIgnoreCase("true"))
     // column-mapped tables (round 16): data and cdc files store
     // PHYSICAL column names; the scan physicalizes and the projection
     // casts back — the same mirror the main read uses. The
@@ -849,15 +869,29 @@ object DeltaLakeSource {
         Option(node.get("cdc")).foreach { c =>
           cdcs += ((c.get("path").asText, pvOf(c)))
         }
+        // a metaData action in THIS commit governs this commit's own
+        // changes (the enabling commit serves from itself onward)
+        Option(node.get("metaData")).foreach { md =>
+          Option(md.get("configuration"))
+            .flatMap(c => Option(c.get("delta.enableChangeDataFeed")))
+            .foreach(vv =>
+              cdfEnabledNow = vv.asText.equalsIgnoreCase("true"))
+        }
       }
       val cdcFiles = cdcs.result()
+      val added = adds.result()
+      if (cdcFiles.nonEmpty || added.nonEmpty || removesData)
+        require(cdfEnabledNow,
+          s"deltaLake table_changes: version $v changed data while " +
+            "delta.enableChangeDataFeed was not set — change data was " +
+            "not captured for that commit; start the range after the " +
+            "enabling version")
       if (cdcFiles.nonEmpty) slices += slice(cdcFiles,
         changeTypeInFile = true, v)
       else {
         require(!removesData,
           s"deltaLake table_changes: version $v removes data without " +
             "cdc actions — change data was not captured for that commit")
-        val added = adds.result()
         if (added.nonEmpty) slices += slice(added,
           changeTypeInFile = false, v)
       }

@@ -51,6 +51,11 @@ object HudiSink {
     * invisible. */
   private[graft] var completeFailpoint: () => Unit = () => ()
 
+  /** Test-only: fired inside compact() after the merged state staged,
+    * before the rename/guard/complete sequence — where a concurrent
+    * writer's log block lands in the race the guard closes. */
+  private[graft] var compactMidFailpoint: () => Unit = () => ()
+
   private val KeyCol = "_hoodie_record_key"
 
   private def avroTypeOf(dt: org.apache.spark.sql.types.DataType): String =
@@ -111,11 +116,12 @@ object HudiSink {
       s"$instant.$action.inflight"), true).close()
 
   private def complete(fs: org.apache.hadoop.fs.FileSystem,
-      root: Path, instant: String, action: String): Unit = {
+      root: Path, instant: String, action: String,
+      content: String = "{}"): Unit = {
     completeFailpoint()
     val out = fs.create(new Path(new Path(root, ".hoodie"),
       s"$instant.$action"), true)
-    try out.write("{}".getBytes("UTF-8")) finally out.close()
+    try out.write(content.getBytes("UTF-8")) finally out.close()
   }
 
   /** Composite route key for a file group: `<partition rel path> U+0001
@@ -590,7 +596,9 @@ object HudiSink {
     routed.repartition(col("__hudi_gid"))
       .write.mode("overwrite").partitionBy("__hudi_gid")
       .parquet(stage.toString)
+    compactMidFailpoint() // test-only: a concurrent writer lands here
     var compacted = 0
+    val renamed = scala.collection.mutable.ArrayBuffer.empty[Path]
     try {
       fs.listStatus(stage).foreach { st =>
         val n = st.getPath.getName
@@ -606,12 +614,44 @@ object HudiSink {
             val dst = new Path(dir, s"${gid}_0-0-0_$instant.parquet")
             if (!fs.rename(p, dst)) throw new IllegalStateException(
               s"hudi compact: staging rename to $dst failed")
+            renamed += dst
             compacted += 1
           }
         }
       }
     } finally fs.delete(stage, true)
-    complete(fs, root, instant, "commit")
+    // CONCURRENCY GUARD before the commit completes (round 17 — the
+    // r16 ADVICE finding): a log block a concurrent upsert committed
+    // DURING compaction carries an instant OLDER than the fresh base
+    // slices and would be permanently out-precedenced — a successfully
+    // committed row silently lost. Re-scan the log layout; any growth
+    // since the initial listing aborts: the renamed slices delete, the
+    // pending instant markers clear, and the caller re-runs against
+    // the new state. (The window between this check and complete() is
+    // the residual race — compaction is minutes, the check-to-complete
+    // gap is milliseconds; a single compactor per table closes it
+    // entirely.)
+    val (_, logVersionsNow) = scanLayout(fs, root)
+    val grew = logVersionsNow.exists { case (r, v) =>
+      v > logVersions.getOrElse(r, 0)
+    }
+    if (grew) {
+      renamed.foreach(p => scala.util.Try(fs.delete(p, false)))
+      val hoodie = new Path(root, ".hoodie")
+      scala.util.Try(fs.delete(
+        new Path(hoodie, s"$instant.commit.inflight"), false))
+      scala.util.Try(fs.delete(
+        new Path(hoodie, s"$instant.commit.requested"), false))
+      throw new IllegalStateException(
+        "hudi compact: a concurrent commit added log blocks during " +
+          "compaction — aborted without completing (no data lost); " +
+          "rerun the compaction")
+    }
+    // the completed-commit metadata records the operation (as Hudi's
+    // HoodieCommitMetadata does) so incremental reads can recognize
+    // compaction commits — they rewrite rows without changing them
+    complete(fs, root, instant, "commit",
+      """{"operationType":"compact"}""")
     (instant, compacted)
   }
 

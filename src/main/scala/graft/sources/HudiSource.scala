@@ -43,17 +43,73 @@ object HudiSource {
     * inserted or updated in the range; rows whose winner is a DELETE
     * tombstone are absent, as in any read). Piggybacks on the same
     * merge as `read` — one extra column through the shuffle, then a
-    * filter. */
+    * filter.
+    *
+    * COMPACTION transparency (round 17 — the r16 ADVICE finding):
+    * compaction rewrites every row of its log-bearing groups under its
+    * own instant without CHANGING any row, so a naive winner filter
+    * would report the whole table as changed across it (real Hudi
+    * preserves per-record commit times). Compaction commits are
+    * recognizable from their completed-commit metadata
+    * (`operationType: compact`); for each one inside the range
+    * (newest first), rows whose winner IS that instant take their
+    * winner from the PRE-compaction state (`asOf` just before it) —
+    * the old slices and logs still exist until a clean, so the true
+    * per-record instants are recoverable exactly. One key-join per
+    * compaction in range; rows whose pre-compaction state is no
+    * longer reconstructable (cleaned) conservatively keep the
+    * compaction instant. */
   def readIncremental(spark: SparkSession, tablePath: String,
       fromInstant: String, toInstant: Option[String] = None)
       : DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, when}
     val digits = fromInstant.takeWhile(_.isDigit)
     require(digits.nonEmpty && digits.length == fromInstant.length,
       s"hudi incremental: '$fromInstant' is not an instant timestamp")
     val fromTs = padInstant(digits)
-    read(spark, tablePath, asOfInstant = toInstant,
+    val toTs: Option[Long] = toInstant.map { s =>
+      val d = s.takeWhile(_.isDigit)
+      require(d.nonEmpty && d.length == s.length,
+        s"hudi incremental: '$s' is not an instant timestamp")
+      padInstant(d)
+    }
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val commitRe = "^(\\d{14,17})\\.commit$".r
+    val compactions: Seq[Long] =
+      if (!fs.exists(new Path(root, ".hoodie"))) Nil
+      else fs.listStatus(new Path(root, ".hoodie")).toSeq.flatMap { st =>
+        st.getPath.getName match {
+          case commitRe(ts) =>
+            val p = padInstant(ts)
+            if (p > fromTs && toTs.forall(p <= _)) {
+              val in = fs.open(st.getPath)
+              val text = try new String(in.readAllBytes(), "UTF-8")
+                finally in.close()
+              if (text.contains("\"operationType\"") &&
+                text.contains("compact")) Some(p) else None
+            } else None
+          case _ => None
+        }
+      }.sorted.reverse
+    var cur = read(spark, tablePath, asOfInstant = toInstant,
       withWinnerInstant = true)
-      .filter(col("__hudi_winner_inst") > fromTs)
+    val key = "_hoodie_record_key"
+    compactions.foreach { c =>
+      require(cur.columns.contains(key),
+        s"hudi incremental: compaction in range but no $key column")
+      val prior = read(spark, tablePath,
+        asOfInstant = Some((c - 1).toString), withWinnerInstant = true)
+        .select(col(key).as("__hudi_pk"),
+          col("__hudi_winner_inst").as("__hudi_prior"))
+      cur = cur.join(prior, cur(key) === col("__hudi_pk"), "left")
+        .withColumn("__hudi_winner_inst",
+          when(col("__hudi_winner_inst") === c,
+            coalesce(col("__hudi_prior"), col("__hudi_winner_inst")))
+            .otherwise(col("__hudi_winner_inst")))
+        .drop("__hudi_pk", "__hudi_prior")
+    }
+    cur.filter(col("__hudi_winner_inst") > fromTs)
       .drop("__hudi_winner_inst")
   }
 

@@ -76,12 +76,19 @@ class DeltaCdfSpec extends SparkFunSuite {
       assert(plain == Map(1L -> "n1", 2L -> "UPD", 3L -> "n3",
         4L -> "n4", 6L -> "n6", 7L -> "n7"))
 
-      // ---- readChanges over the full range ----
-      val ch = DeltaLakeSource.readChanges(spark, dir, 0L)
+      // ---- readChanges from the enabling version (round 17: a range
+      // covering the PRE-enablement creation commit is LOUD — change
+      // data was never captured for it, and serving its adds as
+      // inserts would be guesswork; delta-spark errors the same way)
+      val e0 = intercept[IllegalArgumentException] {
+        DeltaLakeSource.readChanges(spark, dir, 0L)
+      }
+      assert(e0.getMessage.contains("version 0") &&
+        e0.getMessage.contains("enableChangeDataFeed"), e0.getMessage)
+      val ch = DeltaLakeSource.readChanges(spark, dir, v1)
         .select("id", "name", "_change_type", "_commit_version")
         .as[(Long, String, String, Long)].collect().toSet
-      val expected = (1L to 6L).map(i => (i, s"n$i", "insert", 0L))
-        .toSet ++ Set(
+      val expected = Set(
         (7L, "n7", "insert", v2),
         (2L, "n2", "update_preimage", v3),
         (2L, "UPD", "update_postimage", v3),
@@ -139,13 +146,24 @@ class DeltaCdfSpec extends SparkFunSuite {
       DeltaLakeSink.setTableProperties(spark, dir,
         Map("delta.enableChangeDataFeed" -> "true"))
       // a range covering the pre-CDF mutation is loud — change data
-      // was not captured for it
+      // was not captured for it (the creation commit trips first from
+      // version 0; starting at the mutation names it specifically)
       val e1 = intercept[IllegalArgumentException] {
-        DeltaLakeSource.readChanges(spark, dir, 0L).collect()
+        DeltaLakeSource.readChanges(spark, dir, v1).collect()
       }
       assert(e1.getMessage.contains(s"version $v1"))
       // a range past it works (nothing changed since enablement)
       assert(DeltaLakeSource.readChanges(spark, dir, v1 + 1).count() == 0L)
+      // a range with MISSING commit JSONs refuses — partial change
+      // history must never serve silently (round 17)
+      java.nio.file.Files.delete(java.nio.file.Path.of(
+        dir, "_delta_log", f"$v1%020d.json"))
+      new java.io.File(dir,
+        s"_delta_log/.${f"$v1%020d"}.json.crc").delete()
+      val e2 = intercept[IllegalArgumentException] {
+        DeltaLakeSource.readChanges(spark, dir, 0L)
+      }
+      assert(e2.getMessage.contains("missing"), e2.getMessage)
     } finally cleanup(dir)
   }
 

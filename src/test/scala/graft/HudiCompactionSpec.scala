@@ -133,6 +133,87 @@ class HudiCompactionSpec extends SparkFunSuite {
     } finally cleanup(dir)
   }
 
+  test("a log block committed DURING compaction aborts it before the " +
+      "commit completes — the concurrent upsert survives (round 17 " +
+      "ADVICE)") {
+    val dir = tmp("race")
+    try {
+      HudiSink.upsert(df((1L to 6L).map(i => (s"k$i", i, s"a$i"))), dir)
+      HudiSink.upsert(df(Seq(("k2", 2L, "UPD2"))), dir)
+      // a concurrent upsert lands between the compaction's initial
+      // listing and its commit — under the old code its log block
+      // carried an older instant than the fresh slices and was
+      // silently out-precedenced forever
+      var fired = false
+      graft.sources.HudiSink.compactMidFailpoint = () =>
+        if (!fired) { // the rerun below must not re-trigger
+          fired = true
+          HudiSink.upsert(df(Seq(("k5", 5L, "RACED"))), dir)
+        }
+      val e = try intercept[IllegalStateException] {
+        HudiSink.compact(spark, dir)
+      } finally graft.sources.HudiSink.compactMidFailpoint = () => ()
+      assert(e.getMessage.contains("concurrent"), e.getMessage)
+      // nothing completed: no commit instant, no visible fresh slices,
+      // and the RACED row serves
+      assert(!new java.io.File(dir, ".hoodie").listFiles
+        .exists(n => n.getName.endsWith(".commit")),
+        "the aborted compaction must not complete a commit")
+      val got = HudiSource.read(spark, dir)
+        .select("_hoodie_record_key", "v").as[(String, String)]
+        .collect().toMap
+      assert(got("k5") == "RACED" && got("k2") == "UPD2",
+        s"the concurrent upsert must survive the abort, got $got")
+      // the rerun (fresh listing includes the raced block) succeeds
+      val (i2, g2) = HudiSink.compact(spark, dir)
+      assert(i2.nonEmpty && g2 > 0)
+      val after = HudiSource.read(spark, dir)
+        .select("_hoodie_record_key", "v").as[(String, String)]
+        .collect().toMap
+      assert(after == got)
+    } finally cleanup(dir)
+  }
+
+  test("incremental reads stay scoped ACROSS a compaction: the " +
+      "rewrite reports nothing, true per-row instants survive " +
+      "(round 17 ADVICE)") {
+    val dir = tmp("inc")
+    try {
+      val (i1, _) = HudiSink.upsert(
+        df((1L to 8L).map(i => (s"k$i", i, s"a$i"))), dir)
+      val (i2, _) = HudiSink.upsert(
+        df(Seq(("k3", 3L, "UPD3"), ("k7", 7L, "UPD7"))), dir)
+      val (ic, g) = HudiSink.compact(spark, dir)
+      assert(g > 0)
+      // the compaction commit records its operation type
+      assert(java.nio.file.Files.readString(java.nio.file.Path.of(
+        dir, ".hoodie", s"$ic.commit")).contains("compact"))
+      // (i1, now]: ONLY the i2 updates — not the whole rewritten table
+      val inc1 = HudiSource.readIncremental(spark, dir, i1)
+        .select("_hoodie_record_key", "v").as[(String, String)]
+        .collect().toMap
+      assert(inc1 == Map("k3" -> "UPD3", "k7" -> "UPD7"),
+        s"compaction must be invisible to incremental reads, got $inc1")
+      // (i2, now]: nothing — the compaction changed no row
+      assert(HudiSource.readIncremental(spark, dir, i2).isEmpty,
+        "a pure compaction range must serve no changes")
+      // a post-compaction upsert reports normally
+      val (i3, _) = HudiSink.upsert(df(Seq(("k1", 1L, "NEW1"))), dir)
+      val inc2 = HudiSource.readIncremental(spark, dir, ic)
+        .select("_hoodie_record_key", "v").as[(String, String)]
+        .collect().toMap
+      assert(inc2 == Map("k1" -> "NEW1"), s"got $inc2")
+      // a bounded pre-compaction range still serves from history
+      val bounded = HudiSource.readIncremental(spark, dir, i1,
+        toInstant = Some(i2))
+        .select("_hoodie_record_key", "v").as[(String, String)]
+        .collect().toMap
+      assert(bounded == Map("k3" -> "UPD3", "k7" -> "UPD7"),
+        s"got $bounded")
+      assert(i3.nonEmpty)
+    } finally cleanup(dir)
+  }
+
   test("partitioned MoR table compacts per partition dir and the " +
       "dialect verb reports it") {
     val dir = tmp("part")

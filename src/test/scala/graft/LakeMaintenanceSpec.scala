@@ -73,6 +73,40 @@ class LakeMaintenanceSpec extends SparkFunSuite {
     } finally cleanup(dir)
   }
 
+  test("delta vacuum ages by the REMOVE action's deletionTimestamp — " +
+      "an old file removed moments ago survives default retention " +
+      "(round 17 ADVICE)") {
+    val dir = tmp("vacage")
+    try {
+      DeltaLakeSink.append((1L to 10L).map(i => (i, s"n$i"))
+        .toDF("id", "name"), dir, checkpointInterval = 0)
+      // backdate every data file far past any retention window — an
+      // mtime-gated vacuum would collect them the instant they
+      // unreference
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val old = System.currentTimeMillis() - 30L * 24 * 3600 * 1000
+      new java.io.File(dir).listFiles
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(f => fs.setTimes(new org.apache.hadoop.fs.Path(
+          f.getPath), old, -1))
+      // compact NOW: the backdated files unreference with a fresh
+      // deletionTimestamp
+      DeltaLakeSink.compact(spark, dir, checkpointInterval = 0)
+      // default retention: nothing may collect — concurrent readers
+      // and time travel within the window are protocol-promised safe
+      assert(DeltaLakeSink.vacuum(spark, dir) == ((0, 0L)),
+        "files removed within retention must survive regardless of age")
+      // the pre-compaction version still travels
+      assert(DeltaLakeSource.read(spark, dir, versionAsOf = Some(0L))
+        .count() == 10L)
+      // zero retention still collects them (removal predates the cutoff)
+      val (deleted, _) = DeltaLakeSink.vacuum(spark, dir,
+        retentionMs = 0L)
+      assert(deleted > 0)
+    } finally cleanup(dir)
+  }
+
   test("hudi clean: keeps the newest N visible slices per group, " +
       "deletes older slices + their logs, reads identical") {
     val dir = tmp("clean")
