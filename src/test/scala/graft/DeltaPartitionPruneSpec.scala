@@ -93,11 +93,25 @@ class DeltaPartitionPruneSpec extends SparkFunSuite {
       val ids = DeltaLakeSource.read(spark, dir)
         .select("id").as[Long].collect().sorted.toSeq
       assert(ids == (1L to 20L).filterNot(_ % 5 == 0))
-      // partition columns still restore on the DV lane
+      // partition columns still restore on the DV lane — and (round
+      // 17) the DV lane now PRUNES at planning time through the same
+      // FileIndex, with no join in the plan: the _metadata-anchored
+      // mask rides the pruned scan
       val evens = DeltaLakeSource.read(spark, dir)
         .filter(col("p") === "e").select("id").as[Long]
-        .collect().sorted.toSeq
-      assert(evens == Seq(2L, 4L, 6L, 8L, 12L, 14L, 16L, 18L))
+      val evenVals = evens.collect().sorted.toSeq
+      assert(evenVals == Seq(2L, 4L, 6L, 8L, 12L, 14L, 16L, 18L))
+      val planStr = evens.queryExecution.executedPlan.toString
+      assert(!planStr.contains("Join"),
+        s"the DV lane must not join for partition columns:\n$planStr")
+      val total = DeltaLakeSource.read(spark, dir).inputFiles.length
+      val dvScan = DeltaLakeSource.read(spark, dir)
+        .filter(col("p") === "e")
+      dvScan.collect()
+      val numFiles = scans(dvScan.queryExecution.executedPlan)
+        .map(_.metrics("numFiles").value).sum
+      assert(numFiles < total && numFiles >= 1,
+        s"DV-lane partition pruning: $numFiles of $total files")
       // pre-delete time travel rides the PLAIN (FileIndex) lane
       assert(DeltaLakeSource.read(spark, dir,
         versionAsOf = Some(v1 - 1)).count() == 20L)

@@ -132,4 +132,34 @@ class HudiMoRSpec extends SparkFunSuite {
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(dir))
   }
+
+  test("partitionEq scopes a MoR merge to one partition's groups: " +
+      "other partitions' base slices AND logs never list (round 17)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hmor_pe")
+      .toString + "/t"
+    try {
+      val d = (1L to 12L).map(i =>
+        (s"k$i", i, s"a$i", if (i % 2 == 0) "e" else "o"))
+        .toDF("_hoodie_record_key", "id", "v", "p")
+      graft.sources.HudiSink.upsert(d, dir, partitionBy = Seq("p"))
+      // updates land log blocks in BOTH partitions
+      graft.sources.HudiSink.upsert(
+        Seq(("k4", 4L, "UPD4", "e"), ("k5", 5L, "UPD5", "o"))
+          .toDF("_hoodie_record_key", "id", "v", "p"), dir)
+      val scoped = HudiSource.read(spark, dir,
+        partitionEq = Map("p" -> "e"))
+      val got = scoped.select("_hoodie_record_key", "v")
+        .as[(String, String)].collect().toMap
+      assert(got == Map("k2" -> "a2", "k4" -> "UPD4", "k6" -> "a6",
+        "k8" -> "a8", "k10" -> "a10", "k12" -> "a12"), s"got $got")
+      // the scan's base files all live in p=e — the other partition's
+      // slices (and its log blocks) never listed
+      val ins = scoped.inputFiles
+      assert(ins.nonEmpty && ins.forall(_.contains("p=e")),
+        s"scoped scan must only read p=e files: ${ins.mkString(", ")}")
+      // a full read still serves everything
+      assert(HudiSource.read(spark, dir).count() == 12L)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir).getParentFile)
+  }
 }
