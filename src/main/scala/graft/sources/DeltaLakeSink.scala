@@ -1149,8 +1149,17 @@ object DeltaLakeSink {
     * preserved (restore is itself a commit; time travel to the
     * pre-restore state still works). Refuses loudly when a target
     * file or its DV no longer exists on disk (a vacuum already
-    * collected it) and on CDF tables (a restore's change rows would
-    * need a full content diff this writer does not emit). Returns
+    * collected it).
+    *
+    * CDF tables (round 17 — the r16 verdict's #7, dropping the r16
+    * refusal): the restore commit CAPTURES its changes as
+    * `_change_data/` files from the file-level diff the restore
+    * already computes — the re-added files' visible rows (target-
+    * version DVs applied) emit as 'insert', the removed files' visible
+    * rows (current DVs applied) as 'delete'. This is the file-level
+    * change set delta-spark itself serves for restore commits; a row
+    * untouched by the restore but living in a rewritten file appears
+    * as delete + insert, the documented shape. Returns
     * (committed version, files re-added, files removed). */
   def restore(spark: org.apache.spark.sql.SparkSession, tablePath: String,
       version: Long, checkpointInterval: Int = 10): (Long, Int, Int) = {
@@ -1164,11 +1173,8 @@ object DeltaLakeSink {
     writerGate(cur, "restore", "delete")
     writerGate(cur, "restore", "append")
     val conf = cur.meta.map(_.configuration).getOrElse(Map.empty)
-    require(!conf.get("delta.enableChangeDataFeed")
-      .exists(_.equalsIgnoreCase("true")),
-      "deltaLake restore: the table enables change data feed and a " +
-        "restore's change rows would need a full content diff — " +
-        "refusing")
+    val cdfEnabled = conf.get("delta.enableChangeDataFeed")
+      .exists(_.equalsIgnoreCase("true"))
     val target = DeltaLakeSource.replayLog(spark, tablePath,
       Some(version))
     val curPaths = cur.active.map(_._1).toSet
@@ -1193,6 +1199,45 @@ object DeltaLakeSink {
               "exists (vacuumed?) — the version is unrecoverable")
         }
     }
+    // CDF capture from the file-level diff (re-adds → inserts at the
+    // TARGET version's view, removes → deletes at the CURRENT view —
+    // each side's DV masks apply during its read)
+    val cdcAdded: Seq[(String, Long, Map[String, Option[String]])] =
+      if (!cdfEnabled) Seq.empty
+      else {
+        import org.apache.spark.sql.functions.{col, lit}
+        val m = cur.meta.get
+        val schema = org.apache.spark.sql.types.DataType
+          .fromJson(m.schemaString)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val mappingMode = m.configuration
+          .getOrElse("delta.columnMapping.mode", "none")
+        val partCols = m.partitionColumns
+        val sides =
+          (if (reAdds.isEmpty) Nil
+           else Seq(DeltaLakeSource.read(spark, tablePath,
+             versionAsOf = Some(version),
+             onlyPaths = Some(reAdds.map(_._1).toSet))
+             .withColumn("_change_type", lit("insert")))) ++
+          (if (removes.isEmpty) Nil
+           else Seq(DeltaLakeSource.read(spark, tablePath,
+             onlyPaths = Some(removes.toSet))
+             .withColumn("_change_type", lit("delete"))))
+        val changeDf = sides.reduce(_ unionByName _)
+        val (stagedCdc, stagePartCols) =
+          if (mappingMode == "none") (changeDf, partCols)
+          else (changeDf.select(schema.fields.map(f =>
+            col(f.name)
+              .cast(DeltaLakeSource.physicalizeType(f.dataType,
+                mappingMode))
+              .as(DeltaLakeSource.physNameOf(f, mappingMode)))
+            .toIndexedSeq :+ col("_change_type"): _*),
+            partCols.map(pc => DeltaLakeSource.physNameOf(
+              schema.fields.find(_.name.equalsIgnoreCase(pc)).get,
+              mappingMode)))
+        stageDataFiles(stagedCdc, root, fs, stagePartCols,
+          subDir = "_change_data", prefix = "cdc")
+      }
     val body = removes.sorted.map(p => removeJson(p)) ++
       reAdds.map { case (p, a) =>
         val abs = DeltaLakeSource.qualify(spark, tablePath, p)
@@ -1202,7 +1247,8 @@ object DeltaLakeSink {
           baseRowId = a.baseRowId,
           defaultRowCommitVersion = a.defaultRowCommitVersion,
           rawStats = a.stats) // the target add's stats echo verbatim
-      }
+      } ++
+      cdcAdded.map { case (rel, size, pv) => cdcJson(rel, size, pv) }
     val newVersion = cur.version + 1
     commitFailpoint()
     val targetPath = new Path(new Path(root, "_delta_log"),

@@ -730,4 +730,105 @@ object HudiSink {
     complete(fs, root, instant, "clean")
     (delBase, delLogs)
   }
+
+  /** TIMELINE ARCHIVAL — Hudi's archiver: the `.hoodie` directory
+    * accumulates one completed-instant file per commit FOREVER, so
+    * after compaction and cleaning bound the data, the timeline is the
+    * unbounded metadata. Fold completed instants older than the newest
+    * `keepLast` into one append-only archive file under
+    * `.hoodie/archived/` (instant + action + the completed file's
+    * commit metadata as JSON lines, so incremental reads can still
+    * recognize archived compaction commits) and delete the active
+    * files.
+    *
+    * Safety rules (Hudi's own): pending instants never archive, and
+    * nothing at or after the EARLIEST pending instant archives either
+    * (its eventual completion must order against a live timeline).
+    * Visibility is unchanged: the reader's rule admits instants up to
+    * the newest completed one, and archival always keeps the newest
+    * `keepLast` — data written at archived instants stays visible
+    * exactly as before (Hudi treats sub-timeline instants as
+    * "archived, passes"). The archive write lands via
+    * create-temp-then-rename BEFORE the active files delete — a crash
+    * between leaves duplicates, never a hole. Returns the number of
+    * instants archived. */
+  def archive(spark: SparkSession, tablePath: String,
+      keepLast: Int = 10): Int = {
+    require(keepLast >= 1, "hudi archive: keepLast must be >= 1")
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hoodie = new Path(root, ".hoodie")
+    require(fs.exists(hoodie),
+      s"hudi archive: $tablePath is not a Hudi table")
+    val completedRe = "^(\\d{14,17})\\.([a-z]+)$".r
+    val pendingRe = "^(\\d{14,17})\\.([a-z]+)\\.(inflight|requested)$".r
+    val completed = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Path)] // (padded, digits, action, p)
+    var earliestPending = Long.MaxValue
+    fs.listStatus(hoodie).foreach { st =>
+      if (!st.isDirectory) st.getPath.getName match {
+        case completedRe(ts, action) =>
+          completed += ((HudiSource.padInstant(ts), ts, action,
+            st.getPath))
+        case pendingRe(ts, _, _) =>
+          earliestPending = math.min(earliestPending,
+            HudiSource.padInstant(ts))
+        case _ =>
+      }
+    }
+    // a pending marker whose completed file exists is not pending
+    val completedTs = completed.map(_._1).toSet
+    if (completedTs.contains(earliestPending)) {
+      val stillPending = scala.collection.mutable.ArrayBuffer.empty[Long]
+      fs.listStatus(hoodie).foreach { st =>
+        if (!st.isDirectory) st.getPath.getName match {
+          case pendingRe(ts, _, _) =>
+            val p = HudiSource.padInstant(ts)
+            if (!completedTs.contains(p)) stillPending += p
+          case _ =>
+        }
+      }
+      earliestPending =
+        if (stillPending.isEmpty) Long.MaxValue else stillPending.min
+    }
+    val distinctTs = completed.map(_._1).distinct.sorted
+    if (distinctTs.length <= keepLast) return 0
+    val keepFrom = distinctTs(distinctTs.length - keepLast)
+    val bound = math.min(keepFrom, earliestPending)
+    val toArchive = completed.filter(_._1 < bound).sortBy(_._1)
+    if (toArchive.isEmpty) return 0
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val lines = toArchive.map { case (_, ts, action, p) =>
+      val in = fs.open(p)
+      val content = try new String(in.readAllBytes(), "UTF-8")
+        finally in.close()
+      val node = mapper.createObjectNode()
+      node.put("instant", ts)
+      node.put("action", action)
+      node.put("content", content)
+      mapper.writeValueAsString(node)
+    }
+    val archDir = new Path(hoodie, "archived")
+    fs.mkdirs(archDir)
+    val name = s"${toArchive.head._2}_${toArchive.last._2}.archive.jsonl"
+    val tmp = new Path(archDir, s"__tmp_$name")
+    val out = fs.create(tmp, true)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, new Path(archDir, name)))
+      throw new IllegalStateException(
+        s"hudi archive: rename to $name failed")
+    toArchive.foreach { case (_, ts, action, p) =>
+      // the completed file AND its claim markers go: a leftover
+      // .inflight/.requested with no completed file would read as a
+      // PENDING instant and hide the archived instant's data
+      (Seq(p) ++ Seq("inflight", "requested").map(s =>
+        new Path(hoodie, s"$ts.$action.$s"))).foreach { del =>
+        scala.util.Try(fs.delete(del, false))
+        scala.util.Try(fs.delete(
+          new Path(del.getParent, s".${del.getName}.crc"), false))
+      }
+    }
+    toArchive.map(_._1).distinct.size
+  }
 }

@@ -76,13 +76,14 @@ object HudiSource {
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val commitRe = "^(\\d{14,17})\\.commit$".r
-    val compactions: Seq[Long] =
+    def inRange(p: Long): Boolean = p > fromTs && toTs.forall(p <= _)
+    val active: Seq[Long] =
       if (!fs.exists(new Path(root, ".hoodie"))) Nil
       else fs.listStatus(new Path(root, ".hoodie")).toSeq.flatMap { st =>
         st.getPath.getName match {
           case commitRe(ts) =>
             val p = padInstant(ts)
-            if (p > fromTs && toTs.forall(p <= _)) {
+            if (inRange(p)) {
               val in = fs.open(st.getPath)
               val text = try new String(in.readAllBytes(), "UTF-8")
                 finally in.close()
@@ -91,23 +92,56 @@ object HudiSource {
             } else None
           case _ => None
         }
-      }.sorted.reverse
+      }
+    // archived timeline (HudiSink.archive folds old completed instants
+    // into .hoodie/archived/*.archive.jsonl) — compaction commits stay
+    // recognizable after archival
+    val archDir = new Path(new Path(root, ".hoodie"), "archived")
+    val archived: Seq[Long] =
+      if (!fs.exists(archDir)) Nil
+      else {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        fs.listStatus(archDir).toSeq
+          .filter(_.getPath.getName.endsWith(".archive.jsonl"))
+          .flatMap { st =>
+            val in = fs.open(st.getPath)
+            val text = try new String(in.readAllBytes(), "UTF-8")
+              finally in.close()
+            text.split("\n").filter(_.nonEmpty).flatMap { line =>
+              val node = mapper.readTree(line)
+              val p = padInstant(node.get("instant").asText
+                .takeWhile(_.isDigit))
+              if (inRange(p) &&
+                  node.get("action").asText == "commit" &&
+                  Option(node.get("content")).exists(c =>
+                    c.asText.contains("compact"))) Some(p) else None
+            }
+          }
+      }
+    val compactions: Seq[Long] =
+      (active ++ archived).distinct.sorted.reverse
     var cur = read(spark, tablePath, asOfInstant = toInstant,
       withWinnerInstant = true)
     val key = "_hoodie_record_key"
     compactions.foreach { c =>
       require(cur.columns.contains(key),
         s"hudi incremental: compaction in range but no $key column")
-      val prior = read(spark, tablePath,
+      // the pre-compaction state may have been CLEANED away — then the
+      // true instants are unrecoverable and rows keep the compaction
+      // instant (conservative over-report, never a lost change)
+      scala.util.Try(read(spark, tablePath,
         asOfInstant = Some((c - 1).toString), withWinnerInstant = true)
         .select(col(key).as("__hudi_pk"),
-          col("__hudi_winner_inst").as("__hudi_prior"))
-      cur = cur.join(prior, cur(key) === col("__hudi_pk"), "left")
-        .withColumn("__hudi_winner_inst",
-          when(col("__hudi_winner_inst") === c,
-            coalesce(col("__hudi_prior"), col("__hudi_winner_inst")))
-            .otherwise(col("__hudi_winner_inst")))
-        .drop("__hudi_pk", "__hudi_prior")
+          col("__hudi_winner_inst").as("__hudi_prior")))
+        .foreach { prior =>
+          cur = cur.join(prior, cur(key) === col("__hudi_pk"), "left")
+            .withColumn("__hudi_winner_inst",
+              when(col("__hudi_winner_inst") === c,
+                coalesce(col("__hudi_prior"),
+                  col("__hudi_winner_inst")))
+                .otherwise(col("__hudi_winner_inst")))
+            .drop("__hudi_pk", "__hudi_prior")
+        }
     }
     cur.filter(col("__hudi_winner_inst") > fromTs)
       .drop("__hudi_winner_inst")

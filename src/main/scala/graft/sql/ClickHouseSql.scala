@@ -1488,6 +1488,13 @@ object ClickHouseSql {
     val lakeClean = ("(?is)^OPTIMIZE\\s+TABLE\\s+FUNCTION\\s+" +
       "hudi\\s*\\(\\s*'([^']+)'\\s*\\)\\s+CLEAN" +
       "(?:\\s+KEEP\\s+(\\d+))?\\s*;?\\s*$").r
+    // OPTIMIZE TABLE FUNCTION hudi('path') ARCHIVE [KEEP N] — fold
+    // completed timeline instants older than the newest N into
+    // .hoodie/archived/ (round 17: the timeline is the unbounded
+    // metadata once compaction+clean bound the data)
+    val lakeArchive = ("(?is)^OPTIMIZE\\s+TABLE\\s+FUNCTION\\s+" +
+      "hudi\\s*\\(\\s*'([^']+)'\\s*\\)\\s+ARCHIVE" +
+      "(?:\\s+KEEP\\s+(\\d+))?\\s*;?\\s*$").r
     // RESTORE TABLE FUNCTION deltaLake('p') TO VERSION N — revert the
     // content to a past version with one commit (history preserved);
     // ALTER TABLE FUNCTION iceberg('p') ROLLBACK TO SNAPSHOT <id> —
@@ -1534,6 +1541,12 @@ object ClickHouseSql {
           .clean(spark, path, keepSlices = keep)
         return Seq((bases.toLong, logs.toLong))
           .toDF("base_files_deleted", "log_files_deleted")
+      case lakeArchive(path, keep0) =>
+        import spark.implicits._
+        val keep = Option(keep0).map(_.toInt).getOrElse(10)
+        val n = graft.sources.HudiSink
+          .archive(spark, path, keepLast = keep)
+        return Seq(n.toLong).toDF("instants_archived")
       case lakeOptimize(fn, path) =>
         import spark.implicits._
         if (fn.equalsIgnoreCase("iceberg")) {

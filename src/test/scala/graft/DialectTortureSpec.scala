@@ -480,4 +480,35 @@ class DialectTortureSpec extends SparkFunSuite {
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(dir).getParentFile)
   }
+
+  test("round-17 ARCHIVE verb: statement-anchored dispatch, hostile " +
+      "casing works, the spelling inside a literal passes through") {
+    val ch = (s: String) => graft.sql.ClickHouseSql.sql(spark, s)
+    import SparkTestBase.spark.implicits._
+    Tables.register(spark, sf)
+    val lit = ch("SELECT 'OPTIMIZE TABLE FUNCTION hudi(''/nope'') " +
+      "ARCHIVE KEEP 3' AS s FROM nation LIMIT 1")
+      .collect().head.getString(0)
+    assert(lit.contains("ARCHIVE KEEP 3"),
+      s"the ARCHIVE spelling in a literal must pass through: $lit")
+    intercept[Exception] {
+      ch("OPTIMIZE TABLE FUNCTION hudi('/tmp/graft_no_such_t') " +
+        "ARCHIVE KEEP 1")
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_tort17").toString + "/t"
+    try {
+      val d = (k: String, v: String) => Seq((k, v))
+        .toDF("_hoodie_record_key", "v")
+      graft.sources.HudiSink.upsert(d("k1", "a"), dir)
+      graft.sources.HudiSink.upsert(d("k1", "b"), dir)
+      graft.sources.HudiSink.upsert(d("k1", "c"), dir)
+      val res = ch(s"optimize TABLE  function   hudi('$dir')  " +
+        "Archive   Keep 1").collect().head
+      assert(res.getLong(0) == 2L, s"2 instants must archive, got $res")
+      assert(graft.sources.HudiSource.read(spark, dir)
+        .select("v").as[String].collect().toSeq == Seq("c"))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir).getParentFile)
+  }
 }

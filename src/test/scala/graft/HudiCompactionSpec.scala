@@ -214,6 +214,56 @@ class HudiCompactionSpec extends SparkFunSuite {
     } finally cleanup(dir)
   }
 
+  test("timeline archival bounds .hoodie: visibility unchanged, " +
+      "active instants shrink, archived compactions stay " +
+      "incremental-transparent (round 17)") {
+    val dir = tmp("arch")
+    try {
+      val (i1, _) = HudiSink.upsert(
+        df((1L to 6L).map(i => (s"k$i", i, s"a$i"))), dir)
+      HudiSink.upsert(df(Seq(("k2", 2L, "UPD2"))), dir)
+      HudiSink.upsert(df(Seq(("k3", 3L, "UPD3"))), dir)
+      val (ic, _) = HudiSink.compact(spark, dir)
+      HudiSink.upsert(df(Seq(("k4", 4L, "UPD4"))), dir)
+      val before = HudiSource.read(spark, dir)
+        .select("_hoodie_record_key", "v").as[(String, String)]
+        .collect().toMap
+      def activeInstants(): Int = new java.io.File(dir, ".hoodie")
+        .listFiles.count(f => !f.isDirectory &&
+          f.getName.matches("\\d+\\.[a-z]+"))
+      val nBefore = activeInstants()
+      assert(nBefore == 5, s"5 completed instants expected, got $nBefore")
+      // keep the newest 2: the 3 older fold into the archive
+      val res = graft.sql.ClickHouseSql.sql(spark,
+        s"OPTIMIZE TABLE FUNCTION hudi('$dir') ARCHIVE KEEP 2")
+        .collect().head
+      assert(res.getLong(0) == 3L, s"3 instants must archive, got $res")
+      assert(activeInstants() == 2)
+      val arch = new java.io.File(dir, ".hoodie/archived").listFiles
+        .filter(_.getName.endsWith(".archive.jsonl"))
+      assert(arch.length == 1, "one archive file expected")
+      // visibility unchanged — data written at archived instants
+      // still serves identically
+      val after = HudiSource.read(spark, dir)
+        .select("_hoodie_record_key", "v").as[(String, String)]
+        .collect().toMap
+      assert(after == before,
+        s"archival must not change visibility: $after vs $before")
+      // the archived compaction commit is STILL recognized: an
+      // incremental range crossing it reports only the real changes
+      val inc = HudiSource.readIncremental(spark, dir, i1)
+        .select("_hoodie_record_key", "v").as[(String, String)]
+        .collect().toMap
+      assert(inc == Map("k2" -> "UPD2", "k3" -> "UPD3", "k4" -> "UPD4"),
+        s"archived compaction $ic must stay transparent, got $inc")
+      // re-archiving with everything retained is a no-op
+      assert(HudiSink.archive(spark, dir, keepLast = 5) == 0)
+      // writes continue normally on the archived table
+      HudiSink.upsert(df(Seq(("k9", 9L, "NEW9"))), dir)
+      assert(HudiSource.read(spark, dir).count() == 7L)
+    } finally cleanup(dir)
+  }
+
   test("partitioned MoR table compacts per partition dir and the " +
       "dialect verb reports it") {
     val dir = tmp("part")

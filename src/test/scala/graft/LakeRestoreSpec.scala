@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions.col
   *  - restore reverts content with ONE commit; history is preserved
   *    (pre-restore state still travels); re-adds echo DV descriptors
   *    and stats verbatim; a vacuumed target refuses loudly; a no-op
-  *    restore commits nothing; CDF tables refuse;
+  *    restore commits nothing; CDF tables capture the restore's
+  *    change rows (round 17 — re-adds as inserts, removes as deletes);
   *  - rollback re-points the current snapshot; newer snapshots stay
   *    travelable; a rolled-back-then-expired snapshot refuses. */
 class LakeRestoreSpec extends SparkFunSuite {
@@ -67,19 +68,43 @@ class LakeRestoreSpec extends SparkFunSuite {
     } finally cleanup(dir)
   }
 
-  test("delta restore refuses on CDF tables") {
+  test("delta restore on a CDF table CAPTURES its change rows (round " +
+      "17 — the r16 refusal drops): re-adds serve as inserts, removes " +
+      "as deletes, through table_changes") {
     val dir = tmp("cdf")
     try {
       DeltaLakeSink.append(Seq((1L, "a")).toDF("id", "name"), dir,
-        checkpointInterval = 0)
-      DeltaLakeSink.setTableProperties(spark, dir,
+        checkpointInterval = 0) // v0
+      val v1 = DeltaLakeSink.setTableProperties(spark, dir,
         Map("delta.enableChangeDataFeed" -> "true"))
-      DeltaLakeSink.append(Seq((2L, "b")).toDF("id", "name"), dir,
-        checkpointInterval = 0)
-      val e = intercept[IllegalArgumentException] {
-        DeltaLakeSink.restore(spark, dir, 0L)
-      }
-      assert(e.getMessage.contains("change data feed"))
+      val v2 = DeltaLakeSink.append(Seq((2L, "b"), (3L, "c"))
+        .toDF("id", "name"), dir, checkpointInterval = 0)
+      // restore to v1 (state = just row 1): the v2 file removes
+      val (v3, readded, removed) = DeltaLakeSink.restore(spark, dir, v1)
+      assert(readded == 0 && removed >= 1 && v3 == v2 + 1)
+      assert(DeltaLakeSource.read(spark, dir).count() == 1L)
+      // the restore commit carries cdc actions — its removed rows
+      // serve as deletes through table_changes
+      val text = java.nio.file.Files.readString(java.nio.file.Path.of(
+        dir, "_delta_log", f"$v3%020d.json"))
+      assert(text.contains("\"cdc\""),
+        s"the restore commit must capture change data: $text")
+      import SparkTestBase.spark.implicits._
+      val ch = DeltaLakeSource.readChanges(spark, dir, v3, Some(v3))
+        .select("id", "name", "_change_type")
+        .as[(Long, String, String)].collect().toSet
+      assert(ch == Set((2L, "b", "delete"), (3L, "c", "delete")),
+        s"got $ch")
+      // restoring FORWARD (undo the restore) re-adds the file — its
+      // rows serve as inserts
+      val (v4, re2, rm2) = DeltaLakeSink.restore(spark, dir, v2)
+      assert(re2 == removed && rm2 == 0)
+      val ch2 = DeltaLakeSource.readChanges(spark, dir, v4, Some(v4))
+        .select("id", "name", "_change_type")
+        .as[(Long, String, String)].collect().toSet
+      assert(ch2 == Set((2L, "b", "insert"), (3L, "c", "insert")),
+        s"got $ch2")
+      assert(DeltaLakeSource.read(spark, dir).count() == 3L)
     } finally cleanup(dir)
   }
 
