@@ -307,7 +307,11 @@ object Bench {
     // pruning of the pushed IN-list) vs the table's row count, which is
     // what the naive wide ORDER BY LIMIT scan must emit. Guarded: a
     // failure degrades to an absent key, never a broken bench line.
-    val ioNote = try {
+    // SPARK_GRAFT_BENCH_SKIP_IO=1 — local-iteration switch: skip the io
+    // note's table builds (~20s) when A/B-timing one query. The driver
+    // leaves it unset and always gets the full io note.
+    val skipIo = sys.env.get("SPARK_GRAFT_BENCH_SKIP_IO").contains("1")
+    val ioNote = if (skipIo) "" else try {
       val tbase = s"/tmp/graft_textindex_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
       val totalFiles = spark.read.parquet(s"$tbase/data").inputFiles.length
       val matchedFiles = graft.operators.TextIndex.matchingFiles(

@@ -19,7 +19,26 @@ object AggFunctions extends QueryPack {
 
     // count/sum/min/max/avg/countDistinct — the core family
     // (AggregateFunctionCount/Sum/sMinMax/Avg.cpp).
-    Q.shared("q_agg_basic", """
+    // Round-17 optimization: fanned out after the read (guide §2.5 — the
+    // single-row-group corpus file fuses the partial aggregate + the
+    // COUNT(DISTINCT) expand into a one-task scan stage). Identity at
+    // cluster scale; expressions verbatim from the oracle SQL.
+    Q("q_agg_basic", (s, dir) => {
+      Tables.register(s, dir)
+      graft.operators.ScaleOps.fanOutIfTiny(
+          Tables.load(s, dir, "lineitem"), col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+          expr("COUNT(*)").as("n"),
+          expr("COUNT(DISTINCT l_partkey)").as("n_parts"),
+          expr("CAST(MIN(l_quantity) AS DOUBLE)").as("min_qty"),
+          expr("CAST(MAX(l_quantity) AS DOUBLE)").as("max_qty"),
+          expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").as("sum_qty"),
+          expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity)").as("avg_qty"),
+          expr("CAST(MIN(l_shipdate) AS DATE)").as("first_ship"),
+          expr("CAST(MAX(l_shipdate) AS DATE)").as("last_ship"))
+        .orderBy("l_returnflag")
+    }, Some("""
       SELECT l_returnflag,
         COUNT(*) AS n,
         COUNT(DISTINCT l_partkey) AS n_parts,
@@ -31,7 +50,7 @@ object AggFunctions extends QueryPack {
         CAST(MAX(l_shipdate) AS DATE) AS last_ship
       FROM lineitem
       GROUP BY l_returnflag
-      ORDER BY l_returnflag"""),
+      ORDER BY l_returnflag""")),
 
     // argMin/argMax (AggregateFunctionsArgMinArgMax.cpp:386) → max_by/min_by;
     // compare-key is the unique orderkey so results are deterministic.
@@ -86,14 +105,23 @@ object AggFunctions extends QueryPack {
     // DuckDB's continuous quantile uses the same (n-1)p interpolation.
     // Top-level arrays are serialized to CSV strings (fixed-scale DECIMAL
     // per element) so the driver's pandas sort/hash sees hashable columns.
-    Q.sparkSql("q_agg_quantile_exact", """
-      SELECT l_returnflag,
-        ROUND(PERCENTILE(l_quantity, 0.5), 4) AS median_qty,
-        ARRAY_JOIN(TRANSFORM(PERCENTILE(l_extendedprice, ARRAY(0.25, 0.5, 0.75, 0.9)),
-                  x -> CAST(CAST(ROUND(x, 4) AS DECIMAL(18,4)) AS STRING)), ',') AS price_quartiles
-      FROM lineitem
-      GROUP BY l_returnflag
-      ORDER BY l_returnflag""",
+    // Round-17 optimization: fanned out after the read (guide §2.5) — the
+    // exact-percentile partial aggregate builds a value→count map over
+    // every row, the heaviest map-side work in the agg battery, and the
+    // single-row-group file ran it all on one task. Same PERCENTILE
+    // aggregate, bit-identical results; identity at cluster scale.
+    Q("q_agg_quantile_exact", (s, dir) => {
+      Tables.register(s, dir)
+      graft.operators.ScaleOps.fanOutIfTiny(
+          Tables.load(s, dir, "lineitem"), col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+          expr("ROUND(PERCENTILE(l_quantity, 0.5), 4)").as("median_qty"),
+          expr("ARRAY_JOIN(TRANSFORM(PERCENTILE(l_extendedprice, ARRAY(0.25, 0.5, 0.75, 0.9)), " +
+            "x -> CAST(CAST(ROUND(x, 4) AS DECIMAL(18,4)) AS STRING)), ',')").as("price_quartiles"))
+        .orderBy("l_returnflag")
+    },
+      Some(
       """
       SELECT l_returnflag,
         ROUND(QUANTILE_CONT(l_quantity, 0.5), 4) AS median_qty,
@@ -101,7 +129,7 @@ object AggFunctions extends QueryPack {
                        x -> CAST(CAST(ROUND(x, 4) AS DECIMAL(18,4)) AS VARCHAR)), ',') AS price_quartiles
       FROM lineitem
       GROUP BY l_returnflag
-      ORDER BY l_returnflag"""),
+      ORDER BY l_returnflag""")),
 
     // Sketch path: t-digest-class quantile + HLL distinct
     // (AggregateFunctionQuantileTDigest.cpp, AggregateFunctionUniq.h:74).

@@ -42,7 +42,31 @@ object Relational extends QueryPack {
     ORDER BY l_returnflag, l_linestatus"""
 
   override def queries: Seq[Q] = Seq(
-    Q.shared("q1_pricing_summary", q1Sql),
+    // Round-17 optimization: same aggregation, but fanned out after the
+    // pushed-down filter — the corpus table is a single parquet row group,
+    // so the SQL form fused the 600k-row 6-sum decimal partial aggregate
+    // into a ONE-task scan stage (guide §2.5 "input skew: one huge
+    // unsplittable file ... repartition immediately after the read";
+    // measured 1.48s → see OPTIMIZATION_r17.md). fanOutIfTiny is the
+    // identity at cluster scale, where splits already cover the cores.
+    // Expressions are copied verbatim from q1Sql — the oracle is unchanged.
+    Q("q1_pricing_summary", (s, dir) => {
+      Tables.register(s, dir)
+      import graft.operators.ScaleOps
+      val li = Tables.load(s, dir, "lineitem")
+        .where("l_shipdate <= TIMESTAMP '2000-09-01 00:00:00'")
+      ScaleOps.fanOutIfTiny(li, col("l_orderkey"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").as("sum_qty"),
+          expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)").as("sum_base_price"),
+          expr("CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)").as("sum_disc_price"),
+          expr("CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE)").as("sum_charge"),
+          expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)").as("avg_qty"),
+          expr("CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)").as("avg_disc"),
+          expr("COUNT(*)").as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }, Some(q1Sql)),
 
     // Selective filter + sum, no grouping (reference: FilterTransform +
     // single-key Aggregator). Filter is fully pushed to parquet row groups.

@@ -23,14 +23,50 @@ object WindowQueries extends QueryPack {
 
     // rank/dense_rank/percent_rank over genuinely tied orderings
     // (WindowTransform.cpp:2652,2659,2668) — tie semantics are the test.
-    Q.shared("q_win_rank_ties", """
+    // Round-17 optimization: rank/dense_rank/percent_rank over a 3-value
+    // PARTITION BY is the same scale-killer the running-sum query fixed in
+    // round 3 — the naive window serializes onto 3 tasks at ANY data size.
+    // Ranks over (flag, qty) depend only on the (flag, qty) HISTOGRAM:
+    // rank = 1 + count of strictly-smaller values (cumulative count minus
+    // the value's own count), dense_rank = distinct-value position,
+    // percent_rank = (rank−1)/(n−1) (0.0 for n=1, Spark's convention).
+    // The histogram is a map-side-combinable aggregate (3×~50 rows at any
+    // scale — l_quantity is a bounded-domain column); the serial window
+    // now runs over ~150 rows instead of 600k, and the big table gets the
+    // ranks back through one broadcast join. Oracle text unchanged.
+    Q("q_win_rank_ties", (s, dir) => {
+      Tables.register(s, dir)
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_quantity"))
+      val h = li.groupBy("l_returnflag", "l_quantity")
+        .agg(count(lit(1)).as("__c"))
+      val wOrd = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+      val wAll = Window.partitionBy("l_returnflag")
+      val ranks = h
+        .withColumn("__cum", sum(col("__c")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("__n", sum(col("__c")).over(wAll))
+        .withColumn("rnk", (col("__cum") - col("__c") + 1).cast("int"))
+        .withColumn("drnk", row_number().over(wOrd))
+        .withColumn("prnk", round(when(col("__n") > 1,
+            (col("rnk") - 1).cast("double") / (col("__n") - 1).cast("double"))
+          .otherwise(0.0), 6))
+        .select(col("l_returnflag"), col("l_quantity"),
+          col("rnk"), col("drnk"), col("prnk"))
+      li.join(broadcast(ranks), Seq("l_returnflag", "l_quantity"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("rnk"), col("drnk"), col("prnk"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }, Some("""
       SELECT l_orderkey, l_linenumber,
         RANK() OVER w AS rnk,
         DENSE_RANK() OVER w AS drnk,
         ROUND(PERCENT_RANK() OVER w, 6) AS prnk
       FROM lineitem
       WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)
-      ORDER BY l_orderkey, l_linenumber"""),
+      ORDER BY l_orderkey, l_linenumber""")),
 
     // row_number + ntile need a total order per partition to be
     // deterministic (WindowTransform.cpp:2677,2684).
@@ -86,6 +122,9 @@ object WindowQueries extends QueryPack {
       import graft.operators.PrefixSum
       val ord = Seq(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("l_extendedprice"))
+      // Round-17 measured, left alone: fanning out the scan before the
+      // checkpoint ADDED ~0.15s — localCheckpoint block reads are same-JVM
+      // memcpy in local mode, so the extra exchange buys nothing here.
       val li = Tables.load(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_extendedprice"), col("l_returnflag"),
