@@ -125,10 +125,25 @@ object Components {
       giantFloor: Long = 1000L,
       patience: Int = 8,
       maxRounds: Int = 30,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      localEdgeCap: Long = 2000000L): DataFrame = {
     val sym = cut(edges.select(col(src).as("s"), col(dst).as("d"))
       .union(edges.select(col(dst).as("s"), col(src).as("d")))
       .distinct(), checkpointDir)
+    // Round-17 third lane (the same shape-adaptive contract as the giant
+    // probe, pointed the other way): BELOW `localEdgeCap` symmetrized
+    // edges the graph fits on the driver at broadcast-relation scale
+    // (2M × 16 B = 32 MB) and a union-find labels it in milliseconds,
+    // where the distributed loop pays seconds of per-round job overhead
+    // (measured at sf0.1: 1.9s of rounds on a 38k-edge graph whose pairs
+    // stage costs 0.6s). Labels are identical by construction — min
+    // reachable id — pinned against both distributed lanes in
+    // ComponentsStarSpec. At scale the count gate fails and the
+    // distributed lanes run unchanged; the count itself reads the
+    // already-checkpointed edge blocks (one cheap job, no extra shuffle).
+    val longIds = sym.schema.fields
+      .forall(_.dataType == org.apache.spark.sql.types.LongType)
+    if (longIds && sym.count() <= localEdgeCap) return localUnionFind(sym)
     val nodes = sym.select(col("s").as("doc_id")).distinct()
     // round 1 of propagation doubles as the skew probe
     val lab1 = cut(nodes
@@ -168,6 +183,32 @@ object Components {
       lab = next.drop("__old")
     }
     lab
+  }
+
+  /** Driver-side union-find over a collected SYMMETRIZED long-id edge set
+    * — the tiny-graph lane of [[connectedComponentsAuto]]. Union by
+    * min-root (the smaller root absorbs) + path compression, so each
+    * root IS the component's min id; labels therefore match the
+    * distributed algorithms exactly. */
+  private def localUnionFind(sym: DataFrame): DataFrame = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    sym.collect().foreach { row =>
+      val a = row.getLong(0); val b = row.getLong(1)
+      if (!parent.contains(a)) parent(a) = a
+      if (!parent.contains(b)) parent(b) = b
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val spark = sym.sparkSession
+    import spark.implicits._
+    parent.keys.toSeq.map(k => (k, find(k))).toDF("doc_id", "label")
   }
 
   /** Connected components by alternating large-star / small-star edge

@@ -109,7 +109,34 @@ object Relational extends QueryPack {
 
     // 6-way snowflake join (TPC-H Q5 shape). Dimensions broadcast; the
     // orders⋈lineitem fact join shuffles on orderkey.
-    Q.shared("q5_local_supplier_volume", """
+    // Round-17 optimization: with every dimension broadcast, ALL five hash
+    // joins + the partial aggregate fused into the lineitem scan stage —
+    // one task on the single-row-group corpus file (guide §2.5). Fan the
+    // fact side out after the read; identity at cluster scale. Join tree,
+    // predicates and aggregate expressions verbatim from the oracle SQL.
+    Q("q5_local_supplier_volume", (s, dir) => {
+      Tables.register(s, dir)
+      import graft.operators.ScaleOps
+      val li = ScaleOps.fanOutIfTiny(
+        Tables.load(s, dir, "lineitem"), col("l_orderkey"))
+      val ord = Tables.load(s, dir, "orders")
+        .where("o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND " +
+          "o_orderdate < TIMESTAMP '1998-01-01 00:00:00'")
+      Tables.load(s, dir, "customer")
+        .join(ord, col("c_custkey") === col("o_custkey"))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.load(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(Tables.load(s, dir, "nation"),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.load(s, dir, "region").where("r_name = 'ASIA'"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(expr("CAST(SUM(CAST(l_extendedprice * (1 - l_discount) " +
+          "AS DECIMAL(18,6))) AS DOUBLE)").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }, Some("""
       SELECT n_name,
         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
       FROM customer
@@ -122,7 +149,7 @@ object Relational extends QueryPack {
         AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
       GROUP BY n_name
-      ORDER BY revenue DESC, n_name"""),
+      ORDER BY revenue DESC, n_name""")),
 
     // Returned-items report (TPC-H Q10 shape): join + group + top-N.
     Q.shared("q10_returned_items", """
@@ -166,7 +193,37 @@ object Relational extends QueryPack {
 
     // IN-subquery with HAVING (TPC-H Q18 shape; reference: PreparedSets /
     // CreatingSetsTransform → Catalyst InSubquery → left-semi join).
-    Q.shared("q18_large_volume_customer", """
+    // Round-17 optimization: the IN-subquery's 600k-row orderkey partial
+    // aggregate AND the main join chain both fused into single-task scan
+    // stages of the one-row-group corpus file (guide §2.5). One fan-out
+    // feeds both consumers (the exchange is reused); the semi join applies
+    // to orders before the fact join, where the optimizer put it anyway.
+    // Identity at cluster scale; oracle SQL unchanged.
+    Q("q18_large_volume_customer", (s, dir) => {
+      Tables.register(s, dir)
+      import graft.operators.ScaleOps
+      val li = ScaleOps.fanOutIfTiny(
+        Tables.load(s, dir, "lineitem"), col("l_orderkey"))
+      val big = li.groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("__sq"))
+        .filter(col("__sq") > 300)
+        .select(col("l_orderkey").as("__bigkey"))
+      val ord = Tables.load(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("__bigkey"), "left_semi")
+      Tables.load(s, dir, "customer")
+        .join(ord, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+          "o_totalprice")
+        .agg(expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)")
+          .as("sum_qty"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"),
+          col("o_totalprice").cast("double").as("totalprice"),
+          col("sum_qty"))
+        .orderBy(col("totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }, Some("""
       SELECT c_custkey, c_name, o_orderkey, o_orderdate,
         CAST(o_totalprice AS DOUBLE) AS totalprice,
         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
@@ -179,7 +236,7 @@ object Relational extends QueryPack {
         HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
       GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
       ORDER BY totalprice DESC, o_orderkey
-      LIMIT 100"""),
+      LIMIT 100""")),
 
     // Scalar subquery + NOT EXISTS anti-join (TPC-H Q22 shape; reference:
     // JoinStrictness::Anti).

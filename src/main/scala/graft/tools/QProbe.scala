@@ -56,6 +56,37 @@ object QProbe {
           col("l_quantity").cast("double").as("c"))
         .orderBy("l_orderkey", "l_linenumber").collect()
     }
+    // Components phase split: pairs stage vs label rounds
+    import graft.functions.TextFunctions.{wordSet, jaccard, jaccardLengthOk}
+    def pairsDf() = {
+      val d = graft.Tables.load(spark, sfDir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism,
+          col("lang"), col("source"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          wordSet(col("text")).as("ws"))
+      val a = d.select(col("doc_id").as("id_a"), col("lang"), col("source"),
+        col("ws").as("wa"))
+      val b = d.select(col("doc_id").as("id_b"), col("lang"), col("source"),
+        col("ws").as("wb"))
+      a.join(b.hint("merge"), Seq("lang", "source"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(jaccardLengthOk(col("wa"), col("wb"), 0.8))
+        .filter(jaccard(col("wa"), col("wb")) >= 0.8)
+        .select(col("id_a"), col("id_b"))
+    }
+    time("components: pairs stage only (count)") {
+      println("  pairs=" + pairsDf().count())
+    }
+    val edges = pairsDf().select(col("id_a").as("src"), col("id_b").as("dst"))
+      .localCheckpoint()
+    time("components: auto rounds over checkpointed edges") {
+      graft.operators.Components.connectedComponentsAuto(edges)
+        .orderBy("doc_id").collect()
+    }
+    time("components: star rounds over checkpointed edges") {
+      graft.operators.Components.connectedComponentsStar(edges)
+        .orderBy("doc_id").collect()
+    }
     spark.stop()
   }
 }

@@ -63,8 +63,10 @@ class ComponentsStarSpec extends SparkFunSuite {
     // max label frequency 2501 ≥ max(floor, 5% of n) → star contraction
     val hub = (1L to 2500L).map(i => (0L, i))
     val side = Seq((9000L, 9001L))
+    // localEdgeCap = 0 keeps this pinned on the DISTRIBUTED giant-probe
+    // lane (round 17 added a driver union-find lane below the cap)
     val auto = labelsOf(Components.connectedComponentsAuto(
-      (hub ++ side).toDF("src", "dst")))
+      (hub ++ side).toDF("src", "dst"), localEdgeCap = 0L))
     assert((0L to 2500L).forall(auto(_) == 0L))
     assert(auto(9000L) == 9000L && auto(9001L) == 9000L)
   }
@@ -76,16 +78,45 @@ class ComponentsStarSpec extends SparkFunSuite {
     intercept[IllegalStateException] {
       Components.connectedComponents(edges, maxRounds = 10)
     }
-    val auto = labelsOf(Components.connectedComponentsAuto(edges))
+    val auto = labelsOf(Components.connectedComponentsAuto(edges,
+      localEdgeCap = 0L))
     assert((0L to 60L).forall(auto(_) == 0L))
   }
 
   test("auto equals propagation on a small mixed graph") {
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L),
       (22L, 20L)).toDF("src", "dst")
-    val auto = labelsOf(Components.connectedComponentsAuto(edges))
+    val auto = labelsOf(Components.connectedComponentsAuto(edges,
+      localEdgeCap = 0L))
     val prop = labelsOf(Components.connectedComponents(edges))
     assert(auto == prop)
+  }
+
+  test("round-17 local union-find lane: identical labels to both " +
+      "distributed algorithms on seeded random graphs, and the cap gate " +
+      "routes tiny long-id graphs through it") {
+    val rng = new Random(1717)
+    for (trial <- 1 to 3) {
+      val n = 300
+      val edges = Seq.fill(220)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val df = edges.toDF("src", "dst")
+      // default cap (2M) — the local lane serves this
+      val local = labelsOf(Components.connectedComponentsAuto(df))
+      val prop = labelsOf(Components.connectedComponents(df, maxRounds = 50))
+      val star = labelsOf(Components.connectedComponentsStar(df))
+      assert(local == prop, s"trial $trial local vs propagation")
+      assert(local == star, s"trial $trial local vs star")
+    }
+    // column names + types match the distributed output contract
+    val out = Components.connectedComponentsAuto(Seq((5L, 2L)).toDF("src", "dst"))
+    assert(out.columns.toSeq == Seq("doc_id", "label"))
+    assert(out.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType))
+    assert(labelsOf(out) == Map(5L -> 2L, 2L -> 2L))
+    // empty edge set stays empty through the local lane
+    assert(Components.connectedComponentsAuto(
+      Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0)
   }
 
   test("self-loops and duplicate edges are absorbed") {
