@@ -68,6 +68,10 @@ object Components {
       dst: String = "dst",
       maxRounds: Int = 20,
       checkpointDir: Option[String] = None): DataFrame = {
+    // Round-17 measured, left alone: pre-cutting the input plan to avoid
+    // the union's double evaluation REGRESSED (+0.26s at sf0.1) — the two
+    // branches evaluate concurrently inside one job on idle cores, while
+    // the extra checkpoint is a serial barrier.
     val sym = cut(edges.select(col(src).as("s"), col(dst).as("d"))
       .union(edges.select(col(dst).as("s"), col(src).as("d")))
       .distinct(), checkpointDir)
@@ -223,10 +227,11 @@ object Components {
     * — no per-node neighbor lists are ever collected, so a hub with
     * millions of edges stays a partial-aggregate, not a single-task
     * array; residual join skew on hot nodes is AQE skew-join territory.
-    * Convergence = the small-star edge set reaching its fixpoint
-    * (star graphs are fixpoints of both phases), detected by a
-    * count + two independent xxhash64 checksums over the edge set —
-    * O(|E|) with no extra shuffle, collision odds ~2^-128.
+    * Convergence = the edge set IS a star forest (each member exactly one
+    * edge, no member also a center) — a structural test that fires the
+    * round the fixpoint is REACHED instead of the round after it
+    * reproduces itself (round 17; formerly consecutive-signature
+    * equality). One grouped aggregate over the edge set per round.
     */
   def connectedComponentsStar(
       edges: DataFrame,
@@ -244,21 +249,25 @@ object Components {
         least(col("u"), col("v")).as("v"))
       .distinct(), checkpointDir)
 
-    def signature(d: DataFrame): (Long, Long, Long) = {
-      // bit_xor folds are order-independent and can't overflow under ANSI;
-      // the edge set is distinct so xor-cancellation of duplicates can't
-      // occur, and two independent hash lanes push collision odds to 2^-128.
-      val r = d.agg(count(lit(1)),
-        expr("bit_xor(xxhash64(u, v))"),
-        expr("bit_xor(xxhash64(v, u, 42))")).head()
-      (r.getLong(0),
-        if (r.isNullAt(1)) 0L else r.getLong(1),
-        if (r.isNullAt(2)) 0L else r.getLong(2))
-    }
+    // Convergence = the edge set IS a star forest (centers = minima):
+    // every member u has exactly one edge and no member is also a center.
+    // Star forests are fixpoints of both phases (Kiveris et al. thm 1-2),
+    // so this detects the SAME fixpoint the former consecutive-signature
+    // comparison did, one round earlier — the signature only noticed the
+    // fixpoint after paying for the round that reproduced it (round-17
+    // measured: one full round ≈ 0.5s of the query at sf0.1). One
+    // aggregate action over the freshly checkpointed edge blocks.
+    def isStarForest(d: DataFrame): Boolean =
+      d.select(col("u").as("x"), lit(1).as("m"))
+        .union(d.select(col("v").as("x"), lit(2).as("m")))
+        .groupBy("x")
+        .agg(sum(when(col("m") === 1, 1).otherwise(0)).as("mem"),
+          max(col("m")).as("mx"))
+        .filter(col("mem") > 1 || (col("mem") >= 1 && col("mx") === 2))
+        .isEmpty
 
-    var sig = signature(e)
     var round = 0
-    var converged = e.isEmpty
+    var converged = e.isEmpty || isStarForest(e)
     while (!converged) {
       round += 1
       if (round > maxRounds)
@@ -282,9 +291,7 @@ object Components {
         .union(smins.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
         .distinct(), checkpointDir)
-      val nextSig = signature(next)
-      converged = nextSig == sig || nextSig._1 == 0
-      sig = nextSig
+      converged = next.isEmpty || isStarForest(next)
       e = next
     }
     // e is now a star forest: (member, center) with center = component min.
