@@ -25,8 +25,13 @@ object AggFunctions extends QueryPack {
     // cluster scale; expressions verbatim from the oracle SQL.
     Q("q_agg_basic", (s, dir) => {
       Tables.register(s, dir)
+      // fan-out keyed on the DISTINCT-aggregate keys: the two-phase
+      // distinct plan's first exchange is hashpartitioning(flag, partkey),
+      // so this partitioning is reused and no second full-row exchange is
+      // planned
       graft.operators.ScaleOps.fanOutIfTiny(
-          Tables.load(s, dir, "lineitem"), col("l_orderkey"))
+          Tables.load(s, dir, "lineitem"),
+          col("l_returnflag"), col("l_partkey"))
         .groupBy("l_returnflag")
         .agg(
           expr("COUNT(*)").as("n"),

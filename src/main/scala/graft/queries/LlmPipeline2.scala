@@ -207,6 +207,10 @@ object LlmPipeline2 extends QueryPack {
         ROUND(-CAST(SUM(term) AS DOUBLE) / 1000000.0 / COUNT(*), 6) AS nll
       FROM terms GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
       import graft.functions.TextFunctions.tokens
+      // Round-17 measured, left alone: fanning out the scan REGRESSED
+      // slightly (1.06 → 1.14 min) — the three consumers (unigram
+      // broadcast, bigram broadcast, terms pass) already evaluate
+      // concurrently on idle cores, and the exchange is a barrier.
       val w = Tables.load(s, dir, "documents")
         .select(col("doc_id"), tokens(col("text")).as("ws"))
       val tok = w.select(explode(col("ws")).as("tok"))

@@ -38,7 +38,11 @@ object LlmPipeline4 extends QueryPack {
         TRUE AS tokens_ge_pretokens,
         TRUE AS tokens_lt_chars
       FROM p""") { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
+      // Round-17: fan out the single-row-group scan (guide §2.5) — the
+      // encode/decode/tokenCount kernels below are per-row codegen over
+      // every document and otherwise run on the one scan task.
+      val docs = graft.operators.ScaleOps.fanOutIfTiny(
+        Tables.load(s, dir, "documents"), col("doc_id"))
       val merges = graft.operators.BpeTokenizer.train(docs, "text", 200)
       val pre = graft.operators.BpeTokenizer.pretokens(col("text"))
       val m = docs.select(
