@@ -241,13 +241,19 @@ object Components {
       checkpointDir: Option[String] = None): DataFrame = {
     val raw = edges.select(col(src).as("u"), col(dst).as("v"))
       .filter(col("u") =!= col("v"))
-    val allNodes = cut(raw.select(col("u").as("doc_id"))
-      .union(raw.select(col("v").as("doc_id"))).distinct(), checkpointDir)
 
-    // Orient (u > v) — the invariant both phases preserve.
+    // Orient (u > v) — the invariant both phases preserve. Cut FIRST:
+    // allNodes then derives from the checkpointed blocks instead of
+    // re-running the caller's edge pipeline a second, SERIAL time
+    // (round 17 — the two cuts were independent actions, so the pairs
+    // self-join behind the dedup queries evaluated twice back-to-back;
+    // e's endpoints are exactly raw-minus-self-loops' node set, so the
+    // derivation is lossless).
     var e = cut(raw.select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       .distinct(), checkpointDir)
+    val allNodes = cut(e.select(col("u").as("doc_id"))
+      .union(e.select(col("v").as("doc_id"))).distinct(), checkpointDir)
 
     // Convergence = the edge set IS a star forest (centers = minima):
     // every member u has exactly one edge and no member is also a center.
