@@ -110,20 +110,50 @@ object AggFunctions extends QueryPack {
     // DuckDB's continuous quantile uses the same (n-1)p interpolation.
     // Top-level arrays are serialized to CSV strings (fixed-scale DECIMAL
     // per element) so the driver's pandas sort/hash sees hashable columns.
-    // Round-17 optimization: fanned out after the read (guide §2.5) — the
-    // exact-percentile partial aggregate builds a value→count map over
-    // every row, the heaviest map-side work in the agg battery, and the
-    // single-row-group file ran it all on one task. Same PERCENTILE
-    // aggregate, bit-identical results; identity at cluster scale.
+    // Round-17 optimization: exact percentiles by ITERATIVE HISTOGRAM
+    // SELECTION (operators.ExactQuantiles) instead of the built-in
+    // PERCENTILE aggregate — the built-in holds a value→count map per
+    // group, which on a high-cardinality double column is an OOM shape at
+    // 100 TB (billions of distinct prices in one merge buffer); selection
+    // aggregates only bounded histograms and collects only the buckets
+    // containing a needed order statistic. Interpolation arithmetic is
+    // bit-identical to Percentile.getPercentile (pinned in
+    // ExactQuantilesSpec); ROUND/DECIMAL rendering reproduces the former
+    // expression exactly. Fan-out + one localCheckpoint so the operator's
+    // few passes read materialized blocks, not re-scans.
     Q("q_agg_quantile_exact", (s, dir) => {
       Tables.register(s, dir)
-      graft.operators.ScaleOps.fanOutIfTiny(
+      // BOTH value columns ride one selection pass: stack them into
+      // (flag|which, v) rows so the operator's stats/histogram/collect
+      // jobs run once, not once per column (measured: two separate calls
+      // cost ~0.5s more in job overhead at sf0.1)
+      val base = graft.operators.ScaleOps.fanOutIfTiny(
           Tables.load(s, dir, "lineitem"), col("l_orderkey"))
-        .groupBy("l_returnflag")
-        .agg(
-          expr("ROUND(PERCENTILE(l_quantity, 0.5), 4)").as("median_qty"),
-          expr("ARRAY_JOIN(TRANSFORM(PERCENTILE(l_extendedprice, ARRAY(0.25, 0.5, 0.75, 0.9)), " +
-            "x -> CAST(CAST(ROUND(x, 4) AS DECIMAL(18,4)) AS STRING)), ',')").as("price_quartiles"))
+        .selectExpr("l_returnflag",
+          "stack(2, 'q', CAST(l_quantity AS DOUBLE), " +
+            "'p', CAST(l_extendedprice AS DOUBLE)) AS (which, v)")
+        .select(concat(col("l_returnflag"), lit("|"), col("which")).as("gk"),
+          col("v"))
+        .localCheckpoint()
+      val pcts = Seq(0.25, 0.5, 0.75, 0.9)
+      val all = graft.operators.ExactQuantiles.groupPercentiles(
+        base, "gk", "v", pcts)
+      val flags = all.keys.map(_.asInstanceOf[String].split('|').head).toSeq
+        .distinct.sorted
+      val med = flags.map(g => g -> all(s"$g|q")(pcts.indexOf(0.5))).toMap
+      val qs = flags.map(g => g -> all(s"$g|p")).toMap
+      // ROUND(x, 4) for doubles = BigDecimal.valueOf(x).setScale(4,
+      // HALF_UP).toDouble (Spark Round); CAST(double AS DECIMAL(18,4))
+      // AS STRING = the same setScale rendered with its trailing zeros.
+      def r4(x: Double): Double = java.math.BigDecimal.valueOf(x)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+      def dec4(x: Double): String = java.math.BigDecimal.valueOf(r4(x))
+        .setScale(4, java.math.RoundingMode.HALF_UP).toPlainString
+      val rows = flags.map { g =>
+        (g, r4(med(g)), qs(g).map(dec4).mkString(","))
+      }
+      import s.implicits._
+      rows.toDF("l_returnflag", "median_qty", "price_quartiles")
         .orderBy("l_returnflag")
     },
       Some(

@@ -56,6 +56,32 @@ object QProbe {
           col("l_quantity").cast("double").as("c"))
         .orderBy("l_orderkey", "l_linenumber").collect()
     }
+    // Minhash LSH phase split: shingle cache build vs the survivor query
+    time("minhash: full pipeline") {
+      val (docs, pairs) = graft.queries.LlmPipeline.minhashLshPairs(
+        graft.Tables.load(spark, sfDir, "documents"))
+      graft.operators.Components.lineageCut(pairs)
+      docs.unpersist()
+    }
+    time("minhash: docs cache build only") {
+      val docs = graft.Tables.load(spark, sfDir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.wordShingles(col("text"), 3).as("ws"))
+        .cache()
+      docs.count()
+      docs.unpersist(blocking = true)
+    }
+
+    time("minhash: docs localCheckpoint build only") {
+      val docs = graft.Tables.load(spark, sfDir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.wordShingles(col("text"), 3).as("ws"))
+        .localCheckpoint()
+      docs.count()
+    }
+
     // Components phase split: pairs stage vs label rounds
     import graft.functions.TextFunctions.{wordSet, jaccard, jaccardLengthOk}
     def pairsDf() = {
