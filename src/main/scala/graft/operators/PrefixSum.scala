@@ -105,9 +105,23 @@ object PrefixSum {
     * within heads ∪ tails ordered globally, a head row's k-th predecessor is
     * exactly its k-th global predecessor (sparse buckets recurse — a bucket
     * with fewer than k rows contributes ALL its rows to the tail set), so a
-    * lag(k) over the tiny edge set closes every frame. One big shuffle, one
-    * big sort, one materialization — the round-4 multi-branch DAG (second
-    * full desc window, candidates×dests join, full-table union) is gone.
+    * lag(k) over the tiny edge set closes every frame.
+    *
+    * Round-18 (guide §2.4 "two operations keyed the same way share one
+    * exchange"): the window's exchange is a RANGE partition on `__bucket`
+    * instead of a hash — RangePartitioning(__bucket) satisfies the window's
+    * ClusteredDistribution(__bucket, p), and because `__bucket` is MONOTONE
+    * in the leading order key, partition-index order IS the query's output
+    * order. The emitter then needs only a per-partition sort: the former
+    * plan's SECOND full-table exchange (the global ORDER BY range shuffle
+    * over interior ∪ fixes) is gone, and so is the union — head rows take
+    * their fixed frame through a broadcast join on the tiny
+    * (bucket, p, row) correction table. One big shuffle total.
+    *
+    * Output contract: rows are emitted partition-ordered by `orderCols`
+    * (partitions ascend with `__bucket`, each sorted within) — callers that
+    * need the global ORDER BY emit take `sortWithinPartitions(orderCols)`
+    * order as-is; collect()/coalesce(1) preserve partition index order.
     */
   def runningAndMoving(
       df: DataFrame,
@@ -122,13 +136,19 @@ object PrefixSum {
     val k = frameRows
     val (withB, b, offsets) = skeleton(df, partCols, leadKey, value, buckets)
     val grp = b +: partCols.map(col)
+    val shufP = df.sparkSession.sessionState.conf.numShufflePartitions
     val w = Window.partitionBy(grp: _*).orderBy(orderCols: _*)
     // ONE pass: local prefix sum, local trailing sum, position — same
     // partitioning + ordering, so WindowExec evaluates all three frames in
-    // a single shuffle + sort. The window output is checkpointed: the
-    // edge-fixup branch and the interior branch both read the materialized
-    // rows instead of re-running the sort.
+    // a single exchange + sort, and that exchange is the RANGE partition on
+    // __bucket (satisfies the window's clustering; equal buckets never
+    // split across partitions, so partition order = bucket order = output
+    // order). The window output is checkpointed: the edge-fixup branch and
+    // the emit branch both read the materialized rows instead of re-running
+    // the sort — and the checkpoint preserves partition contents and index
+    // order, which the emit relies on.
     val main = withB
+      .repartitionByRange(shufP, b)
       .withColumn("__loc", sum(value)
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("__movloc", sum(value)
@@ -136,20 +156,41 @@ object PrefixSum {
       .withColumn("__rn", row_number().over(w))
       .join(broadcast(offsets), "__bucket" +: partCols, "left")
       .withColumn(runOut, col("__loc") + coalesce(col("__off"), lit(0)))
+      // project the spent intermediates away BEFORE materializing: the
+      // checkpoint blocks carry only what the edge branch and the emit
+      // still read (guide §2.3 "project before the exchange", applied to
+      // the block store)
+      .drop("__loc", "__off")
       .localCheckpoint()
     // Edge set: heads (first k−1 rows of a bucket — frames cross the bucket
     // start) plus tails (last k rows — the only lag targets heads can
     // need). buckets×|p|×(2k−1) rows; the per-p serial window is fine here.
     val edge = main.filter(col("__rn") <= k - 1 || col("__rn") > col("__n") - k)
     val fixW = Window.partitionBy(partCols.map(col): _*).orderBy(orderCols: _*)
+    val fixKeys = "__bucket" +: partCols :+ "__rn"
     val fixes = edge
-      .withColumn(movOut,
+      .withColumn("__fix",
         col(runOut) - coalesce(lag(col(runOut), k).over(fixW), lit(0)))
       .filter(col("__rn") <= k - 1)
-    val interior = main.filter(col("__rn") >= k)
-      .withColumn(movOut, col("__movloc"))
-    interior.unionByName(fixes)
-      .drop("__bucket", "__loc", "__movloc", "__rn", "__n", "__off")
+      .select(fixKeys.map(c => col(c).as(s"__f_$c")) :+ col("__fix"): _*)
+    // Broadcast the tiny correction table back onto the checkpointed main
+    // (a map-side join — partition layout untouched): head rows take the
+    // fixed frame, every other row its bucket-local one. The big table is
+    // never unioned or re-shuffled; each output partition ends with one
+    // in-place sort by the order columns (buckets interleave their |p|
+    // window groups within a partition, so the local sort is required).
+    // Null-safe equality on the part keys: a null-keyed window partition
+    // must still receive its head fixes.
+    // No ordering is imposed here: partitions ascend with __bucket (range
+    // partitioned) but rows within a partition sit in window order
+    // ((bucket, p, orderCols)), so a caller that needs the global ORDER BY
+    // emit finishes with ONE local sortWithinPartitions(orderCols) — no
+    // second full-table exchange.
+    main.join(broadcast(fixes),
+        fixKeys.map(c => col(c) <=> col(s"__f_$c")).reduce(_ && _), "left")
+      .withColumn(movOut, coalesce(col("__fix"), col("__movloc")))
+      .drop("__bucket" +: "__loc" +: "__movloc" +: "__rn" +: "__n" +:
+        "__off" +: "__fix" +: fixKeys.map(c => s"__f_$c"): _*)
   }
 
   /** Moving sum over the trailing `frameRows` rows (ROWS frameRows-1

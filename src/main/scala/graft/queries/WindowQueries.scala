@@ -132,11 +132,16 @@ object WindowQueries extends QueryPack {
       val both = PrefixSum.runningAndMoving(li, Seq("l_returnflag"), ord,
         "l_orderkey", col("__qd"), frameRows = 3, "__run", "__mov",
         buckets = 64)
+      // Round-18 (guide §2.4): the operator now emits partition-ordered by
+      // ord (its window exchange is a RANGE partition on the monotone
+      // bucket), so the global ORDER BY collapses to a per-partition sort —
+      // the former second full-table range exchange is gone. Row order of
+      // the collected/dumped result is unchanged (pinned in PrefixSumSpec).
       both.select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("__run").cast("double").as("running_qty"),
           col("__mov").cast("double").as("moving_qty_3"),
           col("l_extendedprice"))
-        .orderBy(ord: _*)
+        .sortWithinPartitions(ord: _*)
         .drop("l_extendedprice")
     },
 

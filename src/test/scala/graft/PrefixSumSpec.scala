@@ -83,6 +83,26 @@ class PrefixSumSpec extends SparkFunSuite {
     assert(got.toSeq == expected.toSeq)
   }
 
+  test("range-partitioned emit: partition order + local sort IS global order") {
+    // Round-18 contract: the operator's one exchange is a RANGE partition
+    // on the monotone bucket, so collected partition order ascends with the
+    // leading order key — a per-partition sort must reproduce the global
+    // ORDER BY sequence exactly, with no second full-table exchange.
+    val df = synth(5000)
+    val expected = df
+      .withColumn("r", sum("v").over(naiveRun))
+      .withColumn("m", sum("v").over(naiveMov))
+      .select("k", "flag", "r", "m").orderBy("k").collect()
+    val emitted = PrefixSum.runningAndMoving(df, Seq("flag"), Seq(col("k")),
+        "k", col("v"), frameRows = 3, "r", "m", buckets = 16)
+      .select("k", "flag", "r", "m")
+      .sortWithinPartitions(col("k"))
+    assert(!emitted.queryExecution.executedPlan.toString
+        .contains("rangepartitioning(k"),
+      "emit must not plan a global range exchange on the order key")
+    assert(emitted.collect().toSeq == expected.toSeq)
+  }
+
   test("the window axis genuinely fans out past the flag cardinality") {
     val df = synth(5000)
     val plan = PrefixSum.runningSum(df, Seq("flag"), Seq(col("k")), "k",
