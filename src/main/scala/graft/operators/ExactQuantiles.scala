@@ -19,21 +19,27 @@ import org.apache.spark.sql.functions._
   *
   * Algorithm (all groups advance together — one Spark job per refinement
   * level, never one per group):
-  *   1. one aggregate → n per group; the needed GLOBAL 0-based ranks per
-  *      percentile p are floor/ceil of pos = p·(n−1) (the positions
-  *      `Percentile.getPercentile` interpolates between).
+  *   1. one aggregate → (n, min, max) per group; the needed GLOBAL
+  *      0-based ranks per percentile p are floor/ceil of pos = p·(n−1)
+  *      (the positions `Percentile.getPercentile` interpolates between).
   *   2. per live cell (group × value subrange; level 1 = the group's full
-  *      [min, max]): histogram into `buckets` equal-width cells.
-  *      Membership of a recursed cell is the PARENT'S bucket-index
-  *      expression pinned to the chosen bucket — never a reconstructed
-  *      float range, so boundary values can never migrate between the
-  *      histogram that located a rank and the pass that fetches it.
-  *   3. cumulative counts locate each rank's bucket. Buckets holding ≤
-  *      `cap` rows collect their values (needed-ranks × n/buckets rows);
-  *      heavier buckets (mass points / adversarial distributions) refine
-  *      recursively, O(log_buckets(n/cap)) levels; a range collapsed to
-  *      ≤ a few distinct doubles resolves via a value-exact histogram
-  *      (≤ 3 rows) instead.
+  *      [min, max]): histogram into `buckets` equal-width cells, each
+  *      carrying its count AND its exact (min, max). Membership of a
+  *      recursed cell is the PARENT'S bucket-index expression pinned to
+  *      the chosen bucket — never a reconstructed float range, so
+  *      boundary values can never migrate between the histogram that
+  *      located a rank and the pass that fetches it.
+  *   3. cumulative counts locate each rank's bucket. Round-18: a located
+  *      bucket whose min == max is a MASS POINT and resolves its ranks
+  *      immediately — zero rows fetched (on a bounded-domain column like
+  *      integer quantities EVERY rank resolves this way and the fetch
+  *      job collects nothing). Remaining buckets holding ≤ `cap` rows
+  *      collect their values (one job for all of them); heavier buckets
+  *      refine recursively from their EXACT (min, max) — the former
+  *      per-level "refresh bounds" job is gone — O(log_buckets(n/cap))
+  *      levels. A range collapsed to ≤ 3 adjacent doubles splits by
+  *      exact value instead of width (underflow-proof), each child a
+  *      mass point.
   *   4. result = v_lo + (v_hi − v_lo)·(pos − floor(pos)) in Double — the
   *      exact arithmetic the built-in performs (pinned bit-identical in
   *      ExactQuantilesSpec).
@@ -41,7 +47,7 @@ import org.apache.spark.sql.functions._
 object ExactQuantiles {
 
   private case class Cell(group: Any, pred: Column, lo: Double, hi: Double,
-    rankBase: Long, ranks: Seq[Long], needsBounds: Boolean = false)
+    rankBase: Long, ranks: Seq[Long])
 
   /** Per-group interpolated percentiles of `valueCol` (nulls skipped —
     * Percentile semantics) for each p in `ps`. Returns
@@ -85,122 +91,88 @@ object ExactQuantiles {
       level += 1
       require(level <= 64, "groupPercentiles: refinement depth exceeded")
 
-      // refresh recursed cells' bounds to their ACTUAL value range (one
-      // job for all of them): a mass-point bucket then collapses to
-      // lo == hi at this level instead of shrinking its arithmetic range
-      // one bucket-width per level
-      if (pending.exists(_.needsBounds)) {
-        val (need, keep) = pending.partition(_.needsBounds)
-        val idOf = need.zipWithIndex
-        val cid = idOf.foldLeft(lit(-1)) { case (acc, (c, i)) =>
-          when(c.pred, lit(i)).otherwise(acc)
-        }
-        val bs = base.select(cid.as("cell"), col("v"))
-          .filter(col("cell") >= 0)
-          .groupBy("cell").agg(min("v").as("lo"), max("v").as("hi"))
-          .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2)))
-          .toMap
-        pending = keep ++ idOf.map { case (c, i) =>
-          val (lo, hi) = bs(i)
-          c.copy(lo = lo, hi = hi, needsBounds = false)
-        }
-      }
-
-      // a range collapsed to a couple of distinct doubles (mass point):
-      // the value-exact histogram is ≤ 3 rows however many rows share it
-      val (tiny, live) = pending.partition { c =>
-        c.lo == c.hi || nextUp(nextUp(c.lo)) >= c.hi
-      }
-      tiny.foreach { c =>
-        val vh = base.filter(c.pred).groupBy("v").agg(count(lit(1)).as("c"))
-          .collect().map(r => r.getDouble(0) -> r.getLong(1)).sortBy(_._1)
-        var cum = c.rankBase
-        var left = c.ranks
-        vh.foreach { case (v, cnt) =>
-          val end = cum + cnt
-          val (inV, rest) = left.span(_ < end)
-          inV.foreach(r => resolved((c.group, r)) = v)
-          left = rest
-          cum = end
-        }
-        require(left.isEmpty,
-          s"groupPercentiles: rank past value mass for group ${c.group}")
-      }
-
-      if (live.isEmpty) { pending = Nil }
-      else {
-        val cellSeq = live.zipWithIndex
-        def bucketIdx(c: Cell): Column = {
+      val cellSeq = pending.zipWithIndex
+      def bucketIdx(c: Cell): Column =
+        if (c.lo == c.hi) lit(0)
+        // a range collapsed to ≤3 adjacent doubles (mass points around a
+        // heavy value) cannot be equal-width split — its width underflows
+        // — but its members are exactly {lo, mid, hi}: bucket by value;
+        // each child is a mass point and resolves from min==max below
+        else if (java.lang.Math.nextUp(java.lang.Math.nextUp(c.lo)) >= c.hi)
+          when(col("v") === lit(c.lo), lit(0))
+            .when(col("v") === lit(c.hi), lit(2))
+            .otherwise(lit(1)).cast("int")
+        else {
           val width = (c.hi - c.lo) / buckets
           least(floor((col("v") - lit(c.lo)) / lit(width)), lit(buckets - 1))
             .cast("int")
         }
-        val cellId = cellSeq.foldLeft(lit(-1)) { case (acc, (c, i)) =>
-          when(c.pred, lit(i)).otherwise(acc)
-        }
-        val bIdx = cellSeq.foldLeft(lit(-1)) { case (acc, (c, i)) =>
-          when(c.pred, bucketIdx(c)).otherwise(acc)
-        }
-        // ONE histogram job for every live cell
-        val hist = base.select(cellId.as("cell"), bIdx.as("b"))
-          .filter(col("cell") >= 0)
-          .groupBy("cell", "b").agg(count(lit(1)).as("c"))
-          .collect()
-          .groupBy(_.getInt(0))
-          .map { case (cid, rows) =>
-            cid -> rows.map(r => r.getInt(1) -> r.getLong(2)).sortBy(_._1).toSeq
-          }
-
-        // locate each rank's bucket
-        case class Want(cellIdx: Int, bucket: Int, bucketBase: Long,
-          count: Long, localRanks: Seq[Long])
-        val wants = scala.collection.mutable.ArrayBuffer.empty[Want]
-        cellSeq.foreach { case (c, i) =>
-          val hs = hist.getOrElse(i, Seq.empty[(Int, Long)])
-          var cum = c.rankBase
-          var left = c.ranks
-          hs.foreach { case (b, cnt) =>
-            val end = cum + cnt
-            val (inB, rest) = left.span(_ < end)
-            if (inB.nonEmpty) wants += Want(i, b, cum, cnt, inB)
-            left = rest
-            cum = end
-          }
-          require(left.isEmpty,
-            s"groupPercentiles: rank past histogram mass for ${c.group}")
-        }
-
-        val (small, big) = wants.partition(_.count <= cap)
-        if (small.nonEmpty) {
-          // collect ONLY the needed buckets' values, one job
-          val keep = cellSeq.foldLeft(lit(false)) { case (acc, (c, i)) =>
-            val bs = small.filter(_.cellIdx == i).map(_.bucket).toSeq
-            if (bs.isEmpty) acc
-            else acc || (c.pred && bucketIdx(c).isin(bs: _*))
-          }
-          val got = base.select(cellId.as("cell"), bIdx.as("b"), col("v"))
-            .filter(keep)
-            .collect()
-            .groupBy(r => (r.getInt(0), r.getInt(1)))
-          small.foreach { w =>
-            val vs = got.getOrElse((w.cellIdx, w.bucket), Array.empty)
-              .map(_.getDouble(2)).sorted
-            w.localRanks.foreach { r =>
-              val idx = (r - w.bucketBase).toInt
-              require(idx >= 0 && idx < vs.length,
-                s"groupPercentiles: rank $r outside bucket of ${vs.length}")
-              resolved((live(w.cellIdx).group, r)) = vs(idx)
-            }
-          }
-        }
-        // heavy buckets refine: membership = parent bucket-index equality
-        // (the shared expression); actual bounds refresh next level
-        pending = big.map { w =>
-          val c = live(w.cellIdx)
-          Cell(c.group, c.pred && bucketIdx(c) === lit(w.bucket),
-            c.lo, c.hi, w.bucketBase, w.localRanks, needsBounds = true)
-        }.toSeq
+      val cellId = cellSeq.foldLeft(lit(-1)) { case (acc, (c, i)) =>
+        when(c.pred, lit(i)).otherwise(acc)
       }
+      val bIdx = cellSeq.foldLeft(lit(-1)) { case (acc, (c, i)) =>
+        when(c.pred, bucketIdx(c)).otherwise(acc)
+      }
+      // ONE histogram job for every live cell; per-bucket (min, max)
+      // resolves mass points without fetching and gives recursed children
+      // their exact bounds
+      val hist = base.select(cellId.as("cell"), bIdx.as("b"), col("v"))
+        .filter(col("cell") >= 0)
+        .groupBy("cell", "b")
+        .agg(count(lit(1)).as("c"), min("v").as("blo"), max("v").as("bhi"))
+        .collect()
+        .groupBy(_.getInt(0))
+
+      // locate each rank's bucket; resolve mass points immediately
+      case class Want(cellIdx: Int, bucket: Int, bucketBase: Long,
+        localRanks: Seq[Long])
+      val wants = scala.collection.mutable.ArrayBuffer.empty[Want]
+      val recursed = scala.collection.mutable.ArrayBuffer.empty[Cell]
+      cellSeq.foreach { case (c, i) =>
+        val hs = hist.getOrElse(i, Array.empty)
+        var cum = c.rankBase
+        var left = c.ranks
+        hs.sortBy(_.getInt(1)).foreach { r =>
+          val (b, cnt, blo, bhi) =
+            (r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+          val end = cum + cnt
+          val (inB, rest) = left.span(_ < end)
+          if (inB.nonEmpty) {
+            if (blo == bhi) inB.foreach(rk => resolved((c.group, rk)) = blo)
+            else if (cnt <= cap) wants += Want(i, b, cum, inB)
+            else recursed += Cell(c.group, c.pred && bucketIdx(c) === lit(b),
+              blo, bhi, cum, inB)
+          }
+          left = rest
+          cum = end
+        }
+        require(left.isEmpty,
+          s"groupPercentiles: rank past histogram mass for ${c.group}")
+      }
+
+      if (wants.nonEmpty) {
+        // collect ONLY the needed buckets' values, one job
+        val keep = cellSeq.foldLeft(lit(false)) { case (acc, (c, i)) =>
+          val bs = wants.filter(_.cellIdx == i).map(_.bucket).toSeq
+          if (bs.isEmpty) acc
+          else acc || (c.pred && bucketIdx(c).isin(bs: _*))
+        }
+        val got = base.select(cellId.as("cell"), bIdx.as("b"), col("v"))
+          .filter(keep)
+          .collect()
+          .groupBy(r => (r.getInt(0), r.getInt(1)))
+        wants.foreach { w =>
+          val vs = got.getOrElse((w.cellIdx, w.bucket), Array.empty)
+            .map(_.getDouble(2)).sorted
+          w.localRanks.foreach { r =>
+            val idx = (r - w.bucketBase).toInt
+            require(idx >= 0 && idx < vs.length,
+              s"groupPercentiles: rank $r outside bucket of ${vs.length}")
+            resolved((cellSeq(w.cellIdx)._1.group, r)) = vs(idx)
+          }
+        }
+      }
+      pending = recursed.toSeq
     }
 
     posOf.map { case (g, poss) =>
@@ -217,6 +189,4 @@ object ExactQuantiles {
       }
     }
   }
-
-  private def nextUp(d: Double): Double = java.lang.Math.nextUp(d)
 }

@@ -85,4 +85,20 @@ class ExactQuantilesSpec extends SparkFunSuite {
     val rows = (1 to 8000).map(_ => ("n", rng.nextDouble() * 200 - 100))
     assertMatches(rows.toDF("g", "v"), buckets = 16, cap = 256)
   }
+
+  test("log-grid edges: zeros, adjacent doubles, mixed magnitudes") {
+    // exercises the round-18 level-1 log bucketing: the zero bucket, a
+    // mass point of exact 0.0, values one ulp apart under a cap that
+    // forces the degenerate value-split lane, and magnitudes spanning
+    // twelve orders
+    val x = 123.456
+    val rows = (1 to 500).map(_ => ("z", 0.0)) ++
+      (1 to 300).map(_ => ("z", x)) ++
+      (1 to 300).map(_ => ("z", java.lang.Math.nextUp(x))) ++
+      (1 to 50).map(i => ("z", i * 1e-9)) ++
+      (1 to 50).map(i => ("z", i * 1e3)) ++
+      (1 to 40).map(i => ("m", -i * 1e-6)) ++
+      (1 to 40).map(i => ("m", i * 1e6))
+    assertMatches(rows.toDF("g", "v"), buckets = 4, cap = 64)
+  }
 }
