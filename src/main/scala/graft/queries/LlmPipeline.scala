@@ -98,11 +98,20 @@ object LlmPipeline extends QueryPack {
     // storms) vs 2.5s when the same query planned shuffle joins. A band
     // key / doc id is also the only shuffle key that scales to 100 TB —
     // a broadcast of the full corpus never does.
+    // Round-18 (guide §2.4 "two operations keyed the same way share one
+    // exchange"): the candidate dedup rides the id_a fan-out exchange —
+    // HashPartitioning(id_a) satisfies the (id_a, id_b) dedup's clustering
+    // (equal pairs share id_a), so dropDuplicates plans NO exchange of its
+    // own; formerly distinct() shuffled the pair set on (id_a, id_b) and
+    // repartition(id_a) shuffled it AGAIN. One pair-set exchange, not two.
+    // The explicit par count still pins the fan-out (the AQE-coalesce trap
+    // below); the dedup keeps running BEFORE the shingle join-backs, so
+    // the heavy verify stage sees each pair once.
     val cand = banded.select(col("doc_id").as("id_a"), col("bk"))
       .join(banded.select(col("doc_id").as("id_b"), col("bk"))
         .hint("shuffle_hash"), Seq("bk"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .select("id_a", "id_b")
       // Same AQE trap as the shingle stage, one stage later: the deduped
       // pair set is tiny in BYTES (16/row), so AQE coalesces the distinct
       // output to 1-2 partitions — and the verify join-back then evaluates
@@ -110,6 +119,7 @@ object LlmPipeline extends QueryPack {
       // (observed: bimodal 4s/85s runs at sf0.1, single RUNNABLE task in
       // jstack). Explicit counts pin the fan-out on both join-back keys.
       .repartition(par, col("id_a"))
+      .dropDuplicates("id_a", "id_b")
     val pairs = cand
       .join(docs.select(col("doc_id").as("id_a"), col("ws").as("wa"))
         .hint("shuffle_hash"), Seq("id_a"))
