@@ -952,7 +952,41 @@ object FunctionTail extends QueryPack {
          FROM lineitem GROUP BY l_orderkey))"""),
 
     // Window-function reference names over a deterministic order key.
+    // Round-18 scale shape (r17 verdict #5/#6): the naive form windows ALL
+    // of orders over the 5-value o_orderpriority key — 5 serial tasks at
+    // any data size — to emit only the globally smallest 1000 keys. Every
+    // emitted window value is determined by a BOUNDED input: rows at or
+    // below the 1000th global key (the prefix frames: lag / nth / first;
+    // lastValue-to-current is the current row itself) plus, for
+    // leadInFrame(2), each priority's first TWO rows above that key. The
+    // engine text therefore windows cut ∪ next-2 (≤ 1000 + 2·|priorities|
+    // rows — the threshold is a per-partition top-k, the next-2 rows come
+    // from two map-side-combined min aggregates, never a full-table
+    // window). Supplement rows rank past 1000 and fall to the LIMIT, so
+    // the result is unchanged — the oracle below stays the naive
+    // formulation and pins the equivalence.
     ch("q_ch_window_names", """
+      WITH kth AS (
+        SELECT max(o_orderkey) AS kk
+        FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 1000)),
+      m1 AS (
+        SELECT o_orderpriority AS p1, min(o_orderkey) AS k1
+        FROM orders WHERE o_orderkey > (SELECT kk FROM kth)
+        GROUP BY o_orderpriority),
+      m2 AS (
+        SELECT o_orderpriority AS p2, min(o_orderkey) AS k2
+        FROM orders JOIN m1 ON o_orderpriority = p1
+        WHERE o_orderkey > k1
+        GROUP BY o_orderpriority),
+      cut AS (
+        SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        WHERE o_orderkey <= (SELECT kk FROM kth)
+        UNION ALL
+        SELECT o_orderkey, o_orderpriority, o_totalprice
+        FROM orders JOIN m1 ON o_orderpriority = p1 AND o_orderkey = k1
+        UNION ALL
+        SELECT o_orderkey, o_orderpriority, o_totalprice
+        FROM orders JOIN m2 ON o_orderpriority = p2 AND o_orderkey = k2)
       SELECT o_orderkey,
         ROUND(lagInFrame(o_totalprice) OVER w, 4) AS lg,
         ROUND(leadInFrame(o_totalprice, 2) OVER w, 4) AS ld,
@@ -963,7 +997,7 @@ object FunctionTail extends QueryPack {
         ROUND(lastValue(o_totalprice) OVER
           (PARTITION BY o_orderpriority ORDER BY o_orderkey
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS lv
-      FROM orders
+      FROM cut
       WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
       ORDER BY o_orderkey LIMIT 1000""",
       """
