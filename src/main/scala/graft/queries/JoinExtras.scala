@@ -29,6 +29,12 @@ object JoinExtras extends QueryPack {
         .select(col("user_id"), col("event_id"), col("ts"))
       // Right side deduped to the max orderkey per (custkey, orderdate) so
       // the ASOF tie-break is total.
+      // Round-18 measured, left alone: fanOutIfTiny keyed on the GROUP BY
+      // keys (exchange-reuse form) REGRESSED 0.83→0.97s min across two
+      // calibrated A/B pairs — (custkey, orderdate) is near-unique, so the
+      // map-side partial aggregate saves nothing and the fan-out only adds
+      // exchange overhead to a 150k-row scan whose fused partial agg is
+      // ~50ms of one task.
       val orders = Tables.load(s, dir, "orders")
         .groupBy(col("o_custkey"), col("o_orderdate"))
         .agg(max(col("o_orderkey")).as("o_orderkey"))
