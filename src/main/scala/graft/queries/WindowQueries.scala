@@ -40,6 +40,13 @@ object WindowQueries extends QueryPack {
       val li = Tables.load(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_returnflag"), col("l_quantity"))
+      // Round-18 measured, left alone: fanning the histogram aggregate out
+      // (exchange-reuse form, the q_agg_basic r17 move) REGRESSED
+      // 1.39→1.68s min — the bounded-domain (flag, qty) key lets the
+      // map-side combine collapse 600k rows to ~150 inside the scan task,
+      // so the fan-out only adds a full-row exchange. Fan-out pays only
+      // where per-row map work is heavy, not where the partial aggregate
+      // already collapses the stream.
       val h = li.groupBy("l_returnflag", "l_quantity")
         .agg(count(lit(1)).as("__c"))
       val wOrd = Window.partitionBy("l_returnflag").orderBy("l_quantity")
