@@ -127,14 +127,18 @@ object AggFunctions extends QueryPack {
       // (flag|which, v) rows so the operator's stats/histogram/collect
       // jobs run once, not once per column (measured: two separate calls
       // cost ~0.5s more in job overhead at sf0.1)
-      val base = graft.operators.ScaleOps.fanOutIfTiny(
-          Tables.load(s, dir, "lineitem"), col("l_orderkey"))
-        .selectExpr("l_returnflag",
-          "stack(2, 'q', CAST(l_quantity AS DOUBLE), " +
-            "'p', CAST(l_extendedprice AS DOUBLE)) AS (which, v)")
-        .select(concat(col("l_returnflag"), lit("|"), col("which")).as("gk"),
-          col("v"))
-        .localCheckpoint()
+      // lineageCut = localCheckpoint locally; on a real cluster the same
+      // call takes a reliable checkpoint dir (Components.lineageCut's
+      // durable lane), so a lost executor recomputes instead of killing
+      // the query (r17 verdict fault-tolerance note)
+      val base = graft.operators.Components.lineageCut(
+        graft.operators.ScaleOps.fanOutIfTiny(
+            Tables.load(s, dir, "lineitem"), col("l_orderkey"))
+          .selectExpr("l_returnflag",
+            "stack(2, 'q', CAST(l_quantity AS DOUBLE), " +
+              "'p', CAST(l_extendedprice AS DOUBLE)) AS (which, v)")
+          .select(concat(col("l_returnflag"), lit("|"), col("which")).as("gk"),
+            col("v")))
       val pcts = Seq(0.25, 0.5, 0.75, 0.9)
       val all = graft.operators.ExactQuantiles.groupPercentiles(
         base, "gk", "v", pcts)
